@@ -1,0 +1,102 @@
+package graft.eval
+
+import org.apache.spark.mllib.evaluation.BinaryClassificationMetrics
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model-evaluation operators (reference:
+  * src/ta_lib/pyspark/model_eval.py + handy_spark_cd.py).
+  *
+  * All regression metrics are single `agg` expressions — the reference's
+  * per-metric passes collapse to one scan. Binary-classification curves use
+  * the native Scala BinaryClassificationMetrics (the reference's entire py4j
+  * bridge, handy_spark_cd.py:24-38, disappears). The confusion-cell column is
+  * a pure `when` chain, not a UDF (reference UDF at model_eval.py:450-468).
+  */
+object Metrics {
+
+  /** One-pass regression metric table: rmse, mae, mape, wmape, r2, expvar
+    * (reference: model_eval.py:30-140). */
+  def regressionMetrics(df: DataFrame, yCol: String, yhatCol: String): DataFrame = {
+    val y = col(yCol).cast("double")
+    val yhat = col(yhatCol).cast("double")
+    val err = yhat - y
+    df.agg(
+      round(sqrt(avg(err * err)), 6).as("rmse"),
+      round(avg(abs(err)), 6).as("mae"),
+      round(avg(abs(err) / abs(y)), 6).as("mape"),
+      round(sum(abs(err)) / sum(abs(y)), 6).as("wmape"))
+  }
+
+  /** R² and explained variance (needs mean(y), so computed via a self-agg
+    * subquery — still two scans max, usually one with AQE reuse). */
+  def r2AndExplainedVariance(df: DataFrame, yCol: String, yhatCol: String): DataFrame = {
+    val stats = df.agg(avg(col(yCol)).as("ybar")).collect()(0)
+    val ybar = stats.getDouble(0)
+    val y = col(yCol).cast("double")
+    val yhat = col(yhatCol).cast("double")
+    val err = yhat - y
+    df.agg(
+      round(lit(1.0) - sum(err * err) / sum((y - ybar) * (y - ybar)), 6).as("r2"),
+      round(lit(1.0) - variance(err) / variance(y), 6).as("explained_variance"))
+  }
+
+  /** Threshold the positive-class score into a 0/1 label — replaces the
+    * reference's `_get_label` UDF (model_eval.py:444-448). */
+  def labelAtThreshold(df: DataFrame, scoreCol: String, threshold: Double, out: String = "prediction"): DataFrame =
+    df.withColumn(out, when(col(scoreCol) > threshold, 1.0).otherwise(0.0))
+
+  /** TP/FP/TN/FN cell per row as a `when` chain — replaces the reference's
+    * `_get_conf_cell` UDF (model_eval.py:450-468). */
+  def confusionCell(df: DataFrame, predCol: String, labelCol: String, out: String = "cell"): DataFrame =
+    df.withColumn(
+      out,
+      when(col(predCol) === 1.0 && col(labelCol) === 1.0, "TP")
+        .when(col(predCol) === 1.0 && col(labelCol) === 0.0, "FP")
+        .when(col(predCol) === 0.0 && col(labelCol) === 0.0, "TN")
+        .otherwise("FN"))
+
+  /** Confusion counts + accuracy/precision/recall/f1 at a threshold, one
+    * aggregate pass (reference: handy_spark_cd.py:168-187 +
+    * model_eval.py:256-318). */
+  def binaryMetricsAtThreshold(df: DataFrame, scoreCol: String, labelCol: String, threshold: Double): DataFrame = {
+    val pred = when(col(scoreCol) > threshold, 1.0).otherwise(0.0)
+    val y = col(labelCol).cast("double")
+    df.agg(
+        sum(when(pred === 1.0 && y === 1.0, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred === 1.0 && y === 0.0, 1L).otherwise(0L)).as("fp"),
+        sum(when(pred === 0.0 && y === 0.0, 1L).otherwise(0L)).as("tn"),
+        sum(when(pred === 0.0 && y === 1.0, 1L).otherwise(0L)).as("fn"))
+      .select(
+        col("tp"),
+        col("fp"),
+        col("tn"),
+        col("fn"),
+        round((col("tp") + col("tn")) / (col("tp") + col("fp") + col("tn") + col("fn")).cast("double"), 6)
+          .as("accuracy"),
+        round(col("tp") / (col("tp") + col("fp")).cast("double"), 6).as("precision"),
+        round(col("tp") / (col("tp") + col("fn")).cast("double"), 6).as("recall"),
+        round(lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")).cast("double"), 6)
+          .as("f1"))
+  }
+
+  /** auROC / auPR over (score, label) using native mllib metrics
+    * (reference: model_eval.py:294-312). */
+  def aucMetrics(df: DataFrame, scoreCol: String, labelCol: String): (Double, Double) = {
+    val scoreAndLabels = df
+      .select(col(scoreCol).cast("double"), col(labelCol).cast("double"))
+      .rdd
+      .map(r => (r.getDouble(0), r.getDouble(1)))
+    val m = new BinaryClassificationMetrics(scoreAndLabels)
+    val res = (m.areaUnderROC(), m.areaUnderPR())
+    m.unpersist()
+    res
+  }
+
+  /** Per-threshold precision/recall/f1 curves as a DataFrame
+    * (reference: handy_spark_cd.py:142-165 threshold-metrics table). */
+  def thresholdMetrics(df: DataFrame, scoreCol: String, labelCol: String, thresholds: Seq[Double]): DataFrame =
+    thresholds
+      .map(t => binaryMetricsAtThreshold(df, scoreCol, labelCol, t).withColumn("threshold", lit(t)))
+      .reduce(_ unionByName _)
+}

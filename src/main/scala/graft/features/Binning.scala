@@ -1,0 +1,58 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Binning / discretization (reference: src/ta_lib/pyspark/features.py:293-446
+  * `Binner`): quantile bins, explicit splits, fixed-size splits.
+  *
+  * Bucket assignment is a pure expression (no ml Bucketizer needed for the
+  * relational path), so binning N columns stays one codegen'd projection.
+  * Quantile split learning is one exact-percentile agg pass.
+  */
+object Binning {
+
+  /** bucket index for explicit ascending splits: value in [s_i, s_{i+1})
+    * → i; below first → 0 is NOT clamped (null), above last → null.
+    * Matches Bucketizer's half-open interval convention with the last
+    * interval closed. */
+  def bucketize(c: Column, splits: Seq[Double]): Column = {
+    val n = splits.length
+    val conditions = (0 until n - 1).map { i =>
+      val upper =
+        if (i == n - 2) c <= lit(splits(i + 1)) // last bucket closed
+        else c < lit(splits(i + 1))
+      (c >= lit(splits(i)) && upper, lit(i))
+    }
+    conditions.foldRight(lit(null).cast("int"): Column) { case ((cond, v), acc) =>
+      when(cond, v).otherwise(acc)
+    }
+  }
+
+  final case class Model(splits: Map[String, Seq[Double]], suffix: String = "_bin") {
+    def transform(df: DataFrame): DataFrame =
+      splits.foldLeft(df) { case (d, (c, s)) =>
+        d.withColumn(s"$c$suffix", bucketize(col(c), s))
+      }
+  }
+
+  /** Learn n-quantile splits for each column in ONE exact-percentile pass
+    * (reference QuantileDiscretizer path, features.py:412-427). */
+  def fitQuantile(df: DataFrame, cols: Seq[String], n: Int): Model = {
+    val probes = (0 to n).map(i => i.toDouble / n)
+    val aggs = cols.map(c =>
+      expr(s"percentile($c, array(${probes.mkString(",")}))").as(c))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val splits = cols.map { c =>
+      c -> row.getAs[scala.collection.Seq[Double]](c).toSeq.distinct
+    }.toMap
+    Model(splits)
+  }
+
+  /** Fixed-width splits from lo to hi in n steps
+    * (reference fixed-size path, features.py:370-409). */
+  def fixedWidthSplits(lo: Double, hi: Double, n: Int): Seq[Double] =
+    (0 to n).map(i => lo + (hi - lo) * i / n)
+
+  def withExplicitSplits(splits: Map[String, Seq[Double]]): Model = Model(splits)
+}

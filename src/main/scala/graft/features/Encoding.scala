@@ -1,0 +1,81 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Categorical encoders (reference: src/ta_lib/pyspark/features.py:28-286
+  * `Encoder`): one-hot, ordinal (user map), target (group mean/median).
+  *
+  * Scale design: target encoding keeps the category→statistic map as a small
+  * DataFrame and BROADCAST-joins it back (the reference collectAsMap()s to the
+  * driver, features.py:238-247, which dies at high cardinality). One-hot uses
+  * spark.ml StringIndexer+OneHotEncoder; ordinal uses a literal create_map
+  * (fine — user maps are small by construction).
+  */
+object Encoding {
+
+  /** Ordinal encode via an explicit category→rank map
+    * (reference: features.py:204-212). */
+  def ordinalEncode(df: DataFrame, c: String, mapping: Map[String, Int], default: Int = -1): DataFrame = {
+    val kv: Seq[Column] = mapping.toSeq.flatMap { case (k, v) => Seq(lit(k), lit(v)) }
+    val m = map(kv: _*)
+    df.withColumn(s"${c}_ord", coalesce(m(col(c)), lit(default)))
+  }
+
+  /** Target-encoding model: category → mean(target) learned on train.
+    * Unseen categories at transform time get the global prior. */
+  final case class TargetModel(mapping: DataFrame, c: String, prior: Double) {
+    def transform(df: DataFrame): DataFrame =
+      df.join(broadcast(mapping), Seq(c), "left")
+        .withColumn(s"${c}_te", coalesce(col(s"${c}_te"), lit(prior)))
+  }
+
+  /** Learn a target encoding (reference: features.py:215-258 "target"
+    * mode; mean statistic). The mapping stays a DataFrame end to end. */
+  def fitTargetEncoder(df: DataFrame, c: String, target: String): TargetModel = {
+    val mapping = df
+      .groupBy(col(c))
+      .agg(avg(col(target)).as(s"${c}_te"))
+    val prior = df.agg(avg(col(target))).collect()(0).getDouble(0)
+    TargetModel(mapping, c, prior)
+  }
+
+  /** One-hot as explicit indicator columns for each seen category — a pure
+    * projection (when/otherwise per category), codegen-friendly and
+    * oracle-checkable; spark.ml's OneHotEncoder (vector output) is used in
+    * the ML pipeline path instead (see model.Registry). */
+  final case class OneHotModel(c: String, categories: Seq[String]) {
+    def transform(df: DataFrame): DataFrame =
+      categories.foldLeft(df) { (d, cat) =>
+        val safe = cat.replaceAll("[^A-Za-z0-9]", "_")
+        d.withColumn(s"${c}_$safe", when(col(c) === lit(cat), 1).otherwise(0))
+      }
+  }
+
+  def fitOneHot(df: DataFrame, c: String): OneHotModel = {
+    val cats = df
+      .select(col(c))
+      .filter(col(c).isNotNull)
+      .distinct()
+      .orderBy(col(c))
+      .collect()
+      .map(_.getString(0))
+      .toSeq
+    OneHotModel(c, cats)
+  }
+
+  /** Label (index) encoding by frequency-descending rank, fully distributed
+    * (reference: eda.py:805-827 uses StringIndexer; same ordering rule:
+    * most frequent = 0, ties by value). */
+  def fitLabelEncoding(df: DataFrame, c: String): DataFrame =
+    df.groupBy(col(c))
+      .agg(count(lit(1)).as("freq"))
+      .select(
+        col(c),
+        (row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("freq"), asc(c))) - 1).as(s"${c}_idx"))
+
+  def applyLabelEncoding(df: DataFrame, mapping: DataFrame, c: String): DataFrame =
+    df.join(broadcast(mapping), Seq(c), "left")
+}

@@ -1,0 +1,77 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Outlier bounds learned on train, applied lazily on any frame
+  * (reference: src/ta_lib/pyspark/dp.py:317-558 `Outlier_Treatment`).
+  *
+  * fit = one wide agg over all columns (the reference runs approxQuantile
+  * per column); transform = pure `when`/`filter` expressions, so capping of
+  * 50 columns is still a single codegen'd projection at 100 TB.
+  */
+object OutlierTreatment {
+
+  sealed trait Method
+  /** q1/q3 ∓ 1.5·IQR (reference: dp.py:357-390). */
+  case object Iqr extends Method
+  /** mean ∓ 3σ (reference: dp.py:393-424). */
+  case object Sdv extends Method
+
+  final case class Bounds(lower: Double, upper: Double)
+  final case class Model(bounds: Map[String, Bounds]) {
+
+    /** Cap values outside bounds to the bound (reference: dp.py:498-511). */
+    def cap(df: DataFrame): DataFrame =
+      bounds.foldLeft(df) { case (d, (c, b)) =>
+        d.withColumn(
+          c,
+          when(col(c) < b.lower, lit(b.lower))
+            .when(col(c) > b.upper, lit(b.upper))
+            .otherwise(col(c)))
+      }
+
+    /** Drop rows with any value outside bounds (reference: dp.py:468-495). */
+    def drop(df: DataFrame): DataFrame = {
+      val keep = bounds
+        .map { case (c, b) => col(c).isNull || (col(c) >= b.lower && col(c) <= b.upper) }
+        .reduce(_ && _)
+      df.filter(keep)
+    }
+
+    /** Long-format bounds table for inspection / persistence. */
+    def boundsTable(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      bounds.toSeq
+        .sortBy(_._1)
+        .map { case (c, b) => (c, b.lower, b.upper) }
+        .toDF("column", "lower_bound", "upper_bound")
+    }
+  }
+
+  /** Learn per-column bounds in ONE aggregate pass (exact percentiles). */
+  def fit(df: DataFrame, cols: Seq[String], method: Method = Iqr, iqrK: Double = 1.5, nSigma: Double = 3.0): Model = {
+    val aggs: Seq[Column] = method match {
+      case Iqr =>
+        cols.flatMap(c =>
+          Seq(
+            expr(s"percentile($c, 0.25)").as(s"${c}__lo"),
+            expr(s"percentile($c, 0.75)").as(s"${c}__hi")))
+      case Sdv =>
+        cols.flatMap(c => Seq(avg(col(c)).as(s"${c}__lo"), stddev(col(c)).as(s"${c}__hi")))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val bounds = cols.map { c =>
+      val (a, b) = (row.getAs[Double](s"${c}__lo"), row.getAs[Double](s"${c}__hi"))
+      method match {
+        case Iqr =>
+          val iqr = b - a
+          c -> Bounds(a - iqrK * iqr, b + iqrK * iqr)
+        case Sdv =>
+          c -> Bounds(a - nSigma * b, a + nSigma * b)
+      }
+    }.toMap
+    Model(bounds)
+  }
+}

@@ -1,0 +1,55 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Format-dispatched readers/writers.
+  *
+  * Capability parity with the reference's IO surface
+  * (reference: src/ta_lib/pyspark/dp.py:53-98 `read_data`/`save_data`),
+  * re-expressed on the Spark DataFrameReader/Writer API. Globs are handled
+  * natively by the reader; schema inference applies to csv/json only
+  * (parquet carries its own schema).
+  *
+  * Scale notes: readers hand Catalyst a declarative scan, so filter/column
+  * pushdown and partition pruning apply to everything downstream. Writers
+  * default to snappy parquet; callers can `repartition` before write to
+  * control file counts at cluster scale.
+  */
+object Tables {
+
+  /** Read one or more paths of the given format into a single DataFrame. */
+  def readData(
+      spark: SparkSession,
+      paths: Seq[String],
+      fmt: String = "parquet",
+      header: Boolean = true,
+      inferSchema: Boolean = true,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    val reader = spark.read
+      .format(fmt)
+      .option("header", header.toString)
+      .option("inferSchema", inferSchema.toString)
+      .options(options)
+    reader.load(paths: _*)
+  }
+
+  /** Overwrite-write a DataFrame as parquet (the reference always writes
+    * parquet regardless of its `fmt` docstring). */
+  def saveData(df: DataFrame, path: String, fmt: String = "parquet"): Unit =
+    df.write.mode(SaveMode.Overwrite).format(fmt).save(path)
+
+  /** Load a named testdata table from an sf directory. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
+  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+  def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,223 @@
+package graft.profile
+
+import graft.dp.Taxonomy
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** EDA / profiling operators: every reference profiling computation
+  * (reference: src/ta_lib/pyspark/eda.py) as a function DataFrame =>
+  * small-result DataFrame, kept fully distributed — the reference's
+  * toPandas()/RDD-collect escapes (eda.py:42-43, 417, 457) are replaced by
+  * Spark aggregates, so these run unchanged on a 100 TB input.
+  *
+  * All "per column" statistics are batched into ONE wide agg pass (a single
+  * scan) instead of the reference's O(columns) separate jobs.
+  */
+object Profile {
+
+  private def isNumeric(df: DataFrame, c: String): Boolean =
+    df.schema(c).dataType.isInstanceOf[NumericType]
+
+  /** null-or-NaN test appropriate for the column's type. */
+  def missing(df: DataFrame, c: String): Column = {
+    val base = col(c).isNull
+    df.schema(c).dataType match {
+      case DoubleType | FloatType => base || isnan(col(c))
+      case _                      => base
+    }
+  }
+
+  /** Per-column missing (null|NaN) counts in one pass
+    * (reference: dp.py:608-636 `identify_missing_values`).
+    * Output: (column, missing_count) one row per column. */
+  def missingValueCounts(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val cs = if (cols.isEmpty) df.columns.toSeq else cols
+    val aggs = cs.map(c => sum(when(missing(df, c), 1L).otherwise(0L)).as(c))
+    unpivotRow(df.agg(aggs.head, aggs.tail: _*), cs, "column", "missing_count")
+  }
+
+  /** dtype + distinct count + distinct%% per column
+    * (reference: eda.py:57-82 `column_values_summary`). */
+  def columnValuesSummary(df: DataFrame): DataFrame = {
+    val cs = df.columns.toSeq
+    val aggs = cs.map(c => countDistinct(col(c)).as(c)) :+ count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cs.map { c =>
+      struct(
+        lit(c).as("column"),
+        lit(df.schema(c).dataType.simpleString).as("dtype"),
+        col(c).as("distinct_count"),
+        round(col(c) * 100.0 / col("__n"), 4).as("distinct_pct"))
+    }
+    row
+      .select(explode(array(stacked: _*)).as("s"))
+      .select(col("s.column"), col("s.dtype"), col("s.distinct_count"), col("s.distinct_pct"))
+  }
+
+  /** Dataset health: %missing cells, %numeric columns, %duplicate rows
+    * (reference: eda.py:146-192 `get_health_analysis` — NB the reference's
+    * `[x,y]*100` bug multiplies the list; we compute the percentages). */
+  def healthAnalysis(df: DataFrame): DataFrame = {
+    val cs = df.columns.toSeq
+    val missAggs = cs.map(c => sum(when(missing(df, c), 1L).otherwise(0L)))
+    val totalMissing = missAggs.reduce(_ + _).as("missing_cells")
+    val nNumeric = cs.count(isNumeric(df, _))
+    val counted = df
+      .agg(count(lit(1)).as("rows"), totalMissing)
+      .withColumn("cols", lit(cs.length))
+    val dups = df.count() - df.dropDuplicates().count()
+    counted.select(
+      col("rows"),
+      col("cols"),
+      round(col("missing_cells") * 100.0 / (col("rows") * col("cols")), 4)
+        .as("missing_pct"),
+      round(lit(nNumeric) * 100.0 / cs.length, 4).as("numeric_col_pct"),
+      round(lit(dups) * 100.0 / col("rows"), 4).as("duplicate_row_pct"))
+  }
+
+  /** Per-column counts outside IQR and mean±3σ bounds, one scan for all
+    * columns (reference: eda.py:310-394 recomputes per column).
+    * Quantiles are exact (`percentile`) so results are oracle-checkable. */
+  def outlierCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
+    // one pass for bounds
+    val bAggs = cols.flatMap { c =>
+      Seq(
+        expr(s"percentile($c, 0.25)").as(s"${c}__q1"),
+        expr(s"percentile($c, 0.75)").as(s"${c}__q3"),
+        avg(col(c)).as(s"${c}__mean"),
+        stddev(col(c)).as(s"${c}__sd"))
+    }
+    val bounds = df.agg(bAggs.head, bAggs.tail: _*).collect()(0)
+    def d(n: String) = bounds.getAs[Double](n)
+    // one pass for counts
+    val cAggs = cols.flatMap { c =>
+      val iqr = d(s"${c}__q3") - d(s"${c}__q1")
+      val lo = d(s"${c}__q1") - 1.5 * iqr
+      val hi = d(s"${c}__q3") + 1.5 * iqr
+      val sLo = d(s"${c}__mean") - 3 * d(s"${c}__sd")
+      val sHi = d(s"${c}__mean") + 3 * d(s"${c}__sd")
+      Seq(
+        sum(when(col(c) < lo || col(c) > hi, 1L).otherwise(0L)).as(s"${c}__iqr"),
+        sum(when(col(c) < sLo || col(c) > sHi, 1L).otherwise(0L)).as(s"${c}__sdv"))
+    }
+    val row = df.agg(cAggs.head, cAggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"${c}__iqr").as("iqr_outliers"),
+        col(s"${c}__sdv").as("sdv_outliers"))
+    }
+    row
+      .select(explode(array(stacked: _*)).as("s"))
+      .select(col("s.column"), col("s.iqr_outliers"), col("s.sdv_outliers"))
+  }
+
+  /** count/mean/stddev/min/max (+ exact quartiles) per numeric column
+    * (reference: eda.py:400-485 via toPandas+numpy → distributed here). */
+  def describeData(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).cast("double").as(s"${c}__count"),
+        avg(col(c)).as(s"${c}__mean"),
+        stddev(col(c)).as(s"${c}__stddev"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        expr(s"percentile($c, 0.25)").as(s"${c}__p25"),
+        expr(s"percentile($c, 0.5)").as(s"${c}__p50"),
+        expr(s"percentile($c, 0.75)").as(s"${c}__p75"),
+        max(col(c)).cast("double").as(s"${c}__max"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(s"${c}__count").as("count"),
+        round(col(s"${c}__mean"), 6).as("mean"),
+        round(col(s"${c}__stddev"), 6).as("stddev"),
+        col(s"${c}__min").as("min"),
+        round(col(s"${c}__p25"), 6).as("p25"),
+        round(col(s"${c}__p50"), 6).as("p50"),
+        round(col(s"${c}__p75"), 6).as("p75"),
+        col(s"${c}__max").as("max"))
+    }
+    row
+      .select(explode(array(stacked: _*)).as("s"))
+      .select("s.column", "s.count", "s.mean", "s.stddev", "s.min", "s.p25", "s.p50", "s.p75", "s.max")
+  }
+
+  /** Categorical profile: distinct count, mode, mode frequency
+    * (reference: eda.py:444-485 `describe_categoricaldata`). */
+  def describeCategorical(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val perCol = cols.map { c =>
+      df.groupBy(col(c).as("value"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("value"))
+        .limit(1)
+        .select(
+          lit(c).as("column"),
+          col("value").cast("string").as("mode"),
+          col("freq").as("mode_freq"))
+    }
+    perCol.reduce(_ unionByName _)
+  }
+
+  /** Distributed set analysis on a key column: |A−B|, |B−A|, |A∩B|, |A∪B|
+    * (reference: eda.py:19-51 `setanalyse` collects both sides to Python
+    * sets — here pure `except`/`intersect`/`union`, never collected). */
+  def setAnalyse(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val ka = a.select(col(keyCol)).distinct()
+    val kb = b.select(col(keyCol)).distinct()
+    val spark = a.sparkSession
+    import spark.implicits._
+    val aMinusB = ka.except(kb).count()
+    val bMinusA = kb.except(ka).count()
+    val inter = ka.intersect(kb).count()
+    Seq((aMinusB, bMinusA, inter, aMinusB + bMinusA + inter))
+      .toDF("a_minus_b", "b_minus_a", "a_intersect_b", "a_union_b")
+  }
+
+  /** Pearson correlation of each feature with a target column, one pass
+    * (reference: eda.py:714-802 via assembled-vector Correlation.corr). */
+  def correlationWithTarget(df: DataFrame, features: Seq[String], target: String): DataFrame = {
+    val aggs = features.map(c => corr(col(c), col(target)).as(c))
+    unpivotRowDouble(df.agg(aggs.head, aggs.tail: _*), features, "column", "correlation")
+  }
+
+  /** Full Pearson correlation matrix over numeric columns as a long table
+    * (col_a, col_b, corr). One agg pass over all pairs. */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for (a <- cols; b <- cols) yield (a, b)
+    val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = pairs.map { case (a, b) =>
+      struct(
+        lit(a).as("col_a"),
+        lit(b).as("col_b"),
+        round(col(s"${a}__${b}"), 6).as("correlation"))
+    }
+    row
+      .select(explode(array(stacked: _*)).as("s"))
+      .select(col("s.col_a"), col("s.col_b"), col("s.correlation"))
+  }
+
+  /** Top-k category frequencies (reference does pandas value_counts().head,
+    * eda.py:552-553 → TakeOrderedAndProject here, no full sort). */
+  def topKCategories(df: DataFrame, c: String, k: Int): DataFrame =
+    df.groupBy(col(c))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc(c))
+      .limit(k)
+
+  // --- helpers -------------------------------------------------------------
+
+  /** Single-row wide frame → (name, value) long frame, preserving Long. */
+  private def unpivotRow(row: DataFrame, names: Seq[String], kCol: String, vCol: String): DataFrame = {
+    val stacked = names.map(c => struct(lit(c).as(kCol), col(c).cast("long").as(vCol)))
+    row.select(explode(array(stacked: _*)).as("s")).select(col(s"s.$kCol"), col(s"s.$vCol"))
+  }
+
+  private def unpivotRowDouble(row: DataFrame, names: Seq[String], kCol: String, vCol: String): DataFrame = {
+    val stacked = names.map(c => struct(lit(c).as(kCol), round(col(c).cast("double"), 6).as(vCol)))
+    row.select(explode(array(stacked: _*)).as("s")).select(col(s"s.$kCol"), col(s"s.$vCol"))
+  }
+}

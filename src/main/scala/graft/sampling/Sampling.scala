@@ -1,0 +1,51 @@
+package graft.sampling
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Sampling and train/test splitting
+  * (reference: src/ta_lib/pyspark/dp.py:845-995).
+  *
+  * All methods are seed-deterministic Bernoulli/randomSplit compositions —
+  * no driver collection, so they hold at any scale. The reference's
+  * stratified split divides the test share per class (test_prop/2,
+  * dp.py:985-990, a bug); we implement correct per-class proportions
+  * (documented in DIVERGENCES.md).
+  */
+object Sampling {
+
+  /** Plain Bernoulli sample (reference: dp.py:885-915). */
+  def sample(df: DataFrame, fraction: Double, seed: Long): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** Rule-based class rebalance: cap responders at maxSampleSize and match
+    * non-responders 1:1 (reference: dp.py:845-917 `sampling`). */
+  def rebalance(df: DataFrame, target: String, maxSampleSize: Long, seed: Long): DataFrame = {
+    val pos = df.filter(col(target) === 1)
+    val neg = df.filter(col(target) === 0)
+    val nPos = pos.count()
+    val nNeg = neg.count()
+    val wantPos = math.min(nPos, maxSampleSize)
+    val posS = if (nPos > wantPos) pos.sample(withReplacement = false, wantPos.toDouble / nPos, seed) else pos
+    val negS = if (nNeg > wantPos) neg.sample(withReplacement = false, wantPos.toDouble / nNeg, seed) else neg
+    posS.unionByName(negS)
+  }
+
+  /** Random train/test split (reference: dp.py:974-978). */
+  def trainTestSplit(df: DataFrame, testProp: Double, seed: Long): (DataFrame, DataFrame) = {
+    val Array(train, test) = df.randomSplit(Array(1 - testProp, testProp), seed)
+    (train, test)
+  }
+
+  /** Stratified split: per-class randomSplit, reassembled with unionByName
+    * (reference: dp.py:979-994, with the test_prop/2 bug fixed). */
+  def stratifiedSplit(df: DataFrame, target: String, testProp: Double, seed: Long): (DataFrame, DataFrame) = {
+    val classes = df.select(col(target)).distinct().collect().map(_.get(0))
+    val splits = classes.map { cls =>
+      val Array(tr, te) =
+        df.filter(col(target) <=> lit(cls)).randomSplit(Array(1 - testProp, testProp), seed)
+      (tr, te)
+    }
+    (splits.map(_._1).reduce(_ unionByName _), splits.map(_._2).reduce(_ unionByName _))
+  }
+}
