@@ -16,6 +16,10 @@ object Sessions {
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark 4 defaults to ANSI mode where x/0 and corr(constant) THROW;
+      // the reference's PySpark 3.x semantics (and our null guards) expect
+      // null-on-zero-divide. Documented in DIVERGENCES.md.
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.ui.enabled", "false")
     val spark = extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

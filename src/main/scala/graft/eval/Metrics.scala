@@ -24,7 +24,9 @@ object Metrics {
     df.agg(
       round(sqrt(avg(err * err)), 6).as("rmse"),
       round(avg(abs(err)), 6).as("mae"),
-      round(avg(abs(err) / abs(y)), 6).as("mape"),
+      // zero-actual rows are excluded from MAPE (the reference divides by y
+      // unguarded, model_eval.py:95-114 — divergence noted in DIVERGENCES.md)
+      round(avg(when(y =!= 0.0, abs(err) / abs(y))), 6).as("mape"),
       round(sum(abs(err)) / sum(abs(y)), 6).as("wmape"))
   }
 
@@ -93,10 +95,37 @@ object Metrics {
     res
   }
 
-  /** Per-threshold precision/recall/f1 curves as a DataFrame
-    * (reference: handy_spark_cd.py:142-165 threshold-metrics table). */
-  def thresholdMetrics(df: DataFrame, scoreCol: String, labelCol: String, thresholds: Seq[Double]): DataFrame =
-    thresholds
-      .map(t => binaryMetricsAtThreshold(df, scoreCol, labelCol, t).withColumn("threshold", lit(t)))
-      .reduce(_ unionByName _)
+  /** Per-threshold confusion/precision/recall/f1 curves in ONE aggregate
+    * pass over the data — all thresholds' cells are columns of a single
+    * wide agg, then unpivoted (reference: handy_spark_cd.py:142-165 scans
+    * once per threshold). */
+  def thresholdMetrics(df: DataFrame, scoreCol: String, labelCol: String, thresholds: Seq[Double]): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val y = col(labelCol).cast("double")
+    val aggs = thresholds.zipWithIndex.flatMap { case (t, i) =>
+      Seq(
+        sum(when(s > t && y === 1.0, 1L).otherwise(0L)).as(s"tp_$i"),
+        sum(when(s > t && y === 0.0, 1L).otherwise(0L)).as(s"fp_$i"),
+        sum(when(s <= t && y === 0.0, 1L).otherwise(0L)).as(s"tn_$i"),
+        sum(when(s <= t && y === 1.0, 1L).otherwise(0L)).as(s"fn_$i"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = thresholds.zipWithIndex.map { case (t, i) =>
+      val (tp, fp, tn, fn) = (col(s"tp_$i"), col(s"fp_$i"), col(s"tn_$i"), col(s"fn_$i"))
+      struct(
+        lit(t).as("threshold"),
+        tp.as("tp"),
+        fp.as("fp"),
+        tn.as("tn"),
+        fn.as("fn"),
+        round((tp + tn) / (tp + fp + tn + fn).cast("double"), 6).as("accuracy"),
+        round(when(tp + fp =!= 0L, tp / (tp + fp).cast("double")), 6).as("precision"),
+        round(when(tp + fn =!= 0L, tp / (tp + fn).cast("double")), 6).as("recall"),
+        round(when(lit(2.0) * tp + fp + fn =!= 0.0, lit(2.0) * tp / (lit(2.0) * tp + fp + fn).cast("double")), 6)
+          .as("f1"))
+    }
+    row
+      .select(explode(array(stacked: _*)).as("s"))
+      .select("s.threshold", "s.tp", "s.fp", "s.tn", "s.fn", "s.accuracy", "s.precision", "s.recall", "s.f1")
+  }
 }

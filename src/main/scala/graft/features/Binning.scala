@@ -36,15 +36,18 @@ object Binning {
       }
   }
 
-  /** Learn n-quantile splits for each column in ONE exact-percentile pass
-    * (reference QuantileDiscretizer path, features.py:412-427). */
-  def fitQuantile(df: DataFrame, cols: Seq[String], n: Int): Model = {
+  /** Learn n-quantile splits for each column in ONE percentile pass
+    * (reference QuantileDiscretizer path, features.py:412-427).
+    * Approx sketch by default; `exact = true` for oracle checks. */
+  def fitQuantile(df: DataFrame, cols: Seq[String], n: Int, exact: Boolean = false): Model = {
     val probes = (0 to n).map(i => i.toDouble / n)
-    val aggs = cols.map(c =>
-      expr(s"percentile($c, array(${probes.mkString(",")}))").as(c))
+    val aggs = cols.map(c => graft.Exprs.pctArray(col(c).cast("double"), probes, exact).as(c))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val splits = cols.map { c =>
-      c -> row.getAs[scala.collection.Seq[Double]](c).toSeq.distinct
+      c -> Option(row.getAs[scala.collection.Seq[Any]](c))
+        .map(_.toSeq.collect { case d: java.lang.Double => d.doubleValue() }.distinct)
+        .getOrElse(throw new IllegalArgumentException(
+          s"Binning.fitQuantile($c): percentile returned null (empty or all-null column)"))
     }.toMap
     Model(splits)
   }

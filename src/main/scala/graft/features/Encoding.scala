@@ -52,15 +52,25 @@ object Encoding {
       }
   }
 
-  def fitOneHot(df: DataFrame, c: String): OneHotModel = {
+  /** Collects the distinct categories (they become column names, so a
+    * driver collect is inherent to one-hot) but CAPS the collect at
+    * maxCategories + 1 rows and fails loudly — a high-cardinality column
+    * can't OOM the driver. Route such columns to target/frequency encoding
+    * instead. */
+  def fitOneHot(df: DataFrame, c: String, maxCategories: Int = 1000): OneHotModel = {
     val cats = df
       .select(col(c))
       .filter(col(c).isNotNull)
       .distinct()
       .orderBy(col(c))
+      .limit(maxCategories + 1)
       .collect()
       .map(_.getString(0))
       .toSeq
+    require(
+      cats.size <= maxCategories,
+      s"fitOneHot($c): more than $maxCategories distinct categories — " +
+        "use target/frequency encoding for high-cardinality columns")
     OneHotModel(c, cats)
   }
 

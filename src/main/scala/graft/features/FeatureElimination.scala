@@ -65,8 +65,11 @@ object FeatureElimination {
     } yield (cols(i), cols(j))
     val aggs = pairs.map { case (a, b) => corr(col(a), col(b)).as(s"${a}__${b}") }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // corr() is null for constant or all-null columns — skip those pairs
     pairs.collect {
-      case (a, b) if math.abs(row.getAs[Double](s"${a}__${b}")) > threshold => b
+      case (a, b)
+          if graft.Exprs.getD(row, s"${a}__${b}").exists(v => math.abs(v) > threshold) =>
+        b
     }.distinct
   }
 }

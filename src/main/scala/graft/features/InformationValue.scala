@@ -1,7 +1,7 @@
 package graft.features
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import graft.Exprs
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Weight-of-Evidence / Information Value per feature
@@ -10,9 +10,17 @@ import org.apache.spark.sql.functions._
   * pandas frames back out over an RDD; here it is pure DataFrame algebra
   * that never leaves the cluster).
   *
-  * Per feature: ntile-bucket the feature into q quantile buckets, count
-  * events/non-events per bucket, IV = Σ (p_ne − p_e) · ln(p_ne / p_e).
-  * Laplace-smooth the rates so empty cells don't produce ±∞.
+  * Scale design: ONE percentile aggregate learns the interior bucket edges
+  * for ALL features, bucket assignment is a codegen'd `when`-chain
+  * projection, and a single explode + groupBy produces every
+  * (feature, bucket) cell — two shuffles total regardless of feature count,
+  * and no global-sort window (an unpartitioned `ntile` window would funnel
+  * the dataset through one task). The explode's row multiplication
+  * collapses immediately in the map-side partial aggregation.
+  *
+  * Per feature: bucket into q quantile buckets, count events/non-events per
+  * bucket, IV = Σ (p_ne − p_e) · ln(p_ne / p_e), Laplace-smoothed (+0.5) so
+  * empty cells don't produce ±∞.
   */
 object InformationValue {
 
@@ -20,35 +28,64 @@ object InformationValue {
   def iv(df: DataFrame, feature: String, target: String, buckets: Int = 5): Double =
     ivTable(df, Seq(feature), target, buckets).collect()(0).getDouble(1)
 
-  /** (feature, iv) table for many features. Buckets via ntile window per
-    * feature; each feature is an independent shuffle but all stay
-    * distributed — at scale, run features in one job each or batch by
-    * persisting the input once. */
-  def ivTable(df: DataFrame, features: Seq[String], target: String, buckets: Int = 5): DataFrame = {
-    val perFeature = features.map { f =>
-      val bucketed = df
-        .select(col(f), col(target).cast("double").as("__y"))
-        .filter(col(f).isNotNull)
-        .withColumn("__bucket", ntile(buckets).over(Window.orderBy(col(f))))
-      val cell = bucketed
-        .groupBy(col("__bucket"))
-        .agg(
-          sum(col("__y")).as("events"),
-          sum(lit(1.0) - col("__y")).as("non_events"))
-      val tot = cell.agg(sum("events").as("te"), sum("non_events").as("tne"))
-      cell
-        .crossJoin(tot)
-        .select(
-          lit(f).as("feature"),
-          (((col("non_events") + 0.5) / (col("tne") + 0.5 * buckets)) -
-            ((col("events") + 0.5) / (col("te") + 0.5 * buckets))).as("diff"),
-          log(
-            ((col("non_events") + 0.5) / (col("tne") + 0.5 * buckets)) /
-              ((col("events") + 0.5) / (col("te") + 0.5 * buckets))).as("woe"))
-        .groupBy(col("feature"))
-        .agg(round(sum(col("diff") * col("woe")), 6).as("iv"))
+  /** Interior quantile edges per feature, one aggregate pass. */
+  private def fitEdges(
+      df: DataFrame,
+      features: Seq[String],
+      buckets: Int,
+      exact: Boolean): Map[String, Seq[Double]] = {
+    val probes = (1 until buckets).map(_.toDouble / buckets)
+    val aggs = features.map(f => Exprs.pctArray(col(f).cast("double"), probes, exact).as(f))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    features.map { f =>
+      val arr = Option(row.getAs[scala.collection.Seq[Any]](f))
+        .map(_.toSeq.collect { case d: java.lang.Double => d.doubleValue() })
+        .getOrElse(Seq.empty)
+      f -> arr
+    }.toMap
+  }
+
+  /** value → bucket 1..buckets via the edge when-chain (nulls untouched). */
+  private def bucketOf(f: String, edges: Seq[Double], buckets: Int): Column =
+    if (edges.isEmpty) lit(1)
+    else {
+      val first = when(col(f) <= lit(edges.head), lit(1))
+      edges.tail.zipWithIndex
+        .foldLeft(first) { case (acc, (e, i)) => acc.when(col(f) <= lit(e), lit(i + 2)) }
+        .otherwise(lit(buckets))
     }
-    perFeature.reduce(_ unionByName _)
+
+  /** (feature, iv) table for many features: one edge-learning pass + one
+    * explode/groupBy pass over the input, however many features. */
+  def ivTable(
+      df: DataFrame,
+      features: Seq[String],
+      target: String,
+      buckets: Int = 5,
+      exact: Boolean = true): DataFrame = {
+    val edges = fitEdges(df, features, buckets, exact)
+    val stacked = features.map { f =>
+      struct(
+        lit(f).as("feature"),
+        bucketOf(f, edges(f), buckets).as("bucket"),
+        col(f).isNull.as("is_null"))
+    }
+    val cells = df
+      .select(explode(array(stacked: _*)).as("s"), col(target).cast("double").as("__y"))
+      .filter(!col("s.is_null"))
+      .groupBy(col("s.feature").as("feature"), col("s.bucket").as("bucket"))
+      .agg(
+        sum(col("__y")).as("events"),
+        sum(lit(1.0) - col("__y")).as("non_events"))
+    // cells is tiny (features × buckets rows) — the per-feature totals
+    // window runs on the post-agg frame, partitioned by feature.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("feature")
+    val pNe = (col("non_events") + 0.5) / (sum("non_events").over(w) + 0.5 * buckets)
+    val pE = (col("events") + 0.5) / (sum("events").over(w) + 0.5 * buckets)
+    cells
+      .select(col("feature"), ((pNe - pE) * log(pNe / pE)).as("term"))
+      .groupBy(col("feature"))
+      .agg(round(sum(col("term")), 6).as("iv"))
   }
 
   /** Drop features with IV below a threshold (weak predictors), the

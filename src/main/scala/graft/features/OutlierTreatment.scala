@@ -50,20 +50,29 @@ object OutlierTreatment {
     }
   }
 
-  /** Learn per-column bounds in ONE aggregate pass (exact percentiles). */
-  def fit(df: DataFrame, cols: Seq[String], method: Method = Iqr, iqrK: Double = 1.5, nSigma: Double = 3.0): Model = {
+  /** Learn per-column bounds in ONE aggregate pass. Percentiles default to
+    * the mergeable approx sketch; `exact = true` opts into exact mode for
+    * oracle checks (see graft.Exprs). */
+  def fit(
+      df: DataFrame,
+      cols: Seq[String],
+      method: Method = Iqr,
+      iqrK: Double = 1.5,
+      nSigma: Double = 3.0,
+      exact: Boolean = false): Model = {
     val aggs: Seq[Column] = method match {
       case Iqr =>
         cols.flatMap(c =>
           Seq(
-            expr(s"percentile($c, 0.25)").as(s"${c}__lo"),
-            expr(s"percentile($c, 0.75)").as(s"${c}__hi")))
+            graft.Exprs.pct(col(c).cast("double"), 0.25, exact).as(s"${c}__lo"),
+            graft.Exprs.pct(col(c).cast("double"), 0.75, exact).as(s"${c}__hi")))
       case Sdv =>
         cols.flatMap(c => Seq(avg(col(c)).as(s"${c}__lo"), stddev(col(c)).as(s"${c}__hi")))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val bounds = cols.map { c =>
-      val (a, b) = (row.getAs[Double](s"${c}__lo"), row.getAs[Double](s"${c}__hi"))
+      val a = graft.Exprs.requireD(row, s"${c}__lo", s"OutlierTreatment.fit($c)")
+      val b = graft.Exprs.requireD(row, s"${c}__hi", s"OutlierTreatment.fit($c)")
       method match {
         case Iqr =>
           val iqr = b - a

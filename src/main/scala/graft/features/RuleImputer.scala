@@ -38,11 +38,11 @@ object RuleImputer {
           s"no default imputation for column $c of kind $other (reference dp.py:745 errors on dates too)")
     }
 
-  def fit(df: DataFrame, strategies: Map[String, Strategy]): Model = {
+  def fit(df: DataFrame, strategies: Map[String, Strategy], exact: Boolean = false): Model = {
     // batch all mean/median learning into one agg pass
     val aggCols = strategies.collect {
-      case (c, Mean)   => expr(s"avg($c)").as(c)
-      case (c, Median) => expr(s"percentile($c, 0.5)").as(c)
+      case (c, Mean)   => avg(col(c)).as(c)
+      case (c, Median) => graft.Exprs.pct(col(c).cast("double"), 0.5, exact).as(c)
     }.toSeq
     val aggVals: Map[String, Any] =
       if (aggCols.isEmpty) Map.empty

@@ -14,13 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object Scaling {
 
-  final case class Model(stats: Map[String, (Double, Double)], kind: String, suffix: String = "_scaled") {
+  sealed trait Kind
+  case object MinMax extends Kind
+  case object Standard extends Kind
+
+  final case class Model(stats: Map[String, (Double, Double)], kind: Kind, suffix: String = "_scaled") {
     def transform(df: DataFrame): DataFrame =
       stats.foldLeft(df) { case (d, (c, (a, b))) =>
         val scaled = kind match {
-          case "minmax" => // a=min, b=max
+          case MinMax => // a=min, b=max
             if (b == a) lit(0.0) else (col(c) - lit(a)) / lit(b - a)
-          case "standard" => // a=mean, b=stddev
+          case Standard => // a=mean, b=stddev
             if (b == 0.0) lit(0.0) else (col(c) - lit(a)) / lit(b)
         }
         d.withColumn(s"$c$suffix", scaled)
@@ -31,13 +35,25 @@ object Scaling {
     val aggs = cols.flatMap(c =>
       Seq(min(col(c)).cast("double").as(s"${c}__a"), max(col(c)).cast("double").as(s"${c}__b")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    Model(cols.map(c => c -> (row.getAs[Double](s"${c}__a"), row.getAs[Double](s"${c}__b"))).toMap, "minmax")
+    Model(
+      cols.map { c =>
+        c -> (graft.Exprs.requireD(row, s"${c}__a", s"Scaling.fitMinMax($c)"),
+        graft.Exprs.requireD(row, s"${c}__b", s"Scaling.fitMinMax($c)"))
+      }.toMap,
+      MinMax)
   }
 
+  /** stddev is null when count < 2 — treated as 0 (constant column ⇒
+    * scaled value 0.0) rather than an NPE. */
   def fitStandard(df: DataFrame, cols: Seq[String]): Model = {
     val aggs = cols.flatMap(c =>
       Seq(avg(col(c)).as(s"${c}__a"), stddev(col(c)).as(s"${c}__b")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    Model(cols.map(c => c -> (row.getAs[Double](s"${c}__a"), row.getAs[Double](s"${c}__b"))).toMap, "standard")
+    Model(
+      cols.map { c =>
+        c -> (graft.Exprs.requireD(row, s"${c}__a", s"Scaling.fitStandard($c)"),
+        graft.Exprs.getD(row, s"${c}__b").getOrElse(0.0))
+      }.toMap,
+      Standard)
   }
 }

@@ -57,39 +57,45 @@ object Profile {
 
   /** Dataset health: %missing cells, %numeric columns, %duplicate rows
     * (reference: eda.py:146-192 `get_health_analysis` — NB the reference's
-    * `[x,y]*100` bug multiplies the list; we compute the percentages). */
+    * `[x,y]*100` bug multiplies the list; we compute the percentages).
+    *
+    * ONE aggregate pass: row count, missing-cell total, and distinct-row
+    * count (`countDistinct` over a struct of all columns — the equivalent of
+    * `dropDuplicates().count()` without a second full-width shuffle job). */
   def healthAnalysis(df: DataFrame): DataFrame = {
     val cs = df.columns.toSeq
     val missAggs = cs.map(c => sum(when(missing(df, c), 1L).otherwise(0L)))
     val totalMissing = missAggs.reduce(_ + _).as("missing_cells")
     val nNumeric = cs.count(isNumeric(df, _))
-    val counted = df
-      .agg(count(lit(1)).as("rows"), totalMissing)
+    df.agg(
+        count(lit(1)).as("rows"),
+        totalMissing,
+        countDistinct(struct(cs.map(col): _*)).as("distinct_rows"))
       .withColumn("cols", lit(cs.length))
-    val dups = df.count() - df.dropDuplicates().count()
-    counted.select(
-      col("rows"),
-      col("cols"),
-      round(col("missing_cells") * 100.0 / (col("rows") * col("cols")), 4)
-        .as("missing_pct"),
-      round(lit(nNumeric) * 100.0 / cs.length, 4).as("numeric_col_pct"),
-      round(lit(dups) * 100.0 / col("rows"), 4).as("duplicate_row_pct"))
+      .select(
+        col("rows"),
+        col("cols"),
+        round(col("missing_cells") * 100.0 / (col("rows") * col("cols")), 4)
+          .as("missing_pct"),
+        round(lit(nNumeric) * 100.0 / cs.length, 4).as("numeric_col_pct"),
+        round((col("rows") - col("distinct_rows")) * 100.0 / col("rows"), 4)
+          .as("duplicate_row_pct"))
   }
 
   /** Per-column counts outside IQR and mean±3σ bounds, one scan for all
     * columns (reference: eda.py:310-394 recomputes per column).
     * Quantiles are exact (`percentile`) so results are oracle-checkable. */
-  def outlierCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def outlierCounts(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
     // one pass for bounds
     val bAggs = cols.flatMap { c =>
       Seq(
-        expr(s"percentile($c, 0.25)").as(s"${c}__q1"),
-        expr(s"percentile($c, 0.75)").as(s"${c}__q3"),
+        graft.Exprs.pct(col(c).cast("double"), 0.25, exact).as(s"${c}__q1"),
+        graft.Exprs.pct(col(c).cast("double"), 0.75, exact).as(s"${c}__q3"),
         avg(col(c)).as(s"${c}__mean"),
         stddev(col(c)).as(s"${c}__sd"))
     }
     val bounds = df.agg(bAggs.head, bAggs.tail: _*).collect()(0)
-    def d(n: String) = bounds.getAs[Double](n)
+    def d(n: String) = graft.Exprs.requireD(bounds, n, s"outlierCounts")
     // one pass for counts
     val cAggs = cols.flatMap { c =>
       val iqr = d(s"${c}__q3") - d(s"${c}__q1")
@@ -115,16 +121,16 @@ object Profile {
 
   /** count/mean/stddev/min/max (+ exact quartiles) per numeric column
     * (reference: eda.py:400-485 via toPandas+numpy → distributed here). */
-  def describeData(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def describeData(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).cast("double").as(s"${c}__count"),
         avg(col(c)).as(s"${c}__mean"),
         stddev(col(c)).as(s"${c}__stddev"),
         min(col(c)).cast("double").as(s"${c}__min"),
-        expr(s"percentile($c, 0.25)").as(s"${c}__p25"),
-        expr(s"percentile($c, 0.5)").as(s"${c}__p50"),
-        expr(s"percentile($c, 0.75)").as(s"${c}__p75"),
+        graft.Exprs.pct(col(c).cast("double"), 0.25, exact).as(s"${c}__p25"),
+        graft.Exprs.pct(col(c).cast("double"), 0.5, exact).as(s"${c}__p50"),
+        graft.Exprs.pct(col(c).cast("double"), 0.75, exact).as(s"${c}__p75"),
         max(col(c)).cast("double").as(s"${c}__max"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
@@ -165,15 +171,17 @@ object Profile {
     * (reference: eda.py:19-51 `setanalyse` collects both sides to Python
     * sets — here pure `except`/`intersect`/`union`, never collected). */
   def setAnalyse(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
-    val ka = a.select(col(keyCol)).distinct()
-    val kb = b.select(col(keyCol)).distinct()
-    val spark = a.sparkSession
-    import spark.implicits._
-    val aMinusB = ka.except(kb).count()
-    val bMinusA = kb.except(ka).count()
-    val inter = ka.intersect(kb).count()
-    Seq((aMinusB, bMinusA, inter, aMinusB + bMinusA + inter))
-      .toDF("a_minus_b", "b_minus_a", "a_intersect_b", "a_union_b")
+    val ka = a.select(col(keyCol).as("__k")).distinct().withColumn("__in_a", lit(1))
+    val kb = b.select(col(keyCol).as("__k")).distinct().withColumn("__in_b", lit(1))
+    // one full-outer join on distinct keys + one agg of null patterns —
+    // a single job instead of except+intersect+union each reshuffling.
+    ka.join(kb, Seq("__k"), "full_outer")
+      .agg(
+        sum(when(col("__in_b").isNull, 1L).otherwise(0L)).as("a_minus_b"),
+        sum(when(col("__in_a").isNull, 1L).otherwise(0L)).as("b_minus_a"),
+        sum(when(col("__in_a").isNotNull && col("__in_b").isNotNull, 1L).otherwise(0L))
+          .as("a_intersect_b"),
+        count(lit(1)).as("a_union_b"))
   }
 
   /** Pearson correlation of each feature with a target column, one pass
