@@ -20,6 +20,8 @@ object Sessions {
       // the reference's PySpark 3.x semantics (and our null guards) expect
       // null-on-zero-divide. Documented in DIVERGENCES.md.
       .config("spark.sql.ansi.enabled", "false")
+      // testdata events.parquet carries TIMESTAMP(NANOS) — read as long
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     val spark = extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.profile.Profile
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Support._
+
+/** EDA / profiling queries with DuckDB oracles. */
+object ProfileQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "missing_counts" -> { (s, dir) =>
+      Profile.missingValueCounts(t(s, dir, "customer")).orderBy(col("column"))
+    },
+    "column_summary" -> { (s, dir) =>
+      Profile.columnValuesSummary(t(s, dir, "customer")).orderBy(col("column"))
+    },
+    "health_analysis" -> { (s, dir) =>
+      Profile.healthAnalysis(t(s, dir, "customer"))
+    },
+    "outlier_counts" -> { (s, dir) =>
+      Profile
+        .outlierCounts(
+          t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          exact = true)
+        .orderBy(col("column"))
+    },
+    "describe_numeric" -> { (s, dir) =>
+      Profile
+        .describeData(
+          t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"),
+          exact = true)
+        .orderBy(col("column"))
+    },
+    "describe_categorical" -> { (s, dir) =>
+      Profile
+        .describeCategorical(t(s, dir, "customer"), Seq("c_mktsegment", "c_name"))
+        .orderBy(col("column"))
+    },
+    "set_analysis" -> { (s, dir) =>
+      Profile.setAnalyse(
+        t(s, dir, "customer").select(col("c_custkey")),
+        t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        "c_custkey")
+    },
+    "correlation_with_target" -> { (s, dir) =>
+      Profile
+        .correlationWithTarget(
+          t(s, dir, "lineitem"),
+          Seq("l_extendedprice", "l_discount", "l_tax"),
+          "l_quantity")
+        .orderBy(col("column"))
+    },
+    "correlation_matrix" -> { (s, dir) =>
+      Profile
+        .correlationMatrix(
+          t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("col_a"), col("col_b"))
+    })
+
+  private val custMissing =
+    """sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+      | + sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+      | + sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END)
+      | + sum(CASE WHEN c_acctbal IS NULL OR isnan(c_acctbal) THEN 1 ELSE 0 END)
+      | + sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)""".stripMargin
+
+  private def describeCol(c: String): String =
+    s"""SELECT '$c' AS "column", CAST(count($c) AS DOUBLE) AS "count",
+       |  round(avg($c), 6) AS mean, round(stddev($c), 6) AS stddev,
+       |  CAST(min($c) AS DOUBLE) AS min,
+       |  round(quantile_cont($c, 0.25), 6) AS p25,
+       |  round(quantile_cont($c, 0.5), 6) AS p50,
+       |  round(quantile_cont($c, 0.75), 6) AS p75,
+       |  CAST(max($c) AS DOUBLE) AS max
+       |FROM lineitem""".stripMargin
+
+  private def outlierCol(c: String): String =
+    s"""SELECT '$c' AS "column",
+       |  CAST(sum(CASE WHEN $c < q1 - 1.5*(q3-q1) OR $c > q3 + 1.5*(q3-q1) THEN 1 ELSE 0 END) AS BIGINT) AS iqr_outliers,
+       |  CAST(sum(CASE WHEN $c < m - 3*sd OR $c > m + 3*sd THEN 1 ELSE 0 END) AS BIGINT) AS sdv_outliers
+       |FROM lineitem, (SELECT quantile_cont($c, 0.25) AS q1, quantile_cont($c, 0.75) AS q3,
+       |                avg($c) AS m, stddev($c) AS sd FROM lineitem)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "missing_counts" ->
+      """SELECT * FROM (
+        |  SELECT 'c_custkey' AS "column", CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count FROM customer
+        |  UNION ALL SELECT 'c_name', CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+        |  UNION ALL SELECT 'c_nationkey', CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+        |  UNION ALL SELECT 'c_acctbal', CAST(sum(CASE WHEN c_acctbal IS NULL OR isnan(c_acctbal) THEN 1 ELSE 0 END) AS BIGINT) FROM customer
+        |  UNION ALL SELECT 'c_mktsegment', CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM customer)
+        |ORDER BY "column"""".stripMargin,
+    "column_summary" ->
+      """SELECT * FROM (
+        |  SELECT 'c_custkey' AS "column", 'bigint' AS dtype, CAST(count(DISTINCT c_custkey) AS BIGINT) AS distinct_count, round(count(DISTINCT c_custkey) * 100.0 / count(*), 4) AS distinct_pct FROM customer
+        |  UNION ALL SELECT 'c_name', 'string', CAST(count(DISTINCT c_name) AS BIGINT), round(count(DISTINCT c_name) * 100.0 / count(*), 4) FROM customer
+        |  UNION ALL SELECT 'c_nationkey', 'int', CAST(count(DISTINCT c_nationkey) AS BIGINT), round(count(DISTINCT c_nationkey) * 100.0 / count(*), 4) FROM customer
+        |  UNION ALL SELECT 'c_acctbal', 'double', CAST(count(DISTINCT c_acctbal) AS BIGINT), round(count(DISTINCT c_acctbal) * 100.0 / count(*), 4) FROM customer
+        |  UNION ALL SELECT 'c_mktsegment', 'string', CAST(count(DISTINCT c_mktsegment) AS BIGINT), round(count(DISTINCT c_mktsegment) * 100.0 / count(*), 4) FROM customer)
+        |ORDER BY "column"""".stripMargin,
+    "health_analysis" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS "rows", 5 AS cols,
+         |  round(($custMissing) * 100.0 / (count(*) * 5), 4) AS missing_pct,
+         |  round(3 * 100.0 / 5, 4) AS numeric_col_pct,
+         |  round((count(*) - count(DISTINCT (c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment))) * 100.0 / count(*), 4) AS duplicate_row_pct
+         |FROM customer""".stripMargin,
+    "outlier_counts" ->
+      s"""SELECT * FROM (
+         |${outlierCol("l_quantity")}
+         |UNION ALL ${outlierCol("l_extendedprice")}
+         |UNION ALL ${outlierCol("l_discount")})
+         |ORDER BY "column"""".stripMargin,
+    "describe_numeric" ->
+      s"""SELECT * FROM (
+         |${describeCol("l_quantity")}
+         |UNION ALL ${describeCol("l_extendedprice")}
+         |UNION ALL ${describeCol("l_discount")})
+         |ORDER BY "column"""".stripMargin,
+    "describe_categorical" ->
+      """SELECT * FROM (
+        |  SELECT 'c_mktsegment' AS "column", CAST(val AS VARCHAR) AS mode, cnt AS mode_freq
+        |  FROM (SELECT c_mktsegment AS val, count(*) AS cnt FROM customer GROUP BY 1 ORDER BY cnt DESC, val ASC LIMIT 1)
+        |  UNION ALL
+        |  SELECT 'c_name', CAST(val AS VARCHAR), cnt
+        |  FROM (SELECT c_name AS val, count(*) AS cnt FROM customer GROUP BY 1 ORDER BY cnt DESC, val ASC LIMIT 1))
+        |ORDER BY "column"""".stripMargin,
+    "set_analysis" ->
+      """WITH ka AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        |     kb AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |     j AS (SELECT ka.k AS ak, kb.k AS bk FROM ka FULL OUTER JOIN kb ON ka.k = kb.k)
+        |SELECT CAST(sum(CASE WHEN bk IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS a_minus_b,
+        |       CAST(sum(CASE WHEN ak IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS b_minus_a,
+        |       CAST(sum(CASE WHEN ak IS NOT NULL AND bk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS a_intersect_b,
+        |       CAST(count(*) AS BIGINT) AS a_union_b
+        |FROM j""".stripMargin,
+    "correlation_with_target" ->
+      """SELECT * FROM (
+        |  SELECT 'l_extendedprice' AS "column", round(corr(l_extendedprice, l_quantity), 6) AS correlation FROM lineitem
+        |  UNION ALL SELECT 'l_discount', round(corr(l_discount, l_quantity), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_tax', round(corr(l_tax, l_quantity), 6) FROM lineitem)
+        |ORDER BY "column"""".stripMargin,
+    "correlation_matrix" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+      val rows = for (a <- cols; b <- cols)
+        yield s"SELECT '$a' AS col_a, '$b' AS col_b, round(corr($a, $b), 6) AS correlation FROM lineitem"
+      s"""SELECT * FROM (
+         |${rows.mkString("\nUNION ALL ")})
+         |ORDER BY col_a, col_b""".stripMargin
+    })
+}

@@ -1,0 +1,205 @@
+package graft.queries
+
+import graft.dp.Cleaning
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Support._
+
+/** Scan / filter / join / agg / dedup / cleaning queries with DuckDB
+  * oracles. Each `queries` key has a matching `oracle` SQL producing the
+  * same column names, types, and row order. */
+object RelationalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- wide agg with group-by (TPC-H Q1 shape; exercises pushdown + 1-pass agg)
+    "q1_agg" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sumd(col("l_quantity")).as("sum_qty"),
+          sumd(col("l_extendedprice")).as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * dec2(lit(1) - col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          r6(avg(col("l_quantity"))).as("avg_qty"),
+          r6(avg(col("l_extendedprice"))).as("avg_price"),
+          r6(avg(col("l_discount"))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+    // --- inner equi-join + group agg (broadcast-able dim side)
+    "join_agg" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sumd(col("o_totalprice")).as("total_price"),
+          r6(avg(col("o_totalprice"))).as("avg_price"))
+        .orderBy(col("c_mktsegment"))
+    },
+    // --- 4-table join chain (orders->customer->nation->region)
+    "join_chain" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("total_price"))
+        .orderBy(col("r_name"))
+    },
+    // --- left join + fillna label attach (reference: feature_engineering.py:111-115)
+    "join_left_fillna" -> { (s, dir) =>
+      val label = Cleaning
+        .labelWindow(
+          t(s, dir, "orders").withColumn("o_date", to_date(col("o_orderdate"))),
+          "o_date", "1997-06-30", 90)
+        .select(col("o_custkey"))
+        .distinct()
+        .withColumn("target_var", lit(1))
+      t(s, dir, "customer")
+        .join(label, col("c_custkey") === col("o_custkey"), "left")
+        .na.fill(0, Seq("target_var"))
+        .groupBy(col("target_var"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("target_var"))
+    },
+    // --- top-k categories (TakeOrderedAndProject, no full sort)
+    "top_categories" -> { (s, dir) =>
+      graft.profile.Profile.topKCategories(t(s, dir, "part"), "p_brand", 10)
+    },
+    // --- snake_case renaming (metadata-only)
+    "clean_columns" -> { (s, dir) =>
+      Cleaning
+        .cleanColumns(
+          t(s, dir, "customer").select(
+            col("c_custkey").as("CustKey"),
+            col("c_acctbal").as("AcctBal"),
+            col("c_mktsegment").as("MktSegment")))
+        .orderBy(col("cust_key"))
+    },
+    // --- string scrubbing (reference: dp.py:134-181)
+    "clean_string_values" -> { (s, dir) =>
+      Cleaning
+        .cleanStringValues(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          Seq("text"))
+        .withColumnRenamed("text", "clean_text")
+        .orderBy(col("doc_id"))
+    },
+    // --- case-consistency check (reference: dp.py:19-47)
+    "check_consistency" -> { (s, dir) =>
+      Cleaning
+        .checkColumnDataConsistency(
+          t(s, dir, "customer"), Seq("c_name", "c_mktsegment"))
+        .orderBy(col("column"))
+    },
+    // --- reference-date filter (reference: data_cleaning.py:53)
+    "date_filter" -> { (s, dir) =>
+      Cleaning
+        .filterUpTo(events(s, dir), "ts", "2024-01-15")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    },
+    // --- label window (reference: data_cleaning.py:141-144)
+    "label_window" -> { (s, dir) =>
+      Cleaning
+        .labelWindow(
+          t(s, dir, "orders").withColumn("o_date", to_date(col("o_orderdate"))),
+          "o_date", "1997-06-30", 90)
+        .select(col("o_custkey"))
+        .distinct()
+        .withColumn("target_var", lit(1))
+        .orderBy(col("o_custkey"))
+    },
+    // --- full-row dedup (reference: dp.py:297-308)
+    "dedup_rows" -> { (s, dir) =>
+      Cleaning.dropDuplicateRows(t(s, dir, "lineitem")).agg(count(lit(1)).as("n"))
+    },
+    // --- subset dedup (reference: data_cleaning.py:86-88)
+    "dedup_subset" -> { (s, dir) =>
+      Cleaning
+        .dropDuplicateRows(events(s, dir), Seq("user_id", "event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("event_type"))
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "join_agg" ->
+      """SELECT c_mktsegment,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  round(avg(o_totalprice), 6) AS avg_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_chain" ->
+      """SELECT r_name,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "join_left_fillna" ->
+      """WITH lbl AS (
+        |  SELECT DISTINCT o_custkey, 1 AS target_var FROM orders
+        |  WHERE CAST(o_orderdate AS DATE) > DATE '1997-06-30'
+        |    AND CAST(o_orderdate AS DATE) <= DATE '1997-06-30' + INTERVAL 90 DAY)
+        |SELECT COALESCE(target_var, 0) AS target_var, count(*) AS n
+        |FROM customer LEFT JOIN lbl ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "top_categories" ->
+      """SELECT p_brand, count(*) AS freq FROM part
+        |GROUP BY p_brand ORDER BY freq DESC, p_brand LIMIT 10""".stripMargin,
+    "clean_columns" ->
+      """SELECT c_custkey AS cust_key, c_acctbal AS acct_bal, c_mktsegment AS mkt_segment
+        |FROM customer ORDER BY cust_key""".stripMargin,
+    "clean_string_values" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(regexp_replace(regexp_replace(text,
+        |    '\(.*?\)|\[.*?\]', '', 'g'), '[^a-zA-Z0-9 .,_-]', '', 'g')),
+        |    '\s+', ' ', 'g')) AS clean_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "check_consistency" ->
+      """SELECT * FROM (
+        |  SELECT 'c_name' AS "column", count(DISTINCT c_name) AS distinct_raw,
+        |    count(DISTINCT lower(c_name)) AS distinct_lower,
+        |    count(DISTINCT c_name) = count(DISTINCT lower(c_name)) AS consistent
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', count(DISTINCT c_mktsegment),
+        |    count(DISTINCT lower(c_mktsegment)),
+        |    count(DISTINCT c_mktsegment) = count(DISTINCT lower(c_mktsegment))
+        |  FROM customer)
+        |ORDER BY "column"""".stripMargin,
+    "date_filter" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "label_window" ->
+      """SELECT DISTINCT o_custkey, 1 AS target_var FROM orders
+        |WHERE CAST(o_orderdate AS DATE) > DATE '1997-06-30'
+        |  AND CAST(o_orderdate AS DATE) <= DATE '1997-06-30' + INTERVAL 90 DAY
+        |ORDER BY o_custkey""".stripMargin,
+    "dedup_rows" ->
+      "SELECT count(*) AS n FROM (SELECT DISTINCT * FROM lineitem)",
+    "dedup_subset" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+}

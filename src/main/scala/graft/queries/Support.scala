@@ -1,0 +1,38 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the correctness-query registry.
+  *
+  * Oracle-comparison discipline (the driver hash-compares our parquet output
+  * against DuckDB running `SparkEntry.oracleSql` on the same tables):
+  *   - every query ends in a deterministic ORDER BY mirrored in the SQL;
+  *   - sums of doubles go through DECIMAL(18,2) on BOTH sides — exact
+  *     arithmetic, so parallel vs sequential summation order can't flip a
+  *     hash bit (the final double conversion is exact below 2^53);
+  *   - statistics with inherent float drift (avg/stddev/corr/percentile)
+  *     are round(_, 6) on both sides;
+  *   - counts are BIGINT on both sides (DuckDB sum(int) would be HUGEINT —
+  *     always CAST in the SQL).
+  */
+object Support {
+
+  def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS) which Spark cannot read as a
+    * timestamp — sessions set spark.sql.legacy.parquet.nanosAsLong, and this
+    * accessor converts the nano count to a microsecond timestamp (truncation
+    * is irrelevant at the second/day granularity our queries use). */
+  def events(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Exact decimal(18,2) view of a price-like double column. */
+  def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  /** Order-insensitive exact sum of a 2-decimal double column, as double. */
+  def sumd(c: Column): Column = sum(dec2(c)).cast("double")
+
+  def r6(c: Column): Column = round(c, 6)
+}
