@@ -37,9 +37,14 @@ object InformationValue {
     val probes = (1 until buckets).map(_.toDouble / buckets)
     val aggs = features.map(f => Exprs.pctArray(col(f).cast("double"), probes, exact).as(f))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    // edges are rounded to 6 decimals: percentile interpolation at heavy
+    // ties differs across engines in the last ulp, which would flip rows
+    // sitting exactly on an edge into a different bucket
     features.map { f =>
       val arr = Option(row.getAs[scala.collection.Seq[Any]](f))
-        .map(_.toSeq.collect { case d: java.lang.Double => d.doubleValue() })
+        .map(_.toSeq.collect { case d: java.lang.Double =>
+          BigDecimal(d.doubleValue()).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        })
         .getOrElse(Seq.empty)
       f -> arr
     }.toMap

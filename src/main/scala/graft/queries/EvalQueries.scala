@@ -1,0 +1,129 @@
+package graft.queries
+
+import graft.eval.Metrics
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Support._
+
+/** Model-evaluation queries with DuckDB oracles. Deterministic synthetic
+  * score/label: score = l_discount * 10 (11 distinct values — exercises tie
+  * handling), label = l_quantity > 25, yhat = l_quantity * (1 + l_discount). */
+object EvalQueries {
+
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      (col("l_discount") * 10).as("score"),
+      when(col("l_quantity") > 25, 1.0).otherwise(0.0).as("label"))
+
+  private val scoredSql =
+    "SELECT l_discount * 10 AS score, CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS label FROM lineitem"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "regression_metrics" -> { (s, dir) =>
+      val df = t(s, dir, "lineitem").select(
+        col("l_quantity").as("y"),
+        (col("l_quantity") * (lit(1) + col("l_discount"))).as("yhat"))
+      Metrics.regressionMetrics(df, "y", "yhat")
+    },
+    "r2_expvar" -> { (s, dir) =>
+      val df = t(s, dir, "lineitem").select(
+        col("l_quantity").as("y"),
+        (col("l_quantity") * (lit(1) + col("l_discount"))).as("yhat"))
+      Metrics.r2AndExplainedVariance(df, "y", "yhat")
+    },
+    "binary_metrics" -> { (s, dir) =>
+      Metrics.binaryMetricsAtThreshold(scored(s, dir), "score", "label", 0.5)
+    },
+    "threshold_metrics" -> { (s, dir) =>
+      Metrics.thresholdMetrics(scored(s, dir), "score", "label", Seq(0.2, 0.4, 0.6, 0.8))
+    },
+    "confusion_cells" -> { (s, dir) =>
+      val pred = Metrics.labelAtThreshold(scored(s, dir), "score", 0.5)
+      Metrics
+        .confusionCell(pred, "prediction", "label")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("cell"))
+    },
+    "crosstab" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    },
+    // auROC via native mllib BinaryClassificationMetrics; the oracle is the
+    // Mann-Whitney U / average-rank formulation, which equals the trapezoid
+    // area over the tie-grouped ROC curve.
+    "auc_roc" -> { (s, dir) =>
+      val (auroc, _) = Metrics.aucMetrics(scored(s, dir), "score", "label")
+      val spark = s
+      import spark.implicits._
+      Seq(BigDecimal(auroc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        .toDF("auroc")
+    })
+
+  private def thresholdSql(thr: Double): String =
+    s"""SELECT $thr AS threshold,
+       |  CAST(sum(CASE WHEN score > $thr AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN score > $thr AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(sum(CASE WHEN score <= $thr AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |  CAST(sum(CASE WHEN score <= $thr AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  round((sum(CASE WHEN score > $thr AND label = 1.0 THEN 1 ELSE 0 END) + sum(CASE WHEN score <= $thr AND label = 0.0 THEN 1 ELSE 0 END)) / CAST(count(*) AS DOUBLE), 6) AS accuracy,
+       |  round(sum(CASE WHEN score > $thr AND label = 1.0 THEN 1 ELSE 0 END) / CAST(NULLIF(sum(CASE WHEN score > $thr THEN 1 ELSE 0 END), 0) AS DOUBLE), 6) AS precision,
+       |  round(sum(CASE WHEN score > $thr AND label = 1.0 THEN 1 ELSE 0 END) / CAST(NULLIF(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END), 0) AS DOUBLE), 6) AS recall,
+       |  round(2.0 * sum(CASE WHEN score > $thr AND label = 1.0 THEN 1 ELSE 0 END) / CAST(NULLIF(2 * sum(CASE WHEN score > $thr AND label = 1.0 THEN 1 ELSE 0 END) + sum(CASE WHEN score > $thr AND label = 0.0 THEN 1 ELSE 0 END) + sum(CASE WHEN score <= $thr AND label = 1.0 THEN 1 ELSE 0 END), 0) AS DOUBLE), 6) AS f1
+       |FROM (${scoredSql})""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "regression_metrics" ->
+      """WITH v AS (SELECT l_quantity AS y, l_quantity * (1 + l_discount) AS yhat FROM lineitem)
+        |SELECT round(sqrt(avg((yhat - y) * (yhat - y))), 6) AS rmse,
+        |       round(avg(abs(yhat - y)), 6) AS mae,
+        |       round(avg(CASE WHEN y <> 0 THEN abs(yhat - y) / abs(y) END), 6) AS mape,
+        |       round(sum(abs(yhat - y)) / sum(abs(y)), 6) AS wmape
+        |FROM v""".stripMargin,
+    "r2_expvar" ->
+      """WITH v AS (SELECT l_quantity AS y, l_quantity * (1 + l_discount) AS yhat FROM lineitem),
+        |m AS (SELECT avg(y) AS ybar FROM v)
+        |SELECT round(1.0 - sum((yhat - y) * (yhat - y)) / sum((y - ybar) * (y - ybar)), 6) AS r2,
+        |       round(1.0 - var_samp(yhat - y) / var_samp(y), 6) AS explained_variance
+        |FROM v, m""".stripMargin,
+    "binary_metrics" ->
+      s"""SELECT
+         |  CAST(sum(CASE WHEN score > 0.5 AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN score > 0.5 AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN score <= 0.5 AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  CAST(sum(CASE WHEN score <= 0.5 AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  round((sum(CASE WHEN score > 0.5 AND label = 1.0 THEN 1 ELSE 0 END) + sum(CASE WHEN score <= 0.5 AND label = 0.0 THEN 1 ELSE 0 END)) / CAST(count(*) AS DOUBLE), 6) AS accuracy,
+         |  round(sum(CASE WHEN score > 0.5 AND label = 1.0 THEN 1 ELSE 0 END) / CAST(NULLIF(sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END), 0) AS DOUBLE), 6) AS precision,
+         |  round(sum(CASE WHEN score > 0.5 AND label = 1.0 THEN 1 ELSE 0 END) / CAST(NULLIF(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END), 0) AS DOUBLE), 6) AS recall,
+         |  round(2.0 * sum(CASE WHEN score > 0.5 AND label = 1.0 THEN 1 ELSE 0 END) / CAST(NULLIF(2 * sum(CASE WHEN score > 0.5 AND label = 1.0 THEN 1 ELSE 0 END) + sum(CASE WHEN score > 0.5 AND label = 0.0 THEN 1 ELSE 0 END) + sum(CASE WHEN score <= 0.5 AND label = 1.0 THEN 1 ELSE 0 END), 0) AS DOUBLE), 6) AS f1
+         |FROM (${scoredSql})""".stripMargin,
+    "threshold_metrics" ->
+      s"""SELECT * FROM (
+         |${thresholdSql(0.2)}
+         |UNION ALL ${thresholdSql(0.4)}
+         |UNION ALL ${thresholdSql(0.6)}
+         |UNION ALL ${thresholdSql(0.8)})
+         |ORDER BY threshold""".stripMargin,
+    "confusion_cells" ->
+      s"""SELECT CASE WHEN score > 0.5 AND label = 1.0 THEN 'TP'
+         |            WHEN score > 0.5 AND label = 0.0 THEN 'FP'
+         |            WHEN score <= 0.5 AND label = 0.0 THEN 'TN'
+         |            ELSE 'FN' END AS cell, count(*) AS n
+         |FROM (${scoredSql}) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "crosstab" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
+        |GROUP BY 1, 2 ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "auc_roc" ->
+      s"""WITH v AS (${scoredSql}),
+         |r AS (SELECT label,
+         |             rank() OVER (ORDER BY score) AS rmin,
+         |             count(*) OVER (PARTITION BY score) AS c
+         |      FROM v),
+         |s AS (SELECT sum(CASE WHEN label = 1.0 THEN rmin + (c - 1) / 2.0 ELSE 0 END) AS rpos,
+         |             sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS npos,
+         |             sum(CASE WHEN label = 0.0 THEN 1 ELSE 0 END) AS nneg
+         |      FROM r)
+         |SELECT round((rpos - npos * (npos + 1) / 2.0) / (npos * nneg), 6) AS auroc FROM s""".stripMargin)
+}

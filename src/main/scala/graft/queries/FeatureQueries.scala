@@ -1,0 +1,255 @@
+package graft.queries
+
+import graft.features._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Support._
+
+/** Estimator/transformer queries (outlier treatment, imputation, binning,
+  * encodings, scaling, elimination stats, IV) with DuckDB oracles.
+  *
+  * Null-injection trick: the testdata has no nulls, so imputation queries
+  * deterministically null out a slice (key % k = 0) first — the oracle SQL
+  * mirrors the same injection, so fit+transform semantics are genuinely
+  * exercised. */
+object FeatureQueries {
+
+  private val ordinalMap = Map(
+    "1-URGENT" -> 1, "2-HIGH" -> 2, "3-MEDIUM" -> 3, "4-NOT SPECIFIED" -> 4, "5-LOW" -> 5)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "outlier_bounds" -> { (s, dir) =>
+      val df = t(s, dir, "lineitem")
+      OutlierTreatment
+        .fit(df, Seq("l_quantity", "l_extendedprice", "l_discount"), exact = true)
+        .boundsTable(df)
+        .select(col("column"), r6(col("lower_bound")).as("lower_bound"), r6(col("upper_bound")).as("upper_bound"))
+        .orderBy(col("column"))
+    },
+    "outlier_cap_stats" -> { (s, dir) =>
+      val df = t(s, dir, "lineitem")
+      val m = OutlierTreatment.fit(df, Seq("l_extendedprice"), exact = true)
+      m.cap(df).agg(
+        r6(avg(col("l_extendedprice"))).as("avg_capped"),
+        r6(min(col("l_extendedprice"))).as("min_capped"),
+        r6(max(col("l_extendedprice"))).as("max_capped"),
+        count(lit(1)).as("n"))
+    },
+    "outlier_drop_stats" -> { (s, dir) =>
+      val df = t(s, dir, "lineitem")
+      val m = OutlierTreatment.fit(df, Seq("l_extendedprice"), exact = true)
+      m.drop(df).agg(
+        count(lit(1)).as("n"),
+        r6(avg(col("l_extendedprice"))).as("avg_kept"))
+    },
+    "impute_mean" -> { (s, dir) =>
+      val df = t(s, dir, "lineitem")
+        .withColumn("q", when(col("l_linenumber") % 3 === 0, lit(null)).otherwise(col("l_quantity")))
+      val m = RuleImputer.fit(df, Map("q" -> RuleImputer.Mean))
+      m.transform(df).agg(
+        r6(avg(col("q"))).as("avg_q"),
+        count(col("q")).as("n_nonnull"))
+    },
+    "impute_mode" -> { (s, dir) =>
+      val df = t(s, dir, "customer")
+        .withColumn("seg", when(col("c_custkey") % 5 === 0, lit(null)).otherwise(col("c_mktsegment")))
+      val m = RuleImputer.fit(df, Map("seg" -> RuleImputer.Mode))
+      m.transform(df)
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("seg"))
+    },
+    "binning_quantile" -> { (s, dir) =>
+      val df = t(s, dir, "lineitem")
+      val m = Binning.fitQuantile(df, Seq("l_extendedprice"), 5, exact = true)
+      m.transform(df)
+        .groupBy(col("l_extendedprice_bin"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_extendedprice_bin"))
+    },
+    "target_encoding" -> { (s, dir) =>
+      val df = t(s, dir, "customer")
+        .withColumn("y", (col("c_acctbal") > 0).cast("int"))
+      Encoding
+        .fitTargetEncoder(df, "c_mktsegment", "y")
+        .mapping
+        .select(col("c_mktsegment"), r6(col("c_mktsegment_te")).as("c_mktsegment_te"))
+        .orderBy(col("c_mktsegment"))
+    },
+    "onehot_encoding" -> { (s, dir) =>
+      val df = t(s, dir, "customer")
+      val m = Encoding.fitOneHot(df, "c_mktsegment")
+      val indicators = m.categories.map(c => s"c_mktsegment_${c.replaceAll("[^A-Za-z0-9]", "_")}")
+      m.transform(df).agg(
+        sum(col(indicators.head)).as(indicators.head),
+        indicators.tail.map(c => sum(col(c)).as(c)): _*)
+    },
+    "ordinal_encoding" -> { (s, dir) =>
+      Encoding
+        .ordinalEncode(t(s, dir, "orders"), "o_orderpriority", ordinalMap)
+        .groupBy(col("o_orderpriority"), col("o_orderpriority_ord"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+    "label_encoding" -> { (s, dir) =>
+      Encoding
+        .fitLabelEncoding(t(s, dir, "customer"), "c_mktsegment")
+        .orderBy(col("c_mktsegment_idx"))
+    },
+    "scaling_minmax" -> { (s, dir) =>
+      val df = t(s, dir, "lineitem")
+      Scaling
+        .fitMinMax(df, Seq("l_quantity"))
+        .transform(df)
+        .agg(
+          r6(min(col("l_quantity_scaled"))).as("min_s"),
+          r6(max(col("l_quantity_scaled"))).as("max_s"),
+          r6(graft.Exprs.pct(col("l_quantity_scaled"), 0.5, exact = true)).as("med_s"))
+    },
+    "scaling_standard" -> { (s, dir) =>
+      val df = t(s, dir, "lineitem")
+      Scaling
+        .fitStandard(df, Seq("l_quantity"))
+        .transform(df)
+        .agg(
+          r6(stddev(col("l_quantity_scaled"))).as("sd_s"),
+          r6(min(col("l_quantity_scaled"))).as("min_s"),
+          r6(max(col("l_quantity_scaled"))).as("max_s"))
+    },
+    "sparseness" -> { (s, dir) =>
+      FeatureElimination
+        .sparsenessTable(t(s, dir, "lineitem"), Seq("l_discount", "l_tax"))
+        .orderBy(col("column"))
+    },
+    "cv_table" -> { (s, dir) =>
+      FeatureElimination
+        .cvTable(t(s, dir, "lineitem"), Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy(col("column"))
+    },
+    "iv_table" -> { (s, dir) =>
+      val df = t(s, dir, "lineitem")
+        .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
+      InformationValue
+        .ivTable(df, Seq("l_quantity", "l_extendedprice", "l_discount"), "y", 5, exact = true)
+        .orderBy(col("feature"))
+    })
+
+  private def ivSql(f: String): String =
+    s"""SELECT '$f' AS feature,
+       |  round(sum(((ne + 0.5) / (tne + 2.5) - (ev + 0.5) / (te + 2.5))
+       |        * ln(((ne + 0.5) / (tne + 2.5)) / ((ev + 0.5) / (te + 2.5)))), 6) AS iv
+       |FROM (
+       |  SELECT bucket, sum(y) AS ev, sum(1 - y) AS ne,
+       |         sum(sum(y)) OVER () AS te, sum(sum(1 - y)) OVER () AS tne
+       |  FROM (
+       |    SELECT CASE WHEN $f <= e1 THEN 1 WHEN $f <= e2 THEN 2 WHEN $f <= e3 THEN 3
+       |                WHEN $f <= e4 THEN 4 ELSE 5 END AS bucket,
+       |           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+       |    FROM lineitem, (SELECT round(quantile_cont(CAST($f AS DOUBLE), 0.2), 6) AS e1,
+       |                           round(quantile_cont(CAST($f AS DOUBLE), 0.4), 6) AS e2,
+       |                           round(quantile_cont(CAST($f AS DOUBLE), 0.6), 6) AS e3,
+       |                           round(quantile_cont(CAST($f AS DOUBLE), 0.8), 6) AS e4 FROM lineitem)
+       |    WHERE $f IS NOT NULL)
+       |  GROUP BY bucket)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "outlier_bounds" -> {
+      def row(c: String) =
+        s"""SELECT '$c' AS "column",
+           |  round(q1 - 1.5*(q3-q1), 6) AS lower_bound, round(q3 + 1.5*(q3-q1), 6) AS upper_bound
+           |FROM (SELECT quantile_cont(CAST($c AS DOUBLE), 0.25) AS q1, quantile_cont(CAST($c AS DOUBLE), 0.75) AS q3 FROM lineitem)""".stripMargin
+      s"""SELECT * FROM (
+         |${row("l_quantity")}
+         |UNION ALL ${row("l_extendedprice")}
+         |UNION ALL ${row("l_discount")})
+         |ORDER BY "column"""".stripMargin
+    },
+    "outlier_cap_stats" ->
+      """WITH b AS (SELECT q1 - 1.5*(q3-q1) AS lo, q3 + 1.5*(q3-q1) AS hi
+        |           FROM (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q1,
+        |                        quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3 FROM lineitem)),
+        |c AS (SELECT CASE WHEN l_extendedprice < lo THEN lo WHEN l_extendedprice > hi THEN hi
+        |             ELSE l_extendedprice END AS v FROM lineitem, b)
+        |SELECT round(avg(v), 6) AS avg_capped, round(min(v), 6) AS min_capped,
+        |       round(max(v), 6) AS max_capped, count(*) AS n FROM c""".stripMargin,
+    "outlier_drop_stats" ->
+      """WITH b AS (SELECT q1 - 1.5*(q3-q1) AS lo, q3 + 1.5*(q3-q1) AS hi
+        |           FROM (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS q1,
+        |                        quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS q3 FROM lineitem))
+        |SELECT count(*) AS n, round(avg(l_extendedprice), 6) AS avg_kept
+        |FROM lineitem, b
+        |WHERE l_extendedprice IS NULL OR (l_extendedprice >= lo AND l_extendedprice <= hi)""".stripMargin,
+    "impute_mean" ->
+      """WITH base AS (SELECT CASE WHEN l_linenumber % 3 = 0 THEN NULL ELSE l_quantity END AS q FROM lineitem),
+        |m AS (SELECT avg(q) AS v FROM base)
+        |SELECT round(avg(COALESCE(q, v)), 6) AS avg_q, count(COALESCE(q, v)) AS n_nonnull
+        |FROM base, m""".stripMargin,
+    "impute_mode" ->
+      """WITH base AS (SELECT CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg FROM customer),
+        |m AS (SELECT seg AS v FROM base WHERE seg IS NOT NULL
+        |      GROUP BY seg ORDER BY count(*) DESC, seg ASC LIMIT 1)
+        |SELECT COALESCE(seg, v) AS seg, count(*) AS n
+        |FROM base, m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "binning_quantile" ->
+      """WITH e AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.0) AS s0,
+        |                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.2) AS s1,
+        |                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.4) AS s2,
+        |                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.6) AS s3,
+        |                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.8) AS s4,
+        |                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 1.0) AS s5 FROM lineitem)
+        |SELECT CASE WHEN l_extendedprice >= s0 AND l_extendedprice < s1 THEN 0
+        |            WHEN l_extendedprice >= s1 AND l_extendedprice < s2 THEN 1
+        |            WHEN l_extendedprice >= s2 AND l_extendedprice < s3 THEN 2
+        |            WHEN l_extendedprice >= s3 AND l_extendedprice < s4 THEN 3
+        |            WHEN l_extendedprice >= s4 AND l_extendedprice <= s5 THEN 4
+        |            ELSE NULL END AS l_extendedprice_bin, count(*) AS n
+        |FROM lineitem, e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "target_encoding" ->
+      """SELECT c_mktsegment,
+        |  round(avg(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END), 6) AS c_mktsegment_te
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "onehot_encoding" ->
+      """SELECT CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS c_mktsegment_AUTOMOBILE,
+        |       CAST(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS c_mktsegment_BUILDING,
+        |       CAST(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN 1 ELSE 0 END) AS BIGINT) AS c_mktsegment_FURNITURE,
+        |       CAST(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN 1 ELSE 0 END) AS BIGINT) AS c_mktsegment_HOUSEHOLD,
+        |       CAST(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS c_mktsegment_MACHINERY
+        |FROM customer""".stripMargin,
+    "ordinal_encoding" ->
+      """SELECT o_orderpriority,
+        |  CASE o_orderpriority WHEN '1-URGENT' THEN 1 WHEN '2-HIGH' THEN 2 WHEN '3-MEDIUM' THEN 3
+        |       WHEN '4-NOT SPECIFIED' THEN 4 WHEN '5-LOW' THEN 5 ELSE -1 END AS o_orderpriority_ord,
+        |  count(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY o_orderpriority""".stripMargin,
+    "label_encoding" ->
+      """SELECT c_mktsegment,
+        |  CAST(row_number() OVER (ORDER BY count(*) DESC, c_mktsegment ASC) - 1 AS INT) AS c_mktsegment_idx
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment_idx""".stripMargin,
+    "scaling_minmax" ->
+      """WITH s AS (SELECT CAST(min(l_quantity) AS DOUBLE) AS a, CAST(max(l_quantity) AS DOUBLE) AS b FROM lineitem),
+        |v AS (SELECT (l_quantity - a) / (b - a) AS x FROM lineitem, s)
+        |SELECT round(min(x), 6) AS min_s, round(max(x), 6) AS max_s,
+        |       round(quantile_cont(x, 0.5), 6) AS med_s FROM v""".stripMargin,
+    "scaling_standard" ->
+      """WITH s AS (SELECT avg(l_quantity) AS m, stddev(l_quantity) AS sd FROM lineitem),
+        |v AS (SELECT (l_quantity - m) / sd AS x FROM lineitem, s)
+        |SELECT round(stddev(x), 6) AS sd_s, round(min(x), 6) AS min_s, round(max(x), 6) AS max_s FROM v""".stripMargin,
+    "sparseness" ->
+      """SELECT * FROM (
+        |  SELECT 'l_discount' AS "column", round(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS zero_density FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', round(sum(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) FROM lineitem)
+        |ORDER BY "column"""".stripMargin,
+    "cv_table" ->
+      """SELECT * FROM (
+        |  SELECT 'l_quantity' AS "column", round(stddev(l_quantity) / avg(l_quantity), 6) AS cv FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', round(stddev(l_extendedprice) / avg(l_extendedprice), 6) FROM lineitem
+        |  UNION ALL SELECT 'l_discount', round(stddev(l_discount) / avg(l_discount), 6) FROM lineitem)
+        |ORDER BY "column"""".stripMargin,
+    "iv_table" ->
+      s"""SELECT * FROM (
+         |${ivSql("l_quantity")}
+         |UNION ALL ${ivSql("l_extendedprice")}
+         |UNION ALL ${ivSql("l_discount")})
+         |ORDER BY feature""".stripMargin)
+}
