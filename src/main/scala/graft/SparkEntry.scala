@@ -10,16 +10,19 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The E1 feature pipeline: activity recency/total aggregates + common
+    * consumers + label window, end to end. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    PipelineQueries.e1(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++
       ProfileQueries.queries ++
       FeatureQueries.queries ++
-      EvalQueries.queries
+      EvalQueries.queries ++
+      PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +30,6 @@ object SparkEntry {
     RelationalQueries.oracle ++
       ProfileQueries.oracle ++
       FeatureQueries.oracle ++
-      EvalQueries.oracle
+      EvalQueries.oracle ++
+      PipelineQueries.oracle
 }

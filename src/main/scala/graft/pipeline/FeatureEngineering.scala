@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's core feature-engineering program re-expressed as one
+  * declarative DataFrame pipeline
+  * (reference: production/feature_engineering.py:101-167):
+  * per-key recency/total aggregates from activity streams, a common-consumer
+  * inner-join restriction, a left-join feature merge, and a label left-join
+  * with fill(0).
+  *
+  * Scale design: every aggregate is a map-side-combinable groupBy on the
+  * join key, so each activity source shuffles once on the same key; the
+  * merge joins are all on that key (AQE can broadcast the smaller
+  * aggregates). No window functions, no driver collects.
+  */
+object FeatureEngineering {
+
+  /** Per-key recency (min days before refDate) + total(value) from an event
+    * stream filtered to rows at/before refDate
+    * (reference: feature_engineering.py:118-156). */
+  def recencyTotals(
+      events: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      valueCol: String,
+      refDate: String,
+      prefix: String): DataFrame = {
+    val d = to_date(col(dateCol))
+    events
+      .filter(d <= lit(refDate).cast("date"))
+      .groupBy(col(keyCol))
+      .agg(
+        min(datediff(lit(refDate).cast("date"), d)).as(s"last_${prefix}_date_diff"),
+        sum(col(valueCol)).as(s"total_${prefix}_value"))
+  }
+
+  /** Distinct keys with target_var=1 for events inside the label window
+    * (refDate, refDate + windowDays] (reference: data_cleaning.py:132-148 +
+    * feature_engineering.py:111-115). */
+  def labelTable(df: DataFrame, keyCol: String, dateCol: String, refDate: String, windowDays: Int): DataFrame = {
+    val d = to_date(col(dateCol))
+    df.filter(
+        d > lit(refDate).cast("date") &&
+          d <= date_add(lit(refDate).cast("date"), windowDays))
+      .select(col(keyCol))
+      .distinct()
+      .withColumn("target_var", lit(1))
+  }
+
+  /** Merge: base left-joins each feature table on key, restricted to keys
+    * present in every source (the reference's common-consumer inner joins,
+    * feature_engineering.py:101-109), then label left-join + fill(0). */
+  def merge(
+      base: DataFrame,
+      keyCol: String,
+      features: Seq[DataFrame],
+      label: DataFrame,
+      labelKeyCol: String): DataFrame = {
+    val common = features
+      .map(_.select(col(keyCol)))
+      .reduce((a, b) => a.join(b, Seq(keyCol), "inner"))
+      .distinct()
+    val withFeatures = features.foldLeft(base.join(common, Seq(keyCol), "inner")) {
+      (acc, f) => acc.join(f, Seq(keyCol), "left")
+    }
+    withFeatures
+      .join(label.withColumnRenamed(labelKeyCol, keyCol), Seq(keyCol), "left")
+      .na.fill(0, Seq("target_var"))
+  }
+}

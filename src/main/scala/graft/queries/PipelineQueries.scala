@@ -1,0 +1,97 @@
+package graft.queries
+
+import graft.pipeline.FeatureEngineering
+import graft.sampling.Sampling
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Support._
+
+/** The E1 end-to-end feature pipeline (the reference's flagship program)
+  * plus sampling/split queries (seeded RNG — registered without oracle,
+  * validated by property tests instead). */
+object PipelineQueries {
+
+  private val evRef = "2024-01-15"
+  private val lblRef = "1997-06-30"
+
+  def e1(s: SparkSession, dir: String): DataFrame = {
+    val ev = events(s, dir).withColumnRenamed("user_id", "c_custkey")
+    def src(tpe: String) =
+      FeatureEngineering.recencyTotals(
+        ev.filter(col("event_type") === tpe), "c_custkey", "ts", "value", evRef, tpe)
+    val label = FeatureEngineering.labelTable(
+      t(s, dir, "orders"), "o_custkey", "o_orderdate", lblRef, 90)
+    val merged = FeatureEngineering.merge(
+      t(s, dir, "customer").select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")),
+      "c_custkey",
+      Seq(src("click"), src("view"), src("purchase")),
+      label,
+      "o_custkey")
+    merged
+      .select(
+        col("c_custkey"),
+        col("c_acctbal"),
+        col("c_mktsegment"),
+        col("last_click_date_diff"),
+        r6(col("total_click_value")).as("total_click_value"),
+        col("last_view_date_diff"),
+        r6(col("total_view_value")).as("total_view_value"),
+        col("last_purchase_date_diff"),
+        r6(col("total_purchase_value")).as("total_purchase_value"),
+        col("target_var"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e1_feature_pipeline" -> (e1 _),
+    // seeded sampling/splits: deterministic per cluster but not
+    // SQL-expressible — rows-only checks + ScalaTest invariants
+    "stratified_split" -> { (s, dir) =>
+      val df = t(s, dir, "customer").withColumn("y", (col("c_acctbal") > 0).cast("int"))
+      val (train, test) = Sampling.stratifiedSplit(df, "y", 0.3, seed = 42)
+      train.withColumn("split", lit("train"))
+        .unionByName(test.withColumn("split", lit("test")))
+        .groupBy(col("split"), col("y"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("y"))
+    },
+    "rebalance_sample" -> { (s, dir) =>
+      val df = t(s, dir, "customer").withColumn("y", (col("c_acctbal") > 5000).cast("int"))
+      Sampling.rebalance(df, "y", maxSampleSize = 200, seed = 42)
+        .groupBy(col("y"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("y"))
+    })
+
+  private def srcSql(tpe: String): String =
+    s"""SELECT user_id,
+       |  CAST(min(date_diff('day', CAST(ts AS DATE), DATE '$evRef')) AS INT) AS last_${tpe}_date_diff,
+       |  sum(value) AS total_${tpe}_value
+       |FROM events
+       |WHERE event_type = '$tpe' AND CAST(ts AS DATE) <= DATE '$evRef'
+       |GROUP BY user_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "e1_feature_pipeline" ->
+      s"""WITH click AS (${srcSql("click")}),
+         |vw AS (${srcSql("view")}),
+         |pur AS (${srcSql("purchase")}),
+         |common AS (SELECT click.user_id FROM click
+         |           JOIN vw ON click.user_id = vw.user_id
+         |           JOIN pur ON click.user_id = pur.user_id),
+         |lbl AS (SELECT DISTINCT o_custkey, 1 AS target_var FROM orders
+         |        WHERE CAST(o_orderdate AS DATE) > DATE '$lblRef'
+         |          AND CAST(o_orderdate AS DATE) <= DATE '$lblRef' + INTERVAL 90 DAY)
+         |SELECT c.c_custkey, c.c_acctbal, c.c_mktsegment,
+         |  click.last_click_date_diff, round(click.total_click_value, 6) AS total_click_value,
+         |  vw.last_view_date_diff, round(vw.total_view_value, 6) AS total_view_value,
+         |  pur.last_purchase_date_diff, round(pur.total_purchase_value, 6) AS total_purchase_value,
+         |  COALESCE(lbl.target_var, 0) AS target_var
+         |FROM customer c
+         |JOIN common ON c.c_custkey = common.user_id
+         |LEFT JOIN click ON c.c_custkey = click.user_id
+         |LEFT JOIN vw ON c.c_custkey = vw.user_id
+         |LEFT JOIN pur ON c.c_custkey = pur.user_id
+         |LEFT JOIN lbl ON c.c_custkey = lbl.o_custkey
+         |ORDER BY c.c_custkey""".stripMargin)
+}
