@@ -22,7 +22,8 @@ object SparkEntry {
       ProfileQueries.queries ++
       FeatureQueries.queries ++
       EvalQueries.queries ++
-      PipelineQueries.queries
+      PipelineQueries.queries ++
+      LlmQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       ProfileQueries.oracle ++
       FeatureQueries.oracle ++
       EvalQueries.oracle ++
-      PipelineQueries.oracle
+      PipelineQueries.oracle ++
+      LlmQueries.oracle
 }

@@ -1,0 +1,179 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact content-hash
+  * dedup, MinHash-LSH banded near-dup, SimHash, and n-gram Jaccard.
+  *
+  * Scale design:
+  *   - exact dedup is one hash-partitioned groupBy on the content hash —
+  *     never compares texts pairwise;
+  *   - MinHash-LSH generates candidate pairs ONLY inside (band, signature)
+  *     buckets (a self-join per bucket), never all-pairs; bucket sizes are
+  *     capped so a degenerate signature can't quadratically explode;
+  *   - SimHash is a pure expression (64-bit signature per doc);
+  *   - n-gram Jaccard is explode + join-on-shingle + pair-count —
+  *     shuffle-bound, no cartesian.
+  */
+object Dedup {
+
+  /** Normalized content view used for exact dedup. */
+  def normalized(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** sha2-256 of the normalized text. */
+  def contentHash(c: Column): Column = sha2(normalized(c), 256)
+
+  /** Exact dedup: keep the smallest id per normalized-content hash.
+    * One groupBy on the hash — fully distributed, no pairwise compare. */
+  def exactDedupKeys(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(contentHash(col(textCol)).as("__h"), col(idCol))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(idCol)
+
+  /** Exact dedup returning the surviving rows (first = smallest id). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(exactDedupKeys(df, idCol, textCol), Seq(idCol), "left_semi")
+
+  /** Distinct word k-shingles of a text column. */
+  def shingles(c: Column, k: Int): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    val n = size(toks)
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(n - k, lit(0))),
+        i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+  }
+
+  /** MinHash signature: for each of `numHashes` seeded hash functions,
+    * the min over shingle hashes. Pure expression — one projection. */
+  def minhashSignature(c: Column, k: Int = 3, numHashes: Int = 32): Column = {
+    val sh = shingles(c, k)
+    array((0 until numHashes).map(i => array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
+  }
+
+  /** Candidate near-dup pairs via banded LSH over the MinHash signature.
+    *
+    * bands × rowsPerBand = numHashes. Docs sharing ANY band's sub-signature
+    * become a candidate pair; pairs are generated within buckets only.
+    * maxBucket caps pathological buckets (all-identical shingles) so a
+    * single bucket can't go quadratic at scale.
+    */
+  def minhashCandidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4,
+      maxBucket: Int = 1000): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = minhashSignature(col(textCol), shingleK, numHashes)
+    val banded = df
+      .select(col(idCol), sig.as("__sig"))
+      .select(
+        col(idCol),
+        explode(array((0 until bands).map { b =>
+          struct(
+            lit(b).as("band"),
+            xxhash64(concat_ws(",",
+              slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+        }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+    val capped = banded
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    val l = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
+    val r = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Near-dup pairs: LSH candidates verified by true n-gram Jaccard. */
+  def minhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleK: Int = 3,
+      bands: Int = 8,
+      rowsPerBand: Int = 4): DataFrame = {
+    val cands = minhashCandidatePairs(df, idCol, textCol, shingleK, bands, rowsPerBand)
+    val sh = df.select(col(idCol), shingles(col(textCol), shingleK).as("__sh"))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: bit i is the sign of the sum of
+    * ±1 votes from each token hash's bit i. Pure expression. */
+  def simhash64(c: Column): Column = {
+    val hashes = transform(split(lower(trim(c)), "\\s+"), t => xxhash64(t))
+    // one ±1-vote aggregate per bit (literal bit positions keep the shift
+    // operators in codegen); OR of the sign bits forms the signature
+    val bits = (0 until 64).map { i =>
+      when(
+        aggregate(
+          hashes,
+          lit(0L),
+          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs: candidates bucketed on 16-bit chunks (a pair
+    * within Hamming distance 3 of a 64-bit signature must agree on at least
+    * one of 4 chunks), verified by exact Hamming distance. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol), simhash64(col(textCol)).as("__sig"))
+    val chunked = sigs.select(
+      col(idCol),
+      col("__sig"),
+      explode(array((0 until 4).map { ch =>
+        struct(lit(ch).as("chunk"),
+          shiftright(col("__sig"), ch * 16).bitwiseAND(0xffffL).as("key"))
+      }: _*)).as("cc"))
+      .select(col(idCol), col("__sig"), col("cc.chunk"), col("cc.key"))
+    val l = chunked.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("__sig").as("sig_a"))
+    val r = chunked.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("__sig").as("sig_b"))
+    l.join(r, Seq("chunk", "key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Distributed n-gram Jaccard for ALL pairs sharing at least one shingle:
+    * explode → join on shingle → pair-count; |A∪B| = |A|+|B|−|A∩B|.
+    * Never materializes a cartesian product. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n").as("n_a")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("n").as("n_b")), Seq("id_b"))
+      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus the Spark-side plumbing (schema,
+  * partitioning, batch shape) for decode / feature-extract stages.
+  *
+  * The actual media decode is STUBBED — this container ships no image or
+  * audio codecs — behind `decodeFeaturesStub`, a deterministic fake
+  * (hash-derived pseudo-features) with the same schema, batching and
+  * partitioning behavior a real decoder (JNI codec or mapInPandas-style
+  * vectorized UDF in the Python surface) would have. Swap `decodeExpr`
+  * for the real kernel; nothing else changes.
+  */
+object Multimodal {
+
+  /** Canonical media-asset schema: opaque payload + typed metadata. */
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("codec", StringType, nullable = true))), nullable = true)))
+
+  /** Wrap any (id, bytes) frame into the canonical asset shape. */
+  def toAssets(df: DataFrame, idCol: String, bytesCol: String, mediaType: String): DataFrame =
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      lit(mediaType).as("media_type"),
+      col(bytesCol).cast("binary").as("payload"),
+      struct(
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms"),
+        lit(null).cast("string").as("codec")).as("meta"))
+
+  /** Payload size + content hash — real (no decode needed). */
+  def payloadStats(df: DataFrame): DataFrame =
+    df.withColumn("payload_bytes", length(col("payload")))
+      .withColumn("payload_hash", xxhash64(col("payload")))
+
+  /** STUB decode kernel: deterministic pseudo-feature vector derived from
+    * the payload hash. A real implementation decodes the media and runs a
+    * feature extractor; the schema (array<float> of `dim`) and the pure
+    * per-row shape (no shuffle, codegen-projected) are what production
+    * swaps in against. */
+  def decodeFeaturesStub(payload: Column, dim: Int = 8): Column =
+    transform(
+      sequence(lit(0), lit(dim - 1)),
+      i =>
+        (pmod(xxhash64(payload, i), lit(1000000L)).cast("double") / 500000.0 - 1.0)
+          .cast("float"))
+
+  /** Frame-sampling plumbing for video payloads: emit (asset_id, frame_idx)
+    * rows every `everyMs` over the declared duration — the real decoder
+    * fills the frame payload; the row-multiplication plumbing is real. */
+  def sampleFrames(df: DataFrame, everyMs: Long): DataFrame =
+    df.filter(col("media_type") === "video" && col("meta.duration_ms").isNotNull)
+      .select(
+        col("asset_id"),
+        explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))).as("frame_ms"))
+
+  /** Feature-extraction pass: stats + stub features, repartitioned so
+    * downstream ANN/dedup stages see size-balanced partitions (payloads
+    * skew; hash-repartition on asset_id). */
+  def extractFeatures(df: DataFrame, dim: Int = 8, partitions: Int = 0): DataFrame = {
+    val base = if (partitions > 0) df.repartition(partitions, col("asset_id")) else df
+    payloadStats(base)
+      .withColumn("features", decodeFeaturesStub(col("payload"), dim))
+      .drop("payload")
+  }
+}

@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Support._
+
+/** LLM-training-data pipeline queries: text analysis, dedup (exact /
+  * MinHash-LSH / SimHash / n-gram Jaccard), embedding similarity search,
+  * multimodal plumbing.
+  *
+  * xxhash64-based operators (MinHash, SimHash, fingerprints, LSH) have no
+  * DuckDB equivalent — they are registered without oracle SQL but with
+  * deterministic PLANTED near-duplicates (doc_id + 100000, first token
+  * mutated) so their outputs are non-empty and reproducible; ScalaTest
+  * asserts the planted pairs are found. */
+object LlmQueries {
+
+  /** documents ∪ mutated copies: near-dup planting for dedup operators. */
+  private def planted(s: SparkSession, dir: String, n: Int = 50): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < n)
+    docs.unionByName(
+      docs.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "graftmutated").as("text"),
+        col("lang"), col("source"), col("n_chars")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats" -> { (s, dir) =>
+      TextAnalysis
+        .textStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    "lang_id" -> { (s, dir) =>
+      TextAnalysis
+        .languageScores(t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        .drop("text")
+        .orderBy(col("doc_id"))
+    },
+    "dedup_exact" -> { (s, dir) =>
+      // plant exact duplicates (same text, higher id) — survivors must be
+      // exactly the original doc_ids
+      val docs = t(s, dir, "documents")
+      val dup = docs.select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup
+        .exactDedupKeys(docs.select(col("doc_id"), col("text")).unionByName(dup), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    "ngram_jaccard" -> { (s, dir) =>
+      Dedup
+        .ngramJaccardPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 40), "doc_id", "text",
+          k = 3, minJaccard = 0.02)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    "embedding_norms" -> { (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          round(Similarity.l2Norm(col("embedding")), 6).as("l2_norm"),
+          col("label"))
+        .orderBy(col("vec_id"))
+    },
+    "cosine_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity
+        .cosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id", 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // --- no DuckDB oracle (xxhash64-based); deterministic planted dups ---
+    "dedup_minhash" -> { (s, dir) =>
+      Dedup
+        .minhashNearDupPairs(planted(s, dir), "doc_id", "text", threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    "dedup_simhash" -> { (s, dir) =>
+      Dedup
+        .simhashNearDupPairs(planted(s, dir), "doc_id", "text", maxHamming = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    "fingerprints" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+          TextAnalysis.shingleFingerprint(col("text")).as("shingle_fingerprint"))
+        .orderBy(col("doc_id"))
+    },
+    "ann_lsh_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity
+        .lshCosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id",
+          k = 10, tables = 8, bits = 8)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "multimodal_features" -> { (s, dir) =>
+      val assets = Multimodal.toAssets(
+        t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("bytes")),
+        "doc_id", "bytes", "image")
+      Multimodal
+        .extractFeatures(assets, dim = 8)
+        .select(col("asset_id"), col("media_type"), col("payload_bytes"),
+          round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+        .orderBy(col("asset_id"))
+    })
+
+  // ---- oracle SQL ----------------------------------------------------------
+
+  private def occ(word: String): String = {
+    val probe = s" $word "
+    s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$probe', ''))) / ${probe.length} AS BIGINT)"
+  }
+
+  private def scoreSql(lang: String): String =
+    TextAnalysis.langStopwords(lang).map(occ).mkString(" + ")
+
+  private val hanSql =
+    "CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "text_stats" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |  len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_regex_tokens,
+         |  length(text) AS n_chars,
+         |  round(CASE WHEN length(text) = 0 THEN 0 ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+         |  round(CASE WHEN length(text) = 0 THEN 0 ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS digit_ratio,
+         |  round(CASE WHEN length(text) = 0 THEN 0 ELSE CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS upper_ratio,
+         |  round((
+         |    (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) < 0.3 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN (${scoreSql("en")}) > 0 THEN 1.0 ELSE 0.0 END)
+         |  ) / 4.0, 6) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "lang_id" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      def scoreCol(l: String) = if (l == "zh") hanSql else scoreSql(l)
+      val greatestExpr = langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val pick = langs.reverse
+        .foldLeft("CAST(NULL AS VARCHAR)") { (acc, l) =>
+          s"CASE WHEN score_$l = $greatestExpr THEN '$l' ELSE $acc END"
+        }
+      s"""SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+         |  $pick AS lang_detected
+         |FROM (SELECT doc_id,
+         |  ${scoreCol("de")} AS score_de,
+         |  ${scoreCol("en")} AS score_en,
+         |  ${scoreCol("es")} AS score_es,
+         |  ${scoreCol("fr")} AS score_fr,
+         |  ${scoreCol("zh")} AS score_zh
+         |FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id FROM (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text FROM documents)
+        |GROUP BY sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |ORDER BY doc_id""".stripMargin,
+    "ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents WHERE doc_id < 40),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM d)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.02
+        |ORDER BY id_a, id_b""".stripMargin,
+    "embedding_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2_norm,
+        |  label
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT query_id, e.vec_id,
+        |        round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+        |      FROM e, q WHERE e.vec_id <> query_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
+        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)
+}
