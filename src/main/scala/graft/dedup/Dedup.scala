@@ -61,14 +61,18 @@ object Dedup {
     * become a candidate pair; pairs are generated within buckets only.
     * maxBucket caps pathological buckets (all-identical shingles) so a
     * single bucket can't go quadratic at scale.
+    *
+    * Defaults (16 bands × 2 rows): catch probability 1-(1-j²)^16 — ≈0.99
+    * at j=0.5, ≈0.78 at j=0.3. (8×4 sounds similar but catches only ~50%
+    * at j=0.55 — verified the hard way in DedupSimilaritySpec.)
     */
   def minhashCandidatePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       shingleK: Int = 3,
-      bands: Int = 8,
-      rowsPerBand: Int = 4,
+      bands: Int = 16,
+      rowsPerBand: Int = 2,
       maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sig = minhashSignature(col(textCol), shingleK, numHashes)
@@ -102,8 +106,8 @@ object Dedup {
       textCol: String,
       threshold: Double,
       shingleK: Int = 3,
-      bands: Int = 8,
-      rowsPerBand: Int = 4): DataFrame = {
+      bands: Int = 16,
+      rowsPerBand: Int = 2): DataFrame = {
     val cands = minhashCandidatePairs(df, idCol, textCol, shingleK, bands, rowsPerBand)
     val sh = df.select(col(idCol), shingles(col(textCol), shingleK).as("__sh"))
     cands

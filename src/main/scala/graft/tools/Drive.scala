@@ -12,6 +12,8 @@ object Drive {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()
     val sf = "/root/testdata/sf0.001"
+
+    if (args.headOption.contains("model")) { driveModel(spark, sf); spark.stop(); return }
     val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
     val customer = spark.read.parquet(s"$sf/customer.parquet")
     val orders = spark.read.parquet(s"$sf/orders.parquet")
@@ -67,5 +69,28 @@ object Drive {
     sm.transform(one).select(col("l_quantity"), col("l_quantity_scaled")).show()
 
     spark.stop()
+  }
+
+  /** E2E: E1 pipeline output -> features vector -> LR train -> save/load ->
+    * score -> AUC + importance, through the public library surface. */
+  def driveModel(spark: org.apache.spark.sql.SparkSession, sf: String): Unit = {
+    import graft.model.{Features, Training}
+    val e1 = graft.queries.PipelineQueries.e1(spark, sf).na.fill(0)
+    println(s"E1 rows: ${e1.count()}")
+    val featureCols = Seq("c_acctbal", "last_click_date_diff", "total_click_value",
+      "last_view_date_diff", "total_view_value", "last_purchase_date_diff", "total_purchase_value")
+    val model = Training.train(e1, "target_var", featureCols)
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    Training.saveModel(model, s"$dir/m")
+    val loaded = Training.loadModel(s"$dir/m")
+    val scored = Training.score(loaded, e1)
+    scored.select("c_custkey", "target_var", "score").show(5, false)
+    val (auroc, aupr) = graft.eval.Metrics.aucMetrics(scored, "score", "target_var")
+    println(s"auROC=$auroc auPR=$aupr (features are unrelated to the 1997 label window; ~0.5 expected)")
+    Training.featureImportance(e1, "target_var", featureCols).show(false)
+    println("grid search:")
+    val cv = Training.gridSearchLogistic(e1, "target_var", featureCols,
+      regParams = Seq(0.0, 0.1), elasticNetParams = Seq(0.0), numFolds = 2)
+    println(s"best avg metric: ${cv.avgMetrics.max}")
   }
 }

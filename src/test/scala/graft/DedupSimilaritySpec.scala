@@ -1,0 +1,119 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.functions._
+
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy cat again and again"), // near-dup of 0
+    (2L, "completely different content about spark query engines at scale"),
+    (3L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 0
+    (4L, "unrelated text with its own words nothing shared here at all")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps the smallest id per content") {
+    val kept = Dedup.exactDedupKeys(docs, "doc_id", "text")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(0L, 1L, 2L, 4L)) // 3 deduped into 0
+    // idempotent: deduping the deduped set changes nothing
+    val again = Dedup.exactDedup(docs, "doc_id", "text")
+    assert(Dedup.exactDedup(again, "doc_id", "text").count() == again.count())
+  }
+
+  test("minhash LSH finds planted near-dup and exact dup, not unrelated") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 3L))) // exact dup
+    assert(pairs.contains((0L, 1L))) // one-word edit
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("simhash: identical texts hash equal; near-dup within small hamming") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(0L) == sigs(3L))
+    val d01 = java.lang.Long.bitCount(sigs(0L) ^ sigs(1L))
+    val d04 = java.lang.Long.bitCount(sigs(0L) ^ sigs(4L))
+    assert(d01 < d04)
+  }
+
+  test("ngram jaccard: near-dup pair scores high, distinct pair absent") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.3)
+      .select("id_a", "id_b", "jaccard")
+      .as[(Long, Long, Double)].collect()
+    val m = pairs.map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(m((0L, 3L)) == 1.0)
+    assert(m((0L, 1L)) > 0.5 && m((0L, 1L)) < 1.0)
+    assert(!m.contains((2L, 4L)))
+  }
+
+  test("fingerprints: whitespace-insensitive, shingle fp survives tail edit") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "  alpha   beta gamma delta epsilon zeta eta theta "),
+      (2L, "alpha beta gamma delta epsilon zeta eta CHANGED")).toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("f"),
+        TextAnalysis.shingleFingerprint(col("text"), 3).as("sf"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(fps(0L)._1 == fps(1L)._1) // normalization
+    assert(fps(0L)._1 != fps(2L)._1)
+  }
+
+  test("cosine topk: exact neighbor ranking on constructed vectors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id", "embedding", "vec_id", 2)
+      .select("vec_id", "rank").as[(Long, Int)].collect().toMap
+    assert(top(1L) == 1) // most similar
+  }
+
+  test("lsh topk achieves high recall vs brute force") {
+    val n = 60
+    val vecs = (0 until n).map { i =>
+      val base = Array.tabulate(16)(j => math.sin(i * 17 + j * 3).toFloat)
+      (i.toLong, base)
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val brute = Similarity.cosineTopK(vecs, queries, "vec_id", "embedding", "vec_id", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshCosineTopK(vecs, queries, "vec_id", "embedding", "vec_id", 5,
+        tables = 12, bits = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.6, s"LSH recall $recall too low")
+  }
+
+  test("language scores + quality + token counts behave") {
+    val df = Seq(
+      (0L, "the cat and the dog of the house is to be seen"),
+      (1L, "der hund und die katze ist nicht der erste und der beste")).toDF("doc_id", "text")
+    val scored = TextAnalysis.languageScores(df, "text")
+    val langs = scored.select("doc_id", "lang_detected").as[(Long, String)].collect().toMap
+    assert(langs(0L) == "en")
+    assert(langs(1L) == "de")
+    val stats = TextAnalysis.textStats(df, "doc_id", "text")
+      .select("doc_id", "n_tokens").as[(Long, Int)].collect().toMap
+    assert(stats(0L) == 12)
+  }
+
+  test("multimodal: payload stats real, stub features deterministic") {
+    val assets = Multimodal.toAssets(
+      Seq((1L, "payload-bytes-one"), (2L, "payload-bytes-two"))
+        .toDF("id", "b").withColumn("b", col("b").cast("binary")),
+      "id", "b", "image")
+    val f1 = Multimodal.extractFeatures(assets, dim = 4).select("asset_id", "features").collect()
+    val f2 = Multimodal.extractFeatures(assets, dim = 4).select("asset_id", "features").collect()
+    assert(f1.map(_.toString).toSeq == f2.map(_.toString).toSeq) // deterministic
+    val stats = Multimodal.payloadStats(assets).select("payload_bytes").as[Int].collect()
+    assert(stats.forall(_ == 17))
+  }
+}

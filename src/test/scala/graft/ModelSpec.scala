@@ -1,0 +1,88 @@
+package graft
+
+import graft.eval.Metrics
+import graft.model.{Features, Registry, Training}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class ModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def trainFrame = {
+    // learnable binary target: y = x1 + noise-ish x2 threshold
+    (1 to 400).map { i =>
+      val x1 = (i % 20).toDouble
+      val x2 = (i % 7).toDouble
+      val y = if (x1 + 0.5 * x2 > 10) 1.0 else 0.0
+      (x1, x2, y)
+    }.toDF("x1", "x2", "label")
+  }
+
+  test("registry resolves all 14 model names and rejects unknown") {
+    (Registry.regressionModels ++ Registry.classificationModels).foreach { name =>
+      assert(Registry.estimator(name) != null, name)
+    }
+    intercept[IllegalArgumentException](Registry.estimator("nope"))
+  }
+
+  test("t1 smoke: fit -> save -> load -> score -> AUC > 0.5 (deterministic)") {
+    val df = trainFrame
+    val model = Training.train(df, "label", Seq("x1", "x2"))
+    val dir = Files.createTempDirectory("graft-model").toString
+    Training.saveModel(model, s"$dir/lr")
+    val loaded = Training.loadModel(s"$dir/lr")
+    val scored = Training.score(loaded, df)
+    val (auroc, aupr) = Metrics.aucMetrics(scored, "score", "label")
+    assert(auroc > 0.95, s"auROC $auroc")
+    assert(aupr > 0.9, s"auPR $aupr")
+    // loaded model reproduces in-memory model's scores exactly
+    val direct = Training.score(model, df).select("score").as[Double].collect().toSeq
+    val viaDisk = scored.select("score").as[Double].collect().toSeq
+    assert(direct == viaDisk)
+  }
+
+  test("generate_features_vector picks numeric non-label columns") {
+    val df = Seq((1.0, 2.0, "a", 0.0)).toDF("x1", "x2", "c", "label")
+    val out = Features.generateFeaturesVector(df, "label")
+    assert(out.columns.contains("features"))
+    val v = out.select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    assert(v.size == 2)
+  }
+
+  test("onehot pipeline + scaler + pca fit and persist") {
+    val df = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("c", "x")
+    val ohe = Features.fitOneHotPipeline(df, Seq("c"))
+    assert(ohe.transform(df).columns.contains("c_ohe"))
+    val assembled = Features.generateFeaturesVector(df, "none", Seq("x"))
+    val scaler = Features.fitScaler(assembled, "minmax")
+    assert(scaler.transform(assembled).columns.contains("features_scaled"))
+    val pca = Features.fitPca(Features.generateFeaturesVector(
+      Seq((1.0, 2.0), (2.0, 1.0), (3.0, 3.0)).toDF("a", "b"), "none"), 1)
+    assert(pca.transform(Features.generateFeaturesVector(
+      Seq((1.0, 2.0)).toDF("a", "b"), "none")).columns.contains("pca_features"))
+  }
+
+  test("lasso drives useless coefficients to zero") {
+    val df = (1 to 300).map { i =>
+      val x1 = (i % 20).toDouble
+      val junk = 0.0 // constant column carries no signal
+      (x1, junk, if (x1 > 10) 1.0 else 0.0)
+    }.toDF("x1", "junk", "label")
+    val dropped = Training.byLasso(df, "label", Seq("x1", "junk"), regParam = 0.05)
+    assert(dropped.contains("junk"))
+    assert(!dropped.contains("x1"))
+  }
+
+  test("feature importance ranks the signal feature first") {
+    val df = trainFrame
+    val imp = Training.featureImportance(df, "label", Seq("x1", "x2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(imp("x1") > imp("x2"))
+  }
+
+  test("grid search returns a best model with sane AUC") {
+    val cv = Training.gridSearchLogistic(trainFrame, "label", Seq("x1", "x2"),
+      regParams = Seq(0.0, 0.1), elasticNetParams = Seq(0.0), numFolds = 2)
+    assert(cv.avgMetrics.max > 0.9)
+  }
+}

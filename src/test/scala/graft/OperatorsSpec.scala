@@ -1,0 +1,140 @@
+package graft
+
+import graft.dp.{Cleaning, Taxonomy}
+import graft.eval.Metrics
+import graft.features._
+import graft.profile.Profile
+import graft.sampling.Sampling
+import org.apache.spark.sql.functions._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snakeCase handles camelCase, spaces and symbols") {
+    assert(Cleaning.snakeCase("CustomerId") == "customer_id")
+    assert(Cleaning.snakeCase("  First Name ") == "first_name")
+    assert(Cleaning.snakeCase("a-b.c") == "a_b_c")
+    assert(Cleaning.snakeCase("already_snake") == "already_snake")
+  }
+
+  test("cleanStringColumn scrubs brackets, case, whitespace, specials") {
+    val df = Seq("  Hello   (note) WORLD! [x] a_b-c.d,e  ").toDF("s")
+    val out = df.select(Cleaning.cleanStringColumn(col("s"))).as[String].head()
+    assert(out == "hello world a_b-c.d,e")
+  }
+
+  test("taxonomy classifies the four kinds") {
+    val df = Seq((1L, "a", 1.5, true)).toDF("l", "s", "d", "b")
+      .withColumn("t", current_timestamp())
+    assert(Taxonomy.numericalColumns(df) == Seq("l", "d"))
+    assert(Taxonomy.categoricalColumns(df) == Seq("s"))
+    assert(Taxonomy.booleanColumns(df) == Seq("b"))
+    assert(Taxonomy.datelikeColumns(df) == Seq("t"))
+  }
+
+  test("outlier bounds: IQR math on a known frame") {
+    // values 1..9 plus outlier 100: q1=3.25, q3=7.75 (exact percentile), iqr=4.5
+    val df = ((1 to 9) :+ 100).map(_.toDouble).toDF("x")
+    val m = OutlierTreatment.fit(df, Seq("x"), exact = true)
+    val b = m.bounds("x")
+    assert(math.abs(b.lower - (3.25 - 1.5 * 4.5)) < 1e-9)
+    assert(math.abs(b.upper - (7.75 + 1.5 * 4.5)) < 1e-9)
+    // cap: outlier clamped to upper bound; drop: row removed
+    val capped = m.cap(df).agg(max("x")).as[Double].head()
+    assert(math.abs(capped - b.upper) < 1e-9)
+    assert(m.drop(df).count() == 9)
+  }
+
+  test("imputer: mean/median/mode/constant fill values") {
+    val df = Seq(
+      (Some(1.0), Some("a")), (Some(2.0), Some("b")), (Some(3.0), Some("b")),
+      (None, None)).toDF("x", "c")
+    val m = RuleImputer.fit(df,
+      Map("x" -> RuleImputer.Mean, "c" -> RuleImputer.Mode), exact = true)
+    assert(m.values("x") == 2.0)
+    assert(m.values("c") == "b")
+    val out = m.transform(df)
+    assert(out.filter(col("x").isNull || col("c").isNull).count() == 0)
+    val const = RuleImputer.fit(df, Map("x" -> RuleImputer.Constant(-1.0)))
+    assert(const.values("x") == -1.0)
+    val med = RuleImputer.fit(df, Map("x" -> RuleImputer.Median), exact = true)
+    assert(med.values("x") == 2.0)
+  }
+
+  test("binning: explicit splits, half-open with closed last bucket") {
+    val df = Seq(0.0, 1.0, 5.0, 10.0, 11.0).toDF("x")
+    val m = Binning.withExplicitSplits(Map("x" -> Seq(0.0, 5.0, 10.0)))
+    val bins = m.transform(df).select("x_bin").as[Option[Int]].collect().toSeq
+    assert(bins == Seq(Some(0), Some(0), Some(1), Some(1), None))
+  }
+
+  test("target encoding: category means + prior for unseen") {
+    val train = Seq(("a", 1.0), ("a", 0.0), ("b", 1.0)).toDF("c", "y")
+    val m = Encoding.fitTargetEncoder(train, "c", "y")
+    val test = Seq("a", "b", "zz").toDF("c")
+    val vals = m.transform(test).orderBy("c").select("c_te").as[Double].collect().toSeq
+    assert(vals(0) == 0.5 && vals(1) == 1.0)
+    assert(math.abs(vals(2) - 2.0 / 3.0) < 1e-9) // prior
+  }
+
+  test("stratified split preserves class ratio (fixed reference bug)") {
+    val df = (1 to 1000).map(i => (i, if (i % 5 == 0) 1 else 0)).toDF("id", "y")
+    val (train, test) = Sampling.stratifiedSplit(df, "y", 0.3, seed = 7)
+    assert(train.count() + test.count() == 1000)
+    val testPosShare = test.filter(col("y") === 1).count().toDouble / test.count()
+    assert(math.abs(testPosShare - 0.2) < 0.06) // class ratio survives the split
+  }
+
+  test("regression metrics formulas on a hand-computed frame") {
+    val df = Seq((1.0, 2.0), (2.0, 2.0), (4.0, 3.0)).toDF("y", "yhat")
+    val r = Metrics.regressionMetrics(df, "y", "yhat").head()
+    assert(math.abs(r.getAs[Double]("mae") - (1.0 + 0.0 + 1.0) / 3) < 1e-6)
+    assert(math.abs(r.getAs[Double]("wmape") - 2.0 / 7.0) < 1e-6)
+    assert(math.abs(r.getAs[Double]("rmse") - math.sqrt(2.0 / 3.0)) < 1e-6)
+  }
+
+  test("binary metrics at threshold on a hand-computed frame") {
+    val df = Seq((0.9, 1.0), (0.8, 0.0), (0.3, 1.0), (0.1, 0.0)).toDF("score", "label")
+    val r = Metrics.binaryMetricsAtThreshold(df, "score", "label", 0.5).head()
+    assert(r.getAs[Long]("tp") == 1 && r.getAs[Long]("fp") == 1)
+    assert(r.getAs[Long]("tn") == 1 && r.getAs[Long]("fn") == 1)
+    assert(r.getAs[Double]("accuracy") == 0.5)
+  }
+
+  test("iv: separable feature scores higher than noise") {
+    val df = (1 to 500).map { i =>
+      val y = if (i % 2 == 0) 1.0 else 0.0
+      (y * 10 + i % 3, (i % 7).toDouble, y)
+    }.toDF("good", "noise", "y")
+    val iv = InformationValue.ivTable(df, Seq("good", "noise"), "y", 5, exact = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(iv("good") > 1.0)
+    assert(iv("good") > iv("noise") * 10)
+  }
+
+  test("setAnalyse counts on known sets") {
+    val a = Seq(1, 2, 3, 4).toDF("k")
+    val b = Seq(3, 4, 5).toDF("k")
+    val r = Profile.setAnalyse(a, b, "k").head()
+    assert(r.getAs[Long]("a_minus_b") == 2)
+    assert(r.getAs[Long]("b_minus_a") == 1)
+    assert(r.getAs[Long]("a_intersect_b") == 2)
+    assert(r.getAs[Long]("a_union_b") == 5)
+  }
+
+  test("fitOneHot caps category collection") {
+    val df = (1 to 50).map(i => s"cat_$i").toDF("c")
+    intercept[IllegalArgumentException] {
+      Encoding.fitOneHot(df, "c", maxCategories = 10)
+    }
+  }
+
+  test("thresholdMetrics equals per-threshold single computation") {
+    val df = Seq((0.9, 1.0), (0.8, 0.0), (0.6, 1.0), (0.3, 1.0), (0.1, 0.0)).toDF("score", "label")
+    val multi = Metrics.thresholdMetrics(df, "score", "label", Seq(0.5))
+      .select("tp", "fp", "tn", "fn").head()
+    val single = Metrics.binaryMetricsAtThreshold(df, "score", "label", 0.5)
+      .select("tp", "fp", "tn", "fn").head()
+    assert(multi == single)
+  }
+}

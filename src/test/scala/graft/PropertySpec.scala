@@ -1,0 +1,63 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.features.{OutlierTreatment, RuleImputer}
+import graft.sampling.Sampling
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** ScalaCheck-generator invariants (SURVEY §5 layer 2), sampled with fixed
+  * seeds and checked in a plain loop (the scalatest+scalacheck bridge isn't
+  * in the offline dependency cache). Samples are few — each materializes
+  * Spark jobs. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("property: capping never leaves values outside bounds") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(-1000.0, 1000.0)).suchThat(_.size >= 4)
+    samples(gen, 5).foreach { xs =>
+      val df = xs.toDF("x")
+      val m = OutlierTreatment.fit(df, Seq("x"), exact = true)
+      val b = m.bounds("x")
+      val out = m.cap(df).agg(min("x"), max("x")).head()
+      assert(out.getDouble(0) >= b.lower - 1e-9, s"input $xs")
+      assert(out.getDouble(1) <= b.upper + 1e-9, s"input $xs")
+    }
+  }
+
+  test("property: imputation leaves no nulls") {
+    val gen = Gen.listOf(Gen.option(Gen.choose(-100.0, 100.0))).suchThat(_.exists(_.isDefined))
+    samples(gen, 5).foreach { xs =>
+      val df = xs.toDF("x")
+      val m = RuleImputer.fit(df, Map("x" -> RuleImputer.Mean))
+      assert(m.transform(df).filter(col("x").isNull || isnan(col("x"))).count() == 0, s"input $xs")
+    }
+  }
+
+  test("property: train/test split partitions the frame") {
+    val gen = for {
+      n <- Gen.choose(50, 300)
+      p <- Gen.choose(0.1, 0.5)
+    } yield (n, p)
+    samples(gen, 5).foreach { case (n, p) =>
+      val df = (1 to n).map(i => (i, i % 3)).toDF("id", "y")
+      val (tr, te) = Sampling.trainTestSplit(df, p, seed = 1)
+      assert(tr.count() + te.count() == n)
+      assert(tr.join(te, "id").count() == 0)
+    }
+  }
+
+  test("property: exact dedup is idempotent and content-complete") {
+    val gen = Gen.nonEmptyListOf(Gen.oneOf("aa bb", "cc dd", "ee ff", "gg hh"))
+    samples(gen, 5).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val once = Dedup.exactDedup(df, "doc_id", "text")
+      assert(Dedup.exactDedup(once, "doc_id", "text").count() == once.count())
+      assert(once.count() == texts.distinct.size)
+    }
+  }
+}
