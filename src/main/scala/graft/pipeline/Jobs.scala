@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import graft.config.Context
+
+/** Processor registry + declarative job planner + sequential fail-safe
+  * runner (reference: src/ta_lib/pyspark/processors.py:32-47 decorator
+  * registry, job_planner.py:8-47, job_runner.py:51-78 — the reference's
+  * "joblib" docstring notwithstanding, execution is sequential there too).
+  */
+object Jobs {
+
+  type Processor = (Context, Map[String, Any]) => Unit
+
+  private val registry = scala.collection.mutable.LinkedHashMap[(String, String), Processor]()
+
+  /** Register a processor for (job, task) — the @register_processor
+    * equivalent. */
+  def register(job: String, task: String)(p: Processor): Unit =
+    registry.put((job, task), p)
+
+  def processor(job: String, task: String): Processor =
+    registry.getOrElse(
+      (job, task),
+      throw new IllegalArgumentException(
+        s"no processor for job '$job' task '$task'; known: ${registry.keys.mkString(", ")}"))
+
+  final case class TaskPlan(name: String, params: Map[String, Any])
+  final case class StagePlan(name: String, tasks: List[TaskPlan])
+  final case class JobPlan(name: String, stages: List[StagePlan])
+
+  /** job_catalog tree → ordered plans (reference: job_planner.py:8-47). */
+  def plan(ctx: Context, jobName: String): List[JobPlan] = {
+    val jobs = Context
+      .dig(ctx.config, "job_catalog.jobs")
+      .map(_.asInstanceOf[List[Map[String, Any]]])
+      .getOrElse(Nil)
+    val selected = if (jobName == "all") jobs else jobs.filter(_.get("name").contains(jobName))
+    if (selected.isEmpty)
+      throw new IllegalArgumentException(s"no job '$jobName' in job_catalog")
+    selected.map { j =>
+      val stages = j.getOrElse("stages", Nil).asInstanceOf[List[Map[String, Any]]].map { s =>
+        val tasks = s.getOrElse("tasks", Nil).asInstanceOf[List[Map[String, Any]]].map { t =>
+          TaskPlan(
+            t("name").toString,
+            t.getOrElse("params", Map.empty[String, Any]).asInstanceOf[Map[String, Any]])
+        }
+        StagePlan(s("name").toString, tasks)
+      }
+      JobPlan(j("name").toString, stages)
+    }
+  }
+
+  /** Sequential execution; a failing task is reported and does not abort
+    * the run (reference _safe_runner, job_runner.py:51-61) unless
+    * failFast. Returns the failed (job, stage, task) triples. */
+  def run(ctx: Context, jobName: String, failFast: Boolean = false): Seq[(String, String, String)] = {
+    val failures = scala.collection.mutable.ListBuffer[(String, String, String)]()
+    plan(ctx, jobName).foreach { job =>
+      job.stages.foreach { stage =>
+        stage.tasks.foreach { task =>
+          val t0 = System.nanoTime()
+          try {
+            processor(job.name, task.name)(ctx, task.params)
+            println(f"[graft] ${job.name}/${stage.name}/${task.name} ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+          } catch {
+            case e: Throwable =>
+              failures += ((job.name, stage.name, task.name))
+              System.err.println(s"[graft] ${job.name}/${stage.name}/${task.name} FAILED: ${e.getMessage}")
+              if (failFast) throw e
+          }
+        }
+      }
+    }
+    failures.toSeq
+  }
+}

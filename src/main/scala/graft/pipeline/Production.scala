@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import graft.config.Context
+import graft.dp.Cleaning
+import graft.eval.Metrics
+import graft.io.Tables
+import graft.model.Training
+import org.apache.spark.sql.functions._
+
+/** The four production jobs of the reference's job catalog re-targeted at
+  * the testdata schemas (reference: production/{data_cleaning,
+  * feature_engineering,training,scoring}.py; jobs wired per
+  * production/conf/job_catalog/local.yml: data-cleaning →
+  * feature-engineering → model-gen → model-eval). */
+object Production {
+
+  private def featureCols = Seq(
+    "c_acctbal", "last_click_date_diff", "total_click_value",
+    "last_view_date_diff", "total_view_value",
+    "last_purchase_date_diff", "total_purchase_value")
+
+  def registerAll(): Unit = {
+    Jobs.register("data-cleaning", "clean-tables") { (ctx, _) =>
+      val s = ctx.spark
+      // snake_case + dedup + string scrub, written to the clean zone
+      Seq("customer", "orders").foreach { name =>
+        val df = Tables.readData(s, Seq(ctx.dataPath(s"raw.$name")))
+        val cleaned = Cleaning.dropDuplicateRows(Cleaning.cleanColumns(df))
+        Tables.saveData(cleaned, ctx.dataPath(s"clean.$name"))
+      }
+      val ev = Tables.readData(s, Seq(ctx.dataPath("raw.events")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      Tables.saveData(
+        Cleaning.dropDuplicateRows(Cleaning.cleanColumns(ev)),
+        ctx.dataPath("clean.events"))
+    }
+
+    Jobs.register("feature-engineering", "build-features") { (ctx, _) =>
+      val s = ctx.spark
+      val refDate = ctx.string("core.reference_date")
+      val lblRef = ctx.string("core.label_reference_date")
+      val windowDays = ctx.string("core.num_days_prediction", "90").toInt
+      val ev = Tables.readData(s, Seq(ctx.dataPath("clean.events")))
+        .withColumnRenamed("user_id", "c_custkey")
+      def src(tpe: String) =
+        FeatureEngineering.recencyTotals(
+          ev.filter(col("event_type") === tpe), "c_custkey", "ts", "value", refDate, tpe)
+      val label = FeatureEngineering.labelTable(
+        Tables.readData(s, Seq(ctx.dataPath("clean.orders"))),
+        "o_custkey", "o_orderdate", lblRef, windowDays)
+      val merged = FeatureEngineering.merge(
+        Tables.readData(s, Seq(ctx.dataPath("clean.customer")))
+          .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment")),
+        "c_custkey",
+        Seq(src("click"), src("view"), src("purchase")),
+        label, "o_custkey")
+      Tables.saveData(merged.na.fill(0), ctx.dataPath("processed.features"))
+    }
+
+    Jobs.register("model-gen", "train") { (ctx, params) =>
+      val s = ctx.spark
+      val df = Tables.readData(s, Seq(ctx.dataPath("processed.features")))
+      val modelName = params.getOrElse("model", "logistic_regression").toString
+      val model = Training.train(df, "target_var", featureCols, modelName)
+      Training.saveModel(model, ctx.dataPath("models.classifier"))
+    }
+
+    Jobs.register("model-eval", "score-and-report") { (ctx, _) =>
+      val s = ctx.spark
+      val df = Tables.readData(s, Seq(ctx.dataPath("processed.features")))
+      val model = Training.loadModel(ctx.dataPath("models.classifier"))
+      val scored = Training.score(model, df)
+      Tables.saveData(
+        scored.select("c_custkey", "target_var", "score"),
+        ctx.dataPath("processed.predictions"))
+      val metricTable = Metrics.binaryMetricsAtThreshold(scored, "score", "target_var", 0.5)
+      Tables.saveData(metricTable, ctx.dataPath("processed.metrics"))
+    }
+  }
+}
