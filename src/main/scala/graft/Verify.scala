@@ -16,6 +16,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // oracle mode: percentile-based queries run exact so they hash-match
+    // DuckDB's quantile_cont (production default is the approx sketch)
+    graft.queries.Support.oracleMode = true
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -49,11 +49,14 @@ object Dedup {
   }
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over shingle hashes. Pure expression — one projection. */
-  def minhashSignature(c: Column, k: Int = 3, numHashes: Int = 32): Column = {
-    val sh = shingles(c, k)
-    array((0 until numHashes).map(i => array_min(transform(sh, s => xxhash64(lit(i), s)))): _*)
-  }
+    * the min over shingle hashes — one native-loop expression per row
+    * (graft.expressions.ShingleMinHash; the k × array_min(transform(...))
+    * formulation paid interpreted-lambda cost per shingle × hash). */
+  def minhashSignature(c: Column, k: Int = 3, numHashes: Int = 32): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ShingleMinHash(
+        org.apache.spark.sql.graft.Bridge.expression(shingles(c, k)),
+        numHashes))
 
   /** Candidate near-dup pairs via banded LSH over the MinHash signature.
     *
@@ -73,10 +76,26 @@ object Dedup {
       shingleK: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 2,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    candidatesFromShingled(
+      df.select(col(idCol), shingles(col(textCol), shingleK).as("__sh")),
+      idCol, bands, rowsPerBand, maxBucket)
+
+  /** Candidate pairs from a pre-shingled (id, __sh) frame — lets callers
+    * compute the (interpreted, expensive) shingle arrays once and reuse
+    * them for signature AND verification. */
+  private def candidatesFromShingled(
+      shingled: DataFrame,
+      idCol: String,
+      bands: Int,
+      rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = minhashSignature(col(textCol), shingleK, numHashes)
-    val banded = df
+    val sig = org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ShingleMinHash(
+        org.apache.spark.sql.graft.Bridge.expression(col("__sh")),
+        numHashes))
+    val banded = shingled
       .select(col(idCol), sig.as("__sig"))
       .select(
         col(idCol),
@@ -99,7 +118,10 @@ object Dedup {
       .distinct()
   }
 
-  /** Near-dup pairs: LSH candidates verified by true n-gram Jaccard. */
+  /** Near-dup pairs: LSH candidates verified by true n-gram Jaccard. The
+    * shingle frame is computed once and persisted across the signature and
+    * verification passes (3× recompute otherwise); callers running many
+    * passes over the same corpus can pre-persist their own frame. */
   def minhashNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -108,8 +130,10 @@ object Dedup {
       shingleK: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 2): DataFrame = {
-    val cands = minhashCandidatePairs(df, idCol, textCol, shingleK, bands, rowsPerBand)
-    val sh = df.select(col(idCol), shingles(col(textCol), shingleK).as("__sh"))
+    val sh = df
+      .select(col(idCol), shingles(col(textCol), shingleK).as("__sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = candidatesFromShingled(sh, idCol, bands, rowsPerBand, maxBucket = 1000)
     cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
@@ -123,20 +147,10 @@ object Dedup {
 
   /** 64-bit SimHash over whitespace tokens: bit i is the sign of the sum of
     * ±1 votes from each token hash's bit i. Pure expression. */
-  def simhash64(c: Column): Column = {
-    val hashes = transform(split(lower(trim(c)), "\\s+"), t => xxhash64(t))
-    // one ±1-vote aggregate per bit (literal bit positions keep the shift
-    // operators in codegen); OR of the sign bits forms the signature
-    val bits = (0 until 64).map { i =>
-      when(
-        aggregate(
-          hashes,
-          lit(0L),
-          (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
-        lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  def simhash64(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.SimHash64Expr(
+        org.apache.spark.sql.graft.Bridge.expression(split(lower(trim(c)), "\\s+"))))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -21,14 +21,14 @@ object FeatureQueries {
     "outlier_bounds" -> { (s, dir) =>
       val df = t(s, dir, "lineitem")
       OutlierTreatment
-        .fit(df, Seq("l_quantity", "l_extendedprice", "l_discount"), exact = true)
+        .fit(df, Seq("l_quantity", "l_extendedprice", "l_discount"), exact = Support.exact)
         .boundsTable(df)
         .select(col("column"), r6(col("lower_bound")).as("lower_bound"), r6(col("upper_bound")).as("upper_bound"))
         .orderBy(col("column"))
     },
     "outlier_cap_stats" -> { (s, dir) =>
       val df = t(s, dir, "lineitem")
-      val m = OutlierTreatment.fit(df, Seq("l_extendedprice"), exact = true)
+      val m = OutlierTreatment.fit(df, Seq("l_extendedprice"), exact = Support.exact)
       m.cap(df).agg(
         r6(avg(col("l_extendedprice"))).as("avg_capped"),
         r6(min(col("l_extendedprice"))).as("min_capped"),
@@ -37,7 +37,7 @@ object FeatureQueries {
     },
     "outlier_drop_stats" -> { (s, dir) =>
       val df = t(s, dir, "lineitem")
-      val m = OutlierTreatment.fit(df, Seq("l_extendedprice"), exact = true)
+      val m = OutlierTreatment.fit(df, Seq("l_extendedprice"), exact = Support.exact)
       m.drop(df).agg(
         count(lit(1)).as("n"),
         r6(avg(col("l_extendedprice"))).as("avg_kept"))
@@ -61,7 +61,7 @@ object FeatureQueries {
     },
     "binning_quantile" -> { (s, dir) =>
       val df = t(s, dir, "lineitem")
-      val m = Binning.fitQuantile(df, Seq("l_extendedprice"), 5, exact = true)
+      val m = Binning.fitQuantile(df, Seq("l_extendedprice"), 5, exact = Support.exact)
       m.transform(df)
         .groupBy(col("l_extendedprice_bin"))
         .agg(count(lit(1)).as("n"))
@@ -104,7 +104,7 @@ object FeatureQueries {
         .agg(
           r6(min(col("l_quantity_scaled"))).as("min_s"),
           r6(max(col("l_quantity_scaled"))).as("max_s"),
-          r6(graft.Exprs.pct(col("l_quantity_scaled"), 0.5, exact = true)).as("med_s"))
+          r6(graft.Exprs.pct(col("l_quantity_scaled"), 0.5, exact = Support.exact)).as("med_s"))
     },
     "scaling_standard" -> { (s, dir) =>
       val df = t(s, dir, "lineitem")
@@ -130,7 +130,7 @@ object FeatureQueries {
       val df = t(s, dir, "lineitem")
         .withColumn("y", when(col("l_returnflag") === "R", 1.0).otherwise(0.0))
       InformationValue
-        .ivTable(df, Seq("l_quantity", "l_extendedprice", "l_discount"), "y", 5, exact = true)
+        .ivTable(df, Seq("l_quantity", "l_extendedprice", "l_discount"), "y", 5, exact = Support.exact)
         .orderBy(col("feature"))
     })
 

@@ -23,7 +23,7 @@ object ProfileQueries {
         .outlierCounts(
           t(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount"),
-          exact = true)
+          exact = Support.exact)
         .orderBy(col("column"))
     },
     "describe_numeric" -> { (s, dir) =>
@@ -31,7 +31,7 @@ object ProfileQueries {
         .describeData(
           t(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount"),
-          exact = true)
+          exact = Support.exact)
         .orderBy(col("column"))
     },
     "describe_categorical" -> { (s, dir) =>

@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object Support {
 
+  /** true only under graft.Verify: percentile-based queries run EXACT so
+    * results hash-match the DuckDB oracle. Everywhere else (bench,
+    * production) they run the default mergeable approx sketch — the plan
+    * that survives 100 TB (see DIVERGENCES.md #7). */
+  @volatile var oracleMode: Boolean = false
+
+  def exact: Boolean = oracleMode
+
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 

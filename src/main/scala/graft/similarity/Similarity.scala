@@ -21,12 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Double-precision dot product of two float-array columns. */
+  import graft.expressions.ArrayDot
+  import org.apache.spark.sql.graft.Bridge
+
+  /** Double-precision dot product — a codegen'd custom Expression. The
+    * higher-order-function formulation (aggregate ∘ zip_with) runs as
+    * interpreted lambdas and is ~1000× slower per element. */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    Bridge.column(ArrayDot(
+      Bridge.expression(a.cast("array<double>")),
+      Bridge.expression(b.cast("array<double>"))))
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -41,15 +45,21 @@ object Similarity {
       vecCol: String,
       queryIdCol: String,
       k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(queryIdCol).as("query_id"), col(vecCol).as("__qv")))
+    // norms are computed ONCE per row on each side (higher-order-function
+    // folds don't codegen — per-pair norm recomputation tripled the work)
+    val q = broadcast(
+      queries.select(
+        col(queryIdCol).as("query_id"),
+        col(vecCol).as("__qv"),
+        l2Norm(col(vecCol)).as("__qn")))
     val scored = corpus
-      .select(col(idCol), col(vecCol).as("__cv"))
+      .select(col(idCol), col(vecCol).as("__cv"), l2Norm(col(vecCol)).as("__cn"))
       .crossJoin(q)
       .filter(col(idCol) =!= col("query_id"))
       .select(
         col("query_id"),
         col(idCol),
-        round(cosine(col("__cv"), col("__qv")), 6).as("cosine"))
+        round(dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol).asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -57,19 +67,21 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
   }
 
-  /** Deterministic ±1 hyperplane component for (table, bit, dim). */
-  private def rademacher(table: Int, bit: Int, dim: Column): Column =
-    when(xxhash64(lit(table), lit(bit), dim).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)
+  /** Deterministic ±1 Rademacher plane for (table, bit): component j is the
+    * parity of a driver-side hash — no runtime randomness, no model state,
+    * and the projection is ONE codegen'd dot against a literal array. */
+  private def plane(table: Int, bit: Int, dim: Int): Seq[Double] =
+    (0 until dim).map { j =>
+      if ((scala.util.hashing.MurmurHash3.productHash((table, bit, j)) & 1) == 1) 1.0 else -1.0
+    }
 
-  /** b-bit sign signature of a vector under table t's Rademacher planes. */
-  def lshSignature(vec: Column, table: Int, bits: Int): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
+  /** b-bit sign signature of a vector under table t's Rademacher planes.
+    * `dim` is the plane length; vectors shorter than dim project onto
+    * their own length (ArrayDot iterates the shorter array). */
+  def lshSignature(vec: Column, table: Int, bits: Int, dim: Int = 64): Column = {
     val bitVals = (0 until bits).map { b =>
-      val proj = aggregate(
-        zip_with(vec, dims, (x, i) => x.cast("double") * rademacher(table, b, i)),
-        lit(0.0),
-        (acc, v) => acc + v)
-      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      val proj = dot(vec, typedlit(plane(table, b, dim)))
+      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bitVals.reduce(_ + _)
   }
@@ -91,22 +103,23 @@ object Similarity {
       df.select(
           col(id),
           col(vecCol).as(out),
+          l2Norm(col(vecCol)).as(s"${out}_n"),
           explode(array((0 until tables).map { t =>
             struct(lit(t).as("table"), lshSignature(col(vecCol), t, bits).as("sig"))
           }: _*)).as("ts"))
-        .select(col(id), col(out), col("ts.table"), col("ts.sig"))
+        .select(col(id), col(out), col(s"${out}_n"), col("ts.table"), col("ts.sig"))
     val cSig = signatures(corpus, idCol, "__cv")
     val qSig = broadcast(
       signatures(queries.withColumnRenamed(queryIdCol, "query_id"), "query_id", "__qv"))
     val cands = cSig
       .join(qSig, Seq("table", "sig"))
       .filter(col(idCol) =!= col("query_id"))
-      .select(col("query_id"), col(idCol), col("__cv"), col("__qv"))
+      .select(col("query_id"), col(idCol), col("__cv"), col("__cv_n"), col("__qv"), col("__qv_n"))
       .distinct()
     val scored = cands.select(
       col("query_id"),
       col(idCol),
-      round(cosine(col("__cv"), col("__qv")), 6).as("cosine"))
+      round(dot(col("__cv"), col("__qv")) / (col("__cv_n") * col("__qv_n")), 6).as("cosine"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol).asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -126,17 +139,19 @@ object Similarity {
     val sigs = corpus.select(
       col(idCol),
       col(vecCol).as("__v"),
+      l2Norm(col(vecCol)).as("__n"),
       explode(array((0 until tables).map { t =>
         struct(lit(t).as("table"), lshSignature(col(vecCol), t, bits).as("sig"))
       }: _*)).as("ts"))
-      .select(col(idCol), col("__v"), col("ts.table"), col("ts.sig"))
-    val l = sigs.select(col("table"), col("sig"), col(idCol).as("id_a"), col("__v").as("va"))
-    val r = sigs.select(col("table"), col("sig"), col(idCol).as("id_b"), col("__v").as("vb"))
+      .select(col(idCol), col("__v"), col("__n"), col("ts.table"), col("ts.sig"))
+    val l = sigs.select(col("table"), col("sig"), col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na"))
+    val r = sigs.select(col("table"), col("sig"), col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
     l.join(r, Seq("table", "sig"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .select(col("id_a"), col("id_b"), col("va"), col("na"), col("vb"), col("nb"))
       .distinct()
-      .select(col("id_a"), col("id_b"), round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Wraps a raw Catalyst Expression into a Column. Spark 4 made the
+  * Expression→Column constructor private[sql]; this one-liner lives under
+  * the org.apache.spark.sql package solely to re-export it for graft's
+  * custom expressions (graft.expressions.*). No Spark internals are
+  * modified. */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
