@@ -37,6 +37,33 @@ object Profile {
     unpivotRow(df.agg(aggs.head, aggs.tail: _*), cs, "column", "missing_count")
   }
 
+  /** Bucketed missing-value summary: columns grouped into missing-ratio
+    * buckets (reference: eda.py:244-307 `missing_value_summary` /
+    * `missing_plot` — the reference builds this in pandas; here the same
+    * single missing-count pass feeds a bucket label projection). */
+  def missingValueSummary(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val cs = if (cols.isEmpty) df.columns.toSeq else cols
+    val aggs = cs.map(c => sum(when(missing(df, c), 1L).otherwise(0L)).as(c)) :+
+      count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cs.map { c =>
+      struct(
+        lit(c).as("column"),
+        col(c).as("missing_count"),
+        round(col(c) * 100.0 / col("__n"), 4).as("missing_pct"))
+    }
+    val long = row
+      .select(explode(array(stacked: _*)).as("s"))
+      .select(col("s.column"), col("s.missing_count"), col("s.missing_pct"))
+    long.withColumn(
+      "bucket",
+      when(col("missing_pct") === 0.0, "none")
+        .when(col("missing_pct") < 5.0, "low (<5%)")
+        .when(col("missing_pct") < 25.0, "moderate (<25%)")
+        .when(col("missing_pct") < 50.0, "high (<50%)")
+        .otherwise("critical (>=50%)"))
+  }
+
   /** dtype + distinct count + distinct%% per column
     * (reference: eda.py:57-82 `column_values_summary`). */
   def columnValuesSummary(df: DataFrame): DataFrame = {

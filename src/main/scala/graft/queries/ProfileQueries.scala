@@ -12,6 +12,15 @@ object ProfileQueries {
     "missing_counts" -> { (s, dir) =>
       Profile.missingValueCounts(t(s, dir, "customer")).orderBy(col("column"))
     },
+    "missing_summary" -> { (s, dir) =>
+      // inject nulls so the buckets are non-trivial
+      Profile
+        .missingValueSummary(
+          t(s, dir, "customer").withColumn(
+            "c_acctbal",
+            when(col("c_custkey") % 3 === 0, lit(null)).otherwise(col("c_acctbal"))))
+        .orderBy(col("column"))
+    },
     "column_summary" -> { (s, dir) =>
       Profile.columnValuesSummary(t(s, dir, "customer")).orderBy(col("column"))
     },
@@ -86,6 +95,20 @@ object ProfileQueries {
        |                avg($c) AS m, stddev($c) AS sd FROM lineitem)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "missing_summary" ->
+      """SELECT "column", missing_count, missing_pct,
+        |  CASE WHEN missing_pct = 0.0 THEN 'none'
+        |       WHEN missing_pct < 5.0 THEN 'low (<5%)'
+        |       WHEN missing_pct < 25.0 THEN 'moderate (<25%)'
+        |       WHEN missing_pct < 50.0 THEN 'high (<50%)'
+        |       ELSE 'critical (>=50%)' END AS bucket
+        |FROM (
+        |  SELECT 'c_custkey' AS "column", CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count, round(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) * 100.0 / count(*), 4) AS missing_pct FROM customer
+        |  UNION ALL SELECT 'c_name', CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT), round(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) * 100.0 / count(*), 4) FROM customer
+        |  UNION ALL SELECT 'c_nationkey', CAST(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), round(sum(CASE WHEN c_nationkey IS NULL THEN 1 ELSE 0 END) * 100.0 / count(*), 4) FROM customer
+        |  UNION ALL SELECT 'c_acctbal', CAST(sum(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT), round(sum(CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END) * 100.0 / count(*), 4) FROM customer
+        |  UNION ALL SELECT 'c_mktsegment', CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT), round(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) * 100.0 / count(*), 4) FROM customer)
+        |ORDER BY "column"""".stripMargin,
     "missing_counts" ->
       """SELECT * FROM (
         |  SELECT 'c_custkey' AS "column", CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS missing_count FROM customer

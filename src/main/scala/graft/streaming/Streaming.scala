@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming variants of the engine's core operators — the
+  * reference is batch-only (SURVEY §1: Window imported but never called),
+  * so this is a capability extension for continuous training-data
+  * ingestion: the same event schema as the batch `events` table, processed
+  * incrementally.
+  *
+  * Scale design: watermarks bound all state; windowed aggregates are
+  * partial-aggregated before shuffle exactly like their batch forms;
+  * session state is per-key and evicted on processing-time timeout.
+  */
+object Streaming {
+
+  final case class Event(user_id: Long, event_type: String, ts: java.sql.Timestamp, value: Double)
+  final case class Session(user_id: Long, n_events: Long, total_value: Double, last_type: String)
+
+  /** Tumbling-window per-type counts + value sums with a watermark — the
+    * streaming form of the batch date_filter/groupBy-count queries. */
+  def windowedEventCounts(
+      events: DataFrame,
+      windowLen: String = "1 minute",
+      watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Streaming exact dedup on a business key within the watermark horizon
+    * (the streaming form of Dedup.exactDedup — state is bounded by the
+    * watermark, not the stream length). */
+  def streamingDedup(
+      events: DataFrame,
+      keyCols: Seq[String],
+      watermark: String = "2 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Per-user running session via mapGroupsWithState: event count, value
+    * total, last event type. With timeoutMs > 0, state is evicted after
+    * that much processing-time inactivity (bounded state at scale);
+    * timeoutMs <= 0 keeps state indefinitely (testing/small key spaces). */
+  def sessionize(events: Dataset[Event], timeoutMs: Long = 60000L): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[Session, Session](timeoutConf) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[Session]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            s
+          } else {
+            val events = batch.toSeq
+            val prev = state.getOption.getOrElse(Session(userId, 0L, 0.0, ""))
+            val next = Session(
+              userId,
+              prev.n_events + events.size,
+              prev.total_value + events.map(_.value).sum,
+              events.sortBy(_.ts.getTime).lastOption.map(_.event_type).getOrElse(prev.last_type))
+            state.update(next)
+            if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+            next
+          }
+      }
+  }
+
+  /** File-source reader for the canonical event schema (parquet dir →
+    * stream), ready for the transforms above. */
+  def readEventStream(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.readStream
+      .schema("user_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE")
+      .parquet(path)
+
+  /** Parquet sink with checkpointing; returns the started query. */
+  def writeParquetStream(df: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", path)
+      .start()
+}

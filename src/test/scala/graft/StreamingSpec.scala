@@ -1,0 +1,69 @@
+package graft
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import java.sql.Timestamp
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$sec%02d")
+
+  test("windowed event counts aggregate per tumbling window with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streaming
+      .windowedEventCounts(input.toDF(), "1 minute", "2 minutes")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(
+      Event(1, "click", ts(0, 10), 1.0),
+      Event(2, "click", ts(0, 40), 2.0),
+      Event(1, "view", ts(1, 5), 3.0))
+    query.processAllAvailable()
+    val rows = spark.table("win_counts")
+      .selectExpr("event_type", "n", "total_value").as[(String, Long, Double)]
+      .collect().toSet
+    query.stop()
+    assert(rows.contains(("click", 2L, 3.0)))
+    assert(rows.contains(("view", 1L, 3.0)))
+  }
+
+  test("streaming dedup drops duplicate keys within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streaming
+      .streamingDedup(input.toDF(), Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      Event(1, "click", ts(0), 1.0),
+      Event(1, "click", ts(0, 30), 9.0), // dup key inside watermark
+      Event(1, "view", ts(0, 40), 2.0))
+    query.processAllAvailable()
+    val n = spark.table("dedup_stream").count()
+    query.stop()
+    assert(n == 2)
+  }
+
+  test("sessionize accumulates per-user state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streaming
+      .sessionize(input.toDS(), timeoutMs = 0L)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(Event(7, "click", ts(0), 1.0), Event(7, "view", ts(1), 2.0))
+    query.processAllAvailable()
+    input.addData(Event(7, "purchase", ts(2), 4.0))
+    query.processAllAvailable()
+    val last = spark.table("sessions")
+      .selectExpr("user_id", "n_events", "total_value", "last_type")
+      .as[(Long, Long, Double, String)].collect().last
+    query.stop()
+    assert(last == ((7L, 3L, 7.0, "purchase")))
+  }
+}
