@@ -118,10 +118,16 @@ object Dedup {
       .distinct()
   }
 
-  /** Near-dup pairs: LSH candidates verified by true n-gram Jaccard. The
-    * shingle frame is computed once and persisted across the signature and
-    * verification passes (3× recompute otherwise); callers running many
-    * passes over the same corpus can pre-persist their own frame. */
+  /** Near-dup pairs: LSH candidates verified by true n-gram Jaccard.
+    *
+    * Cache lifecycle: this overload is PURE — the shingle expression
+    * appears three times in the plan (signature + both sides of the
+    * verification join), so Catalyst recomputes it per use: three linear
+    * scans, no cached state left behind (an earlier revision persisted the
+    * shingle frame here and leaked MEMORY_AND_DISK blocks for the session
+    * lifetime). Callers amortizing many passes over one corpus should
+    * persist a shingle frame themselves and use
+    * [[minhashNearDupPairsPreShingled]], whose cache they own. */
   def minhashNearDupPairs(
       df: DataFrame,
       idCol: String,
@@ -129,11 +135,23 @@ object Dedup {
       threshold: Double,
       shingleK: Int = 3,
       bands: Int = 16,
-      rowsPerBand: Int = 2): DataFrame = {
-    val sh = df
-      .select(col(idCol), shingles(col(textCol), shingleK).as("__sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = candidatesFromShingled(sh, idCol, bands, rowsPerBand, maxBucket = 1000)
+      rowsPerBand: Int = 2,
+      maxBucket: Int = 1000): DataFrame =
+    minhashNearDupPairsPreShingled(
+      df.select(col(idCol), shingles(col(textCol), shingleK).as("__sh")),
+      idCol, threshold, bands, rowsPerBand, maxBucket)
+
+  /** As [[minhashNearDupPairs]] but over a pre-shingled (id, __sh) frame —
+    * the caller computes (and may persist/unpersist) the shingle arrays,
+    * this function never caches anything itself. */
+  def minhashNearDupPairsPreShingled(
+      sh: DataFrame,
+      idCol: String,
+      threshold: Double,
+      bands: Int = 16,
+      rowsPerBand: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val cands = candidatesFromShingled(sh, idCol, bands, rowsPerBand, maxBucket)
     cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
@@ -155,21 +173,53 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup pairs: candidates bucketed on 16-bit chunks (a pair
-    * within Hamming distance 3 of a 64-bit signature must agree on at least
-    * one of 4 chunks), verified by exact Hamming distance. */
-  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+  /** SimHash near-dup pairs with FULL recall up to `maxHamming`: the 64-bit
+    * signature is cut into `maxHamming + 1` contiguous chunks, so by
+    * pigeonhole any pair within Hamming distance `maxHamming` agrees on at
+    * least one whole chunk — candidates are generated only inside
+    * (chunk, chunk-value) buckets and verified by exact Hamming distance.
+    * (An earlier revision fixed 4×16-bit chunks, which guarantees recall
+    * only for distance ≤ 3 and silently missed pairs at 4..maxHamming.)
+    *
+    * Scale: more chunks ⇒ narrower chunk keys ⇒ bigger buckets — recall is
+    * paid for in candidate volume, so degenerate buckets are capped at
+    * `maxBucket` members (same windowed-count cap as the MinHash path; a
+    * corpus of near-identical texts can't go quadratic). */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(
+      maxHamming >= 0 && maxHamming <= 31,
+      s"maxHamming must be in [0, 31], got $maxHamming — beyond ~31 the " +
+        "chunk keys are too narrow to bucket a 64-bit signature usefully")
+    val chunks = maxHamming + 1
+    // 64 bits split as evenly as possible: the first (64 % chunks) chunks
+    // are one bit wider.
+    val base = 64 / chunks
+    val rem = 64 % chunks
+    val layout = (0 until chunks).map { i =>
+      val width = if (i < rem) base + 1 else base
+      val offset = i * base + math.min(i, rem)
+      (i, offset, width)
+    }
     val sigs = df.select(col(idCol), simhash64(col(textCol)).as("__sig"))
     val chunked = sigs.select(
       col(idCol),
       col("__sig"),
-      explode(array((0 until 4).map { ch =>
-        struct(lit(ch).as("chunk"),
-          shiftright(col("__sig"), ch * 16).bitwiseAND(0xffffL).as("key"))
+      explode(array(layout.map { case (i, offset, width) =>
+        struct(lit(i).as("chunk"),
+          shiftright(col("__sig"), offset).bitwiseAND((1L << width) - 1L).as("key"))
       }: _*)).as("cc"))
       .select(col(idCol), col("__sig"), col("cc.chunk"), col("cc.key"))
-    val l = chunked.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("__sig").as("sig_a"))
-    val r = chunked.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("__sig").as("sig_b"))
+    val capped = chunked
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("chunk"), col("key"))))
+      .filter(col("__n") <= maxBucket)
+      .drop("__n")
+    val l = capped.select(col("chunk"), col("key"), col(idCol).as("id_a"), col("__sig").as("sig_a"))
+    val r = capped.select(col("chunk"), col("key"), col(idCol).as("id_b"), col("__sig").as("sig_b"))
     l.join(r, Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))

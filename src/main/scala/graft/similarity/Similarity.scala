@@ -67,24 +67,19 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
   }
 
-  /** Deterministic ±1 Rademacher plane for (table, bit): component j is the
-    * parity of a driver-side hash — no runtime randomness, no model state,
-    * and the projection is ONE codegen'd dot against a literal array. */
-  private def plane(table: Int, bit: Int, dim: Int): Seq[Double] =
-    (0 until dim).map { j =>
-      if ((scala.util.hashing.MurmurHash3.productHash((table, bit, j)) & 1) == 1) 1.0 else -1.0
-    }
+  /** All `tables` sign signatures of a vector in one native loop
+    * (graft.expressions.RademacherSignatures — the expression-composition
+    * route of tables × bits literal-plane dots generated a projection so
+    * large its background JIT compilation starved the JVM for ~40 s after
+    * the query, inflating the NEXT query in shared-session benchmarks). */
+  def lshSignatures(vec: Column, tables: Int, bits: Int, dim: Int = 64): Column =
+    Bridge.column(graft.expressions.RademacherSignatures(
+      Bridge.expression(vec.cast("array<double>")), tables, bits, dim))
 
-  /** b-bit sign signature of a vector under table t's Rademacher planes.
-    * `dim` is the plane length; vectors shorter than dim project onto
-    * their own length (ArrayDot iterates the shorter array). */
-  def lshSignature(vec: Column, table: Int, bits: Int, dim: Int = 64): Column = {
-    val bitVals = (0 until bits).map { b =>
-      val proj = dot(vec, typedlit(plane(table, b, dim)))
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitVals.reduce(_ + _)
-  }
+  /** b-bit sign signature of a vector under table t's Rademacher planes
+    * (single-table view of [[lshSignatures]]). */
+  def lshSignature(vec: Column, table: Int, bits: Int, dim: Int = 64): Column =
+    element_at(lshSignatures(vec, table + 1, bits, dim), table + 1)
 
   /** LSH-bucketed approximate cosine top-k: candidates are corpus vectors
     * sharing a (table, signature) bucket with the query in any of
@@ -104,10 +99,7 @@ object Similarity {
           col(id),
           col(vecCol).as(out),
           l2Norm(col(vecCol)).as(s"${out}_n"),
-          explode(array((0 until tables).map { t =>
-            struct(lit(t).as("table"), lshSignature(col(vecCol), t, bits).as("sig"))
-          }: _*)).as("ts"))
-        .select(col(id), col(out), col(s"${out}_n"), col("ts.table"), col("ts.sig"))
+          posexplode(lshSignatures(col(vecCol), tables, bits)).as(Seq("table", "sig")))
     val cSig = signatures(corpus, idCol, "__cv")
     val qSig = broadcast(
       signatures(queries.withColumnRenamed(queryIdCol, "query_id"), "query_id", "__qv"))
@@ -140,10 +132,7 @@ object Similarity {
       col(idCol),
       col(vecCol).as("__v"),
       l2Norm(col(vecCol)).as("__n"),
-      explode(array((0 until tables).map { t =>
-        struct(lit(t).as("table"), lshSignature(col(vecCol), t, bits).as("sig"))
-      }: _*)).as("ts"))
-      .select(col(idCol), col("__v"), col("__n"), col("ts.table"), col("ts.sig"))
+      posexplode(lshSignatures(col(vecCol), tables, bits)).as(Seq("table", "sig")))
     val l = sigs.select(col("table"), col("sig"), col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na"))
     val r = sigs.select(col("table"), col("sig"), col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
     l.join(r, Seq("table", "sig"))

@@ -43,6 +43,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(d01 < d04)
   }
 
+  test("minhash near-dup leaves no cached state behind (persist leak fix)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.4).count()
+    assert(spark.sparkContext.getPersistentRDDs.size == before,
+      "minhashNearDupPairs must not leak persisted RDDs into the shared session")
+  }
+
+  test("simhash near-dup has full recall at maxHamming 8 (chunk count derived)") {
+    // 24 mutated copies of a 24-token base: signature distances spread well
+    // past 3, so the old fixed 4x16-bit chunking would drop pairs at 4..8.
+    val base = (0 until 24).map(i => s"tok$i")
+    val muts = (0 until 24).map { m =>
+      val words = base.zipWithIndex.map { case (w, i) =>
+        if ((i * 7 + m * 13) % 9 == 0) s"alt${m}_$i" else w
+      }
+      (m.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sigs = muts.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 8
+    } yield (a, b)).toSet
+    val lsh = Dedup.simhashNearDupPairs(muts, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "test construction must yield pairs within hamming 8")
+    assert(brute.exists { case (a, b) => java.lang.Long.bitCount(sigs(a) ^ sigs(b)) > 3 },
+      "test construction must yield pairs at hamming 4..8 (the old blind spot)")
+    assert(lsh == brute, s"bucketed simhash must equal brute force; missed ${brute -- lsh}")
+  }
+
+  test("simhash rejects maxHamming outside [0, 31]") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 40)
+    }
+  }
+
   test("ngram jaccard: near-dup pair scores high, distinct pair absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.3)
       .select("id_a", "id_b", "jaccard")
