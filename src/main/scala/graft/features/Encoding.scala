@@ -74,17 +74,32 @@ object Encoding {
     OneHotModel(c, cats)
   }
 
-  /** Label (index) encoding by frequency-descending rank, fully distributed
+  /** Label (index) encoding by frequency-descending rank
     * (reference: eda.py:805-827 uses StringIndexer; same ordering rule:
-    * most frequent = 0, ties by value). */
-  def fitLabelEncoding(df: DataFrame, c: String): DataFrame =
-    df.groupBy(col(c))
+    * most frequent = 0, ties by value).
+    *
+    * Like [[fitOneHot]], the category count is CAPPED: the global
+    * `row_number` window funnels the whole frequency frame through one
+    * task, which is fine for true categoricals but would melt on a
+    * high-cardinality column — the distributed TakeOrderedAndProject
+    * `limit` bounds what reaches the window, and the fit fails loudly past
+    * the cap. */
+  def fitLabelEncoding(df: DataFrame, c: String, maxCategories: Int = 10000): DataFrame = {
+    val top = df
+      .groupBy(col(c))
       .agg(count(lit(1)).as("freq"))
-      .select(
-        col(c),
-        (row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(desc("freq"), asc(c))) - 1).as(s"${c}_idx"))
+      .orderBy(desc("freq"), asc(c))
+      .limit(maxCategories + 1)
+    require(
+      top.count() <= maxCategories,
+      s"fitLabelEncoding($c): more than $maxCategories distinct categories — " +
+        "use target/frequency encoding for high-cardinality columns")
+    top.select(
+      col(c),
+      (row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("freq"), asc(c))) - 1).as(s"${c}_idx"))
+  }
 
   def applyLabelEncoding(df: DataFrame, mapping: DataFrame, c: String): DataFrame =
     df.join(broadcast(mapping), Seq(c), "left")

@@ -67,7 +67,10 @@ object InformationValue {
       features: Seq[String],
       target: String,
       buckets: Int = 5,
-      exact: Boolean = true): DataFrame = {
+      // approx by default like every other percentile-learning estimator
+      // (exact `percentile` buffers a whole column per aggregation buffer —
+      // executor OOM at scale, DIVERGENCES.md #7); oracle callers opt in
+      exact: Boolean = false): DataFrame = {
     val edges = fitEdges(df, features, buckets, exact)
     val stacked = features.map { f =>
       struct(

@@ -49,23 +49,26 @@ object FeatureEngineering {
       .withColumn("target_var", lit(1))
   }
 
-  /** Merge: base left-joins each feature table on key, restricted to keys
-    * present in every source (the reference's common-consumer inner joins,
-    * feature_engineering.py:101-109), then label left-join + fill(0). */
+  /** Merge: restrict to keys present in every source (the reference's
+    * common-consumer inner joins, feature_engineering.py:101-109), attach
+    * every feature table, then label left-join + fill(0).
+    *
+    * The common-key restriction is expressed by inner-joining the FULL
+    * feature frames (each aggregate has unique keys, so this adds no row
+    * multiplicity) rather than building a separate keys-only `common` frame
+    * first: that formulation referenced each aggregate twice and Catalyst
+    * re-computed every source's filter+shuffle+agg — six scans of the
+    * biggest tables instead of three. Here each source is aggregated
+    * exactly once (one Exchange per source, asserted in OperatorsSpec). */
   def merge(
       base: DataFrame,
       keyCol: String,
       features: Seq[DataFrame],
       label: DataFrame,
       labelKeyCol: String): DataFrame = {
-    val common = features
-      .map(_.select(col(keyCol)))
-      .reduce((a, b) => a.join(b, Seq(keyCol), "inner"))
-      .distinct()
-    val withFeatures = features.foldLeft(base.join(common, Seq(keyCol), "inner")) {
-      (acc, f) => acc.join(f, Seq(keyCol), "left")
-    }
-    withFeatures
+    val joinedFeatures = features.reduce((a, b) => a.join(b, Seq(keyCol), "inner"))
+    base
+      .join(joinedFeatures, Seq(keyCol), "inner")
       .join(label.withColumnRenamed(labelKeyCol, keyCol), Seq(keyCol), "left")
       .na.fill(0, Seq("target_var"))
   }

@@ -110,13 +110,13 @@ object LlmQueries {
 
   // ---- oracle SQL ----------------------------------------------------------
 
-  private def occ(word: String): String = {
-    val probe = s" $word "
-    s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$probe', ''))) / ${probe.length} AS BIGINT)"
+  /** Token-equality stopword count, mirroring TokenSetCounts: tokenize
+    * trim(lower(text)) on whitespace, count tokens in the word set. */
+  private def scoreSql(lang: String): String = {
+    val words = TextAnalysis.langStopwords(lang)
+    val cond = words.map(w => s"t = '$w'").mkString(" OR ")
+    s"CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> $cond)) AS BIGINT)"
   }
-
-  private def scoreSql(lang: String): String =
-    TextAnalysis.langStopwords(lang).map(occ).mkString(" + ")
 
   private val hanSql =
     "CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS BIGINT)"

@@ -33,17 +33,23 @@ object TextAnalysis {
   def digitRatio(c: Column): Column = charClassRatio(c, "[0-9]")
   def upperRatio(c: Column): Column = charClassRatio(c, "[A-Z]")
 
-  /** Count of non-overlapping occurrences of a literal word (space-padded
-    * match over a space-padded lowercase view, so word boundaries hold). */
-  def wordOccurrences(c: Column, word: String): Column = {
-    val padded = concat(lit(" "), lower(c), lit(" "))
-    val probe = s" $word "
-    // overlapping pads: " a a " contains " a " twice but replace-once-scan
-    // counts via length delta on a non-overlapping basis — consistent on
-    // both engines since the oracle mirrors the same formula
-    ((length(padded) - length(regexp_replace(padded, lit(probe), lit("")))) / probe.length)
-      .cast("long")
-  }
+  /** Lowercased whitespace tokens of a text column — the shared
+    * tokenization for all word-count operators. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Per-set token-hit counts in one pass (native kernel; element i counts
+    * tokens belonging to sets(i)). */
+  def tokenSetCounts(c: Column, sets: Seq[Seq[String]]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.TokenSetCounts(
+        org.apache.spark.sql.graft.Bridge.expression(tokens(c)), sets))
+
+  /** Count of tokens equal to a literal word. (An earlier revision counted
+    * via space-padded regexp_replace — one full-text scan per word, and it
+    * undercounted consecutive repeats, " a a " → 1; token equality is both
+    * the honest count and a single pass.) */
+  def wordOccurrences(c: Column, word: String): Column =
+    element_at(tokenSetCounts(c, Seq(Seq(word))), 1)
 
   /** Stopword sets used for language scoring — small, distinctive. */
   val langStopwords: Map[String, Seq[String]] = Map(
@@ -57,13 +63,23 @@ object TextAnalysis {
     length(c) - length(regexp_replace(c, "[一-鿿]", ""))
 
   /** Per-language stopword-hit scores + detected language (argmax, ties by
-    * language code ascending; 'zh' wins when Han chars dominate). */
+    * language code ascending; 'zh' wins when Han chars dominate).
+    *
+    * One tokenize + one native counting pass for ALL languages (the
+    * stopword counts land in a single intermediate `__sw` column, which
+    * Catalyst keeps un-collapsed because a non-cheap alias referenced
+    * multiple times blocks CollapseProject) — the previous formulation was
+    * one regexp_replace full-text scan per stopword, ~20 scans of every
+    * byte per row. */
   def languageScores(df: DataFrame, textCol: String, out: String = "lang_detected"): DataFrame = {
     val c = col(textCol)
-    val scored = langStopwords.toSeq.sortBy(_._1).foldLeft(df) { case (d, (lang, words)) =>
-      d.withColumn(s"score_$lang", words.map(w => wordOccurrences(c, w)).reduce(_ + _))
+    val sortedLangs = langStopwords.keys.toSeq.sorted
+    val withCounts =
+      df.withColumn("__sw", tokenSetCounts(c, sortedLangs.map(langStopwords)))
+    val scored = sortedLangs.zipWithIndex.foldLeft(withCounts) { case (d, (lang, i)) =>
+      d.withColumn(s"score_$lang", element_at(col("__sw"), i + 1))
     }
-    val withHan = scored.withColumn("score_zh", hanCount(c).cast("long"))
+    val withHan = scored.withColumn("score_zh", hanCount(c).cast("long")).drop("__sw")
     val langs = (langStopwords.keys.toSeq :+ "zh").sorted
     // argmax via a when-chain: first language (asc) with the max score
     val maxScore = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
@@ -79,7 +95,7 @@ object TextAnalysis {
     val lenOk = when(length(c).between(minChars, maxChars), 1.0).otherwise(0.0)
     val punctOk = when(punctRatio(c) < 0.2, 1.0).otherwise(0.0)
     val digitOk = when(digitRatio(c) < 0.3, 1.0).otherwise(0.0)
-    val stopHits = langStopwords("en").map(w => wordOccurrences(c, w)).reduce(_ + _)
+    val stopHits = element_at(tokenSetCounts(c, Seq(langStopwords("en"))), 1)
     val stopOk = when(stopHits > 0, 1.0).otherwise(0.0)
     (lenOk + punctOk + digitOk + stopOk) / 4.0
   }

@@ -129,6 +129,50 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("fitLabelEncoding caps category count like fitOneHot") {
+    val df = (1 to 50).map(i => s"cat_$i").toDF("c")
+    val e = intercept[IllegalArgumentException] {
+      Encoding.fitLabelEncoding(df, "c", maxCategories = 10)
+    }
+    assert(e.getMessage.contains("more than 10 distinct categories"))
+    // under the cap: most-frequent gets index 0
+    val small = (Seq.fill(3)("x") ++ Seq.fill(2)("y") ++ Seq("z")).toDF("c")
+    val idx = Encoding.fitLabelEncoding(small, "c")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(idx == Map("x" -> 0, "y" -> 1, "z" -> 2))
+  }
+
+  test("approx percentile (production path) stays within tolerance of exact") {
+    // the oracle only ever checks the exact twin (Support.oracleMode); this
+    // is the correctness signal for the sketch the bench/production run.
+    // 200k skewed values: n >> the default 10k accuracy so the sketch is
+    // genuinely approximate here.
+    val df = spark.range(200000)
+      .select((col("id") % 1000 + (col("id") % 7) * (col("id") % 13)).cast("double").as("x"))
+    val probes = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    val row = df.agg(
+      Exprs.pctArray(col("x"), probes, exact = true).as("e"),
+      Exprs.pctArray(col("x"), probes, exact = false).as("a"),
+      (max(col("x")) - min(col("x"))).as("range")).head()
+    val ex = row.getSeq[Double](0)
+    val ap = row.getSeq[Double](1)
+    val range = row.getDouble(2)
+    probes.indices.foreach { i =>
+      assert(math.abs(ex(i) - ap(i)) <= 0.01 * range,
+        s"p=${probes(i)}: approx ${ap(i)} vs exact ${ex(i)} beyond 1% of range $range")
+    }
+  }
+
+  test("e1 merge aggregates each event source exactly once (no double-scan)") {
+    // the old keys-only `common` frame referenced every aggregate twice and
+    // Catalyst recomputed each source's filter+shuffle+agg: 6 event scans
+    val plan = graft.queries.PipelineQueries
+      .e1(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan
+    val eventScans = plan.collectLeaves().count(_.output.exists(_.name == "event_type"))
+    assert(eventScans == 3, s"expected 3 event-source scans (one per type), got $eventScans")
+  }
+
   test("thresholdMetrics equals per-threshold single computation") {
     val df = Seq((0.9, 1.0), (0.8, 0.0), (0.6, 1.0), (0.3, 1.0), (0.1, 0.0)).toDF("score", "label")
     val multi = Metrics.thresholdMetrics(df, "score", "label", Seq(0.5))
