@@ -95,6 +95,49 @@ object Metrics {
     res
   }
 
+  /** Full ROC/PR curve point table (reference exports these for plotting,
+    * handy_spark_cd.py:142-187): one row per distinct score threshold
+    * (rounded to `digits` decimals), prediction rule `score >= threshold`,
+    * with tp/fp/tn/fn plus tpr (= recall), fpr and precision.
+    *
+    * Scale design: ONE groupBy over the data learns per-threshold pos/neg
+    * counts; the cumulative sums then run in an unpartitioned window over
+    * the GROUPED frame, which the rounding bounds at ~10^digits + 1 rows
+    * for probability-like scores — the raw data never crosses a global
+    * sort. Curve resolution is the explicit knob: digits=3 → ≤1001 points.
+    */
+  def rocPrCurve(df: DataFrame, scoreCol: String, labelCol: String, digits: Int = 3): DataFrame = {
+    val y = col(labelCol).cast("double")
+    val g = df
+      .groupBy(round(col(scoreCol).cast("double"), digits).as("threshold"))
+      .agg(
+        sum(when(y === 1.0, 1L).otherwise(0L)).as("pos"),
+        sum(when(y === 0.0, 1L).otherwise(0L)).as("neg"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("threshold").desc)
+      .rangeBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    g.select(
+        col("threshold"),
+        sum(col("pos")).over(w).as("tp"),
+        sum(col("neg")).over(w).as("fp"),
+        sum(col("pos")).over(tot).as("__tot_pos"),
+        sum(col("neg")).over(tot).as("__tot_neg"))
+      .select(
+        col("threshold"),
+        col("tp"),
+        col("fp"),
+        (col("__tot_neg") - col("fp")).as("tn"),
+        (col("__tot_pos") - col("tp")).as("fn"),
+        round(when(col("__tot_pos") =!= 0L, col("tp") / col("__tot_pos").cast("double")), 6).as("tpr"),
+        round(when(col("__tot_neg") =!= 0L, col("fp") / col("__tot_neg").cast("double")), 6).as("fpr"),
+        round(col("tp") / (col("tp") + col("fp")).cast("double"), 6).as("precision"))
+  }
+
   /** Per-threshold confusion/precision/recall/f1 curves in ONE aggregate
     * pass over the data — all thresholds' cells are columns of a single
     * wide agg, then unpivoted (reference: handy_spark_cd.py:142-165 scans

@@ -42,10 +42,19 @@ object Training {
 
   /** Score: model.transform + positive-class probability as `score`
     * (replaces the reference's _get_label UDF chain with vector_to_array).
-    */
+    *
+    * P(class 1) is only meaningful as a ranking score for BINARY
+    * probabilistic models — for multiclass estimators (naive_bayes, MLP)
+    * element 2 of the probability vector is just one arbitrary class, and
+    * one_vs_rest emits no probability column at all. Those models fall back
+    * to `score` = raw prediction (the predicted class index). */
   def score(model: PipelineModel, df: DataFrame): DataFrame = {
     val scored = model.transform(df)
-    if (scored.columns.contains("probability"))
+    val isBinaryProb = model.stages.collectFirst {
+      case m: org.apache.spark.ml.classification.ProbabilisticClassificationModel[_, _] =>
+        m.numClasses
+    }.contains(2)
+    if (isBinaryProb && scored.columns.contains("probability"))
       scored.withColumn("score", element_at(vector_to_array(col("probability")), 2))
     else scored.withColumn("score", col("prediction"))
   }

@@ -211,6 +211,28 @@ object Profile {
         count(lit(1)).as("a_union_b"))
   }
 
+  /** Membership drill-down for [[setAnalyse]]: the actual keys per region
+    * (a_only / b_only / both) as (category, key) rows, capped at
+    * `maxKeysPerCategory` smallest keys per region (reference returns the
+    * full Python sets, eda.py:19-51 — unbounded driver memory; here the
+    * output is bounded and never collected). The per-category row_number
+    * window sorts each region in one task (external sort, memory-safe) —
+    * use the counts-only [[setAnalyse]] when the drill-down isn't needed. */
+  def setAnalyseKeys(a: DataFrame, b: DataFrame, keyCol: String, maxKeysPerCategory: Int = 100): DataFrame = {
+    val ka = a.select(col(keyCol).as("__k")).distinct().withColumn("__in_a", lit(1))
+    val kb = b.select(col(keyCol).as("__k")).distinct().withColumn("__in_b", lit(1))
+    val m = ka.join(kb, Seq("__k"), "full_outer")
+      .select(
+        col("__k"),
+        when(col("__in_b").isNull, "a_only")
+          .when(col("__in_a").isNull, "b_only")
+          .otherwise("both").as("category"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("category").orderBy("__k")
+    m.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxKeysPerCategory)
+      .select(col("category"), col("__k").as(keyCol))
+  }
+
   /** Pearson correlation of each feature with a target column, one pass
     * (reference: eda.py:714-802 via assembled-vector Correlation.corr). */
   def correlationWithTarget(df: DataFrame, features: Seq[String], target: String): DataFrame = {

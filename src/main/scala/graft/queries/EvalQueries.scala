@@ -51,6 +51,9 @@ object EvalQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus"), col("o_orderpriority"))
     },
+    "roc_pr_curve" -> { (s, dir) =>
+      Metrics.rocPrCurve(scored(s, dir), "score", "label").orderBy(desc("threshold"))
+    },
     // auROC via native mllib BinaryClassificationMetrics; the oracle is the
     // Mann-Whitney U / average-rank formulation, which equals the trapezoid
     // area over the tie-grouped ROC curve.
@@ -115,6 +118,27 @@ object EvalQueries {
     "crosstab" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
         |GROUP BY 1, 2 ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "roc_pr_curve" ->
+      s"""WITH v AS (${scoredSql}),
+         |g AS (SELECT round(score, 3) AS threshold,
+         |             sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS pos,
+         |             sum(CASE WHEN label = 0.0 THEN 1 ELSE 0 END) AS neg
+         |      FROM v GROUP BY 1),
+         |c AS (SELECT threshold,
+         |             sum(pos) OVER (ORDER BY threshold DESC) AS tp,
+         |             sum(neg) OVER (ORDER BY threshold DESC) AS fp,
+         |             sum(pos) OVER () AS tot_pos,
+         |             sum(neg) OVER () AS tot_neg
+         |      FROM g)
+         |SELECT threshold,
+         |  CAST(tp AS BIGINT) AS tp,
+         |  CAST(fp AS BIGINT) AS fp,
+         |  CAST(tot_neg - fp AS BIGINT) AS tn,
+         |  CAST(tot_pos - tp AS BIGINT) AS fn,
+         |  round(tp / CAST(NULLIF(tot_pos, 0) AS DOUBLE), 6) AS tpr,
+         |  round(fp / CAST(NULLIF(tot_neg, 0) AS DOUBLE), 6) AS fpr,
+         |  round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision
+         |FROM c ORDER BY threshold DESC""".stripMargin,
     "auc_roc" ->
       s"""WITH v AS (${scoredSql}),
          |r AS (SELECT label,

@@ -54,6 +54,13 @@ object ProfileQueries {
         t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
         "c_custkey")
     },
+    "set_analysis_keys" -> { (s, dir) =>
+      Profile.setAnalyseKeys(
+        t(s, dir, "customer").select(col("c_custkey")),
+        t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
+        "c_custkey", maxKeysPerCategory = 50)
+        .orderBy(col("category"), col("c_custkey"))
+    },
     "correlation_with_target" -> { (s, dir) =>
       Profile
         .correlationWithTarget(
@@ -151,6 +158,20 @@ object ProfileQueries {
         |  SELECT 'c_name', CAST(val AS VARCHAR), cnt
         |  FROM (SELECT c_name AS val, count(*) AS cnt FROM customer GROUP BY 1 ORDER BY cnt DESC, val ASC LIMIT 1))
         |ORDER BY "column"""".stripMargin,
+    "set_analysis_keys" ->
+      """WITH ka AS (SELECT DISTINCT c_custkey AS k FROM customer),
+        |     kb AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |     j AS (SELECT ka.k AS ak, kb.k AS bk FROM ka FULL OUTER JOIN kb ON ka.k = kb.k),
+        |     m AS (SELECT COALESCE(ak, bk) AS k,
+        |                  CASE WHEN bk IS NULL THEN 'a_only'
+        |                       WHEN ak IS NULL THEN 'b_only'
+        |                       ELSE 'both' END AS category
+        |           FROM j),
+        |     r AS (SELECT category, k,
+        |                  row_number() OVER (PARTITION BY category ORDER BY k) AS rn
+        |           FROM m)
+        |SELECT category, k AS c_custkey FROM r WHERE rn <= 50
+        |ORDER BY category, c_custkey""".stripMargin,
     "set_analysis" ->
       """WITH ka AS (SELECT DISTINCT c_custkey AS k FROM customer),
         |     kb AS (SELECT DISTINCT o_custkey AS k FROM orders),

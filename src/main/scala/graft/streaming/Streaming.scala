@@ -73,12 +73,63 @@ object Streaming {
       }
   }
 
+  /** Closed-session state: running totals plus the latest event time. */
+  final case class OpenSession(
+      user_id: Long, n_events: Long, total_value: Double, last_type: String, last_ts: Long)
+
+  /** Append-mode sessionization: sessions close `gapMs` of EVENT time after
+    * their last event (tracked via the watermark) and are emitted exactly
+    * once — composable with the Append-only parquet sink, unlike
+    * [[sessionize]] whose Update-mode output the file sink rejects at
+    * runtime. State is bounded: every group either updates its timeout
+    * forward or is evicted when the watermark passes it. */
+  def sessionizeAppend(
+      events: Dataset[Event],
+      gapMs: Long = 60000L,
+      watermark: String = "2 minutes"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(s.user_id, s.n_events, s.total_value, s.last_type))
+          } else {
+            val evs = batch.toSeq.sortBy(_.ts.getTime)
+            val prev = state.getOption.getOrElse(OpenSession(userId, 0L, 0.0, "", 0L))
+            val next = OpenSession(
+              userId,
+              prev.n_events + evs.size,
+              prev.total_value + evs.map(_.value).sum,
+              evs.lastOption.map(_.event_type).getOrElse(prev.last_type),
+              math.max(prev.last_ts, evs.lastOption.map(_.ts.getTime).getOrElse(prev.last_ts)))
+            state.update(next)
+            // close when event time advances gapMs past the last event; the
+            // timeout must sit beyond the current watermark, so late state
+            // re-arms relative to it
+            state.setTimeoutTimestamp(
+              math.max(next.last_ts + gapMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** File-source reader for the canonical event schema (parquet dir →
-    * stream), ready for the transforms above. */
+    * stream), ready for the transforms above. The canonical events.parquet
+    * carries TIMESTAMP(NANOS), which graft sessions read as LONG
+    * (spark.sql.legacy.parquet.nanosAsLong) — this reader declares ts as
+    * BIGINT and converts to a microsecond timestamp exactly like the batch
+    * accessor (queries.Support.events); declaring ts TIMESTAMP here would
+    * fail on the canonical files. */
   def readEventStream(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.readStream
-      .schema("user_id BIGINT, event_type STRING, ts TIMESTAMP, value DOUBLE")
+      .schema("user_id BIGINT, event_type STRING, ts BIGINT, value DOUBLE")
       .parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
   /** Parquet sink with checkpointing; returns the started query. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

@@ -41,6 +41,22 @@ class ModelSpec extends SparkSpec {
     assert(direct == viaDisk)
   }
 
+  test("score falls back to prediction for multiclass models") {
+    // 3-class target: P(class 1) is not a ranking score there
+    val df = (1 to 300).map { i =>
+      val x1 = (i % 30).toDouble
+      (x1, (i % 7).toDouble, (x1 / 10).floor)
+    }.toDF("x1", "x2", "label")
+    val model = Training.train(df, "label", Seq("x1", "x2"), "decision_tree_classifier")
+    val scored = Training.score(model, df)
+    val distinct = scored.select("score").distinct().as[Double].collect().toSet
+    assert(distinct.subsetOf(Set(0.0, 1.0, 2.0)), s"multiclass score must be the class index, got $distinct")
+    // binary model still scores with P(class 1): continuous values in (0,1)
+    val bin = Training.score(Training.train(trainFrame, "label", Seq("x1", "x2")), trainFrame)
+    val s = bin.select("score").as[Double].collect()
+    assert(s.exists(v => v > 0.0 && v < 1.0))
+  }
+
   test("generate_features_vector picks numeric non-label columns") {
     val df = Seq((1.0, 2.0, "a", 0.0)).toDF("x1", "x2", "c", "label")
     val out = Features.generateFeaturesVector(df, "label")

@@ -122,6 +122,14 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("a_union_b") == 5)
   }
 
+  test("setAnalyseKeys returns capped per-category membership lists") {
+    val a = Seq(1, 2, 3, 4).toDF("k")
+    val b = Seq(3, 4, 5).toDF("k")
+    val rows = Profile.setAnalyseKeys(a, b, "k", maxKeysPerCategory = 2)
+      .orderBy("category", "k").as[(String, Int)].collect().toSeq
+    assert(rows == Seq(("a_only", 1), ("a_only", 2), ("b_only", 5), ("both", 3), ("both", 4)))
+  }
+
   test("fitOneHot caps category collection") {
     val df = (1 to 50).map(i => s"cat_$i").toDF("c")
     intercept[IllegalArgumentException] {

@@ -49,6 +49,28 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("append-mode sessionize closes sessions on event-time gap (file-sink compatible)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streaming
+      .sessionizeAppend(input.toDS(), gapMs = 60000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(Event(1, "click", ts(0), 1.0), Event(1, "view", ts(1), 2.0))
+    query.processAllAvailable()
+    // push the watermark past user 1's close time (last event + 60s), then
+    // one more batch so the event-time timeout actually fires
+    input.addData(Event(2, "click", ts(5), 1.0))
+    query.processAllAvailable()
+    input.addData(Event(2, "view", ts(6), 1.0))
+    query.processAllAvailable()
+    val rows = spark.table("closed_sessions")
+      .selectExpr("user_id", "n_events", "total_value", "last_type")
+      .as[(Long, Long, Double, String)].collect().toSet
+    query.stop()
+    assert(rows.contains((1L, 2L, 3.0, "view")), s"expected user 1 session closed; got $rows")
+  }
+
   test("sessionize accumulates per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
