@@ -34,6 +34,10 @@ final case class Context(
     Context.dig(config, path).map(_.toString)
       .getOrElse(Option(default).getOrElse(
         throw new IllegalArgumentException(s"no config entry '$path'")))
+
+  /** Run-log path from the log catalog; None = tracking disabled. */
+  def trackingPath: Option[String] =
+    Context.dig(config, "log_catalog.tracking.path").map(_.toString)
 }
 
 object Context {
@@ -99,6 +103,7 @@ object Context {
       base ++ Map(
         "data_catalog" -> layer("data_catalog"),
         "job_catalog" -> layer("job_catalog"),
+        "log_catalog" -> layer("log_catalog"),
         "core" -> (dig(base, "core").map(_.asInstanceOf[Map[String, Any]]).getOrElse(Map.empty) ++ layer("core"))))
     val sparkConf = dig(merged, "core.spark_conf")
       .map(_.asInstanceOf[Map[String, Any]])

@@ -52,19 +52,37 @@ object Jobs {
 
   /** Sequential execution; a failing task is reported and does not abort
     * the run (reference _safe_runner, job_runner.py:51-61) unless
-    * failFast. Returns the failed (job, stage, task) triples. */
+    * failFast. Returns the failed (job, stage, task) triples.
+    *
+    * When the log_catalog names a tracking path, every executed task
+    * appends a run record (job/stage/task, params, wall time, status) —
+    * the reference's mlflow wrapping (tracking.py, task_runner.py:92-128)
+    * as an append-only JSONL log. */
   def run(ctx: Context, jobName: String, failFast: Boolean = false): Seq[(String, String, String)] = {
     val failures = scala.collection.mutable.ListBuffer[(String, String, String)]()
+    val track = ctx.trackingPath
     plan(ctx, jobName).foreach { job =>
       job.stages.foreach { stage =>
         stage.tasks.foreach { task =>
           val t0 = System.nanoTime()
+          def record(status: String, err: Option[String]): Unit =
+            track.foreach { p =>
+              try Tracking.append(p, Tracking.RunRecord(
+                job.name, stage.name, task.name, status,
+                (System.nanoTime() - t0) / 1e9, task.params, err))
+              catch {
+                case e: Throwable =>
+                  System.err.println(s"[graft] tracking append failed: ${e.getMessage}")
+              }
+            }
           try {
             processor(job.name, task.name)(ctx, task.params)
+            record("ok", None)
             println(f"[graft] ${job.name}/${stage.name}/${task.name} ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
           } catch {
             case e: Throwable =>
               failures += ((job.name, stage.name, task.name))
+              record("failed", Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
               System.err.println(s"[graft] ${job.name}/${stage.name}/${task.name} FAILED: ${e.getMessage}")
               if (failFast) throw e
           }

@@ -10,7 +10,29 @@ import Support._
   * same column names, types, and row order. */
 object RelationalQueries {
 
+  /** Round-trip the nation table through a text format and read it back
+    * with graft.io.Tables.readData — the reference's primary ingestion is
+    * csv/json with header/inferSchema (dp.py:53-80), and until this query
+    * those dispatch arms were never executed end to end. The write is a
+    * deterministic fixture under /tmp; the oracle reads the parquet
+    * original, so any read-path drift (quoting, schema inference, nulls)
+    * fails the hash compare. */
+  private def textRoundTrip(s: SparkSession, dir: String, fmt: String): DataFrame = {
+    val tmp = s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9]", "_")}/nation_$fmt"
+    val nation = t(s, dir, "nation")
+    nation.coalesce(1).write.mode("overwrite")
+      .option("header", "true").format(fmt).save(tmp)
+    graft.io.Tables.readData(s, Seq(tmp), fmt)
+      .select(
+        col("n_nationkey").cast("int"),
+        col("n_name"),
+        col("n_regionkey").cast("int"))
+      .orderBy(col("n_nationkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "csv_read" -> (textRoundTrip(_, _, "csv")),
+    "json_read" -> (textRoundTrip(_, _, "json")),
     // --- wide agg with group-by (TPC-H Q1 shape; exercises pushdown + 1-pass agg)
     "q1_agg" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -127,6 +149,10 @@ object RelationalQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    "csv_read" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "json_read" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -24,6 +24,31 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(out("a") == "${does.not.exist}")
   }
 
+  test("job runner appends a tracking record per executed task") {
+    val log = java.nio.file.Files.createTempDirectory("graft-track")
+      .resolve("run_log.jsonl").toString
+    val cfg: Map[String, Any] = Map(
+      "job_catalog" -> Map("jobs" -> List(
+        Map(
+          "name" -> "tjob",
+          "stages" -> List(Map(
+            "name" -> "tstage",
+            "tasks" -> List(
+              Map("name" -> "ok-task", "params" -> Map("alpha" -> 1, "mode" -> "fast")),
+              Map("name" -> "bad-task"))))))),
+      "log_catalog" -> Map("tracking" -> Map("path" -> log)))
+    val ctx = Context(cfg, null)
+    graft.pipeline.Jobs.register("tjob", "ok-task")((_, _) => ())
+    graft.pipeline.Jobs.register("tjob", "bad-task")((_, _) => throw new RuntimeException("boom"))
+    val failures = graft.pipeline.Jobs.run(ctx, "tjob")
+    assert(failures == Seq(("tjob", "tstage", "bad-task")))
+    val lines = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(log))
+    assert(lines.size() == 2)
+    assert(lines.get(0).contains("\"status\":\"ok\"") && lines.get(0).contains("\"alpha\":1")
+      && lines.get(0).contains("\"mode\":\"fast\""))
+    assert(lines.get(1).contains("\"status\":\"failed\"") && lines.get(1).contains("boom"))
+  }
+
   test("yaml round trip through a temp file") {
     val f = java.nio.file.Files.createTempFile("graft", ".yml")
     java.nio.file.Files.writeString(f, "core:\n  seed: 7\n  name: x\nlist:\n  - a\n  - b\n")

@@ -122,6 +122,21 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("a_union_b") == 5)
   }
 
+  test("readData dispatches csv and json with inference, quoting, multi-path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
+    val df = Seq((1L, "plain", 1.5), (2L, "quoted,comma", -2.0)).toDF("id", "s", "x")
+    df.coalesce(1).write.option("header", "true").csv(s"$dir/csv")
+    df.coalesce(1).write.json(s"$dir/json")
+    val csv = graft.io.Tables.readData(spark, Seq(s"$dir/csv"), "csv")
+    assert(csv.schema("x").dataType == org.apache.spark.sql.types.DoubleType) // inferSchema
+    assert(csv.filter(col("s") === "quoted,comma").count() == 1) // quoting survives
+    val json = graft.io.Tables.readData(spark, Seq(s"$dir/json"), "json")
+    assert(json.select("id", "s", "x").orderBy("id").collect().toSeq ==
+      df.select("id", "s", "x").orderBy("id").collect().toSeq)
+    val multi = graft.io.Tables.readData(spark, Seq(s"$dir/csv", s"$dir/csv"), "csv")
+    assert(multi.count() == 4)
+  }
+
   test("setAnalyseKeys returns capped per-category membership lists") {
     val a = Seq(1, 2, 3, 4).toDF("k")
     val b = Seq(3, 4, 5).toDF("k")
