@@ -17,7 +17,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Tables {
 
-  /** Read one or more paths of the given format into a single DataFrame. */
+  /** Read one or more paths of the given format into a single DataFrame.
+    * csv/json/parquet are exercised end to end by the correctness harness
+    * (csv_read/json_read queries); "delta" passes through to the
+    * DataSource registry like the reference (dp.py:53-80) and requires the
+    * delta-spark jars on the cluster classpath — absent (as in this
+    * sandbox) Spark fails with "Failed to find data source: delta". */
   def readData(
       spark: SparkSession,
       paths: Seq[String],

@@ -65,6 +65,38 @@ object Production {
       Training.saveModel(model, ctx.dataPath("models.classifier"))
     }
 
+    // LLM training-data curation over the documents/embeddings tables —
+    // the dedup/text/similarity operators as declarative catalog jobs
+    // (capability extension; the reference's job surface is tabular-only).
+    Jobs.register("corpus-curation", "dedup-corpus") { (ctx, _) =>
+      val s = ctx.spark
+      val docs = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
+      Tables.saveData(
+        graft.dedup.Dedup.exactDedup(docs, "doc_id", "text"),
+        ctx.dataPath("clean.documents"))
+    }
+
+    Jobs.register("corpus-curation", "text-quality") { (ctx, _) =>
+      val s = ctx.spark
+      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents")))
+      val stats = graft.text.TextAnalysis.textStats(docs, "doc_id", "text")
+      val withLang = graft.text.TextAnalysis
+        .languageScores(docs.select(col("doc_id"), col("text")), "text")
+        .drop("text")
+      Tables.saveData(
+        stats.join(withLang, Seq("doc_id"), "inner"),
+        ctx.dataPath("processed.text_stats"))
+    }
+
+    Jobs.register("corpus-curation", "near-dup-report") { (ctx, params) =>
+      val s = ctx.spark
+      val threshold = params.getOrElse("threshold", "0.7").toString.toDouble
+      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents")))
+      Tables.saveData(
+        graft.dedup.Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold),
+        ctx.dataPath("processed.near_dup_pairs"))
+    }
+
     Jobs.register("model-eval", "score-and-report") { (ctx, _) =>
       val s = ctx.spark
       val df = Tables.readData(s, Seq(ctx.dataPath("processed.features")))

@@ -97,6 +97,17 @@ object LlmQueries {
           k = 10, tables = 8, bits = 8)
         .orderBy(col("query_id"), col("rank"))
     },
+    "embedding_near_dup" -> { (s, dir) =>
+      // plant exact-duplicate vectors (vec_id + 100000): every planted pair
+      // has cosine 1.0 and must be found by the hyperplane-LSH buckets
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 50)
+        .select(col("vec_id"), col("embedding"))
+      val planted = e.unionByName(
+        e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+      Similarity
+        .embeddingNearDupPairs(planted, "vec_id", "embedding", threshold = 0.999)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     "multimodal_features" -> { (s, dir) =>
       val assets = Multimodal.toAssets(
         t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("bytes")),

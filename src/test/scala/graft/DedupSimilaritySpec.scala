@@ -113,6 +113,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top(1L) == 1) // most similar
   }
 
+  test("embedding near-dup finds planted duplicate vectors") {
+    val n = 40
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 17 + j * 3).toFloat))
+    }
+    val planted = (vecs ++ vecs.map { case (id, v) => (id + 1000, v) })
+      .toDF("vec_id", "embedding")
+    val pairs = Similarity.embeddingNearDupPairs(planted, "vec_id", "embedding", 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = (0 until n).map(i => (i.toLong, i + 1000L)).toSet
+    assert(expected.subsetOf(pairs), s"missed planted pairs: ${expected -- pairs}")
+  }
+
   test("lsh topk achieves high recall vs brute force") {
     val n = 60
     val vecs = (0 until n).map { i =>
