@@ -229,9 +229,30 @@ object Dedup {
 
   /** Distributed n-gram Jaccard for ALL pairs sharing at least one shingle:
     * explode → join on shingle → pair-count; |A∪B| = |A|+|B|−|A∩B|.
-    * Never materializes a cartesian product. */
-  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String, k: Int = 3, minJaccard: Double = 0.0): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh"))
+    * Never materializes a cartesian product.
+    *
+    * `maxShingleDocFreq` (> 0) drops shingles occurring in more documents
+    * than the cap BEFORE the self-join — a stop-phrase trigram appearing in
+    * millions of documents otherwise contributes quadratic join output on
+    * its own. The Jaccard is then computed consistently over the KEPT
+    * shingle space (both intersections and sizes exclude the dropped
+    * shingles), the standard rare-feature restriction. 0 (default) = exact
+    * over all shingles — the oracle-checked mode; set a cap for corpus-
+    * scale runs. */
+  def ngramJaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      minJaccard: Double = 0.0,
+      maxShingleDocFreq: Int = 0): DataFrame = {
+    val all = df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh"))
+    val sh =
+      if (maxShingleDocFreq <= 0) all
+      else all
+        .withColumn("__df", count(lit(1)).over(Window.partitionBy(col("sh"))))
+        .filter(col("__df") <= maxShingleDocFreq)
+        .drop("__df")
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

@@ -43,6 +43,27 @@ object Tables {
   def saveData(df: DataFrame, path: String, fmt: String = "parquet"): Unit =
     df.write.mode(SaveMode.Overwrite).format(fmt).save(path)
 
+  /** Write a frame hash-bucketed (and sorted) by a join/agg key as a
+    * catalog table. Two tables bucketed on the same key with the same
+    * bucket count join WITHOUT a shuffle — at 100 TB that turns the
+    * repeated fact-to-fact equi-join from an every-query Exchange of the
+    * whole table into a per-bucket merge (verified by a no-Exchange plan
+    * assertion in OperatorsSpec). `path` keeps the data external; bucket
+    * metadata lives in the session catalog either way. */
+  def saveBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int,
+      path: Option[String] = None): Unit = {
+    val w = df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
   /** Load a named testdata table from an sf directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

@@ -44,7 +44,11 @@ object Streaming {
   /** Per-user running session via mapGroupsWithState: event count, value
     * total, last event type. With timeoutMs > 0, state is evicted after
     * that much processing-time inactivity (bounded state at scale);
-    * timeoutMs <= 0 keeps state indefinitely (testing/small key spaces). */
+    * timeoutMs <= 0 keeps state indefinitely (testing/small key spaces).
+    *
+    * Update-mode output: compose with memory/console/foreachBatch sinks.
+    * The Append-only file sinks (e.g. [[writeParquetStream]]) REJECT this
+    * operator at query start — use [[sessionizeAppend]] for file output. */
   def sessionize(events: Dataset[Event], timeoutMs: Long = 60000L): Dataset[Session] = {
     import events.sparkSession.implicits._
     val timeoutConf =

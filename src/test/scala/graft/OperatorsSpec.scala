@@ -122,6 +122,43 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("a_union_b") == 5)
   }
 
+  test("bucketed tables join without a shuffle exchange") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
+    val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 100).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    graft.io.Tables.saveBucketed(a, "bkt_a", "k", 4, Some(s"$dir/a"))
+    graft.io.Tables.saveBucketed(b, "bkt_b", "k", 4, Some(s"$dir/b"))
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+      assert(joined.count() == 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle either side:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
+  test("ngram jaccard doc-frequency cap drops only hot shingles") {
+    import spark.implicits._
+    // 12 docs share the hot phrase; two also share a rare phrase
+    val docs = (0 until 12).map { i =>
+      val rare = if (i < 2) " rare trigram shared here" else s" unique$i filler$i tail$i"
+      (i.toLong, "the quick fox" + rare)
+    }.toDF("doc_id", "text")
+    val uncapped = graft.dedup.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.01)
+    assert(uncapped.count() > 11) // hot shingle pairs everyone
+    val capped = graft.dedup.Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.01, maxShingleDocFreq = 5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((0L, 1L)), s"only the rare-phrase pair should survive the cap, got $capped")
+  }
+
   test("readData dispatches csv and json with inference, quoting, multi-path") {
     val dir = java.nio.file.Files.createTempDirectory("graft-io").toString
     val df = Seq((1L, "plain", 1.5), (2L, "quoted,comma", -2.0)).toDF("id", "s", "x")
