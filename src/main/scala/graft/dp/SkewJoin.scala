@@ -1,0 +1,45 @@
+package graft.dp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed keys.
+  *
+  * When one side's key distribution is heavily skewed, a plain shuffle join
+  * funnels every row of a hot key through a single reducer. Salting spreads
+  * each hot key over `salts` sub-partitions: the skewed side gets a
+  * per-row salt in [0, salts), the other side is replicated once per salt
+  * value, and the join runs on (key, salt) — hot-key work parallelizes
+  * `salts`-ways at the cost of replicating the non-skewed side.
+  *
+  * AQE's runtime skew-join split (spark.sql.adaptive.skewJoin, on in graft
+  * sessions) already handles moderate skew by splitting oversized
+  * partitions; explicit salting is for the pathological long tail (a
+  * single key holding a double-digit share of 100 TB) and for non-AQE
+  * contexts. Prefer AQE first; reach for this when a stage's max task is
+  * orders of magnitude above its median.
+  *
+  * The salt is derived from xxhash64 over the skewed side's whole row, so
+  * it is deterministic for a given row content (identical rows share a
+  * salt — they carry identical join work, so co-locating them is free).
+  */
+object SkewJoin {
+
+  def saltedJoin(
+      skewed: DataFrame,
+      other: DataFrame,
+      key: String,
+      salts: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
+    val saltedLeft = skewed.withColumn(
+      "__salt",
+      pmod(xxhash64(skewed.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int"))
+    val replicatedRight = other.withColumn(
+      "__salt",
+      explode(array((0 until salts).map(lit): _*)))
+    saltedLeft
+      .join(replicatedRight, Seq(key, "__salt"), joinType)
+      .drop("__salt")
+  }
+}

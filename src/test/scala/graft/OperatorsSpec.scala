@@ -122,6 +122,23 @@ class OperatorsSpec extends SparkSpec {
     assert(r.getAs[Long]("a_union_b") == 5)
   }
 
+  test("salted join equals plain join on a skewed frame and spreads the hot key") {
+    // 90% of rows share key 1 — the pathological shape salting exists for
+    val skewed = (1 to 1000).map(i => (if (i <= 900) 1L else i.toLong, i)).toDF("k", "v")
+    val dim = (1 to 1000).map(i => (i.toLong, s"d$i")).toDF("k", "d")
+    val plain = skewed.join(dim, Seq("k")).select("k", "v", "d")
+      .collect().map(_.toString).sorted.toSeq
+    val salted = graft.dp.SkewJoin.saltedJoin(skewed, dim, "k", salts = 8)
+      .select("k", "v", "d").collect().map(_.toString).sorted.toSeq
+    assert(salted == plain)
+    // the hot key's rows really land in several salt sub-groups
+    val saltSpread = skewed
+      .withColumn("__salt",
+        pmod(xxhash64(skewed.columns.map(col).toSeq: _*), lit(8L)).cast("int"))
+      .filter(col("k") === 1).select("__salt").distinct().count()
+    assert(saltSpread >= 4, s"hot key only spread over $saltSpread salts")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val dir = java.nio.file.Files.createTempDirectory("graft-bucket").toString
     val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "va")
