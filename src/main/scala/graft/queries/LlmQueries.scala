@@ -97,6 +97,13 @@ object LlmQueries {
           k = 10, tables = 8, bits = 8)
         .orderBy(col("query_id"), col("rank"))
     },
+    "ann_ivf_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity
+        .ivfCosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id",
+          k = 10, nlist = 16, nprobe = 4)
+        .orderBy(col("query_id"), col("rank"))
+    },
     "embedding_near_dup" -> { (s, dir) =>
       // plant exact-duplicate vectors (vec_id + 100000): every planted pair
       // has cosine 1.0 and must be found by the hyperplane-LSH buckets

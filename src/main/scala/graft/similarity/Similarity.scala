@@ -119,6 +119,88 @@ object Similarity {
       .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
+    * (spark.ml KMeans, seeded) assigns every corpus vector to one of
+    * `nlist` cells; each query searches only its `nprobe` nearest cells,
+    * and exact cosine re-ranks the candidates.
+    *
+    * Scale shape: the quantizer fits on a bounded sample (`fitSample`
+    * rows), cell assignment is one model.transform over the corpus, and the
+    * candidate join is (query, probed-cell) pairs — tiny, broadcast —
+    * against the cell-partitioned corpus: work is |corpus|·nprobe/nlist per
+    * query in expectation, never N². Centroid-distance math for queries
+    * runs on the driver over the nlist×dim centroid matrix (KB-scale).
+    * Complements [[lshCosineTopK]]: IVF adapts to the data distribution,
+    * LSH needs no fitting. */
+  def ivfCosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      k: Int,
+      nlist: Int = 64,
+      nprobe: Int = 4,
+      seed: Long = 0L,
+      fitSample: Int = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(nprobe >= 1 && nprobe <= nlist, s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val corpusVec = corpus.select(
+      col(idCol),
+      col(vecCol).as("__cv"),
+      l2Norm(col(vecCol)).as("__cn"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("__mlvec"))
+    val fitFrame = corpusVec.select("__mlvec").limit(fitSample)
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setFeaturesCol("__mlvec").setPredictionCol("__cell")
+      .fit(fitFrame)
+    val assigned = model.transform(corpusVec).drop("__mlvec")
+
+    // nprobe nearest centroids per query — centroids are nlist×dim, driver math
+    val centroids = model.clusterCenters.map(_.toArray)
+    val qRows = queries
+      .select(col(queryIdCol).cast("long").as("query_id"), col(vecCol).cast("array<double>").as("__qv"))
+      .collect()
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1).toArray
+        centroids.zipWithIndex
+          .map { case (c, i) =>
+            var d = 0.0
+            var j = 0
+            val n = math.min(c.length, qv.length)
+            while (j < n) { val t = c(j) - qv(j); d += t * t; j += 1 }
+            (i, d)
+          }
+          .sortBy(_._2).take(nprobe)
+          .map { case (cell, _) => (qid, cell) }
+      }.toSeq
+    val probes = broadcast(qRows.toDF("query_id", "__cell"))
+    val qSide = broadcast(
+      queries.select(
+        col(queryIdCol).as("query_id"),
+        col(vecCol).as("__qv2"),
+        l2Norm(col(vecCol)).as("__qn")))
+
+    val cands = assigned
+      .join(probes, Seq("__cell"))
+      .join(qSide, Seq("query_id"))
+      .filter(col(idCol) =!= col("query_id"))
+    val scored = cands.select(
+      col("query_id"),
+      col(idCol),
+      round(dot(col("__cv"), col("__qv2")) / (col("__cn") * col("__qn")), 6).as("cosine"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** Embedding near-dup pairs: cosine above threshold among LSH candidates
     * (same bucketing as lshCosineTopK, corpus against itself). */
   def embeddingNearDupPairs(

@@ -126,6 +126,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(expected.subsetOf(pairs), s"missed planted pairs: ${expected -- pairs}")
   }
 
+  test("ivf topk achieves high recall vs brute force") {
+    val n = 80
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(16)(j => math.sin(i * 17 + j * 3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val brute = Similarity.cosineTopK(vecs, queries, "vec_id", "embedding", "vec_id", 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfCosineTopK(vecs, queries, "vec_id", "embedding", "vec_id", 5,
+        nlist = 8, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall too low")
+    // determinism: seeded quantizer, stable output
+    val again = Similarity.ivfCosineTopK(vecs, queries, "vec_id", "embedding", "vec_id", 5,
+        nlist = 8, nprobe = 4)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(again == ivf)
+  }
+
   test("lsh topk achieves high recall vs brute force") {
     val n = 60
     val vecs = (0 until n).map { i =>
