@@ -41,6 +41,13 @@ object LlmQueries {
         .drop("text")
         .orderBy(col("doc_id"))
     },
+    "chunk_documents" -> { (s, dir) =>
+      TextAnalysis
+        .chunkDocuments(
+          t(s, dir, "documents").filter(col("doc_id") < 20).select(col("doc_id"), col("text")),
+          "doc_id", "text", chunkTokens = 40, overlap = 10)
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
     "dedup_exact" -> { (s, dir) =>
       // plant exact duplicates (same text, higher id) — survivors must be
       // exactly the original doc_ids
@@ -174,6 +181,17 @@ object LlmQueries {
          |FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+    "chunk_documents" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        |           FROM documents WHERE doc_id < 20),
+        |s AS (SELECT doc_id, w,
+        |             unnest(range(0, GREATEST(len(w) - 1, 0) + 1, 30)) AS start
+        |      FROM d)
+        |SELECT doc_id,
+        |  CAST(start / 30 AS INT) AS chunk_id,
+        |  array_to_string(w[start + 1 : start + 40], ' ') AS chunk_text,
+        |  CAST(LEAST(40, len(w) - start) AS INT) AS n_chunk_tokens
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM (
         |  SELECT doc_id, text FROM documents

@@ -115,6 +115,39 @@ object TextAnalysis {
     array_min(transform(shingles, s => xxhash64(s)))
   }
 
+  /** Split documents into overlapping token-window chunks — the standard
+    * context-window preparation step of an LLM training pipeline. Chunk c
+    * starts at token c·(chunkTokens − overlap) and carries up to
+    * `chunkTokens` tokens; the final chunk may be shorter. Pure column
+    * expressions (sequence + slice + posexplode): one scan, no shuffle —
+    * chunking 100 TB is a projection. Output: (id, chunk_id, chunk_text,
+    * n_chunk_tokens). */
+  def chunkDocuments(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkTokens: Int,
+      overlap: Int = 0): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunkTokens=$chunkTokens overlap=$overlap")
+    val step = chunkTokens - overlap
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = size(toks)
+    val starts = sequence(lit(0), greatest(n - 1, lit(0)), lit(step))
+    df.select(
+        col(idCol),
+        col(textCol),
+        posexplode(transform(starts, s =>
+          struct(
+            concat_ws(" ", slice(toks, s + 1, lit(chunkTokens))).as("chunk_text"),
+            least(lit(chunkTokens), n - s).as("n_chunk_tokens")))))
+      .select(
+        col(idCol),
+        col("pos").cast("int").as("chunk_id"),
+        col("col.chunk_text"),
+        col("col.n_chunk_tokens"))
+  }
+
   /** Full stats table over a documents frame. */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val c = col(textCol)

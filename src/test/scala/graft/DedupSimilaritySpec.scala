@@ -162,6 +162,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall $recall too low")
   }
 
+  test("chunkDocuments windows tokens with overlap, short tail kept") {
+    val df = Seq((1L, (1 to 7).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(df, "doc_id", "text", chunkTokens = 3, overlap = 1)
+      .orderBy("chunk_id")
+      .select("chunk_id", "chunk_text", "n_chunk_tokens")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    assert(out == Seq(
+      (0, "t1 t2 t3", 3), (1, "t3 t4 t5", 3), (2, "t5 t6 t7", 3), (3, "t7", 1)))
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkDocuments(df, "doc_id", "text", chunkTokens = 3, overlap = 3)
+    }
+  }
+
   test("language scores + quality + token counts behave") {
     val df = Seq(
       (0L, "the cat and the dog of the house is to be seen"),
