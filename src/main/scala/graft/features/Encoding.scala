@@ -40,6 +40,26 @@ object Encoding {
     TargetModel(mapping, c, prior)
   }
 
+  /** Frequency-encoding model: category → occurrence share learned on
+    * train; unseen categories at transform time get 0.0. */
+  final case class FrequencyModel(mapping: DataFrame, c: String) {
+    def transform(df: DataFrame): DataFrame =
+      df.join(broadcast(mapping), Seq(c), "left")
+        .withColumn(s"${c}_freq", coalesce(col(s"${c}_freq"), lit(0.0)))
+  }
+
+  /** Learn a frequency encoding — the standard high-cardinality fallback
+    * this module's one-hot/label caps point to. The mapping stays a
+    * DataFrame (one groupBy, no driver-side category collection), so any
+    * cardinality fits; the total is a driver scalar from a count. */
+  def fitFrequencyEncoder(df: DataFrame, c: String): FrequencyModel = {
+    val total = df.count().toDouble
+    val mapping = df
+      .groupBy(col(c))
+      .agg((count(lit(1)) / total).as(s"${c}_freq"))
+    FrequencyModel(mapping, c)
+  }
+
   /** One-hot as explicit indicator columns for each seen category — a pure
     * projection (when/otherwise per category), codegen-friendly and
     * oracle-checkable; spark.ml's OneHotEncoder (vector output) is used in

@@ -76,6 +76,13 @@ object FeatureQueries {
         .select(col("c_mktsegment"), r6(col("c_mktsegment_te")).as("c_mktsegment_te"))
         .orderBy(col("c_mktsegment"))
     },
+    "frequency_encoding" -> { (s, dir) =>
+      Encoding
+        .fitFrequencyEncoder(t(s, dir, "customer"), "c_mktsegment")
+        .mapping
+        .select(col("c_mktsegment"), r6(col("c_mktsegment_freq")).as("c_mktsegment_freq"))
+        .orderBy(col("c_mktsegment"))
+    },
     "onehot_encoding" -> { (s, dir) =>
       val df = t(s, dir, "customer")
       val m = Encoding.fitOneHot(df, "c_mktsegment")
@@ -207,6 +214,10 @@ object FeatureQueries {
     "target_encoding" ->
       """SELECT c_mktsegment,
         |  round(avg(CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END), 6) AS c_mktsegment_te
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "frequency_encoding" ->
+      """SELECT c_mktsegment,
+        |  round(count(*) / CAST((SELECT count(*) FROM customer) AS DOUBLE), 6) AS c_mktsegment_freq
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "onehot_encoding" ->
       """SELECT CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 1 ELSE 0 END) AS BIGINT) AS c_mktsegment_AUTOMOBILE,

@@ -41,6 +41,11 @@ object LlmQueries {
         .drop("text")
         .orderBy(col("doc_id"))
     },
+    "top_tokens" -> { (s, dir) =>
+      TextAnalysis
+        .topTokens(t(s, dir, "documents"), "text", k = 25, minLength = 2)
+        .orderBy(desc("freq"), col("token"))
+    },
     "chunk_documents" -> { (s, dir) =>
       TextAnalysis
         .chunkDocuments(
@@ -181,6 +186,12 @@ object LlmQueries {
          |FROM documents)
          |ORDER BY doc_id""".stripMargin
     },
+    "top_tokens" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |           FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS freq
+        |FROM t WHERE length(token) >= 2
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 25""".stripMargin,
     "chunk_documents" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         |           FROM documents WHERE doc_id < 20),

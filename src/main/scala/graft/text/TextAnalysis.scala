@@ -148,6 +148,18 @@ object TextAnalysis {
         col("col.n_chunk_tokens"))
   }
 
+  /** Corpus vocabulary: top-k tokens by frequency (ties by token
+    * ascending). One explode + hash-partitioned groupBy + distributed
+    * partial top-k (TakeOrderedAndProject) — no full sort, no driver-side
+    * token set. */
+  def topTokens(df: DataFrame, textCol: String, k: Int, minLength: Int = 1): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) >= minLength)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token"))
+      .limit(k)
+
   /** Full stats table over a documents frame. */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val c = col(textCol)

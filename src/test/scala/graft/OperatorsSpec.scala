@@ -77,6 +77,14 @@ class OperatorsSpec extends SparkSpec {
     assert(math.abs(vals(2) - 2.0 / 3.0) < 1e-9) // prior
   }
 
+  test("frequency encoding: occurrence shares on train, 0.0 for unseen") {
+    val train = Seq("a", "a", "a", "b").toDF("c")
+    val m = Encoding.fitFrequencyEncoder(train, "c")
+    val out = m.transform(Seq("a", "b", "zz").toDF("c"))
+      .orderBy("c").select("c_freq").as[Double].collect().toSeq
+    assert(out == Seq(0.75, 0.25, 0.0))
+  }
+
   test("stratified split preserves class ratio (fixed reference bug)") {
     val df = (1 to 1000).map(i => (i, if (i % 5 == 0) 1 else 0)).toDF("id", "y")
     val (train, test) = Sampling.stratifiedSplit(df, "y", 0.3, seed = 7)
