@@ -41,6 +41,22 @@ object Streaming {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming content dedup for a document stream: drop texts whose
+    * NORMALIZED content hash was already seen inside the watermark horizon
+    * (the streaming form of Dedup.exactDedup — same normalization + sha2
+    * key, so batch and streaming dedup agree on what "same document"
+    * means; state is one hash per kept document, watermark-bounded). */
+  def streamingContentDedup(
+      docs: DataFrame,
+      textCol: String,
+      tsCol: String = "ts",
+      watermark: String = "10 minutes"): DataFrame =
+    docs
+      .withColumn("__content_hash", graft.dedup.Dedup.contentHash(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("__content_hash"))
+      .drop("__content_hash")
+
   /** Per-user running session via mapGroupsWithState: event count, value
     * total, last event type. With timeoutMs > 0, state is evicted after
     * that much processing-time inactivity (bounded state at scale);

@@ -248,6 +248,16 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("q1_agg pushes the shipdate filter to the scan and prunes columns") {
+    val df = graft.queries.RelationalQueries.queries("q1_agg")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate filter must reach the parquet scan:\n${plan.take(2000)}")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan must prune unused columns, got $readSchema")
+  }
+
   test("e1 merge aggregates each event source exactly once (no double-scan)") {
     // the old keys-only `common` frame referenced every aggregate twice and
     // Catalyst recomputed each source's filter+shuffle+agg: 6 event scans

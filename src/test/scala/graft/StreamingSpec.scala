@@ -49,6 +49,25 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("streaming content dedup drops whitespace-variant duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val docs = input.toDF().toDF("doc_id", "text", "ts")
+    val query = Streaming
+      .streamingContentDedup(docs, "text", "ts")
+      .writeStream.format("memory").queryName("content_dedup")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      (1L, "The quick   brown fox", ts(0)),
+      (2L, "the quick brown fox ", ts(0, 30)), // normalized duplicate of 1
+      (3L, "something else entirely", ts(1)))
+    query.processAllAvailable()
+    val kept = spark.table("content_dedup").select("doc_id").as[Long].collect().toSet
+    query.stop()
+    assert(kept.size == 2 && kept.contains(3L))
+    assert((kept - 3L).subsetOf(Set(1L, 2L))) // exactly one of the dup pair survives
+  }
+
   test("append-mode sessionize closes sessions on event-time gap (file-sink compatible)") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
