@@ -49,6 +49,29 @@ object FeatureEngineering {
       .withColumn("target_var", lit(1))
   }
 
+  /** Rolling event-time aggregate per key: sum(value) and count over the
+    * trailing `days` window ending at each event. A PARTITIONED range
+    * window (key-partitioned, ordered by epoch seconds) — every key's
+    * history sorts within its own partition, so the frame is scale-safe
+    * wherever the per-key history fits a task, the same condition any
+    * sessionization has. */
+  def rollingValue(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      days: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(unix_timestamp(col(tsCol)))
+      .rangeBetween(-days.toLong * 86400, 0)
+    events.select(
+      col(keyCol),
+      col(tsCol),
+      sum(col(valueCol).cast("decimal(18,2)")).over(w).cast("double").as(s"rolling_${days}d_value"),
+      count(lit(1)).over(w).as(s"rolling_${days}d_events"))
+  }
+
   /** Merge: restrict to keys present in every source (the reference's
     * common-consumer inner joins, feature_engineering.py:101-109), attach
     * every feature table, then label left-join + fill(0).

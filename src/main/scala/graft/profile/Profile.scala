@@ -211,6 +211,30 @@ object Profile {
         count(lit(1)).as("a_union_b"))
   }
 
+  /** Equi-width histogram of a numeric column: ONE agg learns min/max
+    * (driver scalars), bucket assignment is a pure projection, counts are
+    * a hash-partitioned groupBy — two passes total at any size. The top
+    * edge folds into the last bucket. */
+  def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
+    require(bins >= 1, s"bins must be >= 1, got $bins")
+    val x = col(c).cast("double")
+    val row = df.agg(min(x).as("mn"), max(x).as("mx")).head()
+    val (mn, mx) = (row.getDouble(0), row.getDouble(1))
+    val width = (mx - mn) / bins
+    val bucket =
+      if (width == 0.0) lit(0)
+      else least(floor((x - mn) / width).cast("int"), lit(bins - 1))
+    df.filter(x.isNotNull)
+      .select(bucket.as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("bucket"),
+        round(lit(mn) + col("bucket") * width, 6).as("lo"),
+        round(lit(mn) + (col("bucket") + 1) * width, 6).as("hi"),
+        col("n"))
+  }
+
   /** Membership drill-down for [[setAnalyse]]: the actual keys per region
     * (a_only / b_only / both) as (category, key) rows, capped at
     * `maxKeysPerCategory` smallest keys per region (reference returns the

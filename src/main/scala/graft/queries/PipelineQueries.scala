@@ -44,6 +44,17 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_feature_pipeline" -> (e1 _),
+    "rolling_window" -> { (s, dir) =>
+      val ev = events(s, dir).filter(col("user_id") < 50)
+      FeatureEngineering
+        .rollingValue(ev, "user_id", "ts", "value", days = 7)
+        .select(
+          col("user_id"),
+          unix_timestamp(col("ts")).as("ts_sec"),
+          col("rolling_7d_value"),
+          col("rolling_7d_events"))
+        .orderBy(col("user_id"), col("ts_sec"), col("rolling_7d_value"))
+    },
     // seeded sampling/splits: deterministic per cluster but not
     // SQL-expressible — rows-only checks + ScalaTest invariants
     "stratified_split" -> { (s, dir) =>
@@ -72,6 +83,15 @@ object PipelineQueries {
        |GROUP BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "rolling_window" ->
+      """SELECT user_id,
+        |  epoch_us(ts) // 1000000 AS ts_sec,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS rolling_7d_value,
+        |  CAST(count(*) OVER w AS BIGINT) AS rolling_7d_events
+        |FROM events WHERE user_id < 50
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_sec, rolling_7d_value""".stripMargin,
     "e1_feature_pipeline" ->
       s"""WITH click AS (${srcSql("click")}),
          |vw AS (${srcSql("view")}),

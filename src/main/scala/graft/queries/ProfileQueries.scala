@@ -54,6 +54,10 @@ object ProfileQueries {
         t(s, dir, "orders").select(col("o_custkey").as("c_custkey")),
         "c_custkey")
     },
+    "histogram" -> { (s, dir) =>
+      Profile.histogram(t(s, dir, "lineitem"), "l_extendedprice", bins = 10)
+        .orderBy(col("bucket"))
+    },
     "set_analysis_keys" -> { (s, dir) =>
       Profile.setAnalyseKeys(
         t(s, dir, "customer").select(col("c_custkey")),
@@ -158,6 +162,18 @@ object ProfileQueries {
         |  SELECT 'c_name', CAST(val AS VARCHAR), cnt
         |  FROM (SELECT c_name AS val, count(*) AS cnt FROM customer GROUP BY 1 ORDER BY cnt DESC, val ASC LIMIT 1))
         |ORDER BY "column"""".stripMargin,
+    "histogram" ->
+      """WITH s AS (SELECT min(l_extendedprice) AS mn,
+        |                  (max(l_extendedprice) - min(l_extendedprice)) / 10 AS width
+        |           FROM lineitem),
+        |b AS (SELECT LEAST(CAST(floor((l_extendedprice - mn) / width) AS INT), 9) AS bucket,
+        |             mn, width
+        |      FROM lineitem, s WHERE l_extendedprice IS NOT NULL)
+        |SELECT bucket,
+        |  round(mn + bucket * width, 6) AS lo,
+        |  round(mn + (bucket + 1) * width, 6) AS hi,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY bucket, mn, width ORDER BY bucket""".stripMargin,
     "set_analysis_keys" ->
       """WITH ka AS (SELECT DISTINCT c_custkey AS k FROM customer),
         |     kb AS (SELECT DISTINCT o_custkey AS k FROM orders),

@@ -33,6 +33,15 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_read" -> (textRoundTrip(_, _, "csv")),
     "json_read" -> (textRoundTrip(_, _, "json")),
+    // --- anti join (customers with no orders in 1995 — non-empty at all SFs)
+    "anti_join" -> { (s, dir) =>
+      val orders95 = t(s, dir, "orders")
+        .filter(year(to_date(col("o_orderdate"))) === 1995)
+      t(s, dir, "customer")
+        .join(orders95, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
     // --- wide agg with group-by (TPC-H Q1 shape; exercises pushdown + 1-pass agg)
     "q1_agg" -> { (s, dir) =>
       t(s, dir, "lineitem")
@@ -153,6 +162,12 @@ object RelationalQueries {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "json_read" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders
+        |  WHERE year(CAST(o_orderdate AS DATE)) = 1995)
+        |ORDER BY c_custkey""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -120,6 +120,31 @@ class OperatorsSpec extends SparkSpec {
     assert(iv("good") > iv("noise") * 10)
   }
 
+  test("histogram: equi-width buckets cover all rows, top edge folded in") {
+    val df = (0 until 100).map(_.toDouble).toDF("x")
+    val h = Profile.histogram(df, "x", 10).orderBy("bucket").collect()
+    assert(h.length == 10)
+    assert(h.map(_.getAs[Long]("n")).sum == 100)
+    assert(h.head.getAs[Int]("bucket") == 0 && h.head.getAs[Double]("lo") == 0.0)
+    assert(h.last.getAs[Long]("n") == 10) // x=99 (the max) lands in bucket 9
+    // constant column: single bucket, no divide-by-zero
+    val const = Profile.histogram(Seq(5.0, 5.0).toDF("x"), "x", 4).collect()
+    assert(const.length == 1 && const.head.getAs[Long]("n") == 2)
+  }
+
+  test("rollingValue sums the trailing event-time window per key") {
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 00:00:00")
+    val ev = Seq(
+      (1L, ts(0), 1.0), (1L, ts(3), 2.0), (1L, ts(10), 4.0),
+      (2L, ts(0), 8.0)).toDF("user_id", "ts", "value")
+    val out = graft.pipeline.FeatureEngineering.rollingValue(ev, "user_id", "ts", "value", 7)
+      .orderBy("user_id", "ts")
+      .select("user_id", "rolling_7d_value", "rolling_7d_events")
+      .as[(Long, Double, Long)].collect().toSeq
+    // user 1: day0 → {1}, day3 → {1,2}, day10 → {2,4} (day0 outside 7d)
+    assert(out == Seq((1L, 1.0, 1L), (1L, 3.0, 2L), (1L, 6.0, 2L), (2L, 8.0, 1L)))
+  }
+
   test("setAnalyse counts on known sets") {
     val a = Seq(1, 2, 3, 4).toDF("k")
     val b = Seq(3, 4, 5).toDF("k")
