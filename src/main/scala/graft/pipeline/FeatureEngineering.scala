@@ -72,6 +72,35 @@ object FeatureEngineering {
       count(lit(1)).over(w).as(s"rolling_${days}d_events"))
   }
 
+  /** Gap-based batch sessionization: events more than `gapSeconds` of
+    * event time apart start a new session per key. lag + cumulative-sum
+    * windows, both PARTITIONED by key (no global sort); tie timestamps
+    * land in the same session on any engine because the cumulative RANGE
+    * frame includes all ties. The batch twin of
+    * streaming.Streaming.sessionizeAppend. */
+  def sessionizeBatch(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      gapSeconds: Long): DataFrame = {
+    val t = unix_timestamp(col(tsCol))
+    val byTs = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol)).orderBy(t)
+    val brk = when(t - lag(t, 1).over(byTs) > gapSeconds, 1).otherwise(0)
+    events
+      .select(col(keyCol), t.as("__t"), col(valueCol).as("__v"), brk.as("__brk"))
+      .withColumn("session_id",
+        sum(col("__brk")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol)).orderBy(col("__t")))
+          .cast("int"))
+      .groupBy(col(keyCol), col("session_id"))
+      .agg(
+        min(col("__t")).as("start_sec"),
+        max(col("__t")).as("end_sec"),
+        count(lit(1)).as("n_events"),
+        sum(col("__v").cast("decimal(18,2)")).cast("double").as("total_value"))
+  }
+
   /** Merge: restrict to keys present in every source (the reference's
     * common-consumer inner joins, feature_engineering.py:101-109), attach
     * every feature table, then label left-join + fill(0).

@@ -59,6 +59,19 @@ object FeatureQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("seg"))
     },
+    "grouped_quantiles" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(graft.Exprs
+          .pctArray(col("l_quantity").cast("double"), Seq(0.25, 0.5, 0.75), Support.exact)
+          .as("q"))
+        .select(
+          col("l_returnflag"),
+          r6(element_at(col("q"), 1)).as("q25"),
+          r6(element_at(col("q"), 2)).as("q50"),
+          r6(element_at(col("q"), 3)).as("q75"))
+        .orderBy(col("l_returnflag"))
+    },
     "binning_quantile" -> { (s, dir) =>
       val df = t(s, dir, "lineitem")
       val m = Binning.fitQuantile(df, Seq("l_extendedprice"), 5, exact = Support.exact)
@@ -197,8 +210,14 @@ object FeatureQueries {
         |      GROUP BY seg ORDER BY count(*) DESC, seg ASC LIMIT 1)
         |SELECT COALESCE(seg, v) AS seg, count(*) AS n
         |FROM base, m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "grouped_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS q50,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS q75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "binning_quantile" ->
-      """WITH e AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.0) AS s0,
+"""WITH e AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.0) AS s0,
         |                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.2) AS s1,
         |                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.4) AS s2,
         |                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.6) AS s3,

@@ -44,6 +44,22 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_feature_pipeline" -> (e1 _),
+    "sessionize_batch" -> { (s, dir) =>
+      val ev = events(s, dir).filter(col("user_id") < 50)
+      FeatureEngineering
+        .sessionizeBatch(ev, "user_id", "ts", "value", gapSeconds = 1800)
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    "time_buckets" -> { (s, dir) =>
+      events(s, dir)
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_sec"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .orderBy(col("hour_sec"), col("event_type"))
+    },
     "rolling_window" -> { (s, dir) =>
       val ev = events(s, dir).filter(col("user_id") < 50)
       FeatureEngineering
@@ -83,6 +99,28 @@ object PipelineQueries {
        |GROUP BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "sessionize_batch" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t, value
+        |           FROM events WHERE user_id < 50),
+        |f AS (SELECT user_id, t, value,
+        |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 1800
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |g AS (SELECT user_id, t, value,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY t) AS sid
+        |      FROM f)
+        |SELECT user_id, CAST(sid AS INT) AS session_id,
+        |  min(t) AS start_sec, max(t) AS end_sec,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_id""".stripMargin,
+    "time_buckets" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_sec,
+        |  event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_sec, event_type""".stripMargin,
     "rolling_window" ->
       """SELECT user_id,
         |  epoch_us(ts) // 1000000 AS ts_sec,

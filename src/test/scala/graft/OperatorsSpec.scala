@@ -145,6 +145,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Seq((1L, 1.0, 1L), (1L, 3.0, 2L), (1L, 6.0, 2L), (2L, 8.0, 1L)))
   }
 
+  test("sessionizeBatch splits on event-time gaps, keeps ties together") {
+    def ts(sec: Int) = java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T10:00:00Z").plusSeconds(sec))
+    val ev = Seq(
+      (1L, ts(0), 1.0), (1L, ts(60), 2.0), (1L, ts(60), 3.0), (1L, ts(4000), 4.0),
+      (2L, ts(0), 8.0)).toDF("user_id", "ts", "value")
+    val out = graft.pipeline.FeatureEngineering
+      .sessionizeBatch(ev, "user_id", "ts", "value", gapSeconds = 1800)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events", "total_value")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 0, 3L, 6.0), (1L, 1, 1L, 4.0), (2L, 0, 1L, 8.0)))
+  }
+
   test("setAnalyse counts on known sets") {
     val a = Seq(1, 2, 3, 4).toDF("k")
     val b = Seq(3, 4, 5).toDF("k")
