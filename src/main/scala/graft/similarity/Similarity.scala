@@ -155,8 +155,12 @@ object Similarity {
       l2Norm(col(vecCol)).as("__cn"),
       array_to_vector(col(vecCol).cast("array<double>")).as("__mlvec"))
     val fitFrame = corpusVec.select("__mlvec").limit(fitSample)
+    // a coarse quantizer doesn't need convergence — cells just need to be
+    // roughly balanced; 8 iterations halves the fit cost vs the default 20
+    // with no measurable recall change on the testdata embeddings
     val model = new KMeans()
-      .setK(nlist).setSeed(seed).setFeaturesCol("__mlvec").setPredictionCol("__cell")
+      .setK(nlist).setSeed(seed).setMaxIter(8)
+      .setFeaturesCol("__mlvec").setPredictionCol("__cell")
       .fit(fitFrame)
     val assigned = model.transform(corpusVec).drop("__mlvec")
 
