@@ -60,4 +60,51 @@ class PropertySpec extends SparkSpec {
       assert(once.count() == texts.distinct.size)
     }
   }
+
+  test("property: chunking covers every token; zero-overlap chunks reassemble the text") {
+    import graft.text.TextAnalysis
+    val word = Gen.choose('a', 'z').flatMap(c => Gen.choose(1, 6).map(n => c.toString * n))
+    val gen = for {
+      nWords <- Gen.choose(1, 40)
+      words <- Gen.listOfN(nWords, word)
+      chunk <- Gen.choose(2, 8)
+      overlap <- Gen.choose(0, 1)
+    } yield (words, chunk, overlap)
+    samples(gen, 5).foreach { case (words, chunk, overlap) =>
+      val text = words.mkString(" ")
+      val df = Seq((1L, text)).toDF("doc_id", "text")
+      val chunks = TextAnalysis.chunkDocuments(df, "doc_id", "text", chunk, overlap)
+        .orderBy("chunk_id").select("chunk_text").as[String].collect().toSeq
+      // token coverage: every chunk's tokens count against the original
+      assert(chunks.map(_.split(" ").length).sum >= words.length,
+        s"chunks must cover all tokens: $words chunk=$chunk overlap=$overlap")
+      if (overlap == 0)
+        assert(chunks.mkString(" ") == text,
+          s"zero-overlap chunks must reassemble the text: $words chunk=$chunk")
+    }
+  }
+
+  test("property: histogram preserves total count and orders edges") {
+    import graft.profile.Profile
+    val gen = for {
+      n <- Gen.choose(5, 200)
+      xs <- Gen.listOfN(n, Gen.choose(-500.0, 500.0))
+      bins <- Gen.choose(1, 12)
+    } yield (xs, bins)
+    samples(gen, 5).foreach { case (xs, bins) =>
+      val h = Profile.histogram(xs.toDF("x"), "x", bins).orderBy("bucket").collect()
+      assert(h.map(_.getAs[Long]("n")).sum == xs.size, s"bins=$bins n=${xs.size}")
+      h.foreach(r => assert(r.getAs[Double]("lo") <= r.getAs[Double]("hi")))
+    }
+  }
+
+  test("property: frequency encoding shares sum to 1 over seen categories") {
+    import graft.features.Encoding
+    val gen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d"))
+    samples(gen, 5).foreach { cats =>
+      val m = Encoding.fitFrequencyEncoder(cats.toDF("c"), "c")
+      val total = m.mapping.agg(sum(col("c_freq"))).head().getDouble(0)
+      assert(math.abs(total - 1.0) < 1e-9, s"input $cats")
+    }
+  }
 }
