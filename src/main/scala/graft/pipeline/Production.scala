@@ -88,6 +88,16 @@ object Production {
         ctx.dataPath("processed.text_stats"))
     }
 
+    Jobs.register("corpus-curation", "chunk-documents") { (ctx, params) =>
+      val s = ctx.spark
+      val chunkTokens = params.getOrElse("chunk_tokens", "256").toString.toInt
+      val overlap = params.getOrElse("overlap", "32").toString.toInt
+      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents")))
+      Tables.saveData(
+        graft.text.TextAnalysis.chunkDocuments(docs, "doc_id", "text", chunkTokens, overlap),
+        ctx.dataPath("processed.chunks"))
+    }
+
     Jobs.register("corpus-curation", "near-dup-report") { (ctx, params) =>
       val s = ctx.spark
       val threshold = params.getOrElse("threshold", "0.7").toString.toDouble

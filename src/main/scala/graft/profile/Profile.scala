@@ -65,10 +65,18 @@ object Profile {
   }
 
   /** dtype + distinct count + distinct%% per column
-    * (reference: eda.py:57-82 `column_values_summary`). */
-  def columnValuesSummary(df: DataFrame): DataFrame = {
+    * (reference: eda.py:57-82 `column_values_summary`).
+    *
+    * `exact = false` (default) counts distincts with the mergeable HLL
+    * sketch (`approx_count_distinct`): one pass, no row expansion. Exact
+    * multi-column countDistinct makes Catalyst EXPAND the input once per
+    * counted column (n columns ⇒ n× the shuffled rows) — the oracle checks
+    * opt into it at small SF, production profiling should not. */
+  def columnValuesSummary(df: DataFrame, exact: Boolean = false): DataFrame = {
     val cs = df.columns.toSeq
-    val aggs = cs.map(c => countDistinct(col(c)).as(c)) :+ count(lit(1)).as("__n")
+    def cd(c: String) =
+      if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
+    val aggs = cs.map(c => cd(c).as(c)) :+ count(lit(1)).as("__n")
     val row = df.agg(aggs.head, aggs.tail: _*)
     val stacked = cs.map { c =>
       struct(
@@ -87,17 +95,22 @@ object Profile {
     * `[x,y]*100` bug multiplies the list; we compute the percentages).
     *
     * ONE aggregate pass: row count, missing-cell total, and distinct-row
-    * count (`countDistinct` over a struct of all columns — the equivalent of
-    * `dropDuplicates().count()` without a second full-width shuffle job). */
-  def healthAnalysis(df: DataFrame): DataFrame = {
+    * count (over a struct of all columns — the equivalent of
+    * `dropDuplicates().count()` without a second full-width shuffle job).
+    * `exact = false` uses the HLL sketch for the distinct-row count (one
+    * pass, no distinct shuffle; duplicate_row_pct becomes an estimate). */
+  def healthAnalysis(df: DataFrame, exact: Boolean = false): DataFrame = {
     val cs = df.columns.toSeq
     val missAggs = cs.map(c => sum(when(missing(df, c), 1L).otherwise(0L)))
     val totalMissing = missAggs.reduce(_ + _).as("missing_cells")
     val nNumeric = cs.count(isNumeric(df, _))
+    val distinctRows =
+      if (exact) countDistinct(struct(cs.map(col): _*))
+      else approx_count_distinct(struct(cs.map(col): _*))
     df.agg(
         count(lit(1)).as("rows"),
         totalMissing,
-        countDistinct(struct(cs.map(col): _*)).as("distinct_rows"))
+        distinctRows.as("distinct_rows"))
       .withColumn("cols", lit(cs.length))
       .select(
         col("rows"),

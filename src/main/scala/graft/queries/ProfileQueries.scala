@@ -22,10 +22,11 @@ object ProfileQueries {
         .orderBy(col("column"))
     },
     "column_summary" -> { (s, dir) =>
-      Profile.columnValuesSummary(t(s, dir, "customer")).orderBy(col("column"))
+      Profile.columnValuesSummary(t(s, dir, "customer"), exact = Support.exact)
+        .orderBy(col("column"))
     },
     "health_analysis" -> { (s, dir) =>
-      Profile.healthAnalysis(t(s, dir, "customer"))
+      Profile.healthAnalysis(t(s, dir, "customer"), exact = Support.exact)
     },
     "outlier_counts" -> { (s, dir) =>
       Profile

@@ -265,6 +265,15 @@ class OperatorsSpec extends SparkSpec {
     assert(idx == Map("x" -> 0, "y" -> 1, "z" -> 2))
   }
 
+  test("approx distinct count (production path) stays within HLL tolerance of exact") {
+    val df = spark.range(200000).select((col("id") % 9973).as("x"))
+    val row = df.agg(
+      countDistinct(col("x")).as("e"),
+      approx_count_distinct(col("x")).as("a")).head()
+    val (e, a) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(a - e).toDouble / e <= 0.1, s"approx $a vs exact $e")
+  }
+
   test("approx percentile (production path) stays within tolerance of exact") {
     // the oracle only ever checks the exact twin (Support.oracleMode); this
     // is the correctness signal for the sketch the bench/production run.
