@@ -203,15 +203,18 @@ object Dedup {
     val layout = (0 until chunks).map { i =>
       val width = if (i < rem) base + 1 else base
       val offset = i * base + math.min(i, rem)
-      (i, offset, width)
+      // JVM long shifts are mod 64: (1L << 64) - 1 would be 0, silently
+      // zeroing every key at maxHamming = 0 (single 64-bit chunk)
+      val mask = if (width >= 64) -1L else (1L << width) - 1L
+      (i, offset, mask)
     }
     val sigs = df.select(col(idCol), simhash64(col(textCol)).as("__sig"))
     val chunked = sigs.select(
       col(idCol),
       col("__sig"),
-      explode(array(layout.map { case (i, offset, width) =>
+      explode(array(layout.map { case (i, offset, mask) =>
         struct(lit(i).as("chunk"),
-          shiftright(col("__sig"), offset).bitwiseAND((1L << width) - 1L).as("key"))
+          shiftright(col("__sig"), offset).bitwiseAND(mask).as("key"))
       }: _*)).as("cc"))
       .select(col(idCol), col("__sig"), col("cc.chunk"), col("cc.key"))
     val capped = chunked

@@ -25,6 +25,9 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  private val safeJoinTypes =
+    Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
+
   def saltedJoin(
       skewed: DataFrame,
       other: DataFrame,
@@ -32,6 +35,12 @@ object SkewJoin {
       salts: Int,
       joinType: String = "inner"): DataFrame = {
     require(salts >= 1, s"salts must be >= 1, got $salts")
+    // right/full outer would emit every UNMATCHED right row once per salt
+    // replica — silently wrong; only inner/left variants are salt-safe
+    require(
+      safeJoinTypes(joinType.toLowerCase.replace("_", "")),
+      s"saltedJoin supports inner/left join types only, got '$joinType' — " +
+        "a right/full outer join would duplicate unmatched right rows per salt")
     val saltedLeft = skewed.withColumn(
       "__salt",
       pmod(xxhash64(skewed.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int"))

@@ -24,10 +24,13 @@ import org.apache.spark.sql.types._
   * components (the planes have `dim` components); shorter vectors project
   * on their own length. Null elements count as 0.
   */
-case class RademacherSignatures(child: Expression, tables: Int, bits: Int, dim: Int = 64)
+case class RademacherSignatures(
+    child: Expression, tables: Int, bits: Int, dim: Int = 64, tableStart: Int = 0)
     extends UnaryExpression with CodegenFallback {
 
-  require(tables >= 1 && bits >= 1 && bits <= 63, s"need tables >= 1, 1 <= bits <= 63; got tables=$tables bits=$bits")
+  require(
+    tables >= 1 && bits >= 1 && bits <= 63 && tableStart >= 0,
+    s"need tables >= 1, 1 <= bits <= 63, tableStart >= 0; got tables=$tables bits=$bits tableStart=$tableStart")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -42,7 +45,7 @@ case class RademacherSignatures(child: Expression, tables: Int, bits: Int, dim: 
     * (driver constructs it, executors get it with the serialized plan). */
   @transient private lazy val signs: Array[Array[Double]] =
     Array.tabulate(tables * bits) { tb =>
-      val t = tb / bits
+      val t = tableStart + tb / bits
       val b = tb % bits
       Array.tabulate(dim) { j =>
         if ((scala.util.hashing.MurmurHash3.productHash((t, b, j)) & 1) == 1) 1.0 else -1.0

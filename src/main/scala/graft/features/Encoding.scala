@@ -105,20 +105,24 @@ object Encoding {
     * `limit` bounds what reaches the window, and the fit fails loudly past
     * the cap. */
   def fitLabelEncoding(df: DataFrame, c: String, maxCategories: Int = 10000): DataFrame = {
+    // ONE job: the distributed TakeOrdered collects the (<= cap+1)-row
+    // frequency head; ranking the capped head is then driver-side (like
+    // fitOneHot) instead of re-running the groupBy for a window pass
     val top = df
-      .groupBy(col(c))
+      .groupBy(col(c).cast("string").as(c))
       .agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc(c))
       .limit(maxCategories + 1)
+      .collect()
     require(
-      top.count() <= maxCategories,
+      top.length <= maxCategories,
       s"fitLabelEncoding($c): more than $maxCategories distinct categories — " +
         "use target/frequency encoding for high-cardinality columns")
-    top.select(
-      col(c),
-      (row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(desc("freq"), asc(c))) - 1).as(s"${c}_idx"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    top.toSeq.zipWithIndex
+      .map { case (r, i) => (r.getString(0), i) }
+      .toDF(c, s"${c}_idx")
   }
 
   def applyLabelEncoding(df: DataFrame, mapping: DataFrame, c: String): DataFrame =

@@ -232,6 +232,9 @@ object Profile {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     val x = col(c).cast("double")
     val row = df.agg(min(x).as("mn"), max(x).as("mx")).head()
+    if (row.isNullAt(0)) // empty frame or all-null column: empty histogram
+      return df.limit(0).select(
+        lit(0).as("bucket"), lit(0.0).as("lo"), lit(0.0).as("hi"), lit(0L).as("n"))
     val (mn, mx) = (row.getDouble(0), row.getDouble(1))
     val width = (mx - mn) / bins
     val bucket =

@@ -202,7 +202,9 @@ object LlmQueries {
         |  CAST(start / 30 AS INT) AS chunk_id,
         |  array_to_string(w[start + 1 : start + 40], ' ') AS chunk_text,
         |  CAST(LEAST(40, len(w) - start) AS INT) AS n_chunk_tokens
-        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+        |FROM s
+        |WHERE start = 0 OR len(w) - start > 10
+        |ORDER BY doc_id, chunk_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM (
         |  SELECT doc_id, text FROM documents

@@ -77,9 +77,13 @@ object Similarity {
       Bridge.expression(vec.cast("array<double>")), tables, bits, dim))
 
   /** b-bit sign signature of a vector under table t's Rademacher planes
-    * (single-table view of [[lshSignatures]]). */
+    * (single-table view of [[lshSignatures]]: the expression's tableStart
+    * makes this O(1) tables of work, not O(t)). */
   def lshSignature(vec: Column, table: Int, bits: Int, dim: Int = 64): Column =
-    element_at(lshSignatures(vec, table + 1, bits, dim), table + 1)
+    element_at(
+      Bridge.column(graft.expressions.RademacherSignatures(
+        Bridge.expression(vec.cast("array<double>")), 1, bits, dim, tableStart = table)),
+      1)
 
   /** LSH-bucketed approximate cosine top-k: candidates are corpus vectors
     * sharing a (table, signature) bucket with the query in any of
@@ -124,12 +128,13 @@ object Similarity {
     * `nlist` cells; each query searches only its `nprobe` nearest cells,
     * and exact cosine re-ranks the candidates.
     *
-    * Scale shape: the quantizer fits on a bounded sample (`fitSample`
-    * rows), cell assignment is one model.transform over the corpus, and the
-    * candidate join is (query, probed-cell) pairs — tiny, broadcast —
-    * against the cell-partitioned corpus: work is |corpus|·nprobe/nlist per
-    * query in expectation, never N². Centroid-distance math for queries
-    * runs on the driver over the nlist×dim centroid matrix (KB-scale).
+    * Scale shape: the quantizer fits on a bounded hash-ordered sample
+    * (`fitSample` rows, unbiased on sorted corpora), cell assignment is one
+    * model.transform over the corpus, and the candidate join is
+    * (query, probed-cell) pairs — tiny, broadcast — against the
+    * cell-partitioned corpus: work is |corpus|·nprobe/nlist per query in
+    * expectation, never N². Probe selection is a distributed rank of each
+    * query against the broadcast nlist×dim centroid frame (any id type).
     * Complements [[lshCosineTopK]]: IVF adapts to the data distribution,
     * LSH needs no fitting. */
   def ivfCosineTopK(
@@ -154,7 +159,12 @@ object Similarity {
       col(vecCol).as("__cv"),
       l2Norm(col(vecCol)).as("__cn"),
       array_to_vector(col(vecCol).cast("array<double>")).as("__mlvec"))
-    val fitFrame = corpusVec.select("__mlvec").limit(fitSample)
+    // hash-ordered top-n = a uniform deterministic pseudo-random sample
+    // (distributed TakeOrdered); a bare limit() would take a partition-order
+    // PREFIX and bias the centroids on any sorted/clustered corpus
+    val fitFrame = corpusVec
+      .select(col("__mlvec"), xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h")).limit(fitSample).drop("__h")
     // a coarse quantizer doesn't need convergence — cells just need to be
     // roughly balanced; 8 iterations halves the fit cost vs the default 20
     // with no measurable recall change on the testdata embeddings
@@ -164,35 +174,31 @@ object Similarity {
       .fit(fitFrame)
     val assigned = model.transform(corpusVec).drop("__mlvec")
 
-    // nprobe nearest centroids per query — centroids are nlist×dim, driver math
-    val centroids = model.clusterCenters.map(_.toArray)
-    val qRows = queries
-      .select(col(queryIdCol).cast("long").as("query_id"), col(vecCol).cast("array<double>").as("__qv"))
-      .collect()
-      .flatMap { r =>
-        val qid = r.getLong(0)
-        val qv = r.getSeq[Double](1).toArray
-        centroids.zipWithIndex
-          .map { case (c, i) =>
-            var d = 0.0
-            var j = 0
-            val n = math.min(c.length, qv.length)
-            while (j < n) { val t = c(j) - qv(j); d += t * t; j += 1 }
-            (i, d)
-          }
-          .sortBy(_._2).take(nprobe)
-          .map { case (cell, _) => (qid, cell) }
-      }.toSeq
-    val probes = broadcast(qRows.toDF("query_id", "__cell"))
-    val qSide = broadcast(
-      queries.select(
-        col(queryIdCol).as("query_id"),
-        col(vecCol).as("__qv2"),
-        l2Norm(col(vecCol)).as("__qn")))
+    // nprobe nearest centroids per query: a (queries × nlist) distance rank
+    // against the tiny broadcast centroid frame — fully distributed, works
+    // for any query-id type (no driver math, no long cast)
+    val centDf = broadcast(
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray.toSeq) }
+        .toDF("__cell", "__cent"))
+    val qSide = queries.select(
+      col(queryIdCol).as("query_id"),
+      col(vecCol).as("__qv2"),
+      l2Norm(col(vecCol)).as("__qn"))
+    // rank by ||q - c||² = q·q − 2 q·c + c·c; q·q is constant per query so
+    // −2 q·c + c·c orders identically
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dist").asc, col("__cell").asc)
+    val qProbes = broadcast(
+      qSide.crossJoin(centDf)
+        .withColumn("__dist",
+          dot(col("__cent"), col("__cent")) - lit(2.0) * dot(col("__qv2"), col("__cent")))
+        .withColumn("__rk", row_number().over(probeW))
+        .filter(col("__rk") <= nprobe)
+        .select(col("query_id"), col("__cell"), col("__qv2"), col("__qn")))
 
     val cands = assigned
-      .join(probes, Seq("__cell"))
-      .join(qSide, Seq("query_id"))
+      .join(qProbes, Seq("__cell"))
       .filter(col(idCol) =!= col("query_id"))
     val scored = cands.select(
       col("query_id"),

@@ -118,8 +118,11 @@ object TextAnalysis {
   /** Split documents into overlapping token-window chunks — the standard
     * context-window preparation step of an LLM training pipeline. Chunk c
     * starts at token c·(chunkTokens − overlap) and carries up to
-    * `chunkTokens` tokens; the final chunk may be shorter. Pure column
-    * expressions (sequence + slice + posexplode): one scan, no shuffle —
+    * `chunkTokens` tokens; the final chunk may be shorter. A trailing start
+    * whose remaining tokens all lie inside the previous chunk's overlap
+    * region is SKIPPED — it would emit a chunk fully contained in its
+    * predecessor, duplicating training text. Pure column expressions
+    * (sequence + filter + slice + posexplode): one scan, no shuffle —
     * chunking 100 TB is a projection. Output: (id, chunk_id, chunk_text,
     * n_chunk_tokens). */
   def chunkDocuments(
@@ -133,7 +136,9 @@ object TextAnalysis {
     val step = chunkTokens - overlap
     val toks = split(trim(col(textCol)), "\\s+")
     val n = size(toks)
-    val starts = sequence(lit(0), greatest(n - 1, lit(0)), lit(step))
+    val starts = filter(
+      sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
+      s => s === 0 || (n - s) > overlap)
     df.select(
         col(idCol),
         col(textCol),

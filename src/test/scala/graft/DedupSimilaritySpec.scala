@@ -80,6 +80,14 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("simhash maxHamming = 0 (single 64-bit chunk) finds exact signature matches") {
+    // regression: (1L << 64) - 1 is 0 on the JVM — the old mask zeroed every
+    // key and the bucket cap could then silently drop the whole corpus
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 3L))) // the byte-identical pair, nothing else
+  }
+
   test("ngram jaccard: near-dup pair scores high, distinct pair absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.3)
       .select("id_a", "id_b", "jaccard")
@@ -168,8 +176,10 @@ class DedupSimilaritySpec extends SparkSpec {
       .orderBy("chunk_id")
       .select("chunk_id", "chunk_text", "n_chunk_tokens")
       .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2))).toSeq
+    // start 6 is skipped: its lone token t7 lies entirely inside chunk 2's
+    // overlap region — emitting it would duplicate training text
     assert(out == Seq(
-      (0, "t1 t2 t3", 3), (1, "t3 t4 t5", 3), (2, "t5 t6 t7", 3), (3, "t7", 1)))
+      (0, "t1 t2 t3", 3), (1, "t3 t4 t5", 3), (2, "t5 t6 t7", 3)))
     intercept[IllegalArgumentException] {
       TextAnalysis.chunkDocuments(df, "doc_id", "text", chunkTokens = 3, overlap = 3)
     }

@@ -183,6 +183,19 @@ class OperatorsSpec extends SparkSpec {
         pmod(xxhash64(skewed.columns.map(col).toSeq: _*), lit(8L)).cast("int"))
       .filter(col("k") === 1).select("__salt").distinct().count()
     assert(saltSpread >= 4, s"hot key only spread over $saltSpread salts")
+    // right/full outer would duplicate unmatched right rows per salt
+    intercept[IllegalArgumentException] {
+      graft.dp.SkewJoin.saltedJoin(skewed, dim, "k", salts = 8, joinType = "full_outer")
+    }
+  }
+
+  test("histogram returns an empty frame for empty or all-null input") {
+    val empty = Profile.histogram(Seq.empty[Double].toDF("x"), "x", 5)
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("bucket", "lo", "hi", "n"))
+    val allNull = Profile.histogram(
+      Seq[Option[Double]](None, None).toDF("x"), "x", 5)
+    assert(allNull.count() == 0)
   }
 
   test("bucketed tables join without a shuffle exchange") {
