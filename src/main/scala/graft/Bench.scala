@@ -73,22 +73,21 @@ object Bench {
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         clearState(spark)
         try {
-          def measure(): Double = {
+          def measure(): (Double, Long) = {
             val t0 = System.nanoTime()
-            fn(spark, sfDir).count()
-            (System.nanoTime() - t0) / 1e9
+            val rows = fn(spark, sfDir).count()
+            ((System.nanoTime() - t0) / 1e9, rows)
           }
-          val t0 = System.nanoTime()
-          val n = fn(spark, sfDir).count()
-          var cold = (System.nanoTime() - t0) / 1e9
+          val (cold0, n) = measure()
+          var cold = cold0
           clearState(spark)
-          val warm = measure()
+          val (warm, _) = measure()
           // cold >> warm on an identical cold-cache plan = external stall
           // (ambient load / background JIT), not the query: re-measure once
           // against a cold cache and keep the faster honest attempt.
           if (cold > math.max(5 * warm, 2.0)) {
             clearState(spark)
-            val retry = measure()
+            val (retry, _) = measure()
             if (retry < cold) {
               System.err.println(f"[bench] $name cold $cold%.2fs looked stalled (warm $warm%.2fs); retry $retry%.2fs")
               cold = retry

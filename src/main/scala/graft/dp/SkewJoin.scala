@@ -19,9 +19,12 @@ import org.apache.spark.sql.functions._
   * contexts. Prefer AQE first; reach for this when a stage's max task is
   * orders of magnitude above its median.
   *
-  * The salt is derived from xxhash64 over the skewed side's whole row, so
-  * it is deterministic for a given row content (identical rows share a
-  * salt — they carry identical join work, so co-locating them is free).
+  * The salt is derived from a per-row id (partition index + offset), so
+  * byte-identical rows of a hot key still spread across salts — a
+  * content-hash salt would funnel duplicate rows (or a keys-only
+  * projection) back through one reducer, keeping the skew while paying the
+  * replication. The salt is deterministic for a fixed partitioning of the
+  * input; it only affects placement, never the join result.
   */
 object SkewJoin {
 
@@ -43,7 +46,7 @@ object SkewJoin {
         "a right/full outer join would duplicate unmatched right rows per salt")
     val saltedLeft = skewed.withColumn(
       "__salt",
-      pmod(xxhash64(skewed.columns.map(col).toSeq: _*), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
     val replicatedRight = other.withColumn(
       "__salt",
       explode(array((0 until salts).map(lit): _*)))

@@ -2,6 +2,7 @@ package graft.features
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
 
 /** Categorical encoders (reference: src/ta_lib/pyspark/features.py:28-286
   * `Encoder`): one-hot, ordinal (user map), target (group mean/median).
@@ -41,10 +42,16 @@ object Encoding {
   }
 
   /** Frequency-encoding model: category → occurrence share learned on
-    * train; unseen categories at transform time get 0.0. */
+    * train; unseen categories at transform time get 0.0. The join is
+    * NULL-SAFE (<=>): a null category learned on train reaches its share
+    * at transform time instead of silently encoding as unseen. */
   final case class FrequencyModel(mapping: DataFrame, c: String) {
     def transform(df: DataFrame): DataFrame =
-      df.join(broadcast(mapping), Seq(c), "left")
+      df.join(
+          broadcast(mapping.withColumnRenamed(c, "__cat")),
+          df(c) <=> col("__cat"),
+          "left")
+        .drop("__cat")
         .withColumn(s"${c}_freq", coalesce(col(s"${c}_freq"), lit(0.0)))
   }
 
@@ -107,9 +114,11 @@ object Encoding {
   def fitLabelEncoding(df: DataFrame, c: String, maxCategories: Int = 10000): DataFrame = {
     // ONE job: the distributed TakeOrdered collects the (<= cap+1)-row
     // frequency head; ranking the capped head is then driver-side (like
-    // fitOneHot) instead of re-running the groupBy for a window pass
+    // fitOneHot) instead of re-running the groupBy for a window pass.
+    // The category column keeps its INPUT type — a string cast would
+    // silently reorder numeric ties ("10" < "2") and break join types.
     val top = df
-      .groupBy(col(c).cast("string").as(c))
+      .groupBy(col(c))
       .agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc(c))
       .limit(maxCategories + 1)
@@ -119,10 +128,14 @@ object Encoding {
       s"fitLabelEncoding($c): more than $maxCategories distinct categories — " +
         "use target/frequency encoding for high-cardinality columns")
     val spark = df.sparkSession
-    import spark.implicits._
-    top.toSeq.zipWithIndex
-      .map { case (r, i) => (r.getString(0), i) }
-      .toDF(c, s"${c}_idx")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(c).copy(name = c),
+      org.apache.spark.sql.types.StructField(s"${c}_idx", org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val rows = top.toSeq.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), i)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), schema)
   }
 
   def applyLabelEncoding(df: DataFrame, mapping: DataFrame, c: String): DataFrame =

@@ -118,7 +118,9 @@ object Profile {
         round(col("missing_cells") * 100.0 / (col("rows") * col("cols")), 4)
           .as("missing_pct"),
         round(lit(nNumeric) * 100.0 / cs.length, 4).as("numeric_col_pct"),
-        round((col("rows") - col("distinct_rows")) * 100.0 / col("rows"), 4)
+        // HLL may OVERestimate distinct_rows past the row count — clamp so
+        // the approx path can't report a negative duplicate percentage
+        round(greatest(lit(0.0), (col("rows") - col("distinct_rows")) * 100.0 / col("rows")), 4)
           .as("duplicate_row_pct"))
   }
 
@@ -231,8 +233,11 @@ object Profile {
   def histogram(df: DataFrame, c: String, bins: Int): DataFrame = {
     require(bins >= 1, s"bins must be >= 1, got $bins")
     val x = col(c).cast("double")
-    val row = df.agg(min(x).as("mn"), max(x).as("mx")).head()
-    if (row.isNullAt(0)) // empty frame or all-null column: empty histogram
+    // NaN sorts above every double in Spark's max — a single NaN row would
+    // make width NaN and collapse every bucket to 0; exclude NaN like null
+    val clean = df.filter(x.isNotNull && !isnan(x))
+    val row = clean.agg(min(x).as("mn"), max(x).as("mx")).head()
+    if (row.isNullAt(0)) // empty frame or all-null/NaN column: empty histogram
       return df.limit(0).select(
         lit(0).as("bucket"), lit(0.0).as("lo"), lit(0.0).as("hi"), lit(0L).as("n"))
     val (mn, mx) = (row.getDouble(0), row.getDouble(1))
@@ -240,7 +245,7 @@ object Profile {
     val bucket =
       if (width == 0.0) lit(0)
       else least(floor((x - mn) / width).cast("int"), lit(bins - 1))
-    df.filter(x.isNotNull)
+    clean
       .select(bucket.as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))

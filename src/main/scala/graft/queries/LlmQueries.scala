@@ -194,7 +194,7 @@ object LlmQueries {
         |GROUP BY token ORDER BY freq DESC, token LIMIT 25""".stripMargin,
     "chunk_documents" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-        |           FROM documents WHERE doc_id < 20),
+        |           FROM documents WHERE doc_id < 20 AND trim(text) <> ''),
         |s AS (SELECT doc_id, w,
         |             unnest(range(0, GREATEST(len(w) - 1, 0) + 1, 30)) AS start
         |      FROM d)

@@ -98,11 +98,20 @@ object Streaming {
       user_id: Long, n_events: Long, total_value: Double, last_type: String, last_ts: Long)
 
   /** Append-mode sessionization: sessions close `gapMs` of EVENT time after
-    * their last event (tracked via the watermark) and are emitted exactly
-    * once — composable with the Append-only parquet sink, unlike
-    * [[sessionize]] whose Update-mode output the file sink rejects at
-    * runtime. State is bounded: every group either updates its timeout
-    * forward or is evicted when the watermark passes it. */
+    * their last event and are emitted exactly once — composable with the
+    * Append-only parquet sink, unlike [[sessionize]] whose Update-mode
+    * output the file sink rejects at runtime.
+    *
+    * Gap semantics match [[graft.pipeline.FeatureEngineering.sessionizeBatch]]:
+    * incoming events are folded in event-time order and an event more than
+    * `gapMs` after the open session's last event CLOSES it (emitted
+    * immediately) and starts a new one — including gaps entirely inside one
+    * micro-batch or spanning batches, where the event-time timeout alone
+    * would silently merge them. The timeout handles the final session once
+    * the watermark passes its close time. Late events older than the open
+    * session's last event merge into it (a closed session is never
+    * reopened). State is bounded: every group either advances its timeout
+    * or is evicted when the watermark passes it. */
   def sessionizeAppend(
       events: Dataset[Event],
       gapMs: Long = 60000L,
@@ -120,20 +129,29 @@ object Streaming {
             Iterator(Session(s.user_id, s.n_events, s.total_value, s.last_type))
           } else {
             val evs = batch.toSeq.sortBy(_.ts.getTime)
-            val prev = state.getOption.getOrElse(OpenSession(userId, 0L, 0.0, "", 0L))
-            val next = OpenSession(
-              userId,
-              prev.n_events + evs.size,
-              prev.total_value + evs.map(_.value).sum,
-              evs.lastOption.map(_.event_type).getOrElse(prev.last_type),
-              math.max(prev.last_ts, evs.lastOption.map(_.ts.getTime).getOrElse(prev.last_ts)))
-            state.update(next)
-            // close when event time advances gapMs past the last event; the
-            // timeout must sit beyond the current watermark, so late state
-            // re-arms relative to it
-            state.setTimeoutTimestamp(
-              math.max(next.last_ts + gapMs, state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
+            val closed = scala.collection.mutable.ListBuffer[Session]()
+            var cur = state.getOption.orNull
+            evs.foreach { e =>
+              val t = e.ts.getTime
+              if (cur != null && t - cur.last_ts > gapMs) {
+                closed += Session(cur.user_id, cur.n_events, cur.total_value, cur.last_type)
+                cur = null
+              }
+              cur =
+                if (cur == null) OpenSession(userId, 1L, e.value, e.event_type, t)
+                else OpenSession(
+                  userId, cur.n_events + 1, cur.total_value + e.value,
+                  if (t >= cur.last_ts) e.event_type else cur.last_type,
+                  math.max(cur.last_ts, t))
+            }
+            if (cur != null) {
+              state.update(cur)
+              // the timeout must sit beyond the current watermark, so late
+              // state re-arms relative to it
+              state.setTimeoutTimestamp(
+                math.max(cur.last_ts + gapMs, state.getCurrentWatermarkMs() + 1))
+            }
+            closed.iterator
           }
       }
   }

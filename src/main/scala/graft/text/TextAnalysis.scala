@@ -136,9 +136,13 @@ object TextAnalysis {
     val step = chunkTokens - overlap
     val toks = split(trim(col(textCol)), "\\s+")
     val n = size(toks)
-    val starts = filter(
-      sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
-      s => s === 0 || (n - s) > overlap)
+    // blank documents yield zero chunks (split(trim("")) is [""], which
+    // would otherwise emit one junk empty chunk — tokenCount's blank→0
+    // convention applies here too); posexplode of an empty array drops the row
+    val starts = when(length(trim(col(textCol))) === 0, array().cast("array<int>"))
+      .otherwise(filter(
+        sequence(lit(0), greatest(n - 1, lit(0)), lit(step)),
+        s => s === 0 || (n - s) > overlap))
     df.select(
         col(idCol),
         col(textCol),

@@ -183,6 +183,11 @@ class DedupSimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TextAnalysis.chunkDocuments(df, "doc_id", "text", chunkTokens = 3, overlap = 3)
     }
+    // blank documents produce zero chunks, matching tokenCount's blank -> 0
+    val blanks = Seq((1L, ""), (2L, "   "), (3L, "one token")).toDF("doc_id", "text")
+    val chunked = TextAnalysis.chunkDocuments(blanks, "doc_id", "text", 3, 1)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(chunked == Seq(3L))
   }
 
   test("language scores + quality + token counts behave") {

@@ -178,11 +178,13 @@ class OperatorsSpec extends SparkSpec {
       .select("k", "v", "d").collect().map(_.toString).sorted.toSeq
     assert(salted == plain)
     // the hot key's rows really land in several salt sub-groups
-    val saltSpread = skewed
-      .withColumn("__salt",
-        pmod(xxhash64(skewed.columns.map(col).toSeq: _*), lit(8L)).cast("int"))
-      .filter(col("k") === 1).select("__salt").distinct().count()
-    assert(saltSpread >= 4, s"hot key only spread over $saltSpread salts")
+    // duplicate-row hot key must STILL spread (the salt is per-row id, not
+    // content hash — identical rows would otherwise share one salt)
+    val dupRows = Seq.fill(1000)(1L).toDF("k")
+    val saltSpread = dupRows
+      .withColumn("__salt", pmod(xxhash64(monotonically_increasing_id()), lit(8L)).cast("int"))
+      .select("__salt").distinct().count()
+    assert(saltSpread >= 4, s"identical-row hot key only spread over $saltSpread salts")
     // right/full outer would duplicate unmatched right rows per salt
     intercept[IllegalArgumentException] {
       graft.dp.SkewJoin.saltedJoin(skewed, dim, "k", salts = 8, joinType = "full_outer")
@@ -196,6 +198,12 @@ class OperatorsSpec extends SparkSpec {
     val allNull = Profile.histogram(
       Seq[Option[Double]](None, None).toDF("x"), "x", 5)
     assert(allNull.count() == 0)
+    // NaN excluded like null — a single NaN would otherwise make width NaN
+    // and collapse every bucket to 0
+    val withNan = Profile.histogram(Seq(1.0, 2.0, Double.NaN).toDF("x"), "x", 2)
+      .orderBy("bucket").collect()
+    assert(withNan.map(_.getAs[Long]("n")).sum == 2)
+    assert(withNan.forall(r => !r.getAs[Double]("hi").isNaN))
   }
 
   test("bucketed tables join without a shuffle exchange") {
@@ -276,6 +284,22 @@ class OperatorsSpec extends SparkSpec {
     val idx = Encoding.fitLabelEncoding(small, "c")
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(idx == Map("x" -> 0, "y" -> 1, "z" -> 2))
+    // numeric categories keep their type and NUMERIC tie order (a string
+    // cast would order "10" < "2")
+    val nums = Seq(10L, 10L, 2L, 2L).toDF("c")
+    val m = Encoding.fitLabelEncoding(nums, "c")
+    assert(m.schema("c").dataType == org.apache.spark.sql.types.LongType)
+    val numIdx = m.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(numIdx == Map(2L -> 0, 10L -> 1))
+  }
+
+  test("frequency encoding reaches the null category's learned share") {
+    val train = Seq(Some("a"), None, None).toDF("c")
+    val m = Encoding.fitFrequencyEncoder(train, "c")
+    val out = m.transform(Seq(Some("a"), None).toDF("c"))
+      .orderBy(asc_nulls_first("c")).select("c_freq").as[Double].collect().toSeq
+    assert(math.abs(out(0) - 2.0 / 3.0) < 1e-9, s"null share: ${out(0)}")
+    assert(math.abs(out(1) - 1.0 / 3.0) < 1e-9)
   }
 
   test("approx distinct count (production path) stays within HLL tolerance of exact") {

@@ -90,6 +90,25 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 2L, 3.0, "view")), s"expected user 1 session closed; got $rows")
   }
 
+  test("append-mode sessionize splits on an intra-batch event-time gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streaming
+      .sessionizeAppend(input.toDS(), gapMs = 60000L, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("gap_sessions")
+      .outputMode(OutputMode.Append()).start()
+    // 10 minutes apart in ONE batch: must be two sessions, the first
+    // emitted immediately (the timeout alone would merge them)
+    input.addData(Event(1, "click", ts(0), 1.0), Event(1, "view", ts(10), 2.0))
+    query.processAllAvailable()
+    val immediate = spark.table("gap_sessions")
+      .selectExpr("user_id", "n_events", "total_value", "last_type")
+      .as[(Long, Long, Double, String)].collect().toSet
+    query.stop()
+    assert(immediate.contains((1L, 1L, 1.0, "click")),
+      s"first session must close on the intra-batch gap; got $immediate")
+  }
+
   test("sessionize accumulates per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
