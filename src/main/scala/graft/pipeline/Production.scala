@@ -76,9 +76,18 @@ object Production {
         ctx.dataPath("clean.documents"))
     }
 
+    Jobs.register("corpus-curation", "quality-filter") { (ctx, params) =>
+      val s = ctx.spark
+      val minQuality = params.getOrElse("min_quality", "0.5").toString.toDouble
+      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents")))
+      Tables.saveData(
+        graft.text.TextAnalysis.qualityFilter(docs, "text", minQuality),
+        ctx.dataPath("clean.documents_filtered"))
+    }
+
     Jobs.register("corpus-curation", "text-quality") { (ctx, _) =>
       val s = ctx.spark
-      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents")))
+      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_filtered")))
       val stats = graft.text.TextAnalysis.textStats(docs, "doc_id", "text")
       val withLang = graft.text.TextAnalysis
         .languageScores(docs.select(col("doc_id"), col("text")), "text")
@@ -92,7 +101,7 @@ object Production {
       val s = ctx.spark
       val chunkTokens = params.getOrElse("chunk_tokens", "256").toString.toInt
       val overlap = params.getOrElse("overlap", "32").toString.toInt
-      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents")))
+      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_filtered")))
       Tables.saveData(
         graft.text.TextAnalysis.chunkDocuments(docs, "doc_id", "text", chunkTokens, overlap),
         ctx.dataPath("processed.chunks"))
@@ -101,7 +110,7 @@ object Production {
     Jobs.register("corpus-curation", "near-dup-report") { (ctx, params) =>
       val s = ctx.spark
       val threshold = params.getOrElse("threshold", "0.7").toString.toDouble
-      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents")))
+      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_filtered")))
       Tables.saveData(
         graft.dedup.Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold),
         ctx.dataPath("processed.near_dup_pairs"))

@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** Plain Bernoulli sample (reference: dp.py:885-915). */
+  /** Per-stratum Bernoulli sampling (e.g. downsample a corpus by language
+    * or source with different keep rates). Wraps `df.stat.sampleBy`: one
+    * pass, seeded, no shuffle — strata absent from `fractions` are
+    * dropped. */
+  def stratifiedSample(
+      df: DataFrame,
+      stratumCol: String,
+      fractions: Map[String, Double],
+      seed: Long): DataFrame =
+    df.stat.sampleBy(stratumCol, fractions, seed)
+
   def sample(df: DataFrame, fraction: Double, seed: Long): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
 

@@ -157,6 +157,12 @@ object TextAnalysis {
         col("col.n_chunk_tokens"))
   }
 
+  /** Keep documents whose quality score clears the threshold — the
+    * standard corpus filter between dedup and chunking. Pure filter
+    * expression: fused into the scan, pushdown-friendly. */
+  def qualityFilter(df: DataFrame, textCol: String, minQuality: Double): DataFrame =
+    df.filter(qualityScore(col(textCol)) >= minQuality)
+
   /** Corpus vocabulary: top-k tokens by frequency (ties by token
     * ascending). One explode + hash-partitioned groupBy + distributed
     * partial top-k (TakeOrderedAndProject) — no full sort, no driver-side

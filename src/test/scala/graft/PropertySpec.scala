@@ -98,6 +98,18 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: stratified sample keeps only listed strata at ~requested rates") {
+    val df = (1 to 2000).map(i => (i, if (i % 2 == 0) "en" else "de")).toDF("id", "lang")
+    val out = Sampling.stratifiedSample(df, "lang", Map("en" -> 0.5, "de" -> 0.1), seed = 7)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("en") - 500.0) < 150, s"en kept ${counts.get("en")}")
+    assert(math.abs(counts.getOrElse("de", 0L) - 100.0) < 60, s"de kept ${counts.get("de")}")
+    // determinism with a fixed seed
+    val again = Sampling.stratifiedSample(df, "lang", Map("en" -> 0.5, "de" -> 0.1), seed = 7)
+    assert(again.count() == out.count())
+  }
+
   test("property: frequency encoding shares sum to 1 over seen categories") {
     import graft.features.Encoding
     val gen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d"))
