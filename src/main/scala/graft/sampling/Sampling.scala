@@ -6,15 +6,15 @@ import org.apache.spark.sql.functions._
 /** Sampling and train/test splitting
   * (reference: src/ta_lib/pyspark/dp.py:845-995).
   *
-  * All methods are seed-deterministic Bernoulli/randomSplit compositions —
-  * no driver collection, so they hold at any scale. The reference's
+  * All methods are seed-deterministic Bernoulli/randomSplit compositions;
+  * the only driver collection is the stratified split's CAPPED class list.
+  * The reference's
   * stratified split divides the test share per class (test_prop/2,
   * dp.py:985-990, a bug); we implement correct per-class proportions
   * (documented in DIVERGENCES.md).
   */
 object Sampling {
 
-  /** Plain Bernoulli sample (reference: dp.py:885-915). */
   /** Per-stratum Bernoulli sampling (e.g. downsample a corpus by language
     * or source with different keep rates). Wraps `df.stat.sampleBy`: one
     * pass, seeded, no shuffle — strata absent from `fractions` are
@@ -26,6 +26,7 @@ object Sampling {
       seed: Long): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 
+  /** Plain Bernoulli sample (reference: dp.py:885-915). */
   def sample(df: DataFrame, fraction: Double, seed: Long): DataFrame =
     df.sample(withReplacement = false, fraction, seed)
 
@@ -49,9 +50,21 @@ object Sampling {
   }
 
   /** Stratified split: per-class randomSplit, reassembled with unionByName
-    * (reference: dp.py:979-994, with the test_prop/2 bug fixed). */
-  def stratifiedSplit(df: DataFrame, target: String, testProp: Double, seed: Long): (DataFrame, DataFrame) = {
-    val classes = df.select(col(target)).distinct().collect().map(_.get(0))
+    * (reference: dp.py:979-994, with the test_prop/2 bug fixed). The class
+    * collect is CAPPED like the encoder fits — pointing this at a
+    * continuous column would otherwise collect every distinct value to the
+    * driver and fan out one scan per value. */
+  def stratifiedSplit(
+      df: DataFrame,
+      target: String,
+      testProp: Double,
+      seed: Long,
+      maxClasses: Int = 100): (DataFrame, DataFrame) = {
+    val classes = df.select(col(target)).distinct().limit(maxClasses + 1).collect().map(_.get(0))
+    require(
+      classes.length <= maxClasses,
+      s"stratifiedSplit($target): more than $maxClasses distinct classes — " +
+        "stratify on a categorical label, not a continuous column")
     val splits = classes.map { cls =>
       val Array(tr, te) =
         df.filter(col(target) <=> lit(cls)).randomSplit(Array(1 - testProp, testProp), seed)

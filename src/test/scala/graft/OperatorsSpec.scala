@@ -91,6 +91,11 @@ class OperatorsSpec extends SparkSpec {
     assert(train.count() + test.count() == 1000)
     val testPosShare = test.filter(col("y") === 1).count().toDouble / test.count()
     assert(math.abs(testPosShare - 0.2) < 0.06) // class ratio survives the split
+    // stratifying on a continuous column fails loudly instead of collecting
+    // every distinct value and fanning out one scan per value
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedSplit(df, "id", 0.3, seed = 7, maxClasses = 100)
+    }
   }
 
   test("regression metrics formulas on a hand-computed frame") {
