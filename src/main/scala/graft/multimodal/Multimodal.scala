@@ -57,6 +57,21 @@ object Multimodal {
         (pmod(xxhash64(payload, i), lit(1000000L)).cast("double") / 500000.0 - 1.0)
           .cast("float"))
 
+  /** STUB resize kernel: a real implementation decodes, resamples to
+    * (targetW, targetH) and re-encodes; here the payload passes through
+    * untouched while the metadata is updated to the target dimensions —
+    * the schema contract (same asset shape in and out, meta reflecting the
+    * transform) and the pure per-row plumbing are what production swaps
+    * its codec into. */
+  def resizeStub(df: DataFrame, targetW: Int, targetH: Int): DataFrame =
+    df.withColumn(
+      "meta",
+      struct(
+        lit(targetW).as("width"),
+        lit(targetH).as("height"),
+        col("meta.duration_ms").as("duration_ms"),
+        col("meta.codec").as("codec")))
+
   /** Frame-sampling plumbing for video payloads: emit (asset_id, frame_idx)
     * rows every `everyMs` over the declared duration — the real decoder
     * fills the frame payload; the row-multiplication plumbing is real. */

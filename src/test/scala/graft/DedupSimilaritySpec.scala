@@ -203,6 +203,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(stats(0L) == 12)
   }
 
+  test("multimodal resize updates metadata, preserves asset schema and payload") {
+    val assets = Multimodal.toAssets(
+      Seq((1L, "img-bytes")).toDF("id", "b").withColumn("b", col("b").cast("binary")),
+      "id", "b", "image")
+    val resized = Multimodal.resizeStub(assets, 224, 224)
+    // same field names and types (nullability may tighten: literals are
+    // non-null, which any downstream consumer accepts)
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq
+    assert(shape(resized) == shape(assets))
+    val r = resized.select("meta.width", "meta.height", "payload").head()
+    assert(r.getInt(0) == 224 && r.getInt(1) == 224)
+    assert(new String(r.getAs[Array[Byte]](2)) == "img-bytes") // payload untouched
+  }
+
   test("multimodal: payload stats real, stub features deterministic") {
     val assets = Multimodal.toAssets(
       Seq((1L, "payload-bytes-one"), (2L, "payload-bytes-two"))
