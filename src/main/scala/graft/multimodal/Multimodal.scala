@@ -62,15 +62,19 @@ object Multimodal {
     * untouched while the metadata is updated to the target dimensions —
     * the schema contract (same asset shape in and out, meta reflecting the
     * transform) and the pure per-row plumbing are what production swaps
-    * its codec into. */
+    * its codec into. Only visual assets (image/video) with non-null meta
+    * are touched; audio rows and null-meta rows pass through unchanged. */
   def resizeStub(df: DataFrame, targetW: Int, targetH: Int): DataFrame =
     df.withColumn(
       "meta",
-      struct(
-        lit(targetW).as("width"),
-        lit(targetH).as("height"),
-        col("meta.duration_ms").as("duration_ms"),
-        col("meta.codec").as("codec")))
+      when(
+        col("media_type").isin("image", "video") && col("meta").isNotNull,
+        struct(
+          lit(targetW).as("width"),
+          lit(targetH).as("height"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.codec").as("codec")))
+        .otherwise(col("meta")))
 
   /** Frame-sampling plumbing for video payloads: emit (asset_id, frame_idx)
     * rows every `everyMs` over the declared duration — the real decoder

@@ -26,7 +26,7 @@ object Jobs {
 
   final case class TaskPlan(name: String, params: Map[String, Any])
   final case class StagePlan(name: String, tasks: List[TaskPlan])
-  final case class JobPlan(name: String, stages: List[StagePlan])
+  final case class JobPlan(name: String, stages: List[StagePlan], failFast: Boolean = false)
 
   /** job_catalog tree → ordered plans (reference: job_planner.py:8-47). */
   def plan(ctx: Context, jobName: String): List[JobPlan] = {
@@ -46,7 +46,13 @@ object Jobs {
         }
         StagePlan(s("name").toString, tasks)
       }
-      JobPlan(j("name").toString, stages)
+      // fail_fast: a job whose tasks pass data through zones should abort
+      // on the first failure — continuing would let later tasks silently
+      // consume a STALE zone written by a previous run
+      JobPlan(
+        j("name").toString,
+        stages,
+        j.get("fail_fast").exists(_.toString.toBoolean))
     }
   }
 
@@ -62,29 +68,39 @@ object Jobs {
     val failures = scala.collection.mutable.ListBuffer[(String, String, String)]()
     val track = ctx.trackingPath
     plan(ctx, jobName).foreach { job =>
+      // a failed task in a fail-fast job skips the REST OF THAT JOB (its
+      // later tasks would read stale zone outputs from a previous run) but
+      // not other jobs in an `all` run
+      var jobAborted = false
       job.stages.foreach { stage =>
         stage.tasks.foreach { task =>
-          val t0 = System.nanoTime()
-          def record(status: String, err: Option[String]): Unit =
-            track.foreach { p =>
-              try Tracking.append(p, Tracking.RunRecord(
-                job.name, stage.name, task.name, status,
-                (System.nanoTime() - t0) / 1e9, task.params, err))
-              catch {
-                case e: Throwable =>
-                  System.err.println(s"[graft] tracking append failed: ${e.getMessage}")
+          if (!jobAborted) {
+            val t0 = System.nanoTime()
+            def record(status: String, err: Option[String]): Unit =
+              track.foreach { p =>
+                try Tracking.append(p, Tracking.RunRecord(
+                  job.name, stage.name, task.name, status,
+                  (System.nanoTime() - t0) / 1e9, task.params, err))
+                catch {
+                  case e: Throwable =>
+                    System.err.println(s"[graft] tracking append failed: ${e.getMessage}")
+                }
               }
+            try {
+              processor(job.name, task.name)(ctx, task.params)
+              record("ok", None)
+              println(f"[graft] ${job.name}/${stage.name}/${task.name} ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+            } catch {
+              case e: Throwable =>
+                failures += ((job.name, stage.name, task.name))
+                record("failed", Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+                System.err.println(s"[graft] ${job.name}/${stage.name}/${task.name} FAILED: ${e.getMessage}")
+                if (failFast) throw e
+                if (job.failFast) {
+                  jobAborted = true
+                  System.err.println(s"[graft] ${job.name}: fail_fast — skipping the job's remaining tasks")
+                }
             }
-          try {
-            processor(job.name, task.name)(ctx, task.params)
-            record("ok", None)
-            println(f"[graft] ${job.name}/${stage.name}/${task.name} ok (${(System.nanoTime() - t0) / 1e9}%.1fs)")
-          } catch {
-            case e: Throwable =>
-              failures += ((job.name, stage.name, task.name))
-              record("failed", Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
-              System.err.println(s"[graft] ${job.name}/${stage.name}/${task.name} FAILED: ${e.getMessage}")
-              if (failFast) throw e
           }
         }
       }

@@ -85,9 +85,12 @@ object Production {
         ctx.dataPath("clean.documents_filtered"))
     }
 
+    // the quality/language REPORT reads the full deduped corpus — reading
+    // the filtered zone would censor it to survivors and make it useless
+    // for tuning min_quality or seeing what was rejected
     Jobs.register("corpus-curation", "text-quality") { (ctx, _) =>
       val s = ctx.spark
-      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_filtered")))
+      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents")))
       val stats = graft.text.TextAnalysis.textStats(docs, "doc_id", "text")
       val withLang = graft.text.TextAnalysis
         .languageScores(docs.select(col("doc_id"), col("text")), "text")

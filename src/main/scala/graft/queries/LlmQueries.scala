@@ -142,11 +142,17 @@ object LlmQueries {
 
   /** Token-equality stopword count, mirroring TokenSetCounts: tokenize
     * trim(lower(text)) on whitespace, count tokens in the word set. */
-  private def scoreSql(lang: String): String = {
-    val words = TextAnalysis.langStopwords(lang)
+  private def wordsSql(words: Seq[String]): String = {
     val cond = words.map(w => s"t = '$w'").mkString(" OR ")
     s"CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> $cond)) AS BIGINT)"
   }
+
+  private def scoreSql(lang: String): String =
+    wordsSql(TextAnalysis.langStopwords(lang))
+
+  /** Union of every language's stopwords — the quality gate's word set. */
+  private def allStopSql: String =
+    wordsSql(TextAnalysis.langStopwords.values.flatten.toSeq.distinct.sorted)
 
   private val hanSql =
     "CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS BIGINT)"
@@ -162,9 +168,9 @@ object LlmQueries {
          |  round(CASE WHEN length(text) = 0 THEN 0 ELSE CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS upper_ratio,
          |  round((
          |    (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
-         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s一-鿿]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END)
          |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) < 0.3 THEN 1.0 ELSE 0.0 END)
-         |    + (CASE WHEN (${scoreSql("en")}) > 0 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN ($allStopSql) > 0 OR ($hanSql) > 0 THEN 1.0 ELSE 0.0 END)
          |  ) / 4.0, 6) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
     "lang_id" -> {

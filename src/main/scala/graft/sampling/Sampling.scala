@@ -19,10 +19,10 @@ object Sampling {
     * or source with different keep rates). Wraps `df.stat.sampleBy`: one
     * pass, seeded, no shuffle — strata absent from `fractions` are
     * dropped. */
-  def stratifiedSample(
+  def stratifiedSample[T](
       df: DataFrame,
       stratumCol: String,
-      fractions: Map[String, Double],
+      fractions: Map[T, Double],
       seed: Long): DataFrame =
     df.stat.sampleBy(stratumCol, fractions, seed)
 

@@ -90,13 +90,20 @@ object TextAnalysis {
   }
 
   /** Quality score in [0,1]: length in range, sane punctuation/digit load,
-    * some stopword mass (standard pretraining-corpus filters). */
+    * some stopword mass (standard pretraining-corpus filters).
+    *
+    * Language-aware: the punctuation check ignores Han characters (they are
+    * not Latin alphanumerics, but they are content, not punctuation), and
+    * the stopword gate passes on ANY supported language's stopwords or on
+    * Han content — an English-only gate silently capped every zh document
+    * at 0.5 and filtered entire languages out of the corpus pipeline. */
   def qualityScore(c: Column, minChars: Int = 100, maxChars: Int = 20000): Column = {
     val lenOk = when(length(c).between(minChars, maxChars), 1.0).otherwise(0.0)
-    val punctOk = when(punctRatio(c) < 0.2, 1.0).otherwise(0.0)
+    val punctOk = when(charClassRatio(c, "[^A-Za-z0-9\\s一-鿿]") < 0.2, 1.0).otherwise(0.0)
     val digitOk = when(digitRatio(c) < 0.3, 1.0).otherwise(0.0)
-    val stopHits = element_at(tokenSetCounts(c, Seq(langStopwords("en"))), 1)
-    val stopOk = when(stopHits > 0, 1.0).otherwise(0.0)
+    val allStopwords = langStopwords.values.flatten.toSeq.distinct.sorted
+    val stopHits = element_at(tokenSetCounts(c, Seq(allStopwords)), 1)
+    val stopOk = when(stopHits > 0 || hanCount(c) > 0, 1.0).otherwise(0.0)
     (lenOk + punctOk + digitOk + stopOk) / 4.0
   }
 

@@ -49,6 +49,26 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(lines.get(1).contains("\"status\":\"failed\"") && lines.get(1).contains("boom"))
   }
 
+  test("fail_fast job skips its remaining tasks after a failure") {
+    val ran = scala.collection.mutable.ListBuffer[String]()
+    val cfg: Map[String, Any] = Map(
+      "job_catalog" -> Map("jobs" -> List(
+        Map(
+          "name" -> "ffjob",
+          "fail_fast" -> true,
+          "stages" -> List(Map(
+            "name" -> "s",
+            "tasks" -> List(
+              Map("name" -> "t1"), Map("name" -> "boom"), Map("name" -> "t3"))))))))
+    val ctx = Context(cfg, null)
+    graft.pipeline.Jobs.register("ffjob", "t1")((_, _) => ran += "t1")
+    graft.pipeline.Jobs.register("ffjob", "boom")((_, _) => throw new RuntimeException("x"))
+    graft.pipeline.Jobs.register("ffjob", "t3")((_, _) => ran += "t3")
+    val failures = graft.pipeline.Jobs.run(ctx, "ffjob")
+    assert(failures.map(_._3) == Seq("boom"))
+    assert(ran.toSeq == Seq("t1"), s"t3 must not run after a fail_fast failure; ran $ran")
+  }
+
   test("yaml round trip through a temp file") {
     val f = java.nio.file.Files.createTempFile("graft", ".yml")
     java.nio.file.Files.writeString(f, "core:\n  seed: 7\n  name: x\nlist:\n  - a\n  - b\n")

@@ -190,6 +190,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(chunked == Seq(3L))
   }
 
+  test("quality filter keeps good docs across languages, drops junk") {
+    // ~150-char docs so the length gate passes; zh has no whitespace tokens
+    val en = ("the quick brown fox and the lazy dog of the north " * 3).trim
+    val zh = "这是一个关于大规模数据处理的中文文档" * 5
+    val junk = "!!! ??? *** !!! ??? *** !!! ??? *** " * 5 // punctuation soup
+    val df = Seq((1L, en), (2L, zh), (3L, junk)).toDF("doc_id", "text")
+    val kept = TextAnalysis.qualityFilter(df, "text", 0.75)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L),
+      s"multilingual docs must pass, junk must fail; kept $kept")
+  }
+
   test("language scores + quality + token counts behave") {
     val df = Seq(
       (0L, "the cat and the dog of the house is to be seen"),
@@ -216,6 +228,12 @@ class DedupSimilaritySpec extends SparkSpec {
     val r = resized.select("meta.width", "meta.height", "payload").head()
     assert(r.getInt(0) == 224 && r.getInt(1) == 224)
     assert(new String(r.getAs[Array[Byte]](2)) == "img-bytes") // payload untouched
+    // audio assets pass through with their meta unchanged (no fabricated dims)
+    val audio = Multimodal.toAssets(
+      Seq((2L, "wav-bytes")).toDF("id", "b").withColumn("b", col("b").cast("binary")),
+      "id", "b", "audio")
+    val a = Multimodal.resizeStub(audio, 224, 224).select("meta.width").head()
+    assert(a.isNullAt(0), "audio meta must not get fabricated dimensions")
   }
 
   test("multimodal: payload stats real, stub features deterministic") {
