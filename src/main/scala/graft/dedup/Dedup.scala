@@ -230,6 +230,60 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Resolve near-dup PAIRS into clusters: connected components via
+    * min-label propagation (each node repeatedly adopts the smallest label
+    * among itself and its neighbors until a fixpoint). Output: (id,
+    * cluster_id) where cluster_id is the smallest member id.
+    *
+    * Scale shape: each iteration is one join + one groupBy on the edge
+    * list — no driver-side graph. Iterations needed = the longest chain's
+    * diameter in label-halving steps (≤ log₂ for typical near-dup chains);
+    * `maxIterations` bounds the work and the loop exits early at the
+    * fixpoint (one cheap count per iteration on the small label frame).
+    * Near-dup clusters are overwhelmingly tiny (pairs/triples), so the
+    * fixpoint lands in 2-3 iterations in practice. */
+  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("cluster_id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIterations) {
+      val candidate = edges
+        .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster_id", "nbr"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nbr")).as("nbr_min"))
+      val next = labels
+        .join(candidate, Seq("id"), "left")
+        .select(col("id"), least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+      val changed = next.as("n")
+        .join(labels.as("l"), col("n.id") === col("l.id"))
+        .filter(col("n.cluster_id") =!= col("l.cluster_id"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Cluster-level near-dup dedup: generate MinHash near-dup pairs, resolve
+    * them to clusters, keep the smallest id per cluster — documents with no
+    * near-dup survive untouched. The full survivor path a curation
+    * pipeline wants after pair generation. */
+  def nearDupDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleK: Int = 3): DataFrame = {
+    val pairs = minhashNearDupPairs(df, idCol, textCol, threshold, shingleK)
+    val clusters = nearDupClusters(pairs)
+    val losers = clusters.filter(col("id") =!= col("cluster_id")).select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Distributed n-gram Jaccard for ALL pairs sharing at least one shingle:
     * explode → join on shingle → pair-count; |A∪B| = |A|+|B|−|A∩B|.
     * Never materializes a cartesian product.

@@ -89,6 +89,12 @@ object LlmQueries {
         .minhashNearDupPairs(planted(s, dir), "doc_id", "text", threshold = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     },
+    "dedup_cluster_survivors" -> { (s, dir) =>
+      Dedup
+        .nearDupDedup(planted(s, dir), "doc_id", "text", threshold = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
     "dedup_simhash" -> { (s, dir) =>
       Dedup
         .simhashNearDupPairs(planted(s, dir), "doc_id", "text", maxHamming = 10)

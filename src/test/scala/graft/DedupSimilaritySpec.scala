@@ -88,6 +88,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs == Set((0L, 3L))) // the byte-identical pair, nothing else
   }
 
+  test("near-dup clusters: transitive chains collapse to the smallest id") {
+    import spark.implicits._
+    // chain 1-2-3 (transitively one cluster even though (1,3) is no pair),
+    // separate pair 7-9, isolated node untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val clusters = graft.dedup.Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("nearDupDedup keeps one survivor per near-dup cluster") {
+    // docs 0 and 1 are near-dups (one-word edit), 3 is an exact dup of 0 —
+    // expect exactly one survivor (doc 0) from that cluster; 2 and 4 stay
+    val survivors = Dedup.nearDupDedup(docs, "doc_id", "text", threshold = 0.4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(0L, 2L, 4L), s"got $survivors")
+  }
+
   test("ngram jaccard: near-dup pair scores high, distinct pair absent") {
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", k = 3, minJaccard = 0.3)
       .select("id_a", "id_b", "jaccard")
