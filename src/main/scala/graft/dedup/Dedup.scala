@@ -241,12 +241,19 @@ object Dedup {
     * `maxIterations` bounds the work and the loop exits early at the
     * fixpoint (one cheap count per iteration on the small label frame).
     * Near-dup clusters are overwhelmingly tiny (pairs/triples), so the
-    * fixpoint lands in 2-3 iterations in practice. */
+    * fixpoint lands in 2-3 iterations in practice.
+    *
+    * Each iteration's label frame is eagerly localCheckpoint-ed: without
+    * lineage truncation, iteration i would lazily re-run every prior
+    * iteration's joins (O(i²) total work) — the standard iterative-
+    * algorithm trap. The checkpointed frames are (id, cluster_id) only;
+    * superseded ones are freed by the ContextCleaner once dereferenced. */
   def nearDupClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -257,6 +264,7 @@ object Dedup {
       val next = labels
         .join(candidate, Seq("id"), "left")
         .select(col("id"), least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+        .localCheckpoint(true)
       val changed = next.as("n")
         .join(labels.as("l"), col("n.id") === col("l.id"))
         .filter(col("n.cluster_id") =!= col("l.cluster_id"))
