@@ -32,7 +32,7 @@ object Bench {
 
   /** Wait (bounded) for system load to settle so a previous build step's
     * dying JVM doesn't contaminate the first measurements. */
-  private def awaitQuietMachine(maxWaitSec: Int = 90): Unit = {
+  private def awaitQuietMachine(maxWaitSec: Int = 240): Unit = {
     val cpus = Runtime.getRuntime.availableProcessors()
     val deadline = System.nanoTime() + maxWaitSec * 1e9.toLong
     var load = ManagementFactoryLoad()
