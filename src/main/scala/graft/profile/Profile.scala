@@ -125,8 +125,9 @@ object Profile {
   }
 
   /** Per-column counts outside IQR and mean±3σ bounds, one scan for all
-    * columns (reference: eda.py:310-394 recomputes per column).
-    * Quantiles are exact (`percentile`) so results are oracle-checkable. */
+    * columns (reference: eda.py:310-394 recomputes per column). Quantiles
+    * default to the approx sketch; `exact = true` is the oracle-check
+    * opt-in like every percentile-learning operator. */
   def outlierCounts(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
     // one pass for bounds
     val bAggs = cols.flatMap { c =>
