@@ -82,6 +82,42 @@ object Metrics {
           .as("f1"))
   }
 
+  /** Multiclass confusion matrix: one hash-partitioned groupBy over the
+    * data, (label, prediction, n) rows — the eval twin of the multiclass
+    * estimators the Registry exposes (the reference's eval surface is
+    * binary-only). */
+  def confusionMatrix(df: DataFrame, predCol: String, labelCol: String): DataFrame =
+    df.groupBy(
+        col(labelCol).cast("double").as("label"),
+        col(predCol).cast("double").as("prediction"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-class precision/recall/f1 + support, from ONE scan: the confusion
+    * matrix is tiny (classes²), so the per-class sums run on the
+    * aggregated frame, never the data. */
+  def multiclassSummary(df: DataFrame, predCol: String, labelCol: String): DataFrame = {
+    val cm = confusionMatrix(df, predCol, labelCol)
+    val byLabel = cm.groupBy(col("label")).agg(sum(col("n")).as("support"))
+    val byPred = cm.groupBy(col("prediction").as("label")).agg(sum(col("n")).as("predicted"))
+    val tp = cm.filter(col("label") === col("prediction"))
+      .select(col("label"), col("n").as("tp"))
+    byLabel
+      .join(byPred, Seq("label"), "full_outer")
+      .join(tp, Seq("label"), "left")
+      .na.fill(0L, Seq("support", "predicted", "tp"))
+      .select(
+        col("label"),
+        col("support"),
+        round(when(col("predicted") =!= 0L, col("tp") / col("predicted").cast("double")), 6)
+          .as("precision"),
+        round(when(col("support") =!= 0L, col("tp") / col("support").cast("double")), 6)
+          .as("recall"),
+        round(
+          when(col("predicted") + col("support") =!= 0L,
+            lit(2.0) * col("tp") / (col("predicted") + col("support")).cast("double")), 6)
+          .as("f1"))
+  }
+
   /** auROC / auPR over (score, label) using native mllib metrics
     * (reference: model_eval.py:294-312). */
   def aucMetrics(df: DataFrame, scoreCol: String, labelCol: String): (Double, Double) = {

@@ -18,6 +18,18 @@ object EvalQueries {
   private val scoredSql =
     "SELECT l_discount * 10 AS score, CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS label FROM lineitem"
 
+  /** 3-class synthetic (pred, y) — quantity tertile as label, a shifted
+    * variant as an imperfect prediction. */
+  private def mc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").select(
+      (col("l_quantity").cast("long") % 3).cast("double").as("y"),
+      ((col("l_quantity").cast("long") + col("l_linenumber").cast("long")) % 3).cast("double").as("pred"))
+
+  private val mcSql =
+    """SELECT CAST(CAST(l_quantity AS BIGINT) % 3 AS DOUBLE) AS y,
+      |       CAST((CAST(l_quantity AS BIGINT) + CAST(l_linenumber AS BIGINT)) % 3 AS DOUBLE) AS pred
+      |FROM lineitem""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "regression_metrics" -> { (s, dir) =>
       val df = t(s, dir, "lineitem").select(
@@ -53,6 +65,14 @@ object EvalQueries {
     },
     "roc_pr_curve" -> { (s, dir) =>
       Metrics.rocPrCurve(scored(s, dir), "score", "label").orderBy(desc("threshold"))
+    },
+    // deterministic synthetic 3-class pred/label from lineitem columns
+    "multiclass_confusion" -> { (s, dir) =>
+      Metrics.confusionMatrix(mc(s, dir), "pred", "y")
+        .orderBy(col("label"), col("prediction"))
+    },
+    "multiclass_summary" -> { (s, dir) =>
+      Metrics.multiclassSummary(mc(s, dir), "pred", "y").orderBy(col("label"))
     },
     // auROC via native mllib BinaryClassificationMetrics; the oracle is the
     // Mann-Whitney U / average-rank formulation, which equals the trapezoid
@@ -118,6 +138,24 @@ object EvalQueries {
     "crosstab" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
         |GROUP BY 1, 2 ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "multiclass_confusion" ->
+      s"""SELECT y AS label, pred AS prediction, CAST(count(*) AS BIGINT) AS n
+         |FROM (${mcSql}) GROUP BY 1, 2 ORDER BY label, prediction""".stripMargin,
+    "multiclass_summary" ->
+      s"""WITH cm AS (SELECT y AS label, pred AS prediction, count(*) AS n
+         |            FROM (${mcSql}) GROUP BY 1, 2),
+         |bl AS (SELECT label, sum(n) AS support FROM cm GROUP BY 1),
+         |bp AS (SELECT prediction AS label, sum(n) AS predicted FROM cm GROUP BY 1),
+         |tp AS (SELECT label, n AS tp FROM cm WHERE label = prediction)
+         |SELECT COALESCE(bl.label, bp.label) AS label,
+         |  CAST(COALESCE(bl.support, 0) AS BIGINT) AS support,
+         |  round(COALESCE(tp.tp, 0) / CAST(NULLIF(COALESCE(bp.predicted, 0), 0) AS DOUBLE), 6) AS precision,
+         |  round(COALESCE(tp.tp, 0) / CAST(NULLIF(COALESCE(bl.support, 0), 0) AS DOUBLE), 6) AS recall,
+         |  round(2.0 * COALESCE(tp.tp, 0) / CAST(NULLIF(COALESCE(bp.predicted, 0) + COALESCE(bl.support, 0), 0) AS DOUBLE), 6) AS f1
+         |FROM bl
+         |FULL OUTER JOIN bp ON bl.label = bp.label
+         |LEFT JOIN tp ON COALESCE(bl.label, bp.label) = tp.label
+         |ORDER BY label""".stripMargin,
     "roc_pr_curve" ->
       s"""WITH v AS (${scoredSql}),
          |g AS (SELECT round(score, 3) AS threshold,

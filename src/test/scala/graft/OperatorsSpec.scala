@@ -357,6 +357,22 @@ class OperatorsSpec extends SparkSpec {
     assert(eventScans == 3, s"expected 3 event-source scans (one per type), got $eventScans")
   }
 
+  test("multiclass summary: hand-computed per-class precision/recall/f1") {
+    // labels: 0,0,1,1,2 — preds: 0,1,1,1,0
+    val df = Seq((0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 1.0), (2.0, 0.0))
+      .toDF("y", "pred")
+    val m = Metrics.multiclassSummary(df, "pred", "y")
+      .collect().map(r => r.getDouble(0) ->
+        (r.getLong(1), Option(r.getAs[java.lang.Double]("precision")),
+          Option(r.getAs[java.lang.Double]("recall")))).toMap
+    // class 0: support 2, predicted 2, tp 1 → p=0.5 r=0.5
+    assert(m(0.0) == ((2L, Some(0.5: java.lang.Double), Some(0.5: java.lang.Double))))
+    // class 1: support 2, predicted 3, tp 2 → p=2/3 r=1.0
+    assert(m(1.0)._1 == 2L && math.abs(m(1.0)._2.get - 2.0 / 3).toDouble < 1e-6 && m(1.0)._3.get == 1.0)
+    // class 2: support 1, predicted 0, tp 0 → precision null, recall 0
+    assert(m(2.0)._1 == 1L && m(2.0)._2.isEmpty && m(2.0)._3.get == 0.0)
+  }
+
   test("thresholdMetrics equals per-threshold single computation") {
     val df = Seq((0.9, 1.0), (0.8, 0.0), (0.6, 1.0), (0.3, 1.0), (0.1, 0.0)).toDF("score", "label")
     val multi = Metrics.thresholdMetrics(df, "score", "label", Seq(0.5))
