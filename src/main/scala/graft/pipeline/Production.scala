@@ -129,6 +129,11 @@ object Production {
         ctx.dataPath("processed.predictions"))
       val metricTable = Metrics.binaryMetricsAtThreshold(scored, "score", "target_var", 0.5)
       Tables.saveData(metricTable, ctx.dataPath("processed.metrics"))
+      // full threshold curve for plotting (reference exports these,
+      // handy_spark_cd.py:142-187)
+      Tables.saveData(
+        Metrics.rocPrCurve(scored, "score", "target_var"),
+        ctx.dataPath("processed.roc_curve"))
     }
   }
 }
