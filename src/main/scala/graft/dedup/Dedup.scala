@@ -235,22 +235,24 @@ object Dedup {
     * among itself and its neighbors until a fixpoint). Output: (id,
     * cluster_id) where cluster_id is the smallest member id.
     *
-    * Scale shape: each iteration is one join + one groupBy on the edge
-    * list — no driver-side graph. Iterations needed = the longest chain's
-    * diameter in label-halving steps (≤ log₂ for typical near-dup chains);
-    * `maxIterations` bounds the work and the loop exits early at the
-    * fixpoint (one cheap count per iteration on the small label frame).
-    * Near-dup clusters are overwhelmingly tiny (pairs/triples), so the
-    * fixpoint lands in 2-3 iterations in practice.
+    * Scale shape: each iteration is a neighbor-min step (one join + one
+    * groupBy on the edge list) followed by a pointer-jumping step (adopt
+    * your own label's label) — no driver-side graph. Pointer jumping
+    * halves label-chain lengths each round, so convergence is
+    * O(log diameter): the default 12 iterations covers chains thousands of
+    * hops long, and the loop exits early at the fixpoint. Hitting
+    * `maxIterations` without converging logs a loud warning — the labels
+    * would otherwise silently violate the smallest-member contract.
     *
-    * Each iteration's label frame is eagerly localCheckpoint-ed: without
-    * lineage truncation, iteration i would lazily re-run every prior
-    * iteration's joins (O(i²) total work) — the standard iterative-
-    * algorithm trap. The checkpointed frames are (id, cluster_id) only;
-    * superseded ones are freed by the ContextCleaner once dereferenced. */
-  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 10): DataFrame = {
+    * Lineage discipline: the edge list and each iteration's label frame
+    * are eagerly localCheckpoint-ed — otherwise iteration i would lazily
+    * re-run the (expensive) upstream pair generation and every prior
+    * iteration's joins. Superseded label frames are freed by the
+    * ContextCleaner once dereferenced. */
+  def nearDupClusters(pairs: DataFrame, maxIterations: Int = 12): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint(true)
@@ -261,9 +263,18 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst").withColumnRenamed("cluster_id", "nbr"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("nbr")).as("nbr_min"))
-      val next = labels
+      val propagated = labels
         .join(candidate, Seq("id"), "left")
         .select(col("id"), least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+      // pointer jumping: adopt the current label's own label — halves the
+      // remaining chain length, turning O(diameter) into O(log diameter)
+      val next = propagated.as("a")
+        .join(
+          propagated.select(col("id").as("cluster_id"), col("cluster_id").as("__parent")).as("b"),
+          Seq("cluster_id"), "left")
+        .select(
+          col("id"),
+          least(col("cluster_id"), coalesce(col("__parent"), col("cluster_id"))).as("cluster_id"))
         .localCheckpoint(true)
       val changed = next.as("n")
         .join(labels.as("l"), col("n.id") === col("l.id"))
@@ -273,6 +284,10 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    if (!converged)
+      System.err.println(
+        s"[graft] nearDupClusters did NOT converge in $maxIterations iterations — " +
+          "cluster_ids may not be the smallest member id; raise maxIterations")
     labels
   }
 

@@ -127,12 +127,16 @@ object Production {
       Tables.saveData(
         scored.select("c_custkey", "target_var", "score"),
         ctx.dataPath("processed.predictions"))
-      val metricTable = Metrics.binaryMetricsAtThreshold(scored, "score", "target_var", 0.5)
-      Tables.saveData(metricTable, ctx.dataPath("processed.metrics"))
+      // metric tables read the just-written predictions back: scoring
+      // (feature read + model transform) runs ONCE, not once per table
+      val preds = Tables.readData(s, Seq(ctx.dataPath("processed.predictions")))
+      Tables.saveData(
+        Metrics.binaryMetricsAtThreshold(preds, "score", "target_var", 0.5),
+        ctx.dataPath("processed.metrics"))
       // full threshold curve for plotting (reference exports these,
       // handy_spark_cd.py:142-187)
       Tables.saveData(
-        Metrics.rocPrCurve(scored, "score", "target_var"),
+        Metrics.rocPrCurve(preds, "score", "target_var"),
         ctx.dataPath("processed.roc_curve"))
     }
   }

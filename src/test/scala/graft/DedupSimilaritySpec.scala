@@ -96,6 +96,12 @@ class DedupSimilaritySpec extends SparkSpec {
     val clusters = graft.dedup.Dedup.nearDupClusters(pairs)
       .as[(Long, Long)].collect().toMap
     assert(clusters == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // a 15-hop chain converges well inside the default iteration budget
+    // (pointer jumping: O(log diameter), not one hop per iteration)
+    val chain = (1L to 15L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("id_a", "id_b")
+    val chained = graft.dedup.Dedup.nearDupClusters(chain)
+      .as[(Long, Long)].collect().toMap
+    assert(chained.values.toSet == Set(1L), s"15-hop chain must collapse to cluster 1; got $chained")
   }
 
   test("nearDupDedup keeps one survivor per near-dup cluster") {
