@@ -84,8 +84,12 @@ object Bench {
           var warm = measure()._1
           // cold >> warm on an identical cold-cache plan = external stall
           // (ambient load / background JIT), not the query: re-measure once
-          // against a cold cache and keep the faster honest attempt.
-          if (cold > math.max(5 * warm, 2.0)) {
+          // against a cold cache and keep the faster honest attempt. The
+          // absolute 15 s tripwire catches stalls on queries whose honest
+          // cold/warm ratio is already near the 5x bar (no sf0.1 query
+          // legitimately takes 15 s; a legit slow query just re-measures
+          // once and keeps its slow number).
+          if (cold > math.max(5 * warm, 2.0) || cold > 15.0) {
             clearState(spark)
             val (retry, _) = measure()
             if (retry < cold) {
