@@ -117,16 +117,43 @@ object Bench {
 
     val ok = results.filter(_.cold >= 0)
     val failed = results.filter(_.cold < 0)
-    def timesJson(f: R => Double): String =
-      results.map(r => "\"" + r.name + "\":" + f(r)).mkString("{", ",", "}")
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    def timesJson(rs: Seq[R], f: R => Double): String =
+      rs.map(r => "\"" + r.name + "\":" + f3(f(r))).mkString("{", ",", "}")
     val errs = failed
       .map(r => "\"" + r.name + "\":\"" + r.err.getOrElse("").replaceAll("[\"\\\\\\n\\r\\t]", " ").take(120) + "\"")
       .mkString("{", ",", "}")
     val total = ok.map(_.cold).sum
     val totalWarm = ok.map(_.warm).sum
     failed.foreach(r => System.err.println(s"[bench] FAILED ${r.name}: ${r.err.getOrElse("")}"))
+
+    // Full per-query detail (cold + warm + rows for all queries) goes to a
+    // file; the stdout line carries only the BASELINE.md-mapped headline
+    // queries. The driver captures a bounded tail of the build output —
+    // BENCH_r01..r03 all recorded `parsed: null` because the full 76-query
+    // line (~4.5 KB) overflowed that window, so the only machine-readable
+    // bench artifact was a truncated string. The headline line is ~1 KB and
+    // survives; BENCH_DETAIL.json keeps the rest reviewable.
+    val detail = results
+      .map(r =>
+        "\"" + r.name + "\":{\"cold\":" + f3(r.cold) + ",\"warm\":" + f3(r.warm) +
+          ",\"rows\":" + r.rows + "}")
+      .mkString("{", ",", "}")
+    val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    java.nio.file.Files.write(
+      detailPath,
+      s"""{"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"total":${f3(total)},"total_warm":${f3(totalWarm)},"queries":$detail,"errors":$errs}""".getBytes("UTF-8"))
+
+    // Headline = every op BASELINE.md times, plus the heavy LLM-pipeline ops.
+    val headline = Seq(
+      "check_consistency", "missing_counts", "join_chain", "e1_feature_pipeline",
+      "impute_mean", "impute_mode", "stratified_split", "correlation_matrix",
+      "outlier_bounds", "onehot_encoding", "target_encoding", "binary_metrics",
+      "set_analysis", "dedup_exact", "dedup_minhash", "dedup_cluster_survivors",
+      "lang_id", "cosine_topk", "ann_lsh_topk", "iv_table", "ngram_jaccard")
+    val head = results.filter(r => headline.contains(r.name))
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${timesJson(_.cold)},"queries_warm":${timesJson(_.warm)},"total_warm":$totalWarm,"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"errors":$errs}""")
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${timesJson(head, _.cold)},"total_warm":${f3(totalWarm)},"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"errors":$errs,"detail":"BENCH_DETAIL.json"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
