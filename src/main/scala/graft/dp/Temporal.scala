@@ -1,0 +1,72 @@
+package graft.dp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join/window operators for event-series feature engineering.
+  *
+  * The headline operator is the backward as-of join ("for each probe row,
+  * the most recent reference row at or before its timestamp"), the core
+  * primitive of point-in-time-correct feature lookup (no label leakage
+  * from the future). Neither Spark SQL nor the reference has it natively.
+  *
+  * Scale design: implemented as union + per-key running window, NOT a
+  * join — one shuffle on the key columns, one sequential pass per key,
+  * zero candidate-pair blowup. A range-join formulation would need an
+  * inequality join (cartesian-per-key in Spark); this is strictly
+  * better: cost is that of a sort-merge join WITHOUT the merge
+  * amplification, and AQE skew-split applies to the sort shuffle.
+  */
+object Temporal {
+
+  /** Backward as-of join: for every `probe` row, attach the `refValueCols`
+    * of the latest `ref` row with the same `keyCols` and
+    * `ref.refTsCol <= probe.probeTsCol` (inclusive, like DuckDB/kdb asof).
+    * Probe rows with no earlier reference row get nulls.
+    *
+    * Output = all probe columns + `asof_<refTsCol>` (the matched reference
+    * timestamp) + `asof_<c>` for each reference value column.
+    *
+    * Mechanics: reference rows are packed into ONE struct column (so a
+    * null VALUE inside a matched row survives — `last(ignoreNulls)` skips
+    * whole unmatched rows, never individual null fields), unioned with the
+    * probe rows, and resolved with a per-key running
+    * `last(struct, ignoreNulls = true)` ordered by (ts, isProbe) — a
+    * reference row at exactly the probe timestamp sorts first and is
+    * therefore visible to it.
+    *
+    * Ties: multiple reference rows on the same (key, ts) are ambiguous by
+    * definition — pre-aggregate the reference side to one row per key+ts
+    * (the registered query takes max(value)).
+    */
+  def asofJoinBackward(
+      probe: DataFrame,
+      ref: DataFrame,
+      keyCols: Seq[String],
+      probeTsCol: String,
+      refTsCol: String,
+      refValueCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "asofJoinBackward needs at least one key column")
+    val probeCols = probe.columns.toSeq
+    val packed = struct(
+      (col(refTsCol).as(refTsCol) +: refValueCols.map(c => col(c).as(c))): _*)
+    val r = ref.select(
+      (keyCols.map(col) :+ col(refTsCol).as("__asof_t") :+ packed.as("__asof_r")): _*)
+      .withColumn("__asof_probe", lit(0))
+    val p = probe
+      .withColumn("__asof_t", col(probeTsCol))
+      .withColumn("__asof_probe", lit(1))
+    val u = p.unionByName(r, allowMissingColumns = true)
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__asof_t").asc, col("__asof_probe").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u.withColumn("__asof_m", last(col("__asof_r"), ignoreNulls = true).over(w))
+    val out =
+      probeCols.map(col) ++
+        (col("__asof_m")(refTsCol).as(s"asof_$refTsCol") +:
+          refValueCols.map(c => col("__asof_m")(c).as(s"asof_$c")))
+    matched.filter(col("__asof_probe") === 1).select(out: _*)
+  }
+}

@@ -101,6 +101,57 @@ object FeatureEngineering {
         sum(col("__v").cast("decimal(18,2)")).cast("double").as("total_value"))
   }
 
+  /** Adjacent-event features per key: previous/next value and the gap (in
+    * seconds) since the previous event, via lag/lead over a PARTITIONED
+    * window ordered by (epoch seconds, value) — the value tiebreak makes
+    * neighbor assignment deterministic when timestamps collide at second
+    * granularity. Callers should deduplicate (key, ts, value) first if the
+    * stream can carry exact duplicates. */
+  def adjacentFeatures(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String): DataFrame = {
+    val t = unix_timestamp(col(tsCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(t, col(valueCol))
+    events.select(
+      col(keyCol),
+      t.as("ts_sec"),
+      col(valueCol),
+      lag(col(valueCol), 1).over(w).as("prev_value"),
+      lead(col(valueCol), 1).over(w).as("next_value"),
+      (t - lag(t, 1).over(w)).as("gap_sec"))
+  }
+
+  /** Per-key rank family over an event stream: row_number / rank /
+    * percent_rank / cume_dist / ntile by (epoch seconds, value) within each
+    * key. All windows are PARTITIONED by the (high-cardinality) key —
+    * millions of small sorted runs, never a global sort; ranking within a
+    * LOW-cardinality partition column at corpus scale needs a different
+    * (two-pass prefix-sum) plan and is intentionally not this operator. */
+  def rankFeatures(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      ntiles: Int = 4): DataFrame = {
+    val t = unix_timestamp(col(tsCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(t, col(valueCol))
+    events.select(
+      col(keyCol),
+      t.as("ts_sec"),
+      col(valueCol),
+      row_number().over(w).as("rn"),
+      rank().over(w).as("rnk"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"),
+      ntile(ntiles).over(w).as("quartile"))
+  }
+
   /** Merge: restrict to keys present in every source (the reference's
     * common-consumer inner joins, feature_engineering.py:101-109), attach
     * every feature table, then label left-join + fill(0).

@@ -46,6 +46,13 @@ object LlmQueries {
         .topTokens(t(s, dir, "documents"), "text", k = 25, minLength = 2)
         .orderBy(desc("freq"), col("token"))
     },
+    "tfidf_top_terms" -> { (s, dir) =>
+      TextAnalysis
+        .tfidfTopTerms(
+          t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", k = 5, minLength = 2)
+        .orderBy(col("doc_id"), col("rn"))
+    },
     "chunk_documents" -> { (s, dir) =>
       TextAnalysis
         .chunkDocuments(
@@ -164,6 +171,22 @@ object LlmQueries {
     "CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "tfidf_top_terms" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |        FROM d),
+        |ft AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE length(token) >= 2 GROUP BY 1, 2),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM ft GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM d),
+        |sc AS (SELECT f.doc_id, f.token, f.tf, dfq.df,
+        |         round(f.tf * ln((n.n + 1.0) / (dfq.df + 1.0)), 6) AS tfidf
+        |       FROM ft f JOIN dfq ON f.token = dfq.token CROSS JOIN n),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rn
+        |      FROM sc)
+        |SELECT doc_id, rn, token, tf, df, tfidf FROM r WHERE rn <= 5
+        |ORDER BY doc_id, rn""".stripMargin,
     "text_stats" ->
       s"""SELECT doc_id,
          |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,

@@ -71,6 +71,43 @@ object PipelineQueries {
           col("rolling_7d_events"))
         .orderBy(col("user_id"), col("ts_sec"), col("rolling_7d_value"))
     },
+    // --- backward as-of join: latest purchase at/before each click.
+    // Timestamp discipline: Spark reads the nanos parquet column truncated
+    // to MICROS (Support.events), so the oracle compares at epoch_ns//1000
+    // — comparing at full nanos would flip inequalities for rows whose
+    // micros collide but nanos differ.
+    "asof_join" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val probe = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+        .dropDuplicates(Seq("user_id", "ts", "value"))
+      val ref = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("purchase_value"))
+      graft.dp.Temporal
+        .asofJoinBackward(probe, ref, Seq("user_id"), "ts", "ts", Seq("purchase_value"))
+        .select(
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("value"),
+          unix_micros(col("asof_ts")).as("asof_ts_us"),
+          col("asof_purchase_value"))
+        .orderBy(col("user_id"), col("ts_us"), col("value"))
+    },
+    "lag_lead" -> { (s, dir) =>
+      val ev = events(s, dir).filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("value"))
+        .dropDuplicates(Seq("user_id", "ts", "value"))
+      FeatureEngineering.adjacentFeatures(ev, "user_id", "ts", "value")
+        .orderBy(col("user_id"), col("ts_sec"), col("value"))
+    },
+    "rank_features" -> { (s, dir) =>
+      val ev = events(s, dir).filter(col("user_id") < 50)
+        .select(col("user_id"), col("ts"), col("value"))
+        .dropDuplicates(Seq("user_id", "ts", "value"))
+      FeatureEngineering.rankFeatures(ev, "user_id", "ts", "value", ntiles = 4)
+        .orderBy(col("user_id"), col("rn"))
+    },
     // seeded sampling/splits: deterministic per cluster but not
     // SQL-expressible — rows-only checks + ScalaTest invariants
     "stratified_split" -> { (s, dir) =>
@@ -99,6 +136,46 @@ object PipelineQueries {
        |GROUP BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "asof_join" ->
+      """WITH probe AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000 AS t_us, value
+        |               FROM events WHERE event_type = 'click'),
+        |ref AS (SELECT user_id, epoch_ns(ts) // 1000 AS t_us, max(value) AS purchase_value
+        |        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |u AS (
+        |  SELECT user_id, t_us, value, 1 AS is_probe,
+        |         NULL AS r_t_us, NULL AS r_value FROM probe
+        |  UNION ALL
+        |  SELECT user_id, t_us, NULL, 0, t_us, purchase_value FROM ref),
+        |m AS (SELECT user_id, t_us, value, is_probe,
+        |        last_value(r_t_us IGNORE NULLS) OVER w AS asof_ts_us,
+        |        last_value(r_value IGNORE NULLS) OVER w AS asof_purchase_value
+        |      FROM u
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY t_us, is_probe
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, t_us AS ts_us, value, asof_ts_us, asof_purchase_value
+        |FROM m WHERE is_probe = 1 ORDER BY user_id, ts_us, value""".stripMargin,
+    "lag_lead" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000 AS t_us, value
+        |           FROM events WHERE user_id < 50),
+        |s AS (SELECT user_id, t_us // 1000000 AS ts_sec, value FROM e)
+        |SELECT user_id, ts_sec, value,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  ts_sec - lag(ts_sec) OVER w AS gap_sec
+        |FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, value)
+        |ORDER BY user_id, ts_sec, value""".stripMargin,
+    "rank_features" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000 AS t_us, value
+        |           FROM events WHERE user_id < 50),
+        |s AS (SELECT user_id, t_us // 1000000 AS ts_sec, value FROM e)
+        |SELECT user_id, ts_sec, value,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(rank() OVER w AS INT) AS rnk,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile
+        |FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, value)
+        |ORDER BY user_id, rn""".stripMargin,
     "sessionize_batch" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t, value
         |           FROM events WHERE user_id < 50),

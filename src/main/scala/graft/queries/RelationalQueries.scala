@@ -37,6 +37,29 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_read" -> (textRoundTrip(_, _, "csv")),
     "json_read" -> (textRoundTrip(_, _, "json")),
+    // --- rollup: revenue by region/nation with subtotal + grand-total rows.
+    // Spark expands grouping sets BEFORE the shuffle, so partial aggregation
+    // still applies — one Exchange for all three grouping levels.
+    "rollup_agg" -> { (s, dir) =>
+      t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice"))
+        .join(
+          t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(
+          t(s, dir, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(
+          t(s, dir, "region").select(col("r_regionkey"), col("r_name")),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region"),
+          coalesce(col("n_name"), lit("ALL")).as("nation"),
+          col("n_orders"),
+          col("revenue"))
+        .orderBy(col("region"), col("nation"))
+    },
     // --- anti join (customers with no orders in 1995 — non-empty at all SFs)
     "anti_join" -> { (s, dir) =>
       val orders95 = t(s, dir, "orders")
@@ -166,6 +189,17 @@ object RelationalQueries {
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "json_read" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "rollup_agg" ->
+      """SELECT COALESCE(r_name, 'ALL') AS region,
+        |  COALESCE(n_name, 'ALL') AS nation,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
     "anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines:
@@ -181,6 +182,46 @@ object TextAnalysis {
       .agg(count(lit(1)).as("freq"))
       .orderBy(desc("freq"), asc("token"))
       .limit(k)
+
+  /** Top-k TF-IDF terms per document: tf = in-document token count,
+    * idf = ln((N + 1) / (df + 1)) (smoothed — a token in every document
+    * still gets a positive weight, and a cold-start df of 0 can't divide
+    * by zero), N = documents in `df`.
+    *
+    * Scale shape: explode → groupBy (doc, token) for tf, groupBy token for
+    * df, one shuffle join on token (token cardinality ≪ corpus bytes), and
+    * the per-document top-k runs as a window PARTITIONED BY document —
+    * millions of small partitions, no global sort. N is the one learned
+    * scalar (a count, not a collect).
+    *
+    * Ranking key is round(tfidf, 6) with token-ascending tiebreak so the
+    * selected top-k set is reproducible across engines and runs — raw
+    * doubles differ in the last ulp between ln() implementations, which
+    * would otherwise flip neighbors at the k boundary. */
+  def tfidfTopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      minLength: Int = 2): DataFrame = {
+    val n = df.count()
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) >= minLength)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(docFreq, Seq("token"))
+      .withColumn(
+        "tfidf",
+        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("tfidf"), asc("token"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("rn"), col("token"), col("tf"), col("df"), col("tfidf"))
+  }
 
   /** Full stats table over a documents frame. */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {

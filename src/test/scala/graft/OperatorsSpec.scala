@@ -381,4 +381,73 @@ class OperatorsSpec extends SparkSpec {
       .select("tp", "fp", "tn", "fn").head()
     assert(multi == single)
   }
+
+  test("asofJoinBackward: latest at-or-before match, inclusive ties, null before first") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val probe = Seq(
+      (1L, ts(5), "p5"), (1L, ts(10), "p10"), (1L, ts(20), "p20"),
+      (2L, ts(100), "q100")).toDF("k", "t", "tag")
+    val ref = Seq(
+      (1L, ts(10), 1.0),  // equal ts — must be visible to probe@10 (inclusive)
+      (1L, ts(12), 2.0),
+      (3L, ts(1), 9.0)).toDF("k", "t", "v") // key with no probes
+    val out = graft.dp.Temporal
+      .asofJoinBackward(probe, ref, Seq("k"), "t", "t", Seq("v"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        (Option(r.getAs[java.lang.Double]("asof_v")),
+          Option(r.getAs[Timestamp]("asof_t")).map(_.getTime / 1000))).toMap
+    assert(out("p5") == ((None, None)))              // before any ref
+    assert(out("p10") == ((Some(1.0: java.lang.Double), Some(10L)))) // inclusive tie
+    assert(out("p20") == ((Some(2.0: java.lang.Double), Some(12L)))) // latest prior
+    assert(out("q100") == ((None, None)))            // key with no ref rows
+    assert(out.size == 4)                            // all probe rows survive
+  }
+
+  test("asofJoinBackward: a matched row's null VALUE is kept, not skipped over") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val probe = Seq((1L, ts(30), "p")).toDF("k", "t", "tag")
+    val ref = Seq(
+      (1L, ts(10), Some(7.0)),
+      (1L, ts(20), Option.empty[Double])).toDF("k", "t", "v")
+    val row = graft.dp.Temporal
+      .asofJoinBackward(probe, ref, Seq("k"), "t", "t", Seq("v")).head()
+    // the ts-20 row matches; its null v must NOT fall through to 7.0
+    assert(row.getAs[Timestamp]("asof_t").getTime / 1000 == 20L)
+    assert(row.getAs[java.lang.Double]("asof_v") == null)
+  }
+
+  test("tfidfTopTerms: corpus-wide tokens rank below distinctive ones") {
+    val docs = Seq(
+      (1L, "alpha common common"),
+      (2L, "beta common"),
+      (3L, "gamma common")).toDF("id", "text")
+    val out = graft.text.TextAnalysis.tfidfTopTerms(docs, "id", "text", k = 2)
+      .collect().groupBy(_.getAs[Long]("id"))
+    // every doc's top term is its distinctive token, not 'common' (df = 3)
+    val top = out.view.mapValues(_.minBy(_.getAs[Int]("rn")).getAs[String]("token")).toMap
+    assert(top == Map(1L -> "alpha", 2L -> "beta", 3L -> "gamma"))
+    // idf of a token present in every doc: ln(4/4) = 0 → tfidf 0 but still rankable
+    val common = out(2L).find(_.getAs[String]("token") == "common").get
+    assert(common.getAs[Double]("tfidf") == 0.0)
+    assert(common.getAs[Long]("df") == 3L)
+  }
+
+  test("rankFeatures and adjacentFeatures: per-key windows agree on order") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val ev = Seq(
+      (1L, ts(10), 5.0), (1L, ts(20), 3.0), (1L, ts(30), 8.0),
+      (2L, ts(10), 1.0)).toDF("k", "t", "v")
+    val adj = graft.pipeline.FeatureEngineering.adjacentFeatures(ev, "k", "t", "v")
+      .filter(col("k") === 1 && col("ts_sec") === 20).head()
+    assert(adj.getAs[Double]("prev_value") == 5.0)
+    assert(adj.getAs[Double]("next_value") == 8.0)
+    assert(adj.getAs[Long]("gap_sec") == 10L)
+    val rk = graft.pipeline.FeatureEngineering.rankFeatures(ev, "k", "t", "v")
+      .filter(col("k") === 1)
+      .collect().map(r => r.getAs[Long]("ts_sec") -> r.getAs[Int]("rn")).toMap
+    assert(rk == Map(10L -> 1, 20L -> 2, 30L -> 3))
+  }
 }
