@@ -38,6 +38,36 @@ object Dedup {
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.join(exactDedupKeys(df, idCol, textCol), Seq(idCol), "left_semi")
 
+  /** Incremental exact dedup — the steady-state shape of corpus curation:
+    * a new `batch` arrives against an already-deduped `corpus`, and only
+    * batch documents whose normalized content is BOTH new to the corpus and
+    * unique within the batch survive (smallest id wins inside the batch).
+    *
+    * Scale: the corpus side collapses to a distinct hash projection (one
+    * column scanned off disk — at 100 TB the corpus is read as hashes, not
+    * text; better still, persist the hash column at write time and the scan
+    * prunes to it), then one left_anti hash join. No pairwise compares. */
+  def incrementalExactDedupKeys(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val batchKeys = batch
+      .select(contentHash(col(textCol)).as("__h"), col(idCol))
+      .groupBy(col("__h"))
+      .agg(min(col(idCol)).as(idCol))
+    val corpusHashes = corpus.select(contentHash(col(textCol)).as("__h")).distinct()
+    batchKeys.join(corpusHashes, Seq("__h"), "left_anti").select(idCol)
+  }
+
+  /** As [[incrementalExactDedupKeys]] but returning the surviving rows. */
+  def incrementalExactDedup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame =
+    batch.join(incrementalExactDedupKeys(batch, corpus, idCol, textCol), Seq(idCol), "left_semi")
+
   /** Distinct word k-shingles of a text column. */
   def shingles(c: Column, k: Int): Column = {
     val toks = split(lower(trim(c)), "\\s+")

@@ -69,6 +69,20 @@ object LlmQueries {
         .exactDedupKeys(docs.select(col("doc_id"), col("text")).unionByName(dup), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    "dedup_incremental" -> { (s, dir) =>
+      // steady-state curation: a new batch (docs >= 250, plus 10 planted
+      // copies of corpus texts) deduped against the existing corpus
+      // (docs < 250) — the planted copies must all be dropped
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 250).select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 200000).as("doc_id"), col("text"))
+      val batch = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      Dedup.incrementalExactDedupKeys(batch, corpus, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     "ngram_jaccard" -> { (s, dir) =>
       Dedup
         .ngramJaccardPairs(
@@ -245,6 +259,18 @@ object LlmQueries {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL SELECT doc_id + 100000, text FROM documents)
         |GROUP BY sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" ->
+      """WITH corpus AS (SELECT text FROM documents WHERE doc_id < 250),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250
+        |          UNION ALL
+        |          SELECT doc_id + 200000, text FROM documents WHERE doc_id < 10),
+        |ch AS (SELECT DISTINCT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h
+        |       FROM corpus),
+        |bh AS (SELECT sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS h,
+        |              min(doc_id) AS doc_id
+        |       FROM batch GROUP BY 1)
+        |SELECT doc_id FROM bh WHERE h NOT IN (SELECT h FROM ch)
         |ORDER BY doc_id""".stripMargin,
     "ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w

@@ -60,6 +60,29 @@ object RelationalQueries {
           col("revenue"))
         .orderBy(col("region"), col("nation"))
     },
+    // --- pivot with EXPLICIT values: no discovery pass over the data, one
+    // shuffle, and a schema that is stable at any scale (an implicit pivot
+    // collects the value set to the driver — unbounded at 100 TB)
+    "pivot_wide" -> { (s, dir) =>
+      events(s, dir).filter(col("user_id") < 100)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(sum(dec2(col("value"))).cast("double"))
+        .orderBy(col("user_id"))
+    },
+    // --- unpivot/melt: wide metric columns to (id, metric, value) rows — a
+    // generated projection (Expand), zero shuffles
+    "unpivot_melt" -> { (s, dir) =>
+      t(s, dir, "lineitem").filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    },
     // --- anti join (customers with no orders in 1995 — non-empty at all SFs)
     "anti_join" -> { (s, dir) =>
       val orders95 = t(s, dir, "orders")
@@ -200,6 +223,26 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name)
         |ORDER BY region, nation""".stripMargin,
+    "pivot_wide" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error
+        |FROM events WHERE user_id < 100
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "unpivot_melt" ->
+      """WITH l AS (SELECT * FROM lineitem WHERE l_orderkey < 100)
+        |SELECT l_orderkey, l_linenumber, metric, value FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM l
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM l
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM l
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM l)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
     "anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (

@@ -156,6 +156,20 @@ object Streaming {
       }
   }
 
+  /** Stream–static enrichment join: attach dimension attributes to a
+    * streaming frame. The static side is explicitly broadcast — a stream
+    * must never shuffle per micro-batch against a static table when the
+    * dimension fits executor memory (the usual case: user/item/locale
+    * attributes), and stream–static joins keep NO state either way.
+    * For dimensions too big to broadcast, drop the hint and let the
+    * per-batch shuffle stand — correctness is identical. */
+  def enrichWithDimension(
+      stream: DataFrame,
+      dim: DataFrame,
+      keys: Seq[String],
+      broadcastDim: Boolean = true): DataFrame =
+    stream.join(if (broadcastDim) broadcast(dim) else dim, keys, "left")
+
   /** File-source reader for the canonical event schema (parquet dir →
     * stream), ready for the transforms above. The canonical events.parquet
     * carries TIMESTAMP(NANOS), which graft sessions read as LONG

@@ -26,6 +26,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.exactDedup(again, "doc_id", "text").count() == again.count())
   }
 
+  test("incremental dedup drops corpus-known and batch-internal duplicates") {
+    val corpus = Seq((1L, "the existing document"), (2L, "another old one")).toDF("id", "text")
+    val batch = Seq(
+      (10L, "a brand new document"),
+      (11L, "THE  existing   document"), // normalizes to corpus #1 → dropped
+      (12L, "a brand  NEW document"),    // normalizes to batch #10 → dropped
+      (13L, "also new here")).toDF("id", "text")
+    val kept = Dedup.incrementalExactDedup(batch, corpus, "id", "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(10L, 13L))
+  }
+
   test("minhash LSH finds planted near-dup and exact dup, not unrelated") {
     val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

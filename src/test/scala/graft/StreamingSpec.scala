@@ -109,6 +109,25 @@ class StreamingSpec extends SparkSpec {
       s"first session must close on the intra-batch gap; got $immediate")
   }
 
+  test("stream-static enrichment joins dimension attributes per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val query = Streaming
+      .enrichWithDimension(input.toDF(), dim, Seq("user_id"))
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    input.addData(
+      Event(1, "click", ts(0), 1.0),
+      Event(3, "view", ts(1), 2.0)) // no dim row → left join keeps it, null tier
+    query.processAllAvailable()
+    val rows = spark.table("enriched")
+      .selectExpr("user_id", "tier").as[(Long, Option[String])]
+      .collect().toSet
+    query.stop()
+    assert(rows == Set((1L, Some("gold")), (3L, None)))
+  }
+
   test("sessionize accumulates per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
