@@ -207,4 +207,25 @@ object Metrics {
       .select(explode(array(stacked: _*)).as("s"))
       .select("s.threshold", "s.tp", "s.fp", "s.tn", "s.fn", "s.accuracy", "s.precision", "s.recall", "s.f1")
   }
+
+  /** Calibration (reliability) table: scores in [0, 1] bucketed into
+    * `buckets` equal-width bins; per bin the mean predicted score, the
+    * observed event rate, and the count. A well-calibrated model has
+    * mean_score ≈ event_rate per bin. score = 1.0 lands in the top bin.
+    * One hash-partitioned groupBy over ≤ `buckets` output rows — the
+    * cheapest possible shape at any scale. */
+  def calibrationTable(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      buckets: Int = 10): DataFrame = {
+    val s = col(scoreCol).cast("double")
+    val b = least(floor(s * buckets).cast("int"), lit(buckets - 1))
+    df.groupBy(b.as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(s), 6).as("mean_score"),
+        round(avg(col(labelCol).cast("double")), 6).as("event_rate"))
+      .orderBy(col("bucket"))
+  }
 }

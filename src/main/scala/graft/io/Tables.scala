@@ -64,6 +64,25 @@ object Tables {
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
 
+  /** Write a frame hive-partitioned by low-cardinality column(s) — the
+    * standard date/type layout of a 100 TB event lake. Readers filtering on
+    * a partition column prune whole directories BEFORE any IO (visible as
+    * PartitionFilters in the scan node, asserted in OperatorsSpec), so a
+    * one-day query over years of data reads one day of files. Partition
+    * columns must be low-cardinality (date, type, region): partitioning by
+    * a high-cardinality key creates millions of tiny files — use
+    * [[saveBucketed]] for join keys instead. */
+  def savePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      fmt: String = "parquet"): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .format(fmt)
+      .save(path)
+
   /** Load a named testdata table from an sf directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

@@ -57,6 +57,9 @@ object EvalQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("cell"))
     },
+    "calibration_table" -> { (s, dir) =>
+      Metrics.calibrationTable(scored(s, dir), "score", "label", buckets = 10)
+    },
     "crosstab" -> { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
@@ -134,6 +137,12 @@ object EvalQueries {
          |            WHEN score > 0.5 AND label = 0.0 THEN 'FP'
          |            WHEN score <= 0.5 AND label = 0.0 THEN 'TN'
          |            ELSE 'FN' END AS cell, count(*) AS n
+         |FROM (${scoredSql}) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "calibration_table" ->
+      s"""SELECT LEAST(CAST(floor(score * 10) AS INT), 9) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  round(avg(score), 6) AS mean_score,
+         |  round(avg(label), 6) AS event_rate
          |FROM (${scoredSql}) GROUP BY 1 ORDER BY 1""".stripMargin,
     "crosstab" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders

@@ -232,6 +232,23 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("partitioned write prunes directories via PartitionFilters") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val df = (0 until 100)
+      .map(i => (i.toLong, Seq("click", "view", "purchase")(i % 3), i * 1.0))
+      .toDF("id", "event_type", "value")
+    graft.io.Tables.savePartitioned(df, s"$dir/events", Seq("event_type"))
+    val read = spark.read.parquet(s"$dir/events").filter(col("event_type") === "click")
+    assert(read.count() == 34)
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("event_type"),
+      s"partition-column filter must prune at the scan:\n$plan")
+    // the pruned filter must NOT appear as a post-scan data filter
+    assert(!plan.contains("PushedFilters: [IsNotNull(event_type)"),
+      s"partition filter leaked into data filters:\n$plan")
+  }
+
   test("ngram jaccard doc-frequency cap drops only hot shingles") {
     import spark.implicits._
     // 12 docs share the hot phrase; two also share a rare phrase
