@@ -46,8 +46,31 @@ object Temporal {
       keyCols: Seq[String],
       probeTsCol: String,
       refTsCol: String,
-      refValueCols: Seq[String]): DataFrame = {
-    require(keyCols.nonEmpty, "asofJoinBackward needs at least one key column")
+      refValueCols: Seq[String]): DataFrame =
+    asofJoin(probe, ref, keyCols, probeTsCol, refTsCol, refValueCols, backward = true)
+
+  /** Forward as-of join: the EARLIEST reference row at or after each probe
+    * timestamp ("next maintenance event", "next price revision"). Same
+    * union + running-window mechanics as [[asofJoinBackward]], with the
+    * per-key sort descending — identical scale shape. */
+  def asofJoinForward(
+      probe: DataFrame,
+      ref: DataFrame,
+      keyCols: Seq[String],
+      probeTsCol: String,
+      refTsCol: String,
+      refValueCols: Seq[String]): DataFrame =
+    asofJoin(probe, ref, keyCols, probeTsCol, refTsCol, refValueCols, backward = false)
+
+  private def asofJoin(
+      probe: DataFrame,
+      ref: DataFrame,
+      keyCols: Seq[String],
+      probeTsCol: String,
+      refTsCol: String,
+      refValueCols: Seq[String],
+      backward: Boolean): DataFrame = {
+    require(keyCols.nonEmpty, "asofJoin needs at least one key column")
     val probeCols = probe.columns.toSeq
     val packed = struct(
       (col(refTsCol).as(refTsCol) +: refValueCols.map(c => col(c).as(c))): _*)
@@ -58,9 +81,10 @@ object Temporal {
       .withColumn("__asof_t", col(probeTsCol))
       .withColumn("__asof_probe", lit(1))
     val u = p.unionByName(r, allowMissingColumns = true)
+    val tOrder = if (backward) col("__asof_t").asc else col("__asof_t").desc
     val w = Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__asof_t").asc, col("__asof_probe").asc)
+      .orderBy(tOrder, col("__asof_probe").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = u.withColumn("__asof_m", last(col("__asof_r"), ignoreNulls = true).over(w))
     val out =

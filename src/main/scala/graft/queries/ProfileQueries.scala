@@ -9,6 +9,19 @@ import Support._
 object ProfileQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "constraint_checks" -> { (s, dir) =>
+      import graft.profile.Constraints._
+      graft.profile.Constraints.check(
+        t(s, dir, "customer"),
+        Seq(
+          NotNull("c_custkey"),
+          Unique("c_custkey"),
+          NotNull("c_acctbal"),
+          // deliberately tight range / reduced set so violations are non-zero
+          InRange("c_acctbal", 0.0, 5000.0),
+          InSet("c_mktsegment", Seq("AUTOMOBILE", "BUILDING", "FURNITURE")),
+          MatchesRegex("c_name", "Customer#[0-9]+")))
+    },
     "missing_counts" -> { (s, dir) =>
       Profile.missingValueCounts(t(s, dir, "customer")).orderBy(col("column"))
     },
@@ -107,6 +120,31 @@ object ProfileQueries {
        |                avg($c) AS m, stddev($c) AS sd FROM lineitem)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "constraint_checks" ->
+      """WITH a AS (SELECT
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_key,
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT) AS nd_key,
+        |    CAST(sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_bal,
+        |    CAST(sum(CASE WHEN c_acctbal < 0 OR c_acctbal > 5000 THEN 1 ELSE 0 END) AS BIGINT) AS rng_bal,
+        |    CAST(sum(CASE WHEN c_mktsegment IS NOT NULL
+        |                   AND c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS set_seg,
+        |    CAST(sum(CASE WHEN c_name IS NOT NULL
+        |                   AND NOT regexp_full_match(c_name, 'Customer#[0-9]+')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS rx_name
+        |  FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'in_range' AS check_name, 'c_acctbal' AS col_name,
+        |         rng_bal AS violations, rng_bal = 0 AS passed FROM a
+        |  UNION ALL SELECT 'in_set', 'c_mktsegment', set_seg, set_seg = 0 FROM a
+        |  UNION ALL SELECT 'matches_regex', 'c_name', rx_name, rx_name = 0 FROM a
+        |  UNION ALL SELECT 'not_null', 'c_acctbal', nn_bal, nn_bal = 0 FROM a
+        |  UNION ALL SELECT 'not_null', 'c_custkey', nn_key, nn_key = 0 FROM a
+        |  UNION ALL SELECT 'unique', 'c_custkey',
+        |    n - nd_key - CASE WHEN nn_key > 0 THEN 1 ELSE 0 END,
+        |    (n - nd_key - CASE WHEN nn_key > 0 THEN 1 ELSE 0 END) = 0 FROM a)
+        |ORDER BY check_name, col_name""".stripMargin,
     "missing_summary" ->
       """SELECT "column", missing_count, missing_pct,
         |  CASE WHEN missing_pct = 0.0 THEN 'none'

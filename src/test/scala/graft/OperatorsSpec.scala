@@ -435,6 +435,43 @@ class OperatorsSpec extends SparkSpec {
     assert(row.getAs[java.lang.Double]("asof_v") == null)
   }
 
+  test("asofJoinForward: earliest at-or-after match, inclusive ties") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val probe = Seq(
+      (1L, ts(5), "p5"), (1L, ts(12), "p12"), (1L, ts(50), "p50")).toDF("k", "t", "tag")
+    val ref = Seq((1L, ts(10), 1.0), (1L, ts(12), 2.0)).toDF("k", "t", "v")
+    val out = graft.dp.Temporal
+      .asofJoinForward(probe, ref, Seq("k"), "t", "t", Seq("v"))
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[java.lang.Double]("asof_v"))).toMap
+    assert(out("p5") == Some(1.0: java.lang.Double))   // next ref at 10
+    assert(out("p12") == Some(2.0: java.lang.Double))  // inclusive equal ts
+    assert(out("p50") == None)                         // nothing after
+  }
+
+  test("constraint checks: one pass, per-constraint violation counts") {
+    import graft.profile.Constraints._
+    val df = Seq(
+      (Some(1L), Some(10.0), "a", "12-34"),
+      (Some(2L), Some(200.0), "b", "56-78"),
+      (Some(2L), None, "zzz", "not-a-phone"),
+      (Option.empty[Long], Some(-5.0), "a", "90-12")).toDF("id", "bal", "seg", "phone")
+    val out = check(df, Seq(
+      NotNull("id"), Unique("id"), NotNull("bal"),
+      InRange("bal", 0.0, 100.0), InSet("seg", Seq("a", "b")),
+      MatchesRegex("phone", "[0-9-]+")))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(("not_null", "id")) == ((1L, false)))
+    assert(out(("unique", "id")) == ((1L, false)))     // one dup pair (2, 2); single null not a dup
+    assert(out(("not_null", "bal")) == ((1L, false)))
+    assert(out(("in_range", "bal")) == ((2L, false)))  // 200.0 and -5.0
+    assert(out(("in_set", "seg")) == ((1L, false)))    // zzz
+    assert(out(("matches_regex", "phone")) == ((1L, false)))
+    assert(out.size == 6)
+  }
+
   test("tfidfTopTerms: corpus-wide tokens rank below distinctive ones") {
     val docs = Seq(
       (1L, "alpha common common"),
