@@ -83,6 +83,22 @@ object Tables {
       .format(fmt)
       .save(path)
 
+  /** Compact a frame to ~`targetFileBytes` output files using Catalyst's
+    * own size estimate (plan stats — parquet footer totals for scans, no
+    * extra pass over the data). The small-files problem is the silent
+    * killer of a 100 TB lake: a streaming sink or over-parallel writer
+    * leaves millions of KB-sized files and every later scan pays task
+    * scheduling + footer reads per file. Round-robin repartition (not
+    * coalesce) so output files are evenly sized even when input partitions
+    * are skewed; coalesce would also cap upstream parallelism of anything
+    * fused into the write stage. */
+  def compactTo(df: DataFrame, path: String, targetFileBytes: Long = 128L << 20): Unit = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val files = math.max(1, (bytes / BigInt(targetFileBytes)).toLong +
+      (if (bytes % BigInt(targetFileBytes) > 0) 1 else 0)).toInt
+    df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Load a named testdata table from an sf directory. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")

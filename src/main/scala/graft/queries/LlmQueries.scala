@@ -46,6 +46,29 @@ object LlmQueries {
         .topTokens(t(s, dir, "documents"), "text", k = 25, minLength = 2)
         .orderBy(desc("freq"), col("token"))
     },
+    "pii_redaction" -> { (s, dir) =>
+      // plant deterministic PII (email + URL + phone per doc) so redaction
+      // has guaranteed work; original text may add more matches — both
+      // engines run the same regexes either way
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("text", concat(
+          col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or https://ex.ample/"), col("doc_id").cast("string"),
+          lit(" tel +1 (555) 010-"), lpad(col("doc_id").cast("string"), 4, "0")))
+      val (u, e, p) = TextAnalysis.piiCounts(col("text"))
+      docs.select(
+        col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("redacted"),
+        u.as("n_urls"), e.as("n_emails"), p.as("n_phones"))
+        .orderBy(col("doc_id"))
+    },
+    "repetition_stats" -> { (s, dir) =>
+      TextAnalysis
+        .repetitionStats(
+          t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     "tfidf_top_terms" -> { (s, dir) =>
       TextAnalysis
         .tfidfTopTerms(
@@ -185,6 +208,37 @@ object LlmQueries {
     "CAST(length(text) - length(regexp_replace(text, '[一-鿿]', '', 'g')) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "pii_redaction" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |         || '@example.com or https://ex.ample/' || CAST(doc_id AS VARCHAR)
+        |         || ' tel +1 (555) 010-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS text
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, text,
+        |    regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t1 FROM d),
+        |s2 AS (SELECT doc_id, text, t1,
+        |    regexp_replace(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t2
+        |  FROM s1)
+        |SELECT doc_id,
+        |  regexp_replace(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+        |  CAST(len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS INT) AS n_phones
+        |FROM s2 ORDER BY doc_id""".stripMargin,
+    "repetition_stats" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents),
+        |base AS (SELECT doc_id, len(w) AS n, len(list_distinct(w)) AS nd, w FROM w),
+        |g AS (SELECT doc_id, count(DISTINCT s) AS g3d, count(*) AS g3 FROM (
+        |        SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM base))
+        |      GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(n AS INT) AS n_tokens,
+        |  round(CASE WHEN n > 0 THEN 1.0 - CAST(nd AS DOUBLE) / n ELSE 0 END, 6) AS dup_token_ratio,
+        |  round(CASE WHEN COALESCE(g3, 0) > 0 THEN 1.0 - CAST(g3d AS DOUBLE) / g3 ELSE 0 END, 6) AS dup_3gram_ratio
+        |FROM base b LEFT JOIN g ON b.doc_id = g.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "tfidf_top_terms" ->
       """WITH d AS (SELECT doc_id, text FROM documents),
         |tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token

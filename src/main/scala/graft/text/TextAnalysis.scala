@@ -223,6 +223,46 @@ object TextAnalysis {
       .select(col(idCol), col("rn"), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** PII redaction for corpus curation: emails, URLs, and phone-like
+    * number runs replaced with typed placeholder tokens. Pure chained
+    * regexp_replace — codegen'd, fused into the scan projection, linear in
+    * bytes. Order matters: URLs first (an email-looking userinfo inside a
+    * URL must redact as part of the URL), then emails, then phones. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  def redactPii(c: Column): Column = {
+    val noUrl = regexp_replace(c, UrlRe, "<URL>")
+    val noEmail = regexp_replace(noUrl, EmailRe, "<EMAIL>")
+    regexp_replace(noEmail, PhoneRe, "<PHONE>")
+  }
+
+  /** Count of PII matches per kind (what a redaction report aggregates). */
+  def piiCounts(c: Column): (Column, Column, Column) =
+    (regexp_count(c, lit(UrlRe)),
+      regexp_count(regexp_replace(c, UrlRe, "<URL>"), lit(EmailRe)),
+      regexp_count(regexp_replace(regexp_replace(c, UrlRe, "<URL>"), EmailRe, "<EMAIL>"), lit(PhoneRe)))
+
+  /** Repetition (quality) signals per document, in the spirit of the
+    * Gopher/MassiveText duplicate-fraction filters: the fraction of
+    * repeated tokens and repeated word-3-grams. Pure array expressions —
+    * no explode, no shuffle, one projection over the scan. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nd = size(array_distinct(toks))
+    val g3Total = greatest(n - 2, lit(0))
+    val g3Distinct = when(n >= 3, size(graft.dedup.Dedup.shingles(col(textCol), 3))).otherwise(0)
+    df.select(
+      col(idCol),
+      n.as("n_tokens"),
+      round(when(n > 0, lit(1.0) - nd.cast("double") / n).otherwise(0.0), 6)
+        .as("dup_token_ratio"),
+      round(when(g3Total > 0, lit(1.0) - g3Distinct.cast("double") / g3Total).otherwise(0.0), 6)
+        .as("dup_3gram_ratio"))
+  }
+
   /** Full stats table over a documents frame. */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -249,6 +249,50 @@ class OperatorsSpec extends SparkSpec {
       s"partition filter leaked into data filters:\n$plan")
   }
 
+  test("pii redaction replaces urls, emails, phones with typed tokens") {
+    import graft.text.TextAnalysis
+    val df = Seq(
+      "see https://ex.com/a?b=1 or mail bob.smith+x@corp.io or call +1 (555) 123-4567 now")
+      .toDF("text")
+    val out = df.select(TextAnalysis.redactPii(col("text"))).as[String].head()
+    assert(out == "see <URL> or mail <EMAIL> or call <PHONE> now")
+    val (u, e, p) = TextAnalysis.piiCounts(col("text"))
+    val counts = df.select(u, e, p).head()
+    assert((counts.getInt(0), counts.getInt(1), counts.getInt(2)) == ((1, 1, 1)))
+  }
+
+  test("repetition stats flag duplicated tokens and 3-grams") {
+    import graft.text.TextAnalysis
+    val df = Seq(
+      (1L, "spam spam spam spam spam spam"),  // 6 tokens, 1 distinct; 4 3-grams, 1 distinct
+      (2L, "all tokens here are different ok"),
+      (3L, "ab")).toDF("doc_id", "text")     // too short for 3-grams
+    val m = TextAnalysis.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(m(1L) == ((6, 0.833333, 0.75))) // round(1 - 1/6, 6)
+    assert(m(2L) == ((6, 0.0, 0.0)))
+    assert(m(3L) == ((1, 0.0, 0.0)))
+  }
+
+  test("compactTo merges a fragmented write into few evenly-sized files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    (1 to 2000).map(i => (i.toLong, s"payload_$i" * 10)).toDF("id", "s")
+      .repartition(40).write.parquet(s"$dir/frag")
+    val frag = spark.read.parquet(s"$dir/frag")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$dir/frag") == 40)
+    graft.io.Tables.compactTo(frag, s"$dir/one") // default 128 MB target → 1 file
+    assert(parquetFiles(s"$dir/one") == 1)
+    assert(spark.read.parquet(s"$dir/one").count() == 2000)
+    val bytes = frag.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    graft.io.Tables.compactTo(frag, s"$dir/four", targetFileBytes = bytes / 4)
+    val n = parquetFiles(s"$dir/four")
+    assert(n >= 4 && n <= 6, s"expected ~4-5 files, got $n")
+  }
+
   test("ngram jaccard doc-frequency cap drops only hot shingles") {
     import spark.implicits._
     // 12 docs share the hot phrase; two also share a rare phrase
