@@ -3,27 +3,34 @@ package graft.tools
 import graft.Sessions
 import org.apache.spark.sql.functions._
 
-/** Scratch verification driver: saltedJoin on real testdata — result parity
-  * with the plain join, and the (key, salt) join key visible in the plan. */
+/** Scratch verification driver: as-of join plan shape on real testdata —
+  * the union + running-window formulation must shuffle each input ONCE on
+  * the key (a single Exchange feeding the Window sort), never produce a
+  * join, and prune both scans to the referenced columns. */
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()
     val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
 
-    val orders = spark.read.parquet(s"$sf/orders.parquet").select("o_custkey", "o_totalprice")
-    val customer = spark.read.parquet(s"$sf/customer.parquet").select("c_custkey", "c_mktsegment")
-      .withColumnRenamed("c_custkey", "o_custkey")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val probe = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("value"))
+    val ref = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("value")).as("purchase_value"))
+    val joined = graft.dp.Temporal
+      .asofJoinBackward(probe, ref, Seq("user_id"), "ts", "ts", Seq("purchase_value"))
 
-    val plain = orders.join(customer, Seq("o_custkey"))
-    val salted = graft.dp.SkewJoin.saltedJoin(orders, customer, "o_custkey", salts = 8)
-    val pc = plain.count()
-    val sc = salted.count()
-    println(s"[drive] plain=$pc salted=$sc match=${pc == sc}")
-    val pSum = plain.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0)
-    val sSum = salted.agg(sum(col("o_totalprice").cast("decimal(18,2)"))).head().get(0)
-    println(s"[drive] sum parity: $pSum vs $sSum match=${pSum == sSum}")
-    println("[drive] salted plan:")
-    salted.explain()
+    val n = joined.count()
+    val matched = joined.filter(col("asof_purchase_value").isNotNull).count()
+    println(s"[drive] asof rows=$n matched=$matched")
+    val plan = joined.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    val joins = "Join".r.findAllIn(plan).size
+    println(s"[drive] hash exchanges=$exchanges joins_in_plan=$joins")
+    println("[drive] formatted plan:")
+    joined.explain("formatted")
     spark.stop()
   }
 }
