@@ -337,6 +337,46 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Train/eval contamination report: for every (corpus doc, eval doc)
+    * pair sharing at least `minOverlap` word k-grams, the count of shared
+    * distinct grams and the fraction of the eval doc's grams covered — the
+    * decontamination check every benchmark-clean training pipeline runs
+    * before a corpus ships.
+    *
+    * Scale: the EVAL side is tiny by construction (benchmarks are
+    * thousands of docs, the corpus is billions) — its exploded gram set is
+    * explicitly broadcast, so the corpus side streams through a map-side
+    * hash join with NO shuffle of corpus grams; the only shuffle is the
+    * pair-count groupBy over matched grams, bounded by |matches|, not the
+    * corpus. */
+  def contaminationReport(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minOverlap: Int = 1): DataFrame = {
+    val corpusGrams = corpus.select(
+      col(idCol).as("corpus_id"),
+      explode(shingles(col(textCol), k)).as("g"))
+    val evalGrams = evalSet.select(
+      col(idCol).as("eval_id"),
+      explode(shingles(col(textCol), k)).as("g"))
+    val evalSizes = evalGrams.groupBy(col("eval_id")).agg(count(lit(1)).as("eval_grams"))
+    corpusGrams
+      .join(broadcast(evalGrams), Seq("g"))
+      .groupBy(col("corpus_id"), col("eval_id"))
+      .agg(count(lit(1)).as("overlap_grams"))
+      .filter(col("overlap_grams") >= minOverlap)
+      .join(broadcast(evalSizes), Seq("eval_id"))
+      .select(
+        col("corpus_id"),
+        col("eval_id"),
+        col("overlap_grams"),
+        round(col("overlap_grams").cast("double") / col("eval_grams"), 6)
+          .as("eval_coverage"))
+  }
+
   /** Distributed n-gram Jaccard for ALL pairs sharing at least one shingle:
     * explode → join on shingle → pair-count; |A∪B| = |A|+|B|−|A∩B|.
     * Never materializes a cartesian product.

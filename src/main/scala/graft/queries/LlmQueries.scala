@@ -106,6 +106,17 @@ object LlmQueries {
       Dedup.incrementalExactDedupKeys(batch, corpus, "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    "contamination_report" -> { (s, dir) =>
+      // eval = docs 0-4; corpus = the rest plus planted exact copies of
+      // docs 0-2 (full eval_coverage 1.0 rows must appear)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") >= 5)
+        .unionByName(docs.filter(col("doc_id") < 3)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      val evalSet = docs.filter(col("doc_id") < 5)
+      Dedup.contaminationReport(corpus, evalSet, "doc_id", "text", k = 3, minOverlap = 2)
+        .orderBy(col("corpus_id"), col("eval_id"))
+    },
     "ngram_jaccard" -> { (s, dir) =>
       Dedup
         .ngramJaccardPairs(
@@ -326,6 +337,27 @@ object LlmQueries {
         |       FROM batch GROUP BY 1)
         |SELECT doc_id FROM bh WHERE h NOT IN (SELECT h FROM ch)
         |ORDER BY doc_id""".stripMargin,
+    "contamination_report" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM docs WHERE doc_id >= 5
+        |           UNION ALL SELECT doc_id + 300000, text FROM docs WHERE doc_id < 3),
+        |ev AS (SELECT doc_id, text FROM docs WHERE doc_id < 5),
+        |cg AS (SELECT DISTINCT doc_id AS corpus_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |             FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |                   FROM corpus))),
+        |eg AS (SELECT DISTINCT doc_id AS eval_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |             FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |                   FROM ev))),
+        |sizes AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS eval_grams FROM eg GROUP BY 1),
+        |ov AS (SELECT corpus_id, eval_id, CAST(count(*) AS BIGINT) AS overlap_grams
+        |       FROM cg JOIN eg ON cg.g = eg.g GROUP BY 1, 2)
+        |SELECT corpus_id, eval_id, overlap_grams,
+        |  round(CAST(overlap_grams AS DOUBLE) / eval_grams, 6) AS eval_coverage
+        |FROM ov JOIN sizes USING (eval_id)
+        |WHERE overlap_grams >= 2
+        |ORDER BY corpus_id, eval_id""".stripMargin,
     "ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
         |           FROM documents WHERE doc_id < 40),

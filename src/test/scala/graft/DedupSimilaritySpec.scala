@@ -38,6 +38,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == Set(10L, 13L))
   }
 
+  test("contamination report: exact copy covers eval fully, unrelated absent") {
+    val evalSet = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different benchmark question here today")).toDF("id", "text")
+    val corpus = Seq(
+      (100L, "prefix words the quick brown fox jumps over the lazy dog suffix"),
+      (101L, "nothing in common with either document whatsoever right")).toDF("id", "text")
+    val rep = Dedup.contaminationReport(corpus, evalSet, "id", "text", k = 3, minOverlap = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(0)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // eval 1 has 7 distinct 3-grams, all present in corpus 100 → coverage 1.0
+    assert(rep((1L, 100L)) == ((7L, 1.0)))
+    assert(rep.size == 1) // eval 2 and corpus 101 appear nowhere
+  }
+
   test("minhash LSH finds planted near-dup and exact dup, not unrelated") {
     val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
