@@ -36,6 +36,23 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * = max|x| / 127, elements stored as tinyint. 4-8x less storage and
+    * scan IO than float32/float64 arrays — at 100 TB of embeddings the
+    * quantized corpus is what stays hot; re-rank the shortlist against
+    * full-precision vectors if the ~1/254-per-element rounding error
+    * matters. Returns struct(codes: array<tinyint>, scale: float). */
+  def quantizeInt8(v: Column): Column = {
+    val scale = greatest(aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x))), lit(1e-30)) / 127.0
+    struct(
+      transform(v, x => round(x / scale).cast("byte")).as("codes"),
+      scale.cast("float").as("scale"))
+  }
+
+  /** Inverse of [[quantizeInt8]] (lossy): codes * scale as double array. */
+  def dequantizeInt8(q: Column): Column =
+    transform(q("codes"), c => c.cast("double") * q("scale").cast("double"))
+
   /** Brute-force cosine top-k: for each query vector (small set, broadcast),
     * the k nearest corpus vectors. */
   def cosineTopK(

@@ -19,15 +19,19 @@ object Streaming {
   final case class Event(user_id: Long, event_type: String, ts: java.sql.Timestamp, value: Double)
   final case class Session(user_id: Long, n_events: Long, total_value: Double, last_type: String)
 
-  /** Tumbling-window per-type counts + value sums with a watermark — the
-    * streaming form of the batch date_filter/groupBy-count queries. */
+  /** Tumbling- or sliding-window per-type counts + value sums with a
+    * watermark — the streaming form of the batch date_filter/groupBy-count
+    * queries. `slide` == `windowLen` (default) is tumbling; a smaller
+    * slide overlaps windows (each event lands in windowLen/slide windows —
+    * state and output scale by that factor, watermark-bounded as ever). */
   def windowedEventCounts(
       events: DataFrame,
       windowLen: String = "1 minute",
-      watermark: String = "2 minutes"): DataFrame =
+      watermark: String = "2 minutes",
+      slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(window(col("ts"), windowLen, slide.getOrElse(windowLen)), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
 
   /** Streaming exact dedup on a business key within the watermark horizon

@@ -205,6 +205,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(again == ivf)
   }
 
+  test("int8 quantization round-trips within the per-element error bound") {
+    val vecs = Seq(
+      (1L, Array(0.5, -1.0, 0.25, 0.0)),
+      (2L, Array(100.0, -50.0, 12.5, 99.9)),
+      (3L, Array(1e-4, -1e-4, 0.0, 1e-5))).toDF("id", "v")
+    val rt = vecs.select(
+      col("id"), col("v"),
+      Similarity.dequantizeInt8(Similarity.quantizeInt8(col("v"))).as("r"))
+    val rows = rt.collect()
+    rows.foreach { row =>
+      val v = row.getSeq[Double](1)
+      val r = row.getSeq[Double](2)
+      val bound = math.max(v.map(math.abs).max / 127.0 / 2.0 * 1.0001, 1e-12)
+      v.zip(r).foreach { case (a, b) =>
+        assert(math.abs(a - b) <= bound, s"id=${row.getLong(0)}: |$a - $b| > $bound")
+      }
+    }
+    // storage really is tinyint
+    val schema = vecs.select(Similarity.quantizeInt8(col("v")).as("q")).schema
+    val codesType = schema("q").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]("codes").dataType
+    assert(codesType.simpleString == "array<tinyint>")
+  }
+
   test("lsh topk achieves high recall vs brute force") {
     val n = 60
     val vecs = (0 until n).map { i =>

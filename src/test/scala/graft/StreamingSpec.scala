@@ -32,6 +32,22 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("view", 1L, 3.0)))
   }
 
+  test("sliding windows assign an event to every overlapping window") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val query = Streaming
+      .windowedEventCounts(input.toDF(), "2 minutes", "5 minutes", slide = Some("1 minute"))
+      .writeStream.format("memory").queryName("slide_counts")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(Event(1, "click", ts(1, 30), 1.0))
+    query.processAllAvailable()
+    // a 2-min window sliding by 1 min → the event at 10:01:30 is in the
+    // [10:00,10:02) and [10:01,10:03) windows
+    val n = spark.table("slide_counts").count()
+    query.stop()
+    assert(n == 2)
+  }
+
   test("streaming dedup drops duplicate keys within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
