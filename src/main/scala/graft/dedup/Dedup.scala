@@ -68,7 +68,11 @@ object Dedup {
       textCol: String): DataFrame =
     batch.join(incrementalExactDedupKeys(batch, corpus, idCol, textCol), Seq(idCol), "left_semi")
 
-  /** Distinct word k-shingles of a text column. */
+  /** Distinct word k-shingles of a text column, as STRINGS. Interpreted
+    * lambda + string allocation per gram — use only where the gram text
+    * itself is needed; operators that only need gram IDENTITY (joins,
+    * Jaccard, overlap counts) use [[hashedShingles]], which does the same
+    * tokenize/window walk in one native loop emitting longs. */
   def shingles(c: Column, k: Int): Column = {
     val toks = split(lower(trim(c)), "\\s+")
     val n = size(toks)
@@ -77,6 +81,15 @@ object Dedup {
         sequence(lit(0), greatest(n - k, lit(0))),
         i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
   }
+
+  /** Distinct word k-shingles as 64-bit hashes (native kernel,
+    * graft.expressions.WordShingleHashes) — same windows as [[shingles]],
+    * ~10x cheaper, identical downstream counts modulo negligible hash
+    * collisions (~|grams|²/2⁶⁴). */
+  def hashedShingles(c: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.WordShingleHashes(
+        org.apache.spark.sql.graft.Bridge.expression(c), k))
 
   /** MinHash signature: for each of `numHashes` seeded hash functions,
     * the min over shingle hashes — one native-loop expression per row
@@ -358,10 +371,10 @@ object Dedup {
       minOverlap: Int = 1): DataFrame = {
     val corpusGrams = corpus.select(
       col(idCol).as("corpus_id"),
-      explode(shingles(col(textCol), k)).as("g"))
+      explode(hashedShingles(col(textCol), k)).as("g"))
     val evalGrams = evalSet.select(
       col(idCol).as("eval_id"),
-      explode(shingles(col(textCol), k)).as("g"))
+      explode(hashedShingles(col(textCol), k)).as("g"))
     val evalSizes = evalGrams.groupBy(col("eval_id")).agg(count(lit(1)).as("eval_grams"))
     corpusGrams
       .join(broadcast(evalGrams), Seq("g"))
@@ -396,7 +409,7 @@ object Dedup {
       k: Int = 3,
       minJaccard: Double = 0.0,
       maxShingleDocFreq: Int = 0): DataFrame = {
-    val all = df.select(col(idCol).as("id"), explode(shingles(col(textCol), k)).as("sh"))
+    val all = df.select(col(idCol).as("id"), explode(hashedShingles(col(textCol), k)).as("sh"))
     val sh =
       if (maxShingleDocFreq <= 0) all
       else all

@@ -54,6 +54,68 @@ case class ShingleMinHash(child: Expression, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Distinct word k-gram identities as 64-bit hashes, in one native loop:
+  * trim → lowercase → split on whitespace runs → per-token xxhash64 → per
+  * window a chained combine of the k token hashes. Input string (raw
+  * text), output array<long>.
+  *
+  * This replaces the interpreted `shingles()` string construction
+  * (transform + slice + concat_ws per gram — string allocation dominated
+  * the gram-based operators' runtime) wherever only the gram IDENTITY
+  * matters (joins, distinct counts, Jaccard): any injective-modulo-
+  * negligible-collisions mapping gives identical counts. Short-text
+  * semantics mirror `shingles()`: a text with fewer than k tokens emits
+  * its single partial window. */
+case class WordShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1, s"k must be >= 1, got $k")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"expects string, got ${dt.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "graft_word_shingle_hashes"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      .toString.trim.toLowerCase(java.util.Locale.ROOT)
+    val toks = text.split("\\s+")
+    val n = toks.length
+    val tokenHash = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      tokenHash(i) = XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(toks(i)), StringType, 42L)
+      i += 1
+    }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    val lastStart = math.max(n - k, 0)
+    i = 0
+    while (i <= lastStart) {
+      var h = 1099511628211L // arbitrary non-zero window seed
+      var j = i
+      val end = math.min(i + k, n)
+      while (j < end) {
+        h = XxHash64Function.hash(tokenHash(j), LongType, h)
+        j += 1
+      }
+      seen.add(h)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingleHashes =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash: bit i is the sign of Σ over tokens of ±1 votes from the
   * token hash's bit i. Input array<string>, output long. */
 case class SimHash64Expr(child: Expression)

@@ -100,11 +100,44 @@ object Production {
         ctx.dataPath("processed.text_stats"))
     }
 
+    // the shippable corpus: PII scrubbed AFTER filtering (don't pay regex
+    // passes for docs the quality gate drops)
+    Jobs.register("corpus-curation", "redact-pii") { (ctx, _) =>
+      val s = ctx.spark
+      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_filtered")))
+      Tables.saveData(
+        docs.withColumn("text", graft.text.TextAnalysis.redactPii(col("text"))),
+        ctx.dataPath("clean.documents_redacted"))
+    }
+
+    Jobs.register("corpus-curation", "repetition-report") { (ctx, _) =>
+      val s = ctx.spark
+      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
+      Tables.saveData(
+        graft.text.TextAnalysis.repetitionStats(docs, "doc_id", "text"),
+        ctx.dataPath("processed.repetition_stats"))
+    }
+
+    // decontamination gate: flag corpus docs overlapping the held-out set
+    Jobs.register("corpus-curation", "contamination-report") { (ctx, params) =>
+      val s = ctx.spark
+      val k = params.getOrElse("gram_k", "8").toString.toInt
+      val minOverlap = params.getOrElse("min_overlap", "2").toString.toInt
+      val evalLimit = params.getOrElse("eval_limit", "5").toString.toInt
+      val corpus = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
+      val evalSet = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
+        .orderBy(col("doc_id")).limit(evalLimit)
+      Tables.saveData(
+        graft.dedup.Dedup.contaminationReport(
+          corpus, evalSet, "doc_id", "text", k, minOverlap),
+        ctx.dataPath("processed.contamination"))
+    }
+
     Jobs.register("corpus-curation", "chunk-documents") { (ctx, params) =>
       val s = ctx.spark
       val chunkTokens = params.getOrElse("chunk_tokens", "256").toString.toInt
       val overlap = params.getOrElse("overlap", "32").toString.toInt
-      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_filtered")))
+      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
       Tables.saveData(
         graft.text.TextAnalysis.chunkDocuments(docs, "doc_id", "text", chunkTokens, overlap),
         ctx.dataPath("processed.chunks"))
@@ -113,7 +146,7 @@ object Production {
     Jobs.register("corpus-curation", "near-dup-report") { (ctx, params) =>
       val s = ctx.spark
       val threshold = params.getOrElse("threshold", "0.7").toString.toDouble
-      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_filtered")))
+      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
       Tables.saveData(
         graft.dedup.Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold),
         ctx.dataPath("processed.near_dup_pairs"))
