@@ -29,7 +29,7 @@ object InformationValue {
     ivTable(df, Seq(feature), target, buckets).collect()(0).getDouble(1)
 
   /** Interior quantile edges per feature, one aggregate pass. */
-  private def fitEdges(
+  private[features] def fitEdges(
       df: DataFrame,
       features: Seq[String],
       buckets: Int,
@@ -51,7 +51,7 @@ object InformationValue {
   }
 
   /** value → bucket 1..buckets via the edge when-chain (nulls untouched). */
-  private def bucketOf(f: String, edges: Seq[Double], buckets: Int): Column =
+  private[features] def bucketOf(f: String, edges: Seq[Double], buckets: Int): Column =
     if (edges.isEmpty) lit(1)
     else {
       val first = when(col(f) <= lit(edges.head), lit(1))

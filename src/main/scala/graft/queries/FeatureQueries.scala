@@ -152,6 +152,19 @@ object FeatureQueries {
       InformationValue
         .ivTable(df, Seq("l_quantity", "l_extendedprice", "l_discount"), "y", 5, exact = Support.exact)
         .orderBy(col("feature"))
+    },
+    "psi_drift" -> { (s, dir) =>
+      // baseline = even order keys; current = odd keys with a planted 20%
+      // shift on l_extendedprice — that feature must dominate the PSI table
+      val li = t(s, dir, "lineitem")
+      val baseline = li.filter(col("l_orderkey") % 2 === 0)
+      val current = li.filter(col("l_orderkey") % 2 === 1)
+        .withColumn("l_extendedprice", col("l_extendedprice") * 1.2)
+      Drift
+        .psiTable(
+          baseline, current,
+          Seq("l_quantity", "l_extendedprice", "l_discount"), 5, exact = Support.exact)
+        .orderBy(col("feature"))
     })
 
   private def ivSql(f: String): String =
@@ -172,7 +185,41 @@ object FeatureQueries {
        |    WHERE $f IS NOT NULL)
        |  GROUP BY bucket)""".stripMargin
 
+  private def psiSql(f: String): String =
+    s"""SELECT '$f' AS feature, round(sum((p - q) * ln(p / q)), 6) AS psi
+       |FROM (
+       |  SELECT (COALESCE(nb, 0) + 0.5) / (sum(COALESCE(nb, 0)) OVER () + 2.5) AS p,
+       |         (COALESCE(nc, 0) + 0.5) / (sum(COALESCE(nc, 0)) OVER () + 2.5) AS q
+       |  FROM (SELECT bucket, count(*) AS nb FROM (
+       |          SELECT CASE WHEN $f <= e1 THEN 1 WHEN $f <= e2 THEN 2 WHEN $f <= e3 THEN 3
+       |                      WHEN $f <= e4 THEN 4 ELSE 5 END AS bucket
+       |          FROM (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0), psi_edges_$f
+       |          WHERE $f IS NOT NULL) GROUP BY 1) b
+       |  FULL JOIN (SELECT bucket, count(*) AS nc FROM (
+       |          SELECT CASE WHEN $f <= e1 THEN 1 WHEN $f <= e2 THEN 2 WHEN $f <= e3 THEN 3
+       |                      WHEN $f <= e4 THEN 4 ELSE 5 END AS bucket
+       |          FROM (SELECT l_quantity, l_extendedprice * 1.2 AS l_extendedprice, l_discount
+       |                FROM lineitem WHERE l_orderkey % 2 = 1), psi_edges_$f
+       |          WHERE $f IS NOT NULL) GROUP BY 1) c USING (bucket))""".stripMargin
+
+  private def psiEdges(f: String): String =
+    s"""psi_edges_$f AS (
+       |  SELECT round(quantile_cont(CAST($f AS DOUBLE), 0.2), 6) AS e1,
+       |         round(quantile_cont(CAST($f AS DOUBLE), 0.4), 6) AS e2,
+       |         round(quantile_cont(CAST($f AS DOUBLE), 0.6), 6) AS e3,
+       |         round(quantile_cont(CAST($f AS DOUBLE), 0.8), 6) AS e4
+       |  FROM lineitem WHERE l_orderkey % 2 = 0)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "psi_drift" ->
+      s"""WITH ${psiEdges("l_quantity")},
+         |${psiEdges("l_extendedprice")},
+         |${psiEdges("l_discount")}
+         |SELECT * FROM (
+         |${psiSql("l_quantity")}
+         |UNION ALL ${psiSql("l_extendedprice")}
+         |UNION ALL ${psiSql("l_discount")})
+         |ORDER BY feature""".stripMargin,
     "outlier_bounds" -> {
       def row(c: String) =
         s"""SELECT '$c' AS "column",

@@ -494,6 +494,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out("p50") == None)                         // nothing after
   }
 
+  test("psi drift: identical frames score ~0, shifted feature dominates") {
+    import graft.features.Drift
+    val base = (1 to 400).map(i => (i % 100 * 1.0, i % 50 * 1.0)).toDF("a", "b")
+    val same = Drift.psiTable(base, base, Seq("a", "b"), 5, exact = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(same.values.forall(math.abs(_) < 1e-9), s"self-PSI must be 0: $same")
+    val shifted = base.withColumn("a", col("a") + 200.0) // everything lands in the top bucket
+    val m = Drift.psiTable(base, shifted, Seq("a", "b"), 5, exact = true)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("a") > 0.25, s"shifted feature must flag actionable drift: $m")
+    assert(math.abs(m("b")) < 1e-9, s"unshifted feature must stay stable: $m")
+  }
+
   test("constraint checks: one pass, per-constraint violation counts") {
     import graft.profile.Constraints._
     val df = Seq(
