@@ -208,6 +208,41 @@ object Metrics {
       .select("s.threshold", "s.tp", "s.fp", "s.tn", "s.fn", "s.accuracy", "s.precision", "s.recall", "s.f1")
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic between the score
+    * distributions of two groups (e.g. last week's vs today's model
+    * scores): KS = max over the score axis of |CDF_a − CDF_b|.
+    *
+    * Scores are first rounded to `digits` and pre-aggregated, so the
+    * global cumulative window runs over ≤ 10^digits + 1 rows (the
+    * roc_pr_curve bounding trick) — the only unpartitioned window is over
+    * that small frame, never raw data. */
+  def ksStatistic(
+      a: DataFrame,
+      b: DataFrame,
+      scoreCol: String,
+      digits: Int = 3): DataFrame = {
+    val grouped = a.select(round(col(scoreCol).cast("double"), digits).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("na"))
+      .join(
+        b.select(round(col(scoreCol).cast("double"), digits).as("s"))
+          .groupBy(col("s")).agg(count(lit(1)).as("nb")),
+        Seq("s"), "full_outer")
+      .na.fill(0L, Seq("na", "nb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("s"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    grouped
+      .select(
+        (sum(col("na")).over(w) / sum(col("na")).over(tot).cast("double")).as("cdf_a"),
+        (sum(col("nb")).over(w) / sum(col("nb")).over(tot).cast("double")).as("cdf_b"))
+      .agg(round(max(abs(col("cdf_a") - col("cdf_b"))), 6).as("ks"))
+  }
+
   /** Calibration (reliability) table: scores in [0, 1] bucketed into
     * `buckets` equal-width bins; per bin the mean predicted score, the
     * observed event rate, and the count. A well-calibrated model has

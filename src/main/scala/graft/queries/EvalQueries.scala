@@ -60,6 +60,15 @@ object EvalQueries {
     "calibration_table" -> { (s, dir) =>
       Metrics.calibrationTable(scored(s, dir), "score", "label", buckets = 10)
     },
+    "ks_statistic" -> { (s, dir) =>
+      // planted distribution shift: odd-key scores compressed by 0.8
+      val li = t(s, dir, "lineitem")
+      val a = li.filter(col("l_orderkey") % 2 === 0)
+        .select((col("l_discount") * 10).as("score"))
+      val b = li.filter(col("l_orderkey") % 2 === 1)
+        .select((col("l_discount") * 10 * 0.8).as("score"))
+      Metrics.ksStatistic(a, b, "score", digits = 3)
+    },
     "crosstab" -> { (s, dir) =>
       t(s, dir, "orders")
         .groupBy(col("o_orderstatus"), col("o_orderpriority"))
@@ -144,6 +153,18 @@ object EvalQueries {
          |  round(avg(score), 6) AS mean_score,
          |  round(avg(label), 6) AS event_rate
          |FROM (${scoredSql}) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ks_statistic" ->
+      """WITH a AS (SELECT round(l_discount * 10, 3) AS s FROM lineitem WHERE l_orderkey % 2 = 0),
+        |b AS (SELECT round(l_discount * 10 * 0.8, 3) AS s FROM lineitem WHERE l_orderkey % 2 = 1),
+        |ga AS (SELECT s, CAST(count(*) AS BIGINT) AS na FROM a GROUP BY 1),
+        |gb AS (SELECT s, CAST(count(*) AS BIGINT) AS nb FROM b GROUP BY 1),
+        |g AS (SELECT COALESCE(ga.s, gb.s) AS s, COALESCE(na, 0) AS na, COALESCE(nb, 0) AS nb
+        |      FROM ga FULL JOIN gb ON ga.s = gb.s),
+        |c AS (SELECT
+        |    sum(na) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) / CAST(sum(na) OVER () AS DOUBLE) AS cdf_a,
+        |    sum(nb) OVER (ORDER BY s ROWS UNBOUNDED PRECEDING) / CAST(sum(nb) OVER () AS DOUBLE) AS cdf_b
+        |  FROM g)
+        |SELECT round(max(abs(cdf_a - cdf_b)), 6) AS ks FROM c""".stripMargin,
     "crosstab" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders
         |GROUP BY 1, 2 ORDER BY o_orderstatus, o_orderpriority""".stripMargin,

@@ -153,6 +153,12 @@ object FeatureQueries {
         .ivTable(df, Seq("l_quantity", "l_extendedprice", "l_discount"), "y", 5, exact = Support.exact)
         .orderBy(col("feature"))
     },
+    "chi_square" -> { (s, dir) =>
+      val df = t(s, dir, "lineitem")
+        .withColumn("y", when(col("l_quantity") > 25, "hi").otherwise("lo"))
+      ChiSquare.chiSquareTable(df, Seq("l_returnflag", "l_linestatus"), "y")
+        .orderBy(col("feature"))
+    },
     "psi_drift" -> { (s, dir) =>
       // baseline = even order keys; current = odd keys with a planted 20%
       // shift on l_extendedprice — that feature must dominate the PSI table
@@ -210,7 +216,25 @@ object FeatureQueries {
        |         round(quantile_cont(CAST($f AS DOUBLE), 0.8), 6) AS e4
        |  FROM lineitem WHERE l_orderkey % 2 = 0)""".stripMargin
 
+  private def chiSql(f: String): String =
+    s"""SELECT '$f' AS feature,
+       |  round(sum((o - e) * (o - e) / e), 6) AS chi2,
+       |  CAST((SELECT count(DISTINCT $f) - 1 FROM lineitem WHERE $f IS NOT NULL)
+       |     * (SELECT count(DISTINCT CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END) - 1
+       |        FROM lineitem WHERE $f IS NOT NULL) AS INT) AS dof
+       |FROM (
+       |  SELECT o, sum(o) OVER (PARTITION BY v) * sum(o) OVER (PARTITION BY y)
+       |            / CAST(sum(o) OVER () AS DOUBLE) AS e
+       |  FROM (SELECT $f AS v, CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END AS y,
+       |               count(*) AS o
+       |        FROM lineitem WHERE $f IS NOT NULL GROUP BY 1, 2))""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "chi_square" ->
+      s"""SELECT * FROM (
+         |${chiSql("l_returnflag")}
+         |UNION ALL ${chiSql("l_linestatus")})
+         |ORDER BY feature""".stripMargin,
     "psi_drift" ->
       s"""WITH ${psiEdges("l_quantity")},
          |${psiEdges("l_extendedprice")},

@@ -494,6 +494,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out("p50") == None)                         // nothing after
   }
 
+  test("chi-square: known 2x2 contingency; independent feature scores 0") {
+    import graft.features.ChiSquare
+    val rows =
+      Seq.fill(10)(("a", "hi")) ++ Seq.fill(20)(("a", "lo")) ++
+        Seq.fill(20)(("b", "hi")) ++ Seq.fill(10)(("b", "lo"))
+    val df = rows.toDF("f", "y").withColumn("indep", lit("const"))
+    val m = ChiSquare.chiSquareTable(df, Seq("f", "indep"), "y")
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    // e = 15 everywhere; chi2 = 4 * 25/15 = 6.666667, dof = 1
+    assert(m("f") == ((6.666667, 1)))
+    assert(m("indep") == ((0.0, 0))) // single category: dof 0, chi2 0
+  }
+
+  test("ks statistic: identical samples 0, disjoint samples 1") {
+    val a = (1 to 100).map(_ / 100.0).toDF("score")
+    val b = (1 to 100).map(_ / 100.0 + 10.0).toDF("score")
+    assert(Metrics.ksStatistic(a, a, "score").head().getDouble(0) == 0.0)
+    assert(Metrics.ksStatistic(a, b, "score").head().getDouble(0) == 1.0)
+  }
+
   test("psi drift: identical frames score ~0, shifted feature dominates") {
     import graft.features.Drift
     val base = (1 to 400).map(i => (i % 100 * 1.0, i % 50 * 1.0)).toDF("a", "b")
