@@ -126,6 +126,16 @@ object FeatureQueries {
           r6(max(col("l_quantity_scaled"))).as("max_s"),
           r6(graft.Exprs.pct(col("l_quantity_scaled"), 0.5, exact = Support.exact)).as("med_s"))
     },
+    "scaling_robust" -> { (s, dir) =>
+      val df = t(s, dir, "lineitem")
+      Scaling
+        .fitRobust(df, Seq("l_extendedprice"), exact = Support.exact)
+        .transform(df)
+        .agg(
+          r6(graft.Exprs.pct(col("l_extendedprice_scaled"), 0.5, exact = Support.exact)).as("med_s"),
+          r6(min(col("l_extendedprice_scaled"))).as("min_s"),
+          r6(max(col("l_extendedprice_scaled"))).as("max_s"))
+    },
     "scaling_standard" -> { (s, dir) =>
       val df = t(s, dir, "lineitem")
       Scaling
@@ -331,6 +341,14 @@ object FeatureQueries {
         |v AS (SELECT (l_quantity - a) / (b - a) AS x FROM lineitem, s)
         |SELECT round(min(x), 6) AS min_s, round(max(x), 6) AS max_s,
         |       round(quantile_cont(x, 0.5), 6) AS med_s FROM v""".stripMargin,
+    "scaling_robust" ->
+      """WITH s AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS m,
+        |           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75)
+        |             - quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS iqr
+        |           FROM lineitem),
+        |v AS (SELECT (l_extendedprice - m) / iqr AS x FROM lineitem, s)
+        |SELECT round(quantile_cont(x, 0.5), 6) AS med_s,
+        |       round(min(x), 6) AS min_s, round(max(x), 6) AS max_s FROM v""".stripMargin,
     "scaling_standard" ->
       """WITH s AS (SELECT avg(l_quantity) AS m, stddev(l_quantity) AS sd FROM lineitem),
         |v AS (SELECT (l_quantity - m) / sd AS x FROM lineitem, s)

@@ -108,6 +108,15 @@ object PipelineQueries {
       FeatureEngineering.rankFeatures(ev, "user_id", "ts", "value", ntiles = 4)
         .orderBy(col("user_id"), col("rn"))
     },
+    "temporal_split" -> { (s, dir) =>
+      val ev = events(s, dir).select(col("user_id"), unix_micros(col("ts")).as("t"))
+      val (train, test) = Sampling.temporalSplit(ev, "t", 0.8, exact = Support.exact)
+      train.withColumn("split", lit("train"))
+        .unionByName(test.withColumn("split", lit("test")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("t")).as("min_t"), max(col("t")).as("max_t"))
+        .orderBy(col("split"))
+    },
     // seeded sampling/splits: deterministic per cluster but not
     // SQL-expressible — rows-only checks + ScalaTest invariants
     "stratified_split" -> { (s, dir) =>
@@ -136,6 +145,12 @@ object PipelineQueries {
        |GROUP BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "temporal_split" ->
+      """WITH e AS (SELECT epoch_ns(ts) // 1000 AS t FROM events),
+        |c AS (SELECT quantile_cont(CAST(t AS DOUBLE), 0.8) AS cut FROM e),
+        |s AS (SELECT t, CASE WHEN t <= cut THEN 'train' ELSE 'test' END AS split FROM e, c)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n, min(t) AS min_t, max(t) AS max_t
+        |FROM s GROUP BY 1 ORDER BY split""".stripMargin,
     "asof_join" ->
       """WITH probe AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000 AS t_us, value
         |               FROM events WHERE event_type = 'click'),

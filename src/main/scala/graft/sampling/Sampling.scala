@@ -49,6 +49,25 @@ object Sampling {
     (train, test)
   }
 
+  /** Leakage-free temporal split: the cutoff is the `trainFraction`
+    * quantile of the numeric event-time column; train = rows at/before
+    * the cutoff, test = strictly after. The right split for any
+    * time-ordered prediction task — a random split leaks future rows into
+    * training. One percentile aggregate learns the cutoff (approx sketch
+    * by default like every percentile estimator); both sides are plain
+    * pushdown-friendly filters over the original frame. */
+  def temporalSplit(
+      df: DataFrame,
+      tsCol: String,
+      trainFraction: Double,
+      exact: Boolean = false): (DataFrame, DataFrame) = {
+    require(trainFraction > 0 && trainFraction < 1, s"trainFraction in (0,1), got $trainFraction")
+    val cut = df
+      .agg(graft.Exprs.pct(col(tsCol).cast("double"), trainFraction, exact))
+      .head().getDouble(0)
+    (df.filter(col(tsCol).cast("double") <= cut), df.filter(col(tsCol).cast("double") > cut))
+  }
+
   /** Stratified split: per-class randomSplit, reassembled with unionByName
     * (reference: dp.py:979-994, with the test_prop/2 bug fixed). The class
     * collect is CAPPED like the encoder fits — pointing this at a

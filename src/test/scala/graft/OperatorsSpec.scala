@@ -494,6 +494,28 @@ class OperatorsSpec extends SparkSpec {
     assert(out("p50") == None)                         // nothing after
   }
 
+  test("temporal split: no future rows in train, split point at the fraction") {
+    import graft.sampling.Sampling
+    val df = (1 to 100).map(i => (i.toLong, i * 10L)).toDF("id", "t")
+    val (train, test) = Sampling.temporalSplit(df, "t", 0.8, exact = true)
+    val maxTrain = train.agg(max("t")).head().getLong(0)
+    val minTest = test.agg(min("t")).head().getLong(0)
+    assert(maxTrain < minTest, "every train row must precede every test row")
+    val nTrain = train.count()
+    assert(nTrain >= 79L && nTrain <= 81L, s"expected ~80 train rows, got $nTrain")
+  }
+
+  test("robust scaler: median maps to 0, IQR to unit span, outlier-insensitive") {
+    import graft.features.Scaling
+    val base = (1 to 99).map(_.toDouble)
+    val withOutlier = base :+ 1e9 // one wild value
+    val m = Scaling.fitRobust(withOutlier.toDF("x"), Seq("x"), exact = true)
+    val (med, iqr) = m.stats("x")
+    assert(med == 50.5 && iqr == 49.5, s"got ($med, $iqr)") // quartiles of 1..100 ranks
+    val scaledMed = m.transform(Seq(50.5).toDF("x")).select("x_scaled").head().getDouble(0)
+    assert(scaledMed == 0.0)
+  }
+
   test("chi-square: known 2x2 contingency; independent feature scores 0") {
     import graft.features.ChiSquare
     val rows =
