@@ -119,4 +119,23 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(total - 1.0) < 1e-9, s"input $cats")
     }
   }
+
+  test("property: hashedShingles count equals string shingles count") {
+    // the native kernel must walk the same windows as the interpreted
+    // string construction — distinct-gram COUNTS are what Jaccard/overlap
+    // consume, and hash collisions at these sizes are ~impossible
+    val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString)
+    val gen = Gen.nonEmptyListOf(word).map(_.take(30))
+    (2 to 4).foreach { k =>
+      samples(gen, 4).foreach { words =>
+        val text = words.mkString(" ")
+        val row = Seq(text).toDF("t")
+          .select(
+            size(Dedup.shingles(col("t"), k)).as("s"),
+            size(Dedup.hashedShingles(col("t"), k)).as("h"))
+          .head()
+        assert(row.getInt(0) == row.getInt(1), s"k=$k text='$text'")
+      }
+    }
+  }
 }
