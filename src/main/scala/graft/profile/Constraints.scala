@@ -41,6 +41,16 @@ object Constraints {
         when(sum(when(col(column).isNull, 1L).otherwise(0L)) > 0L, 1L).otherwise(0L)
   }
 
+  /** A column combination must be unique (composite key; nulls inside the
+    * tuple participate as values via the struct equality). */
+  final case class UniqueKey(columns: Seq[String]) extends Constraint {
+    require(columns.nonEmpty, "UniqueKey needs at least one column")
+    val name = "unique_key"
+    val column: String = columns.mkString(",")
+    private[profile] def violations: Column =
+      count(lit(1)) - count_distinct(struct(columns.map(col): _*))
+  }
+
   /** Non-null values must fall in [lo, hi]. */
   final case class InRange(column: String, lo: Double, hi: Double) extends Constraint {
     val name = "in_range"

@@ -63,6 +63,12 @@ object LlmQueries {
         u.as("n_urls"), e.as("n_emails"), p.as("n_phones"))
         .orderBy(col("doc_id"))
     },
+    "unigram_logprob" -> { (s, dir) =>
+      TextAnalysis
+        .unigramLogProb(
+          t(s, dir, "documents").select(col("doc_id"), col("text")), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     "repetition_stats" -> { (s, dir) =>
       TextAnalysis
         .repetitionStats(
@@ -236,6 +242,16 @@ object LlmQueries {
         |  CAST(len(regexp_extract_all(t1, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
         |  CAST(len(regexp_extract_all(t2, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS INT) AS n_phones
         |FROM s2 ORDER BY doc_id""".stripMargin,
+    "unigram_logprob" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |           FROM documents),
+        |tf AS (SELECT doc_id, token FROM t WHERE length(token) >= 1),
+        |f AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tf GROUP BY 1),
+        |tot AS (SELECT sum(n) AS total FROM f)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  round(avg(-ln(n / CAST(total AS DOUBLE))), 6) AS avg_neg_logprob
+        |FROM tf JOIN f USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "repetition_stats" ->
       """WITH w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
         |           FROM documents),

@@ -263,6 +263,35 @@ object TextAnalysis {
         .as("dup_3gram_ratio"))
   }
 
+  /** Corpus-unigram negative log-probability per document — the cheap
+    * proxy for LM-perplexity quality filtering (CCNet-style): documents
+    * made of corpus-typical tokens score low, documents of rare junk
+    * tokens score high. Within-corpus scoring has no OOV, so no smoothing
+    * term distorts the estimate.
+    *
+    * Scale: one token frequency groupBy (the LM), one shuffle join of
+    * tokens to frequencies (token cardinality ≪ corpus bytes), the corpus
+    * total attached as a broadcast 1-row frame — no global window, no
+    * driver-side vocabulary. */
+  def unigramLogProb(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLength: Int = 1): DataFrame = {
+    val toks = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) >= minLength)
+    val vocab = toks.groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val total = vocab.agg(sum(col("n")).as("total"))
+    toks
+      .join(vocab, Seq("token"))
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        round(avg(-log(col("n") / col("total").cast("double"))), 6).as("avg_neg_logprob"))
+  }
+
   /** Full stats table over a documents frame. */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val c = col(textCol)
