@@ -112,6 +112,22 @@ object LlmQueries {
       Dedup.incrementalExactDedupKeys(batch, corpus, "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    "cluster_survivors_exact" -> { (s, dir) =>
+      // clustering with a TRUE oracle: pairs come from exact n-gram
+      // Jaccard (SQL-expressible), the connected-components resolution is
+      // checked against a DuckDB recursive CTE. The minhash variant of
+      // this flow stays no_oracle (banded LSH isn't SQL-reproducible).
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", k = 3, minJaccard = 0.6)
+      val clusters = Dedup.nearDupClusters(pairs)
+      val losers = clusters.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as("doc_id"))
+      corpus.join(losers, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
     "contamination_report" -> { (s, dir) =>
       // eval = docs 0-4; corpus = the rest plus planted exact copies of
       // docs 0-2 (full eval_coverage 1.0 rows must appear)
@@ -352,6 +368,31 @@ object LlmQueries {
         |              min(doc_id) AS doc_id
         |       FROM batch GROUP BY 1)
         |SELECT doc_id FROM bh WHERE h NOT IN (SELECT h FROM ch)
+        |ORDER BY doc_id""".stripMargin,
+    "cluster_survivors_exact" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, text FROM d
+        |           UNION ALL SELECT doc_id + 100000, text FROM d),
+        |w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM w)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |          JOIN sizes sa ON sa.doc_id = id_a
+        |          JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |cc AS (SELECT id, id AS label FROM nodes
+        |       UNION
+        |       SELECT e.src, cc.label FROM edges e, cc WHERE e.dst = cc.id),
+        |labels AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+        |losers AS (SELECT id AS doc_id FROM labels WHERE id <> cluster_id)
+        |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
     "contamination_report" ->
       """WITH docs AS (SELECT doc_id, text FROM documents),
