@@ -74,8 +74,13 @@ object Temporal {
     val probeCols = probe.columns.toSeq
     val packed = struct(
       (col(refTsCol).as(refTsCol) +: refValueCols.map(c => col(c).as(c))): _*)
-    val r = ref.select(
-      (keyCols.map(col) :+ col(refTsCol).as("__asof_t") :+ packed.as("__asof_r")): _*)
+    // a null reference timestamp has no position on the time axis — under
+    // the ascending window it would sort NULLS FIRST and become a phantom
+    // "earliest" match for probes that have no real predecessor
+    val r = ref
+      .filter(col(refTsCol).isNotNull)
+      .select(
+        (keyCols.map(col) :+ col(refTsCol).as("__asof_t") :+ packed.as("__asof_r")): _*)
       .withColumn("__asof_probe", lit(0))
     val p = probe
       .withColumn("__asof_t", col(probeTsCol))

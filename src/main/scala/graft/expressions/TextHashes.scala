@@ -80,9 +80,19 @@ case class WordShingleHashes(child: Expression, k: Int)
   override def prettyName: String = "graft_word_shingle_hashes"
 
   override protected def nullSafeEval(input: Any): Any = {
-    val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-      .toString.trim.toLowerCase(java.util.Locale.ROOT)
-    val toks = text.split("\\s+")
+    // mirror shingles() = split(lower(trim(text)), "\\s+") EXACTLY:
+    // Spark's trim strips only ' ' (Java String.trim also strips
+    // \t\n\r), and Spark's split uses limit -1 (Java's default limit 0
+    // drops trailing empty tokens) — either difference changes the gram
+    // count for texts with leading/trailing non-space whitespace and
+    // breaks parity with the string path and the DuckDB oracles
+    val raw = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+    var b = 0
+    var e = raw.length
+    while (b < e && raw.charAt(b) == ' ') b += 1
+    while (e > b && raw.charAt(e - 1) == ' ') e -= 1
+    val text = raw.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+    val toks = text.split("\\s+", -1)
     val n = toks.length
     val tokenHash = new Array[Long](n)
     var i = 0

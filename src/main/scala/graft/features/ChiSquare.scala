@@ -27,11 +27,18 @@ object ChiSquare {
         col(target).cast("string").as("y"),
         col(f).isNull.as("is_null"))
     }
-    val cells = df
+    val observed = df
       .select(explode(array(stacked: _*)).as("s"))
       .filter(!col("s.is_null"))
       .groupBy(col("s.feature").as("feature"), col("s.v").as("v"), col("s.y").as("y"))
       .agg(count(lit(1)).as("o"))
+    // complete the contingency grid: a (value, class) combination that
+    // never co-occurs still contributes (0 − e)²/e = e to the statistic —
+    // dropping it understates chi2 exactly when association is strongest
+    val cells = observed.select(col("feature"), col("v")).distinct()
+      .join(observed.select(col("feature"), col("y")).distinct(), Seq("feature"))
+      .join(observed, Seq("feature", "v", "y"), "left")
+      .na.fill(0L, Seq("o"))
     val wv = Window.partitionBy("feature", "v")
     val wy = Window.partitionBy("feature", "y")
     val wf = Window.partitionBy("feature")

@@ -46,8 +46,19 @@ object Drift {
         .agg(count(lit(1)).as(out))
     }
 
-    val joined = cells(baseline, "nb")
-      .join(cells(current, "nc"), Seq("feature", "bucket"), "full_outer")
+    // complete the (feature × bucket) grid before joining counts: a bucket
+    // empty in BOTH frames (collapsed quantile edges on skewed features)
+    // still carries a smoothed term — the +0.5·buckets denominators assume
+    // every cell exists, so dropping absent cells would bias PSI exactly
+    // on degenerate features
+    val spark = baseline.sparkSession
+    import spark.implicits._
+    val grid = features
+      .flatMap(f => (1 to buckets).map(b => (f, b)))
+      .toDF("feature", "bucket")
+    val joined = grid
+      .join(cells(baseline, "nb"), Seq("feature", "bucket"), "left")
+      .join(cells(current, "nc"), Seq("feature", "bucket"), "left")
       .na.fill(0L, Seq("nb", "nc"))
     val w = Window.partitionBy("feature")
     val p = (col("nb") + 0.5) / (sum("nb").over(w) + 0.5 * buckets)

@@ -92,10 +92,20 @@ object Tables {
     * coalesce) so output files are evenly sized even when input partitions
     * are skewed; coalesce would also cap upstream parallelism of anything
     * fused into the write stage. */
-  def compactTo(df: DataFrame, path: String, targetFileBytes: Long = 128L << 20): Unit = {
+  def compactTo(
+      df: DataFrame,
+      path: String,
+      targetFileBytes: Long = 128L << 20,
+      maxFiles: Int = 1 << 20): Unit = {
+    require(targetFileBytes > 0, s"targetFileBytes must be > 0, got $targetFileBytes")
+    // plan-stats estimates are unreliable for exactly the plans this
+    // helper targets (joins multiply estimates; unstatted sources default
+    // absurdly high) — cap the file count instead of letting a 2^62
+    // estimate wrap .toInt negative or schedule millions of tasks
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val files = math.max(1, (bytes / BigInt(targetFileBytes)).toLong +
-      (if (bytes % BigInt(targetFileBytes) > 0) 1 else 0)).toInt
+    val wanted = bytes / BigInt(targetFileBytes) +
+      (if (bytes % BigInt(targetFileBytes) > 0) 1 else 0)
+    val files = wanted.min(BigInt(maxFiles)).max(BigInt(1)).toInt
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
   }
 

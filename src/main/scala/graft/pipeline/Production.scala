@@ -125,8 +125,12 @@ object Production {
       val minOverlap = params.getOrElse("min_overlap", "2").toString.toInt
       val evalLimit = params.getOrElse("eval_limit", "5").toString.toInt
       val corpus = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
+      // normalize the eval side with the SAME redaction as the corpus —
+      // otherwise grams around an email/URL/phone in a shared passage
+      // mismatch and a genuinely contaminated doc undercounts its overlap
       val evalSet = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
         .orderBy(col("doc_id")).limit(evalLimit)
+        .withColumn("text", graft.text.TextAnalysis.redactPii(col("text")))
       Tables.saveData(
         graft.dedup.Dedup.contaminationReport(
           corpus, evalSet, "doc_id", "text", k, minOverlap),

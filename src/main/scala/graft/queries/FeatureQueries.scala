@@ -206,12 +206,13 @@ object FeatureQueries {
        |FROM (
        |  SELECT (COALESCE(nb, 0) + 0.5) / (sum(COALESCE(nb, 0)) OVER () + 2.5) AS p,
        |         (COALESCE(nc, 0) + 0.5) / (sum(COALESCE(nc, 0)) OVER () + 2.5) AS q
-       |  FROM (SELECT bucket, count(*) AS nb FROM (
+       |  FROM (SELECT unnest(generate_series(1, 5)) AS bucket) g
+       |  LEFT JOIN (SELECT bucket, count(*) AS nb FROM (
        |          SELECT CASE WHEN $f <= e1 THEN 1 WHEN $f <= e2 THEN 2 WHEN $f <= e3 THEN 3
        |                      WHEN $f <= e4 THEN 4 ELSE 5 END AS bucket
        |          FROM (SELECT * FROM lineitem WHERE l_orderkey % 2 = 0), psi_edges_$f
-       |          WHERE $f IS NOT NULL) GROUP BY 1) b
-       |  FULL JOIN (SELECT bucket, count(*) AS nc FROM (
+       |          WHERE $f IS NOT NULL) GROUP BY 1) b USING (bucket)
+       |  LEFT JOIN (SELECT bucket, count(*) AS nc FROM (
        |          SELECT CASE WHEN $f <= e1 THEN 1 WHEN $f <= e2 THEN 2 WHEN $f <= e3 THEN 3
        |                      WHEN $f <= e4 THEN 4 ELSE 5 END AS bucket
        |          FROM (SELECT l_quantity, l_extendedprice * 1.2 AS l_extendedprice, l_discount
@@ -235,9 +236,15 @@ object FeatureQueries {
        |FROM (
        |  SELECT o, sum(o) OVER (PARTITION BY v) * sum(o) OVER (PARTITION BY y)
        |            / CAST(sum(o) OVER () AS DOUBLE) AS e
-       |  FROM (SELECT $f AS v, CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END AS y,
-       |               count(*) AS o
-       |        FROM lineitem WHERE $f IS NOT NULL GROUP BY 1, 2))""".stripMargin
+       |  FROM (
+       |    SELECT vv.v, yy.y, COALESCE(obs.o, 0) AS o
+       |    FROM (SELECT DISTINCT v FROM (SELECT $f AS v FROM lineitem WHERE $f IS NOT NULL)) vv
+       |    CROSS JOIN (SELECT DISTINCT CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END AS y
+       |                FROM lineitem WHERE $f IS NOT NULL) yy
+       |    LEFT JOIN (SELECT $f AS v, CASE WHEN l_quantity > 25 THEN 'hi' ELSE 'lo' END AS y,
+       |                      count(*) AS o
+       |               FROM lineitem WHERE $f IS NOT NULL GROUP BY 1, 2) obs
+       |      USING (v, y)))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "chi_square" ->

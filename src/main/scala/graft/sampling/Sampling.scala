@@ -62,10 +62,15 @@ object Sampling {
       trainFraction: Double,
       exact: Boolean = false): (DataFrame, DataFrame) = {
     require(trainFraction > 0 && trainFraction < 1, s"trainFraction in (0,1), got $trainFraction")
-    val cut = df
-      .agg(graft.Exprs.pct(col(tsCol).cast("double"), trainFraction, exact))
-      .head().getDouble(0)
-    (df.filter(col(tsCol).cast("double") <= cut), df.filter(col(tsCol).cast("double") > cut))
+    val row = df.agg(graft.Exprs.pct(col(tsCol).cast("double"), trainFraction, exact)).head()
+    require(!row.isNullAt(0),
+      s"temporalSplit($tsCol): no non-null timestamps to learn a cutoff from")
+    val cut = row.getDouble(0)
+    // rows with a null timestamp would silently fail BOTH filters and
+    // vanish from the dataset — exclude them explicitly so the contract
+    // (train ∪ test = non-null-ts rows) is visible at the call site
+    val valid = df.filter(col(tsCol).isNotNull)
+    (valid.filter(col(tsCol).cast("double") <= cut), valid.filter(col(tsCol).cast("double") > cut))
   }
 
   /** Stratified split: per-class randomSplit, reassembled with unionByName

@@ -509,6 +509,19 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 4)                            // all probe rows survive
   }
 
+  test("asofJoinBackward: null-timestamp reference rows are never phantom matches") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val probe = Seq((1L, ts(5), "p5")).toDF("k", "t", "tag")
+    val ref = Seq(
+      (1L, Option.empty[Timestamp], 7.0), // would sort NULLS FIRST as "earliest"
+      (1L, Some(ts(10)), 1.0)).toDF("k", "t", "v")
+    val row = graft.dp.Temporal
+      .asofJoinBackward(probe, ref, Seq("k"), "t", "t", Seq("v")).head()
+    assert(row.getAs[java.lang.Double]("asof_v") == null,
+      "probe before any real reference must get null, not the null-ts row's value")
+  }
+
   test("asofJoinBackward: a matched row's null VALUE is kept, not skipped over") {
     import java.sql.Timestamp
     def ts(s: Long) = new Timestamp(s * 1000)
@@ -571,6 +584,15 @@ class OperatorsSpec extends SparkSpec {
     // e = 15 everywhere; chi2 = 4 * 25/15 = 6.666667, dof = 1
     assert(m("f") == ((6.666667, 1)))
     assert(m("indep") == ((0.0, 0))) // single category: dof 0, chi2 0
+  }
+
+  test("chi-square: perfect association counts the empty grid cells") {
+    import graft.features.ChiSquare
+    // 'a' only ever with 'hi', 'b' only with 'lo': cells (a,lo) and
+    // (b,hi) have o=0 but e=10 — dropping them would halve chi2
+    val rows = Seq.fill(20)(("a", "hi")) ++ Seq.fill(20)(("b", "lo"))
+    val r = ChiSquare.chiSquareTable(rows.toDF("f", "y"), Seq("f"), "y").head()
+    assert(r.getDouble(1) == 40.0, s"perfect 2x2 association on n=40 must give chi2=n, got $r")
   }
 
   test("ks statistic: identical samples 0, disjoint samples 1") {

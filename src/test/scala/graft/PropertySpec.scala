@@ -123,18 +123,28 @@ class PropertySpec extends SparkSpec {
   test("property: hashedShingles count equals string shingles count") {
     // the native kernel must walk the same windows as the interpreted
     // string construction — distinct-gram COUNTS are what Jaccard/overlap
-    // consume, and hash collisions at these sizes are ~impossible
+    // consume, and hash collisions at these sizes are ~impossible.
+    // Whitespace variety matters: Spark trim strips only ' ' and Spark
+    // split keeps trailing empty tokens (Java defaults differ on both),
+    // so texts with tabs/newlines/trailing whitespace are the regression
+    // surface.
     val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString)
-    val gen = Gen.nonEmptyListOf(word).map(_.take(30))
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val edge = Gen.oneOf("", " ", "\n", "\t ", "  ")
+    val gen = for {
+      words <- Gen.nonEmptyListOf(word).map(_.take(30))
+      seps <- Gen.listOfN(words.size, sep)
+      pre <- edge
+      post <- edge
+    } yield pre + words.zip(seps).map { case (w, s) => w + s }.mkString + post
     (2 to 4).foreach { k =>
-      samples(gen, 4).foreach { words =>
-        val text = words.mkString(" ")
+      samples(gen, 5).foreach { text =>
         val row = Seq(text).toDF("t")
           .select(
             size(Dedup.shingles(col("t"), k)).as("s"),
             size(Dedup.hashedShingles(col("t"), k)).as("h"))
           .head()
-        assert(row.getInt(0) == row.getInt(1), s"k=$k text='$text'")
+        assert(row.getInt(0) == row.getInt(1), s"k=$k text=${text.map(_.toInt)}")
       }
     }
   }
