@@ -92,10 +92,16 @@ object Temporal {
       .orderBy(tOrder, col("__asof_probe").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = u.withColumn("__asof_m", last(col("__asof_r"), ignoreNulls = true).over(w))
+    // a null PROBE timestamp has no position on the time axis either: under
+    // the descending (forward) window it would sort NULLS LAST, see every
+    // reference row as "preceding", and phantom-match the minimum-timestamp
+    // row — emit null match columns instead (the backward path is already
+    // null-safe via asc NULLS FIRST, but gets the same explicit guard)
+    val m = when(col(probeTsCol).isNotNull, col("__asof_m"))
     val out =
       probeCols.map(col) ++
-        (col("__asof_m")(refTsCol).as(s"asof_$refTsCol") +:
-          refValueCols.map(c => col("__asof_m")(c).as(s"asof_$c")))
+        (m(refTsCol).as(s"asof_$refTsCol") +:
+          refValueCols.map(c => m(c).as(s"asof_$c")))
     matched.filter(col("__asof_probe") === 1).select(out: _*)
   }
 }

@@ -1,7 +1,7 @@
 package graft.eval
 
 import org.apache.spark.mllib.evaluation.BinaryClassificationMetrics
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Model-evaluation operators (reference:
@@ -215,18 +215,24 @@ object Metrics {
     * Scores are first rounded to `digits` and pre-aggregated, so the
     * global cumulative window runs over ≤ 10^digits + 1 rows (the
     * roc_pr_curve bounding trick) — the only unpartitioned window is over
-    * that small frame, never raw data. */
+    * that small frame, never raw data. NOTE: this bound assumes scores in
+    * a bounded range like [0, 1] (model scores, rates, normalized
+    * features); for an arbitrary-range column, rounding does not bound
+    * the distinct-value count and the single global window degrades to
+    * one task over all distinct rounded values — normalize or clamp
+    * first. An empty side has no CDF: it fails loudly (raise_error in
+    * the denominator) rather than returning a silent null KS. */
   def ksStatistic(
       a: DataFrame,
       b: DataFrame,
       scoreCol: String,
       digits: Int = 3): DataFrame = {
-    val grouped = a.select(round(col(scoreCol).cast("double"), digits).as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("na"))
-      .join(
-        b.select(round(col(scoreCol).cast("double"), digits).as("s"))
-          .groupBy(col("s")).agg(count(lit(1)).as("nb")),
-        Seq("s"), "full_outer")
+    def side(df: DataFrame, n: String) =
+      df.filter(col(scoreCol).isNotNull) // a null score has no CDF position
+        .select(round(col(scoreCol).cast("double"), digits).as("s"))
+        .groupBy(col("s")).agg(count(lit(1)).as(n))
+    val grouped = side(a, "na")
+      .join(side(b, "nb"), Seq("s"), "full_outer")
       .na.fill(0L, Seq("na", "nb"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("s"))
@@ -236,11 +242,20 @@ object Metrics {
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    def denom(c: Column, side: String): Column = {
+      val n = sum(c).over(tot).cast("double")
+      when(n > 0d, n).otherwise(
+        raise_error(lit(s"ksStatistic: $side input has no non-null scores")).cast("double"))
+    }
     grouped
       .select(
-        (sum(col("na")).over(w) / sum(col("na")).over(tot).cast("double")).as("cdf_a"),
-        (sum(col("nb")).over(w) / sum(col("nb")).over(tot).cast("double")).as("cdf_b"))
+        (sum(col("na")).over(w) / denom(col("na"), "left")).as("cdf_a"),
+        (sum(col("nb")).over(w) / denom(col("nb"), "right")).as("cdf_b"))
       .agg(round(max(abs(col("cdf_a") - col("cdf_b"))), 6).as("ks"))
+      // max over zero rows (BOTH sides empty) is the one null that slips
+      // past the per-side denominator guard
+      .select(when(col("ks").isNotNull, col("ks")).otherwise(
+        raise_error(lit("ksStatistic: both inputs are empty")).cast("double")).as("ks"))
   }
 
   /** Calibration (reliability) table: scores in [0, 1] bucketed into
@@ -248,14 +263,22 @@ object Metrics {
     * observed event rate, and the count. A well-calibrated model has
     * mean_score ≈ event_rate per bin. score = 1.0 lands in the top bin.
     * One hash-partitioned groupBy over ≤ `buckets` output rows — the
-    * cheapest possible shape at any scale. */
+    * cheapest possible shape at any scale.
+    *
+    * Domain guard: the bucket id is clamped to [0, buckets-1] (float-noise
+    * excursions like -1e-9 or 1.0000001 land in the edge bins instead of
+    * fabricating out-of-contract bucket rows), and a NULL score fails
+    * loudly — a silently-appearing null-bucket row is how a broken
+    * upstream score column hides in a monitoring table. */
   def calibrationTable(
       df: DataFrame,
       scoreCol: String,
       labelCol: String,
       buckets: Int = 10): DataFrame = {
     val s = col(scoreCol).cast("double")
-    val b = least(floor(s * buckets).cast("int"), lit(buckets - 1))
+    val clamped = greatest(lit(0), least(floor(s * buckets).cast("int"), lit(buckets - 1)))
+    val b = when(s.isNotNull, clamped).otherwise(
+      raise_error(lit(s"calibrationTable: null score in '$scoreCol'")).cast("int"))
     df.groupBy(b.as("bucket"))
       .agg(
         count(lit(1)).as("n"),

@@ -91,7 +91,11 @@ case class WordShingleHashes(child: Expression, k: Int)
     var e = raw.length
     while (b < e && raw.charAt(b) == ' ') b += 1
     while (e > b && raw.charAt(e - 1) == ' ') e -= 1
-    val text = raw.substring(b, e).toLowerCase(java.util.Locale.ROOT)
+    // lowercase through UTF8String so the kernel tracks Spark's lower()
+    // EXACTLY — Locale.ROOT here would diverge from lower() for non-ASCII
+    // input whenever the JVM default locale has special casing (tr/az 'I')
+    val text = org.apache.spark.unsafe.types.UTF8String
+      .fromString(raw.substring(b, e)).toLowerCase.toString
     val toks = text.split("\\s+", -1)
     val n = toks.length
     val tokenHash = new Array[Long](n)

@@ -49,16 +49,35 @@ object Scaling {
   /** Robust scaling: (x − median) / IQR — insensitive to the outliers
     * that wreck min/max and mean/stddev scaling on heavy-tailed data.
     * Like every percentile-learning estimator, defaults to the mergeable
-    * approx sketch (exact = true only for small-SF oracle checks). */
-  def fitRobust(df: DataFrame, cols: Seq[String], exact: Boolean = false): Model = {
-    val aggs = cols.map(c =>
-      graft.Exprs.pctArray(col(c).cast("double"), Seq(0.25, 0.5, 0.75), exact).as(c))
+    * approx sketch (exact = true only for small-SF oracle checks).
+    *
+    * The learned median/IQR are quantized to `quantizeDigits` decimals
+    * (inside the aggregation, with Spark's own `round`). Interpolated
+    * percentiles are the one learned parameter two engines compute with
+    * different floating-point association orders; publishing them at a
+    * fixed decimal precision makes the fitted model reproducible across
+    * engines (and keeps the DuckDB oracle in exact lockstep) at no
+    * statistical cost. Pass `quantizeDigits <= 0` for raw doubles. */
+  def fitRobust(
+      df: DataFrame,
+      cols: Seq[String],
+      exact: Boolean = false,
+      quantizeDigits: Int = 6): Model = {
+    def q(c: org.apache.spark.sql.Column) =
+      if (quantizeDigits > 0) round(c, quantizeDigits) else c
+    val aggs = cols.flatMap { c =>
+      // identical percentile aggregates are deduplicated by the physical
+      // aggregation, so the three element_at probes share one buffer
+      val arr = graft.Exprs.pctArray(col(c).cast("double"), Seq(0.25, 0.5, 0.75), exact)
+      Seq(
+        q(element_at(arr, 2)).as(s"${c}__m"),
+        q(element_at(arr, 3) - element_at(arr, 1)).as(s"${c}__iqr"))
+    }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     Model(
       cols.map { c =>
-        val arr = row.getAs[scala.collection.Seq[Double]](c)
-        require(arr != null && arr.length == 3, s"Scaling.fitRobust($c): no percentiles (all-null column?)")
-        c -> (arr(1), arr(2) - arr(0))
+        c -> (graft.Exprs.requireD(row, s"${c}__m", s"Scaling.fitRobust($c)"),
+        graft.Exprs.requireD(row, s"${c}__iqr", s"Scaling.fitRobust($c)"))
       }.toMap,
       Robust)
   }

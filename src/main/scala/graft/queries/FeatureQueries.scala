@@ -349,9 +349,9 @@ object FeatureQueries {
         |SELECT round(min(x), 6) AS min_s, round(max(x), 6) AS max_s,
         |       round(quantile_cont(x, 0.5), 6) AS med_s FROM v""".stripMargin,
     "scaling_robust" ->
-      """WITH s AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS m,
-        |           quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75)
-        |             - quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS iqr
+      """WITH s AS (SELECT round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS m,
+        |           round(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75)
+        |             - quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6) AS iqr
         |           FROM lineitem),
         |v AS (SELECT (l_extendedprice - m) / iqr AS x FROM lineitem, s)
         |SELECT round(quantile_cont(x, 0.5), 6) AS med_s,

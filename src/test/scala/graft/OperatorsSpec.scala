@@ -551,6 +551,29 @@ class OperatorsSpec extends SparkSpec {
     assert(out("p50") == None)                         // nothing after
   }
 
+  test("asofJoin: null-timestamp PROBE rows get null matches, not phantoms") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    // under the forward (desc) window a null probe ts sorts NULLS LAST and
+    // would otherwise see every reference row as "preceding"
+    val probe = Seq(
+      (1L, Option.empty[Timestamp], "pnull"),
+      (1L, Some(ts(5)), "p5")).toDF("k", "t", "tag")
+    val ref = Seq((1L, ts(10), 1.0), (1L, ts(20), 2.0)).toDF("k", "t", "v")
+    for (dir <- Seq("fwd", "bwd")) {
+      val joined =
+        if (dir == "fwd")
+          graft.dp.Temporal.asofJoinForward(probe, ref, Seq("k"), "t", "t", Seq("v"))
+        else
+          graft.dp.Temporal.asofJoinBackward(probe, ref, Seq("k"), "t", "t", Seq("v"))
+      val out = joined.collect().map(r => r.getAs[String]("tag") ->
+        (Option(r.getAs[java.lang.Double]("asof_v")),
+          Option(r.getAs[Timestamp]("asof_t")))).toMap
+      assert(out("pnull") == ((None, None)), s"$dir: null probe ts must match nothing")
+      assert(out.size == 2, s"$dir: null-ts probe row must survive")
+    }
+  }
+
   test("temporal split: no future rows in train, split point at the fraction") {
     import graft.sampling.Sampling
     val df = (1 to 100).map(i => (i.toLong, i * 10L)).toDF("id", "t")
@@ -600,6 +623,32 @@ class OperatorsSpec extends SparkSpec {
     val b = (1 to 100).map(_ / 100.0 + 10.0).toDF("score")
     assert(Metrics.ksStatistic(a, a, "score").head().getDouble(0) == 0.0)
     assert(Metrics.ksStatistic(a, b, "score").head().getDouble(0) == 1.0)
+  }
+
+  test("ks statistic: an empty side fails loudly instead of returning null") {
+    val a = (1 to 10).map(_ / 10.0).toDF("score")
+    val empty = a.filter(col("score") > 99.0)
+    val allNull = a.select(lit(null).cast("double").as("score"))
+    for (bad <- Seq(empty, allNull)) {
+      val e = intercept[Exception](Metrics.ksStatistic(a, bad, "score").head())
+      assert(e.getMessage.contains("ksStatistic"), e.getMessage)
+      val e2 = intercept[Exception](Metrics.ksStatistic(bad, a, "score").head())
+      assert(e2.getMessage.contains("ksStatistic"), e2.getMessage)
+    }
+    val e3 = intercept[Exception](Metrics.ksStatistic(empty, empty, "score").head())
+    assert(e3.getMessage.contains("ksStatistic"), e3.getMessage)
+  }
+
+  test("calibration table: edge scores clamp into the end bins, null fails loudly") {
+    // float-noise excursions (-1e-9, 1+1e-7) must land in bins 0/9, never
+    // fabricate a bucket outside [0, buckets-1]
+    val noisy = Seq((-1e-9, 0.0), (1.0 + 1e-7, 1.0), (0.55, 1.0)).toDF("score", "label")
+    val buckets = Metrics.calibrationTable(noisy, "score", "label")
+      .collect().map(_.getInt(0)).toSeq
+    assert(buckets == Seq(0, 5, 9), s"got $buckets")
+    val withNull = Seq((Some(0.5), 1.0), (None, 0.0)).toDF("score", "label")
+    val e = intercept[Exception](Metrics.calibrationTable(withNull, "score", "label").collect())
+    assert(e.getMessage.contains("calibrationTable"), e.getMessage)
   }
 
   test("psi drift: identical frames score ~0, shifted feature dominates") {

@@ -148,4 +148,28 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("WordShingleHashes lowercases exactly like Spark lower(), even under tr locale") {
+    // lower() on non-ASCII input falls back to String.toLowerCase() with
+    // the JVM DEFAULT locale (UTF8String.toLowerCase); a kernel pinned to
+    // Locale.ROOT silently breaks hashed-vs-string parity under tr/az
+    // ('I' → 'ı'). Contract: kernel(text) == kernel(lower()-ed text),
+    // whatever the default locale. Driver-side evals only — the tiny
+    // locale window never touches executor threads.
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.StringType
+    def grams(text: String): Seq[Long] =
+      graft.expressions.WordShingleHashes(Literal(UTF8String.fromString(text), StringType), 2)
+        .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray().toSeq
+    val text = "KIRMIZI İŞIK DUR" // ASCII 'I' + dotted 'İ' — tr special cases
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.forLanguageTag("tr-TR"))
+      val sparkLowered = UTF8String.fromString(text).toLowerCase.toString
+      assert(grams(text) == grams(sparkLowered),
+        "kernel lowering must match Spark's lower() under a tr default locale")
+    } finally java.util.Locale.setDefault(saved)
+  }
 }
