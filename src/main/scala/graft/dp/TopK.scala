@@ -1,0 +1,42 @@
+package graft.dp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+
+/** Per-key top-k via the native bounded-heap aggregate
+  * (graft.expressions.TopKStructs) instead of the
+  * `row_number() OVER (...) <= k` window idiom.
+  *
+  * Scale shape: the window form shuffles EVERY row of every key and sorts
+  * each partition; the aggregate form reduces every map partition to ≤ k
+  * rows per key before the exchange (partial ObjectHashAggregate), so
+  * shuffle volume is bounded by the answer size, not the data size, and a
+  * hot key costs k·partitions rows instead of its full row count. */
+object TopK {
+
+  /** The top `k` rows of each `keyCols` group, ranked by `orderCols`
+    * lexicographically DESCENDING (nulls last), remaining columns carried
+    * along. Ties beyond `orderCols` are broken by the carried columns
+    * (the full row participates in the ordering, making the result
+    * deterministic). Output: keyCols, rank (1-based), orderCols, rest. */
+  def topKPerKey(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[String],
+      k: Int): DataFrame = {
+    require(keyCols.nonEmpty, "topKPerKey needs at least one key column")
+    require(orderCols.nonEmpty, "topKPerKey needs at least one order column")
+    val payload = df.columns.toSeq.filterNot(c => keyCols.contains(c) || orderCols.contains(c))
+    val fields = orderCols ++ payload
+    val packed = struct(fields.map(col): _*)
+    val agg = Bridge.column(
+      graft.expressions.TopKStructs(Bridge.expression(packed), k).toAggregateExpression())
+    df.groupBy(keyCols.map(col): _*)
+      .agg(agg.as("__topk"))
+      .select((keyCols.map(col) :+ posexplode(col("__topk")).as(Seq("__pos", "__row"))): _*)
+      .select(
+        (keyCols.map(col) :+ (col("__pos") + 1).cast("int").as("rank")) ++
+          fields.map(f => col("__row").getField(f).as(f)): _*)
+  }
+}

@@ -1,0 +1,131 @@
+package graft.expressions
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.types._
+
+/** Bounded top-k heap the aggregate threads through update/merge.
+  *
+  * A plain binary min-heap over `InternalRow`s: the head is the SMALLEST
+  * retained row, so a candidate only displaces it when strictly larger —
+  * rows that can't make the cut are rejected with one comparison and zero
+  * allocation (no copy of the incoming UnsafeRow view). */
+final class TopKHeap(val k: Int, val ord: Ordering[InternalRow]) {
+  val heap = new java.util.PriorityQueue[InternalRow](math.max(k, 1), ord)
+  def insert(row: InternalRow): Unit =
+    if (heap.size < k) heap.add(row.copy())
+    else if (ord.compare(row, heap.peek()) > 0) { heap.poll(); heap.add(row.copy()) }
+  /** Retained rows, LARGEST first. */
+  def sortedDesc: Array[InternalRow] = {
+    val arr = heap.toArray(new Array[InternalRow](heap.size))
+    java.util.Arrays.sort(arr, ord.reverse)
+    arr
+  }
+}
+
+/** Native top-k aggregate: keeps the `k` largest struct values of `child`
+  * per group, by the struct's lexicographic ordering (field 1, then field
+  * 2, ...), and returns them as an array sorted descending.
+  *
+  * This is the scale-correct replacement for the ubiquitous
+  * `row_number() OVER (PARTITION BY key ORDER BY x DESC) <= k` pattern:
+  * the window form shuffles and sorts EVERY row of every key, while this
+  * aggregate reduces each map partition to at most k rows per key before
+  * the exchange (partial mode under ObjectHashAggregate), so the shuffle
+  * carries ≤ k·partitions rows per key no matter how skewed the data —
+  * at 100 TB that is the difference between shuffling the table and
+  * shuffling the answer.
+  *
+  * Ordering note: struct ordering is ascending per field with nulls
+  * smallest, so "largest" = last by (f1 ASC, f2 ASC, ...) — callers wanting
+  * "top by value, ties broken by id" order fields as (value, id) and read
+  * the result as ORDER BY value DESC NULLS LAST, id DESC. Memory: each
+  * buffer holds ≤ k rows (caller-capped), merge is k log k — bounded
+  * executor state by construction.
+  */
+case class TopKStructs(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKHeap] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: StructType
+        if org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(s) =>
+      if (k >= 1) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(s"k must be >= 1, got $k")
+    case dt =>
+      TypeCheckResult.TypeCheckFailure(s"graft_top_k expects an orderable struct, got ${dt.sql}")
+  }
+
+  private lazy val structType = child.dataType.asInstanceOf[StructType]
+  private lazy val ordering: Ordering[InternalRow] =
+    TypeUtils.getInterpretedOrdering(structType).asInstanceOf[Ordering[InternalRow]]
+
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_top_k"
+
+  override def createAggregationBuffer(): TopKHeap = new TopKHeap(k, ordering)
+
+  override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
+    val v = child.eval(input)
+    if (v != null) buffer.insert(v.asInstanceOf[InternalRow])
+    buffer
+  }
+
+  override def merge(buffer: TopKHeap, other: TopKHeap): TopKHeap = {
+    val it = other.heap.iterator()
+    while (it.hasNext) buffer.insert(it.next())
+    buffer
+  }
+
+  override def eval(buffer: TopKHeap): Any =
+    new GenericArrayData(buffer.sortedDesc.asInstanceOf[Array[Any]])
+
+  override def serialize(buffer: TopKHeap): Array[Byte] = {
+    val project = UnsafeProjection.create(structType)
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buffer.heap.size)
+    val it = buffer.heap.iterator()
+    while (it.hasNext) {
+      val bytes = project(it.next()).getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKHeap = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buffer = new TopKHeap(k, ordering)
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val rowBytes = new Array[Byte](len)
+      in.readFully(rowBytes)
+      val row = new UnsafeRow(structType.length)
+      row.pointTo(rowBytes, len)
+      buffer.insert(row)
+      i += 1
+    }
+    buffer
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStructs =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStructs =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): TopKStructs =
+    copy(child = newChild)
+}

@@ -98,6 +98,17 @@ object LlmQueries {
         .exactDedupKeys(docs.select(col("doc_id"), col("text")).unionByName(dup), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // --- character-level fuzzy dedup (SymSpell deletion neighborhoods +
+    // exact levenshtein verify): entity-name typo pairs the token-level
+    // dedups can't see. Customer names differ in single digits — dense
+    // distance-1 pairs; the 500-key cap keeps the DuckDB O(n²) oracle small
+    "fuzzy_dedup_pairs" -> { (s, dir) =>
+      graft.dedup.Fuzzy
+        .fuzzyPairsD1(
+          t(s, dir, "customer").filter(col("c_custkey") <= 500),
+          "c_custkey", "c_name")
+        .orderBy(col("id_a"), col("id_b"))
+    },
     "dedup_incremental" -> { (s, dir) =>
       // steady-state curation: a new batch (docs >= 250, plus 10 planted
       // copies of corpus texts) deduped against the existing corpus
@@ -357,6 +368,13 @@ object LlmQueries {
         |  UNION ALL SELECT doc_id + 100000, text FROM documents)
         |GROUP BY sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
         |ORDER BY doc_id""".stripMargin,
+    "fuzzy_dedup_pairs" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey <= 500 AND b.c_custkey <= 500
+        |  AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_incremental" ->
       """WITH corpus AS (SELECT text FROM documents WHERE doc_id < 250),
         |batch AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250

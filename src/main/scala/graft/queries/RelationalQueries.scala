@@ -83,6 +83,44 @@ object RelationalQueries {
           "metric", "value")
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
     },
+    // --- per-key top-k via the native bounded-heap aggregate (TopKStructs):
+    // map partitions reduce to ≤ k rows per key BEFORE the exchange, so the
+    // shuffle carries the answer, not the table — the scale-safe replacement
+    // for the row_number()<=k window idiom (which sorts every row per key)
+    "topk_per_key" -> { (s, dir) =>
+      graft.dp.TopK.topKPerKey(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+        Seq("o_custkey"), Seq("o_totalprice", "o_orderkey"), 3)
+        .orderBy(col("o_custkey"), col("rank"))
+    },
+    // --- cube: both-margins subtotals; like rollup, grouping sets expand
+    // before the shuffle so partial aggregation holds for all 4 levels
+    "cube_agg" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("revenue"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"),
+          col("revenue"))
+        .orderBy(col("status"), col("priority"))
+    },
+    // --- bloom-prefiltered semi join: the filtered dim's keys become a
+    // broadcast bitmap probed AT THE FACT SCAN, so non-joining fact rows
+    // never reach the exchange; the exact semi join on survivors makes the
+    // result identical to the plain join (false positives removed)
+    "bloom_semi_join" -> { (s, dir) =>
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      graft.dp.BloomJoin
+        .semiJoin(t(s, dir, "lineitem"), urgent, "l_orderkey", "o_orderkey",
+          expectedItems = 100000L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    },
     // --- anti join (customers with no orders in 1995 — non-empty at all SFs)
     "anti_join" -> { (s, dir) =>
       val orders95 = t(s, dir, "orders")
@@ -243,6 +281,28 @@ object RelationalQueries {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM l)
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "topk_per_key" ->
+      """SELECT o_custkey, CAST(rank AS INT) AS rank, o_totalprice, o_orderkey FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+    "cube_agg" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS priority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "bloom_semi_join" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (

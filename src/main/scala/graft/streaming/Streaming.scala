@@ -174,6 +174,40 @@ object Streaming {
       broadcastDim: Boolean = true): DataFrame =
     stream.join(if (broadcastDim) broadcast(dim) else dim, keys, "left")
 
+  /** Stream–stream interval join: match each left event to the right
+    * events with the same key that occur within [left.ts, left.ts +
+    * `horizonSec`] — e.g. "purchases within an hour of the click".
+    *
+    * Both sides are watermarked and the join condition carries BOTH a key
+    * equality AND a bounded time range, which is what lets Structured
+    * Streaming evict state: a buffered left row can be dropped once the
+    * right watermark passes its ts + horizon, and vice versa. Omitting
+    * the range (a plain equi-join) would force both sides' state to grow
+    * forever — the join would run, with an unbounded-state time bomb.
+    * Column names are suffixed (_l/_r) so the result is sink-ready. */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      tsCol: String,
+      horizonSec: Long,
+      delaySec: Long = 120L): DataFrame = {
+    val delay = s"$delaySec seconds"
+    // rename BEFORE watermarking so the event-time column is unambiguous
+    val l = left
+      .select(left.columns.map(c => col(c).as(if (c == key) c else s"${c}_l")): _*)
+      .withWatermark(s"${tsCol}_l", delay)
+    val r = right
+      .select(right.columns.map(c => col(c).as(s"${c}_r")): _*)
+      .withWatermark(s"${tsCol}_r", delay)
+    l.join(
+      r,
+      col(key) === col(s"${key}_r") &&
+        col(s"${tsCol}_r") >= col(s"${tsCol}_l") &&
+        col(s"${tsCol}_r") <= col(s"${tsCol}_l") + expr(s"INTERVAL $horizonSec SECONDS"))
+      .drop(col(s"${key}_r"))
+  }
+
   /** File-source reader for the canonical event schema (parquet dir →
     * stream), ready for the transforms above. The canonical events.parquet
     * carries TIMESTAMP(NANOS), which graft sessions read as LONG

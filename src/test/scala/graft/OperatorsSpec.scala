@@ -574,6 +574,83 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("topKPerKey matches the row_number window formulation, ties and all") {
+    import org.apache.spark.sql.expressions.Window
+    val df = (1 to 500).map(i => (i % 7L, i % 13, i.toLong)).toDF("k", "v", "id")
+    val viaAgg = graft.dp.TopK.topKPerKey(df, Seq("k"), Seq("v", "id"), 4)
+      .select("k", "rank", "v", "id").collect().map(_.toSeq).toSet
+    val viaWindow = df
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("v").desc, col("id").desc)).cast("int"))
+      .filter(col("rank") <= 4)
+      .select("k", "rank", "v", "id").collect().map(_.toSeq).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("topKPerKey: k past the group size returns the whole group; nulls rank last") {
+    val df = Seq(
+      (1L, Some(5), "a"), (1L, None, "b"), (1L, Some(9), "c"),
+      (2L, Some(1), "d")).toDF("k", "v", "tag")
+    val out = graft.dp.TopK.topKPerKey(df, Seq("k"), Seq("v"), 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[String]("tag")))
+    assert(out.toSet == Set((1L, 1, "c"), (1L, 2, "a"), (1L, 3, "b"), (2L, 1, "d")),
+      s"null v must sort below real values: ${out.mkString(",")}")
+  }
+
+  test("topKPerKey plan: partial (map-side) aggregation before the exchange") {
+    val df = (1 to 100).map(i => (i % 5L, i)).toDF("k", "v")
+    val plan = graft.dp.TopK.topKPerKey(df, Seq("k"), Seq("v"), 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_top_k"),
+      s"the heap must reduce map partitions before the shuffle:\n$plan")
+  }
+
+  test("bloom semiJoin equals the plain left-semi join") {
+    val fact = (1 to 2000).map(i => (i.toLong % 600, i)).toDF("fk", "payload")
+    val dim = (1 to 100).map(i => (i * 3L, s"d$i")).toDF("dk", "name")
+    val expected = fact.join(dim, col("fk") === col("dk"), "left_semi")
+      .collect().map(_.toSeq).toSet
+    val got = graft.dp.BloomJoin.semiJoin(fact, dim, "fk", "dk", expectedItems = 1000L)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+  }
+
+  test("bloom prefilter keeps every true match (no false negatives by contract)") {
+    val fact = (1 to 5000).map(i => (i.toLong, i)).toDF("fk", "payload")
+    val dim = (1 to 50).map(i => (i * 7L, i)).toDF("dk", "x")
+    val pre = graft.dp.BloomJoin.prefilter(fact, dim, "fk", "dk", 1000L, 0.01)
+      .select("fk").as[Long].collect().toSet
+    val truth = (1 to 50).map(_ * 7L).toSet
+    assert(truth.subsetOf(pre), s"missing: ${truth -- pre}")
+    // and it actually prunes: 1% fpp over 4950 non-matches leaves ~50 FPs
+    assert(pre.size < 500, s"bloom should prune most non-matches, kept ${pre.size}")
+  }
+
+  test("fuzzy pairs: substitution/insertion/deletion found, transposition and d=2 excluded") {
+    val df = Seq(
+      (1L, "graphite"),  // base
+      (2L, "graphXte"),  // substitution  -> d=1
+      (3L, "graphiteX"), // insertion     -> d=1
+      (4L, "graphit"),   // deletion      -> d=1
+      (5L, "grapihte"),  // transposition -> d=2, must be excluded
+      (6L, "graXhXte"),  // two subs      -> d=2, must be excluded
+      (7L, "zzz")).toDF("id", "s")
+    val pairs = graft.dedup.Fuzzy.fuzzyPairsD1(df, "id", "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.intersect(Set((1L, 2L), (1L, 3L), (1L, 4L))) == Set((1L, 2L), (1L, 3L), (1L, 4L)))
+    assert(!pairs.contains((1L, 5L)) && !pairs.contains((1L, 6L)), s"d=2 pair leaked: $pairs")
+    // deletion-of-deletion: 3 vs 4 differ by two chars -> excluded
+    assert(!pairs.contains((3L, 4L)))
+  }
+
+  test("fuzzy deletionKeys: empty and 1-char strings stay well-defined") {
+    val keys = Seq(("", 0L), ("a", 1L)).toDF("s", "id")
+      .select(col("id"), graft.dedup.Fuzzy.deletionKeys(col("s")).as("ks"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    assert(keys(0L) == Set(""))
+    assert(keys(1L) == Set("a", ""))
+  }
+
   test("temporal split: no future rows in train, split point at the fraction") {
     import graft.sampling.Sampling
     val df = (1 to 100).map(i => (i.toLong, i * 10L)).toDF("id", "t")

@@ -65,6 +65,32 @@ class StreamingSpec extends SparkSpec {
     assert(n == 2)
   }
 
+  test("stream-stream interval join matches within the horizon only") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val buys = MemoryStream[Event]
+    val joined = Streaming.intervalJoin(
+      clicks.toDF().filter($"event_type" === "click"),
+      buys.toDF().filter($"event_type" === "purchase"),
+      key = "user_id", tsCol = "ts", horizonSec = 60L)
+    val query = joined.writeStream.format("memory").queryName("ivj")
+      .outputMode(OutputMode.Append()).start()
+    clicks.addData(
+      Event(1, "click", ts(0, 0), 1.0),
+      Event(2, "click", ts(0, 0), 1.0),
+      Event(3, "click", ts(0, 0), 1.0))
+    buys.addData(
+      Event(1, "purchase", ts(0, 30), 10.0), // inside horizon -> match
+      Event(2, "purchase", ts(2, 0), 20.0),  // past horizon  -> no match
+      Event(9, "purchase", ts(0, 10), 30.0)) // other key     -> no match
+    query.processAllAvailable()
+    val rows = spark.table("ivj")
+      .selectExpr("user_id", "value_l", "value_r").as[(Long, Double, Double)]
+      .collect().toSet
+    query.stop()
+    assert(rows == Set((1L, 1.0, 10.0)), s"got $rows")
+  }
+
   test("streaming content dedup drops whitespace-variant duplicates") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Timestamp)]
