@@ -25,11 +25,39 @@ object TopK {
       keyCols: Seq[String],
       orderCols: Seq[String],
       k: Int): DataFrame = {
-    require(keyCols.nonEmpty, "topKPerKey needs at least one key column")
     require(orderCols.nonEmpty, "topKPerKey needs at least one order column")
     val payload = df.columns.toSeq.filterNot(c => keyCols.contains(c) || orderCols.contains(c))
     val fields = orderCols ++ payload
-    val packed = struct(fields.map(col): _*)
+    run(df, keyCols, fields.map(col), outFields = fields, k)
+  }
+
+  /** Expression-ordered variant: `orderExprs` are compared
+    * lexicographically with LARGER = BETTER — mix directions by negating
+    * a numeric field (e.g. `Seq(col("score"), -col("id"))` for
+    * "score DESC, id ASC"). Output: keyCols, rank, then every non-key
+    * column of `df`. Ties beyond `orderExprs` fall back to the carried
+    * columns' ordering, keeping results deterministic. */
+  def topKPerKeyExpr(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderExprs: Seq[org.apache.spark.sql.Column],
+      k: Int): DataFrame = {
+    require(orderExprs.nonEmpty, "topKPerKeyExpr needs at least one order expression")
+    val payload = df.columns.toSeq.filterNot(keyCols.contains)
+    val named = orderExprs.zipWithIndex.map { case (e, i) => e.as(s"__o$i") }
+    run(df, keyCols, named ++ payload.map(col), outFields = payload, k)
+  }
+
+  /** `structFields`: ordering-significant fields first (struct ordering is
+    * lexicographic); `outFields` are projected back out after the explode. */
+  private def run(
+      df: DataFrame,
+      keyCols: Seq[String],
+      structFields: Seq[org.apache.spark.sql.Column],
+      outFields: Seq[String],
+      k: Int): DataFrame = {
+    require(keyCols.nonEmpty, "topKPerKey needs at least one key column")
+    val packed = struct(structFields: _*)
     val agg = Bridge.column(
       graft.expressions.TopKStructs(Bridge.expression(packed), k).toAggregateExpression())
     df.groupBy(keyCols.map(col): _*)
@@ -37,6 +65,6 @@ object TopK {
       .select((keyCols.map(col) :+ posexplode(col("__topk")).as(Seq("__pos", "__row"))): _*)
       .select(
         (keyCols.map(col) :+ (col("__pos") + 1).cast("int").as("rank")) ++
-          fields.map(f => col("__row").getField(f).as(f)): _*)
+          outFields.map(f => col("__row").getField(f).as(f)): _*)
   }
 }

@@ -53,6 +53,20 @@ object Similarity {
   def dequantizeInt8(q: Column): Column =
     transform(q("codes"), c => c.cast("double") * q("scale").cast("double"))
 
+  /** Final ranking shared by all top-k searches: k best by
+    * (cosine DESC, id ASC) per query — via the bounded-heap aggregate
+    * (graft.dp.TopK), NOT a window. A `row_number() OVER (PARTITION BY
+    * query_id)` window makes every query's partition CORPUS-sized (the
+    * whole scored set funnels through one task per query); the aggregate
+    * reduces each map partition to k rows per query before the exchange,
+    * so the shuffle carries k·partitions rows per query at any corpus
+    * size. Ties on the rounded cosine are broken by ascending id via
+    * negation — ids are numeric (embeddings doc_id). */
+  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    graft.dp.TopK
+      .topKPerKeyExpr(scored, Seq("query_id"), Seq(col("cosine"), -col(idCol)), k)
+      .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
+
   /** Brute-force cosine top-k: for each query vector (small set, broadcast),
     * the k nearest corpus vectors. */
   def cosineTopK(
@@ -77,11 +91,7 @@ object Similarity {
         col("query_id"),
         col(idCol),
         round(dot(col("__cv"), col("__qv")) / (col("__cn") * col("__qn")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
+    rankTopK(scored, idCol, k)
   }
 
   /** All `tables` sign signatures of a vector in one native loop
@@ -133,11 +143,7 @@ object Similarity {
       col("query_id"),
       col(idCol),
       round(dot(col("__cv"), col("__qv")) / (col("__cv_n") * col("__qv_n")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
+    rankTopK(scored, idCol, k)
   }
 
   /** IVF (inverted-file) approximate top-k: a k-means coarse quantizer
@@ -221,11 +227,7 @@ object Similarity {
       col("query_id"),
       col(idCol),
       round(dot(col("__cv"), col("__qv2")) / (col("__cn") * col("__qn")), 6).as("cosine"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
+    rankTopK(scored, idCol, k)
   }
 
   /** Embedding near-dup pairs: cosine above threshold among LSH candidates
