@@ -1,6 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 
 /** Format-dispatched readers/writers.
   *
@@ -107,6 +108,44 @@ object Tables {
       (if (bytes % BigInt(targetFileBytes) > 0) 1 else 0)
     val files = wanted.min(BigInt(maxFiles)).max(BigInt(1)).toInt
     df.repartition(files).write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Write a frame range-clustered on `sortCols`: repartitionByRange +
+    * sortWithinPartitions, so each output file covers a NARROW range of
+    * the sort key and parquet column min/max statistics become effective
+    * file/row-group skipping indexes. A round-robin-written table has
+    * every file spanning the full key range — range filters read
+    * everything; range-clustered, a `ts BETWEEN ...` or `key < ...` scan
+    * touches only the files whose stats overlap (the poor man's Z-order:
+    * exact for one leading dimension, which covers the dominant time- and
+    * id-range access patterns of an event lake). `numFiles` bounds output
+    * sizing like [[compactTo]]. */
+  def saveRangeClustered(
+      df: DataFrame,
+      path: String,
+      sortCols: Seq[String],
+      numFiles: Int): Unit = {
+    require(sortCols.nonEmpty, "saveRangeClustered needs at least one sort column")
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
+  /** Batch upsert (the engine's MERGE): rows of `updates` replace
+    * same-key rows of `existing`; unmatched existing rows survive. One
+    * anti join — no driver round-trip, no per-row lookups; at scale this
+    * is the standard "refresh the curated table with today's batch"
+    * primitive. Both inputs must carry the full schema; key collisions
+    * INSIDE `updates` are the caller's bug (assert with
+    * profile.Constraints.uniqueKey when in doubt). */
+  def upsert(existing: DataFrame, updates: DataFrame, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    require(
+      existing.columns.toSeq == updates.columns.toSeq,
+      s"schema mismatch: ${existing.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
+    existing.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(updates)
   }
 
   /** Load a named testdata table from an sf directory. */

@@ -121,6 +121,22 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), sumd(col("l_extendedprice")).as("sum_price"))
         .orderBy(col("l_returnflag"))
     },
+    // --- batch upsert (MERGE): today's updates replace same-key rows, new
+    // keys insert, untouched rows survive — one anti join + union. The
+    // output filter keeps all three row classes visible to the oracle
+    "upsert_table" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val updates = orders.filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") * 2).as("o_totalprice"))
+        .unionByName(orders.filter(col("o_orderkey") < 10)
+          .select((col("o_orderkey") + 10000000).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")))
+      graft.io.Tables.upsert(orders, updates, Seq("o_orderkey"))
+        .filter(col("o_orderkey") < 1020 || col("o_orderkey") >= 10000000)
+        .orderBy(col("o_orderkey"))
+    },
     // --- anti join (customers with no orders in 1995 — non-empty at all SFs)
     "anti_join" -> { (s, dir) =>
       val orders95 = t(s, dir, "orders")
@@ -303,6 +319,22 @@ object RelationalQueries {
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "upsert_table" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |updates AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+        |  FROM base WHERE o_orderkey < 1000
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey < 10),
+        |merged AS (
+        |  SELECT e.* FROM base e
+        |  WHERE e.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+        |  UNION ALL
+        |  SELECT * FROM updates)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM merged
+        |WHERE o_orderkey < 1020 OR o_orderkey >= 10000000
+        |ORDER BY o_orderkey""".stripMargin,
     "anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (

@@ -293,6 +293,34 @@ class OperatorsSpec extends SparkSpec {
     assert(n >= 4 && n <= 6, s"expected ~4-5 files, got $n")
   }
 
+  test("saveRangeClustered: a range filter touches a fraction of the files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_range").toString
+    val df = (1 to 10000).map(i => ((i * 7919) % 10000, s"p$i")).toDF("k", "s")
+    graft.io.Tables.saveRangeClustered(df, s"$dir/clustered", Seq("k"), numFiles = 10)
+    val back = spark.read.parquet(s"$dir/clustered")
+    assert(back.count() == 10000)
+    // each file covers ~1/10 of the key range; a 5%-range filter must hit
+    // at most 2 files (boundary straddle), not all 10
+    val touched = back.filter(col("k") >= 4000 && col("k") < 4500)
+      .select(input_file_name()).distinct().count()
+    assert(touched <= 2, s"range-clustered layout should skip files, touched $touched/10")
+    val rows = back.filter(col("k") >= 4000 && col("k") < 4500).count()
+    assert(rows == df.filter(col("k") >= 4000 && col("k") < 4500).count())
+  }
+
+  test("upsert: updates replace, inserts append, untouched rows survive") {
+    import graft.io.Tables
+    val existing = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
+    val updates = Seq((2L, "B!", 99.0), (9L, "new", 1.0)).toDF("k", "s", "v")
+    val out = Tables.upsert(existing, updates, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(out == Set((1L, "a", 10.0), (2L, "B!", 99.0), (3L, "c", 30.0), (9L, "new", 1.0)))
+    val e = intercept[IllegalArgumentException](
+      Tables.upsert(existing, updates.select("k", "s"), Seq("k")))
+    assert(e.getMessage.contains("schema mismatch"))
+  }
+
   test("dynamic partition pruning fires on a partitioned fact join") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_dpp").toString
