@@ -5,14 +5,17 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 
 /** Per-key top-k via the native bounded-heap aggregate
-  * (graft.expressions.TopKStructs) instead of the
-  * `row_number() OVER (...) <= k` window idiom.
+  * (graft.expressions.TopKStructs).
   *
-  * Scale shape: the window form shuffles EVERY row of every key and sorts
-  * each partition; the aggregate form reduces every map partition to ≤ k
-  * rows per key before the exchange (partial ObjectHashAggregate), so
-  * shuffle volume is bounded by the answer size, not the data size, and a
-  * hot key costs k·partitions rows instead of its full row count. */
+  * Scale shape: every map partition reduces to ≤ k rows per key before
+  * the exchange (partial ObjectHashAggregate), so shuffle volume is
+  * bounded by the answer size. NOTE the `row_number() <= k` window idiom
+  * achieves the same bound on Spark ≥ 3.5 (InferWindowGroupLimit inserts
+  * a Partial WindowGroupLimit before the exchange) and is often faster —
+  * use THIS form when top-k must compose with other aggregates in the
+  * same groupBy pass, when you want the ranked rows as an array per key,
+  * or when the rank-filter shape defeats the inference rule. See
+  * TopKStructs' scaladoc and SCALE.md. */
 object TopK {
 
   /** The top `k` rows of each `keyCols` group, ranked by `orderCols`

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Bounded top-k heap the aggregate threads through update/merge.
@@ -33,14 +33,18 @@ final class TopKHeap(val k: Int, val ord: Ordering[InternalRow]) {
   * per group, by the struct's lexicographic ordering (field 1, then field
   * 2, ...), and returns them as an array sorted descending.
   *
-  * This is the scale-correct replacement for the ubiquitous
-  * `row_number() OVER (PARTITION BY key ORDER BY x DESC) <= k` pattern:
-  * the window form shuffles and sorts EVERY row of every key, while this
-  * aggregate reduces each map partition to at most k rows per key before
-  * the exchange (partial mode under ObjectHashAggregate), so the shuffle
-  * carries ≤ k·partitions rows per key no matter how skewed the data —
-  * at 100 TB that is the difference between shuffling the table and
-  * shuffling the answer.
+  * WHEN TO USE: since 3.5, Spark's own `InferWindowGroupLimit` already
+  * bounds the `row_number() OVER (...) <= k` window idiom — a Partial
+  * WindowGroupLimit runs before the exchange, so that pattern shuffles
+  * ≤ k rows per key per map partition too (verified on 4.1; see
+  * SCALE.md). Reach for this aggregate where the optimizer rule can't:
+  * top-k computed ALONGSIDE other aggregates in the same groupBy pass
+  * (a window would cost a second stage + join), an array-per-key result
+  * consumed as a nested column, or rank-filter shapes the inference rule
+  * doesn't match (rank used in expressions, k not a literal adjacent
+  * filter). Versus the window plan it trades the two full-width local
+  * sorts for one hash aggregation — heap updates are O(log k) per row
+  * with a codegen'd comparator.
   *
   * Ordering note: struct ordering is ascending per field with nulls
   * smallest, so "largest" = last by (f1 ASC, f2 ASC, ...) — callers wanting
@@ -66,8 +70,16 @@ case class TopKStructs(
   }
 
   private lazy val structType = child.dataType.asInstanceOf[StructType]
-  private lazy val ordering: Ordering[InternalRow] =
-    TypeUtils.getInterpretedOrdering(structType).asInstanceOf[Ordering[InternalRow]]
+  // codegen'd comparator over the struct fields (ascending, nulls first —
+  // identical order to the interpreted struct ordering, ~5x cheaper per
+  // comparison); transient: regenerated lazily on each executor
+  @transient private lazy val ordering: Ordering[InternalRow] = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, SortOrder}
+    val sortOrders = structType.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
+      SortOrder(BoundReference(i, f.dataType, f.nullable), Ascending)
+    }
+    org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering.generate(sortOrders)
+  }
 
   override def dataType: DataType = ArrayType(structType, containsNull = false)
   override def nullable: Boolean = false

@@ -54,18 +54,20 @@ object Similarity {
     transform(q("codes"), c => c.cast("double") * q("scale").cast("double"))
 
   /** Final ranking shared by all top-k searches: k best by
-    * (cosine DESC, id ASC) per query — via the bounded-heap aggregate
-    * (graft.dp.TopK), NOT a window. A `row_number() OVER (PARTITION BY
-    * query_id)` window makes every query's partition CORPUS-sized (the
-    * whole scored set funnels through one task per query); the aggregate
-    * reduces each map partition to k rows per query before the exchange,
-    * so the shuffle carries k·partitions rows per query at any corpus
-    * size. Ties on the rounded cosine are broken by ascending id via
-    * negation — ids are numeric (embeddings doc_id). */
-  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame =
-    graft.dp.TopK
-      .topKPerKeyExpr(scored, Seq("query_id"), Seq(col("cosine"), -col(idCol)), k)
+    * (cosine DESC, id ASC) per query. The window formulation is
+    * deliberately kept: Spark ≥ 3.5 infers a WindowGroupLimit from the
+    * adjacent `rank <= k` filter, so each map partition is cut to k rows
+    * per query BEFORE the exchange (Partial mode — verified on the 4.1
+    * plan, see SCALE.md) and it benches ~2× faster than the bounded-heap
+    * aggregate at equal shuffle volume. graft.dp.TopK remains the tool
+    * when top-k must compose with other aggregates in one pass. */
+  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
       .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
+  }
 
   /** Brute-force cosine top-k: for each query vector (small set, broadcast),
     * the k nearest corpus vectors. */
