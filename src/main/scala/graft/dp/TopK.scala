@@ -51,6 +51,16 @@ object TopK {
     run(df, keyCols, named ++ payload.map(col), outFields = payload, k)
   }
 
+  /** The raw aggregate Column — for composing top-k with OTHER aggregates
+    * in a single groupBy pass (the case the window idiom can't express
+    * without a second stage + join). Returns the k largest structs of
+    * `fields` (lexicographic, descending) as an array; element_at past a
+    * small group's size is null, as usual. Name the fields with `.as`. */
+  def topKAgg(k: Int)(fields: org.apache.spark.sql.Column*): org.apache.spark.sql.Column =
+    Bridge.column(
+      graft.expressions.TopKStructs(Bridge.expression(struct(fields: _*)), k)
+        .toAggregateExpression())
+
   /** `structFields`: ordering-significant fields first (struct ordering is
     * lexicographic); `outFields` are projected back out after the explode. */
   private def run(

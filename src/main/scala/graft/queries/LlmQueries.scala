@@ -46,6 +46,12 @@ object LlmQueries {
         .topTokens(t(s, dir, "documents"), "text", k = 25, minLength = 2)
         .orderBy(desc("freq"), col("token"))
     },
+    // --- bounded-memory heavy hitters (hash sample candidates + seeded
+    // count-min sketch estimates): estimates are approximate -> no SQL
+    // oracle; determinism + CMS bounds are pinned in DedupSimilaritySpec
+    "heavy_hitters" -> { (s, dir) =>
+      TextAnalysis.heavyHittersApprox(t(s, dir, "documents"), "text", k = 20)
+    },
     "pii_redaction" -> { (s, dir) =>
       // plant deterministic PII (email + URL + phone per doc) so redaction
       // has guaranteed work; original text may add more matches — both

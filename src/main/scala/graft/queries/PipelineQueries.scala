@@ -50,6 +50,24 @@ object PipelineQueries {
         .sessionizeBatch(ev, "user_id", "ts", "value", gapSeconds = 1800)
         .orderBy(col("user_id"), col("session_id"))
     },
+    // --- the built-in session_window form of sessionization: same gap
+    // semantics expressed as a grouping expression (break at diff >= gap;
+    // the lag/cumsum form breaks at > gap — both oracled). ts floored to
+    // seconds so boundaries match the second-granular oracle exactly
+    "session_window_agg" -> { (s, dir) =>
+      val ev = events(s, dir).filter(col("user_id") < 50)
+        .withColumn("tss", timestamp_seconds(unix_timestamp(col("ts"))))
+      ev.groupBy(col("user_id"), session_window(col("tss"), "1800 seconds").as("w"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(
+          col("user_id"),
+          unix_timestamp(col("w.start")).as("start_sec"),
+          unix_timestamp(col("w.end")).as("end_sec"),
+          col("n_events"), col("total_value"))
+        .orderBy(col("user_id"), col("start_sec"))
+    },
     "time_buckets" -> { (s, dir) =>
       events(s, dir)
         .groupBy(
@@ -207,6 +225,21 @@ object PipelineQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM g GROUP BY user_id, sid
         |ORDER BY user_id, session_id""".stripMargin,
+    "session_window_agg" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t, value
+        |           FROM events WHERE user_id < 50),
+        |f AS (SELECT user_id, t, value,
+        |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) >= 1800
+        |             THEN 1 ELSE 0 END AS brk
+        |      FROM e),
+        |g AS (SELECT user_id, t, value,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY t) AS sid
+        |      FROM f)
+        |SELECT user_id, min(t) AS start_sec, max(t) + 1800 AS end_sec,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, start_sec""".stripMargin,
     "time_buckets" ->
       """SELECT epoch_us(date_trunc('hour', ts)) // 1000000 AS hour_sec,
         |  event_type,

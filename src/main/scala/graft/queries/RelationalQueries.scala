@@ -93,6 +93,28 @@ object RelationalQueries {
         Seq("o_custkey"), Seq("o_totalprice", "o_orderkey"), 3)
         .orderBy(col("o_custkey"), col("rank"))
     },
+    // --- top-k COMPOSED with other aggregates in one groupBy pass — the
+    // case the (optimizer-bounded) window idiom can't express without a
+    // second stage + join; counts, revenue, and the top-2 orders come out
+    // of a single hash aggregation
+    "key_profile_topk" -> { (s, dir) =>
+      val top = graft.dp.TopK.topKAgg(2)(
+        col("o_totalprice").as("p"), col("o_orderkey").as("k"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 200)
+        .groupBy(col("o_custkey"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sumd(col("o_totalprice")).as("revenue"),
+          top.as("top"))
+        .select(
+          col("o_custkey"), col("n_orders"), col("revenue"),
+          col("top")(0).getField("p").as("top1_price"),
+          col("top")(0).getField("k").as("top1_key"),
+          col("top")(1).getField("p").as("top2_price"),
+          col("top")(1).getField("k").as("top2_key"))
+        .orderBy(col("o_custkey"))
+    },
     // --- cube: both-margins subtotals; like rollup, grouping sets expand
     // before the shuffle so partial aggregation holds for all 4 levels
     "cube_agg" -> { (s, dir) =>
@@ -304,6 +326,19 @@ object RelationalQueries {
         |      ORDER BY o_totalprice DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rank
         |  FROM orders)
         |WHERE rank <= 3 ORDER BY o_custkey, rank""".stripMargin,
+    "key_profile_topk" ->
+      """SELECT o_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  max(CASE WHEN rnk = 1 THEN o_totalprice END) AS top1_price,
+        |  max(CASE WHEN rnk = 1 THEN o_orderkey END) AS top1_key,
+        |  max(CASE WHEN rnk = 2 THEN o_totalprice END) AS top2_price,
+        |  max(CASE WHEN rnk = 2 THEN o_orderkey END) AS top2_key
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey DESC NULLS LAST) AS rnk
+        |  FROM orders WHERE o_custkey < 200)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "cube_agg" ->
       """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
         |  COALESCE(o_orderpriority, 'ALL') AS priority,

@@ -183,6 +183,40 @@ object TextAnalysis {
       .orderBy(desc("freq"), asc("token"))
       .limit(k)
 
+  /** Approximate corpus heavy hitters in bounded memory: candidate tokens
+    * from a deterministic hash-ordered sample, estimated counts from a
+    * count-min sketch built over the FULL corpus (one pass, mergeable,
+    * eps·N additive overestimate with prob. ≥ confidence — never an
+    * undercount). For when the exact [[topTokens]] groupBy is unwanted:
+    * the sketch's memory is O(1/eps · ln(1/(1−confidence))) regardless of
+    * vocabulary size, where a 100 TB web corpus's exact token groupBy
+    * shuffles a multi-billion-row vocabulary. Driver assembles ≤ k rows.
+    * Determinism: sketch seeded, sample hash-ordered (test). */
+  def heavyHittersApprox(
+      df: DataFrame,
+      textCol: String,
+      k: Int,
+      sampleSize: Int = 10000,
+      eps: Double = 0.001,
+      confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = df.select(explode(tokens(col(textCol))).as("token"))
+    val candidates = toks
+      .select(col("token"), xxhash64(col("token")).as("__h"))
+      .orderBy(col("__h")).limit(sampleSize) // deterministic pseudo-random sample
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token")).limit(k * 4) // oversample candidates
+      .select("token").as[String].collect()
+    val sketch = toks.stat.countMinSketch(col("token"), eps, confidence, seed)
+    candidates
+      .map(t => (t, sketch.estimateCount(t)))
+      .sortBy { case (t, c) => (-c, t) }
+      .take(k)
+      .toSeq.toDF("token", "est_freq")
+  }
+
   /** Top-k TF-IDF terms per document: tf = in-document token count,
     * idf = ln((N + 1) / (df + 1)) (smoothed — a token in every document
     * still gets a positive weight, and a cold-start df of 0 can't divide

@@ -289,6 +289,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(stats(0L) == 12)
   }
 
+  test("heavy hitters: CMS estimates bound exact counts, deterministic, finds the heavies") {
+    // 'alpha' in every doc, 'beta' in half, long tail of unique tokens
+    val docs = (1 to 400)
+      .map(i => (i.toLong, s"alpha ${if (i % 2 == 0) "beta" else s"rare$i"} tail$i"))
+      .toDF("doc_id", "text")
+    val hh = TextAnalysis.heavyHittersApprox(docs, "text", k = 2, eps = 0.01)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(hh.map(_._1).toSeq == Seq("alpha", "beta"), s"got ${hh.toSeq}")
+    val n = 1200L // total token occurrences
+    val exact = Map("alpha" -> 400L, "beta" -> 200L)
+    hh.foreach { case (t, est) =>
+      assert(est >= exact(t), s"CMS must never undercount: $t $est")
+      assert(est <= exact(t) + (0.01 * n).toLong + 1, s"overcount beyond eps*N: $t $est")
+    }
+    val again = TextAnalysis.heavyHittersApprox(docs, "text", k = 2, eps = 0.01)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(again.toSeq == hh.toSeq, "seeded sketch + hash sample must be deterministic")
+  }
+
   test("multimodal resize updates metadata, preserves asset schema and payload") {
     val assets = Multimodal.toAssets(
       Seq((1L, "img-bytes")).toDF("id", "b").withColumn("b", col("b").cast("binary")),
