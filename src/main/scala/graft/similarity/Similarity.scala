@@ -193,8 +193,12 @@ object Similarity {
     // a coarse quantizer doesn't need convergence — cells just need to be
     // roughly balanced; 8 iterations halves the fit cost vs the default 20
     // with no measurable recall change on the testdata embeddings
+    // random init, not k-means||: the parallel init alone costs several
+    // passes over the fit sample, and a coarse quantizer only needs
+    // roughly balanced cells — the exact re-rank fixes any assignment
+    // noise; recall spec is unchanged (ivf recall >= 0.6 vs brute force)
     val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(8)
+      .setK(nlist).setSeed(seed).setMaxIter(8).setInitMode("random")
       .setFeaturesCol("__mlvec").setPredictionCol("__cell")
       .fit(fitFrame)
     val assigned = model.transform(corpusVec).drop("__mlvec")

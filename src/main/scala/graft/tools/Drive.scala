@@ -2,18 +2,18 @@ package graft.tools
 
 import graft.Sessions
 
-/** Scratch verification driver: run registered queries in oracle mode and
-  * dump results to parquet for a hand DuckDB comparison. */
+/** Scratch verification driver: time a registered query cold/warm. */
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()
-    val sf = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val names = if (args.length > 1) args.drop(1).toSeq else Seq("key_profile_topk")
-    graft.queries.Support.oracleMode = true
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq else Seq("ann_ivf_topk")
     names.foreach { name =>
-      val df = graft.SparkEntry.queries(name)(spark, sf)
-      df.show(10, truncate = false)
-      df.coalesce(1).write.mode("overwrite").parquet(s"/tmp/drive_out/$name")
+      for (i <- 1 to 3) {
+        val t0 = System.nanoTime()
+        val n = graft.SparkEntry.queries(name)(spark, sf).count()
+        println(f"PROBE ${name}_$i: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+      }
     }
     spark.stop()
   }
