@@ -33,9 +33,15 @@ object BloomJoin {
       factKey: String,
       dimKey: String,
       expectedItems: Long = 1000000L,
-      fpp: Double = 0.01): DataFrame =
+      fpp: Double = 0.01): DataFrame = {
+    // alias the build key: when factKey == dimKey (the common call shape)
+    // a bare col(dimKey) would be ambiguous between the two join children.
+    // No distinct() — semi-join results are insensitive to build-side
+    // duplicates, so deduplication would only add an exchange
+    val build = dim.select(col(dimKey).as("__graft_dim_key"))
     prefilter(fact, dim, factKey, dimKey, expectedItems, fpp)
-      .join(dim.select(col(dimKey)).distinct(), col(factKey) === col(dimKey), "left_semi")
+      .join(build, col(factKey) === col("__graft_dim_key"), "left_semi")
+  }
 
   /** Just the bloom-prefiltered fact (may contain ~fpp false positives —
     * compose with the exact join of your choice). */

@@ -277,8 +277,10 @@ object Metrics {
       buckets: Int = 10): DataFrame = {
     val s = col(scoreCol).cast("double")
     val clamped = greatest(lit(0), least(floor(s * buckets).cast("int"), lit(buckets - 1)))
-    val b = when(s.isNotNull, clamped).otherwise(
-      raise_error(lit(s"calibrationTable: null score in '$scoreCol'")).cast("int"))
+    // NaN would otherwise pass isNotNull and silently land in bin 0
+    // (floor(NaN)→0 under non-ANSI casts) — same hiding place as null
+    val b = when(s.isNotNull && !isnan(s), clamped).otherwise(
+      raise_error(lit(s"calibrationTable: null or NaN score in '$scoreCol'")).cast("int"))
     df.groupBy(b.as("bucket"))
       .agg(
         count(lit(1)).as("n"),

@@ -21,6 +21,11 @@ final class TopKHeap(val k: Int, val ord: Ordering[InternalRow]) {
   def insert(row: InternalRow): Unit =
     if (heap.size < k) heap.add(row.copy())
     else if (ord.compare(row, heap.peek()) > 0) { heap.poll(); heap.add(row.copy()) }
+  /** insert() for rows this heap may take ownership of (merge/deserialize
+    * sources) — skips the defensive copy. */
+  def insertOwned(row: InternalRow): Unit =
+    if (heap.size < k) heap.add(row)
+    else if (ord.compare(row, heap.peek()) > 0) { heap.poll(); heap.add(row) }
   /** Retained rows, LARGEST first. */
   def sortedDesc: Array[InternalRow] = {
     val arr = heap.toArray(new Array[InternalRow](heap.size))
@@ -94,16 +99,23 @@ case class TopKStructs(
   }
 
   override def merge(buffer: TopKHeap, other: TopKHeap): TopKHeap = {
+    // rows in `other` are already private copies — transfer ownership,
+    // don't copy again
     val it = other.heap.iterator()
-    while (it.hasNext) buffer.insert(it.next())
+    while (it.hasNext) buffer.insertOwned(it.next())
     buffer
   }
 
   override def eval(buffer: TopKHeap): Any =
     new GenericArrayData(buffer.sortedDesc.asInstanceOf[Array[Any]])
 
+  // hoisted: serialize runs once per GROUP at partial output — creating a
+  // projection (codegen + instantiation) per call would dominate it
+  @transient private lazy val serializeProjection: UnsafeProjection =
+    UnsafeProjection.create(structType)
+
   override def serialize(buffer: TopKHeap): Array[Byte] = {
-    val project = UnsafeProjection.create(structType)
+    val project = serializeProjection
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.heap.size)
@@ -128,7 +140,7 @@ case class TopKStructs(
       in.readFully(rowBytes)
       val row = new UnsafeRow(structType.length)
       row.pointTo(rowBytes, len)
-      buffer.insert(row)
+      buffer.insertOwned(row) // row owns its freshly-read bytes
       i += 1
     }
     buffer

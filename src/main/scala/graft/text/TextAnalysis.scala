@@ -184,14 +184,22 @@ object TextAnalysis {
       .limit(k)
 
   /** Approximate corpus heavy hitters in bounded memory: candidate tokens
-    * from a deterministic hash-ordered sample, estimated counts from a
-    * count-min sketch built over the FULL corpus (one pass, mergeable,
-    * eps·N additive overestimate with prob. ≥ confidence — never an
-    * undercount). For when the exact [[topTokens]] groupBy is unwanted:
-    * the sketch's memory is O(1/eps · ln(1/(1−confidence))) regardless of
-    * vocabulary size, where a 100 TB web corpus's exact token groupBy
-    * shuffles a multi-billion-row vocabulary. Driver assembles ≤ k rows.
-    * Determinism: sketch seeded, sample hash-ordered (test). */
+    * from a deterministic uniform OCCURRENCE sample, estimated counts from
+    * a count-min sketch built over the full corpus (mergeable, eps·N
+    * additive overestimate with prob. ≥ confidence — never an undercount).
+    * For when the exact [[topTokens]] groupBy is unwanted: the sketch's
+    * memory is O(1/eps · ln(1/(1−confidence))) regardless of vocabulary
+    * size, where a 100 TB web corpus's exact token groupBy shuffles a
+    * multi-billion-row vocabulary. Two passes over the tokenized corpus
+    * (candidates, then sketch), driver assembles ≤ k rows.
+    *
+    * The sample is ordered by a hash of the occurrence IDENTITY
+    * (document-content hash, token position) — NOT of the token value:
+    * hashing the value would pick a fixed set of lowest-hash tokens
+    * regardless of frequency, and the true heavies would almost surely be
+    * absent at scale. Hashing occurrences makes a frequent token appear
+    * in the sample with probability proportional to its count (test).
+    * Determinism: sketch seeded, occurrence hash content-derived. */
   def heavyHittersApprox(
       df: DataFrame,
       textCol: String,
@@ -202,10 +210,12 @@ object TextAnalysis {
       seed: Int = 42): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val toks = df.select(explode(tokens(col(textCol))).as("token"))
+    def toks = df.select(
+      xxhash64(col(textCol), lit(seed)).as("__doc"),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "token")))
     val candidates = toks
-      .select(col("token"), xxhash64(col("token")).as("__h"))
-      .orderBy(col("__h")).limit(sampleSize) // deterministic pseudo-random sample
+      .orderBy(xxhash64(col("__doc"), col("__pos"))) // uniform over occurrences
+      .limit(sampleSize)
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("token")).limit(k * 4) // oversample candidates
       .select("token").as[String].collect()

@@ -308,6 +308,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(again.toSeq == hh.toSeq, "seeded sketch + hash sample must be deterministic")
   }
 
+  test("heavy hitters: sampling is by occurrence, so heavies beat a huge unique tail") {
+    // vocabulary (8001 distinct) is much larger than the sample; a
+    // value-hash sample would pick ~lowest-hash tokens and almost surely
+    // miss 'alpha' — an occurrence sample sees it ~20% of the time
+    val docs = (1 to 2000)
+      .map(i => (i.toLong, s"alpha u$i v$i w$i x$i"))
+      .toDF("doc_id", "text")
+    val hh = TextAnalysis.heavyHittersApprox(docs, "text", k = 1, sampleSize = 500)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(hh.head._1 == "alpha", s"got ${hh.toSeq}")
+    assert(hh.head._2 >= 2000L, s"CMS never undercounts: ${hh.toSeq}")
+  }
+
   test("multimodal resize updates metadata, preserves asset schema and payload") {
     val assets = Multimodal.toAssets(
       Seq((1L, "img-bytes")).toDF("id", "b").withColumn("b", col("b").cast("binary")),

@@ -643,6 +643,14 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("bloom semiJoin works when fact and dim share the key name") {
+    val fact = (1 to 100).map(i => (i.toLong, i)).toDF("id", "payload")
+    val dim = (1 to 10).map(i => (i * 5L, i)).toDF("id", "x")
+    val got = graft.dp.BloomJoin.semiJoin(fact, dim, "id", "id", expectedItems = 100L)
+      .select("id").as[Long].collect().toSet
+    assert(got == (1 to 10).map(_ * 5L).toSet)
+  }
+
   test("bloom prefilter keeps every true match (no false negatives by contract)") {
     val fact = (1 to 5000).map(i => (i.toLong, i)).toDF("fk", "payload")
     val dim = (1 to 50).map(i => (i * 7L, i)).toDF("dk", "x")
@@ -754,6 +762,11 @@ class OperatorsSpec extends SparkSpec {
     val withNull = Seq((Some(0.5), 1.0), (None, 0.0)).toDF("score", "label")
     val e = intercept[Exception](Metrics.calibrationTable(withNull, "score", "label").collect())
     assert(e.getMessage.contains("calibrationTable"), e.getMessage)
+    // NaN passes isNotNull and floor(NaN) casts to 0 — it must fail too,
+    // not silently inflate bin 0
+    val withNaN = Seq((0.5, 1.0), (Double.NaN, 0.0)).toDF("score", "label")
+    val e2 = intercept[Exception](Metrics.calibrationTable(withNaN, "score", "label").collect())
+    assert(e2.getMessage.contains("calibrationTable"), e2.getMessage)
   }
 
   test("psi drift: identical frames score ~0, shifted feature dominates") {
