@@ -82,6 +82,36 @@ object Metrics {
           .as("f1"))
   }
 
+  /** Per-segment binary metrics in ONE hash-partitioned pass: the fairness
+    * / slice-analysis table (metrics by language, source, market, ...).
+    * Same cells and derived metrics as [[binaryMetricsAtThreshold]], one
+    * row per group — the reference (and the naive loop) filters and
+    * re-scans the data once per segment; here segments share the scan and
+    * the partial aggregation. */
+  def binaryMetricsByGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      labelCol: String,
+      threshold: Double): DataFrame = {
+    val pred = when(col(scoreCol) > threshold, 1.0).otherwise(0.0)
+    val y = col(labelCol).cast("double")
+    df.groupBy(col(groupCol).as("segment"))
+      .agg(
+        sum(when(pred === 1.0 && y === 1.0, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred === 1.0 && y === 0.0, 1L).otherwise(0L)).as("fp"),
+        sum(when(pred === 0.0 && y === 0.0, 1L).otherwise(0L)).as("tn"),
+        sum(when(pred === 0.0 && y === 1.0, 1L).otherwise(0L)).as("fn"))
+      .select(
+        col("segment"), col("tp"), col("fp"), col("tn"), col("fn"),
+        round((col("tp") + col("tn")) / (col("tp") + col("fp") + col("tn") + col("fn")).cast("double"), 6)
+          .as("accuracy"),
+        round(col("tp") / (col("tp") + col("fp")).cast("double"), 6).as("precision"),
+        round(col("tp") / (col("tp") + col("fn")).cast("double"), 6).as("recall"),
+        round(lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")).cast("double"), 6)
+          .as("f1"))
+  }
+
   /** Multiclass confusion matrix: one hash-partitioned groupBy over the
     * data, (label, prediction, n) rows — the eval twin of the multiclass
     * estimators the Registry exposes (the reference's eval surface is

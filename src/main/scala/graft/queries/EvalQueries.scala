@@ -46,6 +46,16 @@ object EvalQueries {
     "binary_metrics" -> { (s, dir) =>
       Metrics.binaryMetricsAtThreshold(scored(s, dir), "score", "label", 0.5)
     },
+    // --- per-segment (fairness/slice) metrics: one shared scan + partial
+    // agg instead of a filter-and-rescan per segment
+    "binary_metrics_by_group" -> { (s, dir) =>
+      val df = t(s, dir, "lineitem").select(
+        col("l_returnflag").as("seg"),
+        (col("l_discount") * 10).as("score"),
+        when(col("l_quantity") > 25, 1.0).otherwise(0.0).as("label"))
+      Metrics.binaryMetricsByGroup(df, "seg", "score", "label", 0.5)
+        .orderBy(col("segment"))
+    },
     "threshold_metrics" -> { (s, dir) =>
       Metrics.thresholdMetrics(scored(s, dir), "score", "label", Seq(0.2, 0.4, 0.6, 0.8))
     },
@@ -134,6 +144,20 @@ object EvalQueries {
          |  round(sum(CASE WHEN score > 0.5 AND label = 1.0 THEN 1 ELSE 0 END) / CAST(NULLIF(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END), 0) AS DOUBLE), 6) AS recall,
          |  round(2.0 * sum(CASE WHEN score > 0.5 AND label = 1.0 THEN 1 ELSE 0 END) / CAST(NULLIF(2 * sum(CASE WHEN score > 0.5 AND label = 1.0 THEN 1 ELSE 0 END) + sum(CASE WHEN score > 0.5 AND label = 0.0 THEN 1 ELSE 0 END) + sum(CASE WHEN score <= 0.5 AND label = 1.0 THEN 1 ELSE 0 END), 0) AS DOUBLE), 6) AS f1
          |FROM (${scoredSql})""".stripMargin,
+    "binary_metrics_by_group" ->
+      """WITH v AS (SELECT l_returnflag AS seg, l_discount * 10 AS score,
+        |             CASE WHEN l_quantity > 25 THEN 1.0 ELSE 0.0 END AS label
+        |           FROM lineitem)
+        |SELECT seg AS segment,
+        |  CAST(sum(CASE WHEN score > 0.5 AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN score > 0.5 AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN score <= 0.5 AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |  CAST(sum(CASE WHEN score <= 0.5 AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  round((sum(CASE WHEN score > 0.5 AND label = 1.0 THEN 1 ELSE 0 END) + sum(CASE WHEN score <= 0.5 AND label = 0.0 THEN 1 ELSE 0 END)) / CAST(count(*) AS DOUBLE), 6) AS accuracy,
+        |  round(sum(CASE WHEN score > 0.5 AND label = 1.0 THEN 1 ELSE 0 END) / CAST(NULLIF(sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END), 0) AS DOUBLE), 6) AS precision,
+        |  round(sum(CASE WHEN score > 0.5 AND label = 1.0 THEN 1 ELSE 0 END) / CAST(NULLIF(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END), 0) AS DOUBLE), 6) AS recall,
+        |  round(2.0 * sum(CASE WHEN score > 0.5 AND label = 1.0 THEN 1 ELSE 0 END) / CAST(NULLIF(2 * sum(CASE WHEN score > 0.5 AND label = 1.0 THEN 1 ELSE 0 END) + sum(CASE WHEN score > 0.5 AND label = 0.0 THEN 1 ELSE 0 END) + sum(CASE WHEN score <= 0.5 AND label = 1.0 THEN 1 ELSE 0 END), 0) AS DOUBLE), 6) AS f1
+        |FROM v GROUP BY seg ORDER BY segment""".stripMargin,
     "threshold_metrics" ->
       s"""SELECT * FROM (
          |${thresholdSql(0.2)}

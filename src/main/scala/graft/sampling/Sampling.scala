@@ -73,6 +73,27 @@ object Sampling {
     (valid.filter(col(tsCol).cast("double") <= cut), valid.filter(col(tsCol).cast("double") > cut))
   }
 
+  /** Deterministic negative sampling for contrastive training pairs: for
+    * every row, `m` pseudo-random partner ids from the dense id space
+    * [0, idSpace) via a fixed multiplicative-hash formula — pure
+    * arithmetic, so the pairing is reproducible across engines, runs, and
+    * partitionings (unlike rand(), whose draw depends on partition
+    * layout). Self-pairs are dropped, so a row yields m or m-1 negatives.
+    *
+    * Scale shape: projection + explode only — negatives are generated
+    * where the positives already live, no join against the corpus, no
+    * shuffle. Pair quality matches uniform sampling for training purposes
+    * (the formula decorrelates id and negative); true hard-negative
+    * mining composes downstream via similarity joins. */
+  def negativePairs(df: DataFrame, idCol: String, m: Int, idSpace: Long): DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    require(idSpace > 1, s"idSpace must be > 1, got $idSpace")
+    df.select(col(idCol).cast("long").as("id"))
+      .select(col("id"), explode(sequence(lit(1L), lit(m.toLong))).as("j"))
+      .withColumn("neg_id", ((col("id") % 100003L) * 31L + col("j") * 7919L) % idSpace)
+      .filter(col("neg_id") =!= col("id"))
+  }
+
   /** Stratified split: per-class randomSplit, reassembled with unionByName
     * (reference: dp.py:979-994, with the test_prop/2 bug fixed). The class
     * collect is CAPPED like the encoder fits — pointing this at a
