@@ -83,4 +83,25 @@ object OutlierTreatment {
     }.toMap
     Model(bounds)
   }
+
+  /** Robust dispersion profile: per-column median and MAD (median of
+    * |x − median|), the outlier-insensitive counterpart of the
+    * mean/stddev row in describe — a single extreme value moves stddev
+    * arbitrarily but not the MAD. Two wide agg passes (medians, then
+    * absolute deviations — the second pass needs the first's scalars),
+    * each one job over all columns; like every percentile op, approx
+    * sketch by default, exact for the small-SF oracle. */
+  def madTable(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
+    val medAggs = cols.map(c => graft.Exprs.pct(col(c).cast("double"), 0.5, exact).as(c))
+    val medRow = df.agg(medAggs.head, medAggs.tail: _*).collect()(0)
+    val med = cols.map(c => c -> graft.Exprs.requireD(medRow, c, s"madTable($c)")).toMap
+    val madAggs = cols.map(c =>
+      graft.Exprs.pct(abs(col(c).cast("double") - lit(med(c))), 0.5, exact).as(c))
+    val madRow = df.agg(madAggs.head, madAggs.tail: _*)
+    val stacked = cols.map(c =>
+      struct(lit(c).as("column"), round(lit(med(c)), 6).as("median"), round(col(c), 6).as("mad")))
+    madRow
+      .select(explode(array(stacked: _*)).as("s"))
+      .select(col("s.column"), col("s.median"), col("s.mad"))
+  }
 }

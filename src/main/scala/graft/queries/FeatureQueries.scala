@@ -146,6 +146,16 @@ object FeatureQueries {
           r6(min(col("l_quantity_scaled"))).as("min_s"),
           r6(max(col("l_quantity_scaled"))).as("max_s"))
     },
+    // --- robust dispersion profile: median + MAD per column (the
+    // outlier-insensitive describe row)
+    "mad_table" -> { (s, dir) =>
+      OutlierTreatment
+        .madTable(
+          t(s, dir, "lineitem"),
+          Seq("l_discount", "l_extendedprice", "l_quantity"),
+          exact = Support.exact)
+        .orderBy(col("column"))
+    },
     "sparseness" -> { (s, dir) =>
       FeatureElimination
         .sparsenessTable(t(s, dir, "lineitem"), Seq("l_discount", "l_tax"))
@@ -360,6 +370,19 @@ object FeatureQueries {
       """WITH s AS (SELECT avg(l_quantity) AS m, stddev(l_quantity) AS sd FROM lineitem),
         |v AS (SELECT (l_quantity - m) / sd AS x FROM lineitem, s)
         |SELECT round(stddev(x), 6) AS sd_s, round(min(x), 6) AS min_s, round(max(x), 6) AS max_s FROM v""".stripMargin,
+    "mad_table" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS "column",
+           |  round((SELECT quantile_cont(CAST($c AS DOUBLE), 0.5) FROM lineitem), 6) AS median,
+           |  round(quantile_cont(abs(CAST($c AS DOUBLE)
+           |    - (SELECT quantile_cont(CAST($c AS DOUBLE), 0.5) FROM lineitem)), 0.5), 6) AS mad
+           |FROM lineitem""".stripMargin
+      s"""SELECT * FROM (
+         |${one("l_discount")}
+         |UNION ALL ${one("l_extendedprice")}
+         |UNION ALL ${one("l_quantity")})
+         |ORDER BY "column"""".stripMargin
+    },
     "sparseness" ->
       """SELECT * FROM (
         |  SELECT 'l_discount' AS "column", round(sum(CASE WHEN l_discount = 0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS zero_density FROM lineitem

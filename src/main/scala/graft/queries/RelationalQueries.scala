@@ -159,6 +159,21 @@ object RelationalQueries {
         .filter(col("o_orderkey") < 1020 || col("o_orderkey") >= 10000000)
         .orderBy(col("o_orderkey"))
     },
+    // --- null-safe equi join (<=>): the null segment group must join its
+    // own aggregate row instead of silently dropping — the semantics
+    // every "enrich rows with their group stats" pipeline needs when the
+    // group key is nullable
+    "null_safe_join" -> { (s, dir) =>
+      val seg = when(col("c_mktsegment") === "BUILDING", lit(null)).otherwise(col("c_mktsegment"))
+      val cust = t(s, dir, "customer").select(seg.as("seg"), col("c_acctbal"))
+      val stats = cust.groupBy(col("seg"))
+        .agg(r6(avg(col("c_acctbal"))).as("seg_avg"))
+        .withColumnRenamed("seg", "seg_b")
+      cust.join(stats, col("seg") <=> col("seg_b"))
+        .groupBy(col("seg"), col("seg_avg"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("seg").asc_nulls_first)
+    },
     // --- anti join (customers with no orders in 1995 — non-empty at all SFs)
     "anti_join" -> { (s, dir) =>
       val orders95 = t(s, dir, "orders")
@@ -370,6 +385,14 @@ object RelationalQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice FROM merged
         |WHERE o_orderkey < 1020 OR o_orderkey >= 10000000
         |ORDER BY o_orderkey""".stripMargin,
+    "null_safe_join" ->
+      """WITH c AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
+        |                       ELSE c_mktsegment END AS seg, c_acctbal
+        |           FROM customer),
+        |s AS (SELECT seg, round(avg(c_acctbal), 6) AS seg_avg FROM c GROUP BY seg)
+        |SELECT c.seg, s.seg_avg, CAST(count(*) AS BIGINT) AS n
+        |FROM c JOIN s ON c.seg IS NOT DISTINCT FROM s.seg
+        |GROUP BY 1, 2 ORDER BY c.seg NULLS FIRST""".stripMargin,
     "anti_join" ->
       """SELECT c_custkey, c_mktsegment FROM customer
         |WHERE c_custkey NOT IN (
