@@ -1,0 +1,54 @@
+package graft.dp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Incremental aggregate maintenance: per-key mergeable state.
+  *
+  * At 100 TB you do not recompute corpus statistics from scratch when a new
+  * batch lands — you keep a per-key state table of MERGEABLE aggregates
+  * (count / sum / min / max) and fold each day's partial state into it.
+  * `aggState` computes a batch's state (one map-side-combinable groupBy);
+  * `mergeStates` folds two state frames with a full-outer equi-join on the
+  * key — cost proportional to the STATE size (number of keys), never the
+  * history. The invariant (asserted by the `incremental_agg_state` oracle,
+  * which recomputes from all rows): merge(state(A), state(B)) ==
+  * state(A ∪ B) for disjoint batches.
+  *
+  * Sums are carried as exact decimal(18,2)-derived decimals, so merge order
+  * never flips a bit — state produced by daily folds is byte-identical to a
+  * from-scratch recompute. Averages fall out as sum/count downstream;
+  * non-mergeable stats (exact median) intentionally have no place here —
+  * use the approx sketches for those.
+  */
+object IncrementalAgg {
+
+  /** One batch's per-key state: n, exact decimal sum, min, max. */
+  def aggState(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(
+        count(col(valueCol)).as("n"),
+        sum(col(valueCol).cast("decimal(18,2)")).as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Fold state frame `b` into `a` (full outer on the key; keys present in
+    * only one side pass through). least/greatest skip nulls in Spark, so
+    * one-sided keys keep their own min/max. */
+  def mergeStates(a: DataFrame, b: DataFrame, keyCol: String): DataFrame = {
+    val zero = lit(0).cast("decimal(18,2)")
+    val bb = b.select(
+      col(keyCol),
+      col("n").as("__n2"),
+      col("sum_v").as("__sum2"),
+      col("min_v").as("__min2"),
+      col("max_v").as("__max2"))
+    a.join(bb, Seq(keyCol), "full_outer")
+      .select(
+        col(keyCol),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("__n2"), lit(0L))).as("n"),
+        (coalesce(col("sum_v"), zero) + coalesce(col("__sum2"), zero)).as("sum_v"),
+        least(col("min_v"), col("__min2")).as("min_v"),
+        greatest(col("max_v"), col("__max2")).as("max_v"))
+  }
+}

@@ -28,6 +28,35 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Skew diagnosis for a join/aggregation key: the top-k heaviest keys
+    * with their row count, share of all rows, and skew factor (count vs
+    * the mean per-key count). This is the measurement that decides whether
+    * a key needs `saltedJoin` (skew_x in the hundreds+) or AQE's runtime
+    * split suffices — measure, don't guess.
+    *
+    * Two aggregates over the per-key counts frame: a single-row global
+    * stats agg (broadcast) and a top-k sort capped at `topK` rows
+    * (TakeOrderedAndProject — never a global sort of all keys). Scale:
+    * the only full-data pass is the initial map-side-combinable groupBy.
+    */
+  def keySkewProfile(df: org.apache.spark.sql.DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum(col("n")).as("__total"),
+      count(lit(1)).as("__n_keys"))
+    counts
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(topK)
+      .crossJoin(broadcast(totals))
+      .select(
+        col(keyCol),
+        col("n"),
+        round(col("n") / col("__total"), 6).as("share"),
+        round(col("n") * col("__n_keys") / col("__total"), 6).as("skew_x"))
+      .orderBy(col("n").desc, col(keyCol))
+  }
+
   private val safeJoinTypes =
     Set("inner", "cross", "left", "leftouter", "leftsemi", "leftanti")
 

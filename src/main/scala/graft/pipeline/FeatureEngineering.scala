@@ -36,6 +36,90 @@ object FeatureEngineering {
         sum(col(valueCol)).as(s"total_${prefix}_value"))
   }
 
+  /** Exponentially time-decayed per-key total:
+    * `sum(value * 2^(-age_days / halfLifeDays))` over events at/before
+    * refDate — the standard recency-weighted engagement feature the flat
+    * `recencyTotals` sum cannot express (a purchase yesterday counts ~full,
+    * one half-life ago counts half).
+    *
+    * One map-side-combinable groupBy on the key — same shuffle shape as
+    * `recencyTotals`, so at 100 TB it pipelines into the same Exchange.
+    * Numeric discipline: the decay weight is quantized to 8 decimals and
+    * multiplied against the decimal(18,2) view of value, so every per-row
+    * term is exact decimal and the sum is order-insensitive (partition
+    * count can't flip a bit); callers round the final double for display.
+    */
+  def decayedTotals(
+      events: DataFrame,
+      keyCol: String,
+      dateCol: String,
+      valueCol: String,
+      refDate: String,
+      halfLifeDays: Double,
+      prefix: String): DataFrame = {
+    require(halfLifeDays > 0, s"halfLifeDays must be > 0, got $halfLifeDays")
+    val d = to_date(col(dateCol))
+    val age = datediff(lit(refDate).cast("date"), d)
+    val c = -math.log(2.0) / halfLifeDays
+    val w = round(exp(age * lit(c)), 8).cast("decimal(12,8)")
+    events
+      .filter(d <= lit(refDate).cast("date"))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col(valueCol).cast("decimal(18,2)") * w)
+          .cast("double")
+          .as(s"decayed_${prefix}_value"),
+        count(lit(1)).as(s"n_${prefix}_events"))
+  }
+
+  /** Ordered funnel: for each key, the earliest event time completing each
+    * step of `steps` IN ORDER — step i's timestamp is the minimum event of
+    * type steps(i) at/after the key's step i-1 timestamp. A key that never
+    * reaches step i gets null there and for all later steps (an early
+    * purchase before the first view does NOT count as funnel progress).
+    *
+    * Greedy-earliest is the standard funnel semantics: taking the earliest
+    * valid timestamp at each step never excludes a key that any other
+    * step-time choice would admit (a later step-i event only shrinks the
+    * window for step i+1).
+    *
+    * Plan shape: one aggregate for the first step, then per additional step
+    * one equi-join + groupBy on the SAME key — every shuffle is on the
+    * funnel key, so AQE/co-partitioning reuses the exchange, and each
+    * aggregate is map-side combinable. No windows, no per-key event-list
+    * collection — at 100 TB a key's full history never has to fit anywhere.
+    * Output timestamps are epoch seconds (`<step>_sec` columns).
+    */
+  def funnelSteps(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      typeCol: String,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps needs at least one step")
+    require(steps.distinct == steps, s"funnel steps must be distinct, got $steps")
+    val tsec = unix_timestamp(col(tsCol))
+    def stepCol(i: Int) = s"${steps(i)}_sec"
+    var state = events
+      .filter(col(typeCol) === steps.head)
+      .groupBy(col(keyCol))
+      .agg(min(tsec).as(stepCol(0)))
+    for (i <- 1 until steps.length) {
+      val nxt = events
+        .filter(col(typeCol) === steps(i))
+        .select(col(keyCol), tsec.as("__t"))
+      // prior step columns are constant per key, so min() re-selects them
+      val keep = (0 until i).map(j => min(col(stepCol(j))).as(stepCol(j)))
+      val aggs = keep :+
+        min(when(col("__t") >= col(stepCol(i - 1)), col("__t"))).as(stepCol(i))
+      state = state
+        .join(nxt, Seq(keyCol), "left")
+        .groupBy(col(keyCol))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+    state
+  }
+
   /** Distinct keys with target_var=1 for events inside the label window
     * (refDate, refDate + windowDays] (reference: data_cleaning.py:132-148 +
     * feature_engineering.py:111-115). */

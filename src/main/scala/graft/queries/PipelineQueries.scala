@@ -42,8 +42,48 @@ object PipelineQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Decay constant for the half-life-7d decayed aggregate; embedded
+    * verbatim in the oracle SQL so both engines evaluate exp() over the
+    * identical double. */
+  private val decayC: Double = -math.log(2.0) / 7.0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_feature_pipeline" -> (e1 _),
+    // --- recency-weighted engagement: half-life-decayed per-user value
+    "decayed_agg" -> { (s, dir) =>
+      FeatureEngineering
+        .decayedTotals(events(s, dir), "user_id", "ts", "value", evRef, halfLifeDays = 7.0, "all")
+        .select(
+          col("user_id"),
+          r6(col("decayed_all_value")).as("decayed_all_value"),
+          col("n_all_events"))
+        .orderBy(col("user_id"))
+    },
+    // --- ordered funnel: earliest view -> click-after-view ->
+    // purchase-after-click per user (null once a step is unreached)
+    "funnel_steps" -> { (s, dir) =>
+      FeatureEngineering
+        .funnelSteps(events(s, dir), "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("user_id"))
+    },
+    // --- incremental state maintenance: merge(state(batch1), state(batch2))
+    // must equal a from-scratch aggregate over all rows — the oracle IS the
+    // from-scratch recompute
+    "incremental_agg_state" -> { (s, dir) =>
+      import graft.dp.IncrementalAgg._
+      val ev = events(s, dir)
+      val cut = lit("2024-01-15").cast("date")
+      val merged = mergeStates(
+        aggState(ev.filter(to_date(col("ts")) <= cut), "user_id", "value"),
+        aggState(ev.filter(to_date(col("ts")) > cut), "user_id", "value"),
+        "user_id")
+      merged
+        .select(
+          col("user_id"), col("n"),
+          col("sum_v").cast("double").as("sum_v"),
+          col("min_v"), col("max_v"))
+        .orderBy(col("user_id"))
+    },
     "sessionize_batch" -> { (s, dir) =>
       val ev = events(s, dir).filter(col("user_id") < 50)
       FeatureEngineering
@@ -163,6 +203,32 @@ object PipelineQueries {
        |GROUP BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "decayed_agg" ->
+      s"""WITH e AS (SELECT user_id,
+         |  date_diff('day', CAST(ts AS DATE), DATE '$evRef') AS age, value
+         |  FROM events WHERE CAST(ts AS DATE) <= DATE '$evRef')
+         |SELECT user_id,
+         |  round(CAST(sum(CAST(value AS DECIMAL(18,2))
+         |    * CAST(round(exp(age * ($decayC)), 8) AS DECIMAL(12,8))) AS DOUBLE), 6)
+         |    AS decayed_all_value,
+         |  CAST(count(*) AS BIGINT) AS n_all_events
+         |FROM e GROUP BY 1 ORDER BY user_id""".stripMargin,
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS t, event_type FROM events),
+        |s0 AS (SELECT user_id, min(t) AS view_sec FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(CASE WHEN e.t >= s0.view_sec THEN e.t END) AS click_sec
+        |       FROM e JOIN s0 USING (user_id) WHERE e.event_type = 'click' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(CASE WHEN e.t >= s1.click_sec THEN e.t END) AS purchase_sec
+        |       FROM e JOIN s1 USING (user_id) WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT s0.user_id, s0.view_sec, s1.click_sec, s2.purchase_sec
+        |FROM s0 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    "incremental_agg_state" ->
+      """SELECT user_id, CAST(count(value) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
+        |  min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
     "temporal_split" ->
       """WITH e AS (SELECT epoch_ns(ts) // 1000 AS t FROM events),
         |c AS (SELECT quantile_cont(CAST(t AS DOUBLE), 0.8) AS cut FROM e),

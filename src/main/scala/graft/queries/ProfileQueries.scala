@@ -93,6 +93,11 @@ object ProfileQueries {
           t(s, dir, "lineitem"),
           Seq("l_quantity", "l_extendedprice", "l_discount"))
         .orderBy(col("col_a"), col("col_b"))
+    },
+    // --- skew diagnosis: heaviest join keys with share + skew factor (the
+    // measurement that decides salted join vs plain AQE)
+    "key_skew_profile" -> { (s, dir) =>
+      graft.dp.SkewJoin.keySkewProfile(events(s, dir), "user_id", topK = 20)
     })
 
   private val custMissing =
@@ -120,6 +125,12 @@ object ProfileQueries {
        |                avg($c) AS m, stddev($c) AS sd FROM lineitem)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "key_skew_profile" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys FROM c)
+        |SELECT user_id, n, round(n / total, 6) AS share,
+        |       round(n * n_keys / total, 6) AS skew_x
+        |FROM c, t ORDER BY n DESC, user_id LIMIT 20""".stripMargin,
     "constraint_checks" ->
       """WITH a AS (SELECT
         |    CAST(count(*) AS BIGINT) AS n,

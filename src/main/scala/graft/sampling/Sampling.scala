@@ -117,4 +117,38 @@ object Sampling {
     }
     (splits.map(_._1).reduce(_ unionByName _), splits.map(_._2).reduce(_ unionByName _))
   }
+
+  /** Corpus mix planning: given a target share per stratum (language,
+    * source, quality bucket, …) and a total document budget, compute the
+    * per-stratum Bernoulli sampling rate that hits the target — the step
+    * before `stratifiedSample` when curating a training mix from a skewed
+    * crawl. Strata absent from `targetShares` get share 0 (rate 0);
+    * strata with fewer documents than their target are flagged `deficit`
+    * (rate capped at 1.0 — planner output tells you which languages you
+    * must go crawl more of, instead of silently under-delivering the mix).
+    *
+    * One groupBy over the corpus + a literal when-chain for the shares —
+    * no driver collect, no join; plan output is |strata| rows. Execute the
+    * plan with `stratifiedSample(df, stratumCol, rates)`.
+    */
+  def corpusMixPlan(
+      df: DataFrame,
+      stratumCol: String,
+      targetShares: Map[String, Double],
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    val badShares = targetShares.filter { case (_, v) => v < 0 || v > 1 }
+    require(badShares.isEmpty, s"target shares must be in [0,1], got $badShares")
+    val share = targetShares.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("available"))
+      .select(
+        col(stratumCol),
+        col("available"),
+        floor(lit(budget) * share).cast("bigint").as("target_n"),
+        round(least(lit(1.0), lit(budget) * share / col("available")), 6).as("rate"),
+        (col("available") < lit(budget) * share).as("deficit"))
+  }
 }

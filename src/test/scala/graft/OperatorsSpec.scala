@@ -836,4 +836,96 @@ class OperatorsSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("ts_sec") -> r.getAs[Int]("rn")).toMap
     assert(rk == Map(10L -> 1, 20L -> 2, 30L -> 3))
   }
+
+  test("decayedTotals: half-life weights, post-refDate rows excluded") {
+    val df = Seq(
+      (1L, "2024-01-15", 10.0), // age 0  -> weight 1
+      (1L, "2024-01-08", 10.0), // age 7  -> weight 0.5 (one half-life)
+      (1L, "2024-01-01", 8.0),  // age 14 -> weight 0.25
+      (1L, "2024-01-20", 99.0), // after refDate -> excluded
+      (2L, "2024-01-15", 4.0)).toDF("k", "d", "v")
+    val out = graft.pipeline.FeatureEngineering
+      .decayedTotals(df, "k", "d", "v", "2024-01-15", halfLifeDays = 7.0, "x")
+      .collect().map(r => r.getAs[Long]("k") ->
+        (r.getAs[Double]("decayed_x_value"), r.getAs[Long]("n_x_events"))).toMap
+    assert(math.abs(out(1L)._1 - (10.0 + 5.0 + 2.0)) < 1e-6)
+    assert(out(1L)._2 == 3L)
+    assert(math.abs(out(2L)._1 - 4.0) < 1e-9)
+  }
+
+  test("funnelSteps: in-order completion only, nulls cascade") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000)
+    val ev = Seq(
+      // user 1: clean view -> click -> purchase
+      (1L, ts(10), "view"), (1L, ts(20), "click"), (1L, ts(30), "purchase"),
+      // user 2: clicks only BEFORE the first view -> click null
+      (2L, ts(5), "click"), (2L, ts(8), "click"), (2L, ts(10), "view"),
+      // user 3: purchase exists but no click -> purchase null despite purchase@15
+      (3L, ts(10), "view"), (3L, ts(5), "purchase"), (3L, ts(15), "purchase"),
+      // user 4: no view at all -> absent from the funnel
+      (4L, ts(10), "click"), (4L, ts(20), "purchase")).toDF("k", "t", "e")
+    val out = graft.pipeline.FeatureEngineering
+      .funnelSteps(ev, "k", "t", "e", Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getAs[Long]("k") ->
+        (Option(r.getAs[Any]("view_sec")), Option(r.getAs[Any]("click_sec")),
+          Option(r.getAs[Any]("purchase_sec")))).toMap
+    assert(out(1L) == ((Some(10L), Some(20L), Some(30L))))
+    assert(out(2L) == ((Some(10L), None, None)))
+    assert(out(3L) == ((Some(10L), None, None)))
+    assert(!out.contains(4L))
+  }
+
+  test("keySkewProfile: share and skew factor on a known distribution") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c")).toDF("k")
+    val out = graft.dp.SkewJoin.keySkewProfile(df, "k", topK = 2)
+      .collect().map(r => r.getAs[String]("k") ->
+        (r.getAs[Long]("n"), r.getAs[Double]("share"), r.getAs[Double]("skew_x")))
+    assert(out.length == 2)
+    assert(out(0) == (("a", (6L, 0.6, 1.8)))) // 6 of 10 rows, 3 keys -> 6*3/10
+    assert(out(1) == (("b", (3L, 0.3, 0.9))))
+  }
+
+  test("incremental agg state: merge of disjoint batches equals recompute") {
+    import graft.dp.IncrementalAgg._
+    val all = Seq(
+      (1L, 2.5), (1L, -1.0), (1L, 7.25), (2L, 3.0), (3L, -4.5), (3L, 0.0))
+      .toDF("k", "v")
+    val b1 = all.filter(col("v") <= 0)
+    val b2 = all.filter(col("v") > 0) // key 2 only in b2, key 3 only in b1
+    val merged = mergeStates(aggState(b1, "k", "v"), aggState(b2, "k", "v"), "k")
+      .select(col("k"), col("n"), col("sum_v").cast("double"), col("min_v"), col("max_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    val direct = aggState(all, "k", "v")
+      .select(col("k"), col("n"), col("sum_v").cast("double"), col("min_v"), col("max_v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(merged.toSeq == direct.toSeq)
+    // a second fold over an empty-overlap batch keeps the invariant
+    val again = mergeStates(
+      mergeStates(aggState(b1, "k", "v"), aggState(b2, "k", "v"), "k"),
+      aggState(all.limit(0), "k", "v"), "k")
+    assert(again.count() == 3)
+  }
+
+  test("corpusMixPlan: rates capped at 1, deficit flagged, unknown strata zeroed") {
+    val df = (Seq.fill(60)("en") ++ Seq.fill(10)("zh") ++ Seq.fill(30)("xx")).toDF("lang")
+    val out = Sampling.corpusMixPlan(df, "lang", Map("en" -> 0.5, "zh" -> 0.5), budget = 40L)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("available"), r.getAs[Long]("target_n"),
+          r.getAs[Double]("rate"), r.getAs[Boolean]("deficit"))).toMap
+    // en: target 20 of 60 available -> rate 1/3, no deficit
+    assert(out("en")._2 == 20L)
+    assert(math.abs(out("en")._3 - 20.0 / 60.0) < 1e-6)
+    assert(!out("en")._4)
+    // zh: target 20 but only 10 available -> rate capped, deficit
+    assert(out("zh") == ((10L, 20L, 1.0, true)))
+    // xx: not in the target mix -> zero rate, no deficit
+    assert(out("xx") == ((30L, 0L, 0.0, false)))
+    intercept[IllegalArgumentException] {
+      Sampling.corpusMixPlan(df, "lang", Map("en" -> 1.5), budget = 10L)
+    }
+  }
 }
