@@ -32,6 +32,29 @@ object IncrementalAgg {
         min(col(valueCol)).as("min_v"),
         max(col(valueCol)).as("max_v"))
 
+  /** One batch's per-key DISTINCT-count state: an HLL sketch of the value
+    * column (Spark 4's Datasketches-backed hll_sketch_agg). Unlike exact
+    * countDistinct, the sketch is a few KB per key and MERGEABLE — the
+    * distinct-count companion to [[aggState]] for incremental pipelines
+    * where re-scanning history per batch is off the table. */
+  def distinctSketch(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(hll_sketch_agg(col(valueCol)).as("sketch"))
+
+  /** Fold two distinct-count state frames: union + hll_union_agg per key.
+    * Note the union promotes small sparse-mode sketches to dense HLL, so a
+    * folded estimate can differ by a hair from a from-scratch single-pass
+    * sketch at tiny cardinalities — both stay inside the sketch's relative
+    * error bound (asserted in the spec), which is the HLL contract. */
+  def mergeDistinctSketches(a: DataFrame, b: DataFrame, keyCol: String): DataFrame =
+    a.unionByName(b)
+      .groupBy(col(keyCol))
+      .agg(hll_union_agg(col("sketch")).as("sketch"))
+
+  /** Read a distinct-count state frame: estimated distinct values per key. */
+  def estimateDistinct(state: DataFrame, keyCol: String): DataFrame =
+    state.select(col(keyCol), hll_sketch_estimate(col("sketch")).as("approx_distinct"))
+
   /** Fold state frame `b` into `a` (full outer on the key; keys present in
     * only one side pass through). least/greatest skip nulls in Spark, so
     * one-sided keys keep their own min/max. */

@@ -120,6 +120,40 @@ object FeatureEngineering {
     state
   }
 
+  /** Cohort retention: keys are bucketed by first-activity period (cohort),
+    * and each (cohort, period-offset) cell reports how many of the cohort's
+    * keys were active that period — the classic retention triangle.
+    *
+    * Periods are `periodDays`-wide buckets of days-since-epoch (period 0 =
+    * 1970-01-01), so bucket boundaries are data-independent and stable
+    * across incremental recomputes. Plan: one groupBy(key) for cohort
+    * assignment, an equi-join back on the SAME key (co-partitioned with the
+    * aggregate that produced it), a distinct-count per (cohort, offset),
+    * and a broadcast-sized join against per-cohort sizes (|cohorts| rows).
+    * The only full-data shuffles are on the high-cardinality key.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      periodDays: Int): DataFrame = {
+    require(periodDays >= 1, s"periodDays must be >= 1, got $periodDays")
+    val day = datediff(to_date(col(tsCol)), lit("1970-01-01").cast("date"))
+    val ev = events.select(col(keyCol), floor(day / periodDays).as("__p"))
+    val cohorts = ev.groupBy(col(keyCol)).agg(min(col("__p")).as("cohort_p"))
+    val sizes = cohorts.groupBy(col("cohort_p")).agg(count(lit(1)).as("cohort_size"))
+    ev.join(cohorts, Seq(keyCol))
+      .groupBy(col("cohort_p"), (col("__p") - col("cohort_p")).as("period_offset"))
+      .agg(countDistinct(col(keyCol)).as("active_keys"))
+      .join(broadcast(sizes), Seq("cohort_p"))
+      .select(
+        col("cohort_p"),
+        col("period_offset"),
+        col("active_keys"),
+        col("cohort_size"),
+        round(col("active_keys") / col("cohort_size"), 6).as("retention"))
+  }
+
   /** Distinct keys with target_var=1 for events inside the label window
     * (refDate, refDate + windowDays] (reference: data_cleaning.py:132-148 +
     * feature_engineering.py:111-115). */

@@ -66,6 +66,25 @@ object PipelineQueries {
         .funnelSteps(events(s, dir), "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
         .orderBy(col("user_id"))
     },
+    // --- retention triangle: first-activity cohorts x period offset
+    "cohort_retention" -> { (s, dir) =>
+      FeatureEngineering
+        .cohortRetention(events(s, dir), "user_id", "ts", periodDays = 7)
+        .orderBy(col("cohort_p"), col("period_offset"))
+    },
+    // --- mergeable distinct-count state (HLL sketches): fold two batch
+    // states and read estimates. Sketch bytes have no DuckDB twin -> no
+    // oracle; the spec pins merge == from-scratch and a 5% error bound
+    "hll_distinct_state" -> { (s, dir) =>
+      import graft.dp.IncrementalAgg._
+      val ev = events(s, dir)
+      val cut = lit("2024-01-15").cast("date")
+      val merged = mergeDistinctSketches(
+        distinctSketch(ev.filter(to_date(col("ts")) <= cut), "user_id", "props"),
+        distinctSketch(ev.filter(to_date(col("ts")) > cut), "user_id", "props"),
+        "user_id")
+      estimateDistinct(merged, "user_id").orderBy(col("user_id"))
+    },
     // --- incremental state maintenance: merge(state(batch1), state(batch2))
     // must equal a from-scratch aggregate over all rows — the oracle IS the
     // from-scratch recompute
@@ -203,6 +222,19 @@ object PipelineQueries {
        |GROUP BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "cohort_retention" ->
+      """WITH e AS (SELECT DISTINCT user_id,
+        |    CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS p
+        |  FROM events),
+        |c AS (SELECT user_id, min(p) AS cohort_p FROM e GROUP BY 1),
+        |s AS (SELECT cohort_p, CAST(count(*) AS BIGINT) AS cohort_size FROM c GROUP BY 1),
+        |a AS (SELECT c.cohort_p, e.p - c.cohort_p AS period_offset,
+        |        CAST(count(DISTINCT e.user_id) AS BIGINT) AS active_keys
+        |      FROM e JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_p, a.period_offset, a.active_keys, s.cohort_size,
+        |       round(a.active_keys / s.cohort_size, 6) AS retention
+        |FROM a JOIN s USING (cohort_p)
+        |ORDER BY cohort_p, period_offset""".stripMargin,
     "decayed_agg" ->
       s"""WITH e AS (SELECT user_id,
          |  date_diff('day', CAST(ts AS DATE), DATE '$evRef') AS age, value

@@ -910,6 +910,50 @@ class OperatorsSpec extends SparkSpec {
     assert(again.count() == 3)
   }
 
+  test("cohortRetention: known retention triangle") {
+    import java.sql.Timestamp
+    // periodDays=1 with second-scale timestamps on distinct days
+    def ts(day: Int) = new Timestamp(day * 86400L * 1000)
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(1)), (1L, ts(2)), // cohort 0, active offsets 0,1,2
+      (2L, ts(0)), (2L, ts(2)),              // cohort 0, offsets 0,2
+      (3L, ts(1)), (3L, ts(2))).toDF("k", "t") // cohort 1, offsets 0,1
+    val out = graft.pipeline.FeatureEngineering.cohortRetention(ev, "k", "t", periodDays = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("cohort_p"), r.getAs[Long]("period_offset")) ->
+        (r.getAs[Long]("active_keys"), r.getAs[Long]("cohort_size"), r.getAs[Double]("retention")))
+      .toMap
+    assert(out((0L, 0L)) == ((2L, 2L, 1.0)))
+    assert(out((0L, 1L)) == ((1L, 2L, 0.5)))
+    assert(out((0L, 2L)) == ((2L, 2L, 1.0)))
+    assert(out((1L, 0L)) == ((1L, 1L, 1.0)))
+    assert(out((1L, 1L)) == ((1L, 1L, 1.0)))
+    assert(out.size == 5)
+  }
+
+  test("hll distinct state: merged and from-scratch estimates within HLL error of exact") {
+    import graft.dp.IncrementalAgg._
+    val rows = (1 to 2000).map(i => (i % 3L, s"v${i % 500}"))
+    val all = rows.toDF("k", "v")
+    val b1 = all.filter(col("v") < "v3") // lexical split: disjoint batches
+    val b2 = all.filter(col("v") >= "v3")
+    val merged = estimateDistinct(
+      mergeDistinctSketches(
+        distinctSketch(b1, "k", "v"),
+        distinctSketch(b2, "k", "v"), "k"), "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = estimateDistinct(distinctSketch(all, "k", "v"), "k")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = all.groupBy(col("k")).agg(countDistinct(col("v")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sparse->dense promotion in the union means merged need not be
+    // byte-identical to from-scratch; both must hit the HLL error bound
+    for ((k, est) <- merged ++ scratch)
+      assert(math.abs(est - exact(k)).toDouble / exact(k) < 0.05, s"key $k: est=$est exact=${exact(k)}")
+    for ((k, est) <- merged)
+      assert(math.abs(est - scratch(k)).toDouble / exact(k) < 0.02, s"key $k: merged=$est scratch=${scratch(k)}")
+  }
+
   test("corpusMixPlan: rates capped at 1, deficit flagged, unknown strata zeroed") {
     val df = (Seq.fill(60)("en") ++ Seq.fill(10)("zh") ++ Seq.fill(30)("xx")).toDF("lang")
     val out = Sampling.corpusMixPlan(df, "lang", Map("en" -> 0.5, "zh" -> 0.5), budget = 40L)
