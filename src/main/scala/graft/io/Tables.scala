@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit, max, struct, when}
 
 /** Format-dispatched readers/writers.
   *
@@ -146,6 +146,85 @@ object Tables {
       s"schema mismatch: ${existing.columns.mkString(",")} vs ${updates.columns.mkString(",")}")
     existing.join(updates.select(keyCols.map(col): _*), keyCols, "left_anti")
       .unionByName(updates)
+  }
+
+  /** Apply a CDC change batch to a base table. `changes` carries the base
+    * schema plus an `opCol` of 'I' (insert), 'U' (update), or 'D' (delete)
+    * and optionally a `seqCol` ordering multiple changes to the same key;
+    * deletes need only their key columns populated.
+    *
+    * The batch is first COMPACTED to the final image per key — the
+    * standard log-compaction step: latest change by `seqCol` wins (ties
+    * and the no-seqCol case break deterministically by the remaining
+    * column values via struct ordering, never by partition layout). Then
+    * semantics mirror MERGE: every compacted change key's base row is
+    * replaced (op I/U — an 'I' on an existing key degrades to an update,
+    * last-writer-wins like [[upsert]]) or removed (op 'D').
+    *
+    * Plan: one map-side-combinable max-struct groupBy over the delta, a
+    * left-anti join of base against change keys, and a union — the anti
+    * join broadcasts when the delta is small, which is the 100 TB norm
+    * (huge base, small delta; base is never shuffled in that case).
+    */
+  def applyCdc(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      opCol: String = "op",
+      seqCol: Option[String] = None): DataFrame = {
+    require(keyCols.nonEmpty, "applyCdc needs at least one key column")
+    val dataCols = changes.columns.toSeq.filterNot(c => c == opCol || seqCol.contains(c))
+    require(
+      base.columns.toSeq == dataCols,
+      s"schema mismatch: base ${base.columns.mkString(",")} vs changes ${dataCols.mkString(",")}")
+    val nonKey = changes.columns.toSeq.filterNot(keyCols.contains)
+    val ordered = seqCol.toSeq ++ nonKey.filterNot(seqCol.contains)
+    val compacted = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct(ordered.map(col): _*)).as("__s"))
+      .select(keyCols.map(col) ++ ordered.map(c => col(s"__s.$c")): _*)
+    base
+      .join(compacted.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .unionByName(
+        compacted.filter(col(opCol) =!= "D")
+          .drop((opCol +: seqCol.toSeq): _*))
+  }
+
+  /** Snapshot diff: row-level comparison of two versions of a keyed table.
+    * Emits one row per key present in either side with a `diff_status` of
+    * 'added' / 'removed' / 'changed' / 'unchanged', judged by null-safe
+    * equality over all non-key columns. One full-outer equi-join on the
+    * key — the regression check an incremental pipeline runs between a
+    * from-scratch rebuild and its maintained table. */
+  def snapshotDiff(
+      before: DataFrame,
+      after: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "snapshotDiff needs at least one key column")
+    require(
+      before.columns.toSeq == after.columns.toSeq,
+      s"schema mismatch: ${before.columns.mkString(",")} vs ${after.columns.mkString(",")}")
+    val dataCols = before.columns.toSeq.filterNot(keyCols.contains)
+    val b = dataCols.foldLeft(before) { (df, c) => df.withColumnRenamed(c, s"__b_$c") }
+    val a = dataCols.foldLeft(after) { (df, c) => df.withColumnRenamed(c, s"__a_$c") }
+    // presence flags survive the outer join even when all data cols are null
+    val joined = b.withColumn("__in_b", lit(1))
+      .join(a.withColumn("__in_a", lit(1)), keyCols, "full_outer")
+    val same = dataCols
+      .map(c => col(s"__b_$c") <=> col(s"__a_$c"))
+      .foldLeft(lit(true))(_ && _)
+    val status = when(col("__in_a").isNull, "removed")
+      .when(col("__in_b").isNull, "added")
+      .when(same, "unchanged")
+      .otherwise("changed")
+    // after-image for present-in-after keys (even if a data col is null
+    // there — coalesce would silently resurrect the before value)
+    joined.select(
+      keyCols.map(col) ++
+        dataCols.map(c =>
+          when(col("__in_a").isNotNull, col(s"__a_$c"))
+            .otherwise(col(s"__b_$c")).as(c)) :+
+        status.as("diff_status"): _*)
   }
 
   /** Load a named testdata table from an sf directory. */

@@ -159,6 +159,55 @@ object RelationalQueries {
         .filter(col("o_orderkey") < 1020 || col("o_orderkey") >= 10000000)
         .orderBy(col("o_orderkey"))
     },
+    // --- CDC apply: compact a change log (seq-ordered I/U/D per key) and
+    // merge into the base — delete/update/insert in one anti-join + union
+    "cdc_apply" -> { (s, dir) =>
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      def chg(df: DataFrame, op: String, seq: Long) =
+        df.withColumn("op", lit(op)).withColumn("seq", lit(seq))
+      val dels = chg(
+        base.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"),
+            lit(null).cast("long").as("o_custkey"),
+            lit(null).cast("double").as("o_totalprice")), "D", 3L)
+      val upd1 = chg(
+        base.filter(col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") + 1).as("o_totalprice")), "U", 1L)
+      val upd2 = chg( // later change to a subset of upd1's keys — seq wins
+        base.filter(col("o_orderkey") % 14 === 0)
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_totalprice") + 2).as("o_totalprice")), "U", 2L)
+      val ins = chg(
+        base.filter(col("o_orderkey") < 20)
+          .select((col("o_orderkey") + 9000000).as("o_orderkey"),
+            col("o_custkey"), col("o_totalprice")), "I", 1L)
+      graft.io.Tables
+        .applyCdc(base,
+          dels.unionByName(upd1).unionByName(upd2).unionByName(ins),
+          Seq("o_orderkey"), "op", Some("seq"))
+        .filter(col("o_orderkey") < 3000 || col("o_orderkey") >= 9000000)
+        .orderBy(col("o_orderkey"))
+    },
+    // --- snapshot diff: row-level added/removed/changed/unchanged between
+    // two versions of a keyed table (the incremental-vs-rebuild regression
+    // check)
+    "snapshot_diff" -> { (s, dir) =>
+      val before = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"))
+      val after = before
+        .filter(col("c_custkey") % 9 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 4 === 0, col("c_acctbal") + 50)
+            .otherwise(col("c_acctbal")))
+        .unionByName(before.filter(col("c_custkey") < 10)
+          .select((col("c_custkey") + 700000).as("c_custkey"),
+            col("c_acctbal"), col("c_mktsegment")))
+      graft.io.Tables
+        .snapshotDiff(before, after, Seq("c_custkey"))
+        .orderBy(col("c_custkey"))
+    },
     // --- null-safe equi join (<=>): the null segment group must join its
     // own aggregate row instead of silently dropping — the semantics
     // every "enrich rows with their group stats" pipeline needs when the
@@ -385,6 +434,39 @@ object RelationalQueries {
         |SELECT o_orderkey, o_custkey, o_totalprice FROM merged
         |WHERE o_orderkey < 1020 OR o_orderkey >= 10000000
         |ORDER BY o_orderkey""".stripMargin,
+    "cdc_apply" ->
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |res AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 14 = 0 THEN o_totalprice + 2
+        |         WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM base WHERE o_orderkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 9000000, o_custkey, o_totalprice
+        |  FROM base WHERE o_orderkey < 20)
+        |SELECT o_orderkey, o_custkey, o_totalprice FROM res
+        |WHERE o_orderkey < 3000 OR o_orderkey >= 9000000
+        |ORDER BY o_orderkey""".stripMargin,
+    "snapshot_diff" ->
+      """WITH b AS (SELECT c_custkey, c_acctbal, c_mktsegment FROM customer),
+        |a AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 50 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM b WHERE c_custkey % 9 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 700000, c_acctbal, c_mktsegment FROM b WHERE c_custkey < 10)
+        |SELECT coalesce(a.c_custkey, b.c_custkey) AS c_custkey,
+        |  CASE WHEN a.c_custkey IS NOT NULL THEN a.c_acctbal ELSE b.c_acctbal END AS c_acctbal,
+        |  CASE WHEN a.c_custkey IS NOT NULL THEN a.c_mktsegment ELSE b.c_mktsegment END AS c_mktsegment,
+        |  CASE WHEN a.c_custkey IS NULL THEN 'removed'
+        |       WHEN b.c_custkey IS NULL THEN 'added'
+        |       WHEN a.c_acctbal IS NOT DISTINCT FROM b.c_acctbal
+        |        AND a.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment THEN 'unchanged'
+        |       ELSE 'changed' END AS diff_status
+        |FROM b FULL OUTER JOIN a ON b.c_custkey = a.c_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "null_safe_join" ->
       """WITH c AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
         |                       ELSE c_mktsegment END AS seg, c_acctbal

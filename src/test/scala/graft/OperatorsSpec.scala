@@ -954,6 +954,37 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(est - scratch(k)).toDouble / exact(k) < 0.02, s"key $k: merged=$est scratch=${scratch(k)}")
   }
 
+  test("applyCdc: compaction by seq, delete/update/insert semantics") {
+    val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
+    val changes = Seq(
+      (1L, "a1", "U", 1L), (1L, "a2", "U", 2L), // later seq wins
+      (2L, null.asInstanceOf[String], "D", 1L), // delete
+      (3L, "c9", "U", 1L), (3L, null.asInstanceOf[String], "D", 2L), // updated then deleted
+      (4L, "d", "I", 1L)).toDF("k", "v", "op", "seq")
+    val out = graft.io.Tables.applyCdc(base, changes, Seq("k"), "op", Some("seq"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "a2", 4L -> "d"))
+    // without seq: deterministic struct tie-break, never partition-dependent
+    val noSeq = Seq((1L, "x", "U"), (1L, "y", "U")).toDF("k", "v", "op")
+    val r1 = graft.io.Tables.applyCdc(base, noSeq, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(r1 == Map(1L -> "y", 2L -> "b", 3L -> "c")) // max struct: "y" > "x"
+  }
+
+  test("snapshotDiff: added/removed/changed/unchanged with after-image values") {
+    val before = Seq((1L, 10.0, "a"), (2L, 20.0, "b"), (3L, 30.0, "c")).toDF("k", "x", "s")
+    val after = Seq((1L, 10.0, "a"), (2L, 25.0, "b"), (4L, 40.0, "d")).toDF("k", "x", "s")
+    val out = graft.io.Tables.snapshotDiff(before, after, Seq("k"))
+      .collect()
+      .map(r => r.getAs[Long]("k") -> (r.getAs[Double]("x"), r.getAs[String]("diff_status")))
+      .toMap
+    assert(out(1L) == ((10.0, "unchanged")))
+    assert(out(2L) == ((25.0, "changed"))) // after-image value
+    assert(out(3L) == ((30.0, "removed")))
+    assert(out(4L) == ((40.0, "added")))
+    assert(out.size == 4)
+  }
+
   test("corpusMixPlan: rates capped at 1, deficit flagged, unknown strata zeroed") {
     val df = (Seq.fill(60)("en") ++ Seq.fill(10)("zh") ++ Seq.fill(30)("xx")).toDF("lang")
     val out = Sampling.corpusMixPlan(df, "lang", Map("en" -> 0.5, "zh" -> 0.5), budget = 40L)
