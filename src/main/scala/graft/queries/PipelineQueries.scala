@@ -194,6 +194,15 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), min(col("t")).as("min_t"), max(col("t")).as("max_t"))
         .orderBy(col("split"))
     },
+    // --- weighted corpus sampling (A-ES over xxhash priorities): no DuckDB
+    // twin for the hash draw -> rows-only; spec pins determinism + bias
+    "weighted_sample" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("w", col("n_chars").cast("double") + 1.0)
+      Sampling.weightedSample(docs, "w", k = 25, seed = 42, stratumCols = Seq("lang"))
+        .orderBy(col("lang"), col("rank"))
+    },
     // seeded sampling/splits: deterministic per cluster but not
     // SQL-expressible — rows-only checks + ScalaTest invariants
     "stratified_split" -> { (s, dir) =>

@@ -118,6 +118,42 @@ object Sampling {
     (splits.map(_._1).reduce(_ unionByName _), splits.map(_._2).reduce(_ unionByName _))
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES): each row draws a uniform u from a seeded xxhash64 of
+    * its full content and wins with priority -ln(u)/w — the k smallest
+    * priorities are an exact without-replacement sample where inclusion
+    * odds scale with the weight column (quality scores, importance
+    * weights). Rows with weight <= 0 are excluded.
+    *
+    * Scale shape: the selection runs through the native bounded-heap top-k
+    * aggregate, so every map partition reduces to <= k candidate rows
+    * BEFORE the exchange — shuffle volume is the answer size, not the
+    * corpus. With `stratumCols` the sample is per-stratum (k each), the
+    * weighted companion to [[stratifiedSample]]. Deterministic for a fixed
+    * seed and content: byte-identical rows draw identical u (duplicates
+    * rise and fall together — dedup first if that matters).
+    */
+  def weightedSample(
+      df: DataFrame,
+      weightCol: String,
+      k: Int,
+      seed: Long,
+      stratumCols: Seq[String] = Nil): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val M = 1L << 52
+    val u = (pmod(xxhash64((df.columns.map(col) :+ lit(seed)): _*), lit(M)).cast("double") + 0.5) /
+      lit(M.toDouble)
+    val priority = -log(u) / col(weightCol)
+    val keys = if (stratumCols.nonEmpty) stratumCols else Seq("__g")
+    val keyed = (if (stratumCols.nonEmpty) df else df.withColumn("__g", lit(1)))
+      .filter(col(weightCol) > 0)
+      .withColumn("__prio", priority)
+    graft.dp.TopK
+      .topKPerKeyExpr(keyed, keys, Seq(-col("__prio")), k)
+      .drop("__prio")
+      .drop((if (stratumCols.isEmpty) Seq("__g") else Nil): _*)
+  }
+
   /** Corpus mix planning: given a target share per stratum (language,
     * source, quality bucket, …) and a total document budget, compute the
     * per-stratum Bernoulli sampling rate that hits the target — the step

@@ -954,6 +954,26 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(est - scratch(k)).toDouble / exact(k) < 0.02, s"key $k: merged=$est scratch=${scratch(k)}")
   }
 
+  test("weightedSample: deterministic, exact at k>=n, biased toward heavy weights") {
+    val df = (1 to 400).map(i => (i.toLong, if (i <= 200) 50.0 else 0.5)).toDF("id", "w")
+    val s1 = Sampling.weightedSample(df, "w", k = 60, seed = 7)
+      .collect().map(_.getAs[Long]("id")).toSet
+    val s2 = Sampling.weightedSample(df, "w", k = 60, seed = 7)
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(s1 == s2) // deterministic for a fixed seed
+    assert(s1.size == 60)
+    // 100:1 weights -> the heavy half dominates the sample
+    assert(s1.count(_ <= 200) > 50, s"heavy rows in sample: ${s1.count(_ <= 200)}")
+    // k >= n returns every positive-weight row; zero/negative weights excluded
+    val withZero = df.withColumn("w", when(col("id") === 1, -1.0).otherwise(col("w")))
+    assert(Sampling.weightedSample(withZero, "w", k = 1000, seed = 7).count() == 399)
+    // per-stratum k
+    val strat = Sampling.weightedSample(
+      df.withColumn("g", (col("id") % 2).cast("int")), "w", k = 10, seed = 7,
+      stratumCols = Seq("g"))
+    assert(strat.groupBy(col("g")).count().collect().map(_.getLong(1)).toSeq == Seq(10L, 10L))
+  }
+
   test("applyCdc: compaction by seq, delete/update/insert semantics") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val changes = Seq(
