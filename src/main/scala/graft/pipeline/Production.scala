@@ -147,6 +147,28 @@ object Production {
         ctx.dataPath("processed.chunks"))
     }
 
+    // curate the final training mix: plan per-language rates toward an
+    // equal-share target under a doc budget, persist the plan (the
+    // auditable artifact: available/target/rate/deficit per language),
+    // then execute it as one seeded sampleBy pass
+    Jobs.register("corpus-curation", "sample-mix") { (ctx, params) =>
+      val s = ctx.spark
+      val budget = params.getOrElse("budget", "1000").toString.toLong
+      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
+      val langs = docs.select(col("lang")).distinct().limit(101)
+        .collect().map(_.getString(0))
+      require(langs.length <= 100,
+        "sample-mix: lang stratum cardinality > 100 — not a language column")
+      val shares = langs.map(l => l -> 1.0 / langs.length).toMap
+      val plan = graft.sampling.Sampling.corpusMixPlan(docs, "lang", shares, budget)
+      Tables.saveData(plan, ctx.dataPath("processed.mix_plan"))
+      val rates = plan.select(col("lang"), col("rate")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      Tables.saveData(
+        graft.sampling.Sampling.stratifiedSample(docs, "lang", rates, ctx.seed),
+        ctx.dataPath("clean.documents_mixed"))
+    }
+
     Jobs.register("corpus-curation", "near-dup-report") { (ctx, params) =>
       val s = ctx.spark
       val threshold = params.getOrElse("threshold", "0.7").toString.toDouble
