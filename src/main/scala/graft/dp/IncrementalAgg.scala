@@ -32,6 +32,47 @@ object IncrementalAgg {
         min(col(valueCol)).as("min_v"),
         max(col(valueCol)).as("max_v"))
 
+  /** Fold a batch's state into a parquet state DIRECTORY with a
+    * read-merge-swap: merge with the existing state (if any), write to a
+    * temp dir, then rename into place — the state table is never read and
+    * overwritten in the same job, and a crash mid-write leaves the old
+    * state intact. `batchId` makes replays idempotent: a batch at or below
+    * the last folded id is skipped (the at-least-once delivery of
+    * checkpointed streaming restarts would otherwise double-count).
+    * Cost per fold: O(|state| + |batch|) — never the history. */
+  def foldStateDir(
+      spark: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      batchState: DataFrame,
+      keyCol: String,
+      batchId: Long = Long.MinValue): Unit = {
+    import org.apache.hadoop.fs.Path
+    val dir = new Path(statePath)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(statePath + ".batchid")
+    if (batchId != Long.MinValue && fs.exists(marker)) {
+      val in = fs.open(marker)
+      val last = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+      if (batchId <= last) return // replayed batch — already folded
+    }
+    val merged =
+      if (fs.exists(dir)) mergeStates(spark.read.parquet(statePath), batchState, keyCol)
+      else batchState
+    val tmp = new Path(statePath + ".tmp")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    val old = new Path(statePath + ".old")
+    fs.delete(old, true)
+    if (fs.exists(dir)) fs.rename(dir, old)
+    fs.rename(tmp, dir)
+    fs.delete(old, true)
+    if (batchId != Long.MinValue) {
+      val out = fs.create(marker, true)
+      try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** One batch's per-key DISTINCT-count state: an HLL sketch of the value
     * column (Spark 4's Datasketches-backed hll_sketch_agg). Unlike exact
     * countDistinct, the sketch is a few KB per key and MERGEABLE — the

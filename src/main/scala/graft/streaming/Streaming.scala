@@ -221,6 +221,34 @@ object Streaming {
       .parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** Continuously maintain a per-key aggregate state table from a stream:
+    * each micro-batch is reduced to its partial state (one combinable
+    * groupBy over the BATCH only) and folded into the parquet state
+    * directory via `IncrementalAgg.foldStateDir` — the streaming twin of
+    * the batch incremental-maintenance path, sharing the exact same merge
+    * (so a pipeline can switch between nightly batches and a stream
+    * without a state rewrite). The foreachBatch id + the fold's batch-id
+    * marker make checkpoint replays idempotent (exactly-once state even
+    * under at-least-once delivery). State cost per batch:
+    * O(|state| + |batch|), never the stream's history. */
+  def maintainAggState(
+      events: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.dp.IncrementalAgg.foldStateDir(
+          batch.sparkSession,
+          statePath,
+          graft.dp.IncrementalAgg.aggState(batch, keyCol, valueCol),
+          keyCol,
+          batchId)
+      }
+      .start()
+
   /** Parquet sink with checkpointing; returns the started query. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream

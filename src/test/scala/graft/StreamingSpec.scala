@@ -187,4 +187,31 @@ class StreamingSpec extends SparkSpec {
     query.stop()
     assert(last == ((7L, 3L, 7.0, "purchase")))
   }
+
+  test("maintainAggState folds micro-batches into a parquet state table") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString
+    val statePath = s"$dir/state"
+    val input = MemoryStream[Event]
+    val query = Streaming.maintainAggState(
+      input.toDF(), "user_id", "value", statePath, s"$dir/ckpt")
+    input.addData(Event(1, "a", ts(0), 2.5), Event(1, "a", ts(1), -1.0), Event(2, "a", ts(0), 3.0))
+    query.processAllAvailable()
+    input.addData(Event(1, "a", ts(2), 7.25), Event(3, "a", ts(0), 0.5))
+    query.processAllAvailable()
+    query.stop()
+    val state = spark.read.parquet(statePath)
+      .select(col("user_id"), col("n"), col("sum_v").cast("double"), col("min_v"), col("max_v"))
+      .as[(Long, Long, Double, Double, Double)].collect().sortBy(_._1).toSeq
+    assert(state == Seq(
+      (1L, 3L, 8.75, -1.0, 7.25),
+      (2L, 1L, 3.0, 3.0, 3.0),
+      (3L, 1L, 0.5, 0.5, 0.5)))
+    // replaying an already-folded batch id is a no-op (exactly-once state)
+    val replay = graft.dp.IncrementalAgg.aggState(
+      Seq((1L, 100.0)).toDF("user_id", "value"), "user_id", "value")
+    graft.dp.IncrementalAgg.foldStateDir(spark, statePath, replay, "user_id", batchId = 0L)
+    assert(spark.read.parquet(statePath).selectExpr("sum(n)").as[Long].head() == 5L)
+  }
 }
