@@ -267,6 +267,54 @@ object TextAnalysis {
       .select(col(idCol), col("rn"), col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** Top-k BM25 terms per document — TF-IDF's retrieval-grade sibling with
+    * term-frequency saturation (k1) and document-length normalization (b):
+    * score = ln(1 + (N - df + 0.5)/(df + 0.5))
+    *         * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)).
+    * The always-positive idf variant; a long document repeating a token
+    * stops gaining score where raw TF-IDF grows linearly — the relevance
+    * scoring a curation pipeline wants for query-anchored filtering.
+    *
+    * Scale shape matches [[tfidfTopTerms]]: explode → (doc,token) tf →
+    * token df → joins on token/doc, per-document-partitioned top-k window.
+    * Learned scalars are N and avgdl (exact long sum / count — no
+    * float-accumulated average, so the constant is bit-reproducible).
+    * Ranking key round(bm25, 6) + token tiebreak, reproducible across
+    * engines. */
+  def bm25TopTerms(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      minLength: Int = 2,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val n = df.count()
+    val tf = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) >= minLength)
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val totals = dl.agg(sum(col("dl")), count(lit(1))).head()
+    require(!totals.isNullAt(0), "bm25TopTerms: corpus has no tokens")
+    val avgdl = totals.getLong(0).toDouble / totals.getLong(1)
+    val docFreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val k1c = lit(k1)
+    val idf = log((lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val sat = (col("tf") * (k1c + lit(1.0))) /
+      (col("tf") + k1c * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    val scored = tf
+      .join(docFreq, Seq("token"))
+      .join(dl, Seq(idCol))
+      .withColumn("bm25", round(idf * sat, 6))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("bm25"), asc("token"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(idCol), col("rn"), col("token"), col("tf"), col("df"), col("dl"), col("bm25"))
+  }
+
   /** PII redaction for corpus curation: emails, URLs, and phone-like
     * number runs replaced with typed placeholder tokens. Pure chained
     * regexp_replace — codegen'd, fused into the scan projection, linear in

@@ -954,6 +954,25 @@ class OperatorsSpec extends SparkSpec {
       assert(math.abs(est - scratch(k)).toDouble / exact(k) < 0.02, s"key $k: merged=$est scratch=${scratch(k)}")
   }
 
+  test("bm25TopTerms: tf saturates and long docs are length-normalized") {
+    val docs = Seq(
+      (1L, "alpha beta"),
+      (2L, "alpha alpha alpha alpha alpha alpha alpha alpha beta"),
+      (3L, "gamma " + Seq.fill(50)("filler").mkString(" "))).toDF("id", "text")
+    val out = graft.text.TextAnalysis.bm25TopTerms(docs, "id", "text", k = 10)
+      .collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("token")) -> r.getAs[Double]("bm25"))
+      .toMap
+    // saturation: 8x the tf must score well under 8x (k1=1.2 caps at 2.2x)
+    assert(out((2L, "alpha")) < out((1L, "alpha")) * 2.2 + 1e-9)
+    assert(out((2L, "alpha")) > out((1L, "alpha")))
+    // length normalization: the same df=1 token scores lower in the 51-token
+    // doc than a df=1 token in the 2-token doc
+    assert(out((3L, "gamma")) < out((1L, "beta")))
+    // every (doc, token) pair present exactly once with k wide open
+    assert(out.size == 6) // {alpha,beta} x docs 1,2 + {gamma,filler} in doc 3
+  }
+
   test("weightedSample: deterministic, exact at k>=n, biased toward heavy weights") {
     val df = (1 to 400).map(i => (i.toLong, if (i <= 200) 50.0 else 0.5)).toDF("id", "w")
     val s1 = Sampling.weightedSample(df, "w", k = 60, seed = 7)
