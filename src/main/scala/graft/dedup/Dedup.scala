@@ -428,4 +428,46 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /** Corpus-level line dedup (the CCNet/RefinedWeb preprocessing step):
+    * lines that occur in more than `maxOccurrences` documents corpus-wide
+    * are boilerplate (nav bars, cookie banners, footers) and are removed
+    * from EVERY document; what survives is each document with only its
+    * corpus-unique lines, plus kept/total counts for quality filtering
+    * downstream (a doc that loses most of its lines is itself boilerplate).
+    *
+    * Scale shape: explode to (doc, pos, line), count occurrences with one
+    * hash-partitioned groupBy on a 64-bit line hash (combinable partial
+    * counts — the shuffle carries (hash, count), not text), join the
+    * counts back on the hash, and re-aggregate per doc. Reassembly sorts
+    * each doc's surviving lines by position INSIDE the aggregate
+    * (array_sort of collected structs) — no window, no global sort. The
+    * only full-width shuffle is the per-doc regroup, which any
+    * reassembling operator pays. */
+  def dedupLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxOccurrences: Int = 1): DataFrame = {
+    val lines = df.select(
+      col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    // counts keyed by the 64-bit hash: the shuffle for the groupBy and the
+    // join carries 16 bytes per distinct line instead of the line text
+    val counts = lines
+      .groupBy(xxhash64(col("line")).as("__lh"))
+      .agg(count(lit(1)).as("__n"))
+    val keep = col("__n") <= maxOccurrences
+    lines
+      .join(counts, xxhash64(col("line")) === col("__lh"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(keep, struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("text_deduped"))
+  }
 }

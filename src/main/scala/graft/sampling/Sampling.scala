@@ -187,4 +187,32 @@ object Sampling {
         round(least(lit(1.0), lit(budget) * share / col("available")), 6).as("rate"),
         (col("available") < lit(budget) * share).as("deficit"))
   }
+
+  /** Deterministic uniform reservoir of exactly `k` rows per stratum
+    * (min(k, stratum size) for small strata): every row gets an md5
+    * priority from (id, salt) and the k largest priorities per key win.
+    * Unlike `stratifiedSample` (Bernoulli — approximate counts) this is
+    * EXACT-k, and unlike `randomSplit` it is stable under repartitioning
+    * and engine changes: md5 is a portable function of the data itself,
+    * so any engine (and the DuckDB oracle) reproduces the same sample.
+    *
+    * Scale shape: the priorities flow through the bounded-heap top-k
+    * aggregate — each map partition reduces to ≤ k rows per stratum
+    * before the exchange, so the shuffle carries ~|strata|·k rows no
+    * matter how large the corpus. No window, no global sort. */
+  def reservoirPerKey(
+      df: DataFrame,
+      stratumCols: Seq[String],
+      idCol: String,
+      k: Int,
+      salt: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.dp.TopK
+      .topKPerKeyExpr(
+        df.withColumn("__prio", md5(concat(col(idCol).cast("string"), lit(salt)))),
+        stratumCols,
+        Seq(col("__prio")),
+        k)
+      .drop("__prio")
+  }
 }

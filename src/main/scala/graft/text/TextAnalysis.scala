@@ -384,6 +384,42 @@ object TextAnalysis {
         round(avg(-log(col("n") / col("total").cast("double"))), 6).as("avg_neg_logprob"))
   }
 
+  /** Inverted index: token → document frequency + a CAPPED posting list
+    * (the `maxPostings` smallest doc ids, ascending) — the retrieval-side
+    * artifact of a corpus (keyword search, contamination lookup, df
+    * tables for BM25 serving).
+    *
+    * Scale shape: explode + (token, doc) distinct, then ONE groupBy per
+    * token computing the count and the capped posting list together. The
+    * posting list goes through the bounded-heap top-k aggregate, so a
+    * stopword-like token appearing in a billion documents still
+    * contributes at most `maxPostings` ids to the shuffle — collecting
+    * uncapped postings (collect_set) would OOM on exactly the tokens a
+    * real corpus has most of. `minDf` prunes the hapax tail after the
+    * count (cheap — it's the same pass). */
+  def invertedIndex(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLength: Int = 2,
+      minDf: Long = 1,
+      maxPostings: Int = 10): DataFrame = {
+    val pairs = df
+      .select(col(idCol).as("__id"), explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) >= minLength)
+      .distinct()
+    pairs
+      .groupBy(col("token"))
+      .agg(
+        count(lit(1)).as("df"),
+        graft.dp.TopK.topKAgg(maxPostings)((-col("__id")).as("i")).as("__post"))
+      .filter(col("df") >= minDf)
+      .select(
+        col("token"),
+        col("df"),
+        transform(col("__post"), s => -s.getField("i")).as("postings"))
+  }
+
   /** Full stats table over a documents frame. */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val c = col(textCol)

@@ -1,0 +1,98 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.sampling.Sampling
+import graft.text.{Packing, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing, corpus line dedup, deterministic reservoir, and
+  * inverted-index behavior. */
+class PackingCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "alpha beta gamma delta"),
+    (1L, "one two three"),
+    (2L, "a b c d e f g"),
+    (3L, "x y"),
+    (4L, "lorem ipsum dolor sit amet consectetur"),
+    (5L, "p q r s t u v w")
+  ).toDF("doc_id", "text")
+
+  test("packingPlan: offsets are contiguous per shard, sequence extents consistent") {
+    val plan = Packing.packingPlan(docs, "doc_id", "text", ctxTokens = 5, nShards = 2)
+      .orderBy("shard", "doc_id").collect()
+    // per shard, start_offset of doc i+1 == start_offset + n_tokens of doc i
+    plan.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      rows.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("start_offset") ==
+            a.getAs[Long]("start_offset") + a.getAs[Long]("n_tokens"))
+        case _ => ()
+      }
+      assert(rows.head.getAs[Long]("start_offset") == 0L)
+    }
+    plan.foreach { r =>
+      val (st, n, ctx) = (r.getAs[Long]("start_offset"), r.getAs[Long]("n_tokens"), 5L)
+      assert(r.getAs[Long]("first_seq") == st / ctx)
+      assert(r.getAs[Long]("last_seq") == (st + n - 1) / ctx)
+      assert(r.getAs[Long]("n_seqs") == r.getAs[Long]("last_seq") - r.getAs[Long]("first_seq") + 1)
+      assert(r.getAs[Long]("offset_in_seq") == st % ctx)
+      assert(r.getAs[Long]("n_seqs") >= 1)
+    }
+    // shard 0: docs 0,2,4 → 4+7+6=17 tokens → seqs 0..3 at ctx 5
+    val s0 = Packing.shardSummary(Packing.packingPlan(docs, "doc_id", "text", 5, 2))
+      .filter($"shard" === 0).head()
+    assert(s0.getAs[Long]("n_docs") == 3 && s0.getAs[Long]("n_tokens") == 17 &&
+      s0.getAs[Long]("n_seqs") == 4)
+  }
+
+  test("dedupLines removes corpus-duplicated lines, keeps unique lines in order") {
+    val d = Seq(
+      (1L, "unique one\nshared footer\nunique two"),
+      (2L, "other text\nshared footer"),
+      (3L, "third doc\nown line")
+    ).toDF("id", "text")
+    val out = Dedup.dedupLines(d, "id", "text").orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("n_lines")).toSeq == Seq(3L, 2L, 2L))
+    assert(out.map(_.getAs[Long]("n_kept")).toSeq == Seq(2L, 1L, 2L))
+    assert(out.map(_.getAs[String]("text_deduped")).toSeq ==
+      Seq("unique one\nunique two", "other text", "third doc\nown line"))
+    // a doc whose every line is boilerplate collapses to empty, not null
+    val all = Seq((1L, "x\ny"), (2L, "x\ny")).toDF("id", "text")
+    val gone = Dedup.dedupLines(all, "id", "text").orderBy("id").collect()
+    assert(gone.forall(_.getAs[String]("text_deduped") == ""))
+    assert(gone.forall(_.getAs[Long]("n_kept") == 0L))
+  }
+
+  test("reservoirPerKey: exact k per stratum, deterministic, salt-sensitive") {
+    val d = (0L until 200L).map(i => (s"s${i % 4}", i)).toDF("stratum", "id")
+    val a = Sampling.reservoirPerKey(d, Seq("stratum"), "id", k = 7, salt = "s1")
+    assert(a.groupBy("stratum").count().select("count").as[Long].collect().forall(_ == 7L))
+    val again = Sampling.reservoirPerKey(d, Seq("stratum"), "id", k = 7, salt = "s1")
+    assert(a.orderBy("stratum", "rank").collect().toSeq ==
+      again.orderBy("stratum", "rank").collect().toSeq)
+    val other = Sampling.reservoirPerKey(d, Seq("stratum"), "id", k = 7, salt = "s2")
+    assert(a.select("id").as[Long].collect().toSet !=
+      other.select("id").as[Long].collect().toSet)
+    // small stratum: min(k, size) rows survive
+    val tiny = Seq(("only", 1L), ("only", 2L)).toDF("stratum", "id")
+    assert(Sampling.reservoirPerKey(tiny, Seq("stratum"), "id", 7, "s").count() == 2)
+  }
+
+  test("invertedIndex: capped ascending postings, df counts distinct docs") {
+    val d = Seq(
+      (10L, "spark spark engine"),
+      (11L, "spark catalyst"),
+      (12L, "spark rows"),
+      (13L, "spark plan engine")
+    ).toDF("id", "text")
+    val idx = TextAnalysis.invertedIndex(d, "id", "text", minLength = 2, minDf = 1, maxPostings = 2)
+    val m = idx.collect().map(r =>
+      r.getAs[String]("token") -> (r.getAs[Long]("df"), r.getAs[Seq[Long]]("postings"))).toMap
+    assert(m("spark") == (4L, Seq(10L, 11L)))   // df counts all, postings capped at 2
+    assert(m("engine") == (2L, Seq(10L, 13L)))
+    assert(m("catalyst") == (1L, Seq(11L)))
+    assert(!m.contains("a"))
+  }
+}
