@@ -309,6 +309,37 @@ class OperatorsSpec extends SparkSpec {
     assert(rows == df.filter(col("k") >= 4000 && col("k") < 4500).count())
   }
 
+  test("saveZOrdered: file skipping works on both dimensions independently") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    // 128x128 grid, written in shuffled row-major order
+    val df = (0 until 16384).map { i =>
+      val j = (i * 7919) % 16384; (j % 128, j / 128, s"p$j")
+    }.toDF("x", "y", "s")
+    graft.io.Tables.saveZOrdered(df, s"$dir/z", "x", "y", numFiles = 16)
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == 16384)
+    def touched(f: org.apache.spark.sql.Column): Long =
+      back.filter(f).select(input_file_name()).distinct().count()
+    // a 16x16 rectangle (~1.6% of rows) lands in a handful of z-quadrants
+    assert(touched(col("x") >= 32 && col("x") < 48 && col("y") >= 32 && col("y") < 48) <= 4)
+    // a band on EITHER single dimension skips about half the files —
+    // a linear sort by x would touch all 16 files for the y band
+    assert(touched(col("x") >= 32 && col("x") < 48) <= 8)
+    assert(touched(col("y") >= 32 && col("y") < 48) <= 8)
+    // and the data is intact under a predicate
+    assert(back.filter(col("x") === 5 && col("y") === 7).count() == 1)
+  }
+
+  test("mortonCode interleaves bits: unit squares are adjacent codes") {
+    import spark.implicits._
+    val m = Seq((0, 0), (1, 0), (0, 1), (1, 1), (2, 2), (3, 5))
+      .toDF("a", "b")
+      .select(graft.io.Tables.mortonCode(col("a"), col("b")).as("z"))
+      .as[Long].collect().toSeq
+    assert(m == Seq(0L, 1L, 2L, 3L, 12L, 39L)) // z(3,5)=interleave(011,101)=100111
+  }
+
   test("upsert: updates replace, inserts append, untouched rows survive") {
     import graft.io.Tables
     val existing = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
