@@ -104,4 +104,43 @@ object Temporal {
           refValueCols.map(c => m(c).as(s"asof_$c")))
     matched.filter(col("__asof_probe") === 1).select(out: _*)
   }
+
+  /** Batch range (interval-containment) join: every `probe` row pairs with
+    * every `intervals` row whose `[startCol, endCol)` contains the probe's
+    * `ptCol`. All three columns must be the same numeric axis (epoch
+    * seconds, epoch days — cast timestamps first). Overlapping intervals
+    * produce multiple matches, point-less probes produce none (inner).
+    *
+    * Scale shape: Spark plans a raw `p.pt >= i.start AND p.pt < i.end`
+    * predicate as BroadcastNestedLoopJoin — a per-partition cartesian that
+    * dies when neither side is tiny. Instead the axis is quantized into
+    * `bucketWidth` cells: each interval EXPLODES into the cells it spans,
+    * each probe keys to its own cell, and the join becomes an EQUI join on
+    * the cell id + an exact residual filter. A probe's cell is unique, so
+    * a matching pair meets in exactly one cell — no post-join dedup.
+    * Shuffle volume is |probe| + Σ(interval spans / bucketWidth); pick
+    * `bucketWidth` near the median interval length so typical intervals
+    * explode into ~1-2 cells. Time-of-day hot spots land in different
+    * cells each day, and AQE skew-split handles the rest. */
+  def rangeJoin(
+      probe: DataFrame,
+      intervals: DataFrame,
+      ptCol: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be > 0, got $bucketWidth")
+    val cells = intervals
+      .filter(col(startCol) < col(endCol))
+      .withColumn(
+        "__cell",
+        explode(sequence(
+          expr(s"$startCol div $bucketWidth"),
+          expr(s"($endCol - 1) div $bucketWidth"))))
+    probe
+      .withColumn("__cell", expr(s"$ptCol div $bucketWidth"))
+      .join(cells, Seq("__cell"))
+      .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
+      .drop("__cell")
+  }
 }

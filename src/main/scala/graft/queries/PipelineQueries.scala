@@ -171,6 +171,21 @@ object PipelineQueries {
           col("asof_purchase_value"))
         .orderBy(col("user_id"), col("ts_us"), col("value"))
     },
+    // --- batch range join: events × overlapping campaign windows via
+    // bucketed equi-join (no nested-loop) — each event meets a window in
+    // exactly one day-cell, overlaps produce one row per containing window
+    "range_join" -> { (s, dir) =>
+      val ev = events(s, dir)
+        .select(col("event_id"), unix_timestamp(col("ts")).as("pt"))
+      val iv = s.range(12).select(
+        col("id").as("w_id"),
+        (lit(1704067200L) + col("id") * 259200L).as("w_start"),
+        (lit(1704067200L) + col("id") * 259200L + 432000L).as("w_end"))
+      graft.dp.Temporal
+        .rangeJoin(ev, iv, "pt", "w_start", "w_end", bucketWidth = 86400L)
+        .select(col("event_id"), col("w_id"))
+        .orderBy(col("event_id"), col("w_id"))
+    },
     "lag_lead" -> { (s, dir) =>
       val ev = events(s, dir).filter(col("user_id") < 50)
         .select(col("user_id"), col("ts"), col("value"))
@@ -294,6 +309,13 @@ object PipelineQueries {
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT user_id, t_us AS ts_us, value, asof_ts_us, asof_purchase_value
         |FROM m WHERE is_probe = 1 ORDER BY user_id, ts_us, value""".stripMargin,
+    "range_join" ->
+      """WITH w AS (SELECT i AS w_id, 1704067200 + i * 259200 AS ws,
+        |                  1704067200 + i * 259200 + 432000 AS we
+        |           FROM range(12) t(i)),
+        |e AS (SELECT event_id, epoch_ns(ts) // 1000000000 AS pt FROM events)
+        |SELECT event_id, w_id FROM e JOIN w ON pt >= ws AND pt < we
+        |ORDER BY event_id, w_id""".stripMargin,
     "lag_lead" ->
       """WITH e AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000 AS t_us, value
         |           FROM events WHERE user_id < 50),

@@ -188,6 +188,38 @@ object Sampling {
         (col("available") < lit(budget) * share).as("deficit"))
   }
 
+  /** Temperature-scaled corpus mix (the multilingual-pretraining
+    * rebalance): stratum sampling weights ∝ (stratum share)^alpha,
+    * renormalized. alpha = 1 keeps the natural distribution, alpha = 0 is
+    * uniform over strata, and the usual 0.2–0.7 range up-samples the tail
+    * (low-resource languages) without letting the head dominate. Unlike
+    * [[corpusMixPlan]] (explicit target shares) the targets here are
+    * DERIVED from the corpus itself — no hand-written share table.
+    *
+    * Same plan shape as corpusMixPlan plus a 1-row broadcast for the
+    * weight normalizer: one groupBy over the corpus, |strata| rows out,
+    * no driver collect. Execute with `stratifiedSample(df, stratumCol,
+    * rates)`. */
+  def temperatureMixPlan(
+      df: DataFrame,
+      stratumCol: String,
+      alpha: Double,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    require(alpha >= 0, s"alpha must be >= 0, got $alpha")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("available"))
+    val w = pow(col("available").cast("double"), lit(alpha))
+    val norm = counts.agg(sum(pow(col("available").cast("double"), lit(alpha))).as("__wsum"))
+    counts
+      .crossJoin(broadcast(norm))
+      .select(
+        col(stratumCol),
+        col("available"),
+        floor(lit(budget) * w / col("__wsum")).cast("bigint").as("target_n"),
+        round(least(lit(1.0), lit(budget) * w / col("__wsum") / col("available")), 6).as("rate"),
+        (col("available") < lit(budget) * w / col("__wsum")).as("deficit"))
+  }
+
   /** Deterministic uniform reservoir of exactly `k` rows per stratum
     * (min(k, stratum size) for small strata): every row gets an md5
     * priority from (id, salt) and the k largest priorities per key win.

@@ -340,6 +340,26 @@ class OperatorsSpec extends SparkSpec {
     assert(m == Seq(0L, 1L, 2L, 3L, 12L, 39L)) // z(3,5)=interleave(011,101)=100111
   }
 
+  test("rangeJoin: containment semantics, overlaps multi-match, no bucket dups") {
+    import spark.implicits._
+    val probe = Seq((1L, 5L), (2L, 10L), (3L, 25L), (4L, 99L)).toDF("pid", "pt")
+    val iv = Seq(
+      (10L, 0L, 11L),   // catches pt 5 and 10
+      (11L, 5L, 30L),   // overlaps the first: pt 5, 10, 25
+      (12L, 25L, 26L),  // single-point window: pt 25 only
+      (13L, 40L, 40L),  // empty interval — dropped
+      (14L, 90L, 120L)  // spans many buckets; pt 99 matches ONCE
+    ).toDF("wid", "ws", "we")
+    val out = graft.dp.Temporal.rangeJoin(probe, iv, "pt", "ws", "we", bucketWidth = 7L)
+      .select("pid", "wid").as[(Long, Long)].collect().toSet
+    assert(out == Set(
+      (1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (3L, 11L), (3L, 12L), (4L, 14L)))
+    // end-exclusive: pt == we does not match
+    val edge = Seq((9L, 11L)).toDF("pid", "pt")
+    assert(graft.dp.Temporal.rangeJoin(edge, iv, "pt", "ws", "we", 7L)
+      .filter(col("wid") === 10L).count() == 0)
+  }
+
   test("upsert: updates replace, inserts append, untouched rows survive") {
     import graft.io.Tables
     val existing = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")

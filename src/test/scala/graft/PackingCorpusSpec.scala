@@ -80,6 +80,25 @@ class PackingCorpusSpec extends SparkSpec {
     assert(Sampling.reservoirPerKey(tiny, Seq("stratum"), "id", 7, "s").count() == 2)
   }
 
+  test("temperatureMixPlan: alpha=1 keeps natural shares, alpha=0 is uniform") {
+    val d = (Seq.fill(900)("en") ++ Seq.fill(90)("de") ++ Seq.fill(10)("haw"))
+      .zipWithIndex.map { case (l, i) => (l, i.toLong) }.toDF("lang", "id")
+    def plan(alpha: Double) = Sampling.temperatureMixPlan(d, "lang", alpha, budget = 100L)
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("target_n"), r.getAs[Double]("rate"))).toMap
+    val natural = plan(1.0)
+    assert(natural("en")._1 == 90L && natural("de")._1 == 9L && natural("haw")._1 == 1L)
+    val uniform = plan(0.0)
+    assert(uniform.values.map(_._1).toSet == Set(33L)) // 100/3 each
+    // 0 < alpha < 1 sits between: tail up-sampled, head down-sampled
+    val t = plan(0.5)
+    assert(t("haw")._1 > natural("haw")._1 && t("en")._1 < natural("en")._1)
+    // a stratum smaller than its target is flagged deficit, rate capped
+    val deficit = Sampling.temperatureMixPlan(d, "lang", 0.0, budget = 3000L)
+      .filter($"lang" === "haw").head()
+    assert(deficit.getAs[Boolean]("deficit") && deficit.getAs[Double]("rate") == 1.0)
+  }
+
   test("invertedIndex: capped ascending postings, df counts distinct docs") {
     val d = Seq(
       (10L, "spark spark engine"),
