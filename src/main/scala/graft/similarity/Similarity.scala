@@ -260,4 +260,54 @@ object Similarity {
         round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** Per-class centroid CELLS (label, dim, mean_val): explode each vector
+    * to (dim, value) and average per (label, dim). The explode multiplies
+    * rows by the embedding width, but the groupBy is combinable — partial
+    * map-side averages bound the shuffle to |labels|·dim cells no matter
+    * the corpus size. Means are rounded to 6 decimals so downstream math
+    * starts from engine-reproducible inputs. */
+  def labelCentroidCells(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    df.select(
+        col(labelCol),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+      .groupBy(col(labelCol), col("dim"))
+      .agg(round(avg(col("x")), 6).as("mean_val"))
+
+  /** Centroid ARRAYS (label, centroid) reassembled from the cells —
+    * |labels| rows, ready to broadcast. */
+  def labelCentroids(df: DataFrame, labelCol: String, vecCol: String): DataFrame =
+    labelCentroidCells(df, labelCol, vecCol)
+      .groupBy(col(labelCol))
+      .agg(transform(
+        array_sort(collect_list(struct(col("dim"), col("mean_val")))),
+        s => s.getField("mean_val")).as("centroid"))
+
+  /** Nearest-centroid assignment (the Rocchio classifier / the "assign"
+    * half of k-means): each vector pairs with every broadcast centroid,
+    * cosine-scored with the codegen'd dot kernel, best label wins (ties
+    * broken by label for determinism). Work is |corpus|·|labels| rows
+    * streamed through a broadcast join — no shuffle of the corpus; the
+    * per-id argmax rides the bounded window idiom (|labels| rows per
+    * id). */
+  def nearestCentroid(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      labelCol: String): DataFrame = {
+    val scored = df
+      .crossJoin(broadcast(centroids.select(
+        col(labelCol).as("__cl"),
+        col("centroid").as("__cv"))))
+      .select(
+        col(idCol),
+        col("__cl"),
+        round(cosine(col(vecCol), col("__cv")), 6).as("cosine"))
+    val w = Window.partitionBy(col(idCol)).orderBy(desc("cosine"), col("__cl"))
+    scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("__cl").as("pred_label"), col("cosine"))
+  }
 }

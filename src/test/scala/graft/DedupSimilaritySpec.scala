@@ -172,6 +172,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top(1L) == 1) // most similar
   }
 
+  test("nearest centroid recovers cluster membership on separated vectors") {
+    // two tight clusters around orthogonal axes + a stray point
+    val vecs = Seq(
+      (0L, 0, Array(1.0f, 0.1f, 0.0f)),
+      (1L, 0, Array(0.9f, 0.0f, 0.1f)),
+      (2L, 1, Array(0.0f, 1.0f, 0.1f)),
+      (3L, 1, Array(0.1f, 0.9f, 0.0f)),
+      (4L, 1, Array(0.0f, 1.0f, 0.0f))).toDF("vec_id", "label", "embedding")
+    val cells = Similarity.labelCentroidCells(vecs, "label", "embedding")
+    assert(cells.count() == 6) // 2 labels x 3 dims
+    val m = cells.filter(col("label") === 0 && col("dim") === 0)
+      .select("mean_val").as[Double].head()
+    assert(math.abs(m - 0.95) < 1e-6)
+    val cent = Similarity.labelCentroids(vecs, "label", "embedding")
+    val pred = Similarity
+      .nearestCentroid(vecs, "vec_id", "embedding", cent, "label")
+      .select("vec_id", "pred_label").as[(Long, Int)].collect().toMap
+    assert(pred == Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 1, 4L -> 1))
+    // a query vector between the clusters but closer to axis 1 assigns to 1
+    val q = Seq((99L, Array(0.4f, 0.6f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.nearestCentroid(q, "vec_id", "embedding", cent, "label")
+      .select("pred_label").as[Int].head() == 1)
+  }
+
   test("embedding near-dup finds planted duplicate vectors") {
     val n = 40
     val vecs = (0 until n).map { i =>
