@@ -58,4 +58,32 @@ object Binning {
     (0 to n).map(i => lo + (hi - lo) * i / n)
 
   def withExplicitSplits(splits: Map[String, Seq[Double]]): Model = Model(splits)
+
+  /** Per-GROUP quantile bucket assignment ("normalize quality scores
+    * within each language"): learns the n-1 interior quantile edges per
+    * group in one combinable aggregate, joins the |groups|-row edge table
+    * back (small side — AQE broadcasts it), and assigns
+    * bucket = #{edges <= value} as a pure expression over the edges
+    * array. Unlike [[fitQuantile]] the edge table never visits the
+    * driver, so group cardinality is unbounded; unlike a per-group
+    * `ntile` window there is no per-group total sort of the data.
+    * Output: all input columns + `bucket` (0 .. nBuckets-1; null value →
+    * null bucket). */
+  def groupedBinning(
+      df: DataFrame,
+      keyCol: String,
+      valCol: String,
+      nBuckets: Int,
+      exact: Boolean = false): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val probes = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val v = col(valCol).cast("double")
+    val edges = df
+      .groupBy(col(keyCol))
+      .agg(graft.Exprs.pctArray(v, probes, exact).as("__edges"))
+    df.join(edges, Seq(keyCol))
+      .withColumn("bucket", size(filter(col("__edges"), e => e <= v)))
+      .withColumn("bucket", when(v.isNotNull, col("bucket")))
+      .drop("__edges")
+  }
 }

@@ -72,6 +72,17 @@ object FeatureQueries {
           r6(element_at(col("q"), 3)).as("q75"))
         .orderBy(col("l_returnflag"))
     },
+    // --- per-group quantile buckets: quartile edges learned per
+    // event_type in one combinable agg, assignment via the edges array —
+    // no driver collect, no per-group ntile sort
+    "grouped_binning" -> { (s, dir) =>
+      Binning
+        .groupedBinning(
+          events(s, dir).select(col("event_id"), col("event_type"), col("value")),
+          "event_type", "value", nBuckets = 4, exact = Support.exact)
+        .select(col("event_id"), col("event_type"), col("bucket"))
+        .orderBy(col("event_id"))
+    },
     "binning_quantile" -> { (s, dir) =>
       val df = t(s, dir, "lineitem")
       val m = Binning.fitQuantile(df, Seq("l_extendedprice"), 5, exact = Support.exact)
@@ -314,6 +325,14 @@ object FeatureQueries {
         |  round(quantile_cont(l_quantity, 0.5), 6) AS q50,
         |  round(quantile_cont(l_quantity, 0.75), 6) AS q75
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "grouped_binning" ->
+      """WITH e AS (SELECT event_type,
+        |    quantile_cont(CAST(value AS DOUBLE), [0.25, 0.5, 0.75]) AS edges
+        |  FROM events GROUP BY 1)
+        |SELECT event_id, ev.event_type,
+        |  CAST(len(list_filter(edges, x -> x <= CAST(ev.value AS DOUBLE))) AS INT) AS bucket
+        |FROM events ev JOIN e USING (event_type)
+        |ORDER BY event_id""".stripMargin,
     "binning_quantile" ->
 """WITH e AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.0) AS s0,
         |                  quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.2) AS s1,

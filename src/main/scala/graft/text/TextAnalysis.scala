@@ -384,6 +384,39 @@ object TextAnalysis {
         round(avg(-log(col("n") / col("total").cast("double"))), 6).as("avg_neg_logprob"))
   }
 
+  /** Bigram LM quality score: average negative conditional log-probability
+    * -log P(w2|w1) of each document's adjacent token pairs, with bigram
+    * and context counts learned from the corpus itself (like
+    * [[unigramLogProb]], within-corpus scoring has no OOV). The
+    * denominator is the corpus-wide unigram count of w1 — the standard
+    * within-corpus approximation (exact context counts differ only by
+    * each document's final token). Repetitive/templated text scores LOW
+    * (its bigrams are corpus-frequent); incoherent token soup scores HIGH
+    * even when its unigrams are common — the signal the unigram score
+    * can't see. Documents with fewer than two tokens drop out (no
+    * bigrams).
+    *
+    * Scale: bigram extraction is a per-doc lag window (key-partitioned,
+    * never global); counts are two combinable groupBys whose shuffles
+    * carry (gram, count); the score join's volume is corpus tokens ×
+    * 16-byte keys. Same shape as unigramLogProb plus one window. */
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w2")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    val bi = toks
+      .withColumn("w1", lag(col("w2"), 1).over(w))
+      .filter(col("w1").isNotNull)
+    val bigramCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))
+    val unigramCounts = toks.groupBy(col("w2").as("w1")).agg(count(lit(1)).as("nu"))
+    bi
+      .join(bigramCounts, Seq("w1", "w2"))
+      .join(unigramCounts, Seq("w1"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("nb").cast("double") / col("nu"))), 6).as("avg_neg_logprob"))
+  }
+
   /** Inverted index: token → document frequency + a CAPPED posting list
     * (the `maxPostings` smallest doc ids, ascending) — the retrieval-side
     * artifact of a corpus (keyword search, contamination lookup, df

@@ -1,6 +1,7 @@
 package graft
 
 import graft.dedup.Dedup
+import graft.features.Binning
 import graft.sampling.Sampling
 import graft.text.{Packing, TextAnalysis}
 import org.apache.spark.sql.functions._
@@ -97,6 +98,41 @@ class PackingCorpusSpec extends SparkSpec {
     val deficit = Sampling.temperatureMixPlan(d, "lang", 0.0, budget = 3000L)
       .filter($"lang" === "haw").head()
     assert(deficit.getAs[Boolean]("deficit") && deficit.getAs[Double]("rate") == 1.0)
+  }
+
+  test("bigramLogProb: templated text scores low, shuffled soup scores high") {
+    val coherent = "the cat sat on the mat"
+    val d = Seq(
+      (1L, coherent), (2L, coherent), (3L, coherent),     // corpus-frequent bigrams
+      (4L, "mat the on sat cat the"),                     // same unigrams, novel bigrams
+      (5L, "x")                                           // single token: no bigrams
+    ).toDF("id", "text")
+    val out = TextAnalysis.bigramLogProb(d, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_neg_logprob"))).toMap
+    assert(!out.contains(5L))
+    assert(out(1L)._1 == 5L)
+    assert(out(4L)._2 > out(1L)._2, s"soup ${out(4L)._2} must score above template ${out(1L)._2}")
+  }
+
+  test("groupedBinning: per-group quartiles, boundary and null handling") {
+    val d = ((1 to 100).map(i => ("a", i.toDouble)) ++ (1 to 100).map(i => ("b", i * 10.0)))
+      .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "v")
+    val out = Binning.groupedBinning(d, "g", "v", nBuckets = 4, exact = true)
+    // quartiles balance within each group despite 10x different scales
+    val counts = out.groupBy("g", "bucket").count()
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    Seq("a", "b").foreach { g =>
+      (0 to 3).foreach { b =>
+        assert(math.abs(counts((g, b)) - 25L) <= 1, s"group $g bucket $b: ${counts((g, b))}")
+      }
+    }
+    // null values get a null bucket, not bucket 0
+    val withNull = d.unionByName(Seq((999L, "a", null.asInstanceOf[java.lang.Double]))
+      .toDF("id", "g", "v"))
+    val nb = Binning.groupedBinning(withNull, "g", "v", 4, exact = true)
+      .filter($"id" === 999L).select("bucket").head()
+    assert(nb.isNullAt(0))
   }
 
   test("invertedIndex: capped ascending postings, df counts distinct docs") {
