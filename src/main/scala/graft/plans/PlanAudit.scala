@@ -1,0 +1,93 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, CollectList, CollectSet}
+import org.apache.spark.sql.catalyst.plans.Cross
+import org.apache.spark.sql.catalyst.plans.logical._
+
+/** Static scale audit of a query plan — the checklist SCALE.md applies by
+  * hand, as a library call. Run it in CI or at job-submission time to
+  * catch the plan shapes that work at sf0.1 and melt at 100 TB:
+  *
+  *   - `error` GLOBAL_WINDOW — a window with no partitionBy moves every
+  *     row to one task; bound the frame or partition it.
+  *   - `error` CARTESIAN — a cross join or a join whose condition has no
+  *     equality conjunct (Spark plans nested-loop; see
+  *     `Temporal.rangeJoin` for the bucketed rewrite).
+  *   - `error` SINGLE_PARTITION — repartition(1)/coalesce(1) funnels the
+  *     stage through one task (write-side compaction should size files
+  *     with `Tables.compactTo` instead).
+  *   - `warn` GLOBAL_SORT — a non-root orderBy forces a full range
+  *     exchange mid-pipeline; Spark drops SOME of these itself, the rest
+  *     are usually unintended. A root-level sort (display/output
+  *     ordering) is reported as `info`.
+  *   - `info` UNBOUNDED_COLLECT — collect_list/collect_set grows with
+  *     group size; fine for bounded groups, an OOM for power-law keys
+  *     (cap with `TopK.topKAgg`).
+  *
+  * The audit walks the OPTIMIZED logical plan: late enough that
+  * Catalyst's own cleanups (redundant-sort removal, constant folding)
+  * have run, early enough to be independent of physical strategy and AQE
+  * re-planning. It never executes the query.
+  */
+object PlanAudit {
+
+  final case class Finding(severity: String, rule: String, detail: String) {
+    override def toString: String = s"[$severity] $rule: $detail"
+  }
+
+  def audit(df: DataFrame): Seq[Finding] = {
+    val root = df.queryExecution.optimizedPlan
+
+    def short(p: LogicalPlan): String = p.simpleString(60)
+
+    root.collect {
+      case w: Window if w.partitionSpec.isEmpty =>
+        Seq(Finding("error", "GLOBAL_WINDOW", short(w)))
+
+      case j: Join =>
+        val hasEqui = j.condition.exists(_.exists {
+          case _: EqualTo | _: EqualNullSafe => true
+          case _ => false
+        })
+        if (j.joinType == Cross || (j.condition.isEmpty && j.joinType != Cross))
+          Seq(Finding("error", "CARTESIAN", short(j)))
+        else if (!hasEqui)
+          Seq(Finding("error", "CARTESIAN", s"no equality conjunct: ${short(j)}"))
+        else Nil
+
+      case r: Repartition if r.numPartitions == 1 =>
+        Seq(Finding("error", "SINGLE_PARTITION", short(r)))
+
+      case r: RepartitionByExpression if r.optNumPartitions.contains(1) =>
+        Seq(Finding("error", "SINGLE_PARTITION", short(r)))
+
+      case s: Sort if s.global =>
+        val sev = if (s eq root) "info" else "warn"
+        Seq(Finding(sev, "GLOBAL_SORT", short(s)))
+
+      case a: Aggregate =>
+        val unbounded = a.aggregateExpressions.exists(_.exists {
+          case ae: AggregateExpression =>
+            ae.aggregateFunction match {
+              case _: CollectList | _: CollectSet => true
+              case _ => false
+            }
+          case _ => false
+        })
+        if (unbounded) Seq(Finding("info", "UNBOUNDED_COLLECT", short(a))) else Nil
+    }.flatten
+  }
+
+  /** Throw if the plan has any `error`-severity finding (plus any rule
+    * listed in `failOn`); returns the full finding list otherwise. */
+  def assertScaleSafe(df: DataFrame, failOn: Set[String] = Set.empty): Seq[Finding] = {
+    val fs = audit(df)
+    val fatal = fs.filter(f => f.severity == "error" || failOn.contains(f.rule))
+    if (fatal.nonEmpty)
+      throw new IllegalStateException(
+        s"plan fails scale audit:\n${fatal.mkString("\n")}")
+    fs
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.plans.PlanAudit
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class PlanAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df = (1 to 100).map(i => (i.toLong, i % 5, i * 1.0)).toDF("id", "k", "v")
+
+  private def rules(d: org.apache.spark.sql.DataFrame): Set[String] =
+    PlanAudit.audit(d).map(_.rule).toSet
+
+  test("flags global windows, passes partitioned ones") {
+    val global = df.withColumn("rn", row_number().over(Window.orderBy($"id")))
+    assert(rules(global).contains("GLOBAL_WINDOW"))
+    val keyed = df.withColumn("rn", row_number().over(Window.partitionBy($"k").orderBy($"id")))
+    assert(!rules(keyed).contains("GLOBAL_WINDOW"))
+    intercept[IllegalStateException](PlanAudit.assertScaleSafe(global))
+    PlanAudit.assertScaleSafe(keyed)
+  }
+
+  test("flags cartesian and non-equi joins, passes equi joins") {
+    val dims = Seq((1, "a")).toDF("k2", "s")
+    assert(rules(df.crossJoin(dims)).contains("CARTESIAN"))
+    assert(rules(df.join(dims, $"v" > $"k2")).contains("CARTESIAN"))
+    // equi conjunct present: the range residual is fine
+    assert(!rules(df.join(dims, $"k" === $"k2" && $"v" > $"k2")).contains("CARTESIAN"))
+    // the bucketed range join's plan passes the audit by construction
+    val iv = Seq((10L, 0L, 50L)).toDF("wid", "ws", "we")
+    val rj = graft.dp.Temporal.rangeJoin(df.withColumnRenamed("id", "pt"), iv, "pt", "ws", "we", 16L)
+    assert(!rules(rj).contains("CARTESIAN"))
+  }
+
+  test("flags single-partition funnels and mid-plan global sorts") {
+    assert(rules(df.repartition(1)).contains("SINGLE_PARTITION"))
+    assert(rules(df.coalesce(1)).contains("SINGLE_PARTITION"))
+    // root-level orderBy is info (allowed by assertScaleSafe)...
+    val rootSort = df.orderBy($"v")
+    assert(PlanAudit.audit(rootSort).exists(f => f.rule == "GLOBAL_SORT" && f.severity == "info"))
+    PlanAudit.assertScaleSafe(rootSort)
+    // ...but a sort feeding an aggregation survives optimization only when
+    // it matters; a sort under a projection-limit chain is warn-level
+    val mid = df.orderBy($"v").limit(10).select($"id")
+    PlanAudit.audit(mid) // must not throw — severity at most warn
+    // failOn escalates chosen rules
+    intercept[IllegalStateException](
+      PlanAudit.assertScaleSafe(rootSort, failOn = Set("GLOBAL_SORT")))
+  }
+
+  test("flags unbounded collect_list, passes the bounded top-k aggregate") {
+    assert(rules(df.groupBy($"k").agg(collect_list($"v"))).contains("UNBOUNDED_COLLECT"))
+    val bounded = df.groupBy($"k").agg(graft.dp.TopK.topKAgg(5)($"v".as("v")))
+    assert(!rules(bounded).contains("UNBOUNDED_COLLECT"))
+  }
+
+  test("registered heavyweight queries pass the audit (modulo output sorts)") {
+    val sf = "/root/testdata/sf0.001"
+    Seq("e1_feature_pipeline", "sequence_packing", "line_dedup", "inverted_index",
+      "dedup_exact", "range_join", "sessionize_batch").foreach { name =>
+      val d = SparkEntry.queries(name)(spark, sf)
+      val errors = PlanAudit.audit(d).filter(_.severity == "error")
+      assert(errors.isEmpty, s"$name: $errors")
+    }
+  }
+}
