@@ -19,6 +19,23 @@ object Production {
     "last_view_date_diff", "total_view_value",
     "last_purchase_date_diff", "total_purchase_value")
 
+  /** Zone write with an optional pre-flight scale audit: with
+    * `core.audit_plans: true`, every frame a job is about to persist must
+    * pass [[graft.plans.PlanAudit.assertScaleSafe]] — a stage that
+    * accidentally introduces a global window / cartesian / one-partition
+    * funnel fails LOUDLY at submission instead of melting on the cluster.
+    * The audit inspects the optimized plan only; nothing is executed
+    * twice. */
+  private def save(
+      ctx: Context,
+      df: org.apache.spark.sql.DataFrame,
+      path: String,
+      allow: Set[String] = Set.empty): Unit = {
+    if (Context.dig(ctx.config, "core.audit_plans").exists(_.toString.toBoolean))
+      graft.plans.PlanAudit.assertScaleSafe(df, allow = allow)
+    Tables.saveData(df, path)
+  }
+
   def registerAll(): Unit = {
     Jobs.register("data-cleaning", "clean-tables") { (ctx, _) =>
       val s = ctx.spark
@@ -26,11 +43,11 @@ object Production {
       Seq("customer", "orders").foreach { name =>
         val df = Tables.readData(s, Seq(ctx.dataPath(s"raw.$name")))
         val cleaned = Cleaning.dropDuplicateRows(Cleaning.cleanColumns(df))
-        Tables.saveData(cleaned, ctx.dataPath(s"clean.$name"))
+        save(ctx, cleaned, ctx.dataPath(s"clean.$name"))
       }
       val ev = Tables.readData(s, Seq(ctx.dataPath("raw.events")))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      Tables.saveData(
+      save(ctx,
         Cleaning.dropDuplicateRows(Cleaning.cleanColumns(ev)),
         ctx.dataPath("clean.events"))
     }
@@ -54,7 +71,7 @@ object Production {
         "c_custkey",
         Seq(src("click"), src("view"), src("purchase")),
         label, "o_custkey")
-      Tables.saveData(merged.na.fill(0), ctx.dataPath("processed.features"))
+      save(ctx, merged.na.fill(0), ctx.dataPath("processed.features"))
     }
 
     Jobs.register("model-gen", "train") { (ctx, params) =>
@@ -71,7 +88,7 @@ object Production {
     Jobs.register("corpus-curation", "dedup-corpus") { (ctx, _) =>
       val s = ctx.spark
       val docs = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
-      Tables.saveData(
+      save(ctx,
         graft.dedup.Dedup.exactDedup(docs, "doc_id", "text"),
         ctx.dataPath("clean.documents"))
     }
@@ -80,7 +97,7 @@ object Production {
       val s = ctx.spark
       val minQuality = params.getOrElse("min_quality", "0.5").toString.toDouble
       val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents")))
-      Tables.saveData(
+      save(ctx,
         graft.text.TextAnalysis.qualityFilter(docs, "text", minQuality),
         ctx.dataPath("clean.documents_filtered"))
     }
@@ -95,7 +112,7 @@ object Production {
       val withLang = graft.text.TextAnalysis
         .languageScores(docs.select(col("doc_id"), col("text")), "text")
         .drop("text")
-      Tables.saveData(
+      save(ctx,
         stats.join(withLang, Seq("doc_id"), "inner"),
         ctx.dataPath("processed.text_stats"))
     }
@@ -105,7 +122,7 @@ object Production {
     Jobs.register("corpus-curation", "redact-pii") { (ctx, _) =>
       val s = ctx.spark
       val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_filtered")))
-      Tables.saveData(
+      save(ctx,
         docs.withColumn("text", graft.text.TextAnalysis.redactPii(col("text"))),
         ctx.dataPath("clean.documents_redacted"))
     }
@@ -113,7 +130,7 @@ object Production {
     Jobs.register("corpus-curation", "repetition-report") { (ctx, _) =>
       val s = ctx.spark
       val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
-      Tables.saveData(
+      save(ctx,
         graft.text.TextAnalysis.repetitionStats(docs, "doc_id", "text"),
         ctx.dataPath("processed.repetition_stats"))
     }
@@ -131,7 +148,7 @@ object Production {
       val evalSet = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
         .orderBy(col("doc_id")).limit(evalLimit)
         .withColumn("text", graft.text.TextAnalysis.redactPii(col("text")))
-      Tables.saveData(
+      save(ctx,
         graft.dedup.Dedup.contaminationReport(
           corpus, evalSet, "doc_id", "text", k, minOverlap),
         ctx.dataPath("processed.contamination"))
@@ -142,7 +159,7 @@ object Production {
       val chunkTokens = params.getOrElse("chunk_tokens", "256").toString.toInt
       val overlap = params.getOrElse("overlap", "32").toString.toInt
       val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
-      Tables.saveData(
+      save(ctx,
         graft.text.TextAnalysis.chunkDocuments(docs, "doc_id", "text", chunkTokens, overlap),
         ctx.dataPath("processed.chunks"))
     }
@@ -161,10 +178,10 @@ object Production {
         "sample-mix: lang stratum cardinality > 100 — not a language column")
       val shares = langs.map(l => l -> 1.0 / langs.length).toMap
       val plan = graft.sampling.Sampling.corpusMixPlan(docs, "lang", shares, budget)
-      Tables.saveData(plan, ctx.dataPath("processed.mix_plan"))
+      save(ctx, plan, ctx.dataPath("processed.mix_plan"))
       val rates = plan.select(col("lang"), col("rate")).collect()
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
-      Tables.saveData(
+      save(ctx,
         graft.sampling.Sampling.stratifiedSample(docs, "lang", rates, ctx.seed),
         ctx.dataPath("clean.documents_mixed"))
     }
@@ -173,7 +190,7 @@ object Production {
       val s = ctx.spark
       val threshold = params.getOrElse("threshold", "0.7").toString.toDouble
       val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
-      Tables.saveData(
+      save(ctx,
         graft.dedup.Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold),
         ctx.dataPath("processed.near_dup_pairs"))
     }
@@ -183,20 +200,22 @@ object Production {
       val df = Tables.readData(s, Seq(ctx.dataPath("processed.features")))
       val model = Training.loadModel(ctx.dataPath("models.classifier"))
       val scored = Training.score(model, df)
-      Tables.saveData(
+      save(ctx,
         scored.select("c_custkey", "target_var", "score"),
         ctx.dataPath("processed.predictions"))
       // metric tables read the just-written predictions back: scoring
       // (feature read + model transform) runs ONCE, not once per table
       val preds = Tables.readData(s, Seq(ctx.dataPath("processed.predictions")))
-      Tables.saveData(
+      save(ctx,
         Metrics.binaryMetricsAtThreshold(preds, "score", "target_var", 0.5),
         ctx.dataPath("processed.metrics"))
       // full threshold curve for plotting (reference exports these,
-      // handy_spark_cd.py:142-187)
-      Tables.saveData(
+      // handy_spark_cd.py:142-187). GLOBAL_WINDOW waived: the curve's
+      // window runs over the per-rounded-threshold aggregate, which is
+      // <= 10^digits + 1 rows by construction (SCALE.md, eval section)
+      save(ctx,
         Metrics.rocPrCurve(preds, "score", "target_var"),
-        ctx.dataPath("processed.roc_curve"))
+        ctx.dataPath("processed.roc_curve"), allow = Set("GLOBAL_WINDOW"))
     }
   }
 }

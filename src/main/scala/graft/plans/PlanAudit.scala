@@ -81,10 +81,18 @@ object PlanAudit {
   }
 
   /** Throw if the plan has any `error`-severity finding (plus any rule
-    * listed in `failOn`); returns the full finding list otherwise. */
-  def assertScaleSafe(df: DataFrame, failOn: Set[String] = Set.empty): Seq[Finding] = {
+    * listed in `failOn`); returns the full finding list otherwise.
+    * `allow` waives specific rules for plans that violate them SAFELY by
+    * construction — e.g. the threshold-curve tables run a global window
+    * over a frame already grouped to ≤ 10^digits rows; the waiver is the
+    * caller's documented claim that the frame is bounded. */
+  def assertScaleSafe(
+      df: DataFrame,
+      failOn: Set[String] = Set.empty,
+      allow: Set[String] = Set.empty): Seq[Finding] = {
     val fs = audit(df)
-    val fatal = fs.filter(f => f.severity == "error" || failOn.contains(f.rule))
+    val fatal = fs.filter(f =>
+      !allow.contains(f.rule) && (f.severity == "error" || failOn.contains(f.rule)))
     if (fatal.nonEmpty)
       throw new IllegalStateException(
         s"plan fails scale audit:\n${fatal.mkString("\n")}")

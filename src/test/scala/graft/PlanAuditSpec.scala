@@ -47,6 +47,14 @@ class PlanAuditSpec extends SparkSpec {
     // failOn escalates chosen rules
     intercept[IllegalStateException](
       PlanAudit.assertScaleSafe(rootSort, failOn = Set("GLOBAL_SORT")))
+    // allow waives a rule the caller argues is bounded by construction
+    val global = df.withColumn("rn", row_number().over(Window.orderBy($"id")))
+    PlanAudit.assertScaleSafe(global, allow = Set("GLOBAL_WINDOW"))
+    // the job runner's documented waiver case: the ROC threshold curve
+    val preds = df.select($"id", ($"v" / 100).as("score"), ($"k" % 2).as("y"))
+    val roc = graft.eval.Metrics.rocPrCurve(preds, "score", "y")
+    PlanAudit.assertScaleSafe(roc, allow = Set("GLOBAL_WINDOW"))
+    intercept[IllegalStateException](PlanAudit.assertScaleSafe(roc))
   }
 
   test("flags unbounded collect_list, passes the bounded top-k aggregate") {
