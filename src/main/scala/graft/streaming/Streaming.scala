@@ -249,6 +249,31 @@ object Streaming {
       }
       .start()
 
+  /** Streaming feature-drift monitor: every micro-batch is PSI-scored
+    * against a FROZEN [[graft.features.Drift.Baseline]] (edges + counts
+    * learned once from training data — kilobytes, shipped as literals),
+    * and one row per (batch, feature) is appended to a parquet metrics
+    * table: (batch_id, feature, psi, n_rows). Per-batch cost is one
+    * explode+groupBy over the batch only; the baseline data is never
+    * re-scanned. Alert on psi > 0.25 downstream — the metrics table is
+    * an ordinary queryable parquet table. */
+  def monitorDrift(
+      stream: DataFrame,
+      baseline: graft.features.Drift.Baseline,
+      metricsPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val n = batch.count()
+        if (n > 0)
+          graft.features.Drift.psiAgainstBaseline(batch, baseline)
+            .withColumn("batch_id", lit(batchId))
+            .withColumn("n_rows", lit(n))
+            .write.mode("append").parquet(metricsPath)
+      }
+      .start()
+
   /** Parquet sink with checkpointing; returns the started query. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream

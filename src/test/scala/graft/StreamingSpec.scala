@@ -214,4 +214,35 @@ class StreamingSpec extends SparkSpec {
     graft.dp.IncrementalAgg.foldStateDir(spark, statePath, replay, "user_id", batchId = 0L)
     assert(spark.read.parquet(statePath).selectExpr("sum(n)").as[Long].head() == 5L)
   }
+
+  test("monitorDrift scores micro-batches against the frozen baseline") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    // baseline: value uniform over [0, 100)
+    val base = (0 until 1000).map(i => (i.toLong, (i % 100).toDouble)).toDF("id", "value")
+    val b = graft.features.Drift.fitBaseline(base, Seq("value"), buckets = 5, exact = true)
+    val input = MemoryStream[Event]
+    val query = Streaming.monitorDrift(
+      input.toDF(), b, s"$dir/metrics", s"$dir/ckpt")
+    // batch 0: same distribution as the baseline
+    input.addData((0 until 200).map(i => Event(i.toLong, "a", ts(0), (i % 100).toDouble)): _*)
+    query.processAllAvailable()
+    // batch 1: collapsed to the top of the range — drifted
+    input.addData((0 until 200).map(i => Event(i.toLong, "a", ts(1), 95.0 + (i % 5))): _*)
+    query.processAllAvailable()
+    query.stop()
+    val m = spark.read.parquet(s"$dir/metrics")
+      .select(col("batch_id"), col("feature"), col("psi"), col("n_rows"))
+      .as[(Long, String, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(m.map(r => (r._1, r._2, r._4)) == Seq((0L, "value", 200L), (1L, "value", 200L)))
+    val (stablePsi, driftedPsi) = (m(0)._3, m(1)._3)
+    assert(stablePsi < 0.1, s"in-distribution batch scored $stablePsi")
+    assert(driftedPsi > 0.25, s"drifted batch scored only $driftedPsi")
+    // the frozen-baseline path computes the same PSI as the two-frame table
+    val cur = (0 until 200).map(i => (i.toLong, 95.0 + (i % 5))).toDF("id", "value")
+    val direct = graft.features.Drift.psiTable(base, cur, Seq("value"), 5, exact = true)
+      .select("psi").as[Double].head()
+    assert(math.abs(direct - driftedPsi) < 1e-9)
+  }
 }
