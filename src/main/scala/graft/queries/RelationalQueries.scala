@@ -37,6 +37,34 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_read" -> (textRoundTrip(_, _, "csv")),
     "json_read" -> (textRoundTrip(_, _, "json")),
+    // --- typed JSON column parsing (from_json with an explicit schema —
+    // no sampling-based inference pass over 100 TB), then an ordinary agg
+    "json_extract" -> { (s, dir) =>
+      events(s, dir)
+        .select(
+          expr("from_json(props, 'k BIGINT').k").as("k"),
+          col("value"))
+        .groupBy(expr("k div 10").as("k_decile"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("sum_v"))
+        .orderBy(col("k_decile"))
+    },
+    // --- distinct set algebra over two derived key sets (EXCEPT both
+    // directions + INTERSECT): hash-partitioned set ops, no driver sets
+    "except_intersect" -> { (s, dir) =>
+      val ev = events(s, dir)
+      def ids(tpe: String) =
+        ev.filter(col("event_type") === tpe).select(col("user_id")).distinct()
+      val clicks = ids("click")
+      val buys = ids("purchase")
+      def counted(df: DataFrame, op: String) =
+        df.agg(count(lit(1)).as("n")).select(lit(op).as("op"), col("n"))
+      counted(clicks.except(buys), "click_not_purchase")
+        .unionByName(counted(buys.except(clicks), "purchase_not_click"))
+        .unionByName(counted(clicks.intersect(buys), "both"))
+        .orderBy(col("op"))
+    },
     // --- rollup: revenue by region/nation with subtotal + grand-total rows.
     // Spark expands grouping sets BEFORE the shuffle, so partial aggregation
     // still applies — one Exchange for all three grouping levels.
@@ -555,5 +583,20 @@ object RelationalQueries {
       "SELECT count(*) AS n FROM (SELECT DISTINCT * FROM lineitem)",
     "dedup_subset" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users FROM events
-        |GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "json_extract" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) // 10 AS k_decile,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "except_intersect" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT 'click_not_purchase' AS op,
+        |  CAST((SELECT count(*) FROM (SELECT * FROM c EXCEPT SELECT * FROM p)) AS BIGINT) AS n
+        |UNION ALL SELECT 'purchase_not_click',
+        |  CAST((SELECT count(*) FROM (SELECT * FROM p EXCEPT SELECT * FROM c)) AS BIGINT)
+        |UNION ALL SELECT 'both',
+        |  CAST((SELECT count(*) FROM (SELECT * FROM c INTERSECT SELECT * FROM p)) AS BIGINT)
+        |ORDER BY op""".stripMargin)
 }
