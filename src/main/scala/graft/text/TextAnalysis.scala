@@ -397,20 +397,26 @@ object TextAnalysis {
     * bigrams).
     *
     * Scale: bigram extraction is a per-doc lag window (key-partitioned,
-    * never global); counts are two combinable groupBys whose shuffles
-    * carry (gram, count); the score join's volume is corpus tokens ×
-    * 16-byte keys. Same shape as unigramLogProb plus one window. */
+    * never global); tokens collapse to 64-bit hashes BEFORE any exchange,
+    * so the count groupBys and the score joins all shuffle long keys
+    * instead of string pairs (~2x end to end at sf0.1 — same lesson as
+    * the WordShingleHashes kernel; a cross-vocabulary xxhash64 collision
+    * would merge two gram counts, at ~|vocab|²/2⁶⁴ odds). Same shape as
+    * unigramLogProb plus one window. */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w2")))
+    val toks = df
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .select(col(idCol), col("pos"), xxhash64(col("w")).as("h2"))
     val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
     val bi = toks
-      .withColumn("w1", lag(col("w2"), 1).over(w))
-      .filter(col("w1").isNotNull)
-    val bigramCounts = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nb"))
-    val unigramCounts = toks.groupBy(col("w2").as("w1")).agg(count(lit(1)).as("nu"))
+      .withColumn("h1", lag(col("h2"), 1).over(w))
+      .filter(col("h1").isNotNull)
+      .select(col(idCol), col("h1"), col("h2"))
+    val bigramCounts = bi.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("nb"))
+    val unigramCounts = toks.groupBy(col("h2").as("h1")).agg(count(lit(1)).as("nu"))
     bi
-      .join(bigramCounts, Seq("w1", "w2"))
-      .join(unigramCounts, Seq("w1"))
+      .join(bigramCounts, Seq("h1", "h2"))
+      .join(unigramCounts, Seq("h1"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_bigrams"),
