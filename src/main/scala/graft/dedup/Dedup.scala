@@ -127,7 +127,10 @@ object Dedup {
   /** Candidate pairs from a pre-shingled (id, __sh) frame — lets callers
     * compute the (interpreted, expensive) shingle arrays once and reuse
     * them for signature AND verification. */
-  private def candidatesFromShingled(
+  /** (id, band, bucket) rows of a pre-shingled frame, hot buckets capped:
+    * the banded-LSH projection both the self-join and the incremental
+    * batch-vs-corpus paths build their candidate joins on. */
+  private def bandedBuckets(
       shingled: DataFrame,
       idCol: String,
       bands: Int,
@@ -149,10 +152,19 @@ object Dedup {
               slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
         }: _*)).as("bb"))
       .select(col(idCol), col("bb.band"), col("bb.bucket"))
-    val capped = banded
+    banded
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("__n") <= maxBucket)
       .drop("__n")
+  }
+
+  private def candidatesFromShingled(
+      shingled: DataFrame,
+      idCol: String,
+      bands: Int,
+      rowsPerBand: Int,
+      maxBucket: Int): DataFrame = {
+    val capped = bandedBuckets(shingled, idCol, bands, rowsPerBand, maxBucket)
     val l = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
     val r = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
     l.join(r, Seq("band", "bucket"))
@@ -348,6 +360,67 @@ object Dedup {
     val clusters = nearDupClusters(pairs)
     val losers = clusters.filter(col("id") =!= col("cluster_id")).select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental near-dup pairs: a new `batch` checked against an
+    * already-curated `corpus` — the steady-state shape of corpus
+    * curation, where corpus×corpus work was paid ONCE and each arriving
+    * batch costs only batch-sized signatures plus a bucket join.
+    *
+    * Both sides band into the same LSH bucket space (identical seeded
+    * signatures, so a batch doc lands in exactly the buckets its corpus
+    * near-dups occupy); candidates are (batch, corpus) bucket
+    * co-occupants, verified by exact shingle Jaccard. Nothing
+    * corpus×corpus is ever joined. At 100 TB, persist the corpus's
+    * banded-bucket table at curation time and this becomes a join of the
+    * batch's buckets against a static bucketed table — the same
+    * co-location trick as `Tables.saveBucketed`.
+    *
+    * Output: (batch `idCol`, `corpus_id`, jaccard ≥ threshold). */
+  def minhashNearDupPairsIncremental(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleK: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    val bsh = batch.select(col(idCol), shingles(col(textCol), shingleK).as("__sh"))
+    val csh = corpus.select(col(idCol), shingles(col(textCol), shingleK).as("__sh"))
+    val bb = bandedBuckets(bsh, idCol, bands, rowsPerBand, maxBucket)
+      .select(col("band"), col("bucket"), col(idCol))
+    val cb = bandedBuckets(csh, idCol, bands, rowsPerBand, maxBucket)
+      .select(col("band"), col("bucket"), col(idCol).as("corpus_id"))
+    bb.join(cb, Seq("band", "bucket"))
+      .select(col(idCol), col("corpus_id"))
+      .distinct()
+      .join(bsh.select(col(idCol), col("__sh").as("sh_b")), Seq(idCol))
+      .join(csh.select(col(idCol).as("corpus_id"), col("__sh").as("sh_c")), Seq("corpus_id"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_c"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col(idCol), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Incremental near-dup dedup: the batch rows that survive BOTH gates —
+    * no near-dup already in the corpus, and canonical (smallest id) within
+    * their in-batch near-dup cluster. The batch-refresh twin of
+    * [[incrementalExactDedup]] at near-dup sensitivity. */
+  def incrementalNearDupDedup(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      shingleK: Int = 3): DataFrame = {
+    val withinSurvivors = nearDupDedup(batch, idCol, textCol, threshold, shingleK)
+    val crossMatched = minhashNearDupPairsIncremental(
+      batch, corpus, idCol, textCol, threshold, shingleK).select(idCol)
+    withinSurvivors.join(crossMatched, Seq(idCol), "left_anti")
   }
 
   /** Train/eval contamination report: for every (corpus doc, eval doc)

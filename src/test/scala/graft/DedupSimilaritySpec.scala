@@ -172,6 +172,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top(1L) == 1) // most similar
   }
 
+  test("incremental near-dup: corpus matches and in-batch losers dropped, fresh docs survive") {
+    def doc(seed: Int) =
+      (0 until 30).map(j => s"t${seed}x$j").mkString(" ")
+    val corpus = (0L until 10L).map(i => (i, doc(i.toInt))).toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of corpus doc 3 (one token changed) — must be dropped
+      (100L, doc(3).replaceFirst("^\\S+", "changed")),
+      // fresh pair of in-batch near-dups — only the smaller id survives
+      (101L, doc(55)),
+      (102L, doc(55).replaceFirst("^\\S+", "tweaked")),
+      // fresh unique doc — survives
+      (103L, doc(77))).toDF("doc_id", "text")
+    val cross = Dedup.minhashNearDupPairsIncremental(
+      batch, corpus, "doc_id", "text", threshold = 0.5)
+    val crossPairs = cross.select("doc_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(crossPairs == Set((100L, 3L)))
+    val survivors = Dedup.incrementalNearDupDedup(
+      batch, corpus, "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(101L, 103L))
+    // empty corpus degenerates to plain within-batch near-dup dedup
+    val empty = corpus.filter(col("doc_id") < 0)
+    val solo = Dedup.incrementalNearDupDedup(batch, empty, "doc_id", "text", 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(solo == Set(100L, 101L, 103L))
+  }
+
   test("nearest centroid recovers cluster membership on separated vectors") {
     // two tight clusters around orthogonal axes + a stray point
     val vecs = Seq(
