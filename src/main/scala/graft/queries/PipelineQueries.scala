@@ -171,6 +171,29 @@ object PipelineQueries {
           col("asof_purchase_value"))
         .orderBy(col("user_id"), col("ts_us"), col("value"))
     },
+    // --- last-touch attribution: each purchase credited to the user's
+    // latest click at-or-before it, void past a 7-day horizon — the as-of
+    // join composed with a window guard (one shuffle, no inequality join)
+    "attribution_last_touch" -> { (s, dir) =>
+      val ev = events(s, dir)
+      val probe = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+        .dropDuplicates(Seq("user_id", "ts", "value"))
+      val ref = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts")).distinct()
+      val horizonUs = 7L * 86400L * 1000000L
+      graft.dp.Temporal
+        .asofJoinBackward(probe, ref, Seq("user_id"), "ts", "ts", Nil)
+        .select(
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("value"),
+          when(
+            unix_micros(col("asof_ts")).isNotNull &&
+              unix_micros(col("ts")) - unix_micros(col("asof_ts")) <= horizonUs,
+            unix_micros(col("asof_ts"))).as("attributed_click_us"))
+        .orderBy(col("user_id"), col("ts_us"), col("value"))
+    },
     // --- batch range join: events × overlapping campaign windows via
     // bucketed equi-join (no nested-loop) — each event meets a window in
     // exactly one day-cell, overlaps produce one row per containing window
@@ -308,6 +331,24 @@ object PipelineQueries {
         |      WINDOW w AS (PARTITION BY user_id ORDER BY t_us, is_probe
         |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         |SELECT user_id, t_us AS ts_us, value, asof_ts_us, asof_purchase_value
+        |FROM m WHERE is_probe = 1 ORDER BY user_id, ts_us, value""".stripMargin,
+    "attribution_last_touch" ->
+      """WITH probe AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000 AS t_us, value
+        |               FROM events WHERE event_type = 'purchase'),
+        |ref AS (SELECT DISTINCT user_id, epoch_ns(ts) // 1000 AS t_us
+        |        FROM events WHERE event_type = 'click'),
+        |u AS (
+        |  SELECT user_id, t_us, value, 1 AS is_probe, NULL AS r_t_us FROM probe
+        |  UNION ALL
+        |  SELECT user_id, t_us, NULL, 0, t_us FROM ref),
+        |m AS (SELECT user_id, t_us, value, is_probe,
+        |        last_value(r_t_us IGNORE NULLS) OVER w AS a_us
+        |      FROM u
+        |      WINDOW w AS (PARTITION BY user_id ORDER BY t_us, is_probe
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, t_us AS ts_us, value,
+        |  CASE WHEN a_us IS NOT NULL AND t_us - a_us <= 604800000000
+        |       THEN a_us END AS attributed_click_us
         |FROM m WHERE is_probe = 1 ORDER BY user_id, ts_us, value""".stripMargin,
     "range_join" ->
       """WITH w AS (SELECT i AS w_id, 1704067200 + i * 259200 AS ws,

@@ -261,6 +261,70 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Diversity-aware re-rank of a top-N shortlist with Maximal Marginal
+    * Relevance: greedily pick k of each query's N candidates maximizing
+    * `lambda·sim(query, cand) − (1−lambda)·max sim(cand, picked)`.
+    * Deduplicated corpora still serve near-identical top hits for a hot
+    * query; MMR trades a little relevance for coverage.
+    *
+    * Scale shape: this runs AFTER a distributed shortlist stage
+    * ([[cosineTopK]] / [[lshCosineTopK]] / [[ivfCosineTopK]]) — the
+    * greedy argmax is inherently sequential, so it executes per query
+    * group via typed `mapGroups`, each group bounded by the shortlist
+    * size N (the O(k·N) inner loop touches ≤ N vectors in one task's
+    * memory). Queries parallelize across the cluster; nothing quadratic
+    * in the corpus exists anywhere.
+    *
+    * `shortlist` must carry (queryIdCol, candIdCol, `cosine`, candVecCol);
+    * output: (query_id, rank 1-based, cand_id, cosine, mmr). */
+  def mmrRerank(
+      shortlist: DataFrame,
+      queryIdCol: String,
+      candIdCol: String,
+      candVecCol: String,
+      k: Int,
+      lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda must be in [0,1], got $lambda")
+    val spark = shortlist.sparkSession
+    import spark.implicits._
+    shortlist
+      .select(
+        col(queryIdCol).cast("long"),
+        col(candIdCol).cast("long"),
+        col("cosine").cast("double"),
+        col(candVecCol).cast("array<double>"))
+      .as[(Long, Long, Double, Array[Double])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray.sortBy(c => (-c._3, c._2)) // relevance order, stable
+        def norm(v: Array[Double]) = math.sqrt(v.map(x => x * x).sum)
+        def cos(a: Array[Double], b: Array[Double]): Double = {
+          var d = 0.0; var i = 0
+          while (i < a.length && i < b.length) { d += a(i) * b(i); i += 1 }
+          val na = norm(a) * norm(b)
+          if (na == 0) 0.0 else d / na
+        }
+        val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Array[Double])]
+        val remaining = scala.collection.mutable.ArrayBuffer(cands: _*)
+        while (picked.size < k && remaining.nonEmpty) {
+          val scored = remaining.map { c =>
+            val red = if (picked.isEmpty) 0.0 else picked.map(p => cos(c._4, p._4)).max
+            (c, lambda * c._3 - (1 - lambda) * red)
+          }
+          // deterministic tie-break: higher mmr, then relevance order
+          val best = scored.maxBy { case (c, m) => (m, c._3, -c._2) }
+          picked += best._1
+          remaining -= best._1
+        }
+        picked.zipWithIndex.map { case (c, i) =>
+          val red = if (i == 0) 0.0 else picked.take(i).map(p => cos(c._4, p._4)).max
+          (qid, i + 1, c._2, c._3, math.rint((lambda * c._3 - (1 - lambda) * red) * 1e6) / 1e6)
+        }
+      }
+      .toDF(queryIdCol, "rank", candIdCol, "cosine", "mmr")
+  }
+
   /** Per-class centroid CELLS (label, dim, mean_val): explode each vector
     * to (dim, value) and average per (label, dim). The explode multiplies
     * rows by the embedding width, but the groupBy is combinable — partial

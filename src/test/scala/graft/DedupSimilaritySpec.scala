@@ -199,6 +199,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(solo == Set(100L, 101L, 103L))
   }
 
+  test("mmr rerank trades relevance for diversity at low lambda") {
+    // c1/c2 near-identical and most relevant; c3 diverse, slightly less
+    val shortlist = Seq(
+      (0L, 1L, 0.99, Array(0.99, 0.14, 0.0)),
+      (0L, 2L, 0.99, Array(0.99, 0.14, 0.001)),
+      (0L, 3L, 0.80, Array(0.8, 0.6, 0.0))
+    ).toDF("query_id", "vec_id", "cosine", "vec")
+    def picks(lambda: Double) = Similarity
+      .mmrRerank(shortlist, "query_id", "vec_id", "vec", k = 2, lambda)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(picks(1.0) == Seq(1L, 2L))   // pure relevance = plain top-k
+    assert(picks(0.3) == Seq(1L, 3L))   // diversity penalty evicts the twin
+    // k larger than the shortlist returns everything, ranks contiguous
+    val all = Similarity.mmrRerank(shortlist, "query_id", "vec_id", "vec", 10, 0.5)
+    assert(all.select("rank").as[Int].collect().sorted.toSeq == Seq(1, 2, 3))
+  }
+
   test("nearest centroid recovers cluster membership on separated vectors") {
     // two tight clusters around orthogonal axes + a stray point
     val vecs = Seq(
