@@ -67,19 +67,52 @@ object Bench {
     try spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
     catch { case _: Throwable => () }
 
-    final case class R(name: String, cold: Double, warm: Double, rows: Long, err: Option[String])
+    final case class R(
+        name: String,
+        cold: Double,
+        warm: Double,
+        rows: Long,
+        io: (Long, Long, Long),
+        err: Option[String])
+
+    // stage-level IO accounting: shuffle read/write + disk spill bytes per
+    // query (the "did this plan shuffle more than it had to" number the
+    // scale notes argue from — measured, not guessed)
+    object metrics extends org.apache.spark.scheduler.SparkListener {
+      private val sr = new java.util.concurrent.atomic.AtomicLong
+      private val sw = new java.util.concurrent.atomic.AtomicLong
+      private val sp = new java.util.concurrent.atomic.AtomicLong
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          sp.addAndGet(m.diskBytesSpilled)
+        }
+      }
+      def reset(): Unit = { sr.set(0); sw.set(0); sp.set(0) }
+      def snapshot(): (Long, Long, Long) = (sr.get, sw.get, sp.get)
+    }
+    spark.sparkContext.addSparkListener(metrics)
 
     val results: Seq[R] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         clearState(spark)
         try {
+          var lastIO = (0L, 0L, 0L)
           def measure(): (Double, Long) = {
+            metrics.reset()
             val t0 = System.nanoTime()
             val rows = fn(spark, sfDir).count()
-            ((System.nanoTime() - t0) / 1e9, rows)
+            val t = (System.nanoTime() - t0) / 1e9
+            org.apache.spark.sql.graft.Bridge.drainListenerBus(spark.sparkContext)
+            lastIO = metrics.snapshot()
+            (t, rows)
           }
           val (cold0, n) = measure()
           var cold = cold0
+          var io = lastIO
           clearState(spark)
           var warm = measure()._1
           // cold >> warm on an identical cold-cache plan = external stall
@@ -95,6 +128,7 @@ object Bench {
             if (retry < cold) {
               System.err.println(f"[bench] $name cold $cold%.2fs looked stalled (warm $warm%.2fs); retry $retry%.2fs")
               cold = retry
+              io = lastIO
             }
           }
           // warm meaningfully slower than cold is equally impossible without
@@ -108,10 +142,10 @@ object Bench {
             }
           }
           clearState(spark)
-          R(name, cold, warm, n, None)
+          R(name, cold, warm, n, io, None)
         } catch {
           case e: Throwable =>
-            R(name, -1.0, -1.0, -1L, Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+            R(name, -1.0, -1.0, -1L, (0L, 0L, 0L), Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
         }
       }
 
@@ -137,7 +171,9 @@ object Bench {
     val detail = results
       .map(r =>
         "\"" + r.name + "\":{\"cold\":" + f3(r.cold) + ",\"warm\":" + f3(r.warm) +
-          ",\"rows\":" + r.rows + "}")
+          ",\"rows\":" + r.rows +
+          ",\"shuffle_read\":" + r.io._1 + ",\"shuffle_write\":" + r.io._2 +
+          ",\"spilled\":" + r.io._3 + "}")
       .mkString("{", ",", "}")
     val detailPath = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(
