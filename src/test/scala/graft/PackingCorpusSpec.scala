@@ -48,6 +48,39 @@ class PackingCorpusSpec extends SparkSpec {
       s0.getAs[Long]("n_seqs") == 4)
   }
 
+  test("globalRowNumber: contiguous total-order ranks without a global window") {
+    val d = (1 to 1000).map(i => ((i * 7919) % 1000, i.toLong)).toDF("v", "id")
+      .repartition(7) // scrambled input layout
+    val ranked = graft.dp.Ranking.globalRowNumber(d, col("v").desc, col("id"))
+    val rows = ranked.select("rank", "v", "id").as[(Long, Int, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 1000L))
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._2 > b._2 || (a._2 == b._2 && a._3 < b._3))
+      case _ => ()
+    }
+    // the plan never funnels through a global window
+    assert(!graft.plans.PlanAudit.audit(ranked).exists(_.rule == "GLOBAL_WINDOW"))
+  }
+
+  test("tokenBalancedShards: skewed doc lengths balance within a fraction of a percent") {
+    // skewed lengths, 10..1000 tokens (100x spread)
+    val d = (0 until 200)
+      .map(i => (i.toLong, (0 until (10 + (i * i * 37) % 990)).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val shards = graft.dp.Ranking.tokenBalancedShards(d, "doc_id", "text", nShards = 4)
+    val sums = shards.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .select("t").as[Long].collect()
+    assert(sums.length == 4)
+    assert(sums.max.toDouble / sums.min <= 1.01,
+      s"token sums ${sums.toSeq} should balance under the serpentine deal")
+    // naive id % n on the same data is an order of magnitude worse
+    val naive = d
+      .select((col("doc_id") % 4).as("shard"),
+        graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      .groupBy("shard").agg(sum("n").as("t")).select("t").as[Long].collect()
+    assert(naive.max.toDouble / naive.min > 1.05)
+  }
+
   test("dedupLines removes corpus-duplicated lines, keeps unique lines in order") {
     val d = Seq(
       (1L, "unique one\nshared footer\nunique two"),
