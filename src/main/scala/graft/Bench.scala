@@ -94,7 +94,11 @@ object Bench {
       def reset(): Unit = { sr.set(0); sw.set(0); sp.set(0) }
       def snapshot(): (Long, Long, Long) = (sr.get, sw.get, sp.get)
     }
-    spark.sparkContext.addSparkListener(metrics)
+    // SPARK_GRAFT_IO_METRICS=0 opts out of IO accounting entirely (no
+    // listener registered, no bus drain) — the control arm for verifying
+    // the accounting itself never distorts the timings it annotates
+    val ioMetrics = sys.env.getOrElse("SPARK_GRAFT_IO_METRICS", "1") != "0"
+    if (ioMetrics) spark.sparkContext.addSparkListener(metrics)
 
     val results: Seq[R] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -106,8 +110,10 @@ object Bench {
             val t0 = System.nanoTime()
             val rows = fn(spark, sfDir).count()
             val t = (System.nanoTime() - t0) / 1e9
-            org.apache.spark.sql.graft.Bridge.drainListenerBus(spark.sparkContext)
-            lastIO = metrics.snapshot()
+            if (ioMetrics) {
+              org.apache.spark.sql.graft.Bridge.drainListenerBus(spark.sparkContext)
+              lastIO = metrics.snapshot()
+            }
             (t, rows)
           }
           val (cold0, n) = measure()
