@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.{GraftExtensions, GraftFunctions}
+import org.apache.spark.sql.functions._
+
+class GraftFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftFunctions.register(spark)
+  }
+
+  test("graft_dot matches the Column API kernel") {
+    val d = spark.sql("SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .as[Double].head()
+    assert(d == 32.0)
+    // same kernel as Similarity.dot over a real frame
+    val df = Seq((1L, Array(0.5f, 0.5f))).toDF("id", "v")
+    df.createOrReplaceTempView("gf_v")
+    val sql = spark.sql("SELECT graft_dot(v, v) AS d FROM gf_v").as[Double].head()
+    val api = df.select(graft.similarity.Similarity.dot(col("v"), col("v"))).as[Double].head()
+    assert(sql == api)
+  }
+
+  test("graft_simhash64 and graft_shingle_hashes agree with the expression API") {
+    Seq((1L, "the quick brown fox jumps")).toDF("id", "text").createOrReplaceTempView("gf_t")
+    val sqlSim = spark.sql("SELECT graft_simhash64(text) AS h FROM gf_t").as[Long].head()
+    val apiSim = spark.table("gf_t")
+      .select(graft.dedup.Dedup.simhash64(col("text")).as("h"))
+      .as[Long].head()
+    assert(sqlSim == apiSim)
+    val n = spark.sql("SELECT size(graft_shingle_hashes(text, 3)) AS n FROM gf_t").as[Int].head()
+    assert(n == 3) // 5 tokens -> 3 distinct trigrams
+  }
+
+  test("graft_minhash takes a token/shingle array, returns numHashes values") {
+    Seq((1L, "a b c d e f")).toDF("id", "text").createOrReplaceTempView("gf_m")
+    val n = spark.sql(
+      "SELECT size(graft_minhash(split(lower(text), ' '), 16)) AS n FROM gf_m")
+      .as[Int].head()
+    assert(n == 16)
+  }
+
+  test("graft_morton matches Tables.mortonCode") {
+    val z = spark.sql("SELECT graft_morton(3, 5) AS z").as[Long].head()
+    assert(z == 39L)
+  }
+
+  test("the extensions class injects the same registrations") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext) // must not throw; wiring is shared with register()
+  }
+}
