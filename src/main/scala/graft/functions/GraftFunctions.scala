@@ -97,7 +97,12 @@ object GraftFunctions {
     }
 }
 
-/** `spark.sql.extensions=graft.functions.GraftExtensions` */
+/** `spark.sql.extensions=graft.functions.GraftExtensions` — registers the
+  * SQL kernel bindings and the (conf-gated, default-off) plan-audit
+  * enforcement rule. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = GraftFunctions.inject(ext)
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    GraftFunctions.inject(ext)
+    ext.injectOptimizerRule(_ => graft.plans.AuditRule)
+  }
 }

@@ -37,8 +37,12 @@ object PlanAudit {
     override def toString: String = s"[$severity] $rule: $detail"
   }
 
-  def audit(df: DataFrame): Seq[Finding] = {
-    val root = df.queryExecution.optimizedPlan
+  def audit(df: DataFrame): Seq[Finding] =
+    auditPlan(df.queryExecution.optimizedPlan)
+
+  /** Audit a logical plan directly (the entry point [[AuditRule]] uses
+    * from inside the optimizer). */
+  def auditPlan(root: LogicalPlan): Seq[Finding] = {
 
     def short(p: LogicalPlan): String = p.simpleString(60)
 
@@ -97,5 +101,38 @@ object PlanAudit {
       throw new IllegalStateException(
         s"plan fails scale audit:\n${fatal.mkString("\n")}")
     fs
+  }
+
+  /** Session-wide enforcement: installs [[AuditRule]] as an extra
+    * optimizer rule on a LIVE session (idempotent). The rule is inert
+    * until `spark.graft.audit` is set to `enforce`; per-rule waivers via
+    * `spark.graft.audit.allow` (comma-separated rule names). Sessions
+    * built with `spark.sql.extensions=graft.functions.GraftExtensions`
+    * get the rule injected automatically. */
+  def installEnforcement(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[AuditRule.type]))
+      spark.experimental.extraOptimizations = cur :+ AuditRule
+  }
+}
+
+/** Optimizer rule form of the audit — a validator, not a transformer:
+  * returns the plan unchanged, but throws when enforcement is on and an
+  * error-severity finding is not waived. Lives in the optimizer so ANY
+  * query in the session is covered (spark.sql, DataFrame API, a
+  * library's internals), not just paths that remembered to call
+  * assertScaleSafe. */
+object AuditRule extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString("spark.graft.audit", "off") == "enforce") {
+      val allow = conf.getConfString("spark.graft.audit.allow", "")
+        .split(",").map(_.trim).filter(_.nonEmpty).toSet
+      val fatal = PlanAudit.auditPlan(plan)
+        .filter(f => f.severity == "error" && !allow.contains(f.rule))
+      if (fatal.nonEmpty)
+        throw new IllegalStateException(
+          s"plan fails scale audit (spark.graft.audit=enforce):\n${fatal.mkString("\n")}")
+    }
+    plan
   }
 }

@@ -63,6 +63,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(!rules(bounded).contains("UNBOUNDED_COLLECT"))
   }
 
+  test("enforcement rule blocks bad plans session-wide when the conf is on") {
+    PlanAudit.installEnforcement(spark)
+    PlanAudit.installEnforcement(spark) // idempotent
+    // count() alone would let column pruning DELETE the unused window (the
+    // audit correctly never sees it) — keep rn observable
+    val bad = df.withColumn("rn", row_number().over(Window.orderBy($"id")))
+      .filter($"rn" > 0)
+    try {
+      bad.count() // conf off: rule is inert
+      spark.conf.set("spark.graft.audit", "enforce")
+      val e = intercept[Exception](bad.count())
+      assert(e.getMessage.contains("GLOBAL_WINDOW") ||
+        Option(e.getCause).exists(_.getMessage.contains("GLOBAL_WINDOW")))
+      // partitioned windows and normal queries still run
+      assert(df.withColumn("rn",
+        row_number().over(Window.partitionBy($"k").orderBy($"id"))).count() == 100)
+      // waiver conf lets the bounded case through
+      spark.conf.set("spark.graft.audit.allow", "GLOBAL_WINDOW")
+      assert(bad.count() == 100)
+    } finally {
+      spark.conf.unset("spark.graft.audit")
+      spark.conf.unset("spark.graft.audit.allow")
+    }
+  }
+
   test("registered heavyweight queries pass the audit (modulo output sorts)") {
     val sf = "/root/testdata/sf0.001"
     Seq("e1_feature_pipeline", "sequence_packing", "line_dedup", "inverted_index",
