@@ -318,4 +318,59 @@ object Metrics {
         round(avg(col(labelCol).cast("double")), 6).as("event_rate"))
       .orderBy(col("bucket"))
   }
+
+  /** Cumulative gains / lift table — the propensity-targeting artifact:
+    * score quantile buckets (bucket 0 = highest scores), and for each the
+    * cumulative share of positives captured (`gain`) and the response-rate
+    * multiple vs. targeting at random (`lift`). "Top 2 deciles capture 60%
+    * of bookings at 3x lift" is this table's row 1.
+    *
+    * Scale shape: one percentile pass learns the score edges (mergeable
+    * approx sketch by default, exact for the oracle), bucket assignment is
+    * an expression over the edges array, counts are one combinable
+    * groupBy, and the cumulative window runs over ≤ `buckets` rows — the
+    * documented bounded-global-window exception. */
+  def liftTable(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      buckets: Int = 10,
+      exact: Boolean = false): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val s = col(scoreCol).cast("double")
+    val probes = (1 until buckets).map(_.toDouble / buckets)
+    val edges = df.agg(graft.Exprs.pctArray(s, probes, exact).as("__e")).head.getSeq[Double](0)
+    // bucket 0 = top scores: count of edges STRICTLY ABOVE the score
+    val bucket = lit(edges.size) - size(filter(
+      typedLit(edges), e => e <= s))
+    val cells = df
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("n_pos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    cells
+      .select(
+        col("bucket"),
+        col("n"),
+        col("n_pos"),
+        sum(col("n")).over(w).as("cum_n"),
+        sum(col("n_pos")).over(w).as("cum_pos"),
+        sum(col("n")).over(tot).as("__tn"),
+        sum(col("n_pos")).over(tot).as("__tp"))
+      .select(
+        col("bucket"),
+        col("n"),
+        col("n_pos"),
+        round(col("cum_pos").cast("double") / col("__tp"), 6).as("gain"),
+        round(
+          (col("cum_pos").cast("double") / col("cum_n")) /
+            (col("__tp").cast("double") / col("__tn")), 6).as("lift"))
+      .orderBy(col("bucket"))
+  }
 }

@@ -56,6 +56,12 @@ object EvalQueries {
       Metrics.binaryMetricsByGroup(df, "seg", "score", "label", 0.5)
         .orderBy(col("segment"))
     },
+    // --- cumulative gains / lift: the propensity-targeting table (top
+    // decile captures X% of positives at Yx lift); bucket edges from one
+    // percentile pass, cumulative window over <= buckets rows
+    "lift_table" -> { (s, dir) =>
+      Metrics.liftTable(scored(s, dir), "score", "label", buckets = 10, exact = Support.exact)
+    },
     "threshold_metrics" -> { (s, dir) =>
       Metrics.thresholdMetrics(scored(s, dir), "score", "label", Seq(0.2, 0.4, 0.6, 0.8))
     },
@@ -120,6 +126,23 @@ object EvalQueries {
        |FROM (${scoredSql})""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "lift_table" ->
+      s"""WITH sc AS ($scoredSql),
+        |e AS (SELECT quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ed
+        |      FROM sc),
+        |b AS (SELECT CAST(9 - len(list_filter(ed, x -> x <= score)) AS INT) AS bucket, label
+        |      FROM sc, e),
+        |c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CAST(label AS BIGINT)) AS BIGINT) AS n_pos
+        |      FROM b GROUP BY 1),
+        |w AS (SELECT bucket, n, n_pos,
+        |        sum(n) OVER (ORDER BY bucket) AS cum_n,
+        |        sum(n_pos) OVER (ORDER BY bucket) AS cum_pos,
+        |        sum(n) OVER () AS tn, sum(n_pos) OVER () AS tp FROM c)
+        |SELECT bucket, n, n_pos,
+        |  round(CAST(cum_pos AS DOUBLE) / tp, 6) AS gain,
+        |  round((CAST(cum_pos AS DOUBLE) / cum_n) / (CAST(tp AS DOUBLE) / tn), 6) AS lift
+        |FROM w ORDER BY bucket""".stripMargin,
     "regression_metrics" ->
       """WITH v AS (SELECT l_quantity AS y, l_quantity * (1 + l_discount) AS yhat FROM lineitem)
         |SELECT round(sqrt(avg((yhat - y) * (yhat - y))), 6) AS rmse,
