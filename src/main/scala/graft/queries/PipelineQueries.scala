@@ -73,8 +73,10 @@ object PipelineQueries {
         .orderBy(col("cohort_p"), col("period_offset"))
     },
     // --- mergeable distinct-count state (HLL sketches): fold two batch
-    // states and read estimates. Sketch bytes have no DuckDB twin -> no
-    // oracle; the spec pins merge == from-scratch and a 5% error bound
+    // states and read estimates. Sketch bytes have no DuckDB twin, so the
+    // oracle checks derived scalars: the exact per-key distinct count
+    // (computable by both engines) plus a within-5% flag on the merged
+    // sketch's estimate — a FALSE anywhere breaks the hash match
     "hll_distinct_state" -> { (s, dir) =>
       import graft.dp.IncrementalAgg._
       val ev = events(s, dir)
@@ -83,7 +85,16 @@ object PipelineQueries {
         distinctSketch(ev.filter(to_date(col("ts")) <= cut), "user_id", "props"),
         distinctSketch(ev.filter(to_date(col("ts")) > cut), "user_id", "props"),
         "user_id")
-      estimateDistinct(merged, "user_id").orderBy(col("user_id"))
+      val exact = ev.groupBy(col("user_id"))
+        .agg(countDistinct(col("props")).as("exact_distinct"))
+      estimateDistinct(merged, "user_id")
+        .join(exact, Seq("user_id"))
+        .select(
+          col("user_id"),
+          col("exact_distinct"),
+          (abs(col("approx_distinct") - col("exact_distinct")) <=
+            greatest(lit(1.0), col("exact_distinct") * 0.05)).as("within_tol"))
+        .orderBy(col("user_id"))
     },
     // --- incremental state maintenance: merge(state(batch1), state(batch2))
     // must equal a from-scratch aggregate over all rows — the oracle IS the
@@ -232,13 +243,14 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"), min(col("t")).as("min_t"), max(col("t")).as("max_t"))
         .orderBy(col("split"))
     },
-    // --- weighted corpus sampling (A-ES over xxhash priorities): no DuckDB
-    // twin for the hash draw -> rows-only; spec pins determinism + bias
+    // --- weighted corpus sampling (A-ES over portable md5 priorities):
+    // the oracle reproduces the exact draw from md5(doc_id:seed)
     "weighted_sample" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .withColumn("w", col("n_chars").cast("double") + 1.0)
-      Sampling.weightedSample(docs, "w", k = 25, seed = 42, stratumCols = Seq("lang"))
+      Sampling.weightedSample(docs, "w", k = 25, seed = 42,
+          stratumCols = Seq("lang"), hashCols = Seq("doc_id"))
         .orderBy(col("lang"), col("rank"))
     },
     // seeded sampling/splits: deterministic per cluster but not
@@ -252,12 +264,14 @@ object PipelineQueries {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("y"))
     },
+    // --- exact-count rebalance over portable md5 priorities: the oracle
+    // reproduces the same per-class reservoir row for row
     "rebalance_sample" -> { (s, dir) =>
-      val df = t(s, dir, "customer").withColumn("y", (col("c_acctbal") > 5000).cast("int"))
-      Sampling.rebalance(df, "y", maxSampleSize = 200, seed = 42)
-        .groupBy(col("y"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("y"))
+      val df = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .withColumn("y", (col("c_acctbal") > 5000).cast("int"))
+      Sampling.rebalanceExact(df, "y", maxSampleSize = 200, idCol = "c_custkey", salt = "r6")
+        .orderBy(col("y"), col("rank"))
     })
 
   private def srcSql(tpe: String): String =
@@ -269,6 +283,38 @@ object PipelineQueries {
        |GROUP BY user_id""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // A-ES weighted sample: mirror the md5(doc_id:seed) draw exactly —
+    // first 13 hex chars = 52 uniform bits, u = (v + 0.5) / 2^52,
+    // priority = -ln(u)/w, smallest k per stratum win (rank 1 = smallest)
+    "weighted_sample" ->
+      """WITH d AS (SELECT doc_id, lang, n_chars,
+        |    CAST(n_chars AS DOUBLE) + 1.0 AS w FROM documents),
+        |p AS (SELECT *,
+        |    -ln((CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13)
+        |         AS BIGINT) + 0.5) / 4503599627370496.0) / w AS prio
+        |  FROM d WHERE w > 0),
+        |r AS (SELECT doc_id, lang, n_chars, w,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY prio) AS INT) AS rank
+        |  FROM p)
+        |SELECT * FROM r WHERE rank <= 25 ORDER BY lang, rank""".stripMargin,
+    // exact rebalance: same md5 reservoir, k = least(cap, smallest class)
+    "rebalance_sample" ->
+      """WITH d AS (SELECT c_custkey, c_acctbal,
+        |    CAST(c_acctbal > 5000 AS INT) AS y FROM customer),
+        |m AS (SELECT least(200, min(n)) AS k
+        |      FROM (SELECT count(*) AS n FROM d GROUP BY y)),
+        |r AS (SELECT y, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY y
+        |      ORDER BY md5(CAST(c_custkey AS VARCHAR) || 'r6') DESC) AS rn
+        |  FROM d)
+        |SELECT y, CAST(rn AS INT) AS rank, c_custkey, c_acctbal
+        |FROM r, m WHERE rn <= k ORDER BY y, rank""".stripMargin,
+    // HLL state: the oracle is the exact distinct count; within_tol must
+    // be uniformly TRUE for the hash to match
+    "hll_distinct_state" ->
+      """SELECT user_id, CAST(count(DISTINCT props) AS BIGINT) AS exact_distinct,
+        |  TRUE AS within_tol
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
     "cohort_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,
         |    CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS p

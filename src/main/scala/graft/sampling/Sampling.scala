@@ -43,6 +43,34 @@ object Sampling {
     posS.unionByName(negS)
   }
 
+  /** Exact-count class rebalance: every class is downsampled to the SAME
+    * size — min(maxSampleSize, smallest class) — by keeping the rows with
+    * the largest md5(id:salt) priorities per class. The deterministic
+    * companion to [[rebalance]]: Bernoulli gives approximate counts that
+    * drift run-to-run and engine-to-engine, while the md5 draw is a pure
+    * function of the data, so the exact sample reproduces anywhere
+    * (including the DuckDB oracle) and train sets are auditable.
+    *
+    * Scale shape: one groupBy for the class sizes (bounded driver state —
+    * capped at 100 classes like [[stratifiedSplit]]), then the per-class
+    * reservoir through the bounded-heap top-k aggregate: each map
+    * partition reduces to ≤ k rows per class before the exchange. */
+  def rebalanceExact(
+      df: DataFrame,
+      target: String,
+      maxSampleSize: Long,
+      idCol: String,
+      salt: String): DataFrame = {
+    val sizes = df.groupBy(col(target)).agg(count(lit(1)).as("n"))
+      .limit(101).collect()
+    require(sizes.length <= 100,
+      s"rebalanceExact($target): more than 100 distinct classes — " +
+        "rebalance on a categorical label, not a continuous column")
+    require(sizes.nonEmpty, s"rebalanceExact($target): empty input")
+    val k = math.min(maxSampleSize, sizes.map(_.getLong(1)).min)
+    reservoirPerKey(df, Seq(target), idCol, k.toInt, salt)
+  }
+
   /** Random train/test split (reference: dp.py:974-978). */
   def trainTestSplit(df: DataFrame, testProp: Double, seed: Long): (DataFrame, DataFrame) = {
     val Array(train, test) = df.randomSplit(Array(1 - testProp, testProp), seed)
@@ -119,11 +147,20 @@ object Sampling {
   }
 
   /** Deterministic weighted sampling without replacement (Efraimidis–
-    * Spirakis A-ES): each row draws a uniform u from a seeded xxhash64 of
-    * its full content and wins with priority -ln(u)/w — the k smallest
-    * priorities are an exact without-replacement sample where inclusion
-    * odds scale with the weight column (quality scores, importance
-    * weights). Rows with weight <= 0 are excluded.
+    * Spirakis A-ES): each row draws a uniform u from a seeded md5 of its
+    * content and wins with priority -ln(u)/w — the k smallest priorities
+    * are an exact without-replacement sample where inclusion odds scale
+    * with the weight column (quality scores, importance weights). Rows
+    * with weight <= 0 are excluded.
+    *
+    * The draw is md5 (like [[reservoirPerKey]]), not xxhash64: md5 exists
+    * in every engine, so the exact sample reproduces in DuckDB/Trino/
+    * Snowflake — auditable sampling, not just repeatable-in-Spark. The
+    * first 13 hex chars give 52 uniform bits, exactly representable in a
+    * double. `hashCols` selects what identifies a row (pass the id
+    * column); default is every column. Hash inputs are joined with ':'
+    * after string-cast and NULL columns are skipped by concat_ws — prefer
+    * explicit non-null id cols.
     *
     * Scale shape: the selection runs through the native bounded-heap top-k
     * aggregate, so every map partition reduces to <= k candidate rows
@@ -138,11 +175,14 @@ object Sampling {
       weightCol: String,
       k: Int,
       seed: Long,
-      stratumCols: Seq[String] = Nil): DataFrame = {
+      stratumCols: Seq[String] = Nil,
+      hashCols: Seq[String] = Nil): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val M = 1L << 52
-    val u = (pmod(xxhash64((df.columns.map(col) :+ lit(seed)): _*), lit(M)).cast("double") + 0.5) /
-      lit(M.toDouble)
+    val hashSrc = if (hashCols.nonEmpty) hashCols else df.columns.toSeq
+    val hashed = md5(concat_ws(":", (hashSrc.map(c => col(c).cast("string")) :+
+      lit(seed.toString)): _*))
+    val u = (conv(substring(hashed, 1, 13), 16, 10).cast("double") + 0.5) / lit(M.toDouble)
     val priority = -log(u) / col(weightCol)
     val keys = if (stratumCols.nonEmpty) stratumCols else Seq("__g")
     val keyed = (if (stratumCols.nonEmpty) df else df.withColumn("__g", lit(1)))

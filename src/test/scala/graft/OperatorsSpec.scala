@@ -1044,6 +1044,27 @@ class OperatorsSpec extends SparkSpec {
     assert(strat.groupBy(col("g")).count().collect().map(_.getLong(1)).toSeq == Seq(10L, 10L))
   }
 
+  test("rebalanceExact: every class capped at min(cap, smallest class), deterministic") {
+    val df = (1 to 300).map(i => (i.toLong, if (i <= 250) 0 else 1)).toDF("id", "y")
+    // smallest class (50) < cap (80): both classes land at exactly 50
+    val out = Sampling.rebalanceExact(df, "y", maxSampleSize = 80, idCol = "id", salt = "t")
+    val sizes = out.groupBy(col("y")).count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes == Map(0 -> 50L, 1 -> 50L))
+    // cap binds when smaller than every class
+    val capped = Sampling.rebalanceExact(df, "y", maxSampleSize = 20, idCol = "id", salt = "t")
+    assert(capped.groupBy(col("y")).count().collect().map(_.getLong(1)).toSeq == Seq(20L, 20L))
+    // pure function of the data: identical rows across runs
+    val a = out.collect().map(_.getAs[Long]("id")).toSet
+    val b = Sampling.rebalanceExact(df, "y", maxSampleSize = 80, idCol = "id", salt = "t")
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(a == b)
+    // continuous-label misuse trips the class cap loudly
+    val cont = (1 to 300).map(i => (i.toLong, i.toDouble)).toDF("id", "y")
+    intercept[IllegalArgumentException] {
+      Sampling.rebalanceExact(cont, "y", maxSampleSize = 10, idCol = "id", salt = "t")
+    }
+  }
+
   test("applyCdc: compaction by seq, delete/update/insert semantics") {
     val base = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v")
     val changes = Seq(
