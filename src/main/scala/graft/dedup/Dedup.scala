@@ -509,10 +509,14 @@ object Dedup {
     * corpus-unique lines, plus kept/total counts for quality filtering
     * downstream (a doc that loses most of its lines is itself boilerplate).
     *
-    * Scale shape: explode to (doc, pos, line), count occurrences with one
-    * hash-partitioned groupBy on a 64-bit line hash (combinable partial
-    * counts — the shuffle carries (hash, count), not text), join the
-    * counts back on the hash, and re-aggregate per doc. Reassembly sorts
+    * Scale shape: explode to (doc, pos, line), count the DOCUMENTS
+    * containing each line (distinct (doc, hash) pairs, then one
+    * hash-partitioned groupBy on a 64-bit line hash — the shuffle carries
+    * (hash, count), not text; a line repeated inside one document counts
+    * once), join the counts back on the hash, and re-aggregate per doc.
+    * Like [[bigramLogProb]], a cross-line xxhash64 collision would merge
+    * two distinct lines' counts — at 2^-64 per pair that's ~10^-8 even
+    * for a billion distinct lines. Reassembly sorts
     * each doc's surviving lines by position INSIDE the aggregate
     * (array_sort of collected structs) — no window, no global sort. The
     * only full-width shuffle is the per-doc regroup, which any
@@ -526,9 +530,13 @@ object Dedup {
       col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
     // counts keyed by the 64-bit hash: the shuffle for the groupBy and the
-    // join carries 16 bytes per distinct line instead of the line text
+    // join carries 16 bytes per distinct line instead of the line text;
+    // the distinct collapses within-document repeats so __n is document
+    // frequency, matching the contract above
     val counts = lines
-      .groupBy(xxhash64(col("line")).as("__lh"))
+      .select(col(idCol), xxhash64(col("line")).as("__lh"))
+      .distinct()
+      .groupBy(col("__lh"))
       .agg(count(lit(1)).as("__n"))
     val keep = col("__n") <= maxOccurrences
     lines

@@ -68,7 +68,8 @@ object Binning {
     * driver, so group cardinality is unbounded; unlike a per-group
     * `ntile` window there is no per-group total sort of the data.
     * Output: all input columns + `bucket` (0 .. nBuckets-1; null value →
-    * null bucket). */
+    * null bucket; null GROUP KEY → null bucket too — the left join keeps
+    * the row but a null key matches no edge row). */
   def groupedBinning(
       df: DataFrame,
       keyCol: String,
@@ -81,7 +82,7 @@ object Binning {
     val edges = df
       .groupBy(col(keyCol))
       .agg(graft.Exprs.pctArray(v, probes, exact).as("__edges"))
-    df.join(edges, Seq(keyCol))
+    df.join(edges, Seq(keyCol), "left")
       .withColumn("bucket", size(filter(col("__edges"), e => e <= v)))
       .withColumn("bucket", when(v.isNotNull, col("bucket")))
       .drop("__edges")

@@ -14,8 +14,9 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
   *
   *   - `graft_dot(a, b)` — double-precision dot product of two arrays
   *   - `graft_simhash64(text)` — 64-bit SimHash over whitespace tokens
-  *   - `graft_minhash(text, numHashes)` — MinHash signature of 3-gram
-  *     shingles (numHashes must be a literal)
+  *   - `graft_minhash(shingles, numHashes)` — MinHash signature of a
+  *     pre-shingled hash array (compose with `graft_shingle_hashes`;
+  *     numHashes must be a literal)
   *   - `graft_shingle_hashes(text, k)` — distinct word-k-gram hashes
   *     (k literal)
   *   - `graft_morton(a, b)` — Z-order interleave of two ints

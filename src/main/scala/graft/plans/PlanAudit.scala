@@ -14,7 +14,11 @@ import org.apache.spark.sql.catalyst.plans.logical._
   *     row to one task; bound the frame or partition it.
   *   - `error` CARTESIAN — a cross join or a join whose condition has no
   *     equality conjunct (Spark plans nested-loop; see
-  *     `Temporal.rangeJoin` for the bucketed rewrite).
+  *     `Temporal.rangeJoin` for the bucketed rewrite). When one side is
+  *     broadcast-hinted or statically bounded (≤ 1000 rows by
+  *     `LogicalPlan.maxRows` — a global aggregate, a limit) it is the
+  *     sanctioned broadcast-scalar pattern and downgrades to `info`
+  *     CARTESIAN_BOUNDED.
   *   - `error` SINGLE_PARTITION — repartition(1)/coalesce(1) funnels the
   *     stage through one task (write-side compaction should size files
   *     with `Tables.compactTo` instead).
@@ -55,11 +59,28 @@ object PlanAudit {
           case _: EqualTo | _: EqualNullSafe => true
           case _ => false
         })
-        if (j.joinType == Cross || (j.condition.isEmpty && j.joinType != Cross))
-          Seq(Finding("error", "CARTESIAN", short(j)))
-        else if (!hasEqui)
-          Seq(Finding("error", "CARTESIAN", s"no equality conjunct: ${short(j)}"))
-        else Nil
+        // A cross join is only a scale-killer when BOTH sides grow with the
+        // data. A side the caller explicitly broadcast (the hint survives
+        // into Join.hint after EliminateResolvedHint) or whose row count is
+        // statically bounded (e.g. a global aggregate's 1 row, a limit) is
+        // the sanctioned broadcast-scalar pattern used all over this
+        // library — report it as info, not error, so enforcement doesn't
+        // force waiving CARTESIAN wholesale (which would also mute real
+        // cartesians).
+        def sanctioned: Boolean = {
+          def hinted(h: Option[HintInfo]) = h.exists(_.strategy.contains(BROADCAST))
+          def bounded(p: LogicalPlan) = p.maxRows.exists(_ <= 1000L)
+          hinted(j.hint.leftHint) || hinted(j.hint.rightHint) ||
+            bounded(j.left) || bounded(j.right)
+        }
+        val cartesian =
+          if (j.joinType == Cross || j.condition.isEmpty) Some(short(j))
+          else if (!hasEqui) Some(s"no equality conjunct: ${short(j)}")
+          else None
+        cartesian.toSeq.map { detail =>
+          if (sanctioned) Finding("info", "CARTESIAN_BOUNDED", detail)
+          else Finding("error", "CARTESIAN", detail)
+        }
 
       case r: Repartition if r.numPartitions == 1 =>
         Seq(Finding("error", "SINGLE_PARTITION", short(r)))

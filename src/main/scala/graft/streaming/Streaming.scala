@@ -254,9 +254,14 @@ object Streaming {
     * learned once from training data — kilobytes, shipped as literals),
     * and one row per (batch, feature) is appended to a parquet metrics
     * table: (batch_id, feature, psi, n_rows). Per-batch cost is one
-    * explode+groupBy over the batch only; the baseline data is never
-    * re-scanned. Alert on psi > 0.25 downstream — the metrics table is
-    * an ordinary queryable parquet table. */
+    * explode+groupBy over the batch only (the batch is persisted across
+    * the count and the PSI pass — foreachBatch sources re-read otherwise);
+    * the baseline data is never re-scanned. foreachBatch is at-least-once,
+    * so the sink is made idempotent: the table is partitioned by batch_id
+    * and each batch dynamically OVERWRITES its own partition — a replay
+    * after a crash rewrites batch N's rows instead of duplicating them.
+    * Alert on psi > 0.25 downstream — the metrics table is an ordinary
+    * queryable parquet table. */
   def monitorDrift(
       stream: DataFrame,
       baseline: graft.features.Drift.Baseline,
@@ -265,12 +270,19 @@ object Streaming {
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val n = batch.count()
-        if (n > 0)
-          graft.features.Drift.psiAgainstBaseline(batch, baseline)
-            .withColumn("batch_id", lit(batchId))
-            .withColumn("n_rows", lit(n))
-            .write.mode("append").parquet(metricsPath)
+        val b = batch.persist()
+        try {
+          val n = b.count()
+          if (n > 0)
+            graft.features.Drift.psiAgainstBaseline(b, baseline)
+              .withColumn("batch_id", lit(batchId))
+              .withColumn("n_rows", lit(n))
+              .write
+              .partitionBy("batch_id")
+              .option("partitionOverwriteMode", "dynamic")
+              .mode("overwrite")
+              .parquet(metricsPath)
+        } finally b.unpersist()
       }
       .start()
 

@@ -22,11 +22,24 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("flags cartesian and non-equi joins, passes equi joins") {
-    val dims = Seq((1, "a")).toDF("k2", "s")
-    assert(rules(df.crossJoin(dims)).contains("CARTESIAN"))
-    assert(rules(df.join(dims, $"v" > $"k2")).contains("CARTESIAN"))
+    // both sides above the static bound -> genuine scale-killer
+    val big = (1 to 1200).map(i => (i.toLong, i % 5, i * 1.0)).toDF("id", "k", "v")
+    val dims = (1 to 1500).map(i => (i, s"s$i")).toDF("k2", "s")
+    assert(rules(big.crossJoin(dims)).contains("CARTESIAN"))
+    assert(rules(big.join(dims, $"v" > $"k2")).contains("CARTESIAN"))
     // equi conjunct present: the range residual is fine
-    assert(!rules(df.join(dims, $"k" === $"k2" && $"v" > $"k2")).contains("CARTESIAN"))
+    assert(!rules(big.join(dims, $"k" === $"k2" && $"v" > $"k2")).contains("CARTESIAN"))
+    // the sanctioned broadcast-scalar pattern downgrades to info: a
+    // broadcast-hinted side, or a statically bounded one (global agg = 1
+    // row) — enforcement passes without waiving CARTESIAN wholesale
+    val hinted = big.crossJoin(broadcast(dims))
+    assert(!rules(hinted).contains("CARTESIAN"))
+    assert(rules(hinted).contains("CARTESIAN_BOUNDED"))
+    PlanAudit.assertScaleSafe(hinted)
+    val scalarSide = big.crossJoin(big.agg(sum($"v").as("total")))
+    assert(!rules(scalarSide).contains("CARTESIAN"))
+    assert(rules(scalarSide).contains("CARTESIAN_BOUNDED"))
+    PlanAudit.assertScaleSafe(scalarSide)
     // the bucketed range join's plan passes the audit by construction
     val iv = Seq((10L, 0L, 50L)).toDF("wid", "ws", "we")
     val rj = graft.dp.Temporal.rangeJoin(df.withColumnRenamed("id", "pt"), iv, "pt", "ws", "we", 16L)
