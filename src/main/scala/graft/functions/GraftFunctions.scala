@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 import org.apache.spark.sql.catalyst.expressions.{BitwiseAnd, BitwiseOr, Cast, Expression, ExpressionInfo, Literal, Lower, ShiftLeft, StringSplit, StringTrim}
-import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, LongType, StringType}
 
 /** SQL bindings for graft's native Catalyst kernels, so `spark.sql`
   * users (and SQL-only tools) get the same codegen'd inner loops as the
@@ -20,6 +20,9 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
   *   - `graft_shingle_hashes(text, k)` — distinct word-k-gram hashes
   *     (k literal)
   *   - `graft_morton(a, b)` — Z-order interleave of two ints
+  *   - `graft_image_stats(payload)` — ImageIO decode to
+  *     (width, height, channels, mean_r, mean_g, mean_b); null if the
+  *     bytes don't decode
   *
   * Two wiring routes, same registrations:
   *   - config: `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -77,6 +80,10 @@ object GraftFunctions {
     "graft_morton" -> { args =>
       require(args.length == 2, "graft_morton(a, b) takes 2 arguments")
       mortonOf(args(0), args(1))
+    },
+    "graft_image_stats" -> { args =>
+      require(args.length == 1, "graft_image_stats(payload) takes 1 argument")
+      ImageDecodeStats(Cast(args(0), BinaryType))
     })
 
   private def info(name: String): ExpressionInfo =

@@ -8,12 +8,16 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus the Spark-side plumbing (schema,
   * partitioning, batch shape) for decode / feature-extract stages.
   *
-  * The actual media decode is STUBBED — this container ships no image or
-  * audio codecs — behind `decodeFeaturesStub`, a deterministic fake
-  * (hash-derived pseudo-features) with the same schema, batching and
-  * partitioning behavior a real decoder (JNI codec or mapInPandas-style
-  * vectorized UDF in the Python surface) would have. Swap `decodeExpr`
-  * for the real kernel; nothing else changes.
+  * IMAGE decode is REAL: [[imageStats]] /
+  * [[graft.expressions.ImageDecodeStats]] decodes PNG/JPEG/GIF/BMP with
+  * the JDK's ImageIO and extracts width/height/channels/per-channel
+  * means (deterministic capped pixel sample). Audio/video decode remains
+  * STUBBED — this container ships no audio or video codecs — behind
+  * `decodeFeaturesStub`, a deterministic fake (hash-derived
+  * pseudo-features) with the same schema, batching and partitioning
+  * behavior a real decoder (JNI codec or mapInPandas-style vectorized
+  * UDF in the Python surface) would have. Swap `decodeExpr` for the real
+  * kernel; nothing else changes.
   */
 object Multimodal {
 
@@ -44,6 +48,25 @@ object Multimodal {
   def payloadStats(df: DataFrame): DataFrame =
     df.withColumn("payload_bytes", length(col("payload")))
       .withColumn("payload_hash", xxhash64(col("payload")))
+
+  /** REAL image decode: (width, height, channels, mean_r, mean_g, mean_b)
+    * from the payload bytes via the JDK ImageIO decoder; null for
+    * non-image / corrupt payloads. Pure per-row projection — decode runs
+    * where the payload already lives, no shuffle. */
+  def decodeImageStats(payload: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ImageDecodeStats(
+        org.apache.spark.sql.graft.Bridge.expression(payload.cast("binary"))))
+
+  /** Decode every image asset: adds an `img` struct
+    * (width/height/channels/channel means; null for rows whose payload
+    * doesn't decode) and a `decoded` flag. Non-image media types keep a
+    * null `img` without paying a decode attempt. */
+  def imageStats(df: DataFrame): DataFrame =
+    df.withColumn(
+        "img",
+        when(col("media_type") === "image", decodeImageStats(col("payload"))))
+      .withColumn("decoded", col("img").isNotNull)
 
   /** STUB decode kernel: deterministic pseudo-feature vector derived from
     * the payload hash. A real implementation decodes the media and runs a

@@ -410,6 +410,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(a.isNullAt(0), "audio meta must not get fabricated dimensions")
   }
 
+  test("multimodal: real ImageIO decode — dims, channels, channel means, junk -> null") {
+    // render a 4x2 PNG in-memory with known pixels: left half red, right blue
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      img.setRGB(x, y, if (x < 2) 0xff0000 else 0x0000ff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val assets = Multimodal.toAssets(
+      Seq((1L, buf.toByteArray), (2L, "not an image".getBytes("UTF-8")))
+        .toDF("id", "b"),
+      "id", "b", "image")
+    val out = Multimodal.imageStats(assets)
+      .select("asset_id", "img.width", "img.height", "img.channels",
+        "img.mean_r", "img.mean_g", "img.mean_b", "decoded")
+      .orderBy("asset_id").collect()
+    val good = out(0)
+    assert(good.getInt(1) == 4 && good.getInt(2) == 2)
+    assert(good.getInt(3) == 3) // RGB raster
+    // half red half blue: mean_r = mean_b = 127.5, mean_g = 0
+    assert(good.getDouble(4) == 127.5 && good.getDouble(5) == 0.0 && good.getDouble(6) == 127.5)
+    assert(good.getBoolean(7))
+    // junk bytes: null stats, decoded = false — the validity filter
+    assert(out(1).isNullAt(1) && !out(1).getBoolean(7))
+    // audio rows skip the decode attempt entirely
+    val audio = Multimodal.toAssets(
+      Seq((3L, buf.toByteArray)).toDF("id", "b"), "id", "b", "audio")
+    assert(Multimodal.imageStats(audio).select("img").head().isNullAt(0))
+    // the SQL surface sees the same kernel
+    assets.createOrReplaceTempView("assets_t")
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_image_stats(payload).width FROM assets_t WHERE asset_id = 1").head()
+    assert(viaSql.getInt(0) == 4)
+  }
+
   test("multimodal: payload stats real, stub features deterministic") {
     val assets = Multimodal.toAssets(
       Seq((1L, "payload-bytes-one"), (2L, "payload-bytes-two"))
