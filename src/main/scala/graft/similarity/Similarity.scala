@@ -117,7 +117,17 @@ object Similarity {
   /** LSH-bucketed approximate cosine top-k: candidates are corpus vectors
     * sharing a (table, signature) bucket with the query in any of
     * `tables` tables; exact cosine ranks the candidates. Recall grows with
-    * `tables`, bucket size shrinks with `bits`. */
+    * `tables`, bucket size shrinks with `bits`.
+    *
+    * `probes` > 0 turns on multi-probe LSH (Lv et al., VLDB 2007): each
+    * query additionally probes the buckets whose signature differs in one
+    * of its low `probes` bits — near neighbors that straddle a hyperplane
+    * land one bit away, so probing Hamming-1 buckets buys the recall of
+    * many extra tables for free. The expansion is QUERY-side only (the
+    * broadcast side): the corpus still writes exactly one bucket per
+    * table, so corpus storage and shuffle are unchanged — the right
+    * trade at scale, where the corpus is 10^9 rows and queries are
+    * thousands. */
   def lshCosineTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -126,7 +136,8 @@ object Similarity {
       queryIdCol: String,
       k: Int,
       tables: Int = 8,
-      bits: Int = 8): DataFrame = {
+      bits: Int = 8,
+      probes: Int = 0): DataFrame = {
     def signatures(df: DataFrame, id: String, out: String) =
       df.select(
           col(id),
@@ -134,8 +145,20 @@ object Similarity {
           l2Norm(col(vecCol)).as(s"${out}_n"),
           posexplode(lshSignatures(col(vecCol), tables, bits)).as(Seq("table", "sig")))
     val cSig = signatures(corpus, idCol, "__cv")
-    val qSig = broadcast(
-      signatures(queries.withColumnRenamed(queryIdCol, "query_id"), "query_id", "__qv"))
+    val qBase = signatures(queries.withColumnRenamed(queryIdCol, "query_id"), "query_id", "__qv")
+    val qProbed =
+      if (probes <= 0) qBase
+      else {
+        val flips = math.min(probes, bits)
+        qBase.select(
+          col("query_id"), col("__qv"), col("__qv_n"), col("table"),
+          explode(concat(
+            array(col("sig")),
+            transform(
+              sequence(lit(0), lit(flips - 1)),
+              j => col("sig").bitwiseXOR(pow(lit(2.0), j).cast("long"))))).as("sig"))
+      }
+    val qSig = broadcast(qProbed)
     val cands = cSig
       .join(qSig, Seq("table", "sig"))
       .filter(col(idCol) =!= col("query_id"))

@@ -1,0 +1,173 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Planted-truth recall harness for the approximate operators the DuckDB
+  * oracle cannot hash-match (seeded LSH planes / minhash permutations /
+  * k-means init). For each such registered query configuration, this
+  * recomputes the EXACT answer by brute force on the same data and
+  * reports recall = |approx ∩ exact| / |exact| — the correctness signal
+  * `CORRECTNESS_r*.json` can't carry for these ops. Precision needs no
+  * measuring: every candidate generator here is verified by the true
+  * metric (Jaccard / cosine / Hamming) before emission, so false
+  * positives are impossible by construction; recall is the only open
+  * question, and this artifact closes it.
+  *
+  * Usage: runMain graft.tools.Recall [sfDir] [outJson]
+  * Writes: one JSON object keyed by query name with recall, the exact
+  * and approx pair counts, and the spec's minimum bound.
+  */
+object Recall {
+
+  private case class Entry(
+      name: String,
+      recall: Double,
+      exactPairs: Long,
+      foundOfExact: Long,
+      minBound: Double,
+      note: String)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val out = if (args.length > 1) args(1) else "RECALL_r6.json"
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try run(spark, sfDir, out)
+    finally spark.stop()
+  }
+
+  def run(spark: SparkSession, sfDir: String, out: String): Unit = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+    def pairSet(df: DataFrame, a: String, b: String): Set[(Long, Long)] =
+      df.select(col(a).cast("long"), col(b).cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    def recallOf(exact: Set[(Long, Long)], approx: Set[(Long, Long)]): Double =
+      if (exact.isEmpty) 1.0 else (exact & approx).size.toDouble / exact.size
+
+    // the planted frame the dedup_minhash/dedup_simhash queries use:
+    // originals (doc_id < 50) + first-word-mutated copies (+100000)
+    val base = docs.filter(col("doc_id") < 50)
+    val planted = base.unionByName(
+      base.select(
+        (col("doc_id") + 100000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "graftmutated").as("text"),
+        col("lang"), col("source"), col("n_chars")))
+
+    val entries = Seq.newBuilder[Entry]
+
+    // --- ANN top-k vs brute force (query configs from LlmQueries) -------
+    val queries5 = emb.filter(col("vec_id") < 5)
+    val brute = pairSet(
+      Similarity.cosineTopK(emb, queries5, "vec_id", "embedding", "vec_id", 10),
+      "query_id", "vec_id")
+    val lsh = pairSet(
+      Similarity.lshCosineTopK(emb, queries5, "vec_id", "embedding", "vec_id",
+        k = 10, tables = 8, bits = 6, probes = 6),
+      "query_id", "vec_id")
+    entries += Entry("ann_lsh_topk", recallOf(brute, lsh), brute.size,
+      (brute & lsh).size, 0.6,
+      "top-10 per query vs exact cosine top-10 (multi-probe, Hamming-1)")
+    val ivf = pairSet(
+      Similarity.ivfCosineTopK(emb, queries5, "vec_id", "embedding", "vec_id",
+        k = 10, nlist = 16, nprobe = 4),
+      "query_id", "vec_id")
+    entries += Entry("ann_ivf_topk", recallOf(brute, ivf), brute.size,
+      (brute & ivf).size, 0.6, "top-10 per query vs exact cosine top-10")
+
+    // --- minhash near-dup vs exhaustive n-gram Jaccard ------------------
+    val exactPairs = pairSet(
+      Dedup.ngramJaccardPairs(planted, "doc_id", "text", k = 3, minJaccard = 0.5),
+      "id_a", "id_b")
+    val mh = pairSet(
+      Dedup.minhashNearDupPairs(planted, "doc_id", "text", threshold = 0.5),
+      "id_a", "id_b")
+    entries += Entry("dedup_minhash", recallOf(exactPairs, mh), exactPairs.size,
+      (exactPairs & mh).size, 0.9, "exhaustive J>=0.5 pairs on the planted frame")
+
+    // --- incremental minhash: batch x corpus, query config --------------
+    val corpus = docs.filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+    val batch = corpus.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "graftmutated").as("text"))
+      .unionByName(docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+        .select(col("doc_id"), col("text")))
+    val batchIds = batch.select(col("doc_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    // exhaustive cross pairs: corpus id < 100 on one side, batch id on the
+    // other (ngramJaccardPairs orders id_a < id_b; corpus ids sort first)
+    val exactCross = pairSet(
+      Dedup.ngramJaccardPairs(
+        corpus.unionByName(batch), "doc_id", "text", k = 3, minJaccard = 0.6),
+      "id_a", "id_b")
+      .filter { case (a, b) => a < 100 && batchIds(b) }
+      .map { case (a, b) => (b, a) } // incremental emits (batch_id, corpus_id)
+    val mhInc = pairSet(
+      Dedup.minhashNearDupPairsIncremental(batch, corpus, "doc_id", "text",
+        threshold = 0.6),
+      "doc_id", "corpus_id")
+    entries += Entry("dedup_minhash_incremental", recallOf(exactCross, mhInc),
+      exactCross.size, (exactCross & mhInc).size, 0.9,
+      "exhaustive batch-x-corpus J>=0.6 pairs")
+
+    // --- simhash: pigeonhole-complete, recall must be exactly 1 ---------
+    val sigs = planted.select(
+      col("doc_id").cast("long").as("id"), Dedup.simhash64(col("text")).as("sig"))
+    val exactHam = pairSet(
+      sigs.as("a").join(sigs.as("b"), col("a.id") < col("b.id"))
+        .filter(Dedup.hamming64(col("a.sig"), col("b.sig")) <= 10)
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b")),
+      "id_a", "id_b")
+    val sh = pairSet(
+      Dedup.simhashNearDupPairs(planted, "doc_id", "text", maxHamming = 10),
+      "id_a", "id_b")
+    entries += Entry("dedup_simhash", recallOf(exactHam, sh), exactHam.size,
+      (exactHam & sh).size, 1.0, "all O(n^2) pairs at Hamming<=10 (pigeonhole: must be 1.0)")
+
+    // --- embedding near-dup: planted exact clones ----------------------
+    val e50 = emb.filter(col("vec_id") < 50).select(col("vec_id"), col("embedding"))
+    val plantedVecs = e50.unionByName(
+      e50.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val v = plantedVecs.select(
+      col("vec_id").cast("long").as("id"),
+      col("embedding").cast("array<double>").as("v"))
+    val exactCos = pairSet(
+      v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          (graft.similarity.Similarity.dot(col("a.v"), col("b.v")) /
+            (graft.similarity.Similarity.l2Norm(col("a.v")) *
+              graft.similarity.Similarity.l2Norm(col("b.v")))).as("cos"))
+        .filter(round(col("cos"), 6) >= 0.999),
+      "id_a", "id_b")
+    val nd = pairSet(
+      Similarity.embeddingNearDupPairs(plantedVecs, "vec_id", "embedding",
+        threshold = 0.999),
+      "id_a", "id_b")
+    entries += Entry("embedding_near_dup", recallOf(exactCos, nd), exactCos.size,
+      (exactCos & nd).size, 1.0, "all O(n^2) pairs at cosine>=0.999 (exact clones planted)")
+
+    val all = entries.result()
+    val json = all.map { e =>
+      f""""${e.name}": {"recall": ${e.recall}%.4f, "exact_pairs": ${e.exactPairs}, "found_of_exact": ${e.foundOfExact}, "min_bound": ${e.minBound}, "note": "${e.note}"}"""
+    }.mkString("{\n  \"sf_dir\": \"" + sfDir + "\",\n  ", ",\n  ", "\n}")
+    Files.writeString(Paths.get(out), json)
+    all.foreach(e => println(f"${e.name}%-28s recall=${e.recall}%.4f (${e.foundOfExact}/${e.exactPairs}, bound ${e.minBound})"))
+    val failed = all.filter(e => e.recall < e.minBound)
+    if (failed.nonEmpty)
+      sys.error(s"recall below bound: ${failed.map(_.name).mkString(", ")}")
+  }
+}

@@ -310,6 +310,21 @@ class DedupSimilaritySpec extends SparkSpec {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
     val recall = (brute intersect lsh).size.toDouble / brute.size
     assert(recall >= 0.6, s"LSH recall $recall too low")
+    // multi-probe at a HARDER config (fewer tables, finer buckets) must
+    // beat — or at least match — the classic probe of the same layout,
+    // and clear the same bound: Hamming-1 probing recovers the neighbors
+    // that straddle one hyperplane
+    val classic = Similarity.lshCosineTopK(vecs, queries, "vec_id", "embedding", "vec_id", 5,
+        tables = 4, bits = 6)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val probed = Similarity.lshCosineTopK(vecs, queries, "vec_id", "embedding", "vec_id", 5,
+        tables = 4, bits = 6, probes = 6)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val classicRecall = (brute intersect classic).size.toDouble / brute.size
+    val probedRecall = (brute intersect probed).size.toDouble / brute.size
+    assert(probedRecall >= classicRecall,
+      s"multi-probe ($probedRecall) must not lose recall vs classic ($classicRecall)")
+    assert(probedRecall >= 0.6, s"multi-probe recall $probedRecall too low")
   }
 
   test("chunkDocuments windows tokens with overlap, short tail kept") {
