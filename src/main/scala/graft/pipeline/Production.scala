@@ -78,7 +78,35 @@ object Production {
       val s = ctx.spark
       val df = Tables.readData(s, Seq(ctx.dataPath("processed.features")))
       val modelName = params.getOrElse("model", "logistic_regression").toString
-      val model = Training.train(df, "target_var", featureCols, modelName)
+      // a `param_grid: {regParam: [0.0, 0.1], ...}` task param selects the
+      // best model by cross-validation over the declared grid (the
+      // reference's intended-but-broken config grid, utils.py:45-57);
+      // without one, a single fit
+      // CV needs every class in every TRAINING fold — stratified folds
+      // (Training.gridSearch) guarantee that iff each class has >= 2
+      // examples. A tiny/degenerate label (as at sf0.001: 14/1) degrades
+      // to a single fit LOUDLY instead of failing the job.
+      def cvFeasible: Boolean = {
+        val counts = df.groupBy(col("target_var")).count()
+          .limit(1000).collect().map(_.getLong(1))
+        counts.length >= 2 && counts.min >= 2
+      }
+      val model = params.get("param_grid") match {
+        case Some(g: Map[_, _]) if g.nonEmpty && cvFeasible =>
+          val grid = g.asInstanceOf[Map[String, Any]].map {
+            case (k, vs: List[_]) => k -> vs.toSeq
+            case (k, v)           => k -> Seq(v)
+          }
+          val folds = params.getOrElse("num_folds", "3").toString.toInt
+          Training.gridSearch(df, "target_var", featureCols, modelName, grid, folds)
+            .bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+        case Some(_) =>
+          System.err.println(
+            "[graft] model-gen: param_grid declared but a label class has < 2 examples — CV infeasible, single fit")
+          Training.train(df, "target_var", featureCols, modelName)
+        case _ =>
+          Training.train(df, "target_var", featureCols, modelName)
+      }
       Training.saveModel(model, ctx.dataPath("models.classifier"))
     }
 

@@ -76,4 +76,78 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(Context.dig(m, "core.seed").map(_.toString).contains("7"))
     assert(m("list") == List("a", "b"))
   }
+
+  test("yaml-declared param_grid drives a cross-validated grid search end-to-end") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-grid").toString
+    // tiny features table in the production schema (7 feature cols + label)
+    val rnd = new scala.util.Random(7)
+    (1 to 80).map { i =>
+      val y = i % 2
+      (i.toLong, 100.0 + y * 50 + rnd.nextGaussian(),
+        10 + y * 5, 5.0 * y + rnd.nextDouble(),
+        20 - y * 5, 3.0 * (1 - y) + rnd.nextDouble(),
+        15 + y * 2, 7.0 * y + rnd.nextDouble(), y)
+    }.toDF("c_custkey", "c_acctbal", "last_click_date_diff", "total_click_value",
+        "last_view_date_diff", "total_view_value", "last_purchase_date_diff",
+        "total_purchase_value", "target_var")
+      .write.mode("overwrite").parquet(s"$work/features")
+
+    // the grid arrives exactly as a job catalog declares it: YAML lists of
+    // doubles AND of strings (the coercion path)
+    val yml = java.nio.file.Files.createTempFile("graft-jobs", ".yml")
+    java.nio.file.Files.writeString(yml,
+      """jobs:
+        |  - name: model-gen
+        |    stages:
+        |      - name: training
+        |        tasks:
+        |          - name: train
+        |            params:
+        |              model: logistic_regression
+        |              param_grid:
+        |                regParam: [0.0, 0.5]
+        |                elasticNetParam: ["1.0"]
+        |              num_folds: "2"
+        |""".stripMargin)
+    val cfg = Map(
+      "job_catalog" -> Context.loadYaml(yml.toString),
+      "data_catalog" -> Map(
+        "processed" -> Map("features" -> s"$work/features"),
+        "models" -> Map("classifier" -> s"$work/model")))
+    graft.pipeline.Production.registerAll()
+    val failures = graft.pipeline.Jobs.run(Context(cfg, spark), "model-gen")
+    assert(failures.isEmpty, failures.toString)
+
+    // the persisted model is the CV winner: its params come from the grid
+    val model = graft.model.Training.loadModel(s"$work/model")
+    val lr = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+    assert(Set(0.0, 0.5).contains(lr.getRegParam), s"regParam ${lr.getRegParam} not from grid")
+    assert(lr.getElasticNetParam == 1.0, "string-typed YAML value must coerce to double")
+  }
+
+  test("param_grid with an unknown param name fails loudly at grid build") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = Seq((1.0, 0), (2.0, 1)).toDF("x", "target_var")
+    val e = intercept[IllegalArgumentException] {
+      graft.model.Training.gridSearch(df, "target_var", Seq("x"),
+        "logistic_regression", Map("notAKnob" -> Seq(1.0)))
+    }
+    assert(e.getMessage.contains("notAKnob") && e.getMessage.contains("regParam"),
+      s"error must name the bad knob and list the real ones: ${e.getMessage}")
+  }
+
+  test("delta read dispatches the format to the DataSource registry (documented no-jar failure)") {
+    // no delta jar in this sandbox (io/Tables.scala contract): the dispatch
+    // must pass "delta" through and surface Spark's data-source-not-found —
+    // not swallow it or misroute to another format
+    val e = intercept[Exception] {
+      graft.io.Tables.readData(SparkSpec.session, Seq("/tmp/no-such-table"), fmt = "delta")
+    }
+    assert(e.getMessage.toLowerCase.contains("delta"),
+      s"failure must name the delta source: ${e.getMessage}")
+  }
 }

@@ -101,4 +101,16 @@ class ModelSpec extends SparkSpec {
       regParams = Seq(0.0, 0.1), elasticNetParams = Seq(0.0), numFolds = 2)
     assert(cv.avgMetrics.max > 0.9)
   }
+
+  test("stratified CV folds keep a rare class in every training fold") {
+    // 2 positives in 42 rows, 2 folds: a random split orphans the rare
+    // class from one training fold with p=~0.5 (the fit then throws
+    // 'rawPredictionCol vectors must have length=2'); stratified fold
+    // assignment must place one positive in EACH fold, so this never fails
+    val rare = ((1 to 40).map(i => ((i % 13).toDouble, 0.0)) ++
+      Seq((20.0, 1.0), (21.0, 1.0))).toDF("x1", "label")
+    val cv = Training.gridSearch(rare, "label", Seq("x1"),
+      "logistic_regression", Map("regParam" -> Seq(0.0, 0.1)), numFolds = 2)
+    assert(cv.avgMetrics.nonEmpty && cv.bestModel != null)
+  }
 }
