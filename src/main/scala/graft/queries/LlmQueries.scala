@@ -46,11 +46,14 @@ object LlmQueries {
         .topTokens(t(s, dir, "documents"), "text", k = 25, minLength = 2)
         .orderBy(desc("freq"), col("token"))
     },
-    // --- bounded-memory heavy hitters (hash sample candidates + seeded
-    // count-min sketch estimates): estimates are approximate -> no SQL
-    // oracle; determinism + CMS bounds are pinned in DedupSimilaritySpec
+    // --- heavy hitters, oracle-checkable form: exact top-k counts (any
+    // engine reproduces them) + a CMS bounds flag the seeded sketch must
+    // satisfy — an undercounting/unseeded sketch flips est_ok and fails
+    // the hash compare. The sample-candidates production path
+    // (heavyHittersApprox) stays pinned by DedupSimilaritySpec.
     "heavy_hitters" -> { (s, dir) =>
-      TextAnalysis.heavyHittersApprox(t(s, dir, "documents"), "text", k = 20)
+      TextAnalysis.heavyHittersCheck(t(s, dir, "documents"), "text", k = 20)
+        .orderBy(desc("freq"), asc("token"))
     },
     "pii_redaction" -> { (s, dir) =>
       // plant deterministic PII (email + URL + phone per doc) so redaction
@@ -624,6 +627,15 @@ object LlmQueries {
         |SELECT token, CAST(count(*) AS BIGINT) AS freq
         |FROM t WHERE length(token) >= 2
         |GROUP BY token ORDER BY freq DESC, token LIMIT 25""".stripMargin,
+    // exact top-k is fully mirrorable; est_ok is the seeded sketch's CMS
+    // bound check, a deterministic pure function of data + seed — the
+    // oracle asserts it as literal TRUE
+    "heavy_hitters" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |           FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS freq, TRUE AS est_ok
+        |FROM t WHERE length(token) >= 1
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
     "chunk_documents" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
         |           FROM documents WHERE doc_id < 20 AND trim(text) <> ''),

@@ -253,13 +253,13 @@ object PipelineQueries {
           stratumCols = Seq("lang"), hashCols = Seq("doc_id"))
         .orderBy(col("lang"), col("rank"))
     },
-    // seeded sampling/splits: deterministic per cluster but not
-    // SQL-expressible — rows-only checks + ScalaTest invariants
+    // engine-portable stratified split over the md5 draw: the oracle
+    // reproduces every row's train/test assignment, checked here as
+    // per-(split, class) counts. The seeded JVM-RNG stratifiedSplit stays
+    // covered by PropertySpec ratio invariants.
     "stratified_split" -> { (s, dir) =>
       val df = t(s, dir, "customer").withColumn("y", (col("c_acctbal") > 0).cast("int"))
-      val (train, test) = Sampling.stratifiedSplit(df, "y", 0.3, seed = 42)
-      train.withColumn("split", lit("train"))
-        .unionByName(test.withColumn("split", lit("test")))
+      Sampling.stratifiedSplitHash(df, "y", 0.3, idCol = "c_custkey", salt = "s6")
         .groupBy(col("split"), col("y"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("y"))
@@ -286,6 +286,18 @@ object PipelineQueries {
     // A-ES weighted sample: mirror the md5(doc_id:seed) draw exactly —
     // first 13 hex chars = 52 uniform bits, u = (v + 0.5) / 2^52,
     // priority = -ln(u)/w, smallest k per stratum win (rank 1 = smallest)
+    // portable md5 split: the oracle mirrors the per-row draw bit for bit
+    "stratified_split" ->
+      """WITH d AS (SELECT c_custkey,
+        |    CAST(c_acctbal > 0 AS INT) AS y FROM customer),
+        |s AS (SELECT y,
+        |    CASE WHEN (CAST('0x' || substring(md5(
+        |        CAST(y AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR) || ':s6'),
+        |        1, 13) AS BIGINT) + 0.5) / 4503599627370496.0 < 0.3
+        |      THEN 'test' ELSE 'train' END AS split
+        |  FROM d)
+        |SELECT split, y, CAST(count(*) AS BIGINT) AS n
+        |FROM s GROUP BY split, y ORDER BY split, y""".stripMargin,
     "weighted_sample" ->
       """WITH d AS (SELECT doc_id, lang, n_chars,
         |    CAST(n_chars AS DOUBLE) + 1.0 AS w FROM documents),

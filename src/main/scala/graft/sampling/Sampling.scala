@@ -122,6 +122,33 @@ object Sampling {
       .filter(col("neg_id") =!= col("id"))
   }
 
+  /** Deterministic engine-portable stratified split: each row draws a
+    * uniform u from md5(class:id:salt) — the same 52-bit portable draw as
+    * [[weightedSample]] — and lands in 'test' iff u < testProp. Per-class
+    * proportions concentrate at testProp exactly like the reference's
+    * per-class Bernoulli randomSplit (dp.py:979-994), but the assignment
+    * is a pure function of the data: the identical rows split the
+    * identical way in any engine (auditable in the DuckDB oracle row for
+    * row), re-runs are stable, and adding rows never reshuffles existing
+    * assignments — the property an incremental training pipeline needs.
+    * Including the class in the hash decorrelates draws across classes.
+    *
+    * Scale shape: a pure scan — no shuffle, no window, no per-class
+    * state; the deterministic companion to [[stratifiedSplit]]. */
+  def stratifiedSplitHash(
+      df: DataFrame,
+      target: String,
+      testProp: Double,
+      idCol: String,
+      salt: String): DataFrame = {
+    require(testProp > 0 && testProp < 1, s"testProp must be in (0,1), got $testProp")
+    val u = (conv(
+      substring(md5(concat_ws(":",
+        col(target).cast("string"), col(idCol).cast("string"), lit(salt))), 1, 13),
+      16, 10).cast("double") + 0.5) / lit((1L << 52).toDouble)
+    df.withColumn("split", when(u < testProp, "test").otherwise("train"))
+  }
+
   /** Stratified split: per-class randomSplit, reassembled with unionByName
     * (reference: dp.py:979-994, with the test_prop/2 bug fixed). The class
     * collect is CAPPED like the encoder fits — pointing this at a

@@ -227,6 +227,41 @@ object TextAnalysis {
       .toSeq.toDF("token", "est_freq")
   }
 
+  /** Oracle-checkable heavy-hitters audit: the exact top-k tokens (ground
+    * truth any engine reproduces) each audited against the same seeded
+    * count-min sketch [[heavyHittersApprox]] builds. `est_ok` holds iff
+    * exact <= estimate <= exact + ceil(eps·N) — a CMS never undercounts,
+    * and overcounts beyond eps·N with prob < 1−confidence. Both the top-k
+    * set and the flag are pure functions of data + seed, so an external
+    * oracle can assert the counts exactly and the flag as literal true;
+    * a broken sketch (undercount, unseeded hash, dropped rows) flips the
+    * flag and fails the comparison. Two passes: one exact token groupBy
+    * (the answer, shuffled; use [[heavyHittersApprox]] when the
+    * vocabulary itself is too big for that) + one sketch aggregation. */
+  def heavyHittersCheck(
+      df: DataFrame,
+      textCol: String,
+      k: Int,
+      eps: Double = 0.001,
+      confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def toks = df.select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) >= 1)
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(desc("freq"), asc("token")).limit(k)
+      .as[(String, Long)].collect() // <= k rows of learned state
+    val sketch = toks.stat.countMinSketch(col("token"), eps, confidence, seed)
+    val bound = math.ceil(eps * sketch.totalCount()).toLong
+    exact.toSeq
+      .map { case (t, n) =>
+        val est = sketch.estimateCount(t)
+        (t, n, est >= n && est <= n + bound)
+      }
+      .toDF("token", "freq", "est_ok")
+  }
+
   /** Top-k TF-IDF terms per document: tf = in-document token count,
     * idf = ln((N + 1) / (df + 1)) (smoothed — a token in every document
     * still gets a positive weight, and a cold-start df of 0 can't divide

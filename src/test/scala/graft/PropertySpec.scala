@@ -51,6 +51,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: hash split is a stable partition at ~the requested rate") {
+    val df = (1 to 2000).map(i => (i.toLong, i % 2)).toDF("id", "y")
+    val s1 = Sampling.stratifiedSplitHash(df, "y", 0.3, "id", "pX")
+    // a partition: every row labeled, labels only train/test
+    assert(s1.count() == 2000)
+    assert(s1.select("split").distinct().collect().map(_.getString(0)).toSet == Set("train", "test"))
+    // per-class test rate near 0.3 (binomial on 1000 draws: ±5σ ≈ ±0.073)
+    s1.filter(col("split") === "test").groupBy("y").count().collect().foreach { r =>
+      val rate = r.getLong(1) / 1000.0
+      assert(math.abs(rate - 0.3) < 0.08, s"class ${r.get(0)} test rate $rate")
+    }
+    // pure function of (class, id, salt): adding rows NEVER reassigns
+    // existing ones — the subset split equals the full split restricted
+    val subset = Sampling.stratifiedSplitHash(df.filter(col("id") <= 500), "y", 0.3, "id", "pX")
+    assert(subset.except(s1.filter(col("id") <= 500)).count() == 0)
+    // a different salt draws a different split
+    val s2 = Sampling.stratifiedSplitHash(df, "y", 0.3, "id", "pY")
+    assert(s1.except(s2).count() > 0)
+  }
+
   test("property: exact dedup is idempotent and content-complete") {
     val gen = Gen.nonEmptyListOf(Gen.oneOf("aa bb", "cc dd", "ee ff", "gg hh"))
     samples(gen, 5).foreach { texts =>
