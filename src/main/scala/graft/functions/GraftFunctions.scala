@@ -23,6 +23,9 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, LongType, 
   *   - `graft_image_stats(payload)` — ImageIO decode to
   *     (width, height, channels, mean_r, mean_g, mean_b); null if the
   *     bytes don't decode
+  *   - `graft_audio_stats(payload)` — javax.sound.sampled decode to
+  *     (sample_rate, channels, bits, n_frames, duration_ms, rms); null
+  *     if the bytes don't parse as WAV/AIFF/AU
   *
   * Two wiring routes, same registrations:
   *   - config: `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -84,6 +87,10 @@ object GraftFunctions {
     "graft_image_stats" -> { args =>
       require(args.length == 1, "graft_image_stats(payload) takes 1 argument")
       ImageDecodeStats(Cast(args(0), BinaryType))
+    },
+    "graft_audio_stats" -> { args =>
+      require(args.length == 1, "graft_audio_stats(payload) takes 1 argument")
+      AudioDecodeStats(Cast(args(0), BinaryType))
     })
 
   private def info(name: String): ExpressionInfo =

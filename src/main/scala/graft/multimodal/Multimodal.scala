@@ -11,13 +11,16 @@ import org.apache.spark.sql.types._
   * IMAGE decode is REAL: [[imageStats]] /
   * [[graft.expressions.ImageDecodeStats]] decodes PNG/JPEG/GIF/BMP with
   * the JDK's ImageIO and extracts width/height/channels/per-channel
-  * means (deterministic capped pixel sample). Audio/video decode remains
-  * STUBBED — this container ships no audio or video codecs — behind
-  * `decodeFeaturesStub`, a deterministic fake (hash-derived
-  * pseudo-features) with the same schema, batching and partitioning
-  * behavior a real decoder (JNI codec or mapInPandas-style vectorized
-  * UDF in the Python surface) would have. Swap `decodeExpr` for the real
-  * kernel; nothing else changes.
+  * means (deterministic capped pixel sample). AUDIO decode is REAL for
+  * the JDK-native containers: [[audioStats]] /
+  * [[graft.expressions.AudioDecodeStats]] parses WAV/AIFF/AU with
+  * `javax.sound.sampled` — sample rate, channels, bit depth, frames,
+  * duration, bounded-prefix RMS. VIDEO decode remains STUBBED — this
+  * container ships no video codec — behind `decodeFeaturesStub`, a
+  * deterministic fake (hash-derived pseudo-features) with the same
+  * schema, batching and partitioning behavior a real decoder (JNI codec
+  * or mapInPandas-style vectorized UDF in the Python surface) would
+  * have. Swap `decodeExpr` for the real kernel; nothing else changes.
   */
 object Multimodal {
 
@@ -67,6 +70,24 @@ object Multimodal {
         "img",
         when(col("media_type") === "image", decodeImageStats(col("payload"))))
       .withColumn("decoded", col("img").isNotNull)
+
+  /** REAL audio decode: (sample_rate, channels, bits, n_frames,
+    * duration_ms, rms) from the payload bytes via javax.sound.sampled
+    * (WAV/AIFF/AU); null for non-audio / corrupt payloads. Pure per-row
+    * projection like [[decodeImageStats]]. */
+  def decodeAudioStats(payload: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.AudioDecodeStats(
+        org.apache.spark.sql.graft.Bridge.expression(payload.cast("binary"))))
+
+  /** Decode every audio asset: adds an `audio` struct (null for rows
+    * whose payload doesn't parse) and an `audio_decoded` flag. Non-audio
+    * media types keep a null struct without paying a decode attempt. */
+  def audioStats(df: DataFrame): DataFrame =
+    df.withColumn(
+        "audio",
+        when(col("media_type") === "audio", decodeAudioStats(col("payload"))))
+      .withColumn("audio_decoded", col("audio").isNotNull)
 
   /** STUB decode kernel: deterministic pseudo-feature vector derived from
     * the payload hash. A real implementation decodes the media and runs a

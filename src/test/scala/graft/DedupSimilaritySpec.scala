@@ -460,6 +460,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaSql.getInt(0) == 4)
   }
 
+  test("multimodal: real javax.sound WAV decode — rate, frames, duration, RMS; junk -> null") {
+    // synthesize a 100 ms 8 kHz mono 16-bit WAV of constant amplitude
+    // 16384 = half full scale, so RMS is exactly 0.5
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val nFrames = 800
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) { pcm(2 * i) = 0x00; pcm(2 * i + 1) = 0x40; i += 1 }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, buf)
+    val assets = Multimodal.toAssets(
+      Seq((1L, buf.toByteArray), (2L, "not audio".getBytes("UTF-8"))).toDF("id", "b"),
+      "id", "b", "audio")
+    val out = Multimodal.audioStats(assets)
+      .select("asset_id", "audio.sample_rate", "audio.channels", "audio.bits",
+        "audio.n_frames", "audio.duration_ms", "audio.rms", "audio_decoded")
+      .orderBy("asset_id").collect()
+    val good = out(0)
+    assert(good.getInt(1) == 8000 && good.getInt(2) == 1 && good.getInt(3) == 16)
+    assert(good.getLong(4) == 800 && good.getLong(5) == 100)
+    assert(good.getDouble(6) == 0.5)
+    assert(good.getBoolean(7))
+    // junk bytes: null stats, audio_decoded = false — the validity filter
+    assert(out(1).isNullAt(1) && !out(1).getBoolean(7))
+    // image rows skip the audio decode attempt entirely
+    val img = Multimodal.toAssets(
+      Seq((3L, buf.toByteArray)).toDF("id", "b"), "id", "b", "image")
+    assert(Multimodal.audioStats(img).select("audio").head().isNullAt(0))
+    // the SQL surface sees the same kernel
+    assets.createOrReplaceTempView("audio_t")
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_audio_stats(payload).sample_rate FROM audio_t WHERE asset_id = 1").head()
+    assert(viaSql.getInt(0) == 8000)
+  }
+
   test("multimodal: payload stats real, stub features deterministic") {
     val assets = Multimodal.toAssets(
       Seq((1L, "payload-bytes-one"), (2L, "payload-bytes-two"))
