@@ -551,4 +551,63 @@ object Dedup {
             s => s.getField("line")),
           "\n").as("text_deduped"))
   }
+
+  /** Duplicated-span coverage: per document, the fraction of token
+    * positions covered by some word k-gram occurring in >= `minDf`
+    * DISTINCT documents — the substring-level duplication signal of the
+    * exact-substring dedup literature (a doc that is 80% covered by
+    * cross-document spans is boilerplate/mirrored content even when no
+    * single pair-level comparison flags it). Complements [[dedupLines]]
+    * (line-exact) and [[ngramJaccardPairs]] (pair-level): this is
+    * per-document, span-level, corpus-wide.
+    *
+    * Coverage is the exact union of the [pos, pos+k) intervals of
+    * duplicated gram starts, computed with the sorted-starts identity
+    * sum(min(k, next_start - start)) — a window PARTITIONED BY document
+    * over only the duplicated starts. Scale shape: grams are hashed
+    * 64-bit (the df groupBy and self-join shuffle longs, never text;
+    * cross-gram collision odds as [[dedupLines]]); doc frequency counts
+    * distinct (gram, doc) pairs; short docs (< k tokens) report zero
+    * coverage. Output: (id, n_tokens, dup_tokens, dup_fraction). */
+  def dupSpanCoverage(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minDf >= 2, s"minDf must be >= 2 (a gram always occurs in its own doc), got $minDf")
+    val tks = graft.text.TextAnalysis.tokens(col(textCol))
+    val starts = df
+      .select(
+        col(idCol),
+        size(tks).as("__n"),
+        when(size(tks) >= k,
+          transform(
+            sequence(lit(0), size(tks) - k),
+            i => struct(
+              i.as("pos"),
+              xxhash64(concat_ws(" ", slice(tks, i + 1, lit(k)))).as("g"))))
+          .otherwise(array().cast("array<struct<pos:int,g:bigint>>")).as("__gs"))
+      .select(col(idCol), col("__n"), explode(col("__gs")).as("__s"))
+      .select(col(idCol), col("__n"), col("__s.pos").as("__pos"), col("__s.g").as("__g"))
+    val dupGrams = starts
+      .select(col("__g"), col(idCol)).distinct()
+      .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__g"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val covered = starts
+      .join(dupGrams, "__g")
+      .withColumn("__next", lead(col("__pos"), 1).over(w))
+      .groupBy(col(idCol))
+      .agg(sum(least(lit(k), coalesce(col("__next") - col("__pos"), lit(k))))
+        .as("dup_tokens"))
+    df.select(col(idCol), size(tks).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol), "left")
+      .na.fill(0L, Seq("dup_tokens"))
+      .withColumn("dup_fraction",
+        round(col("dup_tokens") / greatest(col("n_tokens"), lit(1L)), 6))
+  }
 }

@@ -387,6 +387,19 @@ object LlmQueries {
         .tokenBalancedShards(t(s, dir, "documents"), "doc_id", "text", nShards = 8)
         .orderBy(col("doc_id"))
     },
+    // --- substring-level duplication: plant a shared >k-token footer on
+    // every 4th doc so span coverage has guaranteed work; natural cross-doc
+    // 8-grams count too (both engines see the same corpus)
+    "dup_span_coverage" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(
+            " this shared promotional footer sentence repeats across many documents verbatim")))
+          .otherwise(col("text")).as("text"))
+      Dedup.dupSpanCoverage(docs, "doc_id", "text", k = 8, minDf = 2)
+        .orderBy(col("doc_id"))
+    },
     // --- corpus-level line dedup: plant a universal footer + a periodic
     // promo line so boilerplate removal has guaranteed work
     "line_dedup" -> { (s, dir) =>
@@ -868,6 +881,32 @@ object LlmQueries {
         |    CAST(count(*) AS BIGINT) AS fp_class_size FROM n GROUP BY 1)
         |SELECT doc_id, fp_group, fp_class_size, TRUE AS shingle_consistent
         |FROM n JOIN g USING (norm) ORDER BY doc_id""".stripMargin,
+    // interval-union identity mirrored: sum(least(k, next - pos)) over
+    // sorted duplicated-gram starts per doc
+    "dup_span_coverage" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text ||
+        |      ' this shared promotional footer sentence repeats across many documents verbatim'
+        |    ELSE text END AS text FROM documents),
+        |d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM d0),
+        |g0 AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+        |       FROM d WHERE len(w) >= 8),
+        |g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |      array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+        |      FROM g0),
+        |dup AS (SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS dfreq FROM g GROUP BY 1)
+        |  WHERE dfreq >= 2),
+        |st AS (SELECT doc_id, pos,
+        |       lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+        |       FROM g WHERE gram IN (SELECT gram FROM dup)),
+        |cov AS (SELECT doc_id,
+        |        CAST(sum(LEAST(8, COALESCE(nxt - pos, 8))) AS BIGINT) AS dup_tokens
+        |        FROM st GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  COALESCE(dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+        |  round(COALESCE(dup_tokens, 0) / GREATEST(len(w), 1), 6) AS dup_fraction
+        |FROM d LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin,
     "line_dedup" ->
       """WITH d AS (SELECT doc_id,
         |    text || chr(10) || 'Follow graft weekly for more.'

@@ -99,6 +99,31 @@ class PackingCorpusSpec extends SparkSpec {
     assert(gone.forall(_.getAs[Long]("n_kept") == 0L))
   }
 
+  test("dupSpanCoverage: exact interval union of cross-document k-gram spans") {
+    val k = 4
+    val d = Seq(
+      // doc 1 & 2 share the 5-token run "a b c d e": starts {0,1} in doc 1
+      // → union = min(4, 1-0) + 4 = 5 covered tokens of 6
+      (1L, "a b c d e x"),
+      (2L, "z z a b c d e"),
+      // doc 3: no cross-doc 4-gram
+      (3L, "p q r s t u v"),
+      // doc 4: shorter than k → zero coverage, still reported
+      (4L, "tiny doc")
+    ).toDF("id", "text")
+    val out = Dedup.dupSpanCoverage(d, "id", "text", k = k, minDf = 2)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("n_tokens")).toSeq == Seq(6L, 7L, 7L, 2L))
+    assert(out.map(_.getAs[Long]("dup_tokens")).toSeq == Seq(5L, 5L, 0L, 0L))
+    assert(out(0).getAs[Double]("dup_fraction") == math.rint(5.0 / 6 * 1e6) / 1e6)
+    // a doc made ENTIRELY of a shared run reaches fraction 1.0, never more
+    // (overlapping gram intervals must union, not sum)
+    val full = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("id", "text")
+    val cov = Dedup.dupSpanCoverage(full, "id", "text", k = k, minDf = 2)
+      .select("dup_fraction").as[Double].collect()
+    assert(cov.toSeq == Seq(1.0, 1.0))
+  }
+
   test("reservoirPerKey: exact k per stratum, deterministic, salt-sensitive") {
     val d = (0L until 200L).map(i => (s"s${i % 4}", i)).toDF("stratum", "id")
     val a = Sampling.reservoirPerKey(d, Seq("stratum"), "id", k = 7, salt = "s1")
