@@ -279,7 +279,7 @@ object LlmQueries {
       val e = t(s, dir, "embeddings")
       Similarity
         .ivfCosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id",
-          k = 10, nlist = 16, nprobe = 4)
+          k = 10, nlist = 16, nprobe = 6)
         .orderBy(col("query_id"), col("rank"))
     },
     "embedding_near_dup" -> { (s, dir) =>

@@ -202,11 +202,20 @@ object Similarity {
     val spark = corpus.sparkSession
     import spark.implicits._
 
+    // the quantizer must cluster DIRECTIONS, not magnitudes: for cosine,
+    // k-means cells are only meaningful on the unit sphere (two parallel
+    // vectors of different length are the same point for this metric but
+    // far apart for raw-euclidean k-means). Fit, assign, and probe all use
+    // L2-normalized vectors; the exact re-rank keeps the raw ones.
+    def unit(v: Column): Column =
+      when(l2Norm(v) > 0,
+        transform(v.cast("array<double>"), x => x / l2Norm(v)))
+        .otherwise(v.cast("array<double>"))
     val corpusVec = corpus.select(
       col(idCol),
       col(vecCol).as("__cv"),
       l2Norm(col(vecCol)).as("__cn"),
-      array_to_vector(col(vecCol).cast("array<double>")).as("__mlvec"))
+      array_to_vector(unit(col(vecCol))).as("__mlvec"))
     // hash-ordered top-n = a uniform deterministic pseudo-random sample
     // (distributed TakeOrdered); a bare limit() would take a partition-order
     // PREFIX and bias the centroids on any sorted/clustered corpus
@@ -236,15 +245,16 @@ object Similarity {
     val qSide = queries.select(
       col(queryIdCol).as("query_id"),
       col(vecCol).as("__qv2"),
-      l2Norm(col(vecCol)).as("__qn"))
-    // rank by ||q - c||² = q·q − 2 q·c + c·c; q·q is constant per query so
-    // −2 q·c + c·c orders identically
+      l2Norm(col(vecCol)).as("__qn"),
+      unit(col(vecCol)).as("__qu"))
+    // rank by ||q - c||² = q·q − 2 q·c + c·c over the UNIT query; q·q is
+    // constant per query so −2 q·c + c·c orders identically
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("__dist").asc, col("__cell").asc)
     val qProbes = broadcast(
       qSide.crossJoin(centDf)
         .withColumn("__dist",
-          dot(col("__cent"), col("__cent")) - lit(2.0) * dot(col("__qv2"), col("__cent")))
+          dot(col("__cent"), col("__cent")) - lit(2.0) * dot(col("__qu"), col("__cent")))
         .withColumn("__rk", row_number().over(probeW))
         .filter(col("__rk") <= nprobe)
         .select(col("query_id"), col("__cell"), col("__qv2"), col("__qn")))

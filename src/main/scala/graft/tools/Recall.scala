@@ -84,7 +84,7 @@ object Recall {
       "top-10 per query vs exact cosine top-10 (multi-probe, Hamming-1)")
     val ivf = pairSet(
       Similarity.ivfCosineTopK(emb, queries5, "vec_id", "embedding", "vec_id",
-        k = 10, nlist = 16, nprobe = 4),
+        k = 10, nlist = 16, nprobe = 6),
       "query_id", "vec_id")
     entries += Entry("ann_ivf_topk", recallOf(brute, ivf), brute.size,
       (brute & ivf).size, 0.6, "top-10 per query vs exact cosine top-10")
