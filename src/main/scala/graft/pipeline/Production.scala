@@ -223,6 +223,19 @@ object Production {
         ctx.dataPath("processed.near_dup_pairs"))
     }
 
+    // substring-level duplication report: per-doc fraction covered by
+    // cross-document k-gram spans — the curation signal for boilerplate
+    // that survives doc- and line-level dedup
+    Jobs.register("corpus-curation", "span-coverage-report") { (ctx, params) =>
+      val s = ctx.spark
+      val k = params.getOrElse("gram_k", "8").toString.toInt
+      val minDf = params.getOrElse("min_df", "2").toString.toInt
+      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
+      save(ctx,
+        graft.dedup.Dedup.dupSpanCoverage(docs, "doc_id", "text", k, minDf),
+        ctx.dataPath("processed.span_coverage"))
+    }
+
     Jobs.register("model-eval", "score-and-report") { (ctx, _) =>
       val s = ctx.spark
       val df = Tables.readData(s, Seq(ctx.dataPath("processed.features")))
