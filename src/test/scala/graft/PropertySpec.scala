@@ -71,6 +71,29 @@ class PropertySpec extends SparkSpec {
     assert(s1.except(s2).count() > 0)
   }
 
+  test("property: span coverage is a fraction in [0,1], shrinking as minDf rises") {
+    val gen = for {
+      n <- Gen.choose(5, 30)
+      vocab <- Gen.choose(3, 8)
+    } yield (n, vocab)
+    samples(gen, 3).foreach { case (n, vocab) =>
+      // tiny vocabulary → dense cross-document gram collisions
+      val docs = (1 to n).map { i =>
+        val words = (0 until 12).map(j => s"w${(i * 7 + j * 3) % vocab}")
+        (i.toLong, words.mkString(" "))
+      }.toDF("id", "text")
+      val at2 = graft.dedup.Dedup.dupSpanCoverage(docs, "id", "text", k = 3, minDf = 2)
+      val at3 = graft.dedup.Dedup.dupSpanCoverage(docs, "id", "text", k = 3, minDf = 3)
+      val f2 = at2.select("id", "dup_fraction").as[(Long, Double)].collect().toMap
+      val f3 = at3.select("id", "dup_fraction").as[(Long, Double)].collect().toMap
+      assert(f2.size == n && f3.size == n, "every doc must be reported")
+      assert(f2.values.forall(f => f >= 0.0 && f <= 1.0), s"fraction out of range: $f2")
+      // a stricter document-frequency bar can only shrink the duplicated set
+      assert(f2.keys.forall(id => f3(id) <= f2(id) + 1e-9),
+        s"coverage must be monotone non-increasing in minDf")
+    }
+  }
+
   test("property: exact dedup is idempotent and content-complete") {
     val gen = Gen.nonEmptyListOf(Gen.oneOf("aa bb", "cc dd", "ee ff", "gg hh"))
     samples(gen, 5).foreach { texts =>
