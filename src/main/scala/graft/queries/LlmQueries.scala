@@ -55,6 +55,12 @@ object LlmQueries {
       TextAnalysis.heavyHittersCheck(t(s, dir, "documents"), "text", k = 20)
         .orderBy(desc("freq"), asc("token"))
     },
+    // --- domain-level curation rollup over the source column
+    "source_quality" -> { (s, dir) =>
+      TextAnalysis
+        .sourceQualityReport(t(s, dir, "documents"), "source", "text", "lang")
+        .orderBy(col("source"))
+    },
     "pii_redaction" -> { (s, dir) =>
       // plant deterministic PII (email + URL + phone per doc) so redaction
       // has guaranteed work; original text may add more matches — both
@@ -620,6 +626,24 @@ object LlmQueries {
          |    + (CASE WHEN ($allStopSql) > 0 OR ($hanSql) > 0 THEN 1.0 ELSE 0.0 END)
          |  ) / 4.0, 6) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "source_quality" ->
+      s"""WITH s AS (SELECT source, lang, text,
+         |  (
+         |    (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s一-鿿]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) < 0.3 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN ($allStopSql) > 0 OR ($hanSql) > 0 THEN 1.0 ELSE 0.0 END)
+         |  ) / 4.0 AS q
+         |  FROM documents)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+         |           ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS n_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  round(avg(q), 6) AS mean_quality,
+         |  CAST(sum(CASE WHEN q < 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality,
+         |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+         |FROM s GROUP BY source ORDER BY source""".stripMargin,
     "lang_id" -> {
       val langs = Seq("de", "en", "es", "fr", "zh")
       def scoreCol(l: String) = if (l == "zh") hanSql else scoreSql(l)

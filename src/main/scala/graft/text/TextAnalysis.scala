@@ -171,6 +171,30 @@ object TextAnalysis {
   def qualityFilter(df: DataFrame, textCol: String, minQuality: Double): DataFrame =
     df.filter(qualityScore(col(textCol)) >= minQuality)
 
+  /** Per-source curation rollup — the domain-level decision table of web
+    * curation (keep / drop / downsample a whole SOURCE before paying any
+    * per-document work): document, token, and char volume, mean quality,
+    * low-quality share, distinct languages. One map-side-combinable
+    * groupBy of pure column expressions; source cardinality is bounded
+    * (hosts / domains / crawls), so the output is tiny at any corpus
+    * size and the shuffle carries only partial aggregates. */
+  def sourceQualityReport(
+      df: DataFrame,
+      sourceCol: String,
+      textCol: String,
+      langCol: String,
+      minQuality: Double = 0.75): DataFrame = {
+    val q = qualityScore(col(textCol))
+    df.groupBy(col(sourceCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol)).cast("long")).as("n_tokens"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"),
+        round(avg(q), 6).as("mean_quality"),
+        sum(when(q < minQuality, 1L).otherwise(0L)).as("n_low_quality"),
+        countDistinct(col(langCol)).as("n_langs"))
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency (ties by token
     * ascending). One explode + hash-partitioned groupBy + distributed
     * partial top-k (TakeOrderedAndProject) — no full sort, no driver-side
