@@ -205,17 +205,21 @@ object Similarity {
     // the quantizer must cluster DIRECTIONS, not magnitudes: for cosine,
     // k-means cells are only meaningful on the unit sphere (two parallel
     // vectors of different length are the same point for this metric but
-    // far apart for raw-euclidean k-means). Fit, assign, and probe all use
-    // L2-normalized vectors; the exact re-rank keeps the raw ones.
-    def unit(v: Column): Column =
-      when(l2Norm(v) > 0,
-        transform(v.cast("array<double>"), x => x / l2Norm(v)))
-        .otherwise(v.cast("array<double>"))
-    val corpusVec = corpus.select(
-      col(idCol),
-      col(vecCol).as("__cv"),
-      l2Norm(col(vecCol)).as("__cn"),
-      array_to_vector(unit(col(vecCol))).as("__mlvec"))
+    // far apart for raw-euclidean k-means). Fit, assign, and probe all
+    // use L2-normalized vectors; the exact re-rank keeps the raw ones.
+    // The corpus-wide normalization runs through spark.ml's Normalizer
+    // (one JVM pass per row, zero vectors pass through) rather than a
+    // transform() lambda over a norm column — Catalyst may inline the
+    // norm into the lambda body, where it would re-reduce the vector per
+    // ELEMENT: O(d^2) per row at embedding dims.
+    val corpusVec = new org.apache.spark.ml.feature.Normalizer()
+      .setInputCol("__rawvec").setOutputCol("__mlvec").setP(2.0)
+      .transform(corpus.select(
+        col(idCol),
+        col(vecCol).as("__cv"),
+        l2Norm(col(vecCol)).as("__cn"),
+        array_to_vector(col(vecCol).cast("array<double>")).as("__rawvec")))
+      .drop("__rawvec")
     // hash-ordered top-n = a uniform deterministic pseudo-random sample
     // (distributed TakeOrdered); a bare limit() would take a partition-order
     // PREFIX and bias the centroids on any sorted/clustered corpus
@@ -242,6 +246,13 @@ object Similarity {
       model.clusterCenters.zipWithIndex.toSeq
         .map { case (c, i) => (i, c.toArray.toSeq) }
         .toDF("__cell", "__cent"))
+    // query-side normalization: the lambda's O(d^2)-per-row worst case is
+    // irrelevant here — the query frame is small by contract (it is
+    // broadcast below)
+    def unit(v: Column): Column =
+      when(l2Norm(v) > 0,
+        transform(v.cast("array<double>"), x => x / l2Norm(v)))
+        .otherwise(v.cast("array<double>"))
     val qSide = queries.select(
       col(queryIdCol).as("query_id"),
       col(vecCol).as("__qv2"),
