@@ -99,6 +99,24 @@ object Recall {
     entries += Entry("dedup_minhash", recallOf(exactPairs, mh), exactPairs.size,
       (exactPairs & mh).size, 0.9, "exhaustive J>=0.5 pairs on the planted frame")
 
+    // --- cluster survivors: minhash pipeline vs exact-Jaccard clustering
+    // (pairs -> connected components -> min-id survivors on both sides;
+    // candidate verification makes false pairs impossible, so any gap is
+    // a missed pair propagated through clustering)
+    val exactLosers = Dedup.nearDupClusters(
+        Dedup.ngramJaccardPairs(planted, "doc_id", "text", k = 3, minJaccard = 0.5))
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").cast("long")).collect().map(_.getLong(0)).toSet
+    val allIds = planted.select(col("doc_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    val exactSurvivors = (allIds -- exactLosers).map((_, 0L))
+    val approxSurvivors = Dedup.nearDupDedup(planted, "doc_id", "text", threshold = 0.5)
+      .select(col("doc_id").cast("long")).collect().map(r => (r.getLong(0), 0L)).toSet
+    entries += Entry("dedup_cluster_survivors",
+      recallOf(exactSurvivors, approxSurvivors), exactSurvivors.size,
+      (exactSurvivors & approxSurvivors).size, 0.95,
+      "survivor set vs exact-Jaccard clustering survivors (J>=0.5)")
+
     // --- incremental minhash: batch x corpus, query config --------------
     val corpus = docs.filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
     val batch = corpus.filter(col("doc_id") < 25)
