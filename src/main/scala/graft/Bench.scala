@@ -109,8 +109,15 @@ object Bench {
     if (ioMetrics) spark.sparkContext.addSparkListener(metrics)
 
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to a comma-separated
-    // subset — a seconds-long loop when chasing one query's number.
+    // subset — a seconds-long loop when chasing one query's number. A name
+    // matching nothing is a loud error: a typo would otherwise bench zero
+    // queries successfully and clobber BENCH_DETAIL.json with an empty run.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names no registered query: ${unknown.mkString(", ")}")
+    }
     val results: Seq[R] =
       SparkEntry.queries.toSeq
         .filter(q => only.forall(_.contains(q._1)))

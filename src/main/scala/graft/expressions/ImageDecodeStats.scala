@@ -47,7 +47,17 @@ case class ImageDecodeStats(child: Expression)
     if (bytes.isEmpty) null
     else
       try {
-        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+        // explicit MemoryCacheImageInputStream: the InputStream overload
+        // consults ImageIO's global use-cache flag, which by default
+        // spools every payload to a temp FILE before decoding — per-row
+        // executor disk IO for bytes that are already in memory
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new ByteArrayInputStream(bytes))
+        // ImageIO.read closes the stream on the decode path but NOT on
+        // the no-reader null path, and a second close() throws — swallow
+        val img =
+          try javax.imageio.ImageIO.read(iis)
+          finally (try iis.close() catch { case _: java.io.IOException => () })
         if (img == null) null
         else {
           val w = img.getWidth

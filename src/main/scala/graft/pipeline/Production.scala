@@ -92,19 +92,27 @@ object Production {
         counts.length >= 2 && counts.min >= 2
       }
       val model = params.get("param_grid") match {
-        case Some(g: Map[_, _]) if g.nonEmpty && cvFeasible =>
-          val grid = g.asInstanceOf[Map[String, Any]].map {
-            case (k, vs: List[_]) => k -> vs.toSeq
-            case (k, v)           => k -> Seq(v)
+        case Some(g: Map[_, _]) if g.nonEmpty =>
+          if (cvFeasible) {
+            val grid = g.asInstanceOf[Map[String, Any]].map {
+              case (k, vs: List[_]) => k -> vs.toSeq
+              case (k, v)           => k -> Seq(v)
+            }
+            val folds = params.getOrElse("num_folds", "3").toString.toInt
+            Training.gridSearch(df, "target_var", featureCols, modelName, grid, folds)
+              .bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
+          } else {
+            // degenerate LABEL, not a config problem: degrade loudly
+            System.err.println(
+              "[graft] model-gen: param_grid declared but a label class has < 2 examples — CV infeasible, single fit")
+            Training.train(df, "target_var", featureCols, modelName)
           }
-          val folds = params.getOrElse("num_folds", "3").toString.toInt
-          Training.gridSearch(df, "target_var", featureCols, modelName, grid, folds)
-            .bestModel.asInstanceOf[org.apache.spark.ml.PipelineModel]
-        case Some(_) =>
-          System.err.println(
-            "[graft] model-gen: param_grid declared but a label class has < 2 examples — CV infeasible, single fit")
-          Training.train(df, "target_var", featureCols, modelName)
-        case _ =>
+        case Some(bad) =>
+          // a config typo (list, scalar, empty map) must be a loud error,
+          // not a silently absorbed single fit
+          throw new IllegalArgumentException(
+            s"model-gen: param_grid must be a non-empty mapping of param -> values, got: $bad")
+        case None =>
           Training.train(df, "target_var", featureCols, modelName)
       }
       Training.saveModel(model, ctx.dataPath("models.classifier"))

@@ -325,13 +325,15 @@ object FeatureQueries {
         |  round(quantile_cont(l_quantity, 0.5), 6) AS q50,
         |  round(quantile_cont(l_quantity, 0.75), 6) AS q75
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // LEFT join like Binning.groupedBinning: a null group key keeps its
+    // row with a null bucket (an inner join would silently drop it)
     "grouped_binning" ->
       """WITH e AS (SELECT event_type,
         |    quantile_cont(CAST(value AS DOUBLE), [0.25, 0.5, 0.75]) AS edges
         |  FROM events GROUP BY 1)
         |SELECT event_id, ev.event_type,
         |  CAST(len(list_filter(edges, x -> x <= CAST(ev.value AS DOUBLE))) AS INT) AS bucket
-        |FROM events ev JOIN e USING (event_type)
+        |FROM events ev LEFT JOIN e ON ev.event_type = e.event_type
         |ORDER BY event_id""".stripMargin,
     "binning_quantile" ->
 """WITH e AS (SELECT quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.0) AS s0,

@@ -113,9 +113,13 @@ object TextAnalysis {
     xxhash64(lower(trim(regexp_replace(c, "\\s+", " "))))
 
   /** Winnowing-style robust fingerprint: min over word-shingle hashes —
-    * stable under small edits away from the minimum shingle. */
+    * stable under small edits away from the minimum shingle. Tokenizes
+    * the SAME whitespace-normalized text as [[fingerprint]] (Spark trim
+    * strips only spaces, so a tab-leading doc would otherwise grow a
+    * phantom empty first token and two fingerprint-equal docs could
+    * shingle-differ — the invariant the fingerprints query asserts). */
   def shingleFingerprint(c: Column, k: Int = 5): Column = {
-    val toks = split(lower(trim(c)), "\\s+")
+    val toks = split(lower(trim(regexp_replace(c, "\\s+", " "))), " ")
     val n = size(toks)
     val shingles = transform(
       sequence(lit(0), greatest(n - k, lit(0))),

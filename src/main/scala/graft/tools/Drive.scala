@@ -7,12 +7,7 @@ import org.apache.spark.sql.functions._
 /** Scratch verification driver — edit freely; not part of the library. */
 object Drive {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[16]")
-      .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.Sessions.local(cores = "16")
     spark.sparkContext.setLogLevel("ERROR")
 
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")

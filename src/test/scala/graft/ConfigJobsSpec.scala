@@ -128,6 +128,31 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(lr.getElasticNetParam == 1.0, "string-typed YAML value must coerce to double")
   }
 
+  test("malformed param_grid (a list, not a mapping) fails the task loudly") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-badgrid").toString
+    Seq((1L, 1.0, 1, 1.0, 1, 1.0, 1, 1.0, 0), (2L, 2.0, 2, 2.0, 2, 2.0, 2, 2.0, 1))
+      .toDF("c_custkey", "c_acctbal", "last_click_date_diff", "total_click_value",
+        "last_view_date_diff", "total_view_value", "last_purchase_date_diff",
+        "total_purchase_value", "target_var")
+      .write.mode("overwrite").parquet(s"$work/features")
+    val cfg = Map(
+      "job_catalog" -> Map("jobs" -> List(Map(
+        "name" -> "model-gen",
+        "stages" -> List(Map("name" -> "training", "tasks" -> List(Map(
+          "name" -> "train",
+          // a YAML list where a mapping belongs — the config typo
+          "params" -> Map("param_grid" -> List(0.0, 0.1))))))))),
+      "data_catalog" -> Map(
+        "processed" -> Map("features" -> s"$work/features"),
+        "models" -> Map("classifier" -> s"$work/model")))
+    graft.pipeline.Production.registerAll()
+    val failures = graft.pipeline.Jobs.run(Context(cfg, spark), "model-gen")
+    assert(failures == Seq(("model-gen", "training", "train")),
+      "a malformed param_grid must FAIL the task, not silently single-fit")
+  }
+
   test("param_grid with an unknown param name fails loudly at grid build") {
     val spark = SparkSpec.session
     import spark.implicits._
