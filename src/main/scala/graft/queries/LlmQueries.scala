@@ -522,14 +522,17 @@ object LlmQueries {
         |FROM documents ORDER BY asset_id""".stripMargin,
     "corpus_mix_plan" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS available FROM documents GROUP BY 1),
-        |p AS (SELECT lang, available,
-        |  CASE lang WHEN 'en' THEN CAST(0.3 AS DOUBLE) WHEN 'zh' THEN CAST(0.25 AS DOUBLE)
-        |            WHEN 'de' THEN CAST(0.2 AS DOUBLE) WHEN 'fr' THEN CAST(0.15 AS DOUBLE)
-        |            WHEN 'es' THEN CAST(0.1 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS share
-        |  FROM c)
+        |t(lang, share) AS (VALUES
+        |  ('en', CAST(0.3 AS DOUBLE)), ('zh', CAST(0.25 AS DOUBLE)),
+        |  ('de', CAST(0.2 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+        |  ('es', CAST(0.1 AS DOUBLE))),
+        |p AS (SELECT COALESCE(c.lang, t.lang) AS lang,
+        |    COALESCE(available, 0) AS available, COALESCE(share, 0.0) AS share
+        |  FROM c FULL OUTER JOIN t ON c.lang = t.lang)
         |SELECT lang, available,
         |  CAST(floor(400 * share) AS BIGINT) AS target_n,
-        |  round(least(CAST(1.0 AS DOUBLE), 400 * share / available), 6) AS rate,
+        |  round(CASE WHEN available > 0 THEN least(CAST(1.0 AS DOUBLE), 400 * share / available)
+        |             WHEN share > 0 THEN 1.0 ELSE 0.0 END, 6) AS rate,
         |  available < 400 * share AS deficit
         |FROM p ORDER BY lang""".stripMargin,
     "pii_redaction" ->
@@ -621,7 +624,7 @@ object LlmQueries {
          |  round(CASE WHEN length(text) = 0 THEN 0 ELSE CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS upper_ratio,
          |  round((
          |    (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
-         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s一-鿿]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END)
          |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) < 0.3 THEN 1.0 ELSE 0.0 END)
          |    + (CASE WHEN ($allStopSql) > 0 OR ($hanSql) > 0 THEN 1.0 ELSE 0.0 END)
          |  ) / 4.0, 6) AS quality
@@ -630,7 +633,7 @@ object LlmQueries {
       s"""WITH s AS (SELECT source, lang, text,
          |  (
          |    (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
-         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s一-鿿]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END)
          |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) < 0.3 THEN 1.0 ELSE 0.0 END)
          |    + (CASE WHEN ($allStopSql) > 0 OR ($hanSql) > 0 THEN 1.0 ELSE 0.0 END)
          |  ) / 4.0 AS q
@@ -653,7 +656,7 @@ object LlmQueries {
           s"CASE WHEN score_$l = $greatestExpr THEN '$l' ELSE $acc END"
         }
       s"""SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
-         |  $pick AS lang_detected
+         |  CASE WHEN $greatestExpr = 0 THEN CAST(NULL AS VARCHAR) ELSE $pick END AS lang_detected
          |FROM (SELECT doc_id,
          |  ${scoreCol("de")} AS score_de,
          |  ${scoreCol("en")} AS score_en,
@@ -698,11 +701,12 @@ object LlmQueries {
         |GROUP BY sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
         |ORDER BY doc_id""".stripMargin,
     "negative_sampling" ->
-      """WITH n AS (SELECT count(*) AS c FROM documents)
-        |SELECT doc_id AS id, j,
-        |  ((doc_id % 100003) * 31 + j * 7919) % c AS neg_id
-        |FROM documents, generate_series(1, 3) AS s(j), n
-        |WHERE ((doc_id % 100003) * 31 + j * 7919) % c <> doc_id
+      """WITH n AS (SELECT count(*) AS c FROM documents),
+        |p AS (SELECT doc_id AS id, j,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+        |      1, 13) AS BIGINT) % c AS neg_id
+        |  FROM documents, generate_series(1, 3) AS s(j), n)
+        |SELECT id, j, neg_id FROM p WHERE neg_id <> id
         |ORDER BY id, j""".stripMargin,
     "fuzzy_dedup_pairs" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
@@ -871,9 +875,10 @@ object LlmQueries {
         |  FROM s)
         |SELECT shard, doc_id, n_tokens,
         |  e - n_tokens AS start_offset,
-        |  (e - n_tokens) // 512 AS first_seq,
-        |  (e - 1) // 512 AS last_seq,
-        |  (e - 1) // 512 - (e - n_tokens) // 512 + 1 AS n_seqs,
+        |  CASE WHEN n_tokens > 0 THEN (e - n_tokens) // 512 END AS first_seq,
+        |  CASE WHEN n_tokens > 0 THEN (e - 1) // 512 END AS last_seq,
+        |  CASE WHEN n_tokens > 0
+        |    THEN (e - 1) // 512 - (e - n_tokens) // 512 + 1 ELSE 0 END AS n_seqs,
         |  (e - n_tokens) % 512 AS offset_in_seq
         |FROM o ORDER BY shard, doc_id""".stripMargin,
     "packing_shards" ->

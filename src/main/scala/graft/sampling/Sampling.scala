@@ -103,22 +103,26 @@ object Sampling {
 
   /** Deterministic negative sampling for contrastive training pairs: for
     * every row, `m` pseudo-random partner ids from the dense id space
-    * [0, idSpace) via a fixed multiplicative-hash formula — pure
-    * arithmetic, so the pairing is reproducible across engines, runs, and
-    * partitionings (unlike rand(), whose draw depends on partition
-    * layout). Self-pairs are dropped, so a row yields m or m-1 negatives.
+    * [0, idSpace) via the portable md5(id:j) draw — a 52-bit uniform
+    * value mod idSpace, so negatives cover the FULL id space (an earlier
+    * linear-congruential form never exceeded ~3.1M, silently confining
+    * every negative to the low ids on large spaces) and the pairing is
+    * reproducible across engines, runs, and partitionings (unlike
+    * rand(), whose draw depends on partition layout). Self-pairs are
+    * dropped, so a row yields m or m-1 negatives.
     *
     * Scale shape: projection + explode only — negatives are generated
     * where the positives already live, no join against the corpus, no
-    * shuffle. Pair quality matches uniform sampling for training purposes
-    * (the formula decorrelates id and negative); true hard-negative
-    * mining composes downstream via similarity joins. */
+    * shuffle. Modulo bias is negligible for idSpace << 2^52; true
+    * hard-negative mining composes downstream via similarity joins. */
   def negativePairs(df: DataFrame, idCol: String, m: Int, idSpace: Long): DataFrame = {
     require(m >= 1, s"m must be >= 1, got $m")
     require(idSpace > 1, s"idSpace must be > 1, got $idSpace")
     df.select(col(idCol).cast("long").as("id"))
       .select(col("id"), explode(sequence(lit(1L), lit(m.toLong))).as("j"))
-      .withColumn("neg_id", ((col("id") % 100003L) * 31L + col("j") * 7919L) % idSpace)
+      .withColumn("neg_id",
+        conv(substring(md5(concat_ws(":", col("id"), col("j"))), 1, 13), 16, 10)
+          .cast("long") % idSpace)
       .filter(col("neg_id") =!= col("id"))
   }
 
@@ -242,17 +246,27 @@ object Sampling {
     require(budget > 0, s"budget must be > 0, got $budget")
     val badShares = targetShares.filter { case (_, v) => v < 0 || v > 1 }
     require(badShares.isEmpty, s"target shares must be in [0,1], got $badShares")
-    val share = targetShares.foldLeft(lit(0.0)) { case (acc, (k, v)) =>
-      when(col(stratumCol) === k, lit(v)).otherwise(acc)
-    }
+    // full-outer against the declared shares: a target stratum with ZERO
+    // corpus rows must still emit its (available=0, deficit=true) row —
+    // that fully-missing case is exactly what the plan exists to surface,
+    // and a groupBy over the corpus alone can never produce it
+    val spark = df.sparkSession
+    val sharesDf = spark.createDataFrame(targetShares.toSeq)
+      .toDF(stratumCol, "__share")
+    val share = coalesce(col("__share"), lit(0.0))
     df.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("available"))
+      .join(sharesDf, Seq(stratumCol), "full_outer")
       .select(
         col(stratumCol),
-        col("available"),
+        coalesce(col("available"), lit(0L)).as("available"),
         floor(lit(budget) * share).cast("bigint").as("target_n"),
-        round(least(lit(1.0), lit(budget) * share / col("available")), 6).as("rate"),
-        (col("available") < lit(budget) * share).as("deficit"))
+        round(
+          when(coalesce(col("available"), lit(0L)) > 0,
+            least(lit(1.0), lit(budget) * share / col("available")))
+            .when(share > 0, 1.0)
+            .otherwise(0.0), 6).as("rate"),
+        (coalesce(col("available"), lit(0L)) < lit(budget) * share).as("deficit"))
   }
 
   /** Temperature-scaled corpus mix (the multilingual-pretraining

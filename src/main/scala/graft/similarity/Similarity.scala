@@ -61,6 +61,21 @@ object Similarity {
     * plan, see SCALE.md) and it benches ~2× faster than the bounded-heap
     * aggregate at equal shuffle volume. graft.dp.TopK remains the tool
     * when top-k must compose with other aggregates in one pass. */
+  /** Corpus and query ids must share a type: Spark would otherwise
+    * coerce the self-pair inequality through a lossy cast, evaluate it
+    * to null for every pair, and the filter would silently drop ALL
+    * candidates — an empty result instead of an error. (Ids must also
+    * share a namespace: self-exclusion is by id equality.) */
+  private def requireSameIdType(
+      corpus: DataFrame, idCol: String, queries: DataFrame, queryIdCol: String): Unit = {
+    val ct = corpus.schema(idCol).dataType
+    val qt = queries.schema(queryIdCol).dataType
+    require(ct == qt,
+      s"corpus id '$idCol' (${ct.simpleString}) and query id '$queryIdCol' " +
+        s"(${qt.simpleString}) must have the same type — a coerced comparison " +
+        "nulls out the self-pair filter and every query returns empty")
+  }
+
   private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol).asc)
     scored
@@ -78,15 +93,21 @@ object Similarity {
       vecCol: String,
       queryIdCol: String,
       k: Int): DataFrame = {
+    requireSameIdType(corpus, idCol, queries, queryIdCol)
     // norms are computed ONCE per row on each side (higher-order-function
-    // folds don't codegen — per-pair norm recomputation tripled the work)
+    // folds don't codegen — per-pair norm recomputation tripled the work).
+    // Zero-norm vectors are excluded on BOTH sides: cosine would be
+    // 0/0 = NaN, and Spark sorts NaN above every real number, so one
+    // zero embedding would otherwise take rank 1 of every query.
     val q = broadcast(
       queries.select(
         col(queryIdCol).as("query_id"),
         col(vecCol).as("__qv"),
-        l2Norm(col(vecCol)).as("__qn")))
+        l2Norm(col(vecCol)).as("__qn"))
+        .filter(col("__qn") > 0))
     val scored = corpus
       .select(col(idCol), col(vecCol).as("__cv"), l2Norm(col(vecCol)).as("__cn"))
+      .filter(col("__cn") > 0)
       .crossJoin(q)
       .filter(col(idCol) =!= col("query_id"))
       .select(
@@ -138,12 +159,16 @@ object Similarity {
       tables: Int = 8,
       bits: Int = 8,
       probes: Int = 0): DataFrame = {
+    requireSameIdType(corpus, idCol, queries, queryIdCol)
+    // zero-norm exclusion: see cosineTopK — NaN cosine would outrank
+    // every real candidate
     def signatures(df: DataFrame, id: String, out: String) =
       df.select(
           col(id),
           col(vecCol).as(out),
           l2Norm(col(vecCol)).as(s"${out}_n"),
           posexplode(lshSignatures(col(vecCol), tables, bits)).as(Seq("table", "sig")))
+        .filter(col(s"${out}_n") > 0)
     val cSig = signatures(corpus, idCol, "__cv")
     val qBase = signatures(queries.withColumnRenamed(queryIdCol, "query_id"), "query_id", "__qv")
     val qProbed =
@@ -212,13 +237,15 @@ object Similarity {
     // transform() lambda over a norm column — Catalyst may inline the
     // norm into the lambda body, where it would re-reduce the vector per
     // ELEMENT: O(d^2) per row at embedding dims.
+    requireSameIdType(corpus, idCol, queries, queryIdCol)
     val corpusVec = new org.apache.spark.ml.feature.Normalizer()
       .setInputCol("__rawvec").setOutputCol("__mlvec").setP(2.0)
       .transform(corpus.select(
         col(idCol),
         col(vecCol).as("__cv"),
         l2Norm(col(vecCol)).as("__cn"),
-        array_to_vector(col(vecCol).cast("array<double>")).as("__rawvec")))
+        array_to_vector(col(vecCol).cast("array<double>")).as("__rawvec"))
+        .filter(col("__cn") > 0)) // zero-norm: NaN cosine, see cosineTopK
       .drop("__rawvec")
     // hash-ordered top-n = a uniform deterministic pseudo-random sample
     // (distributed TakeOrdered); a bare limit() would take a partition-order
@@ -258,6 +285,7 @@ object Similarity {
       col(vecCol).as("__qv2"),
       l2Norm(col(vecCol)).as("__qn"),
       unit(col(vecCol)).as("__qu"))
+      .filter(col("__qn") > 0)
     // rank by ||q - c||² = q·q − 2 q·c + c·c over the UNIT query; q·q is
     // constant per query so −2 q·c + c·c orders identically
     val probeW = Window.partitionBy(col("query_id"))
@@ -294,6 +322,7 @@ object Similarity {
       col(vecCol).as("__v"),
       l2Norm(col(vecCol)).as("__n"),
       posexplode(lshSignatures(col(vecCol), tables, bits)).as(Seq("table", "sig")))
+      .filter(col("__n") > 0) // zero-norm: NaN cosine, see cosineTopK
     val l = sigs.select(col("table"), col("sig"), col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na"))
     val r = sigs.select(col("table"), col("sig"), col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
     l.join(r, Seq("table", "sig"))
@@ -320,7 +349,10 @@ object Similarity {
     * in the corpus exists anywhere.
     *
     * `shortlist` must carry (queryIdCol, candIdCol, `cosine`, candVecCol);
-    * output: (query_id, rank 1-based, cand_id, cosine, mmr). */
+    * output: (query_id, rank 1-based, cand_id, cosine, mmr). Contract:
+    * BOTH id columns must be integral (they are cast to long for the
+    * typed mapGroups) — string ids would cast to null and fail the
+    * non-nullable decode; map them to a dense long id first. */
   def mmrRerank(
       shortlist: DataFrame,
       queryIdCol: String,
@@ -404,14 +436,22 @@ object Similarity {
       vecCol: String,
       centroids: DataFrame,
       labelCol: String): DataFrame = {
+    // norms projected ONCE per side before the cross join (the in-pair
+    // cosine() helper would recompute each row's norm per LABEL and each
+    // centroid's per ROW — the recomputation cosineTopK's comment bans);
+    // zero-norm rows/centroids excluded like every cosine search here
     val scored = df
+      .select(col(idCol), col(vecCol).as("__v"), l2Norm(col(vecCol)).as("__n"))
+      .filter(col("__n") > 0)
       .crossJoin(broadcast(centroids.select(
         col(labelCol).as("__cl"),
-        col("centroid").as("__cv"))))
+        col("centroid").as("__cv"),
+        l2Norm(col("centroid")).as("__cn"))
+        .filter(col("__cn") > 0)))
       .select(
         col(idCol),
         col("__cl"),
-        round(cosine(col(vecCol), col("__cv")), 6).as("cosine"))
+        round(dot(col("__v"), col("__cv")) / (col("__n") * col("__cn")), 6).as("cosine"))
     val w = Window.partitionBy(col(idCol)).orderBy(desc("cosine"), col("__cl"))
     scored
       .withColumn("__rn", row_number().over(w))

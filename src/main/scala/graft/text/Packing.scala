@@ -53,10 +53,18 @@ object Packing {
         col(idCol),
         col("n_tokens"),
         (col("end_offset") - col("n_tokens")).as("start_offset"),
-        expr(s"(end_offset - n_tokens) div $ctxTokens").as("first_seq"),
-        expr(s"(end_offset - 1) div $ctxTokens").as("last_seq"),
-        (expr(s"(end_offset - 1) div $ctxTokens") -
-          expr(s"(end_offset - n_tokens) div $ctxTokens") + lit(1L)).as("n_seqs"),
+        // a zero-token doc occupies no tokens and touches NO sequence:
+        // first/last_seq are null and n_seqs is 0 — the unguarded div
+        // formula would report one bogus sequence at most offsets and a
+        // loader pre-slicing from first_seq/last_seq would read it
+        when(col("n_tokens") > 0,
+          expr(s"(end_offset - n_tokens) div $ctxTokens")).as("first_seq"),
+        when(col("n_tokens") > 0,
+          expr(s"(end_offset - 1) div $ctxTokens")).as("last_seq"),
+        when(col("n_tokens") > 0,
+          expr(s"(end_offset - 1) div $ctxTokens") -
+            expr(s"(end_offset - n_tokens) div $ctxTokens") + lit(1L))
+          .otherwise(lit(0L)).as("n_seqs"),
         ((col("end_offset") - col("n_tokens")) % ctxTokens).as("offset_in_seq"))
   }
 

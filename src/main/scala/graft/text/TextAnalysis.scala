@@ -35,7 +35,16 @@ object TextAnalysis {
   def upperRatio(c: Column): Column = charClassRatio(c, "[A-Z]")
 
   /** Lowercased whitespace tokens of a text column — the shared
-    * tokenization for all word-count operators. */
+    * tokenization for all word-count operators.
+    *
+    * Known quirk, shared by every engine that splits on \s+: text
+    * LEADING with a non-space whitespace char (tab, newline — trim
+    * strips only spaces) yields a phantom empty first token, and a
+    * whitespace-only string yields one empty token rather than zero.
+    * DuckDB's trim + string_split_regex behaves identically, so the
+    * oracle gate holds; counts are consistent engine-to-engine and
+    * self-consistent across tokens()/tokenCount()/the native kernels —
+    * which is the property the packing offsets and chunkers rely on. */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
   /** Per-set token-hit counts in one pass (native kernel; element i counts
@@ -82,12 +91,15 @@ object TextAnalysis {
     }
     val withHan = scored.withColumn("score_zh", hanCount(c).cast("long")).drop("__sw")
     val langs = (langStopwords.keys.toSeq :+ "zh").sorted
-    // argmax via a when-chain: first language (asc) with the max score
+    // argmax via a when-chain: first language (asc) with the max score.
+    // All-zero scores = NO evidence (no stopword hit, no Han char) —
+    // that's null, not a confident pick of the alphabetically first
+    // language
     val maxScore = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
     val pick = langs.foldRight(lit(null).cast("string"): Column) { (l, acc) =>
       when(col(s"score_$l") === maxScore, lit(l)).otherwise(acc)
     }
-    withHan.withColumn(out, pick)
+    withHan.withColumn(out, when(maxScore > 0, pick))
   }
 
   /** Quality score in [0,1]: length in range, sane punctuation/digit load,
@@ -100,7 +112,11 @@ object TextAnalysis {
     * at 0.5 and filtered entire languages out of the corpus pipeline. */
   def qualityScore(c: Column, minChars: Int = 100, maxChars: Int = 20000): Column = {
     val lenOk = when(length(c).between(minChars, maxChars), 1.0).otherwise(0.0)
-    val punctOk = when(charClassRatio(c, "[^A-Za-z0-9\\s一-鿿]") < 0.2, 1.0).otherwise(0.0)
+    // Unicode letter/number classes, not [A-Za-z0-9]: with the ASCII
+    // class every Cyrillic/Arabic/Greek/Devanagari char counted as
+    // "punctuation" and whole scripts failed the gate — the bug class the
+    // original Han special-case fixed for zh alone. \p{L} subsumes Han.
+    val punctOk = when(charClassRatio(c, "[^\\p{L}\\p{N}\\s]") < 0.2, 1.0).otherwise(0.0)
     val digitOk = when(digitRatio(c) < 0.3, 1.0).otherwise(0.0)
     val allStopwords = langStopwords.values.flatten.toSeq.distinct.sorted
     val stopHits = element_at(tokenSetCounts(c, Seq(allStopwords)), 1)

@@ -404,6 +404,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(hh.head._2 >= 2000L, s"CMS never undercounts: ${hh.toSeq}")
   }
 
+  test("zero-norm vectors never reach a cosine top-k (NaN would outrank everything)") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (99L, Array(0.0f, 0.0f)) // the zero embedding
+    ).toDF("vec_id", "embedding")
+    val q = Seq((100L, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(corpus, q, "vec_id", "embedding", "vec_id", k = 3)
+      .select("vec_id").as[Long].collect()
+    assert(!top.contains(99L), s"zero vector polluted top-k: ${top.toSeq}")
+    assert(top.toSet == Set(1L, 2L))
+    // a zero QUERY returns no rows rather than k arbitrary NaN-ranked ids
+    val zq = Seq((101L, Array(0.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(Similarity.cosineTopK(corpus, zq, "vec_id", "embedding", "vec_id", 3).count() == 0)
+    // mismatched id types fail loudly instead of silently returning empty
+    val sq = Seq(("q1", Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Similarity.cosineTopK(corpus, sq, "vec_id", "embedding", "vec_id", 3)
+    }
+  }
+
   test("multimodal resize updates metadata, preserves asset schema and payload") {
     val assets = Multimodal.toAssets(
       Seq((1L, "img-bytes")).toDF("id", "b").withColumn("b", col("b").cast("binary")),

@@ -71,6 +71,22 @@ class PropertySpec extends SparkSpec {
     assert(s1.except(s2).count() > 0)
   }
 
+  test("negative sampling covers the full id space; zero-evidence text gets null lang") {
+    // the old linear-congruential draw never exceeded ~3.1M: on a large
+    // id space every negative must still be able to land in the top half
+    val ids = (0L until 200L).toDF("id")
+    val negs = graft.sampling.Sampling.negativePairs(ids, "id", m = 5, idSpace = 1L << 40)
+      .select("neg_id").as[Long].collect()
+    assert(negs.forall(n => n >= 0 && n < (1L << 40)))
+    assert(negs.exists(_ > (1L << 39)), "no negative ever reached the top half of the id space")
+    // no-evidence text: null, not a confident 'de'
+    val scored = graft.text.TextAnalysis.languageScores(
+      Seq("hello world program", "der und die das ist").toDF("text"), "text")
+    val out = scored.select("lang_detected").collect().map(r => Option(r.getString(0)))
+    assert(out(0).isEmpty, s"zero-evidence text must get null lang, got ${out(0)}")
+    assert(out(1).contains("de"))
+  }
+
   test("property: span coverage is a fraction in [0,1], shrinking as minDf rises") {
     val gen = for {
       n <- Gen.choose(5, 30)
