@@ -49,12 +49,24 @@ object IncrementalAgg {
     import org.apache.hadoop.fs.Path
     val dir = new Path(statePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val marker = new Path(statePath + ".batchid")
-    if (batchId != Long.MinValue && fs.exists(marker)) {
-      val in = fs.open(marker)
-      val last = try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-      finally in.close()
-      if (batchId <= last) return // replayed batch — already folded
+    // the batch-id marker lives INSIDE the state directory (underscore
+    // prefix — parquet readers skip it), so marker and state arrive in
+    // the SAME atomic rename. A marker written after the swap would leave
+    // a crash window where the fold landed but the marker didn't: the
+    // streaming restart's replay would pass the id check and double-count
+    // the batch.
+    def markerIn(d: Path) = new Path(d, "_graft_batch_id")
+    val legacyMarker = new Path(statePath + ".batchid")
+    def readMarker(p: Path): Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in).mkString.trim.toLong)
+        finally in.close()
+      }
+    if (batchId != Long.MinValue) {
+      val last = readMarker(markerIn(dir)).orElse(readMarker(legacyMarker))
+      if (last.exists(batchId <= _)) return // replayed batch — already folded
     }
     val merged =
       if (fs.exists(dir)) mergeStates(spark.read.parquet(statePath), batchState, keyCol)
@@ -62,15 +74,25 @@ object IncrementalAgg {
     val tmp = new Path(statePath + ".tmp")
     fs.delete(tmp, true)
     merged.write.mode("overwrite").parquet(tmp.toString)
-    val old = new Path(statePath + ".old")
-    fs.delete(old, true)
-    if (fs.exists(dir)) fs.rename(dir, old)
-    fs.rename(tmp, dir)
-    fs.delete(old, true)
     if (batchId != Long.MinValue) {
-      val out = fs.create(marker, true)
+      val out = fs.create(markerIn(tmp), true)
       try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
     }
+    // Hadoop rename signals failure by returning FALSE, not throwing —
+    // an unchecked rename could delete the only surviving state copy
+    val old = new Path(statePath + ".old")
+    fs.delete(old, true)
+    if (fs.exists(dir) && !fs.rename(dir, old))
+      throw new java.io.IOException(s"foldStateDir: rename $dir -> $old failed")
+    if (!fs.rename(tmp, dir)) {
+      // restore the previous state before surfacing the failure
+      if (fs.exists(old)) fs.rename(old, dir)
+      throw new java.io.IOException(s"foldStateDir: rename $tmp -> $dir failed")
+    }
+    fs.delete(old, true)
+    // migration: drop a legacy side-car marker so it can't shadow the
+    // in-directory one on older state dirs
+    fs.delete(new Path(statePath + ".batchid"), false)
   }
 
   /** One batch's per-key DISTINCT-count state: an HLL sketch of the value

@@ -53,7 +53,9 @@ object SkewJoin {
         col(keyCol),
         col("n"),
         round(col("n") / col("__total"), 6).as("share"),
-        round(col("n") * col("__n_keys") / col("__total"), 6).as("skew_x"))
+        // double multiply: long n * long n_keys overflows at exactly the
+        // hot-key-on-a-big-table scale this profile exists to flag
+        round(col("n").cast("double") * col("__n_keys") / col("__total"), 6).as("skew_x"))
       .orderBy(col("n").desc, col(keyCol))
   }
 

@@ -53,7 +53,11 @@ object Metrics {
   def confusionCell(df: DataFrame, predCol: String, labelCol: String, out: String = "cell"): DataFrame =
     df.withColumn(
       out,
-      when(col(predCol) === 1.0 && col(labelCol) === 1.0, "TP")
+      // null pred/label: null cell, NOT the otherwise branch — every when
+      // condition evaluates null for them and they would all silently
+      // land in "FN"
+      when(col(predCol).isNull || col(labelCol).isNull, lit(null).cast("string"))
+        .when(col(predCol) === 1.0 && col(labelCol) === 1.0, "TP")
         .when(col(predCol) === 1.0 && col(labelCol) === 0.0, "FP")
         .when(col(predCol) === 0.0 && col(labelCol) === 0.0, "TN")
         .otherwise("FN"))
@@ -61,26 +65,12 @@ object Metrics {
   /** Confusion counts + accuracy/precision/recall/f1 at a threshold, one
     * aggregate pass (reference: handy_spark_cd.py:168-187 +
     * model_eval.py:256-318). */
-  def binaryMetricsAtThreshold(df: DataFrame, scoreCol: String, labelCol: String, threshold: Double): DataFrame = {
-    val pred = when(col(scoreCol) > threshold, 1.0).otherwise(0.0)
-    val y = col(labelCol).cast("double")
-    df.agg(
-        sum(when(pred === 1.0 && y === 1.0, 1L).otherwise(0L)).as("tp"),
-        sum(when(pred === 1.0 && y === 0.0, 1L).otherwise(0L)).as("fp"),
-        sum(when(pred === 0.0 && y === 0.0, 1L).otherwise(0L)).as("tn"),
-        sum(when(pred === 0.0 && y === 1.0, 1L).otherwise(0L)).as("fn"))
-      .select(
-        col("tp"),
-        col("fp"),
-        col("tn"),
-        col("fn"),
-        round((col("tp") + col("tn")) / (col("tp") + col("fp") + col("tn") + col("fn")).cast("double"), 6)
-          .as("accuracy"),
-        round(col("tp") / (col("tp") + col("fp")).cast("double"), 6).as("precision"),
-        round(col("tp") / (col("tp") + col("fn")).cast("double"), 6).as("recall"),
-        round(lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")).cast("double"), 6)
-          .as("f1"))
-  }
+  def binaryMetricsAtThreshold(df: DataFrame, scoreCol: String, labelCol: String, threshold: Double): DataFrame =
+    // the grouped variant over one constant segment — the cell aggregates
+    // and derived metrics exist in exactly one place
+    binaryMetricsByGroup(
+      df.withColumn("__seg", lit(1)), "__seg", scoreCol, labelCol, threshold)
+      .drop("segment")
 
   /** Per-segment binary metrics in ONE hash-partitioned pass: the fairness
     * / slice-analysis table (metrics by language, source, market, ...).
@@ -340,9 +330,14 @@ object Metrics {
     val s = col(scoreCol).cast("double")
     val probes = (1 until buckets).map(_.toDouble / buckets)
     val edges = df.agg(graft.Exprs.pctArray(s, probes, exact).as("__e")).head.getSeq[Double](0)
-    // bucket 0 = top scores: count of edges STRICTLY ABOVE the score
-    val bucket = lit(edges.size) - size(filter(
-      typedLit(edges), e => e <= s))
+    // bucket 0 = top scores: count of edges STRICTLY ABOVE the score.
+    // Same null/NaN discipline as calibrationTable: a null score's filter
+    // predicate drops every edge (bottom bucket), a NaN's keeps every
+    // edge (top bucket) — both would silently skew gain/lift
+    val bucket = when(s.isNotNull && !isnan(s),
+      lit(edges.size) - size(filter(typedLit(edges), e => e <= s)))
+      .otherwise(
+        raise_error(lit(s"liftTable: null or NaN score in '$scoreCol'")).cast("int"))
     val cells = df
       .groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n"), sum(col(labelCol).cast("long")).as("n_pos"))

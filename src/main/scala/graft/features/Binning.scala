@@ -18,14 +18,22 @@ object Binning {
     * interval closed. */
   def bucketize(c: Column, splits: Seq[Double]): Column = {
     val n = splits.length
-    val conditions = (0 until n - 1).map { i =>
-      val upper =
-        if (i == n - 2) c <= lit(splits(i + 1)) // last bucket closed
-        else c < lit(splits(i + 1))
-      (c >= lit(splits(i)) && upper, lit(i))
-    }
-    conditions.foldRight(lit(null).cast("int"): Column) { case ((cond, v), acc) =>
-      when(cond, v).otherwise(acc)
+    // a CONSTANT column collapses its distinct quantile splits to one
+    // value: zero range conditions would map every row — including the
+    // constant itself — to a null bucket. One split = one degenerate
+    // bucket: the value itself is bucket 0, everything else stays null
+    // (out of the learned range, the same contract as the general case)
+    if (n == 1) when(c === lit(splits.head), lit(0)).otherwise(lit(null).cast("int"))
+    else {
+      val conditions = (0 until n - 1).map { i =>
+        val upper =
+          if (i == n - 2) c <= lit(splits(i + 1)) // last bucket closed
+          else c < lit(splits(i + 1))
+        (c >= lit(splits(i)) && upper, lit(i))
+      }
+      conditions.foldRight(lit(null).cast("int"): Column) { case ((cond, v), acc) =>
+        when(cond, v).otherwise(acc)
+      }
     }
   }
 

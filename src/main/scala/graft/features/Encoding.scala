@@ -24,10 +24,17 @@ object Encoding {
   }
 
   /** Target-encoding model: category → mean(target) learned on train.
-    * Unseen categories at transform time get the global prior. */
+    * Unseen categories at transform time get the global prior. The join
+    * is NULL-SAFE (<=>) like [[FrequencyModel]]: fit learns a mean for
+    * the null group, and a null-unsafe equi-join could never deliver it
+    * — null rows would silently get the prior instead. */
   final case class TargetModel(mapping: DataFrame, c: String, prior: Double) {
     def transform(df: DataFrame): DataFrame =
-      df.join(broadcast(mapping), Seq(c), "left")
+      df.join(
+          broadcast(mapping.withColumnRenamed(c, "__cat")),
+          df(c) <=> col("__cat"),
+          "left")
+        .drop("__cat")
         .withColumn(s"${c}_te", coalesce(col(s"${c}_te"), lit(prior)))
   }
 
@@ -72,11 +79,19 @@ object Encoding {
     * oracle-checkable; spark.ml's OneHotEncoder (vector output) is used in
     * the ML pipeline path instead (see model.Registry). */
   final case class OneHotModel(c: String, categories: Seq[String]) {
-    def transform(df: DataFrame): DataFrame =
-      categories.foldLeft(df) { (d, cat) =>
-        val safe = cat.replaceAll("[^A-Za-z0-9]", "_")
-        d.withColumn(s"${c}_$safe", when(col(c) === lit(cat), 1).otherwise(0))
+    def transform(df: DataFrame): DataFrame = {
+      // sanitization can collide two distinct categories ("a.b" and
+      // "a_b" both become "a_b") — the second withColumn would silently
+      // OVERWRITE the first indicator; collided names get a positional
+      // suffix so every category keeps its column
+      val names = categories.map(_.replaceAll("[^A-Za-z0-9]", "_"))
+      val deduped = names.zipWithIndex.map { case (nm, i) =>
+        if (names.count(_ == nm) > 1) s"${nm}_$i" else nm
       }
+      categories.zip(deduped).foldLeft(df) { case (d, (cat, nm)) =>
+        d.withColumn(s"${c}_$nm", when(col(c) === lit(cat), 1).otherwise(0))
+      }
+    }
   }
 
   /** Collects the distinct categories (they become column names, so a
@@ -138,6 +153,12 @@ object Encoding {
       new java.util.ArrayList[org.apache.spark.sql.Row](rows.asJava), schema)
   }
 
+  /** Null-safe like [[FrequencyModel]]: a null category learned at fit
+    * reaches its index at transform time. */
   def applyLabelEncoding(df: DataFrame, mapping: DataFrame, c: String): DataFrame =
-    df.join(broadcast(mapping), Seq(c), "left")
+    df.join(
+        broadcast(mapping.withColumnRenamed(c, "__cat")),
+        df(c) <=> col("__cat"),
+        "left")
+      .drop("__cat")
 }

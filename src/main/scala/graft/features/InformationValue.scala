@@ -85,12 +85,24 @@ object InformationValue {
       .agg(
         sum(col("__y")).as("events"),
         sum(lit(1.0) - col("__y")).as("non_events"))
+    // complete the (feature × bucket) grid before the smoothed sum: the
+    // +0.5·buckets denominators assume every cell exists, so a bucket
+    // emptied by collapsed quantile edges must contribute its nonzero
+    // smoothed term — same fix and rationale as Drift.psiTable
+    val spark = df.sparkSession
+    import spark.implicits._
+    val grid = features
+      .flatMap(f => (1 to buckets).map(b => (f, b)))
+      .toDF("feature", "bucket")
+    val complete = grid
+      .join(cells, Seq("feature", "bucket"), "left")
+      .na.fill(0.0, Seq("events", "non_events"))
     // cells is tiny (features × buckets rows) — the per-feature totals
     // window runs on the post-agg frame, partitioned by feature.
     val w = org.apache.spark.sql.expressions.Window.partitionBy("feature")
     val pNe = (col("non_events") + 0.5) / (sum("non_events").over(w) + 0.5 * buckets)
     val pE = (col("events") + 0.5) / (sum("events").over(w) + 0.5 * buckets)
-    cells
+    complete
       .select(col("feature"), ((pNe - pE) * log(pNe / pE)).as("term"))
       .groupBy(col("feature"))
       .agg(round(sum(col("term")), 6).as("iv"))

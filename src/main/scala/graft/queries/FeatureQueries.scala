@@ -204,23 +204,28 @@ object FeatureQueries {
         .orderBy(col("feature"))
     })
 
+  // grid completed via generate_series like psiSql: an empty bucket still
+  // contributes its smoothed term (mirrors InformationValue.ivTable)
   private def ivSql(f: String): String =
     s"""SELECT '$f' AS feature,
        |  round(sum(((ne + 0.5) / (tne + 2.5) - (ev + 0.5) / (te + 2.5))
        |        * ln(((ne + 0.5) / (tne + 2.5)) / ((ev + 0.5) / (te + 2.5)))), 6) AS iv
        |FROM (
-       |  SELECT bucket, sum(y) AS ev, sum(1 - y) AS ne,
-       |         sum(sum(y)) OVER () AS te, sum(sum(1 - y)) OVER () AS tne
-       |  FROM (
-       |    SELECT CASE WHEN $f <= e1 THEN 1 WHEN $f <= e2 THEN 2 WHEN $f <= e3 THEN 3
-       |                WHEN $f <= e4 THEN 4 ELSE 5 END AS bucket,
-       |           CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
-       |    FROM lineitem, (SELECT round(quantile_cont(CAST($f AS DOUBLE), 0.2), 6) AS e1,
-       |                           round(quantile_cont(CAST($f AS DOUBLE), 0.4), 6) AS e2,
-       |                           round(quantile_cont(CAST($f AS DOUBLE), 0.6), 6) AS e3,
-       |                           round(quantile_cont(CAST($f AS DOUBLE), 0.8), 6) AS e4 FROM lineitem)
-       |    WHERE $f IS NOT NULL)
-       |  GROUP BY bucket)""".stripMargin
+       |  SELECT g.bucket, COALESCE(ev, 0) AS ev, COALESCE(ne, 0) AS ne,
+       |         sum(COALESCE(ev, 0)) OVER () AS te, sum(COALESCE(ne, 0)) OVER () AS tne
+       |  FROM (SELECT unnest(generate_series(1, 5)) AS bucket) g
+       |  LEFT JOIN (
+       |    SELECT bucket, sum(y) AS ev, sum(1 - y) AS ne
+       |    FROM (
+       |      SELECT CASE WHEN $f <= e1 THEN 1 WHEN $f <= e2 THEN 2 WHEN $f <= e3 THEN 3
+       |                  WHEN $f <= e4 THEN 4 ELSE 5 END AS bucket,
+       |             CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+       |      FROM lineitem, (SELECT round(quantile_cont(CAST($f AS DOUBLE), 0.2), 6) AS e1,
+       |                             round(quantile_cont(CAST($f AS DOUBLE), 0.4), 6) AS e2,
+       |                             round(quantile_cont(CAST($f AS DOUBLE), 0.6), 6) AS e3,
+       |                             round(quantile_cont(CAST($f AS DOUBLE), 0.8), 6) AS e4 FROM lineitem)
+       |      WHERE $f IS NOT NULL)
+       |    GROUP BY bucket) c USING (bucket))""".stripMargin
 
   private def psiSql(f: String): String =
     s"""SELECT '$f' AS feature, round(sum((p - q) * ln(p / q)), 6) AS psi

@@ -1114,4 +1114,112 @@ class OperatorsSpec extends SparkSpec {
       Sampling.corpusMixPlan(df, "lang", Map("en" -> 1.5), budget = 10L)
     }
   }
+
+  test("confusionCell: null pred or label yields a null cell, not FN") {
+    val df = Seq(
+      (0, Some(1.0), Some(1.0)), (1, Some(0.0), Some(1.0)),
+      (2, None: Option[Double], Some(1.0)), (3, Some(1.0), None: Option[Double]))
+      .toDF("id", "p", "y")
+    val cells = Metrics.confusionCell(df, "p", "y")
+      .collect().map(r => r.getAs[Int]("id") -> Option(r.getAs[String]("cell"))).toMap
+    assert(cells(0) == Some("TP") && cells(1) == Some("FN"))
+    assert(cells(2).isEmpty && cells(3).isEmpty)
+  }
+
+  test("liftTable: a null or NaN score fails loudly instead of skewing a bucket") {
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val withNull = Seq((Some(0.9), 1.0), (None: Option[Double], 0.0), (Some(0.1), 0.0)).toDF("s", "y")
+    val e1 = intercept[Throwable](Metrics.liftTable(withNull, "s", "y", buckets = 2).collect())
+    assert(messages(e1).contains("null or NaN score"))
+    val withNan = Seq((0.9, 1.0), (Double.NaN, 0.0), (0.1, 0.0)).toDF("s", "y")
+    val e2 = intercept[Throwable](Metrics.liftTable(withNan, "s", "y", buckets = 2).collect())
+    assert(messages(e2).contains("null or NaN score"))
+  }
+
+  test("bucketize: a constant column's collapsed splits still bucket the constant") {
+    val const = Seq(5.0, 5.0, 6.0).toDF("x")
+    // fit on the constant value only: quantile edges all collapse to 5.0
+    val m = Binning.fitQuantile(const.filter(col("x") === 5.0), Seq("x"), 4, exact = true)
+    assert(m.splits("x") == Seq(5.0))
+    val out = m.transform(const).collect()
+      .map(r => r.getAs[Double]("x") -> Option(r.getAs[Any]("x_bin"))).toMap
+    assert(out(5.0) == Some(0)) // the constant itself: bucket 0, not null
+    assert(out(6.0).isEmpty)    // out of learned range, same as the general case
+  }
+
+  test("target encoding: a null category learned at fit beats the prior at transform") {
+    val train = Seq((Some("a"), 1.0), (Some("a"), 0.0), (None: Option[String], 1.0)).toDF("c", "y")
+    val m = Encoding.fitTargetEncoder(train, "c", "y")
+    val out = m.transform(Seq(Some("a"), None: Option[String], Some("zz")).toDF("c"))
+      .collect().map(r => Option(r.getAs[String]("c")) -> r.getAs[Double]("c_te")).toMap
+    assert(out(Some("a")) == 0.5)
+    assert(out(None) == 1.0) // learned null-group mean, NOT the prior
+    assert(math.abs(out(Some("zz")) - 2.0 / 3.0) < 1e-9) // unseen -> prior
+  }
+
+  test("one-hot: sanitization collisions keep one indicator column per category") {
+    val m = Encoding.OneHotModel("c", Seq("a.b", "a_b", "x"))
+    val out = m.transform(Seq("a.b", "a_b", "x").toDF("c"))
+    // "a.b" and "a_b" both sanitize to a_b -> positional suffixes; "x" stays plain
+    assert(out.columns.toSeq == Seq("c", "c_a_b_0", "c_a_b_1", "c_x"))
+    val rows = out.collect().map(r =>
+      r.getAs[String]("c") -> (r.getAs[Int]("c_a_b_0"), r.getAs[Int]("c_a_b_1"))).toMap
+    assert(rows("a.b") == ((1, 0)))
+    assert(rows("a_b") == ((0, 1)))
+  }
+
+  test("label encoding: a null category learned at fit reaches its index") {
+    val train = Seq(Some("a"), Some("a"), None: Option[String]).toDF("c")
+    val mapping = Encoding.fitLabelEncoding(train, "c")
+    val out = Encoding.applyLabelEncoding(
+        Seq(Some("a"), None: Option[String], Some("zz")).toDF("c"), mapping, "c")
+      .collect().map(r => Option(r.getAs[String]("c")) -> Option(r.getAs[Any]("c_idx"))).toMap
+    assert(out(Some("a")) == Some(0))   // freq 2 -> rank 0
+    assert(out(None) == Some(1))        // null learned at fit -> its own index
+    assert(out(Some("zz")).isEmpty)     // unseen -> null
+  }
+
+  test("ivTable: empty buckets contribute their smoothed term (completed grid)") {
+    // constant feature: every row lands in one bucket, four buckets empty
+    val df = Seq((5.0, 1.0), (5.0, 1.0), (5.0, 1.0), (5.0, 0.0), (5.0, 0.0)).toDF("f", "y")
+    val iv = InformationValue.ivTable(df, Seq("f"), "y", 5, exact = true)
+      .collect().head.getDouble(1)
+    // hand-computed smoothed IV over the COMPLETE 5-bucket grid
+    // (te = 3 events, tne = 2 non-events, +0.5 per cell, +0.5*5 per total)
+    def term(ev: Double, ne: Double): Double = {
+      val pNe = (ne + 0.5) / (2.0 + 2.5)
+      val pE = (ev + 0.5) / (3.0 + 2.5)
+      (pNe - pE) * math.log(pNe / pE)
+    }
+    val expected = term(3, 2) + 4 * term(0, 0)
+    assert(math.abs(iv - expected) < 1e-6)
+  }
+
+  test("foldStateDir: marker rides the atomic rename; legacy side-car honored then migrated") {
+    import graft.dp.IncrementalAgg._
+    val dir = java.nio.file.Files.createTempDirectory("graft_fold").toString
+    val statePath = s"$dir/state"
+    def sumV: Double = spark.read.parquet(statePath)
+      .selectExpr("cast(sum(sum_v) as double)").as[Double].head()
+    foldStateDir(spark, statePath, aggState(Seq((1L, 1.0)).toDF("k", "v"), "k", "v"), "k", batchId = 0L)
+    // marker lives INSIDE the state dir (same atomic rename); no side-car
+    assert(new java.io.File(s"$statePath/_graft_batch_id").exists())
+    assert(!new java.io.File(s"$statePath.batchid").exists())
+    assert(sumV == 1.0)
+    // replaying batch 0 is a no-op
+    foldStateDir(spark, statePath, aggState(Seq((1L, 9.0)).toDF("k", "v"), "k", "v"), "k", batchId = 0L)
+    assert(sumV == 1.0)
+    // legacy layout (side-car marker only) still skips replays...
+    assert(new java.io.File(s"$statePath/_graft_batch_id").delete())
+    val w = new java.io.PrintWriter(s"$statePath.batchid")
+    try w.print("1") finally w.close()
+    foldStateDir(spark, statePath, aggState(Seq((1L, 9.0)).toDF("k", "v"), "k", "v"), "k", batchId = 1L)
+    assert(sumV == 1.0)
+    // ...and the next real fold migrates: in-dir marker written, side-car dropped
+    foldStateDir(spark, statePath, aggState(Seq((2L, 4.0)).toDF("k", "v"), "k", "v"), "k", batchId = 2L)
+    assert(new java.io.File(s"$statePath/_graft_batch_id").exists())
+    assert(!new java.io.File(s"$statePath.batchid").exists())
+    assert(sumV == 5.0)
+  }
 }
