@@ -62,15 +62,40 @@ object Metrics {
         .when(col(predCol) === 0.0 && col(labelCol) === 0.0, "TN")
         .otherwise("FN"))
 
+  /** The four confusion-cell aggregates at a threshold — shared by the
+    * global and per-group variants so the cell definitions exist once. */
+  private def confusionCellAggs(scoreCol: String, labelCol: String, threshold: Double) = {
+    val pred = when(col(scoreCol) > threshold, 1.0).otherwise(0.0)
+    val y = col(labelCol).cast("double")
+    Seq(
+      sum(when(pred === 1.0 && y === 1.0, 1L).otherwise(0L)).as("tp"),
+      sum(when(pred === 1.0 && y === 0.0, 1L).otherwise(0L)).as("fp"),
+      sum(when(pred === 0.0 && y === 0.0, 1L).otherwise(0L)).as("tn"),
+      sum(when(pred === 0.0 && y === 1.0, 1L).otherwise(0L)).as("fn"))
+  }
+
+  /** accuracy/precision/recall/f1 from tp/fp/tn/fn columns — the one
+    * place the derived formulas live. */
+  private def derivedBinaryMetrics(cells: DataFrame): DataFrame =
+    cells.select(
+      cells.columns.map(col).toSeq ++ Seq(
+        round((col("tp") + col("tn")) / (col("tp") + col("fp") + col("tn") + col("fn")).cast("double"), 6)
+          .as("accuracy"),
+        round(col("tp") / (col("tp") + col("fp")).cast("double"), 6).as("precision"),
+        round(col("tp") / (col("tp") + col("fn")).cast("double"), 6).as("recall"),
+        round(lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")).cast("double"), 6)
+          .as("f1")): _*)
+
   /** Confusion counts + accuracy/precision/recall/f1 at a threshold, one
     * aggregate pass (reference: handy_spark_cd.py:168-187 +
-    * model_eval.py:256-318). */
-  def binaryMetricsAtThreshold(df: DataFrame, scoreCol: String, labelCol: String, threshold: Double): DataFrame =
-    // the grouped variant over one constant segment — the cell aggregates
-    // and derived metrics exist in exactly one place
-    binaryMetricsByGroup(
-      df.withColumn("__seg", lit(1)), "__seg", scoreCol, labelCol, threshold)
-      .drop("segment")
+    * model_eval.py:256-318). Stays a GLOBAL aggregate (SinglePartition
+    * exchange) rather than delegating to the grouped variant: grouping on
+    * a constant key plans a full-width hash shuffle + AQE stage for the
+    * same one-row answer — measured ~2x per-call overhead. */
+  def binaryMetricsAtThreshold(df: DataFrame, scoreCol: String, labelCol: String, threshold: Double): DataFrame = {
+    val aggs = confusionCellAggs(scoreCol, labelCol, threshold)
+    derivedBinaryMetrics(df.agg(aggs.head, aggs.tail: _*))
+  }
 
   /** Per-segment binary metrics in ONE hash-partitioned pass: the fairness
     * / slice-analysis table (metrics by language, source, market, ...).
@@ -84,22 +109,9 @@ object Metrics {
       scoreCol: String,
       labelCol: String,
       threshold: Double): DataFrame = {
-    val pred = when(col(scoreCol) > threshold, 1.0).otherwise(0.0)
-    val y = col(labelCol).cast("double")
-    df.groupBy(col(groupCol).as("segment"))
-      .agg(
-        sum(when(pred === 1.0 && y === 1.0, 1L).otherwise(0L)).as("tp"),
-        sum(when(pred === 1.0 && y === 0.0, 1L).otherwise(0L)).as("fp"),
-        sum(when(pred === 0.0 && y === 0.0, 1L).otherwise(0L)).as("tn"),
-        sum(when(pred === 0.0 && y === 1.0, 1L).otherwise(0L)).as("fn"))
-      .select(
-        col("segment"), col("tp"), col("fp"), col("tn"), col("fn"),
-        round((col("tp") + col("tn")) / (col("tp") + col("fp") + col("tn") + col("fn")).cast("double"), 6)
-          .as("accuracy"),
-        round(col("tp") / (col("tp") + col("fp")).cast("double"), 6).as("precision"),
-        round(col("tp") / (col("tp") + col("fn")).cast("double"), 6).as("recall"),
-        round(lit(2.0) * col("tp") / (lit(2.0) * col("tp") + col("fp") + col("fn")).cast("double"), 6)
-          .as("f1"))
+    val aggs = confusionCellAggs(scoreCol, labelCol, threshold)
+    derivedBinaryMetrics(
+      df.groupBy(col(groupCol).as("segment")).agg(aggs.head, aggs.tail: _*))
   }
 
   /** Multiclass confusion matrix: one hash-partitioned groupBy over the
