@@ -284,8 +284,10 @@ object LlmQueries {
     "ann_ivf_topk" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       Similarity
+        // auto nlist/nprobe (~sqrt(N) cells): a fixed cell count is the
+        // scale trap — recall decays as the corpus grows past it
         .ivfCosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id",
-          k = 10, nlist = 16, nprobe = 6)
+          k = 10)
         .orderBy(col("query_id"), col("rank"))
     },
     "embedding_near_dup" -> { (s, dir) =>

