@@ -224,6 +224,25 @@ object Similarity {
     * keeps the k-means fit tractable (fit cost is fitSample × nlist
     * distances per iteration); beyond ~10^8 rows, raise nprobe (or
     * shard the index) rather than nlist. */
+  /** Auto cell count: ~√N, clamped to [16, min(N, 4096)] — see the
+    * [[ivfCosineTopK]] scaladoc for the measured rationale. */
+  private[graft] def ivfAutoNlist(corpusCount: Long): Int = {
+    val n = math.max(1L, corpusCount)
+    val bySqrt = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
+    math.max(1, math.min(bySqrt.toLong, math.min(n, 4096L)).toInt)
+  }
+
+  /** Auto probe count: floor of nlist/4, raised so the EXPECTED candidate
+    * pool is ~25k rows (N·nprobe/nlist ≥ 25k) — on a small corpus a fixed
+    * probe fraction yields too few candidates for a top-k answer
+    * (measured: 22 cells / 5 probes on 500 rows = 0.38 recall; the same
+    * fraction on 2000 rows = 0.76). */
+  private[graft] def ivfAutoNprobe(cells: Int, corpusCount: Long, k: Int): Int = {
+    val n = math.max(1L, corpusCount)
+    val byK = math.ceil(cells * 25.0 * k / n).toInt
+    math.min(cells, math.max(1, math.max(cells / 4, byK)))
+  }
+
   def ivfCosineTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -240,25 +259,8 @@ object Similarity {
     require(nlist >= 0 && nprobe >= 0, s"nlist/nprobe must be >= 0 (0 = auto), got nlist=$nlist nprobe=$nprobe")
     // one count() serves both autos; skipped entirely when both are explicit
     lazy val corpusCount = math.max(1L, corpus.count())
-    val cells =
-      if (nlist > 0) nlist
-      else {
-        // auto: ~sqrt(N) cells (see scaladoc) — the count() is one
-        // metadata-cheap scan next to the fit + assign passes below
-        val bySqrt = math.max(16, math.round(math.sqrt(corpusCount.toDouble)).toInt)
-        math.max(1, math.min(bySqrt.toLong, math.min(corpusCount, 4096L)).toInt)
-      }
-    val probes =
-      if (nprobe > 0) nprobe
-      else {
-        // floor of nlist/4, raised so the EXPECTED candidate pool is
-        // ~25k rows (N·nprobe/nlist ≥ 25k): on a small corpus a fixed
-        // probe fraction yields too few candidates for a top-k answer
-        // (measured: 22 cells / 5 probes on 500 rows = 0.38 recall; the
-        // same fraction on 2000 rows = 0.76)
-        val byK = math.ceil(cells * 25.0 * k / corpusCount).toInt
-        math.min(cells, math.max(1, math.max(cells / 4, byK)))
-      }
+    val cells = if (nlist > 0) nlist else ivfAutoNlist(corpusCount)
+    val probes = if (nprobe > 0) nprobe else ivfAutoNprobe(cells, corpusCount, k)
     require(probes >= 1 && probes <= cells, s"need 1 <= nprobe <= nlist, got nprobe=$probes nlist=$cells")
     val spark = corpus.sparkSession
     import spark.implicits._

@@ -273,6 +273,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(again == ivf)
   }
 
+  test("ivf auto params: sqrt-N cells, candidate-pool probe floor, caps") {
+    import Similarity.{ivfAutoNlist, ivfAutoNprobe}
+    // sqrt scaling with the 16 floor and 4096 cap
+    assert(ivfAutoNlist(500L) == 22)        // sqrt(500) ~ 22
+    assert(ivfAutoNlist(2000L) == 45)       // sqrt(2000) ~ 45
+    assert(ivfAutoNlist(100L) == 16)        // floor
+    assert(ivfAutoNlist(1_000_000_000L) == 4096) // cap
+    assert(ivfAutoNlist(4L) == 4)           // never more cells than rows
+    // probe floor: nlist/4 once the corpus is big enough...
+    assert(ivfAutoNprobe(4096, 1_000_000_000L, 10) == 1024)
+    // ...but raised on small corpora so expected candidates ~ 25k:
+    // 22 cells on 500 rows at k=10 -> ceil(22*250/500) = 11, not 22/4=5
+    assert(ivfAutoNprobe(22, 500L, 10) == 11)
+    assert(ivfAutoNprobe(45, 2000L, 10) == 11)
+    // never more probes than cells
+    assert(ivfAutoNprobe(16, 10L, 10) == 16)
+  }
+
   test("int8 quantization round-trips within the per-element error bound") {
     val vecs = Seq(
       (1L, Array(0.5, -1.0, 0.25, 0.0)),
