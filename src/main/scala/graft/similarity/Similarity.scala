@@ -148,7 +148,16 @@ object Similarity {
     * broadcast side): the corpus still writes exactly one bucket per
     * table, so corpus storage and shuffle are unchanged — the right
     * trade at scale, where the corpus is 10^9 rows and queries are
-    * thousands. */
+    * thousands.
+    *
+    * `bits = 0` (the default) auto-scales the signature width to
+    * log2(N / max(64, 4k)) — constant EXPECTED bucket population as the
+    * corpus grows. A FIXED width is the scale trap the IVF auto-nlist
+    * also avoids: at bits=8 a 10^9-row corpus packs ~4M rows into every
+    * bucket, and per-query candidate work blows up linearly with N;
+    * with auto bits it stays ~tables × bucket × (1 + probes) rows
+    * regardless of corpus size. Clamped to [4, 24] (beyond 24 bits,
+    * per-plane noise outruns the sketch; raise `tables` instead). */
   def lshCosineTopK(
       corpus: DataFrame,
       queries: DataFrame,
@@ -157,9 +166,11 @@ object Similarity {
       queryIdCol: String,
       k: Int,
       tables: Int = 8,
-      bits: Int = 8,
+      bits: Int = 0,
       probes: Int = 0): DataFrame = {
     requireSameIdType(corpus, idCol, queries, queryIdCol)
+    require(bits >= 0, s"bits must be >= 0 (0 = auto), got $bits")
+    val sigBits = if (bits > 0) bits else lshAutoBits(corpus.count(), k)
     // zero-norm exclusion: see cosineTopK — NaN cosine would outrank
     // every real candidate
     def signatures(df: DataFrame, id: String, out: String) =
@@ -167,14 +178,14 @@ object Similarity {
           col(id),
           col(vecCol).as(out),
           l2Norm(col(vecCol)).as(s"${out}_n"),
-          posexplode(lshSignatures(col(vecCol), tables, bits)).as(Seq("table", "sig")))
+          posexplode(lshSignatures(col(vecCol), tables, sigBits)).as(Seq("table", "sig")))
         .filter(col(s"${out}_n") > 0)
     val cSig = signatures(corpus, idCol, "__cv")
     val qBase = signatures(queries.withColumnRenamed(queryIdCol, "query_id"), "query_id", "__qv")
     val qProbed =
       if (probes <= 0) qBase
       else {
-        val flips = math.min(probes, bits)
+        val flips = math.min(probes, sigBits)
         qBase.select(
           col("query_id"), col("__qv"), col("__qv_n"), col("table"),
           explode(concat(
@@ -224,6 +235,16 @@ object Similarity {
     * keeps the k-means fit tractable (fit cost is fitSample × nlist
     * distances per iteration); beyond ~10^8 rows, raise nprobe (or
     * shard the index) rather than nlist. */
+  /** Auto signature width for sign-bit LSH: log2(N / targetBucket) with
+    * targetBucket = max(64, 4k), clamped to [4, 24] — constant expected
+    * bucket population as the corpus grows (see [[lshCosineTopK]]). */
+  private[graft] def lshAutoBits(corpusCount: Long, k: Int): Int = {
+    val n = math.max(1L, corpusCount)
+    val target = math.max(64L, 4L * math.max(1, k))
+    val raw = math.round(math.log(n.toDouble / target) / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
   /** Auto cell count: ~√N, clamped to [16, min(N, 4096)] — see the
     * [[ivfCosineTopK]] scaladoc for the measured rationale. */
   private[graft] def ivfAutoNlist(corpusCount: Long): Int = {
@@ -347,19 +368,27 @@ object Similarity {
   }
 
   /** Embedding near-dup pairs: cosine above threshold among LSH candidates
-    * (same bucketing as lshCosineTopK, corpus against itself). */
+    * (same bucketing as lshCosineTopK, corpus against itself). `bits = 0`
+    * auto-scales to constant bucket population — here the stakes are
+    * squared: the bucket join is a SELF-join, so a fixed width makes
+    * per-bucket pair work grow as (N/2^bits)² per table. True duplicates
+    * share identical signatures at any width, so recall on near-clones
+    * (threshold ≈ 1) is width-insensitive; width only prunes the
+    * verification volume. */
   def embeddingNearDupPairs(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       threshold: Double,
       tables: Int = 8,
-      bits: Int = 8): DataFrame = {
+      bits: Int = 0): DataFrame = {
+    require(bits >= 0, s"bits must be >= 0 (0 = auto), got $bits")
+    val sigBits = if (bits > 0) bits else lshAutoBits(corpus.count(), k = 16)
     val sigs = corpus.select(
       col(idCol),
       col(vecCol).as("__v"),
       l2Norm(col(vecCol)).as("__n"),
-      posexplode(lshSignatures(col(vecCol), tables, bits)).as(Seq("table", "sig")))
+      posexplode(lshSignatures(col(vecCol), tables, sigBits)).as(Seq("table", "sig")))
       .filter(col("__n") > 0) // zero-norm: NaN cosine, see cosineTopK
     val l = sigs.select(col("table"), col("sig"), col(idCol).as("id_a"), col("__v").as("va"), col("__n").as("na"))
     val r = sigs.select(col("table"), col("sig"), col(idCol).as("id_b"), col("__v").as("vb"), col("__n").as("nb"))
