@@ -143,7 +143,7 @@ object Bench {
           // second independent cold attempt: cold_min = min of the two is
           // the noise-suppressed headline (one spike can't pollute both)
           val (cold1, _) = measure()
-          val io = if (cold1 < cold0) lastIO else io0
+          var io = if (cold1 < cold0) lastIO else io0
           var coldMin = math.min(cold0, cold1)
           clearState(spark)
           var warm = measure()._1
@@ -160,6 +160,9 @@ object Bench {
             if (retry < coldMin) {
               System.err.println(f"[bench] $name cold_min $coldMin%.2fs looked stalled (warm $warm%.2fs); retry $retry%.2fs")
               coldMin = retry
+              // publish the io of the run whose time is the headline, not
+              // the stalled attempt's
+              io = lastIO
             }
           }
           // warm meaningfully slower than cold is equally impossible without

@@ -92,7 +92,9 @@ object Binning {
       .agg(graft.Exprs.pctArray(v, probes, exact).as("__edges"))
     df.join(edges, Seq(keyCol), "left")
       .withColumn("bucket", size(filter(col("__edges"), e => e <= v)))
-      .withColumn("bucket", when(v.isNotNull, col("bucket")))
+      // Gate on the edges too: a null group key matches no edge row, and
+      // with legacy sizeOfNull size(filter(null)) = -1, not null.
+      .withColumn("bucket", when(v.isNotNull && col("__edges").isNotNull, col("bucket")))
       .drop("__edges")
   }
 }

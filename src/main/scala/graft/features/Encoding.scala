@@ -82,11 +82,17 @@ object Encoding {
     def transform(df: DataFrame): DataFrame = {
       // sanitization can collide two distinct categories ("a.b" and
       // "a_b" both become "a_b") — the second withColumn would silently
-      // OVERWRITE the first indicator; collided names get a positional
-      // suffix so every category keeps its column
-      val names = categories.map(_.replaceAll("[^A-Za-z0-9]", "_"))
-      val deduped = names.zipWithIndex.map { case (nm, i) =>
-        if (names.count(_ == nm) > 1) s"${nm}_$i" else nm
+      // OVERWRITE the first indicator; take names first-come-first-served
+      // and suffix later claimants until the full set is collision-free
+      // (a literal category "a_b_0" can collide with a suffixed one, so a
+      // single suffixing pass is not enough)
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      val deduped = categories.map(_.replaceAll("[^A-Za-z0-9]", "_")).zipWithIndex.map {
+        case (nm, i) =>
+          val unique =
+            if (seen.add(nm)) nm
+            else Iterator.from(i).map(j => s"${nm}_$j").find(seen.add).get
+          unique
       }
       categories.zip(deduped).foldLeft(df) { case (d, (cat, nm)) =>
         d.withColumn(s"${c}_$nm", when(col(c) === lit(cat), 1).otherwise(0))

@@ -61,19 +61,29 @@ object Similarity {
     * plan, see SCALE.md) and it benches ~2× faster than the bounded-heap
     * aggregate at equal shuffle volume. graft.dp.TopK remains the tool
     * when top-k must compose with other aggregates in one pass. */
-  /** Corpus and query ids must share a type: Spark would otherwise
-    * coerce the self-pair inequality through a lossy cast, evaluate it
-    * to null for every pair, and the filter would silently drop ALL
-    * candidates — an empty result instead of an error. (Ids must also
-    * share a namespace: self-exclusion is by id equality.) */
+  /** Corpus and query ids must share a comparison-safe type: Spark
+    * coerces a lossy cross-family comparison (e.g. string vs long) to a
+    * cast that evaluates to null for every pair, and the self-pair
+    * inequality filter then silently drops ALL candidates — an empty
+    * result instead of an error. Lossless numeric widening WITHIN a
+    * family (int vs long, float vs double) compares correctly and is
+    * allowed. (Ids must also share a namespace: self-exclusion is by id
+    * equality.) */
   private def requireSameIdType(
       corpus: DataFrame, idCol: String, queries: DataFrame, queryIdCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    def family(t: DataType): String = t match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType => "integral"
+      case _: FloatType | _: DoubleType                              => "fractional"
+      case other                                                     => other.simpleString
+    }
     val ct = corpus.schema(idCol).dataType
     val qt = queries.schema(queryIdCol).dataType
-    require(ct == qt,
+    require(ct == qt || family(ct) == family(qt),
       s"corpus id '$idCol' (${ct.simpleString}) and query id '$queryIdCol' " +
-        s"(${qt.simpleString}) must have the same type — a coerced comparison " +
-        "nulls out the self-pair filter and every query returns empty")
+        s"(${qt.simpleString}) must be the same type or losslessly comparable " +
+        "numerics — a lossy coerced comparison nulls out the self-pair filter " +
+        "and every query returns empty")
   }
 
   private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {

@@ -15,19 +15,32 @@ object Drive {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (sf <- Seq("sf0.01", "sf0.1")) {
-      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
-      val queries = emb.filter(col("vec_id") < 5)
-      val exact = graft.similarity.Similarity
-        .cosineTopK(emb, queries, "vec_id", "embedding", "vec_id", 10)
-        .select(col("query_id"), col("vec_id")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      val got = graft.similarity.Similarity
-        .ivfCosineTopK(emb, queries, "vec_id", "embedding", "vec_id", 10)
-        .select(col("query_id"), col("vec_id")).collect()
-        .map(r => (r.getLong(0), r.getLong(1))).toSet
-      println(f"$sf auto recall=${(exact & got).size.toDouble / exact.size}%.2f")
-    }
+    import spark.implicits._
+
+    // 1) groupedBinning on real data + an injected null-key row
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("event_type"), col("value"))
+      .withColumnRenamed("value", "amount")
+    val withNullKey = ev.unionByName(
+      Seq((null.asInstanceOf[String], 42.0)).toDF("event_type", "amount"))
+    val binned = graft.features.Binning.groupedBinning(withNullKey, "event_type", "amount", 4)
+    binned.groupBy("event_type", "bucket").count()
+      .orderBy(col("event_type").asc_nulls_first, col("bucket")).show(30, false)
+
+    // 2) one-hot with colliding + literal-suffix category names
+    val oh = graft.features.Encoding.OneHotModel("c", Seq("a_b", "a_b_1", "a.b", "a_b_2"))
+      .transform(Seq("a_b", "a_b_1", "a.b", "a_b_2").toDF("c"))
+    oh.show(false)
+
+    // 3) cosineTopK with int query ids vs long corpus ids (widening allowed)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val intQ = emb.filter(col("vec_id") < 3)
+      .withColumn("vec_id", col("vec_id").cast("int"))
+    val top = graft.similarity.Similarity
+      .cosineTopK(emb, intQ, "vec_id", "embedding", "vec_id", 5)
+    top.show(20, false)
+    println(s"widened-id topk rows = ${top.count()}")
+
     spark.stop()
   }
 }

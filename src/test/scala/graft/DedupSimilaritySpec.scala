@@ -440,6 +440,12 @@ class DedupSimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Similarity.cosineTopK(corpus, sq, "vec_id", "embedding", "vec_id", 3)
     }
+    // lossless numeric widening (int query id vs long corpus id) is fine:
+    // the = / =!= comparison widens without nulling out
+    val iq = Seq((100, Array(1.0f, 0.05f))).toDF("vec_id", "embedding")
+    val widened = Similarity.cosineTopK(corpus, iq, "vec_id", "embedding", "vec_id", 2)
+      .select("vec_id").as[Long].collect()
+    assert(widened.toSet == Set(1L, 2L))
   }
 
   test("multimodal resize updates metadata, preserves asset schema and payload") {

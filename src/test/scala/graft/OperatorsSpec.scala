@@ -1161,12 +1161,28 @@ class OperatorsSpec extends SparkSpec {
   test("one-hot: sanitization collisions keep one indicator column per category") {
     val m = Encoding.OneHotModel("c", Seq("a.b", "a_b", "x"))
     val out = m.transform(Seq("a.b", "a_b", "x").toDF("c"))
-    // "a.b" and "a_b" both sanitize to a_b -> positional suffixes; "x" stays plain
-    assert(out.columns.toSeq == Seq("c", "c_a_b_0", "c_a_b_1", "c_x"))
+    // "a.b" and "a_b" both sanitize to a_b -> first keeps the name, the
+    // later claimant gets a positional suffix; "x" stays plain
+    assert(out.columns.toSeq == Seq("c", "c_a_b", "c_a_b_1", "c_x"))
     val rows = out.collect().map(r =>
-      r.getAs[String]("c") -> (r.getAs[Int]("c_a_b_0"), r.getAs[Int]("c_a_b_1"))).toMap
+      r.getAs[String]("c") -> (r.getAs[Int]("c_a_b"), r.getAs[Int]("c_a_b_1"))).toMap
     assert(rows("a.b") == ((1, 0)))
     assert(rows("a_b") == ((0, 1)))
+  }
+
+  test("one-hot: a literal category equal to a suffixed name still gets its own column") {
+    // "a.b" sanitizes to a_b (taken), would suffix to a_b_1; the literal
+    // categories a_b_1 and a_b_2 already claim those names — suffixing
+    // must iterate past BOTH to a collision-free name
+    val m = Encoding.OneHotModel("c", Seq("a_b", "a_b_1", "a.b", "a_b_2"))
+    val out = m.transform(Seq("a_b", "a_b_1", "a.b", "a_b_2").toDF("c"))
+    assert(out.columns.distinct.length == out.columns.length)
+    assert(out.columns.length == 5) // c + one indicator per category
+    // every category fires exactly its own indicator
+    val hits = out.collect().map { r =>
+      r.getAs[String]("c") -> (1 until 5).map(i => r.getInt(i)).sum
+    }.toMap
+    assert(hits.values.forall(_ == 1))
   }
 
   test("label encoding: a null category learned at fit reaches its index") {

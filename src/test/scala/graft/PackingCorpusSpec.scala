@@ -191,6 +191,14 @@ class PackingCorpusSpec extends SparkSpec {
     val nb = Binning.groupedBinning(withNull, "g", "v", 4, exact = true)
       .filter($"id" === 999L).select("bucket").head()
     assert(nb.isNullAt(0))
+    // null GROUP KEY with a non-null value also gets a null bucket — the
+    // left join yields __edges = null, and with legacy sizeOfNull a raw
+    // size(filter(null)) would be -1, not null
+    val withNullKey = d.unionByName(
+      Seq((998L, null.asInstanceOf[String], 42.0)).toDF("id", "g", "v"))
+    val nk = Binning.groupedBinning(withNullKey, "g", "v", 4, exact = true)
+      .filter($"id" === 998L).select("bucket").head()
+    assert(nk.isNullAt(0), s"null key must give null bucket, got $nk")
   }
 
   test("invertedIndex: capped ascending postings, df counts distinct docs") {
