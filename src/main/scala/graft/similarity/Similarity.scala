@@ -69,7 +69,7 @@ object Similarity {
     * family (int vs long, float vs double) compares correctly and is
     * allowed. (Ids must also share a namespace: self-exclusion is by id
     * equality.) */
-  private def requireSameIdType(
+  private[similarity] def requireSameIdType(
       corpus: DataFrame, idCol: String, queries: DataFrame, queryIdCol: String): Unit = {
     import org.apache.spark.sql.types._
     def family(t: DataType): String = t match {
@@ -86,7 +86,7 @@ object Similarity {
         "and every query returns empty")
   }
 
-  private def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+  private[similarity] def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol).asc)
     scored
       .withColumn("rank", row_number().over(w))
@@ -181,30 +181,51 @@ object Similarity {
     requireSameIdType(corpus, idCol, queries, queryIdCol)
     require(bits >= 0, s"bits must be >= 0 (0 = auto), got $bits")
     val sigBits = if (bits > 0) bits else lshAutoBits(corpus.count(), k)
-    // zero-norm exclusion: see cosineTopK — NaN cosine would outrank
-    // every real candidate
-    def signatures(df: DataFrame, id: String, out: String) =
-      df.select(
-          col(id),
-          col(vecCol).as(out),
-          l2Norm(col(vecCol)).as(s"${out}_n"),
-          posexplode(lshSignatures(col(vecCol), tables, sigBits)).as(Seq("table", "sig")))
-        .filter(col(s"${out}_n") > 0)
-    val cSig = signatures(corpus, idCol, "__cv")
-    val qBase = signatures(queries.withColumnRenamed(queryIdCol, "query_id"), "query_id", "__qv")
-    val qProbed =
-      if (probes <= 0) qBase
-      else {
-        val flips = math.min(probes, sigBits)
-        qBase.select(
-          col("query_id"), col("__qv"), col("__qv_n"), col("table"),
-          explode(concat(
-            array(col("sig")),
-            transform(
-              sequence(lit(0), lit(flips - 1)),
-              j => col("sig").bitwiseXOR(pow(lit(2.0), j).cast("long"))))).as("sig"))
-      }
-    val qSig = broadcast(qProbed)
+    val cSig = lshSide(corpus, idCol, vecCol, "__cv", tables, sigBits)
+    val qSig = broadcast(lshQuerySide(queries, queryIdCol, vecCol, tables, sigBits, probes))
+    lshScore(cSig, qSig, idCol, k)
+  }
+
+  /** One side of the LSH bucket join: (id, vec, norm, table, sig) with one
+    * row per (row, table). Zero-norm exclusion: see cosineTopK — NaN
+    * cosine would outrank every real candidate. */
+  private[similarity] def lshSide(
+      df: DataFrame, id: String, vecCol: String, out: String,
+      tables: Int, sigBits: Int): DataFrame =
+    df.select(
+        col(id),
+        col(vecCol).as(out),
+        l2Norm(col(vecCol)).as(s"${out}_n"),
+        posexplode(lshSignatures(col(vecCol), tables, sigBits)).as(Seq("table", "sig")))
+      .filter(col(s"${out}_n") > 0)
+
+  /** Query side of the LSH bucket join, with optional Hamming-1
+    * multi-probe expansion (query-side only — corpus storage and shuffle
+    * are unchanged, see [[lshCosineTopK]]). */
+  private[similarity] def lshQuerySide(
+      queries: DataFrame, queryIdCol: String, vecCol: String,
+      tables: Int, sigBits: Int, probes: Int): DataFrame = {
+    val qBase = lshSide(
+      queries.withColumnRenamed(queryIdCol, "query_id"), "query_id", vecCol, "__qv",
+      tables, sigBits)
+    if (probes <= 0) qBase
+    else {
+      val flips = math.min(probes, sigBits)
+      qBase.select(
+        col("query_id"), col("__qv"), col("__qv_n"), col("table"),
+        explode(concat(
+          array(col("sig")),
+          transform(
+            sequence(lit(0), lit(flips - 1)),
+            j => col("sig").bitwiseXOR(pow(lit(2.0), j).cast("long"))))).as("sig"))
+    }
+  }
+
+  /** Bucket-join candidates, exact-cosine re-rank — the shared tail of the
+    * one-shot [[lshCosineTopK]] and the prebuilt-index search
+    * ([[AnnIndex.searchLsh]]). `qSig` must be broadcast-sized. */
+  private[similarity] def lshScore(
+      cSig: DataFrame, qSig: DataFrame, idCol: String, k: Int): DataFrame = {
     val cands = cSig
       .join(qSig, Seq("table", "sig"))
       .filter(col(idCol) =!= col("query_id"))
@@ -285,29 +306,36 @@ object Similarity {
       nprobe: Int = 0,
       seed: Long = 0L,
       fitSample: Int = 100000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     require(nlist >= 0 && nprobe >= 0, s"nlist/nprobe must be >= 0 (0 = auto), got nlist=$nlist nprobe=$nprobe")
     // one count() serves both autos; skipped entirely when both are explicit
     lazy val corpusCount = math.max(1L, corpus.count())
     val cells = if (nlist > 0) nlist else ivfAutoNlist(corpusCount)
     val probes = if (nprobe > 0) nprobe else ivfAutoNprobe(cells, corpusCount, k)
     require(probes >= 1 && probes <= cells, s"need 1 <= nprobe <= nlist, got nprobe=$probes nlist=$cells")
-    val spark = corpus.sparkSession
-    import spark.implicits._
-
-    // the quantizer must cluster DIRECTIONS, not magnitudes: for cosine,
-    // k-means cells are only meaningful on the unit sphere (two parallel
-    // vectors of different length are the same point for this metric but
-    // far apart for raw-euclidean k-means). Fit, assign, and probe all
-    // use L2-normalized vectors; the exact re-rank keeps the raw ones.
-    // The corpus-wide normalization runs through spark.ml's Normalizer
-    // (one JVM pass per row, zero vectors pass through) rather than a
-    // transform() lambda over a norm column — Catalyst may inline the
-    // norm into the lambda body, where it would re-reduce the vector per
-    // ELEMENT: O(d^2) per row at embedding dims.
     requireSameIdType(corpus, idCol, queries, queryIdCol)
-    val corpusVec = new org.apache.spark.ml.feature.Normalizer()
+    val corpusVec = ivfNormalizedCorpus(corpus, idCol, vecCol)
+    val model = ivfFit(corpusVec, idCol, cells, seed, fitSample)
+    val assigned = model.transform(corpusVec).drop("__mlvec")
+    val centDf = ivfCentroidFrame(corpus.sparkSession, model)
+    val qProbes = ivfQueryProbes(queries, queryIdCol, vecCol, centDf, probes)
+    ivfScore(assigned, qProbes, idCol, k)
+  }
+
+  /** Corpus projected to (id, raw vec, norm, unit spark.ml vector). The
+    * quantizer must cluster DIRECTIONS, not magnitudes: for cosine,
+    * k-means cells are only meaningful on the unit sphere (two parallel
+    * vectors of different length are the same point for this metric but
+    * far apart for raw-euclidean k-means). Fit, assign, and probe all
+    * use L2-normalized vectors; the exact re-rank keeps the raw ones.
+    * The corpus-wide normalization runs through spark.ml's Normalizer
+    * (one JVM pass per row, zero vectors pass through) rather than a
+    * transform() lambda over a norm column — Catalyst may inline the
+    * norm into the lambda body, where it would re-reduce the vector per
+    * ELEMENT: O(d^2) per row at embedding dims. */
+  private[similarity] def ivfNormalizedCorpus(
+      corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    import org.apache.spark.ml.functions.array_to_vector
+    new org.apache.spark.ml.feature.Normalizer()
       .setInputCol("__rawvec").setOutputCol("__mlvec").setP(2.0)
       .transform(corpus.select(
         col(idCol),
@@ -316,32 +344,47 @@ object Similarity {
         array_to_vector(col(vecCol).cast("array<double>")).as("__rawvec"))
         .filter(col("__cn") > 0)) // zero-norm: NaN cosine, see cosineTopK
       .drop("__rawvec")
-    // hash-ordered top-n = a uniform deterministic pseudo-random sample
-    // (distributed TakeOrdered); a bare limit() would take a partition-order
-    // PREFIX and bias the centroids on any sorted/clustered corpus
+  }
+
+  /** Seeded coarse-quantizer fit over a bounded sample of the normalized
+    * corpus. Hash-ordered top-n = a uniform deterministic pseudo-random
+    * sample (distributed TakeOrdered); a bare limit() would take a
+    * partition-order PREFIX and bias the centroids on any sorted/clustered
+    * corpus. A coarse quantizer doesn't need convergence — cells just need
+    * to be roughly balanced; 8 iterations halves the fit cost vs the
+    * default 20 with no measurable recall change, and random init (not
+    * k-means||) skips several extra passes over the fit sample — the exact
+    * re-rank fixes any assignment noise. */
+  private[similarity] def ivfFit(
+      corpusVec: DataFrame, idCol: String, cells: Int, seed: Long,
+      fitSample: Int): org.apache.spark.ml.clustering.KMeansModel = {
     val fitFrame = corpusVec
       .select(col("__mlvec"), xxhash64(col(idCol)).as("__h"))
       .orderBy(col("__h")).limit(fitSample).drop("__h")
-    // a coarse quantizer doesn't need convergence — cells just need to be
-    // roughly balanced; 8 iterations halves the fit cost vs the default 20
-    // with no measurable recall change on the testdata embeddings
-    // random init, not k-means||: the parallel init alone costs several
-    // passes over the fit sample, and a coarse quantizer only needs
-    // roughly balanced cells — the exact re-rank fixes any assignment
-    // noise; recall spec is unchanged (ivf recall >= 0.6 vs brute force)
-    val model = new KMeans()
+    new org.apache.spark.ml.clustering.KMeans()
       .setK(cells).setSeed(seed).setMaxIter(8).setInitMode("random")
       .setFeaturesCol("__mlvec").setPredictionCol("__cell")
       .fit(fitFrame)
-    val assigned = model.transform(corpusVec).drop("__mlvec")
+  }
 
-    // nprobe nearest centroids per query: a (queries × nlist) distance rank
-    // against the tiny broadcast centroid frame — fully distributed, works
-    // for any query-id type (no driver math, no long cast)
-    val centDf = broadcast(
+  /** The fitted centroids as a tiny broadcast frame (__cell, __cent). */
+  private[similarity] def ivfCentroidFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
+    import spark.implicits._
+    broadcast(
       model.clusterCenters.zipWithIndex.toSeq
         .map { case (c, i) => (i, c.toArray.toSeq) }
         .toDF("__cell", "__cent"))
+  }
+
+  /** nprobe nearest centroids per query: a (queries × nlist) distance rank
+    * against the tiny broadcast centroid frame — fully distributed, works
+    * for any query-id type (no driver math, no long cast). Returns the
+    * broadcast (query_id, __cell, __qv2, __qn) probe frame. */
+  private[similarity] def ivfQueryProbes(
+      queries: DataFrame, queryIdCol: String, vecCol: String,
+      centDf: DataFrame, probes: Int): DataFrame = {
     // query-side normalization: the lambda's O(d^2)-per-row worst case is
     // irrelevant here — the query frame is small by contract (it is
     // broadcast below)
@@ -359,14 +402,21 @@ object Similarity {
     // constant per query so −2 q·c + c·c orders identically
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("__dist").asc, col("__cell").asc)
-    val qProbes = broadcast(
+    broadcast(
       qSide.crossJoin(centDf)
         .withColumn("__dist",
           dot(col("__cent"), col("__cent")) - lit(2.0) * dot(col("__qu"), col("__cent")))
         .withColumn("__rk", row_number().over(probeW))
         .filter(col("__rk") <= probes)
         .select(col("query_id"), col("__cell"), col("__qv2"), col("__qn")))
+  }
 
+  /** Probed-cell join + exact-cosine re-rank — the shared tail of the
+    * one-shot [[ivfCosineTopK]] and the prebuilt-index search
+    * ([[AnnIndex.searchIvf]]). `assigned` = (id, __cv, __cn, __cell);
+    * `qProbes` must be broadcast-sized. */
+  private[similarity] def ivfScore(
+      assigned: DataFrame, qProbes: DataFrame, idCol: String, k: Int): DataFrame = {
     val cands = assigned
       .join(qProbes, Seq("__cell"))
       .filter(col(idCol) =!= col("query_id"))
