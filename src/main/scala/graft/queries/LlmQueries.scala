@@ -198,10 +198,14 @@ object LlmQueries {
       Dedup.contaminationReport(corpus, evalSet, "doc_id", "text", k = 3, minOverlap = 2)
         .orderBy(col("corpus_id"), col("eval_id"))
     },
+    // measured on the PLANTED frame (docs < 40 + first-word-mutated
+    // copies): every doc pairs with its mutation at high Jaccard, so the
+    // pair-emission path does real work at EVERY sf — on the raw corpus
+    // the random texts share almost no 3-grams and the benchmark measured
+    // an empty result (BENCH_DETAIL rows=0 at sf0.1, flagged r6+r7)
     "ngram_jaccard" -> { (s, dir) =>
       Dedup
-        .ngramJaccardPairs(
-          t(s, dir, "documents").filter(col("doc_id") < 40), "doc_id", "text",
+        .ngramJaccardPairs(planted(s, dir, 40), "doc_id", "text",
           k = 3, minJaccard = 0.02)
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -790,8 +794,13 @@ object LlmQueries {
         |WHERE overlap_grams >= 2
         |ORDER BY corpus_id, eval_id""".stripMargin,
     "ngram_jaccard" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
-        |           FROM documents WHERE doc_id < 40),
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
+        |corpus AS (SELECT doc_id, text FROM base
+        |           UNION ALL
+        |           SELECT doc_id + 100000, regexp_replace(text, '^\S+', 'graftmutated')
+        |           FROM base),
+        |d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |      FROM corpus),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
         |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM d)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
