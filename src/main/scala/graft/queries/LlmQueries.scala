@@ -19,6 +19,16 @@ import Support._
   * asserts the planted pairs are found. */
 object LlmQueries {
 
+  /** Per-sf scratch directory for the prebuilt ANN index queries: keyed by
+    * the data directory so sf0.01 (Verify) and sf0.1 (Bench) never share an
+    * index. Lives in the JVM temp dir — the index is a derived artifact,
+    * rebuilt from the data whenever absent. */
+  private def annIndexDir(dir: String, kind: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${System.getProperty("java.io.tmpdir")}/graft_ann_${kind}_$key"
+  }
+
   /** documents ∪ mutated copies: near-dup planting for dedup operators. */
   private def planted(s: SparkSession, dir: String, n: Int = 50): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") < n)
@@ -292,6 +302,29 @@ object LlmQueries {
         // scale trap — recall decays as the corpus grows past it
         .ivfCosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id",
           k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // --- prebuilt-index search (AnnIndex): the build-once/persist/
+    // search-many lifecycle. First call builds into a per-sf scratch dir
+    // (k-means fit + corpus assignment / corpus signing); every later
+    // call — including the bench's repeat attempts — searches the
+    // persisted structure only. Same parameters as the one-shot ann_*
+    // queries, so results are identical (asserted in AnnIndexSpec).
+    "ann_ivf_search" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = annIndexDir(dir, "ivf")
+      graft.similarity.AnnIndex.ensureIvf(e, "vec_id", "embedding", idx)
+      graft.similarity.AnnIndex
+        .searchIvf(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "ann_lsh_search" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = annIndexDir(dir, "lsh")
+      graft.similarity.AnnIndex.ensureLsh(e, "vec_id", "embedding", idx, tables = 8, bits = 6)
+      graft.similarity.AnnIndex
+        .searchLsh(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, probes = 6)
         .orderBy(col("query_id"), col("rank"))
     },
     "embedding_near_dup" -> { (s, dir) =>

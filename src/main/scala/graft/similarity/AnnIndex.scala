@@ -1,0 +1,226 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistable ANN index: build once, search many.
+  *
+  * [[Similarity.ivfCosineTopK]] / [[Similarity.lshCosineTopK]] are one-shot
+  * conveniences that rebuild their structure (k-means fit + corpus
+  * assignment / corpus re-signing) inside every call. At 100 TB that
+  * repeated corpus pass is the dominant cost: the fit-once/persist/
+  * load-and-score lifecycle (the reference's model-serving shape,
+  * utils.py:212-222, production/scoring.py:117) is build-index/persist/
+  * search-many here.
+  *
+  * On-disk layout (all plain parquet — readable by any engine):
+  * {{{
+  *   <dir>/meta.parquet       1 row: kind, id_col, params, n_rows
+  *   <dir>/centroids.parquet  IVF: (__cell, __cent)           [nlist rows]
+  *   <dir>/corpus.parquet/    IVF: (id, __cv, __cn) PARTITIONED BY __cell
+  *   <dir>/signatures.parquet LSH: (id, __cv, __cv_n, sig) PARTITIONED BY
+  *                            table, sig-sorted within files
+  * }}}
+  *
+  * Why this layout scales:
+  *   - IVF search collects the probed cells (|Q|·nprobe values — the query
+  *     frame is broadcast-sized by contract) and pushes a LITERAL
+  *     `__cell IN (...)` filter, so hive partition pruning skips every
+  *     unprobed cell's directory BEFORE any IO: a search touches
+  *     ~nprobe/nlist of the corpus bytes, not all of them.
+  *   - LSH search pushes the probed signature set as a parquet predicate;
+  *     files are sig-sorted within each table partition, so row-group
+  *     min/max stats skip the buckets no query probes.
+  *   - Both searches reuse the exact scoring tails of the one-shot
+  *     operators ([[Similarity.ivfScore]] / [[Similarity.lshScore]]), so
+  *     one-shot and prebuilt results are IDENTICAL for identical
+  *     parameters (asserted in AnnIndexSpec) — the index changes where
+  *     the structure lives, never what the search returns.
+  *
+  * Incremental maintenance is append-shaped: new corpus batches are
+  * assigned against the SAME persisted centroids/planes and appended to
+  * the partitioned layout; periodic re-fit is a rebuild.
+  */
+object AnnIndex {
+
+  private val MetaFile = "meta.parquet"
+
+  private case class Meta(
+      kind: String,
+      idCol: String,
+      nRows: Long,
+      nlist: Int,
+      tables: Int,
+      bits: Int,
+      seed: Long)
+
+  private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
+    import spark.implicits._
+    Seq((m.kind, m.idCol, m.nRows, m.nlist, m.tables, m.bits, m.seed))
+      .toDF("kind", "id_col", "n_rows", "nlist", "tables", "bits", "seed")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$MetaFile")
+  }
+
+  private def readMeta(spark: SparkSession, dir: String, expectKind: String): Meta = {
+    require(exists(spark, dir),
+      s"no ANN index at $dir — build one with build${expectKind.capitalize} first")
+    val r = spark.read.parquet(s"$dir/$MetaFile").head()
+    val m = Meta(
+      r.getAs[String]("kind"), r.getAs[String]("id_col"), r.getAs[Long]("n_rows"),
+      r.getAs[Int]("nlist"), r.getAs[Int]("tables"), r.getAs[Int]("bits"),
+      r.getAs[Long]("seed"))
+    require(m.kind == expectKind,
+      s"index at $dir is kind '${m.kind}', expected '$expectKind'")
+    m
+  }
+
+  /** True iff a complete index exists at `dir` (meta is written LAST by
+    * the builders, so a crashed half-written build reads as absent). */
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(path) && fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$MetaFile/_SUCCESS"))
+  }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Fit the coarse quantizer once and persist centroids + the
+    * cell-partitioned corpus. `nlist = 0` auto-scales to ~√N (see
+    * [[Similarity.ivfCosineTopK]]). The expensive pieces — the k-means fit
+    * and the full-corpus assignment pass — happen HERE, never at search. */
+  def buildIvf(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nlist: Int = 0,
+      seed: Long = 0L,
+      fitSample: Int = 100000): Unit = {
+    require(nlist >= 0, s"nlist must be >= 0 (0 = auto), got $nlist")
+    val nRows = corpus.count()
+    val cells = if (nlist > 0) nlist else Similarity.ivfAutoNlist(nRows)
+    val corpusVec = Similarity.ivfNormalizedCorpus(corpus, idCol, vecCol)
+    val model = Similarity.ivfFit(corpusVec, idCol, cells, seed, fitSample)
+    Similarity.ivfCentroidFrame(corpus.sparkSession, model)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.parquet")
+    // one partition directory per cell: search prunes to the probed cells
+    model.transform(corpusVec).drop("__mlvec")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__cell")
+      .parquet(s"$dir/corpus.parquet")
+    writeMeta(corpus.sparkSession, dir,
+      Meta("ivf", idCol, nRows, cells, tables = 0, bits = 0, seed))
+  }
+
+  /** Search a prebuilt IVF index: rank the broadcast centroids per query,
+    * prune the corpus scan to the probed cell partitions, exact-cosine
+    * re-rank. No fit, no full-corpus pass — identical results to
+    * [[Similarity.ivfCosineTopK]] at identical parameters. `nprobe = 0`
+    * uses the same auto rule as the one-shot operator. */
+  def searchIvf(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 0): DataFrame = {
+    require(nprobe >= 0, s"nprobe must be >= 0 (0 = auto), got $nprobe")
+    val m = readMeta(spark, dir, "ivf")
+    val probes =
+      if (nprobe > 0) nprobe else Similarity.ivfAutoNprobe(m.nlist, m.nRows, k)
+    require(probes >= 1 && probes <= m.nlist,
+      s"need 1 <= nprobe <= nlist, got nprobe=$probes nlist=${m.nlist}")
+    val centDf = broadcast(spark.read.parquet(s"$dir/centroids.parquet"))
+    val qProbes = Similarity.ivfQueryProbes(queries, queryIdCol, vecCol, centDf, probes)
+    // the probed-cell set is |Q|·nprobe values (queries are broadcast-sized
+    // by contract) — pushed as a literal so hive partition pruning drops
+    // unprobed directories before any IO
+    val probedCells = qProbes.select(col("__cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val assigned = spark.read.parquet(s"$dir/corpus.parquet")
+      .filter(col("__cell").isin(probedCells: _*))
+    Similarity.ivfScore(assigned, qProbes, m.idCol, k)
+  }
+
+  // ------------------------------------------------------------------ LSH
+
+  /** Sign the corpus once and persist the (table, sig)-addressed layout.
+    * `bits = 0` auto-scales signature width to constant expected bucket
+    * population (see [[Similarity.lshCosineTopK]]). LSH needs no fitting —
+    * the planes are hash-derived — so "build" is exactly the corpus
+    * signing pass the one-shot operator repeats per call. */
+  def buildLsh(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      tables: Int = 8,
+      bits: Int = 0,
+      k: Int = 16): Unit = {
+    require(bits >= 0, s"bits must be >= 0 (0 = auto), got $bits")
+    val nRows = corpus.count()
+    val sigBits = if (bits > 0) bits else Similarity.lshAutoBits(nRows, k)
+    // sig-sorted within each table partition: parquet row-group min/max
+    // stats become the bucket index (search pushes `sig IN (...)`)
+    Similarity.lshSide(corpus, idCol, vecCol, "__cv", tables, sigBits)
+      .repartition(col("table"))
+      .sortWithinPartitions(col("table"), col("sig"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("table")
+      .parquet(s"$dir/signatures.parquet")
+    writeMeta(corpus.sparkSession, dir,
+      Meta("lsh", idCol, nRows, nlist = 0, tables, sigBits, seed = 0L))
+  }
+
+  /** Search a prebuilt LSH index: sign the queries (with optional
+    * Hamming-1 multi-probe), push the probed signature set into the
+    * corpus scan, bucket-join + exact-cosine re-rank. Identical results
+    * to [[Similarity.lshCosineTopK]] at identical parameters. */
+  def searchLsh(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int,
+      probes: Int = 0): DataFrame = {
+    val m = readMeta(spark, dir, "lsh")
+    val qSig = broadcast(
+      Similarity.lshQuerySide(queries, queryIdCol, vecCol, m.tables, m.bits, probes))
+    // probed signatures across all tables — a bounded literal set (|Q| ·
+    // tables · (1+probes)); a superset filter per table, exact join after.
+    // Pushed to parquet, it row-group-skips the sig-sorted files.
+    val probedSigs = qSig.select(col("sig")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val cSig = spark.read.parquet(s"$dir/signatures.parquet")
+      .filter(col("sig").isin(probedSigs: _*))
+    Similarity.lshScore(cSig, qSig, m.idCol, k)
+  }
+
+  // ------------------------------------------- build-if-absent convenience
+
+  /** Build the IVF index iff no complete index exists at `dir` (meta is
+    * written last, so a crashed build rebuilds). The steady-state call
+    * pattern of a serving pipeline: first caller pays the fit, everyone
+    * after searches the persisted structure. */
+  def ensureIvf(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nlist: Int = 0,
+      seed: Long = 0L): Unit =
+    if (!exists(corpus.sparkSession, dir)) buildIvf(corpus, idCol, vecCol, dir, nlist, seed)
+
+  /** LSH twin of [[ensureIvf]]. */
+  def ensureLsh(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      tables: Int = 8,
+      bits: Int = 0): Unit =
+    if (!exists(corpus.sparkSession, dir)) buildLsh(corpus, idCol, vecCol, dir, tables, bits)
+}

@@ -81,8 +81,10 @@ object Similarity {
     val qt = queries.schema(queryIdCol).dataType
     require(ct == qt || family(ct) == family(qt),
       s"corpus id '$idCol' (${ct.simpleString}) and query id '$queryIdCol' " +
-        s"(${qt.simpleString}) must be the same type or losslessly comparable " +
-        "numerics — a lossy coerced comparison nulls out the self-pair filter " +
+        s"(${qt.simpleString}) must be the same type or same-family numerics " +
+        "(int↔long, float↔double — the widenings Spark compares losslessly; " +
+        "cross-family pairs like decimal↔int are conservatively rejected) — " +
+        "a lossy coerced comparison nulls out the self-pair filter " +
         "and every query returns empty")
   }
 
@@ -255,14 +257,16 @@ object Similarity {
     *
     * `nlist = 0` (the default) auto-scales the cell count to ~√N
     * (one corpus count(), clamped to [16, 4096]); `nprobe = 0` probes
-    * max(nlist/4, enough cells for an expected ~25k-row candidate
-    * pool). A FIXED nlist is the scale trap this default exists to
-    * avoid: recall at constant (nlist, nprobe) decays as the corpus
-    * grows — measured on the testdata embeddings, 16 cells / 6 probes
-    * give 0.74 recall at 500 rows but 0.48 at 2000, while at the SAME
-    * 38% probed fraction 64 cells give 0.84: on clustered data, finer
-    * cells concentrate true neighbors better than wider probing (the
-    * auto rule holds recall at 0.76 across both scales). The 4096 cap
+    * max(nlist/3, enough cells for an expected ~30·k-row candidate
+    * pool) — targeting recall ≥ 0.85 even on near-uniform data, see
+    * [[ivfAutoNprobe]]. A FIXED nlist is the scale trap this default
+    * exists to avoid: recall at constant (nlist, nprobe) decays as the
+    * corpus grows — measured on the testdata embeddings, 16 cells / 6
+    * probes give 0.74 recall at 500 rows but 0.48 at 2000, while at the
+    * SAME 38% probed fraction 64 cells give 0.84: on clustered data,
+    * finer cells concentrate true neighbors better than wider probing
+    * (the r8 auto rule holds recall at ~0.86+ across both scales). The
+    * 4096 cap
     * keeps the k-means fit tractable (fit cost is fitSample × nlist
     * distances per iteration); beyond ~10^8 rows, raise nprobe (or
     * shard the index) rather than nlist. */
@@ -284,15 +288,22 @@ object Similarity {
     math.max(1, math.min(bySqrt.toLong, math.min(n, 4096L)).toInt)
   }
 
-  /** Auto probe count: floor of nlist/4, raised so the EXPECTED candidate
-    * pool is ~25k rows (N·nprobe/nlist ≥ 25k) — on a small corpus a fixed
-    * probe fraction yields too few candidates for a top-k answer
-    * (measured: 22 cells / 5 probes on 500 rows = 0.38 recall; the same
-    * fraction on 2000 rows = 0.76). */
+  /** Auto probe count: floor of nlist/3, raised so the EXPECTED candidate
+    * pool is ~30·k rows (N·nprobe/nlist ≥ 30k) — on a small corpus a fixed
+    * probe fraction yields too few candidates for a top-k answer.
+    *
+    * The rule targets recall ≥ 0.85 against exact top-k on the PESSIMAL
+    * (near-uniform) distribution, measured on the testdata embeddings
+    * (r8 sweep): at N=500/22 cells, 59% probed = 0.86 and the rule picks
+    * 64%; at N=2000/45 cells, 33% probed = 0.86 and the rule picks 33%.
+    * The needed fraction falls as N grows (finer cells concentrate true
+    * neighbors), so nlist/3 is the uniform-data worst case; clustered
+    * real-world embeddings reach the same recall at far lower nprobe —
+    * pass `nprobe` explicitly to spend less when the data allows it. */
   private[graft] def ivfAutoNprobe(cells: Int, corpusCount: Long, k: Int): Int = {
     val n = math.max(1L, corpusCount)
-    val byK = math.ceil(cells * 25.0 * k / n).toInt
-    math.min(cells, math.max(1, math.max(cells / 4, byK)))
+    val byK = math.ceil(cells * 30.0 * k / n).toInt
+    math.min(cells, math.max(1, math.max(cells / 3, byK)))
   }
 
   def ivfCosineTopK(

@@ -15,31 +15,30 @@ object Drive {
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    import spark.implicits._
+    import graft.similarity.Similarity
 
-    // 1) groupedBinning on real data + an injected null-key row
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("event_type"), col("value"))
-      .withColumnRenamed("value", "amount")
-    val withNullKey = ev.unionByName(
-      Seq((null.asInstanceOf[String], 42.0)).toDF("event_type", "amount"))
-    val binned = graft.features.Binning.groupedBinning(withNullKey, "event_type", "amount", 4)
-    binned.groupBy("event_type", "bucket").count()
-      .orderBy(col("event_type").asc_nulls_first, col("bucket")).show(30, false)
-
-    // 2) one-hot with colliding + literal-suffix category names
-    val oh = graft.features.Encoding.OneHotModel("c", Seq("a_b", "a_b_1", "a.b", "a_b_2"))
-      .transform(Seq("a_b", "a_b_1", "a.b", "a_b_2").toDF("c"))
-    oh.show(false)
-
-    // 3) cosineTopK with int query ids vs long corpus ids (widening allowed)
-    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    val intQ = emb.filter(col("vec_id") < 3)
-      .withColumn("vec_id", col("vec_id").cast("int"))
-    val top = graft.similarity.Similarity
-      .cosineTopK(emb, intQ, "vec_id", "embedding", "vec_id", 5)
-    top.show(20, false)
-    println(s"widened-id topk rows = ${top.count()}")
+    // IVF recall vs nprobe sweep at two corpus sizes — the measurement
+    // behind the auto-nprobe rule (target: recall >= 0.85)
+    for (sf <- Seq("0.01", "0.1")) {
+      val emb = spark.read.parquet(s"/root/testdata/sf$sf/embeddings.parquet")
+      val n = emb.count()
+      val queries = emb.filter(col("vec_id") < 5)
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("query_id").cast("long"), col("vec_id").cast("long"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = pairs(
+        Similarity.cosineTopK(emb, queries, "vec_id", "embedding", "vec_id", 10))
+      val cells = Similarity.ivfAutoNlist(n)
+      val autoProbe = Similarity.ivfAutoNprobe(cells, n, 10)
+      println(s"sf$sf: N=$n cells=$cells autoNprobe=$autoProbe")
+      for (np <- Seq(autoProbe, cells / 3, cells * 2 / 5, cells / 2, cells * 3 / 5, cells * 3 / 4).distinct.sorted if np >= 1) {
+        val ivf = pairs(
+          Similarity.ivfCosineTopK(emb, queries, "vec_id", "embedding", "vec_id",
+            k = 10, nlist = cells, nprobe = np))
+        val rec = (brute & ivf).size.toDouble / brute.size
+        println(f"  nprobe=$np%3d (${np * 100.0 / cells}%5.1f%% probed): recall=$rec%.3f")
+      }
+    }
 
     spark.stop()
   }

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   */
 object Recall {
 
-  private case class Entry(
+  private[graft] case class Entry(
       name: String,
       recall: Double,
       exactPairs: Long,
@@ -34,14 +34,32 @@ object Recall {
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
-    val out = if (args.length > 1) args(1) else "RECALL_r6.json"
+    val out = if (args.length > 1) args(1) else "RECALL.json"
     val spark = graft.Sessions.local(cores = "16")
     spark.sparkContext.setLogLevel("ERROR")
     try run(spark, sfDir, out)
     finally spark.stop()
   }
 
+  /** Measure + write the JSON artifact + FAIL (sys.error) on any bound
+    * violation. RecallSpec runs [[measure]] in `sbt test`, so a recall
+    * regression in LSH / IVF / MinHash / SimHash breaks the build, not
+    * just the round artifact. */
   def run(spark: SparkSession, sfDir: String, out: String): Unit = {
+    val all = measure(spark, sfDir)
+    val json = all.map { e =>
+      f""""${e.name}": {"recall": ${e.recall}%.4f, "exact_pairs": ${e.exactPairs}, "found_of_exact": ${e.foundOfExact}, "min_bound": ${e.minBound}, "note": "${e.note}"}"""
+    }.mkString("{\n  \"sf_dir\": \"" + sfDir + "\",\n  ", ",\n  ", "\n}")
+    Files.writeString(Paths.get(out), json)
+    all.foreach(e => println(f"${e.name}%-28s recall=${e.recall}%.4f (${e.foundOfExact}/${e.exactPairs}, bound ${e.minBound})"))
+    val failed = all.filter(e => e.recall < e.minBound)
+    if (failed.nonEmpty)
+      sys.error(s"recall below bound: ${failed.map(_.name).mkString(", ")}")
+  }
+
+  /** Compute every entry (no IO, no assertion) — the shared core of the
+    * artifact writer and RecallSpec. */
+  private[graft] def measure(spark: SparkSession, sfDir: String): Seq[Entry] = {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
 
@@ -81,7 +99,28 @@ object Recall {
         k = 10),
       "query_id", "vec_id")
     entries += Entry("ann_ivf_topk", recallOf(brute, ivf), brute.size,
-      (brute & ivf).size, 0.6, "top-10 per query vs exact cosine top-10")
+      (brute & ivf).size, 0.85,
+      "top-10 per query vs exact cosine top-10 (r8 auto-nprobe: nlist/3 + 30k pool)")
+
+    // --- prebuilt-index search (AnnIndex) — same configs as the one-shot
+    // queries above; recall measured independently through the persisted
+    // layout (build into a scratch dir, search, compare to brute force)
+    val idxBase = Files.createTempDirectory("graft_recall_ann").toString
+    graft.similarity.AnnIndex.buildIvf(emb, "vec_id", "embedding", s"$idxBase/ivf")
+    val ivfIdx = pairSet(
+      graft.similarity.AnnIndex.searchIvf(
+        spark, s"$idxBase/ivf", queries5, "vec_id", "embedding", k = 10),
+      "query_id", "vec_id")
+    entries += Entry("ann_ivf_search", recallOf(brute, ivfIdx), brute.size,
+      (brute & ivfIdx).size, 0.85, "prebuilt IVF index search vs exact cosine top-10")
+    graft.similarity.AnnIndex.buildLsh(emb, "vec_id", "embedding", s"$idxBase/lsh",
+      tables = 8, bits = 6)
+    val lshIdx = pairSet(
+      graft.similarity.AnnIndex.searchLsh(
+        spark, s"$idxBase/lsh", queries5, "vec_id", "embedding", k = 10, probes = 6),
+      "query_id", "vec_id")
+    entries += Entry("ann_lsh_search", recallOf(brute, lshIdx), brute.size,
+      (brute & lshIdx).size, 0.6, "prebuilt LSH index search vs exact cosine top-10")
 
     // --- minhash near-dup vs exhaustive n-gram Jaccard ------------------
     val exactPairs = pairSet(
@@ -172,14 +211,6 @@ object Recall {
     entries += Entry("embedding_near_dup", recallOf(exactCos, nd), exactCos.size,
       (exactCos & nd).size, 1.0, "all O(n^2) pairs at cosine>=0.999 (exact clones planted)")
 
-    val all = entries.result()
-    val json = all.map { e =>
-      f""""${e.name}": {"recall": ${e.recall}%.4f, "exact_pairs": ${e.exactPairs}, "found_of_exact": ${e.foundOfExact}, "min_bound": ${e.minBound}, "note": "${e.note}"}"""
-    }.mkString("{\n  \"sf_dir\": \"" + sfDir + "\",\n  ", ",\n  ", "\n}")
-    Files.writeString(Paths.get(out), json)
-    all.foreach(e => println(f"${e.name}%-28s recall=${e.recall}%.4f (${e.foundOfExact}/${e.exactPairs}, bound ${e.minBound})"))
-    val failed = all.filter(e => e.recall < e.minBound)
-    if (failed.nonEmpty)
-      sys.error(s"recall below bound: ${failed.map(_.name).mkString(", ")}")
+    entries.result()
   }
 }

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.similarity.{AnnIndex, Similarity}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** The persistable ANN index: build-once/persist/search-many.
+  *
+  * The load-bearing assertions:
+  *   - prebuilt-index search results are IDENTICAL to the one-shot
+  *     operators at identical parameters (the index relocates the
+  *     structure, never changes the answer);
+  *   - searching twice returns identical results with no rebuild
+  *     (ensure* skips the build when meta exists);
+  *   - the IVF search plan PRUNES: its corpus scan carries partition
+  *     filters on __cell, so unprobed cell directories are never read —
+  *     the property that makes search ~nprobe/nlist of the corpus IO at
+  *     100 TB instead of a full scan.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def emb: DataFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private def tempDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  test("IVF: search on a prebuilt index equals the one-shot operator") {
+    val dir = tempDir("graft_ivf_idx")
+    val queries = emb.filter(col("vec_id") < 5)
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", dir, nlist = 16, seed = 7L)
+    val fromIndex = rows(
+      AnnIndex.searchIvf(spark, dir, queries, "vec_id", "embedding", k = 8, nprobe = 6)
+        .orderBy(col("query_id"), col("rank")))
+    val oneShot = rows(
+      Similarity.ivfCosineTopK(emb, queries, "vec_id", "embedding", "vec_id",
+        k = 8, nlist = 16, nprobe = 6, seed = 7L)
+        .orderBy(col("query_id"), col("rank")))
+    assert(fromIndex.nonEmpty)
+    assert(fromIndex === oneShot)
+  }
+
+  test("IVF: ensure builds once; the second search runs against the persisted structure") {
+    val dir = tempDir("graft_ivf_ensure")
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding", dir, nlist = 16, seed = 7L)
+    assert(AnnIndex.exists(spark, dir))
+    val metaModified = Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/meta.parquet"))
+    val queries = emb.filter(col("vec_id") < 3)
+    val first = rows(
+      AnnIndex.searchIvf(spark, dir, queries, "vec_id", "embedding", k = 5, nprobe = 8)
+        .orderBy(col("query_id"), col("rank")))
+    // a second ensure + search must NOT rebuild (meta untouched) and must
+    // return the identical answer
+    AnnIndex.ensureIvf(emb, "vec_id", "embedding", dir, nlist = 16, seed = 7L)
+    val second = rows(
+      AnnIndex.searchIvf(spark, dir, queries, "vec_id", "embedding", k = 5, nprobe = 8)
+        .orderBy(col("query_id"), col("rank")))
+    assert(first === second)
+    assert(Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/meta.parquet")) === metaModified,
+      "second ensureIvf must skip the build — the fit-once contract")
+  }
+
+  test("IVF: the search scan partition-prunes to the probed cells") {
+    val dir = tempDir("graft_ivf_prune")
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", dir, nlist = 16, seed = 7L)
+    val search = AnnIndex.searchIvf(
+      spark, dir, emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+      k = 5, nprobe = 3)
+    // sparkPlan, not executedPlan: AQE wraps the executed plan in an
+    // AdaptiveSparkPlanExec whose children aren't traversable pre-execution
+    val scans = search.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec if f.metadata.get("Location").exists(_.contains("corpus.parquet")) => f
+    }
+    assert(scans.nonEmpty, "expected a file scan over the index corpus")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "corpus scan must carry partition filters on __cell — without them " +
+        "every search reads the whole index")
+    // 2 queries x 3 probes = at most 6 distinct cells of 16 can be read.
+    // Count with the LITERAL filters only — Spark also injects a dynamic-
+    // pruning subquery for the cell join, which cannot evaluate outside
+    // execution (and can only prune further at runtime).
+    val literalFilters = scans.head.partitionFilters.filterNot(
+      _.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+    assert(literalFilters.nonEmpty, "expected a literal probed-cell IN filter")
+    val partsRead = scans.map(_.relation.location.listFiles(
+      literalFilters, Nil).length).max
+    assert(partsRead <= 6, s"probed-cell pruning should cap partitions at 6, read $partsRead")
+  }
+
+  test("LSH: search on a prebuilt index equals the one-shot operator") {
+    val dir = tempDir("graft_lsh_idx")
+    val queries = emb.filter(col("vec_id") < 5)
+    AnnIndex.buildLsh(emb, "vec_id", "embedding", dir, tables = 8, bits = 6)
+    val fromIndex = rows(
+      AnnIndex.searchLsh(spark, dir, queries, "vec_id", "embedding", k = 8, probes = 6)
+        .orderBy(col("query_id"), col("rank")))
+    val oneShot = rows(
+      Similarity.lshCosineTopK(emb, queries, "vec_id", "embedding", "vec_id",
+        k = 8, tables = 8, bits = 6, probes = 6)
+        .orderBy(col("query_id"), col("rank")))
+    assert(fromIndex.nonEmpty)
+    assert(fromIndex === oneShot)
+  }
+
+  test("LSH: ensure skips the rebuild; searches are reproducible") {
+    val dir = tempDir("graft_lsh_ensure")
+    AnnIndex.ensureLsh(emb, "vec_id", "embedding", dir, tables = 4, bits = 5)
+    val metaModified = Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/meta.parquet"))
+    val queries = emb.filter(col("vec_id") < 3)
+    val first = rows(
+      AnnIndex.searchLsh(spark, dir, queries, "vec_id", "embedding", k = 5, probes = 4)
+        .orderBy(col("query_id"), col("rank")))
+    AnnIndex.ensureLsh(emb, "vec_id", "embedding", dir, tables = 4, bits = 5)
+    val second = rows(
+      AnnIndex.searchLsh(spark, dir, queries, "vec_id", "embedding", k = 5, probes = 4)
+        .orderBy(col("query_id"), col("rank")))
+    assert(first === second)
+    assert(Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/meta.parquet")) === metaModified,
+      "second ensureLsh must skip the build")
+  }
+
+  test("kind mismatch and missing index fail loudly") {
+    val dir = tempDir("graft_idx_kind")
+    AnnIndex.buildLsh(emb, "vec_id", "embedding", dir, tables = 2, bits = 4)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.searchIvf(spark, dir, emb.limit(1), "vec_id", "embedding", k = 3)
+    }
+    assert(e.getMessage.contains("kind"))
+    val missing = intercept[IllegalArgumentException] {
+      AnnIndex.searchLsh(spark, tempDir("graft_idx_empty"), emb.limit(1),
+        "vec_id", "embedding", k = 3)
+    }
+    assert(missing.getMessage.contains("no ANN index"))
+  }
+}
