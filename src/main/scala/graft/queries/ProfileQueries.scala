@@ -98,6 +98,20 @@ object ProfileQueries {
     // measurement that decides salted join vs plain AQE)
     "key_skew_profile" -> { (s, dir) =>
       graft.dp.SkewJoin.keySkewProfile(events(s, dir), "user_id", topK = 20)
+    },
+    // --- the remedy for what key_skew_profile flags: the salted join on
+    // the same events.user_id key. Salting spreads each hot key over 8
+    // sub-partitions (placement only — the result is EXACTLY the plain
+    // join's, which is what the DuckDB oracle checks). The aggregate
+    // output keeps the compare compact while any dropped or duplicated
+    // row under salting flips the counts and fails the hash.
+    "skew_join" -> { (s, dir) =>
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      graft.dp.SkewJoin.saltedJoin(events(s, dir), cust, "user_id", salts = 8)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"), sumd(col("value")).as("total_value"))
+        .orderBy(col("c_mktsegment"))
     })
 
   private val custMissing =
@@ -125,6 +139,12 @@ object ProfileQueries {
        |                avg($c) AS m, stddev($c) AS sd FROM lineitem)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "skew_join" ->
+      """SELECT c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "key_skew_profile" ->
       """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1),
         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS n_keys FROM c)
