@@ -123,6 +123,23 @@ object LlmQueries {
           "doc_id", "text", chunkTokens = 40, overlap = 10)
         .orderBy(col("doc_id"), col("chunk_id"))
     },
+    // --- the curation pipeline END TO END as one composed plan: exact
+    // dedup -> quality gate -> PII redaction -> per-doc stats (the
+    // corpus-curation job chain of pipeline/Production.scala, minus the
+    // zone writes). Benchmarked as one headline row so drift in the
+    // COMPOSED plan — not just each stage alone — is visible; the DuckDB
+    // oracle chains the same four stages.
+    "curation_e2e" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val deduped = Dedup.exactDedup(docs, "doc_id", "text")
+      // 0.8 makes the gate BITE on this corpus (quality lands on 0.75 or
+      // 1.0 quarters): ~7% of docs drop, so the e2e row evidences the
+      // filter stage, not just its evaluation
+      val filtered = TextAnalysis.qualityFilter(deduped, "text", 0.8)
+      val redacted = filtered.select(
+        col("doc_id"), TextAnalysis.redactPii(col("text")).as("text"))
+      TextAnalysis.textStats(redacted, "doc_id", "text").orderBy(col("doc_id"))
+    },
     "dedup_exact" -> { (s, dir) =>
       // plant exact duplicates (same text, higher id) — survivors must be
       // exactly the original doc_ids
@@ -733,6 +750,38 @@ object LlmQueries {
         |FROM s
         |WHERE start = 0 OR len(w) - start > 10
         |ORDER BY doc_id, chunk_id""".stripMargin,
+    "curation_e2e" ->
+      s"""WITH surv AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY sha256(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))),
+         |d AS (SELECT doc_id, text FROM documents WHERE doc_id IN (SELECT doc_id FROM surv)),
+         |q AS (SELECT doc_id, text FROM d WHERE (
+         |    (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) < 0.3 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN ($allStopSql) > 0 OR ($hanSql) > 0 THEN 1.0 ELSE 0.0 END)
+         |  ) / 4.0 >= 0.8),
+         |r AS (SELECT doc_id,
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(text, 'https?://[^\\s]+', '<URL>', 'g'),
+         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+         |      '\\+?[0-9][0-9()\\- ]{6,}[0-9]', '<PHONE>', 'g') AS text
+         |  FROM q)
+         |SELECT doc_id,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         |  len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS n_regex_tokens,
+         |  length(text) AS n_chars,
+         |  round(CASE WHEN length(text) = 0 THEN 0 ELSE CAST(length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS punct_ratio,
+         |  round(CASE WHEN length(text) = 0 THEN 0 ELSE CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS digit_ratio,
+         |  round(CASE WHEN length(text) = 0 THEN 0 ELSE CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE) / length(text) END, 6) AS upper_ratio,
+         |  round((
+         |    (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) < 0.3 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN ($allStopSql) > 0 OR ($hanSql) > 0 THEN 1.0 ELSE 0.0 END)
+         |  ) / 4.0, 6) AS quality
+         |FROM r ORDER BY doc_id""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM (
         |  SELECT doc_id, text FROM documents
