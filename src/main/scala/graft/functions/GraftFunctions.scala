@@ -26,6 +26,9 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, LongType, 
   *   - `graft_audio_stats(payload)` — javax.sound.sampled decode to
   *     (sample_rate, channels, bits, n_frames, duration_ms, rms); null
   *     if the bytes don't parse as WAV/AIFF/AU
+  *   - `graft_video_meta(payload)` — MP4 box / AVI RIFF container parse
+  *     to (container, brand, duration_ms, n_tracks, width, height);
+  *     null if the bytes aren't a recognized container
   *
   * Two wiring routes, same registrations:
   *   - config: `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -91,6 +94,10 @@ object GraftFunctions {
     "graft_audio_stats" -> { args =>
       require(args.length == 1, "graft_audio_stats(payload) takes 1 argument")
       AudioDecodeStats(Cast(args(0), BinaryType))
+    },
+    "graft_video_meta" -> { args =>
+      require(args.length == 1, "graft_video_meta(payload) takes 1 argument")
+      VideoContainerMeta(Cast(args(0), BinaryType))
     })
 
   private def info(name: String): ExpressionInfo =

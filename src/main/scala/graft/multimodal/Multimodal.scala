@@ -15,8 +15,12 @@ import org.apache.spark.sql.types._
   * the JDK-native containers: [[audioStats]] /
   * [[graft.expressions.AudioDecodeStats]] parses WAV/AIFF/AU with
   * `javax.sound.sampled` — sample rate, channels, bit depth, frames,
-  * duration, bounded-prefix RMS. VIDEO decode remains STUBBED — this
-  * container ships no video codec — behind `decodeFeaturesStub`, a
+  * duration, bounded-prefix RMS. VIDEO splits in two: container
+  * METADATA is REAL ([[videoStats]] / [[graft.expressions.VideoContainerMeta]]
+  * parses MP4 box and AVI RIFF headers — published byte layouts, no
+  * codec needed — for brand/duration/tracks/dimensions), while FRAME
+  * decode remains STUBBED — this container ships no video codec —
+  * behind `decodeFeaturesStub`, a
   * deterministic fake (hash-derived pseudo-features) with the same
   * schema, batching and partitioning behavior a real decoder (JNI codec
   * or mapInPandas-style vectorized UDF in the Python surface) would
@@ -88,6 +92,27 @@ object Multimodal {
         "audio",
         when(col("media_type") === "audio", decodeAudioStats(col("payload"))))
       .withColumn("audio_decoded", col("audio").isNotNull)
+
+  /** REAL video CONTAINER parse: (container, brand, duration_ms,
+    * n_tracks, width, height) from the payload's MP4 box / AVI RIFF
+    * headers — published byte formats, pure arithmetic, no codec; null
+    * for non-video / corrupt payloads. FRAME decode stays stubbed
+    * ([[decodeFeaturesStub]]); the container metadata is what a curation
+    * pipeline filters and shards on (duration caps, resolution gates)
+    * before any codec runs. */
+  def decodeVideoMeta(payload: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.VideoContainerMeta(
+        org.apache.spark.sql.graft.Bridge.expression(payload.cast("binary"))))
+
+  /** Parse every video asset's container header: adds a `video` struct
+    * (null for rows that don't parse) and a `video_parsed` flag. Non-video
+    * media types keep a null struct without paying a parse attempt. */
+  def videoStats(df: DataFrame): DataFrame =
+    df.withColumn(
+        "video",
+        when(col("media_type") === "video", decodeVideoMeta(col("payload"))))
+      .withColumn("video_parsed", col("video").isNotNull)
 
   /** STUB decode kernel: deterministic pseudo-feature vector derived from
     * the payload hash. A real implementation decodes the media and runs a

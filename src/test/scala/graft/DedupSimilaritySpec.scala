@@ -543,6 +543,76 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaSql.getInt(0) == 8000)
   }
 
+  test("multimodal: real MP4/AVI container parse — brand, duration, tracks, dims; junk -> null") {
+    def be32(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def le32(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v.toInt).array()
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    // ISO BMFF box: [u32 BE size incl. header][4cc][payload]
+    def mp4box(typ: String, payload: Array[Byte]): Array[Byte] =
+      cat(be32(payload.length + 8L), fcc(typ), payload)
+
+    // a minimal-but-well-formed MP4: ftyp(isom) + moov{mvhd(v0,
+    // timescale 1000, duration 5000), video trak(640x360 as 16.16
+    // fixed), audio trak(0x0)}
+    val mvhd = mp4box("mvhd",
+      cat(new Array[Byte](4), be32(0), be32(0), be32(1000), be32(5000),
+        new Array[Byte](80)))
+    def tkhd(w: Int, h: Int) = mp4box("tkhd",
+      cat(new Array[Byte](76), be32(w.toLong << 16), be32(h.toLong << 16)))
+    val moov = mp4box("moov",
+      cat(mvhd, mp4box("trak", tkhd(640, 360)), mp4box("trak", tkhd(0, 0))))
+    val mp4 = cat(
+      mp4box("ftyp", cat(fcc("isom"), be32(0), fcc("mp42"))), moov)
+
+    // a minimal AVI: RIFF/AVI + LIST hdrl { avih } — 33333 us/frame x
+    // 300 frames (= 9999 ms), 2 streams, 1280x720
+    val avih = cat(fcc("avih"), le32(56),
+      le32(33333), le32(0), le32(0), le32(0), le32(300), le32(0), le32(2),
+      le32(0), le32(1280), le32(720), new Array[Byte](16))
+    val hdrl = cat(fcc("LIST"), le32(4L + avih.length), fcc("hdrl"), avih)
+    val avi = cat(fcc("RIFF"), le32(4L + hdrl.length), fcc("AVI "), hdrl)
+
+    val assets = Multimodal.toAssets(
+      Seq((1L, mp4), (2L, avi), (3L, "not a video".getBytes("UTF-8")))
+        .toDF("id", "b"),
+      "id", "b", "video")
+    val out = Multimodal.videoStats(assets)
+      .select("asset_id", "video.container", "video.brand", "video.duration_ms",
+        "video.n_tracks", "video.width", "video.height", "video_parsed")
+      .orderBy("asset_id").collect()
+    val m = out(0)
+    assert(m.getString(1) == "mp4" && m.getString(2) == "isom")
+    assert(m.getLong(3) == 5000 && m.getInt(4) == 2)
+    assert(m.getInt(5) == 640 && m.getInt(6) == 360)
+    assert(m.getBoolean(7))
+    val a = out(1)
+    assert(a.getString(1) == "avi" && a.isNullAt(2))
+    assert(a.getLong(3) == 9999 && a.getInt(4) == 2)
+    assert(a.getInt(5) == 1280 && a.getInt(6) == 720)
+    assert(a.getBoolean(7))
+    // junk bytes: null struct, video_parsed = false — the validity filter
+    assert(out(2).isNullAt(1) && !out(2).getBoolean(7))
+    // image rows skip the parse attempt entirely
+    val img = Multimodal.toAssets(Seq((4L, mp4)).toDF("id", "b"), "id", "b", "image")
+    assert(Multimodal.videoStats(img).select("video").head().isNullAt(0))
+    // a truncated/corrupt size field stops the walk instead of looping
+    val corrupt = cat(be32(0xffffffffL), fcc("ftyp"), fcc("isom"))
+    val c = Multimodal.videoStats(Multimodal.toAssets(
+      Seq((5L, corrupt)).toDF("id", "b"), "id", "b", "video"))
+      .select("video").head()
+    assert(c.isNullAt(0))
+    // the SQL surface sees the same kernel
+    assets.createOrReplaceTempView("video_t")
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_video_meta(payload).duration_ms FROM video_t WHERE asset_id = 2").head()
+    assert(viaSql.getLong(0) == 9999)
+  }
+
   test("multimodal: payload stats real, stub features deterministic") {
     val assets = Multimodal.toAssets(
       Seq((1L, "payload-bytes-one"), (2L, "payload-bytes-two"))
