@@ -281,12 +281,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivfAutoNlist(100L) == 16)        // floor
     assert(ivfAutoNlist(1_000_000_000L) == 4096) // cap
     assert(ivfAutoNlist(4L) == 4)           // never more cells than rows
-    // probe floor: nlist/4 once the corpus is big enough...
-    assert(ivfAutoNprobe(4096, 1_000_000_000L, 10) == 1024)
-    // ...but raised on small corpora so expected candidates ~ 25k:
-    // 22 cells on 500 rows at k=10 -> ceil(22*250/500) = 11, not 22/4=5
-    assert(ivfAutoNprobe(22, 500L, 10) == 11)
-    assert(ivfAutoNprobe(45, 2000L, 10) == 11)
+    // probe floor: nlist/3 once the corpus is big enough (r8 rule —
+    // targets recall >= 0.85 even on near-uniform data)...
+    assert(ivfAutoNprobe(4096, 1_000_000_000L, 10) == 1365)
+    // ...but raised on small corpora so expected candidates ~ 30·k:
+    // 22 cells on 500 rows at k=10 -> ceil(22*300/500) = 14, not 22/3=7
+    assert(ivfAutoNprobe(22, 500L, 10) == 14)
+    assert(ivfAutoNprobe(45, 2000L, 10) == 15)
     // never more probes than cells
     assert(ivfAutoNprobe(16, 10L, 10) == 16)
   }
