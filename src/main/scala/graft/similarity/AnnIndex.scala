@@ -199,6 +199,64 @@ object AnnIndex {
     Similarity.lshScore(cSig, qSig, m.idCol, k)
   }
 
+  // -------------------------------------------------- incremental append
+
+  /** Append a new corpus batch to a prebuilt IVF index: assign each batch
+    * vector to its nearest PERSISTED centroid (a |batch|×nlist broadcast
+    * rank — the batch is never collected, the centroids are KBs) and
+    * append to the cell-partitioned layout. The steady-state curation
+    * shape: a day's batch costs one batch-sized pass, never a corpus
+    * re-fit. Centroids drift as data drifts — re-fit is an explicit
+    * [[buildIvf]] rebuild, a deliberate visible event, not a silent
+    * degradation. */
+  def appendIvf(
+      batch: DataFrame,
+      vecCol: String,
+      dir: String): Unit = {
+    val spark = batch.sparkSession
+    val m = readMeta(spark, dir, "ivf")
+    val centDf = broadcast(spark.read.parquet(s"$dir/centroids.parquet"))
+    val corpusVec = Similarity.ivfNormalizedCorpus(batch, m.idCol, vecCol)
+    // nearest persisted centroid per batch row = the probes=1 rank of
+    // ivfQueryProbes, but over the batch side (which is NOT broadcast)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.functions.vector_to_array
+    val w = Window.partitionBy(col(m.idCol)).orderBy(col("__dist").asc, col("__cell").asc)
+    corpusVec
+      .withColumn("__u", vector_to_array(col("__mlvec")))
+      .drop("__mlvec")
+      .crossJoin(centDf)
+      .withColumn("__dist",
+        Similarity.dot(col("__cent"), col("__cent"))
+          - lit(2.0) * Similarity.dot(col("__u"), col("__cent")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(m.idCol), col("__cv"), col("__cn"), col("__cell"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("__cell")
+      .parquet(s"$dir/corpus.parquet")
+    writeMeta(spark, dir, m.copy(nRows = m.nRows + batch.count()))
+  }
+
+  /** Append a new corpus batch to a prebuilt LSH index: sign the batch
+    * under the SAME persisted (tables, bits) — the planes are
+    * hash-derived, so old and new rows share one bucket space by
+    * construction — and append to the table-partitioned layout. */
+  def appendLsh(
+      batch: DataFrame,
+      vecCol: String,
+      dir: String): Unit = {
+    val spark = batch.sparkSession
+    val m = readMeta(spark, dir, "lsh")
+    Similarity.lshSide(batch, m.idCol, vecCol, "__cv", m.tables, m.bits)
+      .repartition(col("table"))
+      .sortWithinPartitions(col("table"), col("sig"))
+      .write.mode(SaveMode.Append)
+      .partitionBy("table")
+      .parquet(s"$dir/signatures.parquet")
+    writeMeta(spark, dir, m.copy(nRows = m.nRows + batch.count()))
+  }
+
   // ------------------------------------------- build-if-absent convenience
 
   /** Build the IVF index iff no complete index exists at `dir` (meta is

@@ -130,6 +130,48 @@ class AnnIndexSpec extends SparkSpec {
       "second ensureLsh must skip the build")
   }
 
+  test("IVF: appended batch rows are searchable — no re-fit, clones found at rank 1") {
+    val dir = tempDir("graft_ivf_append")
+    val half1 = emb.filter(col("vec_id") < 250)
+    val half2 = emb.filter(col("vec_id") >= 250)
+    AnnIndex.buildIvf(half1, "vec_id", "embedding", dir, nlist = 16, seed = 7L)
+    AnnIndex.appendIvf(half2, "embedding", dir)
+    // query with exact CLONES of appended vectors under fresh ids: the
+    // clone shares the unit vector, so its cell is the query's nearest
+    // probe and it must come back at rank 1 with cosine 1.0
+    val queries = half2.filter(col("vec_id") < 253)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val top = AnnIndex.searchIvf(spark, dir, queries, "vec_id", "embedding",
+        k = 3, nprobe = 4)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(top.length === 3)
+    top.foreach { case (qid, id, cos) =>
+      assert(id === qid - 100000 && cos === 1.0,
+        s"appended clone of $qid not found at rank 1 (got $id @ $cos)")
+    }
+  }
+
+  test("LSH: appended batch shares the persisted bucket space — clones found") {
+    val dir = tempDir("graft_lsh_append")
+    val half1 = emb.filter(col("vec_id") < 250)
+    val half2 = emb.filter(col("vec_id") >= 250)
+    AnnIndex.buildLsh(half1, "vec_id", "embedding", dir, tables = 8, bits = 6)
+    AnnIndex.appendLsh(half2, "embedding", dir)
+    val queries = half2.filter(col("vec_id") < 253)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    // identical vectors sign identically under the hash-derived planes,
+    // so every clone shares every bucket with its query
+    val top = AnnIndex.searchLsh(spark, dir, queries, "vec_id", "embedding", k = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(top.length === 3)
+    top.foreach { case (qid, id, cos) =>
+      assert(id === qid - 100000 && cos === 1.0,
+        s"appended clone of $qid not found at rank 1 (got $id @ $cos)")
+    }
+  }
+
   test("kind mismatch and missing index fail loudly") {
     val dir = tempDir("graft_idx_kind")
     AnnIndex.buildLsh(emb, "vec_id", "embedding", dir, tables = 2, bits = 4)
