@@ -172,6 +172,37 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("IVF: int8-quantized index — smaller corpus bytes, near-identical top-k") {
+    val dirF = tempDir("graft_ivf_full")
+    val dirQ = tempDir("graft_ivf_quant")
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", dirF, nlist = 16, seed = 7L)
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", dirQ, nlist = 16, seed = 7L,
+      quantize = true)
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(dir: String): Set[(Long, Long)] =
+      AnnIndex.searchIvf(spark, dir, queries, "vec_id", "embedding", k = 10, nprobe = 8)
+        .select(col("query_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(dirF)
+    val quant = pairs(dirQ)
+    // ±1/254-per-element rounding barely moves cosines: the quantized
+    // top-10 must overlap the full-precision top-10 almost entirely
+    val overlap = (full & quant).size.toDouble / full.size
+    assert(overlap >= 0.9, s"quantized top-k overlap $overlap < 0.9")
+    // the point of quantizing: the stored corpus is a fraction of the
+    // full-precision bytes (float32 arrays -> int8 codes + one scale)
+    def corpusBytes(dir: String): Long = {
+      val root = java.nio.file.Paths.get(s"$dir/corpus.parquet")
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum
+      finally s.close()
+    }
+    val fb = corpusBytes(dirF)
+    val qb = corpusBytes(dirQ)
+    assert(qb < fb * 6 / 10, s"quantized corpus $qb bytes not < 60% of full $fb")
+  }
+
   test("kind mismatch and missing index fail loudly") {
     val dir = tempDir("graft_idx_kind")
     AnnIndex.buildLsh(emb, "vec_id", "embedding", dir, tables = 2, bits = 4)
