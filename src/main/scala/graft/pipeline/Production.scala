@@ -244,6 +244,49 @@ object Production {
         ctx.dataPath("processed.span_coverage"))
     }
 
+    // ANN serving lifecycle as catalog jobs — the reference's
+    // fit-once/persist/load-and-score shape (model-gen → model-eval)
+    // applied to similarity serving: build-index persists the structure
+    // into the models zone once; search loads and probes it per batch.
+    Jobs.register("ann-serving", "build-index") { (ctx, params) =>
+      val s = ctx.spark
+      val kind = params.getOrElse("kind", "ivf").toString
+      val emb = Tables.readData(s, Seq(ctx.dataPath("raw.embeddings")))
+      val dir = ctx.dataPath("models.ann_index")
+      kind match {
+        case "ivf" => graft.similarity.AnnIndex.buildIvf(
+          emb, "vec_id", "embedding", dir,
+          nlist = params.getOrElse("nlist", "0").toString.toInt,
+          seed = ctx.seed,
+          quantize = params.getOrElse("quantize", "false").toString.toBoolean)
+        case "lsh" => graft.similarity.AnnIndex.buildLsh(
+          emb, "vec_id", "embedding", dir,
+          tables = params.getOrElse("tables", "8").toString.toInt,
+          bits = params.getOrElse("bits", "0").toString.toInt)
+        case other => throw new IllegalArgumentException(
+          s"build-index: kind must be 'ivf' or 'lsh', got '$other'")
+      }
+    }
+
+    Jobs.register("ann-serving", "search") { (ctx, params) =>
+      val s = ctx.spark
+      val kind = params.getOrElse("kind", "ivf").toString
+      val k = params.getOrElse("k", "10").toString.toInt
+      val queries = Tables.readData(s, Seq(ctx.dataPath("raw.query_embeddings")))
+      val dir = ctx.dataPath("models.ann_index")
+      val neighbors = kind match {
+        case "ivf" => graft.similarity.AnnIndex.searchIvf(
+          s, dir, queries, "vec_id", "embedding", k,
+          nprobe = params.getOrElse("nprobe", "0").toString.toInt)
+        case "lsh" => graft.similarity.AnnIndex.searchLsh(
+          s, dir, queries, "vec_id", "embedding", k,
+          probes = params.getOrElse("probes", "0").toString.toInt)
+        case other => throw new IllegalArgumentException(
+          s"search: kind must be 'ivf' or 'lsh', got '$other'")
+      }
+      save(ctx, neighbors, ctx.dataPath("processed.neighbors"))
+    }
+
     Jobs.register("model-eval", "score-and-report") { (ctx, _) =>
       val s = ctx.spark
       val df = Tables.readData(s, Seq(ctx.dataPath("processed.features")))

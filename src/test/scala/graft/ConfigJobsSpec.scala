@@ -165,6 +165,64 @@ class ConfigJobsSpec extends AnyFunSuite {
       s"error must name the bad knob and list the real ones: ${e.getMessage}")
   }
 
+  test("ann-serving catalog jobs: build-index persists once, search loads and scores under the plan audit") {
+    val spark = SparkSpec.session
+    val work = java.nio.file.Files.createTempDirectory("graft-ann-serve").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    emb.write.mode("overwrite").parquet(s"$work/embeddings")
+    emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3)
+      .write.mode("overwrite").parquet(s"$work/queries")
+    val yml = java.nio.file.Files.createTempFile("graft-ann-jobs", ".yml")
+    java.nio.file.Files.writeString(yml,
+      """jobs:
+        |  - name: ann-serving
+        |    fail_fast: true
+        |    stages:
+        |      - name: serve
+        |        tasks:
+        |          - name: build-index
+        |            params:
+        |              kind: ivf
+        |              nlist: 16
+        |              quantize: true
+        |          - name: search
+        |            params:
+        |              kind: ivf
+        |              k: 5
+        |              nprobe: 8
+        |""".stripMargin)
+    val cfg = Map(
+      "core" -> Map("seed" -> 7, "audit_plans" -> true),
+      "job_catalog" -> Context.loadYaml(yml.toString),
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "embeddings" -> s"$work/embeddings",
+          "query_embeddings" -> s"$work/queries"),
+        "models" -> Map("ann_index" -> s"$work/ann_index"),
+        "processed" -> Map("neighbors" -> s"$work/neighbors")))
+    graft.pipeline.Production.registerAll()
+    val ctx = Context(cfg, spark)
+    assert(graft.pipeline.Jobs.run(ctx, "ann-serving").isEmpty)
+    val neighbors = spark.read.parquet(s"$work/neighbors")
+    assert(neighbors.count() === 15) // 3 queries x k=5
+    assert(neighbors.columns.toSeq === Seq("query_id", "vec_id", "cosine", "rank"))
+    // steady state: search runs again WITHOUT the build task — the
+    // persisted index alone serves it (the load-and-score half)
+    val searchOnly = java.nio.file.Files.createTempFile("graft-ann-jobs2", ".yml")
+    java.nio.file.Files.writeString(searchOnly,
+      """jobs:
+        |  - name: ann-serving
+        |    stages:
+        |      - name: serve
+        |        tasks:
+        |          - name: search
+        |            params: {kind: ivf, k: 5, nprobe: 8}
+        |""".stripMargin)
+    val ctx2 = Context(cfg.updated("job_catalog", Context.loadYaml(searchOnly.toString)), spark)
+    assert(graft.pipeline.Jobs.run(ctx2, "ann-serving").isEmpty)
+    assert(spark.read.parquet(s"$work/neighbors").count() === 15)
+  }
+
   test("delta read dispatches the format to the DataSource registry (documented no-jar failure)") {
     // no delta jar in this sandbox (io/Tables.scala contract): the dispatch
     // must pass "delta" through and surface Spark's data-source-not-found —
