@@ -96,6 +96,12 @@ object AnnIndex {
       .withColumn("__cv", Similarity.dequantizeInt8(col("__q")))
       .drop("__q")
 
+  /** The kind ("ivf" | "lsh") of the complete index at `dir`. */
+  def kindOf(spark: SparkSession, dir: String): String = {
+    require(exists(spark, dir), s"no ANN index at $dir")
+    spark.read.parquet(s"$dir/$MetaFile").head().getAs[String]("kind")
+  }
+
   /** True iff a complete index exists at `dir` (meta is written LAST by
     * the builders, so a crashed half-written build reads as absent). */
   def exists(spark: SparkSession, dir: String): Boolean = {

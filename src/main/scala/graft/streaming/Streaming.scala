@@ -286,6 +286,53 @@ object Streaming {
       }
       .start()
 
+  /** Continuously maintain a prebuilt ANN index from an embedding stream:
+    * each micro-batch appends via [[graft.similarity.AnnIndex.appendIvf]]
+    * / `appendLsh` — batch-sized work (assignment against the PERSISTED
+    * centroids / signing under the persisted planes), never a re-fit.
+    * The streaming twin of the batch append path, sharing the exact same
+    * code, so a pipeline can switch between nightly batches and a stream
+    * without an index rewrite.
+    *
+    * foreachBatch is at-least-once and an index append cannot overwrite
+    * its own partition (rows land in cell/table partitions, not batch
+    * partitions), so replays are gated on a per-batch marker file written
+    * AFTER the append commits: a checkpoint replay of an applied batch
+    * is a no-op. The remaining window — a crash between the append and
+    * its marker — duplicates that one batch's rows; follow with a
+    * rebuild (or id-dedupe downstream) after an unclean stop, and
+    * monitor `_applied_batches/` lag for stalls. */
+  def maintainAnnIndex(
+      embeddings: DataFrame,
+      vecCol: String,
+      indexDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatchOnce(batch, vecCol, indexDir, batchId): Unit
+      }
+      .start()
+
+  /** The marker-gated append one micro-batch performs: append iff this
+    * batchId has no marker, write the marker after the append commits.
+    * Returns true iff the batch was applied (false = replay no-op). */
+  private[graft] def appendBatchOnce(
+      batch: DataFrame, vecCol: String, indexDir: String, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_applied_batches/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) false
+    else {
+      graft.similarity.AnnIndex.kindOf(spark, indexDir) match {
+        case "ivf" => graft.similarity.AnnIndex.appendIvf(batch, vecCol, indexDir)
+        case _     => graft.similarity.AnnIndex.appendLsh(batch, vecCol, indexDir)
+      }
+      fs.create(marker, true).close()
+      true
+    }
+  }
+
   /** Parquet sink with checkpointing; returns the started query. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream

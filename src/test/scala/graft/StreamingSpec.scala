@@ -245,4 +245,46 @@ class StreamingSpec extends SparkSpec {
       .select("psi").as[Double].head()
     assert(math.abs(direct - driftedPsi) < 1e-9)
   }
+
+  test("streaming ANN index maintenance: micro-batches append, replays are no-ops") {
+    import graft.similarity.AnnIndex
+    import org.apache.spark.sql.functions.col
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-ann").toString
+    val idx = s"$work/idx"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    AnnIndex.buildLsh(emb.filter(col("vec_id") < 250), "vec_id", "embedding", idx,
+      tables = 4, bits = 5)
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val stream = input.toDF.toDF("vec_id", "embedding")
+    val q = Streaming.maintainAnnIndex(stream, "embedding", idx, s"$work/ckpt")
+    val newRows = emb.filter(col("vec_id") >= 250 && col("vec_id") < 260)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    input.addData(newRows.take(5).toSeq)
+    q.processAllAvailable()
+    input.addData(newRows.drop(5).toSeq)
+    q.processAllAvailable()
+    q.stop()
+
+    // every streamed row is in the index and searchable: an exact clone
+    // of a streamed vector (fresh id) must return it at rank 1, cosine 1
+    val queries = emb.filter(col("vec_id") >= 250 && col("vec_id") < 253)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val top = AnnIndex.searchLsh(spark, idx, queries, "vec_id", "embedding", k = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(top.length == 3)
+    top.foreach { case (qid, id, cos) => assert(id == qid - 100000 && cos == 1.0) }
+    assert(emb.sparkSession.read.parquet(s"$idx/signatures.parquet")
+      .select("vec_id").distinct().count() == 260)
+
+    // at-least-once replay of an applied batch is a marker-gated no-op
+    val replay = emb.filter(col("vec_id") >= 250 && col("vec_id") < 255)
+      .select(col("vec_id"), col("embedding"))
+    assert(!Streaming.appendBatchOnce(replay, "embedding", idx, batchId = 0L))
+    assert(spark.read.parquet(s"$idx/signatures.parquet").count() ==
+      260 * 4, "a replayed batch must not duplicate index rows") // 4 tables
+  }
 }
