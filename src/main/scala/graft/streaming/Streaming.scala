@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -318,20 +318,87 @@ object Streaming {
     * batchId has no marker, write the marker after the append commits.
     * Returns true iff the batch was applied (false = replay no-op). */
   private[graft] def appendBatchOnce(
-      batch: DataFrame, vecCol: String, indexDir: String, batchId: Long): Boolean = {
-    val spark = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(s"$indexDir/_applied_batches/$batchId")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(marker)) false
-    else {
-      graft.similarity.AnnIndex.kindOf(spark, indexDir) match {
+      batch: DataFrame, vecCol: String, indexDir: String, batchId: Long): Boolean =
+    markerGated(batch.sparkSession, indexDir, batchId) {
+      graft.similarity.AnnIndex.kindOf(batch.sparkSession, indexDir) match {
         case "ivf" => graft.similarity.AnnIndex.appendIvf(batch, vecCol, indexDir)
         case _     => graft.similarity.AnnIndex.appendLsh(batch, vecCol, indexDir)
       }
+    }
+
+  /** Run `body` iff `stateDir` has no marker for `batchId`; write the
+    * marker after it commits. The shared replay gate of the append-shaped
+    * streaming maintainers ([[maintainAnnIndex]], [[maintainDedupedCorpus]]):
+    * appends can't overwrite their own output the way a batch-partitioned
+    * sink can, so idempotence comes from skipping applied batch ids. */
+  private def markerGated(
+      spark: org.apache.spark.sql.SparkSession, stateDir: String, batchId: Long)(
+      body: => Unit): Boolean = {
+    val marker = new org.apache.hadoop.fs.Path(s"$stateDir/_applied_batches/$batchId")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) false
+    else {
+      body
       fs.create(marker, true).close()
       true
     }
   }
+
+  /** Continuously ingest documents with exact dedup against everything
+    * already accepted — the steady-state corpus curation loop as a
+    * stream. Each micro-batch:
+    *   1. collapses to one survivor per normalized-content hash
+    *      (smallest id wins within the batch);
+    *   2. anti-joins the persisted hash-state table (accepted history as
+    *      HASHES — the state scan reads 32 bytes per accepted doc, never
+    *      text);
+    *   3. appends the surviving documents to `acceptedDir/docs.parquet`
+    *      and their hashes to `acceptedDir/hashes.parquet`.
+    * Work per batch is O(|batch| + |state-scan|); the stream's history is
+    * never re-read as text. Replays are marker-gated like
+    * [[maintainAnnIndex]]. */
+  def maintainDedupedCorpus(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      acceptedDir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupBatchOnce(batch, idCol, textCol, acceptedDir, batchId): Unit
+      }
+      .start()
+
+  private[graft] def dedupBatchOnce(
+      batch: DataFrame, idCol: String, textCol: String, acceptedDir: String,
+      batchId: Long): Boolean =
+    markerGated(batch.sparkSession, acceptedDir, batchId) {
+      import graft.dedup.Dedup
+      val spark = batch.sparkSession
+      val hashesPath = s"$acceptedDir/hashes.parquet"
+      val docsPath = s"$acceptedDir/docs.parquet"
+      val withHash = batch.withColumn("__h", Dedup.contentHash(col(textCol)))
+      // one survivor per hash within the batch (smallest id), then drop
+      // content the accepted history already carries
+      val batchSurvivors = withHash
+        .join(
+          withHash.groupBy(col("__h")).agg(min(col(idCol)).as(idCol)),
+          Seq("__h", idCol), "left_semi")
+      val fresh =
+        if (new org.apache.hadoop.fs.Path(hashesPath)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(new org.apache.hadoop.fs.Path(hashesPath)))
+          batchSurvivors.join(
+            spark.read.parquet(hashesPath), Seq("__h"), "left_anti")
+        else batchSurvivors
+      // persist the batch result once; both appends reuse it
+      val out = fresh.persist()
+      try {
+        out.drop("__h").write.mode(SaveMode.Append).parquet(docsPath)
+        out.select(col("__h")).write.mode(SaveMode.Append).parquet(hashesPath)
+      } finally { out.unpersist(); () }
+    }
 
   /** Parquet sink with checkpointing; returns the started query. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =

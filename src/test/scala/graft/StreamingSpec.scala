@@ -287,4 +287,35 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(s"$idx/signatures.parquet").count() ==
       260 * 4, "a replayed batch must not duplicate index rows") // 4 tables
   }
+
+  test("streaming deduped corpus: cross-batch and in-batch duplicates dropped, replays no-ops") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+    val accepted = s"$work/accepted"
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.maintainDedupedCorpus(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", accepted, s"$work/ckpt")
+    // batch 0: one in-batch duplicate pair (whitespace variant — the
+    // normalized hash must collapse it; smallest id survives)
+    input.addData(Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha  beta   gamma"),
+      (3L, "delta epsilon")))
+    q.processAllAvailable()
+    // batch 1: one cross-batch duplicate of doc 1, one fresh doc
+    input.addData(Seq(
+      (10L, "ALPHA beta gamma"),
+      (11L, "zeta eta theta")))
+    q.processAllAvailable()
+    q.stop()
+    val docs = spark.read.parquet(s"$accepted/docs.parquet")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(docs == Seq(1L, 3L, 11L),
+      s"survivors must be first-seen per normalized content, got $docs")
+    assert(spark.read.parquet(s"$accepted/hashes.parquet").count() == 3)
+    // replay of an applied batch id: marker-gated no-op
+    val replay = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    assert(!Streaming.dedupBatchOnce(replay, "doc_id", "text", accepted, batchId = 0L))
+    assert(spark.read.parquet(s"$accepted/docs.parquet").count() == 3)
+  }
 }
