@@ -362,23 +362,28 @@ object Streaming {
       idCol: String,
       textCol: String,
       acceptedDir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      minQuality: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dedupBatchOnce(batch, idCol, textCol, acceptedDir, batchId): Unit
+        dedupBatchOnce(batch, idCol, textCol, acceptedDir, batchId, minQuality): Unit
       }
       .start()
 
   private[graft] def dedupBatchOnce(
       batch: DataFrame, idCol: String, textCol: String, acceptedDir: String,
-      batchId: Long): Boolean =
+      batchId: Long, minQuality: Option[Double] = None): Boolean =
     markerGated(batch.sparkSession, acceptedDir, batchId) {
       import graft.dedup.Dedup
       val spark = batch.sparkSession
       val hashesPath = s"$acceptedDir/hashes.parquet"
       val docsPath = s"$acceptedDir/docs.parquet"
-      val withHash = batch.withColumn("__h", Dedup.contentHash(col(textCol)))
+      // optional quality gate FIRST: a pure expression filter, so junk
+      // never pays the hash or touches the state join
+      val gated = minQuality.fold(batch)(q =>
+        graft.text.TextAnalysis.qualityFilter(batch, textCol, q))
+      val withHash = gated.withColumn("__h", Dedup.contentHash(col(textCol)))
       // one survivor per hash within the batch (smallest id), then drop
       // content the accepted history already carries
       val batchSurvivors = withHash

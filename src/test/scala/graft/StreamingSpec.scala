@@ -317,5 +317,14 @@ class StreamingSpec extends SparkSpec {
     val replay = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
     assert(!Streaming.dedupBatchOnce(replay, "doc_id", "text", accepted, batchId = 0L))
     assert(spark.read.parquet(s"$accepted/docs.parquet").count() == 3)
+    // optional quality gate: junk filtered BEFORE hashing/state — a good
+    // doc in the same batch still lands
+    val goodText = ("the quick brown fox jumps over the lazy dog and then " * 6).trim
+    assert(Streaming.dedupBatchOnce(
+      Seq((20L, "#### $$$$ %%%% !!!! ????"), (21L, goodText)).toDF("doc_id", "text"),
+      "doc_id", "text", accepted, batchId = 99L, minQuality = Some(0.8)))
+    val after = spark.read.parquet(s"$accepted/docs.parquet")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(after == Seq(1L, 3L, 11L, 21L), s"junk must not pass the gate: $after")
   }
 }
