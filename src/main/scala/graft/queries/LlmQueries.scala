@@ -356,22 +356,27 @@ object LlmQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
     // --- multimodal plumbing over text-as-bytes payloads: payload stats
-    // are real, and the REAL ImageIO + javax.sound decoders run on every
-    // row — none of these payloads are images or audio, so `decoded` and
-    // `audio_decoded` must be uniformly false (the validity filters at
-    // work; real-decode positives are spec-pinned on an in-memory PNG and
-    // WAV). Stub pseudo-features stay spec-only: xxhash64 has no DuckDB
-    // twin.
+    // are real, and the REAL ImageIO + javax.sound decoders + the MP4/AVI
+    // container parser run across the rows — none of these payloads are
+    // media, so `decoded`/`audio_decoded`/`video_parsed` must be
+    // uniformly false (the validity filters at work; real-decode
+    // positives are spec-pinned on an in-memory PNG, WAV, MP4 and AVI).
+    // Stub pseudo-features stay spec-only: xxhash64 has no DuckDB twin.
     "multimodal_features" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select(
         col("doc_id"), col("text").cast("binary").as("bytes"))
       val assets = Multimodal.toAssets(docs, "doc_id", "bytes", "image")
-        // every other asset declared audio so BOTH decoders face payloads
+        // rotate the declared type so ALL THREE validity filters face
+        // payloads
         .withColumn("media_type",
-          when(col("asset_id") % 2 === 0, "audio").otherwise("image"))
-      Multimodal.audioStats(Multimodal.imageStats(Multimodal.payloadStats(assets)))
+          when(col("asset_id") % 3 === 0, "audio")
+            .when(col("asset_id") % 3 === 1, "image")
+            .otherwise("video"))
+      Multimodal.videoStats(
+          Multimodal.audioStats(Multimodal.imageStats(Multimodal.payloadStats(assets))))
         .select(col("asset_id"), col("media_type"),
-          col("payload_bytes"), col("decoded"), col("audio_decoded"))
+          col("payload_bytes"), col("decoded"), col("audio_decoded"),
+          col("video_parsed"))
         .orderBy(col("asset_id"))
     },
     // --- curation planning: per-language sampling rates toward a target
@@ -572,9 +577,11 @@ object LlmQueries {
     "mmr_rerank" -> mmrOracleSql(5),
     "multimodal_features" ->
       """SELECT doc_id AS asset_id,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'audio' ELSE 'image' END AS media_type,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'audio'
+        |       WHEN doc_id % 3 = 1 THEN 'image'
+        |       ELSE 'video' END AS media_type,
         |  CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
-        |  FALSE AS decoded, FALSE AS audio_decoded
+        |  FALSE AS decoded, FALSE AS audio_decoded, FALSE AS video_parsed
         |FROM documents ORDER BY asset_id""".stripMargin,
     "corpus_mix_plan" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS available FROM documents GROUP BY 1),
