@@ -405,6 +405,32 @@ object Streaming {
       } finally { out.unpersist(); () }
     }
 
+  /** Compact the ingester's hash-state table. Per-batch appends accrete
+    * one small file per micro-batch — the classic small-files decay: after
+    * 10k batches the anti-join pays 10k file opens to read what fits in a
+    * handful. Run this during a maintenance pause (no active
+    * [[maintainDedupedCorpus]] writer on the same dir — appends landing
+    * mid-swap would be lost); it rewrites the hashes at
+    * [[graft.io.Tables.compactTo]] sizing and swaps atomically via rename.
+    * The docs table compacts the same way with `compactTo` directly when
+    * needed; the hash table is the one every batch RE-READS, so it decays
+    * fastest. */
+  def compactCorpusState(
+      spark: org.apache.spark.sql.SparkSession, acceptedDir: String): Unit = {
+    val hashesPath = s"$acceptedDir/hashes.parquet"
+    val tmp = new org.apache.hadoop.fs.Path(s"$hashesPath.compact")
+    val live = new org.apache.hadoop.fs.Path(hashesPath)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(live)) {
+      graft.io.Tables.compactTo(spark.read.parquet(hashesPath), tmp.toString)
+      val old = new org.apache.hadoop.fs.Path(s"$hashesPath.old")
+      if (fs.exists(old)) fs.delete(old, true): Unit
+      if (!fs.rename(live, old) || !fs.rename(tmp, live))
+        sys.error(s"compactCorpusState: atomic swap failed for $hashesPath")
+      fs.delete(old, true): Unit
+    }
+  }
+
   /** Parquet sink with checkpointing; returns the started query. */
   def writeParquetStream(df: DataFrame, path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream

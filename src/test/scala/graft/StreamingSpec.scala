@@ -326,5 +326,16 @@ class StreamingSpec extends SparkSpec {
     val after = spark.read.parquet(s"$accepted/docs.parquet")
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(after == Seq(1L, 3L, 11L, 21L), s"junk must not pass the gate: $after")
+    // state compaction (paused stream): hashes collapse to few files, the
+    // dedup gate still remembers everything accepted before
+    Streaming.compactCorpusState(spark, accepted)
+    assert(spark.read.parquet(s"$accepted/hashes.parquet").count() == 4)
+    assert(Streaming.dedupBatchOnce(
+      Seq((30L, "alpha beta gamma"), (31L, "iota kappa")).toDF("doc_id", "text"),
+      "doc_id", "text", accepted, batchId = 100L))
+    val post = spark.read.parquet(s"$accepted/docs.parquet")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(post == Seq(1L, 3L, 11L, 21L, 31L),
+      s"compaction must not forget accepted content: $post")
   }
 }
