@@ -130,7 +130,7 @@ object Dedup {
   /** (id, band, bucket) rows of a pre-shingled frame, hot buckets capped:
     * the banded-LSH projection both the self-join and the incremental
     * batch-vs-corpus paths build their candidate joins on. */
-  private def bandedBuckets(
+  private[dedup] def bandedBuckets(
       shingled: DataFrame,
       idCol: String,
       bands: Int,

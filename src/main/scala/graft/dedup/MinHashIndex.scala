@@ -1,0 +1,153 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistable MinHash-LSH dedup index: the corpus side of incremental
+  * near-dup dedup, paid ONCE.
+  *
+  * [[Dedup.minhashNearDupPairsIncremental]] promises "corpus×corpus was
+  * paid once at curation time, never again" — but the one-shot call still
+  * re-shingles and re-bands the corpus TEXT on every invocation. This
+  * index persists what that pass produces, so steady-state batches never
+  * touch corpus text again:
+  * {{{
+  *   <dir>/meta.parquet      1 row: id_col, shingle_k, bands, rows_per_band,
+  *                           max_bucket, n_rows
+  *   <dir>/buckets.parquet   (band, bucket, id) — the banded-LSH address
+  *                           table, (band, bucket)-sorted for row-group
+  *                           locality on the candidate join
+  *   <dir>/shingles.parquet  (id, __sh) — the shingle arrays the exact
+  *                           Jaccard verification joins against
+  * }}}
+  *
+  * Per-batch work: shingle+band the BATCH, one (band, bucket) join
+  * against the persisted address table, one id join against the persisted
+  * shingles for verification — O(|batch| + matched candidates), never a
+  * corpus scan of text. Accepted batches [[append]] their own
+  * buckets+shingles, keeping the index current; the same seeded hash
+  * family guarantees old and new rows share one bucket space.
+  *
+  * Results are IDENTICAL to the one-shot operators at equal parameters
+  * (the hash family is deterministic; asserted in MinHashIndexSpec).
+  */
+object MinHashIndex {
+
+  private val MetaFile = "meta.parquet"
+
+  private case class Meta(
+      idCol: String, shingleK: Int, bands: Int, rowsPerBand: Int,
+      maxBucket: Int, nRows: Long)
+
+  private def writeMeta(spark: SparkSession, dir: String, m: Meta): Unit = {
+    import spark.implicits._
+    Seq((m.idCol, m.shingleK, m.bands, m.rowsPerBand, m.maxBucket, m.nRows))
+      .toDF("id_col", "shingle_k", "bands", "rows_per_band", "max_bucket", "n_rows")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$MetaFile")
+  }
+
+  private def readMeta(spark: SparkSession, dir: String): Meta = {
+    require(exists(spark, dir), s"no MinHash index at $dir — build one first")
+    val r = spark.read.parquet(s"$dir/$MetaFile").head()
+    Meta(
+      r.getAs[String]("id_col"), r.getAs[Int]("shingle_k"), r.getAs[Int]("bands"),
+      r.getAs[Int]("rows_per_band"), r.getAs[Int]("max_bucket"), r.getAs[Long]("n_rows"))
+  }
+
+  /** True iff a complete index exists at `dir` (meta written last). */
+  def exists(spark: SparkSession, dir: String): Boolean = {
+    val path = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile/_SUCCESS")
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(path)
+  }
+
+  private def shingled(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol), Dedup.shingles(col(textCol), k).as("__sh"))
+
+  /** Shingle + band the corpus once and persist both layers. */
+  def build(
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      dir: String,
+      shingleK: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 2,
+      maxBucket: Int = 1000): Unit = {
+    val spark = corpus.sparkSession
+    val nRows = corpus.count()
+    val sh = shingled(corpus, idCol, textCol, shingleK)
+    sh.write.mode(SaveMode.Overwrite).parquet(s"$dir/shingles.parquet")
+    // band from the PERSISTED shingles: one text pass total, and the
+    // bucket table is exactly consistent with the stored arrays
+    val persistedSh = spark.read.parquet(s"$dir/shingles.parquet")
+    Dedup.bandedBuckets(persistedSh, idCol, bands, rowsPerBand, maxBucket)
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/buckets.parquet")
+    writeMeta(spark, dir, Meta(idCol, shingleK, bands, rowsPerBand, maxBucket, nRows))
+  }
+
+  /** Cross near-dup pairs of a batch against the INDEXED corpus:
+    * (batch id, corpus_id, jaccard) for every verified pair at or above
+    * `threshold`. The batch is shingled and banded here; the corpus comes
+    * entirely from the persisted layers. */
+  def pairs(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val m = readMeta(spark, dir)
+    val bsh = shingled(batch, m.idCol, textCol, m.shingleK)
+    val bb = Dedup.bandedBuckets(bsh, m.idCol, m.bands, m.rowsPerBand, m.maxBucket)
+      .select(col("band"), col("bucket"), col(m.idCol))
+    val cb = spark.read.parquet(s"$dir/buckets.parquet")
+      .select(col("band"), col("bucket"), col(m.idCol).as("corpus_id"))
+    val csh = spark.read.parquet(s"$dir/shingles.parquet")
+    bb.join(cb, Seq("band", "bucket"))
+      .select(col(m.idCol), col("corpus_id"))
+      .distinct()
+      .join(bsh.select(col(m.idCol), col("__sh").as("sh_b")), Seq(m.idCol))
+      .join(csh.select(col(m.idCol).as("corpus_id"), col("__sh").as("sh_c")), Seq("corpus_id"))
+      .withColumn(
+        "jaccard",
+        size(array_intersect(col("sh_b"), col("sh_c"))).cast("double") /
+          size(array_union(col("sh_b"), col("sh_c"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col(m.idCol), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Batch survivors against the indexed corpus: rows with no near-dup
+    * already indexed AND canonical (smallest id) within their in-batch
+    * near-dup cluster — [[Dedup.incrementalNearDupDedup]] with the corpus
+    * side served from the index. */
+  def dedupBatch(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val m = readMeta(spark, dir)
+    val withinSurvivors = Dedup.nearDupDedup(batch, m.idCol, textCol, threshold, m.shingleK)
+    val crossMatched = pairs(spark, dir, batch, textCol, threshold).select(m.idCol)
+    withinSurvivors.join(crossMatched, Seq(m.idCol), "left_anti")
+  }
+
+  /** Append (typically already-deduped) batch rows to the index: their
+    * shingles and banded buckets land in the persisted layers, so later
+    * batches dedup against them too. Batch-sized work; the same
+    * deterministic hash family keeps one bucket space across appends. */
+  def append(
+      spark: SparkSession,
+      dir: String,
+      batch: DataFrame,
+      textCol: String): Unit = {
+    val m = readMeta(spark, dir)
+    val bsh = shingled(batch, m.idCol, textCol, m.shingleK)
+    bsh.write.mode(SaveMode.Append).parquet(s"$dir/shingles.parquet")
+    Dedup.bandedBuckets(bsh, m.idCol, m.bands, m.rowsPerBand, m.maxBucket)
+      .sortWithinPartitions(col("band"), col("bucket"))
+      .write.mode(SaveMode.Append).parquet(s"$dir/buckets.parquet")
+    writeMeta(spark, dir, m.copy(nRows = m.nRows + batch.count()))
+  }
+}

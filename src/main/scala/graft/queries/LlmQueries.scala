@@ -406,6 +406,26 @@ object LlmQueries {
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
     },
+    // --- the same incremental near-dup dedup served from the PERSISTED
+    // MinHash index (build-if-absent into per-sf scratch, like the ann_*
+    // _search queries): identical survivors to dedup_minhash_incremental
+    // — MinHashIndexSpec asserts the equality — with the corpus side
+    // never re-shingled after the first call
+    "dedup_minhash_index" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 100).select(col("doc_id"), col("text"))
+      val idx = annIndexDir(dir, "minhash")
+      if (!graft.dedup.MinHashIndex.exists(s, idx))
+        graft.dedup.MinHashIndex.build(corpus, "doc_id", "text", idx)
+      val batch = corpus.filter(col("doc_id") < 25)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          regexp_replace(col("text"), "^\\S+", "graftmutated").as("text"))
+        .unionByName(docs.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+          .select(col("doc_id"), col("text")))
+      graft.dedup.MinHashIndex.dedupBatch(s, idx, batch, "text", threshold = 0.6)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    },
     // --- bigram conditional-logprob quality: catches incoherent token
     // soup whose unigrams are individually common
     "bigram_logprob" -> { (s, dir) =>

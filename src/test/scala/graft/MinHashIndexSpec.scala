@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.dedup.{Dedup, MinHashIndex}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The persistable MinHash dedup index: the corpus side of incremental
+  * near-dup dedup paid once, then served from the persisted layers. */
+class MinHashIndexSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs: DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text"))
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select(col("doc_id").cast("long")).collect().map(_.getLong(0)).sorted.toSeq
+
+  test("indexed dedup equals the one-shot incremental operator") {
+    val dir = Files.createTempDirectory("graft_mh_idx").toString
+    val corpus = docs.filter(col("doc_id") < 100)
+    MinHashIndex.build(corpus, "doc_id", "text", dir)
+    // the dedup_minhash_incremental query's batch shape: mutated copies of
+    // corpus docs (must drop) + fresh docs (must survive)
+    val batch = corpus.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "graftmutated").as("text"))
+      .unionByName(docs.filter(col("doc_id") >= 100 && col("doc_id") < 150))
+    val fromIndex = ids(
+      MinHashIndex.dedupBatch(spark, dir, batch, "text", threshold = 0.6))
+    val oneShot = ids(
+      Dedup.incrementalNearDupDedup(batch, corpus, "doc_id", "text", threshold = 0.6))
+    assert(fromIndex.nonEmpty)
+    assert(fromIndex === oneShot,
+      "the index changes where the corpus side lives, never the answer")
+    // sanity on the shape: every fresh doc survives, no mutated copy does
+    assert(fromIndex.forall(_ < 200000))
+  }
+
+  test("append keeps later batches deduping against accepted rows") {
+    val dir = Files.createTempDirectory("graft_mh_append").toString
+    MinHashIndex.build(docs.filter(col("doc_id") < 100), "doc_id", "text", dir)
+    // accept a fresh batch into the index
+    val accepted = docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+    MinHashIndex.append(spark, dir, accepted, "text")
+    // a later batch: near-dups of the APPENDED docs (not the original
+    // corpus) must now be dropped; genuinely new docs survive
+    val later = accepted.filter(col("doc_id") < 105)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "graftmutated").as("text"))
+      .unionByName(docs.filter(col("doc_id") >= 200 && col("doc_id") < 210))
+    val survivors = ids(
+      MinHashIndex.dedupBatch(spark, dir, later, "text", threshold = 0.6))
+    assert(survivors === (200L until 210L),
+      s"appended-doc near-dups must drop, fresh docs survive: $survivors")
+  }
+
+  test("missing index fails loudly") {
+    val e = intercept[IllegalArgumentException] {
+      MinHashIndex.dedupBatch(
+        spark, Files.createTempDirectory("graft_mh_empty").toString,
+        docs.limit(1), "text", 0.5)
+    }
+    assert(e.getMessage.contains("no MinHash index"))
+  }
+}
