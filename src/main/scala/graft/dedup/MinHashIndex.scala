@@ -136,7 +136,14 @@ object MinHashIndex {
   /** Append (typically already-deduped) batch rows to the index: their
     * shingles and banded buckets land in the persisted layers, so later
     * batches dedup against them too. Batch-sized work; the same
-    * deterministic hash family keeps one bucket space across appends. */
+    * deterministic hash family keeps one bucket space across appends.
+    *
+    * The `maxBucket` cap applies WITHIN each write (build caps the
+    * corpus, every append caps its own batch) — a pathological bucket
+    * can therefore grow by up to `maxBucket` per append. That mirrors
+    * the one-shot incremental operator's per-frame capping; if the
+    * address table accretes hot buckets over many appends, a [[build]]
+    * rebuild re-caps globally. */
   def append(
       spark: SparkSession,
       dir: String,

@@ -397,7 +397,11 @@ object Streaming {
           batchSurvivors.join(
             spark.read.parquet(hashesPath), Seq("__h"), "left_anti")
         else batchSurvivors
-      // persist the batch result once; both appends reuse it
+      // persist the batch result once; both appends reuse it. Docs are
+      // written BEFORE hashes deliberately: a crash between the two makes
+      // the replay re-append the docs (duplicates — recoverable with
+      // exactDedup downstream); the reverse order would make the replay
+      // see the batch as already-known and silently LOSE its documents.
       val out = fresh.persist()
       try {
         out.drop("__h").write.mode(SaveMode.Append).parquet(docsPath)
@@ -414,7 +418,8 @@ object Streaming {
     * [[graft.io.Tables.compactTo]] sizing and swaps atomically via rename.
     * The docs table compacts the same way with `compactTo` directly when
     * needed; the hash table is the one every batch RE-READS, so it decays
-    * fastest. */
+    * fastest. A crash mid-swap leaves `hashes.parquet.old` on disk —
+    * restore it by renaming back before resuming the stream. */
   def compactCorpusState(
       spark: org.apache.spark.sql.SparkSession, acceptedDir: String): Unit = {
     val hashesPath = s"$acceptedDir/hashes.parquet"
