@@ -344,6 +344,22 @@ object LlmQueries {
           k = 10, probes = 6)
         .orderBy(col("query_id"), col("rank"))
     },
+    // --- attribute-filtered vector search: neighbors WITHIN a label slice.
+    // The index stores `label` alongside each vector (attrCols) and the
+    // search pushes the predicate into the pruned corpus scan. At
+    // nprobe = nlist every cell is probed, so the result is EXACT within
+    // the filter — which is what makes this the one ANN query with a
+    // full DuckDB oracle (brute-force cosine over the filtered corpus).
+    "ann_ivf_filtered" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = annIndexDir(dir, "ivfa")
+      graft.similarity.AnnIndex.ensureIvf(e, "vec_id", "embedding", idx,
+        nlist = 16, attrCols = Seq("label"))
+      graft.similarity.AnnIndex
+        .searchIvf(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 16, corpusFilter = Some(col("label") === 1))
+        .orderBy(col("query_id"), col("rank"))
+    },
     "embedding_near_dup" -> { (s, dir) =>
       // plant exact-duplicate vectors (vec_id + 100000): every planted pair
       // has cosine 1.0 and must be found by the hyperplane-LSH buckets
@@ -934,6 +950,17 @@ object LlmQueries {
         |s AS (SELECT query_id, e.vec_id,
         |        round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
         |      FROM e, q WHERE e.vec_id <> query_id),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
+        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // exact within the label slice (the Spark side probes every cell), so
+    // plain brute-force cosine over the filtered corpus IS the oracle
+    "ann_ivf_filtered" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT query_id, e.vec_id,
+        |        round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+        |      FROM e, q WHERE e.vec_id <> query_id AND e.label = 1),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * {{{
   *   <dir>/meta.parquet       1 row: kind, id_col, params, n_rows
   *   <dir>/centroids.parquet  IVF: (__cell, __cent)           [nlist rows]
-  *   <dir>/corpus.parquet/    IVF: (id, __cv, __cn) PARTITIONED BY __cell
+  *   <dir>/corpus.parquet/    IVF: (id, __cv, __cn, attrs…) PARTITIONED BY __cell
   *   <dir>/signatures.parquet LSH: (id, __cv, __cv_n, sig) PARTITIONED BY
   *                            table, sig-sorted within files
   * }}}
@@ -115,7 +115,12 @@ object AnnIndex {
   /** Fit the coarse quantizer once and persist centroids + the
     * cell-partitioned corpus. `nlist = 0` auto-scales to ~√N (see
     * [[Similarity.ivfCosineTopK]]). The expensive pieces — the k-means fit
-    * and the full-corpus assignment pass — happen HERE, never at search. */
+    * and the full-corpus assignment pass — happen HERE, never at search.
+    *
+    * `attrCols` carries attribute columns (language, source, label, …)
+    * into the stored layout verbatim — the metadata-filtering surface:
+    * [[searchIvf]]'s `corpusFilter` can then restrict candidates by any
+    * predicate over them, pushed into the pruned parquet scan. */
   def buildIvf(
       corpus: DataFrame,
       idCol: String,
@@ -124,11 +129,12 @@ object AnnIndex {
       nlist: Int = 0,
       seed: Long = 0L,
       fitSample: Int = 100000,
-      quantize: Boolean = false): Unit = {
+      quantize: Boolean = false,
+      attrCols: Seq[String] = Nil): Unit = {
     require(nlist >= 0, s"nlist must be >= 0 (0 = auto), got $nlist")
     val nRows = corpus.count()
     val cells = if (nlist > 0) nlist else Similarity.ivfAutoNlist(nRows)
-    val corpusVec = Similarity.ivfNormalizedCorpus(corpus, idCol, vecCol)
+    val corpusVec = Similarity.ivfNormalizedCorpus(corpus, idCol, vecCol, attrCols)
     val model = Similarity.ivfFit(corpusVec, idCol, cells, seed, fitSample)
     Similarity.ivfCentroidFrame(corpus.sparkSession, model)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.parquet")
@@ -145,7 +151,17 @@ object AnnIndex {
     * prune the corpus scan to the probed cell partitions, exact-cosine
     * re-rank. No fit, no full-corpus pass — identical results to
     * [[Similarity.ivfCosineTopK]] at identical parameters. `nprobe = 0`
-    * uses the same auto rule as the one-shot operator. */
+    * uses the same auto rule as the one-shot operator.
+    *
+    * `corpusFilter` is the metadata-filtering surface: a predicate over
+    * the attribute columns the index was built with (`attrCols`),
+    * applied to the pruned scan BEFORE scoring — so "nearest neighbors
+    * within this language/source/label" pays only the probed-and-
+    * matching bytes (parquet pushes the predicate into the row groups).
+    * Post-filter semantics: candidates still come from the probed cells
+    * first, so a highly selective filter thins the pool — raise
+    * `nprobe` (up to nlist for exact-within-filter) when the filter
+    * keeps only a small slice of each cell. */
   def searchIvf(
       spark: SparkSession,
       dir: String,
@@ -153,7 +169,8 @@ object AnnIndex {
       queryIdCol: String,
       vecCol: String,
       k: Int,
-      nprobe: Int = 0): DataFrame = {
+      nprobe: Int = 0,
+      corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(nprobe >= 0, s"nprobe must be >= 0 (0 = auto), got $nprobe")
     val m = readMeta(spark, dir, "ivf")
     val probes =
@@ -167,10 +184,9 @@ object AnnIndex {
     // unprobed directories before any IO
     val probedCells = qProbes.select(col("__cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val assigned = scoringForm(
-      spark.read.parquet(s"$dir/corpus.parquet")
-        .filter(col("__cell").isin(probedCells: _*)),
-      m.quantized)
+    val pruned = spark.read.parquet(s"$dir/corpus.parquet")
+      .filter(col("__cell").isin(probedCells: _*))
+    val assigned = scoringForm(corpusFilter.fold(pruned)(pruned.filter), m.quantized)
     Similarity.ivfScore(assigned, qProbes, m.idCol, k)
   }
 
@@ -247,7 +263,11 @@ object AnnIndex {
     val spark = batch.sparkSession
     val m = readMeta(spark, dir, "ivf")
     val centDf = broadcast(spark.read.parquet(s"$dir/centroids.parquet"))
-    val corpusVec = Similarity.ivfNormalizedCorpus(batch, m.idCol, vecCol)
+    // attribute columns ride along exactly as the index stores them —
+    // recovered from the stored schema, so appends need no attr config
+    val attrs = (spark.read.parquet(s"$dir/corpus.parquet").columns.toSet
+      -- Set(m.idCol, "__cv", "__q", "__cn", "__cell")).toSeq.sorted
+    val corpusVec = Similarity.ivfNormalizedCorpus(batch, m.idCol, vecCol, attrs)
     // nearest persisted centroid per batch row = the probes=1 rank of
     // ivfQueryProbes, but over the batch side (which is NOT broadcast)
     import org.apache.spark.sql.expressions.Window
@@ -262,7 +282,7 @@ object AnnIndex {
           - lit(2.0) * Similarity.dot(col("__u"), col("__cent")))
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") === 1)
-      .select(col(m.idCol), col("__cv"), col("__cn"), col("__cell"))
+      .select((Seq(m.idCol, "__cv", "__cn") ++ attrs :+ "__cell").map(col): _*)
       .transform(storedForm(_, m.quantized))
       .write.mode(SaveMode.Append)
       .partitionBy("__cell")
@@ -301,8 +321,10 @@ object AnnIndex {
       vecCol: String,
       dir: String,
       nlist: Int = 0,
-      seed: Long = 0L): Unit =
-    if (!exists(corpus.sparkSession, dir)) buildIvf(corpus, idCol, vecCol, dir, nlist, seed)
+      seed: Long = 0L,
+      attrCols: Seq[String] = Nil): Unit =
+    if (!exists(corpus.sparkSession, dir))
+      buildIvf(corpus, idCol, vecCol, dir, nlist, seed, attrCols = attrCols)
 
   /** LSH twin of [[ensureIvf]]. */
   def ensureLsh(

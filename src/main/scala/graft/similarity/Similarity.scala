@@ -344,15 +344,17 @@ object Similarity {
     * norm into the lambda body, where it would re-reduce the vector per
     * ELEMENT: O(d^2) per row at embedding dims. */
   private[similarity] def ivfNormalizedCorpus(
-      corpus: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      corpus: DataFrame, idCol: String, vecCol: String,
+      extraCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
     new org.apache.spark.ml.feature.Normalizer()
       .setInputCol("__rawvec").setOutputCol("__mlvec").setP(2.0)
       .transform(corpus.select(
-        col(idCol),
-        col(vecCol).as("__cv"),
-        l2Norm(col(vecCol)).as("__cn"),
-        array_to_vector(col(vecCol).cast("array<double>")).as("__rawvec"))
+        col(idCol) +:
+          col(vecCol).as("__cv") +:
+          l2Norm(col(vecCol)).as("__cn") +:
+          array_to_vector(col(vecCol).cast("array<double>")).as("__rawvec") +:
+          extraCols.map(col): _*)
         .filter(col("__cn") > 0)) // zero-norm: NaN cosine, see cosineTopK
       .drop("__rawvec")
   }

@@ -203,6 +203,50 @@ class AnnIndexSpec extends SparkSpec {
     assert(qb < fb * 6 / 10, s"quantized corpus $qb bytes not < 60% of full $fb")
   }
 
+  test("IVF: attribute-filtered search — neighbors within a label slice") {
+    val dir = tempDir("graft_ivf_attr")
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", dir, nlist = 16, seed = 7L,
+      attrCols = Seq("label"))
+    val queries = emb.filter(col("vec_id") < 5)
+    // nprobe = nlist probes every cell, so the within-filter search is
+    // EXACT: it must equal brute force over the pre-filtered corpus
+    val filtered = rows(
+      AnnIndex.searchIvf(spark, dir, queries, "vec_id", "embedding", k = 8,
+          nprobe = 16, corpusFilter = Some(col("label") === 1))
+        .orderBy(col("query_id"), col("rank")))
+    val brute = rows(
+      Similarity.cosineTopK(emb.filter(col("label") === 1), queries,
+          "vec_id", "embedding", "vec_id", k = 8)
+        .orderBy(col("query_id"), col("rank")))
+    assert(filtered.nonEmpty)
+    assert(filtered === brute)
+  }
+
+  test("IVF: append preserves attribute columns — appended rows obey the filter") {
+    val dir = tempDir("graft_ivf_attr_append")
+    val half1 = emb.filter(col("vec_id") < 250)
+    val half2 = emb.filter(col("vec_id") >= 250)
+    AnnIndex.buildIvf(half1, "vec_id", "embedding", dir, nlist = 16, seed = 7L,
+      attrCols = Seq("label"))
+    AnnIndex.appendIvf(half2, "embedding", dir)
+    val lab250 = half2.filter(col("vec_id") === 250).select("label").head.getInt(0)
+    val q = half2.filter(col("vec_id") === 250)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    // restricted to the clone's own label, the appended row must still
+    // carry it and come back at rank 1 with cosine 1.0 …
+    val hit = AnnIndex.searchIvf(spark, dir, q, "vec_id", "embedding", k = 3,
+        nprobe = 16, corpusFilter = Some(col("label") === lab250))
+      .filter(col("rank") === 1).collect()
+    assert(hit.length === 1)
+    assert(hit.head.getLong(1) === 250L && hit.head.getDouble(2) === 1.0,
+      s"appended clone not found under its own label (got ${hit.head})")
+    // … and excluding that label must exclude the clone from ANY rank
+    val excluded = AnnIndex.searchIvf(spark, dir, q, "vec_id", "embedding",
+        k = 50, nprobe = 16, corpusFilter = Some(col("label") =!= lab250))
+      .filter(col("vec_id") === 250).collect()
+    assert(excluded.isEmpty, "label filter must exclude the appended clone")
+  }
+
   test("kind mismatch and missing index fail loudly") {
     val dir = tempDir("graft_idx_kind")
     AnnIndex.buildLsh(emb, "vec_id", "embedding", dir, tables = 2, bits = 4)
