@@ -223,7 +223,8 @@ object Bench {
       "outlier_bounds", "onehot_encoding", "target_encoding", "binary_metrics",
       "set_analysis", "dedup_exact", "dedup_minhash", "dedup_cluster_survivors",
       "lang_id", "cosine_topk", "ann_lsh_topk", "iv_table", "ngram_jaccard",
-      "sequence_packing", "line_dedup", "curation_e2e", "ann_ivf_search")
+      "sequence_packing", "line_dedup", "curation_e2e", "ann_ivf_search",
+      "ann_ivf_filtered")
     val head = results.filter(r => headline.contains(r.name))
     println(
       s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${timesJson(head, _.coldMin)},"total_first_cold":${f3(totalFirstCold)},"total_warm":${f3(totalWarm)},"sf":"$sfDir","n_queries":${results.size},"n_failed":${failed.size},"errors":$errs,"detail":"BENCH_DETAIL.json"}""")

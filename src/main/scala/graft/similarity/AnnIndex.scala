@@ -18,8 +18,8 @@ import org.apache.spark.sql.functions._
   *   <dir>/meta.parquet       1 row: kind, id_col, params, n_rows
   *   <dir>/centroids.parquet  IVF: (__cell, __cent)           [nlist rows]
   *   <dir>/corpus.parquet/    IVF: (id, __cv, __cn, attrs…) PARTITIONED BY __cell
-  *   <dir>/signatures.parquet LSH: (id, __cv, __cv_n, sig) PARTITIONED BY
-  *                            table, sig-sorted within files
+  *   <dir>/signatures.parquet LSH: (id, __cv, __cv_n, sig, attrs…)
+  *                            PARTITIONED BY table, sig-sorted within files
   * }}}
   *
   * Why this layout scales:
@@ -204,13 +204,14 @@ object AnnIndex {
       dir: String,
       tables: Int = 8,
       bits: Int = 0,
-      k: Int = 16): Unit = {
+      k: Int = 16,
+      attrCols: Seq[String] = Nil): Unit = {
     require(bits >= 0, s"bits must be >= 0 (0 = auto), got $bits")
     val nRows = corpus.count()
     val sigBits = if (bits > 0) bits else Similarity.lshAutoBits(nRows, k)
     // sig-sorted within each table partition: parquet row-group min/max
     // stats become the bucket index (search pushes `sig IN (...)`)
-    Similarity.lshSide(corpus, idCol, vecCol, "__cv", tables, sigBits)
+    Similarity.lshSide(corpus, idCol, vecCol, "__cv", tables, sigBits, attrCols)
       .repartition(col("table"))
       .sortWithinPartitions(col("table"), col("sig"))
       .write.mode(SaveMode.Overwrite)
@@ -224,7 +225,14 @@ object AnnIndex {
   /** Search a prebuilt LSH index: sign the queries (with optional
     * Hamming-1 multi-probe), push the probed signature set into the
     * corpus scan, bucket-join + exact-cosine re-rank. Identical results
-    * to [[Similarity.lshCosineTopK]] at identical parameters. */
+    * to [[Similarity.lshCosineTopK]] at identical parameters.
+    *
+    * `corpusFilter` mirrors [[searchIvf]]: a predicate over the
+    * attribute columns the index was built with (`attrCols`), applied
+    * to the signature scan before the bucket join. Candidates still
+    * come from the probed buckets, so a highly selective filter thins
+    * the pool — raise `probes` or `tables` when the filter keeps only
+    * a small slice of each bucket. */
   def searchLsh(
       spark: SparkSession,
       dir: String,
@@ -232,7 +240,8 @@ object AnnIndex {
       queryIdCol: String,
       vecCol: String,
       k: Int,
-      probes: Int = 0): DataFrame = {
+      probes: Int = 0,
+      corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val m = readMeta(spark, dir, "lsh")
     val qSig = broadcast(
       Similarity.lshQuerySide(queries, queryIdCol, vecCol, m.tables, m.bits, probes))
@@ -241,9 +250,9 @@ object AnnIndex {
     // Pushed to parquet, it row-group-skips the sig-sorted files.
     val probedSigs = qSig.select(col("sig")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val cSig = spark.read.parquet(s"$dir/signatures.parquet")
+    val pruned = spark.read.parquet(s"$dir/signatures.parquet")
       .filter(col("sig").isin(probedSigs: _*))
-    Similarity.lshScore(cSig, qSig, m.idCol, k)
+    Similarity.lshScore(corpusFilter.fold(pruned)(pruned.filter), qSig, m.idCol, k)
   }
 
   // -------------------------------------------------- incremental append
@@ -300,7 +309,11 @@ object AnnIndex {
       dir: String): Unit = {
     val spark = batch.sparkSession
     val m = readMeta(spark, dir, "lsh")
-    Similarity.lshSide(batch, m.idCol, vecCol, "__cv", m.tables, m.bits)
+    // attribute columns ride along exactly as the index stores them —
+    // recovered from the stored schema, so appends need no attr config
+    val attrs = (spark.read.parquet(s"$dir/signatures.parquet").columns.toSet
+      -- Set(m.idCol, "__cv", "__cv_n", "table", "sig")).toSeq.sorted
+    Similarity.lshSide(batch, m.idCol, vecCol, "__cv", m.tables, m.bits, attrs)
       .repartition(col("table"))
       .sortWithinPartitions(col("table"), col("sig"))
       .write.mode(SaveMode.Append)
@@ -333,6 +346,8 @@ object AnnIndex {
       vecCol: String,
       dir: String,
       tables: Int = 8,
-      bits: Int = 0): Unit =
-    if (!exists(corpus.sparkSession, dir)) buildLsh(corpus, idCol, vecCol, dir, tables, bits)
+      bits: Int = 0,
+      attrCols: Seq[String] = Nil): Unit =
+    if (!exists(corpus.sparkSession, dir))
+      buildLsh(corpus, idCol, vecCol, dir, tables, bits, attrCols = attrCols)
 }

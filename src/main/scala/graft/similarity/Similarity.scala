@@ -193,12 +193,13 @@ object Similarity {
     * cosine would outrank every real candidate. */
   private[similarity] def lshSide(
       df: DataFrame, id: String, vecCol: String, out: String,
-      tables: Int, sigBits: Int): DataFrame =
+      tables: Int, sigBits: Int, extraCols: Seq[String] = Nil): DataFrame =
     df.select(
-        col(id),
-        col(vecCol).as(out),
-        l2Norm(col(vecCol)).as(s"${out}_n"),
-        posexplode(lshSignatures(col(vecCol), tables, sigBits)).as(Seq("table", "sig")))
+        col(id) +:
+          col(vecCol).as(out) +:
+          l2Norm(col(vecCol)).as(s"${out}_n") +:
+          posexplode(lshSignatures(col(vecCol), tables, sigBits)).as(Seq("table", "sig")) +:
+          extraCols.map(col): _*)
       .filter(col(s"${out}_n") > 0)
 
   /** Query side of the LSH bucket join, with optional Hamming-1

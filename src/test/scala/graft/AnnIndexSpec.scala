@@ -247,6 +247,55 @@ class AnnIndexSpec extends SparkSpec {
     assert(excluded.isEmpty, "label filter must exclude the appended clone")
   }
 
+  test("LSH: attribute-filtered search — every result obeys the filter, clones found") {
+    val dir = tempDir("graft_lsh_attr")
+    AnnIndex.buildLsh(emb, "vec_id", "embedding", dir, tables = 8, bits = 6,
+      attrCols = Seq("label"))
+    val queries = emb.filter(col("vec_id") < 5)
+    val res = AnnIndex.searchLsh(spark, dir, queries, "vec_id", "embedding",
+        k = 10, probes = 6, corpusFilter = Some(col("label") === 1))
+      .collect()
+    assert(res.nonEmpty)
+    // every returned neighbor must belong to the filtered slice
+    val label1 = emb.filter(col("label") === 1)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    res.foreach(r => assert(label1.contains(r.getLong(1)),
+      s"neighbor ${r.getLong(1)} not in the label=1 slice"))
+    // an exact clone shares every bucket with its query: restricted to
+    // the clone's own label it must be found at rank 1, cosine 1.0
+    val lab7 = emb.filter(col("vec_id") === 7).select("label").head.getInt(0)
+    val q7 = emb.filter(col("vec_id") === 7)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val hit = AnnIndex.searchLsh(spark, dir, q7, "vec_id", "embedding", k = 3,
+        corpusFilter = Some(col("label") === lab7))
+      .filter(col("rank") === 1).collect()
+    assert(hit.length === 1 && hit.head.getLong(1) === 7L
+      && hit.head.getDouble(2) === 1.0)
+    // … and excluding that label excludes the clone from any rank
+    val excluded = AnnIndex.searchLsh(spark, dir, q7, "vec_id", "embedding",
+        k = 50, corpusFilter = Some(col("label") =!= lab7))
+      .filter(col("vec_id") === 7).collect()
+    assert(excluded.isEmpty, "label filter must exclude the clone")
+  }
+
+  test("LSH: append preserves attribute columns recovered from the stored schema") {
+    val dir = tempDir("graft_lsh_attr_append")
+    val half1 = emb.filter(col("vec_id") < 250)
+    val half2 = emb.filter(col("vec_id") >= 250)
+    AnnIndex.buildLsh(half1, "vec_id", "embedding", dir, tables = 8, bits = 6,
+      attrCols = Seq("label"))
+    AnnIndex.appendLsh(half2, "embedding", dir)
+    val lab250 = half2.filter(col("vec_id") === 250).select("label").head.getInt(0)
+    val q = half2.filter(col("vec_id") === 250)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val hit = AnnIndex.searchLsh(spark, dir, q, "vec_id", "embedding", k = 3,
+        corpusFilter = Some(col("label") === lab250))
+      .filter(col("rank") === 1).collect()
+    assert(hit.length === 1 && hit.head.getLong(1) === 250L
+      && hit.head.getDouble(2) === 1.0,
+      s"appended clone not found under its own label")
+  }
+
   test("kind mismatch and missing index fail loudly") {
     val dir = tempDir("graft_idx_kind")
     AnnIndex.buildLsh(emb, "vec_id", "embedding", dir, tables = 2, bits = 4)
