@@ -77,14 +77,45 @@ object Similarity {
       case _: FloatType | _: DoubleType                              => "fractional"
       case other                                                     => other.simpleString
     }
+    // digits needed to hold each integral type exactly in a decimal
+    def intDigits(t: DataType): Option[Int] = t match {
+      case _: ByteType => Some(3); case _: ShortType   => Some(5)
+      case _: IntegerType => Some(10); case _: LongType => Some(20)
+      case _ => None
+    }
+    // cross-family pairs Spark's comparison coercion widens EXACTLY:
+    // the widened type represents every value of both sides, so = / =!=
+    // never nulls out and the self-pair filter keeps working
+    def lossless(a: DataType, b: DataType): Boolean = (a, b) match {
+      // decimal↔decimal widens to decimal(max int digits + max scale) —
+      // exact while that fits decimal's precision cap
+      case (da: DecimalType, db: DecimalType) =>
+        math.max(da.precision - da.scale, db.precision - db.scale) +
+          math.max(da.scale, db.scale) <= DecimalType.MAX_PRECISION
+      // decimal↔integral widens the same way (long needs 20 digits > 19,
+      // so decimal(38,s>18)↔long correctly fails the cap)
+      case (d: DecimalType, i) if intDigits(i).isDefined =>
+        math.max(d.precision - d.scale, intDigits(i).get) + d.scale <=
+          DecimalType.MAX_PRECISION
+      case (i, d: DecimalType) if intDigits(i).isDefined => lossless(d, i)
+      // byte/short/int are exact in double's 52-bit mantissa; long is NOT
+      case (_: ByteType | _: ShortType | _: IntegerType, _: DoubleType) => true
+      case (_: DoubleType, _: ByteType | _: ShortType | _: IntegerType) => true
+      // byte/short are exact in float's 24-bit mantissa; int is NOT
+      case (_: ByteType | _: ShortType, _: FloatType) => true
+      case (_: FloatType, _: ByteType | _: ShortType) => true
+      case _ => false
+    }
     val ct = corpus.schema(idCol).dataType
     val qt = queries.schema(queryIdCol).dataType
-    require(ct == qt || family(ct) == family(qt),
+    require(ct == qt || family(ct) == family(qt) || lossless(ct, qt),
       s"corpus id '$idCol' (${ct.simpleString}) and query id '$queryIdCol' " +
-        s"(${qt.simpleString}) must be the same type or same-family numerics " +
-        "(int↔long, float↔double — the widenings Spark compares losslessly; " +
-        "cross-family pairs like decimal↔int are conservatively rejected) — " +
-        "a lossy coerced comparison nulls out the self-pair filter " +
+        s"(${qt.simpleString}) must be losslessly comparable: the same type, " +
+        "same-family numerics (int↔long, float↔double), or an exact " +
+        "cross-family widening (decimal↔decimal / decimal↔integral within " +
+        "the precision cap, byte/short/int↔double, byte/short↔float) — " +
+        "a lossy coerced comparison (e.g. string↔long, long↔double, " +
+        "int↔float) nulls out the self-pair filter " +
         "and every query returns empty")
   }
 

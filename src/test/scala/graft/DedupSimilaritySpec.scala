@@ -449,6 +449,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(widened.toSet == Set(1L, 2L))
   }
 
+  test("id-type guard accepts exact cross-family widenings, rejects lossy ones") {
+    val mk = (t: String) => Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)))
+      .toDF("vec_id", "embedding").withColumn("vec_id", col("vec_id").cast(t))
+    val q = (t: String) => Seq((100L, Array(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding").withColumn("vec_id", col("vec_id").cast(t))
+    def topIds(c: org.apache.spark.sql.DataFrame, qd: org.apache.spark.sql.DataFrame) =
+      Similarity.cosineTopK(c, qd, "vec_id", "embedding", "vec_id", 2)
+        .select(col("vec_id").cast("long")).as[Long].collect().toSet
+    // decimal↔decimal of different precision: exact widened comparison
+    assert(topIds(mk("decimal(10,0)"), q("decimal(12,0)")) == Set(1L, 2L))
+    // decimal↔integral within the cap, and int↔double (exact in 52 bits)
+    assert(topIds(mk("decimal(10,0)"), q("int")) == Set(1L, 2L))
+    assert(topIds(mk("int"), q("double")) == Set(1L, 2L))
+    // short↔float is exact in a 24-bit mantissa
+    assert(topIds(mk("short"), q("float")) == Set(1L, 2L))
+    // int↔float and long↔double are LOSSY — rejected loudly
+    intercept[IllegalArgumentException] { topIds(mk("int"), q("float")) }
+    intercept[IllegalArgumentException] { topIds(mk("long"), q("double")) }
+    // decimal whose widened comparison would overflow the precision cap
+    intercept[IllegalArgumentException] {
+      topIds(mk("decimal(38,0)"), q("decimal(38,10)"))
+    }
+    // and the original failure mode stays rejected
+    intercept[IllegalArgumentException] { topIds(mk("string"), q("long")) }
+  }
+
   test("multimodal resize updates metadata, preserves asset schema and payload") {
     val assets = Multimodal.toAssets(
       Seq((1L, "img-bytes")).toDF("id", "b").withColumn("b", col("b").cast("binary")),
