@@ -262,6 +262,20 @@ object LlmQueries {
         .mmrRerank(shortlist, "query_id", "vec_id", "embedding", k = 5, lambda = 0.5)
         .orderBy(col("query_id"), col("rank"))
     },
+    // --- hybrid retrieval: lexical (token Jaccard) ⊕ vector (cosine)
+    // fused by reciprocal rank — both shortlists and the fusion are
+    // deterministic rank arithmetic, so the whole thing SQL-oracles
+    "hybrid_rrf" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val e = t(s, dir, "embeddings")
+      val lex = TextAnalysis.lexicalJaccardTopK(
+        docs, docs.filter(col("doc_id") < 3), "doc_id", "text", "doc_id", k = 20)
+      val vec = Similarity
+        .cosineTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", "vec_id", 20)
+        .withColumnRenamed("vec_id", "doc_id")
+      Similarity.rrfFuse(Seq(lex, vec), "doc_id", k0 = 60, k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
     // --- no DuckDB oracle (xxhash64-based); deterministic planted dups ---
     "dedup_minhash" -> { (s, dir) =>
       Dedup
@@ -952,6 +966,41 @@ object LlmQueries {
         |      FROM e, q WHERE e.vec_id <> query_id),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // CAST(1.0 AS DOUBLE): a bare 1.0 is DECIMAL in DuckDB and the
+    // fusion scores would come out in decimal arithmetic, not the
+    // double arithmetic the Spark side uses
+    "hybrid_rrf" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, unnest(w) AS tok FROM d),
+        |q AS (SELECT doc_id AS query_id, tok FROM tok WHERE doc_id < 3),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |qsizes AS (SELECT query_id, CAST(count(*) AS BIGINT) AS qn FROM q GROUP BY 1),
+        |inter AS (SELECT q.query_id, t.doc_id, CAST(count(*) AS BIGINT) AS i
+        |          FROM tok t JOIN q ON t.tok = q.tok AND t.doc_id <> q.query_id
+        |          GROUP BY 1, 2),
+        |lex AS (SELECT query_id, doc_id,
+        |          CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY CAST(i AS DOUBLE) / (n + qn - i) DESC, doc_id) AS INT) AS rank
+        |        FROM inter JOIN sizes USING (doc_id) JOIN qsizes USING (query_id)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qv AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+        |sv AS (SELECT query_id, e.vec_id AS doc_id,
+        |         round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+        |       FROM e, qv WHERE e.vec_id <> query_id),
+        |vec AS (SELECT query_id, doc_id,
+        |          CAST(row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cosine DESC, doc_id) AS INT) AS rank FROM sv),
+        |fused AS (SELECT query_id, doc_id, sum(CAST(1.0 AS DOUBLE) / (60 + rank)) AS s
+        |          FROM (SELECT * FROM lex WHERE rank <= 20
+        |                UNION ALL SELECT * FROM vec WHERE rank <= 20)
+        |          GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, round(s, 6) AS rrf_score,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY s DESC, doc_id) AS INT) AS rank
+        |      FROM fused)
+        |SELECT query_id, doc_id, rrf_score, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     // exact within the label slice (the Spark side probes every cell), so
     // plain brute-force cosine over the filtered corpus IS the oracle

@@ -506,6 +506,39 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Reciprocal-rank fusion of ranked candidate lists (hybrid retrieval:
+    * lexical ⊕ vector, or any mix): each ranking contributes
+    * `1/(k0 + rank)` per (query, item), summed scores re-rank, top k
+    * kept. RRF needs no score calibration between the rankers — only
+    * ranks — which is why it is the standard hybrid-search fusion.
+    *
+    * Scale shape: the inputs are already top-N shortlists (bounded —
+    * |Q|·N rows each), so the union/groupBy/window all run on
+    * shortlist-sized data regardless of corpus size; the heavy lifting
+    * happened in the rankers. Each input must carry
+    * (`query_id`, idCol, `rank`). Ties order by (score DESC, id ASC),
+    * the [[rankTopK]] contract. `k0 = 60` is the conventional constant
+    * from the original RRF evaluation (Cormack et al., SIGIR 2009). */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      idCol: String,
+      k0: Int = 60,
+      k: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    val u = rankings
+      .map(_.select(col("query_id"), col(idCol), col("rank")))
+      .reduce(_.unionByName(_))
+    val scored = u
+      .groupBy(col("query_id"), col(idCol))
+      .agg(sum(lit(1.0) / (col("rank") + lit(k0))).as("__s"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__s").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), round(col("__s"), 6).as("rrf_score"), col("rank"))
+  }
+
   /** Diversity-aware re-rank of a top-N shortlist with Maximal Marginal
     * Relevance: greedily pick k of each query's N candidates maximizing
     * `lambda·sim(query, cand) − (1−lambda)·max sim(cand, picked)`.

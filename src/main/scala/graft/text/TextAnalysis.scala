@@ -538,6 +538,48 @@ object TextAnalysis {
         transform(col("__post"), s => -s.getField("i")).as("postings"))
   }
 
+  /** Lexical retrieval: for each query document (small set — the token
+    * side is broadcast), the k corpus documents with the highest
+    * whole-token-set Jaccard. The corpus side is one tokenize + distinct
+    * + shared-token join — candidates are only the documents sharing at
+    * least one token with a query, so the 100 TB shape is a broadcast
+    * hash join streamed over the corpus scan, never an n×m score pass.
+    * Ties rank deterministically by (jaccard DESC, id ASC), the same
+    * contract as [[graft.similarity.Similarity.rankTopK]]. */
+  def lexicalJaccardTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      textCol: String,
+      queryIdCol: String,
+      k: Int): DataFrame = {
+    val cTok = corpus
+      .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
+      .distinct()
+    val qTok = queries
+      .select(col(queryIdCol).as("query_id"), explode(tokens(col(textCol))).as("__tok"))
+      .distinct()
+    val sizes = cTok.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+    val qSizes = qTok.groupBy(col("query_id")).agg(count(lit(1)).as("__qn"))
+    val inter = cTok
+      .join(broadcast(qTok), Seq("__tok"))
+      .filter(col(idCol) =!= col("query_id"))
+      .groupBy(col("query_id"), col(idCol))
+      .agg(count(lit(1)).as("__i"))
+    val scored = inter
+      .join(sizes, Seq(idCol))
+      .join(broadcast(qSizes), Seq("query_id"))
+      // exact rational in a double on both engines: ranked raw, rounded
+      // only for display
+      .select(col("query_id"), col(idCol),
+        (col("__i") / (col("__n") + col("__qn") - col("__i"))).as("__j"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("__j").desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col(idCol), round(col("__j"), 6).as("jaccard"), col("rank"))
+  }
+
   /** Full stats table over a documents frame. */
   def textStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val c = col(textCol)

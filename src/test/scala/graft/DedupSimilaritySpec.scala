@@ -475,6 +475,39 @@ class DedupSimilaritySpec extends SparkSpec {
     intercept[IllegalArgumentException] { topIds(mk("string"), q("long")) }
   }
 
+  test("RRF fusion: consensus items outrank single-ranker items; ties break by id") {
+    // item 10 is rank 2 in both rankings; item 11 is rank 1 in one only.
+    // 1/62 + 1/62 > 1/61, so consensus wins despite the worse best-rank.
+    val lex = Seq((1L, 11L, 1), (1L, 10L, 2), (1L, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val vec = Seq((1L, 13L, 1), (1L, 10L, 2), (1L, 14L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val fused = Similarity.rrfFuse(Seq(lex, vec), "doc_id", k0 = 60, k = 10)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(fused.head === ((10L, 1)), s"consensus item must lead: ${fused.toSeq}")
+    // 11 and 13 are both solo rank-1 (equal score 1/61): id breaks the tie
+    assert(fused.slice(1, 3).map(_._1).toSeq === Seq(11L, 13L))
+    // every input item appears exactly once
+    assert(fused.map(_._1).toSet === Set(10L, 11L, 12L, 13L, 14L))
+  }
+
+  test("lexical Jaccard top-k: exact overlap arithmetic, self excluded") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha beta delta"),   // 2 of 4 distinct tokens shared with q=1
+      (3L, "alpha zeta eta"),     // 1 of 5 shared
+      (4L, "iota kappa mu")       // nothing shared
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.lexicalJaccardTopK(
+        docs, docs.filter(col("doc_id") === 1), "doc_id", "text", "doc_id", k = 5)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    // jaccard(1,2) = 2/4, jaccard(1,3) = 1/5; doc 4 has no candidate row;
+    // doc 1 (the query itself) is excluded
+    assert(top.toSeq === Seq((2L, 0.5), (3L, 0.2)))
+  }
+
   test("multimodal resize updates metadata, preserves asset schema and payload") {
     val assets = Multimodal.toAssets(
       Seq((1L, "img-bytes")).toDF("id", "b").withColumn("b", col("b").cast("binary")),
