@@ -70,7 +70,19 @@ object Similarity {
     * allowed. (Ids must also share a namespace: self-exclusion is by id
     * equality.) */
   private[similarity] def requireSameIdType(
-      corpus: DataFrame, idCol: String, queries: DataFrame, queryIdCol: String): Unit = {
+      corpus: DataFrame, idCol: String, queries: DataFrame, queryIdCol: String): Unit =
+    requireComparableIdTypes(
+      corpus.schema(idCol).dataType, s"corpus id '$idCol'",
+      queries.schema(queryIdCol).dataType, s"query id '$queryIdCol'")
+
+  /** Type-level form of [[requireSameIdType]], shared by every operator
+    * whose self-pair filter compares a corpus id to a query id — including
+    * ones outside this package (lexical retrieval) and ones whose corpus
+    * type comes from a persisted index's metadata rather than a live
+    * DataFrame ([[AnnIndex.searchIvf]]/[[AnnIndex.searchLsh]]). */
+  private[graft] def requireComparableIdTypes(
+      ct: org.apache.spark.sql.types.DataType, corpusDesc: String,
+      qt: org.apache.spark.sql.types.DataType, queryDesc: String): Unit = {
     import org.apache.spark.sql.types._
     def family(t: DataType): String = t match {
       case _: ByteType | _: ShortType | _: IntegerType | _: LongType => "integral"
@@ -106,10 +118,8 @@ object Similarity {
       case (_: FloatType, _: ByteType | _: ShortType) => true
       case _ => false
     }
-    val ct = corpus.schema(idCol).dataType
-    val qt = queries.schema(queryIdCol).dataType
     require(ct == qt || family(ct) == family(qt) || lossless(ct, qt),
-      s"corpus id '$idCol' (${ct.simpleString}) and query id '$queryIdCol' " +
+      s"$corpusDesc (${ct.simpleString}) and $queryDesc " +
         s"(${qt.simpleString}) must be losslessly comparable: the same type, " +
         "same-family numerics (int↔long, float↔double), or an exact " +
         "cross-family widening (decimal↔decimal / decimal↔integral within " +
