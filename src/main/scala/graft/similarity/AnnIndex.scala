@@ -184,8 +184,11 @@ object AnnIndex {
     // unprobed directories before any IO
     val probedCells = qProbes.select(col("__cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val pruned = spark.read.parquet(s"$dir/corpus.parquet")
-      .filter(col("__cell").isin(probedCells: _*))
+    val corpusStored = spark.read.parquet(s"$dir/corpus.parquet")
+    Similarity.requireComparableIdTypes(
+      corpusStored.schema(m.idCol).dataType, s"index corpus id '${m.idCol}' at $dir",
+      queries.schema(queryIdCol).dataType, s"query id '$queryIdCol'")
+    val pruned = corpusStored.filter(col("__cell").isin(probedCells: _*))
     val assigned = scoringForm(corpusFilter.fold(pruned)(pruned.filter), m.quantized)
     Similarity.ivfScore(assigned, qProbes, m.idCol, k)
   }
@@ -250,8 +253,11 @@ object AnnIndex {
     // Pushed to parquet, it row-group-skips the sig-sorted files.
     val probedSigs = qSig.select(col("sig")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val pruned = spark.read.parquet(s"$dir/signatures.parquet")
-      .filter(col("sig").isin(probedSigs: _*))
+    val sigStored = spark.read.parquet(s"$dir/signatures.parquet")
+    Similarity.requireComparableIdTypes(
+      sigStored.schema(m.idCol).dataType, s"index corpus id '${m.idCol}' at $dir",
+      queries.schema(queryIdCol).dataType, s"query id '$queryIdCol'")
+    val pruned = sigStored.filter(col("sig").isin(probedSigs: _*))
     Similarity.lshScore(corpusFilter.fold(pruned)(pruned.filter), qSig, m.idCol, k)
   }
 

@@ -553,6 +553,12 @@ object TextAnalysis {
       textCol: String,
       queryIdCol: String,
       k: Int): DataFrame = {
+    // the self-pair filter below compares corpus ids to query ids — a
+    // lossy cross-family coercion (string vs long) would null out the
+    // comparison and silently drop every candidate
+    graft.similarity.Similarity.requireComparableIdTypes(
+      corpus.schema(idCol).dataType, s"corpus id '$idCol'",
+      queries.schema(queryIdCol).dataType, s"query id '$queryIdCol'")
     val cTok = corpus
       .select(col(idCol), explode(tokens(col(textCol))).as("__tok"))
       .distinct()

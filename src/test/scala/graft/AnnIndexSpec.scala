@@ -309,4 +309,29 @@ class AnnIndexSpec extends SparkSpec {
     }
     assert(missing.getMessage.contains("no ANN index"))
   }
+
+  test("search rejects query ids that coerce lossily vs the stored index id") {
+    // string query ids vs a long-id persisted index: Spark would coerce the
+    // self-pair comparison to null for every row and return an empty result;
+    // the guard must fail loudly at plan time instead
+    val qStr = emb.limit(1).select(col("vec_id").cast("string").as("vec_id"),
+      col("embedding"))
+    val lshDir = tempDir("graft_idx_idtype_lsh")
+    AnnIndex.buildLsh(emb, "vec_id", "embedding", lshDir, tables = 2, bits = 4)
+    val eL = intercept[IllegalArgumentException] {
+      AnnIndex.searchLsh(spark, lshDir, qStr, "vec_id", "embedding", k = 3)
+    }
+    assert(eL.getMessage.contains("vec_id"))
+    val ivfDir = tempDir("graft_idx_idtype_ivf")
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", ivfDir, nlist = 4)
+    val eI = intercept[IllegalArgumentException] {
+      AnnIndex.searchIvf(spark, ivfDir, qStr, "vec_id", "embedding", k = 3)
+    }
+    assert(eI.getMessage.contains("vec_id"))
+    // lossless in-family widening (int query ids vs long index ids) passes
+    val qInt = emb.limit(1).select(col("vec_id").cast("int").as("vec_id"),
+      col("embedding"))
+    assert(AnnIndex.searchLsh(spark, lshDir, qInt, "vec_id", "embedding", k = 3)
+      .count() > 0)
+  }
 }

@@ -508,6 +508,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top.toSeq === Seq((2L, 0.5), (3L, 0.2)))
   }
 
+  test("lexical Jaccard rejects query ids that coerce lossily vs corpus ids") {
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    val qStr = docs.limit(1)
+      .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.lexicalJaccardTopK(docs, qStr, "doc_id", "text", "doc_id", k = 3)
+    }
+    assert(e.getMessage.contains("doc_id"))
+  }
+
   test("multimodal resize updates metadata, preserves asset schema and payload") {
     val assets = Multimodal.toAssets(
       Seq((1L, "img-bytes")).toDF("id", "b").withColumn("b", col("b").cast("binary")),
