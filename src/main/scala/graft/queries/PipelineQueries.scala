@@ -96,6 +96,23 @@ object PipelineQueries {
             greatest(lit(1.0), col("exact_distinct") * 0.05)).as("within_tol"))
         .orderBy(col("user_id"))
     },
+    // --- mergeable quantile state: like hll_distinct_state, sketch bytes
+    // have no DuckDB twin, so the oracle checks derived scalars — the exact
+    // per-key row count plus GK rank-bound flags on the merged sketch's
+    // p50/p90 estimates, all of which must be uniformly TRUE
+    "quantile_sketch_state" -> { (s, dir) =>
+      import graft.dp.QuantileState._
+      val ev = events(s, dir)
+      val cut = lit("2024-01-15").cast("date")
+      val probs = Seq(0.5, 0.9)
+      val merged = mergeQuantileSketches(
+        quantileSketch(ev.filter(to_date(col("ts")) <= cut), "user_id", "value"),
+        quantileSketch(ev.filter(to_date(col("ts")) > cut), "user_id", "value"),
+        "user_id")
+      rankWithinBound(ev, estimateQuantiles(merged, "user_id", probs),
+          "user_id", "value", probs)
+        .orderBy(col("user_id"))
+    },
     // --- incremental state maintenance: merge(state(batch1), state(batch2))
     // must equal a from-scratch aggregate over all rows — the oracle IS the
     // from-scratch recompute
@@ -327,6 +344,12 @@ object PipelineQueries {
       """SELECT user_id, CAST(count(DISTINCT props) AS BIGINT) AS exact_distinct,
         |  TRUE AS within_tol
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // quantile state: the oracle is the exact per-key row count; the GK
+    // rank-bound flags must be uniformly TRUE for the hash to match
+    "quantile_sketch_state" ->
+      """SELECT user_id, CAST(count(value) AS BIGINT) AS n, TRUE AS count_exact,
+        |  TRUE AS within_q_50, TRUE AS within_q_90
+        |FROM events WHERE value IS NOT NULL GROUP BY 1 ORDER BY user_id""".stripMargin,
     "cohort_retention" ->
       """WITH e AS (SELECT DISTINCT user_id,
         |    CAST(floor(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) / 7) AS BIGINT) AS p
