@@ -56,6 +56,18 @@ object LlmQueries {
         .topTokens(t(s, dir, "documents"), "text", k = 25, minLength = 2)
         .orderBy(desc("freq"), col("token"))
     },
+    // --- BPE train + encode, oracle-checkable form: the merge table has no
+    // SQL twin (iterative argmax), so the oracle checks what both engines
+    // CAN derive — exact per-doc word counts — plus invariant flags that
+    // must be uniformly TRUE: tokens reconstruct the text exactly, and the
+    // token count is bounded by [words, characters]
+    "bpe_encode_audit" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val merges = graft.text.Bpe.train(docs, "text", numMerges = 200)
+      graft.text.Bpe
+        .encodeAudit(graft.text.Bpe.encode(docs, "text", merges), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     // --- heavy hitters, oracle-checkable form: exact top-k counts (any
     // engine reproduces them) + a CMS bounds flag the seeded sketch must
     // satisfy — an undercounting/unseeded sketch flips est_ok and fails
@@ -785,6 +797,15 @@ object LlmQueries {
         |SELECT token, CAST(count(*) AS BIGINT) AS freq
         |FROM t WHERE length(token) >= 2
         |GROUP BY token ORDER BY freq DESC, token LIMIT 25""".stripMargin,
+    // BPE audit: exact word counts both engines derive; the round-trip and
+    // count-bound flags are invariants of a correct encoder — uniformly
+    // TRUE or the hash breaks
+    "bpe_encode_audit" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+        |  TRUE AS roundtrip_ok, TRUE AS count_sane
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // exact top-k is fully mirrorable; est_ok is the seeded sketch's CMS
     // bound check, a deterministic pure function of data + seed — the
     // oracle asserts it as literal TRUE

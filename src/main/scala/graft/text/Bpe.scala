@@ -1,0 +1,210 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding vocabulary training and tokenization.
+  *
+  * Training follows the published BPE-for-NLP shape (Sennrich et al. 2016;
+  * the GPT-2 tokenizer trains the same way): the corpus-sized work is ONE
+  * word-frequency aggregation — a map-side-combinable groupBy capped to the
+  * `maxWords` most frequent words — and the merge loop then runs on the
+  * driver over that BOUNDED table. At 100 TB the word-count pass is the
+  * only full-corpus scan; its output is a vocabulary-sized frame (capped,
+  * ~50k rows), which is the standard and honest place to leave distributed
+  * execution — a per-iteration distributed pair-count would pay
+  * `numMerges` full shuffles for no extra fidelity, because merges beyond
+  * the frequency cap's coverage are noise anyway.
+  *
+  * Words are character sequences with an end-of-word sentinel `</w>`
+  * appended to the final character, so merges never cross word
+  * boundaries and detokenization is exact: concatenating a word's tokens
+  * and stripping `</w>` reproduces the word. Ties in pair frequency break
+  * deterministically by (count DESC, left ASC, right ASC) — same corpus,
+  * same merges, on any cluster layout.
+  *
+  * Encoding is embarrassingly parallel: the ranked merge table is tiny
+  * (`numMerges` rows), broadcast inside the UDF closure, and applied
+  * greedily (lowest rank first — the BPE contract). A per-task memo map
+  * exploits the Zipf shape of natural text: each distinct word is encoded
+  * once per task, not once per occurrence.
+  */
+object Bpe {
+
+  /** End-of-word sentinel, fused onto a word's last character. */
+  val EndOfWord = "</w>"
+
+  /** Split text into words for BPE purposes: whitespace runs. Kept
+    * deliberately simple and engine-portable (the oracle re-derives word
+    * counts with the same rule in SQL). */
+  private def wordsOf(textCol: String) =
+    filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+
+  /** Initial symbol sequence of a word: one symbol per character, with the
+    * sentinel fused onto the last ("low" -> [l, o, w</w>]). */
+  private[text] def symbols(word: String): Vector[String] = {
+    val cs = word.map(_.toString).toVector
+    cs.init :+ (cs.last + EndOfWord)
+  }
+
+  /** Train `numMerges` BPE merges from the corpus. Returns a DataFrame
+    * `(rank INT, left STRING, right STRING, pair_count BIGINT)` ordered by
+    * rank — the persistable artifact `encode` consumes. The loop stops
+    * early when no pair reaches `minPairCount`. */
+  def train(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxWords: Int = 50000,
+      minPairCount: Long = 2L): DataFrame = {
+    require(numMerges > 0, s"need numMerges > 0, got $numMerges")
+    require(maxWords > 0, s"need maxWords > 0, got $maxWords")
+    val spark = df.sparkSession
+    // the one corpus-sized pass: word counts, frequency-capped. Ties at the
+    // cap boundary break by word so the table is deterministic.
+    val wordCounts = df
+      .select(explode(wordsOf(textCol)).as("__w"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("__w").asc)
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    trainFromCounts(spark, wordCounts.toSeq, numMerges, minPairCount)
+  }
+
+  /** Driver-side merge loop over a bounded (word, count) table. Exposed so
+    * pre-aggregated word counts (e.g. from an incremental state table) can
+    * train without touching raw text. */
+  def trainFromCounts(
+      spark: SparkSession,
+      wordCounts: Seq[(String, Long)],
+      numMerges: Int,
+      minPairCount: Long = 2L): DataFrame = {
+    import spark.implicits._
+    // mutable working set: symbol sequences weighted by word frequency
+    var words: Vector[(Vector[String], Long)] =
+      wordCounts.filter(_._1.nonEmpty).map { case (w, c) => (symbols(w), c) }.toVector
+    val merges = Vector.newBuilder[(Int, String, String, Long)]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, c) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          pairCounts.update(k, pairCounts.getOrElse(k, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val ((l, r), c) = pairCounts.minBy { case ((pl, pr), pc) => (-pc, pl, pr) }
+        if (c < minPairCount) done = true
+        else {
+          merges += ((rank, l, r, c))
+          val fused = l + r
+          words = words.map { case (syms, wc) =>
+            if (syms.length < 2) (syms, wc)
+            else {
+              val out = Vector.newBuilder[String]
+              var i = 0
+              while (i < syms.length) {
+                if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+                  out += fused; i += 2
+                } else { out += syms(i); i += 1 }
+              }
+              (out.result(), wc)
+            }
+          }
+          rank += 1
+        }
+      }
+    }
+    merges.result().toDF("rank", "left", "right", "pair_count")
+  }
+
+  /** The vocabulary implied by a merge table: every merged symbol plus all
+    * single characters (with and without sentinel) seen in the merges. */
+  def vocab(merges: DataFrame): DataFrame =
+    merges.select(concat(col("left"), col("right")).as("token"))
+      .union(merges.select(col("left")))
+      .union(merges.select(col("right")))
+      .distinct()
+
+  /** Greedy BPE encoder for one word given merge ranks. Standard
+    * algorithm: repeatedly fuse the present pair with the lowest rank
+    * until none of the word's adjacent pairs is in the table. */
+  private[text] def encodeWord(
+      word: String, ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = symbols(word)
+    var continue = syms.length > 1
+    while (continue) {
+      var best = Int.MaxValue
+      var bi = -1
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = ranks.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bi = i }
+        i += 1
+      }
+      if (bi < 0) continue = false
+      else {
+        val (l, r) = (syms(bi), syms(bi + 1))
+        val fused = l + r
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < syms.length) {
+          if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+            out += fused; j += 2
+          } else { out += syms(j); j += 1 }
+        }
+        syms = out.result()
+        continue = syms.length > 1
+      }
+    }
+    syms
+  }
+
+  /** Tokenize `textCol` with a trained merge table: adds
+    * `tokens ARRAY<STRING>` (word tokens in order, sentinel-carrying) and
+    * `n_tokens`. The merge table is collected (numMerges rows — KBs) into
+    * the UDF closure, so encode is a pure scan: no join, no shuffle. A
+    * per-task memo caches each distinct word's encoding (Zipf: the hot
+    * words dominate occurrences). */
+  def encode(df: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+    val ranks: Map[(String, String), Int] = merges
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0))
+      .toMap
+    val enc = udf(new (Seq[String] => Seq[String]) with Serializable {
+      @transient private lazy val memo =
+        scala.collection.mutable.HashMap.empty[String, Vector[String]]
+      override def apply(words: Seq[String]): Seq[String] =
+        words.flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, ranks)))
+    })
+    df.withColumn("tokens", enc(wordsOf(textCol)))
+      .withColumn("n_tokens", size(col("tokens")))
+  }
+
+  /** Oracle-checkable audit of an encoded frame: per row, the exact word
+    * count (both engines can derive it) and two invariant flags that must
+    * be uniformly TRUE — the tokens reconstruct the input words exactly
+    * (losslessness: concat tokens, strip sentinels, compare against the
+    * whitespace-joined words), and the token count is sane (>= one per
+    * word, <= one per character plus sentinel). */
+  def encodeAudit(encoded: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = wordsOf(textCol)
+    encoded.select(
+      col(idCol),
+      size(ws).cast("long").as("n_words"),
+      (concat_ws("", col("tokens")) ===
+        concat(concat_ws(EndOfWord, ws), lit(EndOfWord)) || size(ws) === 0)
+        .as("roundtrip_ok"),
+      (col("n_tokens") >= size(ws) &&
+        col("n_tokens") <= length(concat_ws("", ws)) ||
+        size(ws) === 0).as("count_sane"))
+  }
+}

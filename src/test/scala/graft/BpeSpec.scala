@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.Bpe
+
+/** BPE training and encoding: hand-computed merges, lossless round-trip,
+  * determinism, caps and edge cases. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge order matches the hand-computed BPE run") {
+    // words: "ab" x3, "abc" x2  ->  symbols: [a, b</w>] x3, [a, b, c</w>] x2
+    // pair counts: (a,b</w>)=3, (a,b)=2, (b,c</w>)=2
+    // merge 1: (a, b</w>) count 3
+    // then: [ab</w>] x3, [a, b, c</w>] x2 -> pairs (a,b)=2, (b,c</w>)=2
+    // merge 2: (a, b) — tie with (b,c</w>) broken by left asc
+    // then: [ab, c</w>] x2 -> merge 3: (ab, c</w>) count 2
+    val df = (Seq.fill(3)("ab") ++ Seq.fill(2)("abc")).toDF("text")
+    val merges = Bpe.train(df, "text", numMerges = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(merges.toSeq === Seq(
+      (0, "a", "b</w>", 3L),
+      (1, "a", "b", 2L),
+      (2, "ab", "c</w>", 2L)))
+  }
+
+  test("encode applies merges by rank and round-trips exactly") {
+    val corpus = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick brown fox was quick",
+      "pack my box with five dozen liquor jugs",
+      "the dog was not amused").toDF("text")
+    val merges = Bpe.train(corpus, "text", numMerges = 40, minPairCount = 2)
+    val enc = Bpe.encode(corpus.withColumn("id", monotonically_increasing_id()),
+      "text", merges)
+    val audit = Bpe.encodeAudit(enc, "id", "text").collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      assert(r.getAs[Boolean]("roundtrip_ok"), s"lossy encoding: $r")
+      assert(r.getAs[Boolean]("count_sane"), s"token count out of bounds: $r")
+    }
+    // "the" appears 4 times with 40 merges available — it must have fused
+    // into a single token
+    val toks = enc.filter(col("text").startsWith("the quick brown fox jumps"))
+      .select(col("tokens")).head().getSeq[String](0)
+    assert(toks.contains("the</w>"), s"frequent word not fused: $toks")
+  }
+
+  test("zero learned merges yields per-character tokens") {
+    val one = Seq("xyz qr").toDF("text")
+    // corpus where no pair repeats enough: minPairCount impossible
+    val merges = Bpe.train(one, "text", numMerges = 5, minPairCount = 99)
+    assert(merges.count() === 0)
+    val enc = Bpe.encode(one, "text", merges).head()
+    assert(enc.getSeq[String](enc.fieldIndex("tokens")) ===
+      Seq("x", "y", "z</w>", "q", "r</w>"))
+  }
+
+  test("training is deterministic and unaffected by partitioning") {
+    val corpus = (1 to 200).map(i => s"alpha beta gamma w$i alpha beta").toDF("text")
+    val m1 = Bpe.train(corpus.repartition(13), "text", numMerges = 20).collect()
+    val m2 = Bpe.train(corpus.repartition(1), "text", numMerges = 20).collect()
+    assert(m1.toSeq === m2.toSeq)
+  }
+
+  test("maxWords cap keeps the most frequent words") {
+    // rare words beyond the cap must not contribute pairs
+    val corpus = (Seq.fill(50)("zz zz") ++ Seq("rareword")).toDF("text")
+    val merges = Bpe.train(corpus, "text", numMerges = 3, maxWords = 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(merges.toSeq === Seq(("z", "z</w>")))
+  }
+
+  test("words unseen in training encode with whatever merges apply") {
+    val corpus = Seq.fill(5)("banana").toDF("text")
+    val merges = Bpe.train(corpus, "text", numMerges = 10)
+    val enc = Bpe.encode(Seq("bandana").toDF("text"), "text", merges).head()
+    val toks = enc.getSeq[String](enc.fieldIndex("tokens"))
+    assert(toks.mkString("") === "bandana</w>") // still lossless
+  }
+
+  test("vocab contains every merged symbol") {
+    val corpus = Seq.fill(4)("ab ab").toDF("text")
+    val merges = Bpe.train(corpus, "text", numMerges = 5)
+    val v = Bpe.vocab(merges).as[String].collect().toSet
+    assert(v.contains("ab</w>"))
+  }
+}
