@@ -45,7 +45,11 @@ object IncrementalAgg {
       statePath: String,
       batchState: DataFrame,
       keyCol: String,
-      batchId: Long = Long.MinValue): Unit = {
+      batchId: Long = Long.MinValue,
+      // the swap protocol is state-schema-agnostic: the default folds this
+      // object's n/sum/min/max frames; QuantileState.mergeQuantileSketches
+      // plugs in GK quantile state, mergeDistinctSketches HLL state
+      merge: (DataFrame, DataFrame, String) => DataFrame = mergeStates): Unit = {
     import org.apache.hadoop.fs.Path
     val dir = new Path(statePath)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -69,7 +73,7 @@ object IncrementalAgg {
       if (last.exists(batchId <= _)) return // replayed batch — already folded
     }
     val merged =
-      if (fs.exists(dir)) mergeStates(spark.read.parquet(statePath), batchState, keyCol)
+      if (fs.exists(dir)) merge(spark.read.parquet(statePath), batchState, keyCol)
       else batchState
     val tmp = new Path(statePath + ".tmp")
     fs.delete(tmp, true)

@@ -249,6 +249,34 @@ object Streaming {
       }
       .start()
 
+  /** Continuously maintain per-key QUANTILE state from a stream — same
+    * fold/swap/replay contract as [[maintainAggState]], with GK quantile
+    * summaries as the state ([[graft.dp.QuantileState]]): each micro-batch
+    * is sketched (one combinable groupBy over the batch), then folded into
+    * the state directory by a union + per-key GK merge costing O(|keys|).
+    * p50/p99 per key stays current per micro-batch; read it any time with
+    * [[graft.dp.QuantileState.estimateQuantiles]] on the state table. */
+  def maintainQuantileState(
+      events: DataFrame,
+      keyCol: String,
+      valueCol: String,
+      statePath: String,
+      checkpoint: String,
+      relErr: Double = graft.dp.QuantileState.DefaultRelativeError)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.dp.IncrementalAgg.foldStateDir(
+          batch.sparkSession,
+          statePath,
+          graft.dp.QuantileState.quantileSketch(batch, keyCol, valueCol, relErr),
+          keyCol,
+          batchId,
+          merge = graft.dp.QuantileState.mergeQuantileSketches)
+      }
+      .start()
+
   /** Streaming feature-drift monitor: every micro-batch is PSI-scored
     * against a FROZEN [[graft.features.Drift.Baseline]] (edges + counts
     * learned once from training data — kilobytes, shipped as literals),

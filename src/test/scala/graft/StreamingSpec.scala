@@ -215,6 +215,36 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(statePath).selectExpr("sum(n)").as[Long].head() == 5L)
   }
 
+  test("maintainQuantileState folds GK sketches; estimates bound the union") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_qstate").toString
+    val statePath = s"$dir/state"
+    val input = MemoryStream[Event]
+    val query = Streaming.maintainQuantileState(
+      input.toDF(), "user_id", "value", statePath, s"$dir/ckpt")
+    // two micro-batches, one key: values 1..40 then 41..100
+    input.addData((1 to 40).map(i => Event(1, "a", ts(i), i.toDouble)): _*)
+    query.processAllAvailable()
+    input.addData((41 to 100).map(i => Event(1, "a", ts(i), i.toDouble)): _*)
+    query.processAllAvailable()
+    query.stop()
+    val est = graft.dp.QuantileState.estimateQuantiles(
+      spark.read.parquet(statePath), "user_id", Seq(0.5)).head()
+    assert(est.getLong(est.fieldIndex("n_state")) == 100L)
+    val p50 = est.getDouble(est.fieldIndex("q_50"))
+    // GK rank bound at eps=0.01, n=100: within 1 rank of the true median
+    assert(p50 >= 49.0 && p50 <= 51.0, s"p50=$p50")
+    // replayed batch id is a no-op (exactly-once state)
+    val replay = graft.dp.QuantileState.quantileSketch(
+      Seq((1L, 1e9)).toDF("user_id", "value"), "user_id", "value")
+    graft.dp.IncrementalAgg.foldStateDir(spark, statePath, replay, "user_id",
+      batchId = 0L, merge = graft.dp.QuantileState.mergeQuantileSketches)
+    val n2 = graft.dp.QuantileState.estimateQuantiles(
+      spark.read.parquet(statePath), "user_id", Seq(0.5)).head()
+    assert(n2.getLong(n2.fieldIndex("n_state")) == 100L)
+  }
+
   test("monitorDrift scores micro-batches against the frozen baseline") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
