@@ -287,6 +287,59 @@ object Production {
       save(ctx, neighbors, ctx.dataPath("processed.neighbors"))
     }
 
+    // Tokenizer lifecycle as catalog jobs — the train-once/persist/
+    // encode-many split (model-gen's shape applied to the corpus
+    // tokenizer): `train` runs the one corpus-sized word-count pass and
+    // persists the ranked merge table into the models zone; `encode` loads
+    // that table (KBs) and tokenizes as a pure scan.
+    Jobs.register("tokenizer", "train") { (ctx, params) =>
+      val s = ctx.spark
+      val textCol = params.getOrElse("text_col", "text").toString
+      val docs = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
+      val merges = graft.text.Bpe.train(
+        docs, textCol,
+        numMerges = params.getOrElse("num_merges", "200").toString.toInt,
+        maxWords = params.getOrElse("max_words", "50000").toString.toInt,
+        minPairCount = params.getOrElse("min_pair_count", "2").toString.toLong)
+      save(ctx, merges, ctx.dataPath("models.bpe_merges"))
+    }
+
+    Jobs.register("tokenizer", "encode") { (ctx, params) =>
+      val s = ctx.spark
+      val textCol = params.getOrElse("text_col", "text").toString
+      val docs = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
+      val merges = Tables.readData(s, Seq(ctx.dataPath("models.bpe_merges")))
+      // tokens replace the raw text in the output (the tokenized zone is
+      // what training consumes; re-writing text would double the bytes)
+      save(ctx,
+        graft.text.Bpe.encode(docs, textCol, merges).drop(textCol),
+        ctx.dataPath("processed.tokenized"))
+    }
+
+    // Metric percentile profile as a catalog job: fold one batch's GK
+    // quantile state into the state table (O(keys) per fold, replay-safe
+    // via batch_id), then publish the current per-key estimates — the
+    // batch twin of Streaming.maintainQuantileState.
+    Jobs.register("metric-profile", "quantile-fold") { (ctx, params) =>
+      val s = ctx.spark
+      val keyCol = params.getOrElse("key_col", "user_id").toString
+      val valueCol = params.getOrElse("value_col", "value").toString
+      val batch = Tables.readData(s, Seq(ctx.dataPath("raw.metrics_batch")))
+      val statePath = ctx.dataPath("models.quantile_state")
+      graft.dp.IncrementalAgg.foldStateDir(
+        s, statePath,
+        graft.dp.QuantileState.quantileSketch(batch, keyCol, valueCol),
+        keyCol,
+        batchId = params.getOrElse("batch_id", Long.MinValue.toString).toString.toLong,
+        merge = graft.dp.QuantileState.mergeQuantileSketches)
+      val probs = params.getOrElse("probs", "0.5,0.9,0.99").toString
+        .split(",").map(_.trim.toDouble).toSeq
+      save(ctx,
+        graft.dp.QuantileState.estimateQuantiles(
+          s.read.parquet(statePath), keyCol, probs),
+        ctx.dataPath("processed.quantile_profile"))
+    }
+
     Jobs.register("model-eval", "score-and-report") { (ctx, _) =>
       val s = ctx.spark
       val df = Tables.readData(s, Seq(ctx.dataPath("processed.features")))

@@ -223,6 +223,66 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$work/neighbors").count() === 15)
   }
 
+  test("tokenizer + metric-profile catalog jobs: train/encode and replay-safe quantile fold") {
+    val spark = SparkSpec.session
+    import org.apache.spark.sql.functions.col
+    val work = java.nio.file.Files.createTempDirectory("graft-tok-jobs").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(200).write.mode("overwrite").parquet(s"$work/docs")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("value")).limit(2000)
+      .write.mode("overwrite").parquet(s"$work/metrics")
+    val yml = java.nio.file.Files.createTempFile("graft-tok-jobs", ".yml")
+    java.nio.file.Files.writeString(yml,
+      """jobs:
+        |  - name: tokenizer
+        |    fail_fast: true
+        |    stages:
+        |      - name: fit-serve
+        |        tasks:
+        |          - name: train
+        |            params: {num_merges: 60}
+        |          - name: encode
+        |  - name: metric-profile
+        |    stages:
+        |      - name: profile
+        |        tasks:
+        |          - name: quantile-fold
+        |            params: {batch_id: 1, probs: "0.5,0.9"}
+        |""".stripMargin)
+    val cfg = Map(
+      "core" -> Map("seed" -> 7, "audit_plans" -> true),
+      "job_catalog" -> Context.loadYaml(yml.toString),
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "documents" -> s"$work/docs",
+          "metrics_batch" -> s"$work/metrics"),
+        "models" -> Map(
+          "bpe_merges" -> s"$work/bpe_merges",
+          "quantile_state" -> s"$work/qstate"),
+        "processed" -> Map(
+          "tokenized" -> s"$work/tokenized",
+          "quantile_profile" -> s"$work/qprofile")))
+    graft.pipeline.Production.registerAll()
+    val ctx = Context(cfg, spark)
+    assert(graft.pipeline.Jobs.run(ctx, "tokenizer").isEmpty)
+    val merges = spark.read.parquet(s"$work/bpe_merges")
+    assert(merges.count() > 0 && merges.columns.contains("rank"))
+    val tokenized = spark.read.parquet(s"$work/tokenized")
+    assert(tokenized.count() === 200)
+    assert(!tokenized.columns.contains("text") && tokenized.columns.contains("tokens"))
+    assert(tokenized.filter(col("n_tokens") <= 0).count() === 0)
+    assert(graft.pipeline.Jobs.run(ctx, "metric-profile").isEmpty)
+    val prof = spark.read.parquet(s"$work/qprofile")
+    assert(prof.columns.toSeq.contains("q_50") && prof.columns.toSeq.contains("q_90"))
+    val n1 = prof.agg(org.apache.spark.sql.functions.sum("n_state")).head().getLong(0)
+    // replaying the same batch_id is a no-op: state count unchanged
+    assert(graft.pipeline.Jobs.run(ctx, "metric-profile").isEmpty)
+    val n2 = spark.read.parquet(s"$work/qprofile")
+      .agg(org.apache.spark.sql.functions.sum("n_state")).head().getLong(0)
+    assert(n1 === n2)
+  }
+
   test("delta read dispatches the format to the DataSource registry (documented no-jar failure)") {
     // no delta jar in this sandbox (io/Tables.scala contract): the dispatch
     // must pass "delta" through and surface Spark's data-source-not-found —
