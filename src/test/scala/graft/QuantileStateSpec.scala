@@ -80,6 +80,19 @@ class QuantileStateSpec extends SparkSpec {
     assert(e.getMessage.contains("version"))
   }
 
+  test("sketch agg is two-phase: summaries, not values, cross the exchange") {
+    val plan = QuantileState.quantileSketch(rows, "k", "v")
+      .queryExecution.executedPlan.toString
+    // physical tree prints top-down (final agg, exchange, partial agg):
+    // the partial sketch below the exchange is what makes the shuffle
+    // carry per-key summaries instead of raw values
+    val exchange = plan.indexOf("Exchange")
+    val partial = plan.indexOf("partial_sketchagg")
+    assert(partial >= 0, s"no partial aggregation in plan:\n$plan")
+    assert(exchange >= 0 && exchange < partial,
+      s"partial sketch not below the exchange:\n$plan")
+  }
+
   test("nulls are dropped, not counted") {
     val df = Seq(Some(1.0), None, Some(3.0), None).map(v => ("k", v)).toDF("k", "v")
     val est = QuantileState.estimateQuantiles(
