@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
+import graft.sampling.Sampling
 import graft.similarity.Similarity
 import graft.text.TextAnalysis
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -225,6 +226,21 @@ object LlmQueries {
         .select(col("id").as("doc_id"))
       corpus.join(losers, Seq("doc_id"), "left_anti")
         .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+    "cluster_safe_split" -> { (s, dir) =>
+      // same exact-Jaccard cluster pipeline as cluster_survivors_exact
+      // (SQL-reproducible), then the split draw comes from the CLUSTER
+      // label — planted clones land in the same split as their original,
+      // verified row for row by the oracle
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.unionByName(
+        docs.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val pairs = Dedup.ngramJaccardPairs(corpus, "doc_id", "text", k = 3, minJaccard = 0.6)
+      val clusters = Dedup.nearDupClusters(pairs)
+      Sampling.clusterSafeSplit(corpus, "doc_id", clusters, testProp = 0.3, salt = "cs")
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
     },
     "contamination_report" -> { (s, dir) =>
       // eval = docs 0-4; corpus = the rest plus planted exact copies of
@@ -932,6 +948,41 @@ object LlmQueries {
         |losers AS (SELECT id AS doc_id FROM labels WHERE id <> cluster_id)
         |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM losers)
         |ORDER BY doc_id""".stripMargin,
+    // cluster-safe split: same recursive-CTE clusters, then the split draw
+    // is the portable 52-bit md5 uniform on the CLUSTER key (smallest
+    // member id; singletons draw on their own id) — row-for-row identical
+    // to the Spark assignment
+    "cluster_safe_split" ->
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        |corpus AS (SELECT doc_id, text FROM d
+        |           UNION ALL SELECT doc_id + 100000, text FROM d),
+        |w AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM w)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |          JOIN sizes sa ON sa.doc_id = id_a
+        |          JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |cc AS (SELECT id, id AS label FROM nodes
+        |       UNION
+        |       SELECT e.src, cc.label FROM edges e, cc WHERE e.dst = cc.id),
+        |labels AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+        |keyed AS (SELECT c.doc_id,
+        |            coalesce(l.cluster_id, c.doc_id) AS skey
+        |          FROM corpus c LEFT JOIN labels l ON l.id = c.doc_id)
+        |SELECT doc_id,
+        |  CASE WHEN (CAST('0x' || substring(md5(
+        |      CAST(skey AS VARCHAR) || ':cs'), 1, 13) AS BIGINT) + 0.5)
+        |      / 4503599627370496.0 < 0.3
+        |    THEN 'test' ELSE 'train' END AS split
+        |FROM keyed ORDER BY doc_id""".stripMargin,
     "contamination_report" ->
       """WITH docs AS (SELECT doc_id, text FROM documents),
         |corpus AS (SELECT doc_id, text FROM docs WHERE doc_id >= 5

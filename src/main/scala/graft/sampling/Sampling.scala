@@ -328,4 +328,38 @@ object Sampling {
         k)
       .drop("__prio")
   }
+
+  /** Cluster-safe train/test split: near-duplicate documents must never
+    * straddle the split boundary — a test doc whose near-twin sits in
+    * train is eval contamination that document-level hash splits cannot
+    * prevent. Every member of a near-dup cluster draws its split from the
+    * CLUSTER's label (the smallest member id, as produced by
+    * [[graft.dedup.Dedup.nearDupClusters]]); rows absent from `clusters`
+    * are singletons drawing from their own id. The draw is the same
+    * portable 52-bit md5 uniform as [[stratifiedSplitHash]] — a pure
+    * function of the data, reproduced row for row by the DuckDB oracle,
+    * stable under appends (new docs never reshuffle existing splits
+    * unless they join a cluster, which is exactly the semantics wanted:
+    * a new near-dup of a train doc must land in train).
+    *
+    * Scale shape: one equi-join against the cluster-label frame (tiny
+    * relative to the corpus — only clustered docs appear; broadcast when
+    * small) plus a pure-scan hash projection. No window, no global
+    * state. */
+  def clusterSafeSplit(
+      df: DataFrame,
+      idCol: String,
+      clusters: DataFrame,
+      testProp: Double,
+      salt: String): DataFrame = {
+    require(testProp > 0 && testProp < 1, s"testProp must be in (0,1), got $testProp")
+    val lbl = clusters.select(col("id").as(idCol), col("cluster_id"))
+    val u = (conv(
+      substring(md5(concat_ws(":",
+        coalesce(col("cluster_id"), col(idCol)).cast("string"), lit(salt))), 1, 13),
+      16, 10).cast("double") + 0.5) / lit((1L << 52).toDouble)
+    df.join(lbl, Seq(idCol), "left")
+      .withColumn("split", when(u < testProp, "test").otherwise("train"))
+      .drop("cluster_id")
+  }
 }

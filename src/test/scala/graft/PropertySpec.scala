@@ -71,6 +71,38 @@ class PropertySpec extends SparkSpec {
     assert(s1.except(s2).count() > 0)
   }
 
+  test("cluster-safe split never splits a near-dup cluster; singletons stay stable") {
+    val df = (1 to 1000).map(i => (i.toLong, i % 2)).toDF("id", "y")
+    // clusters: {1,2,3} and {10,11}; everything else singleton
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("id", "cluster_id")
+    val s = Sampling.clusterSafeSplit(df, "id", clusters, 0.3, "cx")
+    assert(s.count() == 1000) // left join: no row lost or duplicated
+    // all cluster members share their cluster's split
+    val bySplit = s.filter(col("id").isin(1L, 2L, 3L))
+      .select("split").distinct().count()
+    val bySplit2 = s.filter(col("id").isin(10L, 11L))
+      .select("split").distinct().count()
+    assert(bySplit == 1 && bySplit2 == 1, "a near-dup cluster straddles the split")
+    // cluster members draw as the cluster LABEL: member 3's split equals
+    // what a singleton with id 1 would draw
+    val label1 = Sampling.clusterSafeSplit(
+      Seq((1L, 0)).toDF("id", "y"), "id", clusters.limit(0), 0.3, "cx")
+      .head().getAs[String]("split")
+    assert(s.filter(col("id") === 3L).head().getAs[String]("split") == label1)
+    // singletons are unaffected by the cluster frame entirely
+    val plain = Sampling.clusterSafeSplit(df, "id", clusters.limit(0), 0.3, "cx")
+    assert(s.filter(!col("id").isin(1L, 2L, 3L, 10L, 11L))
+      .except(plain.filter(!col("id").isin(1L, 2L, 3L, 10L, 11L))).count() == 0)
+    // a new near-dup joining a cluster adopts the cluster's split rather
+    // than reshuffling it: adding id 1001 to cluster 1 leaves 1-3 unchanged
+    val grown = clusters.union(Seq((1001L, 1L)).toDF("id", "cluster_id"))
+    val s2 = Sampling.clusterSafeSplit(
+      df.union(Seq((1001L, 0)).toDF("id", "y")), "id", grown, 0.3, "cx")
+    assert(s2.filter(col("id").isin(1L, 2L, 3L, 1001L))
+      .select("split").distinct().count() == 1)
+  }
+
   test("negative sampling covers the full id space; zero-evidence text gets null lang") {
     // the old linear-congruential draw never exceeded ~3.1M: on a large
     // id space every negative must still be able to land in the top half
