@@ -316,6 +316,25 @@ object Production {
         ctx.dataPath("processed.tokenized"))
     }
 
+    // pack the TOKENIZED zone into fixed-context training sequences: the
+    // packing plan runs on the tokenizer's real n_tokens (not the
+    // whitespace proxy), so sequence boundaries match what the trainer
+    // reads; the shard summary is the loader's reader allocation
+    Jobs.register("tokenizer", "pack") { (ctx, params) =>
+      val s = ctx.spark
+      val idCol = params.getOrElse("id_col", "doc_id").toString
+      val ctxTokens = params.getOrElse("ctx_tokens", "2048").toString.toInt
+      val nShards = params.getOrElse("n_shards", "64").toString.toInt
+      val tokenized = Tables.readData(s, Seq(ctx.dataPath("processed.tokenized")))
+      val plan = graft.text.Packing.packingPlanFromCounts(
+        tokenized, idCol, "n_tokens", ctxTokens, nShards)
+      save(ctx, plan, ctx.dataPath("processed.packing_plan"))
+      save(ctx,
+        graft.text.Packing.shardSummary(
+          Tables.readData(s, Seq(ctx.dataPath("processed.packing_plan")))),
+        ctx.dataPath("processed.packing_shards"))
+    }
+
     // Metric percentile profile as a catalog job: fold one batch's GK
     // quantile state into the state table (O(keys) per fold, replay-safe
     // via batch_id), then publish the current per-key estimates — the

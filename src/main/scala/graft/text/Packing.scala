@@ -40,13 +40,29 @@ object Packing {
       idCol: String,
       textCol: String,
       ctxTokens: Int,
+      nShards: Int): DataFrame =
+    packingPlanFromCounts(
+      df.select(col(idCol),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens")),
+      idCol, "n_tokens", ctxTokens, nShards)
+
+  /** [[packingPlan]] over a PRECOMPUTED token-count column — the form a
+    * real pipeline uses once a trained tokenizer exists: `Bpe.encode`'s
+    * `n_tokens` (or any other tokenizer's counts) drive the packing, so
+    * the plan matches what the trainer will actually see instead of the
+    * whitespace proxy. Same output columns and determinism contract. */
+  def packingPlanFromCounts(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      ctxTokens: Int,
       nShards: Int): DataFrame = {
     require(ctxTokens > 0 && nShards > 0, "ctxTokens and nShards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     df.select(
         (col(idCol) % nShards).cast("long").as("shard"),
         col(idCol),
-        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"))
+        col(nTokensCol).cast("long").as("n_tokens"))
       .withColumn("end_offset", sum(col("n_tokens")).over(w))
       .select(
         col("shard"),

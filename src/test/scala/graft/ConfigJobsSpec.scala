@@ -243,6 +243,8 @@ class ConfigJobsSpec extends AnyFunSuite {
         |          - name: train
         |            params: {num_merges: 60}
         |          - name: encode
+        |          - name: pack
+        |            params: {ctx_tokens: 256, n_shards: 4}
         |  - name: metric-profile
         |    stages:
         |      - name: profile
@@ -262,6 +264,8 @@ class ConfigJobsSpec extends AnyFunSuite {
           "quantile_state" -> s"$work/qstate"),
         "processed" -> Map(
           "tokenized" -> s"$work/tokenized",
+          "packing_plan" -> s"$work/packing_plan",
+          "packing_shards" -> s"$work/packing_shards",
           "quantile_profile" -> s"$work/qprofile")))
     graft.pipeline.Production.registerAll()
     val ctx = Context(cfg, spark)
@@ -272,6 +276,18 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(tokenized.count() === 200)
     assert(!tokenized.columns.contains("text") && tokenized.columns.contains("tokens"))
     assert(tokenized.filter(col("n_tokens") <= 0).count() === 0)
+    // packing ran on the tokenizer's REAL counts: plan token totals must
+    // equal the tokenized zone's n_tokens sum, and shards conserve them
+    val plan = spark.read.parquet(s"$work/packing_plan")
+    val planTokens = plan.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .head().getLong(0)
+    val encTokens = tokenized.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .head().getLong(0)
+    assert(planTokens === encTokens, "packing plan lost or invented tokens")
+    val shards = spark.read.parquet(s"$work/packing_shards")
+    assert(shards.count() === 4)
+    assert(shards.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .head().getLong(0) === encTokens)
     assert(graft.pipeline.Jobs.run(ctx, "metric-profile").isEmpty)
     val prof = spark.read.parquet(s"$work/qprofile")
     assert(prof.columns.toSeq.contains("q_50") && prof.columns.toSeq.contains("q_90"))
