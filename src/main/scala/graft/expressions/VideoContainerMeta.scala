@@ -73,18 +73,18 @@ object VideoContainerMeta {
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true)))
 
-  private def u32be(b: Array[Byte], o: Int): Long =
+  private[expressions] def u32be(b: Array[Byte], o: Int): Long =
     ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
       ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
 
-  private def u64be(b: Array[Byte], o: Int): Long =
+  private[expressions] def u64be(b: Array[Byte], o: Int): Long =
     (u32be(b, o) << 32) | u32be(b, o + 4)
 
   private def u32le(b: Array[Byte], o: Int): Long =
     ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
       ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
 
-  private def fourcc(b: Array[Byte], o: Int): String =
+  private[expressions] def fourcc(b: Array[Byte], o: Int): String =
     new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
   private[graft] def parse(b: Array[Byte]): Option[InternalRow] =

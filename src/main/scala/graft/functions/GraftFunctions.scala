@@ -29,6 +29,10 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, LongType, 
   *   - `graft_video_meta(payload)` — MP4 box / AVI RIFF container parse
   *     to (container, brand, duration_ms, n_tracks, width, height);
   *     null if the bytes aren't a recognized container
+  *   - `graft_mp4_frames(payload[, max_samples])` — MP4 sample-table
+  *     frame index: array of (idx, offset, size, pts_ms, sync) per
+  *     video sample; null if no video track / tables (max_samples
+  *     literal, default 100000)
   *
   * Two wiring routes, same registrations:
   *   - config: `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -98,6 +102,14 @@ object GraftFunctions {
     "graft_video_meta" -> { args =>
       require(args.length == 1, "graft_video_meta(payload) takes 1 argument")
       VideoContainerMeta(Cast(args(0), BinaryType))
+    },
+    "graft_mp4_frames" -> { args =>
+      require(args.length == 1 || args.length == 2,
+        "graft_mp4_frames(payload[, max_samples]) takes 1-2 arguments")
+      val cap =
+        if (args.length == 2) litInt(args(1), "graft_mp4_frames", "max_samples")
+        else 100000
+      Mp4FrameIndex(Cast(args(0), BinaryType), cap)
     })
 
   private def info(name: String): ExpressionInfo =

@@ -154,6 +154,37 @@ object Multimodal {
         col("asset_id"),
         explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))).as("frame_ms"))
 
+  /** REAL MP4 frame index from the sample tables (stsc/stco/stsz/stts/
+    * stss — pure ISO BMFF arithmetic, no codec): per sample, its absolute
+    * byte offset, size, decode timestamp, and keyframe flag. Null for
+    * non-MP4 payloads or missing tables. `maxSamples` bounds the array
+    * per row. */
+  def decodeFrameIndex(payload: Column, maxSamples: Int = 100000): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Mp4FrameIndex(
+        org.apache.spark.sql.graft.Bridge.expression(payload.cast("binary")),
+        maxSamples))
+
+  /** Keyframe byte-range table: one row per SYNC sample of each MP4
+    * video asset — (asset_id, idx, offset, size, pts_ms). This is what a
+    * fetch layer reads to pull exactly the keyframe bytes (decode stays
+    * out of scope): at 100 TB of video, scanning the sampled kilobytes
+    * instead of whole files is the entire game. `everyNth` keeps every
+    * nth keyframe (1 = all). */
+  def keyframeRanges(df: DataFrame, everyNth: Int = 1, maxSamples: Int = 100000): DataFrame = {
+    require(everyNth >= 1, s"everyNth must be >= 1, got $everyNth")
+    df.filter(col("media_type") === "video")
+      .select(col("asset_id"),
+        explode(decodeFrameIndex(col("payload"), maxSamples)).as("f"))
+      .filter(col("f.sync"))
+      .withColumn("__k",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("asset_id")).orderBy(col("f.idx"))))
+      .filter((col("__k") - 1) % everyNth === 0)
+      .select(col("asset_id"), col("f.idx").as("idx"), col("f.offset").as("offset"),
+        col("f.size").as("size"), col("f.pts_ms").as("pts_ms"))
+  }
+
   /** Feature-extraction pass: stats + stub features, repartitioned so
     * downstream ANN/dedup stages see size-balanced partitions (payloads
     * skew; hash-repartition on asset_id). */

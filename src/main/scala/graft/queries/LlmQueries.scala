@@ -20,6 +20,25 @@ import Support._
   * asserts the planted pairs are found. */
 object LlmQueries {
 
+  /** Hand-built minimal MP4 for the frame-index oracle: ftyp(isom) +
+    * moov{mvhd, video trak{mdhd timescale=1000, hdlr vide, stbl{
+    * stts (3 samples, delta 100), stsz [10,20,30],
+    * stsc [chunk1: 2/chunk, chunk2: 1/chunk], stco [1000, 2000],
+    * stss [1, 3]}}} — expected frames: (0,1000,10,0ms,sync),
+    * (1,1010,20,100ms), (2,2000,30,200ms,sync). */
+  private val TestMp4Hex: String =
+    "000000146674797069736F6D000000006D703432000001606D6F6F760000006C6D766864" +
+    "000000000000000000000000000003E80000012C00000000000000000000000000000000" +
+    "000000000000000000000000000000000000000000000000000000000000000000000000" +
+    "00000000000000000000000000000000000000000000000000000000000000EC7472616B" +
+    "000000E46D6469610000001C6D646864000000000000000000000000000003E80000012C" +
+    "0000002068646C72000000000000000076696465000000000000000000000000000000A0" +
+    "6D696E66000000987374626C000000187374747300000000000000010000000300000064" +
+    "000000207374737A0000000000000000000000030000000A000000140000001E00000028" +
+    "737473630000000000000002000000010000000200000001000000020000000100000001" +
+    "000000187374636F0000000000000002000003E8000007D0000000187374737300000000" +
+    "000000020000000100000003"
+
   /** Per-sf scratch directory for the prebuilt ANN index queries: keyed by
     * the data directory so sf0.01 (Verify) and sf0.1 (Bench) never share an
     * index. Lives in the JVM temp dir — the index is a derived artifact,
@@ -437,6 +456,24 @@ object LlmQueries {
           col("video_parsed"))
         .orderBy(col("asset_id"))
     },
+    // --- MP4 frame index from the sample tables: the payload is a fixed
+    // hand-built container (one per document row, so the parse runs
+    // distributed), and the expected (offset, size, pts, sync) rows are
+    // hand-computed ISO-BMFF arithmetic the oracle pins as literals
+    "mp4_frame_index" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 5).select(col("doc_id"))
+      val assets = Multimodal.toAssets(
+        docs.withColumn("bytes", unhex(lit(TestMp4Hex))), "doc_id", "bytes", "video")
+      Multimodal.keyframeRanges(assets, everyNth = 1)
+        .unionByName(
+          assets.select(col("asset_id"),
+              explode(Multimodal.decodeFrameIndex(col("payload"))).as("f"))
+            .filter(!col("f.sync"))
+            .select(col("asset_id"), col("f.idx").as("idx"),
+              col("f.offset").as("offset"), col("f.size").as("size"),
+              col("f.pts_ms").as("pts_ms")))
+        .orderBy(col("asset_id"), col("idx"))
+    },
     // --- curation planning: per-language sampling rates toward a target
     // corpus mix under a document budget (deficit languages flagged)
     "corpus_mix_plan" -> { (s, dir) =>
@@ -813,6 +850,19 @@ object LlmQueries {
         |SELECT token, CAST(count(*) AS BIGINT) AS freq
         |FROM t WHERE length(token) >= 2
         |GROUP BY token ORDER BY freq DESC, token LIMIT 25""".stripMargin,
+    // MP4 frame index: the container is a fixed hand-built payload, so
+    // the expected ISO-BMFF sample arithmetic is pinned as literal rows
+    // (one set per parsed asset) — any drift in offset/size/pts math
+    // breaks the hash
+    "mp4_frame_index" ->
+      """WITH f(idx, off, sz, pts) AS (
+        |  SELECT * FROM (VALUES (0, 1000, 10, 0), (1, 1010, 20, 100),
+        |                        (2, 2000, 30, 200))),
+        |d AS (SELECT doc_id FROM documents WHERE doc_id < 5)
+        |SELECT CAST(d.doc_id AS BIGINT) AS asset_id, CAST(idx AS INT) AS idx,
+        |  CAST(off AS BIGINT) AS offset, CAST(sz AS INT) AS size,
+        |  CAST(pts AS BIGINT) AS pts_ms
+        |FROM d CROSS JOIN f ORDER BY asset_id, idx""".stripMargin,
     // BPE audit: exact word counts both engines derive; the round-trip and
     // count-bound flags are invariants of a correct encoder — uniformly
     // TRUE or the hash breaks

@@ -683,6 +683,82 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaSql.getLong(0) == 9999)
   }
 
+  test("multimodal: MP4 sample-table frame index — offsets, sizes, pts, keyframes") {
+    def be32(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def mp4box(typ: String, payload: Array[Byte]): Array[Byte] =
+      cat(be32(payload.length + 8L), fcc(typ), payload)
+    // video track sample tables, hand-computed ground truth:
+    //   chunk 1 @ offset 1000: samples 1,2 (sizes 10, 20)
+    //   chunk 2 @ offset 2000: sample 3 (size 30)
+    //   stts: one run (3 samples, delta 100), mdhd timescale 1000
+    //     -> pts 0, 100, 200 ms
+    //   stss: samples 1 and 3 are keyframes
+    val stts = mp4box("stts", cat(be32(0), be32(1), be32(3), be32(100)))
+    val stsz = mp4box("stsz", cat(be32(0), be32(0), be32(3),
+      be32(10), be32(20), be32(30)))
+    val stsc = mp4box("stsc", cat(be32(0), be32(2),
+      be32(1), be32(2), be32(1),   // from chunk 1: 2 samples per chunk
+      be32(2), be32(1), be32(1)))  // from chunk 2: 1 sample per chunk
+    val stco = mp4box("stco", cat(be32(0), be32(2), be32(1000), be32(2000)))
+    val stss = mp4box("stss", cat(be32(0), be32(2), be32(1), be32(3)))
+    val stbl = mp4box("stbl", cat(stts, stsz, stsc, stco, stss))
+    val minf = mp4box("minf", stbl)
+    val mdhd = mp4box("mdhd",
+      cat(new Array[Byte](4), be32(0), be32(0), be32(1000), be32(300)))
+    val hdlr = mp4box("hdlr", cat(new Array[Byte](8), fcc("vide"),
+      new Array[Byte](12)))
+    val mdia = mp4box("mdia", cat(mdhd, hdlr, minf))
+    val trak = mp4box("trak", mdia)
+    val mvhd = mp4box("mvhd",
+      cat(new Array[Byte](4), be32(0), be32(0), be32(1000), be32(300),
+        new Array[Byte](80)))
+    val mp4 = cat(
+      mp4box("ftyp", cat(fcc("isom"), be32(0), fcc("mp42"))),
+      mp4box("moov", cat(mvhd, trak)))
+
+    val assets = Multimodal.toAssets(
+      Seq((1L, mp4)).toDF("id", "b"), "id", "b", "video")
+    val frames = assets
+      .select(col("asset_id"),
+        explode(Multimodal.decodeFrameIndex(col("payload"))).as("f"))
+      .select("f.idx", "f.offset", "f.size", "f.pts_ms", "f.sync")
+      .orderBy("f.idx")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getBoolean(4)))
+    assert(frames.toSeq === Seq(
+      (0, 1000L, 10, 0L, true),
+      (1, 1010L, 20, 100L, false),   // second sample in chunk 1: 1000+10
+      (2, 2000L, 30, 200L, true)))
+    // keyframe range table keeps only sync samples
+    val kf = Multimodal.keyframeRanges(assets)
+      .orderBy("idx").collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(kf.toSeq === Seq((0, 1000L), (2, 2000L)))
+    // maxSamples cap truncates deterministically
+    val capped = assets.select(
+      explode(Multimodal.decodeFrameIndex(col("payload"), maxSamples = 2)).as("f"))
+    assert(capped.count() === 2)
+    // audio-only MP4 (no 'vide' handler) -> null index
+    val hdlrAud = mp4box("hdlr", cat(new Array[Byte](8), fcc("soun"),
+      new Array[Byte](12)))
+    val audio = cat(
+      mp4box("ftyp", cat(fcc("isom"), be32(0), fcc("mp42"))),
+      mp4box("moov", cat(mvhd,
+        mp4box("trak", mp4box("mdia", cat(mdhd, hdlrAud, minf))))))
+    val aRow = Multimodal.toAssets(Seq((2L, audio)).toDF("id", "b"), "id", "b", "video")
+      .select(Multimodal.decodeFrameIndex(col("payload")).as("f")).head()
+    assert(aRow.isNullAt(0))
+    // SQL surface sees the same kernel, cap enforced as a literal
+    assets.createOrReplaceTempView("mp4_t")
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = spark.sql(
+      "SELECT size(graft_mp4_frames(payload)) FROM mp4_t").head().getInt(0)
+    assert(viaSql === 3)
+    assert(spark.sql(
+      "SELECT size(graft_mp4_frames(payload, 1)) FROM mp4_t").head().getInt(0) === 1)
+  }
+
   test("multimodal: payload stats real, stub features deterministic") {
     val assets = Multimodal.toAssets(
       Seq((1L, "payload-bytes-one"), (2L, "payload-bytes-two"))
