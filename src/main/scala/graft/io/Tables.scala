@@ -44,6 +44,30 @@ object Tables {
   def saveData(df: DataFrame, path: String, fmt: String = "parquet"): Unit =
     df.write.mode(SaveMode.Overwrite).format(fmt).save(path)
 
+  /** Read an EVOLVING parquet dataset — files written across schema
+    * versions (columns added over time) union into the widest schema,
+    * with nulls where a file predates a column. Two modes:
+    *
+    *   - `schema = None`: parquet `mergeSchema` reconciles the footers at
+    *     planning time. Cost: one footer read per file BEFORE the first
+    *     task runs — fine for thousands of files, a planning stall for
+    *     millions.
+    *   - `schema = Some(s)`: the caller pins the target schema; no footer
+    *     sweep, files project into `s` (missing columns null). This is
+    *     the 100 TB path — resolve the schema once (from the catalog or a
+    *     single mergeSchema read of a recent partition) and reuse it.
+    *
+    * Incompatible evolution (a column changing type across files) fails
+    * loudly in both modes rather than silently coercing. */
+  def readEvolved(
+      spark: SparkSession,
+      paths: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema match {
+      case Some(s) => spark.read.schema(s).parquet(paths: _*)
+      case None    => spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
+
   /** Write a frame hash-bucketed (and sorted) by a join/agg key as a
     * catalog table. Two tables bucketed on the same key with the same
     * bucket count join WITHOUT a shuffle — at 100 TB that turns the

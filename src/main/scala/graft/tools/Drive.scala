@@ -16,10 +16,14 @@ object Drive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // plan shape of the quantile-state sketch agg: is it two-phase
-    // (partial ObjectHashAggregate before the exchange)?
-    val ev = graft.queries.Support.events(spark, "/root/testdata/sf0.001")
-    val state = graft.dp.QuantileState.quantileSketch(ev, "user_id", "value")
-    state.explain("formatted")
+    // readEvolved: evolving parquet dir union + pinned-schema pruning
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("drive_evolve").toString
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/v1")
+    Seq((2L, "y", 9.0)).toDF("id", "a", "b").write.parquet(s"$dir/v2")
+    val m = graft.io.Tables.readEvolved(spark, Seq(s"$dir/v1", s"$dir/v2"))
+    m.orderBy("id").show()
+    graft.io.Tables.readEvolved(spark, Seq(s"$dir/v1", s"$dir/v2"), Some(m.schema))
+      .explain("formatted")
   }
 }

@@ -360,6 +360,37 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("wid") === 10L).count() == 0)
   }
 
+  test("readEvolved: added columns union with nulls; pinned schema skips the footer sweep") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    // v1 files: (id, a); v2 files add column b
+    Seq((1L, "x"), (2L, "y")).toDF("id", "a").write.parquet(s"$dir/p1")
+    Seq((3L, "z", 30.0)).toDF("id", "a", "b").write.parquet(s"$dir/p2")
+    val merged = graft.io.Tables.readEvolved(spark, Seq(s"$dir/p1", s"$dir/p2"))
+    assert(merged.columns.sorted.toSeq === Seq("a", "b", "id"))
+    assert(merged.count() === 3)
+    assert(merged.filter(col("b").isNull).count() === 2) // v1 rows
+    assert(merged.filter(col("id") === 3).select("b").head().getDouble(0) === 30.0)
+    // pinned schema: same result, no mergeSchema planning sweep
+    val pinned = graft.io.Tables.readEvolved(
+      spark, Seq(s"$dir/p1", s"$dir/p2"), Some(merged.schema))
+    assert(pinned.columns.sorted.toSeq === Seq("a", "b", "id"))
+    assert(pinned.filter(col("b").isNull).count() === 2)
+    // a narrower pinned schema projects (column pruning at the scan)
+    val narrow = graft.io.Tables.readEvolved(spark, Seq(s"$dir/p1", s"$dir/p2"),
+      Some(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType)))))
+    assert(narrow.columns.toSeq === Seq("id") && narrow.count() === 3)
+    // incompatible evolution (type flip) fails loudly, not silently
+    Seq((9L, 123)).toDF("id", "a").write.parquet(s"$dir/p3") // a: int vs string
+    val e = intercept[Exception] {
+      graft.io.Tables.readEvolved(spark, Seq(s"$dir/p1", s"$dir/p3")).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("upsert: updates replace, inserts append, untouched rows survive") {
     import graft.io.Tables
     val existing = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("k", "s", "v")
