@@ -302,6 +302,12 @@ object Production {
         maxWords = params.getOrElse("max_words", "50000").toString.toInt,
         minPairCount = params.getOrElse("min_pair_count", "2").toString.toLong)
       save(ctx, merges, ctx.dataPath("models.bpe_merges"))
+      // the token->id table a trainer consumes, persisted beside the merges
+      save(ctx,
+        graft.text.Bpe.vocabWithIds(
+          docs, textCol,
+          Tables.readData(s, Seq(ctx.dataPath("models.bpe_merges")))),
+        ctx.dataPath("models.bpe_vocab"))
     }
 
     Jobs.register("tokenizer", "encode") { (ctx, params) =>
@@ -310,10 +316,15 @@ object Production {
       val docs = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
       val merges = Tables.readData(s, Seq(ctx.dataPath("models.bpe_merges")))
       // tokens replace the raw text in the output (the tokenized zone is
-      // what training consumes; re-writing text would double the bytes)
-      save(ctx,
-        graft.text.Bpe.encode(docs, textCol, merges).drop(textCol),
-        ctx.dataPath("processed.tokenized"))
+      // what training consumes; re-writing text would double the bytes).
+      // ids: true emits numeric token_ids via the persisted vocab instead
+      // of string tokens
+      val out =
+        if (params.getOrElse("ids", "false").toString.toBoolean)
+          graft.text.Bpe.encodeIds(docs, textCol, merges,
+            Tables.readData(s, Seq(ctx.dataPath("models.bpe_vocab"))))
+        else graft.text.Bpe.encode(docs, textCol, merges)
+      save(ctx, out.drop(textCol), ctx.dataPath("processed.tokenized"))
     }
 
     // pack the TOKENIZED zone into fixed-context training sequences: the

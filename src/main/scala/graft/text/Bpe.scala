@@ -133,6 +133,36 @@ object Bpe {
       .union(merges.select(col("right")))
       .distinct()
 
+  /** Reserved id for out-of-vocabulary tokens in [[vocabWithIds]]. */
+  val UnkId = 0
+  val UnkToken = "<unk>"
+
+  /** Deterministic token→id table: `(token, token_id)` with id 0 reserved
+    * for `<unk>`, then the corpus' base symbols (every character, in both
+    * plain and sentinel-fused form) and every merge output, ids assigned
+    * by token sort order — same corpus + merges, same ids, any engine.
+    *
+    * The base-symbol pass is one bounded distinct (the charset, not the
+    * corpus); the assembled vocabulary (charset + numMerges entries) is
+    * driver-sized by construction, like the merge table itself. */
+  def vocabWithIds(corpus: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val baseChars = corpus
+      .select(explode(wordsOf(textCol)).as("__w"))
+      .select(explode(split(col("__w"), "")).as("c"))
+      .filter(length(col("c")) > 0)
+      .distinct()
+      .as[String].collect()
+    val mergeTokens = merges
+      .select(concat(col("left"), col("right")).as("t"))
+      .as[String].collect()
+    val tokens = (baseChars.flatMap(c => Seq(c, c + EndOfWord)) ++ mergeTokens)
+      .distinct.sorted
+    (Seq((UnkToken, UnkId)) ++ tokens.zipWithIndex.map { case (t, i) => (t, i + 1) })
+      .toDF("token", "token_id")
+  }
+
   /** Greedy BPE encoder for one word given merge ranks. Standard
     * algorithm: repeatedly fuse the present pair with the lowest rank
     * until none of the word's adjacent pairs is in the table. */
@@ -187,6 +217,36 @@ object Bpe {
     })
     df.withColumn("tokens", enc(wordsOf(textCol)))
       .withColumn("n_tokens", size(col("tokens")))
+  }
+
+  /** [[encode]] to NUMERIC ids — what a trainer actually consumes: adds
+    * `token_ids ARRAY<INT>` (and `n_tokens`) using a broadcast token→id
+    * map; tokens outside the vocabulary map to [[UnkId]]. Same pure-scan
+    * shape as `encode` (ranks + vocab ride the closure, no join). */
+  def encodeIds(
+      df: DataFrame,
+      textCol: String,
+      merges: DataFrame,
+      vocabIds: DataFrame): DataFrame = {
+    val ranks: Map[(String, String), Int] = merges
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0))
+      .toMap
+    val ids: Map[String, Int] = vocabIds
+      .select(col("token"), col("token_id").cast("int"))
+      .collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+      .toMap
+    val enc = udf(new (Seq[String] => Seq[Int]) with Serializable {
+      @transient private lazy val memo =
+        scala.collection.mutable.HashMap.empty[String, Vector[Int]]
+      override def apply(words: Seq[String]): Seq[Int] =
+        words.flatMap(w => memo.getOrElseUpdate(w,
+          encodeWord(w, ranks).map(t => ids.getOrElse(t, UnkId))))
+    })
+    df.withColumn("token_ids", enc(wordsOf(textCol)))
+      .withColumn("n_tokens", size(col("token_ids")))
   }
 
   /** Oracle-checkable audit of an encoded frame: per row, the exact word

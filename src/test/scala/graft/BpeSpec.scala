@@ -79,6 +79,28 @@ class BpeSpec extends SparkSpec {
     assert(toks.mkString("") === "bandana</w>") // still lossless
   }
 
+  test("token ids: deterministic, invertible in-vocab, OOV maps to unk") {
+    val corpus = (Seq.fill(5)("ab ab ba") ++ Seq.fill(3)("abc")).toDF("text")
+    val merges = Bpe.train(corpus, "text", numMerges = 20)
+    val v1 = Bpe.vocabWithIds(corpus, "text", merges)
+    val v2 = Bpe.vocabWithIds(corpus.repartition(5), "text", merges)
+    assert(v1.collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._2).toSeq ===
+      v2.collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._2).toSeq)
+    assert(v1.filter(col("token") === "<unk>").head().getInt(1) === 0)
+    // every id unique, every token of an in-vocab encode round-trips
+    val ids = v1.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(ids.values.toSeq.distinct.size === ids.size)
+    val inv = ids.map(_.swap)
+    val enc = Bpe.encodeIds(Seq("ab ba abc").toDF("text"), "text", merges, v1).head()
+    val tokIds = enc.getSeq[Int](enc.fieldIndex("token_ids"))
+    assert(tokIds.nonEmpty && !tokIds.contains(Bpe.UnkId))
+    assert(tokIds.map(inv).mkString("") === "ab</w>ba</w>abc</w>")
+    // characters never seen in training become unk, count preserved
+    val oov = Bpe.encodeIds(Seq("xyz").toDF("text"), "text", merges, v1).head()
+    val oovIds = oov.getSeq[Int](oov.fieldIndex("token_ids"))
+    assert(oovIds.forall(_ == Bpe.UnkId) && oovIds.size === 3)
+  }
+
   test("vocab contains every merged symbol") {
     val corpus = Seq.fill(4)("ab ab").toDF("text")
     val merges = Bpe.train(corpus, "text", numMerges = 5)

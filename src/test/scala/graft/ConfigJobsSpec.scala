@@ -243,6 +243,7 @@ class ConfigJobsSpec extends AnyFunSuite {
         |          - name: train
         |            params: {num_merges: 60}
         |          - name: encode
+        |            params: {ids: true}
         |          - name: pack
         |            params: {ctx_tokens: 256, n_shards: 4}
         |  - name: metric-profile
@@ -261,6 +262,7 @@ class ConfigJobsSpec extends AnyFunSuite {
           "metrics_batch" -> s"$work/metrics"),
         "models" -> Map(
           "bpe_merges" -> s"$work/bpe_merges",
+          "bpe_vocab" -> s"$work/bpe_vocab",
           "quantile_state" -> s"$work/qstate"),
         "processed" -> Map(
           "tokenized" -> s"$work/tokenized",
@@ -272,10 +274,15 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(graft.pipeline.Jobs.run(ctx, "tokenizer").isEmpty)
     val merges = spark.read.parquet(s"$work/bpe_merges")
     assert(merges.count() > 0 && merges.columns.contains("rank"))
+    val vocab = spark.read.parquet(s"$work/bpe_vocab")
+    assert(vocab.filter(col("token") === "<unk>").head().getAs[Int]("token_id") === 0)
     val tokenized = spark.read.parquet(s"$work/tokenized")
     assert(tokenized.count() === 200)
-    assert(!tokenized.columns.contains("text") && tokenized.columns.contains("tokens"))
+    assert(!tokenized.columns.contains("text") && tokenized.columns.contains("token_ids"))
     assert(tokenized.filter(col("n_tokens") <= 0).count() === 0)
+    // ids encode against the training corpus itself: nothing is OOV
+    assert(tokenized.filter(org.apache.spark.sql.functions
+      .array_contains(col("token_ids"), graft.text.Bpe.UnkId)).count() === 0)
     // packing ran on the tokenizer's REAL counts: plan token totals must
     // equal the tokenized zone's n_tokens sum, and shards conserve them
     val plan = spark.read.parquet(s"$work/packing_plan")
