@@ -144,20 +144,20 @@ object QuantileState {
       probs: Seq[Double]): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
       s"probabilities must be in [0, 1], got $probs")
-    val queryUdf = udf { (bytes: Array[Byte]) =>
-      if (bytes == null) null
+    // one deserialization per row: count and quantiles come out together
+    val readUdf = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) (0L, Array.fill(probs.length)(Double.NaN))
       else {
         val qs = deserialize(bytes)
-        probs.map(p => qs.query(p).getOrElse(Double.NaN)).toArray
+        (qs.count, probs.map(p => qs.query(p).getOrElse(Double.NaN)).toArray)
       }
     }
-    val countUdf = udf { (bytes: Array[Byte]) =>
-      if (bytes == null) 0L else deserialize(bytes).count
-    }
-    val withArr = state.select(
-      col(keyCol),
-      countUdf(col("qstate")).as("n_state"),
-      queryUdf(col("qstate")).as("__q"))
+    val withArr = state
+      .withColumn("__r", readUdf(col("qstate")))
+      .select(
+        col(keyCol),
+        col("__r._1").as("n_state"),
+        col("__r._2").as("__q"))
     probs.zipWithIndex.foldLeft(withArr) { case (df, (p, i)) =>
       df.withColumn(nameFor(p), col("__q").getItem(i))
     }.drop("__q")

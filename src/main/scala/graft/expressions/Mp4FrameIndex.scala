@@ -115,15 +115,14 @@ object Mp4FrameIndex {
       var payload = p + 8L
       val boxEnd: Long =
         if (size32 == 0L) end.toLong
-        else if (size32 == 1L) {
-          if (p + 16 > end) { done = true; payload = p + 16L }
-          else payload = p + 16L
-          if (p + 16 > end) end.toLong else p + u64be(b, p + 8)
+        else if (size32 == 1L) { // 64-bit largesize follows the type
+          if (p + 16 > end) -1L // truncated largesize header: stop
+          else { payload = p + 16L; p + u64be(b, p + 8) }
         } else p + size32
-      if (done || boxEnd < payload || boxEnd > end) done = true
+      if (boxEnd < payload || boxEnd > end || boxEnd <= p) done = true
       else {
         if (fourcc(b, p + 4) == typ) out += ((payload.toInt, boxEnd.toInt))
-        if (boxEnd <= p) done = true else p = boxEnd.toInt
+        p = boxEnd.toInt
       }
     }
     out.result()

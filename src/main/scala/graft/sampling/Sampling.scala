@@ -353,13 +353,14 @@ object Sampling {
       testProp: Double,
       salt: String): DataFrame = {
     require(testProp > 0 && testProp < 1, s"testProp must be in (0,1), got $testProp")
-    val lbl = clusters.select(col("id").as(idCol), col("cluster_id"))
+    // internal label name: never collides with a caller column
+    val lbl = clusters.select(col("id").as(idCol), col("cluster_id").as("__graft_cl"))
     val u = (conv(
       substring(md5(concat_ws(":",
-        coalesce(col("cluster_id"), col(idCol)).cast("string"), lit(salt))), 1, 13),
+        coalesce(col("__graft_cl"), col(idCol)).cast("string"), lit(salt))), 1, 13),
       16, 10).cast("double") + 0.5) / lit((1L << 52).toDouble)
     df.join(lbl, Seq(idCol), "left")
       .withColumn("split", when(u < testProp, "test").otherwise("train"))
-      .drop("cluster_id")
+      .drop("__graft_cl")
   }
 }
