@@ -456,6 +456,25 @@ object LlmQueries {
           col("video_parsed"))
         .orderBy(col("asset_id"))
     },
+    // --- the tokenize→pack chain as ONE plan: train BPE, encode, pack on
+    // the real token counts, summarize shards. The oracle pins what both
+    // engines derive — per-shard doc counts — plus an arithmetic invariant
+    // of the shard-local window logic: n_seqs must equal
+    // ceil(shard_tokens / ctx), uniformly TRUE
+    "bpe_pack_e2e" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val merges = graft.text.Bpe.train(docs, "text", numMerges = 100)
+      val enc = graft.text.Bpe.encode(docs, "text", merges)
+      val plan = graft.text.Packing.packingPlanFromCounts(
+        enc, "doc_id", "n_tokens", ctxTokens = 512, nShards = 8)
+      graft.text.Packing.shardSummary(plan)
+        .select(
+          col("shard"),
+          col("n_docs"),
+          (col("n_seqs") === ceil(col("n_tokens") / lit(512.0)).cast("long"))
+            .as("n_seqs_ok"))
+        .orderBy(col("shard"))
+    },
     // --- MP4 frame index from the sample tables: the payload is a fixed
     // hand-built container (one per document row, so the parse runs
     // distributed), and the expected (offset, size, pts, sync) rows are
@@ -850,6 +869,13 @@ object LlmQueries {
         |SELECT token, CAST(count(*) AS BIGINT) AS freq
         |FROM t WHERE length(token) >= 2
         |GROUP BY token ORDER BY freq DESC, token LIMIT 25""".stripMargin,
+    // tokenize→pack chain: per-shard doc counts are engine-independent
+    // (doc_id % nShards); the sequence-count invariant must be uniformly
+    // TRUE for the hash to match
+    "bpe_pack_e2e" ->
+      """SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs, TRUE AS n_seqs_ok
+        |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
     // MP4 frame index: the container is a fixed hand-built payload, so
     // the expected ISO-BMFF sample arithmetic is pinned as literal rows
     // (one set per parsed asset) — any drift in offset/size/pts math
