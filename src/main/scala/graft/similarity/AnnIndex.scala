@@ -200,6 +200,23 @@ object AnnIndex {
     * population (see [[Similarity.lshCosineTopK]]). LSH needs no fitting —
     * the planes are hash-derived — so "build" is exactly the corpus
     * signing pass the one-shot operator repeats per call. */
+  /** LSH signature rows store the vector once PER TABLE replica, so int8
+    * quantization's 4-8× byte cut multiplies by `tables` — the norm is
+    * recomputed on the dequantized codes like the IVF path, keeping
+    * cosine arithmetic consistent with what search reconstructs. */
+  private def lshStoredForm(side: DataFrame, quantize: Boolean): DataFrame =
+    if (!quantize) side
+    else side
+      .withColumn("__q", Similarity.quantizeInt8(col("__cv")))
+      .withColumn("__cv_n", Similarity.l2Norm(Similarity.dequantizeInt8(col("__q"))))
+      .drop("__cv")
+
+  private def lshScoringForm(stored: DataFrame, quantized: Boolean): DataFrame =
+    if (!quantized) stored
+    else stored
+      .withColumn("__cv", Similarity.dequantizeInt8(col("__q")))
+      .drop("__q")
+
   def buildLsh(
       corpus: DataFrame,
       idCol: String,
@@ -208,13 +225,16 @@ object AnnIndex {
       tables: Int = 8,
       bits: Int = 0,
       k: Int = 16,
-      attrCols: Seq[String] = Nil): Unit = {
+      attrCols: Seq[String] = Nil,
+      quantize: Boolean = false): Unit = {
     require(bits >= 0, s"bits must be >= 0 (0 = auto), got $bits")
     val nRows = corpus.count()
     val sigBits = if (bits > 0) bits else Similarity.lshAutoBits(nRows, k)
     // sig-sorted within each table partition: parquet row-group min/max
     // stats become the bucket index (search pushes `sig IN (...)`)
-    Similarity.lshSide(corpus, idCol, vecCol, "__cv", tables, sigBits, attrCols)
+    lshStoredForm(
+        Similarity.lshSide(corpus, idCol, vecCol, "__cv", tables, sigBits, attrCols),
+        quantize)
       .repartition(col("table"))
       .sortWithinPartitions(col("table"), col("sig"))
       .write.mode(SaveMode.Overwrite)
@@ -222,7 +242,7 @@ object AnnIndex {
       .parquet(s"$dir/signatures.parquet")
     writeMeta(corpus.sparkSession, dir,
       Meta("lsh", idCol, nRows, nlist = 0, tables, sigBits, seed = 0L,
-        quantized = false))
+        quantized = quantize))
   }
 
   /** Search a prebuilt LSH index: sign the queries (with optional
@@ -258,7 +278,9 @@ object AnnIndex {
       sigStored.schema(m.idCol).dataType, s"index corpus id '${m.idCol}' at $dir",
       queries.schema(queryIdCol).dataType, s"query id '$queryIdCol'")
     val pruned = sigStored.filter(col("sig").isin(probedSigs: _*))
-    Similarity.lshScore(corpusFilter.fold(pruned)(pruned.filter), qSig, m.idCol, k)
+    Similarity.lshScore(
+      lshScoringForm(corpusFilter.fold(pruned)(pruned.filter), m.quantized),
+      qSig, m.idCol, k)
   }
 
   // -------------------------------------------------- incremental append
@@ -318,8 +340,10 @@ object AnnIndex {
     // attribute columns ride along exactly as the index stores them —
     // recovered from the stored schema, so appends need no attr config
     val attrs = (spark.read.parquet(s"$dir/signatures.parquet").columns.toSet
-      -- Set(m.idCol, "__cv", "__cv_n", "table", "sig")).toSeq.sorted
-    Similarity.lshSide(batch, m.idCol, vecCol, "__cv", m.tables, m.bits, attrs)
+      -- Set(m.idCol, "__cv", "__cv_n", "__q", "table", "sig")).toSeq.sorted
+    lshStoredForm(
+        Similarity.lshSide(batch, m.idCol, vecCol, "__cv", m.tables, m.bits, attrs),
+        m.quantized)
       .repartition(col("table"))
       .sortWithinPartitions(col("table"), col("sig"))
       .write.mode(SaveMode.Append)

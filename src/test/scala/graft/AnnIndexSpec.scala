@@ -203,6 +203,43 @@ class AnnIndexSpec extends SparkSpec {
     assert(qb < fb * 6 / 10, s"quantized corpus $qb bytes not < 60% of full $fb")
   }
 
+  test("LSH: int8-quantized index — smaller signature bytes, near-identical top-k") {
+    val dirF = tempDir("graft_lsh_full")
+    val dirQ = tempDir("graft_lsh_quant")
+    AnnIndex.buildLsh(emb, "vec_id", "embedding", dirF, tables = 4, bits = 6)
+    AnnIndex.buildLsh(emb, "vec_id", "embedding", dirQ, tables = 4, bits = 6,
+      quantize = true)
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(dir: String): Set[(Long, Long)] =
+      AnnIndex.searchLsh(spark, dir, queries, "vec_id", "embedding", k = 10, probes = 1)
+        .select(col("query_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(dirF)
+    val quant = pairs(dirQ)
+    val overlap = (full & quant).size.toDouble / full.size
+    assert(overlap >= 0.9, s"quantized top-k overlap $overlap < 0.9")
+    // signatures store the vector once per table replica — quantization's
+    // byte cut applies to every replica
+    def sigBytes(dir: String): Long = {
+      val root = java.nio.file.Paths.get(s"$dir/signatures.parquet")
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum
+      finally s.close()
+    }
+    val fb = sigBytes(dirF)
+    val qb = sigBytes(dirQ)
+    assert(qb < fb * 6 / 10, s"quantized signatures $qb bytes not < 60% of full $fb")
+    // appends inherit the stored quantized form (schema stays consistent)
+    val clone = emb.filter(col("vec_id") === 250)
+      .select((col("vec_id") + 90000).as("vec_id"), col("embedding"))
+    AnnIndex.appendLsh(clone, "embedding", dirQ)
+    val hit = AnnIndex.searchLsh(spark, dirQ,
+        emb.filter(col("vec_id") === 250), "vec_id", "embedding", k = 3)
+      .filter(col("rank") === 1).head()
+    assert(hit.getLong(1) === 90250L && hit.getDouble(2) >= 0.999)
+  }
+
   test("IVF: attribute-filtered search — neighbors within a label slice") {
     val dir = tempDir("graft_ivf_attr")
     AnnIndex.buildIvf(emb, "vec_id", "embedding", dir, nlist = 16, seed = 7L,
