@@ -399,6 +399,45 @@ object Streaming {
       }
       .start()
 
+  /** Continuously ingest documents with NEAR-dup dedup against everything
+    * already accepted — [[maintainDedupedCorpus]]'s MinHash twin for
+    * streams where mutated copies (not byte-identical ones) are the
+    * duplication mode. Each micro-batch:
+    *   1. dedups within itself and against the persisted
+    *      [[graft.dedup.MinHashIndex]] (banded buckets — the corpus text
+    *      is never re-read);
+    *   2. appends the survivors' documents to `acceptedDir/docs.parquet`;
+    *   3. appends their shingles/buckets to the index so later batches
+    *      dedup against them too.
+    * The index must exist (build it on the seed corpus first — possibly
+    * empty). Work per batch: O(|batch| + matched buckets). Replays are
+    * marker-gated like the other append-shaped maintainers. */
+  def maintainNearDupCorpus(
+      docs: DataFrame,
+      textCol: String,
+      indexDir: String,
+      acceptedDir: String,
+      checkpoint: String,
+      threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        markerGated(s, acceptedDir, batchId) {
+          val survivors = graft.dedup.MinHashIndex
+            .dedupBatch(s, indexDir, batch, textCol, threshold)
+            // the fold below writes twice (docs + index); materialize the
+            // survivor set once so the dedup join doesn't run twice
+            .localCheckpoint(true)
+          if (!survivors.isEmpty) {
+            survivors.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(s"$acceptedDir/docs.parquet")
+            graft.dedup.MinHashIndex.append(s, indexDir, survivors, textCol)
+          }
+        }: Unit
+      }
+      .start()
+
   private[graft] def dedupBatchOnce(
       batch: DataFrame, idCol: String, textCol: String, acceptedDir: String,
       batchId: Long, minQuality: Option[Double] = None): Boolean =

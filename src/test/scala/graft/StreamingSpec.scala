@@ -318,6 +318,40 @@ class StreamingSpec extends SparkSpec {
       260 * 4, "a replayed batch must not duplicate index rows") // 4 tables
   }
 
+  test("streaming near-dup corpus: mutated copies dropped via the MinHash index, survivors indexed") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-neardup").toString
+    val (idx, accepted) = (s"$work/idx", s"$work/accepted")
+    // seed corpus: one known document, indexed
+    val seedText = "the quick brown fox jumps over the lazy dog again and again"
+    graft.dedup.MinHashIndex.build(
+      Seq((1L, seedText)).toDF("doc_id", "text"), "doc_id", "text", idx)
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.maintainNearDupCorpus(
+      input.toDF.toDF("doc_id", "text"), "text", idx, accepted, s"$work/ckpt",
+      threshold = 0.5)
+    // batch 0: a mutated copy of the seed (near-dup, must drop) + a fresh doc
+    input.addData(Seq(
+      (10L, seedText.replaceFirst("quick", "rapid")),
+      (11L, "completely different words about astronomy and star formation")))
+    q.processAllAvailable()
+    // batch 1: a mutated copy of batch 0's SURVIVOR (the index grew) + fresh
+    input.addData(Seq(
+      (20L, "completely different words about astronomy and planet formation"),
+      (21L, "unrelated text on maritime navigation and tides")))
+    q.processAllAvailable()
+    q.stop()
+    val docs = spark.read.parquet(s"$accepted/docs.parquet")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(docs == Seq(11L, 21L),
+      s"near-dups of seed and of prior survivors must drop, got $docs")
+    // survivors joined the index: a later batch dedups against them
+    val again = graft.dedup.MinHashIndex.dedupBatch(spark, idx,
+      Seq((30L, "unrelated text on maritime navigation and the tides")).toDF("doc_id", "text"),
+      "text", threshold = 0.5)
+    assert(again.isEmpty, "survivor must be indexed for later batches")
+  }
+
   test("streaming deduped corpus: cross-batch and in-batch duplicates dropped, replays no-ops") {
     implicit val sqlCtx = spark.sqlContext
     val work = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
