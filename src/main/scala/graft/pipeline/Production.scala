@@ -222,6 +222,22 @@ object Production {
         ctx.dataPath("clean.documents_mixed"))
     }
 
+    // split the curated corpus with near-dup clusters held together: pairs
+    // from the minhash report feed connected components, and every cluster
+    // draws one split — eval can't be contaminated by a near-twin of a
+    // train doc (see sampling.Sampling.clusterSafeSplit)
+    Jobs.register("corpus-curation", "cluster-safe-split") { (ctx, params) =>
+      val s = ctx.spark
+      val testProp = params.getOrElse("test_prop", "0.1").toString.toDouble
+      val salt = params.getOrElse("salt", "graft").toString
+      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
+      val pairs = Tables.readData(s, Seq(ctx.dataPath("processed.near_dup_pairs")))
+      val clusters = graft.dedup.Dedup.nearDupClusters(pairs)
+      save(ctx,
+        graft.sampling.Sampling.clusterSafeSplit(docs, "doc_id", clusters, testProp, salt),
+        ctx.dataPath("clean.documents_split"))
+    }
+
     Jobs.register("corpus-curation", "near-dup-report") { (ctx, params) =>
       val s = ctx.spark
       val threshold = params.getOrElse("threshold", "0.7").toString.toDouble
