@@ -44,6 +44,28 @@ object Tables {
   def saveData(df: DataFrame, path: String, fmt: String = "parquet"): Unit =
     df.write.mode(SaveMode.Overwrite).format(fmt).save(path)
 
+  /** Overwrite ONLY the partitions present in `df`, leaving every other
+    * partition of the table untouched — Spark's dynamic partition
+    * overwrite, scoped to this one write. This is the idempotent daily
+    * rewrite primitive: re-running a day's job replaces exactly that
+    * day's directories (same input → same output, no duplicate rows),
+    * while static overwrite mode would drop the whole table and an
+    * append would double-count the re-run. At 100 TB the table IS its
+    * partition history; a backfill touches the backfilled slice only. */
+  def overwritePartitions(
+      df: DataFrame,
+      path: String,
+      partitionCols: Seq[String],
+      fmt: String = "parquet"): Unit = {
+    require(partitionCols.nonEmpty, "overwritePartitions needs partition columns")
+    df.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionCols: _*)
+      .format(fmt)
+      .save(path)
+  }
+
   /** Read an EVOLVING parquet dataset — files written across schema
     * versions (columns added over time) union into the widest schema,
     * with nulls where a file predates a column. Two modes:

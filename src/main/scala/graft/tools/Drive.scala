@@ -16,14 +16,13 @@ object Drive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // readEvolved: evolving parquet dir union + pinned-schema pruning
+    // overwritePartitions: day-2 rewrite leaves days 1/3 untouched
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("drive_evolve").toString
-    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/v1")
-    Seq((2L, "y", 9.0)).toDF("id", "a", "b").write.parquet(s"$dir/v2")
-    val m = graft.io.Tables.readEvolved(spark, Seq(s"$dir/v1", s"$dir/v2"))
-    m.orderBy("id").show()
-    graft.io.Tables.readEvolved(spark, Seq(s"$dir/v1", s"$dir/v2"), Some(m.schema))
-      .explain("formatted")
+    val dir = java.nio.file.Files.createTempDirectory("drive_dynpart").toString + "/t"
+    graft.io.Tables.overwritePartitions(
+      Seq(("d1", 1), ("d2", 2), ("d3", 3)).toDF("day", "v"), dir, Seq("day"))
+    graft.io.Tables.overwritePartitions(
+      Seq(("d2", 99)).toDF("day", "v"), dir, Seq("day"))
+    spark.read.parquet(dir).orderBy("day").show()
   }
 }

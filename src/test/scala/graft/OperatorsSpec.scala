@@ -360,6 +360,27 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("wid") === 10L).count() == 0)
   }
 
+  test("overwritePartitions: replaces only the touched partitions, re-runs are idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_dynpart").toString + "/t"
+    val days = Seq(
+      ("2024-01-01", 1L, 10.0), ("2024-01-02", 2L, 20.0), ("2024-01-03", 3L, 30.0))
+      .toDF("day", "id", "v")
+    graft.io.Tables.overwritePartitions(days, dir, Seq("day"))
+    assert(spark.read.parquet(dir).count() === 3)
+    // rewrite day 2 only — days 1 and 3 must survive, day 2 replaced
+    val day2 = Seq(("2024-01-02", 20L, 99.0), ("2024-01-02", 21L, 98.0)).toDF("day", "id", "v")
+    graft.io.Tables.overwritePartitions(day2, dir, Seq("day"))
+    val after = spark.read.parquet(dir)
+    assert(after.count() === 4)
+    assert(after.filter(col("day") === "2024-01-02").count() === 2)
+    assert(after.filter(col("day") === "2024-01-01").select("v").head().getDouble(0) === 10.0)
+    // re-running the same day is a no-op on totals (idempotent)
+    graft.io.Tables.overwritePartitions(day2, dir, Seq("day"))
+    assert(spark.read.parquet(dir).count() === 4)
+  }
+
   test("readEvolved: added columns union with nulls; pinned schema skips the footer sweep") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
