@@ -456,6 +456,20 @@ object LlmQueries {
           col("video_parsed"))
         .orderBy(col("asset_id"))
     },
+    // --- materialized packed sequences on WHITESPACE tokens (the
+    // SQL-expressible tokenizer): the oracle recomputes every sequence's
+    // length and boundary tokens from scratch — ordering, doc-boundary
+    // crossing, and the short tail all verified row for row
+    "packed_sequences" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          filter(split(trim(col("text")), "\\s+"), w => length(w) > 0).as("tokens"))
+      graft.text.Packing.materializePacked(docs, "doc_id", "tokens", ctxTokens = 64, nShards = 4)
+        .select(col("shard"), col("seq_id"), col("seq_len"),
+          element_at(col("token_ids"), 1).as("first_tok"),
+          element_at(col("token_ids"), -1).as("last_tok"))
+        .orderBy(col("shard"), col("seq_id"))
+    },
     // --- the tokenize→pack chain as ONE plan: train BPE, encode, pack on
     // the real token counts, summarize shards. The oracle pins what both
     // engines derive — per-shard doc counts — plus an arithmetic invariant
@@ -869,6 +883,27 @@ object LlmQueries {
         |SELECT token, CAST(count(*) AS BIGINT) AS freq
         |FROM t WHERE length(token) >= 2
         |GROUP BY token ORDER BY freq DESC, token LIMIT 25""".stripMargin,
+    // packed sequences: DuckDB re-derives every token's global offset in
+    // its shard stream (per-doc counts + window sum + in-doc ordinal),
+    // then each sequence's length and boundary tokens
+    "packed_sequences" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents WHERE doc_id < 50),
+        |tok AS (SELECT doc_id, doc_id % 4 AS shard, toks[i] AS tok, i
+        |        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        |              FROM d)
+        |        WHERE length(toks[i]) > 0),
+        |counts AS (SELECT doc_id, shard, count(*) AS n FROM tok GROUP BY 1, 2),
+        |starts AS (SELECT doc_id, shard,
+        |             coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |           FROM counts),
+        |pos AS (SELECT t.shard, s.prev + t.i - 1 AS gpos, t.tok
+        |        FROM tok t JOIN starts s ON t.doc_id = s.doc_id)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(gpos // 64 AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS INT) AS seq_len,
+        |  arg_min(tok, gpos) AS first_tok, arg_max(tok, gpos) AS last_tok
+        |FROM pos GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin,
     // tokenize→pack chain: per-shard doc counts are engine-independent
     // (doc_id % nShards); the sequence-count invariant must be uniformly
     // TRUE for the hash to match

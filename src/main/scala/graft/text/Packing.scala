@@ -84,6 +84,54 @@ object Packing {
         ((col("end_offset") - col("n_tokens")) % ctxTokens).as("offset_in_seq"))
   }
 
+  /** Materialize the packed sequences themselves — the trainer artifact:
+    * one row per (shard, seq_id) holding exactly the tokens of that
+    * size-`ctxTokens` window of the shard's concatenated document
+    * stream (the final window of a shard may be shorter). Works for any
+    * token column element type (string tokens or int ids).
+    *
+    * Scale shape: this is the one token-level pass of the chain — each
+    * token is exploded once with its position, its global offset comes
+    * from the same per-shard running sum as [[packingPlanFromCounts]]
+    * (window over doc counts, not tokens), and the shuffle groups by
+    * (shard, seq) with ≤ `ctxTokens` elements per group — bounded task
+    * memory by construction, parallel across shards × sequences. The
+    * in-group sort is a `sort_array` over ≤ ctxTokens structs, not a
+    * distributed sort. */
+  def materializePacked(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      ctxTokens: Int,
+      nShards: Int): DataFrame = {
+    require(ctxTokens > 0 && nShards > 0, "ctxTokens and nShards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    val withOffsets = df
+      .select(
+        (col(idCol) % nShards).cast("long").as("shard"),
+        col(idCol),
+        col(tokensCol).as("__toks"),
+        size(col(tokensCol)).cast("long").as("__n"))
+      .withColumn("__start", sum(col("__n")).over(w) - col("__n"))
+    withOffsets
+      .select(col("shard"), col("__start"),
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .select(
+        col("shard"),
+        // integer div, not fractional: double arithmetic would lose exact
+        // offsets past 2^53 tokens
+        expr(s"(__start + __pos) div $ctxTokens").as("seq_id"),
+        ((col("__start") + col("__pos")) % ctxTokens).cast("int").as("__slot"),
+        col("__tok"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(sort_array(collect_list(struct(col("__slot"), col("__tok")))).as("__packed"))
+      .select(
+        col("shard"),
+        col("seq_id"),
+        expr("transform(__packed, p -> p.__tok)").as("token_ids"),
+        size(col("__packed")).as("seq_len"))
+  }
+
   /** Total sequence count per shard for a packing plan — the shape the
     * trainer's data loader needs to pre-allocate shard readers. */
   def shardSummary(plan: DataFrame): DataFrame =

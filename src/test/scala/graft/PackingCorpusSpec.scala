@@ -48,6 +48,46 @@ class PackingCorpusSpec extends SparkSpec {
       s0.getAs[Long]("n_seqs") == 4)
   }
 
+  test("materializePacked: exact sequences across doc boundaries, short tail, id arrays") {
+    import org.apache.spark.sql.functions._
+    // one shard (nShards=1), ctx=4. Docs in id order:
+    //   doc 0: [a b c]   doc 1: [d e]   doc 2: [f]
+    // stream: a b c d | e f  ->  seq 0 = [a,b,c,d], seq 1 = [e,f] (len 2)
+    val docs = Seq(
+      (0L, Seq("a", "b", "c")),
+      (1L, Seq("d", "e")),
+      (2L, Seq("f"))).toDF("doc_id", "tokens")
+    val packed = graft.text.Packing
+      .materializePacked(docs, "doc_id", "tokens", ctxTokens = 4, nShards = 1)
+      .orderBy("seq_id")
+      .collect()
+      .map(r => (r.getLong(1), r.getSeq[String](2), r.getInt(3)))
+    assert(packed.toSeq === Seq(
+      (0L, Seq("a", "b", "c", "d"), 4),
+      (1L, Seq("e", "f"), 2)))
+    // int-id tokens pack identically (element type follows the input)
+    val ids = Seq((0L, Seq(1, 2, 3)), (1L, Seq(4, 5))).toDF("doc_id", "tokens")
+    val packedIds = graft.text.Packing
+      .materializePacked(ids, "doc_id", "tokens", ctxTokens = 2, nShards = 1)
+      .orderBy("seq_id").collect()
+      .map(r => r.getSeq[Int](2))
+    assert(packedIds.toSeq === Seq(Seq(1, 2), Seq(3, 4), Seq(5)))
+    // sequence ids agree with the PLAN's extents on multi-shard data
+    val many = (0L until 20L).map(i => (i, (0 until (i % 5 + 1).toInt).map(j => s"t$j")))
+      .toDF("doc_id", "tokens")
+    val plan = graft.text.Packing.packingPlanFromCounts(
+      many.select(col("doc_id"), size(col("tokens")).cast("long").as("n_tokens")),
+      "doc_id", "n_tokens", ctxTokens = 4, nShards = 3)
+    val fromPlan = plan.groupBy("shard")
+      .agg(max("last_seq").as("m")).orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fromPacked = graft.text.Packing
+      .materializePacked(many, "doc_id", "tokens", ctxTokens = 4, nShards = 3)
+      .groupBy("shard").agg(max("seq_id").as("m")).orderBy("shard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fromPlan === fromPacked)
+  }
+
   test("globalRowNumber: contiguous total-order ranks without a global window") {
     val d = (1 to 1000).map(i => ((i * 7919) % 1000, i.toLong)).toDF("v", "id")
       .repartition(7) // scrambled input layout
