@@ -362,6 +362,21 @@ object Production {
         ctx.dataPath("processed.packing_shards"))
     }
 
+    // materialize the fixed-context sequences themselves — the artifact a
+    // trainer's loader reads; consumes whichever token column the encode
+    // stage produced (string tokens or int ids)
+    Jobs.register("tokenizer", "materialize") { (ctx, params) =>
+      val s = ctx.spark
+      val idCol = params.getOrElse("id_col", "doc_id").toString
+      val ctxTokens = params.getOrElse("ctx_tokens", "2048").toString.toInt
+      val nShards = params.getOrElse("n_shards", "64").toString.toInt
+      val tokenized = Tables.readData(s, Seq(ctx.dataPath("processed.tokenized")))
+      val tokCol = if (tokenized.columns.contains("token_ids")) "token_ids" else "tokens"
+      save(ctx,
+        graft.text.Packing.materializePacked(tokenized, idCol, tokCol, ctxTokens, nShards),
+        ctx.dataPath("processed.packed_sequences"))
+    }
+
     // Metric percentile profile as a catalog job: fold one batch's GK
     // quantile state into the state table (O(keys) per fold, replay-safe
     // via batch_id), then publish the current per-key estimates — the

@@ -246,6 +246,8 @@ class ConfigJobsSpec extends AnyFunSuite {
         |            params: {ids: true}
         |          - name: pack
         |            params: {ctx_tokens: 256, n_shards: 4}
+        |          - name: materialize
+        |            params: {ctx_tokens: 256, n_shards: 4}
         |  - name: metric-profile
         |    stages:
         |      - name: profile
@@ -268,6 +270,7 @@ class ConfigJobsSpec extends AnyFunSuite {
           "tokenized" -> s"$work/tokenized",
           "packing_plan" -> s"$work/packing_plan",
           "packing_shards" -> s"$work/packing_shards",
+          "packed_sequences" -> s"$work/packed_sequences",
           "quantile_profile" -> s"$work/qprofile")))
     graft.pipeline.Production.registerAll()
     val ctx = Context(cfg, spark)
@@ -295,6 +298,11 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(shards.count() === 4)
     assert(shards.agg(org.apache.spark.sql.functions.sum("n_tokens"))
       .head().getLong(0) === encTokens)
+    // the materialized sequences conserve every token and respect ctx
+    val seqs = spark.read.parquet(s"$work/packed_sequences")
+    assert(seqs.agg(org.apache.spark.sql.functions.sum("seq_len"))
+      .head().getLong(0) === encTokens)
+    assert(seqs.filter(col("seq_len") > 256).count() === 0)
     assert(graft.pipeline.Jobs.run(ctx, "metric-profile").isEmpty)
     val prof = spark.read.parquet(s"$work/qprofile")
     assert(prof.columns.toSeq.contains("q_50") && prof.columns.toSeq.contains("q_90"))
