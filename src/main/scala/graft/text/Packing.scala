@@ -132,6 +132,44 @@ object Packing {
         size(col("__packed")).as("seq_len"))
   }
 
+  /** [[materializePacked]] plus per-sequence DOCUMENT SPANS — the
+    * metadata cross-document attention masking needs: for every sequence,
+    * `doc_spans ARRAY<STRUCT<start INT, len INT, doc>>` says which slots
+    * belong to which source document (a document's slots within one
+    * sequence are contiguous by construction, so min-slot + count defines
+    * the span exactly). Same bounded-group shape: the span aggregation
+    * groups by (shard, seq, doc) then rolls up per sequence, both capped
+    * by ctxTokens elements. */
+  def materializePackedWithSpans(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      ctxTokens: Int,
+      nShards: Int): DataFrame = {
+    val packed = materializePacked(df, idCol, tokensCol, ctxTokens, nShards)
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    val positions = df
+      .select(
+        (col(idCol) % nShards).cast("long").as("shard"),
+        col(idCol),
+        col(tokensCol).as("__toks"),
+        size(col(tokensCol)).cast("long").as("__n"))
+      .withColumn("__start", sum(col("__n")).over(w) - col("__n"))
+      .select(col("shard"), col(idCol), col("__start"),
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .select(
+        col("shard"), col(idCol),
+        expr(s"(__start + __pos) div $ctxTokens").as("seq_id"),
+        ((col("__start") + col("__pos")) % ctxTokens).cast("int").as("__slot"))
+    val spans = positions
+      .groupBy(col("shard"), col("seq_id"), col(idCol))
+      .agg(min(col("__slot")).as("start"), count(lit(1)).cast("int").as("len"))
+      .groupBy(col("shard"), col("seq_id"))
+      .agg(sort_array(collect_list(struct(col("start"), col("len"), col(idCol).as("doc"))))
+        .as("doc_spans"))
+    packed.join(spans, Seq("shard", "seq_id"))
+  }
+
   /** Total sequence count per shard for a packing plan — the shape the
     * trainer's data loader needs to pre-allocate shard readers. */
   def shardSummary(plan: DataFrame): DataFrame =

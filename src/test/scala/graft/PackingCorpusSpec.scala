@@ -88,6 +88,33 @@ class PackingCorpusSpec extends SparkSpec {
     assert(fromPlan === fromPacked)
   }
 
+  test("materializePackedWithSpans: doc spans cover each sequence exactly") {
+    import org.apache.spark.sql.functions._
+    // stream (ctx 4): doc0=[a b c], doc1=[d e], doc2=[f]
+    //   seq 0 = [a b c d]: spans (0,3,doc0), (3,1,doc1)
+    //   seq 1 = [e f]:     spans (0,1,doc1), (1,1,doc2)
+    val docs = Seq(
+      (0L, Seq("a", "b", "c")),
+      (1L, Seq("d", "e")),
+      (2L, Seq("f"))).toDF("doc_id", "tokens")
+    val out = graft.text.Packing
+      .materializePackedWithSpans(docs, "doc_id", "tokens", ctxTokens = 4, nShards = 1)
+      .orderBy("seq_id").collect()
+    def spans(i: Int) = out(i).getSeq[org.apache.spark.sql.Row](out(i).fieldIndex("doc_spans"))
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(spans(0) === Seq((0, 3, 0L), (3, 1, 1L)))
+    assert(spans(1) === Seq((0, 1, 1L), (1, 1, 2L)))
+    // spans tile the sequence: lengths sum to seq_len, starts are contiguous
+    out.foreach { r =>
+      val ss = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("doc_spans"))
+        .map(x => (x.getInt(0), x.getInt(1)))
+      assert(ss.map(_._2).sum === r.getInt(r.fieldIndex("seq_len")))
+      ss.foldLeft(0) { case (expect, (start, len)) =>
+        assert(start === expect); start + len
+      }
+    }
+  }
+
   test("globalRowNumber: contiguous total-order ranks without a global window") {
     val d = (1 to 1000).map(i => ((i * 7919) % 1000, i.toLong)).toDF("v", "id")
       .repartition(7) // scrambled input layout
