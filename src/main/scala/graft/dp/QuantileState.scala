@@ -172,9 +172,10 @@ object QuantileState {
   /** Rank-bound audit of an estimate frame against the raw rows it
     * summarizes: for each key and probability, TRUE iff the estimate's
     * rank among the key's values is within ±max(1, ⌈ε·n⌉) of the target
-    * rank ⌈p·n⌉ — the GK guarantee. Joins estimates back to the data
-    * (one broadcast of the estimate frame per key set), so it costs one
-    * scan of the audited batch. */
+    * rank ⌈p·n⌉ — the GK guarantee. Joins estimates back to the data on
+    * the key (the planner broadcasts when the estimate frame is small;
+    * at extreme key cardinality it stays a shuffle join — never forced),
+    * so it costs one scan of the audited batch. */
   def rankWithinBound(
       df: DataFrame,
       estimates: DataFrame,
@@ -182,8 +183,7 @@ object QuantileState {
       valueCol: String,
       probs: Seq[Double],
       relErr: Double = DefaultRelativeError): DataFrame = {
-    val est = broadcast(estimates)
-    val joined = df.filter(col(valueCol).isNotNull).join(est, Seq(keyCol))
+    val joined = df.filter(col(valueCol).isNotNull).join(estimates, Seq(keyCol))
     val aggs = probs.map { p =>
       val qc = nameFor(p)
       count(when(col(valueCol).cast("double") <= col(qc), 1)).as(s"__rank_$qc")
