@@ -435,6 +435,29 @@ object Dedup {
     * hash join with NO shuffle of corpus grams; the only shuffle is the
     * pair-count groupBy over matched grams, bounded by |matches|, not the
     * corpus. */
+  /** Decontaminate a training corpus against an eval set: drop every
+    * corpus document whose k-gram overlap covers at least
+    * `maxEvalCoverage` of ANY eval document — the enforcement half of
+    * [[contaminationReport]] (same broadcast-gram join, so the eval set
+    * must be broadcast-sized, which eval sets are). Returns the surviving
+    * corpus rows unchanged; the anti-join keys on the report, so the
+    * decision thresholds are auditable by running the report itself. */
+  def decontaminate(
+      corpus: DataFrame,
+      evalSet: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      maxEvalCoverage: Double = 0.5): DataFrame = {
+    require(maxEvalCoverage > 0 && maxEvalCoverage <= 1,
+      s"maxEvalCoverage must be in (0,1], got $maxEvalCoverage")
+    val contaminated = contaminationReport(corpus, evalSet, idCol, textCol, k, minOverlap = 1)
+      .filter(col("eval_coverage") >= maxEvalCoverage)
+      .select(col("corpus_id").as(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   def contaminationReport(
       corpus: DataFrame,
       evalSet: DataFrame,

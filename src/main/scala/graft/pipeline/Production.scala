@@ -222,6 +222,22 @@ object Production {
         ctx.dataPath("clean.documents_mixed"))
     }
 
+    // drop corpus docs that leak eval content — the enforcement half of
+    // contamination-report, same eval-set convention
+    Jobs.register("corpus-curation", "decontaminate") { (ctx, params) =>
+      val s = ctx.spark
+      val k = params.getOrElse("gram_k", "8").toString.toInt
+      val maxCov = params.getOrElse("max_eval_coverage", "0.5").toString.toDouble
+      val evalLimit = params.getOrElse("eval_limit", "5").toString.toInt
+      val corpus = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
+      val evalSet = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
+        .orderBy(col("doc_id")).limit(evalLimit)
+        .withColumn("text", graft.text.TextAnalysis.redactPii(col("text")))
+      save(ctx,
+        graft.dedup.Dedup.decontaminate(corpus, evalSet, "doc_id", "text", k, maxCov),
+        ctx.dataPath("clean.documents_decontaminated"))
+    }
+
     // split the curated corpus with near-dup clusters held together: pairs
     // from the minhash report feed connected components, and every cluster
     // draws one split — eval can't be contaminated by a near-twin of a

@@ -272,6 +272,18 @@ object LlmQueries {
       Dedup.contaminationReport(corpus, evalSet, "doc_id", "text", k = 3, minOverlap = 2)
         .orderBy(col("corpus_id"), col("eval_id"))
     },
+    // the enforcement half: same fixture — the planted eval copies MUST be
+    // dropped (coverage 1.0) while ordinary corpus docs survive; the
+    // oracle re-derives the survivor set from exact k-gram coverage
+    "decontaminate_corpus" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") >= 5)
+        .unionByName(docs.filter(col("doc_id") < 3)
+          .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+      val evalSet = docs.filter(col("doc_id") < 5)
+      Dedup.decontaminate(corpus, evalSet, "doc_id", "text", k = 3, maxEvalCoverage = 0.8)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
     // measured on the PLANTED frame (docs < 40 + first-word-mutated
     // copies): every doc pairs with its mutation at high Jaccard, so the
     // pair-emission path does real work at EVERY sf — on the raw corpus
@@ -1115,6 +1127,29 @@ object LlmQueries {
         |FROM ov JOIN sizes USING (eval_id)
         |WHERE overlap_grams >= 2
         |ORDER BY corpus_id, eval_id""".stripMargin,
+    // decontamination survivors: drop any corpus doc covering >= 0.8 of an
+    // eval doc's distinct 3-grams
+    "decontaminate_corpus" ->
+      """WITH docs AS (SELECT doc_id, text FROM documents),
+        |corpus AS (SELECT doc_id, text FROM docs WHERE doc_id >= 5
+        |           UNION ALL SELECT doc_id + 300000, text FROM docs WHERE doc_id < 3),
+        |ev AS (SELECT doc_id, text FROM docs WHERE doc_id < 5),
+        |cg AS (SELECT DISTINCT doc_id AS corpus_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |             FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |                   FROM corpus))),
+        |eg AS (SELECT DISTINCT doc_id AS eval_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i
+        |             FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |                   FROM ev))),
+        |sizes AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS eval_grams FROM eg GROUP BY 1),
+        |bad AS (SELECT DISTINCT corpus_id
+        |        FROM (SELECT corpus_id, eval_id, CAST(count(*) AS BIGINT) AS ov
+        |              FROM cg JOIN eg ON cg.g = eg.g GROUP BY 1, 2) o
+        |        JOIN sizes USING (eval_id)
+        |        WHERE CAST(ov AS DOUBLE) / eval_grams >= 0.8)
+        |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT corpus_id FROM bad)
+        |ORDER BY doc_id""".stripMargin,
     "ngram_jaccard" ->
       """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 40),
         |corpus AS (SELECT doc_id, text FROM base
