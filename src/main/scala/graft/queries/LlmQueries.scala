@@ -728,7 +728,7 @@ object LlmQueries {
     }
     val sel = (1 to k)
       .map(n =>
-        s"SELECT query_id, CAST($n AS INT) AS rank, cand_id AS vec_id, cosine, round_even(mmr, 6) AS mmr FROM p$n")
+        s"SELECT query_id, CAST($n AS INT) AS rank, cand_id AS vec_id, cosine, round_even(mmr, 4) AS mmr FROM p$n")
       .mkString("\nUNION ALL ")
     (base +: steps).mkString(",\n") + s"\n$sel\nORDER BY query_id, rank"
   }

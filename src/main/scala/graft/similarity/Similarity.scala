@@ -610,7 +610,13 @@ object Similarity {
         }
         picked.zipWithIndex.map { case (c, i) =>
           val red = if (i == 0) 0.0 else picked.take(i).map(p => cos(c._4, p._4)).max
-          (qid, i + 1, c._2, c._3, math.rint((lambda * c._3 - (1 - lambda) * red) * 1e6) / 1e6)
+          // mmr is rounded at FOUR decimals (not the usual six): the raw
+          // score sits on arbitrary double arithmetic and a value landing
+          // within an ulp of a rounding boundary flips the last digit
+          // between engines (observed at sf0.001) — 1e-4 keeps the
+          // diagnostic value while pushing the boundary odds down 100×.
+          // Selection order is computed on UNROUNDED scores either way.
+          (qid, i + 1, c._2, c._3, math.rint((lambda * c._3 - (1 - lambda) * red) * 1e4) / 1e4)
         }
       }
       .toDF(queryIdCol, "rank", candIdCol, "cosine", "mmr")
