@@ -468,6 +468,21 @@ object LlmQueries {
           col("video_parsed"))
         .orderBy(col("asset_id"))
     },
+    // --- curriculum packing: documents ranked globally by a quality
+    // signal (distributed prefix-sum ranking — no global window), then
+    // packed in that order, so early training sequences hold the
+    // highest-quality text. Pure composition of Ranking.globalRowNumber
+    // and the packing plan; the oracle re-derives rank and extents with
+    // SQL window functions
+    "curriculum_packing" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"), col("n_chars"))
+      val ranked = graft.dp.Ranking
+        .globalRowNumber(docs, col("n_chars").desc, col("doc_id").asc)
+        .select(col("rank"), col("text"))
+      graft.text.Packing.packingPlan(ranked, "rank", "text", ctxTokens = 128, nShards = 4)
+        .orderBy(col("shard"), col("rank"))
+    },
     // --- materialized packed sequences on WHITESPACE tokens (the
     // SQL-expressible tokenizer): the oracle recomputes every sequence's
     // length and boundary tokens from scratch — ordering, doc-boundary
@@ -895,6 +910,28 @@ object LlmQueries {
         |SELECT token, CAST(count(*) AS BIGINT) AS freq
         |FROM t WHERE length(token) >= 2
         |GROUP BY token ORDER BY freq DESC, token LIMIT 25""".stripMargin,
+    // curriculum packing: SQL window rank (n_chars DESC) replaces the
+    // distributed prefix-sum ranking, then the same packing arithmetic
+    "curriculum_packing" ->
+      """WITH d AS (SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 200),
+        |r AS (SELECT text,
+        |    CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id ASC) AS BIGINT) AS rank
+        |  FROM d),
+        |s AS (SELECT rank, rank % 4 AS shard,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM r),
+        |o AS (SELECT shard, rank, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY rank) AS BIGINT) AS e
+        |  FROM s)
+        |SELECT CAST(shard AS BIGINT) AS shard, rank, n_tokens,
+        |  e - n_tokens AS start_offset,
+        |  CASE WHEN n_tokens > 0 THEN (e - n_tokens) // 128 END AS first_seq,
+        |  CASE WHEN n_tokens > 0 THEN (e - 1) // 128 END AS last_seq,
+        |  CASE WHEN n_tokens > 0
+        |    THEN (e - 1) // 128 - (e - n_tokens) // 128 + 1 ELSE 0 END AS n_seqs,
+        |  (e - n_tokens) % 128 AS offset_in_seq
+        |FROM o ORDER BY shard, rank""".stripMargin,
     // packed sequences: DuckDB re-derives every token's global offset in
     // its shard stream (per-doc counts + window sum + in-doc ordinal),
     // then each sequence's length and boundary tokens
