@@ -104,7 +104,9 @@ class PlanAuditSpec extends SparkSpec {
   test("registered heavyweight queries pass the audit (modulo output sorts)") {
     val sf = "/root/testdata/sf0.001"
     Seq("e1_feature_pipeline", "sequence_packing", "line_dedup", "inverted_index",
-      "dedup_exact", "range_join", "sessionize_batch").foreach { name =>
+      "dedup_exact", "range_join", "sessionize_batch",
+      "packed_sequences", "bpe_pack_e2e", "quantile_sketch_state",
+      "cluster_safe_split", "decontaminate_corpus").foreach { name =>
       val d = SparkEntry.queries(name)(spark, sf)
       val errors = PlanAudit.audit(d).filter(_.severity == "error")
       assert(errors.isEmpty, s"$name: $errors")
