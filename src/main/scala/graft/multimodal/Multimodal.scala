@@ -15,11 +15,15 @@ import org.apache.spark.sql.types._
   * the JDK-native containers: [[audioStats]] /
   * [[graft.expressions.AudioDecodeStats]] parses WAV/AIFF/AU with
   * `javax.sound.sampled` — sample rate, channels, bit depth, frames,
-  * duration, bounded-prefix RMS. VIDEO splits in two: container
+  * duration, bounded-prefix RMS. VIDEO splits in three: container
   * METADATA is REAL ([[videoStats]] / [[graft.expressions.VideoContainerMeta]]
   * parses MP4 box and AVI RIFF headers — published byte layouts, no
-  * codec needed — for brand/duration/tracks/dimensions), while FRAME
-  * decode remains STUBBED — this container ships no video codec —
+  * codec needed — for brand/duration/tracks/dimensions); the FRAME
+  * INDEX is REAL ([[keyframeRanges]] / [[graft.expressions.Mp4FrameIndex]]
+  * expands the MP4 sample tables into per-frame byte offsets, sizes,
+  * timestamps and keyframe flags — the byte ranges a fetch layer reads
+  * instead of whole files); only PIXEL decode remains STUBBED — this
+  * container ships no video codec —
   * behind `decodeFeaturesStub`, a
   * deterministic fake (hash-derived pseudo-features) with the same
   * schema, batching and partitioning behavior a real decoder (JNI codec
