@@ -321,6 +321,61 @@ object Metrics {
       .orderBy(col("bucket"))
   }
 
+  /** Isotonic score calibration — the production companion to
+    * [[calibrationTable]]: fits the monotone step function minimizing
+    * squared error between scores and labels (spark.ml's distributed
+    * pool-adjacent-violators) and returns (model, mapping table). The
+    * mapping table `(boundary, calibrated)` is the persistable artifact —
+    * KBs, broadcast at scoring time; `applyCalibration` rescales a scored
+    * frame through it with a pure expression (linear interpolation
+    * between boundaries, the spark.ml transform contract) — no model
+    * object needed at serving time.
+    *
+    * Scale shape: the fit is one spark.ml PAVA pass (sorts by score —
+    * a distributed range sort, the irreducible cost of isotonic); the
+    * mapping is bounded by the number of violator pools, not rows. */
+  def fitIsotonicCalibration(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String): (org.apache.spark.ml.regression.IsotonicRegressionModel, DataFrame) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val model = new org.apache.spark.ml.regression.IsotonicRegression()
+      .setFeaturesCol("__score")
+      .setLabelCol("__label")
+      .setIsotonic(true)
+      .fit(df.select(
+        col(scoreCol).cast("double").as("__score"),
+        col(labelCol).cast("double").as("__label")))
+    val mapping = model.boundaries.toArray.zip(model.predictions.toArray)
+      .toSeq.toDF("boundary", "calibrated")
+    (model, mapping)
+  }
+
+  /** Apply a persisted isotonic mapping table to a scored frame: adds
+    * `calibrated` by piecewise-linear interpolation between boundaries
+    * (clamped at the ends), matching spark.ml's transform semantics for
+    * in-range scores. Pure scan — the mapping rides the plan as literal
+    * arrays. */
+  def applyCalibration(df: DataFrame, scoreCol: String, mapping: DataFrame): DataFrame = {
+    val rows = mapping.select(col("boundary").cast("double"), col("calibrated").cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).sortBy(_._1)
+    require(rows.nonEmpty, "applyCalibration: empty mapping table")
+    val bs = rows.map(_._1)
+    val ps = rows.map(_._2)
+    val s = col(scoreCol).cast("double")
+    // piecewise-linear: find the bracketing boundary pair
+    val expr0 = (0 until bs.length - 1).foldLeft(
+      when(s <= bs.head, ps.head).when(s >= bs.last, ps.last)) { (acc, i) =>
+      val (b0, b1, p0, p1) = (bs(i), bs(i + 1), ps(i), ps(i + 1))
+      val interp =
+        if (b1 == b0) lit(p1)
+        else lit(p0) + (s - b0) * ((p1 - p0) / (b1 - b0))
+      acc.when(s >= b0 && s < b1, interp)
+    }
+    df.withColumn("calibrated", round(expr0, 6))
+  }
+
   /** Cumulative gains / lift table — the propensity-targeting artifact:
     * score quantile buckets (bucket 0 = highest scores), and for each the
     * cumulative share of positives captured (`gain`) and the response-rate

@@ -855,6 +855,43 @@ class OperatorsSpec extends SparkSpec {
     assert(e3.getMessage.contains("ksStatistic"), e3.getMessage)
   }
 
+  test("isotonic calibration: PAVA pools violators, apply matches spark.ml transform") {
+    // classic violator: rank order 0,1,0,1 — the middle pair pools to 0.5
+    val scored = Seq((0.1, 0.0), (0.2, 1.0), (0.3, 0.0), (0.4, 1.0)).toDF("score", "label")
+    val (model, mapping) = Metrics.fitIsotonicCalibration(scored, "score", "label")
+    val calibrated = Metrics.applyCalibration(scored, "score", mapping)
+      .orderBy("score").select("calibrated").collect().map(_.getDouble(0)).toSeq
+    // monotone non-decreasing, ends at the label extremes
+    assert(calibrated == calibrated.sorted, s"not monotone: $calibrated")
+    assert(calibrated.head == 0.0 && calibrated.last == 1.0, s"$calibrated")
+    assert(calibrated(1) == 0.5 && calibrated(2) == 0.5, s"pooled pair: $calibrated")
+    // the expression-based apply agrees with spark.ml's own transform on
+    // a dense score grid (the contract applyCalibration claims)
+    val grid = (0 to 100).map(_ / 100.0 * 0.5).toDF("score")
+    val viaExpr = Metrics.applyCalibration(grid, "score", mapping)
+      .orderBy("score").select("calibrated").collect().map(_.getDouble(0))
+    val viaModel = model.transform(
+        grid.select(col("score"), col("score").cast("double").as("__score")))
+      .orderBy("score").select("prediction").collect()
+      .map(r => math.rint(r.getDouble(0) * 1e6) / 1e6)
+    viaExpr.zip(viaModel).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(math.abs(a - b) <= 1e-6, s"grid point $i: expr=$a model=$b")
+    }
+    // calibration improves Brier on a systematically miscalibrated set
+    val skewed = (1 to 400).map { i =>
+      val p = i / 400.0
+      (math.pow(p, 3.0), if (i % 400 < p * 400) 1.0 else 0.0) // scores too low
+    }.toDF("score", "label")
+    val (_, m2) = Metrics.fitIsotonicCalibration(skewed, "score", "label")
+    val withCal = Metrics.applyCalibration(skewed, "score", m2)
+    val brier = withCal.agg(
+        avg(pow(col("score") - col("label"), 2)).as("raw"),
+        avg(pow(col("calibrated") - col("label"), 2)).as("cal"))
+      .head()
+    assert(brier.getDouble(1) < brier.getDouble(0),
+      s"calibrated Brier ${brier.getDouble(1)} not better than raw ${brier.getDouble(0)}")
+  }
+
   test("calibration table: edge scores clamp into the end bins, null fails loudly") {
     // float-noise excursions (-1e-9, 1+1e-7) must land in bins 0/9, never
     // fabricate a bucket outside [0, buckets-1]
