@@ -376,6 +376,53 @@ object Metrics {
     df.withColumn("calibrated", round(expr0, 6))
   }
 
+  /** Per-segment isotonic calibration: one mapping per value of
+    * `groupCol` — the fairness-slice companion to
+    * [[fitIsotonicCalibration]] (a global map can leave every slice
+    * miscalibrated in opposite directions). The group collect is CAPPED
+    * like the encoder fits: pointing this at a high-cardinality column
+    * fails loudly instead of fanning out thousands of spark.ml fits.
+    * Returns the union mapping table `(group, boundary, calibrated)`;
+    * apply with [[applyCalibrationByGroup]]. */
+  def fitIsotonicCalibrationByGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      labelCol: String,
+      maxGroups: Int = 50): DataFrame = {
+    val groups = df.select(col(groupCol).cast("string")).distinct()
+      .limit(maxGroups + 1).collect().map(_.getString(0))
+    require(groups.length <= maxGroups,
+      s"fitIsotonicCalibrationByGroup: > $maxGroups groups in '$groupCol' — not a segment column")
+    groups.filter(_ != null).map { g =>
+      val (_, m) = fitIsotonicCalibration(
+        df.filter(col(groupCol).cast("string") === g), scoreCol, labelCol)
+      m.select(lit(g).as("group"), col("boundary"), col("calibrated"))
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Apply a per-group mapping table: each row rescores through ITS
+    * group's isotonic map (rows whose group has no map keep a null
+    * `calibrated` — surfacing unseen segments instead of silently
+    * passing raw scores through). */
+  def applyCalibrationByGroup(
+      df: DataFrame,
+      groupCol: String,
+      scoreCol: String,
+      mapping: DataFrame): DataFrame = {
+    val groups = mapping.select(col("group")).distinct().collect().map(_.getString(0))
+    val applied = groups.map { g =>
+      applyCalibration(
+        df.filter(col(groupCol).cast("string") === g),
+        scoreCol,
+        mapping.filter(col("group") === g))
+    }
+    val unseen = df.filter(!col(groupCol).cast("string").isin(groups: _*) ||
+        col(groupCol).isNull)
+      .withColumn("calibrated", lit(null).cast("double"))
+    (applied :+ unseen).reduce(_.unionByName(_))
+  }
+
   /** Cumulative gains / lift table — the propensity-targeting artifact:
     * score quantile buckets (bucket 0 = highest scores), and for each the
     * cumulative share of positives captured (`gain`) and the response-rate

@@ -892,6 +892,39 @@ class OperatorsSpec extends SparkSpec {
       s"calibrated Brier ${brier.getDouble(1)} not better than raw ${brier.getDouble(0)}")
   }
 
+  test("per-group isotonic: opposite slice biases corrected, unseen groups null") {
+    // group A: scores too low (cubed); group B: too high (cube root) — a
+    // global map cannot fix both, per-group maps must
+    val rows = (1 to 300).flatMap { i =>
+      val p = i / 300.0
+      val y = if (i % 2 == 0) 1.0 else 0.0 // alternate labels within rank
+      Seq(("A", math.pow(p, 3.0), if (p > 0.5) 1.0 else 0.0),
+          ("B", math.pow(p, 1.0 / 3.0), if (p > 0.5) 1.0 else 0.0))
+    }
+    val df = rows.toDF("seg", "score", "label")
+    val mapping = Metrics.fitIsotonicCalibrationByGroup(df, "seg", "score", "label")
+    assert(mapping.select("group").distinct().count() === 2)
+    val out = Metrics.applyCalibrationByGroup(df, "seg", "score", mapping)
+    val brier = out.groupBy("seg").agg(
+        avg(pow(col("score") - col("label"), 2)).as("raw"),
+        avg(pow(col("calibrated") - col("label"), 2)).as("cal"))
+      .collect()
+    brier.foreach { r =>
+      assert(r.getDouble(2) < r.getDouble(1),
+        s"segment ${r.getString(0)}: calibrated ${r.getDouble(2)} not < raw ${r.getDouble(1)}")
+    }
+    // a group absent from the mapping surfaces as null, not raw pass-through
+    val withNew = df.union(Seq(("C", 0.5, 1.0)).toDF("seg", "score", "label"))
+    val c = Metrics.applyCalibrationByGroup(withNew, "seg", "score", mapping)
+      .filter(col("seg") === "C").select("calibrated").head()
+    assert(c.isNullAt(0))
+    // cardinality guard fails loudly
+    val wide = (1 to 100).map(i => (s"g$i", 0.5, 1.0)).toDF("seg", "score", "label")
+    val e = intercept[IllegalArgumentException](
+      Metrics.fitIsotonicCalibrationByGroup(wide, "seg", "score", "label"))
+    assert(e.getMessage.contains("groups"))
+  }
+
   test("calibration table: edge scores clamp into the end bins, null fails loudly") {
     // float-noise excursions (-1e-9, 1+1e-7) must land in bins 0/9, never
     // fabricate a bucket outside [0, buckets-1]
