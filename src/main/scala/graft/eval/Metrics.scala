@@ -363,7 +363,11 @@ object Metrics {
     require(rows.nonEmpty, "applyCalibration: empty mapping table")
     val bs = rows.map(_._1)
     val ps = rows.map(_._2)
-    val s = col(scoreCol).cast("double")
+    val raw = col(scoreCol).cast("double")
+    // same null/NaN discipline as calibrationTable: a silent null in a
+    // production score column is exactly what this table would hide
+    val s = when(raw.isNotNull && !isnan(raw), raw).otherwise(
+      raise_error(lit(s"applyCalibration: null or NaN score in '$scoreCol'")).cast("double"))
     // piecewise-linear: find the bracketing boundary pair
     val expr0 = (0 until bs.length - 1).foldLeft(
       when(s <= bs.head, ps.head).when(s >= bs.last, ps.last)) { (acc, i) =>

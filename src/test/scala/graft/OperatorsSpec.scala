@@ -877,6 +877,12 @@ class OperatorsSpec extends SparkSpec {
     viaExpr.zip(viaModel).zipWithIndex.foreach { case ((a, b), i) =>
       assert(math.abs(a - b) <= 1e-6, s"grid point $i: expr=$a model=$b")
     }
+    // null / NaN scores fail loudly (same discipline as calibrationTable)
+    Seq(Seq((Option.empty[Double], 0.0)), Seq((Some(Double.NaN), 0.0))).foreach { bad =>
+      val e = intercept[Exception](
+        Metrics.applyCalibration(bad.toDF("score", "label"), "score", mapping).collect())
+      assert(e.getMessage.contains("applyCalibration"), e.getMessage)
+    }
     // calibration improves Brier on a systematically miscalibrated set
     val skewed = (1 to 400).map { i =>
       val p = i / 400.0
