@@ -757,6 +757,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaSql === 3)
     assert(spark.sql(
       "SELECT size(graft_mp4_frames(payload, 1)) FROM mp4_t").head().getInt(0) === 1)
+
+    // co64 (64-bit chunk offsets) resolves the same frame locations
+    def be64(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    val co64 = mp4box("co64", cat(be32(0), be32(2), be64(1000L), be64(2000L)))
+    val stblCo64 = mp4box("stbl", cat(stts, stsz, stsc, co64, stss))
+    val mp4Co64 = cat(
+      mp4box("ftyp", cat(fcc("isom"), be32(0), fcc("mp42"))),
+      mp4box("moov", cat(mvhd, mp4box("trak", mp4box("mdia",
+        cat(mdhd, hdlr, mp4box("minf", stblCo64)))))))
+    val co64Frames = Multimodal.toAssets(Seq((9L, mp4Co64)).toDF("id", "b"), "id", "b", "video")
+      .select(explode(Multimodal.decodeFrameIndex(col("payload"))).as("f"))
+      .select("f.offset").orderBy("f.offset").collect().map(_.getLong(0))
+    assert(co64Frames.toSeq === Seq(1000L, 1010L, 2000L))
+
+    // corrupt tables fail to null, never throw or loop: stsz promising
+    // more samples than its size array, and a zero mdhd timescale
+    val stszShort = mp4box("stsz", cat(be32(0), be32(0), be32(99), be32(10)))
+    val corruptTables = cat(
+      mp4box("ftyp", cat(fcc("isom"), be32(0), fcc("mp42"))),
+      mp4box("moov", cat(mvhd, mp4box("trak", mp4box("mdia",
+        cat(mdhd, hdlr, mp4box("minf", mp4box("stbl", cat(stts, stszShort, stsc, stco)))))))))
+    val zeroTs = mp4box("mdhd",
+      cat(new Array[Byte](4), be32(0), be32(0), be32(0), be32(300)))
+    val corruptMdhd = cat(
+      mp4box("ftyp", cat(fcc("isom"), be32(0), fcc("mp42"))),
+      mp4box("moov", cat(mvhd, mp4box("trak", mp4box("mdia",
+        cat(zeroTs, hdlr, mp4box("minf", stbl)))))))
+    Seq(corruptTables, corruptMdhd).zipWithIndex.foreach { case (bytes, i) =>
+      val r = Multimodal.toAssets(Seq((100L + i, bytes)).toDF("id", "b"), "id", "b", "video")
+        .select(Multimodal.decodeFrameIndex(col("payload")).as("f")).head()
+      assert(r.isNullAt(0), s"corrupt container $i must yield null, not a frame index")
+    }
   }
 
   test("multimodal: payload stats real, stub features deterministic") {
