@@ -90,17 +90,27 @@ object QuantileState {
     override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
-  /** Fold serialized states into one (used by the merge frame op). */
+  /** Fold serialized states into one (used by the merge frame op).
+    * States built at different relative errors refuse to merge — the
+    * combined summary's rank bound would silently decay to the worse ε,
+    * and every estimate read downstream would over-trust it. */
+  private def checkedMerge(a: QuantileSummaries, b: QuantileSummaries): QuantileSummaries = {
+    require(a.relativeError == b.relativeError,
+      s"quantile-state merge: mismatched relative errors " +
+        s"(${a.relativeError} vs ${b.relativeError}) — rebuild one side")
+    a.merge(b)
+  }
+
   private final class MergeAgg
       extends Aggregator[Array[Byte], Option[QuantileSummaries], Array[Byte]] {
     override def zero: Option[QuantileSummaries] = None
     override def reduce(b: Option[QuantileSummaries], v: Array[Byte]): Option[QuantileSummaries] = {
       val qs = deserialize(v)
-      Some(b.fold(qs)(_.merge(qs)))
+      Some(b.fold(qs)(checkedMerge(_, qs)))
     }
     override def merge(a: Option[QuantileSummaries], b: Option[QuantileSummaries]): Option[QuantileSummaries] =
       (a, b) match {
-        case (Some(x), Some(y)) => Some(x.merge(y))
+        case (Some(x), Some(y)) => Some(checkedMerge(x, y))
         case (x, None)          => x
         case (None, y)          => y
       }

@@ -93,6 +93,17 @@ class QuantileStateSpec extends SparkSpec {
       s"partial sketch not below the exchange:\n$plan")
   }
 
+  test("states built at different relative errors refuse to merge") {
+    val df = Seq(("k", 1.0), ("k", 2.0)).toDF("k", "v")
+    val a = QuantileState.quantileSketch(df, "k", "v", relErr = 0.01)
+    val b = QuantileState.quantileSketch(df, "k", "v", relErr = 0.05)
+    val e = intercept[Exception](
+      QuantileState.mergeQuantileSketches(a, b, "k").collect())
+    assert(e.getMessage.contains("relative errors")
+      || Option(e.getCause).exists(_.getMessage.contains("relative errors")),
+      s"unexpected: $e")
+  }
+
   test("nulls are dropped, not counted") {
     val df = Seq(Some(1.0), None, Some(3.0), None).map(v => ("k", v)).toDF("k", "v")
     val est = QuantileState.estimateQuantiles(
