@@ -353,8 +353,13 @@ object Sampling {
       testProp: Double,
       salt: String): DataFrame = {
     require(testProp > 0 && testProp < 1, s"testProp must be in (0,1), got $testProp")
-    // internal label name: never collides with a caller column
-    val lbl = clusters.select(col("id").as(idCol), col("cluster_id").as("__graft_cl"))
+    // internal label name: never collides with a caller column. The min
+    // aggregate makes the label frame canonical — an id accidentally
+    // listed under two labels (which proper connected components never
+    // produce, since such clusters would have merged) takes the smallest,
+    // instead of the left join silently DUPLICATING that document's rows
+    val lbl = clusters.groupBy(col("id").as(idCol))
+      .agg(min(col("cluster_id")).as("__graft_cl"))
     val u = (conv(
       substring(md5(concat_ws(":",
         coalesce(col("__graft_cl"), col(idCol)).cast("string"), lit(salt))), 1, 13),

@@ -94,6 +94,13 @@ class PropertySpec extends SparkSpec {
     val plain = Sampling.clusterSafeSplit(df, "id", clusters.limit(0), 0.3, "cx")
     assert(s.filter(!col("id").isin(1L, 2L, 3L, 10L, 11L))
       .except(plain.filter(!col("id").isin(1L, 2L, 3L, 10L, 11L))).count() == 0)
+    // an id accidentally listed under two cluster labels must not
+    // duplicate its rows — the canonical (min) label wins
+    val dupLabels = clusters.union(Seq((2L, 999L)).toDF("id", "cluster_id"))
+    val sDup = Sampling.clusterSafeSplit(df, "id", dupLabels, 0.3, "cx")
+    assert(sDup.count() == 1000)
+    assert(sDup.filter(col("id") === 2L).head().getAs[String]("split") ==
+      s.filter(col("id") === 2L).head().getAs[String]("split"))
     // a new near-dup joining a cluster adopts the cluster's split rather
     // than reshuffling it: adding id 1001 to cluster 1 leaves 1-3 unchanged
     val grown = clusters.union(Seq((1001L, 1L)).toDF("id", "cluster_id"))
