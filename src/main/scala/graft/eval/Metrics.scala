@@ -398,6 +398,8 @@ object Metrics {
       .limit(maxGroups + 1).collect().map(_.getString(0))
     require(groups.length <= maxGroups,
       s"fitIsotonicCalibrationByGroup: > $maxGroups groups in '$groupCol' — not a segment column")
+    require(groups.exists(_ != null),
+      s"fitIsotonicCalibrationByGroup: no non-null groups in '$groupCol'")
     groups.filter(_ != null).map { g =>
       val (_, m) = fitIsotonicCalibration(
         df.filter(col(groupCol).cast("string") === g), scoreCol, labelCol)
