@@ -64,8 +64,14 @@ object Bench {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // reliable checkpoint dir: iterative operators (near-dup clustering)
+    // take the cluster-durable path, and no localCheckpoint blocks (or
+    // their lineage-truncation unpersist warnings) accumulate mid-bench
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
 
     awaitQuietMachine()
 

@@ -22,9 +22,20 @@ object Sessions {
       .config("spark.sql.ansi.enabled", "false")
       // testdata events.parquet carries TIMESTAMP(NANOS) — read as long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reclaim reliable-checkpoint files once their frame is unreachable
+      // (iterative ops like Dedup.nearDupClusters checkpoint per iteration)
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .config("spark.ui.enabled", "false")
     val spark = extra.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A reliable checkpoint dir makes iterative operators take the
+    // cluster-durable .checkpoint() path instead of the localCheckpoint
+    // fallback (unreplicated executor-local blocks — unrecoverable after
+    // an executor loss, and incompatible with dynamic allocation). On a
+    // real cluster the caller sets an HDFS/object-store dir instead.
+    if (spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     spark
   }
 }

@@ -14,8 +14,11 @@ object Verify {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setCheckpointDir(
+      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
     // oracle mode: percentile-based queries run exact so they hash-match
     // DuckDB's quantile_cont (production default is the approx sketch)
     graft.queries.Support.oracleMode = true

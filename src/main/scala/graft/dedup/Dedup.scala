@@ -300,17 +300,24 @@ object Dedup {
     * would otherwise silently violate the smallest-member contract.
     *
     * Lineage discipline: the edge list and each iteration's label frame
-    * are eagerly localCheckpoint-ed — otherwise iteration i would lazily
-    * re-run the (expensive) upstream pair generation and every prior
-    * iteration's joins. Superseded label frames are freed by the
-    * ContextCleaner once dereferenced. */
+    * are eagerly checkpointed — otherwise iteration i would lazily re-run
+    * the (expensive) upstream pair generation and every prior iteration's
+    * joins. When the SparkContext has a reliable checkpoint directory
+    * configured (`sc.setCheckpointDir` — HDFS/object store on a real
+    * cluster), iterations checkpoint THERE: reliable checkpoints survive
+    * executor loss, which unreplicated `localCheckpoint` blocks do not
+    * (Spark's own docs forbid localCheckpoint under dynamic allocation —
+    * one preempted executor after lineage truncation kills the job).
+    * `localCheckpoint` remains only as the no-dir local-mode fallback.
+    * Superseded iterations are released explicitly, not left to the
+    * ContextCleaner's GC race. */
   def nearDupClusters(pairs: DataFrame, maxIterations: Int = 12): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint(true)
+    val edges = durableCheckpoint(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = durableCheckpoint(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("cluster_id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -323,18 +330,18 @@ object Dedup {
         .select(col("id"), least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
       // pointer jumping: adopt the current label's own label — halves the
       // remaining chain length, turning O(diameter) into O(log diameter)
-      val next = propagated.as("a")
+      val next = durableCheckpoint(propagated.as("a")
         .join(
           propagated.select(col("id").as("cluster_id"), col("cluster_id").as("__parent")).as("b"),
           Seq("cluster_id"), "left")
         .select(
           col("id"),
-          least(col("cluster_id"), coalesce(col("__parent"), col("cluster_id"))).as("cluster_id"))
-        .localCheckpoint(true)
+          least(col("cluster_id"), coalesce(col("__parent"), col("cluster_id"))).as("cluster_id")))
       val changed = next.as("n")
         .join(labels.as("l"), col("n.id") === col("l.id"))
         .filter(col("n.cluster_id") =!= col("l.cluster_id"))
         .limit(1).count()
+      release(labels)
       labels = next
       converged = changed == 0
       i += 1
@@ -343,8 +350,38 @@ object Dedup {
       System.err.println(
         s"[graft] nearDupClusters did NOT converge in $maxIterations iterations — " +
           "cluster_ids may not be the smallest member id; raise maxIterations")
+    release(edges)
     labels
   }
+
+  /** Eager checkpoint, reliable when the context has a checkpoint dir.
+    *
+    * The reliable path persists first so the plan computes once: a bare
+    * `RDD.checkpoint` re-runs the whole lineage in a second job to write
+    * the files, and at corpus scale each clustering iteration's joins are
+    * too expensive to pay twice. The pre-checkpoint cache is dropped as
+    * soon as the files are written; checkpoint files themselves are
+    * reclaimed by `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    * (set by [[graft.Sessions.local]]) once the frame is unreachable. */
+  private def durableCheckpoint(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
+      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val out = cached.checkpoint(eager = true)
+      cached.unpersist(blocking = false)
+      out
+    } else df.localCheckpoint(eager = true)
+
+  /** Free a superseded checkpointed frame's storage immediately.
+    * `localCheckpoint` blocks otherwise live until the ContextCleaner
+    * happens to GC the backing RDD — across an iterative loop (and a long
+    * shared session) the accumulated blocks create block-manager pressure
+    * and cleaner churn. No-op for reliable checkpoints (files, not
+    * blocks — the cleaner reclaims those via cleanCheckpoints). */
+  private def release(df: DataFrame): Unit =
+    org.apache.spark.sql.graft.Bridge.backingRdd(df).foreach { rdd =>
+      if (rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        rdd.unpersist(blocking = false)
+    }
 
   /** Cluster-level near-dup dedup: generate MinHash near-dup pairs, resolve
     * them to clusters, keep the smallest id per cluster — documents with no
@@ -423,18 +460,6 @@ object Dedup {
     withinSurvivors.join(crossMatched, Seq(idCol), "left_anti")
   }
 
-  /** Train/eval contamination report: for every (corpus doc, eval doc)
-    * pair sharing at least `minOverlap` word k-grams, the count of shared
-    * distinct grams and the fraction of the eval doc's grams covered — the
-    * decontamination check every benchmark-clean training pipeline runs
-    * before a corpus ships.
-    *
-    * Scale: the EVAL side is tiny by construction (benchmarks are
-    * thousands of docs, the corpus is billions) — its exploded gram set is
-    * explicitly broadcast, so the corpus side streams through a map-side
-    * hash join with NO shuffle of corpus grams; the only shuffle is the
-    * pair-count groupBy over matched grams, bounded by |matches|, not the
-    * corpus. */
   /** Decontaminate a training corpus against an eval set: drop every
     * corpus document whose k-gram overlap covers at least
     * `maxEvalCoverage` of ANY eval document — the enforcement half of
@@ -458,6 +483,18 @@ object Dedup {
     corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
+  /** Train/eval contamination report: for every (corpus doc, eval doc)
+    * pair sharing at least `minOverlap` word k-grams, the count of shared
+    * distinct grams and the fraction of the eval doc's grams covered — the
+    * decontamination check every benchmark-clean training pipeline runs
+    * before a corpus ships.
+    *
+    * Scale: the EVAL side is tiny by construction (benchmarks are
+    * thousands of docs, the corpus is billions) — its exploded gram set is
+    * explicitly broadcast, so the corpus side streams through a map-side
+    * hash join with NO shuffle of corpus grams; the only shuffle is the
+    * pair-count groupBy over matched grams, bounded by |matches|, not the
+    * corpus. */
   def contaminationReport(
       corpus: DataFrame,
       evalSet: DataFrame,

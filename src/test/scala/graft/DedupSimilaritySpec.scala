@@ -131,6 +131,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(chained.values.toSet == Set(1L), s"15-hop chain must collapse to cluster 1; got $chained")
   }
 
+  test("near-dup clusters: reliable checkpoint dir yields identical labels to the local fallback") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val pairs = ((1L to 15L).sliding(2).map(s => (s.head, s.last)).toSeq ++
+      Seq((20L, 22L), (22L, 21L), (30L, 31L))).toDF("id_a", "id_b")
+    val prevDir = sc.getCheckpointDir
+    try {
+      // force the localCheckpoint fallback regardless of suite ordering
+      org.apache.spark.sql.graft.Bridge.clearCheckpointDir(sc)
+      val viaLocal = graft.dedup.Dedup.nearDupClusters(pairs)
+        .as[(Long, Long)].collect().toMap
+      val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-spec")
+      sc.setCheckpointDir(dir.toString)
+      val viaReliable = graft.dedup.Dedup.nearDupClusters(pairs)
+        .as[(Long, Long)].collect().toMap
+      assert(viaReliable == viaLocal, "checkpoint mode must not change cluster labels")
+      assert(viaLocal.values.toSet == Set(1L, 20L, 30L))
+      // the reliable path must actually have written checkpoint files
+      val wrote = java.nio.file.Files.walk(dir).filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, s"no checkpoint files under $dir — reliable path not taken")
+    } finally {
+      org.apache.spark.sql.graft.Bridge.clearCheckpointDir(sc)
+      prevDir.foreach(sc.setCheckpointDir)
+    }
+  }
+
   test("nearDupDedup keeps one survivor per near-dup cluster") {
     // docs 0 and 1 are near-dups (one-word edit), 3 is an exact dup of 0 —
     // expect exactly one survivor (doc 0) from that cluster; 2 and 4 stay
