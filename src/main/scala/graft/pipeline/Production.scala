@@ -328,18 +328,15 @@ object Production {
       val s = ctx.spark
       val textCol = params.getOrElse("text_col", "text").toString
       val docs = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
-      val merges = graft.text.Bpe.train(
+      // one corpus scan yields BOTH artifacts: merges and the token->id
+      // table a trainer consumes, persisted side by side
+      val (merges, vocabIds) = graft.text.Bpe.trainArtifacts(
         docs, textCol,
         numMerges = params.getOrElse("num_merges", "200").toString.toInt,
         maxWords = params.getOrElse("max_words", "50000").toString.toInt,
         minPairCount = params.getOrElse("min_pair_count", "2").toString.toLong)
       save(ctx, merges, ctx.dataPath("models.bpe_merges"))
-      // the token->id table a trainer consumes, persisted beside the merges
-      save(ctx,
-        graft.text.Bpe.vocabWithIds(
-          docs, textCol,
-          Tables.readData(s, Seq(ctx.dataPath("models.bpe_merges")))),
-        ctx.dataPath("models.bpe_vocab"))
+      save(ctx, vocabIds, ctx.dataPath("models.bpe_vocab"))
     }
 
     Jobs.register("tokenizer", "encode") { (ctx, params) =>

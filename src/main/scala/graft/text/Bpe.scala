@@ -58,19 +58,44 @@ object Bpe {
       maxWords: Int = 50000,
       minPairCount: Long = 2L): DataFrame = {
     require(numMerges > 0, s"need numMerges > 0, got $numMerges")
+    trainFromCounts(df.sparkSession, cappedWordCounts(df, textCol, maxWords),
+      numMerges, minPairCount)
+  }
+
+  /** THE one corpus-sized pass of BPE training: frequency-capped word
+    * counts (a map-side-combinable groupBy, ties at the cap boundary
+    * broken by word so the table is deterministic on any layout). Every
+    * other training artifact — merges, charset, token-id vocabulary —
+    * derives from this bounded output without touching the corpus again. */
+  def cappedWordCounts(df: DataFrame, textCol: String, maxWords: Int = 50000): Seq[(String, Long)] = {
     require(maxWords > 0, s"need maxWords > 0, got $maxWords")
-    val spark = df.sparkSession
-    // the one corpus-sized pass: word counts, frequency-capped. Ties at the
-    // cap boundary break by word so the table is deterministic.
-    val wordCounts = df
-      .select(explode(wordsOf(textCol)).as("__w"))
+    df.select(explode(wordsOf(textCol)).as("__w"))
       .groupBy(col("__w"))
       .agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__w").asc)
       .limit(maxWords)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    trainFromCounts(spark, wordCounts.toSeq, numMerges, minPairCount)
+      .toSeq
+  }
+
+  /** Merge table AND token-id vocabulary from ONE corpus scan — the
+    * word-count pass feeds both the driver merge loop and the charset, so
+    * the full tokenizer-training artifact set costs exactly one pass over
+    * the text (an earlier revision re-exploded every character of every
+    * word occurrence in [[vocabWithIds]] — a second full scan for a
+    * driver-sized charset). Returns (merges, vocabIds). */
+  def trainArtifacts(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxWords: Int = 50000,
+      minPairCount: Long = 2L): (DataFrame, DataFrame) = {
+    require(numMerges > 0, s"need numMerges > 0, got $numMerges")
+    val spark = df.sparkSession
+    val counts = cappedWordCounts(df, textCol, maxWords)
+    val merges = trainFromCounts(spark, counts, numMerges, minPairCount)
+    (merges, vocabWithIdsFromCounts(spark, counts, merges))
   }
 
   /** Driver-side merge loop over a bounded (word, count) table. Exposed so
@@ -138,22 +163,34 @@ object Bpe {
   val UnkToken = "<unk>"
 
   /** Deterministic token→id table: `(token, token_id)` with id 0 reserved
-    * for `<unk>`, then the corpus' base symbols (every character, in both
-    * plain and sentinel-fused form) and every merge output, ids assigned
-    * by token sort order — same corpus + merges, same ids, any engine.
+    * for `<unk>`, then the base symbols of the frequency-capped vocabulary
+    * words (every character, in both plain and sentinel-fused form) and
+    * every merge output, ids assigned by token sort order — same corpus +
+    * merges, same ids, any engine.
     *
-    * The base-symbol pass is one bounded distinct (the charset, not the
-    * corpus); the assembled vocabulary (charset + numMerges entries) is
-    * driver-sized by construction, like the merge table itself. */
-  def vocabWithIds(corpus: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
-    val spark = corpus.sparkSession
+    * Runs the capped word-count pass itself; when the counts are already
+    * in hand (from [[train]]'s pass) use [[trainArtifacts]] or
+    * [[vocabWithIdsFromCounts]] so the whole artifact set costs one scan.
+    * The charset of the capped words is the charset the tokenizer can
+    * assign real ids to — characters appearing only in beyond-the-cap
+    * words encode to [[UnkId]], the standard bounded-vocab behavior. */
+  def vocabWithIds(
+      corpus: DataFrame,
+      textCol: String,
+      merges: DataFrame,
+      maxWords: Int = 50000): DataFrame =
+    vocabWithIdsFromCounts(
+      corpus.sparkSession, cappedWordCounts(corpus, textCol, maxWords), merges)
+
+  /** [[vocabWithIds]] from an in-hand capped word-count table — zero
+    * corpus scans: the charset is derived driver-side from the (bounded)
+    * vocabulary words themselves. */
+  def vocabWithIdsFromCounts(
+      spark: SparkSession,
+      wordCounts: Seq[(String, Long)],
+      merges: DataFrame): DataFrame = {
     import spark.implicits._
-    val baseChars = corpus
-      .select(explode(wordsOf(textCol)).as("__w"))
-      .select(explode(split(col("__w"), "")).as("c"))
-      .filter(length(col("c")) > 0)
-      .distinct()
-      .as[String].collect()
+    val baseChars = wordCounts.iterator.map(_._1).flatMap(_.map(_.toString)).toArray.distinct
     val mergeTokens = merges
       .select(concat(col("left"), col("right")).as("t"))
       .as[String].collect()

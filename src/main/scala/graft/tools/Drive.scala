@@ -44,5 +44,16 @@ object Drive {
     val tWarm = (System.nanoTime() - t3) / 1e9
     println(f"fuzzy clusters rows cold=$e1 ($tCold%.2f s) warm=$e2 ($tWarm%.2f s) ratio=${tWarm / tCold}%.2f")
     println(s"persistent RDDs at exit = ${spark.sparkContext.getPersistentRDDs.size}")
+
+    // single-scan BPE artifacts on real testdata: train + vocab + encode,
+    // audit flags must be uniformly TRUE
+    val t4 = System.nanoTime()
+    val (merges, vocabIds) = graft.text.Bpe.trainArtifacts(docs, "text", numMerges = 150)
+    val encd = graft.text.Bpe.encodeIds(docs, "text", merges, vocabIds)
+    val audit = graft.text.Bpe.encodeAudit(
+      graft.text.Bpe.encode(docs, "text", merges), "doc_id", "text")
+    val bad = audit.filter(!col("roundtrip_ok") || !col("count_sane")).count()
+    println(f"bpe: merges=${merges.count()} vocab=${vocabIds.count()} encoded=${encd.count()} " +
+      f"auditFailures=$bad in ${(System.nanoTime()-t4)/1e9}%.2f s")
   }
 }

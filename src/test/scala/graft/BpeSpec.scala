@@ -101,6 +101,27 @@ class BpeSpec extends SparkSpec {
     assert(oovIds.forall(_ == Bpe.UnkId) && oovIds.size === 3)
   }
 
+  test("trainArtifacts: merges + vocab from provably ONE corpus scan") {
+    val sc = spark.sparkContext
+    val scans = sc.longAccumulator("corpus-row-reads")
+    val raw = (Seq.fill(5)("ab ab ba") ++ Seq.fill(3)("abc") ++ Seq("qq zz")).toSeq
+    // every pass over the corpus increments the accumulator once per row —
+    // a second scan would read 2x the row count
+    val corpus = spark.createDataset(sc.parallelize(raw, 3).map { s => scans.add(1); s }).toDF("text")
+    val (merges, vocabIds) = Bpe.trainArtifacts(corpus, "text", numMerges = 20)
+    assert(scans.value === raw.size.toLong,
+      s"expected exactly ${raw.size} row reads (one corpus pass), got ${scans.value}")
+    // identical artifacts to the two-call path
+    val m2 = Bpe.train(corpus, "text", numMerges = 20)
+    val v2 = Bpe.vocabWithIds(corpus, "text", m2)
+    assert(merges.collect().toSeq === m2.collect().toSeq)
+    assert(vocabIds.collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._2).toSeq ===
+      v2.collect().map(r => (r.getString(0), r.getInt(1))).sortBy(_._2).toSeq)
+    // charset of the capped words covers the whole tiny corpus
+    val toks = vocabIds.select("token").as[String].collect().toSet
+    assert(Seq("a", "b", "q", "z", "b</w>", "c</w>").forall(toks.contains), s"missing base chars in $toks")
+  }
+
   test("vocab contains every merged symbol") {
     val corpus = Seq.fill(4)("ab ab").toDF("text")
     val merges = Bpe.train(corpus, "text", numMerges = 5)
