@@ -748,6 +748,52 @@ object LlmQueries {
     (base +: steps).mkString(",\n") + s"\n$sel\nORDER BY query_id, rank"
   }
 
+  /** Shared oracle for the two incremental near-dup queries (direct and
+    * index-served — identical survivors by construction): within-batch
+    * recursive-CTE components at j >= 0.6 pick canonical ids; any
+    * batch-to-corpus match at j >= 0.6 disqualifies. */
+  private val IncrementalNearDupOracle: String =
+    """WITH RECURSIVE
+      |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+      |batch AS (SELECT doc_id + 200000 AS doc_id,
+      |            regexp_replace(text, '^\S+', 'graftmutated') AS text
+      |          FROM documents WHERE doc_id < 25
+      |          UNION ALL
+      |          SELECT doc_id, text FROM documents
+      |          WHERE doc_id >= 100 AND doc_id < 150),
+      |bw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM batch),
+      |bsh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM bw)),
+      |cw AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM corpus),
+      |csh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+      |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM cw)),
+      |bsizes AS (SELECT doc_id, count(*) AS n FROM bsh GROUP BY 1),
+      |csizes AS (SELECT doc_id, count(*) AS n FROM csh GROUP BY 1),
+      |binter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+      |           FROM bsh a JOIN bsh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |bpairs AS (SELECT id_a, id_b FROM binter
+      |           JOIN bsizes sa ON sa.doc_id = id_a
+      |           JOIN bsizes sb ON sb.doc_id = id_b
+      |           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.6),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM bpairs
+      |          UNION SELECT id_b, id_a FROM bpairs),
+      |nodes AS (SELECT DISTINCT src AS id FROM edges),
+      |cc AS (SELECT id, id AS label FROM nodes
+      |       UNION
+      |       SELECT e.src, cc.label FROM edges e, cc WHERE e.dst = cc.id),
+      |labels AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+      |losers AS (SELECT id FROM labels WHERE id <> cluster_id),
+      |xinter AS (SELECT b.doc_id AS bid, c.doc_id AS cid, count(*) AS i
+      |           FROM bsh b JOIN csh c ON b.s = c.s GROUP BY 1, 2),
+      |xmatch AS (SELECT DISTINCT bid FROM xinter
+      |           JOIN bsizes sb ON sb.doc_id = bid
+      |           JOIN csizes sc ON sc.doc_id = cid
+      |           WHERE CAST(i AS DOUBLE) / (sb.n + sc.n - i) >= 0.6)
+      |SELECT doc_id FROM batch
+      |WHERE doc_id NOT IN (SELECT id FROM losers)
+      |  AND doc_id NOT IN (SELECT bid FROM xmatch)
+      |ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "mmr_rerank" -> mmrOracleSql(5),
     "multimodal_features" ->
@@ -960,6 +1006,149 @@ object LlmQueries {
       """SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
         |  CAST(count(*) AS BIGINT) AS n_docs, TRUE AS n_seqs_ok
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    // SimHash near-dup pairs: hamming distance between xxhash-based
+    // 64-bit signatures has no SQL twin, but the output on the planted
+    // sf0.01 corpus is a deterministic pure function of (data, seed) —
+    // pinned here as literal rows the way mp4_frame_index pins its
+    // arithmetic. Regenerate with tools/compare_oracle.py if the testdata
+    // corpus content ever changes (the pigeonhole recall bound itself is
+    // enforced against brute force by RecallSpec).
+    "dedup_simhash" ->
+      """WITH p(a, b, h) AS (SELECT * FROM (VALUES
+        |  (0,100000,4), (1,100001,4), (2,100002,2), (3,9,10), (3,13,9),
+        |  (3,100003,4), (3,100013,8), (3,100041,10), (4,9,9), (4,13,10), (4,32,8),
+        |  (4,37,10), (4,40,10), (4,42,10), (4,43,10), (4,100004,0), (4,100009,10),
+        |  (4,100010,9), (4,100013,9), (4,100032,7), (4,100035,10), (5,9,10),
+        |  (5,14,6), (5,17,6), (5,28,10), (5,31,6), (5,100005,0), (5,100009,7),
+        |  (5,100014,7), (5,100017,7), (5,100022,9), (5,100028,10), (5,100031,7),
+        |  (5,100032,10), (5,100040,10), (6,100006,5), (7,18,10), (7,21,10),
+        |  (7,29,10), (7,100007,4), (7,100029,10), (8,37,10), (8,100008,1),
+        |  (9,14,10), (9,18,7), (9,27,9), (9,31,10), (9,36,10), (9,41,10),
+        |  (9,100003,10), (9,100004,9), (9,100005,10), (9,100009,3), (9,100018,9),
+        |  (9,100031,9), (9,100032,10), (9,100041,10), (10,100008,10),
+        |  (10,100010,2), (11,100011,1), (12,100012,0), (13,100004,10),
+        |  (13,100010,9), (13,100013,1), (14,28,10), (14,31,6), (14,36,10),
+        |  (14,100005,6), (14,100009,7), (14,100014,1), (14,100022,9),
+        |  (14,100028,10), (14,100031,7), (14,100032,10), (14,100040,10),
+        |  (15,20,10), (15,100015,2), (16,29,9), (16,100016,4), (16,100029,9),
+        |  (17,100005,6), (17,100017,1), (18,27,6), (18,29,10), (18,36,9),
+        |  (18,100009,10), (18,100018,2), (18,100027,6), (18,100029,10),
+        |  (18,100032,9), (19,29,10), (19,100019,7), (19,100029,10), (20,38,8),
+        |  (20,42,8), (20,100020,1), (20,100038,7), (20,100042,10), (21,100021,6),
+        |  (22,31,9), (22,100022,2), (23,100023,0), (23,100032,9), (23,100044,9),
+        |  (24,100024,1), (25,100025,0), (25,100040,10), (25,100043,10),
+        |  (26,100026,10), (27,36,9), (27,100009,10), (27,100018,8), (27,100027,2),
+        |  (27,100036,9), (28,100005,10), (28,100028,2), (29,31,9), (29,32,10),
+        |  (29,40,8), (29,100007,10), (29,100016,9), (29,100018,10),
+        |  (29,100027,10), (29,100029,0), (29,100032,9), (29,100040,9), (30,35,9),
+        |  (30,100030,3), (30,100035,10), (31,40,9), (31,41,10), (31,100005,6),
+        |  (31,100009,7), (31,100014,7), (31,100022,7), (31,100029,9),
+        |  (31,100031,3), (31,100032,10), (31,100040,8), (32,100004,8),
+        |  (32,100007,10), (32,100009,10), (32,100029,10), (32,100032,3),
+        |  (32,100035,10), (33,100024,10), (33,100033,3), (34,100034,4),
+        |  (35,100030,10), (35,100035,1), (36,100009,9), (36,100027,9),
+        |  (36,100032,10), (36,100036,2), (37,100004,10), (37,100008,9),
+        |  (37,100037,4), (38,100020,9), (38,100038,1), (39,100039,3),
+        |  (39,100045,10), (40,100004,10), (40,100029,8), (40,100040,1),
+        |  (41,46,10), (41,100031,9), (41,100041,2), (41,100046,9), (42,100004,10),
+        |  (42,100010,9), (42,100020,9), (42,100042,2), (43,100004,10),
+        |  (43,100043,5), (44,100044,2), (45,100045,1), (46,100046,1),
+        |  (47,100047,1), (48,100000,10), (48,100048,4), (49,100049,4),
+        |  (100002,100018,10), (100003,100041,10), (100004,100009,10),
+        |  (100004,100010,9), (100004,100013,9), (100004,100032,7),
+        |  (100004,100035,10), (100005,100009,7), (100005,100014,7),
+        |  (100005,100017,7), (100005,100022,9), (100005,100028,10),
+        |  (100005,100031,7), (100005,100032,10), (100005,100040,10),
+        |  (100007,100029,10), (100009,100014,8), (100009,100031,6),
+        |  (100009,100032,9), (100009,100046,10), (100010,100013,10),
+        |  (100013,100032,10), (100014,100022,10), (100014,100031,8),
+        |  (100016,100029,9), (100018,100027,6), (100018,100029,10),
+        |  (100018,100032,9), (100020,100038,8), (100022,100031,10),
+        |  (100023,100032,9), (100023,100044,9), (100025,100040,10),
+        |  (100025,100043,10), (100027,100029,10), (100027,100036,7),
+        |  (100027,100047,10), (100027,100049,10), (100028,100032,10),
+        |  (100029,100032,9), (100029,100040,9), (100032,100036,10),
+        |  (100034,100039,10)
+        |))
+        |SELECT CAST(a AS BIGINT) AS id_a, CAST(b AS BIGINT) AS id_b,
+        |  CAST(h AS INT) AS hamming FROM p ORDER BY id_a, id_b""".stripMargin,
+    // MinHash near-dup pairs: candidate generation is xxhash LSH, but the
+    // VERIFIED output (true 3-shingle Jaccard >= threshold) is exactly
+    // SQL-derivable — DuckDB brute-forces all pairs and the sets must
+    // coincide because banded LSH has full recall on this corpus (the
+    // planted mutations sit at j >> 0.5 where the 16x2 banding catch
+    // probability is 1 to ~1e-7, and both engines are deterministic on
+    // the same data). A genuine LSH recall loss would surface here as a
+    // missing row — which is precisely what the oracle should catch.
+    "dedup_minhash" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |corpus AS (SELECT doc_id, text FROM base
+        |           UNION ALL
+        |           SELECT doc_id + 100000, regexp_replace(text, '^\S+', 'graftmutated')
+        |           FROM base),
+        |d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM d)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    // cluster survivors over the same brute-forced edge set: recursive-CTE
+    // connected components, smallest member survives (the
+    // cluster_survivors_exact pattern at the planted corpus + 0.5)
+    "dedup_cluster_survivors" ->
+      """WITH RECURSIVE
+        |base AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |corpus AS (SELECT doc_id, text FROM base
+        |           UNION ALL
+        |           SELECT doc_id + 100000, regexp_replace(text, '^\S+', 'graftmutated')
+        |           FROM base),
+        |d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM corpus),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+        |       FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2)) AS i FROM d)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM inter
+        |          JOIN sizes sa ON sa.doc_id = id_a
+        |          JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |cc AS (SELECT id, id AS label FROM nodes
+        |       UNION
+        |       SELECT e.src, cc.label FROM edges e, cc WHERE e.dst = cc.id),
+        |labels AS (SELECT id, min(label) AS cluster_id FROM cc GROUP BY id),
+        |losers AS (SELECT id AS doc_id FROM labels WHERE id <> cluster_id)
+        |SELECT doc_id FROM corpus WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+        |ORDER BY doc_id""".stripMargin,
+    // incremental near-dup survivors: within-batch connected components
+    // (brute-forced edges at 0.6) for canonicality, then an anti-join on
+    // any batch->corpus match at 0.6 — the exact incrementalNearDupDedup
+    // contract, re-derived from scratch in SQL
+    "dedup_minhash_incremental" -> IncrementalNearDupOracle,
+    // identical expected survivors served from the persisted MinHash
+    // index — same oracle as dedup_minhash_incremental by construction
+    // (MinHashIndexSpec asserts the Spark-side equality too)
+    "dedup_minhash_index" -> IncrementalNearDupOracle,
+    // embedding near-dup: hyperplane-LSH candidates, exact-cosine
+    // verified at 0.999 — the planted pairs are byte-identical vectors
+    // (cosine exactly 1.0, identical signatures in every table, so LSH
+    // recall on them is structural); DuckDB brute-forces all-pairs
+    // cosine and the sets must coincide
+    "embedding_near_dup" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50),
+        |corpus AS (SELECT vec_id, embedding FROM base
+        |           UNION ALL SELECT vec_id + 100000, embedding FROM base)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6) AS cosine
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
     // MP4 frame index: the container is a fixed hand-built payload, so
     // the expected ISO-BMFF sample arithmetic is pinned as literal rows
     // (one set per parsed asset) — any drift in offset/size/pts math
