@@ -55,6 +55,11 @@ object MinHashIndex {
       r.getAs[Int]("rows_per_band"), r.getAs[Int]("max_bucket"), r.getAs[Long]("n_rows"))
   }
 
+  /** The id column the index was built with — for callers aligning
+    * external state with index-served results (e.g. the streaming corpus
+    * maintainer's replay reconciliation). */
+  def idColumn(spark: SparkSession, dir: String): String = readMeta(spark, dir).idCol
+
   /** True iff a complete index exists at `dir` (meta written last). */
   def exists(spark: SparkSession, dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/$MetaFile/_SUCCESS")

@@ -180,12 +180,18 @@ object QuantileState {
   }
 
   /** Rank-bound audit of an estimate frame against the raw rows it
-    * summarizes: for each key and probability, TRUE iff the estimate's
-    * rank among the key's values is within ±max(1, ⌈ε·n⌉) of the target
-    * rank ⌈p·n⌉ — the GK guarantee. Joins estimates back to the data on
-    * the key (the planner broadcasts when the estimate frame is small;
-    * at extreme key cardinality it stays a shuffle join — never forced),
-    * so it costs one scan of the audited batch. */
+    * summarizes: for each key and probability, TRUE iff SOME rank of the
+    * estimate among the key's values is within ±max(1, ⌈ε·n⌉) of the
+    * target rank ⌈p·n⌉ — the GK guarantee. A tied value occupies the
+    * whole rank interval [count(<q)+1, count(<=q)], and the guarantee
+    * holds for some rank IN that interval — checking only count(<=q)
+    * (the max rank of the tie group) failed sketches whose key piles
+    * more than 2ε of its mass on one value. The check passes iff the
+    * interval intersects [target−bound, target+bound]. Joins estimates
+    * back to the data on the key (the planner broadcasts when the
+    * estimate frame is small; at extreme key cardinality it stays a
+    * shuffle join — never forced), so it costs one scan of the audited
+    * batch. */
   def rankWithinBound(
       df: DataFrame,
       estimates: DataFrame,
@@ -194,9 +200,11 @@ object QuantileState {
       probs: Seq[Double],
       relErr: Double = DefaultRelativeError): DataFrame = {
     val joined = df.filter(col(valueCol).isNotNull).join(estimates, Seq(keyCol))
-    val aggs = probs.map { p =>
+    val aggs = probs.flatMap { p =>
       val qc = nameFor(p)
-      count(when(col(valueCol).cast("double") <= col(qc), 1)).as(s"__rank_$qc")
+      Seq(
+        count(when(col(valueCol).cast("double") < col(qc), 1)).as(s"__rlo_$qc"),
+        count(when(col(valueCol).cast("double") <= col(qc), 1)).as(s"__rhi_$qc"))
     }
     val n = count(lit(1)).as("__n")
     val ranked = joined.groupBy(col(keyCol), col("n_state"))
@@ -205,7 +213,8 @@ object QuantileState {
       val qc = nameFor(p)
       val target = ceil(lit(p) * col("__n"))
       val bound = greatest(lit(1.0), ceil(lit(relErr) * col("__n")))
-      (abs(col(s"__rank_$qc") - target) <= bound).as(s"within_$qc")
+      ((col(s"__rlo_$qc") + 1 <= target + bound) &&
+        (col(s"__rhi_$qc") >= target - bound)).as(s"within_$qc")
     }
     ranked.select(
       (col(keyCol) +: (col("__n").cast("long").as("n") +:

@@ -128,7 +128,10 @@ object Mp4FrameIndex {
     out.result()
   }
 
-  /** Locate the first video track's sample tables. */
+  /** Locate the first video track WITH complete sample tables — a trak
+    * whose minf/stbl is missing or whose tables are incomplete (or whose
+    * timescale is zero) is skipped, not fatal: an MP4 with a defective
+    * first video track and a valid second one still yields its index. */
   private def videoTables(b: Array[Byte]): Tables = {
     val moov = findBox(b, 0, b.length, "moov")
     if (moov == null) return null
@@ -149,20 +152,20 @@ object Mp4FrameIndex {
             else if (v == 1 && mdhd._1 + 24 <= mdhd._2) t.timescale = u32be(b, mdhd._1 + 20)
           }
           val minf = findBox(b, mdia._1, mdia._2, "minf")
-          if (minf == null) return null
-          val stbl = findBox(b, minf._1, minf._2, "stbl")
-          if (stbl == null) return null
-          def grab(typ: String): (Int, Int) = findBox(b, stbl._1, stbl._2, typ)
-          grab("stts") match { case null => (); case (s, e) => t.stts = s; t.sttsEnd = e }
-          grab("stsz") match { case null => (); case (s, e) => t.stsz = s; t.stszEnd = e }
-          grab("stsc") match { case null => (); case (s, e) => t.stsc = s; t.stscEnd = e }
-          grab("stco") match { case null => (); case (s, e) => t.stco = s; t.stcoEnd = e }
-          if (t.stco < 0) grab("co64") match {
-            case null => ()
-            case (s, e) => t.stco = s; t.stcoEnd = e; t.co64 = true
+          val stbl = if (minf == null) null else findBox(b, minf._1, minf._2, "stbl")
+          if (stbl != null) {
+            def grab(typ: String): (Int, Int) = findBox(b, stbl._1, stbl._2, typ)
+            grab("stts") match { case null => (); case (s, e) => t.stts = s; t.sttsEnd = e }
+            grab("stsz") match { case null => (); case (s, e) => t.stsz = s; t.stszEnd = e }
+            grab("stsc") match { case null => (); case (s, e) => t.stsc = s; t.stscEnd = e }
+            grab("stco") match { case null => (); case (s, e) => t.stco = s; t.stcoEnd = e }
+            if (t.stco < 0) grab("co64") match {
+              case null => ()
+              case (s, e) => t.stco = s; t.stcoEnd = e; t.co64 = true
+            }
+            grab("stss") match { case null => (); case (s, e) => t.stss = s; t.stssEnd = e }
+            if (t.complete && t.timescale > 0) return t
           }
-          grab("stss") match { case null => (); case (s, e) => t.stss = s; t.stssEnd = e }
-          return if (t.complete && t.timescale > 0) t else null
         }
       }
     }

@@ -493,8 +493,8 @@ object LlmQueries {
           filter(split(trim(col("text")), "\\s+"), w => length(w) > 0).as("tokens"))
       graft.text.Packing.materializePacked(docs, "doc_id", "tokens", ctxTokens = 64, nShards = 4)
         .select(col("shard"), col("seq_id"), col("seq_len"),
-          element_at(col("token_ids"), 1).as("first_tok"),
-          element_at(col("token_ids"), -1).as("last_tok"))
+          element_at(col("tokens"), 1).as("first_tok"),
+          element_at(col("tokens"), -1).as("last_tok"))
         .orderBy(col("shard"), col("seq_id"))
     },
     // --- the tokenize→pack chain as ONE plan: train BPE, encode, pack on

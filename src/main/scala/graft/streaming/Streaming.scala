@@ -411,7 +411,16 @@ object Streaming {
     *      dedup against them too.
     * The index must exist (build it on the seed corpus first — possibly
     * empty). Work per batch: O(|batch| + matched buckets). Replays are
-    * marker-gated like the other append-shaped maintainers. */
+    * marker-gated like the other append-shaped maintainers, with one
+    * extra guard this maintainer needs: a crash BETWEEN the docs append
+    * and the index append would otherwise make the replay re-append docs
+    * the index doesn't know about (dedup keys on the index, so unlike the
+    * exact-dedup maintainer it can't self-heal). A `begun` marker written
+    * before the first attempt detects such a replay, and the replay then
+    * reconciles against docs.parquet ids: already-appended docs are not
+    * re-appended, while their index entries (which dedupBatch proves
+    * absent — an indexed doc would have deduped against itself) still go
+    * in. Steady-state batches never pay the docs.parquet id scan. */
   def maintainNearDupCorpus(
       docs: DataFrame,
       textCol: String,
@@ -424,14 +433,28 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
         markerGated(s, acceptedDir, batchId) {
+          val begun = new org.apache.hadoop.fs.Path(s"$acceptedDir/_begun_batches/$batchId")
+          val fs = begun.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val replayOfPartial = fs.exists(begun)
+          if (!replayOfPartial) fs.create(begun, true).close()
           val survivors = graft.dedup.MinHashIndex
             .dedupBatch(s, indexDir, batch, textCol, threshold)
             // the fold below writes twice (docs + index); materialize the
             // survivor set once so the dedup join doesn't run twice
             .localCheckpoint(true)
           if (!survivors.isEmpty) {
-            survivors.write.mode(org.apache.spark.sql.SaveMode.Append)
-              .parquet(s"$acceptedDir/docs.parquet")
+            val docsPath = s"$acceptedDir/docs.parquet"
+            val toAppend =
+              if (replayOfPartial &&
+                  fs.exists(new org.apache.hadoop.fs.Path(docsPath))) {
+                val idCol = graft.dedup.MinHashIndex.idColumn(s, indexDir)
+                survivors.join(
+                  s.read.parquet(docsPath).select(idCol), Seq(idCol), "left_anti")
+              } else survivors
+            toAppend.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(docsPath)
+            // ALL survivors index: any doc already indexed would have been
+            // dropped by dedupBatch, so none of these rows double-index
             graft.dedup.MinHashIndex.append(s, indexDir, survivors, textCol)
           }
         }: Unit

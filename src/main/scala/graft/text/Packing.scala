@@ -128,7 +128,9 @@ object Packing {
       .select(
         col("shard"),
         col("seq_id"),
-        expr("transform(__packed, p -> p.__tok)").as("token_ids"),
+        // named after the input column: packing string tokens must not
+        // emit a column called token_ids full of strings
+        expr("transform(__packed, p -> p.__tok)").as(tokensCol),
         size(col("__packed")).as("seq_len"))
   }
 

@@ -816,6 +816,21 @@ class DedupSimilaritySpec extends SparkSpec {
         .select(Multimodal.decodeFrameIndex(col("payload")).as("f")).head()
       assert(r.isNullAt(0), s"corrupt container $i must yield null, not a frame index")
     }
+
+    // a defective FIRST video trak (stbl missing / zero timescale) must not
+    // mask a valid second one — the trak loop skips it and keeps going
+    val mdiaNoStbl = mp4box("mdia", cat(mdhd, hdlr, mp4box("minf", Array.empty[Byte])))
+    val mdiaZeroTs = mp4box("mdia", cat(zeroTs, hdlr, minf))
+    Seq(mdiaNoStbl, mdiaZeroTs).zipWithIndex.foreach { case (badMdia, i) =>
+      val twoTrak = cat(
+        mp4box("ftyp", cat(fcc("isom"), be32(0), fcc("mp42"))),
+        mp4box("moov", cat(mvhd, mp4box("trak", badMdia), trak)))
+      val rescued = Multimodal.toAssets(
+        Seq((200L + i, twoTrak)).toDF("id", "b"), "id", "b", "video")
+        .select(explode(Multimodal.decodeFrameIndex(col("payload"))).as("f"))
+      assert(rescued.count() === 3,
+        s"valid second video trak must be used when the first is defective (case $i)")
+    }
   }
 
   test("multimodal: payload stats real, stub features deterministic") {

@@ -33,6 +33,27 @@ class QuantileStateSpec extends SparkSpec {
     }
   }
 
+  test("rank audit passes on heavily tied values (tie-group rank interval)") {
+    // >2*eps of key mass on one value: count(<=q) alone sits far above the
+    // target rank and the old max-rank check reported a false failure for
+    // a sketch that satisfies the GK guarantee (some rank in the tie
+    // interval is within bound)
+    val probs = Seq(0.5, 0.9)
+    val tied = ((1 to 5000).map(_ => ("t", 42.0)) ++
+      (1 to 100).map(i => ("t", i.toDouble)) ++
+      (1 to 100).map(i => ("t", 1000.0 + i))).toDF("k", "v").repartition(5)
+    val state = QuantileState.quantileSketch(tied, "k", "v")
+    val est = QuantileState.estimateQuantiles(state, "k", probs)
+    val audit = QuantileState.rankWithinBound(tied, est, "k", "v", probs).head()
+    assert(audit.getAs[Boolean]("within_q_50"),
+      s"median audit must pass when the median value is a massive tie: $audit")
+    // a genuinely-off estimate still fails: claim the 0.9 quantile is the
+    // minimum value
+    val wrong = est.withColumn("q_90", lit(0.5))
+    val bad = QuantileState.rankWithinBound(tied, wrong, "k", "v", probs).head()
+    assert(!bad.getAs[Boolean]("within_q_90"), s"audit must still catch a wrong estimate: $bad")
+  }
+
   test("merge of disjoint batch states bounds ranks over the union") {
     val (a, b) = (rows.filter(col("v") < 100), rows.filter(col("v") >= 100))
     val merged = QuantileState.mergeQuantileSketches(

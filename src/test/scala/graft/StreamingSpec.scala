@@ -352,6 +352,42 @@ class StreamingSpec extends SparkSpec {
     assert(again.isEmpty, "survivor must be indexed for later batches")
   }
 
+  test("streaming near-dup corpus: replay after a crash between appends does not duplicate docs") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-neardup-replay").toString
+    val (idx, accepted) = (s"$work/idx", s"$work/accepted")
+    graft.dedup.MinHashIndex.build(
+      Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    // simulate the crash window: a prior attempt of batch 0 appended the
+    // survivor to docs.parquet, then died BEFORE the index append and the
+    // applied marker — begun marker present, applied marker absent
+    val freshText = "completely different words about volcanology and magma chambers"
+    Seq((30L, freshText)).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$accepted/docs.parquet")
+    val fs = new org.apache.hadoop.fs.Path(accepted)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$accepted/_begun_batches"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$accepted/_begun_batches/0"), true).close()
+    // the replay: same batch content arrives as batch 0
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.maintainNearDupCorpus(
+      input.toDF.toDF("doc_id", "text"), "text", idx, accepted, s"$work/ckpt",
+      threshold = 0.5)
+    input.addData(Seq((30L, freshText)))
+    q.processAllAvailable()
+    q.stop()
+    // exactly one copy of the doc — the replay reconciled against docs ids
+    val ids = spark.read.parquet(s"$accepted/docs.parquet")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids == Seq(30L), s"replay must not duplicate partially-committed docs, got $ids")
+    // and its index entry landed: a near-dup of it now drops
+    val again = graft.dedup.MinHashIndex.dedupBatch(spark, idx,
+      Seq((40L, "completely different words about volcanology and magma chamber"))
+        .toDF("doc_id", "text"), "text", threshold = 0.5)
+    assert(again.isEmpty, "replayed survivor must still reach the index")
+  }
+
   test("streaming deduped corpus: cross-batch and in-batch duplicates dropped, replays no-ops") {
     implicit val sqlCtx = spark.sqlContext
     val work = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
