@@ -497,6 +497,19 @@ object LlmQueries {
           element_at(col("tokens"), -1).as("last_tok"))
         .orderBy(col("shard"), col("seq_id"))
     },
+    // --- per-epoch loader order over the materialized sequences: the
+    // md5(epoch:shard:seq_id) draw is a pure function both engines
+    // compute bit-for-bit, so the oracle re-derives the whole permutation
+    "epoch_shuffle" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          filter(split(trim(col("text")), "\\s+"), w => length(w) > 0).as("tokens"))
+      val packed = graft.text.Packing
+        .materializePacked(docs, "doc_id", "tokens", ctxTokens = 64, nShards = 4)
+      graft.text.Packing.epochShuffle(packed, epoch = 3)
+        .select(col("shard"), col("seq_id"), col("epoch"), col("epoch_pos"))
+        .orderBy(col("shard"), col("epoch_pos"))
+    },
     // --- the tokenize→pack chain as ONE plan: train BPE, encode, pack on
     // the real token counts, summarize shards. The oracle pins what both
     // engines derive — per-shard doc counts — plus an arithmetic invariant
@@ -999,6 +1012,30 @@ object LlmQueries {
         |  CAST(count(*) AS INT) AS seq_len,
         |  arg_min(tok, gpos) AS first_tok, arg_max(tok, gpos) AS last_tok
         |FROM pos GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin,
+    // epoch shuffle: DuckDB re-derives the sequence set (packed_sequences
+    // arithmetic) and then the SAME md5(epoch:shard:seq_id) priorities and
+    // per-shard ranks — the full permutation must match bit-for-bit
+    "epoch_shuffle" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents WHERE doc_id < 50),
+        |tok AS (SELECT doc_id, doc_id % 4 AS shard, i
+        |        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        |              FROM d)
+        |        WHERE length(toks[i]) > 0),
+        |counts AS (SELECT doc_id, shard, count(*) AS n FROM tok GROUP BY 1, 2),
+        |starts AS (SELECT doc_id, shard,
+        |             coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |           FROM counts),
+        |pos AS (SELECT t.shard, s.prev + t.i - 1 AS gpos
+        |        FROM tok t JOIN starts s ON t.doc_id = s.doc_id),
+        |seqs AS (SELECT DISTINCT shard, gpos // 64 AS seq_id FROM pos)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(3 AS INT) AS epoch,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY
+        |    md5('3:' || CAST(shard AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR)),
+        |    seq_id) - 1 AS BIGINT) AS epoch_pos
+        |FROM seqs ORDER BY shard, epoch_pos""".stripMargin,
     // tokenize→pack chain: per-shard doc counts are engine-independent
     // (doc_id % nShards); the sequence-count invariant must be uniformly
     // TRUE for the hash to match

@@ -181,4 +181,37 @@ object Packing {
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
         (max(col("last_seq")) + lit(1L)).as("n_seqs"))
+
+  /** Per-epoch data-order shuffle of materialized sequences — the last
+    * trainer-side primitive before data order: each epoch the loader
+    * should read the sequences in a fresh pseudo-random order, and that
+    * order must be reproducible (resume mid-epoch, audit a run) and
+    * engine-portable (no JVM RNG state).
+    *
+    * Every sequence draws a priority from md5(epoch:shard:seq_id) — a
+    * pure function of its identity and the epoch, the same portable-draw
+    * idiom as [[graft.sampling.Sampling]]'s deterministic splits — and
+    * `epoch_pos` is its rank among its SHARD's draws for that epoch. The
+    * draw is append-stable: materializing more sequences later never
+    * changes an existing sequence's draw, only its rank among newcomers.
+    *
+    * Scale shape: one window partitioned BY SHARD (shards bound the sort
+    * the way they bound packing itself — no global sort, parallel across
+    * shards); the trainer reads shards round-robin and each shard's
+    * sequences in `epoch_pos` order, which composes shard-parallel reads
+    * with within-shard shuffling exactly like the published
+    * shard-shuffle loader designs. */
+  def epochShuffle(packed: DataFrame, epoch: Int): DataFrame = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val draw = md5(concat_ws(":",
+      lit(epoch.toString),
+      col("shard").cast("string"),
+      col("seq_id").cast("string")))
+    // tie-break by seq_id: md5 collisions are ~impossible, but a
+    // deterministic total order must not depend on their absence
+    val w = Window.partitionBy(col("shard")).orderBy(draw, col("seq_id"))
+    packed
+      .withColumn("epoch", lit(epoch))
+      .withColumn("epoch_pos", row_number().over(w).cast("long") - 1L)
+  }
 }

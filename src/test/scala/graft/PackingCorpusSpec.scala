@@ -115,6 +115,43 @@ class PackingCorpusSpec extends SparkSpec {
     }
   }
 
+  test("epochShuffle: deterministic per-shard permutation, epoch-varying, append-stable") {
+    import org.apache.spark.sql.functions._
+    val docs = (0L until 40L).map(i => (i, (0 until 7).map(j => s"t${i}_$j")))
+      .toDF("doc_id", "tokens")
+    val packed = graft.text.Packing
+      .materializePacked(docs, "doc_id", "tokens", ctxTokens = 5, nShards = 3)
+    def order(df: org.apache.spark.sql.DataFrame, epoch: Int): Seq[(Long, Long, Long)] =
+      graft.text.Packing.epochShuffle(df, epoch)
+        .select("shard", "epoch_pos", "seq_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val e1 = order(packed, 1)
+    // reproducible: the same epoch yields the identical order
+    assert(e1 === order(packed, 1))
+    // per shard, epoch_pos is a 0..n-1 permutation
+    e1.groupBy(_._1).foreach { case (shard, rows) =>
+      assert(rows.map(_._2).sorted === rows.indices.map(_.toLong),
+        s"epoch_pos must be a dense permutation in shard $shard")
+    }
+    // a different epoch reorders (56 sequences across 3 shards — identical
+    // order would mean the epoch is ignored)
+    assert(e1.map(_._3) !== order(packed, 2).map(_._3), "epoch must change the order")
+    // append-stable: with later sequences added, the RELATIVE order of the
+    // original sequences within each shard is unchanged (their draws are
+    // pure functions of identity, only ranks of newcomers interleave)
+    val more = (40L until 60L).map(i => (i, (0 until 7).map(j => s"t${i}_$j")))
+      .toDF("doc_id", "tokens")
+    val grown = graft.text.Packing
+      .materializePacked(docs.unionByName(more), "doc_id", "tokens", ctxTokens = 5, nShards = 3)
+    val oldIds = packed.select("shard", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def relOrder(rows: Seq[(Long, Long, Long)]): Map[Long, Seq[Long]] =
+      rows.groupBy(_._1).map { case (s, rs) => s -> rs.sortBy(_._2).map(_._3)
+        .filter(id => oldIds.contains((s, id))) }
+    assert(relOrder(order(grown, 1)) === relOrder(e1),
+      "original sequences must keep their relative epoch order after appends")
+  }
+
   test("globalRowNumber: contiguous total-order ranks without a global window") {
     val d = (1 to 1000).map(i => ((i * 7919) % 1000, i.toLong)).toDF("v", "id")
       .repartition(7) // scrambled input layout
