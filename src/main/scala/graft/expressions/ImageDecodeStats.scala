@@ -42,49 +42,8 @@ case class ImageDecodeStats(child: Expression)
 
   override def prettyName: String = "graft_image_stats"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
-    if (bytes.isEmpty) null
-    else
-      try {
-        // explicit MemoryCacheImageInputStream: the InputStream overload
-        // consults ImageIO's global use-cache flag, which by default
-        // spools every payload to a temp FILE before decoding — per-row
-        // executor disk IO for bytes that are already in memory
-        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-          new ByteArrayInputStream(bytes))
-        // ImageIO.read closes the stream on the decode path but NOT on
-        // the no-reader null path, and a second close() throws — swallow
-        val img =
-          try javax.imageio.ImageIO.read(iis)
-          finally (try iis.close() catch { case _: java.io.IOException => () })
-        if (img == null) null
-        else {
-          val w = img.getWidth
-          val h = img.getHeight
-          val stride =
-            math.max(1, math.ceil(math.sqrt(w.toLong * h / 65536.0)).toInt)
-          var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sr += (rgb >> 16) & 0xff
-              sg += (rgb >> 8) & 0xff
-              sb += rgb & 0xff
-              n += 1
-              x += stride
-            }
-            y += stride
-          }
-          def mean(s: Long) = math.rint(s * 1e6 / n) / 1e6
-          InternalRow(
-            w, h, img.getRaster.getNumBands,
-            mean(sr), mean(sg), mean(sb))
-        }
-      } catch { case scala.util.control.NonFatal(_) => null }
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    ImageDecodeStats.decode(input.asInstanceOf[Array[Byte]])
 
   override protected def withNewChildInternal(newChild: Expression): ImageDecodeStats =
     copy(child = newChild)
@@ -99,4 +58,49 @@ object ImageDecodeStats {
     StructField("mean_r", DoubleType, nullable = false),
     StructField("mean_g", DoubleType, nullable = false),
     StructField("mean_b", DoubleType, nullable = false)))
+
+  /** The decode kernel itself — one payload in, a [[schema]]-shaped row
+    * out (null when the bytes don't decode). Shared with
+    * [[AviMjpegFrames]], which feeds it each MJPEG frame chunk. */
+  private[expressions] def decode(bytes: Array[Byte]): InternalRow = {
+    if (bytes == null || bytes.isEmpty) return null
+    try {
+      // explicit MemoryCacheImageInputStream: the InputStream overload
+      // consults ImageIO's global use-cache flag, which by default
+      // spools every payload to a temp FILE before decoding — per-row
+      // executor disk IO for bytes that are already in memory
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes))
+      // ImageIO.read closes the stream on the decode path but NOT on
+      // the no-reader null path, and a second close() throws — swallow
+      val img =
+        try javax.imageio.ImageIO.read(iis)
+        finally (try iis.close() catch { case _: java.io.IOException => () })
+      if (img == null) null
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val stride =
+          math.max(1, math.ceil(math.sqrt(w.toLong * h / 65536.0)).toInt)
+        var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff
+            sg += (rgb >> 8) & 0xff
+            sb += rgb & 0xff
+            n += 1
+            x += stride
+          }
+          y += stride
+        }
+        def mean(s: Long) = math.rint(s * 1e6 / n) / 1e6
+        InternalRow(
+          w, h, img.getRaster.getNumBands,
+          mean(sr), mean(sg), mean(sb))
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
 }

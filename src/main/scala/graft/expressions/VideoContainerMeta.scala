@@ -80,7 +80,7 @@ object VideoContainerMeta {
   private[expressions] def u64be(b: Array[Byte], o: Int): Long =
     (u32be(b, o) << 32) | u32be(b, o + 4)
 
-  private def u32le(b: Array[Byte], o: Int): Long =
+  private[expressions] def u32le(b: Array[Byte], o: Int): Long =
     ((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
       ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL)
 

@@ -33,6 +33,10 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, LongType, 
   *     frame index: array of (idx, offset, size, pts_ms, sync) per
   *     video sample; null if no video track / tables (max_samples
   *     literal, default 100000)
+  *   - `graft_avi_mjpeg_frames(payload[, max_frames])` — REAL MJPEG
+  *     frame decode from an AVI container: array of (idx, offset, size,
+  *     width, height, mean_r, mean_g, mean_b) per decoded frame; null
+  *     if no MJPG video stream (max_frames literal, default 10000)
   *
   * Two wiring routes, same registrations:
   *   - config: `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -110,6 +114,14 @@ object GraftFunctions {
         if (args.length == 2) litInt(args(1), "graft_mp4_frames", "max_samples")
         else 100000
       Mp4FrameIndex(Cast(args(0), BinaryType), cap)
+    },
+    "graft_avi_mjpeg_frames" -> { args =>
+      require(args.length == 1 || args.length == 2,
+        "graft_avi_mjpeg_frames(payload[, max_frames]) takes 1-2 arguments")
+      val cap =
+        if (args.length == 2) litInt(args(1), "graft_avi_mjpeg_frames", "max_frames")
+        else 10000
+      AviMjpegFrames(Cast(args(0), BinaryType), cap)
     })
 
   private def info(name: String): ExpressionInfo =

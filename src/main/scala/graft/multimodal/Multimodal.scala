@@ -189,6 +189,32 @@ object Multimodal {
         col("f.size").as("size"), col("f.pts_ms").as("pts_ms"))
   }
 
+  /** REAL video frame decode for the one codec the JDK can handle:
+    * MJPEG-in-AVI, where every frame chunk is a standalone JPEG decoded
+    * by the same ImageIO kernel as [[decodeImageStats]]. Per frame: its
+    * byte range in the container plus decoded width/height and
+    * per-channel pixel means. Null for non-AVI payloads or AVIs without
+    * an MJPG video stream — those stay on the container-metadata +
+    * byte-range-index surface. */
+  def decodeAviMjpegFrames(payload: Column, maxFrames: Int = 10000): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.AviMjpegFrames(
+        org.apache.spark.sql.graft.Bridge.expression(payload.cast("binary")),
+        maxFrames))
+
+  /** Decoded MJPEG frame table: one row per decoded frame of each AVI
+    * video asset — (asset_id, idx, offset, size, width, height, mean_r,
+    * mean_g, mean_b). The pixel-decode twin of [[keyframeRanges]]:
+    * byte ranges locate the frame, the means prove the pixels were
+    * actually decoded. Pure per-row projection + explode, no shuffle. */
+  def mjpegFrameStats(df: DataFrame, maxFrames: Int = 10000): DataFrame =
+    df.filter(col("media_type") === "video")
+      .select(col("asset_id"),
+        explode(decodeAviMjpegFrames(col("payload"), maxFrames)).as("f"))
+      .select(col("asset_id"), col("f.idx").as("idx"), col("f.offset").as("offset"),
+        col("f.size").as("size"), col("f.width").as("width"), col("f.height").as("height"),
+        col("f.mean_r").as("mean_r"), col("f.mean_g").as("mean_g"), col("f.mean_b").as("mean_b"))
+
   /** Feature-extraction pass: stats + stub features, repartitioned so
     * downstream ANN/dedup stages see size-balanced partitions (payloads
     * skew; hash-repartition on asset_id). */

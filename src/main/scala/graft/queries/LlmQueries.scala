@@ -39,6 +39,54 @@ object LlmQueries {
     "000000187374636F0000000000000002000003E8000007D0000000187374737300000000" +
     "000000020000000100000003"
 
+  /** Hand-built MJPEG-in-AVI for the frame-decode oracle: RIFF/AVI with
+    * one MJPG vids stream and two movi frames — a solid-red 8x6 JPEG at
+    * byte 184 and a solid-blue 4x4 JPEG at byte 826 (both 633 bytes,
+    * encoded once with the JDK ImageIO JPEG writer and pinned as bytes
+    * so the fixture never depends on encoder drift). */
+  private val TestAviHex: String =
+    "52494646AC050000415649204C495354900000006864726C6176696838000000409C0000" +
+    "000000000000000000000000020000000000000001000000000000000800000006000000" +
+    "000000000000000000000000000000004C495354440000007374726C7374726838000000" +
+    "766964734D4A504700000000000000000000000000000000000000000000000000000000" +
+    "00000000000000000000000000000000000000004C495354080500006D6F766930306463" +
+    "79020000FFD8FFE000104A46494600010200000100010000FFDB00430008060607060508" +
+    "0707070909080A0C140D0C0B0B0C1912130F141D1A1F1E1D1A1C1C20242E2720222C231C" +
+    "1C2837292C30313434341F27393D38323C2E333432FFDB0043010909090C0B0C180D0D18" +
+    "32211C213232323232323232323232323232323232323232323232323232323232323232" +
+    "323232323232323232323232323232323232FFC000110800060008030122000211010311" +
+    "01FFC4001F0000010501010101010100000000000000000102030405060708090A0BFFC4" +
+    "00B5100002010303020403050504040000017D0102030004110512213141061351610722" +
+    "7114328191A1082342B1C11552D1F02433627282090A161718191A25262728292A343536" +
+    "3738393A434445464748494A535455565758595A636465666768696A737475767778797A" +
+    "838485868788898A92939495969798999AA2A3A4A5A6A7A8A9AAB2B3B4B5B6B7B8B9BAC2" +
+    "C3C4C5C6C7C8C9CAD2D3D4D5D6D7D8D9DAE1E2E3E4E5E6E7E8E9EAF1F2F3F4F5F6F7F8F9" +
+    "FAFFC4001F0100030101010101010101010000000000000102030405060708090A0BFFC4" +
+    "00B511000201020404030407050404000102770001020311040521310612415107617113" +
+    "22328108144291A1B1C109233352F0156272D10A162434E125F11718191A262728292A35" +
+    "363738393A434445464748494A535455565758595A636465666768696A73747576777879" +
+    "7A82838485868788898A92939495969798999AA2A3A4A5A6A7A8A9AAB2B3B4B5B6B7B8B9" +
+    "BAC2C3C4C5C6C7C8C9CAD2D3D4D5D6D7D8D9DAE2E3E4E5E6E7E8E9EAF2F3F4F5F6F7F8F9" +
+    "FAFFDA000C03010002110311003F00E2E8A28AF993F713FFD9003030646379020000FFD8" +
+    "FFE000104A46494600010200000100010000FFDB00430008060607060508070707090908" +
+    "0A0C140D0C0B0B0C1912130F141D1A1F1E1D1A1C1C20242E2720222C231C1C2837292C30" +
+    "313434341F27393D38323C2E333432FFDB0043010909090C0B0C180D0D1832211C213232" +
+    "323232323232323232323232323232323232323232323232323232323232323232323232" +
+    "323232323232323232323232FFC00011080004000403012200021101031101FFC4001F00" +
+    "00010501010101010100000000000000000102030405060708090A0BFFC400B510000201" +
+    "0303020403050504040000017D01020300041105122131410613516107227114328191A1" +
+    "082342B1C11552D1F02433627282090A161718191A25262728292A3435363738393A4344" +
+    "45464748494A535455565758595A636465666768696A737475767778797A838485868788" +
+    "898A92939495969798999AA2A3A4A5A6A7A8A9AAB2B3B4B5B6B7B8B9BAC2C3C4C5C6C7C8" +
+    "C9CAD2D3D4D5D6D7D8D9DAE1E2E3E4E5E6E7E8E9EAF1F2F3F4F5F6F7F8F9FAFFC4001F01" +
+    "00030101010101010101010000000000000102030405060708090A0BFFC400B511000201" +
+    "020404030407050404000102770001020311040521310612415107617113223281081442" +
+    "91A1B1C109233352F0156272D10A162434E125F11718191A262728292A35363738393A43" +
+    "4445464748494A535455565758595A636465666768696A737475767778797A8283848586" +
+    "8788898A92939495969798999AA2A3A4A5A6A7A8A9AAB2B3B4B5B6B7B8B9BAC2C3C4C5C6" +
+    "C7C8C9CAD2D3D4D5D6D7D8D9DAE2E3E4E5E6E7E8E9EAF2F3F4F5F6F7F8F9FAFFDA000C03" +
+    "010002110311003F00F1CA28A2BF713CC3FFD900"
+
   /** Per-sf scratch directory for the prebuilt ANN index queries: keyed by
     * the data directory so sf0.01 (Verify) and sf0.1 (Bench) never share an
     * index. Lives in the JVM temp dir — the index is a derived artifact,
@@ -528,6 +576,20 @@ object LlmQueries {
           (col("n_seqs") === ceil(col("n_tokens") / lit(512.0)).cast("long"))
             .as("n_seqs_ok"))
         .orderBy(col("shard"))
+    },
+    // --- REAL MJPEG-in-AVI frame decode: fixed hand-built container (one
+    // per document row), JPEG bytes pinned — byte ranges, decoded
+    // dimensions, and color flags are all deterministic
+    "avi_mjpeg_decode" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 5).select(col("doc_id"))
+      val assets = Multimodal.toAssets(
+        docs.withColumn("bytes", unhex(lit(TestAviHex))), "doc_id", "bytes", "video")
+      Multimodal.mjpegFrameStats(assets)
+        .select(col("asset_id"), col("idx"), col("offset"), col("size"),
+          col("width"), col("height"),
+          (col("mean_r") > 200 && col("mean_g") < 30 && col("mean_b") < 30).as("is_red"),
+          (col("mean_b") > 200 && col("mean_r") < 30).as("is_blue"))
+        .orderBy(col("asset_id"), col("idx"))
     },
     // --- MP4 frame index from the sample tables: the payload is a fixed
     // hand-built container (one per document row, so the parse runs
@@ -1186,6 +1248,19 @@ object LlmQueries {
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+    // MJPEG-in-AVI decode: fixture bytes are pinned, so frame byte
+    // ranges, JPEG-header dimensions, and the decoded-color flags are
+    // all literal arithmetic — a decode regression (wrong frame sliced,
+    // wrong pixels) breaks the hash
+    "avi_mjpeg_decode" ->
+      """WITH f(idx, off, sz, w, h, is_red, is_blue) AS (
+        |  SELECT * FROM (VALUES (0, 184, 633, 8, 6, TRUE, FALSE),
+        |                        (1, 826, 633, 4, 4, FALSE, TRUE))),
+        |d AS (SELECT doc_id FROM documents WHERE doc_id < 5)
+        |SELECT CAST(d.doc_id AS BIGINT) AS asset_id, CAST(idx AS INT) AS idx,
+        |  CAST(off AS BIGINT) AS offset, CAST(sz AS INT) AS size,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height, is_red, is_blue
+        |FROM d CROSS JOIN f ORDER BY asset_id, idx""".stripMargin,
     // MP4 frame index: the container is a fixed hand-built payload, so
     // the expected ISO-BMFF sample arithmetic is pinned as literal rows
     // (one set per parsed asset) — any drift in offset/size/pts math

@@ -833,6 +833,85 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("multimodal: REAL MJPEG-in-AVI frame decode — known pixels, ranges, codec gating") {
+    def le32(v: Long): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def fcc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+    def cat(parts: Array[Byte]*): Array[Byte] = parts.flatten.toArray
+    def chunk(id: String, data: Array[Byte]): Array[Byte] =
+      cat(fcc(id), le32(data.length), data,
+        if (data.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(listType: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", cat(fcc(listType), children))
+    def jpeg(rgb: Int, w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val red = jpeg(0xff0000, 8, 6)
+    val blue = jpeg(0x0000ff, 4, 4)
+    def avi(handler: String, frames: Array[Byte]*): Array[Byte] = {
+      // avih (AVIMAINHEADER): usPerFrame=40000, then 10xu32 layout with
+      // totalFrames, streams, width, height at their published offsets
+      val avih = chunk("avih", cat(le32(40000), le32(0), le32(0), le32(0),
+        le32(frames.length), le32(0), le32(1), le32(0), le32(8), le32(6),
+        new Array[Byte](16)))
+      val strh = chunk("strh", cat(fcc("vids"), fcc(handler), new Array[Byte](48)))
+      val hdrl = list("hdrl", cat(avih, list("strl", strh)))
+      val movi = list("movi", cat(frames.map(f => chunk("00dc", f)): _*))
+      val body = cat(fcc("AVI "), hdrl, movi)
+      cat(fcc("RIFF"), le32(body.length), body)
+    }
+    val good = avi("MJPG", red, blue)
+    val assets = Multimodal.toAssets(Seq((1L, good)).toDF("id", "b"), "id", "b", "video")
+    val frames = Multimodal.mjpegFrameStats(assets).orderBy("idx").collect()
+    assert(frames.length === 2, "both MJPEG frames must decode")
+    val r0 = frames(0)
+    assert((r0.getAs[Int]("width"), r0.getAs[Int]("height")) === (8, 6))
+    assert(math.abs(r0.getAs[Double]("mean_r") - 255.0) < 10 &&
+      r0.getAs[Double]("mean_g") < 10 && r0.getAs[Double]("mean_b") < 10,
+      s"red frame pixels must decode red: $r0")
+    val r1 = frames(1)
+    assert((r1.getAs[Int]("width"), r1.getAs[Int]("height")) === (4, 4))
+    assert(math.abs(r1.getAs[Double]("mean_b") - 255.0) < 10 &&
+      r1.getAs[Double]("mean_r") < 10, s"blue frame pixels must decode blue: $r1")
+    // byte ranges point at the exact JPEG bytes inside the container
+    frames.zip(Seq(red, blue)).foreach { case (f, j) =>
+      val off = f.getAs[Long]("offset").toInt
+      val sz = f.getAs[Int]("size")
+      assert(sz === j.length &&
+        java.util.Arrays.equals(java.util.Arrays.copyOfRange(good, off, off + sz), j),
+        "frame byte range must slice to the original JPEG")
+    }
+    // codec gating: a non-MJPEG vids stream yields null (no fake decode)
+    val h264 = Multimodal.toAssets(
+      Seq((2L, avi("H264", red))).toDF("id", "b"), "id", "b", "video")
+    assert(h264.select(Multimodal.decodeAviMjpegFrames(col("payload")).as("f"))
+      .head().isNullAt(0))
+    // an undecodable chunk is skipped, valid frames still come back
+    val mixed = Multimodal.toAssets(
+      Seq((3L, avi("MJPG", Array.fill[Byte](16)(0x55), blue))).toDF("id", "b"),
+      "id", "b", "video")
+    val mixedFrames = mixed.select(explode(Multimodal.decodeAviMjpegFrames(col("payload"))).as("f"))
+      .select("f.width").collect().map(_.getInt(0))
+    assert(mixedFrames.toSeq === Seq(4), "junk chunk skipped, valid frame decoded")
+    // graft_video_meta on the same fixture is untouched by the new path
+    val meta = Multimodal.videoStats(assets).select("video.container", "video.duration_ms",
+      "video.width", "video.height").head()
+    assert(meta.getString(0) === "avi" && meta.getLong(1) === 80L &&
+      meta.getInt(2) === 8 && meta.getInt(3) === 6)
+    // SQL parity function
+    assets.createOrReplaceTempView("avi_t")
+    graft.functions.GraftFunctions.register(spark)
+    assert(spark.sql("SELECT size(graft_avi_mjpeg_frames(payload)) FROM avi_t")
+      .head().getInt(0) === 2)
+    assert(spark.sql("SELECT size(graft_avi_mjpeg_frames(payload, 1)) FROM avi_t")
+      .head().getInt(0) === 1)
+  }
+
   test("multimodal: payload stats real, stub features deterministic") {
     val assets = Multimodal.toAssets(
       Seq((1L, "payload-bytes-one"), (2L, "payload-bytes-two"))
