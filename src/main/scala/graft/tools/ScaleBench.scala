@@ -1,0 +1,152 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off scaling-curve measurement: how do the heavy operators behave
+  * from sf0.01 → sf0.1 → sf1?
+  *
+  * The registered bench queries verify correctness at fixed input caps,
+  * so their times can't show scaling. This main instead runs the heavy
+  * OPERATORS on scale-proportional inputs at three data sizes and prints
+  * one JSON line per (query, dir) plus a summary — the slopes go into
+  * SCALEBENCH.md.
+  *
+  * sf1 does not exist as driver testdata (and /root/testdata is
+  * read-only), so it is DERIVED from sf0.1 at 10x into a scratch dir:
+  *   - relational tables: 10 copies with key columns shifted per copy —
+  *     join fan-outs and group cardinalities scale, per-key group sizes
+  *     stay constant (the realistic growth mode);
+  *   - documents: copy 0 verbatim, copies 1..9 with a deterministic
+  *     hash-keyed word permutation per copy — corpus size scales 10x
+  *     while the permuted copies share no 3-gram structure with their
+  *     source (near-dup density stays ~constant instead of exploding);
+  *   - embeddings: per-copy deterministic per-dimension perturbation —
+  *     distribution shape preserved, no artificial exact-dup mass;
+  *   - events: ids/users shifted per copy, timestamps kept — windows and
+  *     sessions scale in key count, not in per-key length.
+  * Everything is seeded arithmetic (xxhash64), so sf1 is identical on
+  * every regeneration.
+  */
+object ScaleBench {
+
+  private val CopyStride = 10000000L
+
+  private def shifted(df: DataFrame, j: Int, keys: Map[String, Long]): DataFrame =
+    keys.foldLeft(df) { case (d, (c, stride)) =>
+      d.withColumn(c, col(c) + lit(j * stride))
+    }
+
+  /** Derive a k-times-larger copy of `src` into `dst` (idempotent). */
+  def scaleUp(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+    val okPath = new org.apache.hadoop.fs.Path(s"$dst/_SCALE_OK")
+    val fs = okPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(okPath)) return
+    def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    def copies(base: DataFrame)(one: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until k).map(j => if (j == 0) base else one(base, j)).reduce(_.unionByName(_))
+
+    write(copies(read("customer")) { (d, j) =>
+      shifted(d, j, Map("c_custkey" -> CopyStride))
+        .withColumn("c_name", concat(col("c_name"), lit(s"#$j")))
+    }, "customer")
+    write(copies(read("supplier")) { (d, j) =>
+      shifted(d, j, Map("s_suppkey" -> CopyStride))
+    }, "supplier")
+    write(copies(read("part")) { (d, j) =>
+      shifted(d, j, Map("p_partkey" -> CopyStride))
+    }, "part")
+    write(copies(read("orders")) { (d, j) =>
+      shifted(d, j, Map("o_orderkey" -> CopyStride, "o_custkey" -> CopyStride))
+    }, "orders")
+    write(copies(read("lineitem")) { (d, j) =>
+      shifted(d, j, Map(
+        "l_orderkey" -> CopyStride, "l_partkey" -> CopyStride, "l_suppkey" -> CopyStride))
+    }, "lineitem")
+    write(copies(read("events")) { (d, j) =>
+      shifted(d, j, Map("event_id" -> CopyStride, "user_id" -> CopyStride))
+    }, "events")
+    write(copies(read("documents")) { (d, j) =>
+      shifted(d, j, Map("doc_id" -> CopyStride)).withColumn("text",
+        expr(s"""concat_ws(' ', transform(
+                |  array_sort(transform(
+                |    filter(split(text, '\\\\s+'), t -> length(t) > 0),
+                |    (t, i) -> struct(xxhash64(t, doc_id, $j, i) AS h, t AS t))),
+                |  s -> s.t))""".stripMargin))
+    }, "documents")
+    write(copies(read("embeddings")) { (d, j) =>
+      shifted(d, j, Map("vec_id" -> CopyStride)).withColumn("embedding",
+        expr(s"""transform(embedding, (x, i) ->
+                |  cast(x + (pmod(xxhash64(vec_id, $j, i), 1000) - 500) / 100000.0 AS float))"""
+          .stripMargin))
+    }, "embeddings")
+    fs.create(okPath, true).close()
+  }
+
+  /** The scale suite: heavy registered queries whose inputs are the full
+    * tables, plus uncapped operator pipelines for the families whose
+    * registered queries run on fixed planted corpora. */
+  private def suite: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val fromRegistry = Seq(
+      "outlier_counts", "outlier_bounds", "bm25_top_terms", "ann_ivf_topk",
+      "quantile_sketch_state", "join_chain", "topk_per_key", "rolling_window",
+      "cosine_topk", "sequence_packing")
+      .map(n => n -> graft.SparkEntry.queries(n))
+    val custom: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "neardup_full" -> { (s, dir) =>
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+        graft.dedup.Dedup.nearDupClusters(
+          graft.dedup.Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.7))
+      },
+      "fuzzy_full" -> { (s, dir) =>
+        graft.dedup.Fuzzy.fuzzyPairsD1(
+          s.read.parquet(s"$dir/customer.parquet").select(col("c_custkey"), col("c_name")),
+          "c_custkey", "c_name")
+      })
+    fromRegistry ++ custom
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = graft.Sessions.local()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
+    System.err.println(s"[scalebench] deriving sf1 into $sf1Dir (idempotent)")
+    scaleUp(spark, "/root/testdata/sf0.1", sf1Dir, 10)
+
+    val dirs = Seq(
+      "sf0.01" -> "/root/testdata/sf0.01",
+      "sf0.1" -> "/root/testdata/sf0.1",
+      "sf1" -> sf1Dir)
+    // JVM warmup
+    spark.read.parquet(s"$sf1Dir/region.parquet").groupBy("r_name").count().count()
+
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[String, Double]]
+    for ((qname, fn) <- suite; (sfName, dir) <- dirs) {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        (dt, n)
+      }
+      val best = times.map(_._1).min
+      results.getOrElseUpdate(qname, scala.collection.mutable.LinkedHashMap.empty)
+        .update(sfName, best)
+      println(f"""{"query":"$qname","sf":"$sfName","sec":$best%.3f,"rows":${times.head._2}}""")
+    }
+    val summary = results.map { case (q, m) =>
+      s""""$q":{${m.map { case (sf, t) => f""""$sf":$t%.3f""" }.mkString(",")}}"""
+    }.mkString("{", ",", "}")
+    println(s"""SCALE_SUMMARY $summary""")
+    spark.stop()
+  }
+}
