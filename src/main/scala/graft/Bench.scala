@@ -70,8 +70,7 @@ object Bench {
     // reliable checkpoint dir: iterative operators (near-dup clustering)
     // take the cluster-durable path, and no localCheckpoint blocks (or
     // their lineage-truncation unpersist warnings) accumulate mid-bench
-    spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    spark.sparkContext.setCheckpointDir(Sessions.scratchCheckpointDir())
 
     awaitQuietMachine()
 

@@ -34,8 +34,21 @@ object Sessions {
     // an executor loss, and incompatible with dynamic allocation). On a
     // real cluster the caller sets an HDFS/object-store dir instead.
     if (spark.sparkContext.getCheckpointDir.isEmpty)
-      spark.sparkContext.setCheckpointDir(
-        java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+      spark.sparkContext.setCheckpointDir(scratchCheckpointDir())
     spark
+  }
+
+  /** Local-mode reliable-checkpoint scratch: tmpfs when the host has one
+    * (checkpoint files at RAM speed — in local mode durability against
+    * executor loss is moot, the point is exercising the same code path a
+    * cluster runs against HDFS), plain temp dir otherwise. */
+  private[graft] def scratchCheckpointDir(): String = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val base =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) Some(shm)
+      else None
+    base
+      .map(b => java.nio.file.Files.createTempDirectory(b, "graft-ckpt").toString)
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
   }
 }

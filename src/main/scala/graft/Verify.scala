@@ -17,8 +17,7 @@ object Verify {
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.sparkContext.setCheckpointDir(
-      java.nio.file.Files.createTempDirectory("graft-ckpt").toString)
+    spark.sparkContext.setCheckpointDir(Sessions.scratchCheckpointDir())
     // oracle mode: percentile-based queries run exact so they hash-match
     // DuckDB's quantile_cont (production default is the approx sketch)
     graft.queries.Support.oracleMode = true

@@ -312,12 +312,32 @@ object Dedup {
     * Superseded iterations are released explicitly, not left to the
     * ContextCleaner's GC race. */
   def nearDupClusters(pairs: DataFrame, maxIterations: Int = 12): DataFrame = {
-    val edges = durableCheckpoint(
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    // Reliable path: persist + LAZY checkpoint — the convergence-count job
+    // below is the action that materializes each iteration anyway, so an
+    // eager checkpoint's own count job would be a pure extra job per
+    // iteration. The persist makes the post-action checkpoint write read
+    // the cache instead of re-running the iteration's joins; the cache is
+    // dropped as soon as the files exist (tracked in `pending`).
+    // Checkpoint files are reclaimed by
+    // spark.cleaner.referenceTracking.cleanCheckpoints=true (set by
+    // graft.Sessions.local) once a frame is unreachable.
+    def ckpt(df: DataFrame): (DataFrame, Option[DataFrame]) =
+      if (reliable) {
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (cached.checkpoint(eager = false), Some(cached))
+      } else (df.localCheckpoint(eager = true), None)
+
+    val (edges, edgesCache) = ckpt(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = durableCheckpoint(
+    val (labels0, labels0Cache) = ckpt(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("cluster_id")))
+    var labels = labels0
+    // pre-checkpoint caches safe to drop after the NEXT action completes
+    // (that action's job writes their checkpoint files)
+    var pending: List[DataFrame] = List(edgesCache, labels0Cache).flatten
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -330,17 +350,22 @@ object Dedup {
         .select(col("id"), least(col("cluster_id"), coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
       // pointer jumping: adopt the current label's own label — halves the
       // remaining chain length, turning O(diameter) into O(log diameter)
-      val next = durableCheckpoint(propagated.as("a")
+      val (next, nextCache) = ckpt(propagated.as("a")
         .join(
           propagated.select(col("id").as("cluster_id"), col("cluster_id").as("__parent")).as("b"),
           Seq("cluster_id"), "left")
         .select(
           col("id"),
           least(col("cluster_id"), coalesce(col("__parent"), col("cluster_id"))).as("cluster_id")))
+      // the one action per iteration: materializes `next` (and, on the
+      // first iteration, edges + the initial labels) — their lazy
+      // checkpoints write right after this job, reading the caches
       val changed = next.as("n")
         .join(labels.as("l"), col("n.id") === col("l.id"))
         .filter(col("n.cluster_id") =!= col("l.cluster_id"))
         .limit(1).count()
+      pending.foreach(_.unpersist(blocking = false))
+      pending = nextCache.toList
       release(labels)
       labels = next
       converged = changed == 0
@@ -350,26 +375,14 @@ object Dedup {
       System.err.println(
         s"[graft] nearDupClusters did NOT converge in $maxIterations iterations — " +
           "cluster_ids may not be the smallest member id; raise maxIterations")
+    // the final iteration's cache backs `labels` whose checkpoint files
+    // already exist (its changed-count ran) — safe to drop; if the loop
+    // never ran, the lazy checkpoints simply fire on the caller's first
+    // action with lineage intact
+    pending.foreach(_.unpersist(blocking = false))
     release(edges)
     labels
   }
-
-  /** Eager checkpoint, reliable when the context has a checkpoint dir.
-    *
-    * The reliable path persists first so the plan computes once: a bare
-    * `RDD.checkpoint` re-runs the whole lineage in a second job to write
-    * the files, and at corpus scale each clustering iteration's joins are
-    * too expensive to pay twice. The pre-checkpoint cache is dropped as
-    * soon as the files are written; checkpoint files themselves are
-    * reclaimed by `spark.cleaner.referenceTracking.cleanCheckpoints=true`
-    * (set by [[graft.Sessions.local]]) once the frame is unreachable. */
-  private def durableCheckpoint(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) {
-      val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val out = cached.checkpoint(eager = true)
-      cached.unpersist(blocking = false)
-      out
-    } else df.localCheckpoint(eager = true)
 
   /** Free a superseded checkpointed frame's storage immediately.
     * `localCheckpoint` blocks otherwise live until the ContextCleaner
