@@ -642,6 +642,71 @@ object Dedup {
     * cross-gram collision odds as [[dedupLines]]); doc frequency counts
     * distinct (gram, doc) pairs; short docs (< k tokens) report zero
     * coverage. Output: (id, n_tokens, dup_tokens, dup_fraction). */
+  /** Remove corpus-duplicated SPANS from every document — the enforcement
+    * half of [[dupSpanCoverage]], the exact-substring dedup step of the
+    * dedup literature: every token position covered by some word k-gram
+    * occurring in >= `minDf` distinct documents is dropped, and the
+    * document is rebuilt from its surviving tokens (boilerplate and
+    * mirrored passages disappear from every copy; document-unique prose
+    * survives). Complements [[dedupLines]] (line-exact removal) at
+    * sub-line granularity.
+    *
+    * Scale shape: shares [[dupSpanCoverage]]'s derivation — grams are
+    * hashed 64-bit, doc frequency counts distinct (gram, doc) pairs, and
+    * the coverage explode multiplies only the DUPLICATED starts by k
+    * (bounded by k x duplicated positions, not the corpus). The rebuild
+    * is the same per-doc regroup with an in-aggregate `array_sort` that
+    * [[dedupLines]] pays — no window, no global sort. Output: (id,
+    * n_tokens, n_kept, text_deduped). */
+  def removeDuplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      minDf: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minDf >= 2, s"minDf must be >= 2 (a gram always occurs in its own doc), got $minDf")
+    val tks = graft.text.TextAnalysis.tokens(col(textCol))
+    val toks = df.select(
+      col(idCol),
+      posexplode(tks).as(Seq("__pos", "__tok")))
+    val starts = df
+      .select(
+        col(idCol),
+        when(size(tks) >= k,
+          transform(
+            sequence(lit(0), size(tks) - k),
+            i => struct(
+              i.as("pos"),
+              xxhash64(concat_ws(" ", slice(tks, i + 1, lit(k)))).as("g"))))
+          .otherwise(array().cast("array<struct<pos:int,g:bigint>>")).as("__gs"))
+      .select(col(idCol), explode(col("__gs")).as("__s"))
+      .select(col(idCol), col("__s.pos").as("__pos"), col("__s.g").as("__g"))
+    val dupGrams = starts
+      .select(col("__g"), col(idCol)).distinct()
+      .groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__g"))
+    val covered = starts
+      .join(dupGrams, "__g")
+      .select(col(idCol), explode(sequence(col("__pos"), col("__pos") + (k - 1))).as("__pos"))
+      .distinct()
+    toks
+      .join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos"), col("__tok")))),
+            s => s.getField("__tok")),
+          " ").as("text_deduped"))
+      .join(df.select(col(idCol), size(tks).cast("long").as("n_tokens")), Seq(idCol), "right")
+      .na.fill(0L, Seq("n_kept"))
+      .na.fill("", Seq("text_deduped"))
+      .select(col(idCol), col("n_tokens"), col("n_kept"), col("text_deduped"))
+  }
+
   def dupSpanCoverage(
       df: DataFrame,
       idCol: String,

@@ -37,6 +37,9 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DoubleType, LongType, 
   *     frame decode from an AVI container: array of (idx, offset, size,
   *     width, height, mean_r, mean_g, mean_b) per decoded frame; null
   *     if no MJPG video stream (max_frames literal, default 10000)
+  *   - `graft_normalize(text[, form])` — Unicode normalization (NFC/
+  *     NFD/NFKC/NFKD, form literal, default NFKC) with C0/C1 control
+  *     characters other than tab/newline/CR stripped
   *
   * Two wiring routes, same registrations:
   *   - config: `spark.sql.extensions=graft.functions.GraftExtensions`
@@ -49,6 +52,12 @@ object GraftFunctions {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def litString(e: Expression, fn: String, arg: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be a string literal, got $other")
   }
 
   /** whitespace tokens of lower(trim(text)) — the library's standard
@@ -122,6 +131,13 @@ object GraftFunctions {
         if (args.length == 2) litInt(args(1), "graft_avi_mjpeg_frames", "max_frames")
         else 10000
       AviMjpegFrames(Cast(args(0), BinaryType), cap)
+    },
+    "graft_normalize" -> { args =>
+      require(args.length == 1 || args.length == 2,
+        "graft_normalize(text[, form]) takes 1-2 arguments")
+      val form =
+        if (args.length == 2) litString(args(1), "graft_normalize", "form") else "NFKC"
+      NormalizeText(Cast(args(0), StringType), form)
     })
 
   private def info(name: String): ExpressionInfo =

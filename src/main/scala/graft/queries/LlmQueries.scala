@@ -113,6 +113,20 @@ object LlmQueries {
         .textStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // --- Unicode normalization: plant a combining-mark sequence and a
+    // control byte on every doc; the NFC output string (composed, control
+    // stripped) is compared byte-for-byte against DuckDB's nfc_normalize
+    "normalize_text" -> { (s, dir) =>
+      val planted = t(s, dir, "documents").filter(col("doc_id") < 100).select(
+        col("doc_id"),
+        // decomposed e + combining acute (U+0301) and a BEL control byte
+        concat(col("text"), lit(" caf"), lit("e\u0301"), lit(" ctl\u0007x")).as("text"))
+      planted.select(
+        col("doc_id"),
+        TextAnalysis.normalizeText(col("text"), "NFC").as("text_nfc"))
+        .withColumn("len_nfc", length(col("text_nfc")))
+        .orderBy(col("doc_id"))
+    },
     "lang_id" -> { (s, dir) =>
       TextAnalysis
         .languageScores(t(s, dir, "documents").select(col("doc_id"), col("text")), "text")
@@ -717,6 +731,19 @@ object LlmQueries {
       Dedup.dupSpanCoverage(docs, "doc_id", "text", k = 8, minDf = 2)
         .orderBy(col("doc_id"))
     },
+    // --- exact-substring span REMOVAL (enforcement half of the coverage
+    // report): the planted cross-document footer must vanish from every
+    // carrier while document-unique prose survives token-for-token
+    "dedup_spans" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(
+            " this shared promotional footer sentence repeats across many documents verbatim")))
+          .otherwise(col("text")).as("text"))
+      Dedup.removeDuplicatedSpans(docs, "doc_id", "text", k = 8, minDf = 2)
+        .orderBy(col("doc_id"))
+    },
     // --- corpus-level line dedup: plant a universal footer + a periodic
     // promo line so boilerplate removal has guaranteed work
     "line_dedup" -> { (s, dir) =>
@@ -1105,6 +1132,18 @@ object LlmQueries {
       """SELECT CAST(doc_id % 8 AS BIGINT) AS shard,
         |  CAST(count(*) AS BIGINT) AS n_docs, TRUE AS n_seqs_ok
         |FROM documents GROUP BY 1 ORDER BY shard""".stripMargin,
+    // Unicode NFC: DuckDB composes with nfc_normalize and strips the same
+    // control ranges; both the string bytes and the composed length match
+    "normalize_text" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || ' caf' || chr(101) || chr(769) || ' ctl' || chr(7) || 'x' AS text
+        |  FROM documents WHERE doc_id < 100),
+        |n AS (SELECT doc_id,
+        |    regexp_replace(nfc_normalize(text),
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F-\x9F]', '', 'g') AS text_nfc
+        |  FROM d)
+        |SELECT doc_id, text_nfc, CAST(length(text_nfc) AS INT) AS len_nfc
+        |FROM n ORDER BY doc_id""".stripMargin,
     // SimHash near-dup pairs: hamming distance between xxhash-based
     // 64-bit signatures has no SQL twin, but the output on the planted
     // sf0.01 corpus is a deterministic pure function of (data, seed) —
@@ -1688,6 +1727,40 @@ object LlmQueries {
         |  COALESCE(dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
         |  round(COALESCE(dup_tokens, 0) / GREATEST(len(w), 1), 6) AS dup_fraction
         |FROM d LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // span removal: DuckDB re-derives the duplicated-gram set, expands
+    // each duplicated start to its k covered positions, anti-joins the
+    // token positions, and rebuilds every document's surviving text in
+    // position order — the full output text compared byte-for-byte
+    "dedup_spans" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN text ||
+        |      ' this shared promotional footer sentence repeats across many documents verbatim'
+        |    ELSE text END AS text FROM documents),
+        |d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w FROM d0),
+        |g0 AS (SELECT doc_id, w, unnest(range(1, len(w) - 6)) AS i
+        |       FROM d WHERE len(w) >= 8),
+        |g AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos,
+        |      array_to_string(w[CAST(i AS INT):CAST(i + 7 AS INT)], ' ') AS gram
+        |      FROM g0),
+        |dup AS (SELECT gram FROM (
+        |    SELECT gram, count(DISTINCT doc_id) AS dfreq FROM g GROUP BY 1)
+        |  WHERE dfreq >= 2),
+        |cov AS (SELECT DISTINCT doc_id, pos + off AS cpos
+        |        FROM g, range(0, 8) t(off)
+        |        WHERE gram IN (SELECT gram FROM dup)),
+        |tok AS (SELECT doc_id, CAST(i - 1 AS INT) AS pos, w[CAST(i AS INT)] AS tok
+        |        FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM d)),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+        |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |                           WHERE c.doc_id = t.doc_id AND c.cpos = t.pos)),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |        string_agg(tok, ' ' ORDER BY pos) AS text_deduped
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_tokens,
+        |  COALESCE(a.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+        |  COALESCE(a.text_deduped, '') AS text_deduped
+        |FROM d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "line_dedup" ->
       """WITH d AS (SELECT doc_id,
         |    text || chr(10) || 'Follow graft weekly for more.'

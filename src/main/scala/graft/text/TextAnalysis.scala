@@ -124,6 +124,18 @@ object TextAnalysis {
     (lenOk + punctOk + digitOk + stopOk) / 4.0
   }
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD via the JDK's UAX #15
+    * implementation) with stray control characters stripped — the first
+    * cleaning step of a text corpus: composes combining-mark encodings,
+    * folds compatibility/fullwidth variants (NFKC/NFKD), and removes the
+    * C0/C1 bytes that poison dedup hashes and tokenizer vocabularies.
+    * Codegen'd expression, no UDF boundary. NFKC is the curation
+    * default; NFC has a DuckDB twin and is the oracle-checked form. */
+  def normalizeText(c: Column, form: String = "NFKC"): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.NormalizeText(
+        org.apache.spark.sql.graft.Bridge.expression(c.cast("string")), form))
+
   /** 64-bit document fingerprint: xxhash64 of the normalized text. */
   def fingerprint(c: Column): Column =
     xxhash64(lower(trim(regexp_replace(c, "\\s+", " "))))

@@ -47,6 +47,38 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(z == 39L)
   }
 
+  test("graft_normalize: composition, compatibility folding, control strip, form guard") {
+    import org.apache.spark.sql.functions._
+    val decomposed = "cafe\u0301"      // e + combining acute U+0301
+    val fullwidth = "\uFF21\uFF22"    // fullwidth A B
+    val ligature = "\uFB01le"          // fi-ligature + le
+    val withCtl = "a\u0007b c\td\u0000\ne" // BEL + NUL stripped, tab/newline kept
+    Seq((1L, decomposed), (2L, fullwidth), (3L, ligature), (4L, withCtl))
+      .toDF("id", "s").createOrReplaceTempView("gf_n")
+    // NFC composes but keeps compatibility characters
+    val nfc = spark.sql("SELECT id, graft_normalize(s, 'NFC') AS n FROM gf_n ORDER BY id")
+      .as[(Long, String)].collect().toMap
+    assert(nfc(1L) == "caf\u00e9")
+    assert(nfc(2L) == fullwidth)
+    // NFKC (the default) also folds fullwidth/ligature variants
+    val nfkc = spark.sql("SELECT id, graft_normalize(s) AS n FROM gf_n ORDER BY id")
+      .as[(Long, String)].collect().toMap
+    assert(nfkc(1L) == "caf\u00e9")
+    assert(nfkc(2L) == "AB")
+    assert(nfkc(3L) == "file")
+    assert(nfkc(4L) == "ab c\td\ne")
+    // Column API parity + null passthrough
+    val viaApi = Seq(Some(decomposed), None).toDF("s")
+      .select(graft.text.TextAnalysis.normalizeText(col("s"), "NFC").as("n"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(viaApi.toSeq == Seq("caf\u00e9", null))
+    // invalid form fails analysis loudly
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_normalize('x', 'NFX') FROM gf_n").collect()
+    }
+    assert(err.getMessage.contains("NFC"), s"unexpected error: ${err.getMessage}")
+  }
+
   test("the extensions class injects the same registrations") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; wiring is shared with register()

@@ -203,6 +203,32 @@ class PackingCorpusSpec extends SparkSpec {
     assert(gone.forall(_.getAs[Long]("n_kept") == 0L))
   }
 
+  test("removeDuplicatedSpans: shared span vanishes everywhere, unique prose survives") {
+    // k=3: the 4-token phrase "one two three four" is shared by docs 1 and
+    // 2 (two overlapping 3-grams -> 4 covered positions in each); doc 3 is
+    // untouched; doc 4 is too short to carry any 3-gram
+    val d = Seq(
+      (1L, "alpha one two three four beta"),
+      (2L, "gamma delta one two three four"),
+      (3L, "entirely unique prose here"),
+      (4L, "hi yo")).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.removeDuplicatedSpans(d, "doc_id", "text", k = 3, minDf = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq(
+      (1L, 6L, 2L, "alpha beta"),
+      (2L, 6L, 2L, "gamma delta"),
+      (3L, 4L, 4L, "entirely unique prose here"),
+      (4L, 2L, 2L, "hi yo")))
+    // a doc that is ONLY the shared span: everything removed, empty text
+    val all = Seq(
+      (1L, "one two three"),
+      (2L, "one two three")).toDF("doc_id", "text")
+    val gone = graft.dedup.Dedup.removeDuplicatedSpans(all, "doc_id", "text", k = 3, minDf = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(2), r.getString(3)))
+    assert(gone.toSeq === Seq((0L, ""), (0L, "")))
+  }
+
   test("dupSpanCoverage: exact interval union of cross-document k-gram spans") {
     val k = 4
     val d = Seq(
