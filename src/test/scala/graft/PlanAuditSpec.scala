@@ -106,7 +106,8 @@ class PlanAuditSpec extends SparkSpec {
     Seq("e1_feature_pipeline", "sequence_packing", "line_dedup", "inverted_index",
       "dedup_exact", "range_join", "sessionize_batch",
       "packed_sequences", "bpe_pack_e2e", "quantile_sketch_state",
-      "cluster_safe_split", "decontaminate_corpus").foreach { name =>
+      "cluster_safe_split", "decontaminate_corpus",
+      "epoch_shuffle", "dedup_spans", "normalize_text", "avi_mjpeg_decode").foreach { name =>
       val d = SparkEntry.queries(name)(spark, sf)
       val errors = PlanAudit.audit(d).filter(_.severity == "error")
       assert(errors.isEmpty, s"$name: $errors")
