@@ -121,12 +121,42 @@ object Production {
     // LLM training-data curation over the documents/embeddings tables —
     // the dedup/text/similarity operators as declarative catalog jobs
     // (capability extension; the reference's job surface is tabular-only).
-    Jobs.register("corpus-curation", "dedup-corpus") { (ctx, _) =>
+    // Unicode normalization FIRST in a curation chain: equivalent
+    // encodings (combining marks vs precomposed, fullwidth variants,
+    // stray control bytes) must hash equal before any dedup sees them
+    Jobs.register("corpus-curation", "normalize") { (ctx, params) =>
       val s = ctx.spark
+      val form = params.getOrElse("form", "NFKC").toString
       val docs = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
+      save(ctx,
+        docs.withColumn("text", graft.text.TextAnalysis.normalizeText(col("text"), form)),
+        ctx.dataPath("clean.documents_normalized"))
+    }
+
+    // input defaults to the raw zone; a chain that ran `normalize` first
+    // points it at clean.documents_normalized so unicode-variant
+    // duplicates fold into one hash
+    Jobs.register("corpus-curation", "dedup-corpus") { (ctx, params) =>
+      val s = ctx.spark
+      val in = params.getOrElse("input", "raw.documents").toString
+      val docs = Tables.readData(s, Seq(ctx.dataPath(in)))
       save(ctx,
         graft.dedup.Dedup.exactDedup(docs, "doc_id", "text"),
         ctx.dataPath("clean.documents"))
+    }
+
+    // sub-line boilerplate removal (exact-substring dedup) after document
+    // dedup: cross-document duplicated k-gram spans vanish from every
+    // carrier; document-unique prose survives
+    Jobs.register("corpus-curation", "span-dedup") { (ctx, params) =>
+      val s = ctx.spark
+      val k = params.getOrElse("k", "8").toString.toInt
+      val minDf = params.getOrElse("min_df", "2").toString.toInt
+      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents")))
+      save(ctx,
+        graft.dedup.Dedup.removeDuplicatedSpans(docs, "doc_id", "text", k, minDf)
+          .withColumnRenamed("text_deduped", "text"),
+        ctx.dataPath("clean.documents_spandeduped"))
     }
 
     Jobs.register("corpus-curation", "quality-filter") { (ctx, params) =>

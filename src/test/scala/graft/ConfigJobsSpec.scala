@@ -314,6 +314,63 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(n1 === n2)
   }
 
+  test("curation normalize + span-dedup catalog jobs: encodings fold, shared footer vanishes") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val work = java.nio.file.Files.createTempDirectory("graft-cur-jobs").toString
+    val footer = "this shared promotional footer sentence repeats across many documents verbatim"
+    // doc 2 duplicates doc 1 in a DIFFERENT unicode encoding (decomposed
+    // accent + a control byte); docs 3 and 4 carry the shared footer
+    val docs = Seq(
+      (1L, "caf\u00e9 menu items priced fairly"),
+      (2L, "cafe\u0301\u0007 menu items priced fairly"),
+      (3L, s"unique alpha prose body one $footer"),
+      (4L, s"unique beta prose body two $footer"),
+      (5L, "plain document without any shared spans at all")).toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$work/docs")
+    val yml = java.nio.file.Files.createTempFile("graft-cur-jobs", ".yml")
+    java.nio.file.Files.writeString(yml,
+      """jobs:
+        |  - name: corpus-curation
+        |    fail_fast: true
+        |    stages:
+        |      - name: clean
+        |        tasks:
+        |          - name: normalize
+        |            params: {form: NFKC}
+        |          - name: dedup-corpus
+        |            params: {input: clean.documents_normalized}
+        |          - name: span-dedup
+        |            params: {k: 5, min_df: 2}
+        |""".stripMargin)
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Context.loadYaml(yml.toString),
+      "data_catalog" -> Map(
+        "raw" -> Map("documents" -> s"$work/docs"),
+        "clean" -> Map(
+          "documents_normalized" -> s"$work/normalized",
+          "documents" -> s"$work/deduped",
+          "documents_spandeduped" -> s"$work/spandeduped")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(ctx = Context(cfg, spark), "corpus-curation").isEmpty)
+    // normalization composed doc 2 into doc 1's encoding and dropped the BEL
+    val norm = spark.read.parquet(s"$work/normalized")
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(norm(0) === norm(1), s"equivalent encodings must normalize equal: ${norm.toSeq}")
+    assert(!norm(1).exists(_ < ' '), "control byte must be stripped")
+    // dedup (fed the NORMALIZED zone) folded the unicode-variant duplicate
+    val span = spark.read.parquet(s"$work/spandeduped")
+      .orderBy("doc_id").select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(span.keySet === Set(1L, 3L, 4L, 5L),
+      s"doc 2 must dedup against doc 1 after normalization: ${span.keySet}")
+    // span dedup removed the footer from both carriers, kept unique prose
+    assert(span(3L) === "unique alpha prose body one", s"footer must vanish: ${span(3L)}")
+    assert(span(4L) === "unique beta prose body two")
+    assert(span(5L) === "plain document without any shared spans at all")
+  }
+
   test("delta read dispatches the format to the DataSource registry (documented no-jar failure)") {
     // no delta jar in this sandbox (io/Tables.scala contract): the dispatch
     // must pass "delta" through and surface Spark's data-source-not-found —
