@@ -97,6 +97,57 @@ object LlmQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_ann_${kind}_$key"
   }
 
+  /** Token-count frame for the bin-packing queries: whitespace counts
+    * with planted zero-token (id%17) and oversize (id%13, 9×) docs so the
+    * next-fit fold's every branch is exercised and oracle-checked. */
+  private def binPackDocs(s: SparkSession, dir: String): DataFrame = {
+    val base = TextAnalysis.tokenCount(col("text")).cast("long")
+    t(s, dir, "documents").filter(col("doc_id") < 200).select(
+      col("doc_id"),
+      when(col("doc_id") % 17 === 0, lit(0L))
+        .when(col("doc_id") % 13 === 0, base * 9)
+        .otherwise(base).as("n_tokens"))
+  }
+
+  /** Shared recursive-CTE prefix for the bin-packing oracles: the same
+    * planted counts as [[binPackDocs]], then the next-fit fold threaded
+    * per shard in doc order — `f` holds every doc's placement
+    * (`out_bin`/`out_off`) and post-doc state (`bin`/`fill`). */
+  private val binPackFoldSql: String =
+    """WITH RECURSIVE s AS (
+      |  SELECT doc_id, doc_id % 4 AS shard,
+      |    CAST(CASE WHEN doc_id % 17 = 0 THEN 0
+      |         WHEN doc_id % 13 = 0
+      |           THEN len(string_split_regex(trim(text), '\s+')) * 9
+      |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
+      |  FROM documents WHERE doc_id < 200),
+      |r AS (SELECT shard, doc_id, n,
+      |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM s),
+      |f AS (
+      |  SELECT shard, rn, doc_id, n,
+      |    CASE WHEN n = 0 THEN NULL ELSE 0 END AS out_bin,
+      |    CASE WHEN n = 0 THEN NULL ELSE 0 END AS out_off,
+      |    CASE WHEN n = 0 THEN -1 ELSE 0 END AS bin,
+      |    CASE WHEN n = 0 THEN 0 WHEN n >= 128 THEN 128 ELSE n END AS fill
+      |  FROM r WHERE rn = 1
+      |  UNION ALL
+      |  SELECT r.shard, r.rn, r.doc_id, r.n,
+      |    CASE WHEN r.n = 0 THEN NULL
+      |         WHEN r.n >= 128 OR f.bin < 0 OR f.fill + r.n > 128 THEN f.bin + 1
+      |         ELSE f.bin END,
+      |    CASE WHEN r.n = 0 THEN NULL
+      |         WHEN r.n >= 128 OR f.bin < 0 OR f.fill + r.n > 128 THEN 0
+      |         ELSE f.fill END,
+      |    CASE WHEN r.n = 0 THEN f.bin
+      |         WHEN r.n >= 128 OR f.bin < 0 OR f.fill + r.n > 128 THEN f.bin + 1
+      |         ELSE f.bin END,
+      |    CASE WHEN r.n = 0 THEN f.fill
+      |         WHEN r.n >= 128 THEN 128
+      |         WHEN f.bin < 0 OR f.fill + r.n > 128 THEN r.n
+      |         ELSE f.fill + r.n END
+      |  FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
+      |""".stripMargin
+
   /** documents ∪ mutated copies: near-dup planting for dedup operators. */
   private def planted(s: SparkSession, dir: String, n: Int = 50): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") < n)
@@ -709,6 +760,24 @@ object LlmQueries {
       graft.text.Packing
         .shardSummary(graft.text.Packing
           .packingPlan(t(s, dir, "documents"), "doc_id", "text", ctxTokens = 512, nShards = 8))
+        .orderBy(col("shard"))
+    },
+    // --- no-split bin packing: whole documents per padded training
+    // sequence, greedy next-fit per shard. Counts are planted to exercise
+    // every fold branch (zero-token docs, oversize/truncated docs, normal
+    // fills); the oracle re-runs the exact fold as a recursive CTE
+    "bin_packing" -> { (s, dir) =>
+      graft.text.Packing
+        .binPackNoSplit(binPackDocs(s, dir), "doc_id", "n_tokens",
+          ctxTokens = 128, nShards = 4)
+        .orderBy(col("shard"), col("doc_id"))
+    },
+    "bin_packing_stats" -> { (s, dir) =>
+      graft.text.Packing
+        .binPackSummary(
+          graft.text.Packing.binPackNoSplit(binPackDocs(s, dir), "doc_id",
+            "n_tokens", ctxTokens = 128, nShards = 4),
+          ctxTokens = 128)
         .orderBy(col("shard"))
     },
     // --- token-balanced shards: global rank by token count via the
@@ -1683,6 +1752,33 @@ object LlmQueries {
         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
         |  max((e - 1) // 512) + 1 AS n_seqs
         |FROM o GROUP BY shard ORDER BY shard""".stripMargin,
+    // no-split bin packing: DuckDB re-runs the exact next-fit fold as a
+    // recursive CTE — per shard, docs in id order thread a (bin, fill)
+    // state; zero-token docs pass state through with null placement,
+    // oversize docs take a bin of their own
+    "bin_packing" ->
+      (binPackFoldSql +
+        """SELECT CAST(shard AS BIGINT) AS shard, doc_id, n AS n_tokens,
+          |  CAST(out_bin AS BIGINT) AS bin_id,
+          |  CAST(out_off AS BIGINT) AS offset_in_bin,
+          |  n > 128 AS truncated
+          |FROM f ORDER BY shard, doc_id""".stripMargin),
+    "bin_packing_stats" ->
+      (binPackFoldSql +
+        """SELECT CAST(shard AS BIGINT) AS shard,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(coalesce(max(out_bin) + 1, 0) AS BIGINT) AS n_bins,
+          |  CAST(sum(CASE WHEN out_bin IS NOT NULL THEN least(n, 128) ELSE 0 END)
+          |    AS BIGINT) AS packed_tokens,
+          |  CAST(sum(CASE WHEN n > 128 THEN n - 128 ELSE 0 END) AS BIGINT)
+          |    AS truncated_tokens,
+          |  CAST(coalesce(max(out_bin) + 1, 0) * 128
+          |    - sum(CASE WHEN out_bin IS NOT NULL THEN least(n, 128) ELSE 0 END)
+          |    AS BIGINT) AS padding_tokens,
+          |  round(CAST(sum(CASE WHEN out_bin IS NOT NULL THEN least(n, 128) ELSE 0 END)
+          |      AS DOUBLE)
+          |    / (CAST(coalesce(max(out_bin) + 1, 0) AS DOUBLE) * 128), 6) AS efficiency
+          |FROM f GROUP BY shard ORDER BY shard""".stripMargin),
     "token_balanced_shards" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens

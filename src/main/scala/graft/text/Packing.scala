@@ -182,6 +182,105 @@ object Packing {
         sum(col("n_tokens")).as("n_tokens"),
         (max(col("last_seq")) + lit(1L)).as("n_seqs"))
 
+  /** One document's packed placement for [[binPackNoSplit]]'s fold.
+    * `bin_id`/`offset_in_bin` are None for zero-token docs (they occupy
+    * no slots and no bin, mirroring [[packingPlanFromCounts]]'s null
+    * `first_seq`). */
+  private[text] case class BinPacked(
+      shard: Long,
+      id: Long,
+      n_tokens: Long,
+      bin_id: Option[Long],
+      offset_in_bin: Option[Long],
+      truncated: Boolean)
+
+  /** No-split (document-boundary-respecting) bin packing — the OTHER
+    * published packing layout: instead of concatenating and chunking
+    * (documents may straddle sequence boundaries, [[packingPlan]]),
+    * every training sequence holds only whole documents and is padded to
+    * `ctxTokens` — no cross-document attention contamination, at the cost
+    * of padding. Assignment is greedy next-fit in deterministic order:
+    * within a shard, docs are taken in ascending id and appended to the
+    * current bin; a doc that would overflow opens a new bin. A doc with
+    * `n_tokens >= ctxTokens` gets a bin of its own (`truncated` flags
+    * `n_tokens > ctxTokens` — the loader truncates it or the caller
+    * pre-chunks with [[graft.text.TextAnalysis.chunkDocuments]]).
+    *
+    * Scale shape: the fold is inherently sequential PER SHARD, so shards
+    * are the parallel unit exactly as in [[packingPlanFromCounts]] — one
+    * hash shuffle on `shard`, a partition-local sort, then a streaming
+    * O(1)-memory fold per task (`mapPartitions` is justified here: the
+    * running next-fit state has no window/aggregate equivalent). No
+    * global sort, no driver state; size `nShards` so a shard's doc count
+    * fits a task, thousands of shards at trillion-token scale.
+    *
+    * Output: `shard`, idCol, `n_tokens`, `bin_id` (shard-local, 0-based,
+    * dense), `offset_in_bin`, `truncated`. Deterministic: a pure function
+    * of (ids, counts, ctxTokens, nShards), invariant to input
+    * partitioning. */
+  def binPackNoSplit(
+      df: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      ctxTokens: Int,
+      nShards: Int): DataFrame = {
+    require(ctxTokens > 0 && nShards > 0, "ctxTokens and nShards must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ctx = ctxTokens.toLong
+    val prepared = df.select(
+      (col(idCol) % nShards).cast("long").as("shard"),
+      col(idCol).cast("long").as("id"),
+      col(nTokensCol).cast("long").as("n_tokens"))
+    prepared
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("id"))
+      .as[(Long, Long, Long)]
+      .mapPartitions { it =>
+        // several shards may share a task; the fold resets on shard change
+        var curShard = Long.MinValue
+        var bin = -1L
+        var fill = 0L
+        it.map { case (shard, id, n) =>
+          if (shard != curShard) { curShard = shard; bin = -1L; fill = 0L }
+          if (n == 0L) BinPacked(shard, id, n, None, None, truncated = false)
+          else if (n >= ctx) {
+            bin += 1; fill = ctx
+            BinPacked(shard, id, n, Some(bin), Some(0L), truncated = n > ctx)
+          } else if (bin < 0L || fill + n > ctx) {
+            bin += 1; fill = n
+            BinPacked(shard, id, n, Some(bin), Some(0L), truncated = false)
+          } else {
+            val off = fill; fill += n
+            BinPacked(shard, id, n, Some(bin), Some(off), truncated = false)
+          }
+        }
+      }
+      .toDF()
+      .withColumnRenamed("id", idCol)
+  }
+
+  /** Padding-efficiency accounting for a [[binPackNoSplit]] plan — the
+    * number the layout choice is made on: per shard, how many bins the
+    * corpus packs into and what fraction of their `ctxTokens` slots carry
+    * real tokens. `truncated_tokens` counts tokens lost to oversize docs;
+    * all-zero-token shards report 0 bins and null efficiency. */
+  def binPackSummary(plan: DataFrame, ctxTokens: Int): DataFrame = {
+    val ctx = lit(ctxTokens.toLong)
+    plan
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(max(col("bin_id")) + 1L, lit(0L)).as("n_bins"),
+        sum(when(col("bin_id").isNotNull, least(col("n_tokens"), ctx))
+          .otherwise(0L)).as("packed_tokens"),
+        sum(when(col("truncated"), col("n_tokens") - ctx).otherwise(0L))
+          .as("truncated_tokens"))
+      .withColumn("padding_tokens", col("n_bins") * ctx - col("packed_tokens"))
+      .withColumn("efficiency",
+        round(col("packed_tokens") / (col("n_bins") * ctx), 6))
+  }
+
   /** Per-epoch data-order shuffle of materialized sequences — the last
     * trainer-side primitive before data order: each epoch the loader
     * should read the sequences in a fresh pseudo-random order, and that

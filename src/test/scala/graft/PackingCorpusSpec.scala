@@ -346,4 +346,67 @@ class PackingCorpusSpec extends SparkSpec {
     assert(m("catalyst") == (1L, Seq(11L)))
     assert(!m.contains("a"))
   }
+
+  test("binPackNoSplit: hand-computed next-fit incl. zero, oversize, exact-fit docs") {
+    // ctx=10, one shard. Fold: (0,4)->bin0@0, (1,3)->bin0@4, (2,10) exact
+    // fit -> bin1@0, (3,0) -> no bin, (4,12) oversize -> bin2@0 truncated,
+    // (5,2)->bin3@0, (6,5)->bin3@2, (7,4) overflows -> bin4@0, (8,1)->bin4@4
+    val counts = Seq(
+      (0L, 4L), (1L, 3L), (2L, 10L), (3L, 0L), (4L, 12L),
+      (5L, 2L), (6L, 5L), (7L, 4L), (8L, 1L)).toDF("doc_id", "n_tokens")
+    val plan = Packing.binPackNoSplit(counts, "doc_id", "n_tokens",
+      ctxTokens = 10, nShards = 1)
+    val rows = plan.orderBy("doc_id").collect().map { r =>
+      (r.getAs[Long]("doc_id"),
+        Option(r.getAs[java.lang.Long]("bin_id")).map(_.toLong),
+        Option(r.getAs[java.lang.Long]("offset_in_bin")).map(_.toLong),
+        r.getAs[Boolean]("truncated"))
+    }
+    assert(rows.toSeq == Seq(
+      (0L, Some(0L), Some(0L), false),
+      (1L, Some(0L), Some(4L), false),
+      (2L, Some(1L), Some(0L), false),
+      (3L, None, None, false),
+      (4L, Some(2L), Some(0L), true),
+      (5L, Some(3L), Some(0L), false),
+      (6L, Some(3L), Some(2L), false),
+      (7L, Some(4L), Some(0L), false),
+      (8L, Some(4L), Some(4L), false)))
+    val s = Packing.binPackSummary(plan, 10).head()
+    assert(s.getAs[Long]("n_docs") == 9L)
+    assert(s.getAs[Long]("n_bins") == 5L)
+    assert(s.getAs[Long]("packed_tokens") == 39L)   // 4+3+10+10+2+5+4+1
+    assert(s.getAs[Long]("truncated_tokens") == 2L) // 12 - 10
+    assert(s.getAs[Long]("padding_tokens") == 11L)  // 5*10 - 39
+    assert(math.abs(s.getAs[Double]("efficiency") - 0.78) < 1e-9)
+  }
+
+  test("binPackNoSplit: partition-invariant, bins dense, capacity never exceeded") {
+    val counts = docs.select($"doc_id",
+      TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+    val a = Packing.binPackNoSplit(counts, "doc_id", "n_tokens", 8, 2)
+      .orderBy("shard", "doc_id").collect().toSeq
+    val b = Packing.binPackNoSplit(counts.repartition(7), "doc_id", "n_tokens", 8, 2)
+      .orderBy("shard", "doc_id").collect().toSeq
+    assert(a.map(_.toSeq) == b.map(_.toSeq))
+    // per (shard, bin): offsets tile the bin prefix exactly and stay <= ctx
+    a.groupBy(r => (r.getLong(0), r.getAs[java.lang.Long]("bin_id")))
+      .foreach { case ((_, bin), rs) =>
+        if (bin != null) {
+          val sorted = rs.sortBy(_.getAs[Long]("offset_in_bin"))
+          var expect = 0L
+          sorted.foreach { r =>
+            assert(r.getAs[Long]("offset_in_bin") == expect)
+            expect += math.min(r.getAs[Long]("n_tokens"), 8L)
+          }
+          assert(expect <= 8L)
+        }
+      }
+    // bins are dense 0..max per shard
+    a.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val bins = rs.flatMap(r => Option(r.getAs[java.lang.Long]("bin_id")).map(_.toLong))
+        .distinct.sorted
+      assert(bins == (0L until bins.length.toLong))
+    }
+  }
 }
