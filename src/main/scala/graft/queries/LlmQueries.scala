@@ -148,6 +148,14 @@ object LlmQueries {
       |  FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
       |""".stripMargin
 
+  /** embeddings ∪ exact clones (+100000): the SemDeDup query frame. */
+  private def semDedupFrame(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings").filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+    e.unionByName(
+      e.select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+  }
+
   /** documents ∪ mutated copies: near-dup planting for dedup operators. */
   private def planted(s: SparkSession, dir: String, n: Int = 50): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") < n)
@@ -556,6 +564,24 @@ object LlmQueries {
       Similarity
         .embeddingNearDupPairs(planted, "vec_id", "embedding", threshold = 0.999)
         .orderBy(col("id_a"), col("id_b"))
+    },
+    // --- SemDeDup: semantic dedup through the IVF coarse quantizer.
+    // Planted exact clones (vec_id + 100000, identical vectors) MUST share
+    // a k-means cell and die; the oracle brute-forces the full cosine
+    // pair set / survivor set, so a pair missed by clustering (or a
+    // false drop) breaks the hash
+    "semdedup_pairs" -> { (s, dir) =>
+      Similarity
+        .semDedupPairs(semDedupFrame(s, dir), "vec_id", "embedding",
+          nClusters = 8, threshold = 0.999)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+    "semdedup_survivors" -> { (s, dir) =>
+      Similarity
+        .semDedup(semDedupFrame(s, dir), "vec_id", "embedding",
+          nClusters = 8, threshold = 0.999)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
     },
     // --- multimodal plumbing over text-as-bytes payloads: payload stats
     // are real, and the REAL ImageIO + javax.sound decoders + the MP4/AVI
@@ -1356,6 +1382,29 @@ object LlmQueries {
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
         |ORDER BY id_a, id_b""".stripMargin,
+    // SemDeDup pairs: the within-cell verification uses the true cosine,
+    // so DuckDB's exhaustive pair scan is a FULL oracle — clustering may
+    // only lose pairs, and the planted frame's pairs (identical vectors)
+    // cannot be lost (same vector -> same nearest centroid)
+    "semdedup_pairs" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+        |corpus AS (SELECT vec_id, embedding FROM base
+        |           UNION ALL SELECT vec_id + 100000, embedding FROM base)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 6) AS cosine
+        |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+        |ORDER BY id_a, id_b""".stripMargin,
+    "semdedup_survivors" ->
+      """WITH base AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100),
+        |corpus AS (SELECT vec_id, embedding FROM base
+        |           UNION ALL SELECT vec_id + 100000, embedding FROM base),
+        |losers AS (SELECT DISTINCT b.vec_id
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.999)
+        |SELECT c.vec_id FROM corpus c
+        |WHERE c.vec_id NOT IN (SELECT vec_id FROM losers)
+        |ORDER BY vec_id""".stripMargin,
     // MJPEG-in-AVI decode: fixture bytes are pinned, so frame byte
     // ranges, JPEG-header dimensions, and the decoded-color flags are
     // all literal arithmetic — a decode regression (wrong frame sliced,

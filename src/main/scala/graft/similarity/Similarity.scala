@@ -516,6 +516,70 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** SemDeDup pair report — SEMANTIC near-duplicates (paraphrases,
+    * templated rewrites, re-encodings) that lexical dedup cannot see:
+    * k-means-cluster the embeddings with the IVF coarse quantizer, then
+    * verify cosine only WITHIN a cluster (the published SemDeDup shape —
+    * Abbas et al. 2023, arXiv:2303.09540 — comparison volume drops from
+    * O(N²) to Σ cell²). Emits (id_a, id_b, cosine) for every co-clustered
+    * pair with `cosine >= threshold`, id_a < id_b; every emitted pair is
+    * verified by the true cosine, so precision is exact and recall is the
+    * only approximation (a pair split across cells is missed — exact
+    * duplicates never are, identical vectors always share a cell; recall
+    * for near-pairs is measured by the planted-truth harness,
+    * tools/Recall.scala).
+    *
+    * Scale shape: per-cell self-join — size `nClusters` so cells hold
+    * thousands of vectors (the paper runs 110k clusters at 100M+ docs);
+    * cells are the parallel unit and the join shuffles each vector once
+    * per its own cell only. Zero-norm vectors have no cosine and are
+    * never candidates. */
+  def semDedupPairs(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      threshold: Double,
+      seed: Long = 7L,
+      fitSample: Int = 200000): DataFrame = {
+    require(nClusters > 0, s"nClusters must be positive, got $nClusters")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val norm = ivfNormalizedCorpus(corpus, idCol, vecCol)
+    val model = ivfFit(norm, idCol, nClusters, seed, fitSample)
+    val assigned = model.transform(norm).drop("__mlvec")
+    val a = assigned.select(col("__cell"), col(idCol).as("id_a"),
+      col("__cv").as("__va"), col("__cn").as("__na"))
+    val b = assigned.select(col("__cell"), col(idCol).as("id_b"),
+      col("__cv").as("__vb"), col("__cn").as("__nb"))
+    a.join(b, Seq("__cell"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** SemDeDup enforcement: drop every row with a lower-id semantic twin
+    * in its cluster ([[semDedupPairs]]), keep everything else — the
+    * deterministic exemplar rule (lowest id survives a duplicate chain;
+    * callers wanting quality-ranked exemplars rank first and use the rank
+    * as the id). Anti-join on the bounded loser set; corpus rows pass
+    * through untouched, zero-norm vectors always survive. */
+  def semDedup(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      threshold: Double,
+      seed: Long = 7L,
+      fitSample: Int = 200000): DataFrame = {
+    val losers = semDedupPairs(corpus, idCol, vecCol, nClusters, threshold,
+      seed, fitSample)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Reciprocal-rank fusion of ranked candidate lists (hybrid retrieval:
     * lexical ⊕ vector, or any mix): each ranking contributes
     * `1/(k0 + rank)` per (query, item), summed scores re-rank, top k

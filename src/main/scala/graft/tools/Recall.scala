@@ -211,6 +211,17 @@ object Recall {
     entries += Entry("embedding_near_dup", recallOf(exactCos, nd), exactCos.size,
       (exactCos & nd).size, 1.0, "all O(n^2) pairs at cosine>=0.999 (exact clones planted)")
 
+    // --- SemDeDup: within-cell verified pairs vs the same exhaustive
+    // cosine truth — planted identical vectors must share a k-means cell,
+    // so on this frame recall must be exactly 1
+    val sd = pairSet(
+      Similarity.semDedupPairs(plantedVecs, "vec_id", "embedding",
+        nClusters = 8, threshold = 0.999),
+      "id_a", "id_b")
+    entries += Entry("semdedup", recallOf(exactCos, sd), exactCos.size,
+      (exactCos & sd).size, 1.0,
+      "all O(n^2) pairs at cosine>=0.999 found within k-means cells (identical vectors co-cluster)")
+
     entries.result()
   }
 }

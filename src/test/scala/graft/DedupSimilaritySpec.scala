@@ -279,6 +279,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(expected.subsetOf(pairs), s"missed planted pairs: ${expected -- pairs}")
   }
 
+  test("semDedup: planted semantic twins die, originals and singletons survive") {
+    val n = 40
+    // pairwise-orthogonal originals: the ONLY pairs at cosine >= 0.999
+    // are the planted clones (a sin-tabulated frame has natural aliases)
+    val vecs = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(64)(j => if (j == i) 1f else 0f))
+    }
+    // clones (+1000) and a near-clone (+2000, one coordinate nudged)
+    val nearClone = vecs.head match { case (_, v) =>
+      val w = v.clone(); w(1) = 1e-4f; (2000L, w)
+    }
+    val planted = (vecs ++ vecs.map { case (id, v) => (id + 1000, v) } :+ nearClone)
+      .toDF("vec_id", "embedding")
+    val survivors = Similarity.semDedup(planted, "vec_id", "embedding",
+      nClusters = 6, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    // every exact clone is dropped, every original kept; the near-clone of
+    // vec 0 (cosine ~ 1 - eps) is also above threshold and dies
+    assert((0 until n).forall(i => survivors(i.toLong)))
+    assert((0 until n).forall(i => !survivors(i + 1000L)), "a clone survived")
+    assert(!survivors(2000L), "the near-clone survived")
+    // pairs carry the true cosine; clone pairs are exactly 1.0
+    val pairs = Similarity.semDedupPairs(planted, "vec_id", "embedding",
+      nClusters = 6, threshold = 0.999)
+    val cloneCos = pairs.filter(col("id_a") === 5 && col("id_b") === 1005)
+      .select("cosine").as[Double].head()
+    assert(cloneCos == 1.0)
+    // determinism: seeded quantizer, stable survivor set
+    val again = Similarity.semDedup(planted, "vec_id", "embedding",
+      nClusters = 6, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == survivors)
+  }
+
+  test("semDedup: unreachable threshold drops nothing, zero vectors pass through") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0f, 0f, 1f)), (3L, Array(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val survivors = Similarity.semDedup(vecs, "vec_id", "embedding",
+      nClusters = 2, threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors == Set(0L, 1L, 2L, 3L)) // orthogonal + zero-norm all survive
+  }
+
   test("ivf topk achieves high recall vs brute force") {
     val n = 80
     val vecs = (0 until n).map { i =>
