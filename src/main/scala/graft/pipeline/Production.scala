@@ -159,6 +159,21 @@ object Production {
         ctx.dataPath("clean.documents_spandeduped"))
     }
 
+    // semantic near-dup removal over the embeddings zone (SemDeDup):
+    // k-means cells + within-cell cosine verification; the lowest id of
+    // each twin chain survives. Size n_clusters so cells stay thousands
+    // of vectors (the cell self-join is the work unit)
+    Jobs.register("corpus-curation", "semdedup") { (ctx, params) =>
+      val s = ctx.spark
+      val nClusters = params.getOrElse("n_clusters", "1024").toString.toInt
+      val threshold = params.getOrElse("threshold", "0.97").toString.toDouble
+      val emb = Tables.readData(s, Seq(ctx.dataPath("raw.embeddings")))
+      save(ctx,
+        graft.similarity.Similarity.semDedup(emb, "vec_id", "embedding",
+          nClusters, threshold),
+        ctx.dataPath("clean.embeddings_semdeduped"))
+    }
+
     Jobs.register("corpus-curation", "quality-filter") { (ctx, params) =>
       val s = ctx.spark
       val minQuality = params.getOrElse("min_quality", "0.5").toString.toDouble
@@ -403,6 +418,27 @@ object Production {
         graft.text.Packing.shardSummary(
           Tables.readData(s, Seq(ctx.dataPath("processed.packing_plan")))),
         ctx.dataPath("processed.packing_shards"))
+    }
+
+    // whole-document (padded) layout — the no-split alternative to `pack`:
+    // every bin holds only whole documents (no cross-document attention
+    // contamination), and the stats zone carries the padding cost that
+    // decides between the two layouts
+    Jobs.register("tokenizer", "pack-no-split") { (ctx, params) =>
+      val s = ctx.spark
+      val idCol = params.getOrElse("id_col", "doc_id").toString
+      val ctxTokens = params.getOrElse("ctx_tokens", "2048").toString.toInt
+      val nShards = params.getOrElse("n_shards", "64").toString.toInt
+      val tokenized = Tables.readData(s, Seq(ctx.dataPath("processed.tokenized")))
+      save(ctx,
+        graft.text.Packing.binPackNoSplit(tokenized, idCol, "n_tokens",
+          ctxTokens, nShards),
+        ctx.dataPath("processed.bin_packing"))
+      save(ctx,
+        graft.text.Packing.binPackSummary(
+          Tables.readData(s, Seq(ctx.dataPath("processed.bin_packing"))),
+          ctxTokens),
+        ctx.dataPath("processed.bin_packing_stats"))
     }
 
     // materialize the fixed-context sequences themselves — the artifact a

@@ -246,6 +246,8 @@ class ConfigJobsSpec extends AnyFunSuite {
         |            params: {ids: true}
         |          - name: pack
         |            params: {ctx_tokens: 256, n_shards: 4}
+        |          - name: pack-no-split
+        |            params: {ctx_tokens: 256, n_shards: 4}
         |          - name: materialize
         |            params: {ctx_tokens: 256, n_shards: 4}
         |  - name: metric-profile
@@ -271,6 +273,8 @@ class ConfigJobsSpec extends AnyFunSuite {
           "packing_plan" -> s"$work/packing_plan",
           "packing_shards" -> s"$work/packing_shards",
           "packed_sequences" -> s"$work/packed_sequences",
+          "bin_packing" -> s"$work/bin_packing",
+          "bin_packing_stats" -> s"$work/bin_packing_stats",
           "quantile_profile" -> s"$work/qprofile")))
     graft.pipeline.Production.registerAll()
     val ctx = Context(cfg, spark)
@@ -298,6 +302,17 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(shards.count() === 4)
     assert(shards.agg(org.apache.spark.sql.functions.sum("n_tokens"))
       .head().getLong(0) === encTokens)
+    // the no-split layout conserves every token (none are zero-count, so
+    // every doc is placed) and its stats balance: bins*ctx = packed+padding
+    val binPlan = spark.read.parquet(s"$work/bin_packing")
+    assert(binPlan.agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      .head().getLong(0) === encTokens)
+    assert(binPlan.filter(col("bin_id").isNull).count() === 0)
+    val binStats = spark.read.parquet(s"$work/bin_packing_stats")
+    binStats.collect().foreach { r =>
+      assert(r.getAs[Long]("n_bins") * 256L ===
+        r.getAs[Long]("packed_tokens") + r.getAs[Long]("padding_tokens"))
+    }
     // the materialized sequences conserve every token and respect ctx
     val seqs = spark.read.parquet(s"$work/packed_sequences")
     assert(seqs.agg(org.apache.spark.sql.functions.sum("seq_len"))
@@ -369,6 +384,40 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(span(3L) === "unique alpha prose body one", s"footer must vanish: ${span(3L)}")
     assert(span(4L) === "unique beta prose body two")
     assert(span(5L) === "plain document without any shared spans at all")
+  }
+
+  test("curation semdedup catalog job: planted semantic twin dies, originals survive") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val work = java.nio.file.Files.createTempDirectory("graft-sem-jobs").toString
+    // orthogonal originals + one exact clone of vec 2 (id 100)
+    val vecs = ((0 until 12).map { i =>
+      (i.toLong, Array.tabulate(16)(j => if (j == i % 16) 1f else 0f))
+    } :+ (100L, Array.tabulate(16)(j => if (j == 2) 1f else 0f)))
+      .toDF("vec_id", "embedding")
+    vecs.write.mode("overwrite").parquet(s"$work/emb")
+    val yml = java.nio.file.Files.createTempFile("graft-sem-jobs", ".yml")
+    java.nio.file.Files.writeString(yml,
+      """jobs:
+        |  - name: corpus-curation
+        |    stages:
+        |      - name: clean
+        |        tasks:
+        |          - name: semdedup
+        |            params: {n_clusters: 4, threshold: "0.999"}
+        |""".stripMargin)
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Context.loadYaml(yml.toString),
+      "data_catalog" -> Map(
+        "raw" -> Map("embeddings" -> s"$work/emb"),
+        "clean" -> Map("embeddings_semdeduped" -> s"$work/semdeduped")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(ctx = Context(cfg, spark), "corpus-curation").isEmpty)
+    val survivors = spark.read.parquet(s"$work/semdeduped")
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors === (0L until 12L).toSet, s"got $survivors")
   }
 
   test("delta read dispatches the format to the DataSource registry (documented no-jar failure)") {
