@@ -159,6 +159,17 @@ object Production {
         ctx.dataPath("clean.documents_spandeduped"))
     }
 
+    // the release data card: per-language composition/shares/percentiles/
+    // quality/dup rates over whichever corpus zone the chain points at
+    Jobs.register("corpus-curation", "data-card") { (ctx, params) =>
+      val s = ctx.spark
+      val in = params.getOrElse("input", "raw.documents").toString
+      val docs = Tables.readData(s, Seq(ctx.dataPath(in)))
+      save(ctx,
+        graft.text.TextAnalysis.corpusDataCard(docs, "text", "lang"),
+        ctx.dataPath("processed.data_card"))
+    }
+
     // semantic near-dup removal over the embeddings zone (SemDeDup):
     // k-means cells + within-cell cosine verification; the lowest id of
     // each twin chain survives. Size n_clusters so cells stay thousands

@@ -224,6 +224,14 @@ object LlmQueries {
         .sourceQualityReport(t(s, dir, "documents"), "source", "text", "lang")
         .orderBy(col("source"))
     },
+    // --- the release data card: per-language composition, shares, length
+    // percentiles, quality, dup/empty rates — one corpus pass
+    "corpus_data_card" -> { (s, dir) =>
+      TextAnalysis
+        .corpusDataCard(t(s, dir, "documents"), "text", "lang",
+          exactPercentiles = exact)
+        .orderBy(col("lang"))
+    },
     "pii_redaction" -> { (s, dir) =>
       // plant deterministic PII (email + URL + phone per doc) so redaction
       // has guaranteed work; original text may add more matches — both
@@ -1110,6 +1118,33 @@ object LlmQueries {
          |    + (CASE WHEN ($allStopSql) > 0 OR ($hanSql) > 0 THEN 1.0 ELSE 0.0 END)
          |  ) / 4.0, 6) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // corpus data card: same quality fragment; shares against corpus
+    // totals, quantile_cont matches the exact-percentile oracle mode
+    "corpus_data_card" ->
+      s"""WITH s AS (SELECT lang, text,
+         |  (
+         |    (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[^\\p{L}\\p{N}\\s]', '', 'g')) AS DOUBLE) / length(text) < 0.2 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) < 0.3 THEN 1.0 ELSE 0.0 END)
+         |    + (CASE WHEN ($allStopSql) > 0 OR ($hanSql) > 0 THEN 1.0 ELSE 0.0 END)
+         |  ) / 4.0 AS q,
+         |  CASE WHEN length(trim(text)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(text), '\\s+')) END AS toks
+         |  FROM documents),
+         |t AS (SELECT CAST(count(*) AS DOUBLE) AS t_docs,
+         |             CAST(sum(toks) AS DOUBLE) AS t_tokens FROM s)
+         |SELECT lang,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  round(count(*) / t_docs, 6) AS doc_share,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  round(sum(toks) / t_tokens, 6) AS token_share,
+         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+         |  quantile_cont(CAST(length(text) AS DOUBLE), 0.5) AS p50_chars,
+         |  quantile_cont(CAST(length(text) AS DOUBLE), 0.95) AS p95_chars,
+         |  round(avg(q), 6) AS mean_quality,
+         |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+         |  CAST(sum(CASE WHEN toks = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty
+         |FROM s, t GROUP BY lang, t_docs, t_tokens ORDER BY lang""".stripMargin,
     "source_quality" ->
       s"""WITH s AS (SELECT source, lang, text,
          |  (

@@ -227,6 +227,54 @@ object TextAnalysis {
         countDistinct(col(langCol)).as("n_langs"))
   }
 
+  /** Corpus data card — the release composition table every published
+    * training corpus ships: one row per language with volume shares,
+    * length percentiles, quality, and exact-duplicate / empty-doc rates.
+    *
+    * Scale shape: ONE wide aggregation pass over the corpus (count /
+    * sums / distinct-md5 / quality mean / length percentile sketches all
+    * in the same groupBy); the share denominators aggregate the
+    * language-cardinality result and broadcast back — the two uses of the
+    * per-language aggregate share one Exchange (ReuseExchange), so the
+    * corpus is scanned once. Duplicate identity is md5 of the text,
+    * scoped per language (run [[normalizeText]] first to fold equivalent
+    * encodings). Percentiles default to the mergeable sketch;
+    * `exactPercentiles` is for oracle parity at small SF. */
+  def corpusDataCard(
+      df: DataFrame,
+      textCol: String,
+      langCol: String,
+      exactPercentiles: Boolean = false): DataFrame = {
+    val toks = tokenCount(col(textCol)).cast("long")
+    val chars = length(col(textCol)).cast("long")
+    val perLang = df.groupBy(col(langCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(toks).as("n_tokens"),
+        sum(chars).as("n_chars"),
+        graft.Exprs.pct(chars.cast("double"), 0.5, exactPercentiles).as("p50_chars"),
+        graft.Exprs.pct(chars.cast("double"), 0.95, exactPercentiles).as("p95_chars"),
+        round(avg(qualityScore(col(textCol))), 6).as("mean_quality"),
+        countDistinct(md5(col(textCol))).as("__distinct_texts"),
+        sum(when(toks === 0L, 1L).otherwise(0L)).as("n_empty"))
+    val totals = perLang.agg(
+      sum(col("n_docs")).as("__t_docs"), sum(col("n_tokens")).as("__t_tokens"))
+    perLang
+      .crossJoin(broadcast(totals))
+      .select(
+        col(langCol),
+        col("n_docs"),
+        round(col("n_docs") / col("__t_docs"), 6).as("doc_share"),
+        col("n_tokens"),
+        round(col("n_tokens") / col("__t_tokens"), 6).as("token_share"),
+        col("n_chars"),
+        col("p50_chars"),
+        col("p95_chars"),
+        col("mean_quality"),
+        (col("n_docs") - col("__distinct_texts")).as("n_exact_dups"),
+        col("n_empty"))
+  }
+
   /** Corpus vocabulary: top-k tokens by frequency (ties by token
     * ascending). One explode + hash-partitioned groupBy + distributed
     * partial top-k (TakeOrderedAndProject) — no full sort, no driver-side

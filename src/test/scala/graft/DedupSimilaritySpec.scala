@@ -449,6 +449,34 @@ class DedupSimilaritySpec extends SparkSpec {
       s"multilingual docs must pass, junk must fail; kept $kept")
   }
 
+  test("corpusDataCard: shares sum to 1, dup/empty counts exact, percentiles interpolate") {
+    val df = Seq(
+      (1L, "alpha beta gamma", "en"),      // 16 chars, 3 tokens
+      (2L, "alpha beta gamma", "en"),      // exact dup of doc 1
+      (3L, "delta epsilon", "en"),         // 13 chars, 2 tokens
+      (4L, "   ", "en"),                   // empty (0 tokens, 3 chars)
+      (5L, "un deux trois quatre", "fr")   // 20 chars, 4 tokens
+    ).toDF("doc_id", "text", "lang")
+    val card = TextAnalysis.corpusDataCard(df, "text", "lang", exactPercentiles = true)
+      .orderBy("lang").collect()
+    val en = card(0); val fr = card(1)
+    assert(en.getAs[String]("lang") == "en" && fr.getAs[String]("lang") == "fr")
+    assert(en.getAs[Long]("n_docs") == 4L && fr.getAs[Long]("n_docs") == 1L)
+    assert(en.getAs[Double]("doc_share") == 0.8 && fr.getAs[Double]("doc_share") == 0.2)
+    assert(en.getAs[Long]("n_tokens") == 8L && fr.getAs[Long]("n_tokens") == 4L)
+    assert(math.abs(en.getAs[Double]("token_share") - 0.666667) < 1e-6)
+    assert(en.getAs[Long]("n_exact_dups") == 1L) // docs 1 and 2 share a text
+    assert(fr.getAs[Long]("n_exact_dups") == 0L)
+    assert(en.getAs[Long]("n_empty") == 1L)
+    // en char lengths sorted: 3, 13, 16, 16 — p50 interpolates 13..16
+    assert(en.getAs[Double]("p50_chars") == 14.5)
+    assert(fr.getAs[Double]("p50_chars") == 20.0)
+    // share columns total 1 across languages
+    val docShare = card.map(_.getAs[Double]("doc_share")).sum
+    val tokShare = card.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(docShare - 1.0) < 1e-6 && math.abs(tokShare - 1.0) < 1e-6)
+  }
+
   test("language scores + quality + token counts behave") {
     val df = Seq(
       (0L, "the cat and the dog of the house is to be seen"),
