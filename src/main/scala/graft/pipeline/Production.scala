@@ -159,6 +159,31 @@ object Production {
         ctx.dataPath("clean.documents_spandeduped"))
     }
 
+    // learned quality gate (fastText-style): train the hashed-feature
+    // linear classifier once on the labeled zone (reference=1 / junk=0)
+    // and persist; scoring reads the persisted model — train-once /
+    // score-many, the tokenizer lifecycle shape
+    Jobs.register("corpus-curation", "quality-train") { (ctx, params) =>
+      val s = ctx.spark
+      val numFeatures =
+        params.getOrElse("num_features", (1 << 18).toString).toString.toInt
+      val labeled = Tables.readData(s, Seq(ctx.dataPath("raw.quality_labels")))
+      graft.text.QualityClassifier.saveModel(
+        graft.text.QualityClassifier.train(labeled, "text", "label", numFeatures),
+        ctx.dataPath("models.quality_classifier"))
+    }
+    Jobs.register("corpus-curation", "quality-score") { (ctx, params) =>
+      val s = ctx.spark
+      val minProb = params.getOrElse("min_prob", "0.5").toString.toDouble
+      val in = params.getOrElse("input", "raw.documents").toString
+      val model = graft.text.QualityClassifier.loadModel(
+        ctx.dataPath("models.quality_classifier"))
+      save(ctx,
+        graft.text.QualityClassifier.filterByModel(
+          Tables.readData(s, Seq(ctx.dataPath(in))), model, minProb),
+        ctx.dataPath("clean.documents_model_filtered"))
+    }
+
     // the release data card: per-language composition/shares/percentiles/
     // quality/dup rates over whichever corpus zone the chain points at
     Jobs.register("corpus-curation", "data-card") { (ctx, params) =>

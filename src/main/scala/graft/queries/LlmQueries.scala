@@ -224,6 +224,31 @@ object LlmQueries {
         .sourceQualityReport(t(s, dir, "documents"), "source", "text", "lang")
         .orderBy(col("source"))
     },
+    // --- learned quality gate audit: train the fastText-style classifier
+    // on clean-vs-junk labels (docs < 300), score a HELD-OUT planted set
+    // (docs 300..400 + their junk twins). The eval size is an exact count
+    // both engines derive; accuracy on this trivially separable frame must
+    // clear 0.95 for any sane trainer, so acc_ok pins the learned gate's
+    // behavior without depending on LR's float internals
+    "quality_classifier_audit" -> { (s, dir) =>
+      def junked(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), col("text"), lit(1.0).as("label")).unionByName(
+          df.select((col("doc_id") + 500000).as("doc_id"),
+            concat(lit("!!! ??? *** spam spam click here buy now !!! ??? *** "),
+              col("doc_id").cast("string")).as("text"),
+            lit(0.0).as("label")))
+      val train = junked(t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("text")))
+      val eval = junked(t(s, dir, "documents")
+        .filter(col("doc_id") >= 300 && col("doc_id") < 400)
+        .select(col("doc_id"), col("text")))
+      val model = graft.text.QualityClassifier.train(train, "text", "label")
+      graft.text.QualityClassifier.score(eval, model)
+        .agg(
+          count(lit(1)).as("n_eval"),
+          (avg(when((col("quality_prob") >= 0.5) === (col("label") === 1.0), 1.0)
+            .otherwise(0.0)) >= 0.95).as("acc_ok"))
+    },
     // --- the release data card: per-language composition, shares, length
     // percentiles, quality, dup/empty rates — one corpus pass
     "corpus_data_card" -> { (s, dir) =>
@@ -1118,6 +1143,12 @@ object LlmQueries {
          |    + (CASE WHEN ($allStopSql) > 0 OR ($hanSql) > 0 THEN 1.0 ELSE 0.0 END)
          |  ) / 4.0, 6) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // learned quality gate: eval-set size is exact arithmetic; the
+    // accuracy bound is an invariant flag (TRUE for any sane trainer on
+    // this separable frame), the uniformly-TRUE-flag oracle idiom
+    "quality_classifier_audit" ->
+      """SELECT CAST(2 * count(*) AS BIGINT) AS n_eval, TRUE AS acc_ok
+        |FROM documents WHERE doc_id >= 300 AND doc_id < 400""".stripMargin,
     // corpus data card: same quality fragment; shares against corpus
     // totals, quantile_cont matches the exact-percentile oracle mode
     "corpus_data_card" ->

@@ -420,6 +420,50 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(survivors === (0L until 12L).toSet, s"got $survivors")
   }
 
+  test("curation quality-train + quality-score catalog jobs: learned gate filters junk") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-qc-jobs").toString
+    val labeled = ((0 until 40).map(i =>
+      (i.toLong, s"a calm essay about rivers bridges and the number $i", 1.0)) ++
+      (0 until 40).map(i =>
+        (i + 1000L, s"!!! buy now spam click $i !!!", 0.0))).toDF("doc_id", "text", "label")
+    labeled.write.mode("overwrite").parquet(s"$work/labels")
+    // corpus to filter: 5 clean docs and 5 junk docs, no labels
+    val corpus = ((100 until 105).map(i =>
+      (i.toLong, s"a calm essay about rivers bridges and the number $i")) ++
+      (100 until 105).map(i => (i + 1000L, s"!!! buy now spam click $i !!!")))
+      .toDF("doc_id", "text")
+    corpus.write.mode("overwrite").parquet(s"$work/docs")
+    val yml = java.nio.file.Files.createTempFile("graft-qc-jobs", ".yml")
+    java.nio.file.Files.writeString(yml,
+      """jobs:
+        |  - name: corpus-curation
+        |    fail_fast: true
+        |    stages:
+        |      - name: gate
+        |        tasks:
+        |          - name: quality-train
+        |            params: {num_features: 16384}
+        |          - name: quality-score
+        |            params: {min_prob: "0.5"}
+        |""".stripMargin)
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Context.loadYaml(yml.toString),
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "documents" -> s"$work/docs",
+          "quality_labels" -> s"$work/labels"),
+        "models" -> Map("quality_classifier" -> s"$work/qc_model"),
+        "clean" -> Map("documents_model_filtered" -> s"$work/filtered")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(ctx = Context(cfg, spark), "corpus-curation").isEmpty)
+    val kept = spark.read.parquet(s"$work/filtered")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === (100L until 105L).toSet, s"got $kept")
+  }
+
   test("delta read dispatches the format to the DataSource registry (documented no-jar failure)") {
     // no delta jar in this sandbox (io/Tables.scala contract): the dispatch
     // must pass "delta" through and surface Spark's data-source-not-found —

@@ -102,6 +102,37 @@ class ModelSpec extends SparkSpec {
     assert(cv.avgMetrics.max > 0.9)
   }
 
+  test("quality classifier separates held-out clean text from junk, persists") {
+    import graft.text.QualityClassifier
+    val clean = (0 until 60).map(i =>
+      (i.toLong, s"the quiet library on elm street number $i keeps rare maps and old letters", 1.0))
+    val junk = (0 until 60).map(i =>
+      (i + 1000L, s"!!! ??? buy now click here spam spam winner $i !!! ???", 0.0))
+    val all = (clean ++ junk).toDF("doc_id", "text", "label")
+    val train = all.filter($"doc_id" % 3 =!= 0)
+    val holdout = all.filter($"doc_id" % 3 === 0)
+    val model = QualityClassifier.train(train, "text", "label", numFeatures = 1 << 14)
+    val scored = QualityClassifier.score(holdout, model)
+    // held-out accuracy at 0.5: perfect on this separable frame
+    val acc = scored.agg(avg(when(($"quality_prob" >= 0.5) === ($"label" === 1.0), 1.0)
+      .otherwise(0.0))).head().getDouble(0)
+    assert(acc == 1.0, s"held-out accuracy $acc")
+    // scoring adds quality_prob and leaves no intermediate columns behind
+    assert(scored.columns.toSet === Set("doc_id", "text", "label", "quality_prob"))
+    // enforcement keeps exactly the clean side
+    val kept = QualityClassifier.filterByModel(holdout, model, 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.forall(_ < 1000L) && kept.nonEmpty)
+    // persist -> reload -> identical scores
+    val dir = Files.createTempDirectory("graft-qc").toString
+    QualityClassifier.saveModel(model, dir)
+    val reloaded = QualityClassifier.loadModel(dir)
+    val a = scored.select("doc_id", "quality_prob").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val b = QualityClassifier.score(holdout, reloaded)
+      .select("doc_id", "quality_prob").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a === b)
+  }
+
   test("stratified CV folds keep a rare class in every training fold") {
     // 2 positives in 42 rows, 2 folds: a random split orphans the rare
     // class from one training fold with p=~0.5 (the fit then throws
