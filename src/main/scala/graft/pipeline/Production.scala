@@ -492,6 +492,21 @@ object Production {
         ctx.dataPath("processed.packed_sequences"))
     }
 
+    // the no-split trainer artifact: whole-document bins with doc spans,
+    // consuming whichever token column the encode stage produced
+    Jobs.register("tokenizer", "materialize-no-split") { (ctx, params) =>
+      val s = ctx.spark
+      val idCol = params.getOrElse("id_col", "doc_id").toString
+      val ctxTokens = params.getOrElse("ctx_tokens", "2048").toString.toInt
+      val nShards = params.getOrElse("n_shards", "64").toString.toInt
+      val tokenized = Tables.readData(s, Seq(ctx.dataPath("processed.tokenized")))
+      val tokCol = if (tokenized.columns.contains("token_ids")) "token_ids" else "tokens"
+      save(ctx,
+        graft.text.Packing.materializeNoSplit(tokenized, idCol, tokCol,
+          ctxTokens, nShards),
+        ctx.dataPath("processed.packed_bins"))
+    }
+
     // Metric percentile profile as a catalog job: fold one batch's GK
     // quantile state into the state table (O(keys) per fold, replay-safe
     // via batch_id), then publish the current per-key estimates — the

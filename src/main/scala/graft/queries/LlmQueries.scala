@@ -109,44 +109,48 @@ object LlmQueries {
         .otherwise(base).as("n_tokens"))
   }
 
-  /** Shared recursive-CTE prefix for the bin-packing oracles: the same
-    * planted counts as [[binPackDocs]], then the next-fit fold threaded
-    * per shard in doc order — `f` holds every doc's placement
-    * (`out_bin`/`out_off`) and post-doc state (`bin`/`fill`). */
-  private val binPackFoldSql: String =
-    """WITH RECURSIVE s AS (
+  /** Shared recursive-CTE prefix for the bin-packing oracles:
+    * `countsSql` must yield `(doc_id, shard, n)`; the next-fit fold is
+    * then threaded per shard in doc order — `f` holds every doc's
+    * placement (`out_bin`/`out_off`) and post-doc state (`bin`/`fill`). */
+  private def binPackFoldSql(countsSql: String, ctx: Int): String =
+    s"""WITH RECURSIVE s AS ($countsSql),
+       |r AS (SELECT shard, doc_id, n,
+       |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM s),
+       |f AS (
+       |  SELECT shard, rn, doc_id, n,
+       |    CASE WHEN n = 0 THEN NULL ELSE 0 END AS out_bin,
+       |    CASE WHEN n = 0 THEN NULL ELSE 0 END AS out_off,
+       |    CASE WHEN n = 0 THEN -1 ELSE 0 END AS bin,
+       |    CASE WHEN n = 0 THEN 0 WHEN n >= $ctx THEN $ctx ELSE n END AS fill
+       |  FROM r WHERE rn = 1
+       |  UNION ALL
+       |  SELECT r.shard, r.rn, r.doc_id, r.n,
+       |    CASE WHEN r.n = 0 THEN NULL
+       |         WHEN r.n >= $ctx OR f.bin < 0 OR f.fill + r.n > $ctx THEN f.bin + 1
+       |         ELSE f.bin END,
+       |    CASE WHEN r.n = 0 THEN NULL
+       |         WHEN r.n >= $ctx OR f.bin < 0 OR f.fill + r.n > $ctx THEN 0
+       |         ELSE f.fill END,
+       |    CASE WHEN r.n = 0 THEN f.bin
+       |         WHEN r.n >= $ctx OR f.bin < 0 OR f.fill + r.n > $ctx THEN f.bin + 1
+       |         ELSE f.bin END,
+       |    CASE WHEN r.n = 0 THEN f.fill
+       |         WHEN r.n >= $ctx THEN $ctx
+       |         WHEN f.bin < 0 OR f.fill + r.n > $ctx THEN r.n
+       |         ELSE f.fill + r.n END
+       |  FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
+       |""".stripMargin
+
+  /** The [[binPackDocs]] planted counts as the fold's `countsSql`. */
+  private val binPackPlantedCountsSql: String =
+    """
       |  SELECT doc_id, doc_id % 4 AS shard,
       |    CAST(CASE WHEN doc_id % 17 = 0 THEN 0
       |         WHEN doc_id % 13 = 0
       |           THEN len(string_split_regex(trim(text), '\s+')) * 9
       |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
-      |  FROM documents WHERE doc_id < 200),
-      |r AS (SELECT shard, doc_id, n,
-      |    row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn FROM s),
-      |f AS (
-      |  SELECT shard, rn, doc_id, n,
-      |    CASE WHEN n = 0 THEN NULL ELSE 0 END AS out_bin,
-      |    CASE WHEN n = 0 THEN NULL ELSE 0 END AS out_off,
-      |    CASE WHEN n = 0 THEN -1 ELSE 0 END AS bin,
-      |    CASE WHEN n = 0 THEN 0 WHEN n >= 128 THEN 128 ELSE n END AS fill
-      |  FROM r WHERE rn = 1
-      |  UNION ALL
-      |  SELECT r.shard, r.rn, r.doc_id, r.n,
-      |    CASE WHEN r.n = 0 THEN NULL
-      |         WHEN r.n >= 128 OR f.bin < 0 OR f.fill + r.n > 128 THEN f.bin + 1
-      |         ELSE f.bin END,
-      |    CASE WHEN r.n = 0 THEN NULL
-      |         WHEN r.n >= 128 OR f.bin < 0 OR f.fill + r.n > 128 THEN 0
-      |         ELSE f.fill END,
-      |    CASE WHEN r.n = 0 THEN f.bin
-      |         WHEN r.n >= 128 OR f.bin < 0 OR f.fill + r.n > 128 THEN f.bin + 1
-      |         ELSE f.bin END,
-      |    CASE WHEN r.n = 0 THEN f.fill
-      |         WHEN r.n >= 128 THEN 128
-      |         WHEN f.bin < 0 OR f.fill + r.n > 128 THEN r.n
-      |         ELSE f.fill + r.n END
-      |  FROM f JOIN r ON r.shard = f.shard AND r.rn = f.rn + 1)
-      |""".stripMargin
+      |  FROM documents WHERE doc_id < 200""".stripMargin
 
   /** embeddings ∪ exact clones (+100000): the SemDeDup query frame. */
   private def semDedupFrame(s: SparkSession, dir: String): DataFrame = {
@@ -838,6 +842,21 @@ object LlmQueries {
             "n_tokens", ctxTokens = 128, nShards = 4),
           ctxTokens = 128)
         .orderBy(col("shard"))
+    },
+    // --- materialized no-split bins on whitespace tokens: the oracle
+    // re-runs the fold AND re-derives each bin's length, boundary tokens
+    // and member count from scratch (truncated docs keep their prefix)
+    "packed_bins" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          filter(split(trim(col("text")), "\\s+"), w => length(w) > 0).as("tokens"))
+      graft.text.Packing
+        .materializeNoSplit(docs, "doc_id", "tokens", ctxTokens = 64, nShards = 4)
+        .select(col("shard"), col("bin_id"), col("seq_len"),
+          element_at(col("tokens"), 1).as("first_tok"),
+          element_at(col("tokens"), -1).as("last_tok"),
+          size(col("doc_spans")).as("n_docs"))
+        .orderBy(col("shard"), col("bin_id"))
     },
     // --- token-balanced shards: global rank by token count via the
     // prefix-sum zipWithIndex plan (no global window), dealt round-robin
@@ -1872,14 +1891,14 @@ object LlmQueries {
     // state; zero-token docs pass state through with null placement,
     // oversize docs take a bin of their own
     "bin_packing" ->
-      (binPackFoldSql +
+      (binPackFoldSql(binPackPlantedCountsSql, 128) +
         """SELECT CAST(shard AS BIGINT) AS shard, doc_id, n AS n_tokens,
           |  CAST(out_bin AS BIGINT) AS bin_id,
           |  CAST(out_off AS BIGINT) AS offset_in_bin,
           |  n > 128 AS truncated
           |FROM f ORDER BY shard, doc_id""".stripMargin),
     "bin_packing_stats" ->
-      (binPackFoldSql +
+      (binPackFoldSql(binPackPlantedCountsSql, 128) +
         """SELECT CAST(shard AS BIGINT) AS shard,
           |  CAST(count(*) AS BIGINT) AS n_docs,
           |  CAST(coalesce(max(out_bin) + 1, 0) AS BIGINT) AS n_bins,
@@ -1894,6 +1913,27 @@ object LlmQueries {
           |      AS DOUBLE)
           |    / (CAST(coalesce(max(out_bin) + 1, 0) AS DOUBLE) * 128), 6) AS efficiency
           |FROM f GROUP BY shard ORDER BY shard""".stripMargin),
+    // materialized no-split bins: same fold on the REAL whitespace counts
+    // (docs < 50, ctx 64), then per-bin length/boundary-token/member
+    // re-derivation — the truncated-doc prefix rule is least(n, ctx)
+    "packed_bins" ->
+      (binPackFoldSql(
+        """
+          |  SELECT doc_id, doc_id % 4 AS shard,
+          |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n
+          |  FROM documents WHERE doc_id < 50""".stripMargin, 64) +
+        """,toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+          |          FROM documents WHERE doc_id < 50)
+          |SELECT CAST(f.shard AS BIGINT) AS shard,
+          |  CAST(f.out_bin AS BIGINT) AS bin_id,
+          |  CAST(sum(least(f.n, 64)) AS INT) AS seq_len,
+          |  arg_min(toks.tk[1], f.out_off) AS first_tok,
+          |  arg_max(toks.tk[CAST(least(f.n, 64) AS INT)], f.out_off) AS last_tok,
+          |  CAST(count(*) AS INT) AS n_docs
+          |FROM f JOIN toks USING (doc_id)
+          |WHERE f.out_bin IS NOT NULL
+          |GROUP BY f.shard, f.out_bin ORDER BY shard, bin_id""".stripMargin),
     "token_balanced_shards" ->
       """WITH m AS (SELECT doc_id,
         |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens

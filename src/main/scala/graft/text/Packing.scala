@@ -260,6 +260,56 @@ object Packing {
       .withColumnRenamed("id", idCol)
   }
 
+  /** Materialize the no-split layout — the trainer artifact for
+    * [[binPackNoSplit]]: one row per (shard, bin_id) with that bin's
+    * tokens in placement order (`seq_len` ≤ ctxTokens; the trainer pads
+    * the remainder) and `doc_spans` — (start, len, doc) per member
+    * document, the attention-mask metadata. Unlike
+    * [[materializePackedWithSpans]] the spans need NO second token pass:
+    * a no-split bin's spans are exactly the plan's (offset, capped
+    * length) rows. A `truncated` document contributes its first
+    * `ctxTokens` tokens.
+    *
+    * Scale shape: the plan's metadata fold, one equi-join back to the
+    * token arrays, then the same (shard, bin)-bounded ≤ ctxTokens group
+    * aggregation as [[materializePacked]] — `sort_array` over a bounded
+    * struct list, never a distributed sort. */
+  def materializeNoSplit(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      ctxTokens: Int,
+      nShards: Int): DataFrame = {
+    val withN = df.select(col(idCol), col(tokensCol).as("__toks"),
+      size(col(tokensCol)).cast("long").as("__n"))
+    val plan = binPackNoSplit(
+        withN.select(col(idCol), col("__n").as("n_tokens")),
+        idCol, "n_tokens", ctxTokens, nShards)
+      .filter(col("bin_id").isNotNull) // zero-token docs occupy no bin
+    val toks = plan
+      .join(withN.select(col(idCol), col("__toks")), Seq(idCol))
+      .select(col("shard"), col("bin_id"), col("offset_in_bin"),
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .filter(col("__pos") < ctxTokens) // a truncated doc keeps its prefix
+      .select(col("shard"), col("bin_id"),
+        (col("offset_in_bin") + col("__pos")).cast("int").as("__slot"),
+        col("__tok"))
+      .groupBy(col("shard"), col("bin_id"))
+      .agg(sort_array(collect_list(struct(col("__slot"), col("__tok"))))
+        .as("__packed"))
+    val spans = plan
+      .groupBy(col("shard"), col("bin_id"))
+      .agg(sort_array(collect_list(struct(
+        col("offset_in_bin").cast("int").as("start"),
+        least(col("n_tokens"), lit(ctxTokens.toLong)).cast("int").as("len"),
+        col(idCol).as("doc")))).as("doc_spans"))
+    toks.join(spans, Seq("shard", "bin_id"))
+      .select(col("shard"), col("bin_id"),
+        expr("transform(__packed, p -> p.__tok)").as(tokensCol),
+        size(col("__packed")).as("seq_len"),
+        col("doc_spans"))
+  }
+
   /** Padding-efficiency accounting for a [[binPackNoSplit]] plan — the
     * number the layout choice is made on: per shard, how many bins the
     * corpus packs into and what fraction of their `ctxTokens` slots carry

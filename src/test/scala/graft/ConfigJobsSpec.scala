@@ -250,6 +250,8 @@ class ConfigJobsSpec extends AnyFunSuite {
         |            params: {ctx_tokens: 256, n_shards: 4}
         |          - name: materialize
         |            params: {ctx_tokens: 256, n_shards: 4}
+        |          - name: materialize-no-split
+        |            params: {ctx_tokens: 256, n_shards: 4}
         |  - name: metric-profile
         |    stages:
         |      - name: profile
@@ -275,6 +277,7 @@ class ConfigJobsSpec extends AnyFunSuite {
           "packed_sequences" -> s"$work/packed_sequences",
           "bin_packing" -> s"$work/bin_packing",
           "bin_packing_stats" -> s"$work/bin_packing_stats",
+          "packed_bins" -> s"$work/packed_bins",
           "quantile_profile" -> s"$work/qprofile")))
     graft.pipeline.Production.registerAll()
     val ctx = Context(cfg, spark)
@@ -313,6 +316,17 @@ class ConfigJobsSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_bins") * 256L ===
         r.getAs[Long]("packed_tokens") + r.getAs[Long]("padding_tokens"))
     }
+    // the no-split ARTIFACT conserves every non-truncated token (bins hold
+    // whole docs; oversize docs keep exactly their ctx-sized prefix) and
+    // its spans tile each bin
+    val bins = spark.read.parquet(s"$work/packed_bins")
+    val truncated = tokenized
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.greatest(col("n_tokens") - 256L, org.apache.spark.sql.functions.lit(0L))))
+      .head().getLong(0)
+    assert(bins.agg(org.apache.spark.sql.functions.sum("seq_len")).head().getLong(0)
+      === encTokens - truncated)
+    assert(bins.filter(col("seq_len") > 256).count() === 0)
     // the materialized sequences conserve every token and respect ctx
     val seqs = spark.read.parquet(s"$work/packed_sequences")
     assert(seqs.agg(org.apache.spark.sql.functions.sum("seq_len"))

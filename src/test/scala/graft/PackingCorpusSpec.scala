@@ -381,6 +381,36 @@ class PackingCorpusSpec extends SparkSpec {
     assert(math.abs(s.getAs[Double]("efficiency") - 0.78) < 1e-9)
   }
 
+  test("materializeNoSplit: whole-doc bins, truncated prefix, spans tile each bin") {
+    // ctx=5, one shard: docs 0+1 fill bin0; doc 2 (7 toks) is truncated
+    // alone in bin1; docs 4+5 fill bin2; doc 3 is empty -> no bin
+    val docs = Seq(
+      (0L, Seq("a", "b", "c")),
+      (1L, Seq("d", "e")),
+      (2L, Seq("f", "g", "h", "i", "j", "k", "l")),
+      (3L, Seq.empty[String]),
+      (4L, Seq("m", "n", "o", "p")),
+      (5L, Seq("q"))).toDF("doc_id", "tokens")
+    val out = Packing.materializeNoSplit(docs, "doc_id", "tokens", ctxTokens = 5, nShards = 1)
+      .orderBy("bin_id").collect()
+    assert(out.length == 3)
+    val toks = out.map(_.getAs[scala.collection.Seq[String]]("tokens").mkString(" "))
+    assert(toks.toSeq == Seq("a b c d e", "f g h i j", "m n o p q"))
+    assert(out.map(_.getAs[Int]("seq_len")).toSeq == Seq(5, 5, 5))
+    val spans = out.map(_.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("doc_spans")
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))))
+    assert(spans(0).toSeq == Seq((0, 3, 0L), (3, 2, 1L)))
+    assert(spans(1).toSeq == Seq((0, 5, 2L))) // truncated doc: capped span
+    assert(spans(2).toSeq == Seq((0, 4, 4L), (4, 1, 5L)))
+    // spans tile each bin exactly: lengths sum to seq_len, starts chain
+    out.zip(spans).foreach { case (row, sp) =>
+      assert(sp.map(_._2).sum == row.getAs[Int]("seq_len"))
+      sp.foldLeft(0) { case (expect, (st, len, _)) =>
+        assert(st == expect); st + len
+      }
+    }
+  }
+
   test("binPackNoSplit: partition-invariant, bins dense, capacity never exceeded") {
     val counts = docs.select($"doc_id",
       TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
