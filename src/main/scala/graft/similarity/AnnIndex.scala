@@ -293,6 +293,12 @@ object AnnIndex {
     * re-fit. Centroids drift as data drifts — re-fit is an explicit
     * [[buildIvf]] rebuild, a deliberate visible event, not a silent
     * degradation. */
+  /** The id column a persisted index was built with — for callers
+    * composing batch flows against the index (cf.
+    * [[graft.dedup.MinHashIndex.idColumn]]). */
+  def idColumn(spark: SparkSession, dir: String, kind: String = "ivf"): String =
+    readMeta(spark, dir, kind).idCol
+
   def appendIvf(
       batch: DataFrame,
       vecCol: String,

@@ -461,6 +461,83 @@ object Streaming {
       }
       .start()
 
+  /** Continuously ingest EMBEDDINGS with semantic dedup against
+    * everything already accepted — [[maintainNearDupCorpus]]'s vector
+    * twin (streaming SemDeDup): each micro-batch
+    *   1. dedups within itself (LSH-bucketed cosine pairs, higher id
+    *      drops);
+    *   2. probes the persisted IVF index for each survivor's nearest
+    *      accepted neighbor and drops those at `threshold`+ cosine — the
+    *      accepted corpus is read only through the partition-pruned index
+    *      cells, never rescanned;
+    *   3. appends survivors to `acceptedDir/docs.parquet` AND to the
+    *      index ([[graft.similarity.AnnIndex.appendIvf]] assigns against
+    *      the PERSISTED centroids — batch-sized work), so later batches
+    *      dedup against them.
+    * The IVF index must exist (build it on the seed corpus first).
+    * Replays are marker-gated; the crash window between the two appends
+    * is closed the same way as the near-dup maintainer, with one extra
+    * guard: the nearest-neighbor probe excludes self-id matches, so a
+    * replay after a crash BETWEEN index append and marker write
+    * reconciles by id against the INDEX (rows it already carries are
+    * dropped before any append) as well as against docs.parquet. */
+  def maintainSemanticCorpus(
+      vecs: DataFrame,
+      vecCol: String,
+      indexDir: String,
+      acceptedDir: String,
+      checkpoint: String,
+      threshold: Double = 0.97,
+      nprobe: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        markerGated(s, acceptedDir, batchId) {
+          if (!batch.isEmpty) { // an empty micro-batch just marks applied
+            val begun = new org.apache.hadoop.fs.Path(s"$acceptedDir/_begun_batches/$batchId")
+            val fs = begun.getFileSystem(s.sparkContext.hadoopConfiguration)
+            val replayOfPartial = fs.exists(begun)
+            if (!replayOfPartial) fs.create(begun, true).close()
+            val idCol = graft.similarity.AnnIndex.idColumn(s, indexDir)
+            // in-batch semantic dedup: lowest id of each twin chain stands
+            val inBatchLosers = graft.similarity.Similarity
+              .embeddingNearDupPairs(batch, idCol, vecCol, threshold)
+              .select(col("id_b").as(idCol)).distinct()
+            val inBatch = batch.join(inBatchLosers, Seq(idCol), "left_anti")
+            // replay guard: rows the index already carries (committed by
+            // the crashed attempt) must not re-append anywhere
+            val replaySafe =
+              if (replayOfPartial)
+                inBatch.join(
+                  s.read.parquet(s"$indexDir/corpus.parquet").select(idCol),
+                  Seq(idCol), "left_anti")
+              else inBatch
+            // vs accepted corpus: nearest indexed neighbor at threshold+
+            val hits = graft.similarity.AnnIndex
+              .searchIvf(s, indexDir, replaySafe, idCol, vecCol, k = 1, nprobe)
+              .filter(col("cosine") >= threshold)
+              .select(col("query_id").as(idCol)).distinct()
+            val survivors = replaySafe.join(hits, Seq(idCol), "left_anti")
+              // two writes below; materialize the survivor set once
+              .localCheckpoint(true)
+            if (!survivors.isEmpty) {
+              val docsPath = s"$acceptedDir/docs.parquet"
+              val toAppend =
+                if (replayOfPartial &&
+                    fs.exists(new org.apache.hadoop.fs.Path(docsPath)))
+                  survivors.join(
+                    s.read.parquet(docsPath).select(idCol), Seq(idCol), "left_anti")
+                else survivors
+              toAppend.write.mode(org.apache.spark.sql.SaveMode.Append)
+                .parquet(docsPath)
+              graft.similarity.AnnIndex.appendIvf(survivors, vecCol, indexDir)
+            }
+          }
+        }: Unit
+      }
+      .start()
+
   private[graft] def dedupBatchOnce(
       batch: DataFrame, idCol: String, textCol: String, acceptedDir: String,
       batchId: Long, minQuality: Option[Double] = None): Boolean =

@@ -352,6 +352,73 @@ class StreamingSpec extends SparkSpec {
     assert(again.isEmpty, "survivor must be indexed for later batches")
   }
 
+  test("streaming semantic corpus: clones of accepted vectors drop, survivors get indexed") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-sem").toString
+    val (idx, accepted) = (s"$work/idx", s"$work/accepted")
+    def oneHot(i: Int): Seq[Float] = Seq.tabulate(32)(j => if (j == i) 1f else 0f)
+    // seed corpus: 4 orthogonal accepted vectors
+    graft.similarity.AnnIndex.buildIvf(
+      (0 until 4).map(i => (i.toLong, oneHot(i))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, nlist = 2)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.maintainSemanticCorpus(
+      input.toDF.toDF("vec_id", "embedding"), "embedding", idx, accepted,
+      s"$work/ckpt", threshold = 0.999)
+    // batch 0: a clone of seed vec 2 (drop), an in-batch clone pair
+    // (11 stands, 12 drops), and a novel vector (10 stands)
+    input.addData(Seq(
+      (20L, oneHot(2)), (11L, oneHot(9)), (12L, oneHot(9)), (10L, oneHot(8))))
+    q.processAllAvailable()
+    // batch 1: a clone of batch 0's SURVIVOR (the index grew) + novel
+    input.addData(Seq((30L, oneHot(8)), (31L, oneHot(15))))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(s"$accepted/docs.parquet")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(10L, 11L, 31L),
+      s"semantic twins of accepted content must drop, got $ids")
+    // survivors joined the index: a fresh search finds them at rank 1
+    val hit = graft.similarity.AnnIndex.searchIvf(spark, idx,
+      Seq((100L, oneHot(15))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 1)
+    assert(hit.filter($"cosine" >= 0.999).select("vec_id").as[Long].head() == 31L)
+  }
+
+  test("streaming semantic corpus: replayed batch is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-sem-replay").toString
+    val (idx, accepted) = (s"$work/idx", s"$work/accepted")
+    def oneHot(i: Int): Seq[Float] = Seq.tabulate(32)(j => if (j == i) 1f else 0f)
+    graft.similarity.AnnIndex.buildIvf(
+      (0 until 4).map(i => (i.toLong, oneHot(i))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", idx, nlist = 2)
+    // a prior attempt of batch 0 committed docs AND index, then died
+    // before the applied marker: begun marker present, rows everywhere
+    val fs = new org.apache.hadoop.fs.Path(accepted)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((50L, oneHot(20))).toDF("vec_id", "embedding")
+      .write.mode("append").parquet(s"$accepted/docs.parquet")
+    graft.similarity.AnnIndex.appendIvf(
+      Seq((50L, oneHot(20))).toDF("vec_id", "embedding"), "embedding", idx)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$accepted/_begun_batches"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$accepted/_begun_batches/0"), true).close()
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = Streaming.maintainSemanticCorpus(
+      input.toDF.toDF("vec_id", "embedding"), "embedding", idx, accepted,
+      s"$work/ckpt", threshold = 0.999)
+    input.addData(Seq((50L, oneHot(20))))
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.read.parquet(s"$accepted/docs.parquet")
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ids == Seq(50L), s"replay must not duplicate docs, got $ids")
+    // and the index holds exactly one copy of the row
+    val n = spark.read.parquet(s"$idx/corpus.parquet")
+      .filter($"vec_id" === 50L).count()
+    assert(n == 1L, s"replay must not double-index, got $n rows")
+  }
+
   test("streaming near-dup corpus: replay after a crash between appends does not duplicate docs") {
     implicit val sqlCtx = spark.sqlContext
     val work = java.nio.file.Files.createTempDirectory("graft-stream-neardup-replay").toString
