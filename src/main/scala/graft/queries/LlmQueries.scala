@@ -575,6 +575,18 @@ object LlmQueries {
           k = 10, probes = 6)
         .orderBy(col("query_id"), col("rank"))
     },
+    // --- IVF-PQ search: product-quantized codes + ADC scoring — the
+    // memory-scale ANN path; approximate by design, recall-bounded in
+    // RECALL_r11/RecallSpec rather than oracle-hashed
+    "ann_ivfpq_search" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = annIndexDir(dir, "ivfpq")
+      graft.similarity.AnnIndex.ensureIvfPq(e, "vec_id", "embedding", idx,
+        m = 8, codes = 256)
+      graft.similarity.AnnIndex
+        .searchIvfPq(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
     // --- attribute-filtered vector search: neighbors WITHIN a label slice.
     // The index stores `label` alongside each vector (attrCols) and the
     // search pushes the predicate into the pruned corpus scan. At

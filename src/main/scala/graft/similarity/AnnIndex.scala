@@ -193,6 +193,120 @@ object AnnIndex {
     Similarity.ivfScore(assigned, qProbes, m.idCol, k)
   }
 
+  // --------------------------------------------------------------- IVF-PQ
+
+  /** IVF with PRODUCT-QUANTIZED residuals-free codes (the FAISS `IVF,PQ`
+    * shape without residual encoding): the coarse quantizer partitions
+    * the corpus into cells exactly as [[buildIvf]], but each stored row
+    * carries only `m` small codebook codes instead of the float vector —
+    * the memory/scan-byte scale path when even int8 is too big (d floats
+    * → m bytes-ish; 64-dim float32 → 8 codes is ~32×). Scoring is ADC
+    * (asymmetric distance computation): per query a lookup table of
+    * m·codes subspace dot products is built once, and each candidate
+    * costs m array lookups + adds instead of a d-dim dot product. The
+    * cosine returned is the quantized approximation — there is no
+    * full-precision re-rank because the full vectors are not stored;
+    * recall is planted-truth-measured (tools/Recall.scala).
+    *
+    * Meta mapping for this kind: `nlist` = coarse cells, `tables` = m
+    * subspaces, `bits` = effective codebook size per subspace. */
+  def buildIvfPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nlist: Int = 0,
+      m: Int = 8,
+      codes: Int = 256,
+      seed: Long = 0L,
+      fitSample: Int = 100000,
+      attrCols: Seq[String] = Nil): Unit = {
+    require(nlist >= 0, s"nlist must be >= 0 (0 = auto), got $nlist")
+    require(m > 0 && codes > 1, s"need m > 0 subspaces and codes > 1, got m=$m codes=$codes")
+    val nRows = corpus.count()
+    val cells = if (nlist > 0) nlist else Similarity.ivfAutoNlist(nRows)
+    val corpusVec = Similarity.ivfNormalizedCorpus(corpus, idCol, vecCol, attrCols)
+    val model = Similarity.ivfFit(corpusVec, idCol, cells, seed, fitSample)
+    Similarity.ivfCentroidFrame(corpus.sparkSession, model)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.parquet")
+    val (books, codesEff) = Similarity.pqFit(corpusVec, idCol, m, codes, seed, fitSample)
+    books.write.mode(SaveMode.Overwrite).parquet(s"$dir/codebooks.parquet")
+    val dim = corpusVec.select(size(col("__cv"))).head().getInt(0)
+    val assigned = model.transform(corpusVec).drop("__mlvec")
+    val coded = Similarity.pqEncode(assigned, idCol, books, m, dim / m)
+    assigned
+      .select((col(idCol) +: col("__cell") +: attrCols.map(col)): _*)
+      .join(coded, Seq(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__cell")
+      .parquet(s"$dir/corpus.parquet")
+    writeMeta(corpus.sparkSession, dir,
+      Meta("ivfpq", idCol, nRows, cells, tables = m, bits = codesEff, seed,
+        quantized = true))
+  }
+
+  /** Search a prebuilt IVF-PQ index: probe cells like [[searchIvf]], then
+    * ADC-score the pruned candidates against the per-query lookup table.
+    * `corpusFilter` filters on stored attribute columns exactly as in
+    * [[searchIvf]]. Returned `cosine` is the PQ approximation. */
+  def searchIvfPq(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 0,
+      corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(nprobe >= 0, s"nprobe must be >= 0 (0 = auto), got $nprobe")
+    val m = readMeta(spark, dir, "ivfpq")
+    val probes =
+      if (nprobe > 0) nprobe else Similarity.ivfAutoNprobe(m.nlist, m.nRows, k)
+    require(probes >= 1 && probes <= m.nlist,
+      s"need 1 <= nprobe <= nlist, got nprobe=$probes nlist=${m.nlist}")
+    val centDf = broadcast(spark.read.parquet(s"$dir/centroids.parquet"))
+    val books = broadcast(spark.read.parquet(s"$dir/codebooks.parquet"))
+    val dim = books.select(size(col("cent"))).head().getInt(0) * m.tables
+    val qProbes = Similarity.ivfQueryProbes(queries, queryIdCol, vecCol, centDf, probes)
+      .select(col("query_id"), col("__cell"))
+    val lut = broadcast(
+      Similarity.pqLut(queries, queryIdCol, vecCol, books, dim / m.tables,
+        m.tables, m.bits))
+    val probedCells = qProbes.select(col("__cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpusStored = spark.read.parquet(s"$dir/corpus.parquet")
+    Similarity.requireComparableIdTypes(
+      corpusStored.schema(m.idCol).dataType, s"index corpus id '${m.idCol}' at $dir",
+      queries.schema(queryIdCol).dataType, s"query id '$queryIdCol'")
+    val pruned = corpusStored.filter(col("__cell").isin(probedCells: _*))
+    val filtered = corpusFilter.fold(pruned)(pruned.filter)
+    val scored = filtered
+      .join(qProbes, Seq("__cell"))
+      .join(lut, Seq("query_id"))
+      .filter(col(m.idCol) =!= col("query_id"))
+      .filter(col("__rn") > 0)
+      .select(col("query_id"), col(m.idCol),
+        // Σ lut = q·x̂; divide by the stored ‖x̂‖ → cos(q, x̂)
+        round(expr(
+          s"aggregate(zip_with(__codes, sequence(0, ${m.tables - 1}), " +
+            s"(c, j) -> element_at(__lut, j * ${m.bits} + c + 1)), " +
+            "0D, (acc, x) -> acc + x)") / col("__rn"), 6).as("cosine"))
+    Similarity.rankTopK(scored, m.idCol, k)
+  }
+
+  /** IVF-PQ twin of [[ensureIvf]]. */
+  def ensureIvfPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nlist: Int = 0,
+      m: Int = 8,
+      codes: Int = 256,
+      seed: Long = 0L): Unit =
+    if (!exists(corpus.sparkSession, dir))
+      buildIvfPq(corpus, idCol, vecCol, dir, nlist, m, codes, seed)
+
   // ------------------------------------------------------------------ LSH
 
   /** Sign the corpus once and persist the (table, sig)-addressed layout.

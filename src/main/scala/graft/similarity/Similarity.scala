@@ -516,6 +516,128 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  // ------------------------------------------------------- product quant
+
+  /** Fit product-quantization codebooks on a bounded sample of the
+    * normalized corpus: `m` contiguous subspaces, each with its own
+    * k-means codebook of up to `codes` centroids (clamped to the sample
+    * size; the effective count is what the caller must persist). Seeded
+    * per subspace; the sample is hash-ordered like [[ivfFit]]'s so the
+    * codebooks are a deterministic function of the data. Returns the
+    * tiny broadcast frame (subspace, code, cent ARRAY<DOUBLE>). */
+  private[similarity] def pqFit(
+      corpusVec: DataFrame,
+      idCol: String,
+      m: Int,
+      codes: Int,
+      seed: Long,
+      fitSample: Int): (DataFrame, Int) = {
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val spark = corpusVec.sparkSession
+    import spark.implicits._
+    val dim = corpusVec.select(size(col("__cv"))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide by m=$m subspaces")
+    val sub = dim / m
+    val sample = corpusVec
+      .select(vector_to_array(col("__mlvec")).as("__u"), xxhash64(col(idCol)).as("__h"))
+      .orderBy(col("__h")).limit(fitSample).drop("__h")
+      .persist()
+    try {
+      val n = sample.count()
+      val codesEff = math.min(codes.toLong, n).toInt
+      require(codesEff > 0, "pqFit needs a non-empty corpus")
+      val books = (0 until m).flatMap { j =>
+        val fitFrame = sample.select(
+          array_to_vector(slice(col("__u"), j * sub + 1, sub)).as("__sv"))
+        val km = new org.apache.spark.ml.clustering.KMeans()
+          .setK(codesEff).setSeed(seed + j).setMaxIter(8).setInitMode("random")
+          .setFeaturesCol("__sv").setPredictionCol("__c")
+          .fit(fitFrame)
+        km.clusterCenters.zipWithIndex.map { case (c, i) => (j, i, c.toArray.toSeq) }
+      }
+      (broadcast(books.toDF("subspace", "code", "cent")), codesEff)
+    } finally { sample.unpersist(); () }
+  }
+
+  /** Encode each vector against the codebooks: per subspace, the nearest
+    * centroid's code — `__codes ARRAY<INT>` of length m in subspace
+    * order, plus `__rn`, the reconstruction's norm ‖x̂‖ (a pure function
+    * of the codes, precomputed here so search never rebuilds it). One
+    * explode to (row × subspace), a broadcast join against the m·codes
+    * codebook rows, an argmin per (id, subspace) — the build-time pass,
+    * never repeated at search. Input must carry the UNIT vector
+    * components (`__cv`, `__cn`). */
+  private[similarity] def pqEncode(
+      assigned: DataFrame,
+      idCol: String,
+      books: DataFrame,
+      m: Int,
+      sub: Int): DataFrame = {
+    val subvecs = expr(
+      s"transform(sequence(0, ${m - 1}), j -> slice(transform(__cv, x -> x / __cn), j * $sub + 1, $sub))")
+    assigned
+      .select(col(idCol), posexplode(subvecs).as(Seq("subspace", "__sv")))
+      .join(books, Seq("subspace"))
+      .select(col(idCol), col("subspace"), col("code"),
+        dot(col("cent"), col("cent")).as("__c2"),
+        (dot(col("cent"), col("cent")) - lit(2.0) * dot(col("__sv"), col("cent")))
+          .as("__dist"))
+      .groupBy(col(idCol), col("subspace"))
+      .agg(
+        min(struct(col("__dist"), col("code"), col("__c2"))).getField("code").as("code"),
+        min(struct(col("__dist"), col("code"), col("__c2"))).getField("__c2").as("__c2"))
+      .groupBy(col(idCol))
+      .agg(
+        expr("transform(sort_array(collect_list(struct(subspace, code))), p -> p.code)")
+          .as("__codes"),
+        sqrt(sum(col("__c2"))).as("__rn"))
+  }
+
+  /** Per-query ADC lookup table: `lut[j·codes + c] = q_j·cent(j,c)`, so
+    * Σ over a candidate's codes is `q·x̂` and scoring costs m array
+    * lookups + adds instead of a d-dim dot product. Combined with the
+    * stored reconstruction norm (`__rn` from [[pqEncode]]), the reported
+    * score is `cos(q, x̂) = q·x̂ / ‖x̂‖` — the cosine against the quantized
+    * reconstruction, an unbiased proxy for the true unit-vector cosine
+    * (raw dot-ADC under-ranks short reconstructions; distance-ADC
+    * over-penalizes long ones). Queries are broadcast-sized by
+    * contract. */
+  private[similarity] def pqLut(
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      books: DataFrame,
+      sub: Int,
+      m: Int,
+      codes: Int): DataFrame = {
+    def unit(v: Column): Column =
+      when(l2Norm(v) > 0, transform(v.cast("array<double>"), x => x / l2Norm(v)))
+        .otherwise(v.cast("array<double>"))
+    queries
+      .select(
+        col(queryIdCol).as("query_id"),
+        unit(col(vecCol)).as("__qu"),
+        l2Norm(col(vecCol)).as("__qn"))
+      .filter(col("__qn") > 0)
+      .crossJoin(books)
+      .select(col("query_id"),
+        (col("subspace") * codes + col("code")).as("__slot"),
+        dot(slice(col("__qu"), col("subspace") * sub + 1, lit(sub)), col("cent"))
+          .as("__v"))
+      .groupBy(col("query_id"))
+      // index by explicit slot, NOT by dense position: k-means may return
+      // fewer than `codes` centers for a subspace (empty clusters), and a
+      // hole would shift every later entry. Missing slots are never
+      // referenced (encode only assigns existing codes) but fill as -inf
+      // so a bug surfaces as a terrible score, not a silent shift
+      .agg(map_from_entries(collect_list(struct(col("__slot"), col("__v"))))
+        .as("__lutmap"))
+      .select(col("query_id"), expr(
+        s"transform(sequence(0, ${m * codes - 1}), " +
+          "i -> coalesce(element_at(__lutmap, i), cast('-Infinity' as double)))")
+        .as("__lut"))
+  }
+
   /** SemDeDup pair report — SEMANTIC near-duplicates (paraphrases,
     * templated rewrites, re-encodings) that lexical dedup cannot see:
     * k-means-cluster the embeddings with the IVF coarse quantizer, then

@@ -10,16 +10,25 @@ object Drive {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // No-split bin packing end-to-end on real testdata: plan + summary,
-    // then the physical plan (expect: one Exchange on shard, a
-    // partition-local Sort, MapPartitions — no global sort, no window)
-    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-    val counts = docs.select(col("doc_id"),
-      graft.text.TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
-    val plan = graft.text.Packing.binPackNoSplit(counts, "doc_id", "n_tokens",
-      ctxTokens = 256, nShards = 4)
-    plan.orderBy("shard", "doc_id").show(12, truncate = false)
-    graft.text.Packing.binPackSummary(plan, 256).orderBy("shard").show(false)
-    plan.explain("formatted")
+    // IVF-PQ after the slot-indexed LUT fix: recall + bytes at sf0.01
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    graft.similarity.AnnIndex.buildIvfPq(emb, "vec_id", "embedding", s"$dir/pq",
+      m = 8, codes = 256)
+    graft.similarity.AnnIndex.buildIvf(emb, "vec_id", "embedding", s"$dir/ivf")
+    val queries = emb.filter(col("vec_id") < 5)
+    val brute = graft.similarity.Similarity
+      .cosineTopK(emb, queries, "vec_id", "embedding", "vec_id", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val pqSet = graft.similarity.AnnIndex
+      .searchIvfPq(spark, s"$dir/pq", queries, "vec_id", "embedding", k = 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    println(f"PQ recall@10 = ${(brute & pqSet).size.toDouble / brute.size}%.3f")
+    def bytesOf(p: String): Long = {
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
+    }
+    println(s"bytes ratio = ${bytesOf(s"$dir/pq/corpus.parquet").toDouble / bytesOf(s"$dir/ivf/corpus.parquet")}")
   }
 }

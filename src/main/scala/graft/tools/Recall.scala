@@ -121,6 +121,15 @@ object Recall {
       "query_id", "vec_id")
     entries += Entry("ann_lsh_search", recallOf(brute, lshIdx), brute.size,
       (brute & lshIdx).size, 0.6, "prebuilt LSH index search vs exact cosine top-10")
+    graft.similarity.AnnIndex.buildIvfPq(emb, "vec_id", "embedding", s"$idxBase/pq",
+      m = 8, codes = 256)
+    val pqIdx = pairSet(
+      graft.similarity.AnnIndex.searchIvfPq(
+        spark, s"$idxBase/pq", queries5, "vec_id", "embedding", k = 10),
+      "query_id", "vec_id")
+    entries += Entry("ann_ivfpq_search", recallOf(brute, pqIdx), brute.size,
+      (brute & pqIdx).size, 0.5,
+      "prebuilt IVF-PQ (ADC, no re-rank) vs exact cosine top-10 — near-uniform vectors are PQ's hardest case")
 
     // --- minhash near-dup vs exhaustive n-gram Jaccard ------------------
     val exactPairs = pairSet(

@@ -333,6 +333,52 @@ class AnnIndexSpec extends SparkSpec {
       s"appended clone not found under its own label")
   }
 
+  test("IVF-PQ: clones found at rank 1, codes are a fraction of the bytes, deterministic") {
+    import spark.implicits._
+    // plant exact clones: identical vectors quantize to identical codes,
+    // so the clone's ADC score is the maximum possible — rank 1
+    val planted = emb.unionByName(
+      emb.filter(col("vec_id") < 5)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"), col("label")))
+    val dirP = tempDir("graft_pq")
+    val dirF = tempDir("graft_pq_full")
+    AnnIndex.buildIvfPq(planted.select("vec_id", "embedding"), "vec_id", "embedding",
+      dirP, nlist = 8, m = 8, codes = 64, seed = 7L)
+    AnnIndex.buildIvf(planted.select("vec_id", "embedding"), "vec_id", "embedding",
+      dirF, nlist = 8, seed = 7L)
+    val queries = planted.filter(col("vec_id") < 5)
+    val top = AnnIndex.searchIvfPq(spark, dirP, queries, "vec_id", "embedding",
+      k = 10, nprobe = 8)
+    // the clone quantizes to the query's own codes (per-subspace distance
+    // argmin), so its reconstruction cosine is maximal on this pinned
+    // frame — other vectors may tie it exactly (shared codes at coarse
+    // codebooks); deterministic build + data makes this assertion stable
+    val byQuery = top.select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    byQuery.foreach { case (q, rows) =>
+      val best = rows.map(_._3).max
+      val clone = rows.find(_._2 == q + 100000L)
+      assert(clone.isDefined, s"query $q: clone missing from top-10")
+      assert(clone.get._3 == best,
+        s"query $q: clone score ${clone.get._3} below best $best")
+    }
+    // deterministic across searches
+    val a = top.collect().map(_.toString).toSeq
+    val b = AnnIndex.searchIvfPq(spark, dirP, queries, "vec_id", "embedding",
+      k = 10, nprobe = 8).collect().map(_.toString).toSeq
+    assert(a == b)
+    // the point of PQ: stored codes are a small fraction of the float bytes
+    def corpusBytes(dir: String): Long = {
+      val root = java.nio.file.Paths.get(s"$dir/corpus.parquet")
+      val s = java.nio.file.Files.walk(root)
+      try s.filter(p => p.toString.endsWith(".parquet"))
+        .mapToLong(p => java.nio.file.Files.size(p)).sum
+      finally s.close()
+    }
+    val (pb, fb) = (corpusBytes(dirP), corpusBytes(dirF))
+    assert(pb < fb * 4 / 10, s"PQ corpus $pb bytes not < 40% of full $fb")
+  }
+
   test("kind mismatch and missing index fail loudly") {
     val dir = tempDir("graft_idx_kind")
     AnnIndex.buildLsh(emb, "vec_id", "embedding", dir, tables = 2, bits = 4)

@@ -107,7 +107,9 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_exact", "range_join", "sessionize_batch",
       "packed_sequences", "bpe_pack_e2e", "quantile_sketch_state",
       "cluster_safe_split", "decontaminate_corpus",
-      "epoch_shuffle", "dedup_spans", "normalize_text", "avi_mjpeg_decode").foreach { name =>
+      "epoch_shuffle", "dedup_spans", "normalize_text", "avi_mjpeg_decode",
+      "bin_packing", "packed_bins", "semdedup_survivors",
+      "corpus_data_card").foreach { name =>
       val d = SparkEntry.queries(name)(spark, sf)
       val errors = PlanAudit.audit(d).filter(_.severity == "error")
       assert(errors.isEmpty, s"$name: $errors")
