@@ -294,6 +294,45 @@ object AnnIndex {
     Similarity.rankTopK(scored, m.idCol, k)
   }
 
+  /** Append a new corpus batch to a prebuilt IVF-PQ index: cells assigned
+    * against the PERSISTED centroids, codes against the PERSISTED
+    * codebooks — batch-sized work, no re-fit (a re-fit is an explicit
+    * rebuild, same contract as [[appendIvf]]/[[appendLsh]]). */
+  def appendIvfPq(
+      batch: DataFrame,
+      vecCol: String,
+      dir: String): Unit = {
+    val spark = batch.sparkSession
+    val m = readMeta(spark, dir, "ivfpq")
+    val centDf = broadcast(spark.read.parquet(s"$dir/centroids.parquet"))
+    val books = broadcast(spark.read.parquet(s"$dir/codebooks.parquet"))
+    val attrs = (spark.read.parquet(s"$dir/corpus.parquet").columns.toSet
+      -- Set(m.idCol, "__codes", "__rn", "__cell")).toSeq.sorted
+    val corpusVec = Similarity.ivfNormalizedCorpus(batch, m.idCol, vecCol, attrs)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.ml.functions.vector_to_array
+    val w = Window.partitionBy(col(m.idCol)).orderBy(col("__dist").asc, col("__cell").asc)
+    val assigned = corpusVec
+      .withColumn("__u", vector_to_array(col("__mlvec")))
+      .drop("__mlvec")
+      .crossJoin(centDf)
+      .withColumn("__dist",
+        Similarity.dot(col("__cent"), col("__cent"))
+          - lit(2.0) * Similarity.dot(col("__u"), col("__cent")))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select((Seq(m.idCol, "__cv", "__cn") ++ attrs :+ "__cell").map(col): _*)
+    val sub = books.select(size(col("cent"))).head().getInt(0)
+    val coded = Similarity.pqEncode(assigned, m.idCol, books, m.tables, sub)
+    assigned
+      .select((col(m.idCol) +: col("__cell") +: attrs.map(col)): _*)
+      .join(coded, Seq(m.idCol))
+      .write.mode(SaveMode.Append)
+      .partitionBy("__cell")
+      .parquet(s"$dir/corpus.parquet")
+    writeMeta(spark, dir, m.copy(nRows = m.nRows + batch.count()))
+  }
+
   /** IVF-PQ twin of [[ensureIvf]]. */
   def ensureIvfPq(
       corpus: DataFrame,

@@ -379,6 +379,32 @@ class AnnIndexSpec extends SparkSpec {
     assert(pb < fb * 4 / 10, s"PQ corpus $pb bytes not < 40% of full $fb")
   }
 
+  test("IVF-PQ: appended batch encodes against the persisted codebooks — clones found") {
+    import spark.implicits._
+    val dir = tempDir("graft_pq_append")
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding", dir, nlist = 8, m = 8,
+      codes = 64, seed = 7L)
+    // append exact clones of 3 base vectors under new ids
+    val batch = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+    AnnIndex.appendIvfPq(batch, "embedding", dir)
+    val queries = emb.filter(col("vec_id") < 3)
+    val top = AnnIndex.searchIvfPq(spark, dir, queries, "vec_id", "embedding",
+      k = 10, nprobe = 8)
+    val byQuery = top.select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    byQuery.foreach { case (q, rows) =>
+      val best = rows.map(_._3).max
+      val clone = rows.find(_._2 == q + 200000L)
+      assert(clone.isDefined, s"query $q: appended clone missing from top-10")
+      assert(clone.get._3 == best,
+        s"query $q: appended clone ${clone.get._3} below best $best")
+    }
+    // meta row count tracked the append
+    assert(spark.read.parquet(s"$dir/meta.parquet").head().getAs[Long]("n_rows")
+      === emb.count() + 3)
+  }
+
   test("kind mismatch and missing index fail loudly") {
     val dir = tempDir("graft_idx_kind")
     AnnIndex.buildLsh(emb, "vec_id", "embedding", dir, tables = 2, bits = 4)
