@@ -228,6 +228,16 @@ object LlmQueries {
         .sourceQualityReport(t(s, dir, "documents"), "source", "text", "lang")
         .orderBy(col("source"))
     },
+    // --- stupid-backoff trigram LM: reference corpus docs < 250, scored
+    // corpus docs >= 250 — unseen trigram/bigram mass exercises every
+    // backoff level; DuckDB re-derives all counts and the backoff chain
+    "trigram_logprob" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      TextAnalysis
+        .trigramLogProb(docs.filter(col("doc_id") < 250),
+          docs.filter(col("doc_id") >= 250), "doc_id", "text", alpha = 0.4)
+        .orderBy(col("doc_id"))
+    },
     // --- learned quality gate audit: train the fastText-style classifier
     // on clean-vs-junk labels (docs < 300), score a HELD-OUT planted set
     // (docs 300..400 + their junk twins). The eval size is an exact count
@@ -1835,6 +1845,41 @@ object LlmQueries {
         |  round(avg(-ln(CAST(nb AS DOUBLE) / nu)), 6) AS avg_neg_logprob
         |FROM b JOIN bc USING (w1, w2) JOIN uc USING (w1)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // stupid-backoff trigram LM: DuckDB rebuilds the reference counts and
+    // walks the same first-defined-level chain (c3/c2 | a*c23/c2nd |
+    // a^2*c(w3)-or-0.5 / N)
+    "trigram_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, i AS pos, w[i] AS t
+        |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM d)),
+        |ref AS (SELECT * FROM tok WHERE doc_id < 250),
+        |sc AS (SELECT * FROM tok WHERE doc_id >= 250),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ref),
+        |c1 AS (SELECT t, count(*) AS c FROM ref GROUP BY t),
+        |c2 AS (SELECT a.t AS w1, b.t AS w2, count(*) AS c
+        |       FROM ref a JOIN ref b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |       GROUP BY 1, 2),
+        |c3 AS (SELECT a.t AS w1, b.t AS w2, e.t AS w3, count(*) AS c
+        |       FROM ref a JOIN ref b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |       JOIN ref e ON a.doc_id = e.doc_id AND e.pos = a.pos + 2
+        |       GROUP BY 1, 2, 3),
+        |tri AS (SELECT a.doc_id, a.t AS w1, b.t AS w2, e.t AS w3
+        |        FROM sc a JOIN sc b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |        JOIN sc e ON a.doc_id = e.doc_id AND e.pos = a.pos + 2),
+        |p AS (SELECT tri.doc_id,
+        |  CASE WHEN c3.c IS NOT NULL THEN CAST(c3.c AS DOUBLE) / c2a.c
+        |       WHEN c2b.c IS NOT NULL THEN 0.4 * CAST(c2b.c AS DOUBLE) / c1b.c
+        |       ELSE 0.4 * 0.4 * CAST(coalesce(c1c.c, 0.5) AS DOUBLE) / n.n END AS p
+        |  FROM tri
+        |  LEFT JOIN c3 ON c3.w1 = tri.w1 AND c3.w2 = tri.w2 AND c3.w3 = tri.w3
+        |  LEFT JOIN c2 c2a ON c2a.w1 = tri.w1 AND c2a.w2 = tri.w2
+        |  LEFT JOIN c2 c2b ON c2b.w1 = tri.w2 AND c2b.w2 = tri.w3
+        |  LEFT JOIN c1 c1b ON c1b.t = tri.w2
+        |  LEFT JOIN c1 c1c ON c1c.t = tri.w3, n)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |  round(avg(-ln(p)), 6) AS avg_neg_logprob
+        |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "label_centroids" ->
       """WITH e AS (SELECT label,
         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,

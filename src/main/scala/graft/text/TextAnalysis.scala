@@ -562,6 +562,73 @@ object TextAnalysis {
         round(avg(-log(col("nb").cast("double") / col("nu"))), 6).as("avg_neg_logprob"))
   }
 
+  /** Stupid-backoff trigram language-model scores (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the web-scale LM
+    * quality filter): count n-grams on a REFERENCE corpus, score a
+    * candidate corpus against them. Per scored trigram
+    * `p = c3/c2 | α·c(w2w3)/c(w2) | α²·c(w3)/N` (first defined level;
+    * unseen unigrams floor at `0.5/N` so the log stays finite), per doc
+    * the mean negative log — low means reference-like text, high means
+    * off-distribution junk. Unlike [[bigramLogProb]] (self-scored
+    * repetition signal) the two-corpus form is the filtering shape:
+    * candidate docs with unseen n-gram mass pay the backoff penalty.
+    *
+    * Scale shape: token identities travel as xxhash64 keys (16 bytes per
+    * n-gram key, never strings); counts are hash-partitioned groupBys of
+    * the exploded reference (one scan per n-gram order — pre-tokenize and
+    * persist the reference when building repeatedly); scoring is four
+    * left equi-joins from the scored trigrams to the count tables, all
+    * shuffle-partitioned on the same hash keys. Output: idCol,
+    * `n_trigrams`, `avg_neg_logprob` (docs under 3 tokens are absent). */
+  def trigramLogProb(
+      reference: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      alpha: Double = 0.4): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    def toks(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("__id"), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+      .select(col("__id"), col("pos"), xxhash64(col("w")).as("h"))
+    def grams(t: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+      t.withColumn("h2", lag(col("h"), 1).over(w))
+        .withColumn("h1", lag(col("h"), 2).over(w))
+        .select(col("__id"), col("h1"), col("h2"), col("h").as("h3"))
+    }
+    val ref = toks(reference)
+    val n = ref.agg(count(lit(1)).cast("double").as("__n"))
+    val c1 = ref.groupBy(col("h").as("h3")).agg(count(lit(1)).as("__c1"))
+    val refG = grams(ref)
+    val c2 = refG.filter(col("h2").isNotNull)
+      .groupBy(col("h2"), col("h3")).agg(count(lit(1)).as("__c2"))
+    val c3 = refG.filter(col("h1").isNotNull)
+      .groupBy(col("h1"), col("h2"), col("h3")).agg(count(lit(1)).as("__c3"))
+    val tri = grams(toks(docs)).filter(col("h1").isNotNull)
+    val a = lit(alpha)
+    tri
+      .join(c3, Seq("h1", "h2", "h3"), "left")
+      .join(c2.select(col("h2").as("h1"), col("h3").as("h2"), col("__c2").as("__c2a")),
+        Seq("h1", "h2"), "left")
+      .join(c2.select(col("h2"), col("h3"), col("__c2").as("__c2b")),
+        Seq("h2", "h3"), "left")
+      .join(c1.select(col("h3").as("h2"), col("__c1").as("__c1b")), Seq("h2"), "left")
+      .join(c1.select(col("h3"), col("__c1").as("__c1c")), Seq("h3"), "left")
+      .crossJoin(broadcast(n))
+      .select(col("__id"),
+        when(col("__c3").isNotNull,
+          col("__c3").cast("double") / col("__c2a"))
+          .when(col("__c2b").isNotNull,
+            a * col("__c2b").cast("double") / col("__c1b"))
+          .otherwise(a * a * coalesce(col("__c1c").cast("double"), lit(0.5)) / col("__n"))
+          .as("__p"))
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("n_trigrams"),
+        round(avg(-log(col("__p"))), 6).as("avg_neg_logprob"))
+      .withColumnRenamed("__id", idCol)
+  }
+
   /** Inverted index: token → document frequency + a CAPPED posting list
     * (the `maxPostings` smallest doc ids, ascending) — the retrieval-side
     * artifact of a corpus (keyword search, contamination lookup, df

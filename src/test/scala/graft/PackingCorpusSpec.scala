@@ -303,6 +303,24 @@ class PackingCorpusSpec extends SparkSpec {
     assert(out(4L)._2 > out(1L)._2, s"soup ${out(4L)._2} must score above template ${out(1L)._2}")
   }
 
+  test("trigramLogProb: every stupid-backoff level matches hand arithmetic") {
+    // reference "a b c a b c": N=6, c1(a,b,c)=2 each,
+    // c2(a,b)=2 (b,c)=2 (c,a)=1, c3(a,b,c)=2 (b,c,a)=1 (c,a,b)=1
+    val ref = Seq((0L, "a b c a b c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "a b c"),  // seen trigram: p = c3/c2 = 2/2 = 1 -> -ln = 0
+      (11L, "a b x"),  // unseen everywhere: p = 0.4*0.4*0.5/6 -> -ln = 4.317488
+      (12L, "x b c"),  // backoff to bigram: p = 0.4*c(b,c)/c(b) = 0.4 -> 0.916291
+      (13L, "a b")     // under 3 tokens: absent from the output
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.trigramLogProb(ref, docs, "doc_id", "text", alpha = 0.4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_trigrams"),
+        r.getAs[Double]("avg_neg_logprob")))
+    assert(out.toSeq == Seq(
+      (10L, 1L, 0.0), (11L, 1L, 4.317488), (12L, 1L, 0.916291)))
+  }
+
   test("groupedBinning: per-group quartiles, boundary and null handling") {
     val d = ((1 to 100).map(i => ("a", i.toDouble)) ++ (1 to 100).map(i => ("b", i * 10.0)))
       .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "v")
