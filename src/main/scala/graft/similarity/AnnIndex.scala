@@ -204,12 +204,23 @@ object AnnIndex {
     * (asymmetric distance computation): per query a lookup table of
     * m·codes subspace dot products is built once, and each candidate
     * costs m array lookups + adds instead of a d-dim dot product. The
-    * cosine returned is the quantized approximation — there is no
-    * full-precision re-rank because the full vectors are not stored;
-    * recall is planted-truth-measured (tools/Recall.scala).
+    * cosine returned is the quantized approximation — recall is
+    * planted-truth-measured (tools/Recall.scala).
+    *
+    * `refine = true` additionally stores int8-quantized vectors
+    * (`__q` + dequantized norm `__cn`) beside the codes — the FAISS
+    * refine pattern (`IVFPQR`-shaped, with an SQ8 refiner instead of a
+    * second PQ): search ADC-shortlists cheaply, then re-ranks the
+    * shortlist against the int8 reconstruction, recovering most of the
+    * recall PQ loses while the scan bytes stay dominated by the m-byte
+    * codes (the int8 column is touched only for shortlisted rows when
+    * parquet late materialization applies, and is still 4-8× smaller
+    * than float64). Without refine the layout is codes-only — the
+    * absolute minimum bytes.
     *
     * Meta mapping for this kind: `nlist` = coarse cells, `tables` = m
-    * subspaces, `bits` = effective codebook size per subspace. */
+    * subspaces, `bits` = effective codebook size per subspace;
+    * `quantized = true` iff the refine vectors are stored. */
   def buildIvfPq(
       corpus: DataFrame,
       idCol: String,
@@ -220,7 +231,8 @@ object AnnIndex {
       codes: Int = 256,
       seed: Long = 0L,
       fitSample: Int = 100000,
-      attrCols: Seq[String] = Nil): Unit = {
+      attrCols: Seq[String] = Nil,
+      refine: Boolean = false): Unit = {
     require(nlist >= 0, s"nlist must be >= 0 (0 = auto), got $nlist")
     require(m > 0 && codes > 1, s"need m > 0 subspaces and codes > 1, got m=$m codes=$codes")
     val nRows = corpus.count()
@@ -234,21 +246,36 @@ object AnnIndex {
     val dim = corpusVec.select(size(col("__cv"))).head().getInt(0)
     val assigned = model.transform(corpusVec).drop("__mlvec")
     val coded = Similarity.pqEncode(assigned, idCol, books, m, dim / m)
+    val keepCols =
+      if (refine) col(idCol) +: col("__cell") +: col("__q") +: col("__cn") +:
+        attrCols.map(col)
+      else col(idCol) +: col("__cell") +: attrCols.map(col)
     assigned
-      .select((col(idCol) +: col("__cell") +: attrCols.map(col)): _*)
+      .transform(d => if (refine) storedForm(d, quantize = true) else d)
+      .select(keepCols: _*)
       .join(coded, Seq(idCol))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__cell")
       .parquet(s"$dir/corpus.parquet")
     writeMeta(corpus.sparkSession, dir,
       Meta("ivfpq", idCol, nRows, cells, tables = m, bits = codesEff, seed,
-        quantized = true))
+        quantized = refine))
   }
 
   /** Search a prebuilt IVF-PQ index: probe cells like [[searchIvf]], then
     * ADC-score the pruned candidates against the per-query lookup table.
     * `corpusFilter` filters on stored attribute columns exactly as in
-    * [[searchIvf]]. Returned `cosine` is the PQ approximation. */
+    * [[searchIvf]].
+    *
+    * `refine > 0` re-ranks: ADC keeps the top `refine·k` per query (the
+    * shortlist), then the shortlist alone is re-scored against the
+    * stored int8 vectors (requires an index built with `refine = true`)
+    * and cut to k. ADC mis-rankings inside the shortlist are repaired at
+    * the cost of `refine·k` int8 dot products per query — candidate
+    * GENERATION still pays only m lookup-adds per row, so the scan cost
+    * is unchanged; only the tail narrows differently. `refine = 0`
+    * returns the raw ADC ranking (`cosine` is the PQ approximation);
+    * refined results report the int8-reconstruction cosine. */
   def searchIvfPq(
       spark: SparkSession,
       dir: String,
@@ -257,8 +284,10 @@ object AnnIndex {
       vecCol: String,
       k: Int,
       nprobe: Int = 0,
-      corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      corpusFilter: Option[org.apache.spark.sql.Column] = None,
+      refine: Int = 0): DataFrame = {
     require(nprobe >= 0, s"nprobe must be >= 0 (0 = auto), got $nprobe")
+    require(refine >= 0, s"refine must be >= 0 (0 = off), got $refine")
     val m = readMeta(spark, dir, "ivfpq")
     val probes =
       if (nprobe > 0) nprobe else Similarity.ivfAutoNprobe(m.nlist, m.nRows, k)
@@ -280,18 +309,48 @@ object AnnIndex {
       queries.schema(queryIdCol).dataType, s"query id '$queryIdCol'")
     val pruned = corpusStored.filter(col("__cell").isin(probedCells: _*))
     val filtered = corpusFilter.fold(pruned)(pruned.filter)
+    val adcCosine =
+      // Σ lut = q·x̂; divide by the stored ‖x̂‖ → cos(q, x̂)
+      expr(
+        s"aggregate(zip_with(__codes, sequence(0, ${m.tables - 1}), " +
+          s"(c, j) -> element_at(__lut, j * ${m.bits} + c + 1)), " +
+          "0D, (acc, x) -> acc + x)") / col("__rn")
     val scored = filtered
       .join(qProbes, Seq("__cell"))
       .join(lut, Seq("query_id"))
       .filter(col(m.idCol) =!= col("query_id"))
       .filter(col("__rn") > 0)
-      .select(col("query_id"), col(m.idCol),
-        // Σ lut = q·x̂; divide by the stored ‖x̂‖ → cos(q, x̂)
-        round(expr(
-          s"aggregate(zip_with(__codes, sequence(0, ${m.tables - 1}), " +
-            s"(c, j) -> element_at(__lut, j * ${m.bits} + c + 1)), " +
-            "0D, (acc, x) -> acc + x)") / col("__rn"), 6).as("cosine"))
-    Similarity.rankTopK(scored, m.idCol, k)
+    if (refine == 0) {
+      Similarity.rankTopK(
+        scored.select(col("query_id"), col(m.idCol),
+          round(adcCosine, 6).as("cosine")),
+        m.idCol, k)
+    } else {
+      require(corpusStored.columns.contains("__q"),
+        s"index at $dir stores no refine vectors — rebuild with " +
+          "buildIvfPq(..., refine = true) to re-rank, or pass refine = 0")
+      // ADC shortlist: refine·k per query, UNROUNDED scores (the rounding
+      // that stabilizes reported output would create shortlist-boundary
+      // ties here). The shortlist keeps the stored int8 payload columns.
+      val shortlist = Similarity
+        .rankTopK(scored.select(col("query_id"), col(m.idCol),
+            adcCosine.as("cosine"), col("__q"), col("__cn")),
+          m.idCol, refine * k, extraCols = Seq("__q", "__cn"))
+      // int8 re-rank: cos(q, dq(x)) over shortlisted rows only — the
+      // query side is the broadcast-sized unit-vector frame
+      val qUnit = broadcast(queries
+        .select(col(queryIdCol).as("query_id"),
+          col(vecCol).cast("array<double>").as("__qv"))
+        .withColumn("__qn", Similarity.l2Norm(col("__qv")))
+        .filter(col("__qn") > 0))
+      val refined = shortlist
+        .join(qUnit, Seq("query_id"))
+        .select(col("query_id"), col(m.idCol),
+          round(
+            Similarity.dot(Similarity.dequantizeInt8(col("__q")), col("__qv")) /
+              (col("__cn") * col("__qn")), 6).as("cosine"))
+      Similarity.rankTopK(refined, m.idCol, k)
+    }
   }
 
   /** Append a new corpus batch to a prebuilt IVF-PQ index: cells assigned
@@ -306,8 +365,10 @@ object AnnIndex {
     val m = readMeta(spark, dir, "ivfpq")
     val centDf = broadcast(spark.read.parquet(s"$dir/centroids.parquet"))
     val books = broadcast(spark.read.parquet(s"$dir/codebooks.parquet"))
-    val attrs = (spark.read.parquet(s"$dir/corpus.parquet").columns.toSet
-      -- Set(m.idCol, "__codes", "__rn", "__cell")).toSeq.sorted
+    val storedCols = spark.read.parquet(s"$dir/corpus.parquet").columns.toSet
+    val hasRefine = storedCols.contains("__q")
+    val attrs = (storedCols
+      -- Set(m.idCol, "__codes", "__rn", "__cell", "__q", "__cn")).toSeq.sorted
     val corpusVec = Similarity.ivfNormalizedCorpus(batch, m.idCol, vecCol, attrs)
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.ml.functions.vector_to_array
@@ -324,8 +385,13 @@ object AnnIndex {
       .select((Seq(m.idCol, "__cv", "__cn") ++ attrs :+ "__cell").map(col): _*)
     val sub = books.select(size(col("cent"))).head().getInt(0)
     val coded = Similarity.pqEncode(assigned, m.idCol, books, m.tables, sub)
+    val keepCols =
+      if (hasRefine) col(m.idCol) +: col("__cell") +: col("__q") +: col("__cn") +:
+        attrs.map(col)
+      else col(m.idCol) +: col("__cell") +: attrs.map(col)
     assigned
-      .select((col(m.idCol) +: col("__cell") +: attrs.map(col)): _*)
+      .transform(d => if (hasRefine) storedForm(d, quantize = true) else d)
+      .select(keepCols: _*)
       .join(coded, Seq(m.idCol))
       .write.mode(SaveMode.Append)
       .partitionBy("__cell")
@@ -342,9 +408,11 @@ object AnnIndex {
       nlist: Int = 0,
       m: Int = 8,
       codes: Int = 256,
-      seed: Long = 0L): Unit =
+      seed: Long = 0L,
+      refine: Boolean = false): Unit =
     if (!exists(corpus.sparkSession, dir))
-      buildIvfPq(corpus, idCol, vecCol, dir, nlist, m, codes, seed)
+      buildIvfPq(corpus, idCol, vecCol, dir, nlist, m, codes, seed,
+        refine = refine)
 
   // ------------------------------------------------------------------ LSH
 

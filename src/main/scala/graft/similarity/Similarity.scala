@@ -129,12 +129,14 @@ object Similarity {
         "and every query returns empty")
   }
 
-  private[similarity] def rankTopK(scored: DataFrame, idCol: String, k: Int): DataFrame = {
+  private[similarity] def rankTopK(
+      scored: DataFrame, idCol: String, k: Int,
+      extraCols: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col(idCol).asc)
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
+      .select((Seq("query_id", idCol, "cosine", "rank") ++ extraCols).map(col): _*)
   }
 
   /** Brute-force cosine top-k: for each query vector (small set, broadcast),

@@ -10,11 +10,14 @@ object Drive {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // IVF-PQ after the slot-indexed LUT fix: recall + bytes at sf0.01
+    // IVF-PQ refine: ADC shortlist + int8 re-rank — recall vs raw ADC,
+    // bytes vs full-precision IVF, and the refined-search plan
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
-    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqr").toString
     graft.similarity.AnnIndex.buildIvfPq(emb, "vec_id", "embedding", s"$dir/pq",
       m = 8, codes = 256)
+    graft.similarity.AnnIndex.buildIvfPq(emb, "vec_id", "embedding", s"$dir/pqr",
+      m = 8, codes = 256, refine = true)
     graft.similarity.AnnIndex.buildIvf(emb, "vec_id", "embedding", s"$dir/ivf")
     val queries = emb.filter(col("vec_id") < 5)
     val brute = graft.similarity.Similarity
@@ -23,12 +26,21 @@ object Drive {
     val pqSet = graft.similarity.AnnIndex
       .searchIvfPq(spark, s"$dir/pq", queries, "vec_id", "embedding", k = 10)
       .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
-    println(f"PQ recall@10 = ${(brute & pqSet).size.toDouble / brute.size}%.3f")
+    val refined = graft.similarity.AnnIndex
+      .searchIvfPq(spark, s"$dir/pqr", queries, "vec_id", "embedding", k = 10,
+        refine = 10)
+    val refSet = refined
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    println(f"ADC recall@10     = ${(brute & pqSet).size.toDouble / brute.size}%.3f")
+    println(f"refined recall@10 = ${(brute & refSet).size.toDouble / brute.size}%.3f")
+    refined.orderBy($"query_id", $"rank").show(12)
     def bytesOf(p: String): Long = {
       val fs = new org.apache.hadoop.fs.Path(p)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.getContentSummary(new org.apache.hadoop.fs.Path(p)).getLength
     }
-    println(s"bytes ratio = ${bytesOf(s"$dir/pq/corpus.parquet").toDouble / bytesOf(s"$dir/ivf/corpus.parquet")}")
+    println(s"codes-only bytes ratio  = ${bytesOf(s"$dir/pq/corpus.parquet").toDouble / bytesOf(s"$dir/ivf/corpus.parquet")}")
+    println(s"refine-index bytes ratio = ${bytesOf(s"$dir/pqr/corpus.parquet").toDouble / bytesOf(s"$dir/ivf/corpus.parquet")}")
+    refined.explain("formatted")
   }
 }

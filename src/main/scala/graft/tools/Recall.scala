@@ -130,6 +130,18 @@ object Recall {
     entries += Entry("ann_ivfpq_search", recallOf(brute, pqIdx), brute.size,
       (brute & pqIdx).size, 0.5,
       "prebuilt IVF-PQ (ADC, no re-rank) vs exact cosine top-10 — near-uniform vectors are PQ's hardest case")
+    // refined variant: same coarse/PQ structure + stored int8 vectors;
+    // ADC shortlists 10·k, int8 re-rank repairs the ADC mis-orderings
+    graft.similarity.AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+      s"$idxBase/pqr", m = 8, codes = 256, refine = true)
+    val pqrIdx = pairSet(
+      graft.similarity.AnnIndex.searchIvfPq(
+        spark, s"$idxBase/pqr", queries5, "vec_id", "embedding", k = 10,
+        refine = 10),
+      "query_id", "vec_id")
+    entries += Entry("ann_ivfpq_refined", recallOf(brute, pqrIdx), brute.size,
+      (brute & pqrIdx).size, 0.85,
+      "IVF-PQ + int8 refine re-rank (shortlist 10k) vs exact cosine top-10")
 
     // --- minhash near-dup vs exhaustive n-gram Jaccard ------------------
     val exactPairs = pairSet(

@@ -379,6 +379,64 @@ class AnnIndexSpec extends SparkSpec {
     assert(pb < fb * 4 / 10, s"PQ corpus $pb bytes not < 40% of full $fb")
   }
 
+  test("IVF-PQ refine: int8 re-rank beats raw ADC recall; codes-only index refuses refine") {
+    import spark.implicits._
+    val dirR = tempDir("graft_pq_refine")
+    val dirN = tempDir("graft_pq_norefine")
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding", dirR, nlist = 8, m = 8,
+      codes = 64, seed = 7L, refine = true)
+    AnnIndex.buildIvfPq(emb, "vec_id", "embedding", dirN, nlist = 8, m = 8,
+      codes = 64, seed = 7L)
+    val queries = emb.filter(col("vec_id") < 5)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select($"query_id".cast("long"), $"vec_id".cast("long"))
+        .as[(Long, Long)].collect().toSet
+    // exact truth at full probe depth so coarse-cell misses don't confound
+    // the comparison — only the ADC-vs-refined ranking differs
+    val exact = pairs(Similarity.cosineTopK(emb, queries, "vec_id", "embedding",
+      "vec_id", 10))
+    val adc = pairs(AnnIndex.searchIvfPq(spark, dirN, queries, "vec_id",
+      "embedding", k = 10, nprobe = 8))
+    val refined = pairs(AnnIndex.searchIvfPq(spark, dirR, queries, "vec_id",
+      "embedding", k = 10, nprobe = 8, refine = 10))
+    assert((exact & refined).size >= (exact & adc).size,
+      s"refine recall ${(exact & refined).size} < ADC ${(exact & adc).size}")
+    // int8 reconstruction error is ~1/254 per element: every refined
+    // cosine of a true top-10 neighbor should be within 0.01 of exact
+    assert((exact & refined).size.toDouble / exact.size >= 0.85,
+      s"refined recall ${(exact & refined).size}/${exact.size} below 0.85")
+    // refined search is deterministic
+    val a = rows(AnnIndex.searchIvfPq(spark, dirR, queries, "vec_id", "embedding",
+      k = 10, nprobe = 8, refine = 10).orderBy($"query_id", $"rank"))
+    val b = rows(AnnIndex.searchIvfPq(spark, dirR, queries, "vec_id", "embedding",
+      k = 10, nprobe = 8, refine = 10).orderBy($"query_id", $"rank"))
+    assert(a === b)
+    // a codes-only index must refuse a refine request loudly, not return
+    // a silently-unrefined ranking
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.searchIvfPq(spark, dirN, queries, "vec_id", "embedding",
+        k = 10, nprobe = 8, refine = 10)
+    }
+    assert(e.getMessage.contains("refine"))
+    // appends preserve the refine payload: an appended exact clone is
+    // found at rank 1 by a refined search (its int8 codes are identical
+    // to the query's, so the re-ranked cosine is maximal)
+    val batch = emb.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 300000).as("vec_id"), col("embedding"))
+    AnnIndex.appendIvfPq(batch, "embedding", dirR)
+    val afterAppend = AnnIndex.searchIvfPq(spark, dirR,
+        emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+        k = 10, nprobe = 8, refine = 10)
+      .select($"query_id".cast("long"), $"vec_id".cast("long"), $"cosine", $"rank")
+      .as[(Long, Long, Double, Int)].collect().groupBy(_._1)
+    afterAppend.foreach { case (q, rs) =>
+      val clone = rs.find(_._2 == q + 300000L)
+      assert(clone.isDefined, s"query $q: appended clone missing after refine append")
+      assert(clone.get._3 >= 0.999,
+        s"query $q: appended clone cosine ${clone.get._3} not ~1.0")
+    }
+  }
+
   test("IVF-PQ: appended batch encodes against the persisted codebooks — clones found") {
     import spark.implicits._
     val dir = tempDir("graft_pq_append")
