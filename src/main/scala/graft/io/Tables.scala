@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lit, max, shiftleft, struct, when}
+import org.apache.spark.sql.functions.{col, lag, lead, lit, max, shiftleft, struct, when}
 
 /** Format-dispatched readers/writers.
   *
@@ -275,6 +275,93 @@ object Tables {
       .unionByName(
         compacted.filter(col(opCol) =!= "D")
           .drop((opCol +: seqCol.toSeq): _*))
+  }
+
+  /** Build a slowly-changing-dimension type-2 history from a version log:
+    * one row per (key, effective version) with `valid_from` (the
+    * version's timestamp), `valid_to` (the NEXT version's timestamp,
+    * null while current) and `is_current`. The standard warehouse shape
+    * for "what did this row look like at time t" — the batch twin of
+    * [[applyCdc]], which keeps only the latest image.
+    *
+    * `changes` carries key columns, `tsCol`, and attribute columns. Two
+    * normalizations happen before interval assignment, both per key:
+    * duplicate timestamps compact to one version (deterministically, by
+    * struct-max over the attributes — never by partition layout), and
+    * consecutive versions with identical attributes collapse into the
+    * earlier one (a re-observed unchanged row must not split an
+    * interval). Plan shape: one compaction groupBy plus key-partitioned
+    * windows — no global sort, scales with the key count. */
+  def buildScd2(
+      changes: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "buildScd2 needs at least one key column")
+    require(changes.columns.contains(tsCol), s"missing ts column '$tsCol'")
+    val attrCols = changes.columns.toSeq.filterNot(c => keyCols.contains(c) || c == tsCol)
+    require(attrCols.nonEmpty, "buildScd2 needs at least one attribute column")
+    import org.apache.spark.sql.expressions.Window
+    // one version per (key, ts): struct-max over attributes is the
+    // deterministic last-writer tie-break (same rule as applyCdc)
+    val compacted = changes
+      .groupBy((keyCols :+ tsCol).map(col): _*)
+      .agg(max(struct(attrCols.map(col): _*)).as("__s"))
+      .select((keyCols :+ tsCol).map(col) ++ attrCols.map(c => col(s"__s.$c")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(tsCol).asc)
+    val attrs = struct(attrCols.map(col): _*)
+    compacted
+      // drop no-op versions: attributes unchanged vs the previous version
+      .withColumn("__prev", lag(attrs, 1).over(w))
+      .filter(col("__prev").isNull || !(col("__prev") <=> attrs))
+      // re-window over the survivors for the interval bounds
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(
+        keyCols.map(col) ++ attrCols.map(col) ++ Seq(
+          col(tsCol).as("valid_from"),
+          col("valid_to"),
+          col("valid_to").isNull.as("is_current")): _*)
+  }
+
+  /** Incrementally fold a change batch into an existing SCD2 dimension
+    * (the output shape of [[buildScd2]]): closed history rows pass
+    * through untouched; only the keys PRESENT IN THE BATCH have their
+    * open row re-derived against the new versions. Result is identical
+    * to rebuilding from the full concatenated log (asserted in
+    * TablesSpec) — but the work is batch-sized: one broadcast-able
+    * semi/anti join against the batch's keys plus windows over the
+    * affected keys only, never a full-history rebuild. Batch versions
+    * at or before an affected key's open `valid_from` are rejected
+    * (out-of-order arrivals need the from-scratch rebuild). */
+  def applyScd2(
+      dim: DataFrame,
+      changes: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "applyScd2 needs at least one key column")
+    val attrCols = changes.columns.toSeq.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val batchKeys = changes.select(keyCols.map(col): _*).distinct()
+    val affectedOpen = dim.filter(col("is_current"))
+      .join(batchKeys, keyCols, "left_semi")
+    val lateBatch = changes.join(
+        affectedOpen.select((keyCols.map(col) :+ col("valid_from").as("__vf")): _*),
+        keyCols)
+      .filter(col(tsCol) <= col("__vf"))
+    require(lateBatch.isEmpty,
+      "applyScd2 got batch versions at or before an affected key's open " +
+        "valid_from — out-of-order history needs a buildScd2 rebuild")
+    // re-derive the affected keys' tail: their open row (as a version at
+    // its valid_from) + the batch's versions for those keys
+    val rebuiltTail = buildScd2(
+      affectedOpen
+        .select((keyCols.map(col) ++ attrCols.map(col) :+
+          col("valid_from").as(tsCol)): _*)
+        .unionByName(changes),
+      keyCols, tsCol)
+    dim
+      .filter(!col("is_current"))
+      .unionByName(
+        dim.filter(col("is_current")).join(batchKeys, keyCols, "left_anti"))
+      .unionByName(rebuiltTail)
   }
 
   /** Snapshot diff: row-level comparison of two versions of a keyed table.

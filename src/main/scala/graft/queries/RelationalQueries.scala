@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.dp.Cleaning
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import Support._
 
@@ -33,6 +33,69 @@ object RelationalQueries {
         col("n_regionkey").cast("int"))
       .orderBy(col("n_nationkey"))
   }
+
+  /** Version log for the SCD2 queries: base attributes at ts=0; an update
+    * for keys %3 at ts=10; a NO-OP re-observation (attributes identical
+    * to the key's latest) for keys %5 at ts=20; and a duplicate-timestamp
+    * pair at ts=30 for keys %7 whose struct-max compaction (higher
+    * price) must win deterministically. */
+  private def scd2Log(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "orders").filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    def v(ts: Long, f: DataFrame => DataFrame, price: Column): DataFrame =
+      f(base).select(col("o_orderkey"), lit(ts).as("ts"), col("o_custkey"),
+        price.as("o_totalprice"))
+    v(0L, identity, col("o_totalprice"))
+      .unionByName(v(10L, _.filter(col("o_orderkey") % 3 === 0),
+        col("o_totalprice") + 5))
+      .unionByName(v(20L, _.filter(col("o_orderkey") % 5 === 0),
+        col("o_totalprice") +
+          when(col("o_orderkey") % 3 === 0, 5.0).otherwise(0.0)))
+      .unionByName(v(30L, _.filter(col("o_orderkey") % 7 === 0),
+        col("o_totalprice") + 100))
+      .unionByName(v(30L, _.filter(col("o_orderkey") % 7 === 0),
+        col("o_totalprice") + 200))
+  }
+
+  /** DuckDB rebuild of [[scd2Log]] + the full SCD2 derivation: compaction
+    * by (key, ts) with the same attribute-descending tie-break as
+    * buildScd2's struct-max, no-op collapse via lag, intervals via lead.
+    * Shared by scd2_build and scd2_apply — the latter's incremental
+    * result must hash-match this from-scratch rebuild. */
+  private val scd2OracleSql: String =
+    """WITH base AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |  WHERE o_orderkey < 2000),
+      |log AS (
+      |  SELECT o_orderkey, CAST(0 AS BIGINT) AS ts, o_custkey, o_totalprice FROM base
+      |  UNION ALL
+      |  SELECT o_orderkey, 10, o_custkey, o_totalprice + 5
+      |  FROM base WHERE o_orderkey % 3 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 20, o_custkey,
+      |    o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 5.0 ELSE 0.0 END
+      |  FROM base WHERE o_orderkey % 5 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 30, o_custkey, o_totalprice + 100
+      |  FROM base WHERE o_orderkey % 7 = 0
+      |  UNION ALL
+      |  SELECT o_orderkey, 30, o_custkey, o_totalprice + 200
+      |  FROM base WHERE o_orderkey % 7 = 0),
+      |comp AS (
+      |  SELECT o_orderkey, ts, o_custkey, o_totalprice FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY o_orderkey, ts
+      |      ORDER BY o_custkey DESC, o_totalprice DESC) AS rn FROM log)
+      |  WHERE rn = 1),
+      |surv AS (
+      |  SELECT o_orderkey, ts, o_custkey, o_totalprice FROM (
+      |    SELECT *, lag(o_custkey) OVER w AS pc, lag(o_totalprice) OVER w AS pp
+      |    FROM comp WINDOW w AS (PARTITION BY o_orderkey ORDER BY ts))
+      |  WHERE pc IS NULL OR NOT (pc = o_custkey AND pp = o_totalprice))
+      |SELECT o_orderkey, o_custkey, o_totalprice, ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  (lead(ts) OVER w IS NULL) AS is_current
+      |FROM surv WINDOW w AS (PARTITION BY o_orderkey ORDER BY ts)
+      |ORDER BY o_orderkey, valid_from""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_read" -> (textRoundTrip(_, _, "csv")),
@@ -235,6 +298,36 @@ object RelationalQueries {
       graft.io.Tables
         .snapshotDiff(before, after, Seq("c_custkey"))
         .orderBy(col("c_custkey"))
+    },
+    // --- SCD2 history build: a version log (planted updates, a no-op
+    // re-observation that must NOT split an interval, and a duplicate-
+    // timestamp pair whose struct-max compaction must win) folds to one
+    // validity interval per effective version
+    "scd2_build" -> { (s, dir) =>
+      graft.io.Tables.buildScd2(scd2Log(s, dir), Seq("o_orderkey"), "ts")
+        .orderBy(col("o_orderkey"), col("valid_from"))
+    },
+    // --- incremental SCD2: fold the late half of the log into the dim
+    // built from the early half — the oracle is the FULL-log rebuild, so
+    // the hash compare proves incremental == from-scratch row for row
+    "scd2_apply" -> { (s, dir) =>
+      val log = scd2Log(s, dir)
+      val dim = graft.io.Tables
+        .buildScd2(log.filter(col("ts") <= 10), Seq("o_orderkey"), "ts")
+      graft.io.Tables
+        .applyScd2(dim, log.filter(col("ts") > 10), Seq("o_orderkey"), "ts")
+        .orderBy(col("o_orderkey"), col("valid_from"))
+    },
+    // --- Z-order (Morton) key: the multi-dimensional clustering key
+    // behind writeZOrdered — interleaved bits of two 8-bit dimensions,
+    // recomputed by the oracle with the same unrolled shift/mask SQL
+    "zorder_key" -> { (s, dir) =>
+      t(s, dir, "orders").filter(col("o_orderkey") < 5000)
+        .select(col("o_orderkey"),
+          graft.io.Layout.zorderKey(
+            Seq(pmod(col("o_custkey"), lit(256)).cast("long"),
+              pmod(col("o_orderkey"), lit(256)).cast("long")), 8).as("zkey"))
+        .orderBy(col("o_orderkey"))
     },
     // --- null-safe equi join (<=>): the null segment group must join its
     // own aggregate row instead of silently dropping — the semantics
@@ -495,6 +588,17 @@ object RelationalQueries {
         |       ELSE 'changed' END AS diff_status
         |FROM b FULL OUTER JOIN a ON b.c_custkey = a.c_custkey
         |ORDER BY c_custkey""".stripMargin,
+    "scd2_build" -> scd2OracleSql,
+    // incremental == from-scratch: the apply query's oracle IS the full
+    // rebuild — the strongest equivalence the hash compare can state
+    "scd2_apply" -> scd2OracleSql,
+    "zorder_key" -> {
+      val z = graft.io.Layout.zorderKeySql(
+        Seq("(o_custkey % 256)", "(o_orderkey % 256)"), 8)
+      s"""SELECT o_orderkey, CAST($z AS BIGINT) AS zkey
+         |FROM orders WHERE o_orderkey < 5000
+         |ORDER BY o_orderkey""".stripMargin
+    },
     "null_safe_join" ->
       """WITH c AS (SELECT CASE WHEN c_mktsegment = 'BUILDING' THEN NULL
         |                       ELSE c_mktsegment END AS seg, c_acctbal

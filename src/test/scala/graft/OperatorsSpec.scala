@@ -1224,6 +1224,99 @@ class OperatorsSpec extends SparkSpec {
     assert(out.size == 4)
   }
 
+  test("buildScd2: intervals, no-op collapse, duplicate-ts compaction") {
+    // key 1: v@0 a, v@5 b (update), v@9 b (NO-OP — must not split),
+    //        v@12 twice (c vs d — struct-max picks d)
+    // key 2: single version, open forever
+    val log = Seq(
+      (1L, 0L, "a"), (1L, 5L, "b"), (1L, 9L, "b"),
+      (1L, 12L, "c"), (1L, 12L, "d"),
+      (2L, 3L, "z")).toDF("k", "ts", "v")
+    val out = graft.io.Tables.buildScd2(log, Seq("k"), "ts")
+      .collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+        r.getAs[Long]("valid_from"),
+        Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+        r.getAs[Boolean]("is_current"))).toSet
+    assert(out === Set(
+      (1L, "a", 0L, Some(5L), false),
+      (1L, "b", 5L, Some(12L), false), // the @9 no-op vanished into this row
+      (1L, "d", 12L, None, true),      // duplicate-ts: "d" > "c" wins
+      (2L, "z", 3L, None, true)))
+  }
+
+  test("applyScd2: incremental fold equals the from-scratch rebuild; out-of-order rejected") {
+    val full = Seq(
+      (1L, 0L, "a"), (1L, 5L, "b"), (1L, 9L, "b"), (1L, 12L, "c"),
+      (2L, 3L, "z"), (3L, 11L, "n")).toDF("k", "ts", "v")
+    val dim = graft.io.Tables.buildScd2(full.filter($"ts" <= 5), Seq("k"), "ts")
+    val applied = graft.io.Tables
+      .applyScd2(dim, full.filter($"ts" > 5), Seq("k"), "ts")
+    val rebuilt = graft.io.Tables.buildScd2(full, Seq("k"), "ts")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"k", $"valid_from").collect().map(_.toString).toSeq
+    assert(rows(applied) === rows(rebuilt))
+    // a batch version at/before an affected key's open valid_from is an
+    // out-of-order arrival — loud failure, not silent corruption
+    val late = Seq((1L, 5L, "q")).toDF("k", "ts", "v")
+    val e = intercept[IllegalArgumentException](
+      graft.io.Tables.applyScd2(rebuilt, late, Seq("k"), "ts"))
+    assert(e.getMessage.contains("out-of-order"))
+  }
+
+  test("zorderKey: matches a reference interleave; locality concentrates box queries") {
+    import graft.io.Layout
+    // reference bit-interleave in plain Scala
+    def ref(xs: Seq[Long], bits: Int): Long =
+      (for { i <- 0 until bits; (x, j) <- xs.zipWithIndex }
+        yield ((x >> i) & 1L) << (i * xs.size + j)).sum
+    val cases = Seq(Seq(0L, 0L), Seq(255L, 0L), Seq(0L, 255L),
+      Seq(170L, 85L), Seq(123L, 201L))
+    val got = cases.map { xs =>
+      spark.range(1).select(
+        Layout.zorderKey(xs.map(lit(_).cast("long")), 8)).head.getLong(0)
+    }
+    assert(got === cases.map(ref(_, 8)))
+    // 2-D agreement with the mask-shift fast path (Tables.mortonCode):
+    // below 2^16 the generalized interleave and the 32-bit Morton code
+    // are the same key bit for bit
+    val both = Seq((0L, 0L), (65535L, 1L), (12345L, 54321L)).toDF("a", "b")
+      .select(
+        Layout.zorderKey(Seq($"a", $"b"), 16).as("z1"),
+        graft.io.Tables.mortonCode($"a", $"b").as("z2"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // rangeBucket: clamp + null-to-zero
+    val b = Seq(Some(-5.0), Some(0.0), Some(50.0), Some(100.0), Some(999.0), None)
+      .toDF("x")
+      .select(Layout.rangeBucket($"x", 0.0, 100.0, 8).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(b(0) === 0L && b(1) === 0L && b(4) === 255L && b(5) === 0L)
+    assert(b(2) === (50.0 / 100.0 * 255).floor.toLong)
+    // locality: a (user, time) box over z-ordered files touches FEWER
+    // files than over a time-sorted layout — the file-skipping win
+    val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val ev = graft.queries.Support.events(spark, "/root/testdata/sf0.01")
+      .select($"user_id".cast("double").as("u"),
+        unix_timestamp($"ts").cast("double").as("tt"))
+    val stats = ev.agg(min($"u"), max($"u"), min($"tt"), max($"tt")).head()
+    val (uMin, uMax, tMin, tMax) =
+      (stats.getDouble(0), stats.getDouble(1), stats.getDouble(2), stats.getDouble(3))
+    Layout.writeZOrdered(ev, Seq(("u", uMin, uMax), ("tt", tMin, tMax)),
+      s"$dir/z", nFiles = 16)
+    ev.repartitionByRange(16, $"tt").sortWithinPartitions($"tt")
+      .write.parquet(s"$dir/t")
+    def filesTouched(path: String): Long = {
+      val uMid = (uMin + uMax) / 2; val tMid = (tMin + tMax) / 2
+      spark.read.parquet(path)
+        .filter($"u" >= uMin && $"u" <= uMid && $"tt" >= tMin && $"tt" <= tMid)
+        .select(input_file_name()).distinct().count()
+    }
+    val (zTouched, tTouched) = (filesTouched(s"$dir/z"), filesTouched(s"$dir/t"))
+    assert(zTouched < tTouched,
+      s"z-order box query touched $zTouched files vs time-sorted $tTouched")
+  }
+
   test("corpusMixPlan: rates capped at 1, deficit flagged, unknown strata zeroed") {
     val df = (Seq.fill(60)("en") ++ Seq.fill(10)("zh") ++ Seq.fill(30)("xx")).toDF("lang")
     val out = Sampling.corpusMixPlan(df, "lang", Map("en" -> 0.5, "zh" -> 0.5), budget = 40L)

@@ -109,7 +109,8 @@ class PlanAuditSpec extends SparkSpec {
       "cluster_safe_split", "decontaminate_corpus",
       "epoch_shuffle", "dedup_spans", "normalize_text", "avi_mjpeg_decode",
       "bin_packing", "packed_bins", "semdedup_survivors",
-      "corpus_data_card").foreach { name =>
+      "corpus_data_card", "scd2_build", "scd2_apply", "zorder_key",
+      "ann_ivfpq_refined").foreach { name =>
       val d = SparkEntry.queries(name)(spark, sf)
       val errors = PlanAudit.audit(d).filter(_.severity == "error")
       assert(errors.isEmpty, s"$name: $errors")
