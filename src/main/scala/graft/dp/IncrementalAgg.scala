@@ -1,6 +1,6 @@
 package graft.dp
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Incremental aggregate maintenance: per-key mergeable state.
@@ -121,6 +121,84 @@ object IncrementalAgg {
   /** Read a distinct-count state frame: estimated distinct values per key. */
   def estimateDistinct(state: DataFrame, keyCol: String): DataFrame =
     state.select(col(keyCol), hll_sketch_estimate(col("sketch")).as("approx_distinct"))
+
+  // ------------------------------------------------- Count-Min Sketch
+
+  /** Portable 52-bit uniform slot draw for CMS hash row `r`: the same
+    * md5-prefix arithmetic as sampling's reservoir draws, so any engine
+    * (the DuckDB oracle included) recomputes the identical slot. */
+  private def cmsSlot(item: Column, r: Column, width: Int): Column =
+    pmod(
+      conv(substring(md5(concat_ws(":", item.cast("string"), r.cast("string"))), 1, 13),
+        16, 10).cast("long"),
+      lit(width.toLong))
+
+  /** One batch's Count-Min Sketch state: the frequency companion to
+    * [[distinctSketch]] — "how often does item x occur" over a stream or
+    * corpus too big to keep exact per-item counts for. `depth` hash rows
+    * × `width` counters; each occurrence increments one counter per row,
+    * estimates read the MIN across rows, so collisions only ever inflate:
+    * `true <= est <= true + (N - true) * depth/width`-ish, the classic
+    * CMS one-sided bound (est >= true is asserted exactly by the oracle).
+    *
+    * The state is the SPARSE counter table (r, slot, cnt) — at most
+    * depth·width rows regardless of data size, merge = union + sum
+    * (associative/commutative, so daily folds equal a from-scratch
+    * build, asserted in the spec), and the relational shape keeps
+    * everything map-side combinable: the batch first compacts to exact
+    * per-item counts (bounded by distinct items, the same shuffle any
+    * groupBy pays), then explodes only depth rows per DISTINCT item.
+    * `w` and `d` ride along so a mismatched merge/estimate fails loudly
+    * instead of silently mixing incompatible hash spaces. */
+  def cmsState(
+      df: DataFrame,
+      itemCol: String,
+      width: Int = 1024,
+      depth: Int = 4): DataFrame = {
+    require(width > 0 && depth > 0, s"need width > 0 and depth > 0, got $width/$depth")
+    df.groupBy(col(itemCol))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col(itemCol), col("__cnt"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .groupBy(col("r"), cmsSlot(col(itemCol), col("r"), width).as("slot"))
+      .agg(sum(col("__cnt")).as("cnt"))
+      .select(col("r"), col("slot"), col("cnt"), lit(width).as("w"), lit(depth).as("d"))
+  }
+
+  /** Fold two CMS states built at the same (width, depth): union + sum
+    * per counter. Cost is state-sized (≤ depth·width rows per side),
+    * never data-sized. An EMPTY side (the state of an empty batch) is
+    * the merge identity and carries no params to check. */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame = {
+    val pa = a.select(col("w"), col("d")).limit(1).collect().headOption
+    val pb = b.select(col("w"), col("d")).limit(1).collect().headOption
+    if (pa.isEmpty) return b
+    if (pb.isEmpty) return a
+    require(pa == pb,
+      s"CMS param mismatch: (${pa.get.getInt(0)},${pa.get.getInt(1)}) vs " +
+        s"(${pb.get.getInt(0)},${pb.get.getInt(1)}) — states hash different spaces")
+    a.unionByName(b)
+      .groupBy(col("r"), col("slot"), col("w"), col("d"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .select(col("r"), col("slot"), col("cnt"), col("w"), col("d"))
+  }
+
+  /** Point-estimate item frequencies from a CMS state: re-derive each
+    * item's depth slots, left-join the counter table (missing counter =
+    * 0 — the item never hashed there), min across rows. The items frame
+    * is the small side (a lookup list); the state is ≤ depth·width rows
+    * and broadcasts. */
+  def cmsEstimate(state: DataFrame, items: DataFrame, itemCol: String): DataFrame = {
+    val p = state.select(col("w"), col("d")).head()
+    val (width, depth) = (p.getInt(0), p.getInt(1))
+    items.select(col(itemCol)).distinct()
+      .select(col(itemCol), explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .select(col(itemCol), col("r"), cmsSlot(col(itemCol), col("r"), width).as("slot"))
+      .join(broadcast(state.select(col("r"), col("slot"), col("cnt"))),
+        Seq("r", "slot"), "left")
+      .groupBy(col(itemCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 
   /** Fold state frame `b` into `a` (full outer on the key; keys present in
     * only one side pass through). least/greatest skip nulls in Spark, so

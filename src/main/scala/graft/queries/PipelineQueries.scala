@@ -131,6 +131,25 @@ object PipelineQueries {
           col("min_v"), col("max_v"))
         .orderBy(col("user_id"))
     },
+    // --- Count-Min Sketch frequency state: built as TWO batch states
+    // folded with cmsMerge, estimated per item. The md5-derived slots are
+    // engine-portable, so the oracle rebuilds the EXACT counter table from
+    // all rows in DuckDB — a full hash match that simultaneously proves
+    // merge(state(A), state(B)) == state(A ∪ B) and the one-sided
+    // never-undercount guarantee (width 256 forces real collisions)
+    "cms_frequency" -> { (s, dir) =>
+      import graft.dp.IncrementalAgg._
+      val ev = events(s, dir).select(col("user_id"))
+      val merged = cmsMerge(
+        cmsState(ev.filter(col("user_id") % 2 === 0), "user_id", width = 256, depth = 4),
+        cmsState(ev.filter(col("user_id") % 2 =!= 0), "user_id", width = 256, depth = 4))
+      val truth = ev.groupBy(col("user_id")).agg(count(lit(1)).as("true_n"))
+      cmsEstimate(merged, truth.filter(col("user_id") < 50), "user_id")
+        .join(truth, Seq("user_id"))
+        .select(col("user_id"), col("true_n"), col("est"),
+          (col("est") >= col("true_n")).as("never_undercounts"))
+        .orderBy(col("user_id"))
+    },
     "sessionize_batch" -> { (s, dir) =>
       val ev = events(s, dir).filter(col("user_id") < 50)
       FeatureEngineering
@@ -389,6 +408,26 @@ object PipelineQueries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v,
         |  min(value) AS min_v, max(value) AS max_v
         |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+    // CMS: rebuild the exact md5-slot counter table from all rows — the
+    // same 52-bit md5-prefix draw the Spark side computes, so counters,
+    // estimates, and the never-undercount flags hash-match exactly
+    "cms_frequency" ->
+      """WITH cnts AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+        |slots AS (
+        |  SELECT user_id, c, r,
+        |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR) || ':'
+        |      || CAST(r AS VARCHAR)), 1, 13) AS BIGINT) % 256 AS slot
+        |  FROM cnts, (SELECT unnest(range(4)) AS r)),
+        |counters AS (SELECT r, slot, sum(c) AS cnt FROM slots GROUP BY 1, 2),
+        |est AS (
+        |  SELECT s.user_id, min(ct.cnt) AS est
+        |  FROM slots s JOIN counters ct ON s.r = ct.r AND s.slot = ct.slot
+        |  GROUP BY 1)
+        |SELECT c.user_id, CAST(c.c AS BIGINT) AS true_n,
+        |  CAST(e.est AS BIGINT) AS est,
+        |  (e.est >= c.c) AS never_undercounts
+        |FROM cnts c JOIN est e USING (user_id)
+        |WHERE c.user_id < 50 ORDER BY c.user_id""".stripMargin,
     "temporal_split" ->
       """WITH e AS (SELECT epoch_ns(ts) // 1000 AS t FROM events),
         |c AS (SELECT quantile_cont(CAST(t AS DOUBLE), 0.8) AS cut FROM e),

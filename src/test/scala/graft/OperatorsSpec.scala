@@ -1066,6 +1066,35 @@ class OperatorsSpec extends SparkSpec {
     assert(out(1) == (("b", (3L, 0.3, 0.9))))
   }
 
+  test("CMS: merge equals recompute, never undercounts, unseen items read 0, param mismatch loud") {
+    import graft.dp.IncrementalAgg._
+    val all = (Seq.fill(100)("hot") ++ (1 to 50).map(i => s"item$i")).toDF("x")
+    val b1 = all.filter($"x" === "hot")
+    val b2 = all.filter($"x" =!= "hot")
+    // tiny width forces collisions — the interesting regime
+    val merged = cmsMerge(
+      cmsState(b1, "x", width = 16, depth = 3),
+      cmsState(b2, "x", width = 16, depth = 3))
+    val scratch = cmsState(all, "x", width = 16, depth = 3)
+    def counters(df: org.apache.spark.sql.DataFrame) =
+      df.select("r", "slot", "cnt").collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(counters(merged) === counters(scratch))
+    // one-sided error: estimates never undercount; the hot item's
+    // estimate is within the CMS bound of its true count
+    val items = (Seq("hot", "item1", "item50", "NEVER_SEEN")).toDF("x")
+    val est = cmsEstimate(scratch, items, "x")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("hot") >= 100L)
+    assert(est("item1") >= 1L && est("item50") >= 1L)
+    // an unseen item can only read collision mass — bounded by total count
+    assert(est("NEVER_SEEN") >= 0L && est("NEVER_SEEN") <= 150L)
+    // mismatched hash spaces must fail loudly, not merge garbage
+    val e = intercept[IllegalArgumentException](
+      cmsMerge(scratch, cmsState(all, "x", width = 32, depth = 3)))
+    assert(e.getMessage.contains("mismatch"))
+  }
+
   test("incremental agg state: merge of disjoint batches equals recompute") {
     import graft.dp.IncrementalAgg._
     val all = Seq(
