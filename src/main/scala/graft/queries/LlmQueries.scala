@@ -213,6 +213,19 @@ object LlmQueries {
         .encodeAudit(graft.text.Bpe.encode(docs, "text", merges), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // --- unigram-LM tokenizer (SentencePiece shape): EM-trained piece
+    // probabilities, Viterbi encode. Same audit contract as BPE — exact
+    // word counts both engines derive, plus invariant flags (Viterbi
+    // segmentations are exact covers) that must be uniformly TRUE
+    "unigram_encode_audit" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val pieces = graft.text.Unigram.train(docs, "text", vocabSize = 512,
+        maxWords = 5000)
+      graft.text.Unigram
+        .encodeAudit(graft.text.Unigram.encode(docs, "text", pieces),
+          "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     // --- heavy hitters, oracle-checkable form: exact top-k counts (any
     // engine reproduces them) + a CMS bounds flag the seeded sketch must
     // satisfy — an undercounting/unseeded sketch flips est_ok and fails
@@ -1556,6 +1569,14 @@ object LlmQueries {
     // count-bound flags are invariants of a correct encoder — uniformly
     // TRUE or the hash breaks
     "bpe_encode_audit" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+        |  TRUE AS roundtrip_ok, TRUE AS count_sane
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // unigram-LM audit: identical contract to bpe_encode_audit — exact
+    // word counts, invariant flags asserted as literal TRUE
+    "unigram_encode_audit" ->
       """SELECT doc_id,
         |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,

@@ -1,0 +1,298 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model tokenizer — the SentencePiece training shape
+  * (Kudo 2018, arXiv:1804.10959): a vocabulary of subword PIECES with
+  * unigram log-probabilities, trained by EM over the segmentation
+  * lattice and pruned to a target size; encoding is per-word Viterbi
+  * (the single best segmentation under the piece probabilities).
+  *
+  * Where BPE builds its vocabulary bottom-up by merging, the unigram LM
+  * starts from a large seed of candidate substrings and SHRINKS — each
+  * round re-estimates piece probabilities with forward-backward EM
+  * (soft counts over every segmentation, not just the best one) and
+  * drops the pieces contributing least expected mass, keeping all
+  * single characters so every word stays segmentable.
+  *
+  * Scale shape is identical to [[Bpe]] and for the same published
+  * reason: the ONLY corpus-sized work is the frequency-capped word
+  * count ([[Bpe.cappedWordCounts]] — one map-side-combinable groupBy),
+  * and the EM/prune loop runs on the driver over that bounded table.
+  * The trained artifact is a tiny (piece, log_prob, piece_id) frame;
+  * encoding broadcasts it in a UDF closure and is a pure scan with a
+  * per-task memo — no join, no shuffle.
+  *
+  * Divergence from SentencePiece proper, by design: pruning ranks
+  * pieces by expected count rather than the exact likelihood-loss of
+  * removal (the common simplification; loss ranking and count ranking
+  * agree except near ties), and there is no character-coverage /
+  * byte-fallback machinery — characters outside the capped vocabulary
+  * encode to [[Bpe.UnkId]], the same bounded-vocab contract as
+  * [[Bpe.vocabWithIds]].
+  */
+object Unigram {
+
+  /** Max candidate piece length in the seed vocabulary. */
+  val MaxPieceLen = 8
+
+  /** Train a unigram-LM piece vocabulary. Returns
+    * `(piece STRING, log_prob DOUBLE, piece_id INT)` with id 0 reserved
+    * for `<unk>` (log_prob null there), other ids assigned by piece sort
+    * order — deterministic on any cluster layout, because everything
+    * derives from the deterministic capped word counts.
+    *
+    * `vocabSize` counts real pieces (excluding `<unk>`); single
+    * characters are always retained even if that overflows a too-small
+    * `vocabSize`. `emIters` EM rounds run between prune steps;
+    * `shrinkFactor` keeps that fraction of prunable pieces per round. */
+  def train(
+      df: DataFrame,
+      textCol: String,
+      vocabSize: Int,
+      maxWords: Int = 50000,
+      seedMultiplier: Int = 4,
+      emIters: Int = 2,
+      shrinkFactor: Double = 0.75): DataFrame =
+    trainFromCounts(df.sparkSession,
+      Bpe.cappedWordCounts(df, textCol, maxWords),
+      vocabSize, seedMultiplier, emIters, shrinkFactor)
+
+  /** Driver-side EM + prune loop over a bounded (word, count) table. */
+  def trainFromCounts(
+      spark: SparkSession,
+      wordCounts: Seq[(String, Long)],
+      vocabSize: Int,
+      seedMultiplier: Int = 4,
+      emIters: Int = 2,
+      shrinkFactor: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    require(vocabSize > 0, s"need vocabSize > 0, got $vocabSize")
+    require(seedMultiplier >= 1, s"need seedMultiplier >= 1, got $seedMultiplier")
+    require(shrinkFactor > 0 && shrinkFactor < 1,
+      s"need 0 < shrinkFactor < 1, got $shrinkFactor")
+    val words = wordCounts.filter(_._1.nonEmpty).toVector
+    require(words.nonEmpty, "unigram training needs a non-empty word table")
+
+    // ---- seed: all substrings up to MaxPieceLen, scored count*len; keep
+    // the top seedMultiplier*vocabSize plus every single character
+    val subCounts = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, c) =>
+      var i = 0
+      while (i < w.length) {
+        var j = i + 1
+        while (j <= math.min(w.length, i + MaxPieceLen)) {
+          val s = w.substring(i, j)
+          subCounts.update(s, subCounts.getOrElse(s, 0L) + c)
+          j += 1
+        }
+        i += 1
+      }
+    }
+    val chars = subCounts.keysIterator.filter(_.length == 1).toVector
+    val multi = subCounts.iterator.filter(_._1.length > 1).toVector
+      .sortBy { case (s, c) => (-c * s.length, s) }
+      .take(math.max(0, seedMultiplier * vocabSize - chars.length))
+      .map(_._1)
+    var vocab: Set[String] = chars.toSet ++ multi
+
+    // ---- EM + prune until the vocabulary reaches vocabSize
+    var probs: Map[String, Double] = {
+      val tot = vocab.iterator.map(subCounts(_).toDouble).sum
+      vocab.iterator.map(p => p -> subCounts(p) / tot).toMap
+    }
+    var rounds = 0
+    val maxRounds = 100 // derived bound: shrinkFactor^100 kills any seed
+    while (rounds < maxRounds &&
+      (vocab.count(_.length > 1) + chars.length > vocabSize || rounds == 0)) {
+      var it = 0
+      var expected: Map[String, Double] = probs
+      while (it < emIters) {
+        expected = eStep(words, vocab, probs)
+        val tot = expected.valuesIterator.sum
+        probs = expected.map { case (p, e) => p -> math.max(e / tot, 1e-12) }
+        it += 1
+      }
+      val prunableTarget = math.max(0, vocabSize - chars.length)
+      val keepMulti = vocab.iterator.filter(_.length > 1).toVector
+        .sortBy(p => (-expected.getOrElse(p, 0.0), p))
+        .take(math.max(prunableTarget,
+          (vocab.count(_.length > 1) * shrinkFactor).toInt))
+      val next = chars.toSet ++ keepMulti
+      if (next == vocab && vocab.count(_.length > 1) <= prunableTarget) rounds = maxRounds
+      else vocab = next
+      rounds += 1
+    }
+    // final shrink to exactly the target (expected-count order), then one
+    // last M step so the persisted log-probs reflect the final vocabulary
+    val finalExpected = eStep(words, vocab, probs)
+    val keep = chars.toSet ++ vocab.iterator.filter(_.length > 1).toVector
+      .sortBy(p => (-finalExpected.getOrElse(p, 0.0), p))
+      .take(math.max(0, vocabSize - chars.length))
+    val fe = eStep(words, keep, probs.filter(kv => keep(kv._1)))
+    val tot = math.max(fe.valuesIterator.sum, 1e-12)
+    val rows = keep.toVector.sorted.zipWithIndex.map { case (p, i) =>
+      (p, math.log(math.max(fe.getOrElse(p, 0.0), 1e-12) / tot), i + 1)
+    }
+    ((Bpe.UnkToken, Double.NaN, Bpe.UnkId) +: rows)
+      .toDF("piece", "log_prob", "piece_id")
+      .withColumn("log_prob",
+        when(isnan(col("log_prob")), lit(null).cast("double"))
+          .otherwise(col("log_prob")))
+  }
+
+  /** Forward-backward expected piece counts over every word's
+    * segmentation lattice (soft EM). Lattice nodes are character
+    * positions; an edge (j, i) exists when w[j..i) is in the vocabulary.
+    * Expected count of that edge = alpha(j) * p * beta(i) / Z. Words with
+    * no full segmentation (impossible while single chars stay in vocab)
+    * contribute nothing. */
+  private def eStep(
+      words: Vector[(String, Long)],
+      vocab: Set[String],
+      probs: Map[String, Double]): Map[String, Double] = {
+    val acc = scala.collection.mutable.HashMap.empty[String, Double]
+    def p(s: String): Double = math.max(probs.getOrElse(s, 1e-12), 1e-12)
+    words.foreach { case (w, c) =>
+      val n = w.length
+      val alpha = Array.fill(n + 1)(0.0); alpha(0) = 1.0
+      var i = 1
+      while (i <= n) {
+        var j = math.max(0, i - MaxPieceLen)
+        while (j < i) {
+          val s = w.substring(j, i)
+          if (alpha(j) > 0 && vocab(s)) alpha(i) += alpha(j) * p(s)
+          j += 1
+        }
+        i += 1
+      }
+      val z = alpha(n)
+      if (z > 0) {
+        val beta = Array.fill(n + 1)(0.0); beta(n) = 1.0
+        i = n - 1
+        while (i >= 0) {
+          var k = i + 1
+          while (k <= math.min(n, i + MaxPieceLen)) {
+            val s = w.substring(i, k)
+            if (beta(k) > 0 && vocab(s)) beta(i) += p(s) * beta(k)
+            k += 1
+          }
+          i -= 1
+        }
+        var j = 0
+        while (j < n) {
+          var k = j + 1
+          while (k <= math.min(n, j + MaxPieceLen)) {
+            val s = w.substring(j, k)
+            if (vocab(s) && alpha(j) > 0 && beta(k) > 0) {
+              val e = alpha(j) * p(s) * beta(k) / z * c
+              if (e > 0) acc.update(s, acc.getOrElse(s, 0.0) + e)
+            }
+            k += 1
+          }
+          j += 1
+        }
+      }
+    }
+    acc.toMap
+  }
+
+  /** Viterbi-best segmentation of one word under piece log-probs:
+    * maximize the sum of piece log-probabilities. Characters with no
+    * piece at all break the word into an `<unk>` marker at that
+    * position (the encode UDF maps it to [[Bpe.UnkId]]). */
+  private[text] def segmentWord(
+      word: String, logp: Map[String, Double]): Vector[String] = {
+    val n = word.length
+    val best = Array.fill(n + 1)(Double.NegativeInfinity); best(0) = 0.0
+    val back = Array.fill(n + 1)(-1)
+    var i = 1
+    while (i <= n) {
+      var j = math.max(0, i - MaxPieceLen)
+      while (j < i) {
+        val s = word.substring(j, i)
+        val lp = logp.get(s)
+        if (lp.isDefined && best(j) + lp.get > best(i)) {
+          best(i) = best(j) + lp.get
+          back(i) = j
+        }
+        j += 1
+      }
+      // no piece reaches i: consume the single character as <unk> so the
+      // segmentation always completes (SentencePiece's byte-fallback
+      // analogue for a bounded charset)
+      if (back(i) < 0) { best(i) = best(i - 1); back(i) = i - 1 }
+      i += 1
+    }
+    val out = List.newBuilder[String]
+    var k = n
+    val cuts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    while (k > 0) { cuts += k; k = back(k) }
+    var start = 0
+    cuts.reverseIterator.foreach { end =>
+      out += word.substring(start, end); start = end
+    }
+    out.result().toVector
+  }
+
+  /** Tokenize `textCol` with a trained piece table: adds
+    * `pieces ARRAY<STRING>` and `n_pieces`. Same pure-scan shape as
+    * [[Bpe.encode]] — the piece table rides the closure, a per-task
+    * memo exploits the Zipf distribution of words. */
+  def encode(df: DataFrame, textCol: String, pieces: DataFrame): DataFrame = {
+    val logp: Map[String, Double] = pieces
+      .filter(col("log_prob").isNotNull)
+      .select(col("piece"), col("log_prob"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val enc = udf(new (Seq[String] => Seq[String]) with Serializable {
+      @transient private lazy val memo =
+        scala.collection.mutable.HashMap.empty[String, Vector[String]]
+      override def apply(ws: Seq[String]): Seq[String] =
+        ws.flatMap(w => memo.getOrElseUpdate(w, segmentWord(w, logp)))
+    })
+    df.withColumn("pieces", enc(words))
+      .withColumn("n_pieces", size(col("pieces")))
+  }
+
+  /** [[encode]] to numeric ids: `piece_ids ARRAY<INT>`, pieces outside
+    * the vocabulary (single-char unk fallbacks) map to [[Bpe.UnkId]]. */
+  def encodeIds(df: DataFrame, textCol: String, pieces: DataFrame): DataFrame = {
+    val logp: Map[String, Double] = pieces
+      .filter(col("log_prob").isNotNull)
+      .select(col("piece"), col("log_prob"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val ids: Map[String, Int] = pieces
+      .select(col("piece"), col("piece_id").cast("int"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val enc = udf(new (Seq[String] => Seq[Int]) with Serializable {
+      @transient private lazy val memo =
+        scala.collection.mutable.HashMap.empty[String, Vector[Int]]
+      override def apply(ws: Seq[String]): Seq[Int] =
+        ws.flatMap(w => memo.getOrElseUpdate(w,
+          segmentWord(w, logp).map(s => ids.getOrElse(s, Bpe.UnkId))))
+    })
+    df.withColumn("piece_ids", enc(words))
+      .withColumn("n_pieces", size(col("piece_ids")))
+  }
+
+  /** Oracle-checkable audit of an encoded frame — the unigram twin of
+    * [[Bpe.encodeAudit]]: exact word count plus invariant flags that
+    * must be uniformly TRUE (pieces concatenate back to the
+    * whitespace-joined words — Viterbi segmentations are exact covers —
+    * and the piece count is between one per word and one per
+    * character). */
+  def encodeAudit(encoded: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    encoded.select(
+      col(idCol),
+      size(ws).cast("long").as("n_words"),
+      (concat_ws("", col("pieces")) === concat_ws("", ws) || size(ws) === 0)
+        .as("roundtrip_ok"),
+      (col("n_pieces") >= size(ws) &&
+        col("n_pieces") <= length(concat_ws("", ws)) ||
+        size(ws) === 0).as("count_sane"))
+  }
+}

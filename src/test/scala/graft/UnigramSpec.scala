@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.text.{Bpe, Unigram}
+
+/** Unigram-LM tokenizer: EM learns the obvious subword, Viterbi
+  * segmentations are exact covers, determinism, vocab sizing, unk
+  * fallback. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("EM learns the dominant subword and Viterbi uses it") {
+    // "abab" x100 + "ab" x50: the piece "ab" carries far more expected
+    // mass than any other multi-char candidate, so it must survive
+    // pruning and Viterbi must segment "abab" as [ab, ab], not chars
+    val df = (Seq.fill(100)("abab") ++ Seq.fill(50)("ab")).toDF("text")
+    val pieces = Unigram.train(df, "text", vocabSize = 4)
+    val kept = pieces.filter(col("log_prob").isNotNull)
+      .select("piece").as[String].collect().toSet
+    assert(kept.contains("ab"), s"expected 'ab' in vocab, got $kept")
+    assert(kept.contains("a") && kept.contains("b"),
+      "single characters must always survive pruning")
+    val enc = Unigram.encode(Seq("abab").toDF("text"), "text", pieces)
+      .select("pieces").as[Seq[String]].head
+    assert(enc === Seq("ab", "ab") || enc === Seq("abab"),
+      s"Viterbi should use learned pieces, got $enc")
+  }
+
+  test("round-trip exactness and count sanity on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pieces = Unigram.train(docs, "text", vocabSize = 256, maxWords = 2000)
+    val audit = Unigram.encodeAudit(
+      Unigram.encode(docs, "text", pieces), "doc_id", "text")
+    val bad = audit.filter(!col("roundtrip_ok") || !col("count_sane")).count()
+    assert(bad === 0L, s"$bad documents failed the encode invariants")
+    // id encoding: same piece count, ids within [0, vocab)
+    val maxId = pieces.agg(max(col("piece_id"))).head.getInt(0)
+    val idsOk = Unigram.encodeIds(docs, "text", pieces)
+      .select(explode(col("piece_ids")).as("i"))
+      .filter(col("i") < 0 || col("i") > maxId).count()
+    assert(idsOk === 0L)
+  }
+
+  test("training is deterministic and partition-invariant") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("piece_id").collect().map(_.toString).toSeq
+    val a = rows(Unigram.train(docs, "text", vocabSize = 64, maxWords = 500))
+    val b = rows(Unigram.train(docs.repartition(7), "text", vocabSize = 64,
+      maxWords = 500))
+    assert(a === b, "training must not depend on partition layout")
+  }
+
+  test("vocabulary is sized to target; unseen characters fall back to unk ids") {
+    val df = Seq.fill(20)("hello world").toDF("text")
+    val pieces = Unigram.train(df, "text", vocabSize = 12)
+    val real = pieces.filter(col("log_prob").isNotNull).count()
+    // chars: h e l o w r d (7) + space-split words' chars only; target 12
+    assert(real <= 12L, s"vocab $real exceeds target")
+    assert(pieces.filter(col("piece") === Bpe.UnkToken).count() === 1L)
+    // a character never seen in training segments as an unk-id piece but
+    // still round-trips as text
+    val enc = Unigram.encode(Seq("hexxxllo").toDF("text"), "text", pieces)
+      .select(concat_ws("", col("pieces"))).as[String].head
+    assert(enc === "hexxxllo")
+    val ids = Unigram.encodeIds(Seq("zzz").toDF("text"), "text", pieces)
+      .select("piece_ids").as[Seq[Int]].head
+    assert(ids.nonEmpty && ids.forall(_ == Bpe.UnkId),
+      s"unseen chars must map to UnkId, got $ids")
+  }
+}
