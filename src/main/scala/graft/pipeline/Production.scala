@@ -405,35 +405,68 @@ object Production {
     // tokenizer): `train` runs the one corpus-sized word-count pass and
     // persists the ranked merge table into the models zone; `encode` loads
     // that table (KBs) and tokenizes as a pure scan.
+    // `algo: bpe` (default) persists merges + vocab; `algo: unigram`
+    // persists the EM-trained piece table (SentencePiece shape) instead —
+    // either way one corpus-sized word-count pass, driver-side loop
     Jobs.register("tokenizer", "train") { (ctx, params) =>
       val s = ctx.spark
       val textCol = params.getOrElse("text_col", "text").toString
       val docs = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
-      // one corpus scan yields BOTH artifacts: merges and the token->id
-      // table a trainer consumes, persisted side by side
-      val (merges, vocabIds) = graft.text.Bpe.trainArtifacts(
-        docs, textCol,
-        numMerges = params.getOrElse("num_merges", "200").toString.toInt,
-        maxWords = params.getOrElse("max_words", "50000").toString.toInt,
-        minPairCount = params.getOrElse("min_pair_count", "2").toString.toLong)
-      save(ctx, merges, ctx.dataPath("models.bpe_merges"))
-      save(ctx, vocabIds, ctx.dataPath("models.bpe_vocab"))
+      params.getOrElse("algo", "bpe").toString match {
+        case "unigram" =>
+          save(ctx, graft.text.Unigram.train(
+              docs, textCol,
+              vocabSize = params.getOrElse("vocab_size", "4096").toString.toInt,
+              maxWords = params.getOrElse("max_words", "50000").toString.toInt),
+            ctx.dataPath("models.unigram_pieces"))
+        case "bpe" =>
+          // one corpus scan yields BOTH artifacts: merges and the
+          // token->id table a trainer consumes, persisted side by side
+          val (merges, vocabIds) = graft.text.Bpe.trainArtifacts(
+            docs, textCol,
+            numMerges = params.getOrElse("num_merges", "200").toString.toInt,
+            maxWords = params.getOrElse("max_words", "50000").toString.toInt,
+            minPairCount = params.getOrElse("min_pair_count", "2").toString.toLong)
+          save(ctx, merges, ctx.dataPath("models.bpe_merges"))
+          save(ctx, vocabIds, ctx.dataPath("models.bpe_vocab"))
+        case other =>
+          throw new IllegalArgumentException(
+            s"tokenizer/train: unknown algo '$other' (bpe | unigram)")
+      }
     }
 
     Jobs.register("tokenizer", "encode") { (ctx, params) =>
       val s = ctx.spark
       val textCol = params.getOrElse("text_col", "text").toString
       val docs = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
-      val merges = Tables.readData(s, Seq(ctx.dataPath("models.bpe_merges")))
+      val ids = params.getOrElse("ids", "false").toString.toBoolean
       // tokens replace the raw text in the output (the tokenized zone is
       // what training consumes; re-writing text would double the bytes).
       // ids: true emits numeric token_ids via the persisted vocab instead
-      // of string tokens
-      val out =
-        if (params.getOrElse("ids", "false").toString.toBoolean)
-          graft.text.Bpe.encodeIds(docs, textCol, merges,
-            Tables.readData(s, Seq(ctx.dataPath("models.bpe_vocab"))))
-        else graft.text.Bpe.encode(docs, textCol, merges)
+      // of string tokens. The unigram branch renames its pieces columns
+      // to the tokens/token_ids + n_tokens contract so every downstream
+      // packing stage is tokenizer-agnostic.
+      val out = params.getOrElse("algo", "bpe").toString match {
+        case "unigram" =>
+          val pieces = Tables.readData(s, Seq(ctx.dataPath("models.unigram_pieces")))
+          if (ids)
+            graft.text.Unigram.encodeIds(docs, textCol, pieces)
+              .withColumnRenamed("piece_ids", "token_ids")
+              .withColumnRenamed("n_pieces", "n_tokens")
+          else
+            graft.text.Unigram.encode(docs, textCol, pieces)
+              .withColumnRenamed("pieces", "tokens")
+              .withColumnRenamed("n_pieces", "n_tokens")
+        case "bpe" =>
+          val merges = Tables.readData(s, Seq(ctx.dataPath("models.bpe_merges")))
+          if (ids)
+            graft.text.Bpe.encodeIds(docs, textCol, merges,
+              Tables.readData(s, Seq(ctx.dataPath("models.bpe_vocab"))))
+          else graft.text.Bpe.encode(docs, textCol, merges)
+        case other =>
+          throw new IllegalArgumentException(
+            s"tokenizer/encode: unknown algo '$other' (bpe | unigram)")
+      }
       save(ctx, out.drop(textCol), ctx.dataPath("processed.tokenized"))
     }
 
@@ -529,6 +562,78 @@ object Production {
         graft.dp.QuantileState.estimateQuantiles(
           s.read.parquet(statePath), keyCol, probs),
         ctx.dataPath("processed.quantile_profile"))
+    }
+
+    // Count-Min frequency fold: the CMS twin of quantile-fold — fold one
+    // batch's sparse counter table into the state dir (replay-safe via
+    // batch_id), publish estimates for the batch's own items alongside
+    // the exact batch counts so drift is visible in one frame.
+    Jobs.register("metric-profile", "cms-fold") { (ctx, params) =>
+      val s = ctx.spark
+      val itemCol = params.getOrElse("item_col", "user_id").toString
+      val batch = Tables.readData(s, Seq(ctx.dataPath("raw.metrics_batch")))
+      val statePath = ctx.dataPath("models.cms_state")
+      graft.dp.IncrementalAgg.foldStateDir(
+        s, statePath,
+        graft.dp.IncrementalAgg.cmsState(batch, itemCol,
+          width = params.getOrElse("width", "1024").toString.toInt,
+          depth = params.getOrElse("depth", "4").toString.toInt),
+        itemCol, // unused by the CMS merge (counters have no key column)
+        batchId = params.getOrElse("batch_id", Long.MinValue.toString).toString.toLong,
+        merge = (a, b, _) => graft.dp.IncrementalAgg.cmsMerge(a, b))
+      save(ctx,
+        graft.dp.IncrementalAgg.cmsEstimate(
+          s.read.parquet(statePath), batch.select(itemCol).distinct(), itemCol),
+        ctx.dataPath("processed.cms_profile"))
+    }
+
+    // SCD2 dimension maintenance: first fold BUILDS the history from the
+    // batch's version log; later folds apply incrementally (batch-sized
+    // work, out-of-order arrivals fail loudly). foldStateDir supplies the
+    // crash-safe swap + batch-id replay protection; the merge re-expresses
+    // the already-built batch history as a version log, which buildScd2
+    // reconstructs exactly (consecutive surviving versions always differ).
+    Jobs.register("history", "scd2-fold") { (ctx, params) =>
+      val s = ctx.spark
+      val keyCol = params.getOrElse("key_col", "o_orderkey").toString
+      val tsCol = params.getOrElse("ts_col", "ts").toString
+      val batch = Tables.readData(s, Seq(ctx.dataPath("raw.version_log")))
+      val dimPath = ctx.dataPath("models.scd2_dim")
+      def asLog(dim: org.apache.spark.sql.DataFrame) = {
+        val attrs = dim.columns.toSeq
+          .filterNot(Seq(keyCol, "valid_from", "valid_to", "is_current").contains)
+        dim.select((col(keyCol) +: col("valid_from").as(tsCol) +:
+          attrs.map(col)): _*)
+      }
+      graft.dp.IncrementalAgg.foldStateDir(
+        s, dimPath,
+        Tables.buildScd2(batch, Seq(keyCol), tsCol),
+        keyCol,
+        batchId = params.getOrElse("batch_id", Long.MinValue.toString).toString.toLong,
+        merge = (dim, builtBatch, _) =>
+          Tables.applyScd2(dim, asLog(builtBatch), Seq(keyCol), tsCol))
+    }
+
+    // Z-order re-layout as a maintenance job: one stats pass for the
+    // dimension ranges (unless pinned in params), then the clustered
+    // rewrite — the periodic OPTIMIZE a 100 TB lake schedules after
+    // enough appends dilute file-skipping locality.
+    Jobs.register("layout", "zorder") { (ctx, params) =>
+      val s = ctx.spark
+      val cols = params.getOrElse("cols", "user_id,value").toString
+        .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      require(cols.nonEmpty, "layout/zorder needs cols")
+      val df = Tables.readData(s, Seq(ctx.dataPath("raw.layout_input")))
+      val aggCols = cols.flatMap(c =>
+        Seq(min(col(c)).cast("double"), max(col(c)).cast("double")))
+      val stats = df.agg(aggCols.head, aggCols.tail: _*).head()
+      val dims = cols.zipWithIndex.map { case (c, i) =>
+        (c, stats.getDouble(2 * i), stats.getDouble(2 * i + 1))
+      }
+      graft.io.Layout.writeZOrdered(df, dims,
+        ctx.dataPath("processed.layout_zordered"),
+        nFiles = params.getOrElse("n_files", "16").toString.toInt,
+        bits = params.getOrElse("bits", "16").toString.toInt)
     }
 
     Jobs.register("model-eval", "score-and-report") { (ctx, _) =>

@@ -343,6 +343,102 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(n1 === n2)
   }
 
+  test("unigram tokenizer, cms-fold, scd2-fold and zorder catalog jobs") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft-r11-jobs").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100).write.mode("overwrite").parquet(s"$work/docs")
+    graft.queries.Support.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("value"),
+        unix_timestamp(col("ts")).as("tsec")).limit(2000)
+      .write.mode("overwrite").parquet(s"$work/metrics")
+    def cfg(batchId: Int) = Map(
+      "core" -> Map("seed" -> 7, "audit_plans" -> true),
+      "job_catalog" -> Map("jobs" -> List(
+        Map("name" -> "tokenizer", "fail_fast" -> true, "stages" -> List(
+          Map("name" -> "fit-serve", "tasks" -> List(
+            Map("name" -> "train",
+              "params" -> Map("algo" -> "unigram", "vocab_size" -> "256",
+                "max_words" -> "1000")),
+            Map("name" -> "encode",
+              "params" -> Map("algo" -> "unigram", "ids" -> "true")))))),
+        Map("name" -> "metric-profile", "stages" -> List(
+          Map("name" -> "profile", "tasks" -> List(
+            Map("name" -> "cms-fold",
+              "params" -> Map("item_col" -> "user_id", "width" -> "128",
+                "batch_id" -> batchId.toString)))))),
+        Map("name" -> "history", "stages" -> List(
+          Map("name" -> "fold", "tasks" -> List(
+            Map("name" -> "scd2-fold",
+              "params" -> Map("key_col" -> "k", "ts_col" -> "ts",
+                "batch_id" -> batchId.toString)))))),
+        Map("name" -> "layout", "stages" -> List(
+          Map("name" -> "optimize", "tasks" -> List(
+            Map("name" -> "zorder",
+              "params" -> Map("cols" -> "user_id,value", "n_files" -> "4")))))))),
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "documents" -> s"$work/docs",
+          "metrics_batch" -> s"$work/metrics",
+          "version_log" -> s"$work/vlog",
+          "layout_input" -> s"$work/metrics"),
+        "models" -> Map(
+          "unigram_pieces" -> s"$work/pieces",
+          "cms_state" -> s"$work/cms_state",
+          "scd2_dim" -> s"$work/scd2_dim"),
+        "processed" -> Map(
+          "tokenized" -> s"$work/tokenized",
+          "cms_profile" -> s"$work/cms_profile",
+          "layout_zordered" -> s"$work/zordered")))
+    graft.pipeline.Production.registerAll()
+    val ctx1 = Context(cfg(1), spark)
+    // unigram tokenizer via catalog: pieces persisted, tokenized zone
+    // carries the tokenizer-agnostic token_ids/n_tokens contract
+    assert(graft.pipeline.Jobs.run(ctx1, "tokenizer").isEmpty)
+    val pieces = spark.read.parquet(s"$work/pieces")
+    assert(pieces.filter(col("piece") === graft.text.Bpe.UnkToken).count() === 1)
+    val tokenized = spark.read.parquet(s"$work/tokenized")
+    assert(tokenized.columns.contains("token_ids")
+      && tokenized.columns.contains("n_tokens")
+      && !tokenized.columns.contains("text"))
+    // cms-fold: estimates never undercount the batch's exact counts; a
+    // replayed batch_id is a no-op
+    assert(graft.pipeline.Jobs.run(ctx1, "metric-profile").isEmpty)
+    val exact = spark.read.parquet(s"$work/metrics")
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prof1 = spark.read.parquet(s"$work/cms_profile").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(prof1(k) >= n, s"user $k: est ${prof1(k)} < true $n") }
+    assert(graft.pipeline.Jobs.run(ctx1, "metric-profile").isEmpty) // replay
+    val prof2 = spark.read.parquet(s"$work/cms_profile").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prof1 === prof2, "replayed batch_id must not double-count")
+    // scd2-fold: batch 1 builds, batch 2 applies; result equals the
+    // from-scratch rebuild of the concatenated log
+    val log1 = Seq((1L, 0L, "a"), (2L, 0L, "b")).toDF("k", "ts", "v")
+    val log2 = Seq((1L, 10L, "a2"), (3L, 10L, "c")).toDF("k", "ts", "v")
+    log1.write.mode("overwrite").parquet(s"$work/vlog")
+    assert(graft.pipeline.Jobs.run(ctx1, "history").isEmpty)
+    log2.write.mode("overwrite").parquet(s"$work/vlog")
+    assert(graft.pipeline.Jobs.run(Context(cfg(2), spark), "history").isEmpty)
+    val dim = spark.read.parquet(s"$work/scd2_dim")
+      .orderBy("k", "valid_from").collect().map(_.toString).toSeq
+    val rebuilt = graft.io.Tables
+      .buildScd2(log1.unionByName(log2), Seq("k"), "ts")
+      .select("k", "v", "valid_from", "valid_to", "is_current")
+      .orderBy("k", "valid_from").collect().map(_.toString).toSeq
+    assert(dim === rebuilt, "incremental scd2-fold diverged from rebuild")
+    // zorder: rewrite preserves rows, lands in the requested file count
+    assert(graft.pipeline.Jobs.run(ctx1, "layout").isEmpty)
+    val z = spark.read.parquet(s"$work/zordered")
+    assert(z.count() === spark.read.parquet(s"$work/metrics").count())
+    assert(z.select(input_file_name()).distinct().count() <= 4)
+  }
+
   test("curation normalize + span-dedup catalog jobs: encodings fold, shared footer vanishes") {
     val spark = SparkSpec.session
     import spark.implicits._
