@@ -131,6 +131,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(chained.values.toSet == Set(1L), s"15-hop chain must collapse to cluster 1; got $chained")
   }
 
+  test("near-dup clusters: driver union-find fast path equals the distributed loop") {
+    import spark.implicits._
+    // a mix of chains, stars and singetons-by-absence plus id order that
+    // exercises union-by-min across merge directions
+    val edges = ((1L to 25L).sliding(2).map(s => (s.head, s.last)).toSeq ++
+      Seq((40L, 45L), (45L, 41L), (41L, 48L), (60L, 61L), (90L, 70L), (70L, 80L)))
+    val pairs = edges.toDF("id_a", "id_b")
+    val fast = graft.dedup.Dedup.nearDupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = graft.dedup.Dedup.nearDupClusters(pairs, driverMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast === dist, "fast path and distributed loop must agree exactly")
+    assert(fast.values.toSet === Set(1L, 40L, 60L, 70L))
+    // an over-bound edge list falls through to the distributed loop and
+    // still produces the same labels
+    val forced = graft.dedup.Dedup.nearDupClusters(pairs, driverMaxEdges = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(forced === dist)
+    // int ids keep their type through the fast path
+    val intPairs = Seq((1, 2), (2, 3)).toDF("id_a", "id_b")
+    val out = graft.dedup.Dedup.nearDupClusters(intPairs)
+    assert(out.schema("id").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(out.as[(Int, Int)].collect().toMap === Map(1 -> 1, 2 -> 1, 3 -> 1))
+  }
+
   test("near-dup clusters: reliable checkpoint dir yields identical labels to the local fallback") {
     import spark.implicits._
     val sc = spark.sparkContext
@@ -140,11 +165,11 @@ class DedupSimilaritySpec extends SparkSpec {
     try {
       // force the localCheckpoint fallback regardless of suite ordering
       org.apache.spark.sql.graft.Bridge.clearCheckpointDir(sc)
-      val viaLocal = graft.dedup.Dedup.nearDupClusters(pairs)
+      val viaLocal = graft.dedup.Dedup.nearDupClusters(pairs, driverMaxEdges = 0)
         .as[(Long, Long)].collect().toMap
       val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-spec")
       sc.setCheckpointDir(dir.toString)
-      val viaReliable = graft.dedup.Dedup.nearDupClusters(pairs)
+      val viaReliable = graft.dedup.Dedup.nearDupClusters(pairs, driverMaxEdges = 0)
         .as[(Long, Long)].collect().toMap
       assert(viaReliable == viaLocal, "checkpoint mode must not change cluster labels")
       assert(viaLocal.values.toSet == Set(1L, 20L, 30L))
