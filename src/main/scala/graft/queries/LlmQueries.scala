@@ -892,6 +892,26 @@ object LlmQueries {
           ctxTokens = 128)
         .orderBy(col("shard"))
     },
+    // --- interleaved multimodal packing: docs carry media placeholders
+    // (synthetic assets at deterministic positions/patch budgets), bins
+    // pack by EFFECTIVE length and the plan emits each asset's absolute
+    // slot. The oracle replays the next-fit fold AND the earlier-patch
+    // window arithmetic in SQL
+    "interleaved_pack" -> { (s, dir) =>
+      val d = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+      val assets = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), (col("doc_id") * 10 + 1).as("asset_id"),
+          lit(5L).as("position"), lit(7L).as("patch_tokens"))
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), (col("doc_id") * 10 + 2).as("asset_id"),
+            lit(0L).as("position"), lit(3L).as("patch_tokens")))
+      graft.text.Packing
+        .interleavedPlan(d, assets, "doc_id", "n_tokens", "asset_id",
+          "position", "patch_tokens", ctxTokens = 128, nShards = 4)
+        .orderBy(col("shard"), col("bin_id"), col("start"), col("asset_id"))
+    },
     // --- materialized no-split bins on whitespace tokens: the oracle
     // re-runs the fold AND re-derives each bin's length, boundary tokens
     // and member count from scratch (truncated docs keep their prefix)
@@ -2005,6 +2025,49 @@ object LlmQueries {
           |      AS DOUBLE)
           |    / (CAST(coalesce(max(out_bin) + 1, 0) AS DOUBLE) * 128), 6) AS efficiency
           |FROM f GROUP BY shard ORDER BY shard""".stripMargin),
+    // interleaved multimodal plan: the fold runs on EFFECTIVE lengths
+    // (text + patch slots), then the per-asset slot arithmetic (clamped
+    // position + running earlier-patch sum + bin offset) replays as a
+    // window over the synthetic asset set
+    "interleaved_pack" ->
+      (binPackFoldSql(
+        """
+          |  SELECT doc_id, doc_id % 4 AS shard,
+          |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(text), '\s+')) END
+          |      + CASE WHEN doc_id % 5 = 0 THEN 7 ELSE 0 END
+          |      + CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 0 END AS BIGINT) AS n
+          |  FROM documents WHERE doc_id < 200""".stripMargin, 128) +
+        """,nt AS (
+          |  SELECT doc_id,
+          |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+          |      AS ntext
+          |  FROM documents WHERE doc_id < 200),
+          |a AS (
+          |  SELECT doc_id, doc_id * 10 + 1 AS asset_id,
+          |    CAST(5 AS BIGINT) AS position, CAST(7 AS BIGINT) AS patch
+          |  FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id, doc_id * 10 + 2, CAST(0 AS BIGINT), CAST(3 AS BIGINT)
+          |  FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0),
+          |pl AS (
+          |  SELECT a.doc_id, a.asset_id, a.patch,
+          |    least(greatest(a.position, 0), nt.ntext) AS pos,
+          |    coalesce(sum(a.patch) OVER (
+          |      PARTITION BY a.doc_id
+          |      ORDER BY least(greatest(a.position, 0), nt.ntext), a.asset_id)
+          |      - a.patch, 0) AS preceding_patches
+          |  FROM a JOIN nt USING (doc_id))
+          |SELECT CAST(f.shard AS BIGINT) AS shard,
+          |  CAST(f.out_bin AS BIGINT) AS bin_id,
+          |  pl.doc_id AS doc, pl.asset_id,
+          |  CAST(f.out_off + pl.pos + pl.preceding_patches AS BIGINT) AS start,
+          |  pl.patch AS patch_tokens,
+          |  (pl.pos + pl.preceding_patches + pl.patch > least(f.n, 128)) AS dropped
+          |FROM pl JOIN f ON pl.doc_id = f.doc_id
+          |WHERE f.out_bin IS NOT NULL
+          |ORDER BY shard, bin_id, start, asset_id""".stripMargin),
     // materialized no-split bins: same fold on the REAL whitespace counts
     // (docs < 50, ctx 64), then per-bin length/boundary-token/member
     // re-derivation — the truncated-doc prefix rule is least(n, ctx)

@@ -350,6 +350,76 @@ object Packing {
     * sequences in `epoch_pos` order, which composes shard-parallel reads
     * with within-shard shuffling exactly like the published
     * shard-shuffle loader designs. */
+  /** Interleaved MULTIMODAL packing plan — the vision-language training
+    * layout: a document's token stream carries media placeholders, each
+    * asset occupying `patchTokens` slots at its `position` (a token index
+    * into the doc's text), and whole documents pack into no-split bins by
+    * their EFFECTIVE length (text tokens + all patch slots). The output
+    * is the flat per-asset placement a loader needs to splice patch
+    * embeddings at the right offsets:
+    *
+    *   (shard, bin_id, doc, asset_id, start, patch_tokens, dropped)
+    *
+    * `start` is the asset's first slot WITHIN ITS BIN: the doc's
+    * offset-in-bin + the clamped text position + the patch slots of this
+    * doc's earlier assets (ordered by position, ties by asset id — media
+    * shift text after them, so a later placeholder's slot moves right by
+    * every earlier patch). `dropped = true` marks assets whose span does
+    * not fit inside the doc's ctx-capped window (an oversize doc keeps
+    * its prefix — same truncation rule as [[binPackNoSplit]]); their
+    * `start` is still reported for auditability.
+    *
+    * Scale shape: one groupBy for effective lengths, the
+    * [[binPackNoSplit]] shard-parallel fold, and a window PARTITIONED BY
+    * DOC for the running earlier-patch sum — no global sort, no driver
+    * state; asset payloads are never touched (the plan is pure metadata,
+    * the loader fetches bytes via [[graft.multimodal.Multimodal]]'s
+    * asset/byte-range surface). Fully engine-portable arithmetic — the
+    * `interleaved_pack` oracle replays the fold and the window in SQL. */
+  def interleavedPlan(
+      docs: DataFrame,
+      assets: DataFrame,
+      idCol: String,
+      nTokensCol: String,
+      assetIdCol: String,
+      positionCol: String,
+      patchTokensCol: String,
+      ctxTokens: Int,
+      nShards: Int): DataFrame = {
+    require(ctxTokens > 0 && nShards > 0, "ctxTokens and nShards must be positive")
+    val nt = docs.select(col(idCol), col(nTokensCol).cast("long").as("__nt"))
+    val patchAgg = assets.groupBy(col(idCol))
+      .agg(sum(col(patchTokensCol).cast("long")).as("__patches"))
+    val eff = nt.join(patchAgg, Seq(idCol), "left")
+      .select(col(idCol),
+        (col("__nt") + coalesce(col("__patches"), lit(0L))).as("n_tokens"))
+    val plan = binPackNoSplit(eff, idCol, "n_tokens", ctxTokens, nShards)
+      .filter(col("bin_id").isNotNull)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__pos").asc, col(assetIdCol).asc)
+    assets
+      .join(nt, Seq(idCol))
+      .withColumn("__patch", col(patchTokensCol).cast("long"))
+      // clamp the text position into [0, n_text] — a placeholder beyond
+      // the text appends at the end rather than tearing the layout
+      .withColumn("__pos",
+        least(greatest(col(positionCol).cast("long"), lit(0L)), col("__nt")))
+      .withColumn("__before",
+        coalesce(sum(col("__patch")).over(w) - col("__patch"), lit(0L)))
+      .withColumn("__start_in_doc", col("__pos") + col("__before"))
+      .join(plan.select(col(idCol), col("shard"), col("bin_id"),
+        col("offset_in_bin"), col("n_tokens").as("__eff")), Seq(idCol))
+      .select(
+        col("shard"),
+        col("bin_id"),
+        col(idCol).as("doc"),
+        col(assetIdCol).as("asset_id"),
+        (col("offset_in_bin") + col("__start_in_doc")).as("start"),
+        col("__patch").as("patch_tokens"),
+        (col("__start_in_doc") + col("__patch") >
+          least(col("__eff"), lit(ctxTokens.toLong))).as("dropped"))
+  }
+
   def epochShuffle(packed: DataFrame, epoch: Int): DataFrame = {
     require(epoch >= 0, s"epoch must be >= 0, got $epoch")
     val draw = md5(concat_ws(":",

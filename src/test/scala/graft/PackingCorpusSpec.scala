@@ -457,4 +457,38 @@ class PackingCorpusSpec extends SparkSpec {
       assert(bins == (0L until bins.length.toLong))
     }
   }
+
+  test("interleavedPlan: hand-computed media slots, clamping, truncation drop") {
+    // ctx=20, one shard. doc 1: 10 text tokens + a1(pos 2, patch 4) +
+    // a2(pos 2, patch 3; same position — asset-id tie-break puts it after
+    // a1, shifted by a1's patches). doc 2: 5 text + b1 at pos 99 (clamps
+    // to 5), patch 10 — eff 15 opens bin 1 (17+15 > 20). doc 3: 30 text +
+    // c1(pos 28, patch 5): eff 35 >= ctx — own bin, truncated, and c1's
+    // span [28, 33) falls outside the 20-slot window -> dropped.
+    val d = Seq((1L, 10L), (2L, 5L), (3L, 30L)).toDF("doc_id", "n_tokens")
+    val a = Seq(
+      (1L, 11L, 2L, 4L), (1L, 12L, 2L, 3L),
+      (2L, 21L, 99L, 10L), (3L, 31L, 28L, 5L)
+    ).toDF("doc_id", "asset_id", "position", "patch_tokens")
+    val out = Packing.interleavedPlan(d, a, "doc_id", "n_tokens",
+        "asset_id", "position", "patch_tokens", ctxTokens = 20, nShards = 1)
+      .orderBy("bin_id", "start")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(out.toSeq === Seq(
+      (0L, 0L, 1L, 11L, 2L, 4L, false),
+      (0L, 0L, 1L, 12L, 6L, 3L, false),
+      (0L, 1L, 2L, 21L, 5L, 10L, false),
+      (0L, 2L, 3L, 31L, 28L, 5L, true)))
+    // no two placed (non-dropped) spans overlap within a bin, and every
+    // placed span fits inside [doc offset, doc offset + capped len)
+    val placed = out.filter(!_._7)
+    placed.groupBy(t => (t._1, t._2)).foreach { case (_, rs) =>
+      rs.sortBy(_._5).sliding(2).foreach {
+        case Array(x, y) => assert(x._5 + x._6 <= y._5, s"overlap: $x $y")
+        case _ =>
+      }
+    }
+  }
 }

@@ -110,7 +110,8 @@ class PlanAuditSpec extends SparkSpec {
       "epoch_shuffle", "dedup_spans", "normalize_text", "avi_mjpeg_decode",
       "bin_packing", "packed_bins", "semdedup_survivors",
       "corpus_data_card", "scd2_build", "scd2_apply", "zorder_key",
-      "ann_ivfpq_refined", "cms_frequency", "unigram_encode_audit").foreach { name =>
+      "ann_ivfpq_refined", "cms_frequency", "unigram_encode_audit",
+      "interleaved_pack").foreach { name =>
       val d = SparkEntry.queries(name)(spark, sf)
       val errors = PlanAudit.audit(d).filter(_.severity == "error")
       assert(errors.isEmpty, s"$name: $errors")

@@ -270,4 +270,120 @@ class PropertySpec extends SparkSpec {
         "kernel lowering must match Spark's lower() under a tr default locale")
     } finally java.util.Locale.setDefault(saved)
   }
+
+  test("property: SCD2 incremental fold equals rebuild; intervals tile per key") {
+    val gen = for {
+      nKeys <- Gen.choose(2, 6)
+      n <- Gen.choose(5, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.choose(1L, nKeys.toLong)
+        ts <- Gen.choose(0L, 20L)
+        v <- Gen.oneOf("a", "b", "c")
+      } yield (k, ts, v))
+    } yield rows
+    samples(gen, 4).foreach { rows =>
+      val log = rows.toDF("k", "ts", "v")
+      val all = graft.io.Tables.buildScd2(log, Seq("k"), "ts")
+      // split strictly by time: late ts > 10 >= any affected open valid_from
+      val early = log.filter($"ts" <= 10)
+      val late = log.filter($"ts" > 10)
+      if (early.count() > 0 && late.count() > 0) {
+        val folded = graft.io.Tables.applyScd2(
+          graft.io.Tables.buildScd2(early, Seq("k"), "ts"), late, Seq("k"), "ts")
+        def canon(df: org.apache.spark.sql.DataFrame) =
+          df.select("k", "v", "valid_from", "valid_to", "is_current")
+            .orderBy("k", "valid_from").collect().map(_.toString).toSeq
+        assert(canon(folded) === canon(all), s"fold != rebuild for $rows")
+      }
+      // interval invariants: per key exactly one open row; valid_to of each
+      // closed row equals the next valid_from (gap-free tiling)
+      val byKey = all.select("k", "valid_from", "valid_to")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.getAs[java.lang.Long](2)).map(_.toLong))).groupBy(_._1)
+      byKey.foreach { case (k, rs) =>
+        assert(rs.count(_._3.isEmpty) === 1, s"key $k: open-row count != 1")
+        val sorted = rs.sortBy(_._2)
+        sorted.sliding(2).foreach {
+          case Array(a, b) => assert(a._3.contains(b._2), s"key $k: interval gap")
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("property: CMS estimates never undercount; merge of any split equals recompute") {
+    import graft.dp.IncrementalAgg._
+    val gen = for {
+      n <- Gen.choose(10, 80)
+      items <- Gen.listOfN(n, Gen.choose(0, 15).map(i => s"it$i"))
+    } yield items
+    samples(gen, 4).foreach { items =>
+      val df = items.toDF("x")
+      val st = cmsState(df, "x", width = 16, depth = 3)
+      val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val est = cmsEstimate(st, truth.keys.toSeq.toDF("x"), "x")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      truth.foreach { case (k, n) => assert(est(k) >= n, s"$k: ${est(k)} < $n") }
+      // arbitrary split point: merge == from-scratch counter for counter
+      val cut = items.size / 3
+      val merged = cmsMerge(
+        cmsState(items.take(cut).toDF("x"), "x", width = 16, depth = 3),
+        cmsState(items.drop(cut).toDF("x"), "x", width = 16, depth = 3))
+      def counters(d: org.apache.spark.sql.DataFrame) =
+        d.select("r", "slot", "cnt").collect()
+          .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(counters(merged) === counters(st))
+    }
+  }
+
+  test("property: zorderKey matches the reference interleave and is per-dimension monotone") {
+    import graft.io.Layout
+    def ref(xs: Seq[Long], bits: Int): Long =
+      (for { i <- 0 until bits; (x, j) <- xs.zipWithIndex }
+        yield ((x >> i) & 1L) << (i * xs.size + j)).sum
+    val gen = for {
+      n <- Gen.choose(2, 4)
+      bits <- Gen.choose(4, 12)
+      xs <- Gen.listOfN(n, Gen.choose(0L, (1L << bits) - 1))
+    } yield (xs, bits)
+    val cases = samples(gen, 6)
+    val got = cases.map { case (xs, bits) =>
+      spark.range(1).select(Layout.zorderKey(xs.map(lit(_)), bits)).head.getLong(0)
+    }
+    cases.zip(got).foreach { case ((xs, bits), z) =>
+      assert(z === ref(xs, bits), s"interleave mismatch for $xs@$bits")
+      // holding other dims fixed, bumping one dim never decreases the key
+      // (each dimension's bits sit at fixed positions)
+      xs.indices.foreach { j =>
+        if (xs(j) + 1 < (1L << bits)) {
+          val bumped = xs.updated(j, xs(j) + 1)
+          assert(ref(bumped, bits) > z, s"monotonicity broke bumping dim $j of $xs")
+        }
+      }
+    }
+  }
+
+  test("property: unigram encode is an exact cover for arbitrary word corpora") {
+    import graft.text.Unigram
+    val word = for {
+      len <- Gen.choose(1, 10)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c', 'd', 'z'))
+    } yield cs.mkString
+    val gen = for {
+      n <- Gen.choose(3, 25)
+      ws <- Gen.listOfN(n, word)
+    } yield ws
+    samples(gen, 3).foreach { ws =>
+      val docs = ws.grouped(5).map(_.mkString(" ")).toSeq.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val pieces = Unigram.train(docs, "text", vocabSize = 16)
+      val audit = Unigram.encodeAudit(
+        Unigram.encode(docs, "text", pieces), "doc_id", "text")
+      assert(audit.filter(!$"roundtrip_ok" || !$"count_sane").count() === 0L,
+        s"invariants broke on $ws")
+      // piece ids are dense 0..n with unk at 0
+      val ids = pieces.select("piece_id").collect().map(_.getInt(0)).sorted
+      assert(ids.toSeq === (0 until ids.length))
+    }
+  }
 }
