@@ -405,30 +405,54 @@ object Production {
     // tokenizer): `train` runs the one corpus-sized word-count pass and
     // persists the ranked merge table into the models zone; `encode` loads
     // that table (KBs) and tokenizes as a pure scan.
+    // Fold one document batch's exact word counts into the state dir —
+    // the tokenizer's corpus statistic maintained incrementally
+    // (replay-safe via batch_id); `train` with `from_state: true` then
+    // retrains with ZERO corpus scans.
+    Jobs.register("tokenizer", "word-count-fold") { (ctx, params) =>
+      val s = ctx.spark
+      val textCol = params.getOrElse("text_col", "text").toString
+      val batch = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
+      graft.dp.IncrementalAgg.foldStateDir(
+        s, ctx.dataPath("models.word_counts"),
+        graft.text.Bpe.wordCountState(batch, textCol),
+        "word",
+        batchId = params.getOrElse("batch_id", Long.MinValue.toString).toString.toLong,
+        merge = graft.text.Bpe.mergeWordCounts)
+    }
+
     // `algo: bpe` (default) persists merges + vocab; `algo: unigram`
     // persists the EM-trained piece table (SentencePiece shape) instead —
-    // either way one corpus-sized word-count pass, driver-side loop
+    // either way one corpus-sized word-count pass (or zero, with
+    // `from_state: true` against the maintained word-count state),
+    // driver-side loop
     Jobs.register("tokenizer", "train") { (ctx, params) =>
       val s = ctx.spark
       val textCol = params.getOrElse("text_col", "text").toString
-      val docs = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
+      val maxWords = params.getOrElse("max_words", "50000").toString.toInt
+      val fromState = params.getOrElse("from_state", "false").toString.toBoolean
+      def counts: Seq[(String, Long)] =
+        if (fromState)
+          graft.text.Bpe.countsFromState(s, ctx.dataPath("models.word_counts"), maxWords)
+        else graft.text.Bpe.cappedWordCounts(
+          Tables.readData(s, Seq(ctx.dataPath("raw.documents"))), textCol, maxWords)
       params.getOrElse("algo", "bpe").toString match {
         case "unigram" =>
-          save(ctx, graft.text.Unigram.train(
-              docs, textCol,
-              vocabSize = params.getOrElse("vocab_size", "4096").toString.toInt,
-              maxWords = params.getOrElse("max_words", "50000").toString.toInt),
+          save(ctx, graft.text.Unigram.trainFromCounts(
+              s, counts,
+              vocabSize = params.getOrElse("vocab_size", "4096").toString.toInt),
             ctx.dataPath("models.unigram_pieces"))
         case "bpe" =>
-          // one corpus scan yields BOTH artifacts: merges and the
+          // one counts table yields BOTH artifacts: merges and the
           // token->id table a trainer consumes, persisted side by side
-          val (merges, vocabIds) = graft.text.Bpe.trainArtifacts(
-            docs, textCol,
+          val c = counts
+          val merges = graft.text.Bpe.trainFromCounts(
+            s, c,
             numMerges = params.getOrElse("num_merges", "200").toString.toInt,
-            maxWords = params.getOrElse("max_words", "50000").toString.toInt,
             minPairCount = params.getOrElse("min_pair_count", "2").toString.toLong)
           save(ctx, merges, ctx.dataPath("models.bpe_merges"))
-          save(ctx, vocabIds, ctx.dataPath("models.bpe_vocab"))
+          save(ctx, graft.text.Bpe.vocabWithIdsFromCounts(s, c, merges),
+            ctx.dataPath("models.bpe_vocab"))
         case other =>
           throw new IllegalArgumentException(
             s"tokenizer/train: unknown algo '$other' (bpe | unigram)")

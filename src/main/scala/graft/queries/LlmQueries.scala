@@ -213,6 +213,17 @@ object LlmQueries {
         .encodeAudit(graft.text.Bpe.encode(docs, "text", merges), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // --- mergeable word-count state: the tokenizer's corpus statistic,
+    // built as two folded halves — the oracle recomputes exact counts
+    // from all rows, so the hash match proves merge == recompute
+    "word_count_state" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.text.Bpe.mergeWordCounts(
+          graft.text.Bpe.wordCountState(docs.filter(col("doc_id") % 2 === 0), "text"),
+          graft.text.Bpe.wordCountState(docs.filter(col("doc_id") % 2 =!= 0), "text"))
+        .orderBy(col("n").desc, col("word").asc)
+        .limit(100)
+    },
     // --- unigram-LM tokenizer (SentencePiece shape): EM-trained piece
     // probabilities, Viterbi encode. Same audit contract as BPE — exact
     // word counts both engines derive, plus invariant flags (Viterbi
@@ -1594,6 +1605,12 @@ object LlmQueries {
         |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
         |  TRUE AS roundtrip_ok, TRUE AS count_sane
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // word-count state: exact counts both engines derive independently
+    "word_count_state" ->
+      """SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT unnest(string_split_regex(text, '\s+')) AS word FROM documents)
+        |WHERE word <> ''
+        |GROUP BY word ORDER BY n DESC, word LIMIT 100""".stripMargin,
     // unigram-LM audit: identical contract to bpe_encode_audit — exact
     // word counts, invariant flags asserted as literal TRUE
     "unigram_encode_audit" ->

@@ -249,6 +249,59 @@ object Streaming {
       }
       .start()
 
+  /** Continuously maintain Count-Min FREQUENCY state from a stream —
+    * same fold/swap/replay contract as [[maintainAggState]], with the
+    * sparse CMS counter table as the state
+    * ([[graft.dp.IncrementalAgg.cmsState]]): each micro-batch compacts
+    * to distinct-item counts, hashes into ≤ depth·width counters, and
+    * folds by union+sum — item frequencies ("how often has url/user/
+    * token x appeared, ever") stay current per micro-batch in bounded
+    * space. Read with [[graft.dp.IncrementalAgg.cmsEstimate]]. */
+  def maintainCmsState(
+      events: DataFrame,
+      itemCol: String,
+      statePath: String,
+      checkpoint: String,
+      width: Int = 1024,
+      depth: Int = 4): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.dp.IncrementalAgg.foldStateDir(
+          batch.sparkSession,
+          statePath,
+          graft.dp.IncrementalAgg.cmsState(batch, itemCol, width, depth),
+          itemCol, // unused by the CMS merge (counters carry no key column)
+          batchId,
+          merge = (a, b, _) => graft.dp.IncrementalAgg.cmsMerge(a, b))
+      }
+      .start()
+
+  /** Continuously maintain the tokenizer's WORD-COUNT state from a
+    * document stream — the corpus statistic [[graft.text.Bpe]] and
+    * [[graft.text.Unigram]] train from. Same fold/swap/replay contract;
+    * the state is the exact (word, n) table, so
+    * `Bpe.trainArtifactsFromState` retrains the tokenizer at any moment
+    * with zero corpus scans — the steady-state 100 TB shape where the
+    * corpus is a stream and full-history rescans never happen. */
+  def maintainWordCounts(
+      docs: DataFrame,
+      textCol: String,
+      statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.dp.IncrementalAgg.foldStateDir(
+          batch.sparkSession,
+          statePath,
+          graft.text.Bpe.wordCountState(batch, textCol),
+          "word",
+          batchId,
+          merge = graft.text.Bpe.mergeWordCounts)
+      }
+      .start()
+
   /** Continuously maintain per-key QUANTILE state from a stream — same
     * fold/swap/replay contract as [[maintainAggState]], with GK quantile
     * summaries as the state ([[graft.dp.QuantileState]]): each micro-batch

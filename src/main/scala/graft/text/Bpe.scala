@@ -79,6 +79,55 @@ object Bpe {
       .toSeq
   }
 
+  /** One batch's exact word-count state: (word, n) — the tokenizer's
+    * corpus statistic as a MERGEABLE state table (the same family as
+    * [[graft.dp.IncrementalAgg.aggState]]). Fold batches with
+    * [[mergeWordCounts]] and the tokenizer trains from the maintained
+    * state with ZERO further corpus scans ([[trainArtifactsFromState]]) —
+    * the steady-state shape at 100 TB, where re-scanning history per
+    * retrain is off the table. Uncapped on purpose: the state is the
+    * corpus's word distribution (bounded by vocabulary size, which Zipf
+    * keeps far below token count); the frequency cap applies at TRAIN
+    * time, so a once-rare word that becomes frequent enters the capped
+    * table without any recount. */
+  def wordCountState(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(wordsOf(textCol)).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Fold two word-count states: union + sum per word. Associative and
+    * commutative — daily folds equal a from-scratch count (the
+    * `word_count_state` oracle pins it). Signature matches
+    * [[graft.dp.IncrementalAgg.foldStateDir]]'s merge hook. */
+  def mergeWordCounts(a: DataFrame, b: DataFrame, keyCol: String = "word"): DataFrame =
+    a.unionByName(b).groupBy(col(keyCol)).agg(sum(col("n")).as("n"))
+
+  /** The capped (word, count) table from a maintained state directory —
+    * [[cappedWordCounts]] without touching any raw text. */
+  def countsFromState(
+      spark: SparkSession,
+      statePath: String,
+      maxWords: Int = 50000): Seq[(String, Long)] =
+    spark.read.parquet(statePath)
+      .orderBy(col("n").desc, col("word").asc)
+      .limit(maxWords)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .toSeq
+
+  /** [[trainArtifacts]] from a maintained word-count state directory:
+    * merges + token-id vocabulary with zero corpus scans. */
+  def trainArtifactsFromState(
+      spark: SparkSession,
+      statePath: String,
+      numMerges: Int,
+      maxWords: Int = 50000,
+      minPairCount: Long = 2L): (DataFrame, DataFrame) = {
+    val counts = countsFromState(spark, statePath, maxWords)
+    val merges = trainFromCounts(spark, counts, numMerges, minPairCount)
+    (merges, vocabWithIdsFromCounts(spark, counts, merges))
+  }
+
   /** Merge table AND token-id vocabulary from ONE corpus scan — the
     * word-count pass feeds both the driver merge loop and the charset, so
     * the full tokenizer-training artifact set costs exactly one pass over

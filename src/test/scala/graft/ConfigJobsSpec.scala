@@ -359,9 +359,11 @@ class ConfigJobsSpec extends AnyFunSuite {
       "job_catalog" -> Map("jobs" -> List(
         Map("name" -> "tokenizer", "fail_fast" -> true, "stages" -> List(
           Map("name" -> "fit-serve", "tasks" -> List(
+            Map("name" -> "word-count-fold",
+              "params" -> Map("batch_id" -> batchId.toString)),
             Map("name" -> "train",
               "params" -> Map("algo" -> "unigram", "vocab_size" -> "256",
-                "max_words" -> "1000")),
+                "max_words" -> "1000", "from_state" -> "true")),
             Map("name" -> "encode",
               "params" -> Map("algo" -> "unigram", "ids" -> "true")))))),
         Map("name" -> "metric-profile", "stages" -> List(
@@ -386,6 +388,7 @@ class ConfigJobsSpec extends AnyFunSuite {
           "layout_input" -> s"$work/metrics"),
         "models" -> Map(
           "unigram_pieces" -> s"$work/pieces",
+          "word_counts" -> s"$work/word_counts",
           "cms_state" -> s"$work/cms_state",
           "scd2_dim" -> s"$work/scd2_dim"),
         "processed" -> Map(
@@ -397,6 +400,9 @@ class ConfigJobsSpec extends AnyFunSuite {
     // unigram tokenizer via catalog: pieces persisted, tokenized zone
     // carries the tokenizer-agnostic token_ids/n_tokens contract
     assert(graft.pipeline.Jobs.run(ctx1, "tokenizer").isEmpty)
+    // the fold materialized the word-count state and train consumed it
+    // (from_state: true) — the tokenizer trained with zero corpus scans
+    assert(spark.read.parquet(s"$work/word_counts").count() > 0)
     val pieces = spark.read.parquet(s"$work/pieces")
     assert(pieces.filter(col("piece") === graft.text.Bpe.UnkToken).count() === 1)
     val tokenized = spark.read.parquet(s"$work/tokenized")

@@ -215,6 +215,61 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(statePath).selectExpr("sum(n)").as[Long].head() == 5L)
   }
 
+  test("maintainCmsState folds counters; estimates never undercount; replay is a no-op") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_stream").toString
+    val statePath = s"$dir/state"
+    val input = MemoryStream[Event]
+    val query = Streaming.maintainCmsState(
+      input.toDF(), "event_type", statePath, s"$dir/ckpt", width = 32, depth = 3)
+    input.addData(Seq.fill(5)(Event(1, "click", ts(0), 1.0)) :+ Event(2, "view", ts(1), 1.0): _*)
+    query.processAllAvailable()
+    input.addData(Seq.fill(3)(Event(3, "click", ts(2), 1.0)): _*)
+    query.processAllAvailable()
+    query.stop()
+    val est = graft.dp.IncrementalAgg.cmsEstimate(
+        spark.read.parquet(statePath), Seq("click", "view").toDF("event_type"),
+        "event_type")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est("click") >= 8L && est("view") >= 1L,
+      s"streamed CMS undercounted: $est")
+    // replayed batch id is a no-op
+    val replay = graft.dp.IncrementalAgg.cmsState(
+      Seq.fill(100)("click").toDF("event_type"), "event_type", width = 32, depth = 3)
+    graft.dp.IncrementalAgg.foldStateDir(spark, statePath, replay, "event_type",
+      batchId = 0L, merge = (a, b, _) => graft.dp.IncrementalAgg.cmsMerge(a, b))
+    assert(spark.read.parquet(statePath).selectExpr("max(cnt)").as[Long].head() <= 9L)
+  }
+
+  test("maintainWordCounts: tokenizer retrains from streamed state with zero corpus scans") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_wc_stream").toString
+    val statePath = s"$dir/state"
+    val input = MemoryStream[(Long, String)]
+    val query = Streaming.maintainWordCounts(
+      input.toDF().toDF("doc_id", "text"), "text", statePath, s"$dir/ckpt")
+    input.addData((1L, "ab ab abc"), (2L, "ab xyz"))
+    query.processAllAvailable()
+    input.addData((3L, "ab abc abc"))
+    query.processAllAvailable()
+    query.stop()
+    val state = spark.read.parquet(statePath)
+      .as[(String, Long)].collect().toMap
+    assert(state === Map("ab" -> 4L, "abc" -> 3L, "xyz" -> 1L))
+    // the tokenizer trained from the state equals one trained from the
+    // equivalent batch corpus — zero corpus scans in steady state
+    val (mergesS, vocabS) = graft.text.Bpe.trainArtifactsFromState(
+      spark, statePath, numMerges = 10)
+    val corpus = Seq("ab ab abc", "ab xyz", "ab abc abc").toDF("text")
+    val (mergesC, vocabC) = graft.text.Bpe.trainArtifacts(corpus, "text", 10)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy(d.columns.map(col): _*).collect().map(_.toString).toSeq
+    assert(rows(mergesS) === rows(mergesC))
+    assert(rows(vocabS) === rows(vocabC))
+  }
+
   test("maintainQuantileState folds GK sketches; estimates bound the union") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
