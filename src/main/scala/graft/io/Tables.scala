@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, lag, lead, lit, max, shiftleft, struct, when}
+import org.apache.spark.sql.functions.{col, element_at, lag, lead, lit, max, shiftleft, struct, typedLit, when}
 
 /** Format-dispatched readers/writers.
   *
@@ -320,6 +320,52 @@ object Tables {
           col(tsCol).as("valid_from"),
           col("valid_to"),
           col("valid_to").isNull.as("is_current")): _*)
+  }
+
+  /** Point-in-time view of an SCD2 dimension: the attribute image of
+    * every key alive at instant `at` (valid_from <= at < valid_to, open
+    * rows unbounded). Pure filter + projection — pushed into the scan,
+    * so "what did the table look like last Tuesday" costs a pruned read
+    * of the history table, not a restore. */
+  def snapshotAt(dim: DataFrame, at: Column): DataFrame =
+    dim.filter(col("valid_from") <= at &&
+        (col("valid_to").isNull || at < col("valid_to")))
+      .drop("valid_from", "valid_to", "is_current")
+
+  /** Build an SCD2 history from STACKED SNAPSHOTS — the common real input
+    * (a daily full extract per `tsCol`) rather than an explicit change
+    * log. A stacked snapshot table IS a version log for keys that stay
+    * present ([[buildScd2]]'s no-op collapse absorbs the unchanged
+    * re-observations), but DELETIONS are only visible as absence: a key
+    * missing from a later snapshot must have its open interval CLOSED at
+    * the first snapshot that no longer contains it. This wrapper derives
+    * the snapshot timeline (one distinct-ts collect — bounded by the
+    * number of snapshots), finds each key's last appearance, and closes
+    * the open rows of keys that vanished before the latest snapshot.
+    * One extra groupBy + broadcast-sized timeline map over
+    * [[buildScd2]]'s cost. */
+  def scd2FromSnapshots(
+      snaps: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String): DataFrame = {
+    val dim = buildScd2(snaps, keyCols, tsCol)
+    val tsSeq = snaps.select(col(tsCol).cast("long")).distinct()
+      .orderBy(col(tsCol)).collect().map(_.getLong(0)).toSeq
+    require(tsSeq.nonEmpty, "scd2FromSnapshots needs at least one snapshot")
+    val latest = tsSeq.last
+    val nextTs = typedLit(tsSeq.zip(tsSeq.tail).toMap)
+    val lastSeen = snaps.groupBy(keyCols.map(col): _*)
+      .agg(max(col(tsCol).cast("long")).as("__last"))
+    val closedTo = when(
+      col("is_current") && col("__last") < lit(latest),
+      element_at(nextTs, col("__last"))).otherwise(col("valid_to"))
+    val attrCols = dim.columns.toSeq
+      .filterNot(c => Seq("valid_from", "valid_to", "is_current").contains(c))
+    dim.join(lastSeen, keyCols)
+      .select(attrCols.map(col) ++ Seq(
+        col("valid_from"),
+        closedTo.as("valid_to"),
+        closedTo.isNull.as("is_current")): _*)
   }
 
   /** Incrementally fold a change batch into an existing SCD2 dimension

@@ -57,12 +57,32 @@ object RelationalQueries {
         col("o_totalprice") + 200))
   }
 
-  /** DuckDB rebuild of [[scd2Log]] + the full SCD2 derivation: compaction
-    * by (key, ts) with the same attribute-descending tie-break as
-    * buildScd2's struct-max, no-op collapse via lag, intervals via lead.
-    * Shared by scd2_build and scd2_apply — the latter's incremental
-    * result must hash-match this from-scratch rebuild. */
-  private val scd2OracleSql: String =
+  /** The SCD2 derivation CTEs over a `log` CTE (key, ts, attrs):
+    * compaction by (key, ts) with the same attribute-descending
+    * tie-break as buildScd2's struct-max, no-op collapse via lag,
+    * intervals via lead into a final `scd` CTE. */
+  private val scd2DeriveSql: String =
+    """comp AS (
+      |  SELECT o_orderkey, ts, o_custkey, o_totalprice FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY o_orderkey, ts
+      |      ORDER BY o_custkey DESC, o_totalprice DESC) AS rn FROM log)
+      |  WHERE rn = 1),
+      |surv AS (
+      |  SELECT o_orderkey, ts, o_custkey, o_totalprice FROM (
+      |    SELECT *, lag(o_custkey) OVER w AS pc, lag(o_totalprice) OVER w AS pp
+      |    FROM comp WINDOW w AS (PARTITION BY o_orderkey ORDER BY ts))
+      |  WHERE pc IS NULL OR NOT (pc = o_custkey AND pp = o_totalprice)),
+      |scd AS (
+      |  SELECT o_orderkey, o_custkey, o_totalprice, ts AS valid_from,
+      |    lead(ts) OVER w AS valid_to,
+      |    (lead(ts) OVER w IS NULL) AS is_current
+      |  FROM surv WINDOW w AS (PARTITION BY o_orderkey ORDER BY ts))
+      |""".stripMargin
+
+  /** DuckDB rebuild of [[scd2Log]]: log CTEs + derivation. Shared by
+    * scd2_build and scd2_apply — the latter's incremental result must
+    * hash-match this from-scratch rebuild. */
+  private val scd2LogSql: String =
     """WITH base AS (
       |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
       |  WHERE o_orderkey < 2000),
@@ -81,21 +101,13 @@ object RelationalQueries {
       |  UNION ALL
       |  SELECT o_orderkey, 30, o_custkey, o_totalprice + 200
       |  FROM base WHERE o_orderkey % 7 = 0),
-      |comp AS (
-      |  SELECT o_orderkey, ts, o_custkey, o_totalprice FROM (
-      |    SELECT *, row_number() OVER (PARTITION BY o_orderkey, ts
-      |      ORDER BY o_custkey DESC, o_totalprice DESC) AS rn FROM log)
-      |  WHERE rn = 1),
-      |surv AS (
-      |  SELECT o_orderkey, ts, o_custkey, o_totalprice FROM (
-      |    SELECT *, lag(o_custkey) OVER w AS pc, lag(o_totalprice) OVER w AS pp
-      |    FROM comp WINDOW w AS (PARTITION BY o_orderkey ORDER BY ts))
-      |  WHERE pc IS NULL OR NOT (pc = o_custkey AND pp = o_totalprice))
-      |SELECT o_orderkey, o_custkey, o_totalprice, ts AS valid_from,
-      |  lead(ts) OVER w AS valid_to,
-      |  (lead(ts) OVER w IS NULL) AS is_current
-      |FROM surv WINDOW w AS (PARTITION BY o_orderkey ORDER BY ts)
-      |ORDER BY o_orderkey, valid_from""".stripMargin
+      |""".stripMargin
+
+  private val scd2OracleSql: String =
+    scd2LogSql + scd2DeriveSql +
+      """SELECT o_orderkey, o_custkey, o_totalprice, valid_from, valid_to,
+        |  is_current
+        |FROM scd ORDER BY o_orderkey, valid_from""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_read" -> (textRoundTrip(_, _, "csv")),
@@ -316,6 +328,35 @@ object RelationalQueries {
         .buildScd2(log.filter(col("ts") <= 10), Seq("o_orderkey"), "ts")
       graft.io.Tables
         .applyScd2(dim, log.filter(col("ts") > 10), Seq("o_orderkey"), "ts")
+        .orderBy(col("o_orderkey"), col("valid_from"))
+    },
+    // --- point-in-time view of the SCD2 history: what every key looked
+    // like at t=15 (one filter over the intervals — a pruned read, not a
+    // restore)
+    "scd2_snapshot_at" -> { (s, dir) =>
+      graft.io.Tables.snapshotAt(
+          graft.io.Tables.buildScd2(scd2Log(s, dir), Seq("o_orderkey"), "ts"),
+          lit(15L))
+        .orderBy(col("o_orderkey"))
+    },
+    // --- SCD2 from stacked snapshots: unchanged re-observations collapse,
+    // and keys that VANISH from a later snapshot get their open interval
+    // closed at the first snapshot missing them (%11 dies at 10, %13 at
+    // 20) — the deletion semantics a raw version log cannot express
+    "scd2_from_snapshots" -> { (s, dir) =>
+      val base = t(s, dir, "orders").filter(col("o_orderkey") < 1500)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val price = col("o_totalprice") +
+        when(col("o_orderkey") % 3 === 0, 5.0).otherwise(0.0)
+      def snap(ts: Long, f: DataFrame => DataFrame, p: Column): DataFrame =
+        f(base).select(col("o_orderkey"), lit(ts).as("ts"), col("o_custkey"),
+          p.as("o_totalprice"))
+      val stacked = snap(0L, identity, col("o_totalprice"))
+        .unionByName(snap(10L, _.filter(col("o_orderkey") % 11 =!= 0), price))
+        .unionByName(snap(20L,
+          _.filter(col("o_orderkey") % 11 =!= 0 && col("o_orderkey") % 13 =!= 0),
+          price))
+      graft.io.Tables.scd2FromSnapshots(stacked, Seq("o_orderkey"), "ts")
         .orderBy(col("o_orderkey"), col("valid_from"))
     },
     // --- Z-order (Morton) key: the multi-dimensional clustering key
@@ -592,6 +633,42 @@ object RelationalQueries {
     // incremental == from-scratch: the apply query's oracle IS the full
     // rebuild — the strongest equivalence the hash compare can state
     "scd2_apply" -> scd2OracleSql,
+    "scd2_snapshot_at" ->
+      (scd2LogSql + scd2DeriveSql +
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM scd
+          |WHERE valid_from <= 15 AND (valid_to IS NULL OR 15 < valid_to)
+          |ORDER BY o_orderkey""".stripMargin),
+    "scd2_from_snapshots" ->
+      ("""WITH base AS (
+         |  SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         |  WHERE o_orderkey < 1500),
+         |log AS (
+         |  SELECT o_orderkey, CAST(0 AS BIGINT) AS ts, o_custkey, o_totalprice
+         |  FROM base
+         |  UNION ALL
+         |  SELECT o_orderkey, 10, o_custkey,
+         |    o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 5.0 ELSE 0.0 END
+         |  FROM base WHERE o_orderkey % 11 <> 0
+         |  UNION ALL
+         |  SELECT o_orderkey, 20, o_custkey,
+         |    o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 5.0 ELSE 0.0 END
+         |  FROM base WHERE o_orderkey % 11 <> 0 AND o_orderkey % 13 <> 0),
+         |""".stripMargin + scd2DeriveSql +
+        """,tl AS (
+          |  SELECT ts, lead(ts) OVER (ORDER BY ts) AS nxt
+          |  FROM (SELECT DISTINCT ts FROM log)),
+          |last_seen AS (
+          |  SELECT o_orderkey, max(ts) AS last_ts FROM log GROUP BY 1),
+          |latest AS (SELECT max(ts) AS m FROM log)
+          |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice, s.valid_from,
+          |  CASE WHEN s.valid_to IS NULL AND ls.last_ts < (SELECT m FROM latest)
+          |       THEN (SELECT nxt FROM tl WHERE tl.ts = ls.last_ts)
+          |       ELSE s.valid_to END AS valid_to,
+          |  (CASE WHEN s.valid_to IS NULL AND ls.last_ts < (SELECT m FROM latest)
+          |        THEN (SELECT nxt FROM tl WHERE tl.ts = ls.last_ts)
+          |        ELSE s.valid_to END IS NULL) AS is_current
+          |FROM scd s JOIN last_seen ls USING (o_orderkey)
+          |ORDER BY o_orderkey, valid_from""".stripMargin),
     "zorder_key" -> {
       val z = graft.io.Layout.zorderKeySql(
         Seq("(o_custkey % 256)", "(o_orderkey % 256)"), 8)

@@ -1293,6 +1293,34 @@ class OperatorsSpec extends SparkSpec {
     assert(e.getMessage.contains("out-of-order"))
   }
 
+  test("scd2FromSnapshots closes vanished keys; snapshotAt reads a point in time") {
+    // key 1: present at 0 (a) and 10 (b), gone by 20 -> closed at 20
+    // key 2: unchanged in all three snapshots -> one open interval from 0
+    // key 3: first appears at 20 -> open from 20
+    val snaps = Seq(
+      (1L, 0L, "a"), (1L, 10L, "b"),
+      (2L, 0L, "z"), (2L, 10L, "z"), (2L, 20L, "z"),
+      (3L, 20L, "n")).toDF("k", "ts", "v")
+    val dim = graft.io.Tables.scd2FromSnapshots(snaps, Seq("k"), "ts")
+    val rows = dim.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
+      r.getAs[Long]("valid_from"),
+      Option(r.getAs[java.lang.Long]("valid_to")).map(_.toLong),
+      r.getAs[Boolean]("is_current"))).toSet
+    assert(rows === Set(
+      (1L, "a", 0L, Some(10L), false),
+      (1L, "b", 10L, Some(20L), false), // deletion tombstone at 20
+      (2L, "z", 0L, None, true),        // no-op re-observations collapsed
+      (3L, "n", 20L, None, true)))
+    // point-in-time: at t=15 key 1 is 'b', key 2 'z', key 3 not yet born
+    val at15 = graft.io.Tables.snapshotAt(dim, lit(15L))
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(at15 === Map(1L -> "b", 2L -> "z"))
+    // at t=25 key 1 is deleted
+    val at25 = graft.io.Tables.snapshotAt(dim, lit(25L))
+      .select("k", "v").as[(Long, String)].collect().toMap
+    assert(at25 === Map(2L -> "z", 3L -> "n"))
+  }
+
   test("zorderKey: matches a reference interleave; locality concentrates box queries") {
     import graft.io.Layout
     // reference bit-interleave in plain Scala
