@@ -420,6 +420,116 @@ object Packing {
           least(col("__eff"), lit(ctxTokens.toLong))).as("dropped"))
   }
 
+  /** Materialize the interleaved layout — the trainer artifact for
+    * [[interleavedPlan]]: one row per (shard, bin_id) with the bin's
+    * `token_ids` in slot order, where every placed asset's patch span is
+    * filled with `imageTokenId` (the placeholder id the model maps to
+    * patch embeddings) and `media_spans` carries (start, patch_tokens,
+    * asset_id, doc) so the loader knows which spans to overwrite with
+    * real features. Text token at in-doc position p lands at slot
+    * `offset + p + Σ patches of assets at position <= p` (an asset AT p
+    * sits before the text token at p — same arithmetic as the plan).
+    *
+    * Truncated docs keep their in-window prefix; an asset whose span
+    * does not fit is dropped whole (matching the plan's `dropped` flag),
+    * which can leave tail slots inside the doc's capped window with no
+    * content — those fill with `padTokenId`, so the array stays
+    * SLOT-ALIGNED with the spans (a dense collect would silently shift
+    * every later span). Assembly uses the slot->token map + sequence
+    * fill, bounded per bin by ctxTokens.
+    *
+    * Scale shape: the plan's fold + one posexplode of member docs'
+    * tokens + a (shard, bin)-bounded aggregation — no global sort; the
+    * per-token shift is an O(assets-of-doc) expression over the doc's
+    * tiny broadcast-joined asset list. */
+  def materializeInterleaved(
+      docs: DataFrame,
+      assets: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      assetIdCol: String,
+      positionCol: String,
+      patchTokensCol: String,
+      ctxTokens: Int,
+      nShards: Int,
+      imageTokenId: Int,
+      padTokenId: Int = 0): DataFrame = {
+    val withN = docs.select(col(idCol), col(tokensCol).as("__toks"),
+      size(col(tokensCol)).cast("long").as("n_tokens"))
+    val assetPlan = interleavedPlan(withN.select(col(idCol), col("n_tokens")),
+      assets, idCol, "n_tokens", assetIdCol, positionCol, patchTokensCol,
+      ctxTokens, nShards)
+    // per-doc sorted (clamped position, patch) list for the text shift;
+    // the left join + null-skipping collect_list gives asset-less docs a
+    // correctly-TYPED empty list (coalesce with a bare array() would not)
+    val aPrepped = assets
+      .join(withN.select(col(idCol), col("n_tokens").as("__nt")), Seq(idCol))
+      .select(col(idCol),
+        least(greatest(col(positionCol).cast("long"), lit(0L)), col("__nt")).as("__pos"),
+        col(patchTokensCol).cast("long").as("__patch"))
+    val perDocAssets = withN.select(col(idCol))
+      .join(aPrepped, Seq(idCol), "left")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(when(col("__pos").isNotNull,
+        struct(col("__pos").as("pos"), col("__patch").as("patch"))))).as("__alist"))
+    val eff = withN.join(perDocAssets, Seq(idCol))
+      .select(col(idCol), col("__toks"),
+        (col("n_tokens") + expr("aggregate(__alist, 0L, (a, x) -> a + x.patch)"))
+          .as("n_tokens"),
+        col("__alist"))
+    val plan = binPackNoSplit(
+        eff.select(col(idCol), col("n_tokens")), idCol, "n_tokens",
+        ctxTokens, nShards)
+      .filter(col("bin_id").isNotNull)
+    // text slots: offset + p + Σ patches at position <= p, cut at ctx
+    val textSlots = plan
+      .join(eff.select(col(idCol), col("__toks"), col("__alist")), Seq(idCol))
+      .select(col("shard"), col("bin_id"), col("offset_in_bin"), col("__alist"),
+        posexplode(col("__toks")).as(Seq("__p", "__tok")))
+      .withColumn("__shift",
+        expr("aggregate(filter(__alist, a -> a.pos <= __p), 0L, (a, x) -> a + x.patch)"))
+      .select(col("shard"), col("bin_id"),
+        (col("offset_in_bin") + col("__p") + col("__shift")).as("__slot"),
+        col("__tok").cast("int").as("__id"))
+      .filter(col("__slot") < ctxTokens)
+    // media slots: every placed (non-dropped) asset fills its span
+    val mediaSlots = assetPlan.filter(!col("dropped"))
+      .select(col("shard"), col("bin_id"),
+        explode(expr("sequence(start, start + patch_tokens - 1)")).as("__slot"),
+        lit(imageTokenId).as("__id"))
+    // doc + media span metadata per bin
+    val docSpans = plan.groupBy(col("shard"), col("bin_id"))
+      .agg(sort_array(collect_list(struct(
+        col("offset_in_bin").cast("int").as("start"),
+        least(col("n_tokens"), lit(ctxTokens.toLong)).cast("int").as("len"),
+        col(idCol).as("doc")))).as("doc_spans"))
+    // media-less bins need a correctly-typed empty list — same left join
+    // + null-skipping collect_list idiom as the per-doc asset list
+    val mediaSpans = plan.select(col("shard"), col("bin_id")).distinct()
+      .join(assetPlan.filter(!col("dropped")), Seq("shard", "bin_id"), "left")
+      .groupBy(col("shard"), col("bin_id"))
+      .agg(sort_array(collect_list(when(col("asset_id").isNotNull, struct(
+        col("start").cast("int").as("start"),
+        col("patch_tokens").cast("int").as("patch_tokens"),
+        col("asset_id"), col("doc"))))).as("media_spans"))
+    // assemble slot-aligned arrays: map + sequence fill pads the holes a
+    // dropped asset's tail leaves inside a truncated doc's window
+    textSlots.unionByName(mediaSlots)
+      .groupBy(col("shard"), col("bin_id"))
+      .agg(
+        map_from_entries(collect_list(struct(col("__slot"), col("__id"))))
+          .as("__m"),
+        (max(col("__slot")) + 1).as("__len"))
+      .select(col("shard"), col("bin_id"),
+        expr(s"transform(sequence(0L, __len - 1), " +
+          s"i -> coalesce(element_at(__m, i), $padTokenId))").as("token_ids"),
+        col("__len").cast("int").as("seq_len"))
+      .join(docSpans, Seq("shard", "bin_id"))
+      .join(mediaSpans, Seq("shard", "bin_id"))
+      .select(col("shard"), col("bin_id"), col("token_ids"), col("seq_len"),
+        col("doc_spans"), col("media_spans"))
+  }
+
   def epochShuffle(packed: DataFrame, epoch: Int): DataFrame = {
     require(epoch >= 0, s"epoch must be >= 0, got $epoch")
     val draw = md5(concat_ws(":",

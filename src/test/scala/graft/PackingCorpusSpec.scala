@@ -491,4 +491,36 @@ class PackingCorpusSpec extends SparkSpec {
       }
     }
   }
+
+  test("materializeInterleaved: image tokens fill patch slots, text shifts, dropped spans vanish") {
+    val IMG = 9999
+    val d = Seq(
+      (1L, (101 to 110).toArray), // + 7 patch slots -> eff 17
+      (2L, (201 to 205).toArray), // + 10 -> eff 15, opens bin 1
+      (3L, (301 to 330).toArray)  // eff 35 >= 20 -> own bin, c1 dropped
+    ).toDF("doc_id", "token_ids")
+    val a = Seq(
+      (1L, 11L, 2L, 4L), (1L, 12L, 2L, 3L),
+      (2L, 21L, 99L, 10L), (3L, 31L, 28L, 5L)
+    ).toDF("doc_id", "asset_id", "position", "patch_tokens")
+    val out = Packing.materializeInterleaved(d, a, "doc_id", "token_ids",
+        "asset_id", "position", "patch_tokens", ctxTokens = 20, nShards = 1,
+        imageTokenId = IMG)
+      .orderBy("bin_id").collect()
+    assert(out.length === 3)
+    def toks(i: Int) = out(i).getAs[scala.collection.Seq[Int]]("token_ids").toSeq
+    // bin 0 = doc 1: text[0,1], a1's 4 patches, a2's 3, text[2..9]
+    assert(toks(0) === Seq(101, 102) ++ Seq.fill(7)(IMG) ++ (103 to 110))
+    // bin 1 = doc 2: 5 text tokens then b1's 10 patches (pos clamped to 5)
+    assert(toks(1) === (201 to 205) ++ Seq.fill(10)(IMG))
+    // bin 2 = doc 3 truncated at ctx: first 20 text tokens, no media
+    assert(toks(2) === (301 to 320))
+    assert(out(2).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("media_spans").isEmpty)
+    // media spans align with the IMG runs
+    val spans0 = out(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("media_spans").toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    assert(spans0 === Seq((2, 4, 11L), (6, 3, 12L)))
+    spans0.foreach { case (st, len, _) =>
+      assert(toks(0).slice(st, st + len).forall(_ == IMG)) }
+  }
 }
