@@ -331,8 +331,12 @@ object Dedup {
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val idType = pairs.schema("id_a").dataType
     if (driverMaxEdges > 0 && (idType == LongType || idType == IntegerType)) {
-      val cap = math.min(driverMaxEdges + 1, Int.MaxValue - 1L).toInt
+      // min BEFORE the +1: driverMaxEdges near Long.MaxValue must clamp,
+      // not overflow to a cap of 0 (which would collect nothing and
+      // silently return an empty clustering)
+      val cap = (math.min(driverMaxEdges, Int.MaxValue - 2L) + 1).toInt
       val edges = pairs
+        .filter(col("id_a").isNotNull && col("id_b").isNotNull)
         .select(col("id_a").cast("long"), col("id_b").cast("long"))
         .limit(cap).collect()
       if (edges.length <= driverMaxEdges) {

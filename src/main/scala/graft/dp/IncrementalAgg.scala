@@ -156,7 +156,12 @@ object IncrementalAgg {
       width: Int = 1024,
       depth: Int = 4): DataFrame = {
     require(width > 0 && depth > 0, s"need width > 0 and depth > 0, got $width/$depth")
-    df.groupBy(col(itemCol))
+    // null items are excluded, not hashed: concat_ws silently drops a null
+    // operand, so a null item would hash to an arbitrary shared slot in
+    // the state while cmsEstimate groups it under the null key — silent
+    // miscounts either way; count nulls upstream if they matter
+    df.filter(col(itemCol).isNotNull)
+      .groupBy(col(itemCol))
       .agg(count(lit(1)).as("__cnt"))
       .select(col(itemCol), col("__cnt"),
         explode(sequence(lit(0), lit(depth - 1))).as("r"))
@@ -191,7 +196,7 @@ object IncrementalAgg {
   def cmsEstimate(state: DataFrame, items: DataFrame, itemCol: String): DataFrame = {
     val p = state.select(col("w"), col("d")).head()
     val (width, depth) = (p.getInt(0), p.getInt(1))
-    items.select(col(itemCol)).distinct()
+    items.select(col(itemCol)).filter(col(itemCol).isNotNull).distinct()
       .select(col(itemCol), explode(sequence(lit(0), lit(depth - 1))).as("r"))
       .select(col(itemCol), col("r"), cmsSlot(col(itemCol), col("r"), width).as("slot"))
       .join(broadcast(state.select(col("r"), col("slot"), col("cnt"))),

@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, element_at, lag, lead, lit, max, shiftleft, struct, typedLit, when}
+import org.apache.spark.sql.functions.{broadcast, col, dense_rank, lag, lead, lit, max, shiftleft, struct, when}
 
 /** Format-dispatched readers/writers.
   *
@@ -338,30 +338,49 @@ object Tables {
     * present ([[buildScd2]]'s no-op collapse absorbs the unchanged
     * re-observations), but DELETIONS are only visible as absence: a key
     * missing from a later snapshot must have its open interval CLOSED at
-    * the first snapshot that no longer contains it. This wrapper derives
-    * the snapshot timeline (one distinct-ts collect — bounded by the
-    * number of snapshots), finds each key's last appearance, and closes
-    * the open rows of keys that vanished before the latest snapshot.
-    * One extra groupBy + broadcast-sized timeline map over
-    * [[buildScd2]]'s cost. */
+    * the first snapshot that no longer contains it — including keys that
+    * vanish and later REAPPEAR, which get one interval per presence run
+    * (gaps-and-islands over the snapshot index), so [[snapshotAt]] never
+    * reports a key alive at an instant whose snapshot omitted it.
+    *
+    * The snapshot timeline is indexed with a sorted zipWithIndex over
+    * the (bounded) distinct instants — `tsCol` keeps its NATIVE type
+    * end to end (long, timestamp, date all work; no lossy casts).
+    * Cost over [[buildScd2]]: one broadcast timeline join, one
+    * dense_rank window per key (same partitioning the derivation
+    * already uses), and one per-run groupBy. */
   def scd2FromSnapshots(
       snaps: DataFrame,
       keyCols: Seq[String],
       tsCol: String): DataFrame = {
-    val dim = buildScd2(snaps, keyCols, tsCol)
-    val tsSeq = snaps.select(col(tsCol).cast("long")).distinct()
-      .orderBy(col(tsCol)).collect().map(_.getLong(0)).toSeq
-    require(tsSeq.nonEmpty, "scd2FromSnapshots needs at least one snapshot")
-    val latest = tsSeq.last
-    val nextTs = typedLit(tsSeq.zip(tsSeq.tail).toMap)
-    val lastSeen = snaps.groupBy(keyCols.map(col): _*)
-      .agg(max(col(tsCol).cast("long")).as("__last"))
-    val closedTo = when(
-      col("is_current") && col("__last") < lit(latest),
-      element_at(nextTs, col("__last"))).otherwise(col("valid_to"))
-    val attrCols = dim.columns.toSeq
-      .filterNot(c => Seq("valid_from", "valid_to", "is_current").contains(c))
-    dim.join(lastSeen, keyCols)
+    require(keyCols.nonEmpty, "scd2FromSnapshots needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    val spark = snaps.sparkSession
+    val tlSorted = snaps.select(col(tsCol)).distinct().orderBy(col(tsCol))
+    val timeline = spark.createDataFrame(
+      tlSorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      StructType(tlSorted.schema.fields :+ StructField("__idx", LongType, nullable = false)))
+    require(!timeline.head(1).isEmpty, "scd2FromSnapshots needs at least one snapshot")
+    // next instant per timeline slot, in tsCol's native type
+    val nextOf = timeline.select(
+      (col("__idx") - 1).as("__last_idx"), col(tsCol).as("__next_ts"))
+    // gaps-and-islands: consecutive presence indices share (idx - dense_rank)
+    val wk = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__idx"))
+    val withRun = snaps.join(broadcast(timeline), Seq(tsCol))
+      .withColumn("__run", col("__idx") - dense_rank().over(wk))
+    val dim = buildScd2(withRun.drop("__idx"), keyCols :+ "__run", tsCol)
+    val runLast = withRun.groupBy((keyCols :+ "__run").map(col): _*)
+      .agg(max(col("__idx")).as("__last_idx"))
+    val attrCols = dim.columns.toSeq.filterNot(c =>
+      Seq("__run", "valid_from", "valid_to", "is_current").contains(c))
+    // each run's open row closes at the snapshot after its last presence;
+    // the run containing the latest snapshot has no successor — stays open
+    val closedTo = when(col("is_current") && col("__next_ts").isNotNull,
+      col("__next_ts")).otherwise(col("valid_to"))
+    dim.join(runLast, keyCols :+ "__run")
+      .join(broadcast(nextOf), Seq("__last_idx"), "left")
       .select(attrCols.map(col) ++ Seq(
         col("valid_from"),
         closedTo.as("valid_to"),

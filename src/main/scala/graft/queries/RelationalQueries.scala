@@ -340,9 +340,11 @@ object RelationalQueries {
         .orderBy(col("o_orderkey"))
     },
     // --- SCD2 from stacked snapshots: unchanged re-observations collapse,
-    // and keys that VANISH from a later snapshot get their open interval
+    // keys that VANISH from a later snapshot get their open interval
     // closed at the first snapshot missing them (%11 dies at 10, %13 at
-    // 20) — the deletion semantics a raw version log cannot express
+    // 20), and keys that vanish THEN RETURN (%7: absent at 10, back at
+    // 20) get one interval per presence run — snapshotAt(15) must not
+    // report them alive even when their attributes never changed
     "scd2_from_snapshots" -> { (s, dir) =>
       val base = t(s, dir, "orders").filter(col("o_orderkey") < 1500)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -352,12 +354,14 @@ object RelationalQueries {
         f(base).select(col("o_orderkey"), lit(ts).as("ts"), col("o_custkey"),
           p.as("o_totalprice"))
       val stacked = snap(0L, identity, col("o_totalprice"))
-        .unionByName(snap(10L, _.filter(col("o_orderkey") % 11 =!= 0), price))
+        .unionByName(snap(10L,
+          _.filter(col("o_orderkey") % 11 =!= 0 && col("o_orderkey") % 7 =!= 0),
+          price))
         .unionByName(snap(20L,
           _.filter(col("o_orderkey") % 11 =!= 0 && col("o_orderkey") % 13 =!= 0),
           price))
       graft.io.Tables.scd2FromSnapshots(stacked, Seq("o_orderkey"), "ts")
-        .orderBy(col("o_orderkey"), col("valid_from"))
+        .orderBy(col("o_orderkey"), col("valid_from"), col("o_totalprice"))
     },
     // --- Z-order (Morton) key: the multi-dimensional clustering key
     // behind writeZOrdered — interleaved bits of two 8-bit dimensions,
@@ -648,27 +652,43 @@ object RelationalQueries {
          |  UNION ALL
          |  SELECT o_orderkey, 10, o_custkey,
          |    o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 5.0 ELSE 0.0 END
-         |  FROM base WHERE o_orderkey % 11 <> 0
+         |  FROM base WHERE o_orderkey % 11 <> 0 AND o_orderkey % 7 <> 0
          |  UNION ALL
          |  SELECT o_orderkey, 20, o_custkey,
          |    o_totalprice + CASE WHEN o_orderkey % 3 = 0 THEN 5.0 ELSE 0.0 END
          |  FROM base WHERE o_orderkey % 11 <> 0 AND o_orderkey % 13 <> 0),
-         |""".stripMargin + scd2DeriveSql +
-        """,tl AS (
-          |  SELECT ts, lead(ts) OVER (ORDER BY ts) AS nxt
-          |  FROM (SELECT DISTINCT ts FROM log)),
-          |last_seen AS (
-          |  SELECT o_orderkey, max(ts) AS last_ts FROM log GROUP BY 1),
-          |latest AS (SELECT max(ts) AS m FROM log)
-          |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice, s.valid_from,
-          |  CASE WHEN s.valid_to IS NULL AND ls.last_ts < (SELECT m FROM latest)
-          |       THEN (SELECT nxt FROM tl WHERE tl.ts = ls.last_ts)
-          |       ELSE s.valid_to END AS valid_to,
-          |  (CASE WHEN s.valid_to IS NULL AND ls.last_ts < (SELECT m FROM latest)
-          |        THEN (SELECT nxt FROM tl WHERE tl.ts = ls.last_ts)
-          |        ELSE s.valid_to END IS NULL) AS is_current
-          |FROM scd s JOIN last_seen ls USING (o_orderkey)
-          |ORDER BY o_orderkey, valid_from""".stripMargin),
+         |tl AS (
+         |  SELECT ts, row_number() OVER (ORDER BY ts) - 1 AS idx,
+         |    lead(ts) OVER (ORDER BY ts) AS nxt
+         |  FROM (SELECT DISTINCT ts FROM log)),
+         |runs AS (
+         |  SELECT l.*, tl.idx,
+         |    tl.idx - dense_rank() OVER (PARTITION BY o_orderkey ORDER BY tl.idx)
+         |      AS run
+         |  FROM log l JOIN tl USING (ts)),
+         |comp AS (
+         |  SELECT o_orderkey, run, ts, o_custkey, o_totalprice FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY o_orderkey, run, ts
+         |      ORDER BY o_custkey DESC, o_totalprice DESC) AS rn FROM runs)
+         |  WHERE rn = 1),
+         |surv AS (
+         |  SELECT o_orderkey, run, ts, o_custkey, o_totalprice FROM (
+         |    SELECT *, lag(o_custkey) OVER w AS pc, lag(o_totalprice) OVER w AS pp
+         |    FROM comp WINDOW w AS (PARTITION BY o_orderkey, run ORDER BY ts))
+         |  WHERE pc IS NULL OR NOT (pc = o_custkey AND pp = o_totalprice)),
+         |scd AS (
+         |  SELECT o_orderkey, run, o_custkey, o_totalprice, ts AS valid_from,
+         |    lead(ts) OVER w AS valid_to
+         |  FROM surv WINDOW w AS (PARTITION BY o_orderkey, run ORDER BY ts)),
+         |run_last AS (
+         |  SELECT o_orderkey, run, max(idx) AS last_idx FROM runs GROUP BY 1, 2)
+         |SELECT s.o_orderkey, s.o_custkey, s.o_totalprice, s.valid_from,
+         |  COALESCE(s.valid_to, tl.nxt) AS valid_to,
+         |  (COALESCE(s.valid_to, tl.nxt) IS NULL) AS is_current
+         |FROM scd s
+         |JOIN run_last rl USING (o_orderkey, run)
+         |LEFT JOIN tl ON tl.idx = rl.last_idx
+         |ORDER BY o_orderkey, valid_from, o_totalprice""".stripMargin),
     "zorder_key" -> {
       val z = graft.io.Layout.zorderKeySql(
         Seq("(o_custkey % 256)", "(o_orderkey % 256)"), 8)

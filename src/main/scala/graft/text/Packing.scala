@@ -512,14 +512,22 @@ object Packing {
         col("start").cast("int").as("start"),
         col("patch_tokens").cast("int").as("patch_tokens"),
         col("asset_id"), col("doc"))))).as("media_spans"))
+    // bin length comes from the PLAN (max over member docs of
+    // offset + min(n_tokens, ctx)), not the max occupied slot — a
+    // truncated doc whose window ends inside a dropped asset's span
+    // leaves its trailing slots empty, and those must still pad-fill
+    // so doc_spans tile seq_len exactly
+    val binLen = plan.groupBy(col("shard"), col("bin_id"))
+      .agg(max(col("offset_in_bin") +
+        least(col("n_tokens"), lit(ctxTokens.toLong))).as("__len"))
     // assemble slot-aligned arrays: map + sequence fill pads the holes a
     // dropped asset's tail leaves inside a truncated doc's window
     textSlots.unionByName(mediaSlots)
       .groupBy(col("shard"), col("bin_id"))
       .agg(
         map_from_entries(collect_list(struct(col("__slot"), col("__id"))))
-          .as("__m"),
-        (max(col("__slot")) + 1).as("__len"))
+          .as("__m"))
+      .join(binLen, Seq("shard", "bin_id"))
       .select(col("shard"), col("bin_id"),
         expr(s"transform(sequence(0L, __len - 1), " +
           s"i -> coalesce(element_at(__m, i), $padTokenId))").as("token_ids"),

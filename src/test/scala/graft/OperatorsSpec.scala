@@ -1297,10 +1297,14 @@ class OperatorsSpec extends SparkSpec {
     // key 1: present at 0 (a) and 10 (b), gone by 20 -> closed at 20
     // key 2: unchanged in all three snapshots -> one open interval from 0
     // key 3: first appears at 20 -> open from 20
+    // key 4: present at 0, ABSENT at 10, back at 20 with the SAME attrs
+    //        -> two intervals (the gap must not merge even though the
+    //        no-op collapse would, within one presence run)
     val snaps = Seq(
       (1L, 0L, "a"), (1L, 10L, "b"),
       (2L, 0L, "z"), (2L, 10L, "z"), (2L, 20L, "z"),
-      (3L, 20L, "n")).toDF("k", "ts", "v")
+      (3L, 20L, "n"),
+      (4L, 0L, "x"), (4L, 20L, "x")).toDF("k", "ts", "v")
     val dim = graft.io.Tables.scd2FromSnapshots(snaps, Seq("k"), "ts")
     val rows = dim.collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("v"),
       r.getAs[Long]("valid_from"),
@@ -1310,15 +1314,38 @@ class OperatorsSpec extends SparkSpec {
       (1L, "a", 0L, Some(10L), false),
       (1L, "b", 10L, Some(20L), false), // deletion tombstone at 20
       (2L, "z", 0L, None, true),        // no-op re-observations collapsed
-      (3L, "n", 20L, None, true)))
-    // point-in-time: at t=15 key 1 is 'b', key 2 'z', key 3 not yet born
+      (3L, "n", 20L, None, true),
+      (4L, "x", 0L, Some(10L), false),  // closed at the gap
+      (4L, "x", 20L, None, true)))      // reborn at 20
+    // point-in-time: at t=15 key 1 is 'b', key 2 'z'; keys 3 and 4 absent
     val at15 = graft.io.Tables.snapshotAt(dim, lit(15L))
       .select("k", "v").as[(Long, String)].collect().toMap
     assert(at15 === Map(1L -> "b", 2L -> "z"))
-    // at t=25 key 1 is deleted
+    // at t=25 key 1 is deleted, key 4 is back
     val at25 = graft.io.Tables.snapshotAt(dim, lit(25L))
       .select("k", "v").as[(Long, String)].collect().toMap
-    assert(at25 === Map(2L -> "z", 3L -> "n"))
+    assert(at25 === Map(2L -> "z", 3L -> "n", 4L -> "x"))
+  }
+
+  test("scd2FromSnapshots keeps a non-integral ts type (timestamp) end to end") {
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2026-01-03 00:00:00")
+    val snaps = Seq((1L, t0, "a"), (1L, t1, "a"), (2L, t0, "b"), (2L, t2, "b"))
+      .toDF("k", "ts", "v")
+    val dim = graft.io.Tables.scd2FromSnapshots(snaps, Seq("k"), "ts")
+    assert(dim.schema("valid_from").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    assert(dim.schema("valid_to").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+    val rows = dim.collect().map(r => (r.getAs[Long]("k"),
+      r.getAs[java.sql.Timestamp]("valid_from"),
+      Option(r.getAs[java.sql.Timestamp]("valid_to")),
+      r.getAs[Boolean]("is_current"))).toSet
+    assert(rows === Set(
+      (1L, t0, Some(t2), false), // vanished after t1 -> closed at t2
+      (2L, t0, Some(t1), false), // gap at t1 -> closed there
+      (2L, t2, None, true)))     // reborn at t2
   }
 
   test("zorderKey: matches a reference interleave; locality concentrates box queries") {

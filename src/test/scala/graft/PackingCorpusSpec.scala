@@ -523,4 +523,28 @@ class PackingCorpusSpec extends SparkSpec {
     spans0.foreach { case (st, len, _) =>
       assert(toks(0).slice(st, st + len).forall(_ == IMG)) }
   }
+
+  test("materializeInterleaved: trailing hole from a dropped asset pad-fills to the plan length") {
+    val IMG = 9999
+    val PAD = -1
+    // 15 text tokens + an asset at the text end (pos 15, 10 patches):
+    // eff 25, ctx 20 -> window 20, asset span [15,25) does not fit ->
+    // dropped -> slots 15..19 have NO content. seq_len must still be 20
+    // (the plan's window), with the tail pad-filled — doc_spans claims
+    // len 20 and a loader slicing by it must not read past the array.
+    val d = Seq((1L, (101 to 115).toArray)).toDF("doc_id", "token_ids")
+    val a = Seq((1L, 11L, 15L, 10L)).toDF("doc_id", "asset_id", "position", "patch_tokens")
+    val out = Packing.materializeInterleaved(d, a, "doc_id", "token_ids",
+        "asset_id", "position", "patch_tokens", ctxTokens = 20, nShards = 1,
+        imageTokenId = IMG, padTokenId = PAD)
+      .collect()
+    assert(out.length === 1)
+    val toks = out(0).getAs[scala.collection.Seq[Int]]("token_ids").toSeq
+    assert(out(0).getAs[Int]("seq_len") === 20)
+    assert(toks === (101 to 115) ++ Seq.fill(5)(PAD))
+    val docSpans = out(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("doc_spans").toSeq
+      .map(r => (r.getInt(0), r.getInt(1)))
+    assert(docSpans === Seq((0, 20))) // spans tile seq_len exactly
+    assert(out(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("media_spans").isEmpty)
+  }
 }
