@@ -56,28 +56,6 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    // reliable checkpoint dir: iterative operators (near-dup clustering)
-    // take the cluster-durable path, and no localCheckpoint blocks (or
-    // their lineage-truncation unpersist warnings) accumulate mid-bench
-    spark.sparkContext.setCheckpointDir(Sessions.scratchCheckpointDir())
-
-    awaitQuietMachine()
-
-    // JVM + session warm-up: one tiny end-to-end job (scan, shuffle, agg)
-    // absorbs class-loading / codegen / scheduler start-up costs.
-    try spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
-    catch { case _: Throwable => () }
 
     final case class R(
         name: String,
@@ -111,7 +89,48 @@ object Bench {
     // listener registered, no bus drain) — the control arm for verifying
     // the accounting itself never distorts the timings it annotates
     val ioMetrics = sys.env.getOrElse("SPARK_GRAFT_IO_METRICS", "1") != "0"
-    if (ioMetrics) spark.sparkContext.addSparkListener(metrics)
+
+    // Session lifecycle: the r11 run proved that one long-lived session
+    // over 178 queries contaminates measurement — plans with byte-identical
+    // shuffle volumes ran 3-14x slower late in the suite (accumulated heap
+    // garbage, codegen-cache churn, listener-bus backlog). Each session now
+    // serves a bounded slice of queries and is then stopped, the heap
+    // GC'd, and a fresh session warmed up. Codegen/JIT steady state lives
+    // in JVM-static caches and survives the recycle, so per-query numbers
+    // stay comparable with earlier rounds' cold/warm definitions.
+    def newSession(): SparkSession = {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      // reliable checkpoint dir: iterative operators (near-dup clustering)
+      // take the cluster-durable path, and no localCheckpoint blocks (or
+      // their lineage-truncation unpersist warnings) accumulate mid-bench
+      spark.sparkContext.setCheckpointDir(Sessions.scratchCheckpointDir())
+      if (ioMetrics) spark.sparkContext.addSparkListener(metrics)
+      // session warm-up: one tiny end-to-end job (scan, shuffle, agg)
+      // absorbs class-loading / codegen / scheduler start-up costs.
+      try spark.read.parquet(s"$sfDir/region.parquet").groupBy("r_name").count().count()
+      catch { case _: Throwable => () }
+      spark
+    }
+    def recycle(old: SparkSession): SparkSession = {
+      old.stop()
+      System.gc()
+      newSession()
+    }
+    val recycleEvery =
+      sys.env.getOrElse("SPARK_GRAFT_RECYCLE_EVERY", "40").toInt
+
+    awaitQuietMachine()
+    var spark = newSession()
 
     // SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts the run to a comma-separated
     // subset — a seconds-long loop when chasing one query's number. A name
@@ -123,12 +142,28 @@ object Bench {
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names no registered query: ${unknown.mkString(", ")}")
     }
+    // Model-training audits run in a SEPARATE LANE at the end of the
+    // suite, each behind a session recycle: an iterative spark.ml fit
+    // heats the heap and GC for everything measured after it, so it must
+    // never sit mid-alphabet inside the lane every other query shares.
+    val heavyLane = Set("quality_classifier_audit")
+    val selected = SparkEntry.queries.toSeq
+      .filter(q => only.forall(_.contains(q._1)))
+      .sortBy(_._1)
+    val ordered = selected.filterNot(q => heavyLane(q._1)) ++
+      selected.filter(q => heavyLane(q._1))
+    var sinceRecycle = 0
     val results: Seq[R] =
-      SparkEntry.queries.toSeq
-        .filter(q => only.forall(_.contains(q._1)))
-        .sortBy(_._1)
-        .map { case (name, fn) =>
+      ordered.map { case (name, fn) =>
+        if (sinceRecycle >= recycleEvery ||
+            (heavyLane(name) && sinceRecycle > 0)) {
+          System.err.println(s"[bench] recycling session before $name")
+          spark = recycle(spark)
+          sinceRecycle = 0
+        }
+        sinceRecycle += 1
         clearState(spark)
+        System.gc() // drop the previous query's garbage outside the timers
         try {
           var lastIO = (0L, 0L, 0L)
           def measure(): (Double, Long) = {

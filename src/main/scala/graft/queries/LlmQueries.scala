@@ -275,12 +275,18 @@ object LlmQueries {
             concat(lit("!!! ??? *** spam spam click here buy now !!! ??? *** "),
               col("doc_id").cast("string")).as("text"),
             lit(0.0).as("label")))
+      // the audit's contract is acc >= 0.95 on a trivially separable set —
+      // it does NOT need production trainer settings. A few hundred rows
+      // spread over 32 partitions makes every LR iteration a scheduling
+      // job: repartition small, cap iterations, shrink the hash width.
+      // The quality-train catalog stage keeps the library defaults.
       val train = junked(t(s, dir, "documents").filter(col("doc_id") < 300)
-        .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("text"))).repartition(4)
       val eval = junked(t(s, dir, "documents")
         .filter(col("doc_id") >= 300 && col("doc_id") < 400)
         .select(col("doc_id"), col("text")))
-      val model = graft.text.QualityClassifier.train(train, "text", "label")
+      val model = graft.text.QualityClassifier.train(train, "text", "label",
+        numFeatures = 1 << 15, maxIter = 15)
       graft.text.QualityClassifier.score(eval, model)
         .agg(
           count(lit(1)).as("n_eval"),

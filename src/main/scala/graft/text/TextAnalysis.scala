@@ -535,24 +535,28 @@ object TextAnalysis {
     * can't see. Documents with fewer than two tokens drop out (no
     * bigrams).
     *
-    * Scale: bigram extraction is a per-doc lag window (key-partitioned,
-    * never global); tokens collapse to 64-bit hashes BEFORE any exchange,
-    * so the count groupBys and the score joins all shuffle long keys
-    * instead of string pairs (~2x end to end at sf0.1 — same lesson as
-    * the WordShingleHashes kernel; a cross-vocabulary xxhash64 collision
-    * would merge two gram counts, at ~|vocab|²/2⁶⁴ odds). Same shape as
-    * unigramLogProb plus one window. */
+    * Scale: bigram adjacency already exists inside each document's token
+    * ARRAY, so grams derive array-side (an indexed `transform` over the
+    * hashed token array) — no per-doc window, no Exchange just to
+    * recover neighbours; only the count groupBys shuffle. Tokens collapse
+    * to 64-bit hashes BEFORE any exchange, so counts and joins all
+    * shuffle long keys instead of string pairs (~2x end to end at sf0.1 —
+    * same lesson as the WordShingleHashes kernel; a cross-vocabulary
+    * xxhash64 collision would merge two gram counts, at ~|vocab|²/2⁶⁴
+    * odds). Same shape as unigramLogProb. */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
-      .select(col(idCol), col("pos"), xxhash64(col("w")).as("h2"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val bi = toks
-      .withColumn("h1", lag(col("h2"), 1).over(w))
+    val hashed = df.select(col(idCol),
+      transform(tokens(col(textCol)), t => xxhash64(t)).as("__hs"))
+    val bi = hashed
+      .select(col(idCol), explode(expr(
+        "transform(__hs, (x, i) -> struct(" +
+          "IF(i >= 1, __hs[i-1], CAST(NULL AS BIGINT)) AS h1, x AS h2))"))
+        .as("__b"))
+      .select(col(idCol), col("__b.h1").as("h1"), col("__b.h2").as("h2"))
       .filter(col("h1").isNotNull)
-      .select(col(idCol), col("h1"), col("h2"))
     val bigramCounts = bi.groupBy(col("h1"), col("h2")).agg(count(lit(1)).as("nb"))
-    val unigramCounts = toks.groupBy(col("h2").as("h1")).agg(count(lit(1)).as("nu"))
+    val unigramCounts = hashed.select(explode(col("__hs")).as("h1"))
+      .groupBy(col("h1")).agg(count(lit(1)).as("nu"))
     bi
       .join(bigramCounts, Seq("h1", "h2"))
       .join(unigramCounts, Seq("h1"))
@@ -573,13 +577,16 @@ object TextAnalysis {
     * repetition signal) the two-corpus form is the filtering shape:
     * candidate docs with unseen n-gram mass pay the backoff penalty.
     *
-    * Scale shape: token identities travel as xxhash64 keys (16 bytes per
-    * n-gram key, never strings); counts are hash-partitioned groupBys of
-    * the exploded reference (one scan per n-gram order — pre-tokenize and
-    * persist the reference when building repeatedly); scoring is four
-    * left equi-joins from the scored trigrams to the count tables, all
-    * shuffle-partitioned on the same hash keys. Output: idCol,
-    * `n_trigrams`, `avg_neg_logprob` (docs under 3 tokens are absent). */
+    * Scale shape: n-gram adjacency derives ARRAY-SIDE (indexed
+    * `transform` over each doc's hashed token array — no per-doc window
+    * Exchange; adjacency already exists in the array). Token identities
+    * travel as xxhash64 keys (16 bytes per n-gram key, never strings);
+    * counts are hash-partitioned groupBys of the exploded reference (one
+    * scan per n-gram order — pre-tokenize and persist the reference when
+    * building repeatedly); scoring is four left equi-joins from the
+    * scored trigrams to the count tables, all shuffle-partitioned on the
+    * same hash keys. Output: idCol, `n_trigrams`, `avg_neg_logprob`
+    * (docs under 3 tokens are absent). */
   def trigramLogProb(
       reference: DataFrame,
       docs: DataFrame,
@@ -587,24 +594,27 @@ object TextAnalysis {
       textCol: String,
       alpha: Double = 0.4): DataFrame = {
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    def toks(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("__id"), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
-      .select(col("__id"), col("pos"), xxhash64(col("w")).as("h"))
-    def grams(t: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
-      t.withColumn("h2", lag(col("h"), 1).over(w))
-        .withColumn("h1", lag(col("h"), 2).over(w))
-        .select(col("__id"), col("h1"), col("h2"), col("h").as("h3"))
-    }
-    val ref = toks(reference)
-    val n = ref.agg(count(lit(1)).cast("double").as("__n"))
-    val c1 = ref.groupBy(col("h").as("h3")).agg(count(lit(1)).as("__c1"))
+    def harr(df: DataFrame): DataFrame = df.select(col(idCol).as("__id"),
+      transform(tokens(col(textCol)), t => xxhash64(t)).as("__hs"))
+    def grams(h: DataFrame): DataFrame = h
+      .select(col("__id"), explode(expr(
+        "transform(__hs, (x, i) -> struct(" +
+          "IF(i >= 2, __hs[i-2], CAST(NULL AS BIGINT)) AS h1, " +
+          "IF(i >= 1, __hs[i-1], CAST(NULL AS BIGINT)) AS h2, x AS h3))"))
+        .as("__g"))
+      .select(col("__id"), col("__g.h1").as("h1"), col("__g.h2").as("h2"),
+        col("__g.h3").as("h3"))
+    val ref = harr(reference)
+    val n = ref.select(explode(col("__hs")).as("h"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val c1 = ref.select(explode(col("__hs")).as("h3"))
+      .groupBy(col("h3")).agg(count(lit(1)).as("__c1"))
     val refG = grams(ref)
     val c2 = refG.filter(col("h2").isNotNull)
       .groupBy(col("h2"), col("h3")).agg(count(lit(1)).as("__c2"))
     val c3 = refG.filter(col("h1").isNotNull)
       .groupBy(col("h1"), col("h2"), col("h3")).agg(count(lit(1)).as("__c3"))
-    val tri = grams(toks(docs)).filter(col("h1").isNotNull)
+    val tri = grams(harr(docs)).filter(col("h1").isNotNull)
     val a = lit(alpha)
     tri
       .join(c3, Seq("h1", "h2", "h3"), "left")

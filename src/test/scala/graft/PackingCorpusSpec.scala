@@ -301,6 +301,10 @@ class PackingCorpusSpec extends SparkSpec {
     assert(!out.contains(5L))
     assert(out(1L)._1 == 5L)
     assert(out(4L)._2 > out(1L)._2, s"soup ${out(4L)._2} must score above template ${out(1L)._2}")
+    // grams derive array-side: no per-doc Window (and its Exchange)
+    assert(TextAnalysis.bigramLogProb(d, "id", "text").queryExecution.executedPlan
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .isEmpty)
   }
 
   test("trigramLogProb: every stupid-backoff level matches hand arithmetic") {
@@ -319,6 +323,11 @@ class PackingCorpusSpec extends SparkSpec {
         r.getAs[Double]("avg_neg_logprob")))
     assert(out.toSeq == Seq(
       (10L, 1L, 0.0), (11L, 1L, 4.317488), (12L, 1L, 0.916291)))
+    // grams derive array-side: no per-doc Window (and its Exchange)
+    assert(TextAnalysis.trigramLogProb(ref, docs, "doc_id", "text")
+      .queryExecution.executedPlan
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .isEmpty)
   }
 
   test("groupedBinning: per-group quartiles, boundary and null handling") {
