@@ -136,9 +136,10 @@ object Bench {
     // subset — a seconds-long loop when chasing one query's number. A name
     // matching nothing is a loud error: a typo would otherwise bench zero
     // queries successfully and clobber BENCH_DETAIL.json with an empty run.
+    val allQueries = SparkEntry.queries ++ SparkEntry.benchQueries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
     only.foreach { names =>
-      val unknown = names -- SparkEntry.queries.keySet
+      val unknown = names -- allQueries.keySet
       require(unknown.isEmpty,
         s"SPARK_GRAFT_BENCH_ONLY names no registered query: ${unknown.mkString(", ")}")
     }
@@ -147,7 +148,7 @@ object Bench {
     // heats the heap and GC for everything measured after it, so it must
     // never sit mid-alphabet inside the lane every other query shares.
     val heavyLane = Set("quality_classifier_audit")
-    val selected = SparkEntry.queries.toSeq
+    val selected = allQueries.toSeq
       .filter(q => only.forall(_.contains(q._1)))
       .sortBy(_._1)
     val ordered = selected.filterNot(q => heavyLane(q._1)) ++

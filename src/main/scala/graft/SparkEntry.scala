@@ -25,6 +25,15 @@ object SparkEntry {
       PipelineQueries.queries ++
       LlmQueries.queries
 
+  /** Bench-only lane: approximate ANN production configs. Not part of the
+    * oracle-gated `queries` contract — approximate search has no hash
+    * oracle by construction; its correctness contract is planted-truth
+    * recall (RecallSpec / tools/Recall.scala). The bench times
+    * `queries ++ benchQueries` so these keep their per-round series;
+    * their exact-mode twins in `queries` hash-pin the shared machinery. */
+  def benchQueries: Map[String, (SparkSession, String) => DataFrame] =
+    LlmQueries.benchQueries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

@@ -572,73 +572,67 @@ object LlmQueries {
           col("shingle_consistent"))
         .orderBy(col("doc_id"))
     },
-    // multi-probe config: r6 recall harness measured 0.18 recall for the
-    // old (tables=8, bits=8, no probes) setting on these near-uniform
-    // embeddings; Hamming-1 probing at bits=6 reaches 0.86 with the same
-    // corpus-side bucket layout (RECALL_r6.json)
-    "ann_lsh_topk" -> { (s, dir) =>
+    // --- EXACT-MODE ANN twins: each approximate search family dialed to
+    // its exhaustive configuration, where the result equals brute-force
+    // cosine top-k and a full DuckDB oracle applies (the pattern
+    // ann_ivf_filtered proved). The production approximate configs live
+    // in `benchQueries` (benched every round, planted-truth
+    // recall-bounded in RecallSpec/RECALL_rN) — these twins pin the
+    // SEARCH MACHINERY (cell routing, partition pruning, bucket joins,
+    // shortlist/re-rank plumbing) to hash-exact correctness.
+    // IVF at nprobe = nlist probes every cell -> exhaustive.
+    "ann_ivf_topk_exact" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity
+        .ivfCosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id",
+          k = 10, nlist = 16, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // prebuilt-index IVF at full probe (reuses ann_ivf_filtered's
+    // nlist=16 index — whichever query runs first builds it)
+    "ann_ivf_search_exact" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = annIndexDir(dir, "ivfa")
+      graft.similarity.AnnIndex.ensureIvf(e, "vec_id", "embedding", idx,
+        nlist = 16, attrCols = Seq("label"))
+      graft.similarity.AnnIndex
+        .searchIvf(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // LSH at bits=1 with Hamming-1 probing visits BOTH buckets of the
+    // 1-bit signature space -> every candidate scored -> exhaustive
+    "ann_lsh_topk_exact" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       Similarity
         .lshCosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id",
-          k = 10, tables = 8, bits = 6, probes = 6)
+          k = 10, tables = 1, bits = 1, probes = 1)
         .orderBy(col("query_id"), col("rank"))
     },
-    "ann_ivf_topk" -> { (s, dir) =>
+    "ann_lsh_search_exact" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
-      Similarity
-        // auto nlist/nprobe (~sqrt(N) cells): a fixed cell count is the
-        // scale trap — recall decays as the corpus grows past it
-        .ivfCosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id",
-          k = 10)
-        .orderBy(col("query_id"), col("rank"))
-    },
-    // --- prebuilt-index search (AnnIndex): the build-once/persist/
-    // search-many lifecycle. First call builds into a per-sf scratch dir
-    // (k-means fit + corpus assignment / corpus signing); every later
-    // call — including the bench's repeat attempts — searches the
-    // persisted structure only. Same parameters as the one-shot ann_*
-    // queries, so results are identical (asserted in AnnIndexSpec).
-    "ann_ivf_search" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
-      val idx = annIndexDir(dir, "ivf")
-      graft.similarity.AnnIndex.ensureIvf(e, "vec_id", "embedding", idx)
-      graft.similarity.AnnIndex
-        .searchIvf(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
-        .orderBy(col("query_id"), col("rank"))
-    },
-    "ann_lsh_search" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
-      val idx = annIndexDir(dir, "lsh")
-      graft.similarity.AnnIndex.ensureLsh(e, "vec_id", "embedding", idx, tables = 8, bits = 6)
+      val idx = annIndexDir(dir, "lshx")
+      graft.similarity.AnnIndex.ensureLsh(e, "vec_id", "embedding", idx,
+        tables = 1, bits = 1)
       graft.similarity.AnnIndex
         .searchLsh(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, probes = 6)
+          k = 10, probes = 1)
         .orderBy(col("query_id"), col("rank"))
     },
-    // --- IVF-PQ search: product-quantized codes + ADC scoring — the
-    // memory-scale ANN path; approximate by design, recall-bounded in
-    // RECALL_r11/RecallSpec rather than oracle-hashed
-    "ann_ivfpq_search" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
-      val idx = annIndexDir(dir, "ivfpq")
+    // IVF-PQ + refine dialed exhaustive: nprobe = nlist and a shortlist
+    // (refine·k = 500) covering the whole 500-row corpus slice, so the
+    // ADC stage passes everything through and the int8 re-rank IS the
+    // final ranking. int8 quantization (per-vector scale = max|x|/127,
+    // float-stored scale, dequantized norm) is deterministic arithmetic
+    // the oracle replays element for element — no k-means in the score.
+    "ann_ivfpq_refined_exact" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val idx = annIndexDir(dir, "ivfpqx")
       graft.similarity.AnnIndex.ensureIvfPq(e, "vec_id", "embedding", idx,
-        m = 8, codes = 256)
-      graft.similarity.AnnIndex
-        .searchIvfPq(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
-        .orderBy(col("query_id"), col("rank"))
-    },
-    // --- IVF-PQ + refine: ADC shortlist (10·k) re-ranked against stored
-    // int8 vectors — recovers most of PQ's recall loss (RECALL_r11 bound
-    // 0.85 vs raw ADC's 0.5) while candidate generation still pays only
-    // m lookup-adds per row
-    "ann_ivfpq_refined" -> { (s, dir) =>
-      val e = t(s, dir, "embeddings")
-      val idx = annIndexDir(dir, "ivfpqr")
-      graft.similarity.AnnIndex.ensureIvfPq(e, "vec_id", "embedding", idx,
-        m = 8, codes = 256, refine = true)
+        nlist = 8, m = 8, codes = 256, refine = true)
       graft.similarity.AnnIndex
         .searchIvfPq(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding",
-          k = 10, refine = 10)
+          k = 10, nprobe = 8, refine = 50)
         .orderBy(col("query_id"), col("rank"))
     },
     // --- attribute-filtered vector search: neighbors WITHIN a label slice.
@@ -1015,7 +1009,101 @@ object LlmQueries {
         .orderBy(col("token"))
     })
 
+  /** Bench-only lane: the approximate production ANN configurations.
+    * These are deliberately NOT in `queries` — approximate search has no
+    * hash oracle by construction (k-means cells / PQ codebooks come from
+    * seeded JVM RNG, and the result is a recall/latency trade, not a
+    * unique answer). Their correctness contract is planted-truth recall,
+    * CI-enforced by RecallSpec against tools/Recall.scala's bounds
+    * (RECALL_rN.json); their exact-mode twins above pin the shared
+    * machinery to hash equality. The bench runs `queries ++
+    * benchQueries`, so these keep their per-round timing series. */
+  val benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // multi-probe config: r6 recall harness measured 0.18 recall for the
+    // old (tables=8, bits=8, no probes) setting on these near-uniform
+    // embeddings; Hamming-1 probing at bits=6 reaches 0.86 with the same
+    // corpus-side bucket layout (RECALL_r6.json)
+    "ann_lsh_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity
+        .lshCosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id",
+          k = 10, tables = 8, bits = 6, probes = 6)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "ann_ivf_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      Similarity
+        // auto nlist/nprobe (~sqrt(N) cells): a fixed cell count is the
+        // scale trap — recall decays as the corpus grows past it
+        .ivfCosineTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", "vec_id",
+          k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // --- prebuilt-index search (AnnIndex): the build-once/persist/
+    // search-many lifecycle. First call builds into a per-sf scratch dir
+    // (k-means fit + corpus assignment / corpus signing); every later
+    // call — including the bench's repeat attempts — searches the
+    // persisted structure only. Same parameters as the one-shot ann_*
+    // queries, so results are identical (asserted in AnnIndexSpec).
+    "ann_ivf_search" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = annIndexDir(dir, "ivf")
+      graft.similarity.AnnIndex.ensureIvf(e, "vec_id", "embedding", idx)
+      graft.similarity.AnnIndex
+        .searchIvf(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    "ann_lsh_search" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = annIndexDir(dir, "lsh")
+      graft.similarity.AnnIndex.ensureLsh(e, "vec_id", "embedding", idx, tables = 8, bits = 6)
+      graft.similarity.AnnIndex
+        .searchLsh(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, probes = 6)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // --- IVF-PQ search: product-quantized codes + ADC scoring — the
+    // memory-scale ANN path; approximate by design, recall-bounded in
+    // RECALL_r11/RecallSpec rather than oracle-hashed
+    "ann_ivfpq_search" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = annIndexDir(dir, "ivfpq")
+      graft.similarity.AnnIndex.ensureIvfPq(e, "vec_id", "embedding", idx,
+        m = 8, codes = 256)
+      graft.similarity.AnnIndex
+        .searchIvfPq(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    },
+    // --- IVF-PQ + refine: ADC shortlist (10·k) re-ranked against stored
+    // int8 vectors — recovers most of PQ's recall loss (RECALL_r11 bound
+    // 0.85 vs raw ADC's 0.5) while candidate generation still pays only
+    // m lookup-adds per row
+    "ann_ivfpq_refined" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = annIndexDir(dir, "ivfpqr")
+      graft.similarity.AnnIndex.ensureIvfPq(e, "vec_id", "embedding", idx,
+        m = 8, codes = 256, refine = true)
+      graft.similarity.AnnIndex
+        .searchIvfPq(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, refine = 10)
+        .orderBy(col("query_id"), col("rank"))
+    })
+
   // ---- oracle SQL ----------------------------------------------------------
+
+  /** Unfiltered brute-force cosine top-k over the embeddings table — the
+    * shared oracle of every full-precision exact-mode ANN twin (IVF at
+    * nprobe = nlist, LSH probing all buckets): exhaustive search has ONE
+    * right answer regardless of which index machinery produced it. */
+  private val AnnExactBruteSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |s AS (SELECT query_id, e.vec_id,
+      |        round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+      |      FROM e, q WHERE e.vec_id <> query_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
+      |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
 
   /** Token-equality stopword count, mirroring TokenSetCounts: tokenize
     * trim(lower(text)) on whitespace, count tokens in the word set. */
@@ -1908,6 +1996,35 @@ object LlmQueries {
         |s AS (SELECT query_id, e.vec_id,
         |        round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
         |      FROM e, q WHERE e.vec_id <> query_id AND e.label = 1),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
+        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // the four full-precision exact twins (IVF/LSH, one-shot and index)
+    // all reduce to the same unfiltered brute-force cosine top-k
+    "ann_ivf_topk_exact" -> AnnExactBruteSql,
+    "ann_ivf_search_exact" -> AnnExactBruteSql,
+    "ann_lsh_topk_exact" -> AnnExactBruteSql,
+    "ann_lsh_search_exact" -> AnnExactBruteSql,
+    // IVF-PQ refined, exhaustive shortlist: the final ranking is cosine
+    // against the int8-dequantized corpus vectors — the oracle replays
+    // the quantization arithmetic (per-vector scale = max|x|/127 stored
+    // as float32, codes = round(x/scale) as int8, dequantized norm in
+    // the denominator) element for element
+    "ann_ivfpq_refined_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 500),
+        |sc AS (SELECT vec_id, v,
+        |         greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-30) / 127.0 AS scale_d
+        |       FROM e),
+        |dq AS (SELECT vec_id,
+        |         list_transform(v, x -> round(x / scale_d) * CAST(CAST(scale_d AS REAL) AS DOUBLE)) AS dv
+        |       FROM sc),
+        |q AS (SELECT vec_id AS query_id, v AS qv,
+        |        sqrt(list_dot_product(v, v)) AS qn
+        |      FROM e WHERE vec_id < 5),
+        |s AS (SELECT query_id, dq.vec_id,
+        |        round(list_dot_product(dv, qv) / (sqrt(list_dot_product(dv, dv)) * qn), 6) AS cosine
+        |      FROM dq, q WHERE dq.vec_id <> query_id),
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,

@@ -110,9 +110,10 @@ class PlanAuditSpec extends SparkSpec {
       "epoch_shuffle", "dedup_spans", "normalize_text", "avi_mjpeg_decode",
       "bin_packing", "packed_bins", "semdedup_survivors",
       "corpus_data_card", "scd2_build", "scd2_apply", "zorder_key",
-      "ann_ivfpq_refined", "cms_frequency", "unigram_encode_audit",
+      "ann_ivfpq_refined", "ann_ivfpq_refined_exact", "cms_frequency",
+      "unigram_encode_audit",
       "interleaved_pack", "scd2_from_snapshots", "scd2_snapshot_at").foreach { name =>
-      val d = SparkEntry.queries(name)(spark, sf)
+      val d = (SparkEntry.queries ++ SparkEntry.benchQueries)(name)(spark, sf)
       val errors = PlanAudit.audit(d).filter(_.severity == "error")
       assert(errors.isEmpty, s"$name: $errors")
     }
