@@ -177,7 +177,7 @@ object AnnIndex {
       if (nprobe > 0) nprobe else Similarity.ivfAutoNprobe(m.nlist, m.nRows, k)
     require(probes >= 1 && probes <= m.nlist,
       s"need 1 <= nprobe <= nlist, got nprobe=$probes nlist=${m.nlist}")
-    val centDf = broadcast(spark.read.parquet(s"$dir/centroids.parquet"))
+    val centDf = spark.read.parquet(s"$dir/centroids.parquet")
     val qProbes = Similarity.ivfQueryProbes(queries, queryIdCol, vecCol, centDf, probes)
     // the probed-cell set is |Q|·nprobe values (queries are broadcast-sized
     // by contract) — pushed as a literal so hive partition pruning drops
@@ -293,8 +293,8 @@ object AnnIndex {
       if (nprobe > 0) nprobe else Similarity.ivfAutoNprobe(m.nlist, m.nRows, k)
     require(probes >= 1 && probes <= m.nlist,
       s"need 1 <= nprobe <= nlist, got nprobe=$probes nlist=${m.nlist}")
-    val centDf = broadcast(spark.read.parquet(s"$dir/centroids.parquet"))
-    val books = broadcast(spark.read.parquet(s"$dir/codebooks.parquet"))
+    val centDf = spark.read.parquet(s"$dir/centroids.parquet")
+    val books = spark.read.parquet(s"$dir/codebooks.parquet")
     val dim = books.select(size(col("cent"))).head().getInt(0) * m.tables
     val qProbes = Similarity.ivfQueryProbes(queries, queryIdCol, vecCol, centDf, probes)
       .select(col("query_id"), col("__cell"))
@@ -364,7 +364,7 @@ object AnnIndex {
     val spark = batch.sparkSession
     val m = readMeta(spark, dir, "ivfpq")
     val centDf = broadcast(spark.read.parquet(s"$dir/centroids.parquet"))
-    val books = broadcast(spark.read.parquet(s"$dir/codebooks.parquet"))
+    val books = spark.read.parquet(s"$dir/codebooks.parquet")
     val storedCols = spark.read.parquet(s"$dir/corpus.parquet").columns.toSet
     val hasRefine = storedCols.contains("__q")
     val attrs = (storedCols
@@ -487,8 +487,8 @@ object AnnIndex {
       probes: Int = 0,
       corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val m = readMeta(spark, dir, "lsh")
-    val qSig = broadcast(
-      Similarity.lshQuerySide(queries, queryIdCol, vecCol, m.tables, m.bits, probes))
+    val qSig =
+      Similarity.lshQuerySide(queries, queryIdCol, vecCol, m.tables, m.bits, probes)
     // probed signatures across all tables — a bounded literal set (|Q| ·
     // tables · (1+probes)); a superset filter per table, exact join after.
     // Pushed to parquet, it row-group-skips the sig-sorted files.

@@ -227,7 +227,7 @@ object Similarity {
     require(bits >= 0, s"bits must be >= 0 (0 = auto), got $bits")
     val sigBits = if (bits > 0) bits else lshAutoBits(corpus.count(), k)
     val cSig = lshSide(corpus, idCol, vecCol, "__cv", tables, sigBits)
-    val qSig = broadcast(lshQuerySide(queries, queryIdCol, vecCol, tables, sigBits, probes))
+    val qSig = lshQuerySide(queries, queryIdCol, vecCol, tables, sigBits, probes)
     lshScore(cSig, qSig, idCol, k)
   }
 
@@ -273,7 +273,7 @@ object Similarity {
   private[similarity] def lshScore(
       cSig: DataFrame, qSig: DataFrame, idCol: String, k: Int): DataFrame = {
     val cands = cSig
-      .join(qSig, Seq("table", "sig"))
+      .join(broadcast(qSig), Seq("table", "sig"))
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol), col("__cv"), col("__cv_n"), col("__qv"), col("__qv_n"))
       .distinct()
@@ -424,15 +424,17 @@ object Similarity {
       .fit(fitFrame)
   }
 
-  /** The fitted centroids as a tiny broadcast frame (__cell, __cent). */
+  /** The fitted centroids as a tiny frame (__cell, __cent). No broadcast
+    * hint here: the frame is also WRITTEN (buildIvf persists it), and a
+    * hint whose plan never reaches a join is silently dropped with a
+    * HintErrorLogger warning — joins hint their build side themselves. */
   private[similarity] def ivfCentroidFrame(
       spark: org.apache.spark.sql.SparkSession,
       model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
     import spark.implicits._
-    broadcast(
-      model.clusterCenters.zipWithIndex.toSeq
-        .map { case (c, i) => (i, c.toArray.toSeq) }
-        .toDF("__cell", "__cent"))
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.toSeq) }
+      .toDF("__cell", "__cent")
   }
 
   /** nprobe nearest centroids per query: a (queries × nlist) distance rank
@@ -459,13 +461,16 @@ object Similarity {
     // constant per query so −2 q·c + c·c orders identically
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("__dist").asc, col("__cell").asc)
-    broadcast(
-      qSide.crossJoin(centDf)
-        .withColumn("__dist",
-          dot(col("__cent"), col("__cent")) - lit(2.0) * dot(col("__qu"), col("__cent")))
-        .withColumn("__rk", row_number().over(probeW))
-        .filter(col("__rk") <= probes)
-        .select(col("query_id"), col("__cell"), col("__qv2"), col("__qn")))
+    // no broadcast hint on the RETURNED frame: callers also run
+    // collect-only plans over it (the probed-cell literal set), where a
+    // hint is dropped with a warning — the candidate joins hint it at
+    // the join site (ivfScore / searchIvfPq) instead
+    qSide.crossJoin(broadcast(centDf))
+      .withColumn("__dist",
+        dot(col("__cent"), col("__cent")) - lit(2.0) * dot(col("__qu"), col("__cent")))
+      .withColumn("__rk", row_number().over(probeW))
+      .filter(col("__rk") <= probes)
+      .select(col("query_id"), col("__cell"), col("__qv2"), col("__qn"))
   }
 
   /** Probed-cell join + exact-cosine re-rank — the shared tail of the
@@ -475,7 +480,7 @@ object Similarity {
   private[similarity] def ivfScore(
       assigned: DataFrame, qProbes: DataFrame, idCol: String, k: Int): DataFrame = {
     val cands = assigned
-      .join(qProbes, Seq("__cell"))
+      .join(broadcast(qProbes), Seq("__cell"))
       .filter(col(idCol) =!= col("query_id"))
     val scored = cands.select(
       col("query_id"),
@@ -557,7 +562,9 @@ object Similarity {
           .fit(fitFrame)
         km.clusterCenters.zipWithIndex.map { case (c, i) => (j, i, c.toArray.toSeq) }
       }
-      (broadcast(books.toDF("subspace", "code", "cent")), codesEff)
+      // unhinted: buildIvfPq WRITES this frame (hint would drop with a
+      // warning); pqEncode/pqLut hint it at their joins
+      (books.toDF("subspace", "code", "cent"), codesEff)
     } finally { sample.unpersist(); () }
   }
 
@@ -579,7 +586,7 @@ object Similarity {
       s"transform(sequence(0, ${m - 1}), j -> slice(transform(__cv, x -> x / __cn), j * $sub + 1, $sub))")
     assigned
       .select(col(idCol), posexplode(subvecs).as(Seq("subspace", "__sv")))
-      .join(books, Seq("subspace"))
+      .join(broadcast(books), Seq("subspace"))
       .select(col(idCol), col("subspace"), col("code"),
         dot(col("cent"), col("cent")).as("__c2"),
         (dot(col("cent"), col("cent")) - lit(2.0) * dot(col("__sv"), col("cent")))
@@ -621,7 +628,7 @@ object Similarity {
         unit(col(vecCol)).as("__qu"),
         l2Norm(col(vecCol)).as("__qn"))
       .filter(col("__qn") > 0)
-      .crossJoin(books)
+      .crossJoin(broadcast(books))
       .select(col("query_id"),
         (col("subspace") * codes + col("code")).as("__slot"),
         dot(slice(col("__qu"), col("subspace") * sub + 1, lit(sub)), col("cent"))
