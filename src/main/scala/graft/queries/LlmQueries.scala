@@ -206,11 +206,29 @@ object LlmQueries {
     // CAN derive — exact per-doc word counts — plus invariant flags that
     // must be uniformly TRUE: tokens reconstruct the text exactly, and the
     // token count is bounded by [words, characters]
+    // --- BPE audit with BYTE FALLBACK proof: the tokenizer trains on the
+    // corpus alone, then encodes the corpus PLUS planted docs whose
+    // charset (CJK, emoji surrogate pairs, accents, cyrillic) training
+    // never saw. ids_lossless = decode(encodeIds(text)) reproduces the
+    // whitespace-joined words — must be TRUE for every row including the
+    // planted ones (zero <unk>: any byte has a token)
     "bpe_encode_audit" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val merges = graft.text.Bpe.train(docs, "text", numMerges = 200)
-      graft.text.Bpe
-        .encodeAudit(graft.text.Bpe.encode(docs, "text", merges), "doc_id", "text")
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val all = docs.unionByName(Seq(
+        (900001L, "日本語テキスト smoke"),
+        (900002L, "café 😀 zürich"),
+        (900003L, "привет мир")).toDF("doc_id", "text"))
+      val (merges, vocabIds) =
+        graft.text.Bpe.trainArtifacts(docs, "text", numMerges = 200)
+      val enc = graft.text.Bpe.encodeIds(
+        graft.text.Bpe.encode(all, "text", merges), "text", merges, vocabIds)
+      val dec = graft.text.Bpe.decodeIds(enc, "token_ids", vocabIds)
+      graft.text.Bpe.encodeAudit(dec, "doc_id", "text")
+        .join(dec.select(col("doc_id"),
+          (col("decoded_text") === concat_ws(" ",
+            filter(split(col("text"), "\\s+"), w => length(w) > 0)))
+            .as("ids_lossless")), Seq("doc_id"))
         .orderBy(col("doc_id"))
     },
     // --- mergeable word-count state: the tokenizer's corpus statistic,
@@ -229,12 +247,25 @@ object LlmQueries {
     // word counts both engines derive, plus invariant flags (Viterbi
     // segmentations are exact covers) that must be uniformly TRUE
     "unigram_encode_audit" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // same byte-fallback proof as bpe_encode_audit; unigram pieces
+      // carry no word sentinel, so losslessness is against the word
+      // CONCATENATION (the documented roundtrip contract)
+      val all = docs.unionByName(Seq(
+        (900001L, "日本語テキスト smoke"),
+        (900002L, "café 😀 zürich"),
+        (900003L, "привет мир")).toDF("doc_id", "text"))
       val pieces = graft.text.Unigram.train(docs, "text", vocabSize = 512,
         maxWords = 5000)
-      graft.text.Unigram
-        .encodeAudit(graft.text.Unigram.encode(docs, "text", pieces),
-          "doc_id", "text")
+      val enc = graft.text.Unigram.encodeIds(
+        graft.text.Unigram.encode(all, "text", pieces), "text", pieces)
+      val dec = graft.text.Unigram.decodeIds(enc, "piece_ids", pieces)
+      graft.text.Unigram.encodeAudit(dec, "doc_id", "text")
+        .join(dec.select(col("doc_id"),
+          (col("decoded_text") === concat_ws("",
+            filter(split(col("text"), "\\s+"), w => length(w) > 0)))
+            .as("ids_lossless")), Seq("doc_id"))
         .orderBy(col("doc_id"))
     },
     // --- heavy hitters, oracle-checkable form: exact top-k counts (any
@@ -1091,6 +1122,12 @@ object LlmQueries {
 
   // ---- oracle SQL ----------------------------------------------------------
 
+  /** The planted out-of-charset docs both tokenizer audits append (the
+    * byte-fallback proof rows) — must match the Scala-side union. */
+  private val AuditPlantedValuesSql: String =
+    "(900001, '日本語テキスト smoke'), (900002, 'café 😀 zürich'), " +
+      "(900003, 'привет мир')"
+
   /** Unfiltered brute-force cosine top-k over the embeddings table — the
     * shared oracle of every full-precision exact-mode ANN twin (IVF at
     * nprobe = nlist, LSH probing all buckets): exhaustive search has ONE
@@ -1694,11 +1731,16 @@ object LlmQueries {
     // count-bound flags are invariants of a correct encoder — uniformly
     // TRUE or the hash breaks
     "bpe_encode_audit" ->
-      """SELECT doc_id,
-        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
-        |  TRUE AS roundtrip_ok, TRUE AS count_sane
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      ("""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES """.stripMargin +
+        AuditPlantedValuesSql +
+        """) p(doc_id, text))
+          |SELECT doc_id,
+          |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+          |  TRUE AS roundtrip_ok, TRUE AS count_sane, TRUE AS ids_lossless
+          |FROM all_docs ORDER BY doc_id""".stripMargin),
     // word-count state: exact counts both engines derive independently
     "word_count_state" ->
       """SELECT word, CAST(count(*) AS BIGINT) AS n FROM (
@@ -1708,11 +1750,16 @@ object LlmQueries {
     // unigram-LM audit: identical contract to bpe_encode_audit — exact
     // word counts, invariant flags asserted as literal TRUE
     "unigram_encode_audit" ->
-      """SELECT doc_id,
-        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
-        |  TRUE AS roundtrip_ok, TRUE AS count_sane
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      ("""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT * FROM (VALUES """.stripMargin +
+        AuditPlantedValuesSql +
+        """) p(doc_id, text))
+          |SELECT doc_id,
+          |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+          |  TRUE AS roundtrip_ok, TRUE AS count_sane, TRUE AS ids_lossless
+          |FROM all_docs ORDER BY doc_id""".stripMargin),
     // exact top-k is fully mirrorable; est_ok is the seeded sketch's CMS
     // bound check, a deterministic pure function of data + seed — the
     // oracle asserts it as literal TRUE

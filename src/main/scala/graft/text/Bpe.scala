@@ -40,10 +40,24 @@ object Bpe {
   private def wordsOf(textCol: String) =
     filter(split(col(textCol), "\\s+"), w => length(w) > 0)
 
-  /** Initial symbol sequence of a word: one symbol per character, with the
-    * sentinel fused onto the last ("low" -> [l, o, w</w>]). */
+  /** One string per Unicode CODE POINT — not per Java char: splitting a
+    * surrogate pair (emoji, rare CJK) into lone surrogates would make the
+    * pieces unencodable as UTF-8 (byte fallback would emit '?'). */
+  private[text] def codePointStrings(s: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      val n = Character.charCount(s.codePointAt(i))
+      out += s.substring(i, i + n)
+      i += n
+    }
+    out.result()
+  }
+
+  /** Initial symbol sequence of a word: one symbol per code point, with
+    * the sentinel fused onto the last ("low" -> [l, o, w</w>]). */
   private[text] def symbols(word: String): Vector[String] = {
-    val cs = word.map(_.toString).toVector
+    val cs = codePointStrings(word)
     cs.init :+ (cs.last + EndOfWord)
   }
 
@@ -207,9 +221,36 @@ object Bpe {
       .union(merges.select(col("right")))
       .distinct()
 
-  /** Reserved id for out-of-vocabulary tokens in [[vocabWithIds]]. */
+  /** Reserved id for out-of-vocabulary tokens in [[vocabWithIds]].
+    * With byte fallback (the default vocabulary shape since the 512
+    * byte tokens joined [[vocabWithIdsFromCounts]]) this id is
+    * UNREACHABLE from [[encodeIds]] — it remains reserved for vocab
+    * compatibility and for decoding streams produced by pre-fallback
+    * vocabularies. */
   val UnkId = 0
   val UnkToken = "<unk>"
+
+  /** Byte-fallback token for byte value `b` (0-255): `<0xNN>` — the
+    * SentencePiece `byte_fallback` / GPT-2 byte-level convention that
+    * makes ARBITRARY text representable with zero `<unk>`: any character
+    * outside the trained charset encodes as its UTF-8 bytes. */
+  def byteToken(b: Int): String = f"<0x$b%02X>"
+
+  private val ByteTokenRe = "^<0x([0-9A-F]{2})>$".r
+
+  /** UTF-8 bytes of `body` as byte-token ids; the last byte carries the
+    * sentinel when `sentinel` is set (so word boundaries survive the
+    * fallback and decode stays exact). Missing byte tokens (a vocabulary
+    * persisted before byte fallback existed) degrade to [[UnkId]]. */
+  private def byteFallbackIds(
+      body: String, sentinel: Boolean, ids: Map[String, Int]): Vector[Int] = {
+    val bs = body.getBytes("UTF-8")
+    bs.iterator.zipWithIndex.map { case (b, i) =>
+      val t = byteToken(b & 0xff) +
+        (if (sentinel && i == bs.length - 1) EndOfWord else "")
+      ids.getOrElse(t, UnkId)
+    }.toVector
+  }
 
   /** Deterministic token→id table: `(token, token_id)` with id 0 reserved
     * for `<unk>`, then the base symbols of the frequency-capped vocabulary
@@ -233,18 +274,24 @@ object Bpe {
 
   /** [[vocabWithIds]] from an in-hand capped word-count table — zero
     * corpus scans: the charset is derived driver-side from the (bounded)
-    * vocabulary words themselves. */
+    * vocabulary words themselves, PLUS the 512 byte-fallback tokens
+    * (`<0xNN>` and `<0xNN></w>` for every byte value) so [[encodeIds]]
+    * round-trips arbitrary Unicode with zero `<unk>` — the GPT-2
+    * byte-level / SentencePiece `byte_fallback` guarantee. */
   def vocabWithIdsFromCounts(
       spark: SparkSession,
       wordCounts: Seq[(String, Long)],
       merges: DataFrame): DataFrame = {
     import spark.implicits._
-    val baseChars = wordCounts.iterator.map(_._1).flatMap(_.map(_.toString)).toArray.distinct
+    val baseChars = wordCounts.iterator.map(_._1).flatMap(codePointStrings).toArray.distinct
     val mergeTokens = merges
       .select(concat(col("left"), col("right")).as("t"))
       .as[String].collect()
-    val tokens = (baseChars.flatMap(c => Seq(c, c + EndOfWord)) ++ mergeTokens)
-      .distinct.sorted
+    val byteTokens = (0 until 256)
+      .flatMap(b => Seq(byteToken(b), byteToken(b) + EndOfWord))
+    val tokens =
+      (baseChars.flatMap(c => Seq(c, c + EndOfWord)) ++ mergeTokens ++ byteTokens)
+        .distinct.sorted
     (Seq((UnkToken, UnkId)) ++ tokens.zipWithIndex.map { case (t, i) => (t, i + 1) })
       .toDF("token", "token_id")
   }
@@ -307,8 +354,11 @@ object Bpe {
 
   /** [[encode]] to NUMERIC ids — what a trainer actually consumes: adds
     * `token_ids ARRAY<INT>` (and `n_tokens`) using a broadcast token→id
-    * map; tokens outside the vocabulary map to [[UnkId]]. Same pure-scan
-    * shape as `encode` (ranks + vocab ride the closure, no join). */
+    * map. Tokens outside the vocabulary fall back to their UTF-8 BYTE
+    * tokens (sentinel preserved on the final byte), so text containing
+    * characters the training corpus never saw still encodes losslessly —
+    * zero `<unk>`, exact [[decodeIds]] round-trip. Same pure-scan shape
+    * as `encode` (ranks + vocab ride the closure, no join). */
   def encodeIds(
       df: DataFrame,
       textCol: String,
@@ -329,10 +379,57 @@ object Bpe {
         scala.collection.mutable.HashMap.empty[String, Vector[Int]]
       override def apply(words: Seq[String]): Seq[Int] =
         words.flatMap(w => memo.getOrElseUpdate(w,
-          encodeWord(w, ranks).map(t => ids.getOrElse(t, UnkId))))
+          encodeWord(w, ranks).flatMap { t =>
+            ids.get(t) match {
+              case Some(i) => Vector(i)
+              case None =>
+                val sentinel = t.endsWith(EndOfWord)
+                val body = if (sentinel) t.dropRight(EndOfWord.length) else t
+                byteFallbackIds(body, sentinel, ids)
+            }
+          }))
     })
     df.withColumn("token_ids", enc(wordsOf(textCol)))
       .withColumn("n_tokens", size(col("token_ids")))
+  }
+
+  /** Invert [[encodeIds]]: reconstruct the whitespace-normalized text
+    * (words joined by single spaces) from `idsCol`. Non-byte tokens
+    * contribute their UTF-8 bytes, `<0xNN>` tokens their byte; a
+    * sentinel-carrying token closes the current word, whose byte buffer
+    * then decodes as UTF-8 — so characters that were split into bytes by
+    * the fallback reassemble exactly. The id→token table rides the
+    * closure; pure scan. */
+  def decodeIds(
+      df: DataFrame,
+      idsCol: String,
+      vocabIds: DataFrame,
+      outCol: String = "decoded_text"): DataFrame = {
+    val toks: Map[Int, String] = vocabIds
+      .select(col("token_id").cast("int"), col("token"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getString(1))
+      .toMap
+    val dec = udf { (tokenIds: Seq[Int]) =>
+      val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      val words = Vector.newBuilder[String]
+      def flush(): Unit = {
+        words += new String(bytes.toArray, "UTF-8"); bytes.clear()
+      }
+      tokenIds.foreach { i =>
+        val t = toks.getOrElse(i, UnkToken)
+        val sentinel = t.endsWith(EndOfWord)
+        val body = if (sentinel) t.dropRight(EndOfWord.length) else t
+        body match {
+          case ByteTokenRe(hex) => bytes += Integer.parseInt(hex, 16).toByte
+          case s                => bytes ++= s.getBytes("UTF-8")
+        }
+        if (sentinel) flush()
+      }
+      if (bytes.nonEmpty) flush() // tolerate a sentinel-less tail
+      words.result().mkString(" ")
+    }
+    df.withColumn(outCol, dec(col(idsCol)))
   }
 
   /** Oracle-checkable audit of an encoded frame: per row, the exact word
@@ -340,7 +437,8 @@ object Bpe {
     * be uniformly TRUE — the tokens reconstruct the input words exactly
     * (losslessness: concat tokens, strip sentinels, compare against the
     * whitespace-joined words), and the token count is sane (>= one per
-    * word, <= one per character plus sentinel). */
+    * word, <= one per UTF-8 BYTE — the byte-fallback worst case; a plain
+    * per-character bound would flag multi-byte fallback docs). */
   def encodeAudit(encoded: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = wordsOf(textCol)
     encoded.select(
@@ -350,7 +448,7 @@ object Bpe {
         concat(concat_ws(EndOfWord, ws), lit(EndOfWord)) || size(ws) === 0)
         .as("roundtrip_ok"),
       (col("n_tokens") >= size(ws) &&
-        col("n_tokens") <= length(concat_ws("", ws)) ||
+        col("n_tokens") <= octet_length(concat_ws("", ws)) ||
         size(ws) === 0).as("count_sane"))
   }
 }

@@ -27,10 +27,12 @@ import org.apache.spark.sql.functions._
   * Divergence from SentencePiece proper, by design: pruning ranks
   * pieces by expected count rather than the exact likelihood-loss of
   * removal (the common simplification; loss ranking and count ranking
-  * agree except near ties), and there is no character-coverage /
-  * byte-fallback machinery — characters outside the capped vocabulary
-  * encode to [[Bpe.UnkId]], the same bounded-vocab contract as
-  * [[Bpe.vocabWithIds]].
+  * agree except near ties). Byte fallback IS implemented, in
+  * SentencePiece's own shape: the vocabulary carries the 256 `<0xNN>`
+  * byte pieces (probability-less markers — Viterbi never chooses them
+  * over a real piece), and [[encodeIds]] expands any un-id'd fallback
+  * character into its UTF-8 byte pieces, so arbitrary text encodes with
+  * zero `<unk>` and [[decodeIds]] round-trips exactly.
   */
 object Unigram {
 
@@ -135,7 +137,14 @@ object Unigram {
     val rows = keep.toVector.sorted.zipWithIndex.map { case (p, i) =>
       (p, math.log(math.max(fe.getOrElse(p, 0.0), 1e-12) / tot), i + 1)
     }
-    ((Bpe.UnkToken, Double.NaN, Bpe.UnkId) +: rows)
+    // byte-fallback pieces: probability-less id markers after the real
+    // pieces (null log_prob keeps them out of the Viterbi tables, so a
+    // real piece always wins); a corpus piece that literally spells
+    // <0xNN> keeps its trained row and the marker is skipped
+    val taken = keep ++ Set(Bpe.UnkToken)
+    val bytePieces = (0 until 256).map(Bpe.byteToken).filterNot(taken)
+      .zipWithIndex.map { case (p, i) => (p, Double.NaN, rows.length + 1 + i) }
+    ((Bpe.UnkToken, Double.NaN, Bpe.UnkId) +: (rows ++ bytePieces))
       .toDF("piece", "log_prob", "piece_id")
       .withColumn("log_prob",
         when(isnan(col("log_prob")), lit(null).cast("double"))
@@ -219,10 +228,17 @@ object Unigram {
         }
         j += 1
       }
-      // no piece reaches i: consume the single character as <unk> so the
-      // segmentation always completes (SentencePiece's byte-fallback
-      // analogue for a bounded charset)
-      if (back(i) < 0) { best(i) = best(i - 1); back(i) = i - 1 }
+      // no piece reaches i: consume one CODE POINT (not one char — a
+      // split surrogate pair would be unencodable as UTF-8) as a
+      // fallback piece so the segmentation always completes; encodeIds
+      // expands such pieces into byte-piece ids
+      if (back(i) < 0) {
+        val start =
+          if (i >= 2 && Character.isSurrogatePair(word.charAt(i - 2), word.charAt(i - 1)))
+            i - 2
+          else i - 1
+        best(i) = best(start); back(i) = start
+      }
       i += 1
     }
     val out = List.newBuilder[String]
@@ -256,8 +272,11 @@ object Unigram {
       .withColumn("n_pieces", size(col("pieces")))
   }
 
-  /** [[encode]] to numeric ids: `piece_ids ARRAY<INT>`, pieces outside
-    * the vocabulary (single-char unk fallbacks) map to [[Bpe.UnkId]]. */
+  /** [[encode]] to numeric ids: `piece_ids ARRAY<INT>`. Pieces outside
+    * the id table (single-char fallbacks from [[segmentWord]] for
+    * characters the training corpus never saw) expand to their UTF-8
+    * `<0xNN>` byte-piece ids — zero `<unk>` for arbitrary text, exact
+    * [[decodeIds]] round-trip. */
   def encodeIds(df: DataFrame, textCol: String, pieces: DataFrame): DataFrame = {
     val logp: Map[String, Double] = pieces
       .filter(col("log_prob").isNotNull)
@@ -272,18 +291,51 @@ object Unigram {
         scala.collection.mutable.HashMap.empty[String, Vector[Int]]
       override def apply(ws: Seq[String]): Seq[Int] =
         ws.flatMap(w => memo.getOrElseUpdate(w,
-          segmentWord(w, logp).map(s => ids.getOrElse(s, Bpe.UnkId))))
+          segmentWord(w, logp).flatMap { s =>
+            ids.get(s) match {
+              case Some(i) => Vector(i)
+              case None => s.getBytes("UTF-8").toVector
+                .map(b => ids.getOrElse(Bpe.byteToken(b & 0xff), Bpe.UnkId))
+            }
+          }))
     })
     df.withColumn("piece_ids", enc(words))
       .withColumn("n_pieces", size(col("piece_ids")))
+  }
+
+  /** Invert [[encodeIds]]: every piece contributes its UTF-8 bytes
+    * (`<0xNN>` pieces their single byte), the concatenation decodes as
+    * UTF-8. Unigram pieces carry no word sentinel, so the result is the
+    * WORD CONCATENATION (whitespace is not recoverable — the documented
+    * contract [[encodeAudit]]'s roundtrip flag also checks against). */
+  def decodeIds(
+      df: DataFrame,
+      idsCol: String,
+      pieces: DataFrame,
+      outCol: String = "decoded_text"): DataFrame = {
+    val byteRe = "^<0x([0-9A-F]{2})>$".r
+    val toks: Map[Int, String] = pieces
+      .select(col("piece_id").cast("int"), col("piece"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    val dec = udf { (pieceIds: Seq[Int]) =>
+      val bytes = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      pieceIds.foreach { i =>
+        toks.getOrElse(i, Bpe.UnkToken) match {
+          case byteRe(hex) => bytes += Integer.parseInt(hex, 16).toByte
+          case s           => bytes ++= s.getBytes("UTF-8")
+        }
+      }
+      new String(bytes.toArray, "UTF-8")
+    }
+    df.withColumn(outCol, dec(col(idsCol)))
   }
 
   /** Oracle-checkable audit of an encoded frame — the unigram twin of
     * [[Bpe.encodeAudit]]: exact word count plus invariant flags that
     * must be uniformly TRUE (pieces concatenate back to the
     * whitespace-joined words — Viterbi segmentations are exact covers —
-    * and the piece count is between one per word and one per
-    * character). */
+    * and the piece count is between one per word and one per UTF-8 BYTE,
+    * the byte-fallback worst case). */
   def encodeAudit(encoded: DataFrame, idCol: String, textCol: String): DataFrame = {
     val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
     encoded.select(
@@ -292,7 +344,7 @@ object Unigram {
       (concat_ws("", col("pieces")) === concat_ws("", ws) || size(ws) === 0)
         .as("roundtrip_ok"),
       (col("n_pieces") >= size(ws) &&
-        col("n_pieces") <= length(concat_ws("", ws)) ||
+        col("n_pieces") <= octet_length(concat_ws("", ws)) ||
         size(ws) === 0).as("count_sane"))
   }
 }

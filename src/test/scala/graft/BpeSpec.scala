@@ -79,7 +79,7 @@ class BpeSpec extends SparkSpec {
     assert(toks.mkString("") === "bandana</w>") // still lossless
   }
 
-  test("token ids: deterministic, invertible in-vocab, OOV maps to unk") {
+  test("token ids: deterministic, invertible in-vocab, OOV byte-falls-back") {
     val corpus = (Seq.fill(5)("ab ab ba") ++ Seq.fill(3)("abc")).toDF("text")
     val merges = Bpe.train(corpus, "text", numMerges = 20)
     val v1 = Bpe.vocabWithIds(corpus, "text", merges)
@@ -95,10 +95,12 @@ class BpeSpec extends SparkSpec {
     val tokIds = enc.getSeq[Int](enc.fieldIndex("token_ids"))
     assert(tokIds.nonEmpty && !tokIds.contains(Bpe.UnkId))
     assert(tokIds.map(inv).mkString("") === "ab</w>ba</w>abc</w>")
-    // characters never seen in training become unk, count preserved
+    // characters never seen in training byte-fall-back: one byte token
+    // per ASCII char, last one sentinel-fused, zero unk
     val oov = Bpe.encodeIds(Seq("xyz").toDF("text"), "text", merges, v1).head()
     val oovIds = oov.getSeq[Int](oov.fieldIndex("token_ids"))
-    assert(oovIds.forall(_ == Bpe.UnkId) && oovIds.size === 3)
+    assert(oovIds.forall(_ != Bpe.UnkId) && oovIds.size === 3)
+    assert(oovIds.map(inv) === Seq("<0x78>", "<0x79>", "<0x7A></w>"))
   }
 
   test("trainArtifacts: merges + vocab from provably ONE corpus scan") {
@@ -127,5 +129,32 @@ class BpeSpec extends SparkSpec {
     val merges = Bpe.train(corpus, "text", numMerges = 5)
     val v = Bpe.vocab(merges).as[String].collect().toSet
     assert(v.contains("ab</w>"))
+  }
+
+  test("byte fallback: arbitrary unicode round-trips through ids with zero unk") {
+    val train = Seq.fill(10)("the quick brown fox jumps").toDF("text")
+    val (merges, vocabIds) = Bpe.trainArtifacts(train, "text", numMerges = 20)
+    // the 512 byte tokens are in the vocabulary
+    val toks = vocabIds.select("token").as[String].collect().toSet
+    assert(toks.contains("<0x00>") && toks.contains("<0xFF></w>"))
+    // CJK, emoji (surrogate pair), accents, cyrillic — none in training
+    val wild = Seq("日本語テキスト", "café 😀 ok", "привет the quick",
+      "mixed日本and🍕slices").toDF("text")
+    val enc = Bpe.encodeIds(wild, "text", merges, vocabIds)
+    val idsOut = enc.select("token_ids").as[Seq[Int]].collect()
+    assert(idsOut.forall(ids => ids.nonEmpty && ids.forall(_ != Bpe.UnkId)),
+      "byte fallback must leave zero unk ids")
+    // exact round-trip: decode reproduces the whitespace-joined words
+    val rt = Bpe.decodeIds(enc, "token_ids", vocabIds)
+      .select(col("decoded_text"),
+        concat_ws(" ", filter(split(col("text"), "\\s+"), w => length(w) > 0)).as("want"))
+      .as[(String, String)].collect()
+    rt.foreach { case (got, want) => assert(got === want) }
+    // in-charset text still round-trips (fallback changed nothing there)
+    val tame = Bpe.decodeIds(
+        Bpe.encodeIds(train.limit(1), "text", merges, vocabIds),
+        "token_ids", vocabIds)
+      .select("decoded_text").as[String].head
+    assert(tame === "the quick brown fox jumps")
   }
 }

@@ -52,21 +52,41 @@ class UnigramSpec extends SparkSpec {
     assert(a === b, "training must not depend on partition layout")
   }
 
-  test("vocabulary is sized to target; unseen characters fall back to unk ids") {
+  test("vocabulary is sized to target; unseen characters byte-fall-back, never unk") {
     val df = Seq.fill(20)("hello world").toDF("text")
     val pieces = Unigram.train(df, "text", vocabSize = 12)
     val real = pieces.filter(col("log_prob").isNotNull).count()
     // chars: h e l o w r d (7) + space-split words' chars only; target 12
     assert(real <= 12L, s"vocab $real exceeds target")
     assert(pieces.filter(col("piece") === Bpe.UnkToken).count() === 1L)
-    // a character never seen in training segments as an unk-id piece but
+    // byte pieces are probability-less markers after the real pieces
+    assert(pieces.filter(col("piece") === "<0x41>").count() === 1L)
+    // a character never seen in training segments as a fallback piece and
     // still round-trips as text
     val enc = Unigram.encode(Seq("hexxxllo").toDF("text"), "text", pieces)
       .select(concat_ws("", col("pieces"))).as[String].head
     assert(enc === "hexxxllo")
+    // unseen chars encode to their UTF-8 byte-piece ids — zero unk
     val ids = Unigram.encodeIds(Seq("zzz").toDF("text"), "text", pieces)
       .select("piece_ids").as[Seq[Int]].head
-    assert(ids.nonEmpty && ids.forall(_ == Bpe.UnkId),
-      s"unseen chars must map to UnkId, got $ids")
+    assert(ids.nonEmpty && ids.forall(_ != Bpe.UnkId),
+      s"unseen chars must byte-fall-back, got unk in $ids")
+  }
+
+  test("byte fallback: arbitrary unicode round-trips through ids with zero unk") {
+    val train = Seq.fill(20)("the quick brown fox").toDF("text")
+    val pieces = Unigram.train(train, "text", vocabSize = 16)
+    // CJK, emoji (surrogate pair), accents, cyrillic — none in training
+    val wild = Seq("日本語テキスト", "café 😀 ok", "привет the",
+      "mixed日本and🍕slices").toDF("text")
+    val enc = Unigram.encodeIds(wild, "text", pieces)
+    val noUnk = enc.select("piece_ids").as[Seq[Int]].collect()
+    assert(noUnk.forall(ids => ids.nonEmpty && ids.forall(_ != Bpe.UnkId)))
+    // decode = exact word concatenation (no sentinel -> no spaces)
+    val rt = Unigram.decodeIds(enc, "piece_ids", pieces)
+      .select(col("decoded_text"),
+        concat_ws("", filter(split(col("text"), "\\s+"), w => length(w) > 0)).as("want"))
+      .as[(String, String)].collect()
+    rt.foreach { case (got, want) => assert(got === want) }
   }
 }
