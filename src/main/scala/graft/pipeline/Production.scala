@@ -564,6 +564,68 @@ object Production {
         ctx.dataPath("processed.packed_bins"))
     }
 
+    // the interleaved VLM lifecycle as catalog stages: plan asset slots
+    // over the tokenized zone (raw.assets carries one row per media asset
+    // with its in-text position and patch-token budget), then materialize
+    // the slot-aligned bins whose media spans hold the placeholder id the
+    // trainer swaps for patch embeddings
+    Jobs.register("tokenizer", "interleave-plan") { (ctx, params) =>
+      val s = ctx.spark
+      val idCol = params.getOrElse("id_col", "doc_id").toString
+      val ctxTokens = params.getOrElse("ctx_tokens", "2048").toString.toInt
+      val nShards = params.getOrElse("n_shards", "64").toString.toInt
+      val tokenized = Tables.readData(s, Seq(ctx.dataPath("processed.tokenized")))
+      val assets = Tables.readData(s, Seq(ctx.dataPath("raw.assets")))
+      save(ctx,
+        graft.text.Packing.interleavedPlan(tokenized, assets, idCol,
+          "n_tokens",
+          params.getOrElse("asset_id_col", "asset_id").toString,
+          params.getOrElse("position_col", "position").toString,
+          params.getOrElse("patch_tokens_col", "patch_tokens").toString,
+          ctxTokens, nShards),
+        ctx.dataPath("processed.interleaved_plan"))
+    }
+
+    Jobs.register("tokenizer", "materialize-interleaved") { (ctx, params) =>
+      val s = ctx.spark
+      val idCol = params.getOrElse("id_col", "doc_id").toString
+      val ctxTokens = params.getOrElse("ctx_tokens", "2048").toString.toInt
+      val nShards = params.getOrElse("n_shards", "64").toString.toInt
+      val tokenized = Tables.readData(s, Seq(ctx.dataPath("processed.tokenized")))
+      // slot arrays are integer ids — string-token corpora would silently
+      // cast to null inside the bins, so require the id-encoded zone
+      require(tokenized.columns.contains("token_ids"),
+        "tokenizer/materialize-interleaved needs the id-encoded tokenized " +
+          "zone (run encode with ids: true)")
+      val assets = Tables.readData(s, Seq(ctx.dataPath("raw.assets")))
+      save(ctx,
+        graft.text.Packing.materializeInterleaved(tokenized, assets, idCol,
+          "token_ids",
+          params.getOrElse("asset_id_col", "asset_id").toString,
+          params.getOrElse("position_col", "position").toString,
+          params.getOrElse("patch_tokens_col", "patch_tokens").toString,
+          ctxTokens, nShards,
+          imageTokenId = params.getOrElse("image_token_id", "-1").toString.toInt,
+          padTokenId = params.getOrElse("pad_token_id", "0").toString.toInt),
+        ctx.dataPath("processed.interleaved_bins"))
+    }
+
+    // deterministic per-epoch training order over any packed artifact —
+    // `source` names the zone key (packed sequences by default; bins work
+    // too, their bin_id standing in for seq_id)
+    Jobs.register("tokenizer", "epoch-shuffle") { (ctx, params) =>
+      val s = ctx.spark
+      val epoch = params.getOrElse("epoch", "0").toString.toInt
+      val srcKey = params.getOrElse("source", "processed.packed_sequences").toString
+      val packed0 = Tables.readData(s, Seq(ctx.dataPath(srcKey)))
+      val packed =
+        if (packed0.columns.contains("seq_id")) packed0
+        else packed0.withColumn("seq_id", org.apache.spark.sql.functions.col("bin_id"))
+      save(ctx,
+        graft.text.Packing.epochShuffle(packed, epoch),
+        ctx.dataPath("processed.epoch_order"))
+    }
+
     // Metric percentile profile as a catalog job: fold one batch's GK
     // quantile state into the state table (O(keys) per fold, replay-safe
     // via batch_id), then publish the current per-key estimates — the

@@ -37,20 +37,27 @@ object ScaleBench {
       d.withColumn(c, col(c) + lit(j * stride))
     }
 
-  /** Derive a k-times-larger copy of `src` into `dst` (idempotent). */
-  def scaleUp(spark: SparkSession, src: String, dst: String, k: Int): Unit = {
+  /** Derive a k-times-larger copy of `src` into `dst` (idempotent).
+    * `only` restricts which tables are derived (None = all) — the
+    * dedup-decade run needs just documents + customer, and deriving
+    * lineitem at 100x would dominate the wall time for nothing. */
+  def scaleUp(spark: SparkSession, src: String, dst: String, k: Int,
+      only: Option[Set[String]] = None): Unit = {
     val okPath = new org.apache.hadoop.fs.Path(s"$dst/_SCALE_OK")
     val fs = okPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(okPath)) return
+    def wanted(t: String) = only.forall(_.contains(t))
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String): Unit =
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    def write(df: => DataFrame, t: String): Unit =
+      if (wanted(t)) df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
 
     write(read("region"), "region")
     write(read("nation"), "nation")
 
-    def copies(base: DataFrame)(one: (DataFrame, Int) => DataFrame): DataFrame =
-      (0 until k).map(j => if (j == 0) base else one(base, j)).reduce(_.unionByName(_))
+    def copies(base: => DataFrame)(one: (DataFrame, Int) => DataFrame): DataFrame = {
+      val b = base
+      (0 until k).map(j => if (j == 0) b else one(b, j)).reduce(_.unionByName(_))
+    }
 
     write(copies(read("customer")) { (d, j) =>
       shifted(d, j, Map("c_custkey" -> CopyStride))
@@ -120,16 +127,31 @@ object ScaleBench {
     System.err.println(s"[scalebench] deriving sf1 into $sf1Dir (idempotent)")
     scaleUp(spark, "/root/testdata/sf0.1", sf1Dir, 10)
 
-    val dirs = Seq(
-      "sf0.01" -> "/root/testdata/sf0.01",
-      "sf0.1" -> "/root/testdata/sf0.1",
-      "sf1" -> sf1Dir)
+    // `dedup-decade`: one more decade for the dedup families only. sf1
+    // crossed the driver-union-find → distributed-clustering boundary, so
+    // the sf0.1→sf1 slope conflates the engine change with data growth;
+    // BOTH sides of the sf1→sf10 step run the distributed loop, so this
+    // slope measures the distributed regime alone.
+    val dedupDecade = args.contains("dedup-decade")
+    val (chosenSuite, dirs) =
+      if (dedupDecade) {
+        val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft_sf10")
+        System.err.println(s"[scalebench] deriving sf10 into $sf10Dir (idempotent)")
+        scaleUp(spark, "/root/testdata/sf0.1", sf10Dir, 100,
+          only = Some(Set("documents", "customer")))
+        (suite.filter { case (n, _) => n == "neardup_full" || n == "fuzzy_full" },
+          Seq("sf1" -> sf1Dir, "sf10" -> sf10Dir))
+      } else
+        (suite, Seq(
+          "sf0.01" -> "/root/testdata/sf0.01",
+          "sf0.1" -> "/root/testdata/sf0.1",
+          "sf1" -> sf1Dir))
     // JVM warmup
     spark.read.parquet(s"$sf1Dir/region.parquet").groupBy("r_name").count().count()
 
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[String, Double]]
-    for ((qname, fn) <- suite; (sfName, dir) <- dirs) {
+    for ((qname, fn) <- chosenSuite; (sfName, dir) <- dirs) {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val times = (1 to 2).map { _ =>

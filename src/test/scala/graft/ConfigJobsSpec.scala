@@ -232,6 +232,19 @@ class ConfigJobsSpec extends AnyFunSuite {
     spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("user_id"), col("value")).limit(2000)
       .write.mode("overwrite").parquet(s"$work/metrics")
+    // synthetic media assets over the same docs: every 5th doc carries an
+    // image at text position 5 (7 patch tokens), every 7th a lead image
+    spark.read.parquet(s"$work/docs").select(col("doc_id"))
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), (col("doc_id") * 10 + 1).as("asset_id"),
+        org.apache.spark.sql.functions.lit(5L).as("position"),
+        org.apache.spark.sql.functions.lit(7L).as("patch_tokens"))
+      .unionByName(spark.read.parquet(s"$work/docs").select(col("doc_id"))
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), (col("doc_id") * 10 + 2).as("asset_id"),
+          org.apache.spark.sql.functions.lit(0L).as("position"),
+          org.apache.spark.sql.functions.lit(3L).as("patch_tokens")))
+      .write.mode("overwrite").parquet(s"$work/assets")
     val yml = java.nio.file.Files.createTempFile("graft-tok-jobs", ".yml")
     java.nio.file.Files.writeString(yml,
       """jobs:
@@ -252,6 +265,12 @@ class ConfigJobsSpec extends AnyFunSuite {
         |            params: {ctx_tokens: 256, n_shards: 4}
         |          - name: materialize-no-split
         |            params: {ctx_tokens: 256, n_shards: 4}
+        |          - name: interleave-plan
+        |            params: {ctx_tokens: 256, n_shards: 4}
+        |          - name: materialize-interleaved
+        |            params: {ctx_tokens: 256, n_shards: 4, image_token_id: -1}
+        |          - name: epoch-shuffle
+        |            params: {epoch: 2, source: processed.interleaved_bins}
         |  - name: metric-profile
         |    stages:
         |      - name: profile
@@ -265,6 +284,7 @@ class ConfigJobsSpec extends AnyFunSuite {
       "data_catalog" -> Map(
         "raw" -> Map(
           "documents" -> s"$work/docs",
+          "assets" -> s"$work/assets",
           "metrics_batch" -> s"$work/metrics"),
         "models" -> Map(
           "bpe_merges" -> s"$work/bpe_merges",
@@ -278,6 +298,9 @@ class ConfigJobsSpec extends AnyFunSuite {
           "bin_packing" -> s"$work/bin_packing",
           "bin_packing_stats" -> s"$work/bin_packing_stats",
           "packed_bins" -> s"$work/packed_bins",
+          "interleaved_plan" -> s"$work/interleaved_plan",
+          "interleaved_bins" -> s"$work/interleaved_bins",
+          "epoch_order" -> s"$work/epoch_order",
           "quantile_profile" -> s"$work/qprofile")))
     graft.pipeline.Production.registerAll()
     val ctx = Context(cfg, spark)
@@ -332,6 +355,32 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(seqs.agg(org.apache.spark.sql.functions.sum("seq_len"))
       .head().getLong(0) === encTokens)
     assert(seqs.filter(col("seq_len") > 256).count() === 0)
+    // the VLM lifecycle through the catalog reproduces the direct library
+    // call exactly: same slot-aligned bins, same spans, same arrays
+    val catBins = spark.read.parquet(s"$work/interleaved_bins")
+    val direct = graft.text.Packing.materializeInterleaved(
+      tokenized, spark.read.parquet(s"$work/assets"), "doc_id", "token_ids",
+      "asset_id", "position", "patch_tokens",
+      ctxTokens = 256, nShards = 4, imageTokenId = -1, padTokenId = 0)
+    assert(catBins.count() === direct.count())
+    assert(catBins.exceptAll(direct).count() === 0 &&
+      direct.exceptAll(catBins).count() === 0)
+    // every placed asset's span really holds the placeholder id, and the
+    // catalog plan agrees with the bins' media spans
+    val catPlan = spark.read.parquet(s"$work/interleaved_plan")
+    assert(catPlan.filter(!col("dropped")).count() ===
+      catBins.select(org.apache.spark.sql.functions
+        .explode(col("media_spans"))).count())
+    assert(catBins.filter(org.apache.spark.sql.functions
+      .expr("exists(media_spans, m -> exists(sequence(m.start, m.start + m.patch_tokens - 1), i -> token_ids[i] != -1))")).count() === 0)
+    // epoch order covers every bin exactly once, densely per shard
+    val order = spark.read.parquet(s"$work/epoch_order")
+    assert(order.count() === catBins.count())
+    assert(order.filter(col("epoch") =!= 2).count() === 0)
+    val maxPos = order.groupBy(col("shard"))
+      .agg(org.apache.spark.sql.functions.max("epoch_pos").as("mx"),
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+    assert(maxPos.filter(col("mx") =!= col("n") - 1).count() === 0)
     assert(graft.pipeline.Jobs.run(ctx, "metric-profile").isEmpty)
     val prof = spark.read.parquet(s"$work/qprofile")
     assert(prof.columns.toSeq.contains("q_50") && prof.columns.toSeq.contains("q_90"))
