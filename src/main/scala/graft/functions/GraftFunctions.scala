@@ -138,6 +138,10 @@ object GraftFunctions {
       val form =
         if (args.length == 2) litString(args(1), "graft_normalize", "form") else "NFKC"
       NormalizeText(Cast(args(0), StringType), form)
+    },
+    "graft_deflate_ratio" -> { args =>
+      require(args.length == 1, "graft_deflate_ratio(text) takes 1 argument")
+      DeflateRatio(Cast(args(0), StringType))
     })
 
   private def info(name: String): ExpressionInfo =

@@ -184,6 +184,33 @@ object Production {
         ctx.dataPath("clean.documents_model_filtered"))
     }
 
+    // DSIR target-distribution selection (Xie et al. 2023): weight every
+    // raw document by how target-like its hashed n-gram distribution is,
+    // then keep a Gumbel-top-k sample ∝ exp(weight) — the
+    // distribution-matching gate next to the learned quality gate above
+    Jobs.register("corpus-curation", "dsir-select") { (ctx, params) =>
+      val s = ctx.spark
+      val idCol = params.getOrElse("id_col", "doc_id").toString
+      val textCol = params.getOrElse("text_col", "text").toString
+      val in = params.getOrElse("input", "raw.documents").toString
+      val raw = Tables.readData(s, Seq(ctx.dataPath(in)))
+      val weights = graft.sampling.Dsir.logWeights(
+        raw,
+        Tables.readData(s, Seq(ctx.dataPath("raw.target_corpus"))),
+        idCol, textCol,
+        buckets = params.getOrElse("buckets", "8192").toString.toInt,
+        alpha = params.getOrElse("alpha", "1.0").toString.toDouble)
+      save(ctx, weights, ctx.dataPath("processed.dsir_weights"))
+      val selected = graft.sampling.Dsir.gumbelTopK(
+        Tables.readData(s, Seq(ctx.dataPath("processed.dsir_weights"))),
+        idCol, "log_weight",
+        k = params.getOrElse("k", "1000").toString.toInt,
+        seed = params.getOrElse("seed", ctx.seed.toString).toString.toLong)
+      save(ctx,
+        raw.join(selected.select(col(idCol)), Seq(idCol), "left_semi"),
+        ctx.dataPath("clean.documents_dsir_selected"))
+    }
+
     // the release data card: per-language composition/shares/percentiles/
     // quality/dup rates over whichever corpus zone the chain points at
     Jobs.register("corpus-curation", "data-card") { (ctx, params) =>

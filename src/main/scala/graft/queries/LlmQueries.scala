@@ -176,6 +176,47 @@ object LlmQueries {
         .textStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // --- character/word Shannon entropy quality signals: DuckDB
+    // re-derives both from per-element counts with the same
+    // ln(n) - Σc·ln(c)/n arithmetic
+    "entropy_stats" -> { (s, dir) =>
+      TextAnalysis
+        .entropyStats(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("n_chars"),
+          round(col("char_entropy"), 6).as("char_entropy"),
+          col("n_words"), round(col("word_entropy"), 6).as("word_entropy"))
+        .orderBy(col("doc_id"))
+    },
+    // --- DEFLATE compression-ratio gate (the Gopher/RefinedWeb signal):
+    // plant a repetitive twin ("spam spam ...") and a random-hex twin of
+    // every doc; prose must compress between them ON AVERAGE (per-row
+    // ordering vs random hex genuinely doesn't hold — short prose pays
+    // deflate's startup overhead). Ratios depend on the JVM's zlib, so
+    // the oracle pins the exact doc count and the uniformly-TRUE ordering
+    // flags, not float ratios — the quality_classifier_audit pattern
+    "compression_ratio_audit" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(length(col("text")) >= 64)
+        .select(col("doc_id"), col("text"))
+      val planted = docs.select(col("doc_id"), col("text"),
+        concat_ws(" ",
+          expr("transform(sequence(1, 40), i -> 'spam')")).as("repetitive"),
+        concat_ws("",
+          expr("transform(sequence(1, 5), i -> md5(concat(cast(doc_id as string), ':', i)))"))
+          .as("randomish"))
+      planted
+        .select(
+          TextAnalysis.deflateRatio(col("repetitive")).as("r_rep"),
+          TextAnalysis.deflateRatio(col("text")).as("r_prose"),
+          TextAnalysis.deflateRatio(col("randomish")).as("r_rand"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (avg(col("r_rep")) < avg(col("r_prose"))).as("rep_below_prose"),
+          (avg(col("r_prose")) < avg(col("r_rand"))).as("prose_below_random"),
+          // repetition is ALWAYS cheaper than its own doc's prose —
+          // this ordering does hold row-wise
+          (count(lit(1)) === sum(when(col("r_rep") < col("r_prose"), 1)
+            .otherwise(0))).as("rep_below_prose_rowwise"))
+    },
     // --- Unicode normalization: plant a combining-mark sequence and a
     // control byte on every doc; the NFC output string (composed, control
     // stripped) is compared byte-for-byte against DuckDB's nfc_normalize
@@ -418,6 +459,31 @@ object LlmQueries {
       graft.sampling.Sampling
         .negativePairs(docs.select(col("doc_id")), "doc_id", 3, docs.count())
         .orderBy(col("id"), col("j"))
+    },
+    // --- DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+    // bucket counts, Laplace-smoothed target (doc_id < 100) vs raw (all)
+    // distributions, per-doc log-likelihood-ratio weight. Everything is
+    // md5-bucketed doubles, so DuckDB replays the pipeline end to end
+    "dsir_weights" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.sampling.Dsir
+        .logWeights(docs, docs.filter(col("doc_id") < 100),
+          "doc_id", "text", buckets = 512)
+        .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"))
+        .orderBy(col("doc_id"))
+    },
+    // --- DSIR selection: Gumbel-top-k over the importance weights — an
+    // exact without-replacement sample ∝ exp(log_weight), deterministic
+    // from the seeded md5 draw; the oracle replays weights AND the draw
+    "dsir_resample" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.sampling.Dsir
+        .gumbelTopK(
+          graft.sampling.Dsir.logWeights(docs,
+            docs.filter(col("doc_id") < 100), "doc_id", "text", buckets = 512),
+          "doc_id", "log_weight", k = 50, seed = 7)
+        .select(col("doc_id"), round(col("priority"), 6).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
     },
     // --- character-level fuzzy dedup (SymSpell deletion neighborhoods +
     // exact levenshtein verify): entity-name typo pairs the token-level
@@ -1373,6 +1439,30 @@ object LlmQueries {
          |    + (CASE WHEN ($allStopSql) > 0 OR ($hanSql) > 0 THEN 1.0 ELSE 0.0 END)
          |  ) / 4.0, 6) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "entropy_stats" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |ch AS (SELECT doc_id, substring(text, i, 1) AS e
+        |       FROM (SELECT doc_id, text, unnest(generate_series(1, length(text))) AS i FROM d)),
+        |cc AS (SELECT doc_id, e, CAST(count(*) AS DOUBLE) AS c FROM ch GROUP BY 1, 2),
+        |ce AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+        |         ln(sum(c)) - sum(c * ln(c)) / sum(c) AS che
+        |       FROM cc GROUP BY 1),
+        |w AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS e FROM d),
+        |wc AS (SELECT doc_id, e, CAST(count(*) AS DOUBLE) AS c FROM w GROUP BY 1, 2),
+        |we AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |         ln(sum(c)) - sum(c * ln(c)) / sum(c) AS wde
+        |       FROM wc GROUP BY 1)
+        |SELECT d.doc_id, ce.n_chars, round(ce.che, 6) AS char_entropy,
+        |       we.n_words, round(we.wde, 6) AS word_entropy
+        |FROM d LEFT JOIN ce USING (doc_id) LEFT JOIN we USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // compression gate: doc count is exact arithmetic; the zlib-dependent
+    // ratios are pinned as ordering flags (TRUE under any zlib build),
+    // the uniformly-TRUE-flag oracle idiom
+    "compression_ratio_audit" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs, TRUE AS rep_below_prose,
+        |  TRUE AS prose_below_random, TRUE AS rep_below_prose_rowwise
+        |FROM documents WHERE length(text) >= 64""".stripMargin,
     // learned quality gate: eval-set size is exact arithmetic; the
     // accuracy bound is an invariant flag (TRUE for any sane trainer on
     // this separable frame), the uniformly-TRUE-flag oracle idiom
@@ -1820,6 +1910,57 @@ object LlmQueries {
         |  UNION ALL SELECT doc_id + 100000, text FROM documents)
         |GROUP BY sha256(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
         |ORDER BY doc_id""".stripMargin,
+    "dsir_weights" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(w) AS g FROM d
+        |      UNION ALL
+        |      SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+        |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM d)),
+        |f AS (SELECT doc_id,
+        |        CAST('0x' || substring(md5(g), 1, 13) AS BIGINT) % 512 AS bucket,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM g GROUP BY 1, 2),
+        |tf AS (SELECT bucket, sum(cnt) AS c FROM f WHERE doc_id < 100 GROUP BY 1),
+        |tn AS (SELECT sum(cnt) AS n FROM f WHERE doc_id < 100),
+        |rf AS (SELECT bucket, sum(cnt) AS c FROM f GROUP BY 1),
+        |rn AS (SELECT sum(cnt) AS n FROM f),
+        |b AS (SELECT unnest(generate_series(0, 511)) AS bucket),
+        |lp AS (SELECT b.bucket,
+        |         ln((coalesce(tf.c, 0) + 1.0) / (tn.n + 512.0)) AS lt,
+        |         ln((coalesce(rf.c, 0) + 1.0) / (rn.n + 512.0)) AS lr
+        |       FROM b LEFT JOIN tf USING (bucket) LEFT JOIN rf USING (bucket), tn, rn)
+        |SELECT f.doc_id, round(sum(f.cnt * (lp.lt - lp.lr)), 6) AS log_weight
+        |FROM f JOIN lp USING (bucket)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dsir_resample" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents),
+        |g AS (SELECT doc_id, unnest(w) AS g FROM d
+        |      UNION ALL
+        |      SELECT doc_id, w[i] || ' ' || w[i + 1] AS g
+        |      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i FROM d)),
+        |f AS (SELECT doc_id,
+        |        CAST('0x' || substring(md5(g), 1, 13) AS BIGINT) % 512 AS bucket,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM g GROUP BY 1, 2),
+        |tf AS (SELECT bucket, sum(cnt) AS c FROM f WHERE doc_id < 100 GROUP BY 1),
+        |tn AS (SELECT sum(cnt) AS n FROM f WHERE doc_id < 100),
+        |rf AS (SELECT bucket, sum(cnt) AS c FROM f GROUP BY 1),
+        |rn AS (SELECT sum(cnt) AS n FROM f),
+        |b AS (SELECT unnest(generate_series(0, 511)) AS bucket),
+        |lp AS (SELECT b.bucket,
+        |         ln((coalesce(tf.c, 0) + 1.0) / (tn.n + 512.0)) AS lt,
+        |         ln((coalesce(rf.c, 0) + 1.0) / (rn.n + 512.0)) AS lr
+        |       FROM b LEFT JOIN tf USING (bucket) LEFT JOIN rf USING (bucket), tn, rn),
+        |wgt AS (SELECT f.doc_id, sum(f.cnt * (lp.lt - lp.lr)) AS lw
+        |        FROM f JOIN lp USING (bucket) GROUP BY 1),
+        |pri AS (SELECT doc_id, lw - ln(-ln(
+        |          (CAST('0x' || substring(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |             AS BIGINT) + 0.5) / 4503599627370496.0)) AS p
+        |        FROM wgt)
+        |SELECT doc_id, round(p, 6) AS priority FROM pri
+        |ORDER BY p DESC, doc_id LIMIT 50""".stripMargin,
     "negative_sampling" ->
       """WITH n AS (SELECT count(*) AS c FROM documents),
         |p AS (SELECT doc_id AS id, j,

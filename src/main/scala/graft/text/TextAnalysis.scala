@@ -736,4 +736,48 @@ object TextAnalysis {
       round(upperRatio(c), 6).as("upper_ratio"),
       round(qualityScore(c), 6).as("quality"))
   }
+
+  /** DEFLATE compression ratio quality signal (compressed bytes / raw
+    * bytes, null for empty text) — see [[graft.expressions.DeflateRatio]]:
+    * the published Gopher/RefinedWeb boilerplate-and-junk filter hangs
+    * off both tails of this one number. */
+  def deflateRatio(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.DeflateRatio(
+        org.apache.spark.sql.graft.Bridge.expression(c.cast("string"))))
+
+  /** Per-document Shannon entropy (nats) at the character and word
+    * level — the repetition/boilerplate signals the ratio heuristics
+    * miss: low char entropy = repeated characters/markup, low word
+    * entropy = template text repeating a small vocabulary. Output:
+    * (idCol, n_chars, char_entropy, n_words, word_entropy).
+    *
+    * Entropy is computed as `ln(n) − (Σ c·ln c)/n` over per-element
+    * counts — one explode + two keyed groupBys per level, partitioned by
+    * document id throughout (no global state, scale shape is keyed
+    * shuffles only). Documents with empty text have no characters:
+    * char_entropy is null there, word entropy 0 (the tokenizer's empty
+    * split yields one empty token — consistent with the LM queries). */
+  def entropyStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def entropyOf(elems: DataFrame, nCol: String, eCol: String): DataFrame =
+      elems.groupBy(col(idCol), col("__e")).agg(count(lit(1)).as("__c"))
+        .groupBy(col(idCol))
+        .agg(
+          sum(col("__c")).as(nCol),
+          (log(sum(col("__c"))) -
+            sum(col("__c") * log(col("__c"))) / sum(col("__c"))).as(eCol))
+    // sequence(1, 0) in Spark steps DOWNWARD ([1, 0]) instead of being
+    // empty — guard empty text explicitly or it grows two phantom chars
+    val chars = df
+      .select(col(idCol),
+        explode(when(length(col(textCol)) > 0,
+          expr(s"transform(sequence(1, length($textCol)), i -> substring($textCol, i, 1))"))
+          .otherwise(expr("array()").cast("array<string>"))).as("__e"))
+    val words = df
+      .select(col(idCol),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("__e"))
+    df.select(col(idCol))
+      .join(entropyOf(chars, "n_chars", "char_entropy"), Seq(idCol), "left")
+      .join(entropyOf(words, "n_words", "word_entropy"), Seq(idCol), "left")
+  }
 }

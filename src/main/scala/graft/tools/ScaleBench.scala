@@ -104,7 +104,7 @@ object ScaleBench {
       "outlier_counts", "outlier_bounds", "bm25_top_terms", "ann_ivf_topk",
       "quantile_sketch_state", "join_chain", "topk_per_key", "rolling_window",
       "cosine_topk", "sequence_packing")
-      .map(n => n -> graft.SparkEntry.queries(n))
+      .map(n => n -> (graft.SparkEntry.queries ++ graft.SparkEntry.benchQueries)(n))
     val custom: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "neardup_full" -> { (s, dir) =>
         val docs = s.read.parquet(s"$dir/documents.parquet")

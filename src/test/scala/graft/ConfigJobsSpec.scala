@@ -629,6 +629,48 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(kept === (100L until 105L).toSet, s"got $kept")
   }
 
+  test("curation dsir-select catalog job: distribution-matching gate keeps target-like docs") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-dsir-jobs").toString
+    (0 until 25).map(i =>
+      (i.toLong, s"quantum field theory lattice gauge energy spectrum run $i"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/target")
+    ((100 until 125).map(i =>
+      (i.toLong, s"quantum field theory lattice gauge energy spectrum run $i")) ++
+      (200 until 225).map(i =>
+        (i.toLong, s"click here buy now free offer winner prize claim $i")))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/docs")
+    val yml = java.nio.file.Files.createTempFile("graft-dsir-jobs", ".yml")
+    java.nio.file.Files.writeString(yml,
+      """jobs:
+        |  - name: corpus-curation
+        |    fail_fast: true
+        |    stages:
+        |      - name: gate
+        |        tasks:
+        |          - name: dsir-select
+        |            params: {buckets: 256, k: 20, seed: 11}
+        |""".stripMargin)
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Context.loadYaml(yml.toString),
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "documents" -> s"$work/docs",
+          "target_corpus" -> s"$work/target"),
+        "processed" -> Map("dsir_weights" -> s"$work/weights"),
+        "clean" -> Map("documents_dsir_selected" -> s"$work/selected")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(ctx = Context(cfg, spark), "corpus-curation").isEmpty)
+    // weights persisted for every raw doc; selection keeps only the
+    // science half (the weight gap is many nats, k < #science)
+    assert(spark.read.parquet(s"$work/weights").count() === 50)
+    val kept = spark.read.parquet(s"$work/selected")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.size === 20 && kept.forall(_ < 200L), s"got $kept")
+  }
+
   test("delta read dispatches the format to the DataSource registry (documented no-jar failure)") {
     // no delta jar in this sandbox (io/Tables.scala contract): the dispatch
     // must pass "delta" through and surface Spark's data-source-not-found —
