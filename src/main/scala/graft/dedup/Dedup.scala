@@ -124,34 +124,43 @@ object Dedup {
       df.select(col(idCol), shingles(col(textCol), shingleK).as("__sh")),
       idCol, bands, rowsPerBand, maxBucket)
 
-  /** Candidate pairs from a pre-shingled (id, __sh) frame — lets callers
-    * compute the (interpreted, expensive) shingle arrays once and reuse
-    * them for signature AND verification. */
-  /** (id, band, bucket) rows of a pre-shingled frame, hot buckets capped:
-    * the banded-LSH projection both the self-join and the incremental
-    * batch-vs-corpus paths build their candidate joins on. */
+  /** (id, band, bucket[, __sig]) rows of a pre-shingled frame, hot
+    * buckets capped: the banded-LSH projection both the self-join and the
+    * incremental batch-vs-corpus paths build their candidate joins on.
+    *
+    * `keepSig` carries the full minhash signature through the banding
+    * exchange so downstream stages can SCREEN candidate pairs by
+    * signature agreement without another corpus pass or a join against
+    * the (quadratically larger) candidate set — the banding shuffle grows
+    * by 8·numHashes bytes/row (linear in corpus), which buys killing the
+    * false-positive candidates at first contact (quadratic in corpus).
+    * At 500k docs the unscreened verify load was 97x the sf1 load for
+    * 10x the data — the classic LSH trap of a low (1/bands)^(1/rows)
+    * operating point meeting a much higher verify threshold. */
   private[dedup] def bandedBuckets(
       shingled: DataFrame,
       idCol: String,
       bands: Int,
       rowsPerBand: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int,
+      keepSig: Boolean = false): DataFrame = {
     val numHashes = bands * rowsPerBand
     val sig = org.apache.spark.sql.graft.Bridge.column(
       graft.expressions.ShingleMinHash(
         org.apache.spark.sql.graft.Bridge.expression(col("__sh")),
         numHashes))
+    val sigCols = if (keepSig) Seq(col("__sig")) else Nil
     val banded = shingled
       .select(col(idCol), sig.as("__sig"))
       .select(
-        col(idCol),
-        explode(array((0 until bands).map { b =>
-          struct(
-            lit(b).as("band"),
-            xxhash64(concat_ws(",",
-              slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
-        }: _*)).as("bb"))
-      .select(col(idCol), col("bb.band"), col("bb.bucket"))
+        col(idCol) +: sigCols :+
+          explode(array((0 until bands).map { b =>
+            struct(
+              lit(b).as("band"),
+              xxhash64(concat_ws(",",
+                slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))).as("bucket"))
+          }: _*)).as("bb"): _*)
+      .select(col(idCol) +: sigCols :+ col("bb.band") :+ col("bb.bucket"): _*)
     banded
       .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
       .filter(col("__n") <= maxBucket)
@@ -163,14 +172,30 @@ object Dedup {
       idCol: String,
       bands: Int,
       rowsPerBand: Int,
-      maxBucket: Int): DataFrame = {
-    val capped = bandedBuckets(shingled, idCol, bands, rowsPerBand, maxBucket)
-    val l = capped.select(col("band"), col("bucket"), col(idCol).as("id_a"))
-    val r = capped.select(col("band"), col("bucket"), col(idCol).as("id_b"))
-    l.join(r, Seq("band", "bucket"))
+      maxBucket: Int,
+      numHashes: Int = 0,
+      screen: Double = 0.0): DataFrame = {
+    val keepSig = screen > 0.0
+    val capped = bandedBuckets(shingled, idCol, bands, rowsPerBand, maxBucket, keepSig)
+    def side(s: String) = {
+      val cols = Seq(col("band"), col("bucket"), col(idCol).as(s"id_$s")) ++
+        (if (keepSig) Seq(col("__sig").as(s"sig_$s")) else Nil)
+      capped.select(cols: _*)
+    }
+    val joined = side("a").join(side("b"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
+    val screened =
+      if (keepSig)
+        // signature-estimated Jaccard (fraction of agreeing minhash
+        // components, the standard unbiased estimator): kill band-collision
+        // false positives BEFORE the exchange to distinct + the expensive
+        // exact-shingle verify. Both branch exchanges are identical, so
+        // ReuseExchange computes the banding once.
+        joined.filter(
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+            b => b)) >= lit(math.ceil(screen * numHashes).toInt))
+      else joined
+    screened.select(col("id_a"), col("id_b")).distinct()
   }
 
   /** Near-dup pairs: LSH candidates verified by true n-gram Jaccard.
@@ -191,22 +216,48 @@ object Dedup {
       shingleK: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 2,
-      maxBucket: Int = 1000): DataFrame =
+      maxBucket: Int = 1000,
+      screenMargin: Double = DefaultScreenMargin): DataFrame =
     minhashNearDupPairsPreShingled(
       df.select(col(idCol), shingles(col(textCol), shingleK).as("__sh")),
-      idCol, threshold, bands, rowsPerBand, maxBucket)
+      idCol, threshold, bands, rowsPerBand, maxBucket, screenMargin)
+
+  /** Default signature-screening margin below the verify threshold (see
+    * [[minhashNearDupPairsPreShingled]]). At margin 0.25 a TRUE pair
+    * sitting exactly at the verify threshold is screened out with
+    * probability ~2e-4 (binomial tail of 32 signature components 0.25
+    * below their mean) — far below the recall already ceded to
+    * `maxBucket` truncation — while a band-collision false positive at
+    * similarity 0.3 survives a 0.45 screen only ~3% of the time. */
+  val DefaultScreenMargin: Double = 0.25
 
   /** As [[minhashNearDupPairs]] but over a pre-shingled (id, __sh) frame —
     * the caller computes (and may persist/unpersist) the shingle arrays,
-    * this function never caches anything itself. */
+    * this function never caches anything itself.
+    *
+    * Scale shape: candidates are SCREENED by signature-estimated Jaccard
+    * (fraction of agreeing minhash components, carried through the
+    * banding exchange — no extra corpus pass) at
+    * `threshold - screenMargin` before the exact-shingle verify. The
+    * standard (bands, rowsPerBand) operating point that guarantees
+    * recall on high-similarity pairs — (1/16)^(1/2) ≈ 0.25 — sits far
+    * below a 0.7 verify threshold, so band-collision candidates grow
+    * ~quadratically with corpus size (measured: 208k pairs at 50k docs →
+    * 20.2M at 500k); the screen kills them at first contact, so only
+    * ~true pairs pay the shingle-array join and intersect. Set
+    * `screenMargin <= 0` to disable screening (exact LSH∩Jaccard
+    * semantics, the pre-screen behavior). */
   def minhashNearDupPairsPreShingled(
       sh: DataFrame,
       idCol: String,
       threshold: Double,
       bands: Int = 16,
       rowsPerBand: Int = 2,
-      maxBucket: Int = 1000): DataFrame = {
-    val cands = candidatesFromShingled(sh, idCol, bands, rowsPerBand, maxBucket)
+      maxBucket: Int = 1000,
+      screenMargin: Double = DefaultScreenMargin): DataFrame = {
+    val screen = if (screenMargin > 0) math.max(0.0, threshold - screenMargin) else 0.0
+    val cands = candidatesFromShingled(sh, idCol, bands, rowsPerBand, maxBucket,
+      numHashes = bands * rowsPerBand, screen = screen)
     cands
       .join(sh.select(col(idCol).as("id_a"), col("__sh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col(idCol).as("id_b"), col("__sh").as("sh_b")), Seq("id_b"))
@@ -325,10 +376,23 @@ object Dedup {
     * Superseded iterations are released explicitly, not left to the
     * ContextCleaner's GC race. */
   def nearDupClusters(
-      pairs: DataFrame,
+      pairsIn: DataFrame,
       maxIterations: Int = 12,
       driverMaxEdges: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType}
+    // The input plan is usually EXPENSIVE (LSH + verify) and this function
+    // reads it more than once: the capped fast-path collect re-runs
+    // final-stage partitions as CollectLimit scales up (1, 4, 16, ...
+    // partitions until the limit or the end — measured ~2x the pair cost
+    // at 500k docs), and the distributed loop's edge frame unions two
+    // branches over it. Cache it for the duration: released before the
+    // fast path returns, or via `pending` after the first loop action.
+    // A caller-persisted frame is left alone (their cache, their release).
+    val callerCached =
+      pairsIn.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val pairs =
+      if (callerCached) pairsIn
+      else pairsIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val idType = pairs.schema("id_a").dataType
     if (driverMaxEdges > 0 && (idType == LongType || idType == IntegerType)) {
       // min BEFORE the +1: driverMaxEdges near Long.MaxValue must clamp,
@@ -340,6 +404,7 @@ object Dedup {
         .select(col("id_a").cast("long"), col("id_b").cast("long"))
         .limit(cap).collect()
       if (edges.length <= driverMaxEdges) {
+        if (!callerCached) pairs.unpersist(blocking = false)
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -393,8 +458,11 @@ object Dedup {
         .select(col("id"), col("id").as("cluster_id")))
     var labels = labels0
     // pre-checkpoint caches safe to drop after the NEXT action completes
-    // (that action's job writes their checkpoint files)
-    var pending: List[DataFrame] = List(edgesCache, labels0Cache).flatten
+    // (that action's job writes their checkpoint files); the input pair
+    // cache rides along — once edges' checkpoint files exist nothing
+    // reads the input plan again
+    var pending: List[DataFrame] =
+      (if (callerCached) Nil else List(pairs)) ++ List(edgesCache, labels0Cache).flatten
     var converged = false
     var i = 0
     while (!converged && i < maxIterations) {
@@ -493,14 +561,32 @@ object Dedup {
       shingleK: Int = 3,
       bands: Int = 16,
       rowsPerBand: Int = 2,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000,
+      screenMargin: Double = DefaultScreenMargin): DataFrame = {
+    val screen = if (screenMargin > 0) math.max(0.0, threshold - screenMargin) else 0.0
+    val keepSig = screen > 0.0
+    val numHashes = bands * rowsPerBand
     val bsh = batch.select(col(idCol), shingles(col(textCol), shingleK).as("__sh"))
     val csh = corpus.select(col(idCol), shingles(col(textCol), shingleK).as("__sh"))
-    val bb = bandedBuckets(bsh, idCol, bands, rowsPerBand, maxBucket)
-      .select(col("band"), col("bucket"), col(idCol))
-    val cb = bandedBuckets(csh, idCol, bands, rowsPerBand, maxBucket)
-      .select(col("band"), col("bucket"), col(idCol).as("corpus_id"))
-    bb.join(cb, Seq("band", "bucket"))
+    def sideCols(keep: String*) =
+      Seq(col("band"), col("bucket")) ++ keep.map(col)
+    val bb = bandedBuckets(bsh, idCol, bands, rowsPerBand, maxBucket, keepSig)
+      .withColumnRenamed("__sig", "sig_b")
+      .select(sideCols(idCol +: (if (keepSig) Seq("sig_b") else Nil): _*): _*)
+    val cb = bandedBuckets(csh, idCol, bands, rowsPerBand, maxBucket, keepSig)
+      .withColumnRenamed(idCol, "corpus_id")
+      .withColumnRenamed("__sig", "sig_c")
+      .select(sideCols("corpus_id" +: (if (keepSig) Seq("sig_c") else Nil): _*): _*)
+    val joined = bb.join(cb, Seq("band", "bucket"))
+    // same signature screen as the self-join path: band-collision false
+    // positives grow with corpus size, kill them before the shingle join
+    val screened =
+      if (keepSig)
+        joined.filter(
+          size(filter(zip_with(col("sig_b"), col("sig_c"), (x, y) => x === y),
+            b => b)) >= lit(math.ceil(screen * numHashes).toInt))
+      else joined
+    screened
       .select(col(idCol), col("corpus_id"))
       .distinct()
       .join(bsh.select(col(idCol), col("__sh").as("sh_b")), Seq(idCol))

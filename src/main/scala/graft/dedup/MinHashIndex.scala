@@ -84,9 +84,12 @@ object MinHashIndex {
     val sh = shingled(corpus, idCol, textCol, shingleK)
     sh.write.mode(SaveMode.Overwrite).parquet(s"$dir/shingles.parquet")
     // band from the PERSISTED shingles: one text pass total, and the
-    // bucket table is exactly consistent with the stored arrays
+    // bucket table is exactly consistent with the stored arrays. The
+    // bucket rows CARRY the minhash signature (keepSig) so probes can
+    // screen band-collision candidates without touching the (much
+    // heavier) shingle layer — see Dedup.minhashNearDupPairsPreShingled.
     val persistedSh = spark.read.parquet(s"$dir/shingles.parquet")
-    Dedup.bandedBuckets(persistedSh, idCol, bands, rowsPerBand, maxBucket)
+    Dedup.bandedBuckets(persistedSh, idCol, bands, rowsPerBand, maxBucket, keepSig = true)
       .sortWithinPartitions(col("band"), col("bucket"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/buckets.parquet")
     writeMeta(spark, dir, Meta(idCol, shingleK, bands, rowsPerBand, maxBucket, nRows))
@@ -101,15 +104,32 @@ object MinHashIndex {
       dir: String,
       batch: DataFrame,
       textCol: String,
-      threshold: Double): DataFrame = {
+      threshold: Double,
+      screenMargin: Double = Dedup.DefaultScreenMargin): DataFrame = {
     val m = readMeta(spark, dir)
+    val bucketsRaw = spark.read.parquet(s"$dir/buckets.parquet")
+    // indexes written before the signature column existed (or with
+    // screening disabled) still probe correctly — just unscreened
+    val screen =
+      if (screenMargin > 0 && bucketsRaw.columns.contains("__sig"))
+        math.max(0.0, threshold - screenMargin)
+      else 0.0
     val bsh = shingled(batch, m.idCol, textCol, m.shingleK)
-    val bb = Dedup.bandedBuckets(bsh, m.idCol, m.bands, m.rowsPerBand, m.maxBucket)
-      .select(col("band"), col("bucket"), col(m.idCol))
-    val cb = spark.read.parquet(s"$dir/buckets.parquet")
-      .select(col("band"), col("bucket"), col(m.idCol).as("corpus_id"))
+    val bb = Dedup.bandedBuckets(bsh, m.idCol, m.bands, m.rowsPerBand, m.maxBucket,
+        keepSig = screen > 0)
+      .withColumnRenamed("__sig", "sig_b")
+    val cb = bucketsRaw
+      .withColumnRenamed(m.idCol, "corpus_id")
+      .withColumnRenamed("__sig", "sig_c")
+    val joined = bb.join(cb, Seq("band", "bucket"))
+    val screened =
+      if (screen > 0)
+        joined.filter(
+          size(filter(zip_with(col("sig_b"), col("sig_c"), (x, y) => x === y),
+            b => b)) >= lit(math.ceil(screen * (m.bands * m.rowsPerBand)).toInt))
+      else joined
     val csh = spark.read.parquet(s"$dir/shingles.parquet")
-    bb.join(cb, Seq("band", "bucket"))
+    screened
       .select(col(m.idCol), col("corpus_id"))
       .distinct()
       .join(bsh.select(col(m.idCol), col("__sh").as("sh_b")), Seq(m.idCol))
@@ -157,7 +177,8 @@ object MinHashIndex {
     val m = readMeta(spark, dir)
     val bsh = shingled(batch, m.idCol, textCol, m.shingleK)
     bsh.write.mode(SaveMode.Append).parquet(s"$dir/shingles.parquet")
-    Dedup.bandedBuckets(bsh, m.idCol, m.bands, m.rowsPerBand, m.maxBucket)
+    Dedup.bandedBuckets(bsh, m.idCol, m.bands, m.rowsPerBand, m.maxBucket,
+        keepSig = true)
       .sortWithinPartitions(col("band"), col("bucket"))
       .write.mode(SaveMode.Append).parquet(s"$dir/buckets.parquet")
     writeMeta(spark, dir, m.copy(nRows = m.nRows + batch.count()))
