@@ -35,6 +35,16 @@ object NeardupProbe {
       case "clusters" =>
         Dedup.nearDupClusters(
           Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.7)).count()
+      // the distributed-clustering regime proper: the SymSpell pair graph
+      // has millions of edges (3.2M at sf1, 40.7M at sf10) — far past the
+      // 1M driver union-find bound, so this times the pointer-jumping
+      // loop itself on a big graph
+      case "fuzzy-clusters" =>
+        val cust = spark.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey"), col("c_name"))
+        Dedup.nearDupClusters(
+          Fuzzy.fuzzyPairsD1(cust, "c_custkey", "c_name")
+            .select(col("id_a"), col("id_b"))).count()
       case other => sys.error(s"unknown stage $other")
     }
     println(f"PROBE $stage%-10s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")

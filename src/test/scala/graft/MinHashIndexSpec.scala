@@ -57,6 +57,28 @@ class MinHashIndexSpec extends SparkSpec {
       s"appended-doc near-dups must drop, fresh docs survive: $survivors")
   }
 
+  test("pre-signature indexes probe correctly (unscreened fallback)") {
+    val dir = Files.createTempDirectory("graft_mh_legacy").toString
+    val corpus = docs.filter(col("doc_id") < 100)
+    MinHashIndex.build(corpus, "doc_id", "text", dir)
+    // new indexes carry the screening signature
+    assert(spark.read.parquet(s"$dir/buckets.parquet").columns.contains("__sig"))
+    // simulate an index written before the signature column existed:
+    // rewrite the bucket table without it
+    val stripped = spark.read.parquet(s"$dir/buckets.parquet").drop("__sig")
+    val tmp = Files.createTempDirectory("graft_mh_legacy_b").toString
+    stripped.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(s"$dir/buckets.parquet")
+    val batch = corpus.filter(col("doc_id") < 25)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "graftmutated").as("text"))
+      .unionByName(docs.filter(col("doc_id") >= 100 && col("doc_id") < 150))
+    val survivors = ids(
+      MinHashIndex.dedupBatch(spark, dir, batch, "text", threshold = 0.6))
+    assert(survivors.nonEmpty && survivors.forall(_ < 200000),
+      s"legacy index must still dedup (unscreened): $survivors")
+  }
+
   test("missing index fails loudly") {
     val e = intercept[IllegalArgumentException] {
       MinHashIndex.dedupBatch(
