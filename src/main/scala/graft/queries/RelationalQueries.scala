@@ -112,6 +112,9 @@ object RelationalQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "csv_read" -> (textRoundTrip(_, _, "csv")),
     "json_read" -> (textRoundTrip(_, _, "json")),
+    // ORC is the other Spark-builtin columnar format (vectorized reader,
+    // predicate pushdown) — same round-trip contract as csv/json
+    "orc_read" -> (textRoundTrip(_, _, "orc")),
     // --- typed JSON column parsing (from_json with an explicit schema —
     // no sampling-based inference pass over 100 TB), then an ordinary agg
     "json_extract" -> { (s, dir) =>
@@ -517,6 +520,8 @@ object RelationalQueries {
     "csv_read" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "json_read" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+    "orc_read" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "rollup_agg" ->
       """SELECT COALESCE(r_name, 'ALL') AS region,
