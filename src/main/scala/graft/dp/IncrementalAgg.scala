@@ -129,8 +129,10 @@ object IncrementalAgg {
     * (the DuckDB oracle included) recomputes the identical slot. */
   private def cmsSlot(item: Column, r: Column, width: Int): Column =
     pmod(
-      conv(substring(md5(concat_ws(":", item.cast("string"), r.cast("string"))), 1, 13),
-        16, 10).cast("long"),
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.expressions.Md5Bits52(
+          org.apache.spark.sql.graft.Bridge.expression(
+            concat_ws(":", item.cast("string"), r.cast("string"))))),
       lit(width.toLong))
 
   /** One batch's Count-Min Sketch state: the frequency companion to

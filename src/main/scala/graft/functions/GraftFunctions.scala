@@ -142,6 +142,10 @@ object GraftFunctions {
     "graft_deflate_ratio" -> { args =>
       require(args.length == 1, "graft_deflate_ratio(text) takes 1 argument")
       DeflateRatio(Cast(args(0), StringType))
+    },
+    "graft_md5_bits52" -> { args =>
+      require(args.length == 1, "graft_md5_bits52(text) takes 1 argument")
+      Md5Bits52(Cast(args(0), StringType))
     })
 
   private def info(name: String): ExpressionInfo =

@@ -79,6 +79,39 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("NFC"), s"unexpected error: ${err.getMessage}")
   }
 
+  test("graft_md5_bits52 equals the conv(substring(md5)) idiom bit for bit") {
+    // every portable draw/slot in the library depends on this equality —
+    // an off-by-one in the nibble packing would silently change every
+    // sample, split, and CMS slot vs the DuckDB oracles
+    val rows = spark.range(2000)
+      .selectExpr(
+        "graft_md5_bits52(concat('probe:', id)) AS fast",
+        "CAST(conv(substring(md5(concat('probe:', id)), 1, 13), 16, 10) AS BIGINT) AS ref",
+        "graft_md5_bits52('') AS empty_fast",
+        "CAST(conv(substring(md5(''), 1, 13), 16, 10) AS BIGINT) AS empty_ref")
+    assert(rows.filter("fast != ref OR empty_fast != empty_ref").count() === 0)
+    assert(rows.filter("fast < 0 OR fast >= pow(2, 52)").count() === 0)
+  }
+
+  test("graft_deflate_ratio: repetitive < prose, empty is null, SQL/API parity") {
+    import spark.implicits._
+    val df = Seq(
+      ("rep", ("spam " * 60).trim),
+      ("prose", "the quick brown fox jumps over the lazy dog and then wanders home through quiet autumn streets"),
+      ("empty", "")).toDF("k", "s")
+    df.createOrReplaceTempView("gf_dr")
+    val m = spark.sql("SELECT k, graft_deflate_ratio(s) AS r FROM gf_dr")
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(m("empty") == null)
+    val rep = m("rep").asInstanceOf[Double]
+    val prose = m("prose").asInstanceOf[Double]
+    assert(rep > 0 && rep < prose && prose < 1.5)
+    val viaApi = df.select(col("k"),
+      graft.text.TextAnalysis.deflateRatio(col("s")).as("r"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) null else r.getDouble(1))).toMap
+    assert(viaApi == m)
+  }
+
   test("the extensions class injects the same registrations") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; wiring is shared with register()
