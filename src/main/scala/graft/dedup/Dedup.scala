@@ -332,8 +332,12 @@ object Dedup {
     l.join(r, Seq("chunk", "key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming64(col("sig_a"), col("sig_b")).as("hamming"))
-      .distinct()
+      // exact-verify BEFORE the distinct: hamming is two codegen'd ops on
+      // longs the join already carries, so filtering per banded-duplicate
+      // row is ~free and the distinct exchange ships true pairs instead
+      // of the (corpus-crowding) candidate volume
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Resolve near-dup PAIRS into clusters: connected components via

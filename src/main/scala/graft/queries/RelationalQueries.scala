@@ -438,6 +438,19 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_orders"), sumd(col("o_totalprice")).as("total_price"))
         .orderBy(col("r_name"))
     },
+    // --- PageRank over the part→supplier sourcing graph (the
+    // host-authority curation signal, exercised on relational edges):
+    // 5 fixed damped power iterations with uniform dangling
+    // redistribution; the oracle replays every iteration as a chained CTE
+    "pagerank" -> { (s, dir) =>
+      graft.graph.Graphs
+        .pageRank(
+          t(s, dir, "lineitem").filter(col("l_orderkey") < 300)
+            .select(col("l_partkey").as("src"), col("l_suppkey").as("dst")),
+          "src", "dst", iterations = 5)
+        .select(col("id").cast("long").as("id"), round(col("rank"), 6).as("rank"))
+        .orderBy(col("id"))
+    },
     // --- left join + fillna label attach (reference: feature_engineering.py:111-115)
     "join_left_fillna" -> { (s, dir) =>
       val label = Cleaning
@@ -516,7 +529,37 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     })
 
+  /** PageRank oracle: the 5 damped power iterations unrolled as chained
+    * CTEs (standard SQL forbids aggregates in a recursive term, so the
+    * fixed iteration count is unrolled — same arithmetic as
+    * [[graft.graph.Graphs.pageRank]] including the uniform dangling
+    * redistribution). */
+  private val pageRankOracleSql: String = {
+    def iter(k: Int): String =
+      s"""r$k AS (
+         |  SELECT v.id,
+         |    (1 - 0.85) / cnt.n + 0.85 * (coalesce(s.s, 0) + d.m / cnt.n) AS rank
+         |  FROM v
+         |  CROSS JOIN cnt
+         |  CROSS JOIN (SELECT coalesce(sum(r.rank), 0) AS m FROM r${k - 1} r
+         |              WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.src = r.id)) d
+         |  LEFT JOIN (SELECT e.dst AS id, sum(r.rank / deg.c) AS s
+         |             FROM e JOIN r${k - 1} r ON r.id = e.src
+         |             JOIN deg ON deg.src = e.src
+         |             GROUP BY e.dst) s ON s.id = v.id)""".stripMargin
+    """WITH e AS (SELECT DISTINCT l_partkey AS src, l_suppkey AS dst
+      |           FROM lineitem WHERE l_orderkey < 300),
+      |v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)),
+      |cnt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+      |deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS c FROM e GROUP BY src),
+      |r0 AS (SELECT v.id, 1.0 / cnt.n AS rank FROM v, cnt),
+      |""".stripMargin +
+      (1 to 5).map(iter).mkString(",\n") +
+      "\nSELECT CAST(id AS BIGINT) AS id, round(rank, 6) AS rank FROM r5 ORDER BY id"
+  }
+
   val oracle: Map[String, String] = Map(
+    "pagerank" -> pageRankOracleSql,
     "csv_read" ->
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
     "json_read" ->

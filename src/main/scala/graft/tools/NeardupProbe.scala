@@ -39,6 +39,8 @@ object NeardupProbe {
       // has millions of edges (3.2M at sf1, 40.7M at sf10) — far past the
       // 1M driver union-find bound, so this times the pointer-jumping
       // loop itself on a big graph
+      case "simhash" =>
+        Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3).count()
       case "fuzzy-clusters" =>
         val cust = spark.read.parquet(s"$dir/customer.parquet")
           .select(col("c_custkey"), col("c_name"))
