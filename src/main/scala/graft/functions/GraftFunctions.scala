@@ -146,6 +146,10 @@ object GraftFunctions {
     "graft_md5_bits52" -> { args =>
       require(args.length == 1, "graft_md5_bits52(text) takes 1 argument")
       Md5Bits52(Cast(args(0), StringType))
+    },
+    "graft_html_text" -> { args =>
+      require(args.length == 1, "graft_html_text(html) takes 1 argument")
+      HtmlText(Cast(args(0), StringType))
     })
 
   private def info(name: String): ExpressionInfo =

@@ -124,6 +124,21 @@ object Production {
     // Unicode normalization FIRST in a curation chain: equivalent
     // encodings (combining marks vs precomposed, fullwidth variants,
     // stray control bytes) must hash equal before any dedup sees them
+    // the crawl → text first stage: extract document text from raw HTML
+    // (script/style/chrome removal, block-tag newlines, entity decode) —
+    // downstream stages read the extracted zone as their raw corpus
+    Jobs.register("corpus-curation", "extract-html") { (ctx, params) =>
+      val s = ctx.spark
+      val htmlCol = params.getOrElse("html_col", "html").toString
+      val pages = Tables.readData(s,
+        Seq(ctx.dataPath(params.getOrElse("input", "raw.html_pages").toString)))
+      save(ctx,
+        pages
+          .withColumn("text", graft.text.TextAnalysis.htmlToText(col(htmlCol)))
+          .drop(htmlCol),
+        ctx.dataPath("raw.documents"))
+    }
+
     Jobs.register("corpus-curation", "normalize") { (ctx, params) =>
       val s = ctx.spark
       val form = params.getOrElse("form", "NFKC").toString

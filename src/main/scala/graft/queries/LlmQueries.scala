@@ -176,6 +176,25 @@ object LlmQueries {
         .textStats(t(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("doc_id"))
     },
+    // --- HTML → text extraction: wrap every doc in a known HTML chrome
+    // (heading with entity, paragraph, script with a raw '<', comment,
+    // footer with &nbsp;/numeric entity) and extract. The planted
+    // transformation is invertible, so DuckDB predicts the EXACT output
+    // string from the plain text column — script/comment removal, block
+    // newlines, entity decode and whitespace policy all hash-pinned
+    "html_extract" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), col("text"))
+      val html = concat(
+        lit("<html><body><!-- nav --><h1>Doc &amp; "), col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><script>var x=1<2;</script>" +
+          "<div> footer&nbsp;&#8212; end </div></body></html>"))
+      docs
+        .select(col("doc_id"), TextAnalysis.htmlToText(html).as("extracted"))
+        .orderBy(col("doc_id"))
+    },
     // --- character/word Shannon entropy quality signals: DuckDB
     // re-derives both from per-element counts with the same
     // ln(n) - Σc·ln(c)/n arithmetic
@@ -1439,6 +1458,13 @@ object LlmQueries {
          |    + (CASE WHEN ($allStopSql) > 0 OR ($hanSql) > 0 THEN 1.0 ELSE 0.0 END)
          |  ) / 4.0, 6) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "html_extract" ->
+      """SELECT doc_id,
+        |  'Doc & ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |  trim(regexp_replace(text, '[\t ]+', ' ', 'g')) || chr(10) ||
+        |  'footer ' || chr(8212) || ' end' AS extracted
+        |FROM documents WHERE length(trim(text)) > 0
+        |ORDER BY doc_id""".stripMargin,
     "entropy_stats" ->
       """WITH d AS (SELECT doc_id, text FROM documents),
         |ch AS (SELECT doc_id, substring(text, i, 1) AS e

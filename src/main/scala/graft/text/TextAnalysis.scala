@@ -746,6 +746,14 @@ object TextAnalysis {
       graft.expressions.DeflateRatio(
         org.apache.spark.sql.graft.Bridge.expression(c.cast("string"))))
 
+  /** HTML → document text (see [[graft.expressions.HtmlText]]): the raw
+    * crawl → text first stage; block tags become newlines so the
+    * line-level dedup/quality operators see paragraph structure. */
+  def htmlToText(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.HtmlText(
+        org.apache.spark.sql.graft.Bridge.expression(c.cast("string"))))
+
   /** Per-document Shannon entropy (nats) at the character and word
     * level — the repetition/boilerplate signals the ratio heuristics
     * miss: low char entropy = repeated characters/markup, low word

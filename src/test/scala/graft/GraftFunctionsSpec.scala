@@ -112,6 +112,28 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(viaApi == m)
   }
 
+  test("graft_html_text: script/style/comment removal, block newlines, entities, whitespace") {
+    import spark.implicits._
+    val cases = Seq(
+      // block structure survives as newlines; inline tags vanish silently
+      ("<h1>Title</h1><p>one <b>two</b></p><p>three</p>", "Title\none two\nthree"),
+      // script/style dropped WHOLE (content too), comments dropped
+      ("<p>keep</p><script>drop < this</script><style>p{}</style><!-- no -->", "keep"),
+      // entities: named, double-escaped stays literal, numeric dec + hex
+      ("a &amp; b &amp;lt; c &#65;&#x42;", "a & b &lt; c AB"),
+      // nbsp becomes a space and collapses; blank lines drop
+      ("<div>x&nbsp;&nbsp;y</div><div>  </div><div>z</div>", "x y\nz"),
+      // malformed numeric reference left as-is; unclosed tag stripped
+      ("<p>&#xZZ; tail", "&#xZZ; tail"),
+      // self-closing and attribute-laden block tags still break lines
+      ("""one<br/>two<div class="a">three</div>""", "one\ntwo\nthree"))
+    val got = cases.map(_._1).toDF("h")
+      .selectExpr("graft_html_text(h) AS t").as[String].collect().toSeq
+    cases.zip(got).foreach { case ((in, want), t) =>
+      assert(t == want, s"for [$in]: got [$t], want [$want]")
+    }
+  }
+
   test("the extensions class injects the same registrations") {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; wiring is shared with register()
