@@ -195,6 +195,37 @@ object LlmQueries {
         .select(col("doc_id"), TextAnalysis.htmlToText(html).as("extracted"))
         .orderBy(col("doc_id"))
     },
+    // --- line-level boilerplate classification (jusText-core rule:
+    // short lines or near-zero stopword mass = chrome) over planted
+    // multi-line docs: a nav line, the real text, a copyright stub, and
+    // a known full sentence. DuckDB replays the per-line arithmetic
+    "boilerplate_lines" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(lit("Home | About | Contact\n"), col("text"),
+            lit("\ncopyright 2024 allrights" +
+              "\nthe quick brown fox is one of the lazy dogs")).as("text"))
+      TextAnalysis.boilerplateLineStats(docs, "doc_id", "text",
+          minStopRatio = 0.02)
+        .select(col("doc_id"), col("line_no"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("stop_hits").cast("long").as("stop_hits"),
+          col("is_boilerplate"))
+        .orderBy(col("doc_id"), col("line_no"))
+    },
+    // --- the enforcement half: chrome lines drop, content lines rejoin
+    // in order; the oracle rebuilds every cleaned text string
+    "remove_boilerplate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          concat(lit("Home | About | Contact\n"), col("text"),
+            lit("\ncopyright 2024 allrights" +
+              "\nthe quick brown fox is one of the lazy dogs")).as("text"))
+      TextAnalysis.removeBoilerplateLines(docs, "doc_id", "text",
+          minStopRatio = 0.02)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
     // --- character/word Shannon entropy quality signals: DuckDB
     // re-derives both from per-element counts with the same
     // ln(n) - Σc·ln(c)/n arithmetic
@@ -1339,6 +1370,30 @@ object LlmQueries {
       |  AND doc_id NOT IN (SELECT bid FROM xmatch)
       |ORDER BY doc_id""".stripMargin
 
+  /** Shared CTE chain for the boilerplate-line oracles: the planted
+    * multi-line docs, their line explode, and per-line token/stopword/Han
+    * stats — same arithmetic as TextAnalysis.boilerplateLineStats. */
+  private val BoilerplateCtes: String =
+    """WITH d AS (SELECT doc_id,
+      |    'Home | About | Contact' || chr(10) || text || chr(10) ||
+      |    'copyright 2024 allrights' || chr(10) ||
+      |    'the quick brown fox is one of the lazy dogs' AS text
+      |  FROM documents WHERE doc_id < 200),
+      |l AS (SELECT doc_id, CAST(i - 1 AS INT) AS line_no, ln[i] AS line
+      |      FROM (SELECT doc_id, string_split(text, chr(10)) AS ln,
+      |                   unnest(generate_series(1, len(string_split(text, chr(10))))) AS i
+      |            FROM d)),
+      |st AS (SELECT doc_id, line_no, line,
+      |    CASE WHEN length(trim(line)) = 0 THEN 0
+      |         ELSE len(string_split_regex(trim(line), '\s+')) END AS n_tokens,
+      |    len(list_filter(string_split_regex(trim(lower(line)), '\s+'),
+      |        t -> t IN ('the','and','of','to','is','der','und','die','nicht','ist',
+      |                   'el','que','los','una','es','le','les','des','est','une')))
+      |      AS stop_hits,
+      |    length(line) - length(regexp_replace(line, '[一-鿿]', '', 'g')) AS han
+      |  FROM l)
+      |""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "mmr_rerank" -> mmrOracleSql(5),
     "multimodal_features" ->
@@ -1458,6 +1513,23 @@ object LlmQueries {
          |    + (CASE WHEN ($allStopSql) > 0 OR ($hanSql) > 0 THEN 1.0 ELSE 0.0 END)
          |  ) / 4.0, 6) AS quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "boilerplate_lines" ->
+      (BoilerplateCtes +
+        """SELECT doc_id, line_no, CAST(n_tokens AS BIGINT) AS n_tokens,
+          |  CAST(stop_hits AS BIGINT) AS stop_hits,
+          |  (n_tokens < 4 OR (CAST(stop_hits AS DOUBLE) / n_tokens < 0.02 AND han = 0))
+          |    AS is_boilerplate
+          |FROM st ORDER BY doc_id, line_no""".stripMargin),
+    "remove_boilerplate" ->
+      (BoilerplateCtes +
+        """, kept AS (
+          |  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean
+          |  FROM st
+          |  WHERE NOT (n_tokens < 4 OR
+          |             (CAST(stop_hits AS DOUBLE) / n_tokens < 0.02 AND han = 0))
+          |  GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(kept.clean, '') AS text
+          |FROM d LEFT JOIN kept USING (doc_id) ORDER BY d.doc_id""".stripMargin),
     "html_extract" ->
       """SELECT doc_id,
         |  'Doc & ' || CAST(doc_id AS VARCHAR) || chr(10) ||

@@ -754,6 +754,56 @@ object TextAnalysis {
       graft.expressions.HtmlText(
         org.apache.spark.sql.graft.Bridge.expression(c.cast("string"))))
 
+  /** Per-line content-vs-chrome classification over extracted text — the
+    * jusText/trafilatura heuristic core, simplified to a deterministic
+    * rule: a line is boilerplate when it is SHORT (fewer than `minTokens`
+    * tokens — nav menus, button labels, copyright lines) or carries
+    * almost no stopword mass (`stop_ratio < minStopRatio` — keyword
+    * lists, breadcrumbs; full sentences in any supported language clear
+    * it, and Han-bearing lines are exempt since CJK has no stopword
+    * signal here). Works on the newline structure [[htmlToText]]
+    * preserves. Output: (idCol, line_no, line, n_tokens, stop_hits,
+    * is_boilerplate). One posexplode, no shuffle beyond it. */
+  def boilerplateLineStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 4,
+      minStopRatio: Double = 0.15): DataFrame = {
+    val allStop = langStopwords.values.flatten.toSeq.distinct.sorted
+    df.select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("n_tokens", tokenCount(col("line")))
+      .withColumn("stop_hits",
+        element_at(tokenSetCounts(col("line"), Seq(allStop)), 1))
+      .withColumn("is_boilerplate",
+        col("n_tokens") < minTokens ||
+          (col("stop_hits").cast("double") / col("n_tokens") < minStopRatio &&
+            hanCount(col("line")) === 0))
+  }
+
+  /** Rebuild each document from its content lines only (the enforcement
+    * half of [[boilerplateLineStats]]): chrome lines drop, surviving
+    * lines rejoin in order; a document of pure chrome keeps an empty
+    * text (filter it downstream with the length gates). One explode +
+    * one per-doc groupBy — keyed shuffles only. */
+  def removeBoilerplateLines(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minTokens: Int = 4,
+      minStopRatio: Double = 0.15): DataFrame = {
+    val kept = boilerplateLineStats(df, idCol, textCol, minTokens, minStopRatio)
+      .filter(!col("is_boilerplate"))
+      .groupBy(col(idCol))
+      .agg(concat_ws("\n",
+        transform(
+          sort_array(collect_list(struct(col("line_no"), col("line")))),
+          s => s.getField("line"))).as("__clean"))
+    df.join(kept, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__clean"), lit("")))
+      .drop("__clean")
+  }
+
   /** Per-document Shannon entropy (nats) at the character and word
     * level — the repetition/boilerplate signals the ratio heuristics
     * miss: low char entropy = repeated characters/markup, low word
