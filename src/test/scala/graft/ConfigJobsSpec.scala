@@ -629,6 +629,39 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(kept === (100L until 105L).toSet, s"got $kept")
   }
 
+  test("curation extract-html catalog job: crawl pages become the raw documents zone") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-html-jobs").toString
+    (0 until 20).map(i => (i.toLong,
+      s"<html><body><h1>Doc $i</h1><p>alpha beta&nbsp;gamma</p>" +
+        "<script>nope()</script><!-- x --></body></html>"))
+      .toDF("doc_id", "html").write.mode("overwrite").parquet(s"$work/pages")
+    val yml = java.nio.file.Files.createTempFile("graft-html-jobs", ".yml")
+    java.nio.file.Files.writeString(yml,
+      """jobs:
+        |  - name: corpus-curation
+        |    fail_fast: true
+        |    stages:
+        |      - name: ingest
+        |        tasks:
+        |          - name: extract-html
+        |""".stripMargin)
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Context.loadYaml(yml.toString),
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "html_pages" -> s"$work/pages",
+          "documents" -> s"$work/docs")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(ctx = Context(cfg, spark), "corpus-curation").isEmpty)
+    val docs = spark.read.parquet(s"$work/docs")
+    assert(docs.count() === 20 && !docs.columns.contains("html"))
+    val t0 = docs.filter($"doc_id" === 0).head().getAs[String]("text")
+    assert(t0 === "Doc 0\nalpha beta gamma", s"got [$t0]")
+  }
+
   test("curation dsir-select catalog job: distribution-matching gate keeps target-like docs") {
     val spark = SparkSpec.session
     import spark.implicits._
