@@ -18,6 +18,16 @@ object Exprs {
     * raw column names with spaces/dots/hyphens/reserved words resolve. */
   def bt(name: String): String = "`" + name.replace("`", "``") + "`"
 
+  /** The portable 52-bit md5 draw (graft.expressions.Md5Bits52) as a
+    * Column — ONE wrapper for every sampling draw, split salt, and
+    * sketch slot, so the cross-engine idiom the DuckDB oracles replay
+    * (`conv(substring(md5(x), 1, 13), 16, 10)`) has a single JVM-side
+    * definition that cannot drift per call site. */
+  def md5Bits52(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.Md5Bits52(
+        org.apache.spark.sql.graft.Bridge.expression(c)))
+
   /** Single percentile of a column; exact or approximate. */
   def pct(c: Column, p: Double, exact: Boolean): Column =
     if (exact) percentile(c, lit(p))

@@ -167,6 +167,16 @@ object Dedup {
       .drop("__n")
   }
 
+  /** The shared candidate screen: keep a pair only when at least
+    * `ceil(screen · numHashes)` of its two minhash signatures' components
+    * agree (the standard signature Jaccard estimator). ONE definition for
+    * the self-join, batch-vs-corpus, and persisted-index paths — the
+    * screening contract must not drift between them. */
+  private[dedup] def sigScreenKeep(
+      sigA: Column, sigB: Column, screen: Double, numHashes: Int): Column =
+    size(filter(zip_with(sigA, sigB, (x, y) => x === y), b => b)) >=
+      lit(math.ceil(screen * numHashes).toInt)
+
   private def candidatesFromShingled(
       shingled: DataFrame,
       idCol: String,
@@ -186,14 +196,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
     val screened =
       if (keepSig)
-        // signature-estimated Jaccard (fraction of agreeing minhash
-        // components, the standard unbiased estimator): kill band-collision
-        // false positives BEFORE the exchange to distinct + the expensive
+        // signature-estimated Jaccard screen: kill band-collision false
+        // positives BEFORE the exchange to distinct + the expensive
         // exact-shingle verify. Both branch exchanges are identical, so
         // ReuseExchange computes the banding once.
-        joined.filter(
-          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-            b => b)) >= lit(math.ceil(screen * numHashes).toInt))
+        joined.filter(sigScreenKeep(col("sig_a"), col("sig_b"), screen, numHashes))
       else joined
     screened.select(col("id_a"), col("id_b")).distinct()
   }
@@ -586,9 +593,7 @@ object Dedup {
     // positives grow with corpus size, kill them before the shingle join
     val screened =
       if (keepSig)
-        joined.filter(
-          size(filter(zip_with(col("sig_b"), col("sig_c"), (x, y) => x === y),
-            b => b)) >= lit(math.ceil(screen * numHashes).toInt))
+        joined.filter(sigScreenKeep(col("sig_b"), col("sig_c"), screen, numHashes))
       else joined
     screened
       .select(col(idCol), col("corpus_id"))

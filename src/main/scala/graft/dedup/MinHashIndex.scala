@@ -124,9 +124,13 @@ object MinHashIndex {
     val joined = bb.join(cb, Seq("band", "bucket"))
     val screened =
       if (screen > 0)
-        joined.filter(
-          size(filter(zip_with(col("sig_b"), col("sig_c"), (x, y) => x === y),
-            b => b)) >= lit(math.ceil(screen * (m.bands * m.rowsPerBand)).toInt))
+        // null sig_c = a legacy row inside a mixed-schema index (written
+        // before append matched schemas): keep it unscreened — the exact
+        // Jaccard verify still gates it — rather than silently dropping
+        // every candidate against the original corpus
+        joined.filter(col("sig_c").isNull ||
+          Dedup.sigScreenKeep(
+            col("sig_b"), col("sig_c"), screen, m.bands * m.rowsPerBand))
       else joined
     val csh = spark.read.parquet(s"$dir/shingles.parquet")
     screened
@@ -177,8 +181,16 @@ object MinHashIndex {
     val m = readMeta(spark, dir)
     val bsh = shingled(batch, m.idCol, textCol, m.shingleK)
     bsh.write.mode(SaveMode.Append).parquet(s"$dir/shingles.parquet")
+    // match the EXISTING bucket table's schema: appending __sig rows into
+    // a pre-signature index would mix file schemas, and a later probe
+    // that sees the __sig column would read null signatures for every
+    // legacy row — the screen filter would then silently drop all
+    // candidates against the original corpus. A legacy index stays
+    // legacy (unscreened) until a build() rebuild.
+    val hasSig = spark.read.parquet(s"$dir/buckets.parquet")
+      .columns.contains("__sig")
     Dedup.bandedBuckets(bsh, m.idCol, m.bands, m.rowsPerBand, m.maxBucket,
-        keepSig = true)
+        keepSig = hasSig)
       .sortWithinPartitions(col("band"), col("bucket"))
       .write.mode(SaveMode.Append).parquet(s"$dir/buckets.parquet")
     writeMeta(spark, dir, m.copy(nRows = m.nRows + batch.count()))

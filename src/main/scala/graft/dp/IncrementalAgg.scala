@@ -129,10 +129,7 @@ object IncrementalAgg {
     * (the DuckDB oracle included) recomputes the identical slot. */
   private def cmsSlot(item: Column, r: Column, width: Int): Column =
     pmod(
-      org.apache.spark.sql.graft.Bridge.column(
-        graft.expressions.Md5Bits52(
-          org.apache.spark.sql.graft.Bridge.expression(
-            concat_ws(":", item.cast("string"), r.cast("string"))))),
+      graft.Exprs.md5Bits52(concat_ws(":", item.cast("string"), r.cast("string"))),
       lit(width.toLong))
 
   /** One batch's Count-Min Sketch state: the frequency companion to

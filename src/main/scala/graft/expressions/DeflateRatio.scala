@@ -50,19 +50,29 @@ case class DeflateRatio(child: Expression) extends UnaryExpression {
 
 object DeflateRatio {
 
+  // Deflater is not thread-safe and native init/teardown per row would
+  // dominate short strings — one reset()-recycled instance (and output
+  // buffer) per executor thread, the Md5Bits52 pattern
+  private val deflaters = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, /* nowrap = */ true)
+  }
+  private val buffers = new ThreadLocal[Array[Byte]] {
+    override def initialValue(): Array[Byte] = new Array[Byte](8192)
+  }
+
   /** Static kernel shared by interpreted eval and generated code.
     * Returns null (boxed) for empty input. */
   def ratio(s: UTF8String): java.lang.Double = {
     val raw = s.getBytes
     if (raw.length == 0) return null
-    val d = new java.util.zip.Deflater(6, /* nowrap = */ true)
-    try {
-      d.setInput(raw)
-      d.finish()
-      val buf = new Array[Byte](8192)
-      var compressed = 0L
-      while (!d.finished()) compressed += d.deflate(buf)
-      compressed.toDouble / raw.length
-    } finally d.end()
+    val d = deflaters.get()
+    d.reset()
+    d.setInput(raw)
+    d.finish()
+    val buf = buffers.get()
+    var compressed = 0L
+    while (!d.finished()) compressed += d.deflate(buf)
+    compressed.toDouble / raw.length
   }
 }

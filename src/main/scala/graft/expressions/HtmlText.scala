@@ -63,22 +63,13 @@ object HtmlText {
   private val NumEntity = Pattern.compile("&#(x[0-9a-fA-F]{1,6}|[0-9]{1,7});")
   private val SpaceRuns = Pattern.compile("[\\t ]+")
 
-  private def decodeEntities(s: String): String = {
-    // named first (fixed set), then numeric via one matcher pass
-    val named = s
-      .replace("&nbsp;", " ")
-      .replace("&quot;", "\"")
-      .replace("&apos;", "'")
-      .replace("&#39;", "'")
-      .replace("&lt;", "<")
-      .replace("&gt;", ">")
-      .replace("&amp;", "&") // LAST: "&amp;lt;" decodes to "&lt;" (literal), not "<"
-    val m = NumEntity.matcher(named)
-    if (!m.find()) return named
+  private def decodeNumeric(s: String): String = {
+    val m = NumEntity.matcher(s)
+    if (!m.find()) return s
     val sb = new java.lang.StringBuilder
     var last = 0
     do {
-      sb.append(named, last, m.start())
+      sb.append(s, last, m.start())
       val body = m.group(1)
       val cp =
         try {
@@ -90,9 +81,23 @@ object HtmlText {
       else sb.append(m.group(0)) // leave malformed references as-is
       last = m.end()
     } while (m.find())
-    sb.append(named, last, named.length)
+    sb.append(s, last, s.length)
     sb.toString
   }
+
+  private def decodeEntities(s: String): String =
+    // numeric FIRST ("&amp;#65;" has no raw "&#" yet, so an escaped
+    // numeric reference stays literal after one decode level — same
+    // policy the &amp;-last ordering gives named entities), then the
+    // fixed named set with &amp; last ("&amp;lt;" → literal "&lt;")
+    decodeNumeric(s)
+      .replace("&nbsp;", " ")
+      .replace("&quot;", "\"")
+      .replace("&apos;", "'")
+      .replace("&#39;", "'")
+      .replace("&lt;", "<")
+      .replace("&gt;", ">")
+      .replace("&amp;", "&")
 
   /** Static kernel shared by interpreted eval and generated code. */
   def extract(html: UTF8String): UTF8String = {

@@ -29,15 +29,6 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  /** md5-slot: 52 uniform bits of md5 folded into [0, buckets) — the
-    * native [[graft.expressions.Md5Bits52]] kernel, numerically identical
-    * to the auditable `conv(substring(md5(x), 1, 13), 16, 10)` SQL idiom
-    * the oracles replay, at a fraction of the per-gram cost. */
-  private def md5bits52(c: Column): Column =
-    org.apache.spark.sql.graft.Bridge.column(
-      graft.expressions.Md5Bits52(
-        org.apache.spark.sql.graft.Bridge.expression(c)))
-
   /** Hashed n-gram featurization: counts over `buckets` buckets of the
     * lowercased whitespace unigrams and bigrams (bigram key is
     * "w1 w2"). Output: (idCol, bucket, cnt) — the sparse per-document
@@ -136,7 +127,7 @@ object Dsir {
       seed: Long): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val M = (1L << 52).toDouble
-    val u = (md5bits52(concat_ws(":",
+    val u = (graft.Exprs.md5Bits52(concat_ws(":",
       lit(seed.toString), col(idCol).cast("string")))
       .cast("double") + lit(0.5)) / lit(M)
     weighted

@@ -15,15 +15,6 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Native kernel for the portable 52-bit md5 draw — numerically
-    * identical to `conv(substring(md5(x), 1, 13), 16, 10)` (which the
-    * DuckDB oracles replay), minus the hex-string materialization and
-    * base-16 parse per row. */
-  private def md5bits52(c: Column): Column =
-    org.apache.spark.sql.graft.Bridge.column(
-      graft.expressions.Md5Bits52(
-        org.apache.spark.sql.graft.Bridge.expression(c)))
-
 
   /** Per-stratum Bernoulli sampling (e.g. downsample a corpus by language
     * or source with different keep rates). Wraps `df.stat.sampleBy`: one
@@ -131,7 +122,7 @@ object Sampling {
     df.select(col(idCol).cast("long").as("id"))
       .select(col("id"), explode(sequence(lit(1L), lit(m.toLong))).as("j"))
       .withColumn("neg_id",
-        md5bits52(concat_ws(":", col("id"), col("j"))) % idSpace)
+        graft.Exprs.md5Bits52(concat_ws(":", col("id"), col("j"))) % idSpace)
       .filter(col("neg_id") =!= col("id"))
   }
 
@@ -155,7 +146,7 @@ object Sampling {
       idCol: String,
       salt: String): DataFrame = {
     require(testProp > 0 && testProp < 1, s"testProp must be in (0,1), got $testProp")
-    val u = (md5bits52(concat_ws(":",
+    val u = (graft.Exprs.md5Bits52(concat_ws(":",
       col(target).cast("string"), col(idCol).cast("string"), lit(salt)))
       .cast("double") + 0.5) / lit((1L << 52).toDouble)
     df.withColumn("split", when(u < testProp, "test").otherwise("train"))
@@ -221,7 +212,7 @@ object Sampling {
     val hashSrc = if (hashCols.nonEmpty) hashCols else df.columns.toSeq
     val hashed = concat_ws(":", (hashSrc.map(c => col(c).cast("string")) :+
       lit(seed.toString)): _*)
-    val u = (md5bits52(hashed).cast("double") + 0.5) / lit(M.toDouble)
+    val u = (graft.Exprs.md5Bits52(hashed).cast("double") + 0.5) / lit(M.toDouble)
     val priority = -log(u) / col(weightCol)
     val keys = if (stratumCols.nonEmpty) stratumCols else Seq("__g")
     val keyed = (if (stratumCols.nonEmpty) df else df.withColumn("__g", lit(1)))
@@ -368,7 +359,7 @@ object Sampling {
     // instead of the left join silently DUPLICATING that document's rows
     val lbl = clusters.groupBy(col("id").as(idCol))
       .agg(min(col("cluster_id")).as("__graft_cl"))
-    val u = (md5bits52(concat_ws(":",
+    val u = (graft.Exprs.md5Bits52(concat_ws(":",
       coalesce(col("__graft_cl"), col(idCol)).cast("string"), lit(salt)))
       .cast("double") + 0.5) / lit((1L << 52).toDouble)
     df.join(lbl, Seq(idCol), "left")

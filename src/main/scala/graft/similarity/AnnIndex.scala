@@ -316,7 +316,9 @@ object AnnIndex {
           s"(c, j) -> element_at(__lut, j * ${m.bits} + c + 1)), " +
           "0D, (acc, x) -> acc + x)") / col("__rn")
     val scored = filtered
-      .join(qProbes, Seq("__cell"))
+      // query probes are broadcast-small at the join site (same contract
+      // as ivfScore — ivfQueryProbes leaves hinting to its consumers)
+      .join(broadcast(qProbes), Seq("__cell"))
       .join(lut, Seq("query_id"))
       .filter(col(m.idCol) =!= col("query_id"))
       .filter(col("__rn") > 0)

@@ -236,7 +236,10 @@ object Bpe {
     * outside the trained charset encodes as its UTF-8 bytes. */
   def byteToken(b: Int): String = f"<0x$b%02X>"
 
-  private val ByteTokenRe = "^<0x([0-9A-F]{2})>$".r
+  /** The byte-token surface form [[byteToken]] writes — single owner of
+    * the contract; Unigram's decoder reuses it so the two tokenizers
+    * cannot drift. */
+  private[text] val ByteTokenRe = "^<0x([0-9A-F]{2})>$".r
 
   /** UTF-8 bytes of `body` as byte-token ids; the last byte carries the
     * sentinel when `sentinel` is set (so word boundaries survive the

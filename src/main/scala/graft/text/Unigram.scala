@@ -313,7 +313,7 @@ object Unigram {
       idsCol: String,
       pieces: DataFrame,
       outCol: String = "decoded_text"): DataFrame = {
-    val byteRe = "^<0x([0-9A-F]{2})>$".r
+    val byteRe = Bpe.ByteTokenRe // single owner of the byte-token contract
     val toks: Map[Int, String] = pieces
       .select(col("piece_id").cast("int"), col("piece"))
       .collect().map(r => r.getInt(0) -> r.getString(1)).toMap

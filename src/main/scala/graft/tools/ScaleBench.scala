@@ -43,9 +43,16 @@ object ScaleBench {
     * lineitem at 100x would dominate the wall time for nothing. */
   def scaleUp(spark: SparkSession, src: String, dst: String, k: Int,
       only: Option[Set[String]] = None): Unit = {
-    val okPath = new org.apache.hadoop.fs.Path(s"$dst/_SCALE_OK")
+    // the idempotence marker is SCOPED: a partial derivation (dedup-decade
+    // derives documents+customer only) must not satisfy a later full run
+    // on the same dst — that would return early with most tables missing
+    val marker = only.fold("_SCALE_OK")(
+      ts => "_SCALE_OK_" + ts.toSeq.sorted.mkString("_"))
+    val okPath = new org.apache.hadoop.fs.Path(s"$dst/$marker")
+    val fullOk = new org.apache.hadoop.fs.Path(s"$dst/_SCALE_OK")
     val fs = okPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(okPath)) return
+    // a completed FULL derivation satisfies any partial request too
+    if (fs.exists(okPath) || fs.exists(fullOk)) return
     def wanted(t: String) = only.forall(_.contains(t))
     def read(t: String) = spark.read.parquet(s"$src/$t.parquet")
     def write(df: => DataFrame, t: String): Unit =

@@ -121,6 +121,9 @@ class GraftFunctionsSpec extends SparkSpec {
       ("<p>keep</p><script>drop < this</script><style>p{}</style><!-- no -->", "keep"),
       // entities: named, double-escaped stays literal, numeric dec + hex
       ("a &amp; b &amp;lt; c &#65;&#x42;", "a & b &lt; c AB"),
+      // escaped NUMERIC references also stay literal after one decode
+      // level (numeric pass runs before the &amp; rewrite)
+      ("&amp;#65; vs &#65;", "&#65; vs A"),
       // nbsp becomes a space and collapses; blank lines drop
       ("<div>x&nbsp;&nbsp;y</div><div>  </div><div>z</div>", "x y\nz"),
       // malformed numeric reference left as-is; unclosed tag stripped
