@@ -72,10 +72,12 @@ object Graphs {
     var ranks = ckpt(nodes.select(col("id"), lit(1.0 / n).as("rank")))
     var i = 0
     while (i < iterations) {
-      // dangling mass: rank sitting on nodes with no out-edges — a
-      // 1-row scalar per iteration, not a data-sized collect
-      val dangling = ranks.join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
-        .agg(coalesce(sum(col("rank")), lit(0.0))).head().getDouble(0)
+      // dangling mass: rank sitting on nodes with no out-edges — a 1-row
+      // frame broadcast into the update, so each iteration is ONE job
+      // (the checkpoint action), not a separate driver collect + job
+      val dangling = ranks
+        .join(deg.select(col("src").as("id")), Seq("id"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("__dm"))
       val contribs = e
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .join(deg, Seq("src"))
@@ -83,9 +85,10 @@ object Graphs {
         .agg(sum(col("rank") / col("outdeg")).as("__in"))
       ranks = ckpt(nodes
         .join(contribs, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
         .select(col("id"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * (coalesce(col("__in"), lit(0.0)) + lit(dangling / n)))
+            lit(damping) * (coalesce(col("__in"), lit(0.0)) + col("__dm") / lit(n)))
             .as("rank")))
       i += 1
     }
