@@ -150,6 +150,10 @@ object GraftFunctions {
     "graft_html_text" -> { args =>
       require(args.length == 1, "graft_html_text(html) takes 1 argument")
       HtmlText(Cast(args(0), StringType))
+    },
+    "graft_ngram_slots" -> { args =>
+      require(args.length == 2, "graft_ngram_slots(tokens, buckets) takes 2 arguments")
+      NgramSlots(args(0), litInt(args(1), "graft_ngram_slots", "buckets"))
     })
 
   private def info(name: String): ExpressionInfo =

@@ -93,6 +93,22 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(rows.filter("fast < 0 OR fast >= pow(2, 52)").count() === 0)
   }
 
+  test("graft_ngram_slots equals the transform+concat md5-slot route (as multisets)") {
+    // the kernel interleaves unigram/bigram slots per position while the
+    // string route lists unigrams then bigrams — same multiset, which is
+    // all the downstream groupBy counts (and the DSIR oracles) depend on
+    val ok = spark.sql(
+      """SELECT array_sort(graft_ngram_slots(tk, 64)) =
+        |  array_sort(transform(
+        |    concat(tk, transform(sequence(0, size(tk) - 2),
+        |      j -> concat(tk[j], ' ', tk[j + 1]))),
+        |    g -> pmod(CAST(conv(substring(md5(g), 1, 13), 16, 10) AS BIGINT), 64)))
+        |  AS same
+        |FROM (SELECT split('one two three four two one', ' ') AS tk)""".stripMargin)
+      .head().getBoolean(0)
+    assert(ok)
+  }
+
   test("graft_deflate_ratio: repetitive < prose, empty is null, SQL/API parity") {
     import spark.implicits._
     val df = Seq(
