@@ -51,6 +51,24 @@ object TopK {
     run(df, keyCols, named ++ payload.map(col), outFields = payload, k)
   }
 
+  /** Mixed-direction variant: `orderCols` are (column, resultAscending)
+    * pairs — e.g. `Seq("score" -> false, "token" -> true)` ranks
+    * "score DESC, token ASC". This is the form for string tiebreaks that
+    * can't be negated into [[topKPerKeyExpr]]'s larger-is-better frame.
+    * Output: keyCols, rank (1-based), orderCols, remaining columns. */
+  def topKPerKeyDirectional(
+      df: DataFrame,
+      keyCols: Seq[String],
+      orderCols: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    require(orderCols.nonEmpty, "topKPerKeyDirectional needs at least one order column")
+    val payload =
+      df.columns.toSeq.filterNot(c => keyCols.contains(c) || orderCols.exists(_._1 == c))
+    val fields = orderCols.map(_._1) ++ payload
+    run(df, keyCols, fields.map(col), outFields = fields, k,
+      ascending = orderCols.map(_._2))
+  }
+
   /** The raw aggregate Column — for composing top-k with OTHER aggregates
     * in a single groupBy pass (the case the window idiom can't express
     * without a second stage + join). Returns the k largest structs of
@@ -68,11 +86,13 @@ object TopK {
       keyCols: Seq[String],
       structFields: Seq[org.apache.spark.sql.Column],
       outFields: Seq[String],
-      k: Int): DataFrame = {
+      k: Int,
+      ascending: Seq[Boolean] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "topKPerKey needs at least one key column")
     val packed = struct(structFields: _*)
     val agg = Bridge.column(
-      graft.expressions.TopKStructs(Bridge.expression(packed), k).toAggregateExpression())
+      graft.expressions.TopKStructs(Bridge.expression(packed), k, ascending)
+        .toAggregateExpression())
     df.groupBy(keyCols.map(col): _*)
       .agg(agg.as("__topk"))
       .select((keyCols.map(col) :+ posexplode(col("__topk")).as(Seq("__pos", "__row"))): _*)

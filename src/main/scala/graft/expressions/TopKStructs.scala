@@ -57,10 +57,17 @@ final class TopKHeap(val k: Int, val ord: Ordering[InternalRow]) {
   * the result as ORDER BY value DESC NULLS LAST, id DESC. Memory: each
   * buffer holds ≤ k rows (caller-capped), merge is k log k — bounded
   * executor state by construction.
+  *
+  * `ascendingFields(i) = true` flips field i so the RESULT reads ascending
+  * for it (mixed-direction rankings like "score DESC, token ASC" that a
+  * string field can't express by negation). Missing/extra entries default
+  * to the descending-result behavior above; nulls still rank last either
+  * way (they only surface when a group is smaller than k).
   */
 case class TopKStructs(
     child: Expression,
     k: Int,
+    ascendingFields: Seq[Boolean] = Nil,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKHeap] with UnaryLike[Expression] {
@@ -79,9 +86,16 @@ case class TopKStructs(
   // identical order to the interpreted struct ordering, ~5x cheaper per
   // comparison); transient: regenerated lazily on each executor
   @transient private lazy val ordering: Ordering[InternalRow] = {
-    import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, SortOrder}
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, Descending, NullsFirst, SortOrder}
     val sortOrders = structType.fields.toIndexedSeq.zipWithIndex.map { case (f, i) =>
-      SortOrder(BoundReference(i, f.dataType, f.nullable), Ascending)
+      val ref = BoundReference(i, f.dataType, f.nullable)
+      // The heap keeps the k GREATEST rows under this comparator and emits
+      // them comparator-descending, so a result-ASC field needs the
+      // comparator direction flipped; NullsFirst under Descending makes
+      // nulls "least" — ranked last in the output, same as the default.
+      if (ascendingFields.lift(i).getOrElse(false))
+        SortOrder(ref, Descending, NullsFirst, Seq.empty)
+      else SortOrder(ref, Ascending)
     }
     org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering.generate(sortOrders)
   }

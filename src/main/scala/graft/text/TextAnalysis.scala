@@ -399,11 +399,16 @@ object TextAnalysis {
       .withColumn(
         "tfidf",
         round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
-    val w = Window.partitionBy(col(idCol)).orderBy(desc("tfidf"), asc("token"))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col(idCol), col("rn"), col("token"), col("tf"), col("df"), col("tfidf"))
+    // Bounded-heap top-k (TopKStructs via topKPerKeyDirectional): each map
+    // partition reduces to ≤ k rows per doc before the exchange, so the
+    // shuffle carries the per-doc shortlists, not the full scored
+    // (doc, token) frame a row_number window would exchange and sort.
+    graft.dp.TopK
+      .topKPerKeyDirectional(
+        scored, Seq(idCol), Seq("tfidf" -> false, "token" -> true), k)
+      .select(
+        col(idCol), col("rank").as("rn"),
+        col("token"), col("tf"), col("df"), col("tfidf"))
   }
 
   /** Top-k BM25 terms per document — TF-IDF's retrieval-grade sibling with
@@ -415,7 +420,7 @@ object TextAnalysis {
     * scoring a curation pipeline wants for query-anchored filtering.
     *
     * Scale shape matches [[tfidfTopTerms]]: explode → (doc,token) tf →
-    * token df → joins on token/doc, per-document-partitioned top-k window.
+    * token df → joins on token/doc, bounded-heap per-doc top-k aggregate.
     * Learned scalars are N and avgdl (exact long sum / count — no
     * float-accumulated average, so the constant is bit-reproducible).
     * Ranking key round(bm25, 6) + token tiebreak, reproducible across
@@ -447,11 +452,14 @@ object TextAnalysis {
       .join(docFreq, Seq("token"))
       .join(dl, Seq(idCol))
       .withColumn("bm25", round(idf * sat, 6))
-    val w = Window.partitionBy(col(idCol)).orderBy(desc("bm25"), asc("token"))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col(idCol), col("rn"), col("token"), col("tf"), col("df"), col("dl"), col("bm25"))
+    // Same bounded-heap shape as tfidfTopTerms: the exchange ships k rows
+    // per doc, not every scored token row.
+    graft.dp.TopK
+      .topKPerKeyDirectional(
+        scored, Seq(idCol), Seq("bm25" -> false, "token" -> true), k)
+      .select(
+        col(idCol), col("rank").as("rn"),
+        col("token"), col("tf"), col("df"), col("dl"), col("bm25"))
   }
 
   /** PII redaction for corpus curation: emails, URLs, and phone-like

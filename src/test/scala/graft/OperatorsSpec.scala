@@ -736,6 +736,51 @@ class OperatorsSpec extends SparkSpec {
       s"the heap must reduce map partitions before the shuffle:\n$plan")
   }
 
+  test("topKPerKeyDirectional: mixed score-DESC token-ASC matches the window, string ties and all") {
+    import org.apache.spark.sql.expressions.Window
+    // deliberate score collisions (i % 9) so the ascending string tiebreak decides ranks
+    val df = (1 to 400)
+      .map(i => (i % 7L, (i % 9).toDouble, f"tok${i % 23}%02d"))
+      .toDF("k", "score", "token")
+      .distinct()
+    val viaAgg = graft.dp.TopK
+      .topKPerKeyDirectional(df, Seq("k"), Seq("score" -> false, "token" -> true), 5)
+      .select("k", "rank", "score", "token").collect().map(_.toSeq).toSet
+    val viaWindow = df
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("k")).orderBy(col("score").desc, col("token").asc)).cast("int"))
+      .filter(col("rank") <= 5)
+      .select("k", "rank", "score", "token").collect().map(_.toSeq).toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("topKPerKeyDirectional: nulls rank last in ascending-result fields too") {
+    val df = Seq(
+      (1L, Some("b"), 10), (1L, None, 20), (1L, Some("a"), 30),
+      (2L, None, 40)).toDF("k", "t", "payload")
+    val out = graft.dp.TopK.topKPerKeyDirectional(df, Seq("k"), Seq("t" -> true), 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getAs[String]("t")))
+    assert(out.toSet == Set((1L, 1, "a"), (1L, 2, "b"), (1L, 3, null), (2L, 1, null)),
+      s"null t must rank below real values even ascending: ${out.mkString(",")}")
+  }
+
+  test("tfidf/bm25 top terms: bounded-heap plan — no Window, partial top-k before the exchange") {
+    val docs = (1 to 40)
+      .map(i => (i.toLong, s"alpha beta w$i w${i % 3} gamma${i % 5} delta"))
+      .toDF("id", "text")
+    for (
+      plan <- Seq(
+        graft.text.TextAnalysis.tfidfTopTerms(docs, "id", "text", k = 3),
+        graft.text.TextAnalysis.bm25TopTerms(docs, "id", "text", k = 3))
+        .map(_.queryExecution.executedPlan.toString)
+    ) {
+      assert(!plan.contains("Window"),
+        s"per-doc top-k must not shuffle the scored frame through a window:\n$plan")
+      assert(plan.contains("partial_graft_top_k"),
+        s"the heap must reduce map partitions before the shuffle:\n$plan")
+    }
+  }
+
   test("bloom semiJoin equals the plain left-semi join") {
     val fact = (1 to 2000).map(i => (i.toLong % 600, i)).toDF("fk", "payload")
     val dim = (1 to 100).map(i => (i * 3L, s"d$i")).toDF("dk", "name")
