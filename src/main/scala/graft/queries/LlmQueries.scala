@@ -1215,10 +1215,15 @@ object LlmQueries {
     "ann_ivfpq_search" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val idx = annIndexDir(dir, "ivfpq")
+      // raw-ADC operating point, EXPLICITLY: codes-only layout + refine=0
+      // (since r13 the API defaults to storing + using refine vectors;
+      // this lane keeps measuring the minimum-bytes ADC ranking, recall
+      // bound 0.5 in tools/Recall)
       graft.similarity.AnnIndex.ensureIvfPq(e, "vec_id", "embedding", idx,
-        m = 8, codes = 256)
+        m = 8, codes = 256, refine = false)
       graft.similarity.AnnIndex
-        .searchIvfPq(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+        .searchIvfPq(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, refine = 0)
         .orderBy(col("query_id"), col("rank"))
     },
     // --- IVF-PQ + refine: ADC shortlist (10·k) re-ranked against stored

@@ -207,7 +207,9 @@ object AnnIndex {
     * cosine returned is the quantized approximation — recall is
     * planted-truth-measured (tools/Recall.scala).
     *
-    * `refine = true` additionally stores int8-quantized vectors
+    * `refine = true` (the DEFAULT — the 0.5-recall-bound raw-ADC layout
+    * is an opt-in, not what a caller gets by accident) additionally
+    * stores int8-quantized vectors
     * (`__q` + dequantized norm `__cn`) beside the codes — the FAISS
     * refine pattern (`IVFPQR`-shaped, with an SQ8 refiner instead of a
     * second PQ): search ADC-shortlists cheaply, then re-ranks the
@@ -232,7 +234,7 @@ object AnnIndex {
       seed: Long = 0L,
       fitSample: Int = 100000,
       attrCols: Seq[String] = Nil,
-      refine: Boolean = false): Unit = {
+      refine: Boolean = true): Unit = {
     require(nlist >= 0, s"nlist must be >= 0 (0 = auto), got $nlist")
     require(m > 0 && codes > 1, s"need m > 0 subspaces and codes > 1, got m=$m codes=$codes")
     val nRows = corpus.count()
@@ -274,8 +276,13 @@ object AnnIndex {
     * the cost of `refine·k` int8 dot products per query — candidate
     * GENERATION still pays only m lookup-adds per row, so the scan cost
     * is unchanged; only the tail narrows differently. `refine = 0`
-    * returns the raw ADC ranking (`cosine` is the PQ approximation);
-    * refined results report the int8-reconstruction cosine. */
+    * returns the raw ADC ranking (`cosine` is the PQ approximation;
+    * recall ~0.66 on the planted-truth harness vs ~0.92 refined — pick
+    * it deliberately); refined results report the int8-reconstruction
+    * cosine. The DEFAULT `refine = -1` is auto: re-rank a 10·k shortlist
+    * when the index stores refine vectors, raw ADC only when it is
+    * codes-only — a caller on defaults never silently lands on the
+    * worst-recall operating point of the suite. */
   def searchIvfPq(
       spark: SparkSession,
       dir: String,
@@ -285,10 +292,11 @@ object AnnIndex {
       k: Int,
       nprobe: Int = 0,
       corpusFilter: Option[org.apache.spark.sql.Column] = None,
-      refine: Int = 0): DataFrame = {
+      refine: Int = -1): DataFrame = {
     require(nprobe >= 0, s"nprobe must be >= 0 (0 = auto), got $nprobe")
-    require(refine >= 0, s"refine must be >= 0 (0 = off), got $refine")
+    require(refine >= -1, s"refine must be >= -1 (-1 = auto, 0 = off), got $refine")
     val m = readMeta(spark, dir, "ivfpq")
+    val refineEff = if (refine >= 0) refine else if (m.quantized) 10 else 0
     val probes =
       if (nprobe > 0) nprobe else Similarity.ivfAutoNprobe(m.nlist, m.nRows, k)
     require(probes >= 1 && probes <= m.nlist,
@@ -322,7 +330,7 @@ object AnnIndex {
       .join(lut, Seq("query_id"))
       .filter(col(m.idCol) =!= col("query_id"))
       .filter(col("__rn") > 0)
-    if (refine == 0) {
+    if (refineEff == 0) {
       Similarity.rankTopK(
         scored.select(col("query_id"), col(m.idCol),
           round(adcCosine, 6).as("cosine")),
@@ -337,7 +345,7 @@ object AnnIndex {
       val shortlist = Similarity
         .rankTopK(scored.select(col("query_id"), col(m.idCol),
             adcCosine.as("cosine"), col("__q"), col("__cn")),
-          m.idCol, refine * k, extraCols = Seq("__q", "__cn"))
+          m.idCol, refineEff * k, extraCols = Seq("__q", "__cn"))
       // int8 re-rank: cos(q, dq(x)) over shortlisted rows only — the
       // query side is the broadcast-sized unit-vector frame
       val qUnit = broadcast(queries
@@ -411,7 +419,7 @@ object AnnIndex {
       m: Int = 8,
       codes: Int = 256,
       seed: Long = 0L,
-      refine: Boolean = false): Unit =
+      refine: Boolean = true): Unit =
     if (!exists(corpus.sparkSession, dir))
       buildIvfPq(corpus, idCol, vecCol, dir, nlist, m, codes, seed,
         refine = refine)

@@ -121,15 +121,29 @@ object Recall {
       "query_id", "vec_id")
     entries += Entry("ann_lsh_search", recallOf(brute, lshIdx), brute.size,
       (brute & lshIdx).size, 0.6, "prebuilt LSH index search vs exact cosine top-10")
+    // raw-ADC operating point: codes-only layout + refine = 0, both now
+    // explicit opt-ins (the API defaults refine since r13)
     graft.similarity.AnnIndex.buildIvfPq(emb, "vec_id", "embedding", s"$idxBase/pq",
-      m = 8, codes = 256)
+      m = 8, codes = 256, refine = false)
     val pqIdx = pairSet(
       graft.similarity.AnnIndex.searchIvfPq(
-        spark, s"$idxBase/pq", queries5, "vec_id", "embedding", k = 10),
+        spark, s"$idxBase/pq", queries5, "vec_id", "embedding", k = 10, refine = 0),
       "query_id", "vec_id")
     entries += Entry("ann_ivfpq_search", recallOf(brute, pqIdx), brute.size,
       (brute & pqIdx).size, 0.5,
-      "prebuilt IVF-PQ (ADC, no re-rank) vs exact cosine top-10 — near-uniform vectors are PQ's hardest case")
+      "prebuilt IVF-PQ (ADC, no re-rank, explicit opt-in) vs exact cosine top-10 — near-uniform vectors are PQ's hardest case")
+    // the DEFAULT path: build + search with no tuning args at all — build
+    // stores int8 refine vectors, search auto-re-ranks a 10·k shortlist.
+    // This is what a user gets by accident; it must not be the 0.66 one.
+    graft.similarity.AnnIndex.buildIvfPq(emb, "vec_id", "embedding",
+      s"$idxBase/pqdef")
+    val pqDef = pairSet(
+      graft.similarity.AnnIndex.searchIvfPq(
+        spark, s"$idxBase/pqdef", queries5, "vec_id", "embedding", k = 10),
+      "query_id", "vec_id")
+    entries += Entry("ann_ivfpq_default", recallOf(brute, pqDef), brute.size,
+      (brute & pqDef).size, 0.85,
+      "IVF-PQ with ALL defaults (build stores refine vectors, search auto-re-ranks) vs exact cosine top-10")
     // refined variant: same coarse/PQ structure + stored int8 vectors;
     // ADC shortlists 10·k, int8 re-rank repairs the ADC mis-orderings
     graft.similarity.AnnIndex.buildIvfPq(emb, "vec_id", "embedding",

@@ -343,7 +343,7 @@ class AnnIndexSpec extends SparkSpec {
     val dirP = tempDir("graft_pq")
     val dirF = tempDir("graft_pq_full")
     AnnIndex.buildIvfPq(planted.select("vec_id", "embedding"), "vec_id", "embedding",
-      dirP, nlist = 8, m = 8, codes = 64, seed = 7L)
+      dirP, nlist = 8, m = 8, codes = 64, seed = 7L, refine = false)
     AnnIndex.buildIvf(planted.select("vec_id", "embedding"), "vec_id", "embedding",
       dirF, nlist = 8, seed = 7L)
     val queries = planted.filter(col("vec_id") < 5)
@@ -386,7 +386,7 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.buildIvfPq(emb, "vec_id", "embedding", dirR, nlist = 8, m = 8,
       codes = 64, seed = 7L, refine = true)
     AnnIndex.buildIvfPq(emb, "vec_id", "embedding", dirN, nlist = 8, m = 8,
-      codes = 64, seed = 7L)
+      codes = 64, seed = 7L, refine = false)
     val queries = emb.filter(col("vec_id") < 5)
     def pairs(df: DataFrame): Set[(Long, Long)] =
       df.select($"query_id".cast("long"), $"vec_id".cast("long"))
@@ -418,6 +418,18 @@ class AnnIndexSpec extends SparkSpec {
         k = 10, nprobe = 8, refine = 10)
     }
     assert(e.getMessage.contains("refine"))
+    // DEFAULT search on a refine-capable index auto-re-ranks (refine=-1 →
+    // 10·k shortlist): identical rows to the explicit refine=10 call. On
+    // a codes-only index the same default degrades to raw ADC, not an
+    // error.
+    assert(
+      rows(AnnIndex.searchIvfPq(spark, dirR, queries, "vec_id", "embedding",
+        k = 10, nprobe = 8).orderBy($"query_id", $"rank")) === a,
+      "default search on a refine index must equal the explicit refine=10 ranking")
+    assert(
+      rows(AnnIndex.searchIvfPq(spark, dirN, queries, "vec_id", "embedding",
+          k = 10, nprobe = 8).orderBy($"query_id", $"rank")).nonEmpty,
+      "default search on a codes-only index must fall back to raw ADC")
     // appends preserve the refine payload: an appended exact clone is
     // found at rank 1 by a refined search (its int8 codes are identical
     // to the query's, so the re-ranked cosine is maximal)
@@ -441,7 +453,7 @@ class AnnIndexSpec extends SparkSpec {
     import spark.implicits._
     val dir = tempDir("graft_pq_append")
     AnnIndex.buildIvfPq(emb, "vec_id", "embedding", dir, nlist = 8, m = 8,
-      codes = 64, seed = 7L)
+      codes = 64, seed = 7L, refine = false)
     // append exact clones of 3 base vectors under new ids
     val batch = emb.filter(col("vec_id") < 3)
       .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))

@@ -31,7 +31,7 @@ class RecallSpec extends SparkSpec {
       "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_search", "ann_lsh_search",
       "dedup_minhash", "dedup_minhash_incremental", "dedup_cluster_survivors",
       "dedup_simhash", "embedding_near_dup", "semdedup", "ann_ivfpq_search",
-      "ann_ivfpq_refined")
+      "ann_ivfpq_refined", "ann_ivfpq_default")
     assert(entries.map(_.name).toSet === expected)
     val failures = entries.filter(e => e.recall < e.minBound)
     assert(failures.isEmpty,
