@@ -124,6 +124,31 @@ object Production {
     // Unicode normalization FIRST in a curation chain: equivalent
     // encodings (combining marks vs precomposed, fullwidth variants,
     // stray control bytes) must hash equal before any dedup sees them
+    // the raw-crawl stage BEFORE extract-html: WARC files (gzip-member
+    // records, the Common-Crawl arrival format) → one row per HTTP
+    // response with the payload decoded, landing in the html_pages zone
+    // extract-html consumes — raw crawl → text → curated runs entirely
+    // inside the engine. One task per WARC file; memory bounded by the
+    // largest record (io/Warc.scala).
+    Jobs.register("corpus-curation", "crawl-ingest") { (ctx, params) =>
+      val s = ctx.spark
+      val paths = params.get("input_paths") match {
+        case Some(l: List[_]) => l.map(_.toString)
+        case Some(p)          => Seq(p.toString)
+        case None =>
+          throw new IllegalArgumentException(
+            "crawl-ingest: input_paths (WARC files/dirs/globs) is required")
+      }
+      val mimePrefix = params.getOrElse("mime_prefix", "text/html").toString
+      val pages = graft.io.Warc.readWarc(s, paths)
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .filter(col("mime").startsWith(mimePrefix))
+        .select(
+          col("target_uri").as("url"), col("warc_date").as("fetch_ts"),
+          col("mime"), graft.io.Warc.payloadText(col("payload")).as("html"))
+      save(ctx, pages, ctx.dataPath(params.getOrElse("output", "raw.html_pages").toString))
+    }
+
     // the crawl → text first stage: extract document text from raw HTML
     // (script/style/chrome removal, block-tag newlines, entity decode) —
     // downstream stages read the extracted zone as their raw corpus

@@ -97,6 +97,45 @@ object LlmQueries {
     s"${System.getProperty("java.io.tmpdir")}/graft_ann_${kind}_$key"
   }
 
+  /** The html chrome the warc fixture wraps every document payload in —
+    * the SAME chrome as the `html_extract` query, so its oracle's
+    * expected-extraction formula carries over to `warc_ingest_e2e`. */
+  private def warcChrome(docId: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(
+      lit("<html><body><!-- nav --><h1>Doc &amp; "), docId.cast("string"),
+      lit("</h1><p>"), text,
+      lit("</p><script>var x=1<2;</script>" +
+        "<div> footer&nbsp;&#8212; end </div></body></html>"))
+
+  /** Stage the deterministic `.warc.gz` fixture for the warc queries once
+    * per sf dir (same idiom as RelationalQueries.textRoundTrip): the
+    * first 300 documents as HTTP-200 text/html response records —
+    * uri/date/record-id all arithmetic functions of doc_id so DuckDB can
+    * predict every parsed field. One shard, doc_id-ordered, so record_no
+    * is deterministic (warcinfo is member 0). */
+  private def warcFixtureDir(s: SparkSession, dir: String): String = {
+    val tmp = s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9]", "_")}/warc"
+    if (!new java.io.File(s"$tmp/_STAGED").exists()) {
+      val docs = t(s, dir, "documents")
+        .filter(col("doc_id") < 300 && length(trim(col("text"))) > 0)
+      val frame = docs
+        .select(
+          concat(lit("http://crawl.test/"), col("lang"), lit("/"),
+            col("doc_id").cast("string")).as("uri"),
+          (lit(1704067200L) + col("doc_id")).cast("timestamp").as("ts"),
+          concat(lit("<urn:graft:doc:"), col("doc_id").cast("string"), lit(">")).as("rid"),
+          lit("text/html").as("mime"),
+          encode(warcChrome(col("doc_id"), col("text")), "UTF-8").as("payload"),
+          col("doc_id"))
+        .repartition(1).sortWithinPartitions("doc_id")
+        .drop("doc_id")
+      graft.io.Warc.writeWarc(frame, tmp, "uri", "ts", "rid", "mime", "payload")
+      new java.io.File(s"$tmp/_STAGED").createNewFile()
+    }
+    tmp
+  }
+
   /** Token-count frame for the bin-packing queries: whitespace counts
     * with planted zero-token (id%17) and oversize (id%13, 9×) docs so the
     * next-fit fold's every branch is exercised and oracle-checked. */
@@ -174,6 +213,38 @@ object LlmQueries {
     "text_stats" -> { (s, dir) =>
       TextAnalysis
         .textStats(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
+    // --- WARC ingestion: parse the staged gzip-member crawl file (one
+    // member per record, ISO 28500 headers + HTTP response blocks) back
+    // into typed rows. Every field is an arithmetic function of doc_id,
+    // so the oracle predicts the COMPLETE parse — uri, status, mime,
+    // fetch time, payload bytes and the payload string itself
+    "warc_read" -> { (s, dir) =>
+      graft.io.Warc.readWarc(s, Seq(warcFixtureDir(s, dir)))
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          col("record_no"),
+          col("target_uri"),
+          col("warc_type"),
+          col("http_status"),
+          col("mime"),
+          col("warc_date").cast("long").as("fetch_unix"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          graft.io.Warc.payloadText(col("payload")).as("payload_html"))
+        .orderBy(col("doc_id"))
+    },
+    // --- raw crawl → text, entirely in-engine: WARC records → HTTP
+    // payload → htmlToText — the crawl-ingest + extract-html catalog
+    // chain as one oracle-checked query (the chrome matches html_extract,
+    // so the expected extraction formula is the same)
+    "warc_ingest_e2e" -> { (s, dir) =>
+      graft.io.Warc.readWarc(s, Seq(warcFixtureDir(s, dir)))
+        .filter(col("warc_type") === "response" && col("mime") === "text/html")
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1).cast("long").as("doc_id"),
+          TextAnalysis.htmlToText(graft.io.Warc.payloadText(col("payload"))).as("text"))
         .orderBy(col("doc_id"))
     },
     // --- HTML → text extraction: wrap every doc in a known HTML chrome
@@ -1535,6 +1606,36 @@ object LlmQueries {
           |  GROUP BY doc_id)
           |SELECT d.doc_id, coalesce(kept.clean, '') AS text
           |FROM d LEFT JOIN kept USING (doc_id) ORDER BY d.doc_id""".stripMargin),
+    // the warc fixture is fully determined by documents.parquet: the
+    // oracle rebuilds every parsed field from first principles (the html
+    // string, its UTF-8 byte count, the uri/date arithmetic) — a FULL
+    // round-trip check of the record writer AND parser
+    "warc_read" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |    '<html><body><!-- nav --><h1>Doc &amp; ' || CAST(doc_id AS VARCHAR) ||
+        |    '</h1><p>' || text || '</p><script>var x=1<2;</script>' ||
+        |    '<div> footer&nbsp;&#8212; end </div></body></html>' AS html
+        |  FROM documents WHERE doc_id < 300 AND length(trim(text)) > 0)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY doc_id) AS INT) AS record_no,
+        |  'http://crawl.test/' || lang || '/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  'response' AS warc_type,
+        |  CAST(200 AS INT) AS http_status,
+        |  'text/html' AS mime,
+        |  1704067200 + doc_id AS fetch_unix,
+        |  CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes,
+        |  html AS payload_html
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // same expected-extraction formula as html_extract (same chrome),
+    // over the warc-carried subset
+    "warc_ingest_e2e" ->
+      """SELECT doc_id,
+        |  'Doc & ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |  trim(regexp_replace(text, '[\t ]+', ' ', 'g')) || chr(10) ||
+        |  'footer ' || chr(8212) || ' end' AS text
+        |FROM documents WHERE doc_id < 300 AND length(trim(text)) > 0
+        |ORDER BY doc_id""".stripMargin,
     "html_extract" ->
       """SELECT doc_id,
         |  'Doc & ' || CAST(doc_id AS VARCHAR) || chr(10) ||

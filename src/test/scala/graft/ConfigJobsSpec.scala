@@ -662,6 +662,56 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(t0 === "Doc 0\nalpha beta gamma", s"got [$t0]")
   }
 
+  test("curation crawl-ingest catalog job: WARC files through extract-html end to end") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-warc-jobs").toString
+    // stage a crawl file: html responses + a non-html response the mime
+    // filter must drop
+    val crawl = (0 until 12).map(i =>
+      (s"http://c.test/$i",
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + i)),
+        s"<urn:c:$i>",
+        if (i == 11) "application/pdf" else "text/html",
+        (s"<html><body><h1>Page $i</h1><p>alpha beta&nbsp;gamma</p>" +
+          "<script>nope()</script><!-- x --></body></html>")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      .toDF("uri", "ts", "rid", "mime", "payload")
+    graft.io.Warc.writeWarc(crawl, s"$work/crawl", "uri", "ts", "rid", "mime", "payload")
+    val yml = java.nio.file.Files.createTempFile("graft-warc-jobs", ".yml")
+    java.nio.file.Files.writeString(yml,
+      s"""jobs:
+         |  - name: corpus-curation
+         |    fail_fast: true
+         |    stages:
+         |      - name: ingest
+         |        tasks:
+         |          - name: crawl-ingest
+         |            params: {input_paths: $work/crawl}
+         |          - name: extract-html
+         |""".stripMargin)
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Context.loadYaml(yml.toString),
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "html_pages" -> s"$work/pages",
+          "documents" -> s"$work/docs")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(ctx = Context(cfg, spark), "corpus-curation").isEmpty)
+    // the pdf response is filtered at ingest; the warcinfo member never
+    // reaches the pages zone
+    val pages = spark.read.parquet(s"$work/pages")
+    assert(pages.count() === 11 && pages.columns.sorted ===
+      Array("fetch_ts", "html", "mime", "url"))
+    val docs = spark.read.parquet(s"$work/docs")
+    assert(docs.count() === 11 && !docs.columns.contains("html"))
+    val t0 = docs.filter($"url" === "http://c.test/0").head().getAs[String]("text")
+    assert(t0 === "Page 0\nalpha beta gamma", s"got [$t0]")
+    assert(docs.filter($"url" === "http://c.test/0").head()
+      .getAs[java.sql.Timestamp]("fetch_ts").toInstant.getEpochSecond === 1700000000L)
+  }
+
   test("curation dsir-select catalog job: distribution-matching gate keeps target-like docs") {
     val spark = SparkSpec.session
     import spark.implicits._
