@@ -393,6 +393,32 @@ object LlmQueries {
             .as("ids_lossless")), Seq("doc_id"))
         .orderBy(col("doc_id"))
     },
+    // --- BPE with GPT-2 regex pre-tokenization: contractions / letter
+    // runs / digit runs / punctuation runs / space-prefix convention.
+    // n_words is the CROSS-ENGINE segmentation check (DuckDB re-runs the
+    // same lookahead-free pattern in RE2); ids_lossless pins the
+    // byte-EXACT decode this mode guarantees (spaces carried in-token,
+    // not whitespace-normalized). Planted rows force every branch:
+    // punctuation runs, contraction, tab, doubled space, emoji, accents
+    "bpe_gpt2_audit" -> { (s, dir) =>
+      import s.implicits._
+      import graft.text.Bpe
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val all = docs.unionByName(Seq(
+        (910001L, "Hello, world! it's 2024... ok?!"),
+        (910002L, "tab\there &  doubled spaces"),
+        (910003L, "café 😀 — naïve's test")).toDF("doc_id", "text"))
+      val (merges, vocabIds) =
+        Bpe.trainArtifacts(docs, "text", numMerges = 200, preTokenize = Bpe.Gpt2)
+      val enc = Bpe.encodeIds(
+        Bpe.encode(all, "text", merges, preTokenize = Bpe.Gpt2),
+        "text", merges, vocabIds, preTokenize = Bpe.Gpt2)
+      val dec = Bpe.decodeIds(enc, "token_ids", vocabIds, preTokenize = Bpe.Gpt2)
+      Bpe.encodeAudit(dec, "doc_id", "text", preTokenize = Bpe.Gpt2)
+        .join(dec.select(col("doc_id"),
+          (col("decoded_text") === col("text")).as("ids_lossless")), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    },
     // --- mergeable word-count state: the tokenizer's corpus statistic,
     // built as two folded halves — the oracle recomputes exact counts
     // from all rows, so the hash match proves merge == recompute
@@ -2035,6 +2061,22 @@ object LlmQueries {
           |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
           |  TRUE AS roundtrip_ok, TRUE AS count_sane, TRUE AS ids_lossless
           |FROM all_docs ORDER BY doc_id""".stripMargin),
+    // gpt2 audit: n_words re-derived by RE2 running the SAME pattern —
+    // the segmentation itself is the cross-engine contract; flags are
+    // invariant TRUEs as in bpe_encode_audit
+    "bpe_gpt2_audit" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(910001 AS BIGINT), 'Hello, world! it''s 2024... ok?!'),
+        |    (CAST(910002 AS BIGINT), 'tab' || chr(9) || 'here &  doubled spaces'),
+        |    (CAST(910003 AS BIGINT), 'café 😀 — naïve''s test')) p(doc_id, text))
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+        |    AS BIGINT) AS n_words,
+        |  TRUE AS roundtrip_ok, TRUE AS count_sane, TRUE AS ids_lossless
+        |FROM all_docs ORDER BY doc_id""".stripMargin,
     // word-count state: exact counts both engines derive independently
     "word_count_state" ->
       """SELECT word, CAST(count(*) AS BIGINT) AS n FROM (

@@ -34,11 +34,40 @@ object Bpe {
   /** End-of-word sentinel, fused onto a word's last character. */
   val EndOfWord = "</w>"
 
-  /** Split text into words for BPE purposes: whitespace runs. Kept
-    * deliberately simple and engine-portable (the oracle re-derives word
-    * counts with the same rule in SQL). */
-  private def wordsOf(textCol: String) =
-    filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+  /** Pre-tokenizer modes. [[Whitespace]] splits on `\s+` (the original,
+    * oracle-simplest rule; punctuation stays glued to words).
+    * [[Gpt2]] is the GPT-2 family's regex segmentation: contractions
+    * split off, letter runs / digit runs / punctuation runs become
+    * separate pre-tokens, and a single leading space travels WITH the
+    * following token (the space-prefix convention), so concatenating the
+    * pre-tokens reproduces the input byte-for-byte — decode under this
+    * mode is exact including whitespace, not whitespace-normalized. */
+  val Whitespace = "whitespace"
+  val Gpt2 = "gpt2"
+
+  /** The GPT-2 pre-tokenization pattern, with one disclosed divergence
+    * from the original: the trailing-whitespace alternative `\s+(?!\S)`
+    * is simplified to plain `\s+` because RE2 (the DuckDB oracle engine)
+    * has no lookahead — so an N>1 whitespace run segments as one
+    * whitespace token instead of (run-1, prefixed-next-token). Both
+    * engines use leftmost-first alternation, so Spark (java.util.regex)
+    * and the oracle (RE2) segment identically; concatenation of the
+    * pre-tokens is the input either way. */
+  val Gpt2Pattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Split text into pre-tokens per `mode` — every downstream artifact
+    * (word counts, merges, encode, audit) derives from this one rule. */
+  private def wordsOf(textCol: String, mode: String) = mode match {
+    case Whitespace => filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    case Gpt2       => regexp_extract_all(col(textCol), lit(Gpt2Pattern), lit(0))
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown preTokenize mode '$other' (expected '$Whitespace' or '$Gpt2')")
+  }
+
+  private def wordsOf(textCol: String): org.apache.spark.sql.Column =
+    wordsOf(textCol, Whitespace)
 
   /** One string per Unicode CODE POINT — not per Java char: splitting a
     * surrogate pair (emoji, rare CJK) into lone surrogates would make the
@@ -70,9 +99,11 @@ object Bpe {
       textCol: String,
       numMerges: Int,
       maxWords: Int = 50000,
-      minPairCount: Long = 2L): DataFrame = {
+      minPairCount: Long = 2L,
+      preTokenize: String = Whitespace): DataFrame = {
     require(numMerges > 0, s"need numMerges > 0, got $numMerges")
-    trainFromCounts(df.sparkSession, cappedWordCounts(df, textCol, maxWords),
+    trainFromCounts(df.sparkSession,
+      cappedWordCounts(df, textCol, maxWords, preTokenize),
       numMerges, minPairCount)
   }
 
@@ -81,9 +112,13 @@ object Bpe {
     * broken by word so the table is deterministic on any layout). Every
     * other training artifact — merges, charset, token-id vocabulary —
     * derives from this bounded output without touching the corpus again. */
-  def cappedWordCounts(df: DataFrame, textCol: String, maxWords: Int = 50000): Seq[(String, Long)] = {
+  def cappedWordCounts(
+      df: DataFrame,
+      textCol: String,
+      maxWords: Int = 50000,
+      preTokenize: String = Whitespace): Seq[(String, Long)] = {
     require(maxWords > 0, s"need maxWords > 0, got $maxWords")
-    df.select(explode(wordsOf(textCol)).as("__w"))
+    df.select(explode(wordsOf(textCol, preTokenize)).as("__w"))
       .groupBy(col("__w"))
       .agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__w").asc)
@@ -104,8 +139,9 @@ object Bpe {
     * keeps far below token count); the frequency cap applies at TRAIN
     * time, so a once-rare word that becomes frequent enters the capped
     * table without any recount. */
-  def wordCountState(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(wordsOf(textCol)).as("word"))
+  def wordCountState(
+      df: DataFrame, textCol: String, preTokenize: String = Whitespace): DataFrame =
+    df.select(explode(wordsOf(textCol, preTokenize)).as("word"))
       .groupBy(col("word"))
       .agg(count(lit(1)).as("n"))
 
@@ -153,10 +189,11 @@ object Bpe {
       textCol: String,
       numMerges: Int,
       maxWords: Int = 50000,
-      minPairCount: Long = 2L): (DataFrame, DataFrame) = {
+      minPairCount: Long = 2L,
+      preTokenize: String = Whitespace): (DataFrame, DataFrame) = {
     require(numMerges > 0, s"need numMerges > 0, got $numMerges")
     val spark = df.sparkSession
-    val counts = cappedWordCounts(df, textCol, maxWords)
+    val counts = cappedWordCounts(df, textCol, maxWords, preTokenize)
     val merges = trainFromCounts(spark, counts, numMerges, minPairCount)
     (merges, vocabWithIdsFromCounts(spark, counts, merges))
   }
@@ -339,7 +376,11 @@ object Bpe {
     * the UDF closure, so encode is a pure scan: no join, no shuffle. A
     * per-task memo caches each distinct word's encoding (Zipf: the hot
     * words dominate occurrences). */
-  def encode(df: DataFrame, textCol: String, merges: DataFrame): DataFrame = {
+  def encode(
+      df: DataFrame,
+      textCol: String,
+      merges: DataFrame,
+      preTokenize: String = Whitespace): DataFrame = {
     val ranks: Map[(String, String), Int] = merges
       .select(col("rank").cast("int"), col("left"), col("right"))
       .collect()
@@ -351,7 +392,7 @@ object Bpe {
       override def apply(words: Seq[String]): Seq[String] =
         words.flatMap(w => memo.getOrElseUpdate(w, encodeWord(w, ranks)))
     })
-    df.withColumn("tokens", enc(wordsOf(textCol)))
+    df.withColumn("tokens", enc(wordsOf(textCol, preTokenize)))
       .withColumn("n_tokens", size(col("tokens")))
   }
 
@@ -366,7 +407,8 @@ object Bpe {
       df: DataFrame,
       textCol: String,
       merges: DataFrame,
-      vocabIds: DataFrame): DataFrame = {
+      vocabIds: DataFrame,
+      preTokenize: String = Whitespace): DataFrame = {
     val ranks: Map[(String, String), Int] = merges
       .select(col("rank").cast("int"), col("left"), col("right"))
       .collect()
@@ -392,7 +434,7 @@ object Bpe {
             }
           }))
     })
-    df.withColumn("token_ids", enc(wordsOf(textCol)))
+    df.withColumn("token_ids", enc(wordsOf(textCol, preTokenize)))
       .withColumn("n_tokens", size(col("token_ids")))
   }
 
@@ -407,7 +449,12 @@ object Bpe {
       df: DataFrame,
       idsCol: String,
       vocabIds: DataFrame,
-      outCol: String = "decoded_text"): DataFrame = {
+      outCol: String = "decoded_text",
+      preTokenize: String = Whitespace): DataFrame = {
+    // gpt2 pre-tokens CARRY their whitespace, so decode concatenates
+    // them directly and reproduces the input exactly; whitespace mode
+    // rejoins with single spaces (whitespace-normalized round-trip)
+    val joiner = if (preTokenize == Gpt2) "" else " "
     val toks: Map[Int, String] = vocabIds
       .select(col("token_id").cast("int"), col("token"))
       .collect()
@@ -430,7 +477,7 @@ object Bpe {
         if (sentinel) flush()
       }
       if (bytes.nonEmpty) flush() // tolerate a sentinel-less tail
-      words.result().mkString(" ")
+      words.result().mkString(joiner)
     }
     df.withColumn(outCol, dec(col(idsCol)))
   }
@@ -442,8 +489,12 @@ object Bpe {
     * whitespace-joined words), and the token count is sane (>= one per
     * word, <= one per UTF-8 BYTE — the byte-fallback worst case; a plain
     * per-character bound would flag multi-byte fallback docs). */
-  def encodeAudit(encoded: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = wordsOf(textCol)
+  def encodeAudit(
+      encoded: DataFrame,
+      idCol: String,
+      textCol: String,
+      preTokenize: String = Whitespace): DataFrame = {
+    val ws = wordsOf(textCol, preTokenize)
     encoded.select(
       col(idCol),
       size(ws).cast("long").as("n_words"),

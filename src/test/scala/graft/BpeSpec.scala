@@ -157,4 +157,70 @@ class BpeSpec extends SparkSpec {
       .select("decoded_text").as[String].head
     assert(tame === "the quick brown fox jumps")
   }
+
+  /** Pre-tokens of one string under gpt2 mode, via the same Spark
+    * expression the library uses. */
+  private def gpt2Pre(s: String): Seq[String] =
+    Seq(s).toDF("text")
+      .select(regexp_extract_all(col("text"), lit(Bpe.Gpt2Pattern), lit(0)))
+      .as[Seq[String]].head
+
+  test("gpt2 pre-tokenization: hand-computed segmentation") {
+    // punctuation separates from words; the leading space rides the token
+    assert(gpt2Pre("Hello, world!") === Seq("Hello", ",", " world", "!"))
+    // contractions split; digits split from letters
+    assert(gpt2Pre("it's 42abc") === Seq("it", "'s", " 42", "abc"))
+    // punctuation runs group; space-prefixed punctuation keeps its space
+    assert(gpt2Pre("wait... what?!") === Seq("wait", "...", " what", "?!"))
+    // a 2+ whitespace run is its own token (the disclosed lookahead-free
+    // divergence: the next token then has NO space prefix)
+    assert(gpt2Pre("a  b") === Seq("a", "  ", "b"))
+    // concatenation reproduces the input byte-for-byte — the exactness
+    // guarantee gpt2-mode decode relies on
+    for (s <- Seq("Hello, world!", "it's 42abc", "a  b\tc\nd", " leading", "trailing  "))
+      assert(gpt2Pre(s).mkString === s)
+    // unicode letters are letters (\p{L}), not punctuation
+    assert(gpt2Pre("café 日本語!") === Seq("café", " 日本語", "!"))
+  }
+
+  test("gpt2 mode: punctuation never merges into words; decode is byte-exact") {
+    val corpus = Seq.fill(12)("the end. the end. it's fine!").toDF("text")
+    val (merges, vocabIds) =
+      Bpe.trainArtifacts(corpus, "text", numMerges = 40, preTokenize = Bpe.Gpt2)
+    // under whitespace mode "end." would be one trainable unit; under
+    // gpt2 the '.' is its own pre-token, so no merge output contains a
+    // letter glued to the period
+    val mergedTokens = Bpe.vocab(merges).as[String].collect()
+    assert(!mergedTokens.exists(t => t.replace(Bpe.EndOfWord, "").matches(".*[a-z]\\..*")),
+      s"punctuation leaked into a merge: ${mergedTokens.mkString(",")}")
+    // space-prefixed tokens exist (every non-initial word carries one)
+    assert(mergedTokens.exists(_.startsWith(" ")),
+      s"no space-prefixed merge in ${mergedTokens.mkString(",")}")
+    val wild = Seq("the end... it's reálly 😀 fine!?  ok").toDF("text")
+    val enc = Bpe.encodeIds(wild, "text", merges, vocabIds, preTokenize = Bpe.Gpt2)
+    assert(enc.select("token_ids").as[Seq[Int]].head.forall(_ != Bpe.UnkId),
+      "byte fallback must keep gpt2 mode zero-unk")
+    val rt = Bpe.decodeIds(enc, "token_ids", vocabIds, preTokenize = Bpe.Gpt2)
+      .select("decoded_text").as[String].head
+    assert(rt === "the end... it's reálly 😀 fine!?  ok",
+      s"gpt2 decode must be byte-exact, got [$rt]")
+  }
+
+  test("gpt2 mode: encodeAudit flags hold on punctuation-heavy text") {
+    val docs = Seq(
+      (1L, "Hello, world! it's 42."),
+      (2L, "no-punct plain words"),
+      (3L, "")).toDF("doc_id", "text")
+    val (merges, vocabIds) =
+      Bpe.trainArtifacts(docs, "text", numMerges = 10, preTokenize = Bpe.Gpt2)
+    val enc = Bpe.encodeIds(
+      Bpe.encode(docs, "text", merges, preTokenize = Bpe.Gpt2),
+      "text", merges, vocabIds, preTokenize = Bpe.Gpt2)
+    val audit = Bpe.encodeAudit(enc, "doc_id", "text", preTokenize = Bpe.Gpt2)
+      .collect().map(r => r.getAs[Long]("n_words") ->
+        (r.getAs[Boolean]("roundtrip_ok"), r.getAs[Boolean]("count_sane")))
+    assert(audit.forall { case (_, (rt, cs)) => rt && cs }, audit.mkString(","))
+    // doc 1 hand count: [Hello][,][ world][!][ it]['s][ 42][.]
+    assert(audit.map(_._1).toSeq.contains(8L))
+  }
 }
