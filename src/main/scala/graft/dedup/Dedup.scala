@@ -303,6 +303,22 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame =
+    hammingNearDupPairs(
+      df.select(col(idCol), simhash64(col(textCol)).as("__sig")),
+      idCol, "__sig", maxHamming, maxBucket)
+
+  /** The pigeonhole engine behind [[simhashNearDupPairs]], generic over
+    * ANY 64-bit signature column — the same machinery pairs perceptual
+    * image hashes ([[graft.multimodal.Multimodal.imageNearDupPairs]]) or
+    * any other 64-bit fingerprint. Full recall up to `maxHamming` by
+    * construction; candidates only inside (chunk, chunk-value) buckets,
+    * buckets capped at `maxBucket`. Output: (id_a, id_b, hamming). */
+  def hammingNearDupPairs(
+      sigFrame: DataFrame,
+      idCol: String,
+      sigCol: String,
+      maxHamming: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
     require(
       maxHamming >= 0 && maxHamming <= 31,
@@ -321,7 +337,7 @@ object Dedup {
       val mask = if (width >= 64) -1L else (1L << width) - 1L
       (i, offset, mask)
     }
-    val sigs = df.select(col(idCol), simhash64(col(textCol)).as("__sig"))
+    val sigs = sigFrame.select(col(idCol), col(sigCol).cast("long").as("__sig"))
     val chunked = sigs.select(
       col(idCol),
       col("__sig"),

@@ -224,4 +224,92 @@ object Multimodal {
       .withColumn("features", decodeFeaturesStub(col("payload"), dim))
       .drop("payload")
   }
+
+  /** Deterministic gray block-pattern PNG — the planted-twin generator
+    * for perceptual-hash validation (and a general pipeline test
+    * pattern): `size`² px in `block`² cells, each cell's luminance an
+    * integer mix of (seed, cell coords). The same seed at a different
+    * size/block ratio yields the SAME pattern at a different resolution —
+    * a resized twin without any interpolation nondeterminism. */
+  def testPatternPng(seed: Long, size: Int = 64, block: Int = 8): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      size, size, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < size) {
+      var x = 0
+      while (x < size) {
+        var m = seed * 0x9e3779b97f4a7c15L + (x / block) * 0xc2b2ae3d27d4eb4fL +
+          (y / block) * 0x165667b19e3779f9L
+        m ^= m >>> 29; m *= 0xbf58476d1ce4e5b9L; m ^= m >>> 32
+        val v = (m & 0xff).toInt
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Re-encode any decodable image as JPEG at `quality` (0..1) — the
+    * recompressed-twin generator (real lossy ImageIO encode). Null when
+    * the input doesn't decode. */
+  def jpegReencode(payload: Array[Byte], quality: Float): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    if (img == null) return null
+    // JPEG writer rejects ARGB; normalize to RGB
+    val rgb = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = rgb.createGraphics()
+    g.drawImage(img, 0, 0, null); g.dispose()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(rgb, null, null), params)
+    writer.dispose(); ios.close()
+    bos.toByteArray
+  }
+
+  /** REAL perceptual hashes: (dhash, phash) 64-bit struct from the
+    * payload bytes (expressions/ImagePHash.scala — public dHash / DCT
+    * pHash arithmetic); null for non-image / corrupt payloads. Pure
+    * per-row projection like [[decodeImageStats]]. */
+  def decodeImageHashes(payload: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.ImagePHash(
+        org.apache.spark.sql.graft.Bridge.expression(payload.cast("binary"))))
+
+  /** Per-image perceptual hash table: (idCol, dhash, phash); rows whose
+    * payload doesn't decode are dropped (they can't near-dup). The scan
+    * is the one decode pass; everything downstream works on 16 bytes per
+    * image. */
+  def imageHashes(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.withColumn("__h", decodeImageHashes(col(payloadCol)))
+      .filter(col("__h").isNotNull)
+      .select(col(idCol), col("__h.dhash").as("dhash"), col("__h.phash").as("phash"))
+
+  /** Image near-duplicate pairs WITHOUT embeddings: perceptual-hash the
+    * corpus, then Hamming-bucket with the SimHash pigeonhole engine
+    * ([[graft.dedup.Dedup.hammingNearDupPairs]] — full recall up to
+    * `maxHamming`, candidates only inside signature-chunk buckets, never
+    * all-pairs). `hash` picks the signature: "phash" (default — DCT,
+    * robust to recompression/resize) or "dhash" (gradients, cheaper,
+    * sharper). Output: (id_a, id_b, hamming). */
+  def imageNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 10,
+      hash: String = "phash",
+      maxBucket: Int = 1000): DataFrame = {
+    require(hash == "phash" || hash == "dhash",
+      s"hash must be 'phash' or 'dhash', got '$hash'")
+    graft.dedup.Dedup.hammingNearDupPairs(
+      imageHashes(df, idCol, payloadCol), idCol, hash, maxHamming, maxBucket)
+  }
 }

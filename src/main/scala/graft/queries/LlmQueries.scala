@@ -948,6 +948,27 @@ object LlmQueries {
           col("video_parsed"))
         .orderBy(col("asset_id"))
     },
+    // --- image near-dup WITHOUT embeddings: perceptual hashes (dHash /
+    // DCT pHash) over REAL decoded PNG/JPEG bytes, paired by the SimHash
+    // pigeonhole engine. Planted structure: for each doc a base pattern
+    // image, a lossy-JPEG recompression (+100000) and a 75%-resolution
+    // twin (+200000) — the oracle predicts the COMPLETE pair set (every
+    // twin triangle, nothing else; hash arithmetic is spec-pinned on
+    // fixture bytes in ImagePHashSpec)
+    "image_phash_neardup" -> { (s, dir) =>
+      val mk = udf((id: Long, variant: Int) => variant match {
+        case 0 => Multimodal.testPatternPng(id)
+        case 1 => Multimodal.jpegReencode(Multimodal.testPatternPng(id), 0.7f)
+        case _ => Multimodal.testPatternPng(id, size = 48, block = 6)
+      })
+      val imgs = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"), explode(array(lit(0), lit(1), lit(2))).as("v"))
+        .select((col("doc_id") + col("v") * 100000L).as("img_id"),
+          mk(col("doc_id"), col("v")).as("payload"))
+      Multimodal.imageNearDupPairs(imgs, "img_id", "payload", maxHamming = 8)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // --- curriculum packing: documents ranked globally by a quality
     // signal (distributed prefix-sum ranking — no global window), then
     // packed in that order, so early training sequences hold the
@@ -1506,6 +1527,16 @@ object LlmQueries {
         |  CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
         |  FALSE AS decoded, FALSE AS audio_decoded, FALSE AS video_parsed
         |FROM documents ORDER BY asset_id""".stripMargin,
+    // every base image pairs with both of its twins and the twins pair
+    // with each other; unrelated patterns sit ≥ 16 bits apart (measured)
+    // against the Hamming-8 threshold, so the triangle set is exhaustive
+    "image_phash_neardup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 60)
+        |SELECT id_a, id_b FROM (
+        |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM d
+        |  UNION ALL SELECT doc_id, doc_id + 200000 FROM d
+        |  UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM d)
+        |ORDER BY id_a, id_b""".stripMargin,
     "corpus_mix_plan" ->
       """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS available FROM documents GROUP BY 1),
         |t(lang, share) AS (VALUES
