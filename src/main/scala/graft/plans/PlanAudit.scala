@@ -124,6 +124,42 @@ object PlanAudit {
     fs
   }
 
+  /** Physical-plan fingerprint: counts of the operators whose appearance
+    * or disappearance IS a performance regression — shuffles, broadcasts,
+    * joins by strategy, sorts (global vs local), windows. Pin these per
+    * headline query in a spec (PlanFingerprintSpec) and a silently
+    * dropped broadcast hint or a new mid-pipeline global sort fails CI
+    * the way a recall regression already does. Zero-count keys are
+    * omitted so fingerprints read as the plan's shape, not a matrix.
+    * Fingerprint under `spark.sql.adaptive.enabled=false` — the initial
+    * physical plan is the pinnable artifact; AQE's runtime re-plans are
+    * data-dependent by design. */
+  def fingerprint(df: DataFrame): Map[String, Int] = {
+    import org.apache.spark.sql.execution._
+    val counts = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    def add(k: String): Unit = counts(k) += 1
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case _: exchange.ShuffleExchangeExec            => add("shuffle")
+        case _: exchange.BroadcastExchangeExec          => add("broadcast")
+        case _: joins.BroadcastHashJoinExec             => add("broadcast_hash_join")
+        case _: joins.SortMergeJoinExec                 => add("sort_merge_join")
+        case _: joins.ShuffledHashJoinExec              => add("shuffled_hash_join")
+        case _: joins.BroadcastNestedLoopJoinExec       => add("broadcast_nested_loop")
+        case _: joins.CartesianProductExec              => add("cartesian")
+        case s: SortExec if s.global                    => add("global_sort")
+        case _: SortExec                                => add("local_sort")
+        case _: window.WindowExec                       => add("window")
+        case _: window.WindowGroupLimitExec             => add("window_group_limit")
+        case _: TakeOrderedAndProjectExec               => add("take_ordered")
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    counts.toMap
+  }
+
   /** Session-wide enforcement: installs [[AuditRule]] as an extra
     * optimizer rule on a LIVE session (idempotent). The rule is inert
     * until `spark.graft.audit` is set to `enforce`; per-rule waivers via

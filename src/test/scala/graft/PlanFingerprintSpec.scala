@@ -1,0 +1,76 @@
+package graft
+
+import graft.plans.PlanAudit
+import org.apache.spark.sql.functions._
+
+/** Plan-shape regression guard: the physical-operator fingerprint
+  * (shuffles, broadcasts, join strategies, sorts, windows) of the
+  * headline queries, pinned. A silently dropped broadcast hint, a new
+  * mid-pipeline global sort, or a join strategy flip changes the
+  * fingerprint and fails CI — the plan-shape analogue of RecallSpec.
+  *
+  * Pinned under AQE OFF (the initial plan is the stable artifact; AQE's
+  * runtime re-plans are data-dependent by design) on sf0.001 — the
+  * fingerprint counts operators, which don't change with scale factor
+  * for these queries. When a DELIBERATE plan improvement changes a
+  * fingerprint, re-pin it here and say why in the commit. */
+class PlanFingerprintSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** query name -> expected operator counts (zero-count keys omitted).
+    * The uniform global_sort=1 is each query's root ORDER BY (display /
+    * oracle ordering — `info` in PlanAudit, pinned here so a SECOND one
+    * appearing mid-pipeline is caught as 2 ≠ 1). */
+  private val pinned: Map[String, Map[String, Int]] = Map(
+    "q1_agg" -> Map("global_sort" -> 1, "shuffle" -> 2),
+    "join_chain" -> Map("broadcast" -> 3, "broadcast_hash_join" -> 3, "global_sort" -> 1, "shuffle" -> 2),
+    "e1_feature_pipeline" -> Map("broadcast" -> 4, "broadcast_hash_join" -> 4, "global_sort" -> 1, "shuffle" -> 5),
+    "set_analysis" -> Map("local_sort" -> 2, "shuffle" -> 3, "sort_merge_join" -> 1),
+    "tfidf_top_terms" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "shuffle" -> 5),
+    "bm25_top_terms" -> Map("broadcast" -> 2, "broadcast_hash_join" -> 2, "global_sort" -> 1, "shuffle" -> 6),
+    "binning_quantile" -> Map("global_sort" -> 1, "shuffle" -> 2),
+    "rolling_window" -> Map("global_sort" -> 1, "local_sort" -> 1, "shuffle" -> 2, "window" -> 1),
+    "dedup_exact" -> Map("global_sort" -> 1, "shuffle" -> 2),
+    "cosine_topk" -> Map("broadcast" -> 1, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 2, "window" -> 1, "window_group_limit" -> 2),
+    "dedup_minhash" -> Map("broadcast" -> 2, "broadcast_hash_join" -> 3, "global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 3, "window" -> 2),
+    "dsir_weights" -> Map("broadcast" -> 6, "broadcast_hash_join" -> 4, "broadcast_nested_loop" -> 2, "global_sort" -> 1, "shuffle" -> 8))
+
+  private def withAqeOff[T](f: => T): T = {
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("headline query fingerprints match the pinned plan shapes") {
+    withAqeOff {
+      val diffs = pinned.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+        val got = PlanAudit.fingerprint(SparkEntry.queries(name)(spark, dir))
+        if (got == want) None
+        else Some(s"$name:\n  pinned $want\n  actual $got")
+      }
+      assert(diffs.isEmpty,
+        "plan shape changed — if deliberate, re-pin and explain in the commit:\n" +
+          diffs.mkString("\n"))
+    }
+  }
+
+  test("the fingerprint actually moves when a broadcast hint is dropped") {
+    import spark.implicits._
+    withAqeOff {
+      // force the non-broadcast shape with a threshold of -1 so the same
+      // join fingerprints differently without its hint
+      val dim = (1 to 50).map(i => (i.toLong, s"d$i")).toDF("k", "name")
+      val fact = (1 to 1000).map(i => (i.toLong % 50, i)).toDF("k", "v")
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val hinted = PlanAudit.fingerprint(fact.join(broadcast(dim), "k"))
+        val unhinted = PlanAudit.fingerprint(fact.join(dim, "k"))
+        assert(hinted.getOrElse("broadcast_hash_join", 0) === 1)
+        assert(unhinted.getOrElse("broadcast_hash_join", 0) === 0)
+        assert(hinted !== unhinted, "dropping the hint must change the fingerprint")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+}
