@@ -13,10 +13,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * junk barely compresses at all — so both filtering tails hang off this
   * one number. Empty strings have no defined ratio and return null.
   *
-  * Per-row kernel with no state shared across rows (a fresh Deflater per
-  * call — Deflater is not thread-safe and executor tasks run in
-  * parallel), so it scales as a pure map pass; stays inside whole-stage
-  * codegen via a generated call to the static kernel. Level 6 (the zlib
+  * Per-row kernel with no state shared across TASKS: each executor
+  * thread recycles ITS OWN Deflater + scratch buffer via ThreadLocal
+  * (reset() between rows — Deflater is not thread-safe, but per-thread
+  * reuse avoids a native allocation per row; the per-thread native
+  * memory is held for the executor thread's lifetime), so it scales as
+  * a pure map pass; stays inside whole-stage codegen via a generated
+  * call to the static kernel. Level 6 (the zlib
   * default) balances signal quality against CPU; the ratio is
   * deterministic for a given JVM's zlib, and downstream contracts must
   * only depend on ORDERING (repetitive < prose < random), which is

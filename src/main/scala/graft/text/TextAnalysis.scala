@@ -834,10 +834,11 @@ object TextAnalysis {
             sum(col("__c") * log(col("__c"))) / sum(col("__c"))).as(eCol))
     // sequence(1, 0) in Spark steps DOWNWARD ([1, 0]) instead of being
     // empty — guard empty text explicitly or it grows two phantom chars
+    val tc = graft.Exprs.bt(textCol)
     val chars = df
       .select(col(idCol),
         explode(when(length(col(textCol)) > 0,
-          expr(s"transform(sequence(1, length($textCol)), i -> substring($textCol, i, 1))"))
+          expr(s"transform(sequence(1, length($tc)), i -> substring($tc, i, 1))"))
           .otherwise(expr("array()").cast("array<string>"))).as("__e"))
     val words = df
       .select(col(idCol),

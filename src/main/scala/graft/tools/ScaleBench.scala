@@ -127,6 +127,36 @@ object ScaleBench {
     fromRegistry ++ custom
   }
 
+  /** The `heavy-decade` suite: the three newest heavy pipelines, uncapped,
+    * for the sf1 → sf10 step. The ANN entry runs through the PERSISTED
+    * index (ensure is idempotent — the first timed run pays the build,
+    * the min-of-two keeps the amortized search, which is the number that
+    * matters for a build-once/search-many index). */
+  private def heavySuite: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "ann_ivf_search_idx" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      val idx = s"${System.getProperty("java.io.tmpdir")}/graft_scale_ivf_$key"
+      graft.similarity.AnnIndex.ensureIvf(e, "vec_id", "embedding", idx)
+      graft.similarity.AnnIndex.searchIvf(
+        s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding", k = 10)
+    },
+    "pagerank_full" -> { (s, dir) =>
+      graft.graph.Graphs.pageRank(
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_partkey").as("src"), col("l_suppkey").as("dst")),
+        "src", "dst", iterations = 5)
+    },
+    "dsir_full" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      graft.sampling.Dsir.gumbelTopK(
+        graft.sampling.Dsir.logWeights(docs,
+          docs.filter(col("doc_id") < 1000), "doc_id", "text", buckets = 4096),
+        "doc_id", "log_weight", k = 1000, seed = 7)
+    })
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
@@ -140,6 +170,7 @@ object ScaleBench {
     // BOTH sides of the sf1→sf10 step run the distributed loop, so this
     // slope measures the distributed regime alone.
     val dedupDecade = args.contains("dedup-decade")
+    val heavyDecade = args.contains("heavy-decade")
     val (chosenSuite, dirs) =
       if (dedupDecade) {
         val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft_sf10")
@@ -148,6 +179,15 @@ object ScaleBench {
           only = Some(Set("documents", "customer")))
         (suite.filter { case (n, _) => n == "neardup_full" || n == "fuzzy_full" },
           Seq("sf1" -> sf1Dir, "sf10" -> sf10Dir))
+      } else if (heavyDecade) {
+        // `heavy-decade`: sf1 → sf10 for the three newest heavy pipelines
+        // (persisted-index ANN search, pagerank, DSIR) — the decade the
+        // dedup families already have
+        val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft_sf10")
+        System.err.println(s"[scalebench] deriving sf10 into $sf10Dir (idempotent)")
+        scaleUp(spark, "/root/testdata/sf0.1", sf10Dir, 100,
+          only = Some(Set("documents", "embeddings", "lineitem")))
+        (heavySuite, Seq("sf1" -> sf1Dir, "sf10" -> sf10Dir))
       } else
         (suite, Seq(
           "sf0.01" -> "/root/testdata/sf0.01",
