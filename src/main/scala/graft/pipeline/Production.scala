@@ -149,6 +149,20 @@ object Production {
       save(ctx, pages, ctx.dataPath(params.getOrElse("output", "raw.html_pages").toString))
     }
 
+    // URL-level dedup between crawl-ingest and extract-html (the CCNet/
+    // RefinedWeb pre-content stage): one row per CANONICAL url, latest
+    // fetch wins — refetches and tracking-param variants fold before any
+    // content hash is computed
+    Jobs.register("corpus-curation", "url-dedup") { (ctx, params) =>
+      val s = ctx.spark
+      val in = params.getOrElse("input", "raw.html_pages").toString
+      val urlCol = params.getOrElse("url_col", "url").toString
+      val tsCol = params.getOrElse("ts_col", "fetch_ts").toString
+      val pages = Tables.readData(s, Seq(ctx.dataPath(in)))
+      save(ctx, graft.text.Urls.dedupByUrl(pages, urlCol, tsCol),
+        ctx.dataPath(params.getOrElse("output", "raw.html_pages_deduped").toString))
+    }
+
     // the crawl → text first stage: extract document text from raw HTML
     // (script/style/chrome removal, block-tag newlines, entity decode) —
     // downstream stages read the extracted zone as their raw corpus

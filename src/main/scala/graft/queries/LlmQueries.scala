@@ -247,6 +247,66 @@ object LlmQueries {
           TextAnalysis.htmlToText(graft.io.Warc.payloadText(col("payload"))).as("text"))
         .orderBy(col("doc_id"))
     },
+    // --- URL canonicalization over a planted zoo (uppercase host/www/
+    // default port, tracking params, fragment + trailing slash, https
+    // :443, multi-label public suffix): the oracle predicts the
+    // canonical string from FIRST PRINCIPLES (doc_id arithmetic), so
+    // the whole normalization policy is ground-truth-checked, not
+    // regex-replayed
+    "url_normalize" -> { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val v = pmod(col("doc_id"), lit(6))
+      val url = when(v === 0, concat(lit("http://ex"), id, lit(".com/p/"), id))
+        .when(v === 1, concat(lit("HTTP://WWW.EX"), id, lit(".COM:80/p/"), id))
+        .when(v === 2, concat(lit("http://ex"), id,
+          lit(".com/p/"), id, lit("?utm_source=x&utm_medium=y&q=1")))
+        .when(v === 3, concat(lit("http://ex"), id, lit(".com/p/"), id, lit("/#sec")))
+        .when(v === 4, concat(lit("https://ex"), id, lit(".com:443/p/"), id))
+        .otherwise(concat(lit("http://sub.ex"), id, lit(".co.uk/p/"), id))
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), url.as("url"),
+          graft.text.Urls.normalizeUrl(url).as("url_normalized"),
+          graft.text.Urls.registeredDomain(url).as("domain"))
+        .orderBy(col("doc_id"))
+    },
+    // --- URL-level dedup (the CCNet/RefinedWeb pre-content stage):
+    // three fetches per page whose raw URLs differ (www/port case,
+    // tracking params) but canonicalize identically — keep the latest
+    // fetch. Bounded-heap top-1 per canonical URL; the oracle knows
+    // which fetch wins by construction
+    "url_dedup_latest" -> { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val base = t(s, dir, "documents").filter(col("doc_id") < 200).select(col("doc_id"))
+      val fetches = base
+        .select(col("doc_id"), explode(array(lit(0), lit(1), lit(2))).as("v"))
+        .select(
+          col("doc_id"),
+          when(col("v") === 0, concat(lit("http://ex"), id, lit(".com/p")))
+            .when(col("v") === 1, concat(lit("HTTP://WWW.EX"), id, lit(".COM:80/p")))
+            .otherwise(concat(lit("http://ex"), id, lit(".com/p?utm_source=x")))
+            .as("url"),
+          (lit(1000L) + col("doc_id") +
+            when(col("v") === 1, 1000L).when(col("v") === 2, 500L).otherwise(0L))
+            .as("fetch_unix"))
+      graft.text.Urls.dedupByUrl(fetches, "url", "fetch_unix")
+        .select(col("doc_id"), col("url_normalized"), col("url"), col("fetch_unix"))
+        .orderBy(col("doc_id"))
+    },
+    // --- per-registered-domain corpus mix (domain balance / deny-list
+    // input): counts + shares, multi-label suffixes folded correctly
+    "domain_mix" -> { (s, dir) =>
+      val id7 = pmod(col("doc_id"), lit(7)).cast("string")
+      val v = pmod(col("doc_id"), lit(6))
+      val url = when(v <= 2, concat(lit("http://pg.ex"), id7, lit(".com/x")))
+        .when(v === 3, lit("http://sub.x.co.uk/x"))
+        .when(v === 4, lit("https://a.b.org/x"))
+        .otherwise(lit("http://localhost/x"))
+      graft.text.Urls
+        .domainMix(
+          t(s, dir, "documents").filter(col("doc_id") < 420).select(url.as("url")),
+          "url")
+        .orderBy(col("domain"))
+    },
     // --- HTML → text extraction: wrap every doc in a known HTML chrome
     // (heading with entity, paragraph, script with a raw '<', comment,
     // footer with &nbsp;/numeric entity) and extract. The planted
@@ -1663,6 +1723,46 @@ object LlmQueries {
           |  GROUP BY doc_id)
           |SELECT d.doc_id, coalesce(kept.clean, '') AS text
           |FROM d LEFT JOIN kept USING (doc_id) ORDER BY d.doc_id""".stripMargin),
+    // the url zoo is doc_id arithmetic — the oracle states the CANONICAL
+    // string outright (ground truth), never re-running the normalizer
+    "url_normalize" ->
+      """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i
+        |           FROM documents WHERE doc_id < 300)
+        |SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'http://ex' || i || '.com/p/' || i
+        |    WHEN 1 THEN 'HTTP://WWW.EX' || i || '.COM:80/p/' || i
+        |    WHEN 2 THEN 'http://ex' || i || '.com/p/' || i || '?utm_source=x&utm_medium=y&q=1'
+        |    WHEN 3 THEN 'http://ex' || i || '.com/p/' || i || '/#sec'
+        |    WHEN 4 THEN 'https://ex' || i || '.com:443/p/' || i
+        |    ELSE 'http://sub.ex' || i || '.co.uk/p/' || i END AS url,
+        |  CASE doc_id % 6
+        |    WHEN 2 THEN 'http://ex' || i || '.com/p/' || i || '?q=1'
+        |    WHEN 4 THEN 'https://ex' || i || '.com/p/' || i
+        |    WHEN 5 THEN 'http://sub.ex' || i || '.co.uk/p/' || i
+        |    ELSE 'http://ex' || i || '.com/p/' || i END AS url_normalized,
+        |  CASE WHEN doc_id % 6 = 5 THEN 'ex' || i || '.co.uk'
+        |       ELSE 'ex' || i || '.com' END AS domain
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // the www/:80 fetch carries the latest timestamp by construction, so
+    // it is the surviving raw url for every page
+    "url_dedup_latest" ->
+      """SELECT doc_id,
+        |  'http://ex' || CAST(doc_id AS VARCHAR) || '.com/p' AS url_normalized,
+        |  'HTTP://WWW.EX' || CAST(doc_id AS VARCHAR) || '.COM:80/p' AS url,
+        |  CAST(2000 + doc_id AS BIGINT) AS fetch_unix
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
+    "domain_mix" ->
+      """WITH d AS (SELECT CASE
+        |    WHEN doc_id % 6 <= 2 THEN 'ex' || CAST(doc_id % 7 AS VARCHAR) || '.com'
+        |    WHEN doc_id % 6 = 3 THEN 'x.co.uk'
+        |    WHEN doc_id % 6 = 4 THEN 'b.org'
+        |    ELSE 'localhost' END AS domain
+        |  FROM documents WHERE doc_id < 420),
+        |g AS (SELECT domain, CAST(count(*) AS BIGINT) AS n_pages FROM d GROUP BY 1),
+        |t AS (SELECT sum(n_pages) AS total FROM g)
+        |SELECT domain, n_pages, round(n_pages / t.total, 6) AS share
+        |FROM g, t ORDER BY domain""".stripMargin,
     // the warc fixture is fully determined by documents.parquet: the
     // oracle rebuilds every parsed field from first principles (the html
     // string, its UTF-8 byte count, the uri/date arithmetic) — a FULL

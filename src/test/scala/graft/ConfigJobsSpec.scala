@@ -668,14 +668,21 @@ class ConfigJobsSpec extends AnyFunSuite {
     val work = java.nio.file.Files.createTempDirectory("graft-warc-jobs").toString
     // stage a crawl file: html responses + a non-html response the mime
     // filter must drop
-    val crawl = (0 until 12).map(i =>
+    val crawl = ((0 until 12).map(i =>
       (s"http://c.test/$i",
         java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + i)),
         s"<urn:c:$i>",
         if (i == 11) "application/pdf" else "text/html",
         (s"<html><body><h1>Page $i</h1><p>alpha beta&nbsp;gamma</p>" +
           "<script>nope()</script><!-- x --></body></html>")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))) :+
+      // an OLDER refetch of page 0 under a tracking-param variant of the
+      // same canonical url — url-dedup must fold it away
+      (("http://c.test/0?utm_source=feed",
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1600000000L)),
+        "<urn:c:0b>", "text/html",
+        "<html><body><h1>STALE</h1></body></html>"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))))
       .toDF("uri", "ts", "rid", "mime", "payload")
     graft.io.Warc.writeWarc(crawl, s"$work/crawl", "uri", "ts", "rid", "mime", "payload")
     val yml = java.nio.file.Files.createTempFile("graft-warc-jobs", ".yml")
@@ -688,7 +695,9 @@ class ConfigJobsSpec extends AnyFunSuite {
          |        tasks:
          |          - name: crawl-ingest
          |            params: {input_paths: $work/crawl}
+         |          - name: url-dedup
          |          - name: extract-html
+         |            params: {input: raw.html_pages_deduped}
          |""".stripMargin)
     val cfg = Map(
       "core" -> Map("seed" -> 7),
@@ -696,20 +705,26 @@ class ConfigJobsSpec extends AnyFunSuite {
       "data_catalog" -> Map(
         "raw" -> Map(
           "html_pages" -> s"$work/pages",
+          "html_pages_deduped" -> s"$work/pages_deduped",
           "documents" -> s"$work/docs")))
     graft.pipeline.Production.registerAll()
     assert(graft.pipeline.Jobs.run(ctx = Context(cfg, spark), "corpus-curation").isEmpty)
     // the pdf response is filtered at ingest; the warcinfo member never
-    // reaches the pages zone
+    // reaches the pages zone; the stale refetch survives only to the
+    // pre-dedup zone
     val pages = spark.read.parquet(s"$work/pages")
-    assert(pages.count() === 11 && pages.columns.sorted ===
+    assert(pages.count() === 12 && pages.columns.sorted ===
       Array("fetch_ts", "html", "mime", "url"))
+    val deduped = spark.read.parquet(s"$work/pages_deduped")
+    assert(deduped.count() === 11, "url-dedup must fold the refetch")
     val docs = spark.read.parquet(s"$work/docs")
     assert(docs.count() === 11 && !docs.columns.contains("html"))
-    val t0 = docs.filter($"url" === "http://c.test/0").head().getAs[String]("text")
-    assert(t0 === "Page 0\nalpha beta gamma", s"got [$t0]")
-    assert(docs.filter($"url" === "http://c.test/0").head()
-      .getAs[java.sql.Timestamp]("fetch_ts").toInstant.getEpochSecond === 1700000000L)
+    // the LATEST fetch's content won — not the stale refetch's
+    val d0 = docs.filter($"url_normalized" === "http://c.test/0").head()
+    assert(d0.getAs[String]("text") === "Page 0\nalpha beta gamma",
+      s"got [${d0.getAs[String]("text")}]")
+    assert(d0.getAs[java.sql.Timestamp]("fetch_ts").toInstant.getEpochSecond
+      === 1700000000L)
   }
 
   test("curation dsir-select catalog job: distribution-matching gate keeps target-like docs") {
