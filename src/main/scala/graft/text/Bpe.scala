@@ -57,8 +57,9 @@ object Bpe {
     "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
 
   /** Split text into pre-tokens per `mode` — every downstream artifact
-    * (word counts, merges, encode, audit) derives from this one rule. */
-  private def wordsOf(textCol: String, mode: String) = mode match {
+    * (word counts, merges, encode, audit) derives from this one rule.
+    * Shared with [[Unigram]] so both tokenizers segment identically. */
+  private[text] def wordsOf(textCol: String, mode: String) = mode match {
     case Whitespace => filter(split(col(textCol), "\\s+"), w => length(w) > 0)
     case Gpt2       => regexp_extract_all(col(textCol), lit(Gpt2Pattern), lit(0))
     case other =>

@@ -56,9 +56,10 @@ object Unigram {
       maxWords: Int = 50000,
       seedMultiplier: Int = 4,
       emIters: Int = 2,
-      shrinkFactor: Double = 0.75): DataFrame =
+      shrinkFactor: Double = 0.75,
+      preTokenize: String = Bpe.Whitespace): DataFrame =
     trainFromCounts(df.sparkSession,
-      Bpe.cappedWordCounts(df, textCol, maxWords),
+      Bpe.cappedWordCounts(df, textCol, maxWords, preTokenize),
       vocabSize, seedMultiplier, emIters, shrinkFactor)
 
   /** Driver-side EM + prune loop over a bounded (word, count) table. */
@@ -256,12 +257,16 @@ object Unigram {
     * `pieces ARRAY<STRING>` and `n_pieces`. Same pure-scan shape as
     * [[Bpe.encode]] — the piece table rides the closure, a per-task
     * memo exploits the Zipf distribution of words. */
-  def encode(df: DataFrame, textCol: String, pieces: DataFrame): DataFrame = {
+  def encode(
+      df: DataFrame,
+      textCol: String,
+      pieces: DataFrame,
+      preTokenize: String = Bpe.Whitespace): DataFrame = {
     val logp: Map[String, Double] = pieces
       .filter(col("log_prob").isNotNull)
       .select(col("piece"), col("log_prob"))
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val words = Bpe.wordsOf(textCol, preTokenize)
     val enc = udf(new (Seq[String] => Seq[String]) with Serializable {
       @transient private lazy val memo =
         scala.collection.mutable.HashMap.empty[String, Vector[String]]
@@ -277,7 +282,11 @@ object Unigram {
     * characters the training corpus never saw) expand to their UTF-8
     * `<0xNN>` byte-piece ids — zero `<unk>` for arbitrary text, exact
     * [[decodeIds]] round-trip. */
-  def encodeIds(df: DataFrame, textCol: String, pieces: DataFrame): DataFrame = {
+  def encodeIds(
+      df: DataFrame,
+      textCol: String,
+      pieces: DataFrame,
+      preTokenize: String = Bpe.Whitespace): DataFrame = {
     val logp: Map[String, Double] = pieces
       .filter(col("log_prob").isNotNull)
       .select(col("piece"), col("log_prob"))
@@ -285,7 +294,7 @@ object Unigram {
     val ids: Map[String, Int] = pieces
       .select(col("piece"), col("piece_id").cast("int"))
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
-    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val words = Bpe.wordsOf(textCol, preTokenize)
     val enc = udf(new (Seq[String] => Seq[Int]) with Serializable {
       @transient private lazy val memo =
         scala.collection.mutable.HashMap.empty[String, Vector[Int]]
@@ -307,7 +316,10 @@ object Unigram {
     * (`<0xNN>` pieces their single byte), the concatenation decodes as
     * UTF-8. Unigram pieces carry no word sentinel, so the result is the
     * WORD CONCATENATION (whitespace is not recoverable — the documented
-    * contract [[encodeAudit]]'s roundtrip flag also checks against). */
+    * contract [[encodeAudit]]'s roundtrip flag also checks against).
+    * Under `preTokenize = Bpe.Gpt2` encoding, pre-tokens CARRY their
+    * whitespace, so this same concatenation reproduces the input
+    * byte-for-byte — gpt2 mode upgrades unigram decode to exact. */
   def decodeIds(
       df: DataFrame,
       idsCol: String,
@@ -336,8 +348,12 @@ object Unigram {
     * whitespace-joined words — Viterbi segmentations are exact covers —
     * and the piece count is between one per word and one per UTF-8 BYTE,
     * the byte-fallback worst case). */
-  def encodeAudit(encoded: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val ws = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+  def encodeAudit(
+      encoded: DataFrame,
+      idCol: String,
+      textCol: String,
+      preTokenize: String = Bpe.Whitespace): DataFrame = {
+    val ws = Bpe.wordsOf(textCol, preTokenize)
     encoded.select(
       col(idCol),
       size(ws).cast("long").as("n_words"),

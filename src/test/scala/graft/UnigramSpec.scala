@@ -89,4 +89,24 @@ class UnigramSpec extends SparkSpec {
       .as[(String, String)].collect()
     rt.foreach { case (got, want) => assert(got === want) }
   }
+
+  test("gpt2 pre-tokenization: punctuation segments apart; decode is byte-exact") {
+    val train = Seq.fill(15)("the end. it's fine! ok?").toDF("text")
+    val pieces = Unigram.train(train, "text", vocabSize = 40, preTokenize = Bpe.Gpt2)
+    // gpt2 pre-tokens carry their whitespace, so the plain byte
+    // concatenation decode reproduces the input EXACTLY — including the
+    // doubled space and the unicode it never trained on
+    val wild = Seq("the end... it's  reálly fine!?").toDF("text")
+    val enc = Unigram.encodeIds(wild, "text", pieces, preTokenize = Bpe.Gpt2)
+    assert(enc.select("piece_ids").as[Seq[Int]].head.forall(_ != Bpe.UnkId))
+    val rt = Unigram.decodeIds(enc, "piece_ids", pieces)
+      .select("decoded_text").as[String].head
+    assert(rt === "the end... it's  reálly fine!?", s"got [$rt]")
+    // audit flags hold under the gpt2 segmentation
+    val audit = Unigram.encodeAudit(
+        Unigram.encode(enc, "text", pieces, preTokenize = Bpe.Gpt2),
+        "text", "text", preTokenize = Bpe.Gpt2)
+      .select("roundtrip_ok", "count_sane").as[(Boolean, Boolean)].head
+    assert(audit === ((true, true)))
+  }
 }
