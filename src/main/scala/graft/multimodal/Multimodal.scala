@@ -275,6 +275,73 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic frequency-hopping test tone — the planted-twin
+    * generator for audio fingerprints: the clip is split into 9 time
+    * segments (the fingerprint's segmentation) and segment s plays a
+    * pure sine at one of the 8 analysis band centers, chosen by an
+    * integer mix of (seed, s). Same seed at another sample rate or
+    * amplitude is the same material — a twin by construction. */
+  def testToneWav(
+      seed: Long,
+      sampleRate: Int = 44100,
+      seconds: Double = 2.0,
+      amplitude: Double = 0.6): Array[Byte] = {
+    val bands = graft.expressions.AudioFingerprint.BandsHz
+    val n = (sampleRate * seconds).toInt
+    val pcm = new Array[Byte](2 * n)
+    var i = 0
+    while (i < n) {
+      val s = (i.toLong * 9 / n).toInt
+      var m = seed * 0x9e3779b97f4a7c15L + s * 0xc2b2ae3d27d4eb4fL
+      m ^= m >>> 29; m *= 0xbf58476d1ce4e5b9L; m ^= m >>> 32
+      // two tones per segment (primary + quieter secondary from the
+      // upper bits) so fingerprint bit patterns are dense enough that
+      // unrelated seeds sit far apart
+      val f1 = bands(((m & 0x7fffffff) % bands.length).toInt)
+      val f2 = bands((((m >>> 33) & 0x7fffffff) % bands.length).toInt)
+      val t = 2.0 * math.Pi * i / sampleRate
+      val v = ((math.sin(f1 * t) + 0.5 * math.sin(f2 * t)) *
+        amplitude * 0.66 * 32767.0).toInt
+      pcm(2 * i) = (v & 0xff).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL 64-bit perceptual audio fingerprint
+    * (expressions/AudioFingerprint.scala — Haitsma–Kalker band-energy
+    * transitions); null for non-audio / corrupt payloads. Pure per-row
+    * projection like [[decodeImageHashes]]. */
+  def decodeAudioFingerprint(payload: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.AudioFingerprint(
+        org.apache.spark.sql.graft.Bridge.expression(payload.cast("binary"))))
+
+  /** Per-clip fingerprint table: (idCol, afp); undecodable rows drop. */
+  def audioFingerprints(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    df.withColumn("afp", decodeAudioFingerprint(col(payloadCol)))
+      .filter(col("afp").isNotNull)
+      .select(col(idCol), col("afp"))
+
+  /** Audio near-duplicate pairs WITHOUT embeddings: fingerprint the
+    * corpus, Hamming-bucket with the SimHash pigeonhole engine — the
+    * audio twin of [[imageNearDupPairs]]. Output: (id_a, id_b, hamming). */
+  def audioNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      payloadCol: String,
+      maxHamming: Int = 10,
+      maxBucket: Int = 1000): DataFrame =
+    graft.dedup.Dedup.hammingNearDupPairs(
+      audioFingerprints(df, idCol, payloadCol), idCol, "afp", maxHamming, maxBucket)
+
   /** REAL perceptual hashes: (dhash, phash) 64-bit struct from the
     * payload bytes (expressions/ImagePHash.scala — public dHash / DCT
     * pHash arithmetic); null for non-image / corrupt payloads. Pure

@@ -1029,6 +1029,24 @@ object LlmQueries {
         .select(col("id_a").cast("long"), col("id_b").cast("long"))
         .orderBy(col("id_a"), col("id_b"))
     },
+    // --- audio near-dup WITHOUT embeddings: 64-bit band-energy
+    // fingerprints over REAL decoded WAV bytes (volume-change + resample
+    // twins planted), paired by the same pigeonhole engine — the audio
+    // twin of image_phash_neardup, same triangle oracle
+    "audio_fp_neardup" -> { (s, dir) =>
+      val mk = udf((id: Long, variant: Int) => variant match {
+        case 0 => Multimodal.testToneWav(id)
+        case 1 => Multimodal.testToneWav(id, amplitude = 0.2)
+        case _ => Multimodal.testToneWav(id, sampleRate = 22050)
+      })
+      val clips = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), explode(array(lit(0), lit(1), lit(2))).as("v"))
+        .select((col("doc_id") + col("v") * 100000L).as("clip_id"),
+          mk(col("doc_id"), col("v")).as("payload"))
+      Multimodal.audioNearDupPairs(clips, "clip_id", "payload", maxHamming = 5)
+        .select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // --- curriculum packing: documents ranked globally by a quality
     // signal (distributed prefix-sum ranking — no global window), then
     // packed in that order, so early training sequences hold the
@@ -1587,6 +1605,16 @@ object LlmQueries {
         |  CAST(octet_length(encode(text)) AS INT) AS payload_bytes,
         |  FALSE AS decoded, FALSE AS audio_decoded, FALSE AS video_parsed
         |FROM documents ORDER BY asset_id""".stripMargin,
+    // twin triangles, same structural-truth shape as image_phash_neardup
+    // (twins ≤ 1 bit, unrelated clips ≥ 11 — measured over 60 seeds —
+    // against the Hamming-5 threshold)
+    "audio_fp_neardup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40)
+        |SELECT id_a, id_b FROM (
+        |  SELECT doc_id AS id_a, doc_id + 100000 AS id_b FROM d
+        |  UNION ALL SELECT doc_id, doc_id + 200000 FROM d
+        |  UNION ALL SELECT doc_id + 100000, doc_id + 200000 FROM d)
+        |ORDER BY id_a, id_b""".stripMargin,
     // every base image pairs with both of its twins and the twins pair
     // with each other; unrelated patterns sit ≥ 16 bits apart (measured)
     // against the Hamming-8 threshold, so the triangle set is exhaustive
