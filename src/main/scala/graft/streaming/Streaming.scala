@@ -425,6 +425,63 @@ object Streaming {
     }
   }
 
+  /** Streaming crawl source: watch `path` for new WARC files (plain or
+    * `.warc.gz`) and emit one row per parsed record — the streaming twin
+    * of [[graft.io.Warc.readWarc]], sharing its parse kernel byte for
+    * byte. The binaryFile source delivers each FILE as one row (the
+    * streaming file-source contract), so per-task memory here is the
+    * file size rather than the batch reader's per-record bound — crawl
+    * shards are sized for that (~1 GB members-compressed). */
+  def readCrawlStream(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.readStream.format("binaryFile")
+      // the binaryFile source's FIXED schema, which the streaming
+      // DataSource API nevertheless requires spelled out
+      .schema("path STRING, modificationTime TIMESTAMP, length BIGINT, content BINARY")
+      .option("pathGlobFilter", "*.warc*")
+      .load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (p, bytes) =>
+        graft.io.Warc.records(new java.io.ByteArrayInputStream(bytes), p)
+      }
+      .toDF()
+  }
+
+  /** Continuously land crawl responses in the html_pages zone — the
+    * streaming form of the `crawl-ingest` catalog stage: HTTP-200
+    * responses of `mimePrefix`, payloads decoded, appended as
+    * (url, fetch_ts, mime, html). Marker-gated appends keep checkpoint
+    * replays exactly-once. URL-level dedup stays a BATCH compaction over
+    * the landed zone (`Urls.dedupByUrl` / the url-dedup stage):
+    * latest-fetch-wins has to see refetches across batches, which an
+    * append-only maintainer by design does not. */
+  def maintainCrawlPages(
+      records: DataFrame,
+      pagesDir: String,
+      checkpoint: String,
+      mimePrefix: String = "text/html"): org.apache.spark.sql.streaming.StreamingQuery =
+    records.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        crawlPagesBatchOnce(batch, pagesDir, batchId, mimePrefix): Unit
+      }
+      .start()
+
+  /** One crawl micro-batch's marker-gated landing; false = replay no-op. */
+  private[graft] def crawlPagesBatchOnce(
+      batch: DataFrame, pagesDir: String, batchId: Long,
+      mimePrefix: String = "text/html"): Boolean =
+    markerGated(batch.sparkSession, pagesDir, batchId) {
+      batch
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+        .filter(col("mime").startsWith(mimePrefix))
+        .select(col("target_uri").as("url"), col("warc_date").as("fetch_ts"),
+          col("mime"), graft.io.Warc.payloadText(col("payload")).as("html"))
+        .write.mode(SaveMode.Append).parquet(s"$pagesDir/pages.parquet")
+    }
+
   /** Continuously ingest documents with exact dedup against everything
     * already accepted — the steady-state corpus curation loop as a
     * stream. Each micro-batch:

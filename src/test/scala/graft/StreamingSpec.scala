@@ -560,4 +560,54 @@ class StreamingSpec extends SparkSpec {
     assert(post == Seq(1L, 3L, 11L, 21L, 31L),
       s"compaction must not forget accepted content: $post")
   }
+  test("streaming crawl ingestion: WARC files land as html pages, replays are no-ops") {
+    val work = java.nio.file.Files.createTempDirectory("graft-crawl-stream").toString
+    val crawlDir = s"$work/crawl"
+    val pagesDir = s"$work/pages"
+    new java.io.File(crawlDir).mkdirs()
+
+    def shard(name: String, ids: Seq[Int]): Unit = {
+      val rows = ids.map(i =>
+        (s"http://s.test/$i",
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + i)),
+          s"<urn:s:$i>",
+          if (i % 5 == 4) "application/pdf" else "text/html",
+          s"<html><body><p>page $i</p></body></html>"
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        .toDF("uri", "ts", "rid", "mime", "payload")
+      graft.io.Warc.writeWarc(rows.coalesce(1), s"$work/stage_$name",
+        "uri", "ts", "rid", "mime", "payload")
+      // move the finished shard into the watched dir atomically-ish
+      val src = new java.io.File(s"$work/stage_$name")
+        .listFiles().filter(_.getName.endsWith(".warc.gz")).head
+      java.nio.file.Files.move(src.toPath,
+        java.nio.file.Paths.get(s"$crawlDir/$name.warc.gz"))
+    }
+
+    shard("a", 0 until 5)
+    val q = Streaming.maintainCrawlPages(
+      Streaming.readCrawlStream(spark, crawlDir), pagesDir, s"$work/ckpt")
+    q.processAllAvailable()
+    shard("b", 5 until 10)
+    q.processAllAvailable()
+    q.stop()
+
+    val pages = spark.read.parquet(s"$pagesDir/pages.parquet")
+    // 10 records minus the two pdf responses (4, 9); warcinfo members
+    // never land
+    assert(pages.count() === 8, s"got ${pages.count()}")
+    assert(pages.columns.sorted === Array("fetch_ts", "html", "mime", "url"))
+    val p0 = pages.filter($"url" === "http://s.test/0").head()
+    assert(p0.getAs[String]("html").contains("page 0"))
+    assert(p0.getAs[java.sql.Timestamp]("fetch_ts").toInstant.getEpochSecond
+      === 1700000000L)
+    // replaying an applied batch id is a marker-gated no-op
+    val batchLike = graft.io.Warc.readWarc(spark, Seq(s"$crawlDir/a.warc.gz"))
+    assert(!Streaming.crawlPagesBatchOnce(batchLike, pagesDir, batchId = 0L))
+    assert(spark.read.parquet(s"$pagesDir/pages.parquet").count() === 8)
+    // a NEW batch id lands
+    assert(Streaming.crawlPagesBatchOnce(batchLike, pagesDir, batchId = 50L))
+    assert(spark.read.parquet(s"$pagesDir/pages.parquet").count() === 12)
+  }
 }
+
