@@ -38,9 +38,11 @@ import org.apache.spark.sql.functions._
   */
 object Warc {
 
-  /** One parsed WARC record. `httpStatus`/`mime`/`payload` are the parsed
-    * HTTP response pieces for `application/http` blocks; for every other
-    * block type `payload` is the raw block and status/mime are null. */
+  /** One parsed WARC record. `http_status`/`mime`/`charset`/`payload`
+    * are the parsed HTTP response pieces for `application/http` blocks
+    * (`charset` is the Content-Type parameter, lowercased — the decode
+    * hint [[payloadText]] honors); for every other block type `payload`
+    * is the raw block and the HTTP fields are null. */
   case class WarcRecord(
       warc_file: String,
       record_no: Int,
@@ -52,6 +54,7 @@ object Warc {
       content_length: Long,
       http_status: Option[Int],
       mime: Option[String],
+      charset: Option[String],
       payload: Array[Byte])
 
   private val GzipMagic0 = 0x1f
@@ -146,9 +149,9 @@ object Warc {
     val date = headers.get("warc-date")
       .map(d => java.sql.Timestamp.from(java.time.Instant.parse(d)))
       .orNull
-    val (status, mime, payload) =
+    val (status, mime, charset, payload) =
       if (contentType.startsWith("application/http")) parseHttp(block)
-      else (None, None, block)
+      else (None, None, None, block)
     Some(WarcRecord(
       warc_file = file,
       record_no = recordNo,
@@ -160,27 +163,40 @@ object Warc {
       content_length = len,
       http_status = status,
       mime = mime,
+      charset = charset,
       payload = payload))
   }
 
-  /** Split an HTTP/1.x message block into (status, media type, payload).
-    * The payload is the raw bytes after the header terminator —
-    * chunked transfer encodings are NOT decoded (disclosed above). */
-  private[io] def parseHttp(block: Array[Byte]): (Option[Int], Option[String], Array[Byte]) = {
+  private val CharsetParamRe =
+    java.util.regex.Pattern.compile(
+      "charset\\s*=\\s*\"?([A-Za-z0-9_.:+-]+)\"?",
+      java.util.regex.Pattern.CASE_INSENSITIVE)
+
+  /** Split an HTTP/1.x message block into (status, media type, declared
+    * charset, payload). The payload is the raw bytes after the header
+    * terminator — chunked transfer encodings are NOT decoded (disclosed
+    * above). */
+  private[io] def parseHttp(
+      block: Array[Byte]): (Option[Int], Option[String], Option[String], Array[Byte]) = {
     val sep = indexOfHeaderEnd(block)
-    if (sep < 0) return (None, None, block)
+    if (sep < 0) return (None, None, None, block)
     val head = new String(block, 0, sep, StandardCharsets.ISO_8859_1)
     val lines = head.split("\r?\n")
     val status = lines.headOption
       .filter(_.toUpperCase.startsWith("HTTP/"))
       .flatMap(_.split("\\s+").lift(1))
       .flatMap(s => scala.util.Try(s.toInt).toOption)
-    val mime = lines.iterator.drop(1)
+    val contentType = lines.iterator.drop(1)
       .map(_.split(":", 2))
       .collectFirst { case Array(k, v) if k.trim.equalsIgnoreCase("content-type") =>
-        v.trim.split(";")(0).trim.toLowerCase }
+        v.trim }
+    val mime = contentType.map(_.split(";")(0).trim.toLowerCase)
+    val charset = contentType.flatMap { ct =>
+      val m = CharsetParamRe.matcher(ct)
+      if (m.find()) Some(m.group(1).toLowerCase) else None
+    }
     val bodyStart = sep + headerEndLen(block, sep)
-    (status, mime, java.util.Arrays.copyOfRange(block, bodyStart, block.length))
+    (status, mime, charset, java.util.Arrays.copyOfRange(block, bodyStart, block.length))
   }
 
   /** Index of the first \r\n\r\n or \n\n header terminator, -1 if none. */
@@ -235,11 +251,30 @@ object Warc {
     ds.toDF()
   }
 
-  /** The UTF-8 payload as a string column (crawl payload bytes are
-    * charset-tagged in reality; UTF-8 is the decode this engine's text
-    * stack operates in). */
+  /** The UTF-8 payload as a string column — for payloads KNOWN to be
+    * UTF-8 (the fixture writer's output, modern crawls). Real mixed
+    * crawls should pass the parsed `charset` column to the two-argument
+    * form. */
   def payloadText(payload: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     decode(payload, "UTF-8")
+
+  /** Charset-aware payload decode: honors the HTTP-declared charset for
+    * the encodings that actually occur in crawls (latin-1/windows-1252,
+    * ascii, utf-16 variants), falling back to UTF-8 for everything else
+    * (including missing/exotic declarations) — a codegen'd `when` chain
+    * over Spark's literal-charset `decode`, no per-row UDF. */
+  def payloadText(
+      payload: org.apache.spark.sql.Column,
+      charset: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val c = lower(trim(charset))
+    when(c.isin("iso-8859-1", "latin-1", "latin1"), decode(payload, "ISO-8859-1"))
+      .when(c.isin("windows-1252", "cp1252"), decode(payload, "windows-1252"))
+      .when(c === "us-ascii", decode(payload, "US-ASCII"))
+      .when(c === "utf-16", decode(payload, "UTF-16"))
+      .when(c === "utf-16le", decode(payload, "UTF-16LE"))
+      .when(c === "utf-16be", decode(payload, "UTF-16BE"))
+      .otherwise(decode(payload, "UTF-8"))
+  }
 
   // ----------------------------------------------------------- the write
 

@@ -145,7 +145,8 @@ object Production {
         .filter(col("mime").startsWith(mimePrefix))
         .select(
           col("target_uri").as("url"), col("warc_date").as("fetch_ts"),
-          col("mime"), graft.io.Warc.payloadText(col("payload")).as("html"))
+          col("mime"),
+          graft.io.Warc.payloadText(col("payload"), col("charset")).as("html"))
       save(ctx, pages, ctx.dataPath(params.getOrElse("output", "raw.html_pages").toString))
     }
 

@@ -115,7 +115,7 @@ object LlmQueries {
     * predict every parsed field. One shard, doc_id-ordered, so record_no
     * is deterministic (warcinfo is member 0). */
   private def warcFixtureDir(s: SparkSession, dir: String): String = {
-    val tmp = s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9]", "_")}/warc"
+    val tmp = s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9]", "_")}/warc_v2"
     if (!new java.io.File(s"$tmp/_STAGED").exists()) {
       val docs = t(s, dir, "documents")
         .filter(col("doc_id") < 300 && length(trim(col("text"))) > 0)
@@ -125,7 +125,9 @@ object LlmQueries {
             col("doc_id").cast("string")).as("uri"),
           (lit(1704067200L) + col("doc_id")).cast("timestamp").as("ts"),
           concat(lit("<urn:graft:doc:"), col("doc_id").cast("string"), lit(">")).as("rid"),
-          lit("text/html").as("mime"),
+          // parameterized content-type: the parser must split media type
+          // from the declared charset
+          lit("text/html; charset=utf-8").as("mime"),
           encode(warcChrome(col("doc_id"), col("text")), "UTF-8").as("payload"),
           col("doc_id"))
         .repartition(1).sortWithinPartitions("doc_id")
@@ -230,6 +232,7 @@ object LlmQueries {
           col("warc_type"),
           col("http_status"),
           col("mime"),
+          col("charset"),
           col("warc_date").cast("long").as("fetch_unix"),
           length(col("payload")).cast("long").as("n_bytes"),
           graft.io.Warc.payloadText(col("payload")).as("payload_html"))
@@ -1808,6 +1811,7 @@ object LlmQueries {
         |  'response' AS warc_type,
         |  CAST(200 AS INT) AS http_status,
         |  'text/html' AS mime,
+        |  'utf-8' AS charset,
         |  1704067200 + doc_id AS fetch_unix,
         |  CAST(octet_length(encode(html)) AS BIGINT) AS n_bytes,
         |  html AS payload_html

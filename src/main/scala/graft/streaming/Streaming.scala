@@ -478,7 +478,8 @@ object Streaming {
         .filter(col("warc_type") === "response" && col("http_status") === 200)
         .filter(col("mime").startsWith(mimePrefix))
         .select(col("target_uri").as("url"), col("warc_date").as("fetch_ts"),
-          col("mime"), graft.io.Warc.payloadText(col("payload")).as("html"))
+          col("mime"),
+          graft.io.Warc.payloadText(col("payload"), col("charset")).as("html"))
         .write.mode(SaveMode.Append).parquet(s"$pagesDir/pages.parquet")
     }
 

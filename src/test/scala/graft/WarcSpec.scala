@@ -94,14 +94,40 @@ class WarcSpec extends SparkSpec {
         new String(r.payload, StandardCharsets.UTF_8))))
   }
 
-  test("kernel: mime parameter and charset are stripped to the media type") {
+  test("kernel: mime splits from the charset parameter; both land typed") {
     val rec = rawRecord("response", "application/http; msgtype=response", Seq.empty,
       crlf("HTTP/1.1 301 Moved") ++ crlf("Content-Type: Text/HTML; charset=ISO-8859-1") ++
         crlf("") ++ "moved".getBytes(StandardCharsets.UTF_8))
     val r = parseAll(rec).head
     assert(r.http_status === Some(301))
     assert(r.mime === Some("text/html"))
+    assert(r.charset === Some("iso-8859-1"))
     assert(new String(r.payload, StandardCharsets.UTF_8) === "moved")
+    // quoted charset value; no-charset header leaves None
+    val rq = parseAll(rawRecord("response", "application/http", Seq.empty,
+      crlf("HTTP/1.1 200 OK") ++ crlf("""Content-Type: text/plain; charset="UTF-16LE"""") ++
+        crlf("") ++ Array.empty[Byte])).head
+    assert(rq.charset === Some("utf-16le"))
+    assert(parseAll(fixtureBytes(gzip = true))(1).charset === None)
+  }
+
+  test("charset-aware payloadText decodes declared latin-1; unknown falls back to UTF-8") {
+    import spark.implicits._
+    val latin1 = "café olé".getBytes(StandardCharsets.ISO_8859_1)
+    val utf8 = "café olé".getBytes(StandardCharsets.UTF_8)
+    val rows = Seq(
+      (1L, latin1, "iso-8859-1"),
+      (2L, utf8, null.asInstanceOf[String]),    // no declaration -> UTF-8
+      (3L, utf8, "x-klingon"),                  // unknown -> UTF-8 fallback
+      (4L, "café".getBytes("UTF-16LE"), "utf-16le"))
+      .toDF("id", "payload", "charset")
+    val out = rows
+      .select($"id", Warc.payloadText($"payload", $"charset").as("t"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) === "café olé", s"latin-1 decode broke: ${out(1L)}")
+    assert(out(2L) === "café olé")
+    assert(out(3L) === "café olé")
+    assert(out(4L) === "café")
   }
 
   test("kernel: truncated record fails loudly, not silently short") {
