@@ -310,6 +310,27 @@ object LlmQueries {
           "url")
         .orderBy(col("domain"))
     },
+    // --- HTML metadata extraction (title + declared lang): three chrome
+    // variants — double-quoted lang with an entity-and-whitespace title,
+    // single-quoted lang, and a bare page with neither — so presence,
+    // absence, quoting, and the title's entity/whitespace policy are all
+    // oracle-pinned
+    "html_meta" -> { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val v = pmod(col("doc_id"), lit(3))
+      val html = when(v === 0, concat(
+          lit("<html lang=\"en-US\"><head><title>Doc &amp; "), id,
+          lit("  x</title></head><body><p>b</p></body></html>")))
+        .when(v === 1, concat(
+          lit("<html lang='de'><head><title>T"), id,
+          lit("</title></head><body/></html>")))
+        .otherwise(lit("<html><head></head><body><p>no meta</p></body></html>"))
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          TextAnalysis.htmlTitle(html).as("title"),
+          TextAnalysis.htmlDeclaredLang(html).as("declared_lang"))
+        .orderBy(col("doc_id"))
+    },
     // --- HTML → text extraction: wrap every doc in a known HTML chrome
     // (heading with entity, paragraph, script with a raw '<', comment,
     // footer with &nbsp;/numeric entity) and extract. The planted
@@ -1825,6 +1846,15 @@ object LlmQueries {
         |  'footer ' || chr(8212) || ' end' AS text
         |FROM documents WHERE doc_id < 300 AND length(trim(text)) > 0
         |ORDER BY doc_id""".stripMargin,
+    "html_meta" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'Doc & ' || CAST(doc_id AS VARCHAR) || ' x'
+        |    WHEN 1 THEN 'T' || CAST(doc_id AS VARCHAR)
+        |    ELSE '' END AS title,
+        |  CASE doc_id % 3 WHEN 0 THEN 'en-us' WHEN 1 THEN 'de' ELSE '' END
+        |    AS declared_lang
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
     "html_extract" ->
       """SELECT doc_id,
         |  'Doc & ' || CAST(doc_id AS VARCHAR) || chr(10) ||

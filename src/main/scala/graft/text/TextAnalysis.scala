@@ -762,6 +762,28 @@ object TextAnalysis {
       graft.expressions.HtmlText(
         org.apache.spark.sql.graft.Bridge.expression(c.cast("string"))))
 
+  /** Document title from raw HTML: the first `<title>` element's text,
+    * entity-decoded and whitespace-normalized by routing the fragment
+    * through [[htmlToText]]. Null-safe: pages without a title yield ""
+    * (regexp_extract's no-match convention). The crawl-metadata
+    * companion to the body extraction — titles feed dedup keys, quality
+    * features, and search indexes. */
+  def htmlTitle(c: Column): Column =
+    // titles are one line by definition: collapse ANY whitespace run
+    // (including the newlines htmlToText deliberately preserves for
+    // body text) to a single space
+    trim(regexp_replace(
+      htmlToText(regexp_extract(c, "(?is)<title[^>]*>(.*?)</title>", 1)),
+      "\\s+", " "))
+
+  /** Declared document language from raw HTML: the `<html lang=...>`
+    * attribute, lowercased ("" when absent) — the prior a crawl pipeline
+    * checks the n-gram language ID against (disagreement is itself a
+    * quality signal). */
+  def htmlDeclaredLang(c: Column): Column =
+    lower(regexp_extract(c,
+      "(?is)<html[^>]*?\\slang\\s*=\\s*[\"']?([A-Za-z][A-Za-z0-9-]*)", 1))
+
   /** Per-line content-vs-chrome classification over extracted text — the
     * jusText/trafilatura heuristic core, simplified to a deterministic
     * rule: a line is boilerplate when it is SHORT (fewer than `minTokens`

@@ -157,4 +157,25 @@ class GraftFunctionsSpec extends SparkSpec {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext) // must not throw; wiring is shared with register()
   }
+  test("htmlTitle / htmlDeclaredLang: hand cases") {
+    import graft.text.TextAnalysis
+    def meta(h: String): (String, String) =
+      Seq(h).toDF("h")
+        .select(TextAnalysis.htmlTitle(col("h")), TextAnalysis.htmlDeclaredLang(col("h")))
+        .as[(String, String)].head()
+    // entity decode + whitespace collapse in the title; lang lowercased
+    assert(meta("""<html lang="en-US"><head><title> A &amp;  B </title></head></html>""")
+      === (("A & B", "en-us")))
+    // single quotes; attribute order and other attributes around lang
+    assert(meta("""<html dir="ltr" lang='pt-BR' class="x"><title>t</title></html>""")
+      === (("t", "pt-br")))
+    // missing title and lang -> empty strings, not nulls/crashes
+    assert(meta("<html><body>x</body></html>") === (("", "")))
+    // first title wins; case-insensitive tags; multiline title
+    assert(meta("<HTML><TITLE>one\ntwo</TITLE><title>late</title></HTML>")
+      === (("one two", "")))
+    // a lang-like attribute on another tag must not match
+    assert(meta("""<html><span lang="fr">x</span></html>""") === (("", "")))
+  }
 }
+
