@@ -214,6 +214,24 @@ object Warc {
   private def headerEndLen(b: Array[Byte], sep: Int): Int =
     if (b(sep) == '\r') 4 else 1 // \r\n\r\n vs the bare \n\n (sep is the 2nd \n)
 
+  /** The driver's EFFECTIVE Hadoop configuration as a serializable
+    * key-value list — executors rebuild it verbatim, so driver-side
+    * settings (object-store endpoints/credentials, the things a real
+    * cluster sets programmatically) reach the per-file streams instead
+    * of being silently replaced by classpath defaults. */
+  private def confEntries(conf: org.apache.hadoop.conf.Configuration): Array[(String, String)] = {
+    val it = conf.iterator()
+    val b = Array.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+    b.result()
+  }
+
+  private def confOf(entries: Array[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   // ------------------------------------------------------------ the read
 
   /** Read WARC files (plain or `.warc.gz`) into a DataFrame of parsed
@@ -236,16 +254,15 @@ object Warc {
       }
     }.sorted
     val parallelism = math.min(files.size, spark.sparkContext.defaultParallelism).max(1)
+    val kv = confEntries(conf)
     val ds: Dataset[WarcRecord] = spark
       .createDataset(files)
       .repartition(parallelism)
       .mapPartitions { it =>
+        val c = confOf(kv)
         it.flatMap { f =>
           val p = new org.apache.hadoop.fs.Path(f)
-          // executors resolve the filesystem from the classpath-provided
-          // hadoop conf — the standard deployment for executor-side IO
-          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-          records(fs.open(p), f)
+          records(p.getFileSystem(c).open(p), f)
         }
       }
     ds.toDF()
@@ -356,11 +373,13 @@ object Warc {
       col(idCol).cast("string"), col(mimeCol).cast("string"),
       col(payloadCol).cast("binary"))
     val dirStr = dir
+    val kv = confEntries(
+      df.sparkSession.sparkContext.hadoopConfiguration)
     val written = cols.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       if (it.isEmpty) Iterator.empty
       else {
         val p = new org.apache.hadoop.fs.Path(f"$dirStr%s/part-$pid%05d.warc.gz")
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(confOf(kv))
         val out = fs.create(p, true)
         try {
           out.write(gzipMember(warcinfoRecordBytes(
