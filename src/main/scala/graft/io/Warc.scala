@@ -387,6 +387,14 @@ object Warc {
             "software: graft-warc-writer\r\n")))
           var n = 0L
           it.foreach { row =>
+            // loud nulls: a null ts would silently serialize as epoch,
+            // a null uri/id/mime as a bare NPE deep in the writer
+            var i = 0
+            while (i < 5) {
+              require(!row.isNullAt(i),
+                s"writeWarc: null in record field $i (uri/ts/id/mime/payload) at row $n of partition $pid")
+              i += 1
+            }
             val date = java.time.Instant.ofEpochMilli(row.getLong(1) / 1000)
             out.write(gzipMember(responseRecordBytes(
               row.getUTF8String(0).toString, date, row.getUTF8String(2).toString,
