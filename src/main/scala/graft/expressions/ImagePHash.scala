@@ -111,11 +111,18 @@ object ImagePHash {
     * block; bit (v·8 + u) set iff coefficient (u,v) exceeds the median of
     * the 63 non-DC coefficients (DC itself compares against the median
     * too, but carries no structure — the classic construction). */
+  /** DCT-II basis for the 8 low frequencies over 32 samples — shared by
+    * every row (hoisted: rebuilding 256 cosines per image would put
+    * redundant trig in the hot decode path). */
+  private val DctN = 32
+  private val DctCos: Array[Array[Double]] =
+    Array.tabulate(8, DctN)((k, i) => math.cos((2 * i + 1) * k * math.Pi / (2.0 * DctN)))
+
   private[graft] def phash(img: java.awt.image.BufferedImage): Long = {
-    val n = 32
+    val n = DctN
     val g = luma(img, n, n)
+    val cos = DctCos
     // separable DCT-II, low 8 frequencies only: cost 2·8·32·32 mults
-    val cos = Array.tabulate(8, n)((k, i) => math.cos((2 * i + 1) * k * math.Pi / (2.0 * n)))
     // rows: for each source row y, low 8 horizontal frequencies
     val rowDct = Array.ofDim[Double](n, 8)
     var y = 0

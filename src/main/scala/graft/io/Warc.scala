@@ -253,16 +253,29 @@ object Warc {
         else Seq(st.getPath.toString)
       }
     }.sorted
-    val parallelism = math.min(files.size, spark.sparkContext.defaultParallelism).max(1)
     val kv = confEntries(conf)
     val ds: Dataset[WarcRecord] = spark
       .createDataset(files)
-      .repartition(parallelism)
+      // one partition per file — the scheduler balances skewed shard
+      // sizes at file granularity, and a straggler holds one file, not a
+      // round-robin bundle of them
+      .repartition(files.size.max(1))
       .mapPartitions { it =>
         val c = confOf(kv)
+        // records() closes its stream at exhaustion, but an early-
+        // terminating consumer (limit/take) or a mid-file parse error
+        // abandons the iterator — close whatever is still open when the
+        // task ends, like Spark's own file sources do
+        var open: java.io.InputStream = null
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit] { _ =>
+            if (open != null) { try open.close() catch { case _: Exception => () } }
+          })
         it.flatMap { f =>
           val p = new org.apache.hadoop.fs.Path(f)
-          records(p.getFileSystem(c).open(p), f)
+          val raw = p.getFileSystem(c).open(p)
+          open = raw
+          records(raw, f)
         }
       }
     ds.toDF()
@@ -395,7 +408,12 @@ object Warc {
                 s"writeWarc: null in record field $i (uri/ts/id/mime/payload) at row $n of partition $pid")
               i += 1
             }
-            val date = java.time.Instant.ofEpochMilli(row.getLong(1) / 1000)
+            val micros = row.getLong(1)
+            // full microsecond fidelity (floor semantics for pre-epoch):
+            // WARC-Date prints fractional seconds and readWarc parses
+            // them back, keeping the round-trip exact
+            val date = java.time.Instant.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L), Math.floorMod(micros, 1000000L) * 1000L)
             out.write(gzipMember(responseRecordBytes(
               row.getUTF8String(0).toString, date, row.getUTF8String(2).toString,
               row.getUTF8String(3).toString, row.getBinary(4))))

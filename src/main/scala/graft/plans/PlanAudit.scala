@@ -140,6 +140,17 @@ object PlanAudit {
     def add(k: String): Unit = counts(k) += 1
     def walk(p: SparkPlan): Unit = {
       p match {
+        case _: adaptive.AdaptiveSparkPlanExec =>
+          // AQE wraps the real operators in a leaf node: walking it would
+          // return {} and make every pinned comparison pass trivially —
+          // fail loudly instead of silently disarming the guard
+          throw new IllegalStateException(
+            "PlanAudit.fingerprint needs spark.sql.adaptive.enabled=false " +
+              "(the initial physical plan is the pinnable artifact; AQE " +
+              "re-plans are data-dependent by design)")
+        case _ =>
+      }
+      p match {
         case _: exchange.ShuffleExchangeExec            => add("shuffle")
         case _: exchange.BroadcastExchangeExec          => add("broadcast")
         case _: joins.BroadcastHashJoinExec             => add("broadcast_hash_join")

@@ -43,10 +43,15 @@ object Urls {
       regexp_replace(noWww, "^(http://[^/:?#]+):80$", "$1"),
       "^(https://[^/:?#]+):443$", "$1")
     val rejoined = concat(noPort, rest)
-    // tracking params: kill `name=value` for the listed names wherever
-    // they sit in the query, then collapse the separators they orphan
+    // tracking params: kill `name=value` only when the name STARTS a
+    // query parameter — the lookbehind anchors to ?/& without consuming
+    // it, so 'xgclid=5' (a different param) and '/gclid=5/' (a path
+    // segment) survive, and consecutive tracking params all match in one
+    // pass (the separator each match needs is never eaten by the
+    // previous one). Spark-side Java regex only — the oracles state
+    // canonical strings outright and never replay this pattern.
     val noTrack = regexp_replace(rejoined,
-      "(?:utm_[a-zA-Z0-9]+|fbclid|gclid|msclkid)=[^&#]*&?", "")
+      "(?<=[?&])(?:utm_[a-zA-Z0-9]+|fbclid|gclid|msclkid)=[^&#]*&?", "")
     val noDangle = regexp_replace(regexp_replace(noTrack, "[?&]+$", ""), "\\?&", "?")
     regexp_replace(noDangle, "/+$", "")
   }

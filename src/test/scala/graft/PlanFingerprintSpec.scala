@@ -73,4 +73,15 @@ class PlanFingerprintSpec extends SparkSpec {
       } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     }
   }
+  test("fingerprint refuses to run under AQE instead of returning an empty map") {
+    import spark.implicits._
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    try {
+      val df = (1 to 10).map(i => (i % 3, i)).toDF("k", "v").groupBy("k").count()
+      val e = intercept[IllegalStateException] { PlanAudit.fingerprint(df) }
+      assert(e.getMessage.contains("adaptive"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
 }
+

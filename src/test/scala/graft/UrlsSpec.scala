@@ -26,11 +26,16 @@ class UrlsSpec extends SparkSpec {
     assert(norm("http://ex.com:8080/a") === "http://ex.com:8080/a")
     // fragment
     assert(norm("http://ex.com/a#frag") === "http://ex.com/a")
-    // tracking params: middle, trailing, only
+    // tracking params: middle, trailing, only, consecutive
     assert(norm("http://ex.com/a?utm_source=x&q=1") === "http://ex.com/a?q=1")
     assert(norm("http://ex.com/a?q=1&utm_campaign=y") === "http://ex.com/a?q=1")
     assert(norm("http://ex.com/a?fbclid=z") === "http://ex.com/a")
     assert(norm("http://ex.com/a?gclid=1&msclkid=2&b=3") === "http://ex.com/a?b=3")
+    assert(norm("http://ex.com/a?utm_a=1&utm_b=2&q=1") === "http://ex.com/a?q=1")
+    // a DIFFERENT param whose name merely ends in a tracking name, and a
+    // tracking-looking path segment, must both survive untouched
+    assert(norm("http://ex.com/a?xgclid=5&q=1") === "http://ex.com/a?xgclid=5&q=1")
+    assert(norm("http://ex.com/gclid=5/page") === "http://ex.com/gclid=5/page")
     // trailing slash runs
     assert(norm("http://ex.com/a///") === "http://ex.com/a")
     assert(norm("http://ex.com/") === "http://ex.com")

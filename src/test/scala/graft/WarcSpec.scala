@@ -143,9 +143,12 @@ class WarcSpec extends SparkSpec {
   test("spark round-trip: writeWarc shards read back row-identical") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-warc-rt").toString
+    // sub-second timestamps included: the writer must keep microsecond
+    // fidelity through WARC-Date for the round-trip to be exact
     val in = (0 until 40).map { i =>
       (s"http://t.test/$i",
-        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + i)),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          1700000000L + i, (i * 123456L % 1000000L) * 1000)),
         s"<urn:t:$i>", if (i % 2 == 0) "text/html" else "text/plain",
         s"payload $i é中".getBytes(StandardCharsets.UTF_8))
     }.toDF("uri", "ts", "rid", "mime", "payload")
@@ -161,7 +164,8 @@ class WarcSpec extends SparkSpec {
       .collect().toSet
     val expected = (0 until 40).map { i =>
       (s"http://t.test/$i",
-        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + i)),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          1700000000L + i, (i * 123456L % 1000000L) * 1000)),
         s"<urn:t:$i>", if (i % 2 == 0) "text/html" else "text/plain",
         s"payload $i é中")
     }.toSet
