@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   *
   * Out of scope (disclosed, matching the honest-stub policy used for
   * video codecs): `Transfer-Encoding: chunked` payloads are returned raw
-  * (Common Crawl stores identity payloads), and per-record zstd
-  * dictionaries (`.warc.zst`) are not parsed — gzip members and plain
-  * files only.
+  * (Common Crawl stores identity payloads), and DICTIONARY-compressed
+  * `.warc.zst` (the IIPC skippable-frame dictionary convention) fails
+  * loudly rather than decoding — plain zstd frames, gzip members, and
+  * uncompressed files are all read.
   *
   * Reference anchor: the reference reads tabular sources only
   * (`dp.py:62`); WARC ingestion is part of the LLM-pipeline extension
@@ -59,6 +60,8 @@ object Warc {
 
   private val GzipMagic0 = 0x1f
   private val GzipMagic1 = 0x8b
+  /** zstd frame magic, little-endian 0xFD2FB528. */
+  private val ZstdMagic = Array(0x28, 0xb5, 0x2f, 0xfd)
 
   // ------------------------------------------------------------- parsing
 
@@ -69,15 +72,22 @@ object Warc {
     * skippable one). */
   def records(in: InputStream, file: String): Iterator[WarcRecord] = {
     val buffered = new BufferedInputStream(in, 1 << 16)
-    buffered.mark(2)
-    val b0 = buffered.read(); val b1 = buffered.read()
+    buffered.mark(4)
+    val m = Array.fill(4)(buffered.read())
     buffered.reset()
     val stream: InputStream =
-      if (b0 == GzipMagic0 && b1 == GzipMagic1)
+      if (m(0) == GzipMagic0 && m(1) == GzipMagic1)
         // java's GZIPInputStream consumes CONCATENATED members in one
         // stream — exactly the per-record-member WARC convention
         new GZIPInputStream(buffered, 1 << 16)
-      else buffered
+      else if (m.sameElements(ZstdMagic)) {
+        // zstd-jni rides Spark's own shuffle-compression dependency; the
+        // continuous flag consumes concatenated per-record frames the way
+        // GZIPInputStream consumes members
+        val z = new com.github.luben.zstd.ZstdInputStream(buffered)
+        z.setContinuous(true)
+        z
+      } else buffered
 
     new Iterator[WarcRecord] {
       private var nextRec: WarcRecord = _

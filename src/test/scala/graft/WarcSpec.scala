@@ -94,6 +94,29 @@ class WarcSpec extends SparkSpec {
         new String(r.payload, StandardCharsets.UTF_8))))
   }
 
+  test("kernel: zstd per-record frames (.warc.zst) parse identically") {
+    // one zstd frame per record — the IIPC .warc.zst framing (dictionary
+    // skippable frames excluded; disclosed out of scope)
+    val zst = new ByteArrayOutputStream()
+    Seq(
+      Warc.warcinfoRecordBytes(java.time.Instant.parse("2024-05-06T00:00:00Z"),
+        "<urn:test:info>", "software: test\r\n"),
+      Warc.responseRecordBytes("http://a.test/1",
+        java.time.Instant.parse("2024-05-06T07:08:09Z"), "<urn:test:1>",
+        "text/html", htmlPayload),
+      Warc.responseRecordBytes("http://a.test/2",
+        java.time.Instant.parse("2024-05-06T07:08:10Z"), "<urn:test:2>",
+        "application/json", """{"k":1}""".getBytes(StandardCharsets.UTF_8)))
+      .foreach(r => zst.write(com.github.luben.zstd.Zstd.compress(r)))
+    val rs = parseAll(zst.toByteArray)
+    assert(rs.map(_.warc_type) === Seq("warcinfo", "response", "response"))
+    assert(rs(1).target_uri === "http://a.test/1")
+    assert(rs(1).http_status === Some(200))
+    assert(new String(rs(1).payload, StandardCharsets.UTF_8) ===
+      "<html><body>hello &amp; goodbye</body></html>")
+    assert(new String(rs(2).payload, StandardCharsets.UTF_8) === """{"k":1}""")
+  }
+
   test("kernel: mime splits from the charset parameter; both land typed") {
     val rec = rawRecord("response", "application/http; msgtype=response", Seq.empty,
       crlf("HTTP/1.1 301 Moved") ++ crlf("Content-Type: Text/HTML; charset=ISO-8859-1") ++
