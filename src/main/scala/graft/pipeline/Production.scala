@@ -497,7 +497,8 @@ object Production {
       val batch = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
       graft.dp.IncrementalAgg.foldStateDir(
         s, ctx.dataPath("models.word_counts"),
-        graft.text.Bpe.wordCountState(batch, textCol),
+        graft.text.Bpe.wordCountState(batch, textCol,
+          params.getOrElse("pre_tokenize", graft.text.Bpe.Whitespace).toString),
         "word",
         batchId = params.getOrElse("batch_id", Long.MinValue.toString).toString.toLong,
         merge = graft.text.Bpe.mergeWordCounts)
@@ -513,11 +514,16 @@ object Production {
       val textCol = params.getOrElse("text_col", "text").toString
       val maxWords = params.getOrElse("max_words", "50000").toString.toInt
       val fromState = params.getOrElse("from_state", "false").toString.toBoolean
+      // `pre_tokenize: gpt2` segments contractions/letters/digits/
+      // punctuation with the space-prefix convention (text/Bpe.scala);
+      // default stays whitespace. Train and encode must declare the SAME
+      // mode - it is part of the tokenizer, not a per-call choice.
+      val pre = params.getOrElse("pre_tokenize", graft.text.Bpe.Whitespace).toString
       def counts: Seq[(String, Long)] =
         if (fromState)
           graft.text.Bpe.countsFromState(s, ctx.dataPath("models.word_counts"), maxWords)
         else graft.text.Bpe.cappedWordCounts(
-          Tables.readData(s, Seq(ctx.dataPath("raw.documents"))), textCol, maxWords)
+          Tables.readData(s, Seq(ctx.dataPath("raw.documents"))), textCol, maxWords, pre)
       params.getOrElse("algo", "bpe").toString match {
         case "unigram" =>
           save(ctx, graft.text.Unigram.trainFromCounts(
@@ -546,6 +552,7 @@ object Production {
       val textCol = params.getOrElse("text_col", "text").toString
       val docs = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
       val ids = params.getOrElse("ids", "false").toString.toBoolean
+      val pre = params.getOrElse("pre_tokenize", graft.text.Bpe.Whitespace).toString
       // tokens replace the raw text in the output (the tokenized zone is
       // what training consumes; re-writing text would double the bytes).
       // ids: true emits numeric token_ids via the persisted vocab instead
@@ -556,19 +563,20 @@ object Production {
         case "unigram" =>
           val pieces = Tables.readData(s, Seq(ctx.dataPath("models.unigram_pieces")))
           if (ids)
-            graft.text.Unigram.encodeIds(docs, textCol, pieces)
+            graft.text.Unigram.encodeIds(docs, textCol, pieces, pre)
               .withColumnRenamed("piece_ids", "token_ids")
               .withColumnRenamed("n_pieces", "n_tokens")
           else
-            graft.text.Unigram.encode(docs, textCol, pieces)
+            graft.text.Unigram.encode(docs, textCol, pieces, pre)
               .withColumnRenamed("pieces", "tokens")
               .withColumnRenamed("n_pieces", "n_tokens")
         case "bpe" =>
           val merges = Tables.readData(s, Seq(ctx.dataPath("models.bpe_merges")))
           if (ids)
             graft.text.Bpe.encodeIds(docs, textCol, merges,
-              Tables.readData(s, Seq(ctx.dataPath("models.bpe_vocab"))))
-          else graft.text.Bpe.encode(docs, textCol, merges)
+              Tables.readData(s, Seq(ctx.dataPath("models.bpe_vocab"))),
+              preTokenize = pre)
+          else graft.text.Bpe.encode(docs, textCol, merges, preTokenize = pre)
         case other =>
           throw new IllegalArgumentException(
             s"tokenizer/encode: unknown algo '$other' (bpe | unigram)")

@@ -779,4 +779,44 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("delta"),
       s"failure must name the delta source: ${e.getMessage}")
   }
+  test("tokenizer catalog jobs honor pre_tokenize: gpt2 end to end") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-gpt2-jobs").toString
+    Seq.fill(12)("the end. it's fine! ok?").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/docs")
+    val yml = java.nio.file.Files.createTempFile("graft-gpt2-jobs", ".yml")
+    java.nio.file.Files.writeString(yml,
+      """jobs:
+        |  - name: tokenizer
+        |    fail_fast: true
+        |    stages:
+        |      - name: t
+        |        tasks:
+        |          - name: train
+        |            params: {algo: bpe, num_merges: 40, pre_tokenize: gpt2}
+        |          - name: encode
+        |            params: {algo: bpe, pre_tokenize: gpt2}
+        |""".stripMargin)
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Context.loadYaml(yml.toString),
+      "data_catalog" -> Map(
+        "raw" -> Map("documents" -> s"$work/docs"),
+        "models" -> Map(
+          "bpe_merges" -> s"$work/merges", "bpe_vocab" -> s"$work/vocab"),
+        "processed" -> Map("tokenized" -> s"$work/tok")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(ctx = Context(cfg, spark), "tokenizer").isEmpty)
+    val toks = spark.read.parquet(s"$work/tok")
+      .select(org.apache.spark.sql.functions.explode($"tokens").as("t")).as[String].collect().toSet
+    // punctuation segments into its own (sentinel-carrying) tokens under
+    // gpt2 -- impossible under whitespace mode, where "end." is one unit
+    assert(toks.exists(t => t.replace(graft.text.Bpe.EndOfWord, "") == "."),
+      s"no standalone '.' token in $toks")
+    assert(!toks.exists(t => t.replace(graft.text.Bpe.EndOfWord, "").matches("[a-z]+\\.")),
+      "punctuation stayed glued to a word")
+  }
 }
+
