@@ -250,6 +250,29 @@ object LlmQueries {
           TextAnalysis.htmlToText(graft.io.Warc.payloadText(col("payload"))).as("text"))
         .orderBy(col("doc_id"))
     },
+    // --- WebDataset tar shards: export documents as <key>.txt/<key>.json
+    // members, stream them back, and verify every member's content and
+    // byte count against the source table — the training-loader delivery
+    // format round-tripped under a FULL oracle
+    "webdataset_roundtrip" -> { (s, dir) =>
+      val tmp = s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9]", "_")}/wds"
+      if (!new java.io.File(s"$tmp/_STAGED").exists()) {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id").cast("string").as("key"), col("text"),
+            concat(lit("{\"lang\":\""), col("lang"), lit("\"}")).as("meta"))
+        graft.io.WebDataset.writeShards(docs, tmp, "key",
+          Seq("text" -> "txt", "meta" -> "json"), rowsPerShard = 64)
+        new java.io.File(s"$tmp/_STAGED").createNewFile()
+      }
+      // the 0-byte _STAGED marker yields no tar entries — harmless to list
+      graft.io.WebDataset.readShards(s, Seq(tmp))
+        .select(
+          col("key").cast("long").as("doc_id"),
+          col("ext"),
+          decode(col("payload"), "UTF-8").as("content"),
+          length(col("payload")).cast("long").as("n_bytes"))
+        .orderBy(col("doc_id"), col("ext"))
+    },
     // --- URL canonicalization over a planted zoo (uppercase host/www/
     // default port, tracking params, fragment + trailing slash, https
     // :443, multi-label public suffix): the oracle predicts the
@@ -1775,6 +1798,16 @@ object LlmQueries {
           |  GROUP BY doc_id)
           |SELECT d.doc_id, coalesce(kept.clean, '') AS text
           |FROM d LEFT JOIN kept USING (doc_id) ORDER BY d.doc_id""".stripMargin),
+    // every member's content and UTF-8 byte count re-derived from the
+    // source table — write path and read path verified against each other
+    "webdataset_roundtrip" ->
+      """WITH d AS (SELECT doc_id, text, lang FROM documents WHERE doc_id < 300)
+        |SELECT doc_id, 'txt' AS ext, text AS content,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM d
+        |UNION ALL
+        |SELECT doc_id, 'json', '{"lang":"' || lang || '"}',
+        |  CAST(octet_length(encode('{"lang":"' || lang || '"}')) AS BIGINT) FROM d
+        |ORDER BY doc_id, ext""".stripMargin,
     // the url zoo is doc_id arithmetic — the oracle states the CANONICAL
     // string outright (ground truth), never re-running the normalizer
     "url_normalize" ->
