@@ -603,6 +603,29 @@ object Production {
         ctx.dataPath("processed.packing_shards"))
     }
 
+    // DELIVERY: the terminal stage of the chain — any zone exported as
+    // WebDataset tar shards (<key>.<ext> members, loader-streamable).
+    // `content_cols: {text: txt, meta: json}` maps columns to member
+    // extensions; defaults ship the raw documents zone as <doc_id>.txt
+    Jobs.register("tokenizer", "export-webdataset") { (ctx, params) =>
+      val s = ctx.spark
+      val in = params.getOrElse("input", "raw.documents").toString
+      val keyCol = params.getOrElse("key_col", "doc_id").toString
+      val rowsPerShard = params.getOrElse("rows_per_shard", "1000").toString.toInt
+      val contentCols: Seq[(String, String)] = params.get("content_cols") match {
+        case Some(m: Map[_, _]) =>
+          m.asInstanceOf[Map[String, Any]].toSeq.map { case (k, v) => k -> v.toString }
+        case Some(bad) =>
+          throw new IllegalArgumentException(
+            s"export-webdataset: content_cols must map column -> extension, got: $bad")
+        case None => Seq("text" -> "txt")
+      }
+      graft.io.WebDataset.writeShards(
+        Tables.readData(s, Seq(ctx.dataPath(in))),
+        ctx.dataPath(params.getOrElse("output", "processed.webdataset").toString),
+        keyCol, contentCols, rowsPerShard)
+    }
+
     // whole-document (padded) layout — the no-split alternative to `pack`:
     // every bin holds only whole documents (no cross-document attention
     // contamination), and the stats zone carries the padding cost that

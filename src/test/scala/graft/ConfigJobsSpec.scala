@@ -818,5 +818,40 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(!toks.exists(t => t.replace(graft.text.Bpe.EndOfWord, "").matches("[a-z]+\\.")),
       "punctuation stayed glued to a word")
   }
+  test("export-webdataset catalog job delivers a zone as tar shards") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-wds-jobs").toString
+    (0 until 9).map(i => (i.toLong, s"doc $i", s"m$i"))
+      .toDF("doc_id", "text", "meta").write.mode("overwrite").parquet(s"$work/docs")
+    val yml = java.nio.file.Files.createTempFile("graft-wds-jobs", ".yml")
+    java.nio.file.Files.writeString(yml,
+      """jobs:
+        |  - name: tokenizer
+        |    fail_fast: true
+        |    stages:
+        |      - name: deliver
+        |        tasks:
+        |          - name: export-webdataset
+        |            params:
+        |              rows_per_shard: 4
+        |              content_cols: {text: txt, meta: json}
+        |""".stripMargin)
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Context.loadYaml(yml.toString),
+      "data_catalog" -> Map(
+        "raw" -> Map("documents" -> s"$work/docs"),
+        "processed" -> Map("webdataset" -> s"$work/shards")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(ctx = Context(cfg, spark), "tokenizer").isEmpty)
+    val back = graft.io.WebDataset.readShards(spark, Seq(s"$work/shards"))
+    assert(back.count() === 18, "9 keys x 2 members")
+    val t4 = back.filter($"key" === "4" && $"ext" === "txt")
+      .select(org.apache.spark.sql.functions.decode($"payload", "UTF-8"))
+      .as[String].head
+    assert(t4 === "doc 4")
+  }
 }
+
 
