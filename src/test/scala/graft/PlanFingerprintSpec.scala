@@ -34,7 +34,14 @@ class PlanFingerprintSpec extends SparkSpec {
     "dedup_exact" -> Map("global_sort" -> 1, "shuffle" -> 2),
     "cosine_topk" -> Map("broadcast" -> 1, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 2, "window" -> 1, "window_group_limit" -> 2),
     "dedup_minhash" -> Map("broadcast" -> 2, "broadcast_hash_join" -> 3, "global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 3, "window" -> 2),
-    "dsir_weights" -> Map("broadcast" -> 6, "broadcast_hash_join" -> 4, "broadcast_nested_loop" -> 2, "global_sort" -> 1, "shuffle" -> 8))
+    "dsir_weights" -> Map("broadcast" -> 6, "broadcast_hash_join" -> 4, "broadcast_nested_loop" -> 2, "global_sort" -> 1, "shuffle" -> 8),
+    // r13 additions: the WARC parse (pure flatMap — shuffles only for the
+    // repartition + root sort), the bounded-heap URL dedup (top-k agg, no
+    // window), and the domain mix (broadcast 1-row total, no cartesian
+    // against a growing side)
+    "warc_read" -> Map("global_sort" -> 1, "shuffle" -> 2),
+    "url_dedup_latest" -> Map("global_sort" -> 1, "shuffle" -> 2),
+    "domain_mix" -> Map("broadcast" -> 1, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "shuffle" -> 3))
 
   private def withAqeOff[T](f: => T): T = {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
