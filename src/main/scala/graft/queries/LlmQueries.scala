@@ -250,6 +250,23 @@ object LlmQueries {
           TextAnalysis.htmlToText(graft.io.Warc.payloadText(col("payload"))).as("text"))
         .orderBy(col("doc_id"))
     },
+    // --- the published Gopher quality rules over documents + planted
+    // rule-trippers (bullet lists, ellipsis endings, symbol spam,
+    // letterless text, a word-soup missing the required stopwords):
+    // every measured value AND every verdict replayed in DuckDB
+    "gopher_rules" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val all = docs.unionByName(Seq(
+        (920001L, "• alpha\n• beta\n• gamma\n- delta\nthe plain line with of and that have"),
+        (920002L, "wait for it...\nalmost there…\nthe end of that story have with be to and"),
+        (920003L, "# spam # tags # everywhere ... more ... dots the of and that"),
+        (920004L, "111 222 333 444 555 666 777 888 999 000"),
+        (920005L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod"))
+        .toDF("doc_id", "text"))
+      TextAnalysis.gopherRules(all, "doc_id", "text", minWords = 20)
+        .orderBy(col("doc_id"))
+    },
     // --- WebDataset tar shards: export documents as <key>.txt/<key>.json
     // members, stream them back, and verify every member's content and
     // byte count against the source table — the training-loader delivery
@@ -1798,6 +1815,50 @@ object LlmQueries {
           |  GROUP BY doc_id)
           |SELECT d.doc_id, coalesce(kept.clean, '') AS text
           |FROM d LEFT JOIN kept USING (doc_id) ORDER BY d.doc_id""".stripMargin),
+    // every Gopher measurement re-derived with DuckDB list/regex
+    // arithmetic; NULLIF guards reproduce Spark's null ratios on
+    // zero-word documents, and FALSE AND NULL = FALSE in both engines
+    "gopher_rules" ->
+      ("""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(920001 AS BIGINT), '• alpha' || chr(10) || '• beta' || chr(10) ||
+        |     '• gamma' || chr(10) || '- delta' || chr(10) ||
+        |     'the plain line with of and that have'),
+        |    (CAST(920002 AS BIGINT), 'wait for it...' || chr(10) || 'almost there…' ||
+        |     chr(10) || 'the end of that story have with be to and'),
+        |    (CAST(920003 AS BIGINT), '# spam # tags # everywhere ... more ... dots the of and that'),
+        |    (CAST(920004 AS BIGINT), '111 222 333 444 555 666 777 888 999 000'),
+        |    (CAST(920005 AS BIGINT), 'lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod')
+        |  ) p(doc_id, text)),
+        |m AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w <> '') AS words,
+        |    list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+        |  FROM all_docs),
+        |v AS (SELECT doc_id,
+        |    CAST(len(words) AS BIGINT) AS n_words,
+        |    round(CAST(list_sum(list_transform(words, w -> length(w))) AS DOUBLE)
+        |      / NULLIF(len(words), 0), 6) AS mean_word_len,
+        |    round(CAST(length(text) - length(replace(text, '#', ''))
+        |        + len(regexp_extract_all(text, '\.{3}'))
+        |        + length(text) - length(replace(text, '…', '')) AS DOUBLE)
+        |      / NULLIF(len(words), 0), 6) AS symbol_ratio,
+        |    round(CAST(len(list_filter(lines,
+        |        l -> list_contains(['•', '-', '*'], substr(trim(l), 1, 1)))) AS DOUBLE)
+        |      / NULLIF(len(lines), 0), 6) AS bullet_frac,
+        |    round(CAST(len(list_filter(lines,
+        |        l -> trim(l) LIKE '%...' OR trim(l) LIKE '%…')) AS DOUBLE)
+        |      / NULLIF(len(lines), 0), 6) AS ellipsis_frac,
+        |    round(CAST(len(list_filter(words, w -> regexp_matches(w, '\p{L}'))) AS DOUBLE)
+        |      / NULLIF(len(words), 0), 6) AS alpha_word_frac,
+        |    CAST(len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+        |      ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS req_stop_hits
+        |  FROM m)
+        |SELECT *,
+        |  n_words BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+        |    AND alpha_word_frac >= 0.8 AND req_stop_hits >= 2 AS gopher_pass
+        |FROM v ORDER BY doc_id""".stripMargin),
     // every member's content and UTF-8 byte count re-derived from the
     // source table — write path and read path verified against each other
     "webdataset_roundtrip" ->

@@ -124,6 +124,71 @@ object TextAnalysis {
     (lenOk + punctOk + digitOk + stopOk) / 4.0
   }
 
+  /** The eight words whose presence Gopher's rule 7 requires (Rae et al.
+    * 2021, appendix A1.1): a document with fewer than 2 of them is
+    * unlikely to be running English prose. */
+  val GopherRequiredWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The published Gopher/MassiveText document-quality rules (Rae et al.
+    * 2021 A1.1, minus the duplicate-fraction rules [[repetitionStats]]
+    * already covers) as one pure-projection pass — per document every
+    * rule's measured value, each rule's verdict, and the conjunction:
+    *
+    *   1. word count in [minWords, maxWords]
+    *   2. mean word length in [3, 10]
+    *   3. symbol-to-word ratio ('#' or ellipsis) ≤ 0.1
+    *   4. ≤ 90% of lines start with a bullet
+    *   5. ≤ 30% of lines end with an ellipsis
+    *   6. ≥ 80% of words contain at least one letter
+    *   7. ≥ 2 of the eight [[GopherRequiredWords]] present
+    *
+    * All plain array/string expressions — codegen'd, no shuffle, and
+    * every number is replayable in the DuckDB oracle (`gopher_rules`).
+    * Ratios are rounded to 6 decimals for cross-engine hash stability. */
+  def gopherRules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minWords: Int = 50,
+      maxWords: Int = 100000): DataFrame = {
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val nWords = size(words)
+    val nWordsD = nWords.cast("double")
+    val meanLen = aggregate(words, lit(0L), (acc, w) => acc + length(w))
+      .cast("double") / nWordsD
+    val symbols = size(split(col(textCol), "#", -1)) - 1 +
+      regexp_count(col(textCol), lit("\\.{3}")) +
+      regexp_count(col(textCol), lit("…"))
+    val lines = filter(split(col(textCol), "\n"), l => length(trim(l)) > 0)
+    val nLines = size(lines)
+    val bulletLines = size(filter(lines,
+      l => trim(l).substr(lit(1), lit(1)).isin("•", "-", "*")))
+    val ellipsisLines = size(filter(lines,
+      l => trim(l).endsWith("...") || trim(l).endsWith("…")))
+    val alphaWords = size(filter(words, w => w.rlike("\\p{L}")))
+    val reqStops = size(array_intersect(
+      array_distinct(transform(words, w => lower(w))),
+      lit(GopherRequiredWords.toArray)))
+    val out = df.select(
+      col(idCol),
+      nWords.cast("long").as("n_words"),
+      round(meanLen, 6).as("mean_word_len"),
+      round(symbols / nWordsD, 6).as("symbol_ratio"),
+      round(bulletLines / nLines.cast("double"), 6).as("bullet_frac"),
+      round(ellipsisLines / nLines.cast("double"), 6).as("ellipsis_frac"),
+      round(alphaWords / nWordsD, 6).as("alpha_word_frac"),
+      reqStops.cast("long").as("req_stop_hits"))
+    out.withColumn("gopher_pass",
+      col("n_words").between(minWords, maxWords) &&
+        col("mean_word_len").between(3.0, 10.0) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_frac") <= 0.9 &&
+        col("ellipsis_frac") <= 0.3 &&
+        col("alpha_word_frac") >= 0.8 &&
+        col("req_stop_hits") >= 2)
+  }
+
   /** Unicode normalization (NFC/NFD/NFKC/NFKD via the JDK's UAX #15
     * implementation) with stray control characters stripped — the first
     * cleaning step of a text corpus: composes combining-mark encodings,

@@ -781,6 +781,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("gopherRules: hand-computed rule values and verdicts") {
+    val docs = Seq(
+      // 5 lines, 4 bullets -> bullet_frac 0.8; has required stopwords
+      (1L, "\u2022 alpha\n\u2022 beta\n\u2022 gamma\n- delta\nthe plain line with of and that have"),
+      // letterless: alpha_word_frac 0, req stops 0
+      (2L, "111 222 333 444"),
+      // prose-ish, passes everything but the word-count floor at min 20
+      (3L, "the cat sat on the mat and that was that to be with it have some of")
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.gopherRules(docs, "doc_id", "text", minWords = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_words") === 16) // bullets and dashes are whitespace-split tokens too
+    assert(d1.getAs[Double]("bullet_frac") === 0.8)
+    assert(d1.getAs[Long]("req_stop_hits") === 6)
+    val d2 = out(2L)
+    assert(d2.getAs[Double]("alpha_word_frac") === 0.0)
+    assert(d2.getAs[Boolean]("gopher_pass") === false)
+    val d3 = out(3L)
+    assert(d3.getAs[Double]("alpha_word_frac") === 1.0)
+    assert(d3.getAs[Boolean]("gopher_pass") === true, d3.toString)
+    // empty text: measured values null, verdict FALSE (not null)
+    val empty = graft.text.TextAnalysis.gopherRules(
+        Seq((9L, "")).toDF("doc_id", "text"), "doc_id", "text")
+      .head()
+    assert(empty.isNullAt(empty.fieldIndex("mean_word_len")))
+    assert(empty.getAs[Boolean]("gopher_pass") === false)
+  }
+
   test("bloom semiJoin equals the plain left-semi join") {
     val fact = (1 to 2000).map(i => (i.toLong % 600, i)).toDF("fk", "payload")
     val dim = (1 to 100).map(i => (i * 3L, s"d$i")).toDF("dk", "name")
