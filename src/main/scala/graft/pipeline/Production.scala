@@ -150,6 +150,23 @@ object Production {
       save(ctx, pages, ctx.dataPath(params.getOrElse("output", "raw.html_pages").toString))
     }
 
+    // the published Gopher rule gate as a declarative stage: documents
+    // failing any of the seven rules (word count, mean word length,
+    // symbol ratio, bullet/ellipsis lines, alphabetic words, required
+    // stopwords) drop before the expensive dedup stages see them
+    Jobs.register("corpus-curation", "gopher-filter") { (ctx, params) =>
+      val s = ctx.spark
+      val in = params.getOrElse("input", "raw.documents").toString
+      val minWords = params.getOrElse("min_words", "50").toString.toInt
+      val maxWords = params.getOrElse("max_words", "100000").toString.toInt
+      val docs = Tables.readData(s, Seq(ctx.dataPath(in)))
+      val passing = graft.text.TextAnalysis
+        .gopherRules(docs, "doc_id", "text", minWords, maxWords)
+        .filter(col("gopher_pass")).select("doc_id")
+      save(ctx, docs.join(passing, Seq("doc_id"), "left_semi"),
+        ctx.dataPath(params.getOrElse("output", "clean.documents_gopher").toString))
+    }
+
     // URL-level dedup between crawl-ingest and extract-html (the CCNet/
     // RefinedWeb pre-content stage): one row per CANONICAL url, latest
     // fetch wins — refetches and tracking-param variants fold before any

@@ -852,6 +852,40 @@ class ConfigJobsSpec extends AnyFunSuite {
       .as[String].head
     assert(t4 === "doc 4")
   }
+  test("gopher-filter catalog job drops rule-violating documents") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-gopher-jobs").toString
+    val prose = "the cat sat on the mat and that was that to be with it have some of"
+    Seq(
+      (1L, prose),                      // passes at min_words 5
+      (2L, "111 222 333 444 555"),      // letterless -> drops
+      (3L, "tiny"),                     // under the word floor -> drops
+      (4L, prose + " again and again")) // passes
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/docs")
+    val yml = java.nio.file.Files.createTempFile("graft-gopher-jobs", ".yml")
+    java.nio.file.Files.writeString(yml,
+      """jobs:
+        |  - name: corpus-curation
+        |    fail_fast: true
+        |    stages:
+        |      - name: gate
+        |        tasks:
+        |          - name: gopher-filter
+        |            params: {min_words: 5}
+        |""".stripMargin)
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Context.loadYaml(yml.toString),
+      "data_catalog" -> Map(
+        "raw" -> Map("documents" -> s"$work/docs"),
+        "clean" -> Map("documents_gopher" -> s"$work/kept")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(ctx = Context(cfg, spark), "corpus-curation").isEmpty)
+    val kept = spark.read.parquet(s"$work/kept").select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(1L, 4L), s"got ${kept.toSeq}")
+  }
 }
+
 
 
