@@ -167,6 +167,34 @@ object Production {
         ctx.dataPath(params.getOrElse("output", "clean.documents_gopher").toString))
     }
 
+    // the published C4 line+page rule gate as a declarative stage:
+    // chrome lines (no terminal punctuation, too few words,
+    // "javascript") drop from every page's text, then failing pages
+    // (too few sentences, lorem ipsum, curly brackets, policy words)
+    // drop entirely. Text is REWRITTEN to the surviving lines —
+    // downstream dedup hashes see the cleaned form
+    Jobs.register("corpus-curation", "c4-filter") { (ctx, params) =>
+      val s = ctx.spark
+      val in = params.getOrElse("input", "raw.documents").toString
+      val minLineWords = params.getOrElse("min_line_words", "3").toString.toInt
+      val minSentences = params.getOrElse("min_sentences", "5").toString.toInt
+      val badWords = params.get("bad_words") match {
+        case Some(l: java.util.List[_]) =>
+          l.toArray.map(_.toString).toSeq
+        case Some(s0) => s0.toString.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        case None => Seq.empty[String]
+      }
+      val docs = Tables.readData(s, Seq(ctx.dataPath(in)))
+      val rules = graft.text.TextAnalysis
+        .c4Rules(docs, "doc_id", "text", minLineWords, minSentences, badWords)
+        .filter(col("c4_pass"))
+        .select(col("doc_id"), col("text_clean"))
+      save(ctx,
+        docs.drop("text").join(rules, Seq("doc_id"))
+          .withColumnRenamed("text_clean", "text"),
+        ctx.dataPath(params.getOrElse("output", "clean.documents_c4").toString))
+    }
+
     // URL-level dedup between crawl-ingest and extract-html (the CCNet/
     // RefinedWeb pre-content stage): one row per CANONICAL url, latest
     // fetch wins — refetches and tracking-param variants fold before any

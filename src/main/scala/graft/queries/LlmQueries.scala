@@ -267,6 +267,25 @@ object LlmQueries {
       TextAnalysis.gopherRules(all, "doc_id", "text", minWords = 20)
         .orderBy(col("doc_id"))
     },
+    // --- the published C4 line+page rules over documents + planted
+    // rule-trippers (a clean passing page, a brace/code page, a lorem
+    // ipsum page, a javascript/short-lines page, a policy-word page):
+    // the line filter, every gate, and the rebuilt cleaned text all
+    // replayed in DuckDB
+    "c4_rules" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val all = docs.unionByName(Seq(
+        (930001L, "The first sentence of the page lands cleanly here.\nThe second one follows it with care.\nA third sentence arrives on time.\nThe fourth one keeps the page going!\nDoes the fifth one close it out?"),
+        (930002L, "function f() {\nreturn the value of it all.\n}\nThe page ends with a sentence."),
+        (930003L, "Lorem ipsum dolor sit amet, consectetur adipiscing elit.\nThe quick brown fox jumps over the lazy dog.\nPack my box with five dozen liquor jugs."),
+        (930004L, "Please enable JavaScript to view this page.\nOK.\nHome.\nThe only real sentence on the page survives the filter."),
+        (930005L, "This page mentions badword1 in its running text.\nEvery other sentence here is fine and long enough.\nAnother sentence follows to pad the page out.\nA fourth sentence keeps things moving along.\nThe fifth sentence completes the page nicely."))
+        .toDF("doc_id", "text"))
+      TextAnalysis.c4Rules(all, "doc_id", "text",
+        badWords = Seq("badword1", "badword2"))
+        .orderBy(col("doc_id"))
+    },
     // --- WebDataset tar shards: export documents as <key>.txt/<key>.json
     // members, stream them back, and verify every member's content and
     // byte count against the source table — the training-loader delivery
@@ -1858,6 +1877,62 @@ object LlmQueries {
         |  n_words BETWEEN 20 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |    AND alpha_word_frac >= 0.8 AND req_stop_hits >= 2 AS gopher_pass
+        |FROM v ORDER BY doc_id""".stripMargin),
+    // the C4 line filter, page gates and rebuilt cleaned text re-derived
+    // with DuckDB list arithmetic; array_to_string on an empty kept list
+    // is NULL in DuckDB — coalesce to '' to match Spark's concat_ws
+    "c4_rules" ->
+      ("""WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(930001 AS BIGINT), 'The first sentence of the page lands cleanly here.' || chr(10) ||
+        |     'The second one follows it with care.' || chr(10) ||
+        |     'A third sentence arrives on time.' || chr(10) ||
+        |     'The fourth one keeps the page going!' || chr(10) ||
+        |     'Does the fifth one close it out?'),
+        |    (CAST(930002 AS BIGINT), 'function f() {' || chr(10) ||
+        |     'return the value of it all.' || chr(10) || '}' || chr(10) ||
+        |     'The page ends with a sentence.'),
+        |    (CAST(930003 AS BIGINT), 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.' || chr(10) ||
+        |     'The quick brown fox jumps over the lazy dog.' || chr(10) ||
+        |     'Pack my box with five dozen liquor jugs.'),
+        |    (CAST(930004 AS BIGINT), 'Please enable JavaScript to view this page.' || chr(10) ||
+        |     'OK.' || chr(10) || 'Home.' || chr(10) ||
+        |     'The only real sentence on the page survives the filter.'),
+        |    (CAST(930005 AS BIGINT), 'This page mentions badword1 in its running text.' || chr(10) ||
+        |     'Every other sentence here is fine and long enough.' || chr(10) ||
+        |     'Another sentence follows to pad the page out.' || chr(10) ||
+        |     'A fourth sentence keeps things moving along.' || chr(10) ||
+        |     'The fifth sentence completes the page nicely.')
+        |  ) p(doc_id, text)),
+        |m AS (SELECT doc_id, text,
+        |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+        |      l -> l <> '') AS lines
+        |  FROM all_docs),
+        |k AS (SELECT doc_id, text, lines,
+        |    list_filter(lines, l ->
+        |      list_contains(['.', '!', '?', '"', '”'], right(l, 1))
+        |      AND len(list_filter(string_split_regex(l, '\s+'), w -> w <> '')) >= 3
+        |      AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM m),
+        |v AS (SELECT doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |    CAST(len(regexp_extract_all(coalesce(array_to_string(kept, chr(10)), ''), '[.!?]')) AS BIGINT) AS n_sentences,
+        |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+        |    contains(text, '{') OR contains(text, '}') AS has_brace,
+        |    CAST(len(list_intersect(
+        |      list_distinct(list_transform(
+        |        list_filter(string_split_regex(text, '\s+'), w -> w <> ''),
+        |        w -> lower(w))),
+        |      ['badword1', 'badword2'])) AS BIGINT) AS bad_word_hits,
+        |    coalesce(array_to_string(kept, chr(10)), '') AS text_clean
+        |  FROM k)
+        |SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+        |  bad_word_hits,
+        |  n_sentences >= 5 AND NOT has_lorem AND NOT has_brace
+        |    AND bad_word_hits = 0 AS c4_pass,
+        |  text_clean
         |FROM v ORDER BY doc_id""".stripMargin),
     // every member's content and UTF-8 byte count re-derived from the
     // source table — write path and read path verified against each other

@@ -189,6 +189,74 @@ object TextAnalysis {
         col("req_stop_hits") >= 2)
   }
 
+  /** Line-end punctuation C4 accepts (Raffel et al. 2020 §2.2): a
+    * period, exclamation mark, question mark, or closing quotation
+    * mark. */
+  val C4TerminalPunct: Seq[String] = Seq(".", "!", "?", "\"", "”")
+
+  /** The published C4 cleaning rules (Raffel et al. 2020 §2.2) — the
+    * line-level complement to [[gopherRules]]'s document statistics.
+    * Per document, one pure-projection pass computes:
+    *
+    *   - the LINE FILTER: a line survives when it ends in terminal
+    *     punctuation, carries at least `minLineWords` words, and does
+    *     not mention "javascript" (case-insensitive); `text_clean` is
+    *     the surviving lines rejoined in order
+    *   - the PAGE GATES: at least `minSentences` sentence terminators
+    *     (`[.!?]`) in the cleaned text, no "lorem ipsum" phrase, no
+    *     curly bracket, and no token from the `badWords` policy list
+    *     (the paper uses the public "Dirty, Naughty, Obscene or
+    *     Otherwise Bad Words" list — supplied by the caller, not
+    *     shipped)
+    *
+    * Output: (idCol, n_lines, n_kept_lines, n_sentences, has_lorem,
+    * has_brace, bad_word_hits, c4_pass, text_clean). All plain
+    * array/string expressions — codegen'd, no shuffle, every number
+    * replayable in the DuckDB oracle (`c4_rules`). C4's three-sentence
+    * span dedup is deliberately not re-implemented here:
+    * [[graft.dedup.Dedup]]'s span machinery already covers it at scale. */
+  def c4Rules(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minLineWords: Int = 3,
+      minSentences: Int = 5,
+      badWords: Seq[String] = Nil): DataFrame = {
+    val lines = filter(
+      transform(split(col(textCol), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    def lineWords(l: Column): Column =
+      size(filter(split(l, "\\s+"), w => length(w) > 0))
+    def keepLine(l: Column): Column =
+      substring(l, -1, 1).isin(C4TerminalPunct: _*) &&
+        lineWords(l) >= minLineWords &&
+        !lower(l).contains("javascript")
+    val kept = filter(lines, l => keepLine(l))
+    val textClean = concat_ws("\n", kept)
+    val words = filter(split(col(textCol), "\\s+"), w => length(w) > 0)
+    val badHits =
+      if (badWords.isEmpty) lit(0L)
+      else size(array_intersect(
+        array_distinct(transform(words, w => lower(w))),
+        lit(badWords.toArray))).cast("long")
+    df.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      regexp_count(textClean, lit("[.!?]")).cast("long").as("n_sentences"),
+      lower(col(textCol)).contains("lorem ipsum").as("has_lorem"),
+      (col(textCol).contains("{") || col(textCol).contains("}")).as("has_brace"),
+      badHits.as("bad_word_hits"),
+      textClean.as("text_clean"))
+      .withColumn("c4_pass",
+        col("n_sentences") >= minSentences &&
+          !col("has_lorem") && !col("has_brace") &&
+          col("bad_word_hits") === 0)
+      .select(col(idCol), col("n_lines"), col("n_kept_lines"),
+        col("n_sentences"), col("has_lorem"), col("has_brace"),
+        col("bad_word_hits"), col("c4_pass"), col("text_clean"))
+  }
+
   /** Unicode normalization (NFC/NFD/NFKC/NFKD via the JDK's UAX #15
     * implementation) with stray control characters stripped — the first
     * cleaning step of a text corpus: composes combining-mark encodings,

@@ -885,6 +885,45 @@ class ConfigJobsSpec extends AnyFunSuite {
     val kept = spark.read.parquet(s"$work/kept").select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(1L, 4L), s"got ${kept.toSeq}")
   }
+  test("c4-filter catalog job cleans lines and drops failing pages") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-c4-jobs").toString
+    Seq(
+      // passes at min_sentences 2; the headline line is filtered out
+      (1L, "A heading without punctuation\nOne good sentence sits here.\nA second good sentence follows."),
+      // nothing survives the line filter -> 0 sentences -> drops
+      (2L, "Header without punctuation\nAnother header"),
+      // policy word -> drops
+      (3L, "This page has badwordx inside it.\nAnother fine sentence follows along."),
+      // curly bracket -> drops
+      (4L, "A brace appears x in this text.\nA second sentence follows the brace { here."))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/docs")
+    val yml = java.nio.file.Files.createTempFile("graft-c4-jobs", ".yml")
+    java.nio.file.Files.writeString(yml,
+      """jobs:
+        |  - name: corpus-curation
+        |    fail_fast: true
+        |    stages:
+        |      - name: gate
+        |        tasks:
+        |          - name: c4-filter
+        |            params: {min_sentences: 2, bad_words: "badwordx"}
+        |""".stripMargin)
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Context.loadYaml(yml.toString),
+      "data_catalog" -> Map(
+        "raw" -> Map("documents" -> s"$work/docs"),
+        "clean" -> Map("documents_c4" -> s"$work/kept")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(ctx = Context(cfg, spark), "corpus-curation").isEmpty)
+    val kept = spark.read.parquet(s"$work/kept")
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(kept.keySet === Set(1L), s"got ${kept.keySet}")
+    // the surviving page's text is REWRITTEN to its surviving lines
+    assert(kept(1L) === "One good sentence sits here.\nA second good sentence follows.")
+  }
 }
 
 

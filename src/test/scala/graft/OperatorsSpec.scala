@@ -810,6 +810,51 @@ class OperatorsSpec extends SparkSpec {
     assert(empty.getAs[Boolean]("gopher_pass") === false)
   }
 
+  test("c4Rules: hand-computed line filter and page gates") {
+    val docs = Seq(
+      // clean five-sentence page: every line survives, page passes
+      (1L, "The first sentence of the page lands cleanly here.\nThe second one follows it with care.\nA third sentence arrives on time.\nThe fourth one keeps the page going!\nDoes the fifth one close it out?"),
+      // code page: brace gate trips; brace lines also fail the line filter
+      (2L, "function f() {\nreturn the value of it all.\n}"),
+      // javascript line and a one-word line drop; one sentence is not five
+      (3L, "Please enable JavaScript to view this page.\nOK.\nthe real sentence survives here."),
+      // policy-word page
+      (4L, "badword1 shows up right here.\nEvery other sentence is fine and long."),
+      // empty text: no lines, no sentences, fails
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis
+      .c4Rules(docs, "doc_id", "text", badWords = Seq("badword1"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_lines") === 5)
+    assert(d1.getAs[Long]("n_kept_lines") === 5)
+    assert(d1.getAs[Long]("n_sentences") === 5)
+    assert(d1.getAs[Boolean]("c4_pass") === true, d1.toString)
+    // every line survives, so the cleaned text is the original text
+    assert(d1.getAs[String]("text_clean") ===
+      "The first sentence of the page lands cleanly here.\nThe second one follows it with care.\nA third sentence arrives on time.\nThe fourth one keeps the page going!\nDoes the fifth one close it out?")
+    val d2 = out(2L)
+    assert(d2.getAs[Boolean]("has_brace") === true)
+    assert(d2.getAs[Long]("n_kept_lines") === 1)
+    assert(d2.getAs[String]("text_clean") === "return the value of it all.")
+    assert(d2.getAs[Boolean]("c4_pass") === false)
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("n_lines") === 3)
+    assert(d3.getAs[Long]("n_kept_lines") === 1)
+    assert(d3.getAs[Long]("n_sentences") === 1)
+    assert(d3.getAs[String]("text_clean") === "the real sentence survives here.")
+    assert(d3.getAs[Boolean]("c4_pass") === false)
+    val d4 = out(4L)
+    assert(d4.getAs[Long]("bad_word_hits") === 1)
+    assert(d4.getAs[Boolean]("c4_pass") === false)
+    val d5 = out(5L)
+    assert(d5.getAs[Long]("n_lines") === 0)
+    assert(d5.getAs[Long]("n_sentences") === 0)
+    assert(d5.getAs[String]("text_clean") === "")
+    assert(d5.getAs[Boolean]("c4_pass") === false)
+  }
+
   test("bloom semiJoin equals the plain left-semi join") {
     val fact = (1 to 2000).map(i => (i.toLong % 600, i)).toDF("fk", "payload")
     val dim = (1 to 100).map(i => (i * 3L, s"d$i")).toDF("dk", "name")
