@@ -586,9 +586,19 @@ object Production {
           save(ctx, merges, ctx.dataPath("models.bpe_merges"))
           save(ctx, graft.text.Bpe.vocabWithIdsFromCounts(s, c, merges),
             ctx.dataPath("models.bpe_vocab"))
+        case "wordpiece" =>
+          // score-ranked merges + the id table the greedy encoder needs
+          val c = counts
+          val merges = graft.text.WordPiece.trainFromCounts(
+            s, c,
+            numMerges = params.getOrElse("num_merges", "200").toString.toInt,
+            minPairCount = params.getOrElse("min_pair_count", "2").toString.toLong)
+          save(ctx, merges, ctx.dataPath("models.wordpiece_merges"))
+          save(ctx, graft.text.WordPiece.vocabWithIdsFromCounts(s, c, merges),
+            ctx.dataPath("models.wordpiece_vocab"))
         case other =>
           throw new IllegalArgumentException(
-            s"tokenizer/train: unknown algo '$other' (bpe | unigram)")
+            s"tokenizer/train: unknown algo '$other' (bpe | unigram | wordpiece)")
       }
     }
 
@@ -622,9 +632,14 @@ object Production {
               Tables.readData(s, Seq(ctx.dataPath("models.bpe_vocab"))),
               preTokenize = pre)
           else graft.text.Bpe.encode(docs, textCol, merges, preTokenize = pre)
+        case "wordpiece" =>
+          // the greedy longest-match encoder consumes only the vocab
+          val vocab = Tables.readData(s, Seq(ctx.dataPath("models.wordpiece_vocab")))
+          if (ids) graft.text.WordPiece.encodeIds(docs, textCol, vocab, pre)
+          else graft.text.WordPiece.encode(docs, textCol, vocab, pre)
         case other =>
           throw new IllegalArgumentException(
-            s"tokenizer/encode: unknown algo '$other' (bpe | unigram)")
+            s"tokenizer/encode: unknown algo '$other' (bpe | unigram | wordpiece)")
       }
       save(ctx, out.drop(textCol), ctx.dataPath("processed.tokenized"))
     }

@@ -599,6 +599,31 @@ object LlmQueries {
             .as("ids_lossless")), Seq("doc_id"))
         .orderBy(col("doc_id"))
     },
+    // --- WordPiece (BERT-family) audit: greedy longest-match encoding
+    // over a likelihood-score-trained vocab. The planted snowman doc is
+    // the [UNK] proof (its char is outside the training alphabet); real
+    // docs must be unk-free because every capped word's chars enter the
+    // alphabet. No byte fallback here by design — [UNK] IS the published
+    // WordPiece contract (see text/WordPiece.scala).
+    "wordpiece_encode_audit" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val all = docs.unionByName(Seq(
+        (900021L, "the snowman ☃ melted"),
+        (900022L, "spark data table row")).toDF("doc_id", "text"))
+      val (_, vocabIds) =
+        graft.text.WordPiece.trainArtifacts(docs, "text", numMerges = 100)
+      val enc = graft.text.WordPiece.encodeIds(
+        graft.text.WordPiece.encode(all, "text", vocabIds), "text", vocabIds)
+      val dec = graft.text.WordPiece.decodeIds(enc, "token_ids", vocabIds)
+      graft.text.WordPiece.encodeAudit(dec, "doc_id", "text")
+        .join(dec.select(col("doc_id"),
+          (col("decoded_text") === concat_ws(" ",
+            filter(split(col("text"), "\\s+"), w => length(w) > 0)) ||
+            array_contains(col("tokens"), graft.text.WordPiece.UnkToken))
+            .as("ids_lossless")), Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    },
     // --- heavy hitters, oracle-checkable form: exact top-k counts (any
     // engine reproduces them) + a CMS bounds flag the seeded sketch must
     // satisfy — an undercounting/unseeded sketch flips est_ok and fails
@@ -2458,6 +2483,22 @@ object LlmQueries {
           |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
           |  TRUE AS roundtrip_ok, TRUE AS count_sane, TRUE AS ids_lossless
           |FROM all_docs ORDER BY doc_id""".stripMargin),
+    // wordpiece audit: n_words replayed exactly; has_unk is data-determined
+    // (ONLY the planted snowman doc carries a char outside the training
+    // alphabet — every real doc's chars enter via the capped word counts);
+    // the remaining flags are invariant TRUEs as in bpe_encode_audit
+    "wordpiece_encode_audit" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(900021 AS BIGINT), 'the snowman ☃ melted'),
+        |    (CAST(900022 AS BIGINT), 'spark data table row')) p(doc_id, text))
+        |SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
+        |  doc_id = 900021 AS has_unk,
+        |  TRUE AS roundtrip_ok, TRUE AS count_sane, TRUE AS ids_lossless
+        |FROM all_docs ORDER BY doc_id""".stripMargin,
     // exact top-k is fully mirrorable; est_ok is the seeded sketch's CMS
     // bound check, a deterministic pure function of data + seed — the
     // oracle asserts it as literal TRUE

@@ -885,6 +885,42 @@ class ConfigJobsSpec extends AnyFunSuite {
     val kept = spark.read.parquet(s"$work/kept").select("doc_id").as[Long].collect().sorted
     assert(kept.toSeq === Seq(1L, 4L), s"got ${kept.toSeq}")
   }
+  test("wordpiece tokenizer catalog job: train persists merges+vocab, encode emits ids") {
+    val spark = SparkSpec.session
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft-wp-jobs").toString
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(100).write.mode("overwrite").parquet(s"$work/docs")
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Map("jobs" -> List(
+        Map("name" -> "tokenizer", "fail_fast" -> true, "stages" -> List(
+          Map("name" -> "fit-serve", "tasks" -> List(
+            Map("name" -> "train",
+              "params" -> Map("algo" -> "wordpiece", "num_merges" -> "50",
+                "max_words" -> "1000")),
+            Map("name" -> "encode",
+              "params" -> Map("algo" -> "wordpiece", "ids" -> "true")))))))),
+      "data_catalog" -> Map(
+        "raw" -> Map("documents" -> s"$work/docs"),
+        "models" -> Map(
+          "wordpiece_merges" -> s"$work/merges",
+          "wordpiece_vocab" -> s"$work/vocab"),
+        "processed" -> Map("tokenized" -> s"$work/tokenized")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(Context(cfg, spark), "tokenizer").isEmpty)
+    val vocab = spark.read.parquet(s"$work/vocab")
+    assert(vocab.filter(col("token") === graft.text.WordPiece.UnkToken)
+      .head().getAs[Long]("token_id") === 0L)
+    assert(spark.read.parquet(s"$work/merges").count() > 0)
+    val tokenized = spark.read.parquet(s"$work/tokenized")
+    assert(tokenized.columns.contains("token_ids")
+      && tokenized.columns.contains("n_tokens")
+      && !tokenized.columns.contains("text"))
+    // the catalog-trained tokenizer is unk-free on its own training zone
+    assert(tokenized.filter(array_contains(col("token_ids"),
+      graft.text.WordPiece.UnkId)).count() === 0)
+  }
   test("c4-filter catalog job cleans lines and drops failing pages") {
     val spark = SparkSpec.session
     import spark.implicits._
