@@ -195,6 +195,36 @@ object Production {
         ctx.dataPath(params.getOrElse("output", "clean.documents_c4").toString))
     }
 
+    // CCNet-style perplexity bucketing as a declarative stage: score the
+    // corpus against a clean reference zone, band head/middle/tail per
+    // group (CCNet: per language), and keep only the configured bands.
+    // The banded columns travel with the documents so downstream mixing
+    // can weight by band instead of dropping
+    Jobs.register("corpus-curation", "perplexity-bucket") { (ctx, params) =>
+      val s = ctx.spark
+      val in = params.getOrElse("input", "raw.documents").toString
+      val refIn = params.getOrElse("reference", "raw.reference_corpus").toString
+      val groupCol = params.get("group_col").map(_.toString)
+      val nBuckets = params.getOrElse("buckets", "3").toString.toInt
+      val keep = params.get("keep").map(_.toString.split(",").map(_.trim).toSet)
+      val docs = Tables.readData(s, Seq(ctx.dataPath(in)))
+      val ref = Tables.readData(s, Seq(ctx.dataPath(refIn)))
+      // exact: true switches the band edges from the mergeable approx
+      // sketch to exact percentiles — for small corpora / verification
+      // runs where sketch edges land on the data values themselves
+      val banded = graft.text.TextAnalysis.perplexityBuckets(
+        ref, docs, "doc_id", "text", groupCol, nBuckets,
+        exact = params.getOrElse("exact", "false").toString.toBoolean)
+      val kept = keep match {
+        case Some(ks) => banded.filter(col("ppl_bucket").isin(ks.toSeq: _*))
+        case None     => banded
+      }
+      save(ctx,
+        docs.join(kept.select(col("doc_id"), col("perplexity"), col("ppl_bucket")),
+          Seq("doc_id")),
+        ctx.dataPath(params.getOrElse("output", "clean.documents_ppl").toString))
+    }
+
     // URL-level dedup between crawl-ingest and extract-html (the CCNet/
     // RefinedWeb pre-content stage): one row per CANONICAL url, latest
     // fetch wins — refetches and tracking-param variants fold before any

@@ -649,6 +649,20 @@ object LlmQueries {
           docs.filter(col("doc_id") >= 250), "doc_id", "text", alpha = 0.4)
         .orderBy(col("doc_id"))
     },
+    // --- CCNet-style perplexity bucketing: docs < 250 are the clean
+    // reference corpus, docs >= 250 the candidates, banded head/middle/
+    // tail per LANGUAGE by exact perplexity terciles (oracle mode);
+    // production uses the approx sketch edges
+    "perplexity_buckets" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      TextAnalysis.perplexityBuckets(
+        docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250),
+        "doc_id", "text", groupCol = Some("lang"),
+        exact = Support.exact)
+        .orderBy(col("doc_id"))
+    },
     // --- learned quality gate audit: train the fastText-style classifier
     // on clean-vs-junk labels (docs < 300), score a HELD-OUT planted set
     // (docs 300..400 + their junk twins). The eval size is an exact count
@@ -2912,6 +2926,54 @@ object LlmQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
         |  round(avg(-ln(p)), 6) AS avg_neg_logprob
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // CCNet bucketing: the SAME stupid-backoff chain, then perplexity,
+    // per-language quantile_cont terciles (Spark's exact percentile is
+    // the identical lerp), and the strict-< band compare that mirrors
+    // groupedBinning's count-of-edges<=v convention
+    "perplexity_buckets" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents),
+        |tok AS (SELECT doc_id, i AS pos, w[i] AS t
+        |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM d)),
+        |ref AS (SELECT * FROM tok WHERE doc_id < 250),
+        |sc AS (SELECT * FROM tok WHERE doc_id >= 250),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ref),
+        |c1 AS (SELECT t, count(*) AS c FROM ref GROUP BY t),
+        |c2 AS (SELECT a.t AS w1, b.t AS w2, count(*) AS c
+        |       FROM ref a JOIN ref b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |       GROUP BY 1, 2),
+        |c3 AS (SELECT a.t AS w1, b.t AS w2, e.t AS w3, count(*) AS c
+        |       FROM ref a JOIN ref b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |       JOIN ref e ON a.doc_id = e.doc_id AND e.pos = a.pos + 2
+        |       GROUP BY 1, 2, 3),
+        |tri AS (SELECT a.doc_id, a.t AS w1, b.t AS w2, e.t AS w3
+        |        FROM sc a JOIN sc b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |        JOIN sc e ON a.doc_id = e.doc_id AND e.pos = a.pos + 2),
+        |p AS (SELECT tri.doc_id,
+        |  CASE WHEN c3.c IS NOT NULL THEN CAST(c3.c AS DOUBLE) / c2a.c
+        |       WHEN c2b.c IS NOT NULL THEN 0.4 * CAST(c2b.c AS DOUBLE) / c1b.c
+        |       ELSE 0.4 * 0.4 * CAST(coalesce(c1c.c, 0.5) AS DOUBLE) / n.n END AS p
+        |  FROM tri
+        |  LEFT JOIN c3 ON c3.w1 = tri.w1 AND c3.w2 = tri.w2 AND c3.w3 = tri.w3
+        |  LEFT JOIN c2 c2a ON c2a.w1 = tri.w1 AND c2a.w2 = tri.w2
+        |  LEFT JOIN c2 c2b ON c2b.w1 = tri.w2 AND c2b.w2 = tri.w3
+        |  LEFT JOIN c1 c1b ON c1b.t = tri.w2
+        |  LEFT JOIN c1 c1c ON c1c.t = tri.w3, n),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |        round(avg(-ln(p)), 6) AS avg_neg_logprob
+        |        FROM p GROUP BY doc_id),
+        |px AS (SELECT agg.doc_id, dd.lang, agg.n_trigrams, agg.avg_neg_logprob,
+        |       round(exp(agg.avg_neg_logprob), 6) AS perplexity
+        |       FROM agg JOIN documents dd USING (doc_id)),
+        |ed AS (SELECT lang,
+        |       quantile_cont(perplexity, CAST(1 AS DOUBLE)/3) AS e1,
+        |       quantile_cont(perplexity, CAST(2 AS DOUBLE)/3) AS e2
+        |       FROM px GROUP BY lang)
+        |SELECT px.doc_id, px.lang, px.n_trigrams, px.avg_neg_logprob, px.perplexity,
+        |  CASE WHEN px.perplexity < ed.e1 THEN 'head'
+        |       WHEN px.perplexity < ed.e2 THEN 'middle'
+        |       ELSE 'tail' END AS ppl_bucket
+        |FROM px JOIN ed USING (lang) ORDER BY px.doc_id""".stripMargin,
     "label_centroids" ->
       """WITH e AS (SELECT label,
         |    CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,

@@ -780,6 +780,55 @@ object TextAnalysis {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
+    * candidate document against a CLEAN reference corpus with the
+    * stupid-backoff trigram LM ([[trigramLogProb]]), convert to
+    * perplexity, and split each group (CCNet buckets per LANGUAGE) into
+    * `nBuckets` quantile bands — head = lowest perplexity (most
+    * reference-like), tail = highest. The head/middle/tail label is the
+    * classic crawl-curation signal: train on head+middle, or weight by
+    * band.
+    *
+    * Scale shape: the LM scoring is keyed joins against reference count
+    * tables; the band assignment is [[graft.features.Binning.groupedBinning]]
+    * — a |groups|×(nBuckets-1) edge frame joined back (broadcast-small),
+    * never a per-group `ntile` sort of the corpus. Documents with fewer
+    * than 3 tokens have no trigrams and are absent from the output (the
+    * LM cannot score them — gate them on length upstream).
+    * Output: (idCol, [groupCol], n_trigrams, avg_neg_logprob,
+    * perplexity, ppl_bucket) with ppl_bucket in head/middle/tail for
+    * nBuckets = 3, else the numeric band as a string. */
+  def perplexityBuckets(
+      reference: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      groupCol: Option[String] = None,
+      nBuckets: Int = 3,
+      alpha: Double = 0.4,
+      exact: Boolean = false): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val scored = trigramLogProb(reference, docs, idCol, textCol, alpha)
+      .withColumn("perplexity", round(exp(col("avg_neg_logprob")), 6))
+    val g = groupCol.getOrElse("__g")
+    val keyed = groupCol match {
+      case Some(gc) => scored.join(docs.select(col(idCol), col(gc)), Seq(idCol))
+      case None     => scored.withColumn(g, lit("all"))
+    }
+    val banded = graft.features.Binning
+      .groupedBinning(keyed, g, "perplexity", nBuckets, exact)
+    val labeled =
+      if (nBuckets == 3)
+        banded.withColumn("ppl_bucket",
+          element_at(lit(Array("head", "middle", "tail")), col("bucket") + 1))
+      else banded.withColumn("ppl_bucket", col("bucket").cast("string"))
+    val cleaned = labeled.drop("bucket")
+    (if (groupCol.isEmpty) cleaned.drop(g) else cleaned)
+      .select(Seq(col(idCol)) ++ groupCol.map(col).toSeq ++ Seq(
+        col("n_trigrams"), col("avg_neg_logprob"),
+        col("perplexity"), col("ppl_bucket")): _*)
+  }
+
   /** Inverted index: token → document frequency + a CAPPED posting list
     * (the `maxPostings` smallest doc ids, ascending) — the retrieval-side
     * artifact of a corpus (keyword search, contamination lookup, df

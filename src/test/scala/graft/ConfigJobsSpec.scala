@@ -921,6 +921,35 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(tokenized.filter(array_contains(col("token_ids"),
       graft.text.WordPiece.UnkId)).count() === 0)
   }
+  test("perplexity-bucket catalog job bands the corpus and keeps the configured bands") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-ppl-jobs").toString
+    Seq.tabulate(20)(i => (1000L + i, "the cat sat on the mat"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/ref")
+    Seq(
+      (1L, "the cat sat on the mat"),  // head
+      (2L, "the cat sat on zz zz"),    // middle
+      (3L, "zz qq ww rr tt yy"))       // tail -> dropped by keep
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/docs")
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Map("jobs" -> List(
+        Map("name" -> "corpus-curation", "fail_fast" -> true, "stages" -> List(
+          Map("name" -> "band", "tasks" -> List(
+            Map("name" -> "perplexity-bucket",
+              "params" -> Map("keep" -> "head,middle", "exact" -> "true")))))))),
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "documents" -> s"$work/docs",
+          "reference_corpus" -> s"$work/ref"),
+        "clean" -> Map("documents_ppl" -> s"$work/banded")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(Context(cfg, spark), "corpus-curation").isEmpty)
+    val banded = spark.read.parquet(s"$work/banded")
+      .select("doc_id", "ppl_bucket").as[(Long, String)].collect().toMap
+    assert(banded === Map(1L -> "head", 2L -> "middle"), banded.toString)
+  }
   test("c4-filter catalog job cleans lines and drops failing pages") {
     val spark = SparkSpec.session
     import spark.implicits._

@@ -855,6 +855,37 @@ class OperatorsSpec extends SparkSpec {
     assert(d5.getAs[Boolean]("c4_pass") === false)
   }
 
+  test("perplexityBuckets: reference-like docs land in head, junk in tail") {
+    val ref = Seq.tabulate(20)(i => (1000L + i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),   // every trigram known -> lowest ppl
+      (2L, "the cat sat on zz zz"),     // mixed -> middle
+      (3L, "zz qq ww rr tt yy"),        // all backoff -> highest ppl
+      (4L, "too short")                 // < 3 tokens: unscorable, absent
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.perplexityBuckets(
+        ref, docs, "doc_id", "text", exact = true)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))
+    assert(out(1L).getAs[String]("ppl_bucket") === "head")
+    assert(out(2L).getAs[String]("ppl_bucket") === "middle")
+    assert(out(3L).getAs[String]("ppl_bucket") === "tail")
+    assert(out(1L).getAs[Double]("perplexity") <
+      out(2L).getAs[Double]("perplexity"))
+    assert(out(2L).getAs[Double]("perplexity") <
+      out(3L).getAs[Double]("perplexity"))
+    // grouped form: one tercile split per group key
+    val grouped = graft.text.TextAnalysis.perplexityBuckets(
+        ref,
+        docs.filter(col("doc_id") < 4)
+          .withColumn("lang", concat(lit("g"), col("doc_id") % 2)),
+        "doc_id", "text", groupCol = Some("lang"), exact = true)
+      .collect()
+    assert(grouped.length === 3)
+    grouped.foreach(r => assert(r.schema.fieldNames.contains("lang")))
+  }
+
   test("bloom semiJoin equals the plain left-semi join") {
     val fact = (1 to 2000).map(i => (i.toLong % 600, i)).toDF("fk", "payload")
     val dim = (1 to 100).map(i => (i * 3L, s"d$i")).toDF("dk", "name")
