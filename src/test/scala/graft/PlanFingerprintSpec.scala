@@ -41,7 +41,16 @@ class PlanFingerprintSpec extends SparkSpec {
     // against a growing side)
     "warc_read" -> Map("global_sort" -> 1, "shuffle" -> 2),
     "url_dedup_latest" -> Map("global_sort" -> 1, "shuffle" -> 2),
-    "domain_mix" -> Map("broadcast" -> 1, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "shuffle" -> 3))
+    "domain_mix" -> Map("broadcast" -> 1, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "shuffle" -> 3),
+    // r13 quality gates: both rule sets are ONE pure projection (the
+    // single shuffle is the root ORDER BY) — a second shuffle appearing
+    // means someone broke the no-aggregation contract; the CCNet
+    // bucketing's joins against the LM count tables broadcast at this sf
+    // (keyed sort-merge at scale), and the band edges join is the one
+    // |groups|-row broadcast
+    "gopher_rules" -> Map("global_sort" -> 1, "shuffle" -> 1),
+    "c4_rules" -> Map("global_sort" -> 1, "shuffle" -> 1),
+    "perplexity_buckets" -> Map("broadcast" -> 9, "broadcast_hash_join" -> 13, "broadcast_nested_loop" -> 2, "global_sort" -> 1, "shuffle" -> 8))
 
   private def withAqeOff[T](f: => T): T = {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
