@@ -674,6 +674,21 @@ object Production {
       save(ctx, out.drop(textCol), ctx.dataPath("processed.tokenized"))
     }
 
+    // render a dialogue zone into ChatML training texts with assistant
+    // loss-mask spans — the SFT prep stage ahead of encode/pack; the
+    // output keeps mask_spans so a masking-aware packer can carry them
+    Jobs.register("tokenizer", "render-chat") { (ctx, params) =>
+      val s = ctx.spark
+      val in = params.getOrElse("input", "raw.conversations").toString
+      val turns = Tables.readData(s, Seq(ctx.dataPath(in)))
+      save(ctx, graft.text.Packing.renderChatTemplate(turns,
+          params.getOrElse("conv_col", "conv_id").toString,
+          params.getOrElse("turn_col", "turn_no").toString,
+          params.getOrElse("role_col", "role").toString,
+          params.getOrElse("content_col", "content").toString),
+        ctx.dataPath(params.getOrElse("output", "processed.chat_rendered").toString))
+    }
+
     // pack the TOKENIZED zone into fixed-context training sequences: the
     // packing plan runs on the tokenizer's real n_tokens (not the
     // whitespace proxy), so sequence boundaries match what the trainer

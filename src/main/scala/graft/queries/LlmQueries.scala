@@ -1339,6 +1339,33 @@ object LlmQueries {
     },
     // --- concat-and-chunk sequence packing: token offsets + training
     // sequence extents per doc, windowed per shard (never globally)
+    // --- SFT chat rendering: documents become synthetic multi-turn
+    // conversations (20 convs x 10 alternating user/assistant turns + a
+    // planted system turn each); the rendered ChatML text and every
+    // assistant loss-mask span are flattened one row per span, all
+    // offsets replayed in DuckDB from the same template arithmetic
+    "chat_sft_render" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val turns = docs.filter(col("doc_id") < 200).select(
+        (col("doc_id") % 20).as("conv_id"),
+        floor(col("doc_id") / 20).cast("int").as("turn_no"),
+        when(floor(col("doc_id") / 20) % 2 === 0, "user")
+          .otherwise("assistant").as("role"),
+        col("text").as("content"))
+        .unionByName(docs.filter(col("doc_id") < 20).select(
+          col("doc_id").as("conv_id"), lit(-1).as("turn_no"),
+          lit("system").as("role"),
+          lit("You are a concise assistant.").as("content")))
+      graft.text.Packing
+        .renderChatTemplate(turns, "conv_id", "turn_no", "role", "content")
+        .select(col("conv_id"), col("text"), col("n_turns"),
+          posexplode(col("mask_spans")).as(Seq("span_no", "sp")),
+          col("masked_chars"))
+        .select(col("conv_id"), col("text"), col("n_turns"),
+          col("span_no"), col("sp.mask_start").as("mask_start"),
+          col("sp.mask_end").as("mask_end"), col("masked_chars"))
+        .orderBy(col("conv_id"), col("span_no"))
+    },
     "sequence_packing" -> { (s, dir) =>
       graft.text.Packing
         .packingPlan(t(s, dir, "documents"), "doc_id", "text", ctxTokens = 512, nShards = 8)
@@ -3011,6 +3038,40 @@ object LlmQueries {
         |        400 * pow(CAST(available AS DOUBLE), 0.5) / wsum / available), 6) AS rate,
         |  available < 400 * pow(CAST(available AS DOUBLE), 0.5) / wsum AS deficit
         |FROM c, n ORDER BY lang""".stripMargin,
+    // ChatML render: DuckDB rebuilds the same synthetic conversations,
+    // the ordered string_agg, and every mask span's offset arithmetic
+    // (12 = len('<|im_start|>'), 10 = len('<|im_end|>'))
+    "chat_sft_render" ->
+      """WITH tt AS (
+        |  SELECT doc_id % 20 AS conv_id, CAST(doc_id // 20 AS INT) AS turn_no,
+        |    CASE WHEN (doc_id // 20) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    text AS content
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id AS conv_id, -1 AS turn_no, 'system' AS role,
+        |    'You are a concise assistant.' AS content
+        |  FROM documents WHERE doc_id < 20),
+        |seg AS (SELECT conv_id, turn_no, role,
+        |    CAST(12 + length(role) + 1 + length(content) + 10 + 1 AS BIGINT) AS len,
+        |    '<|im_start|>' || role || chr(10) || content || '<|im_end|>' || chr(10) AS s
+        |  FROM tt),
+        |off AS (SELECT *,
+        |    CAST(sum(len) OVER (PARTITION BY conv_id ORDER BY turn_no) AS BIGINT) AS e
+        |  FROM seg),
+        |conv AS (SELECT conv_id, string_agg(s, '' ORDER BY turn_no) AS text,
+        |    CAST(count(*) AS BIGINT) AS n_turns,
+        |    CAST(sum(CASE WHEN role = 'assistant'
+        |         THEN len - 12 - length(role) - 2 ELSE 0 END) AS BIGINT) AS masked_chars
+        |  FROM off GROUP BY conv_id),
+        |spans AS (SELECT conv_id,
+        |    CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_no) - 1 AS INT) AS span_no,
+        |    CAST(e - len + 12 + length(role) + 1 AS BIGINT) AS mask_start,
+        |    CAST(e - 1 AS BIGINT) AS mask_end
+        |  FROM off WHERE role = 'assistant')
+        |SELECT sp.conv_id, c.text, c.n_turns, sp.span_no,
+        |  sp.mask_start, sp.mask_end, c.masked_chars
+        |FROM spans sp JOIN conv c USING (conv_id)
+        |ORDER BY sp.conv_id, sp.span_no""".stripMargin,
     "sequence_packing" ->
       """WITH s AS (SELECT doc_id, doc_id % 8 AS shard,
         |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens

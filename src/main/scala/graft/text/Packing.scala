@@ -538,6 +538,61 @@ object Packing {
         col("doc_spans"), col("media_spans"))
   }
 
+  /** ChatML-style turn markers — the fixed template constants of
+    * [[renderChatTemplate]]. */
+  val ChatStart = "<|im_start|>"
+  val ChatEnd = "<|im_end|>"
+
+  /** Render multi-turn conversations into single training texts with
+    * LOSS-MASK SPANS — the SFT data-prep step between a raw dialogue
+    * table and the packing stages. Each turn renders as the public
+    * ChatML shape `<|im_start|>role\ncontent<|im_end|>\n`; every
+    * ASSISTANT turn contributes one `[mask_start, mask_end)` char span
+    * over the rendered text covering its content plus the end marker —
+    * the completion region a trainer unmasks (prompts, role headers and
+    * the trailing newline stay loss-masked).
+    *
+    * Scale shape: per-turn segment lengths are a projection; offsets
+    * are ONE running sum windowed per conversation (keyed — no global
+    * sort); assembly is one groupBy(conv). Offsets count CHARACTERS
+    * (code points, the cross-engine unit) — a downstream tokenizer
+    * aligns by slicing the span substrings. Output: (convCol, text,
+    * n_turns, mask_spans ARRAY<STRUCT<mask_start, mask_end>>,
+    * masked_chars). */
+  def renderChatTemplate(
+      turns: DataFrame,
+      convCol: String,
+      turnCol: String,
+      roleCol: String,
+      contentCol: String): DataFrame = {
+    val segLen = (lit(ChatStart.length) + length(col(roleCol)) + lit(1) +
+      length(col(contentCol)) + lit(ChatEnd.length) + lit(1)).cast("long")
+    val w = Window.partitionBy(col(convCol)).orderBy(col(turnCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withOff = turns
+      .withColumn("__len", segLen)
+      .withColumn("__end", sum(col("__len")).over(w))
+      .withColumn("__seg", concat(lit(ChatStart), col(roleCol), lit("\n"),
+        col(contentCol), lit(ChatEnd), lit("\n")))
+      .withColumn("__mask",
+        when(col(roleCol) === "assistant", struct(
+          col(turnCol).cast("long").as("t"),
+          (col("__end") - col("__len") + lit(ChatStart.length) +
+            length(col(roleCol)) + lit(1)).cast("long").as("ms"),
+          (col("__end") - 1).cast("long").as("me"))))
+    withOff.groupBy(col(convCol))
+      .agg(
+        concat_ws("", transform(
+          sort_array(collect_list(struct(col(turnCol).as("t"), col("__seg").as("s")))),
+          x => x.getField("s"))).as("text"),
+        count(lit(1)).as("n_turns"),
+        transform(sort_array(collect_list(col("__mask"))),
+          x => struct(x.getField("ms").as("mask_start"),
+            x.getField("me").as("mask_end"))).as("mask_spans"),
+        coalesce(sum(col("__mask.me") - col("__mask.ms")), lit(0L))
+          .as("masked_chars"))
+  }
+
   def epochShuffle(packed: DataFrame, epoch: Int): DataFrame = {
     require(epoch >= 0, s"epoch must be >= 0, got $epoch")
     val draw = md5(concat_ws(":",

@@ -921,6 +921,30 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(tokenized.filter(array_contains(col("token_ids"),
       graft.text.WordPiece.UnkId)).count() === 0)
   }
+  test("render-chat catalog job renders ChatML with assistant mask spans") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-chat-jobs").toString
+    Seq((1L, 0, "user", "hi"), (1L, 1, "assistant", "hello"))
+      .toDF("conv_id", "turn_no", "role", "content")
+      .write.mode("overwrite").parquet(s"$work/turns")
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Map("jobs" -> List(
+        Map("name" -> "tokenizer", "fail_fast" -> true, "stages" -> List(
+          Map("name" -> "render", "tasks" -> List(
+            Map("name" -> "render-chat"))))))),
+      "data_catalog" -> Map(
+        "raw" -> Map("conversations" -> s"$work/turns"),
+        "processed" -> Map("chat_rendered" -> s"$work/rendered")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(Context(cfg, spark), "tokenizer").isEmpty)
+    val r = spark.read.parquet(s"$work/rendered").head()
+    assert(r.getAs[String]("text") ===
+      "<|im_start|>user\nhi<|im_end|>\n<|im_start|>assistant\nhello<|im_end|>\n")
+    val spans = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("mask_spans")
+    assert(spans.map(x => (x.getLong(0), x.getLong(1))) === Seq((52L, 67L)))
+  }
   test("perplexity-bucket catalog job bands the corpus and keeps the configured bands") {
     val spark = SparkSpec.session
     import spark.implicits._

@@ -556,4 +556,40 @@ class PackingCorpusSpec extends SparkSpec {
     assert(docSpans === Seq((0, 20))) // spans tile seq_len exactly
     assert(out(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("media_spans").isEmpty)
   }
+
+  test("renderChatTemplate: hand-computed offsets, spans and mask arithmetic") {
+    val turns = Seq(
+      (1L, 0, "user", "hi"),
+      (1L, 1, "assistant", "hello"),
+      (1L, 2, "user", "bye"),
+      (1L, 3, "assistant", "ok"),
+      (2L, 0, "user", "solo")
+    ).toDF("conv_id", "turn_no", "role", "content")
+    val out = Packing
+      .renderChatTemplate(turns, "conv_id", "turn_no", "role", "content")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val c1 = out(1L)
+    val expected =
+      "<|im_start|>user\nhi<|im_end|>\n" +
+        "<|im_start|>assistant\nhello<|im_end|>\n" +
+        "<|im_start|>user\nbye<|im_end|>\n" +
+        "<|im_start|>assistant\nok<|im_end|>\n"
+    assert(c1.getAs[String]("text") === expected)
+    assert(c1.getAs[Long]("n_turns") === 4)
+    val spans = c1.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("mask_spans")
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // turn 0 len = 12+4+1+2+10+1 = 30; assistant turn 1 (len 38) starts
+    // at 30, content starts 30+12+9+1 = 52, span covers
+    // "hello<|im_end|>" -> 67; turn 2 len = 31 -> turn 3 starts
+    // 30+38+31 = 99, content at 99+22 = 121, covers "ok<|im_end|>" -> 133
+    assert(spans === Seq((52L, 67L), (121L, 133L)))
+    // every span's substring is content + end marker, exactly
+    assert(expected.substring(52, 67) === "hello<|im_end|>")
+    assert(expected.substring(121, 133) === "ok<|im_end|>")
+    assert(c1.getAs[Long]("masked_chars") === (67 - 52) + (133 - 121))
+    // a conversation with no assistant turn: empty spans, zero masked
+    val c2 = out(2L)
+    assert(c2.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("mask_spans").isEmpty)
+    assert(c2.getAs[Long]("masked_chars") === 0L)
+  }
 }
