@@ -160,9 +160,19 @@ object Production {
       val minWords = params.getOrElse("min_words", "50").toString.toInt
       val maxWords = params.getOrElse("max_words", "100000").toString.toInt
       val docs = Tables.readData(s, Seq(ctx.dataPath(in)))
-      val passing = graft.text.TextAnalysis
+      val byRules = graft.text.TextAnalysis
         .gopherRules(docs, "doc_id", "text", minWords, maxWords)
         .filter(col("gopher_pass")).select("doc_id")
+      // repetition: true adds the full A1.1 duplicate-content battery
+      // (13 ceilings — dup lines/paragraphs, top/repeated n-grams).
+      // Published thresholds assume Gopher-length documents; short-doc
+      // corpora will see natural pages fail the top-n-gram ceilings
+      val passing =
+        if (params.getOrElse("repetition", "false").toString.toBoolean)
+          byRules.join(graft.text.TextAnalysis
+            .gopherRepetition(docs, "doc_id", "text")
+            .filter(col("gopher_rep_pass")).select("doc_id"), Seq("doc_id"))
+        else byRules
       save(ctx, docs.join(passing, Seq("doc_id"), "left_semi"),
         ctx.dataPath(params.getOrElse("output", "clean.documents_gopher").toString))
     }

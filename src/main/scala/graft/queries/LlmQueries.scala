@@ -267,6 +267,21 @@ object LlmQueries {
       TextAnalysis.gopherRules(all, "doc_id", "text", minWords = 20)
         .orderBy(col("doc_id"))
     },
+    // --- the Gopher REPETITION rule battery over documents + planted
+    // trippers (n-gram spam, duplicated lines, duplicated paragraphs):
+    // all thirteen fractions and the conjunction replayed in DuckDB
+    "gopher_repetition" -> { (s, dir) =>
+      import s.implicits._
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val all = docs.unionByName(Seq(
+        (940001L, "aa bb aa bb aa bb"),
+        (940002L, "x y\nx y\nz z z"),
+        (940003L, "para one here\n\npara one here"),
+        (940004L, Seq.fill(12)("buy now click here fast deal").mkString(" ")))
+        .toDF("doc_id", "text"))
+      TextAnalysis.gopherRepetition(all, "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     // --- the published C4 line+page rules over documents + planted
     // rule-trippers (a clean passing page, a brace/code page, a lorem
     // ipsum page, a javascript/short-lines page, a policy-word page):
@@ -1944,6 +1959,110 @@ object LlmQueries {
         |    AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
         |    AND alpha_word_frac >= 0.8 AND req_stop_hits >= 2 AS gopher_pass
         |FROM v ORDER BY doc_id""".stripMargin),
+    // the thirteen Gopher repetition fractions re-derived with DuckDB
+    // lateral generate_series n-gram expansion; struct max replays the
+    // (count, gram-length) tie-break; absent n-gram rows zero-fill only
+    // for docs that have lines (Spark's unscorable-vs-no-grams split)
+    "gopher_repetition" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(940001 AS BIGINT), 'aa bb aa bb aa bb'),
+        |    (CAST(940002 AS BIGINT), 'x y' || chr(10) || 'x y' || chr(10) || 'z z z'),
+        |    (CAST(940003 AS BIGINT), 'para one here' || chr(10) || chr(10) || 'para one here'),
+        |    (CAST(940004 AS BIGINT),
+        |     repeat('buy now click here fast deal ', 11) || 'buy now click here fast deal')
+        |  ) p(doc_id, text)),
+        |lines AS (SELECT doc_id, trim(e) AS e
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\n')) AS e FROM all_docs)
+        |  WHERE trim(e) <> ''),
+        |lc AS (SELECT doc_id, e, count(*) AS c FROM lines GROUP BY 1, 2),
+        |lstat AS (SELECT doc_id,
+        |    round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6) AS dup_line_frac,
+        |    round(CAST(sum((c - 1) * length(e)) AS DOUBLE)
+        |      / sum(c * length(e)), 6) AS dup_line_char_frac
+        |  FROM lc GROUP BY 1),
+        |paras AS (SELECT doc_id, trim(e) AS e
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\n{2,}')) AS e FROM all_docs)
+        |  WHERE trim(e) <> ''),
+        |pc AS (SELECT doc_id, e, count(*) AS c FROM paras GROUP BY 1, 2),
+        |pstat AS (SELECT doc_id,
+        |    round(CAST(sum(c) - count(*) AS DOUBLE) / sum(c), 6) AS dup_para_frac,
+        |    round(CAST(sum((c - 1) * length(e)) AS DOUBLE)
+        |      / sum(c * length(e)), 6) AS dup_para_char_frac
+        |  FROM pc GROUP BY 1),
+        |tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |        FROM all_docs),
+        |tcx AS (SELECT doc_id, t,
+        |    CAST(list_sum(list_transform(t, w -> length(w))) AS BIGINT) AS tc
+        |  FROM tok),
+        |grams AS (SELECT doc_id, tc,
+        |    CAST(struct_extract(u, 'n') AS INT) AS n,
+        |    struct_extract(u, 'g') AS g,
+        |    CAST(struct_extract(u, 'glen') AS BIGINT) AS glen
+        |  FROM (SELECT doc_id, tc, unnest(flatten(list_transform(range(2, 11),
+        |      n -> CASE WHEN len(t) >= n
+        |           THEN list_transform(range(1, len(t) - n + 2), i ->
+        |             struct_pack(n := n,
+        |               g := array_to_string(t[i:i+n-1], ' '),
+        |               glen := length(array_to_string(t[i:i+n-1], ''))))
+        |           ELSE [] END))) AS u
+        |    FROM tcx)),
+        |cnt AS (SELECT doc_id, tc, n, g, glen, count(*) AS c
+        |        FROM grams GROUP BY 1, 2, 3, 4, 5),
+        |pern AS (SELECT doc_id, tc, n,
+        |    sum(CASE WHEN c > 1 THEN c * glen ELSE 0 END) AS rep,
+        |    max(struct_pack(c := c, glen := glen)) AS m
+        |  FROM cnt GROUP BY 1, 2, 3),
+        |pf AS (SELECT doc_id, n,
+        |    round(CAST(rep AS DOUBLE) / tc, 6) AS repf,
+        |    round(CAST(struct_extract(m, 'c') * struct_extract(m, 'glen') AS DOUBLE)
+        |      / tc, 6) AS topf
+        |  FROM pern),
+        |gs AS (SELECT doc_id,
+        |    max(CASE WHEN n = 2 THEN topf END) AS t2,
+        |    max(CASE WHEN n = 3 THEN topf END) AS t3,
+        |    max(CASE WHEN n = 4 THEN topf END) AS t4,
+        |    max(CASE WHEN n = 5 THEN repf END) AS r5,
+        |    max(CASE WHEN n = 6 THEN repf END) AS r6,
+        |    max(CASE WHEN n = 7 THEN repf END) AS r7,
+        |    max(CASE WHEN n = 8 THEN repf END) AS r8,
+        |    max(CASE WHEN n = 9 THEN repf END) AS r9,
+        |    max(CASE WHEN n = 10 THEN repf END) AS r10
+        |  FROM pf GROUP BY 1),
+        |j AS (SELECT d.doc_id, lstat.dup_line_frac, lstat.dup_line_char_frac,
+        |    pstat.dup_para_frac, pstat.dup_para_char_frac,
+        |    CASE WHEN lstat.dup_line_frac IS NOT NULL
+        |         THEN coalesce(gs.t2, 0.0) END AS top_2gram_char_frac,
+        |    CASE WHEN lstat.dup_line_frac IS NOT NULL
+        |         THEN coalesce(gs.t3, 0.0) END AS top_3gram_char_frac,
+        |    CASE WHEN lstat.dup_line_frac IS NOT NULL
+        |         THEN coalesce(gs.t4, 0.0) END AS top_4gram_char_frac,
+        |    CASE WHEN lstat.dup_line_frac IS NOT NULL
+        |         THEN coalesce(gs.r5, 0.0) END AS rep_5gram_char_frac,
+        |    CASE WHEN lstat.dup_line_frac IS NOT NULL
+        |         THEN coalesce(gs.r6, 0.0) END AS rep_6gram_char_frac,
+        |    CASE WHEN lstat.dup_line_frac IS NOT NULL
+        |         THEN coalesce(gs.r7, 0.0) END AS rep_7gram_char_frac,
+        |    CASE WHEN lstat.dup_line_frac IS NOT NULL
+        |         THEN coalesce(gs.r8, 0.0) END AS rep_8gram_char_frac,
+        |    CASE WHEN lstat.dup_line_frac IS NOT NULL
+        |         THEN coalesce(gs.r9, 0.0) END AS rep_9gram_char_frac,
+        |    CASE WHEN lstat.dup_line_frac IS NOT NULL
+        |         THEN coalesce(gs.r10, 0.0) END AS rep_10gram_char_frac
+        |  FROM all_docs d
+        |  LEFT JOIN lstat USING (doc_id)
+        |  LEFT JOIN pstat USING (doc_id)
+        |  LEFT JOIN gs USING (doc_id))
+        |SELECT *, coalesce(
+        |  dup_line_frac <= 0.30 AND dup_para_frac <= 0.30
+        |  AND dup_line_char_frac <= 0.20 AND dup_para_char_frac <= 0.20
+        |  AND top_2gram_char_frac <= 0.20 AND top_3gram_char_frac <= 0.18
+        |  AND top_4gram_char_frac <= 0.16 AND rep_5gram_char_frac <= 0.15
+        |  AND rep_6gram_char_frac <= 0.14 AND rep_7gram_char_frac <= 0.13
+        |  AND rep_8gram_char_frac <= 0.12 AND rep_9gram_char_frac <= 0.11
+        |  AND rep_10gram_char_frac <= 0.10, FALSE) AS gopher_rep_pass
+        |FROM j ORDER BY doc_id""".stripMargin,
     // the C4 line filter, page gates and rebuilt cleaned text re-derived
     // with DuckDB list arithmetic; array_to_string on an empty kept list
     // is NULL in DuckDB — coalesce to '' to match Spark's concat_ws

@@ -189,6 +189,107 @@ object TextAnalysis {
         col("req_stop_hits") >= 2)
   }
 
+  /** The published Gopher REPETITION rules (Rae et al. 2021 appendix
+    * A1.1, table A1) — the duplicate-content half that [[gopherRules]]
+    * delegates. Per document, thirteen measured fractions with their
+    * published ceilings, each verdict, and the conjunction
+    * `gopher_rep_pass`:
+    *
+    *   - `dup_line_frac` ≤ 0.30 / `dup_para_frac` ≤ 0.30: occurrences
+    *     beyond each distinct line/paragraph's first, over all
+    *     lines/paragraphs (lines split on `\n`, paragraphs on blank
+    *     lines `\n{2,}`, both trimmed, empties dropped)
+    *   - `dup_line_char_frac` ≤ 0.20 / `dup_para_char_frac` ≤ 0.20:
+    *     the characters of those beyond-first occurrences over all
+    *     line/paragraph characters
+    *   - `top_{2,3,4}gram_char_frac` ≤ 0.20/0.18/0.16: characters
+    *     covered by the most frequent word n-gram (its count × its
+    *     token chars; ties on count break to the longest gram) over
+    *     all token characters
+    *   - `rep_{5..10}gram_char_frac` ≤ 0.15/0.14/0.13/0.12/0.11/0.10:
+    *     characters of ALL occurrences of n-grams appearing more than
+    *     once, over all token characters (overlaps counted per
+    *     occurrence — the simple published form, so the ratio can
+    *     exceed 1 on degenerate spam, which is exactly what it gates)
+    *
+    * Tokens are the same lowercased whitespace split the other text
+    * operators use; gram characters exclude the joiner spaces. Scale
+    * shape: one keyed explode + groupBy per level (lines, paragraphs,
+    * one (n, gram) explode covering n = 2..10) — no per-doc quadratic
+    * driver work, shuffles keyed by document throughout. Documents
+    * whose text yields no tokens/lines are unscorable: fractions null,
+    * verdict FALSE (fail closed, as [[gopherRules]] does). */
+  def gopherRepetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def dupStats(elems: DataFrame, p: String): DataFrame =
+      elems.groupBy(col(idCol), col("__e")).agg(count(lit(1)).as("__c"))
+        .groupBy(col(idCol)).agg(
+          round((sum(col("__c")) - count(lit(1))).cast("double") /
+            sum(col("__c")), 6).as(s"dup_${p}_frac"),
+          round(sum((col("__c") - 1) * length(col("__e"))).cast("double") /
+            sum(col("__c") * length(col("__e"))), 6).as(s"dup_${p}_char_frac"))
+    def exploded(sep: String): DataFrame = df.select(col(idCol),
+      explode(filter(transform(split(col(textCol), sep), e => trim(e)),
+        e => length(e) > 0)).as("__e"))
+    val lineStats = dupStats(exploded("\n"), "line")
+    val paraStats = dupStats(exploded("\n{2,}"), "para")
+
+    val toks = tokens(col(textCol))
+    val base = df.select(col(idCol), toks.as("__t"),
+      aggregate(toks, lit(0L), (a, t) => a + length(t)).as("__tc"))
+    val gramRows = base.select(col(idCol), col("__tc"), explode(expr(
+      "flatten(transform(sequence(2, 10), n -> " +
+        "IF(size(__t) >= n, transform(sequence(0, size(__t) - n), i -> " +
+        "named_struct('n', n, 'g', concat_ws(' ', slice(__t, i + 1, n)), " +
+        "'glen', length(concat_ws('', slice(__t, i + 1, n))))), " +
+        "cast(array() as array<struct<n:int,g:string,glen:int>>))))"))
+      .as("__gr"))
+      .select(col(idCol), col("__tc"), col("__gr.n").as("__n"),
+        col("__gr.g").as("__g"), col("__gr.glen").cast("long").as("__glen"))
+    val counts = gramRows
+      .groupBy(col(idCol), col("__tc"), col("__n"), col("__g"), col("__glen"))
+      .agg(count(lit(1)).as("__c"))
+    val perN = counts.groupBy(col(idCol), col("__tc"), col("__n")).agg(
+      sum(when(col("__c") > 1, col("__c") * col("__glen")).otherwise(0L))
+        .as("__rep"),
+      max(struct(col("__c"), col("__glen"))).as("__m"))
+      .select(col(idCol), col("__n"),
+        round(col("__rep").cast("double") / col("__tc"), 6).as("__repf"),
+        round((col("__m.__c") * col("__m.__glen")).cast("double") / col("__tc"), 6)
+          .as("__topf"))
+    def pick(n: Int, c: Column): Column = max(when(col("__n") === n, c))
+    val gramStats = perN.groupBy(col(idCol)).agg(
+      pick(2, col("__topf")).as("top_2gram_char_frac"),
+      pick(3, col("__topf")).as("top_3gram_char_frac"),
+      pick(4, col("__topf")).as("top_4gram_char_frac"),
+      pick(5, col("__repf")).as("rep_5gram_char_frac"),
+      pick(6, col("__repf")).as("rep_6gram_char_frac"),
+      pick(7, col("__repf")).as("rep_7gram_char_frac"),
+      pick(8, col("__repf")).as("rep_8gram_char_frac"),
+      pick(9, col("__repf")).as("rep_9gram_char_frac"),
+      pick(10, col("__repf")).as("rep_10gram_char_frac"))
+
+    val out = df.select(col(idCol))
+      .join(lineStats, Seq(idCol), "left")
+      .join(paraStats, Seq(idCol), "left")
+      .join(gramStats, Seq(idCol), "left")
+    // short docs produce no n-grams at some n: absent rows mean "no
+    // repetition possible there" — a zero fraction, not unscorable
+    val zeroed = Seq(
+      "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+      "rep_5gram_char_frac", "rep_6gram_char_frac", "rep_7gram_char_frac",
+      "rep_8gram_char_frac", "rep_9gram_char_frac", "rep_10gram_char_frac")
+      .foldLeft(out)((d, c) => d.withColumn(c,
+        when(col("dup_line_frac").isNotNull, coalesce(col(c), lit(0.0)))))
+    zeroed.withColumn("gopher_rep_pass", coalesce(
+      col("dup_line_frac") <= 0.30 && col("dup_para_frac") <= 0.30 &&
+        col("dup_line_char_frac") <= 0.20 && col("dup_para_char_frac") <= 0.20 &&
+        col("top_2gram_char_frac") <= 0.20 && col("top_3gram_char_frac") <= 0.18 &&
+        col("top_4gram_char_frac") <= 0.16 && col("rep_5gram_char_frac") <= 0.15 &&
+        col("rep_6gram_char_frac") <= 0.14 && col("rep_7gram_char_frac") <= 0.13 &&
+        col("rep_8gram_char_frac") <= 0.12 && col("rep_9gram_char_frac") <= 0.11 &&
+        col("rep_10gram_char_frac") <= 0.10, lit(false)))
+  }
+
   /** Line-end punctuation C4 accepts (Raffel et al. 2020 §2.2): a
     * period, exclamation mark, question mark, or closing quotation
     * mark. */

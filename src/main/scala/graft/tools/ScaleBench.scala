@@ -155,6 +155,17 @@ object ScaleBench {
         graft.sampling.Dsir.logWeights(docs,
           docs.filter(col("doc_id") < 1000), "doc_id", "text", buckets = 4096),
         "doc_id", "log_weight", k = 1000, seed = 7)
+    },
+    "ppl_buckets_full" -> { (s, dir) =>
+      // CCNet bucketing: fixed 1000-doc reference LM, the whole (scaled)
+      // corpus scored and banded per language — reference counts stay
+      // constant across sf, the scored side grows 10x per decade
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.text.TextAnalysis.perplexityBuckets(
+        docs.filter(col("doc_id") < 1000),
+        docs.filter(col("doc_id") >= 1000),
+        "doc_id", "text", groupCol = Some("lang"))
     })
 
   def main(args: Array[String]): Unit = {

@@ -921,6 +921,40 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(tokenized.filter(array_contains(col("token_ids"),
       graft.text.WordPiece.UnkId)).count() === 0)
   }
+  test("gopher-filter with repetition: true also drops duplicate-content docs") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-goprep-jobs").toString
+    // long clean prose (unique trigrams, stopwords present) vs the same
+    // length of pure n-gram spam — both clear the base rules
+    val clean = "the story begins here and that " +
+      (1 to 60).map(i => s"word$i maybe$i the$i").mkString(" ")
+    val spam = "the story begins here and that " +
+      Seq.fill(40)("grab these offers right here nowz").mkString(" ")
+    Seq((1L, clean), (2L, spam)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$work/docs")
+    val yml = java.nio.file.Files.createTempFile("graft-goprep-jobs", ".yml")
+    java.nio.file.Files.writeString(yml,
+      """jobs:
+        |  - name: corpus-curation
+        |    fail_fast: true
+        |    stages:
+        |      - name: gate
+        |        tasks:
+        |          - name: gopher-filter
+        |            params: {min_words: 5, repetition: true}
+        |""".stripMargin)
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Context.loadYaml(yml.toString),
+      "data_catalog" -> Map(
+        "raw" -> Map("documents" -> s"$work/docs"),
+        "clean" -> Map("documents_gopher" -> s"$work/kept")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(ctx = Context(cfg, spark), "corpus-curation").isEmpty)
+    val kept = spark.read.parquet(s"$work/kept").select("doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(1L), s"got $kept")
+  }
   test("render-chat catalog job renders ChatML with assistant mask spans") {
     val spark = SparkSpec.session
     import spark.implicits._

@@ -810,6 +810,45 @@ class OperatorsSpec extends SparkSpec {
     assert(empty.getAs[Boolean]("gopher_pass") === false)
   }
 
+  test("gopherRepetition: hand-computed duplicate and n-gram fractions") {
+    val docs = Seq(
+      // tokens [aa,bb]x3, tc=12: "aa bb" occurs 3x covering 12 chars -> 1.0
+      (1L, "aa bb aa bb aa bb"),
+      // lines "x y" x2 + "z z z": dup_line 1/3, dup chars 3/11;
+      // 2-grams: "x y"x2, "z z"x2 tie on count, glen 2 -> top2 4/7
+      (2L, "x y\nx y\nz z z"),
+      // two identical paragraphs (blank-line separated)
+      (3L, "para one here\n\npara one here"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.gopherRepetition(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[Double]("top_2gram_char_frac") === 1.0)
+    assert(d1.getAs[Double]("dup_line_frac") === 0.0)
+    assert(d1.getAs[Boolean]("gopher_rep_pass") === false)
+    val d2 = out(2L)
+    assert(d2.getAs[Double]("dup_line_frac") === 0.333333)
+    assert(d2.getAs[Double]("dup_line_char_frac") === 0.272727)
+    assert(d2.getAs[Double]("top_2gram_char_frac") === 0.571429)
+    assert(d2.getAs[Double]("dup_para_frac") === 0.0)
+    val d3 = out(3L)
+    assert(d3.getAs[Double]("dup_para_frac") === 0.5)
+    assert(d3.getAs[Double]("dup_para_char_frac") === 0.5)
+    // the same line text twice, blank-separated: lines are dups too
+    assert(d3.getAs[Double]("dup_line_frac") === 0.5)
+    assert(d3.getAs[Boolean]("gopher_rep_pass") === false)
+    // empty text: unscorable -> fractions null, verdict FALSE not null
+    val d4 = out(4L)
+    assert(d4.isNullAt(d4.fieldIndex("dup_line_frac")))
+    assert(d4.getAs[Boolean]("gopher_rep_pass") === false)
+    // clean long-ish prose passes every ceiling
+    val clean = graft.text.TextAnalysis.gopherRepetition(
+      Seq((9L, ("unique" +: (1 to 60).map(i => s"word$i word${i}x maybe$i")).mkString(" ")))
+        .toDF("doc_id", "text"), "doc_id", "text").head()
+    assert(clean.getAs[Boolean]("gopher_rep_pass") === true, clean.toString)
+  }
+
   test("c4Rules: hand-computed line filter and page gates") {
     val docs = Seq(
       // clean five-sentence page: every line survives, page passes
