@@ -614,6 +614,21 @@ object LlmQueries {
             .as("ids_lossless")), Seq("doc_id"))
         .orderBy(col("doc_id"))
     },
+    // --- tokenizer card numbers: fertility + bytes/token per language.
+    // 400 merges saturate the closed 31-word vocabulary (every pair on
+    // every word's merge path clears minPairCount), so every word is ONE
+    // token and the oracle pins total_tokens = total_words exactly — a
+    // deliberate saturation invariant, not an approximation; a training
+    // regression that leaves any word unmerged hash-fails this query
+    "tokenizer_fertility" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      val (merges, vocabIds) =
+        graft.text.Bpe.trainArtifacts(docs, "text", numMerges = 400)
+      val enc = graft.text.Bpe.encodeIds(docs, "text", merges, vocabIds)
+      TextAnalysis.tokenizerFertility(enc, "text", Some("lang"))
+        .orderBy(col("lang"))
+    },
     // --- WordPiece (BERT-family) audit: greedy longest-match encoding
     // over a likelihood-score-trained vocab. The planted snowman doc is
     // the [UNK] proof (its char is outside the training alphabet); real
@@ -2643,6 +2658,26 @@ object LlmQueries {
           |       ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_words,
           |  TRUE AS roundtrip_ok, TRUE AS count_sane, TRUE AS ids_lossless
           |FROM all_docs ORDER BY doc_id""".stripMargin),
+    // fertility: all word/char/byte totals from first principles; the
+    // saturated tokenizer makes total_tokens = total_words and
+    // fertility exactly 1.0 (see the query comment)
+    "tokenizer_fertility" ->
+      """WITH w AS (SELECT lang,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |a AS (SELECT lang,
+        |    CAST(len(ws) AS BIGINT) AS nw,
+        |    CAST(list_sum(list_transform(ws, x -> length(x))) AS BIGINT) AS ch,
+        |    CAST(list_sum(list_transform(ws, x -> octet_length(encode(x)))) AS BIGINT) AS by
+        |  FROM w)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS total_words,
+        |  CAST(sum(nw) AS BIGINT) AS total_tokens,
+        |  CAST(sum(ch) AS BIGINT) AS total_chars,
+        |  CAST(sum(by) AS BIGINT) AS total_bytes,
+        |  CAST(1.0 AS DOUBLE) AS fertility,
+        |  round(CAST(sum(by) AS DOUBLE) / sum(nw), 6) AS bytes_per_token
+        |FROM a GROUP BY lang ORDER BY lang""".stripMargin,
     // wordpiece audit: n_words replayed exactly; has_unk is data-determined
     // (ONLY the planted snowman doc carries a char outside the training
     // alphabet — every real doc's chars enter via the capped word counts);

@@ -881,6 +881,44 @@ object TextAnalysis {
       .withColumnRenamed("__id", idCol)
   }
 
+  /** Tokenizer evaluation report — the numbers a tokenizer card states:
+    * FERTILITY (tokens per word; 1.0 = every word is one token, the
+    * saturation floor) and COMPRESSION (bytes per token) per group
+    * (typically language — fertility imbalance across languages is the
+    * classic multilingual-tokenizer defect this table exposes).
+    *
+    * Input is any encoded frame carrying the tokenizer-agnostic
+    * `n_tokens` contract (BPE / Unigram / WordPiece all emit it), plus
+    * the original text column; word/char/byte totals come from the SAME
+    * pre-tokenization the tokenizer used. One wide aggregate per group
+    * — a |groups|-row result, no per-doc state. */
+  def tokenizerFertility(
+      encoded: DataFrame,
+      textCol: String,
+      groupCol: Option[String] = None,
+      preTokenize: String = Bpe.Whitespace): DataFrame = {
+    val ws = Bpe.wordsOf(textCol, preTokenize)
+    val g = groupCol.getOrElse("scope")
+    val base = (groupCol match {
+      case Some(_) => encoded
+      case None    => encoded.withColumn(g, lit("all"))
+    }).select(col(g),
+      size(ws).cast("long").as("__w"),
+      aggregate(ws, lit(0L), (a, x) => a + length(x)).as("__ch"),
+      aggregate(ws, lit(0L), (a, x) => a + octet_length(x)).as("__by"),
+      col("n_tokens").cast("long").as("__tk"))
+    base.groupBy(col(g)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__w")).as("total_words"),
+      sum(col("__tk")).as("total_tokens"),
+      sum(col("__ch")).as("total_chars"),
+      sum(col("__by")).as("total_bytes"),
+      round(sum(col("__tk")).cast("double") / sum(col("__w")), 6)
+        .as("fertility"),
+      round(sum(col("__by")).cast("double") / sum(col("__tk")), 6)
+        .as("bytes_per_token"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     * candidate document against a CLEAN reference corpus with the
     * stupid-backoff trigram LM ([[trigramLogProb]]), convert to

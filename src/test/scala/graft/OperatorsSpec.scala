@@ -810,6 +810,38 @@ class OperatorsSpec extends SparkSpec {
     assert(empty.getAs[Boolean]("gopher_pass") === false)
   }
 
+  test("tokenizerFertility: hand-computed totals; BPE saturates a closed vocab") {
+    // hand-built encoded frame: totals and ratios are pure arithmetic
+    val enc = Seq(
+      ("en", "ab cd", 3),   // 2 words, 4 chars, 4 bytes, 3 tokens
+      ("en", "efg", 1),     // 1 word, 3 chars
+      ("de", "héllo", 2)    // 1 word, 5 chars, 6 BYTES (é is 2)
+    ).toDF("lang", "text", "n_tokens")
+    val out = graft.text.TextAnalysis
+      .tokenizerFertility(enc, "text", Some("lang"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = out("en")
+    assert(en.getAs[Long]("n_docs") === 2)
+    assert(en.getAs[Long]("total_words") === 3)
+    assert(en.getAs[Long]("total_tokens") === 4)
+    assert(en.getAs[Long]("total_chars") === 7)
+    assert(en.getAs[Long]("total_bytes") === 7)
+    assert(en.getAs[Double]("fertility") === 1.333333)
+    assert(en.getAs[Double]("bytes_per_token") === 1.75)
+    val de = out("de")
+    assert(de.getAs[Long]("total_chars") === 5)
+    assert(de.getAs[Long]("total_bytes") === 6)
+    assert(de.getAs[Double]("fertility") === 2.0)
+    // enough merges saturate a closed vocabulary: fertility hits the
+    // 1.0 floor (the invariant the tokenizer_fertility oracle pins)
+    val corpus = Seq.fill(20)("alpha beta gamma alpha beta").toDF("text")
+    val (m, v) = graft.text.Bpe.trainArtifacts(corpus, "text", numMerges = 50)
+    val sat = graft.text.TextAnalysis.tokenizerFertility(
+      graft.text.Bpe.encodeIds(corpus, "text", m, v), "text").head()
+    assert(sat.getAs[Double]("fertility") === 1.0, sat.toString)
+    assert(sat.getAs[String]("scope") === "all")
+  }
+
   test("gopherRepetition: hand-computed duplicate and n-gram fractions") {
     val docs = Seq(
       // tokens [aa,bb]x3, tc=12: "aa bb" occurs 3x covering 12 chars -> 1.0
