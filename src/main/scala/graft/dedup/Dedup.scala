@@ -766,10 +766,32 @@ object Dedup {
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxOccurrences: Int = 1): DataFrame = {
+      maxOccurrences: Int = 1): DataFrame =
+    dedupUnits(df, idCol, textCol, maxOccurrences, "\n", "\n", "lines")
+
+  /** [[dedupLines]] at PARAGRAPH granularity — CCNet's actual dedup unit
+    * (Wenzek et al. 2020 §3): paragraphs (blank-line separated blocks)
+    * occurring in more than `maxOccurrences` documents corpus-wide drop
+    * from every document; survivors rejoin with blank lines. Same scale
+    * shape, output columns (n_paragraphs, n_kept, text_deduped). */
+  def dedupParagraphs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxOccurrences: Int = 1): DataFrame =
+    dedupUnits(df, idCol, textCol, maxOccurrences, "\n{2,}", "\n\n", "paragraphs")
+
+  private def dedupUnits(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxOccurrences: Int,
+      splitRe: String,
+      joiner: String,
+      unitName: String): DataFrame = {
     val lines = df.select(
       col(idCol),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      posexplode(split(col(textCol), splitRe)).as(Seq("pos", "line")))
     // counts keyed by the 64-bit hash: the shuffle for the groupBy and the
     // join carries 16 bytes per distinct line instead of the line text;
     // the distinct collapses within-document repeats so __n is document
@@ -784,13 +806,13 @@ object Dedup {
       .join(counts, xxhash64(col("line")) === col("__lh"))
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_lines"),
+        count(lit(1)).as(s"n_$unitName"),
         sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
         array_join(
           transform(
             array_sort(collect_list(when(keep, struct(col("pos"), col("line"))))),
             s => s.getField("line")),
-          "\n").as("text_deduped"))
+          joiner).as("text_deduped"))
   }
 
   /** Duplicated-span coverage: per document, the fraction of token

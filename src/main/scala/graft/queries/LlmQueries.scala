@@ -1507,6 +1507,21 @@ object LlmQueries {
         .dedupLines(docs, "doc_id", "text", maxOccurrences = 1)
         .orderBy(col("doc_id"))
     },
+    // --- corpus-wide PARAGRAPH dedup (CCNet's actual unit): a footer
+    // paragraph planted on every doc dies everywhere, a sparser promo
+    // paragraph (every 4th doc) dies too, each doc's own text survives
+    "paragraph_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(
+        col("doc_id"),
+        concat(
+          col("text"),
+          lit("\n\nShared footer paragraph here."),
+          when(col("doc_id") % 4 === 0, lit("\n\nQuarterly promo paragraph."))
+            .otherwise(lit(""))).as("text"))
+      Dedup
+        .dedupParagraphs(docs, "doc_id", "text", maxOccurrences = 1)
+        .orderBy(col("doc_id"))
+    },
     // --- exact-k deterministic reservoir per language (md5 priorities —
     // portable across engines, so the oracle reproduces the same sample)
     "stratified_reservoir" -> { (s, dir) =>
@@ -3437,6 +3452,26 @@ object LlmQueries {
         |  COALESCE(string_agg(CASE WHEN n <= 1 THEN line END, chr(10) ORDER BY pos), '')
         |    AS text_deduped
         |FROM l JOIN c USING (line)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // paragraph dedup: same replay as line_dedup with the blank-line
+    // split and a blank-line rejoin
+    "paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    text || chr(10) || chr(10) || 'Shared footer paragraph here.'
+        |         || CASE WHEN doc_id % 4 = 0
+        |                 THEN chr(10) || chr(10) || 'Quarterly promo paragraph.'
+        |                 ELSE '' END AS text
+        |  FROM documents),
+        |x AS (SELECT doc_id, string_split_regex(text, '\n{2,}') AS ls FROM d),
+        |l AS (SELECT doc_id, CAST(generate_subscripts(ls, 1) - 1 AS INT) AS pos,
+        |             unnest(ls) AS para
+        |      FROM x),
+        |c AS (SELECT para, count(DISTINCT doc_id) AS n FROM l GROUP BY para)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs,
+        |  CAST(sum(CASE WHEN n <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  COALESCE(string_agg(CASE WHEN n <= 1 THEN para END,
+        |    chr(10) || chr(10) ORDER BY pos), '') AS text_deduped
+        |FROM l JOIN c USING (para)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "stratified_reservoir" ->
       """SELECT lang, CAST(rn AS INT) AS rank, doc_id FROM (

@@ -203,6 +203,21 @@ class PackingCorpusSpec extends SparkSpec {
     assert(gone.forall(_.getAs[Long]("n_kept") == 0L))
   }
 
+  test("dedupParagraphs: blank-line blocks dedup corpus-wide, inner newlines survive") {
+    val d = Seq(
+      // the shared paragraph CONTAINS a newline: paragraph granularity
+      // must keep it intact (line dedup would split it)
+      (1L, "unique one\nstill unique\n\nshared footer\nacross docs"),
+      (2L, "other text\n\nshared footer\nacross docs"),
+      (3L, "only mine")
+    ).toDF("id", "text")
+    val out = Dedup.dedupParagraphs(d, "id", "text").orderBy("id").collect()
+    assert(out.map(_.getAs[Long]("n_paragraphs")).toSeq == Seq(2L, 2L, 1L))
+    assert(out.map(_.getAs[Long]("n_kept")).toSeq == Seq(1L, 1L, 1L))
+    assert(out.map(_.getAs[String]("text_deduped")).toSeq ==
+      Seq("unique one\nstill unique", "other text", "only mine"))
+  }
+
   test("removeDuplicatedSpans: shared span vanishes everywhere, unique prose survives") {
     // k=3: the 4-token phrase "one two three four" is shared by docs 1 and
     // 2 (two overlapping 3-grams -> 4 covered positions in each); doc 3 is
