@@ -1396,6 +1396,40 @@ object LlmQueries {
           col("sp.mask_end").as("mask_end"), col("masked_chars"))
         .orderBy(col("conv_id"), col("span_no"))
     },
+    // --- token-level loss masks over the same synthetic conversations:
+    // a gpt2-mode BPE trained on the rendered corpus, char intervals
+    // tiling the text, every masked token inside an assistant span.
+    // mask_exact asserts the strongest property Spark-side: the masked
+    // intervals' total chars EQUAL masked_chars — with per-token span
+    // containment held by construction, equality means the mask covers
+    // the completions exactly, no more, no less
+    "chat_token_loss_mask" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val turns = docs.filter(col("doc_id") < 200).select(
+        (col("doc_id") % 20).as("conv_id"),
+        floor(col("doc_id") / 20).cast("int").as("turn_no"),
+        when(floor(col("doc_id") / 20) % 2 === 0, "user")
+          .otherwise("assistant").as("role"),
+        col("text").as("content"))
+        .unionByName(docs.filter(col("doc_id") < 20).select(
+          col("doc_id").as("conv_id"), lit(-1).as("turn_no"),
+          lit("system").as("role"),
+          lit("You are a concise assistant.").as("content")))
+      val rendered = graft.text.Packing
+        .renderChatTemplate(turns, "conv_id", "turn_no", "role", "content")
+      val (m, v) = graft.text.Bpe.trainArtifacts(
+        rendered.select(col("text")), "text", numMerges = 150,
+        preTokenize = graft.text.Bpe.Gpt2)
+      graft.text.Packing.chatTokenLossMask(rendered, m, v)
+        .select(col("conv_id"), col("n_turns"), col("masked_chars"),
+          (expr("aggregate(arrays_zip(token_starts, token_ends, loss_mask), " +
+            "0L, (a, x) -> a + IF(x.loss_mask, x.token_ends - x.token_starts, 0L))")
+            === col("masked_chars")).as("mask_exact"),
+          (col("n_loss_tokens") <= col("n_tokens") &&
+            col("n_loss_tokens") >= size(col("mask_spans")))
+            .as("count_sane"))
+        .orderBy(col("conv_id"))
+    },
     "sequence_packing" -> { (s, dir) =>
       graft.text.Packing
         .packingPlan(t(s, dir, "documents"), "doc_id", "text", ctxTokens = 512, nShards = 8)
@@ -3241,6 +3275,24 @@ object LlmQueries {
         |  sp.mask_start, sp.mask_end, c.masked_chars
         |FROM spans sp JOIN conv c USING (conv_id)
         |ORDER BY sp.conv_id, sp.span_no""".stripMargin,
+    // loss mask: conversation shape and masked-char totals from the
+    // same template arithmetic; the exactness flags are Spark-side
+    // invariants asserted as literal TRUE
+    "chat_token_loss_mask" ->
+      """WITH tt AS (
+        |  SELECT doc_id % 20 AS conv_id, CAST(doc_id // 20 AS INT) AS turn_no,
+        |    CASE WHEN (doc_id // 20) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+        |    text AS content
+        |  FROM documents WHERE doc_id < 200
+        |  UNION ALL
+        |  SELECT doc_id AS conv_id, -1 AS turn_no, 'system' AS role,
+        |    'You are a concise assistant.' AS content
+        |  FROM documents WHERE doc_id < 20)
+        |SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(sum(CASE WHEN role = 'assistant'
+        |       THEN length(content) + 10 ELSE 0 END) AS BIGINT) AS masked_chars,
+        |  TRUE AS mask_exact, TRUE AS count_sane
+        |FROM tt GROUP BY conv_id ORDER BY conv_id""".stripMargin,
     "sequence_packing" ->
       """WITH s AS (SELECT doc_id, doc_id % 8 AS shard,
         |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens

@@ -439,6 +439,88 @@ object Bpe {
       .withColumn("n_tokens", size(col("token_ids")))
   }
 
+  /** [[encodeIds]] plus per-token CHARACTER offsets into the text:
+    * adds `token_ids`, `token_starts`, `token_ends` (parallel arrays,
+    * [start, end) code-point intervals) and `n_tokens`. In [[Gpt2]]
+    * mode pre-tokens carry their whitespace, so the intervals tile the
+    * input text exactly; in [[Whitespace]] mode they index the
+    * single-space-joined normalized text (the [[decodeIds]]
+    * convention). Token surfaces tile each word by construction (BPE
+    * merges concatenate symbols; byte-fallback tokens take their
+    * source character's 1-char interval, several byte tokens sharing
+    * it), so downstream span alignment — e.g. chat loss masks — is
+    * exact. Offsets count CODE POINTS (the cross-engine unit), not
+    * UTF-16 units. */
+  def encodeIdsWithOffsets(
+      df: DataFrame,
+      textCol: String,
+      merges: DataFrame,
+      vocabIds: DataFrame,
+      preTokenize: String = Whitespace): DataFrame = {
+    val ranks: Map[(String, String), Int] = merges
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getInt(0))
+      .toMap
+    val ids: Map[String, Int] = vocabIds
+      .select(col("token"), col("token_id").cast("int"))
+      .collect()
+      .map(r => r.getString(0) -> r.getInt(1))
+      .toMap
+    val joinerLen = if (preTokenize == Gpt2) 0 else 1
+    val enc = udf(new (Seq[String] => (Seq[Int], Seq[Long], Seq[Long]))
+        with Serializable {
+      @transient private lazy val memo =
+        scala.collection.mutable.HashMap.empty[String, Vector[String]]
+      private def cps(s: String): Int = s.codePointCount(0, s.length)
+      override def apply(words: Seq[String]): (Seq[Int], Seq[Long], Seq[Long]) = {
+        val outIds = Vector.newBuilder[Int]
+        val starts = Vector.newBuilder[Long]
+        val ends = Vector.newBuilder[Long]
+        var off = 0L
+        var first = true
+        words.foreach { w =>
+          if (!first) off += joinerLen
+          first = false
+          var wo = off
+          memo.getOrElseUpdate(w, encodeWord(w, ranks)).foreach { t =>
+            val sentinel = t.endsWith(EndOfWord)
+            val body = if (sentinel) t.dropRight(EndOfWord.length) else t
+            ids.get(t) match {
+              case Some(i) =>
+                val n = cps(body)
+                outIds += i; starts += wo; ends += wo + n
+                wo += n
+              case None =>
+                // byte fallback: each source character's UTF-8 bytes
+                // become byte tokens sharing that character's interval
+                val chars = codePointStrings(body)
+                chars.zipWithIndex.foreach { case (c, ci) =>
+                  val bs = c.getBytes("UTF-8")
+                  bs.zipWithIndex.foreach { case (b, bi) =>
+                    val last = ci == chars.length - 1 && bi == bs.length - 1
+                    val bt = byteToken(b & 0xff) +
+                      (if (sentinel && last) EndOfWord else "")
+                    outIds += ids.getOrElse(bt, UnkId)
+                    starts += wo; ends += wo + 1
+                  }
+                  wo += 1
+                }
+            }
+          }
+          off += cps(w)
+        }
+        (outIds.result(), starts.result(), ends.result())
+      }
+    })
+    df.withColumn("__enc", enc(wordsOf(textCol, preTokenize)))
+      .withColumn("token_ids", col("__enc._1"))
+      .withColumn("token_starts", col("__enc._2"))
+      .withColumn("token_ends", col("__enc._3"))
+      .withColumn("n_tokens", size(col("token_ids")))
+      .drop("__enc")
+  }
+
   /** Invert [[encodeIds]]: reconstruct the whitespace-normalized text
     * (words joined by single spaces) from `idsCol`. Non-byte tokens
     * contribute their UTF-8 bytes, `<0xNN>` tokens their byte; a

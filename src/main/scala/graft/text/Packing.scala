@@ -593,6 +593,31 @@ object Packing {
           .as("masked_chars"))
   }
 
+  /** Token-level loss masks for rendered chat — what the trainer
+    * actually consumes after [[renderChatTemplate]]: encode the
+    * rendered text with a BPE vocabulary in gpt2 mode (pre-tokens
+    * carry their whitespace, so [[Bpe.encodeIdsWithOffsets]] char
+    * intervals tile the text exactly) and mark every token whose
+    * interval lies inside one of the row's mask_spans. The template's
+    * markers, role headers and newlines are separate gpt2 pre-tokens
+    * and BPE merges never cross pre-token boundaries, so spans align
+    * to token boundaries and the mask is EXACT — the masked tokens'
+    * surfaces concatenate to precisely the assistant completions.
+    * Adds token_ids / token_starts / token_ends / n_tokens /
+    * loss_mask / n_loss_tokens; pure scan + higher-order functions,
+    * no shuffle. */
+  def chatTokenLossMask(
+      rendered: DataFrame,
+      merges: DataFrame,
+      vocabIds: DataFrame): DataFrame =
+    Bpe.encodeIdsWithOffsets(rendered, "text", merges, vocabIds, Bpe.Gpt2)
+      .withColumn("loss_mask", expr(
+        "transform(arrays_zip(token_starts, token_ends), s -> " +
+          "exists(mask_spans, sp -> s.token_starts >= sp.mask_start " +
+          "AND s.token_ends <= sp.mask_end))"))
+      .withColumn("n_loss_tokens",
+        size(filter(col("loss_mask"), m => m)).cast("long"))
+
   def epochShuffle(packed: DataFrame, epoch: Int): DataFrame = {
     require(epoch >= 0, s"epoch must be >= 0, got $epoch")
     val draw = md5(concat_ws(":",

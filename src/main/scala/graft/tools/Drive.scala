@@ -7,8 +7,8 @@ object Drive {
     spark.sparkContext.setLogLevel("ERROR")
     graft.queries.Support.oracleMode = true
     val dir = "/root/testdata/sf0.01"
-    val df = graft.SparkEntry.queries("gopher_repetition")(spark, dir)
-    df.coalesce(1).write.mode("overwrite").parquet("/tmp/graft_goprep")
-    println(s"rows=${spark.read.parquet("/tmp/graft_goprep").count()}")
+    val df = graft.SparkEntry.queries("chat_token_loss_mask")(spark, dir)
+    df.coalesce(1).write.mode("overwrite").parquet("/tmp/graft_mask")
+    df.show(5)
   }
 }

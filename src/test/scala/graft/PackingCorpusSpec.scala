@@ -218,6 +218,42 @@ class PackingCorpusSpec extends SparkSpec {
       Seq("unique one\nstill unique", "other text", "only mine"))
   }
 
+  test("chatTokenLossMask: masked tokens reconstruct exactly the assistant completions") {
+    val turns = Seq(
+      (1L, 0, "user", "hi there"),
+      (1L, 1, "assistant", "hello friend"),
+      (1L, 2, "user", "bye"),
+      (1L, 3, "assistant", "ok")
+    ).toDF("conv_id", "turn_no", "role", "content")
+    val rendered = Packing
+      .renderChatTemplate(turns, "conv_id", "turn_no", "role", "content")
+    val text = rendered.head().getAs[String]("text")
+    // train on the rendered text itself (gpt2 mode) so markers merge
+    val (m, v) = graft.text.Bpe.trainArtifacts(
+      rendered.select(col("text")), "text", numMerges = 80,
+      minPairCount = 1, preTokenize = graft.text.Bpe.Gpt2)
+    val out = Packing.chatTokenLossMask(rendered, m, v).head()
+    val ids = out.getAs[scala.collection.Seq[Int]]("token_ids")
+    val st = out.getAs[scala.collection.Seq[Long]]("token_starts")
+    val en = out.getAs[scala.collection.Seq[Long]]("token_ends")
+    val mask = out.getAs[scala.collection.Seq[Boolean]]("loss_mask")
+    assert(ids.length === st.length && st.length === mask.length)
+    // intervals tile the text: contiguous, starting at 0, ending at len
+    assert(st.head === 0L && en.last === text.length.toLong)
+    st.zip(en).sliding(2).foreach { case scala.collection.Seq((_, e1), (s2, _)) =>
+      assert(s2 === e1, s"gap at $e1")
+    case _ => }
+    // the masked region IS the assistant completions, token-exactly
+    val maskedText = st.zip(en).zip(mask).collect { case ((s, e), true) =>
+      text.substring(s.toInt, e.toInt) }.mkString
+    assert(maskedText === "hello friend<|im_end|>" + "ok<|im_end|>")
+    assert(out.getAs[Long]("n_loss_tokens") === mask.count(identity).toLong)
+    // role headers and markers outside spans stay unmasked
+    val unmasked = st.zip(en).zip(mask).collect { case ((s, e), false) =>
+      text.substring(s.toInt, e.toInt) }.mkString
+    assert(unmasked.contains("assistant") && unmasked.contains("user"))
+  }
+
   test("removeDuplicatedSpans: shared span vanishes everywhere, unique prose survives") {
     // k=3: the 4-token phrase "one two three four" is shared by docs 1 and
     // 2 (two overlapping 3-grams -> 4 covered positions in each); doc 3 is
