@@ -1430,6 +1430,45 @@ object LlmQueries {
             .as("count_sane"))
         .orderBy(col("conv_id"))
     },
+    // --- training-objective transforms (text/Objectives.scala): every
+    // random choice is a seeded md5 draw the oracle replays, so the
+    // COMPLETE rewritten strings are hash-pinned cross-engine
+    "fim_transform" -> { (s, dir) =>
+      graft.text.Objectives
+        .fimTransform(t(s, dir, "documents"), "doc_id", "text",
+          rate = 0.8, spmRate = 0.5, seed = 7L)
+        .select(col("doc_id"), col("fim_applied"), col("fim_mode"),
+          col("cut_lo"), col("cut_hi"), col("fim_text"))
+        .orderBy(col("doc_id"))
+    },
+    "span_corruption" -> { (s, dir) =>
+      graft.text.Objectives
+        .spanCorrupt(t(s, dir, "documents"), "doc_id", "text",
+          meanSpan = 3, noiseDensity = 0.15, seed = 0L)
+        .select(col("doc_id"), col("n_spans"), col("n_masked_tokens"),
+          col("span_input"), col("span_target"))
+        .orderBy(col("doc_id"))
+    },
+    "prefix_lm_split" -> { (s, dir) =>
+      graft.text.Objectives
+        .prefixLmSplit(t(s, dir, "documents"), "doc_id", "text", seed = 11L)
+        .select(col("doc_id"), col("cut"), col("prefix_input"),
+          col("prefix_target"))
+        .orderBy(col("doc_id"))
+    },
+    // assignment + paradigm tag + sentinel count per doc; the rewritten
+    // strings themselves are pinned by the two primitive oracles above,
+    // and ObjectivesSpec asserts the mixture equals the primitives
+    "ul2_mix" -> { (s, dir) =>
+      graft.text.Objectives
+        .ul2Mix(t(s, dir, "documents"), "doc_id", "text",
+          rShare = 0.5, sShare = 0.25, seed = 3L)
+        .select(col("doc_id"), col("denoiser"),
+          substring(col("input"), 1, 3).as("task_tag"),
+          (size(split(col("input"), "<extra_id_", -1)) - 1).cast("long")
+            .as("n_sentinels"))
+        .orderBy(col("doc_id"))
+    },
     "sequence_packing" -> { (s, dir) =>
       graft.text.Packing
         .packingPlan(t(s, dir, "documents"), "doc_id", "text", ctxTokens = 512, nShards = 8)
@@ -3293,6 +3332,99 @@ object LlmQueries {
         |       THEN length(content) + 10 ELSE 0 END) AS BIGINT) AS masked_chars,
         |  TRUE AS mask_exact, TRUE AS count_sane
         |FROM tt GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    // FIM: the full rewritten string replayed — same md5 draws, same
+    // code-point substring arithmetic, both sentinel layouts
+    "fim_transform" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |r AS (SELECT doc_id, text, n,
+        |  (CAST('0x' || substring(md5('fim:7:' || CAST(doc_id AS VARCHAR) || ':apply'), 1, 13)
+        |    AS BIGINT) + 0.5) / 4503599627370496.0 < 0.8 AS applied,
+        |  (CAST('0x' || substring(md5('fim:7:' || CAST(doc_id AS VARCHAR) || ':mode'), 1, 13)
+        |    AS BIGINT) + 0.5) / 4503599627370496.0 < 0.5 AS spm,
+        |  CAST('0x' || substring(md5('fim:7:' || CAST(doc_id AS VARCHAR) || ':cut1'), 1, 13)
+        |    AS BIGINT) % (n + 1) AS a,
+        |  CAST('0x' || substring(md5('fim:7:' || CAST(doc_id AS VARCHAR) || ':cut2'), 1, 13)
+        |    AS BIGINT) % (n + 1) AS b
+        |  FROM d),
+        |c AS (SELECT *, least(a, b) AS lo, greatest(a, b) AS hi FROM r)
+        |SELECT doc_id, applied AS fim_applied,
+        |  CASE WHEN NOT applied THEN 'none'
+        |       WHEN spm THEN 'spm' ELSE 'psm' END AS fim_mode,
+        |  CASE WHEN applied THEN lo END AS cut_lo,
+        |  CASE WHEN applied THEN hi END AS cut_hi,
+        |  CASE WHEN NOT applied THEN text
+        |    WHEN spm THEN '<|fim_prefix|>' || '<|fim_suffix|>'
+        |      || substring(text, CAST(hi + 1 AS INT), CAST(n - hi AS INT))
+        |      || '<|fim_middle|>' || substring(text, 1, CAST(lo AS INT))
+        |      || substring(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))
+        |    ELSE '<|fim_prefix|>' || substring(text, 1, CAST(lo AS INT))
+        |      || '<|fim_suffix|>'
+        |      || substring(text, CAST(hi + 1 AS INT), CAST(n - hi AS INT))
+        |      || '<|fim_middle|>'
+        |      || substring(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))
+        |  END AS fim_text
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // span corruption: block draws (B=20, len uniform [1,5]) replayed,
+    // then the input/target strings rebuilt token by token
+    "span_corruption" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS nt,
+        |  CAST(len(toks) // 20 AS INT) AS nb FROM d),
+        |l AS (SELECT *, list_transform(range(nb), b ->
+        |  1 + CAST('0x' || substring(md5('sc:0:' || CAST(doc_id AS VARCHAR)
+        |    || ':' || CAST(b AS VARCHAR) || ':len'), 1, 13) AS BIGINT) % 5) AS lens
+        |  FROM n),
+        |o AS (SELECT *, list_transform(range(nb), b ->
+        |  CAST('0x' || substring(md5('sc:0:' || CAST(doc_id AS VARCHAR)
+        |    || ':' || CAST(b AS VARCHAR) || ':off'), 1, 13) AS BIGINT)
+        |    % (20 - lens[CAST(b AS INT) + 1] + 1)) AS offs
+        |  FROM l)
+        |SELECT doc_id, CAST(nb AS BIGINT) AS n_spans,
+        |  CAST(coalesce(list_sum(lens), 0) AS BIGINT) AS n_masked_tokens,
+        |  CASE WHEN nt = 0 THEN '' ELSE coalesce(array_to_string(list_filter(
+        |    list_transform(range(nt), i -> CASE
+        |      WHEN i // 20 < nb AND i % 20 = offs[CAST(i // 20 AS INT) + 1]
+        |        THEN '<extra_id_' || CAST(i // 20 AS VARCHAR) || '>'
+        |      WHEN i // 20 < nb AND i % 20 >= offs[CAST(i // 20 AS INT) + 1]
+        |           AND i % 20 < offs[CAST(i // 20 AS INT) + 1]
+        |                        + lens[CAST(i // 20 AS INT) + 1]
+        |        THEN NULL
+        |      ELSE toks[CAST(i AS INT) + 1] END),
+        |    x -> x IS NOT NULL), ' '), '') END AS span_input,
+        |  array_to_string(flatten(list_concat(
+        |    list_transform(range(nb), b -> list_concat(
+        |      ['<extra_id_' || CAST(b AS VARCHAR) || '>'],
+        |      toks[CAST(b * 20 + offs[CAST(b AS INT) + 1] + 1 AS INT) :
+        |           CAST(b * 20 + offs[CAST(b AS INT) + 1]
+        |                + lens[CAST(b AS INT) + 1] AS INT)])),
+        |    [['<extra_id_' || CAST(nb AS VARCHAR) || '>']])), ' ') AS span_target
+        |FROM o ORDER BY doc_id""".stripMargin,
+    "prefix_lm_split" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |c AS (SELECT doc_id, text, n,
+        |  CAST('0x' || substring(md5('plm:11:' || CAST(doc_id AS VARCHAR) || ':cut'), 1, 13)
+        |    AS BIGINT) % (n + 1) AS cut FROM d)
+        |SELECT doc_id, cut,
+        |  substring(text, 1, CAST(cut AS INT)) AS prefix_input,
+        |  substring(text, CAST(cut + 1 AS INT), CAST(n - cut AS INT)) AS prefix_target
+        |FROM c ORDER BY doc_id""".stripMargin,
+    // ul2: assignment draw + paradigm tag + expected sentinel count per
+    // denoiser (R blocks of 20, X blocks of 64, S none); the Spark side
+    // COUNTS sentinels in the actual rewritten input
+    "ul2_mix" ->
+      """WITH d AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS nt,
+        |  (CAST('0x' || substring(md5('ul2:3:' || CAST(doc_id AS VARCHAR) || ':task'), 1, 13)
+        |    AS BIGINT) + 0.5) / 4503599627370496.0 AS u
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN u < 0.5 THEN 'R' WHEN u < 0.75 THEN 'S' ELSE 'X' END AS denoiser,
+        |  CASE WHEN u < 0.5 THEN '[R]' WHEN u < 0.75 THEN '[S]' ELSE '[X]' END AS task_tag,
+        |  CAST(CASE WHEN u < 0.5 THEN nt // 20
+        |            WHEN u < 0.75 THEN 0 ELSE nt // 64 END AS BIGINT) AS n_sentinels
+        |FROM d ORDER BY doc_id""".stripMargin,
     "sequence_packing" ->
       """WITH s AS (SELECT doc_id, doc_id % 8 AS shard,
         |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
