@@ -699,6 +699,45 @@ object Production {
         ctx.dataPath(params.getOrElse("output", "processed.chat_rendered").toString))
     }
 
+    // training-objective rewrite between curation and packing
+    // (text/Objectives.scala): `objective: fim | span-corrupt |
+    // prefix-lm | ul2` selects the transform, each exposing its paper
+    // parameters; all are pure seeded-draw projections, so re-running
+    // the stage reproduces the corpus bit for bit
+    Jobs.register("tokenizer", "objective") { (ctx, params) =>
+      val s = ctx.spark
+      val in = params.getOrElse("input", "clean.documents").toString
+      val idCol = params.getOrElse("id_col", "doc_id").toString
+      val textCol = params.getOrElse("text_col", "text").toString
+      val seed = params.getOrElse("seed", "0").toString.toLong
+      val docs = Tables.readData(s, Seq(ctx.dataPath(in)))
+      val out = params.getOrElse("objective", "fim").toString match {
+        case "fim" => graft.text.Objectives.fimTransform(docs, idCol, textCol,
+          rate = params.getOrElse("rate", "0.9").toString.toDouble,
+          spmRate = params.getOrElse("spm_rate", "0.5").toString.toDouble,
+          seed = seed)
+        case "span-corrupt" => graft.text.Objectives.spanCorrupt(docs, idCol,
+          textCol,
+          meanSpan = params.getOrElse("mean_span", "3").toString.toInt,
+          noiseDensity =
+            params.getOrElse("noise_density", "0.15").toString.toDouble,
+          seed = seed)
+        case "prefix-lm" =>
+          graft.text.Objectives.prefixLmSplit(docs, idCol, textCol, seed)
+        case "ul2" => graft.text.Objectives.ul2Mix(docs, idCol, textCol,
+          rShare = params.getOrElse("r_share", "0.5").toString.toDouble,
+          sShare = params.getOrElse("s_share", "0.25").toString.toDouble,
+          seed = seed,
+          xMeanSpan = params.getOrElse("x_mean_span", "32").toString.toInt,
+          xDensity = params.getOrElse("x_density", "0.5").toString.toDouble)
+        case other => throw new IllegalArgumentException(
+          s"unknown objective '$other': expected fim | span-corrupt | " +
+            "prefix-lm | ul2")
+      }
+      save(ctx, out,
+        ctx.dataPath(params.getOrElse("output", "processed.objective").toString))
+    }
+
     // pack the TOKENIZED zone into fixed-context training sequences: the
     // packing plan runs on the tokenizer's real n_tokens (not the
     // whitespace proxy), so sequence boundaries match what the trainer

@@ -1047,6 +1047,40 @@ class ConfigJobsSpec extends AnyFunSuite {
     // the surviving page's text is REWRITTEN to its surviving lines
     assert(kept(1L) === "One good sentence sits here.\nA second good sentence follows.")
   }
+  test("objective catalog stage rewrites the corpus with the selected objective") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-obj-jobs").toString
+    Seq.tabulate(6)(i => (i.toLong, s"alpha$i bravo charlie delta echo"))
+      .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/docs")
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Map("jobs" -> List(
+        Map("name" -> "tokenizer", "fail_fast" -> true, "stages" -> List(
+          Map("name" -> "rewrite", "tasks" -> List(
+            Map("name" -> "objective",
+              "params" -> Map("objective" -> "fim", "rate" -> "1.0",
+                "seed" -> "5")))))))),
+      "data_catalog" -> Map(
+        "clean" -> Map("documents" -> s"$work/docs"),
+        "processed" -> Map("objective" -> s"$work/fim")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(Context(cfg, spark), "tokenizer").isEmpty)
+    val out = spark.read.parquet(s"$work/fim")
+    assert(out.count() === 6L)
+    out.select("fim_text", "fim_mode").as[(String, String)].collect()
+      .foreach { case (t, m) =>
+        assert(t.startsWith("<|fim_prefix|>"), t)
+        assert(m == "psm" || m == "spm")
+      }
+    // unknown objective fails loudly
+    val bad = cfg.updated("job_catalog", Map("jobs" -> List(
+      Map("name" -> "tokenizer", "fail_fast" -> true, "stages" -> List(
+        Map("name" -> "rewrite", "tasks" -> List(
+          Map("name" -> "objective",
+            "params" -> Map("objective" -> "nonsense")))))))))
+    assert(graft.pipeline.Jobs.run(Context(bad, spark), "tokenizer").nonEmpty)
+  }
 }
 
 
