@@ -377,6 +377,29 @@ object Production {
         ctx.dataPath("clean.embeddings_semdeduped"))
     }
 
+    // D4 diversification (Tirumala et al. 2023): SemDeDup then
+    // SSL-prototype pruning — `prune_frac` of every cluster's most
+    // prototypical docs die; `dedup_threshold: 0` skips the dedup stage
+    // (pure prototype pruning)
+    Jobs.register("corpus-curation", "diversify") { (ctx, params) =>
+      val s = ctx.spark
+      val nClusters = params.getOrElse("n_clusters", "1024").toString.toInt
+      val pruneFrac = params.getOrElse("prune_frac", "0.2").toString.toDouble
+      val threshold =
+        params.getOrElse("dedup_threshold", "0.999").toString.toDouble
+      val in = params.getOrElse("input", "raw.embeddings").toString
+      val emb = Tables.readData(s, Seq(ctx.dataPath(in)))
+      val out =
+        if (threshold <= 0)
+          graft.similarity.Similarity.prototypePrune(emb, "vec_id",
+            "embedding", nClusters, pruneFrac)
+        else
+          graft.similarity.Similarity.d4Select(emb, "vec_id", "embedding",
+            nClusters, threshold, pruneFrac)
+      save(ctx, out, ctx.dataPath(
+        params.getOrElse("output", "clean.embeddings_diversified").toString))
+    }
+
     Jobs.register("corpus-curation", "quality-filter") { (ctx, params) =>
       val s = ctx.spark
       val minQuality = params.getOrElse("min_quality", "0.5").toString.toDouble

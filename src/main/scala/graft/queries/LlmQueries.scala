@@ -1136,6 +1136,37 @@ object LlmQueries {
         .select(col("vec_id"))
         .orderBy(col("vec_id"))
     },
+    // --- D4 / SSL-prototype diversification, exact-mode twins (the ANN
+    // pattern): centroids SUPPLIED deterministically (the first 8
+    // vectors), so assignment + per-cell percentile cutoff replay in
+    // full; the k-means production path (prototypePrune / d4Select)
+    // shares every line downstream of the fit and is spec-tested
+    "prototype_prune_exact" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"),
+          col("embedding").as("centroid"))
+      Similarity
+        .prototypePruneWithCentroids(e.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", cents, pruneFrac = 0.25, exact = true)
+        .select(col("vec_id"), col("proto_cell"), col("proto_score"))
+        .orderBy(col("vec_id"))
+    },
+    // the full D4 pipeline with the deterministic stages composed:
+    // SemDeDup at 0.999 (planted twins die regardless of clustering)
+    // then prototype pruning of the survivors against supplied centroids
+    "d4_select_exact" -> { (s, dir) =>
+      val kept = Similarity.semDedup(semDedupFrame(s, dir), "vec_id",
+        "embedding", nClusters = 8, threshold = 0.999)
+      val cents = t(s, dir, "embeddings").filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cell"),
+          col("embedding").as("centroid"))
+      Similarity
+        .prototypePruneWithCentroids(kept, "vec_id", "embedding", cents,
+          pruneFrac = 0.2, exact = true)
+        .select(col("vec_id"), col("proto_cell"))
+        .orderBy(col("vec_id"))
+    },
     // --- multimodal plumbing over text-as-bytes payloads: payload stats
     // are real, and the REAL ImageIO + javax.sound decoders + the MP4/AVI
     // container parser run across the rows — none of these payloads are
@@ -2671,6 +2702,51 @@ object LlmQueries {
         |SELECT c.vec_id FROM corpus c
         |WHERE c.vec_id NOT IN (SELECT vec_id FROM losers)
         |ORDER BY vec_id""".stripMargin,
+    // prototype pruning: nearest-centroid assignment (rounded cosine,
+    // ties to the smaller cell via the (score, -cell) struct max), exact
+    // per-cell 75th-percentile cutoff, strictly-above rows pruned
+    "prototype_prune_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < 8),
+        |s AS (SELECT e.vec_id, c.cell,
+        |        round(list_dot_product(v, cv)
+        |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS ps
+        |      FROM e, c),
+        |b AS (SELECT vec_id, max(struct_pack(s := ps, nc := -cell)) AS m
+        |      FROM s WHERE ps IS NOT NULL GROUP BY vec_id),
+        |a AS (SELECT vec_id, CAST(-m.nc AS INT) AS proto_cell, m.s AS proto_score FROM b),
+        |cut AS (SELECT proto_cell, quantile_cont(proto_score, 0.75) AS q
+        |        FROM a GROUP BY proto_cell)
+        |SELECT e.vec_id, a.proto_cell, a.proto_score
+        |FROM e LEFT JOIN a USING (vec_id) LEFT JOIN cut USING (proto_cell)
+        |WHERE a.proto_score IS NULL OR a.proto_score <= cut.q
+        |ORDER BY e.vec_id""".stripMargin,
+    // D4: the semdedup_survivors oracle feeding the prototype cutoff
+    "d4_select_exact" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |              FROM embeddings WHERE vec_id < 100),
+        |corpus AS (SELECT vec_id, v FROM base
+        |           UNION ALL SELECT vec_id + 100000, v FROM base),
+        |losers AS (SELECT DISTINCT b.vec_id
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.v, b.v) >= 0.999),
+        |kept AS (SELECT * FROM corpus
+        |         WHERE vec_id NOT IN (SELECT vec_id FROM losers)),
+        |c AS (SELECT CAST(vec_id AS INT) AS cell, CAST(embedding AS DOUBLE[]) AS cv
+        |      FROM embeddings WHERE vec_id < 8),
+        |s AS (SELECT k.vec_id, c.cell,
+        |        round(list_dot_product(v, cv)
+        |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS ps
+        |      FROM kept k, c),
+        |b AS (SELECT vec_id, max(struct_pack(s := ps, nc := -cell)) AS m
+        |      FROM s WHERE ps IS NOT NULL GROUP BY vec_id),
+        |a AS (SELECT vec_id, CAST(-m.nc AS INT) AS proto_cell, m.s AS proto_score FROM b),
+        |cut AS (SELECT proto_cell, quantile_cont(proto_score, 0.8) AS q
+        |        FROM a GROUP BY proto_cell)
+        |SELECT k.vec_id, a.proto_cell
+        |FROM kept k LEFT JOIN a USING (vec_id) LEFT JOIN cut USING (proto_cell)
+        |WHERE a.proto_score IS NULL OR a.proto_score <= cut.q
+        |ORDER BY k.vec_id""".stripMargin,
     // MJPEG-in-AVI decode: fixture bytes are pinned, so frame byte
     // ranges, JPEG-header dimensions, and the decoded-color flags are
     // all literal arithmetic — a decode regression (wrong frame sliced,

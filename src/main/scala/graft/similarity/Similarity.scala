@@ -711,6 +711,126 @@ object Similarity {
     corpus.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** SSL-prototype scores against a SUPPLIED centroid frame — the
+    * deterministic core of D4-style diversification (Sorscher et al.
+    * 2022 "Beyond neural scaling laws"; Tirumala et al. 2023 "D4").
+    * Every document is assigned to its nearest centroid by cosine
+    * (rounded to 6 decimals — the library's cross-engine score unit —
+    * ties broken toward the smaller cell id) and scored by that cosine:
+    * HIGH `proto_score` = close to its cluster's prototype = redundant,
+    * easy data; LOW = the diverse tail. Output: (idCol, `proto_cell`,
+    * `proto_score`), one row per input row; documents with a zero-norm
+    * vector (or all-null cosines) keep null cell/score.
+    *
+    * Scale shape: centroids are broadcast (|cells| rows), scoring is a
+    * map pass over the corpus, and the argmax is ONE map-side-partial
+    * groupBy on the id — no window, no all-pairs. */
+  def prototypeScores(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      cellCol: String = "cell",
+      centroidCol: String = "centroid"): DataFrame = {
+    val scored = corpus.select(col(idCol), col(vecCol))
+      .crossJoin(broadcast(centroids.select(
+        col(cellCol).cast("int").as("__pcell"),
+        col(centroidCol).as("__pc"))))
+      .select(col(idCol), col("__pcell"),
+        round(cosine(col(vecCol), col("__pc")), 6).as("__ps"))
+      .filter(col("__ps").isNotNull)
+    // max over (score, -cell) structs: field-lexicographic max = best
+    // score, smaller cell on ties — deterministic, map-side combinable
+    val best = scored
+      .groupBy(col(idCol))
+      .agg(max(struct(col("__ps").as("s"), (-col("__pcell")).as("nc")))
+        .as("__m"))
+      .select(col(idCol), (-col("__m.nc")).cast("int").as("proto_cell"),
+        col("__m.s").as("proto_score"))
+    corpus.select(col(idCol)).join(best, Seq(idCol), "left")
+  }
+
+  /** D4/SSL-prototype pruning with supplied centroids: drop the
+    * `pruneFrac` most PROTOTYPICAL documents of every cell — those whose
+    * [[prototypeScores]] cosine exceeds the cell's `1 − pruneFrac`
+    * percentile (strictly above, so `pruneFrac = 0` keeps everything).
+    * Survivors carry `proto_cell`/`proto_score`; unscorable rows
+    * (zero-norm vectors) always survive. `exact` switches the per-cell
+    * cutoff from the mergeable percentile sketch to exact percentiles
+    * (small corpora / verification runs).
+    *
+    * Scale shape: one broadcast-centroid map pass + argmax groupBy
+    * ([[prototypeScores]]), one |cells|-row cutoff aggregate joined back
+    * broadcast, one keyed join of scores onto the corpus. */
+  def prototypePruneWithCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      pruneFrac: Double,
+      cellCol: String = "cell",
+      centroidCol: String = "centroid",
+      exact: Boolean = false): DataFrame = {
+    require(pruneFrac >= 0 && pruneFrac < 1,
+      s"pruneFrac must be in [0,1), got $pruneFrac")
+    val scores =
+      prototypeScores(corpus, idCol, vecCol, centroids, cellCol, centroidCol)
+    val cutoffs = scores.filter(col("proto_score").isNotNull)
+      .groupBy(col("proto_cell"))
+      .agg(graft.Exprs.pct(col("proto_score"), 1 - pruneFrac, exact)
+        .as("__cut"))
+    corpus.join(scores, Seq(idCol))
+      .join(broadcast(cutoffs), Seq("proto_cell"), "left")
+      .filter(col("proto_score").isNull || col("proto_score") <= col("__cut"))
+      .drop("__cut")
+  }
+
+  /** D4/SSL-prototype pruning, production path: fit the coarse k-means
+    * quantizer (the same seeded bounded-sample fit the IVF family uses),
+    * then [[prototypePruneWithCentroids]] against the fitted centroids.
+    * Cluster count follows the papers' regime — cells of thousands of
+    * docs, so size `nClusters ≈ N / 5k`. */
+  def prototypePrune(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      pruneFrac: Double,
+      seed: Long = 7L,
+      fitSample: Int = 200000,
+      exact: Boolean = false): DataFrame = {
+    require(nClusters > 0, s"nClusters must be positive, got $nClusters")
+    val norm = ivfNormalizedCorpus(corpus, idCol, vecCol)
+    val model = ivfFit(norm, idCol, nClusters, seed, fitSample)
+    val cents = ivfCentroidFrame(corpus.sparkSession, model)
+    prototypePruneWithCentroids(corpus, idCol, vecCol, cents, pruneFrac,
+      cellCol = "__cell", centroidCol = "__cent", exact = exact)
+  }
+
+  /** The D4 pipeline (Tirumala et al. 2023): SemDeDup first (semantic
+    * near-duplicates die, lowest id survives), then SSL-prototype
+    * pruning of the survivors (the most prototypical `pruneFrac` of
+    * every cluster dies) — dedup removes REDUNDANCY, prototype pruning
+    * removes EASY data, and the paper's result is that the combination
+    * beats either alone at LLM pretraining scale. Both stages share the
+    * seeded coarse-quantizer machinery; survivors carry their
+    * `proto_cell`/`proto_score` for downstream mixing. */
+  def d4Select(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nClusters: Int,
+      dedupThreshold: Double,
+      pruneFrac: Double,
+      seed: Long = 7L,
+      fitSample: Int = 200000,
+      exact: Boolean = false): DataFrame = {
+    val deduped = semDedup(corpus, idCol, vecCol, nClusters, dedupThreshold,
+      seed, fitSample)
+    prototypePrune(deduped, idCol, vecCol, nClusters, pruneFrac, seed,
+      fitSample, exact)
+  }
+
   /** Reciprocal-rank fusion of ranked candidate lists (hybrid retrieval:
     * lexical ⊕ vector, or any mix): each ranking contributes
     * `1/(k0 + rank)` per (query, item), summed scores re-rank, top k

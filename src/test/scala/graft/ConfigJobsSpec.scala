@@ -1047,6 +1047,35 @@ class ConfigJobsSpec extends AnyFunSuite {
     // the surviving page's text is REWRITTEN to its surviving lines
     assert(kept(1L) === "One good sentence sits here.\nA second good sentence follows.")
   }
+  test("diversify catalog stage prunes prototypical embeddings via D4") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-d4-jobs").toString
+    def unitAt(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val base = (0 until 20).map(i => (i.toLong, unitAt(i * 4.5)))
+    (base :+ (1000L, unitAt(4.5))) // exact twin of vec 1
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$work/emb")
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Map("jobs" -> List(
+        Map("name" -> "corpus-curation", "fail_fast" -> true, "stages" -> List(
+          Map("name" -> "prune", "tasks" -> List(
+            Map("name" -> "diversify",
+              "params" -> Map("n_clusters" -> "2", "prune_frac" -> "0.3")))))))),
+      "data_catalog" -> Map(
+        "raw" -> Map("embeddings" -> s"$work/emb"),
+        "clean" -> Map("embeddings_diversified" -> s"$work/out")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(Context(cfg, spark), "corpus-curation").isEmpty)
+    val ids = spark.read.parquet(s"$work/out")
+      .select("vec_id").as[Long].collect().toSet
+    assert(!ids.contains(1000L), "the twin dies in the semdedup stage")
+    assert(ids.size < 20 && ids.size >= 12, s"got ${ids.size}")
+  }
   test("objective catalog stage rewrites the corpus with the selected objective") {
     val spark = SparkSpec.session
     import spark.implicits._

@@ -1021,4 +1021,73 @@ class DedupSimilaritySpec extends SparkSpec {
     val stats = Multimodal.payloadStats(assets).select("payload_bytes").as[Int].collect()
     assert(stats.forall(_ == 17))
   }
+
+  test("prototypeScores: nearest-centroid assignment, smaller cell wins ties, zero-norm null") {
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // exactly centroid 0
+      (2L, Seq(0.9f, 0.1f)),   // near centroid 0
+      (3L, Seq(0.0f, 2.0f)),   // exactly centroid 1 direction
+      (4L, Seq(1.0f, 1.0f)),   // equidistant -> tie -> cell 0
+      (5L, Seq(0.0f, 0.0f))    // zero-norm -> unscorable
+    ).toDF("id", "vec")
+    val cents = Seq((0, Seq(1.0f, 0.0f)), (1, Seq(0.0f, 1.0f)))
+      .toDF("cell", "centroid")
+    val out = Similarity.prototypeScores(corpus, "id", "vec", cents)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(1)), Option(r.get(2)))).toMap
+    assert(out(1L) === (Some(0), Some(1.0)))
+    assert(out(3L) === (Some(1), Some(1.0)))
+    assert(out(4L)._1 === Some(0)) // tie broken toward the smaller cell
+    assert(out(5L) === (None, None))
+    assert(out(2L)._1 === Some(0))
+    assert(out(2L)._2.get.asInstanceOf[Double] > 0.9)
+  }
+
+  test("prototypePruneWithCentroids: the most prototypical quarter of each cell dies") {
+    // cell 0: scores 1.0, ~0.995, ~0.97, ~0.89 -> prune the top ~0.89?
+    // no: HIGH score = prototypical = pruned; cutoff = 75th pct
+    val corpus = Seq(
+      (1L, Seq(1.0f, 0.0f)),    // cos 1.0      -> above cutoff -> pruned
+      (2L, Seq(0.99f, 0.1f)),   // cos ~0.995
+      (3L, Seq(0.9f, 0.25f)),   // cos ~0.964
+      (4L, Seq(0.8f, 0.4f)),    // cos ~0.894
+      (5L, Seq(0.0f, 0.0f))     // unscorable -> always survives
+    ).toDF("id", "vec")
+    val cents = Seq((0, Seq(1.0f, 0.0f))).toDF("cell", "centroid")
+    val kept = Similarity
+      .prototypePruneWithCentroids(corpus, "id", "vec", cents,
+        pruneFrac = 0.25, exact = true)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(2L, 3L, 4L, 5L))
+    // pruneFrac 0 keeps everything (strictly-above rule)
+    assert(Similarity.prototypePruneWithCentroids(corpus, "id", "vec",
+      cents, pruneFrac = 0.0, exact = true).count() === 5L)
+  }
+
+  test("d4Select: semantic twin dies in stage 1, prototype core shrinks in stage 2") {
+    // 30 docs in two tight clusters + one exact twin of doc 1
+    // 3-degree angular spacing: every pairwise cosine <= cos(3°) ≈
+    // 0.9986 < 0.999, so ONLY the planted exact twin crosses the dedup
+    // threshold; the two arcs (0°–42°, 48°–90°) are the two clusters
+    def unitAt(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val rows = (0 until 15).map(i => (i.toLong, unitAt(i * 3.0))) ++
+      (15 until 30).map(i => (i.toLong, unitAt(90.0 - (i - 15) * 3.0)))
+    val base = rows.toDF("id", "vec")
+    val twin = base.filter($"id" === 1L)
+      .select(($"id" + 1000).as("id"), $"vec")
+    val corpus = base.unionByName(twin)
+    val out = Similarity.d4Select(corpus, "id", "vec",
+      nClusters = 2, dedupThreshold = 0.999, pruneFrac = 0.3, exact = true)
+    val ids = out.select("id").as[Long].collect().toSet
+    assert(!ids.contains(1001L), "the higher-id twin must die in semdedup")
+    assert(ids.contains(1L))
+    // prototype pruning removed ~30% of each cluster's survivors
+    assert(ids.size < 30 && ids.size >= 18, s"got ${ids.size}")
+    // survivors carry their diversification metadata
+    assert(out.columns.contains("proto_cell") &&
+      out.columns.contains("proto_score"))
+  }
 }
