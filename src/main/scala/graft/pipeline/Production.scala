@@ -479,18 +479,38 @@ object Production {
       val s = ctx.spark
       val budget = params.getOrElse("budget", "1000").toString.toLong
       val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
-      val langs = docs.select(col("lang")).distinct().limit(101)
-        .collect().map(_.getString(0))
-      require(langs.length <= 100,
-        "sample-mix: lang stratum cardinality > 100 — not a language column")
-      val shares = langs.map(l => l -> 1.0 / langs.length).toMap
-      val plan = graft.sampling.Sampling.corpusMixPlan(docs, "lang", shares, budget)
-      save(ctx, plan, ctx.dataPath("processed.mix_plan"))
-      val rates = plan.select(col("lang"), col("rate")).collect()
-        .map(r => r.getString(0) -> r.getDouble(1)).toMap
-      save(ctx,
-        graft.sampling.Sampling.stratifiedSample(docs, "lang", rates, ctx.seed),
-        ctx.dataPath("clean.documents_mixed"))
+      params.getOrElse("strategy", "uniform").toString match {
+        case "uniform" =>
+          val langs = docs.select(col("lang")).distinct().limit(101)
+            .collect().map(_.getString(0))
+          require(langs.length <= 100,
+            "sample-mix: lang stratum cardinality > 100 — not a language column")
+          val shares = langs.map(l => l -> 1.0 / langs.length).toMap
+          val plan = graft.sampling.Sampling.corpusMixPlan(docs, "lang", shares, budget)
+          save(ctx, plan, ctx.dataPath("processed.mix_plan"))
+          val rates = plan.select(col("lang"), col("rate")).collect()
+            .map(r => r.getString(0) -> r.getDouble(1)).toMap
+          save(ctx,
+            graft.sampling.Sampling.stratifiedSample(docs, "lang", rates, ctx.seed),
+            ctx.dataPath("clean.documents_mixed"))
+        // UniMax (Chung et al. 2023): token budget water-filled across
+        // languages under an epoch cap; the sampled zone carries `epoch`
+        case "unimax" =>
+          val epochCap = params.getOrElse("epoch_cap", "4.0").toString.toDouble
+          val counted = docs.withColumn("__nt",
+            size(filter(split(col("text"), "\\s+"), w => length(w) > 0))
+              .cast("long"))
+          save(ctx,
+            graft.sampling.Sampling.unimaxPlan(counted, "lang", "__nt",
+              budget, epochCap),
+            ctx.dataPath("processed.mix_plan"))
+          save(ctx,
+            graft.sampling.Sampling.unimaxSample(counted, "doc_id", "lang",
+              "__nt", budget, epochCap, ctx.seed).drop("__nt"),
+            ctx.dataPath("clean.documents_mixed"))
+        case other => throw new IllegalArgumentException(
+          s"unknown sample-mix strategy '$other': expected uniform | unimax")
+      }
     }
 
     // drop corpus docs that leak eval content — the enforcement half of

@@ -1461,6 +1461,30 @@ object LlmQueries {
             .as("count_sane"))
         .orderBy(col("conv_id"))
     },
+    // --- UniMax water-filling mix (sampling/Sampling.scala): budget
+    // 30000 tokens, epoch cap 1.5 — at the sf corpus shape the four
+    // tail languages cap (rate 1.5) and en absorbs the leftover, so
+    // both allocator branches are live in the oracle
+    "unimax_plan" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(filter(split(col("text"), "\\s+"), w => length(w) > 0))
+            .cast("long"))
+      graft.sampling.Sampling
+        .unimaxPlan(docs, "lang", "n_tokens", budget = 30000L, epochCap = 1.5)
+        .orderBy(col("lang"))
+    },
+    "unimax_sample" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .withColumn("n_tokens",
+          size(filter(split(col("text"), "\\s+"), w => length(w) > 0))
+            .cast("long"))
+      graft.sampling.Sampling
+        .unimaxSample(docs, "doc_id", "lang", "n_tokens",
+          budget = 30000L, epochCap = 1.5, seed = 13L)
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    },
     // --- training-objective transforms (text/Objectives.scala): every
     // random choice is a seeded md5 draw the oracle replays, so the
     // COMPLETE rewritten strings are hash-pinned cross-engine
@@ -3408,6 +3432,61 @@ object LlmQueries {
         |       THEN length(content) + 10 ELSE 0 END) AS BIGINT) AS masked_chars,
         |  TRUE AS mask_exact, TRUE AS count_sane
         |FROM tt GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    // UniMax: the water level λ* is the λ_i of the FIRST uncapped
+    // stratum in (cap asc, stratum) order — cum sums add in that same
+    // order in both engines, so the doubles replay bit for bit
+    "unimax_plan" ->
+      """WITH tok AS (SELECT lang,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS nt
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS corpus_tokens FROM tok GROUP BY lang),
+        |c AS (SELECT lang, corpus_tokens, corpus_tokens * 1.5 AS cap_tokens FROM g),
+        |w AS (SELECT *, row_number() OVER (ORDER BY cap_tokens, lang) AS i,
+        |        count(*) OVER () AS L,
+        |        coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, lang
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum
+        |      FROM c),
+        |lam AS (SELECT (30000.0 - cum) / (L - i + 1) AS lamstar FROM w
+        |        WHERE cap_tokens >= (30000.0 - cum) / (L - i + 1)
+        |        ORDER BY i LIMIT 1),
+        |b AS (SELECT w.lang, w.corpus_tokens, w.cap_tokens,
+        |        CASE WHEN lam.lamstar IS NULL THEN w.cap_tokens
+        |             ELSE least(w.cap_tokens, lam.lamstar) END AS bud,
+        |        (lam.lamstar IS NULL OR w.cap_tokens < lam.lamstar) AS capped
+        |      FROM w LEFT JOIN lam ON TRUE)
+        |SELECT lang, corpus_tokens, cap_tokens,
+        |  round(bud, 6) AS budget_tokens,
+        |  round(bud / corpus_tokens, 6) AS rate, capped
+        |FROM b ORDER BY lang""".stripMargin,
+    "unimax_sample" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), t -> len(t) > 0)) AS BIGINT) AS nt
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(sum(nt) AS BIGINT) AS corpus_tokens FROM tok GROUP BY lang),
+        |c AS (SELECT lang, corpus_tokens, corpus_tokens * 1.5 AS cap_tokens FROM g),
+        |w AS (SELECT *, row_number() OVER (ORDER BY cap_tokens, lang) AS i,
+        |        count(*) OVER () AS L,
+        |        coalesce(sum(cap_tokens) OVER (ORDER BY cap_tokens, lang
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cum
+        |      FROM c),
+        |lam AS (SELECT (30000.0 - cum) / (L - i + 1) AS lamstar FROM w
+        |        WHERE cap_tokens >= (30000.0 - cum) / (L - i + 1)
+        |        ORDER BY i LIMIT 1),
+        |r AS (SELECT w.lang,
+        |        round(CASE WHEN lam.lamstar IS NULL THEN w.cap_tokens
+        |              ELSE least(w.cap_tokens, lam.lamstar) END
+        |              / w.corpus_tokens, 6) AS rate
+        |      FROM w LEFT JOIN lam ON TRUE),
+        |d AS (SELECT t.doc_id, t.lang, r.rate,
+        |        CAST(floor(r.rate) AS INT) AS fl,
+        |        (CAST('0x' || substring(md5('umx:13:' || CAST(t.doc_id AS VARCHAR)), 1, 13)
+        |          AS BIGINT) + 0.5) / 4503599627370496.0 AS u
+        |      FROM tok t JOIN r USING (lang)),
+        |x AS (SELECT doc_id, lang, rate, fl, u,
+        |        unnest(range(fl + 1)) AS e FROM d)
+        |SELECT doc_id, lang, CAST(e AS INT) AS epoch FROM x
+        |WHERE e < fl OR u < rate - fl
+        |ORDER BY doc_id, epoch""".stripMargin,
     // FIM: the full rewritten string replayed — same md5 draws, same
     // code-point substring arithmetic, both sentinel layouts
     "fim_transform" ->

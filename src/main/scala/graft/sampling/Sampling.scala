@@ -300,6 +300,117 @@ object Sampling {
         (col("available") < lit(budget) * w / col("__wsum")).as("deficit"))
   }
 
+  /** UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): distribute a token budget UNIFORMLY
+    * across strata, except that no stratum may repeat more than
+    * `epochCap` epochs of its own corpus — the classic water-filling
+    * allocation. Capped strata (corpus · epochCap below the fair share)
+    * take their cap; the leftover redistributes uniformly among the
+    * rest, i.e. `budget_tokens = min(cap_tokens, λ*)` where λ* is the
+    * water level with `Σ min(cap, λ*) = budget`. Unlike
+    * [[temperatureMixPlan]] there is no tuning exponent — the paper's
+    * point is that the epoch cap alone prevents low-resource
+    * over-repetition while staying maximally uniform.
+    *
+    * Output per stratum: `corpus_tokens`, `cap_tokens`,
+    * `budget_tokens`, `rate` (budget/corpus, CAN exceed 1 — up-sampling
+    * means multiple epochs), `capped`. If the budget exceeds every
+    * cap's sum, all strata cap and the plan under-fills (visible as
+    * `Σ budget_tokens < budget` — the paper's regime always has a head
+    * language to absorb the remainder, but the plan must not invent
+    * tokens).
+    *
+    * Scale shape: one groupBy over the corpus to |strata| rows, then
+    * the water level is computed INSIDE one further single-row
+    * aggregate — the sorted (cap asc, stratum) array is bounded by
+    * stratum cardinality (languages: hundreds), and a single
+    * left-to-right pass finds λ* = (budget − Σ capped caps)/(remaining)
+    * at the first uncapped stratum. No window, no driver collect; the
+    * 1-row level frame broadcasts back. The sequential pass also fixes
+    * the float addition ORDER, which is what lets an external engine
+    * replay λ* bit for bit. */
+  def unimaxPlan(
+      df: DataFrame,
+      stratumCol: String,
+      nTokensCol: String,
+      budget: Long,
+      epochCap: Double): DataFrame = {
+    require(budget > 0, s"budget must be > 0, got $budget")
+    require(epochCap > 0, s"epochCap must be > 0, got $epochCap")
+    val counts = df
+      .groupBy(col(stratumCol))
+      .agg(sum(col(nTokensCol)).cast("long").as("corpus_tokens"))
+      .withColumn("cap_tokens",
+        col("corpus_tokens").cast("double") * lit(epochCap))
+    val level = counts
+      .agg(
+        count(lit(1)).cast("int").as("__L"),
+        sort_array(collect_list(struct(
+          col("cap_tokens").as("cap"), col(stratumCol).as("s")))).as("__xs"))
+      .select(expr(
+        s"""aggregate(__xs,
+           |  named_struct('i', 0, 'cum', cast(0.0 as double),
+           |               'lam', cast(null as double)),
+           |  (a, x) -> named_struct(
+           |    'i', a.i + 1,
+           |    'cum', a.cum + x.cap,
+           |    'lam', CASE WHEN a.lam IS NULL
+           |                     AND x.cap >= (${budget}d - a.cum) / (__L - a.i)
+           |                THEN (${budget}d - a.cum) / (__L - a.i)
+           |                ELSE a.lam END),
+           |  a -> a.lam)""".stripMargin).as("__lam"))
+    counts
+      .crossJoin(broadcast(level))
+      .select(
+        col(stratumCol),
+        col("corpus_tokens"),
+        col("cap_tokens"),
+        round(when(col("__lam").isNull, col("cap_tokens"))
+          .otherwise(least(col("cap_tokens"), col("__lam"))), 6)
+          .as("budget_tokens"),
+        round(
+          when(col("__lam").isNull, col("cap_tokens"))
+            .otherwise(least(col("cap_tokens"), col("__lam")))
+            / col("corpus_tokens"), 6).as("rate"),
+        (col("__lam").isNull || col("cap_tokens") < col("__lam")).as("capped"))
+  }
+
+  /** Execute a [[unimaxPlan]]: each document repeats `floor(rate)` full
+    * epochs and joins one more with probability `rate − floor(rate)` —
+    * a portable md5 draw per document, so expected tokens per stratum
+    * equal the plan's budget and the sample is deterministic and
+    * replayable. Output rows carry `epoch` (0-based). A stratum at
+    * rate ≤ 1 degenerates to plain Bernoulli sampling; the up-sampled
+    * tail gets whole-corpus epochs, which preserves within-stratum
+    * uniformity exactly (UniMax's fairness property — no document of a
+    * language repeats more than one epoch ahead of its peers).
+    *
+    * Scale shape: broadcast plan join + a bounded explode
+    * (≤ ⌈epochCap⌉ + 1 per row) + a pure filter — no shuffle of the
+    * corpus. */
+  def unimaxSample(
+      df: DataFrame,
+      idCol: String,
+      stratumCol: String,
+      nTokensCol: String,
+      budget: Long,
+      epochCap: Double,
+      seed: Long): DataFrame = {
+    val plan = unimaxPlan(df, stratumCol, nTokensCol, budget, epochCap)
+      .select(col(stratumCol), col("rate"))
+    val u = (graft.Exprs.md5Bits52(concat_ws(":",
+      lit("umx"), lit(seed.toString), col(idCol).cast("string")))
+      + lit(0.5)) / lit(4503599627370496.0)
+    df.join(broadcast(plan), Seq(stratumCol))
+      .withColumn("__full", floor(col("rate")).cast("int"))
+      .withColumn("epoch",
+        explode(sequence(lit(0), col("__full"))))
+      .filter(col("epoch") < col("__full") ||
+        u < col("rate") - col("__full"))
+      .drop("rate", "__full")
+  }
+
   /** Deterministic uniform reservoir of exactly `k` rows per stratum
     * (min(k, stratum size) for small strata): every row gets an md5
     * priority from (id, salt) and the k largest priorities per key win.

@@ -1047,6 +1047,45 @@ class ConfigJobsSpec extends AnyFunSuite {
     // the surviving page's text is REWRITTEN to its surviving lines
     assert(kept(1L) === "One good sentence sits here.\nA second good sentence follows.")
   }
+  test("sample-mix catalog stage: unimax strategy water-fills and tags epochs") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-umx-jobs").toString
+    // a: 10 docs x 10 tokens, c: 100 docs x 10 tokens
+    val ten = Seq.fill(10)("w").mkString(" ")
+    ((1 to 10).map(i => (i.toLong, "a", ten)) ++
+      (101 to 200).map(i => (i.toLong, "c", ten)))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$work/docs")
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Map("jobs" -> List(
+        Map("name" -> "corpus-curation", "fail_fast" -> true, "stages" -> List(
+          Map("name" -> "mix", "tasks" -> List(
+            Map("name" -> "sample-mix",
+              "params" -> Map("strategy" -> "unimax", "budget" -> "700",
+                "epoch_cap" -> "2.0")))))))),
+      "data_catalog" -> Map(
+        "clean" -> Map(
+          "documents_redacted" -> s"$work/docs",
+          "documents_mixed" -> s"$work/mixed"),
+        "processed" -> Map("mix_plan" -> s"$work/plan")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(Context(cfg, spark), "corpus-curation").isEmpty)
+    // water-fill: caps 200/2000, fair share 350 -> a capped at 200,
+    // c takes the 500 leftover (rate 0.5)
+    val plan = spark.read.parquet(s"$work/plan")
+      .select("lang", "budget_tokens", "capped")
+      .as[(String, Double, Boolean)].collect()
+      .map { case (l, b, c) => l -> ((b, c)) }.toMap
+    assert(plan("a") === ((200.0, true)) && plan("c") === ((500.0, false)))
+    val mixed = spark.read.parquet(s"$work/mixed")
+    // every a-doc appears exactly twice (rate 2.0), c-docs thinned ~half
+    assert(mixed.filter($"lang" === "a").count() === 20L)
+    val cN = mixed.filter($"lang" === "c").count()
+    assert(cN > 30 && cN < 70, s"got $cN")
+    assert(mixed.columns.contains("epoch"))
+  }
   test("diversify catalog stage prunes prototypical embeddings via D4") {
     val spark = SparkSpec.session
     import spark.implicits._

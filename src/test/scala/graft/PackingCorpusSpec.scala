@@ -339,6 +339,55 @@ class PackingCorpusSpec extends SparkSpec {
     assert(deficit.getAs[Boolean]("deficit") && deficit.getAs[Double]("rate") == 1.0)
   }
 
+  test("unimaxPlan: water-filling by hand — caps bind, leftover redistributes, budget conserved") {
+    // tokens a:100 b:200 c:1000, cap 2 epochs -> caps 200/400/2000.
+    // Budget 1000: fair share 333 caps a (200); leftover 800 over {b,c}
+    // is 400 each — exactly b's cap (boundary: >= means UNcapped), so
+    // λ* = 400 and the budget is conserved: 200 + 400 + 400 = 1000.
+    val d = ((1 to 10).map(i => (s"d$i", "a", 10L)) ++
+      (1 to 20).map(i => (s"e$i", "b", 10L)) ++
+      (1 to 100).map(i => (s"f$i", "c", 10L)))
+      .toDF("id", "lang", "n_tokens")
+    val plan = Sampling.unimaxPlan(d, "lang", "n_tokens",
+      budget = 1000L, epochCap = 2.0)
+      .collect().map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("corpus_tokens"), r.getAs[Double]("budget_tokens"),
+          r.getAs[Double]("rate"), r.getAs[Boolean]("capped")))).toMap
+    assert(plan("a") === ((100L, 200.0, 2.0, true)))
+    assert(plan("b") === ((200L, 400.0, 2.0, false))) // boundary: cap == λ*
+    assert(plan("c") === ((1000L, 400.0, 0.4, false)))
+    assert(plan.values.map(_._2).sum === 1000.0) // budget conserved
+    // budget above every cap: all capped, plan under-fills honestly
+    val all = Sampling.unimaxPlan(d, "lang", "n_tokens",
+      budget = 10000L, epochCap = 2.0)
+      .collect().map(r => (r.getAs[Double]("budget_tokens"),
+        r.getAs[Boolean]("capped")))
+    assert(all.forall(_._2) && all.map(_._1).sum === 2600.0)
+  }
+
+  test("unimaxSample: full epochs exact, fractional epoch Bernoulli, within-stratum fair") {
+    val d = ((1 to 10).map(i => (s"d$i", "a", 10L)) ++
+      (1 to 20).map(i => (s"e$i", "b", 10L)) ++
+      (1 to 100).map(i => (s"f$i", "c", 10L)))
+      .toDF("id", "lang", "n_tokens")
+    val out = Sampling.unimaxSample(d, "id", "lang", "n_tokens",
+      budget = 1000L, epochCap = 2.0, seed = 1L)
+      .select("id", "lang", "epoch").collect()
+    val byDoc = out.groupBy(_.getAs[String]("id")).view.mapValues(_.length).toMap
+    // rate 2.0 strata: EVERY doc exactly twice (epochs 0 and 1)
+    (1 to 10).foreach(i => assert(byDoc(s"d$i") === 2))
+    (1 to 20).foreach(i => assert(byDoc(s"e$i") === 2))
+    // rate 0.4 stratum: each doc 0 or 1 times, ~40 of 100 total
+    val cCounts = (1 to 100).map(i => byDoc.getOrElse(s"f$i", 0))
+    assert(cCounts.forall(c => c == 0 || c == 1))
+    assert(cCounts.sum > 20 && cCounts.sum < 60, s"got ${cCounts.sum}")
+    // deterministic
+    val again = Sampling.unimaxSample(d, "id", "lang", "n_tokens",
+      budget = 1000L, epochCap = 2.0, seed = 1L)
+      .select("id", "lang", "epoch").collect()
+    assert(out.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("bigramLogProb: templated text scores low, shuffled soup scores high") {
     val coherent = "the cat sat on the mat"
     val d = Seq(
