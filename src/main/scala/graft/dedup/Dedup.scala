@@ -743,6 +743,88 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** ROUGE-L F1 of two token-array columns: `2·LCS / (n_a + n_b)`
+    * (Lin 2004 — precision `LCS/n_a`, recall `LCS/n_b`, harmonic mean),
+    * rounded to the library's 6-decimal score unit. Both sides empty →
+    * null (no content to compare). The LCS runs in the native
+    * [[graft.expressions.LcsTokens]] kernel — one codegen'd O(n·m) DP
+    * per pair, not interpreted lambdas. */
+  def rougeL(aToks: Column, bToks: Column): Column = {
+    val lcs = org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.LcsTokens(
+        org.apache.spark.sql.graft.Bridge.expression(aToks),
+        org.apache.spark.sql.graft.Bridge.expression(bToks)))
+    round(lit(2.0) * lcs / (size(aToks) + size(bToks)), 6)
+  }
+
+  private def rougeTokens(c: Column, maxTokens: Int): Column =
+    slice(filter(split(trim(lower(c)), "\\s+"), t => length(t) > 0),
+      1, maxTokens)
+
+  /** Instruction-data near-dup pairs by ROUGE-L (the self-instruct
+    * filter, Wang et al. 2023: a candidate instruction is dropped when
+    * its ROUGE-L F against the pool is high — word-overlap dedup alone
+    * misses reorderings that LCS catches, and LCS alone is uncomputable
+    * all-pairs). Candidates come from the MinHash-LSH banding the
+    * near-dup family already runs (ROUGE-similar texts share vocabulary,
+    * so shingle-Jaccard blocking is the standard candidate generator);
+    * each candidate pair is verified with the native LCS kernel and kept
+    * at `rouge_l >= threshold`. Output: (id_a, id_b, lcs, rouge_l).
+    *
+    * Scale shape: banding bounds candidates exactly as
+    * [[minhashNearDupPairs]] (capped buckets, no all-pairs); the
+    * quadratic DP runs only on candidate pairs and only over the first
+    * `maxTokens` tokens per side (instructions are short; the truncation
+    * is the documented guard that keeps a stray long document from
+    * turning verification quadratic). Like every LSH path, recall is
+    * bounded by the banding operating point — a pair with high ROUGE-L
+    * but near-zero shingle overlap (e.g. heavy token subsampling) is not
+    * a candidate; that tradeoff is inherent to blocked ROUGE dedup. */
+  def rougeLNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxTokens: Int = 256,
+      shingleK: Int = 3,
+      bands: Int = 16,
+      rowsPerBand: Int = 2,
+      maxBucket: Int = 1000): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0,1], got $threshold")
+    require(maxTokens > 0, s"maxTokens must be > 0, got $maxTokens")
+    val cands = minhashCandidatePairs(df, idCol, textCol, shingleK, bands,
+      rowsPerBand, maxBucket)
+    val toks = df.select(col(idCol),
+      rougeTokens(col(textCol), maxTokens).as("__rt"))
+    val lcs = org.apache.spark.sql.graft.Bridge.column(
+      graft.expressions.LcsTokens(
+        org.apache.spark.sql.graft.Bridge.expression(col("__ta")),
+        org.apache.spark.sql.graft.Bridge.expression(col("__tb"))))
+    cands
+      .join(toks.select(col(idCol).as("id_a"), col("__rt").as("__ta")), Seq("id_a"))
+      .join(toks.select(col(idCol).as("id_b"), col("__rt").as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), lcs.as("lcs"),
+        round(lit(2.0) * lcs / (size(col("__ta")) + size(col("__tb"))), 6)
+          .as("rouge_l"))
+      .filter(col("rouge_l") >= threshold)
+  }
+
+  /** ROUGE-L dedup enforcement: drop every row with a lower-id ROUGE
+    * twin ([[rougeLNearDupPairs]]), keep everything else — the same
+    * lowest-id-survives exemplar rule as the other dedup families,
+    * applied with the self-instruct verifier. */
+  def rougeLDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxTokens: Int = 256): DataFrame = {
+    val losers = rougeLNearDupPairs(df, idCol, textCol, threshold, maxTokens)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Corpus-level line dedup (the CCNet/RefinedWeb preprocessing step):
     * lines that occur in more than `maxOccurrences` documents corpus-wide
     * are boilerplate (nav bars, cookie banners, footers) and are removed

@@ -1461,6 +1461,56 @@ object LlmQueries {
             .as("count_sane"))
         .orderBy(col("conv_id"))
     },
+    // --- ROUGE-L (dedup/Dedup.scala + expressions/LcsTokens.scala):
+    // the LCS kernel scored against CONSTRUCTED subsequence variants,
+    // where LCS is exact token-count arithmetic: a copy (lcs = n), the
+    // first-half prefix (lcs = n/2), every-other-token (lcs = ceil(n/2))
+    // and a disjoint-vocab rewrite (lcs = 0)
+    "rouge_l_score" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          filter(split(trim(lower(col("text"))), "\\s+"),
+            t => length(t) > 0).as("toks"))
+      val v = docs.select(col("doc_id"), col("toks"), explode(array(
+        struct(lit("alt").as("variant"),
+          expr("filter(toks, (t, i) -> i % 2 = 0)").as("vtoks")),
+        struct(lit("copy").as("variant"), col("toks").as("vtoks")),
+        struct(lit("disjoint").as("variant"),
+          expr("transform(toks, t -> concat(t, 'zq'))").as("vtoks")),
+        struct(lit("half").as("variant"),
+          slice(col("toks"), lit(1),
+            floor(size(col("toks")) / 2).cast("int")).as("vtoks"))))
+        .as("v"))
+      v.select(col("doc_id"), col("v.variant").as("variant"),
+        size(col("toks")).cast("long").as("n_a"),
+        size(col("v.vtoks")).cast("long").as("n_b"),
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.expressions.LcsTokens(
+            org.apache.spark.sql.graft.Bridge.expression(col("toks")),
+            org.apache.spark.sql.graft.Bridge.expression(col("v.vtoks"))))
+          .cast("long").as("lcs"),
+        graft.dedup.Dedup.rougeL(col("toks"), col("v.vtoks")).as("rouge_l"))
+        .orderBy(col("doc_id"), col("variant"))
+    },
+    // the production blocked path at threshold 0.9: only text-equal
+    // pairs (the planted exact copies) can survive — the half variants
+    // top out at 2·(n/2)/(1.5n) ≈ 0.67 — so the survivor set is the
+    // token-equality join the oracle states
+    "rouge_dedup_pairs" -> { (s, dir) =>
+      val base = t(s, dir, "documents").filter(col("doc_id") < 40)
+        .select(col("doc_id"), col("text"))
+      val half = base.select((col("doc_id") + 200000).as("doc_id"),
+        array_join(slice(
+          filter(split(trim(lower(col("text"))), "\\s+"), t => length(t) > 0),
+          lit(1), floor(size(filter(split(trim(lower(col("text"))), "\\s+"),
+            t => length(t) > 0)) / 2).cast("int")), " ").as("text"))
+      val corpus = base
+        .unionByName(base.select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionByName(half)
+      graft.dedup.Dedup
+        .rougeLNearDupPairs(corpus, "doc_id", "text", threshold = 0.9)
+        .orderBy(col("id_a"), col("id_b"))
+    },
     // --- UniMax water-filling mix (sampling/Sampling.scala): budget
     // 30000 tokens, epoch cap 1.5 — at the sf corpus shape the four
     // tail languages cap (rate 1.5) and en absorbs the leftover, so
@@ -3432,6 +3482,39 @@ object LlmQueries {
         |       THEN length(content) + 10 ELSE 0 END) AS BIGINT) AS masked_chars,
         |  TRUE AS mask_exact, TRUE AS count_sane
         |FROM tt GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    // ROUGE-L kernel: every variant's LCS is subsequence arithmetic
+    "rouge_l_score" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id < 40),
+        |n AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n FROM d),
+        |v AS (
+        |  SELECT doc_id, 'alt' AS variant, n AS n_a,
+        |    (n + 1) // 2 AS n_b, (n + 1) // 2 AS lcs FROM n
+        |  UNION ALL SELECT doc_id, 'copy', n, n, n FROM n
+        |  UNION ALL SELECT doc_id, 'disjoint', n, n, 0 FROM n
+        |  UNION ALL SELECT doc_id, 'half', n, n // 2, n // 2 FROM n)
+        |SELECT doc_id, variant, n_a, CAST(n_b AS BIGINT) AS n_b,
+        |  CAST(lcs AS BIGINT) AS lcs,
+        |  CASE WHEN n_a + n_b = 0 THEN NULL
+        |       ELSE round(2.0 * lcs / (n_a + n_b), 6) END AS rouge_l
+        |FROM v ORDER BY doc_id, variant""".stripMargin,
+    // blocked ROUGE dedup at 0.9: survivors are exactly the token-equal
+    // pairs (planted copies; any accidental token-equal pair would
+    // satisfy the same rule on both sides)
+    "rouge_dedup_pairs" ->
+      """WITH d AS (SELECT doc_id,
+        |  list_filter(string_split_regex(trim(lower(text)), '\s+'), t -> len(t) > 0) AS toks
+        |  FROM documents WHERE doc_id < 40),
+        |corpus AS (
+        |  SELECT doc_id, toks FROM d
+        |  UNION ALL SELECT doc_id + 100000, toks FROM d
+        |  UNION ALL SELECT doc_id + 200000, toks[1 : len(toks) // 2] FROM d)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(a.toks) AS INT) AS lcs, 1.0 AS rouge_l
+        |FROM corpus a JOIN corpus b
+        |  ON a.doc_id < b.doc_id AND len(a.toks) > 0 AND a.toks = b.toks
+        |ORDER BY id_a, id_b""".stripMargin,
     // UniMax: the water level λ* is the λ_i of the FIRST uncapped
     // stratum in (cap asc, stratum) order — cum sums add in that same
     // order in both engines, so the doubles replay bit for bit

@@ -1022,6 +1022,57 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(stats.forall(_ == 17))
   }
 
+  test("rougeL: hand-computed LCS cases — reorder, subsequence, disjoint, empty") {
+    def toks(s: String) = split(trim(lower(lit(s))), "\\s+")
+    val out = Seq(1).toDF("x").select(
+      graft.dedup.Dedup.rougeL(toks("a b c d"), toks("a b c d")).as("same"),
+      graft.dedup.Dedup.rougeL(toks("a b c d"), toks("b a c d")).as("reorder"),
+      graft.dedup.Dedup.rougeL(toks("a b c d e"), toks("b d e")).as("subseq"),
+      graft.dedup.Dedup.rougeL(toks("a b c"), toks("x y z")).as("disjoint"),
+      graft.dedup.Dedup.rougeL(toks("a b"), toks("b a")).as("swap")
+    ).head()
+    assert(out.getAs[Double]("same") === 1.0)
+    // LCS(abcd, bacd) = 3 ("a c d" or "b c d") -> 2*3/8
+    assert(out.getAs[Double]("reorder") === 0.75)
+    // "b d e" is a subsequence -> LCS 3 -> 2*3/8
+    assert(out.getAs[Double]("subseq") === 0.75)
+    assert(out.getAs[Double]("disjoint") === 0.0)
+    // LCS(ab, ba) = 1 -> 2*1/4
+    assert(out.getAs[Double]("swap") === 0.5)
+  }
+
+  test("rougeLNearDupPairs: copies and near-copies found, verified scores, truncation") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    val d = Seq(
+      (1L, base),
+      (2L, base),                                             // exact copy
+      (3L, "bravo alpha charlie delta echo foxtrot golf hotel india juliet"), // 2 swapped
+      (4L, "kilo lima mike november oscar papa quebec romeo sierra tango")
+    ).toDF("doc_id", "text")
+    val pairs = graft.dedup.Dedup
+      .rougeLNearDupPairs(d, "doc_id", "text", threshold = 0.8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Double]("rouge_l")).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    // swap keeps LCS 9 of 10 -> 0.9, above threshold; found via shared shingles
+    assert(pairs((1L, 3L)) === 0.9 && pairs((2L, 3L)) === 0.9)
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // enforcement: lowest id survives each twin chain
+    val kept = graft.dedup.Dedup
+      .rougeLDedup(d, "doc_id", "text", threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept === Seq(1L, 4L))
+    // truncation: pair equal in the first 2 tokens, different after —
+    // maxTokens=2 sees identical prefixes and scores 1.0
+    val t2 = Seq((1L, "same same tail one two"), (2L, "same same other words here"))
+      .toDF("doc_id", "text")
+    val tr = graft.dedup.Dedup
+      .rougeLNearDupPairs(t2, "doc_id", "text", threshold = 0.9,
+        maxTokens = 2, shingleK = 1)
+      .collect()
+    assert(tr.length === 1 && tr.head.getAs[Double]("rouge_l") === 1.0)
+  }
+
   test("prototypeScores: nearest-centroid assignment, smaller cell wins ties, zero-norm null") {
     val corpus = Seq(
       (1L, Seq(1.0f, 0.0f)),   // exactly centroid 0
