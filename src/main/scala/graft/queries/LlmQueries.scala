@@ -1136,6 +1136,18 @@ object LlmQueries {
         .select(col("vec_id"))
         .orderBy(col("vec_id"))
     },
+    // --- DPR hard-negative mining at the exact operating point
+    // (nprobe = nlist): top-k cosine minus the labeled positives
+    // (vec_id + 5 by construction), brute-replayable
+    "hard_negatives_exact" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 5)
+      val pos = q.select(col("vec_id"), (col("vec_id") + 5).as("pos_id"))
+      Similarity
+        .hardNegatives(e, q, pos, "vec_id", "embedding", "vec_id",
+          k = 10, nlist = 16, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    },
     // --- D4 / SSL-prototype diversification, exact-mode twins (the ANN
     // pattern): centroids SUPPLIED deterministically (the first 8
     // vectors), so assignment + per-cell percentile cutoff replay in
@@ -1460,6 +1472,23 @@ object LlmQueries {
             col("n_loss_tokens") >= size(col("mask_spans")))
             .as("count_sane"))
         .orderBy(col("conv_id"))
+    },
+    // --- Unicode script profile (text/TextAnalysis.scala): planted
+    // multi-script rows exercise every branch — pure-Han and pure-Hangul
+    // dominance, Cyrillic/Hebrew tails flipping the mixed flag, and the
+    // organic Latin corpus
+    "script_profile" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 60)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0, lit("中文语料质量检验文本"))
+            .when(col("doc_id") % 7 === 1,
+              concat(col("text"), lit(" привет мир тест")))
+            .when(col("doc_id") % 7 === 2,
+              concat(col("text"), lit(" נוסח עברי קצר")))
+            .when(col("doc_id") % 7 === 3, lit("한국어 텍스트 표본"))
+            .otherwise(col("text")).as("text"))
+      TextAnalysis.scriptProfile(docs, "doc_id", "text")
+        .orderBy(col("doc_id"))
     },
     // --- ROUGE-L (dedup/Dedup.scala + expressions/LcsTokens.scala):
     // the LCS kernel scored against CONSTRUCTED subsequence variants,
@@ -2776,6 +2805,20 @@ object LlmQueries {
         |SELECT c.vec_id FROM corpus c
         |WHERE c.vec_id NOT IN (SELECT vec_id FROM losers)
         |ORDER BY vec_id""".stripMargin,
+    // hard negatives: brute cosine minus self and the labeled positive
+    "hard_negatives_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |s AS (SELECT query_id, e.vec_id,
+        |        round(list_dot_product(v, qv)
+        |          / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+        |      FROM e, q
+        |      WHERE e.vec_id <> query_id AND e.vec_id <> query_id + 5),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        |      FROM s)
+        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     // prototype pruning: nearest-centroid assignment (rounded cosine,
     // ties to the smaller cell via the (score, -cell) struct max), exact
     // per-cell 75th-percentile cutoff, strictly-above rows pruned
@@ -3482,6 +3525,48 @@ object LlmQueries {
         |       THEN length(content) + 10 ELSE 0 END) AS BIGINT) AS masked_chars,
         |  TRUE AS mask_exact, TRUE AS count_sane
         |FROM tt GROUP BY conv_id ORDER BY conv_id""".stripMargin,
+    // script profile: the same block-range classes replayed in RE2
+    // (global replace), dominant = (count, name) struct max
+    "script_profile" ->
+      """WITH d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN '中文语料质量检验文本'
+        |       WHEN doc_id % 7 = 1 THEN text || ' привет мир тест'
+        |       WHEN doc_id % 7 = 2 THEN text || ' נוסח עברי קצר'
+        |       WHEN doc_id % 7 = 3 THEN '한국어 텍스트 표본'
+        |       ELSE text END AS t
+        |  FROM documents WHERE doc_id < 60),
+        |c AS (SELECT doc_id,
+        |  CAST(length(t) - length(regexp_replace(t, '[؀-ۿ]', '', 'g')) AS BIGINT) AS n_arabic,
+        |  CAST(length(t) - length(regexp_replace(t, '[Ѐ-ӿ]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(length(t) - length(regexp_replace(t, '[ऀ-ॿ]', '', 'g')) AS BIGINT) AS n_devanagari,
+        |  CAST(length(t) - length(regexp_replace(t, '[Ͱ-Ͽ]', '', 'g')) AS BIGINT) AS n_greek,
+        |  CAST(length(t) - length(regexp_replace(t, '[一-鿿]', '', 'g')) AS BIGINT) AS n_han,
+        |  CAST(length(t) - length(regexp_replace(t, '[가-힣]', '', 'g')) AS BIGINT) AS n_hangul,
+        |  CAST(length(t) - length(regexp_replace(t, '[֐-׿]', '', 'g')) AS BIGINT) AS n_hebrew,
+        |  CAST(length(t) - length(regexp_replace(t, '[぀-ヿ]', '', 'g')) AS BIGINT) AS n_kana,
+        |  CAST(length(t) - length(regexp_replace(t, '[A-Za-zÀ-ÖØ-öø-ɏ]', '', 'g')) AS BIGINT) AS n_latin
+        |  FROM d),
+        |tot AS (SELECT *, n_arabic + n_cyrillic + n_devanagari + n_greek + n_han
+        |          + n_hangul + n_hebrew + n_kana + n_latin AS n_script_chars FROM c),
+        |u AS (SELECT doc_id, 'arabic' AS s, n_arabic AS n FROM c
+        |  UNION ALL SELECT doc_id, 'cyrillic', n_cyrillic FROM c
+        |  UNION ALL SELECT doc_id, 'devanagari', n_devanagari FROM c
+        |  UNION ALL SELECT doc_id, 'greek', n_greek FROM c
+        |  UNION ALL SELECT doc_id, 'han', n_han FROM c
+        |  UNION ALL SELECT doc_id, 'hangul', n_hangul FROM c
+        |  UNION ALL SELECT doc_id, 'hebrew', n_hebrew FROM c
+        |  UNION ALL SELECT doc_id, 'kana', n_kana FROM c
+        |  UNION ALL SELECT doc_id, 'latin', n_latin FROM c),
+        |dom AS (SELECT doc_id, max(struct_pack(c := n, s := s)) AS m
+        |        FROM u WHERE n > 0 GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_arabic, t.n_cyrillic, t.n_devanagari, t.n_greek,
+        |  t.n_han, t.n_hangul, t.n_hebrew, t.n_kana, t.n_latin,
+        |  t.n_script_chars, dom.m.s AS dominant_script,
+        |  round(dom.m.c * 1.0 / t.n_script_chars, 6) AS dominant_frac,
+        |  coalesce((t.n_script_chars - dom.m.c) * 1.0
+        |           > 0.05 * t.n_script_chars, FALSE) AS script_mixed
+        |FROM tot t LEFT JOIN dom USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     // ROUGE-L kernel: every variant's LCS is subsequence arithmetic
     "rouge_l_score" ->
       """WITH d AS (SELECT doc_id,

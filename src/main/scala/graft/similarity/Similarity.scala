@@ -711,6 +711,54 @@ object Similarity {
     corpus.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Hard-negative mining for retrieval/embedding training (the DPR
+    * recipe, Karpukhin et al. 2020: the best negatives are the corpus
+    * passages the CURRENT embedding ranks highest that are NOT labeled
+    * positive — random negatives are too easy and BM25-only negatives
+    * too narrow). For every query: IVF cosine top-(k + slack), minus
+    * that query's labeled positives (`positives` = (queryIdCol, idCol)
+    * pairs; the query's own id is excluded by the search itself), re-
+    * ranked to the final k. `slack` must cover the worst-case positives
+    * per query landing inside the shortlist (default 16; labeled sets
+    * are small).
+    *
+    * Scale shape: everything is the IVF search's shape (broadcast
+    * probes, cell-pruned candidate join); the positive exclusion is an
+    * anti-join on the |queries|·(k+slack) SHORTLIST — never the corpus —
+    * and the final re-rank windows the same shortlist, keyed by query.
+    * At `nprobe = nlist` the result is exact and fully oracle-able. */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      positives: DataFrame,
+      idCol: String,
+      vecCol: String,
+      queryIdCol: String,
+      k: Int,
+      nlist: Int = 0,
+      nprobe: Int = 0,
+      slack: Int = 16,
+      seed: Long = 0L,
+      fitSample: Int = 100000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(slack >= 0, s"slack must be >= 0, got $slack")
+    require(positives.columns.length == 2,
+      s"positives must be exactly (query id, positive id) columns, got " +
+        positives.columns.mkString(", "))
+    val shortlist = ivfCosineTopK(corpus, queries, idCol, vecCol, queryIdCol,
+      k + slack, nlist, nprobe, seed, fitSample)
+    // positional contract: first column = query id, second = positive id
+    // (a name contract would be ambiguous when corpus and queries share
+    // an id column name, the common case)
+    val pos = positives.select(
+      col(positives.columns(0)).as("query_id"),
+      col(positives.columns(1)).as(idCol))
+    rankTopK(
+      shortlist.join(pos, Seq("query_id", idCol), "left_anti")
+        .drop("rank"),
+      idCol, k)
+  }
+
   /** SSL-prototype scores against a SUPPLIED centroid frame — the
     * deterministic core of D4-style diversification (Sorscher et al.
     * 2022 "Beyond neural scaling laws"; Tirumala et al. 2023 "D4").

@@ -81,6 +81,62 @@ object TextAnalysis {
     * multiple times blocks CollapseProject) — the previous formulation was
     * one regexp_replace full-text scan per stopword, ~20 scans of every
     * byte per row. */
+  /** The script ranges [[scriptProfile]] counts — name → regex char
+    * range (literal code points, so the same class text runs in Java
+    * regex and RE2). Block-level approximations of the major writing
+    * systems; Latin excludes the ×/÷ symbols embedded in Latin-1. */
+  val scriptRanges: Seq[(String, String)] = Seq(
+    "arabic" -> "؀-ۿ",
+    "cyrillic" -> "Ѐ-ӿ",
+    "devanagari" -> "ऀ-ॿ",
+    "greek" -> "Ͱ-Ͽ",
+    "han" -> "一-鿿",
+    "hangul" -> "가-힣",
+    "hebrew" -> "֐-׿",
+    "kana" -> "぀-ヿ",
+    "latin" -> "A-Za-zÀ-ÖØ-öø-ɏ")
+
+  /** Unicode script profile — the crawl-quality signal that PRECEDES
+    * language ID: per-script character counts over the major writing
+    * systems, the dominant script, its share of all script characters,
+    * and a mixed-script flag (script chars outside the dominant system
+    * above 5% — the classic spam/encoding-mojibake tell, and the gate
+    * deciding which language-ID path a document takes). Counts use the
+    * library's subtraction idiom `length(x) − length(regexp_replace(x,
+    * range, ''))` — one regex pass per script over a block-range class,
+    * identical semantics in Java regex and RE2, so the oracle replays
+    * every count. Dominant = field-lexicographic max of (count, name)
+    * structs over the scripts with count > 0 (ties to the
+    * lexicographically later name, deterministic); all-zero rows (no
+    * script character at all) keep a null dominant. Pure projection —
+    * no shuffle, scales as a map pass. */
+  def scriptProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col(textCol)
+    def cnt(range: String): Column =
+      (length(c) - length(regexp_replace(c, s"[$range]", ""))).cast("long")
+    val counted = scriptRanges.foldLeft(df.select(col(idCol), c)) {
+      case (d, (name, range)) => d.withColumn(s"n_$name", cnt(range))
+    }
+    val total = scriptRanges.map { case (n, _) => col(s"n_$n") }
+      .reduce(_ + _)
+    val dom = array_max(filter(
+      array(scriptRanges.map { case (n, _) =>
+        struct(col(s"n_$n").as("c"), lit(n).as("s"))
+      }: _*),
+      s => s.getField("c") > 0))
+    counted
+      .withColumn("n_script_chars", total)
+      .withColumn("dominant_script", dom.getField("s"))
+      .withColumn("dominant_frac",
+        round(dom.getField("c") / col("n_script_chars"), 6))
+      .withColumn("script_mixed",
+        coalesce(
+          (col("n_script_chars") - dom.getField("c")).cast("double")
+            > lit(0.05) * col("n_script_chars"),
+          lit(false)))
+      .drop(textCol)
+  }
+
   def languageScores(df: DataFrame, textCol: String, out: String = "lang_detected"): DataFrame = {
     val c = col(textCol)
     val sortedLangs = langStopwords.keys.toSeq.sorted

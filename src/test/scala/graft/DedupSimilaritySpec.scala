@@ -1022,6 +1022,56 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(stats.forall(_ == 17))
   }
 
+  test("hardNegatives: labeled positives excluded, self excluded, ranks contiguous") {
+    // 1-d directions on a circle: neighbors ordered by angle
+    def unitAt(deg: Double) = {
+      val r = math.toRadians(deg)
+      Seq(math.cos(r).toFloat, math.sin(r).toFloat)
+    }
+    val corpus = (0 until 20).map(i => (i.toLong, unitAt(i * 4.0)))
+      .toDF("id", "vec")
+    val queries = corpus.filter($"id" === 0L)
+    // the two angular neighbors are the labeled positives
+    val pos = Seq((0L, 1L), (0L, 2L)).toDF("qid", "pid")
+    val out = Similarity.hardNegatives(corpus, queries, pos,
+      "id", "vec", "id", k = 5, nlist = 4, nprobe = 4)
+      .collect()
+    val ids = out.map(_.getAs[Long]("id")).toSet
+    assert(!ids.contains(0L) && !ids.contains(1L) && !ids.contains(2L))
+    // with self and the two positives gone, the closest survivors lead
+    assert(out.length === 5)
+    assert(out.map(_.getAs[Int]("rank")).sorted.toSeq === Seq(1, 2, 3, 4, 5))
+    assert(out.minBy(_.getAs[Int]("rank")).getAs[Long]("id") === 3L)
+    // malformed positives frame fails loudly
+    intercept[IllegalArgumentException] {
+      Similarity.hardNegatives(corpus, queries,
+        Seq((0L, 1L, 2L)).toDF("a", "b", "c"), "id", "vec", "id", k = 5)
+    }
+  }
+
+  test("scriptProfile: dominance, mixed flag, empty text") {
+    val d = Seq(
+      (1L, "中文文本"),                          // pure han
+      (2L, "hello world привет"),               // latin dominant, mixed
+      (3L, ""),                                 // nothing
+      (4L, "한국어"),                           // pure hangul
+      (5L, "mostly latin text with one я")      // tiny tail below 5%
+    ).toDF("id", "text")
+    val out = TextAnalysis.scriptProfile(d, "id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[String]("dominant_script") === "han")
+    assert(out(1L).getAs[Double]("dominant_frac") === 1.0)
+    assert(!out(1L).getAs[Boolean]("script_mixed"))
+    assert(out(2L).getAs[String]("dominant_script") === "latin")
+    assert(out(2L).getAs[Boolean]("script_mixed"))
+    assert(out(2L).getAs[Long]("n_cyrillic") === 6L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("dominant_script")))
+    assert(!out(3L).getAs[Boolean]("script_mixed"))
+    assert(out(4L).getAs[String]("dominant_script") === "hangul")
+    // 1 cyrillic char over 23 latin -> 1/24 ≈ 4.2% < 5% -> not mixed
+    assert(!out(5L).getAs[Boolean]("script_mixed"))
+  }
+
   test("rougeL: hand-computed LCS cases — reorder, subsequence, disjoint, empty") {
     def toks(s: String) = split(trim(lower(lit(s))), "\\s+")
     val out = Seq(1).toDF("x").select(
