@@ -50,13 +50,14 @@ object WebDataset {
     put(124, f"${data.length}%011o ")         // size, octal
     put(136, "00000000000 ")                  // mtime 0: deterministic
     put(156, "0")                                  // typeflag: regular file
-    put(257, "ustar 00")                      // magic + version
+    put(257, "ustar")                     // POSIX magic "ustar\\0" + "00":
+    put(263, "00"); header(262) = 0   // byte-exact ustar, not v7
     // checksum: header with the chksum field as spaces
     java.util.Arrays.fill(header, 148, 156, ' '.toByte)
     var sum = 0
     var i = 0
     while (i < BlockSize) { sum += header(i) & 0xff; i += 1 }
-    put(148, f"$sum%06o  ")
+    put(148, f"$sum%06o"); header(154) = 0; header(155) = ' '.toByte
     val padded = (data.length + BlockSize - 1) / BlockSize * BlockSize
     val out = new Array[Byte](BlockSize + padded)
     System.arraycopy(header, 0, out, 0, BlockSize)
@@ -139,6 +140,13 @@ object WebDataset {
       rowsPerShard: Int = 1000): Unit = {
     require(contentCols.nonEmpty, "writeShards needs at least one content column")
     require(rowsPerShard > 0, s"rowsPerShard must be > 0, got $rowsPerShard")
+    contentCols.foreach { case (c, _) =>
+      val dt = df.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.StringType ||
+          dt == org.apache.spark.sql.types.BinaryType,
+        s"writeShards: content column '$c' is ${dt.simpleString} — members are " +
+          "written as raw bytes, so cast it to string (or binary) explicitly first")
+    }
     val projected = df.select(
       col(keyCol).cast("string").as("__key") +:
         contentCols.map { case (c, _) => col(c) }: _*)

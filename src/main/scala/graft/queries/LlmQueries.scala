@@ -306,7 +306,9 @@ object LlmQueries {
     // byte count against the source table — the training-loader delivery
     // format round-tripped under a FULL oracle
     "webdataset_roundtrip" -> { (s, dir) =>
-      val tmp = s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9]", "_")}/wds"
+      // _v2: tar headers became byte-exact POSIX ustar (magic/chksum) —
+      // staged shards from the v1 writer must not satisfy this oracle
+      val tmp = s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9]", "_")}/wds_v2"
       if (!new java.io.File(s"$tmp/_STAGED").exists()) {
         val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
           .select(col("doc_id").cast("string").as("key"), col("text"),
@@ -326,20 +328,22 @@ object LlmQueries {
     },
     // --- URL canonicalization over a planted zoo (uppercase host/www/
     // default port, tracking params, fragment + trailing slash, https
-    // :443, multi-label public suffix): the oracle predicts the
-    // canonical string from FIRST PRINCIPLES (doc_id arithmetic), so
-    // the whole normalization policy is ground-truth-checked, not
-    // regex-replayed
+    // :443, multi-label public suffix, dotted-IPv4 host): the oracle
+    // predicts the canonical string from FIRST PRINCIPLES (doc_id
+    // arithmetic), so the whole normalization policy is
+    // ground-truth-checked, not regex-replayed
     "url_normalize" -> { (s, dir) =>
       val id = col("doc_id").cast("string")
-      val v = pmod(col("doc_id"), lit(6))
+      val v = pmod(col("doc_id"), lit(7))
+      val oct = pmod(col("doc_id"), lit(9)).cast("string")
       val url = when(v === 0, concat(lit("http://ex"), id, lit(".com/p/"), id))
         .when(v === 1, concat(lit("HTTP://WWW.EX"), id, lit(".COM:80/p/"), id))
         .when(v === 2, concat(lit("http://ex"), id,
           lit(".com/p/"), id, lit("?utm_source=x&utm_medium=y&q=1")))
         .when(v === 3, concat(lit("http://ex"), id, lit(".com/p/"), id, lit("/#sec")))
         .when(v === 4, concat(lit("https://ex"), id, lit(".com:443/p/"), id))
-        .otherwise(concat(lit("http://sub.ex"), id, lit(".co.uk/p/"), id))
+        .when(v === 5, concat(lit("http://sub.ex"), id, lit(".co.uk/p/"), id))
+        .otherwise(concat(lit("http://10.0."), oct, lit(".1/p/"), id))
       t(s, dir, "documents").filter(col("doc_id") < 300)
         .select(col("doc_id"), url.as("url"),
           graft.text.Urls.normalizeUrl(url).as("url_normalized"),
@@ -2369,23 +2373,28 @@ object LlmQueries {
     // the url zoo is doc_id arithmetic — the oracle states the CANONICAL
     // string outright (ground truth), never re-running the normalizer
     "url_normalize" ->
-      """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i
+      """WITH d AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS i,
+        |                  CAST(doc_id % 9 AS VARCHAR) AS oct
         |           FROM documents WHERE doc_id < 300)
         |SELECT doc_id,
-        |  CASE doc_id % 6
+        |  CASE doc_id % 7
         |    WHEN 0 THEN 'http://ex' || i || '.com/p/' || i
         |    WHEN 1 THEN 'HTTP://WWW.EX' || i || '.COM:80/p/' || i
         |    WHEN 2 THEN 'http://ex' || i || '.com/p/' || i || '?utm_source=x&utm_medium=y&q=1'
         |    WHEN 3 THEN 'http://ex' || i || '.com/p/' || i || '/#sec'
         |    WHEN 4 THEN 'https://ex' || i || '.com:443/p/' || i
-        |    ELSE 'http://sub.ex' || i || '.co.uk/p/' || i END AS url,
-        |  CASE doc_id % 6
+        |    WHEN 5 THEN 'http://sub.ex' || i || '.co.uk/p/' || i
+        |    ELSE 'http://10.0.' || oct || '.1/p/' || i END AS url,
+        |  CASE doc_id % 7
         |    WHEN 2 THEN 'http://ex' || i || '.com/p/' || i || '?q=1'
         |    WHEN 4 THEN 'https://ex' || i || '.com/p/' || i
         |    WHEN 5 THEN 'http://sub.ex' || i || '.co.uk/p/' || i
+        |    WHEN 6 THEN 'http://10.0.' || oct || '.1/p/' || i
         |    ELSE 'http://ex' || i || '.com/p/' || i END AS url_normalized,
-        |  CASE WHEN doc_id % 6 = 5 THEN 'ex' || i || '.co.uk'
-        |       ELSE 'ex' || i || '.com' END AS domain
+        |  CASE doc_id % 7
+        |    WHEN 5 THEN 'ex' || i || '.co.uk'
+        |    WHEN 6 THEN '10.0.' || oct || '.1'
+        |    ELSE 'ex' || i || '.com' END AS domain
         |FROM d ORDER BY doc_id""".stripMargin,
     // the www/:80 fetch carries the latest timestamp by construction, so
     // it is the surviving raw url for every page
@@ -3480,7 +3489,7 @@ object LlmQueries {
       """WITH tt AS (
         |  SELECT doc_id % 20 AS conv_id, CAST(doc_id // 20 AS INT) AS turn_no,
         |    CASE WHEN (doc_id // 20) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
-        |    text AS content
+        |    regexp_replace(text, '^[ \t\n\x0b\f\r]+', '') AS content
         |  FROM documents WHERE doc_id < 200
         |  UNION ALL
         |  SELECT doc_id AS conv_id, -1 AS turn_no, 'system' AS role,
@@ -3514,7 +3523,7 @@ object LlmQueries {
       """WITH tt AS (
         |  SELECT doc_id % 20 AS conv_id, CAST(doc_id // 20 AS INT) AS turn_no,
         |    CASE WHEN (doc_id // 20) % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
-        |    text AS content
+        |    regexp_replace(text, '^[ \t\n\x0b\f\r]+', '') AS content
         |  FROM documents WHERE doc_id < 200
         |  UNION ALL
         |  SELECT doc_id AS conv_id, -1 AS turn_no, 'system' AS role,

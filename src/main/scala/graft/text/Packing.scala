@@ -552,6 +552,14 @@ object Packing {
     * the completion region a trainer unmasks (prompts, role headers and
     * the trailing newline stay loss-masked).
     *
+    * Content normalization: LEADING whitespace of every turn's content
+    * is stripped before rendering (the HF chat-template `| trim`
+    * convention, left side). This is load-bearing for
+    * [[chatTokenLossMask]]'s exactness: content that opened with
+    * whitespace would fuse with the template's role-header newline into
+    * one gpt2 pre-token straddling `mask_start`, and the token mask
+    * could no longer cover the completion exactly.
+    *
     * Scale shape: per-turn segment lengths are a projection; offsets
     * are ONE running sum windowed per conversation (keyed — no global
     * sort); assembly is one groupBy(conv). Offsets count CHARACTERS
@@ -565,15 +573,18 @@ object Packing {
       turnCol: String,
       roleCol: String,
       contentCol: String): DataFrame = {
+    // Java \s class spelled out, so an oracle can replay it in RE2
+    val content = regexp_replace(col(contentCol), "^[ \\t\\n\\x0B\\f\\r]+", "")
     val segLen = (lit(ChatStart.length) + length(col(roleCol)) + lit(1) +
-      length(col(contentCol)) + lit(ChatEnd.length) + lit(1)).cast("long")
+      length(content) + lit(ChatEnd.length) + lit(1)).cast("long")
     val w = Window.partitionBy(col(convCol)).orderBy(col(turnCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withOff = turns
+      .withColumn("__content", content)
       .withColumn("__len", segLen)
       .withColumn("__end", sum(col("__len")).over(w))
       .withColumn("__seg", concat(lit(ChatStart), col(roleCol), lit("\n"),
-        col(contentCol), lit(ChatEnd), lit("\n")))
+        col("__content"), lit(ChatEnd), lit("\n")))
       .withColumn("__mask",
         when(col(roleCol) === "assistant", struct(
           col(turnCol).cast("long").as("t"),

@@ -76,15 +76,19 @@ object Urls {
   /** Registered domain (eTLD+1) of a URL: last two host labels, or last
     * THREE when the last two form a known multi-label public suffix
     * ("a.b.co.uk" → "b.co.uk", "a.b.com" → "b.com"). Hosts with < 2
-    * labels (localhost, IPs stay as-is) pass through unchanged. */
+    * labels (localhost) and literal IP addresses (dotted-IPv4,
+    * `[bracketed-IPv6]`) pass through unchanged — an IP has no
+    * registrable suffix, and truncating 192.168.0.1 to "0.1" would
+    * misgroup every IP-hosted crawl page. */
   def registeredDomain(url: Column): Column = {
     val host = hostOf(url)
+    val isIp = host.rlike("^\\d+(\\.\\d+){3}$") || host.rlike("^\\[.*\\]$")
     val labels = split(host, "\\.")
     val n = size(labels)
     val lastTwo = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
     val lastThree = concat_ws(".",
       element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
-    when(n <= 2, host)
+    when(isIp || n <= 2, host)
       .when(array_contains(
         lit(MultiLabelSuffixes.toArray), lastTwo) && n >= 3, lastThree)
       .otherwise(lastTwo)

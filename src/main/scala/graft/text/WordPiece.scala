@@ -217,7 +217,11 @@ object WordPiece {
     * [[MaxInputCharsPerWord]]. */
   private[text] def encodeWord(word: String, vocab: Set[String]): Vector[String] = {
     if (word.isEmpty) return Vector.empty
-    if (word.length > MaxInputCharsPerWord) return Vector(UnkToken)
+    // guard counts CODE POINTS (the documented max_input_chars_per_word
+    // unit), not UTF-16 units — astral-heavy words of 51-100 code points
+    // must still be encoded, not short-circuited to [UNK]
+    if (word.codePointCount(0, word.length) > MaxInputCharsPerWord)
+      return Vector(UnkToken)
     val out = Vector.newBuilder[String]
     var start = 0
     while (start < word.length) {

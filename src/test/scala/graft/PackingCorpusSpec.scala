@@ -254,6 +254,35 @@ class PackingCorpusSpec extends SparkSpec {
     assert(unmasked.contains("assistant") && unmasked.contains("user"))
   }
 
+  test("chatTokenLossMask: leading-whitespace content is normalized, mask stays exact") {
+    // un-normalized, "  indented" would fuse the template newline with the
+    // content's leading spaces into one gpt2 pre-token straddling
+    // mask_start; renderChatTemplate strips leading content whitespace so
+    // the mask still covers the completion exactly
+    val turns = Seq(
+      (1L, 0, "user", "\n prompt"),
+      (1L, 1, "assistant", "  indented reply")
+    ).toDF("conv_id", "turn_no", "role", "content")
+    val rendered = Packing
+      .renderChatTemplate(turns, "conv_id", "turn_no", "role", "content")
+    val text = rendered.head().getAs[String]("text")
+    assert(text ===
+      "<|im_start|>user\nprompt<|im_end|>\n" +
+        "<|im_start|>assistant\nindented reply<|im_end|>\n")
+    val (m, v) = graft.text.Bpe.trainArtifacts(
+      rendered.select(col("text")), "text", numMerges = 60,
+      minPairCount = 1, preTokenize = graft.text.Bpe.Gpt2)
+    val out = Packing.chatTokenLossMask(rendered, m, v).head()
+    val st = out.getAs[scala.collection.Seq[Long]]("token_starts")
+    val en = out.getAs[scala.collection.Seq[Long]]("token_ends")
+    val mask = out.getAs[scala.collection.Seq[Boolean]]("loss_mask")
+    val maskedText = st.zip(en).zip(mask).collect { case ((s, e), true) =>
+      text.substring(s.toInt, e.toInt) }.mkString
+    assert(maskedText === "indented reply<|im_end|>")
+    val maskedChars = st.zip(en).zip(mask).collect { case ((s, e), true) => e - s }.sum
+    assert(maskedChars === out.getAs[Long]("masked_chars"))
+  }
+
   test("removeDuplicatedSpans: shared span vanishes everywhere, unique prose survives") {
     // k=3: the 4-token phrase "one two three four" is shared by docs 1 and
     // 2 (two overlapping 3-grams -> 4 covered positions in each); doc 3 is

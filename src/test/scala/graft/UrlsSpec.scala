@@ -51,10 +51,12 @@ class UrlsSpec extends SparkSpec {
     assert(dom("https://deep.sub.site.com.au/x") === "site.com.au")
     assert(dom("http://example.org/x") === "example.org")
     assert(dom("http://localhost/x") === "localhost")
-    // IPs: last-two-labels of a dotted quad is wrong but documented
-    // pass-through behavior only for < 2 labels; a dotted IP keeps its
-    // last two octets — callers filter IPs before domain stats
     assert(dom("http://EX.com:8080/x") === "ex.com")
+    // literal IPs have no registrable suffix: the whole host IS the
+    // grouping key (truncating 192.168.0.1 to '0.1' would misgroup every
+    // IP-hosted crawl page)
+    assert(dom("http://192.168.0.1/x") === "192.168.0.1")
+    assert(dom("http://10.0.0.7:8080/x") === "10.0.0.7")
   }
 
   test("dedupByUrl keeps the latest fetch per canonical url") {

@@ -17,11 +17,17 @@ class WebDatasetSpec extends SparkSpec {
     assert(e(9) === 0)
     assert(new String(e, 100, 8, StandardCharsets.US_ASCII) === "0000644 ")
     assert(new String(e, 124, 12, StandardCharsets.US_ASCII) === "00000000005 ")
-    assert(new String(e, 257, 8, StandardCharsets.US_ASCII) === "ustar 00")
-    // checksum recomputes: sum of header bytes with chksum field as spaces
+    // POSIX ustar magic: "ustar" NUL at 257, version "00" at 263 (strict
+    // parsers like Go archive/tar key the format off these exact bytes)
+    assert(new String(e, 257, 5, StandardCharsets.US_ASCII) === "ustar")
+    assert(e(262) === 0)
+    assert(new String(e, 263, 2, StandardCharsets.US_ASCII) === "00")
+    // checksum recomputes: sum of header bytes with chksum field as
+    // spaces; terminator is NUL + space per the ustar spec
     val header = java.util.Arrays.copyOf(e, 512)
     val stored = Integer.parseInt(
       new String(header, 148, 6, StandardCharsets.US_ASCII), 8)
+    assert(header(154) === 0 && header(155) === ' '.toByte)
     java.util.Arrays.fill(header, 148, 156, ' '.toByte)
     assert(stored === header.map(_ & 0xff).sum)
     assert(new String(e, 512, 5, StandardCharsets.UTF_8) === "hello")
@@ -94,6 +100,13 @@ class WebDatasetSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       WebDataset.tarEntry("k".padTo(120, 'x') + ".txt", Array.emptyByteArray)
     }
+    // non-string/binary content column fails at call time with the column
+    // named, not executor-side with a ClassCastException
+    val typeErr = intercept[IllegalArgumentException] {
+      WebDataset.writeShards(
+        Seq((1, 2L)).toDF("key", "n"), s"$dir/ints", "key", Seq("n" -> "txt"))
+    }
+    assert(typeErr.getMessage.contains("'n'") && typeErr.getMessage.contains("bigint"))
     val whole = WebDataset.tarEntry("a.txt", "abc".getBytes) ++ WebDataset.tarTrailer
     val cut = java.util.Arrays.copyOfRange(whole, 0, 700)
     intercept[java.io.EOFException] {

@@ -101,6 +101,24 @@ class WordPieceSpec extends SparkSpec {
     assert(dec.getAs[String]("decoded_text") === "a😀b")
   }
 
+  test("max_input_chars_per_word counts code points, not UTF-16 units") {
+    // 60 astral code points = 120 UTF-16 units: must still encode (the
+    // published guard is 100 CHARS = code points); 101 code points -> [UNK]
+    val corpus = Seq("😀 a").toDF("text")
+    val (_, vocabIds) = WordPiece.trainArtifacts(
+      corpus, "text", numMerges = 1, minPairCount = 2L)
+    val sixty = "😀" * 60
+    val enc60 = WordPiece.encode(
+      Seq((1L, sixty)).toDF("id", "text"), "text", vocabIds).head()
+    assert(enc60.getAs[scala.collection.Seq[String]]("tokens").length === 60,
+      "astral word of 60 code points (120 chars) encodes per code point")
+    val over = "😀" * 101
+    val encOver = WordPiece.encode(
+      Seq((1L, over)).toDF("id", "text"), "text", vocabIds).head()
+    assert(encOver.getAs[scala.collection.Seq[String]]("tokens") ===
+      Seq(WordPiece.UnkToken))
+  }
+
   test("gpt2 pre-tokenization composes: punctuation stays off the words") {
     val corpus = Seq("Hello, world! it's here.", "world it's here, Hello!")
       .toDF("text")
