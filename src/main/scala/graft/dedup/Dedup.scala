@@ -777,9 +777,15 @@ object Dedup {
     * `maxTokens` tokens per side (instructions are short; the truncation
     * is the documented guard that keeps a stray long document from
     * turning verification quadratic). Like every LSH path, recall is
-    * bounded by the banding operating point — a pair with high ROUGE-L
-    * but near-zero shingle overlap (e.g. heavy token subsampling) is not
-    * a candidate; that tradeoff is inherent to blocked ROUGE dedup. */
+    * bounded by the banding operating point — and MEASURED: the
+    * planted-truth harness ([[graft.tools.Recall]], `rouge_neardup`
+    * rows, CI-enforced by RecallSpec) plants F >= 0.9 twins adversarial
+    * to shingle banding (boilerplate interleaved every 5 tokens, token
+    * dropout, padded paraphrases) and holds >= 0.9 recall at the default
+    * 16x2 banding, >= 0.95 at `bands = 32, rowsPerBand = 1` — the
+    * recommended operating point for ROUGE workloads (single-row bands
+    * collide on ANY shared minhash, catching low-Jaccard/high-ROUGE
+    * pairs the 2-row bands screen out, at more candidates per bucket). */
   def rougeLNearDupPairs(
       df: DataFrame,
       idCol: String,

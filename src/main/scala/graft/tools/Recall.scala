@@ -4,7 +4,7 @@ import java.nio.file.{Files, Paths}
 
 import graft.dedup.Dedup
 import graft.similarity.Similarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Planted-truth recall harness for the approximate operators the DuckDB
@@ -256,6 +256,57 @@ object Recall {
     entries += Entry("semdedup", recallOf(exactCos, sd), exactCos.size,
       (exactCos & sd).size, 1.0,
       "all O(n^2) pairs at cosine>=0.999 found within k-means cells (identical vectors co-cluster)")
+
+    // --- ROUGE-L near-dup: truth = EXHAUSTIVE all-pairs ROUGE-L F >= 0.9
+    // (same tokenization + 256-token truncation as the production path)
+    // over a planted frame whose twins are ADVERSARIAL to the shingle
+    // banding that generates candidates: boilerplate interleaved every 5
+    // tokens (each insert breaks 3-gram shingles while LCS keeps every
+    // base token — the low-Jaccard/high-ROUGE shape the r13 verdict
+    // flagged as unmeasured), every-10th-token dropout (reordering-free
+    // subsequence), and end-padded paraphrases (the easy case).
+    val rtoks = filter(split(trim(lower(col("text"))), "\\s+"),
+      t => length(t) > 0)
+    val rbase = docs
+      .filter(col("doc_id") < 30 && size(rtoks) >= 40)
+      .select(col("doc_id"), col("text"))
+    def fromToks(c: Column): Column = concat_ws(" ", c)
+    val interleaved = fromToks(flatten(transform(rtoks, (t, i) =>
+      when((i + 1) % 5 === 0, array(t, lit("graftboiler"))).otherwise(array(t)))))
+    val dropout = fromToks(filter(rtoks, (_, i) => i % 10 =!= 9))
+    val padded = concat(col("text"),
+      lit(" graftpad0 graftpad1 graftpad2 graftpad3 graftpad4 graftpad5"))
+    val rplanted = rbase
+      .unionByName(rbase.select((col("doc_id") + 100000).as("doc_id"),
+        interleaved.as("text")))
+      .unionByName(rbase.select((col("doc_id") + 200000).as("doc_id"),
+        dropout.as("text")))
+      .unionByName(rbase.select((col("doc_id") + 300000).as("doc_id"),
+        padded.as("text")))
+    val rsliced = rplanted.select(col("doc_id").cast("long").as("id"),
+      slice(rtoks, 1, 256).as("t"))
+    val exactRouge = pairSet(
+      rsliced.as("a").join(rsliced.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          Dedup.rougeL(col("a.t"), col("b.t")).as("f"))
+        .filter(col("f") >= 0.9),
+      "id_a", "id_b")
+    val rougeDefault = pairSet(
+      Dedup.rougeLNearDupPairs(rplanted, "doc_id", "text", threshold = 0.9),
+      "id_a", "id_b")
+    entries += Entry("rouge_neardup", recallOf(exactRouge, rougeDefault),
+      exactRouge.size, (exactRouge & rougeDefault).size, 0.9,
+      "exhaustive all-pairs ROUGE-L F>=0.9 on banding-adversarial twins, default banding (16x2)")
+    // the documented high-recall operating point for ROUGE workloads:
+    // single-row bands collide on ANY shared minhash, catching pairs
+    // whose shingle Jaccard the default 2-row bands screen out
+    val rougeHr = pairSet(
+      Dedup.rougeLNearDupPairs(rplanted, "doc_id", "text", threshold = 0.9,
+        bands = 32, rowsPerBand = 1),
+      "id_a", "id_b")
+    entries += Entry("rouge_neardup_hr", recallOf(exactRouge, rougeHr),
+      exactRouge.size, (exactRouge & rougeHr).size, 0.95,
+      "same truth, rouge-tuned banding (32 bands x 1 row)")
 
     entries.result()
   }

@@ -17,6 +17,7 @@ import graft.tools.Recall
   *   - SimHash near-dup (pigeonhole-complete)  = 1.0
   *   - cluster survivors                      >= 0.95
   *   - embedding near-dup (planted clones)     = 1.0
+  *   - ROUGE-L near-dup (banding-adversarial) >= 0.9 (default), >= 0.95 (32x1)
   *
   * The same harness run as `runMain graft.tools.Recall` writes the round
   * artifact (RECALL_r*.json); the bounds here and there are one list.
@@ -31,7 +32,8 @@ class RecallSpec extends SparkSpec {
       "ann_lsh_topk", "ann_ivf_topk", "ann_ivf_search", "ann_lsh_search",
       "dedup_minhash", "dedup_minhash_incremental", "dedup_cluster_survivors",
       "dedup_simhash", "embedding_near_dup", "semdedup", "ann_ivfpq_search",
-      "ann_ivfpq_refined", "ann_ivfpq_default")
+      "ann_ivfpq_refined", "ann_ivfpq_default", "rouge_neardup",
+      "rouge_neardup_hr")
     assert(entries.map(_.name).toSet === expected)
     val failures = entries.filter(e => e.recall < e.minBound)
     assert(failures.isEmpty,
