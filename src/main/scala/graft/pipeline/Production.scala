@@ -324,6 +324,34 @@ object Production {
         ctx.dataPath("clean.documents_model_filtered"))
     }
 
+    // learned language ID (fastText-shape char-n-gram LR): train once on
+    // a labeled zone (or the built-in 26-language seed corpus when none
+    // exists yet) and persist; classification reads the persisted model —
+    // the broad-language replacement for the 5-language stopword fast
+    // path the text-quality stage uses
+    Jobs.register("corpus-curation", "lang-train") { (ctx, params) =>
+      val s = ctx.spark
+      val numFeatures =
+        params.getOrElse("num_features", (1 << 18).toString).toString.toInt
+      val labeled = params.get("labels") match {
+        case Some(p) => Tables.readData(s, Seq(ctx.dataPath(p.toString)))
+        case None => graft.text.LangClassifier.seedCorpus(s)
+      }
+      graft.text.LangClassifier.saveModel(
+        graft.text.LangClassifier.train(labeled, "text", "lang", numFeatures),
+        ctx.dataPath("models.lang_classifier"))
+    }
+    Jobs.register("corpus-curation", "lang-classify") { (ctx, params) =>
+      val s = ctx.spark
+      val in = params.getOrElse("input", "raw.documents").toString
+      val model = graft.text.LangClassifier.loadModel(
+        ctx.dataPath("models.lang_classifier"))
+      save(ctx,
+        graft.text.LangClassifier.score(
+          Tables.readData(s, Seq(ctx.dataPath(in))), model),
+        ctx.dataPath("processed.documents_lang"))
+    }
+
     // DSIR target-distribution selection (Xie et al. 2023): weight every
     // raw document by how target-like its hashed n-gram distribution is,
     // then keep a Gumbel-top-k sample ∝ exp(weight) — the

@@ -728,6 +728,52 @@ object LlmQueries {
           (avg(when((col("quality_prob") >= 0.5) === (col("label") === 1.0), 1.0)
             .otherwise(0.0)) >= 0.95).as("acc_ok"))
     },
+    // --- learned language ID audit (text/LangClassifier.scala): train
+    // the fastText-shape char-n-gram model on the 26-language seed
+    // corpus (singles + offset-1 phrase pairs), score HELD-OUT offset-3
+    // recombinations the training set never contains, and cross-check
+    // every prediction against the Unicode script profile. Eval size is
+    // exact arithmetic (8 per language); the accuracy and
+    // script-consistency bounds are invariant flags on this separable
+    // frame — the quality_classifier_audit uniformly-TRUE idiom
+    "lang_classifier_audit" -> { (s, dir) =>
+      val seeds = graft.text.LangClassifier.seedCorpus(s)
+      def recombine(offset: Int): DataFrame = seeds.as("a")
+        .join(seeds.as("b"),
+          col("a.lang") === col("b.lang") &&
+            pmod(col("a.phrase_no") + offset, lit(8)) === col("b.phrase_no"))
+        .select(col("a.lang").as("lang"), col("a.phrase_no").as("phrase_no"),
+          concat(col("a.text"), lit(" "), col("b.text")).as("text"))
+      // small frame, few partitions: every LR iteration is one job
+      val train = seeds.select(col("lang"), col("text"))
+        .unionByName(recombine(1).drop("phrase_no")).repartition(4)
+      val eval = recombine(3)
+        .withColumn("rid", concat(col("lang"), lit("_"), col("phrase_no")))
+      val model = graft.text.LangClassifier.train(train, "text", "lang",
+        numFeatures = 1 << 16, maxIter = 30)
+      val scored = graft.text.LangClassifier.score(eval, model)
+      val prof = graft.text.TextAnalysis
+        .scriptProfile(eval.select(col("rid"), col("text")), "rid", "text")
+        .select(col("rid"), col("dominant_script"))
+      val scriptConsistent =
+        when(col("lang_pred").isin("ru", "uk"), col("dominant_script") === "cyrillic")
+          .when(col("lang_pred") === "el", col("dominant_script") === "greek")
+          .when(col("lang_pred") === "ar", col("dominant_script") === "arabic")
+          .when(col("lang_pred") === "he", col("dominant_script") === "hebrew")
+          .when(col("lang_pred") === "hi", col("dominant_script") === "devanagari")
+          .when(col("lang_pred") === "zh", col("dominant_script") === "han")
+          .when(col("lang_pred") === "ko", col("dominant_script") === "hangul")
+          .when(col("lang_pred") === "ja", col("dominant_script").isin("han", "kana"))
+          .otherwise(col("dominant_script") === "latin")
+      scored.join(prof, Seq("rid"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_eval"),
+          (avg(when(col("lang_pred") === col("lang"), 1.0).otherwise(0.0))
+            >= 0.875).as("acc_ok"),
+          (sum(when(scriptConsistent, 0).otherwise(1)) === 0).as("script_ok"))
+        .orderBy(col("lang"))
+    },
     // --- the release data card: per-language composition, shares, length
     // percentiles, quality, dup/empty rates — one corpus pass
     "corpus_data_card" -> { (s, dir) =>
@@ -2492,6 +2538,16 @@ object LlmQueries {
     "quality_classifier_audit" ->
       """SELECT CAST(2 * count(*) AS BIGINT) AS n_eval, TRUE AS acc_ok
         |FROM documents WHERE doc_id >= 300 AND doc_id < 400""".stripMargin,
+    // learned language ID: the 26-language label set and per-language
+    // eval size are fixture constants; accuracy and script-consistency
+    // are invariant flags on the separable seed frame
+    "lang_classifier_audit" ->
+      """SELECT lang, CAST(8 AS BIGINT) AS n_eval, TRUE AS acc_ok, TRUE AS script_ok
+        |FROM (VALUES ('ar'),('cs'),('da'),('de'),('el'),('en'),('es'),('fi'),
+        |             ('fr'),('he'),('hi'),('hu'),('id'),('it'),('ja'),('ko'),
+        |             ('nl'),('pl'),('pt'),('ro'),('ru'),('sv'),('tr'),('uk'),
+        |             ('vi'),('zh')) AS t(lang)
+        |ORDER BY lang""".stripMargin,
     // corpus data card: same quality fragment; shares against corpus
     // totals, quantile_cont matches the exact-percentile oracle mode
     "corpus_data_card" ->

@@ -75,6 +75,15 @@ object TextAnalysis {
   /** Per-language stopword-hit scores + detected language (argmax, ties by
     * language code ascending; 'zh' wins when Han chars dominate).
     *
+    * This is the deliberately cheap FAST PATH — 5 languages
+    * (en/de/es/fr stopwords + Han detection), one token pass, no model
+    * artifact, all-zero evidence → null. For a genuinely multilingual
+    * corpus use [[LangClassifier]] (learned char-n-gram model, 26-language
+    * seed set, arbitrary label sets) — everything keyed on a language
+    * column downstream (UniMax budgets, perplexity strata, the data card)
+    * silently mislabels when a corpus outside these 5 languages is pushed
+    * through the fast path.
+    *
     * One tokenize + one native counting pass for ALL languages (the
     * stopword counts land in a single intermediate `__sw` column, which
     * Catalyst keeps un-collapsed because a non-cheap alias referenced
