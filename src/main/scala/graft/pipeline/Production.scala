@@ -224,6 +224,7 @@ object Production {
       // runs where sketch edges land on the data values themselves
       val banded = graft.text.TextAnalysis.perplexityBuckets(
         ref, docs, "doc_id", "text", groupCol, nBuckets,
+        order = params.getOrElse("order", "5").toString.toInt,
         exact = params.getOrElse("exact", "false").toString.toBoolean)
       val kept = keep match {
         case Some(ks) => banded.filter(col("ppl_bucket").isin(ks.toSeq: _*))

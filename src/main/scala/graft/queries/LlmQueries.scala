@@ -683,8 +683,21 @@ object LlmQueries {
           docs.filter(col("doc_id") >= 250), "doc_id", "text", alpha = 0.4)
         .orderBy(col("doc_id"))
     },
+    // --- order-5 stupid backoff (the CCNet-faithful order): the full
+    // 9-join backoff chain replayed by the oracle on string gram keys —
+    // every level (5-gram hit, 4/3/2-gram backoff, unigram floor)
+    // exercised by the corpus split
+    "ngram_logprob" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      TextAnalysis
+        .ngramLogProb(docs.filter(col("doc_id") < 250),
+          docs.filter(col("doc_id") >= 250), "doc_id", "text",
+          order = 5, alpha = 0.4)
+        .orderBy(col("doc_id"))
+    },
     // --- CCNet-style perplexity bucketing: docs < 250 are the clean
-    // reference corpus, docs >= 250 the candidates, banded head/middle/
+    // reference corpus, docs >= 250 the candidates, scored by the
+    // order-5 backoff LM (CCNet's published order), banded head/middle/
     // tail per LANGUAGE by exact perplexity terciles (oracle mode);
     // production uses the approx sketch edges
     "perplexity_buckets" -> { (s, dir) =>
@@ -3453,50 +3466,106 @@ object LlmQueries {
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
         |  round(avg(-ln(p)), 6) AS avg_neg_logprob
         |FROM p GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // CCNet bucketing: the SAME stupid-backoff chain, then perplexity,
+    // order-5 backoff: string gram keys (chr(1)-joined slices) stand in
+    // for the xxhash64 keys — counts are identical, every backoff level
+    // replayed with the same left-associative alpha products
+    "ngram_logprob" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
+        |           FROM documents),
+        |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM d),
+        |g AS (SELECT doc_id,
+        |  w[i] AS g1,
+        |  CASE WHEN i >= 2 THEN array_to_string(w[i-1:i], chr(1)) END AS g2,
+        |  CASE WHEN i >= 3 THEN array_to_string(w[i-2:i], chr(1)) END AS g3,
+        |  CASE WHEN i >= 4 THEN array_to_string(w[i-3:i], chr(1)) END AS g4,
+        |  CASE WHEN i >= 5 THEN array_to_string(w[i-4:i], chr(1)) END AS g5,
+        |  CASE WHEN i >= 2 THEN w[i-1] END AS d2,
+        |  CASE WHEN i >= 3 THEN array_to_string(w[i-2:i-1], chr(1)) END AS d3,
+        |  CASE WHEN i >= 4 THEN array_to_string(w[i-3:i-1], chr(1)) END AS d4,
+        |  CASE WHEN i >= 5 THEN array_to_string(w[i-4:i-1], chr(1)) END AS d5
+        |  FROM pos),
+        |refg AS (SELECT * FROM g WHERE doc_id < 250),
+        |scg AS (SELECT * FROM g WHERE doc_id >= 250 AND g5 IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM refg),
+        |c1 AS (SELECT g1 AS k, count(*) AS c FROM refg GROUP BY 1),
+        |c2 AS (SELECT g2 AS k, count(*) AS c FROM refg WHERE g2 IS NOT NULL GROUP BY 1),
+        |c3 AS (SELECT g3 AS k, count(*) AS c FROM refg WHERE g3 IS NOT NULL GROUP BY 1),
+        |c4 AS (SELECT g4 AS k, count(*) AS c FROM refg WHERE g4 IS NOT NULL GROUP BY 1),
+        |c5 AS (SELECT g5 AS k, count(*) AS c FROM refg WHERE g5 IS NOT NULL GROUP BY 1),
+        |p AS (SELECT scg.doc_id,
+        |  CASE WHEN n5.c IS NOT NULL THEN CAST(n5.c AS DOUBLE) / d5c.c
+        |       WHEN n4.c IS NOT NULL THEN 0.4 * CAST(n4.c AS DOUBLE) / d4c.c
+        |       WHEN n3.c IS NOT NULL THEN 0.4*0.4 * CAST(n3.c AS DOUBLE) / d3c.c
+        |       WHEN n2.c IS NOT NULL THEN 0.4*0.4*0.4 * CAST(n2.c AS DOUBLE) / d2c.c
+        |       ELSE 0.4*0.4*0.4*0.4 * CAST(coalesce(n1.c, 0.5) AS DOUBLE) / n.n END AS p
+        |  FROM scg
+        |  LEFT JOIN c5 n5 ON n5.k = scg.g5
+        |  LEFT JOIN c4 n4 ON n4.k = scg.g4
+        |  LEFT JOIN c4 d5c ON d5c.k = scg.d5
+        |  LEFT JOIN c3 n3 ON n3.k = scg.g3
+        |  LEFT JOIN c3 d4c ON d4c.k = scg.d4
+        |  LEFT JOIN c2 n2 ON n2.k = scg.g2
+        |  LEFT JOIN c2 d3c ON d3c.k = scg.d3
+        |  LEFT JOIN c1 n1 ON n1.k = scg.g1
+        |  LEFT JOIN c1 d2c ON d2c.k = scg.d2, n),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+        |        round(avg(-ln(p)), 6) AS avg_neg_logprob
+        |        FROM p GROUP BY doc_id)
+        |SELECT doc_id, n_ngrams, avg_neg_logprob FROM agg ORDER BY doc_id""".stripMargin,
+    // CCNet bucketing: the SAME order-5 backoff chain, then perplexity,
     // per-language quantile_cont terciles (Spark's exact percentile is
     // the identical lerp), and the strict-< band compare that mirrors
     // groupedBinning's count-of-edges<=v convention
     "perplexity_buckets" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
         |           FROM documents),
-        |tok AS (SELECT doc_id, i AS pos, w[i] AS t
-        |        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM d)),
-        |ref AS (SELECT * FROM tok WHERE doc_id < 250),
-        |sc AS (SELECT * FROM tok WHERE doc_id >= 250),
-        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM ref),
-        |c1 AS (SELECT t, count(*) AS c FROM ref GROUP BY t),
-        |c2 AS (SELECT a.t AS w1, b.t AS w2, count(*) AS c
-        |       FROM ref a JOIN ref b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |       GROUP BY 1, 2),
-        |c3 AS (SELECT a.t AS w1, b.t AS w2, e.t AS w3, count(*) AS c
-        |       FROM ref a JOIN ref b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |       JOIN ref e ON a.doc_id = e.doc_id AND e.pos = a.pos + 2
-        |       GROUP BY 1, 2, 3),
-        |tri AS (SELECT a.doc_id, a.t AS w1, b.t AS w2, e.t AS w3
-        |        FROM sc a JOIN sc b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
-        |        JOIN sc e ON a.doc_id = e.doc_id AND e.pos = a.pos + 2),
-        |p AS (SELECT tri.doc_id,
-        |  CASE WHEN c3.c IS NOT NULL THEN CAST(c3.c AS DOUBLE) / c2a.c
-        |       WHEN c2b.c IS NOT NULL THEN 0.4 * CAST(c2b.c AS DOUBLE) / c1b.c
-        |       ELSE 0.4 * 0.4 * CAST(coalesce(c1c.c, 0.5) AS DOUBLE) / n.n END AS p
-        |  FROM tri
-        |  LEFT JOIN c3 ON c3.w1 = tri.w1 AND c3.w2 = tri.w2 AND c3.w3 = tri.w3
-        |  LEFT JOIN c2 c2a ON c2a.w1 = tri.w1 AND c2a.w2 = tri.w2
-        |  LEFT JOIN c2 c2b ON c2b.w1 = tri.w2 AND c2b.w2 = tri.w3
-        |  LEFT JOIN c1 c1b ON c1b.t = tri.w2
-        |  LEFT JOIN c1 c1c ON c1c.t = tri.w3, n),
-        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+        |pos AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i FROM d),
+        |g AS (SELECT doc_id,
+        |  w[i] AS g1,
+        |  CASE WHEN i >= 2 THEN array_to_string(w[i-1:i], chr(1)) END AS g2,
+        |  CASE WHEN i >= 3 THEN array_to_string(w[i-2:i], chr(1)) END AS g3,
+        |  CASE WHEN i >= 4 THEN array_to_string(w[i-3:i], chr(1)) END AS g4,
+        |  CASE WHEN i >= 5 THEN array_to_string(w[i-4:i], chr(1)) END AS g5,
+        |  CASE WHEN i >= 2 THEN w[i-1] END AS d2,
+        |  CASE WHEN i >= 3 THEN array_to_string(w[i-2:i-1], chr(1)) END AS d3,
+        |  CASE WHEN i >= 4 THEN array_to_string(w[i-3:i-1], chr(1)) END AS d4,
+        |  CASE WHEN i >= 5 THEN array_to_string(w[i-4:i-1], chr(1)) END AS d5
+        |  FROM pos),
+        |refg AS (SELECT * FROM g WHERE doc_id < 250),
+        |scg AS (SELECT * FROM g WHERE doc_id >= 250 AND g5 IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM refg),
+        |c1 AS (SELECT g1 AS k, count(*) AS c FROM refg GROUP BY 1),
+        |c2 AS (SELECT g2 AS k, count(*) AS c FROM refg WHERE g2 IS NOT NULL GROUP BY 1),
+        |c3 AS (SELECT g3 AS k, count(*) AS c FROM refg WHERE g3 IS NOT NULL GROUP BY 1),
+        |c4 AS (SELECT g4 AS k, count(*) AS c FROM refg WHERE g4 IS NOT NULL GROUP BY 1),
+        |c5 AS (SELECT g5 AS k, count(*) AS c FROM refg WHERE g5 IS NOT NULL GROUP BY 1),
+        |p AS (SELECT scg.doc_id,
+        |  CASE WHEN n5.c IS NOT NULL THEN CAST(n5.c AS DOUBLE) / d5c.c
+        |       WHEN n4.c IS NOT NULL THEN 0.4 * CAST(n4.c AS DOUBLE) / d4c.c
+        |       WHEN n3.c IS NOT NULL THEN 0.4*0.4 * CAST(n3.c AS DOUBLE) / d3c.c
+        |       WHEN n2.c IS NOT NULL THEN 0.4*0.4*0.4 * CAST(n2.c AS DOUBLE) / d2c.c
+        |       ELSE 0.4*0.4*0.4*0.4 * CAST(coalesce(n1.c, 0.5) AS DOUBLE) / n.n END AS p
+        |  FROM scg
+        |  LEFT JOIN c5 n5 ON n5.k = scg.g5
+        |  LEFT JOIN c4 n4 ON n4.k = scg.g4
+        |  LEFT JOIN c4 d5c ON d5c.k = scg.d5
+        |  LEFT JOIN c3 n3 ON n3.k = scg.g3
+        |  LEFT JOIN c3 d4c ON d4c.k = scg.d4
+        |  LEFT JOIN c2 n2 ON n2.k = scg.g2
+        |  LEFT JOIN c2 d3c ON d3c.k = scg.d3
+        |  LEFT JOIN c1 n1 ON n1.k = scg.g1
+        |  LEFT JOIN c1 d2c ON d2c.k = scg.d2, n),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
         |        round(avg(-ln(p)), 6) AS avg_neg_logprob
         |        FROM p GROUP BY doc_id),
-        |px AS (SELECT agg.doc_id, dd.lang, agg.n_trigrams, agg.avg_neg_logprob,
+        |px AS (SELECT agg.doc_id, dd.lang, agg.n_ngrams, agg.avg_neg_logprob,
         |       round(exp(agg.avg_neg_logprob), 6) AS perplexity
         |       FROM agg JOIN documents dd USING (doc_id)),
         |ed AS (SELECT lang,
         |       quantile_cont(perplexity, CAST(1 AS DOUBLE)/3) AS e1,
         |       quantile_cont(perplexity, CAST(2 AS DOUBLE)/3) AS e2
         |       FROM px GROUP BY lang)
-        |SELECT px.doc_id, px.lang, px.n_trigrams, px.avg_neg_logprob, px.perplexity,
+        |SELECT px.doc_id, px.lang, px.n_ngrams, px.avg_neg_logprob, px.perplexity,
         |  CASE WHEN px.perplexity < ed.e1 THEN 'head'
         |       WHEN px.perplexity < ed.e2 THEN 'middle'
         |       ELSE 'tail' END AS ppl_bucket

@@ -884,64 +884,100 @@ object TextAnalysis {
     * repetition signal) the two-corpus form is the filtering shape:
     * candidate docs with unseen n-gram mass pay the backoff penalty.
     *
-    * Scale shape: n-gram adjacency derives ARRAY-SIDE (indexed
-    * `transform` over each doc's hashed token array — no per-doc window
-    * Exchange; adjacency already exists in the array). Token identities
-    * travel as xxhash64 keys (16 bytes per n-gram key, never strings);
-    * counts are hash-partitioned groupBys of the exploded reference (one
-    * scan per n-gram order — pre-tokenize and persist the reference when
-    * building repeatedly); scoring is four left equi-joins from the
-    * scored trigrams to the count tables, all shuffle-partitioned on the
-    * same hash keys. Output: idCol, `n_trigrams`, `avg_neg_logprob`
+    * The 3-gram special case of [[ngramLogProb]] (kept as the named
+    * entry point — CCNet-faithful filtering wants order 5, this is the
+    * cheap order). Output: idCol, `n_trigrams`, `avg_neg_logprob`
     * (docs under 3 tokens are absent). */
   def trigramLogProb(
       reference: DataFrame,
       docs: DataFrame,
       idCol: String,
       textCol: String,
+      alpha: Double = 0.4): DataFrame =
+    ngramLogProb(reference, docs, idCol, textCol, order = 3, alpha)
+      .withColumnRenamed("n_ngrams", "n_trigrams")
+
+  /** Stupid-backoff order-n language-model scores — the general form of
+    * [[trigramLogProb]] (which delegates here at order 3). Order 5 is
+    * the default: CCNet's published perplexity filter uses a 5-gram
+    * KenLM, and stupid backoff is the web-scale stand-in for Kneser-Ney
+    * at that order (Brants et al. 2007). Per scored full n-gram the
+    * first defined backoff level wins:
+    * `p = α^(n-k) · c_k(suffix_k) / c_{k-1}(context of suffix_k)` for
+    * k = n..2, else `α^(n-1) · c_1(w) / N` with unseen unigrams floored
+    * at `0.5/N`.
+    *
+    * Scale shape: adjacency derives ARRAY-SIDE (one indexed `transform`
+    * over each doc's hashed token array — no per-doc window Exchange).
+    * Every k-gram collapses to ONE xxhash64 key over its component
+    * hashes before any exchange, so all 2n-1 count joins are single
+    * 64-bit-key equi-joins and the count tables shuffle (long, long)
+    * rows — never token strings, never k-wide tuples (a cross-gram
+    * collision merges two counts at ~|grams|²/2⁶⁴ odds, the library's
+    * standard hashing disclosure). One reference scan builds all n
+    * count tables; pre-tokenize and persist the reference when scoring
+    * repeatedly. Output: (idCol, `n_ngrams`, `avg_neg_logprob`) — docs
+    * with fewer than `order` tokens are absent. */
+  def ngramLogProb(
+      reference: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      order: Int = 5,
       alpha: Double = 0.4): DataFrame = {
+    require(order >= 2 && order <= 8, s"order must be in [2, 8], got $order")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
     def harr(df: DataFrame): DataFrame = df.select(col(idCol).as("__id"),
       transform(tokens(col(textCol)), t => xxhash64(t)).as("__hs"))
+    // per position i: g_j = key of the j-gram ENDING at i (j = 1..order),
+    // d_j = key of the (j-1)-gram ending at i-1 — the backoff
+    // denominator's context key (j = 2..order)
+    val fields = ((1 to order).map { j =>
+      val args = (j - 1 to 0 by -1).map(o => s"__hs[i-$o]").mkString(", ")
+      s"IF(i >= ${j - 1}, xxhash64($args), CAST(NULL AS BIGINT)) AS g$j"
+    } ++ (2 to order).map { j =>
+      val args = (j - 1 to 1 by -1).map(o => s"__hs[i-$o]").mkString(", ")
+      s"IF(i >= ${j - 1}, xxhash64($args), CAST(NULL AS BIGINT)) AS d$j"
+    }).mkString(", ")
     def grams(h: DataFrame): DataFrame = h
-      .select(col("__id"), explode(expr(
-        "transform(__hs, (x, i) -> struct(" +
-          "IF(i >= 2, __hs[i-2], CAST(NULL AS BIGINT)) AS h1, " +
-          "IF(i >= 1, __hs[i-1], CAST(NULL AS BIGINT)) AS h2, x AS h3))"))
-        .as("__g"))
-      .select(col("__id"), col("__g.h1").as("h1"), col("__g.h2").as("h2"),
-        col("__g.h3").as("h3"))
+      .select(col("__id"),
+        explode(expr(s"transform(__hs, (x, i) -> struct($fields))")).as("__g"))
+      .select(col("__id") +:
+        ((1 to order).map(j => col(s"__g.g$j")) ++
+          (2 to order).map(j => col(s"__g.d$j"))): _*)
     val ref = harr(reference)
     val n = ref.select(explode(col("__hs")).as("h"))
       .agg(count(lit(1)).cast("double").as("__n"))
-    val c1 = ref.select(explode(col("__hs")).as("h3"))
-      .groupBy(col("h3")).agg(count(lit(1)).as("__c1"))
     val refG = grams(ref)
-    val c2 = refG.filter(col("h2").isNotNull)
-      .groupBy(col("h2"), col("h3")).agg(count(lit(1)).as("__c2"))
-    val c3 = refG.filter(col("h1").isNotNull)
-      .groupBy(col("h1"), col("h2"), col("h3")).agg(count(lit(1)).as("__c3"))
-    val tri = grams(harr(docs)).filter(col("h1").isNotNull)
-    val a = lit(alpha)
-    tri
-      .join(c3, Seq("h1", "h2", "h3"), "left")
-      .join(c2.select(col("h2").as("h1"), col("h3").as("h2"), col("__c2").as("__c2a")),
-        Seq("h1", "h2"), "left")
-      .join(c2.select(col("h2"), col("h3"), col("__c2").as("__c2b")),
-        Seq("h2", "h3"), "left")
-      .join(c1.select(col("h3").as("h2"), col("__c1").as("__c1b")), Seq("h2"), "left")
-      .join(c1.select(col("h3"), col("__c1").as("__c1c")), Seq("h3"), "left")
-      .crossJoin(broadcast(n))
-      .select(col("__id"),
-        when(col("__c3").isNotNull,
-          col("__c3").cast("double") / col("__c2a"))
-          .when(col("__c2b").isNotNull,
-            a * col("__c2b").cast("double") / col("__c1b"))
-          .otherwise(a * a * coalesce(col("__c1c").cast("double"), lit(0.5)) / col("__n"))
-          .as("__p"))
+    val counts: Map[Int, DataFrame] = (1 to order).map { j =>
+      j -> refG.filter(col(s"g$j").isNotNull)
+        .groupBy(col(s"g$j").as("__k")).agg(count(lit(1)).as("__c"))
+    }.toMap
+    val scored = grams(harr(docs)).filter(col(s"g$order").isNotNull)
+    val numerated = (1 to order).foldLeft(scored) { (d, j) =>
+      d.join(counts(j).select(col("__k").as(s"g$j"), col("__c").as(s"__n$j")),
+        Seq(s"g$j"), "left")
+    }
+    val joined = (2 to order).foldLeft(numerated) { (d, j) =>
+      d.join(counts(j - 1).select(col("__k").as(s"d$j"), col("__c").as(s"__d$j")),
+        Seq(s"d$j"), "left")
+    }.crossJoin(broadcast(n))
+    // α^k by repeated left-multiplication — the double the oracle's
+    // left-associative `α*α*…*c/d` SQL produces, bit for bit
+    def pow(k: Int): Double = Iterator.fill(k)(alpha).foldLeft(1.0)(_ * _)
+    val base = lit(pow(order - 1)) *
+      coalesce(col("__n1").cast("double"), lit(0.5)) / col("__n")
+    // foldLeft from j=2 up leaves the HIGHEST order as the outermost when
+    val chain = (2 to order).foldLeft(base) { (acc, j) =>
+      when(col(s"__n$j").isNotNull,
+        lit(pow(order - j)) * col(s"__n$j").cast("double") / col(s"__d$j"))
+        .otherwise(acc)
+    }
+    joined
+      .select(col("__id"), chain.as("__p"))
       .groupBy(col("__id"))
       .agg(
-        count(lit(1)).as("n_trigrams"),
+        count(lit(1)).as("n_ngrams"),
         round(avg(-log(col("__p"))), 6).as("avg_neg_logprob"))
       .withColumnRenamed("__id", idCol)
   }
@@ -986,7 +1022,8 @@ object TextAnalysis {
 
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     * candidate document against a CLEAN reference corpus with the
-    * stupid-backoff trigram LM ([[trigramLogProb]]), convert to
+    * stupid-backoff order-n LM ([[ngramLogProb]] — order 5 by default,
+    * matching CCNet's published 5-gram KenLM filter), convert to
     * perplexity, and split each group (CCNet buckets per LANGUAGE) into
     * `nBuckets` quantile bands — head = lowest perplexity (most
     * reference-like), tail = highest. The head/middle/tail label is the
@@ -997,9 +1034,9 @@ object TextAnalysis {
     * tables; the band assignment is [[graft.features.Binning.groupedBinning]]
     * — a |groups|×(nBuckets-1) edge frame joined back (broadcast-small),
     * never a per-group `ntile` sort of the corpus. Documents with fewer
-    * than 3 tokens have no trigrams and are absent from the output (the
-    * LM cannot score them — gate them on length upstream).
-    * Output: (idCol, [groupCol], n_trigrams, avg_neg_logprob,
+    * than `order` tokens have no full n-grams and are absent from the
+    * output (the LM cannot score them — gate them on length upstream).
+    * Output: (idCol, [groupCol], n_ngrams, avg_neg_logprob,
     * perplexity, ppl_bucket) with ppl_bucket in head/middle/tail for
     * nBuckets = 3, else the numeric band as a string. */
   def perplexityBuckets(
@@ -1009,10 +1046,11 @@ object TextAnalysis {
       textCol: String,
       groupCol: Option[String] = None,
       nBuckets: Int = 3,
+      order: Int = 5,
       alpha: Double = 0.4,
       exact: Boolean = false): DataFrame = {
     require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
-    val scored = trigramLogProb(reference, docs, idCol, textCol, alpha)
+    val scored = ngramLogProb(reference, docs, idCol, textCol, order, alpha)
       .withColumn("perplexity", round(exp(col("avg_neg_logprob")), 6))
     val g = groupCol.getOrElse("__g")
     val keyed = groupCol match {
@@ -1029,7 +1067,7 @@ object TextAnalysis {
     val cleaned = labeled.drop("bucket")
     (if (groupCol.isEmpty) cleaned.drop(g) else cleaned)
       .select(Seq(col(idCol)) ++ groupCol.map(col).toSeq ++ Seq(
-        col("n_trigrams"), col("avg_neg_logprob"),
+        col("n_ngrams"), col("avg_neg_logprob"),
         col("perplexity"), col("ppl_bucket")): _*)
   }
 

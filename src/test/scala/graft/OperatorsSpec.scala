@@ -930,10 +930,10 @@ class OperatorsSpec extends SparkSpec {
     val ref = Seq.tabulate(20)(i => (1000L + i, "the cat sat on the mat"))
       .toDF("doc_id", "text")
     val docs = Seq(
-      (1L, "the cat sat on the mat"),   // every trigram known -> lowest ppl
-      (2L, "the cat sat on zz zz"),     // mixed -> middle
+      (1L, "the cat sat on the mat"),   // every 5-gram known -> lowest ppl
+      (2L, "the cat sat on the zz"),    // one known 5-gram, one floored -> middle
       (3L, "zz qq ww rr tt yy"),        // all backoff -> highest ppl
-      (4L, "too short")                 // < 3 tokens: unscorable, absent
+      (4L, "too short")                 // < 5 tokens: unscorable, absent
     ).toDF("doc_id", "text")
     val out = graft.text.TextAnalysis.perplexityBuckets(
         ref, docs, "doc_id", "text", exact = true)

@@ -459,6 +459,37 @@ class PackingCorpusSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("ngramLogProb order 5: every backoff level matches hand arithmetic") {
+    // reference "a b c d e a b c d e": N=10; c1 all 2;
+    // 5-grams: (a b c d e)=2, others 1; 4-grams: (a b c d)=2 (b c d e)=2;
+    // 3-grams: (a b c)=(b c d)=(c d e)=2; 2-grams: (a b)=(b c)=(c d)=(d e)=2
+    val ref = Seq((0L, "a b c d e a b c d e")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "a b c d e"), // seen 5-gram: 2/2 = 1 -> 0
+      (11L, "b c d e a"), // seen 5-gram: 1/c4(b c d e)=1/2 -> 0.693147
+      (12L, "x b c d e"), // 4-gram backoff: 0.4*c4(b c d e)/c3(b c d) = 0.4 -> 0.916291
+      (13L, "x y c d e"), // 3-gram: 0.4^2*c3(c d e)/c2(c d) = 0.16 -> 1.832581
+      (14L, "x y z d e"), // 2-gram: 0.4^3*c2(d e)/c1(d) = 0.064 -> 2.748872
+      (15L, "x y z w e"), // unigram: 0.4^4*c1(e)/N = 0.00512 -> 5.274601
+      (16L, "x y z w v"), // unseen floor: 0.4^4*0.5/N = 0.00128 -> 6.660895
+      (17L, "a b c d")    // under 5 tokens: absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramLogProb(ref, docs, "doc_id", "text",
+        order = 5, alpha = 0.4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_ngrams"),
+        r.getAs[Double]("avg_neg_logprob")))
+    assert(out.toSeq == Seq(
+      (10L, 1L, 0.0), (11L, 1L, 0.693147), (12L, 1L, 0.916291),
+      (13L, 1L, 1.832581), (14L, 1L, 2.748872), (15L, 1L, 5.274601),
+      (16L, 1L, 6.660895)))
+    // grams derive array-side: no per-doc Window (and its Exchange)
+    assert(TextAnalysis.ngramLogProb(ref, docs, "doc_id", "text")
+      .queryExecution.executedPlan
+      .collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+      .isEmpty)
+  }
+
   test("groupedBinning: per-group quartiles, boundary and null handling") {
     val d = ((1 to 100).map(i => ("a", i.toDouble)) ++ (1 to 100).map(i => ("b", i * 10.0)))
       .zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "v")
