@@ -1148,11 +1148,14 @@ object TextAnalysis {
       // only for display
       .select(col("query_id"), col(idCol),
         (col("__i") / (col("__n") + col("__qn") - col("__i"))).as("__j"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("__j").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol), round(col("__j"), 6).as("jaccard"), col("rank"))
+    // bounded-heap top-k: each map partition reduces to <= k candidates
+    // per query before the exchange (the same sweep tfidf/bm25/inverted
+    // index got — no Window, no per-query sort of the candidate frame)
+    graft.dp.TopK
+      .topKPerKeyDirectional(
+        scored, Seq("query_id"), Seq("__j" -> false, idCol -> true), k)
+      .select(col("query_id"), col(idCol),
+        round(col("__j"), 6).as("jaccard"), col("rank"))
   }
 
   /** Full stats table over a documents frame. */

@@ -630,6 +630,14 @@ class DedupSimilaritySpec extends SparkSpec {
     // jaccard(1,2) = 2/4, jaccard(1,3) = 1/5; doc 4 has no candidate row;
     // doc 1 (the query itself) is excluded
     assert(top.toSeq === Seq((2L, 0.5), (3L, 0.2)))
+    // ranking rides the bounded-heap aggregate: each map partition ships
+    // <= k candidates per query, never the full candidate frame through a
+    // Window sort (the hybrid RRF hot path calls this)
+    val plan = TextAnalysis.lexicalJaccardTopK(
+        docs, docs.filter(col("doc_id") === 1), "doc_id", "text", "doc_id", k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_top_k") && !plan.contains("Window"),
+      s"candidates must reduce map-side:\n$plan")
   }
 
   test("lexical Jaccard rejects query ids that coerce lossily vs corpus ids") {
