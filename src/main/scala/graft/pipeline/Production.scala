@@ -852,6 +852,25 @@ object Production {
         keyCol, contentCols, rowsPerShard)
     }
 
+    // DELIVERY, TFRecord flavor: any zone exported as tf.Example record
+    // shards (the TensorFlow loader container). `content_cols` lists the
+    // columns to carry as features (string/binary -> bytes, integral ->
+    // int64, float -> float32)
+    Jobs.register("tokenizer", "export-tfrecord") { (ctx, params) =>
+      val s = ctx.spark
+      val in = params.getOrElse("input", "raw.documents").toString
+      val rowsPerShard = params.getOrElse("rows_per_shard", "1000").toString.toInt
+      val contentCols: Seq[String] = params.get("content_cols") match {
+        case Some(xs: Seq[_]) => xs.map(_.toString)
+        case Some(one)        => Seq(one.toString)
+        case None             => Seq("doc_id", "text")
+      }
+      graft.io.TfRecord.writeShards(
+        Tables.readData(s, Seq(ctx.dataPath(in))),
+        ctx.dataPath(params.getOrElse("output", "processed.tfrecord").toString),
+        contentCols, rowsPerShard)
+    }
+
     // whole-document (padded) layout — the no-split alternative to `pack`:
     // every bin holds only whole documents (no cross-document attention
     // contamination), and the stats zone carries the padding cost that

@@ -326,6 +326,27 @@ object LlmQueries {
           length(col("payload")).cast("long").as("n_bytes"))
         .orderBy(col("doc_id"), col("ext"))
     },
+    // --- TFRecord shards: export documents as tf.Example records (int64
+    // doc_id + bytes text + int64 n_chars features), stream them back
+    // through the CRC-verified parser, and compare every recovered
+    // feature against the source table — the TensorFlow delivery format
+    // round-tripped under a FULL oracle
+    "tfrecord_roundtrip" -> { (s, dir) =>
+      val tmp = s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9]", "_")}/tfr"
+      if (!new java.io.File(s"$tmp/_STAGED").exists()) {
+        val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+          .select(col("doc_id"), col("text"),
+            col("n_chars").cast("long").as("n_chars"))
+        graft.io.TfRecord.writeShards(docs, tmp,
+          Seq("doc_id", "text", "n_chars"), rowsPerShard = 64)
+        new java.io.File(s"$tmp/_STAGED").createNewFile()
+      }
+      // the 0-byte _STAGED marker yields no records — harmless to list
+      graft.io.TfRecord.readExamples(s, Seq(tmp),
+        Seq("doc_id" -> "long", "text" -> "string", "n_chars" -> "long"))
+        .select(col("doc_id"), col("text"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
     // --- URL canonicalization over a planted zoo (uppercase host/www/
     // default port, tracking params, fragment + trailing slash, https
     // :443, multi-label public suffix, dotted-IPv4 host): the oracle
@@ -2429,6 +2450,11 @@ object LlmQueries {
         |SELECT doc_id, 'json', '{"lang":"' || lang || '"}',
         |  CAST(octet_length(encode('{"lang":"' || lang || '"}')) AS BIGINT) FROM d
         |ORDER BY doc_id, ext""".stripMargin,
+    // tfrecord: the round-trip must reproduce the source rows exactly —
+    // the oracle IS the source selection
+    "tfrecord_roundtrip" ->
+      """SELECT doc_id, text, CAST(n_chars AS BIGINT) AS n_chars
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
     // the url zoo is doc_id arithmetic — the oracle states the CANONICAL
     // string outright (ground truth), never re-running the normalizer
     "url_normalize" ->
