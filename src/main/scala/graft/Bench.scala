@@ -11,8 +11,9 @@ import org.apache.spark.sql.SparkSession
   *     benefits from) another query's cached state. BENCH_r02 inflated
   *     mid-run queries up to ~95x through accumulated cache + heap
   *     pressure in a shared long-lived session;
-  *   - each query runs three times against a cold cache: two cold
-  *     attempts and a warm one. The headline per-query number is
+  *   - each query runs four times against a cold cache: two cold
+  *     attempts and two warm ones (both sides min-of-two, so warm and
+  *     cold_min share a noise floor). The headline per-query number is
   *     cold_min = min of the two cold attempts — a single hypervisor
   *     spike or first-use-of-this-plan codegen/JIT stall can inflate one
   *     attempt but not both (the r4→r5 `ngram_jaccard` 4.5× "regression"
@@ -187,7 +188,12 @@ object Bench {
           var io = if (cold1 < cold0) lastIO else io0
           var coldMin = math.min(cold0, cold1)
           clearState(spark)
-          var warm = measure()._1
+          // min-of-two warm, matching the cold_min convention: a single
+          // ambient spike in the one warm attempt used to read as a
+          // warm-slower-than-cold "regression" (r13 ann_ivfpq_search)
+          val warm0 = measure()._1
+          clearState(spark)
+          var warm = math.min(warm0, measure()._1)
           // cold_min >> warm on an identical cold-cache plan = BOTH cold
           // attempts stalled (ambient load / background JIT), not the
           // query: re-measure once against a cold cache and keep the
