@@ -50,7 +50,20 @@ class PlanFingerprintSpec extends SparkSpec {
     // |groups|-row broadcast
     "gopher_rules" -> Map("global_sort" -> 1, "shuffle" -> 1),
     "c4_rules" -> Map("global_sort" -> 1, "shuffle" -> 1),
-    "perplexity_buckets" -> Map("broadcast" -> 9, "broadcast_hash_join" -> 13, "broadcast_nested_loop" -> 2, "global_sort" -> 1, "shuffle" -> 8))
+    // re-pinned r14: the order-5 backoff chain is 9 count joins (was 4
+    // at order 3) — all broadcast at this sf, keyed sort-merge at scale
+    "perplexity_buckets" -> Map("broadcast" -> 13, "broadcast_hash_join" -> 21, "broadcast_nested_loop" -> 2, "global_sort" -> 1, "shuffle" -> 10),
+    // r14 additions, the r13 headliners: WARC ingest is a pure
+    // record-streaming flatMap (shuffles = repartition + root sort);
+    // paragraph dedup is one hash-keyed count join back; UniMax sampling
+    // is the broadcast plan join + one λ*-aggregate nested loop; the
+    // ROUGE verifier keeps the minhash banding shape (two banding
+    // windows + signature-screened candidate joins), the LCS kernel
+    // adds no operator
+    "warc_ingest_e2e" -> Map("global_sort" -> 1, "shuffle" -> 2),
+    "paragraph_dedup" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "shuffle" -> 4),
+    "unimax_sample" -> Map("broadcast" -> 2, "broadcast_hash_join" -> 1, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "shuffle" -> 4),
+    "rouge_dedup_pairs" -> Map("broadcast" -> 2, "broadcast_hash_join" -> 3, "global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 3, "window" -> 2))
 
   private def withAqeOff[T](f: => T): T = {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
