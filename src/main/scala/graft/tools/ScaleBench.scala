@@ -168,6 +168,76 @@ object ScaleBench {
         "doc_id", "text", groupCol = Some("lang"))
     })
 
+  /** Stage the scaled corpus as WARC files (idempotent per dir): one
+    * warc per ~5000 docs, so the FILE count scales with the corpus and
+    * the sf1 → sf10 step measures record-streaming at ~10x files. */
+  private def ensureWarc(s: SparkSession, dir: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_scale_warc_$key"
+    if (!new java.io.File(s"$out/_STAGED").exists()) {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(length(trim(col("text"))) > 0)
+      val nFiles = math.max(4, (docs.count() / 5000).toInt)
+      val frame = docs.select(
+        concat(lit("http://crawl.test/"), col("doc_id").cast("string")).as("uri"),
+        (lit(1704067200L) + pmod(col("doc_id"), lit(1000000L))).cast("timestamp").as("ts"),
+        concat(lit("<urn:graft:doc:"), col("doc_id").cast("string"), lit(">")).as("rid"),
+        lit("text/html; charset=utf-8").as("mime"),
+        encode(concat(lit("<html><body><p>"), col("text"),
+          lit("</p></body></html>")), "UTF-8").as("payload"))
+        .repartition(nFiles)
+      graft.io.Warc.writeWarc(frame, out, "uri", "ts", "rid", "mime", "payload")
+      new java.io.File(s"$out/_STAGED").createNewFile()
+    }
+    out
+  }
+
+  /** The `r14-decade` suite: sf1 → sf10 for the round-13 heavy families.
+    * ROUGE near-dup answers THE open question from the r13 verdict (LCS
+    * verify cost at 10x candidates); WARC ingest streams ~10x files;
+    * paragraph dedup is the CCNet-unit hash pipeline; the perceptual
+    * near-dup passes are decode-bound map passes (payloads are
+    * generated in the same pass — generation is a cheap per-row kernel,
+    * decode dominates; the slope reads the whole decode-and-pair
+    * pipeline). */
+  private def r14Suite: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "rouge_full" -> { (s, dir) =>
+      graft.dedup.Dedup.rougeLNearDupPairs(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", threshold = 0.6)
+    },
+    "paragraph_dedup_full" -> { (s, dir) =>
+      graft.dedup.Dedup.dedupParagraphs(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text")
+    },
+    "warc_ingest_full" -> { (s, dir) =>
+      graft.io.Warc.readWarc(s, Seq(ensureWarc(s, dir)))
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri"),
+          graft.text.TextAnalysis.htmlToText(
+            graft.io.Warc.payloadText(col("payload"))).as("text"))
+    },
+    "image_phash_full" -> { (s, dir) =>
+      val mk = udf((id: Long) => graft.multimodal.Multimodal.testPatternPng(id))
+      val imgs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("img_id"))
+        .withColumn("payload", mk(col("img_id")))
+      graft.multimodal.Multimodal.imageNearDupPairs(
+        imgs, "img_id", "payload", maxHamming = 8)
+    },
+    "audio_fp_full" -> { (s, dir) =>
+      val mk = udf((id: Long) => graft.multimodal.Multimodal.testToneWav(id))
+      val clips = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("clip_id"))
+        .withColumn("payload", mk(col("clip_id")))
+      graft.multimodal.Multimodal.audioNearDupPairs(
+        clips, "clip_id", "payload", maxHamming = 5)
+    })
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
@@ -199,6 +269,15 @@ object ScaleBench {
         scaleUp(spark, "/root/testdata/sf0.1", sf10Dir, 100,
           only = Some(Set("documents", "embeddings", "lineitem")))
         (heavySuite, Seq("sf1" -> sf1Dir, "sf10" -> sf10Dir))
+      } else if (args.contains("r14-decade")) {
+        // `r14-decade`: sf1 → sf10 for the round-13 heavy families
+        // (ROUGE near-dup, WARC ingest, paragraph dedup, perceptual
+        // image/audio near-dup)
+        val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft_sf10")
+        System.err.println(s"[scalebench] deriving sf10 into $sf10Dir (idempotent)")
+        scaleUp(spark, "/root/testdata/sf0.1", sf10Dir, 100,
+          only = Some(Set("documents")))
+        (r14Suite, Seq("sf1" -> sf1Dir, "sf10" -> sf10Dir))
       } else
         (suite, Seq(
           "sf0.01" -> "/root/testdata/sf0.01",
