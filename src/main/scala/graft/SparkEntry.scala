@@ -23,7 +23,8 @@ object SparkEntry {
       FeatureQueries.queries ++
       EvalQueries.queries ++
       PipelineQueries.queries ++
-      LlmQueries.queries
+      LlmQueries.queries ++
+      AlignQueries.queries
 
   /** Bench-only lane: approximate ANN production configs. Not part of the
     * oracle-gated `queries` contract — approximate search has no hash
@@ -42,5 +43,6 @@ object SparkEntry {
       FeatureQueries.oracle ++
       EvalQueries.oracle ++
       PipelineQueries.oracle ++
-      LlmQueries.oracle
+      LlmQueries.oracle ++
+      AlignQueries.oracle
 }

@@ -1,0 +1,279 @@
+package graft.align
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Preference / alignment data preparation — the post-curation stage that
+  * turns scored or pairwise-compared model responses into training rows
+  * for preference optimization and rejection-sampling finetuning:
+  *
+  *   - [[bestOfN]]: rejection sampling (RFT) — keep the top-n responses
+  *     per prompt by reward.
+  *   - [[preferencePairs]]: (chosen, rejected) pair construction from
+  *     per-response scores, the DPO/reward-model input shape
+  *     (Rafailov et al. 2023; Ouyang et al. 2022).
+  *   - [[lengthBiasReport]]: the verbosity-bias diagnostic — win rate of
+  *     the longer response, bucketed by length gap (reward models
+  *     notoriously prefer longer answers; this is the table every
+  *     preference dataset ships with).
+  *   - [[bradleyTerry]]: Bradley–Terry strength estimation from pairwise
+  *     outcomes via fixed-iteration MM updates (Hunter 2004) — the
+  *     leaderboard / annotator-agreement shape.
+  *   - [[dpoRender]]: render pairs to ChatML chosen/rejected training
+  *     texts with exact completion mask offsets, by composing
+  *     [[graft.text.Packing.renderChatTemplate]] per branch.
+  *
+  * Scale shapes: everything keys on the prompt (or the item) — one
+  * hash-partitioned aggregation over the responses table; per-prompt
+  * response counts are generation-time constants (the N of best-of-N),
+  * so per-prompt joins are bounded. Bradley–Terry reduces the comparison
+  * log to a per-pair count table in ONE shuffle; iterations then run on
+  * the items² frame (leaderboards have tens-to-thousands of items) with
+  * broadcast strength joins — 100 TB of comparisons costs one groupBy.
+  *
+  * No counterpart in the reference (abhirup77/classification-pyspark is
+  * a tabular classification pipeline); this is extension surface for the
+  * LLM-training-data brief, from published shapes only. */
+object Preference {
+
+  /** Top-`n` responses per prompt by `scoreCol` (descending), ties to the
+    * lowest `idCol` — rejection-sampling / best-of-N selection. Rides the
+    * bounded-heap per-key top-k aggregate, so the exchange carries at
+    * most n rows per prompt, never the full sample fan-out.
+    * Output: promptCol, rank (1-based), scoreCol, idCol, remaining cols. */
+  def bestOfN(
+      responses: DataFrame,
+      promptCol: String,
+      idCol: String,
+      scoreCol: String,
+      n: Int = 1): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    graft.dp.TopK.topKPerKeyDirectional(
+      responses, Seq(promptCol), Seq(scoreCol -> false, idCol -> true), n)
+  }
+
+  /** (chosen, rejected) preference pairs from per-response scores.
+    *
+    * Policies:
+    *   - `max-min`: ONE pair per prompt — the best response against the
+    *     worst (the standard DPO construction from best-of-N samples).
+    *   - `best-vs-rest`: the best response against every other response.
+    *   - `all`: every ordered pair with a positive margin.
+    *
+    * Ties: the winner/loser rank orders by (score, id) — equal-score
+    * pairs are NEVER emitted (margin must be > 0 and >= `minMargin`);
+    * a prompt with one response emits nothing.
+    *
+    * Output: promptCol, chosen_id, rejected_id, chosen, rejected,
+    * chosen_score, rejected_score, margin. Scale: extrema ride the
+    * bounded-heap top-1 aggregate (shuffle = one row per prompt per
+    * side); `all`/`best-vs-rest` join back on the prompt key, bounded
+    * by the per-prompt sample count N (a generation-time constant). */
+  def preferencePairs(
+      responses: DataFrame,
+      promptCol: String,
+      idCol: String,
+      textCol: String,
+      scoreCol: String,
+      policy: String = "max-min",
+      minMargin: Double = 0.0): DataFrame = {
+    require(minMargin >= 0, s"minMargin must be >= 0, got $minMargin")
+    val base = responses.select(
+      col(promptCol), col(idCol), col(textCol), col(scoreCol).cast("double").as(scoreCol))
+    def top1(ascending: Boolean, prefix: String): DataFrame =
+      graft.dp.TopK.topKPerKeyDirectional(
+        base, Seq(promptCol), Seq(scoreCol -> ascending, idCol -> true), 1)
+        .select(
+          col(promptCol),
+          col(idCol).as(s"${prefix}_id"),
+          col(textCol).as(prefix),
+          col(scoreCol).as(s"${prefix}_score"))
+    val chosen = top1(ascending = false, "chosen")
+    val finish: DataFrame => DataFrame = paired =>
+      paired
+        .withColumn("margin", col("chosen_score") - col("rejected_score"))
+        .filter(col("margin") > 0 && col("margin") >= minMargin)
+        .select(
+          col(promptCol), col("chosen_id"), col("rejected_id"),
+          col("chosen"), col("rejected"),
+          col("chosen_score"), col("rejected_score"), col("margin"))
+    policy match {
+      case "max-min" =>
+        finish(chosen.join(top1(ascending = true, "rejected"), Seq(promptCol)))
+      case "best-vs-rest" =>
+        finish(chosen.join(
+          base.select(
+            col(promptCol), col(idCol).as("rejected_id"),
+            col(textCol).as("rejected"), col(scoreCol).as("rejected_score")),
+          Seq(promptCol))
+          .filter(col("rejected_id") =!= col("chosen_id")))
+      case "all" =>
+        finish(base.select(
+          col(promptCol), col(idCol).as("chosen_id"),
+          col(textCol).as("chosen"), col(scoreCol).as("chosen_score"))
+          .join(base.select(
+            col(promptCol), col(idCol).as("rejected_id"),
+            col(textCol).as("rejected"), col(scoreCol).as("rejected_score")),
+            Seq(promptCol)))
+      case other =>
+        throw new IllegalArgumentException(
+          s"unknown policy '$other' (max-min | best-vs-rest | all)")
+    }
+  }
+
+  /** Verbosity-bias diagnostic over a preference-pair frame: per
+    * length-gap bucket (|chosen chars - rejected chars|, code points) and
+    * as an `all` rollup row — pair count, the rate at which the LONGER
+    * response is the chosen one (ties count 0.5), and mean lengths per
+    * side. A `longer_chosen_rate` far above 0.5 in the wide buckets is
+    * the published reward-hacking signal. One aggregation pass. */
+  def lengthBiasReport(
+      pairs: DataFrame,
+      chosenCol: String,
+      rejectedCol: String): DataFrame = {
+    val lc = length(col(chosenCol)).cast("long")
+    val lr = length(col(rejectedCol)).cast("long")
+    val diff = abs(lc - lr)
+    val bucket = when(diff === 0, "0")
+      .when(diff <= 10, "1-10")
+      .when(diff <= 50, "11-50")
+      .when(diff <= 200, "51-200")
+      .otherwise(">200")
+    pairs
+      .select(bucket.as("len_gap_bucket"), lc.as("__lc"), lr.as("__lr"))
+      .rollup(col("len_gap_bucket"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg(when(col("__lc") > col("__lr"), 1.0)
+          .when(col("__lc") < col("__lr"), 0.0)
+          .otherwise(0.5)), 6).as("longer_chosen_rate"),
+        round(avg(col("__lc")), 6).as("mean_chosen_chars"),
+        round(avg(col("__lr")), 6).as("mean_rejected_chars"))
+      .withColumn("len_gap_bucket", coalesce(col("len_gap_bucket"), lit("all")))
+  }
+
+  /** Bradley–Terry strengths from a pairwise-outcome log (one row per
+    * comparison: winner, loser) via `iterations` MM updates
+    * (Hunter 2004): p_i ← W_i / Σ_j n_ij / (p_i + p_j), renormalized to
+    * mean 1 each step. Items that never win converge to strength 0 (the
+    * MLE boundary); guards keep the arithmetic total. Strengths are
+    * rounded to 6 decimals on output only — the MM map is a contraction,
+    * so summation-order ulp noise stays ~1e-14 across iterations and an
+    * oracle replaying the same unrolled arithmetic lands on the same
+    * 6-decimal value (the PageRank-oracle precedent).
+    *
+    * Scale shape: the comparison log collapses to per-pair game counts
+    * and per-item win totals in ONE shuffle each; every iteration then
+    * joins the items²-bounded pair table against the broadcast strength
+    * frame (leaderboards have tens-to-thousands of items) and
+    * local-checkpoints the tiny result to keep lineage flat — the
+    * PageRank treatment at a fraction of the state.
+    * Output: item, strength, n_wins, n_games. */
+  def bradleyTerry(
+      outcomes: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iterations: Int = 10): DataFrame = {
+    require(iterations >= 1 && iterations <= 100,
+      s"iterations must be in [1, 100], got $iterations")
+    val spark = outcomes.sparkSession
+    // localCheckpoint alone does NOT reset size estimates: the LogicalRDD
+    // carries the origin plan's stats, and the MM update references p on
+    // BOTH sides of the pair join (plus the renormalization total), so the
+    // estimated sizeInBytes DOUBLES its digit count every iteration —
+    // by ~25 iterations the optimizer sits in million-digit BigInteger
+    // multiplies inside stats estimation. Rebuilding the frame over the
+    // checkpointed RDD drops the carried stats back to the flat default.
+    def ckpt(df: DataFrame): DataFrame = {
+      val out = df.localCheckpoint()
+      spark.createDataFrame(out.rdd, out.schema)
+    }
+    val directed = ckpt(outcomes
+      .groupBy(col(winnerCol).as("__w"), col(loserCol).as("__l"))
+      .agg(count(lit(1)).as("__c")))
+    val pairGames = ckpt(directed
+      .select(col("__w").as("__i"), col("__l").as("__j"), col("__c"))
+      .unionByName(directed.select(col("__l").as("__i"), col("__w").as("__j"), col("__c")))
+      .groupBy(col("__i"), col("__j"))
+      .agg(sum(col("__c")).as("__n")))
+    val wins = directed.groupBy(col("__w").as("__i")).agg(sum(col("__c")).as("__wins"))
+    val games = pairGames.groupBy(col("__i")).agg(sum(col("__n")).as("__games"))
+    var p = ckpt(pairGames.select(col("__i")).distinct()
+      .join(wins, Seq("__i"), "left")
+      .na.fill(0L, Seq("__wins"))
+      .select(col("__i"), lit(1.0).as("__p"), col("__wins")))
+    for (_ <- 1 to iterations) {
+      val den = pairGames
+        .join(broadcast(p.select(col("__i"), col("__p"))), Seq("__i"))
+        .join(broadcast(p.select(col("__i").as("__j"), col("__p").as("__pj"))), Seq("__j"))
+        .groupBy(col("__i"))
+        .agg(sum(when(col("__p") + col("__pj") > 0,
+          col("__n") / (col("__p") + col("__pj"))).otherwise(0.0)).as("__den"))
+      val raw = p.drop("__p")
+        .join(den, Seq("__i"), "left")
+        .select(col("__i"), col("__wins"),
+          when(col("__den") > 0, col("__wins").cast("double") / col("__den"))
+            .otherwise(0.0).as("__praw"))
+      val tot = raw.agg(
+        sum(col("__praw")).as("__sum"), count(lit(1)).cast("double").as("__cnt"))
+      p = ckpt(raw.crossJoin(broadcast(tot))
+        .select(col("__i"),
+          when(col("__sum") > 0, col("__praw") * col("__cnt") / col("__sum"))
+            .otherwise(0.0).as("__p"),
+          col("__wins")))
+    }
+    p.join(games, Seq("__i"), "left")
+      .select(
+        col("__i").as("item"),
+        round(col("__p"), 6).as("strength"),
+        col("__wins").as("n_wins"),
+        coalesce(col("__games"), lit(0L)).as("n_games"))
+  }
+
+  /** Render preference pairs to DPO training rows: both branches pass
+    * through [[graft.text.Packing.renderChatTemplate]] (user prompt +
+    * assistant response), so the chosen/rejected texts carry the SAME
+    * ChatML shape and completion-mask conventions as the SFT lane —
+    * mask offsets cover the assistant content + end marker, code-point
+    * units, leading content whitespace normalized identically.
+    * Output: pairIdCol, chosen_text, chosen_mask_start, chosen_mask_end,
+    * rejected_text, rejected_mask_start, rejected_mask_end.
+    * Scale: a 2-row explode per pair, the template's one keyed
+    * running-sum window, one regroup keyed by the pair id. */
+  def dpoRender(
+      pairs: DataFrame,
+      pairIdCol: String,
+      promptCol: String,
+      chosenCol: String,
+      rejectedCol: String): DataFrame = {
+    val branches = pairs.select(
+      col(pairIdCol), col(promptCol),
+      explode(array(
+        struct(lit("chosen").as("branch"), col(chosenCol).as("resp")),
+        struct(lit("rejected").as("branch"), col(rejectedCol).as("resp")))).as("__b"))
+    val turns = branches.select(
+      struct(col(pairIdCol).as("pid"), col("__b.branch").as("branch")).as("__conv"),
+      explode(array(
+        struct(lit(0).as("t"), lit("user").as("role"), col(promptCol).as("content")),
+        struct(lit(1).as("t"), lit("assistant").as("role"),
+          col("__b.resp").as("content")))).as("__turn"))
+      .select(col("__conv"), col("__turn.t").as("__t"),
+        col("__turn.role").as("__role"), col("__turn.content").as("__content"))
+    val rendered = graft.text.Packing
+      .renderChatTemplate(turns, "__conv", "__t", "__role", "__content")
+    def side(name: String) =
+      max(when(col("__conv").getField("branch") === name,
+        struct(col("text").as("t"), element_at(col("mask_spans"), 1).as("sp"))))
+    rendered
+      .groupBy(col("__conv").getField("pid").as(pairIdCol))
+      .agg(side("chosen").as("__c"), side("rejected").as("__r"))
+      .select(
+        col(pairIdCol),
+        col("__c.t").as("chosen_text"),
+        col("__c.sp.mask_start").as("chosen_mask_start"),
+        col("__c.sp.mask_end").as("chosen_mask_end"),
+        col("__r.t").as("rejected_text"),
+        col("__r.sp.mask_start").as("rejected_mask_start"),
+        col("__r.sp.mask_end").as("rejected_mask_end"))
+  }
+}

@@ -1102,5 +1102,93 @@ object Production {
         Metrics.rocPrCurve(preds, "score", "target_var"),
         ctx.dataPath("processed.roc_curve"), allow = Set("GLOBAL_WINDOW"))
     }
+
+    // alignment data prep (graft.align.Preference): scored responses →
+    // best-of-N selections / DPO preference pairs / rendered training
+    // rows, plus the Bradley–Terry leaderboard over comparison logs.
+    // Inputs default to a `raw.responses` table with the conventional
+    // (prompt_id, response_id, response, score) columns; every name is
+    // a param so any scored-sample table plugs in.
+    Jobs.register("alignment", "best-of-n") { (ctx, params) =>
+      val s = ctx.spark
+      val in = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "raw.responses").toString)))
+      save(ctx,
+        graft.align.Preference.bestOfN(in,
+          params.getOrElse("prompt_col", "prompt_id").toString,
+          params.getOrElse("id_col", "response_id").toString,
+          params.getOrElse("score_col", "score").toString,
+          params.getOrElse("n", "1").toString.toInt),
+        ctx.dataPath(params.getOrElse("output", "processed.best_of_n").toString))
+    }
+
+    Jobs.register("alignment", "preference-pairs") { (ctx, params) =>
+      val s = ctx.spark
+      val in = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "raw.responses").toString)))
+      save(ctx,
+        graft.align.Preference.preferencePairs(in,
+          params.getOrElse("prompt_col", "prompt_id").toString,
+          params.getOrElse("id_col", "response_id").toString,
+          params.getOrElse("text_col", "response").toString,
+          params.getOrElse("score_col", "score").toString,
+          params.getOrElse("policy", "max-min").toString,
+          params.getOrElse("min_margin", "0.0").toString.toDouble),
+        ctx.dataPath(params.getOrElse("output", "processed.preference_pairs").toString))
+    }
+
+    // render stored pairs to DPO training rows: the pairs table joined
+    // with a prompt-text table, both branches through the SFT ChatML
+    // template with exact completion-mask offsets
+    Jobs.register("alignment", "dpo-render") { (ctx, params) =>
+      val s = ctx.spark
+      val promptCol = params.getOrElse("prompt_col", "prompt_id").toString
+      val pairs = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("pairs", "processed.preference_pairs").toString)))
+      val prompts = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("prompts", "raw.prompts").toString)))
+        .select(col(params.getOrElse("prompt_id_col", "prompt_id").toString)
+          .as(promptCol),
+          col(params.getOrElse("prompt_text_col", "prompt").toString).as("__prompt"))
+      save(ctx,
+        graft.align.Preference.dpoRender(
+          pairs.join(prompts, Seq(promptCol)),
+          promptCol, "__prompt", "chosen", "rejected"),
+        ctx.dataPath(params.getOrElse("output", "processed.dpo_rows").toString))
+    }
+
+    Jobs.register("alignment", "bt-leaderboard") { (ctx, params) =>
+      val s = ctx.spark
+      val in = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "raw.comparisons").toString)))
+      save(ctx,
+        graft.align.Preference.bradleyTerry(in,
+          params.getOrElse("winner_col", "winner").toString,
+          params.getOrElse("loser_col", "loser").toString,
+          params.getOrElse("iterations", "10").toString.toInt),
+        ctx.dataPath(params.getOrElse("output", "processed.bt_leaderboard").toString))
+    }
+
+    // embedding-level benchmark decontamination beside the n-gram
+    // `decontaminate` stage: paraphrased leakage that shares no 8-gram
+    // still sits at cosine ~1; both screens run before a corpus ships
+    Jobs.register("corpus-curation", "decontaminate-semantic") { (ctx, params) =>
+      val s = ctx.spark
+      val threshold = params.getOrElse("threshold", "0.99").toString.toDouble
+      val corpus = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "raw.embeddings").toString)))
+      val bench = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("bench", "raw.bench_embeddings").toString)))
+      val idCol = params.getOrElse("id_col", "vec_id").toString
+      val vecCol = params.getOrElse("vec_col", "embedding").toString
+      save(ctx,
+        graft.similarity.Similarity.decontaminateSemantic(
+          corpus, idCol, vecCol,
+          bench,
+          params.getOrElse("bench_id_col", "vec_id").toString,
+          params.getOrElse("bench_vec_col", "embedding").toString,
+          threshold),
+        ctx.dataPath(params.getOrElse("output", "clean.embeddings_decontaminated").toString))
+    }
   }
 }

@@ -1042,4 +1042,70 @@ object Similarity {
       .filter(col("__rn") === 1)
       .select(col(idCol), col("__cl").as("pred_label"), col("cosine"))
   }
+
+  /** Semantic (embedding-level) benchmark contamination report — the
+    * decontamination companion to the n-gram overlap check
+    * ([[graft.dedup.Dedup.contaminationReport]]): paraphrased or
+    * re-tokenized benchmark leakage that shares no 8-gram still sits at
+    * cosine ≈ 1 in embedding space, and published pipelines run BOTH
+    * screens before a corpus ships. For every corpus row whose best
+    * benchmark match has cosine >= `threshold`: (idCol, bench id, that
+    * cosine). Cosines are rounded to 6 decimals (the library's
+    * cross-engine score unit) BEFORE the argmax; ties break toward the
+    * lower benchmark id via the (score, -id) struct max, so benchmark
+    * ids must be numeric.
+    *
+    * Scale shape: the benchmark side is tiny by construction (thousands
+    * of rows against a corpus of billions) — norms are projected once
+    * per side, the benchmark frame is broadcast, and the per-row argmax
+    * is ONE map-side-partial groupBy on the corpus id: no shuffle of
+    * the corpus×bench product, no window. Zero-norm rows on either side
+    * never match. */
+  def semanticContaminationReport(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchVecCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    corpus
+      .select(col(idCol), col(vecCol).as("__v"), l2Norm(col(vecCol)).as("__n"))
+      .filter(col("__n") > 0)
+      .crossJoin(broadcast(bench.select(
+        col(benchIdCol).as("__bid"),
+        col(benchVecCol).as("__bv"),
+        l2Norm(col(benchVecCol)).as("__bn"))
+        .filter(col("__bn") > 0)))
+      .select(col(idCol),
+        struct(
+          round(dot(col("__v"), col("__bv")) / (col("__n") * col("__bn")), 6).as("s"),
+          (-col("__bid")).as("nb")).as("__m"))
+      .groupBy(col(idCol))
+      .agg(max(col("__m")).as("__b"))
+      .filter(col("__b.s") >= threshold)
+      .select(col(idCol),
+        (-col("__b.nb")).as("bench_id"),
+        col("__b.s").as("cosine"))
+  }
+
+  /** Semantic decontamination enforcement: drop every corpus row flagged
+    * by [[semanticContaminationReport]], pass everything else through
+    * untouched (zero-norm vectors always survive — they matched
+    * nothing). Anti-join on the bounded flagged set. */
+  def decontaminateSemantic(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      bench: DataFrame,
+      benchIdCol: String,
+      benchVecCol: String,
+      threshold: Double): DataFrame =
+    corpus.join(
+      semanticContaminationReport(
+        corpus, idCol, vecCol, bench, benchIdCol, benchVecCol, threshold)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -987,7 +987,10 @@ class ConfigJobsSpec extends AnyFunSuite {
       .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/ref")
     Seq(
       (1L, "the cat sat on the mat"),  // head
-      (2L, "the cat sat on zz zz"),    // middle
+      // middle at the order-5 default: scored positions are tokens 5-6
+      // (full 5-gram context), one reference-seen ("the" after
+      // "the cat sat on") and one OOV
+      (2L, "the cat sat on the zz"),
       (3L, "zz qq ww rr tt yy"))       // tail -> dropped by keep
       .toDF("doc_id", "text").write.mode("overwrite").parquet(s"$work/docs")
     val cfg = Map(

@@ -1,0 +1,141 @@
+package graft
+
+import graft.align.Preference
+import graft.similarity.Similarity
+import org.apache.spark.sql.functions._
+
+class PreferenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def resp = Seq(
+    // prompt 1: clear ladder
+    (1L, 10L, "long answer text", 9.0),
+    (1L, 11L, "short", 5.0),
+    (1L, 12L, "mid answer", 7.0),
+    // prompt 2: top-score tie between 20 and 21 -> lower id wins
+    (2L, 20L, "aa", 8.0),
+    (2L, 21L, "bb", 8.0),
+    (2L, 22L, "cc", 1.0),
+    // prompt 3: single response -> no pair
+    (3L, 30L, "solo", 4.0))
+    .toDF("prompt_id", "response_id", "response", "score")
+
+  test("bestOfN: top-n per prompt by score, ties to the lower id") {
+    val r = Preference.bestOfN(resp, "prompt_id", "response_id", "score", n = 2)
+      .orderBy("prompt_id", "rank")
+      .select("prompt_id", "rank", "response_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(r === Seq(
+      (1L, 1, 10L), (1L, 2, 12L),
+      (2L, 1, 20L), (2L, 2, 21L),
+      (3L, 1, 30L)))
+  }
+
+  test("preferencePairs max-min: one best-vs-worst pair per prompt, ties ranked by id") {
+    val r = Preference.preferencePairs(
+      resp, "prompt_id", "response_id", "response", "score")
+      .orderBy("prompt_id")
+      .select("prompt_id", "chosen_id", "rejected_id", "margin")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // prompt 2: chosen = 20 (tie -> lower id), rejected = 22;
+    // prompt 3 emits nothing (chosen == rejected)
+    assert(r === Seq((1L, 10L, 11L, 4.0), (2L, 20L, 22L, 7.0)))
+  }
+
+  test("preferencePairs margin gate excludes ties and sub-margin pairs") {
+    val gated = Preference.preferencePairs(
+      resp, "prompt_id", "response_id", "response", "score", minMargin = 5.0)
+    assert(gated.select("prompt_id").as[Long].collect().toSeq === Seq(2L))
+    // all-pairs: every ordered pair with margin > 0 — the 8.0 tie on
+    // prompt 2 is never emitted in either direction
+    val all = Preference.preferencePairs(
+      resp, "prompt_id", "response_id", "response", "score", policy = "all")
+      .select("chosen_id", "rejected_id").as[(Long, Long)].collect().toSet
+    assert(all === Set(
+      (10L, 11L), (10L, 12L), (12L, 11L),
+      (20L, 22L), (21L, 22L)))
+    val bvr = Preference.preferencePairs(
+      resp, "prompt_id", "response_id", "response", "score", policy = "best-vs-rest")
+      .select("chosen_id", "rejected_id").as[(Long, Long)].collect().toSet
+    // prompt 2's best (20) vs the tied 21 has margin 0 -> excluded
+    assert(bvr === Set((10L, 11L), (10L, 12L), (20L, 22L)))
+  }
+
+  test("lengthBiasReport: bucketed longer-chosen rate with the all rollup") {
+    val pairs = Seq(
+      ("aaaaaa", "aa"),   // chosen longer, gap 4 -> 1-10
+      ("aa", "aaaaaa"),   // rejected longer, gap 4 -> 1-10
+      ("aaa", "aaa"))     // tie -> 0 bucket, rate 0.5
+      .toDF("chosen", "rejected")
+    val r = Preference.lengthBiasReport(pairs, "chosen", "rejected")
+      .orderBy("len_gap_bucket")
+      .select("len_gap_bucket", "n_pairs", "longer_chosen_rate")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(r === Seq(("0", 1L, 0.5), ("1-10", 2L, 0.5), ("all", 3L, 0.5)))
+  }
+
+  test("bradleyTerry: 3-1 head-to-head lands exactly at strengths 1.5 / 0.5") {
+    // mean-1 normalization makes the 2-item MM update close in one step:
+    // p_A = W_A * (p_A + p_B) / n = 3 * 2 / 4
+    val o = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")))
+      .toDF("winner", "loser")
+    val r = Preference.bradleyTerry(o, "winner", "loser", iterations = 10)
+      .select("item", "strength", "n_wins", "n_games")
+      .as[(String, Double, Long, Long)].collect().toMap2
+    assert(r("A") === ((1.5, 3L, 4L)))
+    assert(r("B") === ((0.5, 1L, 4L)))
+  }
+
+  test("bradleyTerry: never-winners pin to 0 and a transitive ladder orders correctly") {
+    val o = Seq(("A", "B"), ("A", "B"))
+      .toDF("winner", "loser")
+    val r = Preference.bradleyTerry(o, "winner", "loser")
+      .select("item", "strength").as[(String, Double)].collect().toMap
+    assert(r("A") === 2.0 && r("B") === 0.0)
+    val ladder = Seq(
+      ("C", "B"), ("C", "B"), ("C", "A"), ("C", "A"), ("C", "A"),
+      ("B", "A"), ("B", "A"), ("A", "B"), ("B", "C"), ("A", "C"))
+      .toDF("winner", "loser")
+    val s = Preference.bradleyTerry(ladder, "winner", "loser", iterations = 30)
+      .select("item", "strength").as[(String, Double)].collect().toMap
+    assert(s("C") > s("B") && s("B") > s("A"), s.toString)
+    // mean-1 normalization: strengths average to 1
+    assert(math.abs(s.values.sum / 3 - 1.0) < 1e-6)
+  }
+
+  test("dpoRender: ChatML branches with exact completion mask offsets") {
+    val pairs = Seq((7L, "hi", "hello", "bad"))
+      .toDF("pair_id", "prompt", "chosen", "rejected")
+    val r = Preference.dpoRender(pairs, "pair_id", "prompt", "chosen", "rejected").head()
+    val ct = r.getAs[String]("chosen_text")
+    assert(ct === "<|im_start|>user\nhi<|im_end|>\n<|im_start|>assistant\nhello<|im_end|>\n")
+    val (cs, ce) = (r.getAs[Long]("chosen_mask_start"), r.getAs[Long]("chosen_mask_end"))
+    assert(ct.substring(cs.toInt, ce.toInt) === "hello<|im_end|>")
+    val rt = r.getAs[String]("rejected_text")
+    val (rs, re) = (r.getAs[Long]("rejected_mask_start"), r.getAs[Long]("rejected_mask_end"))
+    assert(rt.substring(rs.toInt, re.toInt) === "bad<|im_end|>")
+  }
+
+  test("semantic decontamination: flags cosine twins of the benchmark, keeps the rest") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // exact bench twin -> flagged
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal -> survives
+      (3L, Array(2.0f, 0.001f, 0.0f)), // scaled near-twin -> flagged
+      (4L, Array(0.0f, 0.0f, 0.0f)))   // zero norm -> survives
+      .toDF("vec_id", "embedding")
+    val bench = Seq((100L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("bench_id", "bvec")
+    val rep = Similarity.semanticContaminationReport(
+      corpus, "vec_id", "embedding", bench, "bench_id", "bvec", threshold = 0.999)
+      .select("vec_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(rep === Set((1L, 100L), (3L, 100L)))
+    val kept = Similarity.decontaminateSemantic(
+      corpus, "vec_id", "embedding", bench, "bench_id", "bvec", threshold = 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L))
+  }
+
+  private implicit class Map2Ops[A, B, C, D](rows: Array[(A, B, C, D)]) {
+    def toMap2: Map[A, (B, C, D)] = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+}

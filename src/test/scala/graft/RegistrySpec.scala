@@ -15,7 +15,8 @@ class RegistrySpec extends AnyFunSuite {
     "FeatureQueries" -> FeatureQueries.queries.keySet,
     "EvalQueries" -> EvalQueries.queries.keySet,
     "PipelineQueries" -> PipelineQueries.queries.keySet,
-    "LlmQueries" -> LlmQueries.queries.keySet)
+    "LlmQueries" -> LlmQueries.queries.keySet,
+    "AlignQueries" -> AlignQueries.queries.keySet)
 
   test("no query name is defined by two query objects") {
     val dupes = queryMaps.combinations(2).flatMap {
@@ -31,7 +32,8 @@ class RegistrySpec extends AnyFunSuite {
     val oracleMaps = Seq(
       RelationalQueries.oracle.keySet, ProfileQueries.oracle.keySet,
       FeatureQueries.oracle.keySet, EvalQueries.oracle.keySet,
-      PipelineQueries.oracle.keySet, LlmQueries.oracle.keySet)
+      PipelineQueries.oracle.keySet, LlmQueries.oracle.keySet,
+      AlignQueries.oracle.keySet)
     assert(oracleMaps.map(_.size).sum == SparkEntry.oracleSql.size,
       "an oracle name is defined in two query objects")
   }
