@@ -152,6 +152,45 @@ object Preference {
       .withColumn("len_gap_bucket", coalesce(col("len_gap_bucket"), lit("all")))
   }
 
+  /** Reward-model evaluation over human preference pairs: given the
+    * model's scores for the human-chosen and human-rejected sides,
+    * pairwise ranking accuracy (agree = model scores chosen higher;
+    * exact ties count 0.5) bucketed by the model's confidence
+    * |margin| = |score_chosen − score_rejected|, plus the `all` rollup
+    * row. Accuracy rising with the margin bucket is the calibration
+    * signal a reward model ships with; flat-or-falling accuracy in the
+    * wide buckets is the miscalibration tell. `bucketEdges` must be
+    * strictly increasing; bucket labels render the edges verbatim.
+    * One aggregation pass (the [[lengthBiasReport]] shape).
+    * Output: margin_bucket, n_pairs, accuracy, mean_margin. */
+  def rewardModelReport(
+      pairs: DataFrame,
+      chosenScoreCol: String,
+      rejectedScoreCol: String,
+      bucketEdges: Seq[Double] = Seq(0.5, 1.0, 2.0, 5.0)): DataFrame = {
+    require(bucketEdges.nonEmpty && bucketEdges == bucketEdges.sorted &&
+      bucketEdges.distinct == bucketEdges && bucketEdges.head > 0,
+      s"bucketEdges must be strictly increasing and positive, got $bucketEdges")
+    val margin = col(chosenScoreCol).cast("double") -
+      col(rejectedScoreCol).cast("double")
+    val conf = abs(margin)
+    val bucket = bucketEdges.tail.zip(bucketEdges.init)
+      .foldLeft(when(conf <= bucketEdges.head, s"<=${bucketEdges.head}")) {
+        case (acc, (hi, lo)) => acc.when(conf <= hi, s"$lo-$hi")
+      }
+      .otherwise(s">${bucketEdges.last}")
+    pairs
+      .select(bucket.as("margin_bucket"), margin.as("__m"))
+      .rollup(col("margin_bucket"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        round(avg(when(col("__m") > 0, 1.0)
+          .when(col("__m") < 0, 0.0)
+          .otherwise(0.5)), 6).as("accuracy"),
+        round(avg(col("__m")), 6).as("mean_margin"))
+      .withColumn("margin_bucket", coalesce(col("margin_bucket"), lit("all")))
+  }
+
   /** Bradley–Terry strengths from a pairwise-outcome log (one row per
     * comparison: winner, loser) via `iterations` MM updates
     * (Hunter 2004): p_i ← W_i / Σ_j n_ij / (p_i + p_j), renormalized to

@@ -1157,6 +1157,44 @@ object Production {
         ctx.dataPath(params.getOrElse("output", "processed.dpo_rows").toString))
     }
 
+    // inter-annotator agreement gate: run BEFORE ratings feed pair
+    // construction or reward training — metric: cohen (two named raters)
+    // or fleiss (any raters, variable counts)
+    Jobs.register("alignment", "rater-agreement") { (ctx, params) =>
+      val s = ctx.spark
+      val in = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "raw.ratings").toString)))
+      val itemCol = params.getOrElse("item_col", "item_id").toString
+      val labelCol = params.getOrElse("label_col", "label").toString
+      val out = params.getOrElse("metric", "fleiss").toString match {
+        case "cohen" => graft.align.Agreement.cohenKappa(in, itemCol,
+          params.getOrElse("rater_col", "rater").toString, labelCol,
+          params.getOrElse("rater_a", "r1").toString,
+          params.getOrElse("rater_b", "r2").toString)
+        case "fleiss" => graft.align.Agreement.fleissKappa(in, itemCol, labelCol)
+        case other => throw new IllegalArgumentException(
+          s"unknown metric '$other' (cohen | fleiss)")
+      }
+      save(ctx, out,
+        ctx.dataPath(params.getOrElse("output", "processed.rater_agreement").toString))
+    }
+
+    // reward-model pairwise accuracy by confidence bucket over a scored
+    // preference-pair table (rm_chosen / rm_rejected columns by default)
+    Jobs.register("alignment", "reward-report") { (ctx, params) =>
+      val s = ctx.spark
+      val in = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "processed.preference_pairs_scored").toString)))
+      val edges = params.getOrElse("bucket_edges", "0.5,1.0,2.0,5.0").toString
+        .split(",").map(_.trim.toDouble).toSeq
+      save(ctx,
+        graft.align.Preference.rewardModelReport(in,
+          params.getOrElse("chosen_score_col", "rm_chosen").toString,
+          params.getOrElse("rejected_score_col", "rm_rejected").toString,
+          edges),
+        ctx.dataPath(params.getOrElse("output", "processed.reward_report").toString))
+    }
+
     Jobs.register("alignment", "bt-leaderboard") { (ctx, params) =>
       val s = ctx.spark
       val in = Tables.readData(s, Seq(ctx.dataPath(
@@ -1167,6 +1205,24 @@ object Production {
           params.getOrElse("loser_col", "loser").toString,
           params.getOrElse("iterations", "10").toString.toInt),
         ctx.dataPath(params.getOrElse("output", "processed.bt_leaderboard").toString))
+    }
+
+    // RETRO-style retrieval-neighbor mining: every chunk paired with its
+    // top-k cross-document cosine neighbors (same-doc neighbors leak the
+    // continuation), the retrieval-augmented-pretraining prep stage
+    Jobs.register("corpus-curation", "retrieval-neighbors") { (ctx, params) =>
+      val s = ctx.spark
+      val in = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "raw.embeddings").toString)))
+      save(ctx,
+        graft.similarity.Similarity.retrievalNeighbors(in,
+          params.getOrElse("id_col", "vec_id").toString,
+          params.getOrElse("vec_col", "embedding").toString,
+          params.getOrElse("doc_col", "doc_id").toString,
+          params.getOrElse("k", "10").toString.toInt,
+          params.getOrElse("nlist", "0").toString.toInt,
+          params.getOrElse("nprobe", "0").toString.toInt),
+        ctx.dataPath(params.getOrElse("output", "processed.retrieval_neighbors").toString))
     }
 
     // embedding-level benchmark decontamination beside the n-gram

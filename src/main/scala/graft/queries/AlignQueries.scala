@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Exprs
-import graft.align.Preference
+import graft.align.{Agreement, Preference}
 import graft.similarity.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -65,7 +65,76 @@ object AlignQueries {
       |          AS BIGINT) AS d
       |      FROM documents WHERE doc_id < 480)))""".stripMargin
 
+  /** Two-rater rating log: r1 rates doc_id < 240, r2 rates 20..259 (the
+    * inner join keeps the 220 co-rated items), labels l0/l1/l2 from an
+    * md5 draw; r2 disagrees by +1 (mod 3) on every 4th item — planted
+    * ~75% observed agreement. */
+  private def cohenRatings(s: SparkSession, dir: String): DataFrame = {
+    val d1 = pmod(
+      Exprs.md5Bits52(concat(lit("k1:"), col("doc_id").cast("string"))), lit(3L))
+    val flip = pmod(
+      Exprs.md5Bits52(concat(lit("k2:"), col("doc_id").cast("string"))), lit(4L)) === 0
+    val docs = t(s, dir, "documents")
+    docs.filter(col("doc_id") < 240)
+      .select(col("doc_id").as("item_id"), lit("r1").as("rater"),
+        concat(lit("l"), d1.cast("string")).as("label"))
+      .unionByName(docs.filter(col("doc_id") >= 20 && col("doc_id") < 260)
+        .select(col("doc_id").as("item_id"), lit("r2").as("rater"),
+          concat(lit("l"),
+            when(flip, pmod(d1 + 1, lit(3L))).otherwise(d1).cast("string"))
+            .as("label")))
+  }
+
+  /** Many-rater log for Fleiss: 150 items × raters 0-3, but every 10th
+    * item keeps only raters 0-1 (exercises the variable-n retention);
+    * labels mostly item-determined (70%) with md5 disagreement noise. */
+  private def fleissRatings(s: SparkSession, dir: String): DataFrame = {
+    val d = Exprs.md5Bits52(concat(
+      lit("f:"), col("doc_id").cast("string"), lit(":"), col("r").cast("string")))
+    t(s, dir, "documents").filter(col("doc_id") < 150)
+      .select(col("doc_id"), explode(array(lit(0L), lit(1L), lit(2L), lit(3L))).as("r"))
+      .filter(!(pmod(col("doc_id"), lit(10L)) === 0 && col("r") >= 2))
+      .select(col("doc_id").as("item_id"),
+        concat(lit("l"),
+          when(pmod(d, lit(10L)) < 7, pmod(col("doc_id"), lit(3L)))
+            .otherwise(pmod(d, lit(3L))).cast("string")).as("label"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- Cohen's kappa between the two planted raters over co-rated items
+    "cohen_kappa" -> { (s, dir) =>
+      Agreement.cohenKappa(cohenRatings(s, dir), "item_id", "rater", "label", "r1", "r2")
+    },
+    // --- Fleiss' kappa (variable rater counts) over the 4-rater log
+    "fleiss_kappa" -> { (s, dir) =>
+      Agreement.fleissKappa(fleissRatings(s, dir), "item_id", "label")
+    },
+    // --- reward-model pairwise accuracy by confidence bucket: human
+    // pairs from the all-policy construction, RM scores an independent
+    // md5 draw per response — accuracy ~0.5 everywhere by construction,
+    // the arithmetic (buckets, tie handling, rollup) is the contract
+    "reward_pairwise" -> { (s, dir) =>
+      def rm(id: org.apache.spark.sql.Column) =
+        (Exprs.md5Bits52(concat(lit("rm:"), id.cast("string"))) % 400) / lit(20.0)
+      val pairs = Preference.preferencePairs(responses(s, dir),
+        "prompt_id", "response_id", "response", "score", policy = "all")
+        .select(col("chosen_id"), col("rejected_id"),
+          rm(col("chosen_id")).as("rm_chosen"),
+          rm(col("rejected_id")).as("rm_rejected"))
+      Preference.rewardModelReport(pairs, "rm_chosen", "rm_rejected")
+        .orderBy(col("margin_bucket"))
+    },
+    // --- RETRO retrieval neighbors at the exact operating point
+    // (nprobe = nlist): top-10 cosine neighbors per chunk excluding the
+    // chunk's own document (doc = vec_id % 25 -> 20 chunks per doc)
+    "cross_doc_neighbors_exact" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          pmod(col("vec_id"), lit(25L)).as("doc"))
+      Similarity.retrievalNeighbors(e, "vec_id", "embedding", "doc",
+        k = 10, nlist = 16, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    },
     // --- best-of-N rejection sampling: top-2 responses per prompt by
     // score (bounded-heap per-key aggregate, ties to the lower id)
     "best_of_n" -> { (s, dir) =>
@@ -187,6 +256,101 @@ object AlignQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // Cohen: the same planted two-rater log, then po / marginal-product
+    // pe / kappa replayed — kappa computed from the ROUNDED po and pe,
+    // mirroring the library's 6-decimal convention
+    "cohen_kappa" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST('0x' || substring(md5('k1:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |      AS BIGINT) % 3 AS i1,
+        |    CAST('0x' || substring(md5('k2:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |      AS BIGINT) % 4 AS f
+        |  FROM documents),
+        |j AS (
+        |  SELECT a.i1 AS ia, CASE WHEN b.f = 0 THEN (b.i1 + 1) % 3 ELSE b.i1 END AS ib
+        |  FROM (SELECT doc_id, i1 FROM base WHERE doc_id < 240) a
+        |  JOIN (SELECT doc_id, i1, f FROM base WHERE doc_id >= 20 AND doc_id < 260) b
+        |    USING (doc_id)),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |            round(avg(CASE WHEN ia = ib THEN 1.0 ELSE 0.0 END), 6) AS po
+        |          FROM j),
+        |m AS (SELECT sum(na * nb) AS ab FROM
+        |        (SELECT ia AS l, count(*) AS na FROM j GROUP BY 1) x
+        |        JOIN (SELECT ib AS l, count(*) AS nb FROM j GROUP BY 1) y USING (l))
+        |SELECT n_items, po, round(ab / (n_items * n_items), 6) AS pe,
+        |  CASE WHEN round(ab / (n_items * n_items), 6) < 1.0
+        |    THEN round((po - round(ab / (n_items * n_items), 6))
+        |           / (1.0 - round(ab / (n_items * n_items), 6)), 6) END AS kappa
+        |FROM stats, m""".stripMargin,
+    // Fleiss (variable n): per-item agreement over >=2-rating items,
+    // pooled label shares, kappa from the rounded terms
+    "fleiss_kappa" ->
+      """WITH r AS (
+        |  SELECT d.doc_id AS item, t.r,
+        |    CAST('0x' || substring(md5('f:' || CAST(d.doc_id AS VARCHAR) || ':'
+        |      || CAST(t.r AS VARCHAR)), 1, 13) AS BIGINT) AS h
+        |  FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) t
+        |  WHERE d.doc_id < 150 AND NOT (d.doc_id % 10 = 0 AND t.r >= 2)),
+        |lab AS (SELECT item, CASE WHEN h % 10 < 7 THEN item % 3 ELSE h % 3 END AS l
+        |        FROM r),
+        |cnt AS (SELECT item, l, CAST(count(*) AS BIGINT) AS nij FROM lab GROUP BY 1, 2),
+        |it AS (SELECT item, CAST(sum(nij) AS BIGINT) AS ni,
+        |         CAST(sum(nij * (nij - 1)) AS BIGINT) AS agr
+        |       FROM cnt GROUP BY 1 HAVING sum(nij) >= 2),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |           CAST(sum(ni) AS BIGINT) AS n_ratings,
+        |           round(avg(CAST(agr AS DOUBLE) / (ni * (ni - 1))), 6) AS p_bar
+        |         FROM it),
+        |pooled AS (SELECT sum(tj * tj) AS sq FROM
+        |  (SELECT l, CAST(sum(nij) AS BIGINT) AS tj
+        |   FROM cnt JOIN it USING (item) GROUP BY l))
+        |SELECT n_items, n_ratings, p_bar,
+        |  round(sq / (n_ratings * n_ratings), 6) AS p_e,
+        |  CASE WHEN round(sq / (n_ratings * n_ratings), 6) < 1.0 AND n_items > 0
+        |    THEN round((p_bar - round(sq / (n_ratings * n_ratings), 6))
+        |           / (1.0 - round(sq / (n_ratings * n_ratings), 6)), 6) END AS kappa
+        |FROM base, pooled""".stripMargin,
+    // reward-model report: the all-policy pairs, independent md5 RM
+    // scores, confidence buckets + rollup replayed
+    "reward_pairwise" ->
+      s"""WITH $responsesSql,
+         |p AS (SELECT a.response_id AS cid, b.response_id AS rid
+         |      FROM resp a JOIN resp b ON a.prompt_id = b.prompt_id
+         |      WHERE a.score - b.score > 0),
+         |m AS (SELECT
+         |    (CAST('0x' || substring(md5('rm:' || CAST(cid AS VARCHAR)), 1, 13)
+         |       AS BIGINT) % 400) / 20.0
+         |  - (CAST('0x' || substring(md5('rm:' || CAST(rid AS VARCHAR)), 1, 13)
+         |       AS BIGINT) % 400) / 20.0 AS mg
+         |  FROM p),
+         |b AS (SELECT CASE WHEN abs(mg) <= 0.5 THEN '<=0.5'
+         |        WHEN abs(mg) <= 1.0 THEN '0.5-1.0'
+         |        WHEN abs(mg) <= 2.0 THEN '1.0-2.0'
+         |        WHEN abs(mg) <= 5.0 THEN '2.0-5.0'
+         |        ELSE '>5.0' END AS margin_bucket, mg FROM m)
+         |SELECT coalesce(margin_bucket, 'all') AS margin_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(avg(CASE WHEN mg > 0 THEN 1.0 WHEN mg < 0 THEN 0.0
+         |    ELSE 0.5 END), 6) AS accuracy,
+         |  round(avg(mg), 6) AS mean_margin
+         |FROM b GROUP BY ROLLUP(margin_bucket)
+         |ORDER BY margin_bucket""".stripMargin,
+    // RETRO neighbors at nprobe = nlist: brute cosine over different-doc
+    // pairs, rank by (cosine DESC, id)
+    "cross_doc_neighbors_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |             vec_id % 25 AS doc FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id,
+        |        round(list_dot_product(c.v, q.v)
+        |          / (sqrt(list_dot_product(c.v, c.v))
+        |             * sqrt(list_dot_product(q.v, q.v))), 6) AS cosine
+        |      FROM e q JOIN e c ON c.doc <> q.doc),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+        |      FROM s)
+        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     "best_of_n" ->
       s"""WITH $responsesSql,
          |r AS (SELECT prompt_id,

@@ -759,6 +759,77 @@ object Similarity {
       idCol, k)
   }
 
+  /** Retrieval-neighbor mining for retrieval-augmented training data
+    * (the RETRO prep, Borgeaud et al. 2022: every training chunk is
+    * paired with its nearest corpus chunks EXCLUDING chunks of its own
+    * document — same-document neighbors leak the continuation the model
+    * is being trained to predict). For every corpus row: the top-k
+    * cosine neighbors from a DIFFERENT document.
+    *
+    * Unlike [[ivfCosineTopK]] (whose query frame is broadcast by
+    * contract), the query side here IS the corpus, so this takes the
+    * self-join shape: both sides hash-partition on the IVF cell key
+    * (centroids alone are broadcast), candidates within a probed cell
+    * are scored with the same-document pairs filtered BEFORE ranking,
+    * and the final top-k rides the bounded-heap per-key aggregate — the
+    * exchange after scoring carries k rows per chunk, never the
+    * candidate volume. Per-query probe selection is one key-partitioned
+    * window over |corpus|·nlist broadcast-expanded rows. At
+    * `nprobe = nlist` the result is exact and fully oracle-able.
+    * Output: (query_id, idCol, cosine, rank). */
+  def retrievalNeighbors(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      docCol: String,
+      k: Int,
+      nlist: Int = 0,
+      nprobe: Int = 0,
+      seed: Long = 0L,
+      fitSample: Int = 100000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nlist >= 0 && nprobe >= 0,
+      s"nlist/nprobe must be >= 0 (0 = auto), got nlist=$nlist nprobe=$nprobe")
+    lazy val corpusCount = math.max(1L, corpus.count())
+    val cells = if (nlist > 0) nlist else ivfAutoNlist(corpusCount)
+    val probes = if (nprobe > 0) nprobe else ivfAutoNprobe(cells, corpusCount, k)
+    require(probes >= 1 && probes <= cells,
+      s"need 1 <= nprobe <= nlist, got nprobe=$probes nlist=$cells")
+    val corpusVec = ivfNormalizedCorpus(
+      corpus.select(col(idCol), col(vecCol)), idCol, vecCol)
+    val model = ivfFit(corpusVec, idCol, cells, seed, fitSample)
+    val assigned = model.transform(corpusVec).drop("__mlvec")
+    val centDf = ivfCentroidFrame(corpus.sparkSession, model)
+    // per-chunk probe list: rank −2·(q·c)/‖q‖ + c·c (≡ unit-q distance,
+    // without materializing unit vectors) over the broadcast centroids;
+    // the window is keyed by the chunk id, never global
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("__dist").asc, col("__cell").asc)
+    val qProbes = assigned
+      .join(corpus.select(col(idCol), col(docCol).as("__qd")), Seq(idCol))
+      .select(col(idCol).as("query_id"), col("__qd"),
+        col("__cv").as("__qv2"), col("__cn").as("__qn"))
+      .filter(col("__qn") > 0)
+      .crossJoin(broadcast(centDf))
+      .withColumn("__dist",
+        dot(col("__cent"), col("__cent")) -
+          lit(2.0) * dot(col("__qv2"), col("__cent")) / col("__qn"))
+      .withColumn("__rk", row_number().over(probeW))
+      .filter(col("__rk") <= probes)
+      .select(col("query_id"), col("__qd"), col("__cell"),
+        col("__qv2"), col("__qn"))
+    val scored = assigned
+      .join(corpus.select(col(idCol), col(docCol).as("__cd")), Seq(idCol))
+      .join(qProbes, Seq("__cell")) // shuffle join — the query side is corpus-sized
+      .filter(col(idCol) =!= col("query_id") && !(col("__cd") <=> col("__qd")))
+      .select(col("query_id"), col(idCol),
+        round(dot(col("__cv"), col("__qv2")) / (col("__cn") * col("__qn")), 6)
+          .as("cosine"))
+    graft.dp.TopK.topKPerKeyDirectional(
+      scored, Seq("query_id"), Seq("cosine" -> false, idCol -> true), k)
+      .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
+  }
+
   /** SSL-prototype scores against a SUPPLIED centroid frame — the
     * deterministic core of D4-style diversification (Sorscher et al.
     * 2022 "Beyond neural scaling laws"; Tirumala et al. 2023 "D4").

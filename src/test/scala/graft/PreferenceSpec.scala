@@ -103,6 +103,30 @@ class PreferenceSpec extends SparkSpec {
     assert(math.abs(s.values.sum / 3 - 1.0) < 1e-6)
   }
 
+  test("rewardModelReport: confidence buckets, tie handling, and the all rollup") {
+    val pairs = Seq(
+      (2.0, 1.7),   // margin +0.3  -> <=0.5, agree
+      (1.0, 1.7),   // margin -0.7  -> 0.5-1.0, disagree
+      (3.0, 3.0),   // margin 0     -> <=0.5, tie counts 0.5
+      (9.0, 6.0),   // margin +3.0  -> 2.0-5.0, agree
+      (20.0, 9.5))  // margin +10.5 -> >5.0, agree
+      .toDF("rm_chosen", "rm_rejected")
+    val r = Preference.rewardModelReport(pairs, "rm_chosen", "rm_rejected")
+      .orderBy("margin_bucket")
+      .select("margin_bucket", "n_pairs", "accuracy", "mean_margin")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(r === Seq(
+      ("0.5-1.0", 1L, 0.0, -0.7),
+      ("2.0-5.0", 1L, 1.0, 3.0),
+      ("<=0.5", 2L, 0.75, 0.15),
+      (">5.0", 1L, 1.0, 10.5),
+      ("all", 5L, 0.7, 2.62)))
+    intercept[IllegalArgumentException] {
+      Preference.rewardModelReport(pairs, "rm_chosen", "rm_rejected",
+        bucketEdges = Seq(1.0, 0.5))
+    }
+  }
+
   test("dpoRender: ChatML branches with exact completion mask offsets") {
     val pairs = Seq((7L, "hi", "hello", "bad"))
       .toDF("pair_id", "prompt", "chosen", "rejected")
