@@ -152,6 +152,66 @@ object Preference {
       .withColumn("len_gap_bucket", coalesce(col("len_gap_bucket"), lit("all")))
   }
 
+  /** KTO unpaired-feedback rows (Ethayarajh et al. 2024: binary
+    * thumbs-up/down feedback needs no pairing — each (prompt,
+    * completion, desirable?) row trains directly, but the loss weights
+    * the two classes so neither side dominates). Emits every input row
+    * with a `weight` column balancing the classes to equal total mass:
+    * weight = n_total / (2 · n_class) — desirable and undesirable rows
+    * then contribute exactly half the mass each regardless of the
+    * collection's skew. Rows with a null label are dropped (no signal).
+    * Weights are rounded to 6 decimals.
+    *
+    * Scale shape: class counts are ONE two-row aggregate broadcast back
+    * over the corpus — a map pass, no per-row shuffle.
+    * Output: input columns + weight. */
+  def ktoRows(
+      feedback: DataFrame,
+      labelCol: String): DataFrame = {
+    val labeled = feedback.filter(col(labelCol).isNotNull)
+      .withColumn("__lab", col(labelCol).cast("boolean"))
+    val counts = labeled.groupBy(col("__lab"))
+      .agg(count(lit(1)).as("__nc"))
+      .agg(
+        coalesce(sum(col("__nc")), lit(0L)).as("__nt"),
+        coalesce(sum(when(col("__lab"), col("__nc"))), lit(0L)).as("__nd"),
+        coalesce(sum(when(!col("__lab"), col("__nc"))), lit(0L)).as("__nu"))
+    labeled.crossJoin(broadcast(counts))
+      .withColumn("weight",
+        round(col("__nt") /
+          (lit(2.0) * when(col("__lab"), col("__nd")).otherwise(col("__nu"))), 6))
+      .drop("__lab", "__nt", "__nd", "__nu")
+  }
+
+  /** Self-consistency majority voting (Wang et al. 2023: sample N
+    * reasoning paths, keep the modal final answer): per prompt, the
+    * most frequent answer (ties toward the lexicographically smallest),
+    * its vote count, the sample count, and the agreement rate — the
+    * synthetic-data filter that keeps only high-agreement prompts.
+    *
+    * Scale shape: one (prompt, answer) count groupBy, then the modal
+    * row rides the bounded-heap top-1 aggregate and sample totals are a
+    * second keyed aggregate on the SAME counts frame (already one row
+    * per (prompt, answer) — bounded by the sampling fan-out), joined
+    * back on the prompt key. Agreement rounded to 6 decimals.
+    * Output: promptCol, answer, n_agree, n_samples, agreement. */
+  def majorityVote(
+      samples: DataFrame,
+      promptCol: String,
+      answerCol: String): DataFrame = {
+    val counts = samples
+      .groupBy(col(promptCol), col(answerCol).cast("string").as("answer"))
+      .agg(count(lit(1)).as("n_agree"))
+    val top = graft.dp.TopK.topKPerKeyDirectional(
+      counts, Seq(promptCol), Seq("n_agree" -> false, "answer" -> true), 1)
+    val totals = counts.groupBy(col(promptCol))
+      .agg(sum(col("n_agree")).as("n_samples"))
+    top.join(totals, Seq(promptCol))
+      .select(
+        col(promptCol), col("answer"), col("n_agree"), col("n_samples"),
+        round(col("n_agree") / col("n_samples"), 6).as("agreement"))
+  }
+
   /** Reward-model evaluation over human preference pairs: given the
     * model's scores for the human-chosen and human-rejected sides,
     * pairwise ranking accuracy (agree = model scores chosen higher;

@@ -1157,6 +1157,30 @@ object Production {
         ctx.dataPath(params.getOrElse("output", "processed.dpo_rows").toString))
     }
 
+    // KTO unpaired-feedback prep: thumbs-labeled completions to
+    // class-balanced training rows (no pairing needed)
+    Jobs.register("alignment", "kto-rows") { (ctx, params) =>
+      val s = ctx.spark
+      val in = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "raw.feedback").toString)))
+      save(ctx,
+        graft.align.Preference.ktoRows(in,
+          params.getOrElse("label_col", "feedback").toString),
+        ctx.dataPath(params.getOrElse("output", "processed.kto_rows").toString))
+    }
+
+    // self-consistency majority voting over sampled answers
+    Jobs.register("alignment", "majority-vote") { (ctx, params) =>
+      val s = ctx.spark
+      val in = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "raw.samples").toString)))
+      save(ctx,
+        graft.align.Preference.majorityVote(in,
+          params.getOrElse("prompt_col", "prompt_id").toString,
+          params.getOrElse("answer_col", "answer").toString),
+        ctx.dataPath(params.getOrElse("output", "processed.majority_vote").toString))
+    }
+
     // inter-annotator agreement gate: run BEFORE ratings feed pair
     // construction or reward training — metric: cohen (two named raters)
     // or fleiss (any raters, variable counts)

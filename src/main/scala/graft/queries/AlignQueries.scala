@@ -124,6 +124,31 @@ object AlignQueries {
       Preference.rewardModelReport(pairs, "rm_chosen", "rm_rejected")
         .orderBy(col("margin_bucket"))
     },
+    // --- KTO unpaired-feedback rows: thumbs from the score draw (>=50
+    // desirable), every 13th response unlabeled (dropped), class-balanced
+    // weights
+    "kto_rows" -> { (s, dir) =>
+      val f = responses(s, dir).select(
+        col("prompt_id"), col("response_id"),
+        when(pmod(col("response_id"), lit(13L)) === 0, lit(null))
+          .otherwise(col("score") >= 50).as("feedback"))
+      Preference.ktoRows(f, "feedback").orderBy(col("response_id"))
+    },
+    // --- self-consistency majority vote: 20 samples per prompt, answers
+    // mostly prompt-determined with md5 noise; ties resolve to the
+    // lexicographically smallest answer
+    "majority_vote" -> { (s, dir) =>
+      val h = Exprs.md5Bits52(concat(lit("ans:"), col("doc_id").cast("string")))
+      val samples = t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(
+          pmod(col("doc_id"), lit(20L)).as("prompt_id"),
+          concat(lit("a"),
+            when(pmod(h, lit(10L)) < 6,
+              pmod(pmod(col("doc_id"), lit(20L)), lit(3L)))
+              .otherwise(pmod(h, lit(4L))).cast("string")).as("answer"))
+      Preference.majorityVote(samples, "prompt_id", "answer")
+        .orderBy(col("prompt_id"))
+    },
     // --- RETRO retrieval neighbors at the exact operating point
     // (nprobe = nlist): top-10 cosine neighbors per chunk excluding the
     // chunk's own document (doc = vec_id % 25 -> 20 chunks per doc)
@@ -336,6 +361,43 @@ object AlignQueries {
          |  round(avg(mg), 6) AS mean_margin
          |FROM b GROUP BY ROLLUP(margin_bucket)
          |ORDER BY margin_bucket""".stripMargin,
+    // KTO: labeled rows survive, class-balanced weights from the two-row
+    // count aggregate
+    "kto_rows" ->
+      s"""WITH $responsesSql,
+         |f AS (SELECT prompt_id, response_id,
+         |        CASE WHEN response_id % 13 = 0 THEN NULL
+         |             ELSE score >= 50 END AS feedback
+         |      FROM resp),
+         |l AS (SELECT * FROM f WHERE feedback IS NOT NULL),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+         |        CAST(sum(CASE WHEN feedback THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+         |        CAST(sum(CASE WHEN NOT feedback THEN 1 ELSE 0 END) AS BIGINT) AS nu
+         |      FROM l)
+         |SELECT prompt_id, response_id, feedback,
+         |  round(nt / (2.0 * CASE WHEN feedback THEN nd ELSE nu END), 6) AS weight
+         |FROM l CROSS JOIN c ORDER BY response_id""".stripMargin,
+    // majority vote: modal answer per prompt, ties to the smallest answer
+    "majority_vote" ->
+      """WITH s AS (
+        |  SELECT doc_id % 20 AS prompt_id,
+        |    'a' || CAST(CASE
+        |      WHEN CAST('0x' || substring(md5('ans:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |        AS BIGINT) % 10 < 6 THEN (doc_id % 20) % 3
+        |      ELSE CAST('0x' || substring(md5('ans:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |        AS BIGINT) % 4 END AS VARCHAR) AS answer
+        |  FROM documents WHERE doc_id < 400),
+        |cnt AS (SELECT prompt_id, answer, CAST(count(*) AS BIGINT) AS n_agree
+        |        FROM s GROUP BY 1, 2),
+        |top AS (SELECT prompt_id, answer, n_agree, row_number() OVER (
+        |          PARTITION BY prompt_id ORDER BY n_agree DESC, answer) AS rn
+        |        FROM cnt),
+        |tot AS (SELECT prompt_id, CAST(sum(n_agree) AS BIGINT) AS n_samples
+        |        FROM cnt GROUP BY 1)
+        |SELECT t.prompt_id, t.answer, t.n_agree, n_samples,
+        |  round(t.n_agree / n_samples, 6) AS agreement
+        |FROM top t JOIN tot USING (prompt_id) WHERE rn = 1
+        |ORDER BY t.prompt_id""".stripMargin,
     // RETRO neighbors at nprobe = nlist: brute cosine over different-doc
     // pairs, rank by (cosine DESC, id)
     "cross_doc_neighbors_exact" ->

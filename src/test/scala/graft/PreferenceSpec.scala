@@ -103,6 +103,32 @@ class PreferenceSpec extends SparkSpec {
     assert(math.abs(s.values.sum / 3 - 1.0) < 1e-6)
   }
 
+  test("ktoRows: class-balanced weights, null feedback dropped") {
+    val f = Seq(
+      (1L, Some(true)), (2L, Some(true)), (3L, Some(true)),
+      (4L, Some(false)), (5L, None))
+      .toDF("id", "feedback")
+    val r = Preference.ktoRows(f, "feedback")
+      .select("id", "weight").as[(Long, Double)].collect().toMap
+    // 4 labeled rows: desirable weight 4/(2*3), undesirable 4/(2*1)
+    assert(r === Map(1L -> 0.666667, 2L -> 0.666667, 3L -> 0.666667, 4L -> 2.0))
+  }
+
+  test("majorityVote: modal answer per prompt, ties to the smallest answer") {
+    val samples = Seq(
+      (1L, "x"), (1L, "x"), (1L, "y"),            // clear mode
+      (2L, "b"), (2L, "a"),                       // 1-1 tie -> "a"
+      (3L, "z"))                                  // singleton
+      .toDF("prompt_id", "answer")
+    val r = Preference.majorityVote(samples, "prompt_id", "answer")
+      .select("prompt_id", "answer", "n_agree", "n_samples", "agreement")
+      .as[(Long, String, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4, t._5))).toMap
+    assert(r(1L) === (("x", 2L, 3L, 0.666667)))
+    assert(r(2L) === (("a", 1L, 2L, 0.5)))
+    assert(r(3L) === (("z", 1L, 1L, 1.0)))
+  }
+
   test("rewardModelReport: confidence buckets, tie handling, and the all rollup") {
     val pairs = Seq(
       (2.0, 1.7),   // margin +0.3  -> <=0.5, agree
