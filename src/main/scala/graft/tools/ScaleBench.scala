@@ -238,6 +238,50 @@ object ScaleBench {
         clips, "clip_id", "payload", maxHamming = 5)
     })
 
+  /** The `r15-decade` suite: sf1 → sf10 for the round-14 families.
+    * Retrieval neighbors is THE open scale question (an IVF self-join —
+    * corpus as queries): cells scale with the corpus (rows/cell ≈ 400,
+    * the documented IVF growth mode), so per-query candidate work stays
+    * constant and the probe-ranking term (N × nlist = N²/400 dots) is
+    * the expected superlinear component — exactly FAISS's per-query
+    * centroid scan. Semantic decontamination is a fixed-1000-row
+    * benchmark broadcast over the growing corpus (linear by shape).
+    * Bradley–Terry grows the comparison LOG 10x over a fixed 1000-item
+    * leaderboard — the collapse shuffle is the scaling part, the MM
+    * iterations run on items²-bounded state. */
+  private def r15Suite: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "retrieval_neighbors_full" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"),
+          expr("vec_id div 20").as("doc"))
+      val n = e.count()
+      graft.similarity.Similarity.retrievalNeighbors(
+        e, "vec_id", "embedding", "doc", k = 10,
+        nlist = math.max(64L, n / 400).toInt, nprobe = 8)
+    },
+    "semantic_decontam_full" -> { (s, dir) =>
+      val e = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      graft.similarity.Similarity.semanticContaminationReport(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < 1000)
+          .select(col("vec_id").as("bench_id"), col("embedding").as("bvec")),
+        "bench_id", "bvec", threshold = 0.99)
+    },
+    "bradley_terry_full" -> { (s, dir) =>
+      val o = s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          pmod(col("doc_id"), lit(1000L)).as("a"),
+          pmod(expr("doc_id div 1000"), lit(999L)).as("b0"),
+          pmod(xxhash64(col("doc_id")), lit(7L)).as("d"))
+        .withColumn("b",
+          when(col("b0") >= col("a"), col("b0") + 1).otherwise(col("b0")))
+        .select(
+          when(col("d") < 4, col("a")).otherwise(col("b")).as("winner"),
+          when(col("d") < 4, col("b")).otherwise(col("a")).as("loser"))
+      graft.align.Preference.bradleyTerry(o, "winner", "loser", iterations = 10)
+    })
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
@@ -269,6 +313,15 @@ object ScaleBench {
         scaleUp(spark, "/root/testdata/sf0.1", sf10Dir, 100,
           only = Some(Set("documents", "embeddings", "lineitem")))
         (heavySuite, Seq("sf1" -> sf1Dir, "sf10" -> sf10Dir))
+      } else if (args.contains("r15-decade")) {
+        // `r15-decade`: sf1 → sf10 for the round-14 families (IVF
+        // self-join retrieval neighbors, semantic decontamination,
+        // Bradley–Terry over a 10x comparison log)
+        val sf10Dir = sys.env.getOrElse("SPARK_GRAFT_SF10_DIR", "/tmp/graft_sf10")
+        System.err.println(s"[scalebench] deriving sf10 into $sf10Dir (idempotent)")
+        scaleUp(spark, "/root/testdata/sf0.1", sf10Dir, 100,
+          only = Some(Set("documents", "embeddings")))
+        (r15Suite, Seq("sf1" -> sf1Dir, "sf10" -> sf10Dir))
       } else if (args.contains("r14-decade")) {
         // `r14-decade`: sf1 → sf10 for the round-13 heavy families
         // (ROUGE near-dup, WARC ingest, paragraph dedup, perceptual

@@ -63,7 +63,20 @@ class PlanFingerprintSpec extends SparkSpec {
     "warc_ingest_e2e" -> Map("global_sort" -> 1, "shuffle" -> 2),
     "paragraph_dedup" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "shuffle" -> 4),
     "unimax_sample" -> Map("broadcast" -> 2, "broadcast_hash_join" -> 1, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "shuffle" -> 4),
-    "rouge_dedup_pairs" -> Map("broadcast" -> 2, "broadcast_hash_join" -> 3, "global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 3, "window" -> 2))
+    "rouge_dedup_pairs" -> Map("broadcast" -> 2, "broadcast_hash_join" -> 3, "global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 3, "window" -> 2),
+    // r14 alignment/retrieval headliners: best-of-N is the bounded-heap
+    // aggregate (NO window — a window appearing means the top-k fell off
+    // the heap path); the pair construction joins two top-1 aggregates;
+    // semantic decontamination is the broadcast-bench nested loop + ONE
+    // argmax groupBy; cross-doc neighbors must keep the sort_merge cell
+    // join (corpus-as-queries — a broadcast_hash_join replacing it means
+    // the corpus got broadcast) with the one keyed probe-ranking window;
+    // majority vote = counts groupBy + heap top-1 + totals join
+    "best_of_n" -> Map("global_sort" -> 1, "shuffle" -> 2),
+    "preference_pairs" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "shuffle" -> 3),
+    "semantic_decontam" -> Map("broadcast" -> 1, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 2),
+    "cross_doc_neighbors_exact" -> Map("broadcast" -> 2, "broadcast_hash_join" -> 2, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "local_sort" -> 4, "shuffle" -> 5, "sort_merge_join" -> 1, "window" -> 1, "window_group_limit" -> 2),
+    "majority_vote" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "shuffle" -> 4))
 
   private def withAqeOff[T](f: => T): T = {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
