@@ -212,6 +212,47 @@ object Preference {
         round(col("n_agree") / col("n_samples"), 6).as("agreement"))
   }
 
+  /** Unbiased pass@k over graded samples (Chen et al. 2021, the Codex
+    * estimator — the headline metric for verifiable-rewards data:
+    * "would at least one of k random samples pass?"): per prompt with
+    * n samples and c correct, pass@k = 1 − C(n−c, k)/C(n, k), computed
+    * as the stable product ∏_{i<k} (n−c−i)/(n−i) — never the naive
+    * 1 − (1 − c/n)^k, which is biased. One row per prompt per requested
+    * k ≤ n (a k above the prompt's sample count has no estimate and is
+    * omitted rather than extrapolated). Estimates rounded to 6 decimals.
+    *
+    * Scale shape: ONE count aggregate per prompt, then a |ks|-wide
+    * explode of the |prompts|-row frame — the per-row product is O(k)
+    * arithmetic on two counters, no second pass over the samples.
+    * Output: promptCol, k, n_samples, n_correct, pass_at_k. */
+  def passAtK(
+      samples: DataFrame,
+      promptCol: String,
+      correctCol: String,
+      ks: Seq[Int] = Seq(1, 10, 100)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks == ks.sorted &&
+      ks.distinct == ks,
+      s"ks must be distinct, positive, increasing, got $ks")
+    samples
+      .groupBy(col(promptCol))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(when(col(correctCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col(promptCol), col("n_samples"), col("n_correct"),
+        explode(array(ks.map(lit(_)): _*)).as("k"))
+      .filter(col("k") <= col("n_samples"))
+      .withColumn("pass_at_k", round(
+        when(col("n_correct") === 0, 0.0)
+          .when(col("n_samples") - col("n_correct") < col("k"), 1.0)
+          .otherwise(lit(1.0) - aggregate(
+            sequence(lit(0L), col("k").cast("long") - 1),
+            lit(1.0),
+            (acc, i) => acc *
+              (col("n_samples") - col("n_correct") - i).cast("double") /
+              (col("n_samples") - i))), 6))
+  }
+
   /** Reward-model evaluation over human preference pairs: given the
     * model's scores for the human-chosen and human-rejected sides,
     * pairwise ranking accuracy (agree = model scores chosen higher;

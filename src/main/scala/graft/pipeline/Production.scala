@@ -1181,6 +1181,34 @@ object Production {
         ctx.dataPath(params.getOrElse("output", "processed.majority_vote").toString))
     }
 
+    // Codex pass@k over graded samples (verifiable-rewards eval)
+    Jobs.register("alignment", "pass-at-k") { (ctx, params) =>
+      val s = ctx.spark
+      val in = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "raw.graded_samples").toString)))
+      val ks = params.getOrElse("ks", "1,10,100").toString
+        .split(",").map(_.trim.toInt).toSeq
+      save(ctx,
+        graft.align.Preference.passAtK(in,
+          params.getOrElse("prompt_col", "prompt_id").toString,
+          params.getOrElse("correct_col", "correct").toString, ks),
+        ctx.dataPath(params.getOrElse("output", "processed.pass_at_k").toString))
+    }
+
+    // SFT conversation-shape QA before chat rendering
+    Jobs.register("alignment", "conversation-stats") { (ctx, params) =>
+      val s = ctx.spark
+      val in = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "raw.conversations").toString)))
+      save(ctx,
+        graft.text.Packing.conversationStats(in,
+          params.getOrElse("conv_col", "conv_id").toString,
+          params.getOrElse("turn_col", "turn_no").toString,
+          params.getOrElse("role_col", "role").toString,
+          params.getOrElse("content_col", "content").toString),
+        ctx.dataPath(params.getOrElse("output", "processed.conversation_stats").toString))
+    }
+
     // inter-annotator agreement gate: run BEFORE ratings feed pair
     // construction or reward training — metric: cohen (two named raters)
     // or fleiss (any raters, variable counts)

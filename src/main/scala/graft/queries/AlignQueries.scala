@@ -149,6 +149,41 @@ object AlignQueries {
       Preference.majorityVote(samples, "prompt_id", "answer")
         .orderBy(col("prompt_id"))
     },
+    // --- Codex pass@k over graded samples: 20 prompts × 20 samples,
+    // per-prompt correctness rate cycling 0/0.1/0.2/0.3 (the 0-rate
+    // prompts pin the c=0 branch), k ∈ {1, 5, 10}
+    "pass_at_k" -> { (s, dir) =>
+      val samples = t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(
+          pmod(col("doc_id"), lit(20L)).as("prompt_id"),
+          (pmod(Exprs.md5Bits52(concat(lit("pass:"), col("doc_id").cast("string"))),
+            lit(10L)) < pmod(pmod(col("doc_id"), lit(20L)), lit(4L))).as("correct"))
+      Preference.passAtK(samples, "prompt_id", "correct", Seq(1, 5, 10))
+        .orderBy(col("prompt_id"), col("k"))
+    },
+    // --- SFT conversation QA: the chat fixture with planted shape
+    // breaks — every 7th conversation loses its final assistant turn,
+    // every 5th(+3) gets a double-user alternation break
+    "conversation_stats" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val turn = floor(col("doc_id") / 20).cast("int")
+      val conv = pmod(col("doc_id"), lit(20L))
+      val turns = docs.filter(col("doc_id") < 200 &&
+        !(turn === 9 && pmod(conv, lit(7L)) === 0))
+        .select(
+          conv.as("conv_id"), turn.as("turn_no"),
+          when(turn === 4 && pmod(conv, lit(5L)) === 3, "user")
+            .when(pmod(turn, lit(2)) === 0, "user")
+            .otherwise("assistant").as("role"),
+          col("text").as("content"))
+        .unionByName(docs.filter(col("doc_id") < 20).select(
+          col("doc_id").as("conv_id"), lit(-1).as("turn_no"),
+          lit("system").as("role"),
+          lit("You are a concise assistant.").as("content")))
+      graft.text.Packing
+        .conversationStats(turns, "conv_id", "turn_no", "role", "content")
+        .orderBy(col("conv_id"))
+    },
     // --- RETRO retrieval neighbors at the exact operating point
     // (nprobe = nlist): top-10 cosine neighbors per chunk excluding the
     // chunk's own document (doc = vec_id % 25 -> 20 chunks per doc)
@@ -398,6 +433,64 @@ object AlignQueries {
         |  round(t.n_agree / n_samples, 6) AS agreement
         |FROM top t JOIN tot USING (prompt_id) WHERE rn = 1
         |ORDER BY t.prompt_id""".stripMargin,
+    // pass@k: the stable product form 1 - Π (n-c-i)/(n-i), left-to-right
+    // over the same index list in both engines (identical IEEE fold)
+    "pass_at_k" ->
+      """WITH s AS (
+        |  SELECT doc_id % 20 AS prompt_id,
+        |    (CAST('0x' || substring(md5('pass:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |      AS BIGINT) % 10) < (doc_id % 20) % 4 AS correct
+        |  FROM documents WHERE doc_id < 400),
+        |cnt AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |          CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |        FROM s GROUP BY 1),
+        |x AS (SELECT prompt_id, CAST(k AS INT) AS k, n_samples, n_correct
+        |      FROM cnt CROSS JOIN (SELECT unnest([1, 5, 10]) AS k) t
+        |      WHERE k <= n_samples)
+        |SELECT prompt_id, k, n_samples, n_correct,
+        |  round(CASE WHEN n_correct = 0 THEN 0.0
+        |    WHEN n_samples - n_correct < k THEN 1.0
+        |    ELSE 1.0 - list_product(list_transform(range(k),
+        |      i -> CAST(n_samples - n_correct - i AS DOUBLE) / (n_samples - i)))
+        |    END, 6) AS pass_at_k
+        |FROM x ORDER BY prompt_id, k""".stripMargin,
+    // conversation stats: counts, arg_min/arg_max shape flags, lag-based
+    // alternation over non-system turns, char mass split
+    "conversation_stats" ->
+      """WITH t0 AS (
+        |  SELECT doc_id % 20 AS conv_id, CAST(doc_id // 20 AS INT) AS turn_no,
+        |    CASE WHEN doc_id // 20 = 4 AND (doc_id % 20) % 5 = 3 THEN 'user'
+        |         WHEN (doc_id // 20) % 2 = 0 THEN 'user'
+        |         ELSE 'assistant' END AS role,
+        |    text AS content
+        |  FROM documents WHERE doc_id < 200
+        |    AND NOT (doc_id // 20 = 9 AND (doc_id % 20) % 7 = 0)
+        |  UNION ALL
+        |  SELECT doc_id AS conv_id, -1 AS turn_no, 'system' AS role,
+        |    'You are a concise assistant.' AS content
+        |  FROM documents WHERE doc_id < 20),
+        |base AS (SELECT conv_id, turn_no AS t, role AS r,
+        |           CAST(length(content) AS BIGINT) AS len FROM t0),
+        |agg AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |    CAST(sum(CASE WHEN r = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+        |    CAST(sum(CASE WHEN r = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+        |    CAST(sum(CASE WHEN r = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
+        |    CAST(sum(len) AS BIGINT) AS total_chars,
+        |    CAST(sum(CASE WHEN r = 'assistant' THEN len ELSE 0 END) AS BIGINT) AS achars
+        |  FROM base GROUP BY 1),
+        |ns AS (SELECT conv_id, t, r,
+        |         lag(r) OVER (PARTITION BY conv_id ORDER BY t) AS prev
+        |       FROM base WHERE r <> 'system'),
+        |shape AS (SELECT conv_id,
+        |    arg_min(r, t) = 'user' AS starts_with_user,
+        |    arg_max(r, t) = 'assistant' AS ends_with_assistant,
+        |    sum(CASE WHEN r = prev THEN 1 ELSE 0 END) = 0 AS strict_alternation
+        |  FROM ns GROUP BY 1)
+        |SELECT a.conv_id, n_turns, n_user, n_assistant, n_system,
+        |  starts_with_user, ends_with_assistant, strict_alternation, total_chars,
+        |  CASE WHEN total_chars > 0 THEN round(achars / total_chars, 6) END
+        |    AS assistant_char_frac
+        |FROM agg a LEFT JOIN shape USING (conv_id) ORDER BY a.conv_id""".stripMargin,
     // RETRO neighbors at nprobe = nlist: brute cosine over different-doc
     // pairs, rank by (cosine DESC, id)
     "cross_doc_neighbors_exact" ->

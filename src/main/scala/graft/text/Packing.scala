@@ -543,6 +543,60 @@ object Packing {
   val ChatStart = "<|im_start|>"
   val ChatEnd = "<|im_end|>"
 
+  /** Per-conversation structure report over a dialogue table — the SFT
+    * data-card / QA gate run before [[renderChatTemplate]]: turn and
+    * per-role counts, whether the conversation starts with a user turn
+    * and ends with an assistant turn (the trainable shape), whether
+    * user/assistant roles STRICTLY alternate, and the character mass
+    * split (code points; `assistant_char_frac` null on zero content).
+    * System turns count toward `n_system`/`total_chars` but are ignored
+    * by the start/end/alternation checks (the conventional system-turn
+    * exemption). Turn numbers must be unique per conversation.
+    *
+    * Scale shape: one keyed lag window over the non-system turns (turn
+    * order within a conversation — never global) + two per-conversation
+    * aggregates joined on the conversation key.
+    * Output: convCol, n_turns, n_user, n_assistant, n_system,
+    * starts_with_user, ends_with_assistant, strict_alternation,
+    * total_chars, assistant_char_frac. */
+  def conversationStats(
+      turns: DataFrame,
+      convCol: String,
+      turnCol: String,
+      roleCol: String,
+      contentCol: String): DataFrame = {
+    val base = turns.select(
+      col(convCol), col(turnCol).as("__t"),
+      col(roleCol).cast("string").as("__r"),
+      length(col(contentCol)).cast("long").as("__len"))
+    val agg = base.groupBy(col(convCol)).agg(
+      count(lit(1)).as("n_turns"),
+      sum(when(col("__r") === "user", 1L).otherwise(0L)).as("n_user"),
+      sum(when(col("__r") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
+      sum(when(col("__r") === "system", 1L).otherwise(0L)).as("n_system"),
+      coalesce(sum(col("__len")), lit(0L)).as("total_chars"),
+      coalesce(sum(when(col("__r") === "assistant", col("__len"))
+        .otherwise(0L)), lit(0L)).as("__achars"))
+    val w = Window.partitionBy(col(convCol)).orderBy(col("__t"))
+    val shape = base.filter(col("__r") =!= "system")
+      .withColumn("__prev", lag(col("__r"), 1).over(w))
+      .groupBy(col(convCol))
+      .agg(
+        (min(struct(col("__t").as("t"), col("__r").as("r"))).getField("r")
+          === "user").as("starts_with_user"),
+        (max(struct(col("__t").as("t"), col("__r").as("r"))).getField("r")
+          === "assistant").as("ends_with_assistant"),
+        (sum(when(col("__r") === col("__prev"), 1L).otherwise(0L)) === 0)
+          .as("strict_alternation"))
+    agg.join(shape, Seq(convCol), "left")
+      .select(col(convCol), col("n_turns"), col("n_user"), col("n_assistant"),
+        col("n_system"), col("starts_with_user"), col("ends_with_assistant"),
+        col("strict_alternation"), col("total_chars"),
+        when(col("total_chars") > 0,
+          round(col("__achars") / col("total_chars"), 6))
+          .as("assistant_char_frac"))
+  }
+
   /** Render multi-turn conversations into single training texts with
     * LOSS-MASK SPANS — the SFT data-prep step between a raw dialogue
     * table and the packing stages. Each turn renders as the public

@@ -752,4 +752,39 @@ class PackingCorpusSpec extends SparkSpec {
     assert(c2.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("mask_spans").isEmpty)
     assert(c2.getAs[Long]("masked_chars") === 0L)
   }
+
+  test("conversationStats: shape flags, system exemption, char mass split") {
+    val turns = Seq(
+      // conv 1: system + clean user/assistant/user/assistant
+      (1L, -1, "system", "sys"),
+      (1L, 0, "user", "hi"),           // 2 chars
+      (1L, 1, "assistant", "hello"),   // 5
+      (1L, 2, "user", "ok"),           // 2
+      (1L, 3, "assistant", "bye"),     // 3
+      // conv 2: double-user alternation break, ends with user
+      (2L, 0, "user", "aa"),
+      (2L, 1, "user", "bb"),
+      (2L, 2, "assistant", "cc"),
+      (2L, 3, "user", "dd"),
+      // conv 3: assistant-first
+      (3L, 0, "assistant", "x"))
+      .toDF("conv_id", "turn_no", "role", "content")
+    val out = Packing.conversationStats(turns, "conv_id", "turn_no", "role", "content")
+      .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
+    val c1 = out(1L)
+    assert(c1.getAs[Long]("n_turns") === 5 && c1.getAs[Long]("n_system") === 1)
+    assert(c1.getAs[Long]("n_user") === 2 && c1.getAs[Long]("n_assistant") === 2)
+    assert(c1.getAs[Boolean]("starts_with_user"))   // system turn exempt
+    assert(c1.getAs[Boolean]("ends_with_assistant"))
+    assert(c1.getAs[Boolean]("strict_alternation"))
+    assert(c1.getAs[Long]("total_chars") === 3 + 2 + 5 + 2 + 3)
+    assert(c1.getAs[Double]("assistant_char_frac") === 0.533333) // round(8/15, 6)
+    val c2 = out(2L)
+    assert(!c2.getAs[Boolean]("strict_alternation"))
+    assert(!c2.getAs[Boolean]("ends_with_assistant"))
+    assert(c2.getAs[Boolean]("starts_with_user"))
+    val c3 = out(3L)
+    assert(!c3.getAs[Boolean]("starts_with_user"))
+    assert(c3.getAs[Boolean]("ends_with_assistant"))
+  }
 }

@@ -103,6 +103,31 @@ class PreferenceSpec extends SparkSpec {
     assert(math.abs(s.values.sum / 3 - 1.0) < 1e-6)
   }
 
+  test("passAtK: the unbiased estimator, boundary branches, k > n omitted") {
+    // prompt 1: n=5, c=2 -> pass@2 = 1 - (3/5)(2/4) = 0.7, pass@1 = 2/5
+    // prompt 2: n=3, c=0 -> 0 at every k
+    // prompt 3: n=3, c=2 -> n-c=1 < k=2 -> exactly 1
+    val samples = (
+      Seq(true, true, false, false, false).map((1L, _)) ++
+        Seq(false, false, false).map((2L, _)) ++
+        Seq(true, true, false).map((3L, _)))
+      .toDF("prompt_id", "correct")
+    val r = Preference.passAtK(samples, "prompt_id", "correct", Seq(1, 2, 5))
+      .select("prompt_id", "k", "pass_at_k")
+      .as[(Long, Int, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(r((1L, 1)) === 0.4)
+    assert(r((1L, 2)) === 0.7)
+    assert(r((1L, 5)) === 1.0) // n-c = 3 < 5
+    assert(r((2L, 1)) === 0.0 && r((2L, 2)) === 0.0)
+    assert(r((3L, 2)) === 1.0)
+    // k=5 > n=3: no row for prompts 2 and 3
+    assert(!r.contains((2L, 5)) && !r.contains((3L, 5)))
+    intercept[IllegalArgumentException] {
+      Preference.passAtK(samples, "prompt_id", "correct", Seq(5, 1))
+    }
+  }
+
   test("ktoRows: class-balanced weights, null feedback dropped") {
     val f = Seq(
       (1L, Some(true)), (2L, Some(true)), (3L, Some(true)),
