@@ -212,6 +212,65 @@ object Preference {
         round(col("n_agree") / col("n_samples"), 6).as("agreement"))
   }
 
+  /** Group-relative advantages (the GRPO prep, Shao et al. 2024 /
+    * DeepSeek-R1: no value model — each sample's advantage is its reward
+    * standardized WITHIN its prompt's sample group):
+    * A_i = (r_i − mean_group) / std_group, sample (n−1) standard
+    * deviation matching the reference trainers. Degenerate groups
+    * (single sample, or identical rewards) get advantage 0 — no signal,
+    * not a division blow-up. Mean and std are rounded to 6 decimals
+    * BEFORE standardizing and the advantage rounded again (the
+    * cross-engine convention).
+    *
+    * Scale shape: one per-prompt aggregate joined back on the prompt
+    * key — group size is the generation-time constant N, the join is a
+    * keyed equi-join, no window.
+    * Output: input columns + group_mean, group_std, advantage. */
+  def groupAdvantages(
+      samples: DataFrame,
+      promptCol: String,
+      rewardCol: String): DataFrame = {
+    val stats = samples.groupBy(col(promptCol)).agg(
+      round(avg(col(rewardCol).cast("double")), 6).as("group_mean"),
+      round(coalesce(stddev_samp(col(rewardCol).cast("double")), lit(0.0)), 6)
+        .as("group_std"))
+    samples.join(stats, Seq(promptCol))
+      .withColumn("advantage",
+        when(col("group_std") > 0,
+          round((col(rewardCol).cast("double") - col("group_mean")) /
+            col("group_std"), 6))
+          .otherwise(0.0))
+  }
+
+  /** Mergeable best-of-N state: [[bestOfN]] without the rank column —
+    * the per-prompt top-n rows as a state table. Top-k is an order
+    * statistic, so merging two states through [[mergeBestOfN]] with the
+    * SAME (orderings, n) equals recomputing from all underlying rows:
+    * topN(topN(A) ∪ B) = topN(A ∪ B). The streaming twin
+    * ([[graft.streaming.Streaming.maintainBestOfN]]) folds each
+    * micro-batch through this pair. */
+  def bestOfNState(
+      responses: DataFrame,
+      promptCol: String,
+      idCol: String,
+      scoreCol: String,
+      n: Int): DataFrame =
+    bestOfN(responses, promptCol, idCol, scoreCol, n).drop("rank")
+
+  /** Merge two [[bestOfNState]] tables (state ∪ batch → top-n per
+    * prompt). Cost: O(|state| + |batch|), never the history. */
+  def mergeBestOfN(
+      state: DataFrame,
+      batch: DataFrame,
+      promptCol: String,
+      idCol: String,
+      scoreCol: String,
+      n: Int): DataFrame =
+    graft.dp.TopK.topKPerKeyDirectional(
+      state.unionByName(batch), Seq(promptCol),
+      Seq(scoreCol -> false, idCol -> true), n)
+      .drop("rank")
+
   /** Unbiased pass@k over graded samples (Chen et al. 2021, the Codex
     * estimator — the headline metric for verifiable-rewards data:
     * "would at least one of k random samples pass?"): per prompt with

@@ -1181,6 +1181,18 @@ object Production {
         ctx.dataPath(params.getOrElse("output", "processed.majority_vote").toString))
     }
 
+    // GRPO group-relative advantages over scored sample groups
+    Jobs.register("alignment", "grpo-advantages") { (ctx, params) =>
+      val s = ctx.spark
+      val in = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "raw.responses").toString)))
+      save(ctx,
+        graft.align.Preference.groupAdvantages(in,
+          params.getOrElse("prompt_col", "prompt_id").toString,
+          params.getOrElse("reward_col", "score").toString),
+        ctx.dataPath(params.getOrElse("output", "processed.grpo_advantages").toString))
+    }
+
     // Codex pass@k over graded samples (verifiable-rewards eval)
     Jobs.register("alignment", "pass-at-k") { (ctx, params) =>
       val s = ctx.spark

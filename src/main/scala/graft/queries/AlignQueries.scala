@@ -149,6 +149,14 @@ object AlignQueries {
       Preference.majorityVote(samples, "prompt_id", "answer")
         .orderBy(col("prompt_id"))
     },
+    // --- GRPO group-relative advantages over the 8-sample groups:
+    // reward standardized within each prompt's group (sample std)
+    "grpo_advantages" -> { (s, dir) =>
+      Preference.groupAdvantages(
+        responses(s, dir).select(col("prompt_id"), col("response_id"), col("score")),
+        "prompt_id", "score")
+        .orderBy(col("response_id"))
+    },
     // --- Codex pass@k over graded samples: 20 prompts × 20 samples,
     // per-prompt correctness rate cycling 0/0.1/0.2/0.3 (the 0-rate
     // prompts pin the c=0 branch), k ∈ {1, 5, 10}
@@ -433,6 +441,19 @@ object AlignQueries {
         |  round(t.n_agree / n_samples, 6) AS agreement
         |FROM top t JOIN tot USING (prompt_id) WHERE rn = 1
         |ORDER BY t.prompt_id""".stripMargin,
+    // GRPO: per-group mean/sample-std rounded first, advantage from the
+    // rounded terms (the cross-engine convention)
+    "grpo_advantages" ->
+      s"""WITH $responsesSql,
+         |st AS (SELECT prompt_id, round(avg(score), 6) AS group_mean,
+         |         round(coalesce(stddev_samp(score), 0), 6) AS group_std
+         |       FROM resp GROUP BY 1)
+         |SELECT r.prompt_id, r.response_id, r.score, group_mean, group_std,
+         |  CASE WHEN group_std > 0
+         |    THEN round((r.score - group_mean) / group_std, 6)
+         |    ELSE 0.0 END AS advantage
+         |FROM resp r JOIN st USING (prompt_id)
+         |ORDER BY r.response_id""".stripMargin,
     // pass@k: the stable product form 1 - Π (n-c-i)/(n-i), left-to-right
     // over the same index list in both engines (identical IEEE fold)
     "pass_at_k" ->

@@ -302,6 +302,36 @@ object Streaming {
       }
       .start()
 
+  /** Continuously maintain per-prompt best-of-N state from a response
+    * stream — the rejection-sampling collector: as scored responses
+    * arrive, the state directory always holds each prompt's current
+    * top-n by score (ties to the lower id). Same fold/swap/replay
+    * contract as [[maintainWordCounts]]; top-k is an order statistic,
+    * so fold == recompute ([[graft.align.Preference.mergeBestOfN]]).
+    * Cost per micro-batch: O(|state| + |batch|) — state is n rows per
+    * prompt, never the response history. */
+  def maintainBestOfN(
+      responses: DataFrame,
+      promptCol: String,
+      idCol: String,
+      scoreCol: String,
+      n: Int,
+      statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    responses.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.dp.IncrementalAgg.foldStateDir(
+          batch.sparkSession,
+          statePath,
+          graft.align.Preference.bestOfNState(batch, promptCol, idCol, scoreCol, n),
+          promptCol,
+          batchId,
+          merge = (state, b, key) =>
+            graft.align.Preference.mergeBestOfN(state, b, key, idCol, scoreCol, n))
+      }
+      .start()
+
   /** Continuously maintain per-key QUANTILE state from a stream — same
     * fold/swap/replay contract as [[maintainAggState]], with GK quantile
     * summaries as the state ([[graft.dp.QuantileState]]): each micro-batch

@@ -103,6 +103,39 @@ class PreferenceSpec extends SparkSpec {
     assert(math.abs(s.values.sum / 3 - 1.0) < 1e-6)
   }
 
+  test("groupAdvantages: within-group standardization, degenerate groups at 0") {
+    val samples = Seq(
+      (1L, 100L, 1.0), (1L, 101L, 2.0), (1L, 102L, 3.0), // mean 2, std 1
+      (2L, 200L, 5.0),                                   // single sample
+      (3L, 300L, 4.0), (3L, 301L, 4.0))                  // identical rewards
+      .toDF("prompt_id", "response_id", "reward")
+    val r = Preference.groupAdvantages(samples, "prompt_id", "reward")
+      .select("response_id", "group_mean", "group_std", "advantage")
+      .as[(Long, Double, Double, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(r(100L) === ((2.0, 1.0, -1.0)))
+    assert(r(101L) === ((2.0, 1.0, 0.0)))
+    assert(r(102L) === ((2.0, 1.0, 1.0)))
+    assert(r(200L)._3 === 0.0) // single sample: no signal, not a blow-up
+    assert(r(300L) === ((4.0, 0.0, 0.0)))
+  }
+
+  test("mergeBestOfN == bestOfNState over the union (order statistics merge)") {
+    val a = Seq((1L, 10L, "x", 3.0), (1L, 11L, "y", 7.0), (2L, 20L, "z", 1.0))
+      .toDF("prompt_id", "response_id", "response", "score")
+    val b = Seq((1L, 12L, "w", 9.0), (2L, 21L, "v", 2.0))
+      .toDF("prompt_id", "response_id", "response", "score")
+    val folded = Preference.mergeBestOfN(
+      Preference.bestOfNState(a, "prompt_id", "response_id", "score", 2),
+      b, "prompt_id", "response_id", "score", 2)
+      .select("prompt_id", "response_id").as[(Long, Long)].collect().toSet
+    val direct = Preference.bestOfNState(
+      a.unionByName(b), "prompt_id", "response_id", "score", 2)
+      .select("prompt_id", "response_id").as[(Long, Long)].collect().toSet
+    assert(folded === direct)
+    assert(folded === Set((1L, 12L), (1L, 11L), (2L, 21L), (2L, 20L)))
+  }
+
   test("passAtK: the unbiased estimator, boundary branches, k > n omitted") {
     // prompt 1: n=5, c=2 -> pass@2 = 1 - (3/5)(2/4) = 0.7, pass@1 = 2/5
     // prompt 2: n=3, c=0 -> 0 at every k

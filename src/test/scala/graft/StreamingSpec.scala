@@ -270,6 +270,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows(vocabS) === rows(vocabC))
   }
 
+  test("maintainBestOfN: state holds each prompt's current top-n; fold == recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_bon_stream").toString
+    val statePath = s"$dir/state"
+    val input = MemoryStream[(Long, Long, String, Double)]
+    val query = Streaming.maintainBestOfN(
+      input.toDF().toDF("prompt_id", "response_id", "response", "score"),
+      "prompt_id", "response_id", "score", n = 2, statePath, s"$dir/ckpt")
+    input.addData((1L, 10L, "a", 5.0), (1L, 11L, "b", 9.0), (2L, 20L, "c", 1.0))
+    query.processAllAvailable()
+    // a better response arrives later: it must displace the worst of the
+    // held pair; a tie at 9.0 ranks by lower id
+    input.addData((1L, 12L, "d", 9.0), (1L, 13L, "e", 2.0), (2L, 21L, "f", 4.0))
+    query.processAllAvailable()
+    query.stop()
+    val state = spark.read.parquet(statePath)
+      .select("prompt_id", "response_id")
+      .as[(Long, Long)].collect().toSet
+    assert(state === Set((1L, 11L), (1L, 12L), (2L, 21L), (2L, 20L)))
+    // fold == recompute: the state equals bestOfN over all rows at once
+    val all = Seq(
+      (1L, 10L, "a", 5.0), (1L, 11L, "b", 9.0), (2L, 20L, "c", 1.0),
+      (1L, 12L, "d", 9.0), (1L, 13L, "e", 2.0), (2L, 21L, "f", 4.0))
+      .toDF("prompt_id", "response_id", "response", "score")
+    val batchTop = graft.align.Preference
+      .bestOfNState(all, "prompt_id", "response_id", "score", n = 2)
+      .select("prompt_id", "response_id").as[(Long, Long)].collect().toSet
+    assert(state === batchTop)
+  }
+
   test("maintainQuantileState folds GK sketches; estimates bound the union") {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.functions.col
