@@ -71,6 +71,55 @@ object Agreement {
           round((col("po") - col("pe")) / (lit(1.0) - col("pe")), 6)))
   }
 
+  /** Krippendorff's alpha (nominal data) over a (item, label) rating
+    * log — the agreement statistic built for exactly the missing-data
+    * shape crowdsourced ratings have (any rater count per item, rater
+    * identity irrelevant; Krippendorff 2004). Via the coincidence
+    * construction: items with n_i ≥ 2 ratings contribute
+    * o_cc = Σ_i n_ic(n_ic−1)/(n_i−1) observed same-label mass over
+    * n = Σ n_i total mass, with marginals n_c = Σ_i n_ic;
+    * D_o = 1 − Σ_c o_cc/n, D_e = 1 − Σ_c n_c(n_c−1)/(n(n−1)),
+    * α = 1 − D_o/D_e. Singleton items carry no pairable information
+    * and are excluded (the statistic's own convention).
+    *
+    * Output (single row): n_items, n_ratings, d_o, d_e, alpha — alpha
+    * null when D_e = 0 (all mass on one label) or nothing retained.
+    * D_o/D_e rounded to 6 decimals before the final division. */
+  def krippendorffAlpha(
+      ratings: DataFrame,
+      itemCol: String,
+      labelCol: String): DataFrame = {
+    val cnt = ratings.groupBy(
+      col(itemCol).as("__it"), col(labelCol).cast("string").as("__l"))
+      .agg(count(lit(1)).as("__nij"))
+    val items = cnt.groupBy(col("__it"))
+      .agg(sum(col("__nij")).as("__ni"))
+      .filter(col("__ni") >= 2)
+    val retained = cnt.join(items, Seq("__it"))
+    val base = retained
+      .groupBy(col("__it"), col("__ni"))
+      .agg(sum(col("__nij") * (col("__nij") - 1)).as("__agr"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        coalesce(sum(col("__ni")), lit(0L)).as("n_ratings"),
+        coalesce(sum(col("__agr").cast("double") / (col("__ni") - 1)), lit(0.0))
+          .as("__occ"))
+    val marg = retained
+      .groupBy(col("__l"))
+      .agg(sum(col("__nij")).as("__nc"))
+      .agg(coalesce(sum(col("__nc") * (col("__nc") - 1)), lit(0L)).as("__mm"))
+    base.crossJoin(marg)
+      .select(
+        col("n_items"),
+        col("n_ratings"),
+        round(lit(1.0) - col("__occ") / col("n_ratings"), 6).as("d_o"),
+        round(lit(1.0) - col("__mm") /
+          (col("n_ratings") * (col("n_ratings") - 1)), 6).as("d_e"))
+      .withColumn("alpha",
+        when(col("d_e") > 0 && col("n_items") > 0,
+          round(lit(1.0) - col("d_o") / col("d_e"), 6)))
+  }
+
   /** Fleiss' kappa over a (item, label) rating log — any number of
     * raters, rater identity irrelevant (Fleiss 1971), in the
     * variable-rater-count generalization: items keep their own rating

@@ -1236,8 +1236,10 @@ object Production {
           params.getOrElse("rater_a", "r1").toString,
           params.getOrElse("rater_b", "r2").toString)
         case "fleiss" => graft.align.Agreement.fleissKappa(in, itemCol, labelCol)
+        case "krippendorff" =>
+          graft.align.Agreement.krippendorffAlpha(in, itemCol, labelCol)
         case other => throw new IllegalArgumentException(
-          s"unknown metric '$other' (cohen | fleiss)")
+          s"unknown metric '$other' (cohen | fleiss | krippendorff)")
       }
       save(ctx, out,
         ctx.dataPath(params.getOrElse("output", "processed.rater_agreement").toString))

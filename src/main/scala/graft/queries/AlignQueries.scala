@@ -109,6 +109,11 @@ object AlignQueries {
     "fleiss_kappa" -> { (s, dir) =>
       Agreement.fleissKappa(fleissRatings(s, dir), "item_id", "label")
     },
+    // --- Krippendorff's alpha (nominal) over the SAME variable-n log —
+    // the third agreement statistic, coincidence-matrix construction
+    "krippendorff_alpha" -> { (s, dir) =>
+      Agreement.krippendorffAlpha(fleissRatings(s, dir), "item_id", "label")
+    },
     // --- reward-model pairwise accuracy by confidence bucket: human
     // pairs from the all-policy construction, RM scores an independent
     // md5 draw per response — accuracy ~0.5 everywhere by construction,
@@ -194,9 +199,13 @@ object AlignQueries {
     },
     // --- RETRO retrieval neighbors at the exact operating point
     // (nprobe = nlist): top-10 cosine neighbors per chunk excluding the
-    // chunk's own document (doc = vec_id % 25 -> 20 chunks per doc)
+    // chunk's own document (doc = vec_id % 25 -> 20 chunks per doc).
+    // The corpus cap keeps the deliberately-exhaustive exact twin
+    // bench-sized at larger sf (no-op at the sf0.01 oracle gate); the
+    // production path's scaling is measured separately (SCALEBENCH r15)
     "cross_doc_neighbors_exact" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
+        .filter(col("vec_id") < 1000)
         .select(col("vec_id"), col("embedding"),
           pmod(col("vec_id"), lit(25L)).as("doc"))
       Similarity.retrievalNeighbors(e, "vec_id", "embedding", "doc",
@@ -441,6 +450,38 @@ object AlignQueries {
         |  round(t.n_agree / n_samples, 6) AS agreement
         |FROM top t JOIN tot USING (prompt_id) WHERE rn = 1
         |ORDER BY t.prompt_id""".stripMargin,
+    // Krippendorff nominal alpha: the coincidence-matrix sums replayed
+    // from the same rating log as fleiss_kappa
+    "krippendorff_alpha" ->
+      """WITH r AS (
+        |  SELECT d.doc_id AS item, t.r,
+        |    CAST('0x' || substring(md5('f:' || CAST(d.doc_id AS VARCHAR) || ':'
+        |      || CAST(t.r AS VARCHAR)), 1, 13) AS BIGINT) AS h
+        |  FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) t
+        |  WHERE d.doc_id < 150 AND NOT (d.doc_id % 10 = 0 AND t.r >= 2)),
+        |lab AS (SELECT item, CASE WHEN h % 10 < 7 THEN item % 3 ELSE h % 3 END AS l
+        |        FROM r),
+        |cnt AS (SELECT item, l, CAST(count(*) AS BIGINT) AS nij FROM lab GROUP BY 1, 2),
+        |it AS (SELECT item, CAST(sum(nij) AS BIGINT) AS ni
+        |       FROM cnt GROUP BY 1 HAVING sum(nij) >= 2),
+        |ret AS (SELECT cnt.*, it.ni FROM cnt JOIN it USING (item)),
+        |base AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+        |    CAST(sum(ni) AS BIGINT) AS n_ratings,
+        |    sum(CAST(agr AS DOUBLE) / (ni - 1)) AS occ
+        |  FROM (SELECT item, ni, sum(nij * (nij - 1)) AS agr
+        |        FROM ret GROUP BY 1, 2)),
+        |marg AS (SELECT sum(nc * (nc - 1)) AS mm FROM
+        |  (SELECT l, CAST(sum(nij) AS BIGINT) AS nc FROM ret GROUP BY 1))
+        |SELECT n_items, n_ratings,
+        |  round(1.0 - occ / n_ratings, 6) AS d_o,
+        |  round(1.0 - mm / (n_ratings * (n_ratings - 1)), 6) AS d_e,
+        |  CASE WHEN round(1.0 - mm / (n_ratings * (n_ratings - 1)), 6) > 0
+        |       AND n_items > 0
+        |    THEN round(1.0 - round(1.0 - occ / n_ratings, 6)
+        |           / round(1.0 - mm / (n_ratings * (n_ratings - 1)), 6), 6) END
+        |    AS alpha
+        |FROM base, marg""".stripMargin,
     // GRPO: per-group mean/sample-std rounded first, advantage from the
     // rounded terms (the cross-engine convention)
     "grpo_advantages" ->
@@ -516,7 +557,7 @@ object AlignQueries {
     // pairs, rank by (cosine DESC, id)
     "cross_doc_neighbors_exact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |             vec_id % 25 AS doc FROM embeddings),
+        |             vec_id % 25 AS doc FROM embeddings WHERE vec_id < 1000),
         |s AS (SELECT q.vec_id AS query_id, c.vec_id,
         |        round(list_dot_product(c.v, q.v)
         |          / (sqrt(list_dot_product(c.v, c.v))

@@ -47,6 +47,30 @@ class AgreementSpec extends SparkSpec {
     assert(row.getAs[Double]("kappa") === -0.244444)
   }
 
+  test("krippendorffAlpha: hand coincidence case, perfect agreement, degenerate null") {
+    // A: [a,a,b] (n=3), B: [b,b] (n=2), C: [a] dropped
+    // o_cc = 2/2 + 2/1 = 3, n = 5, D_o = 1 - 3/5 = 0.4
+    // marginals a=2, b=3 -> D_e = 1 - (2*1 + 3*2)/(5*4) = 0.6, alpha = 1/3
+    val ratings = (Seq("a", "a", "b").map((1L, _)) ++ Seq("b", "b").map((2L, _))
+      ++ Seq((3L, "a"))).toDF("item_id", "label")
+    val row = Agreement.krippendorffAlpha(ratings, "item_id", "label").head()
+    assert(row.getAs[Long]("n_items") === 2L && row.getAs[Long]("n_ratings") === 5L)
+    assert(row.getAs[Double]("d_o") === 0.4)
+    assert(row.getAs[Double]("d_e") === 0.6)
+    assert(row.getAs[Double]("alpha") === 0.333333)
+    // unanimous per item, labels varying across items -> alpha 1
+    val perfect = (Seq.fill(2)((1L, "a")) ++ Seq.fill(2)((2L, "b")))
+      .toDF("item_id", "label")
+    assert(Agreement.krippendorffAlpha(perfect, "item_id", "label")
+      .head().getAs[Double]("alpha") === 1.0)
+    // every rating the same label -> D_e = 0 -> alpha undefined (null)
+    val flat = (Seq.fill(2)((1L, "a")) ++ Seq.fill(2)((2L, "a")))
+      .toDF("item_id", "label")
+    val fr = Agreement.krippendorffAlpha(flat, "item_id", "label").head()
+    assert(fr.getAs[Double]("d_e") === 0.0)
+    assert(fr.isNullAt(fr.fieldIndex("alpha")))
+  }
+
   test("fleissKappa: unanimous raters reach kappa 1 when labels vary across items") {
     val ratings = (Seq.fill(3)((1L, "a")) ++ Seq.fill(3)((2L, "b")))
       .toDF("item_id", "label")
