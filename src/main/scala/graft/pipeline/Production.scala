@@ -1181,6 +1181,40 @@ object Production {
         ctx.dataPath(params.getOrElse("output", "processed.majority_vote").toString))
     }
 
+    // rejection-sampling distillation: the best response per prompt,
+    // rendered as a ChatML SFT row (text + assistant mask span) — the
+    // RFT path from scored samples straight to training rows
+    Jobs.register("alignment", "rft-distill") { (ctx, params) =>
+      val s = ctx.spark
+      val promptCol = params.getOrElse("prompt_col", "prompt_id").toString
+      val responses = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "raw.responses").toString)))
+      val prompts = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("prompts", "raw.prompts").toString)))
+        .select(col(params.getOrElse("prompt_id_col", "prompt_id").toString)
+          .as(promptCol),
+          col(params.getOrElse("prompt_text_col", "prompt").toString).as("__prompt"))
+      val best = graft.align.Preference.bestOfN(responses, promptCol,
+        params.getOrElse("id_col", "response_id").toString,
+        params.getOrElse("score_col", "score").toString, n = 1)
+        .join(prompts, Seq(promptCol))
+      val textCol = params.getOrElse("text_col", "response").toString
+      val turns = best.select(
+        col(promptCol).as("__conv"),
+        explode(array(
+          struct(lit(0).as("t"), lit("user").as("role"),
+            col("__prompt").as("content")),
+          struct(lit(1).as("t"), lit("assistant").as("role"),
+            col(textCol).as("content")))).as("__turn"))
+        .select(col("__conv"), col("__turn.t").as("__t"),
+          col("__turn.role").as("__role"), col("__turn.content").as("__content"))
+      save(ctx,
+        graft.text.Packing
+          .renderChatTemplate(turns, "__conv", "__t", "__role", "__content")
+          .withColumnRenamed("__conv", promptCol),
+        ctx.dataPath(params.getOrElse("output", "processed.rft_sft_rows").toString))
+    }
+
     // GRPO group-relative advantages over scored sample groups
     Jobs.register("alignment", "grpo-advantages") { (ctx, params) =>
       val s = ctx.spark

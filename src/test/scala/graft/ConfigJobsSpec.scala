@@ -1152,6 +1152,103 @@ class ConfigJobsSpec extends AnyFunSuite {
             "params" -> Map("objective" -> "nonsense")))))))))
     assert(graft.pipeline.Jobs.run(Context(bad, spark), "tokenizer").nonEmpty)
   }
+
+  test("alignment catalog job: best-of-n -> preference-pairs -> dpo-render -> rft-distill end to end") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-align-jobs").toString
+    Seq(
+      (1L, 10L, "good answer", 9.0), (1L, 11L, "weak answer", 2.0),
+      (1L, 12L, "mid answer", 5.0),
+      (2L, 20L, "fine", 7.0), (2L, 21L, "bad", 1.0))
+      .toDF("prompt_id", "response_id", "response", "score")
+      .write.mode("overwrite").parquet(s"$work/responses")
+    Seq((1L, "what is up"), (2L, "hello there"))
+      .toDF("prompt_id", "prompt")
+      .write.mode("overwrite").parquet(s"$work/prompts")
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Map("jobs" -> List(
+        Map("name" -> "alignment", "fail_fast" -> true, "stages" -> List(
+          Map("name" -> "prep", "tasks" -> List(
+            Map("name" -> "best-of-n", "params" -> Map("n" -> "2")),
+            Map("name" -> "preference-pairs"),
+            Map("name" -> "dpo-render"),
+            Map("name" -> "rft-distill"),
+            Map("name" -> "grpo-advantages"))))))),
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "responses" -> s"$work/responses",
+          "prompts" -> s"$work/prompts"),
+        "processed" -> Map(
+          "best_of_n" -> s"$work/bon",
+          "preference_pairs" -> s"$work/pairs",
+          "dpo_rows" -> s"$work/dpo",
+          "rft_sft_rows" -> s"$work/rft",
+          "grpo_advantages" -> s"$work/grpo")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(Context(cfg, spark), "alignment").isEmpty)
+    // best-of-2: top two per prompt (prompt 2 has only 2 responses)
+    val bon = spark.read.parquet(s"$work/bon")
+      .select("prompt_id", "rank", "response_id")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(bon === Set((1L, 1, 10L), (1L, 2, 12L), (2L, 1, 20L), (2L, 2, 21L)))
+    // max-min pairs: (best, worst) per prompt
+    val pairs = spark.read.parquet(s"$work/pairs")
+      .select("prompt_id", "chosen_id", "rejected_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 10L, 11L), (2L, 20L, 21L)))
+    // DPO rows: both branches share the template; masks cover completions
+    val dpo = spark.read.parquet(s"$work/dpo").collect()
+      .map(r => r.getAs[Long]("prompt_id") -> r).toMap
+    val d1 = dpo(1L)
+    val ct = d1.getAs[String]("chosen_text")
+    assert(ct === "<|im_start|>user\nwhat is up<|im_end|>\n" +
+      "<|im_start|>assistant\ngood answer<|im_end|>\n")
+    assert(ct.substring(
+      d1.getAs[Long]("chosen_mask_start").toInt,
+      d1.getAs[Long]("chosen_mask_end").toInt) === "good answer<|im_end|>")
+    // RFT distillation: the top-1 response rendered as an SFT row
+    val rft = spark.read.parquet(s"$work/rft").collect()
+      .map(r => r.getAs[Long]("prompt_id") -> r.getAs[String]("text")).toMap
+    assert(rft(1L).contains("assistant\ngood answer<|im_end|>"))
+    assert(rft(2L).contains("assistant\nfine<|im_end|>"))
+    // GRPO: advantages standardized within each prompt's group
+    val grpo = spark.read.parquet(s"$work/grpo")
+      .select("response_id", "advantage").as[(Long, Double)].collect().toMap
+    assert(grpo(11L) < 0 && grpo(10L) > 0)
+  }
+
+  test("alignment rater-agreement catalog job: all three metric switches") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-agree-jobs").toString
+    Seq(
+      (1L, "r1", "y"), (1L, "r2", "y"),
+      (2L, "r1", "y"), (2L, "r2", "n"),
+      (3L, "r1", "n"), (3L, "r2", "n"))
+      .toDF("item_id", "rater", "label")
+      .write.mode("overwrite").parquet(s"$work/ratings")
+    def cfgFor(metric: String, out: String) = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Map("jobs" -> List(
+        Map("name" -> "alignment", "fail_fast" -> true, "stages" -> List(
+          Map("name" -> "qa", "tasks" -> List(
+            Map("name" -> "rater-agreement",
+              "params" -> Map("metric" -> metric)))))))),
+      "data_catalog" -> Map(
+        "raw" -> Map("ratings" -> s"$work/ratings"),
+        "processed" -> Map("rater_agreement" -> s"$work/$out")))
+    graft.pipeline.Production.registerAll()
+    for ((m, out) <- Seq("cohen" -> "c", "fleiss" -> "f", "krippendorff" -> "k"))
+      assert(graft.pipeline.Jobs.run(Context(cfgFor(m, out), spark), "alignment").isEmpty)
+    assert(spark.read.parquet(s"$work/c").columns.contains("kappa"))
+    assert(spark.read.parquet(s"$work/f").columns.contains("kappa"))
+    assert(spark.read.parquet(s"$work/k").columns.contains("alpha"))
+    // unknown metric fails loudly
+    assert(graft.pipeline.Jobs.run(
+      Context(cfgFor("nonsense", "x"), spark), "alignment").nonEmpty)
+  }
 }
 
 
