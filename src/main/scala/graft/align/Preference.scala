@@ -1,6 +1,7 @@
 package graft.align
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Preference / alignment data preparation — the post-curation stage that
@@ -240,6 +241,54 @@ object Preference {
           round((col(rewardCol).cast("double") - col("group_mean")) /
             col("group_std"), 6))
           .otherwise(0.0))
+  }
+
+  /** Unbiased best-of-k reward curve (the inference-scaling companion
+    * to [[passAtK]], Nakano et al. 2021 appendix: "what reward would
+    * picking the best of k random samples achieve?", estimated WITHOUT
+    * resampling): with rewards sorted ascending r_(1) ≤ … ≤ r_(n),
+    * E[max of k] = Σ_i C(i−1, k−1)/C(n, k) · r_(i), computed through
+    * the overflow-free product form w = (k/n) · ∏_{j<k} (i−j)/(n−k+j)
+    * (every factor near 1 — no factorials materialize). k = 1 recovers
+    * the mean; k = n the maximum. One row per prompt per requested
+    * k ≤ n, estimates rounded to 6 decimals; tie order cannot change
+    * the sum (equal rewards commute through the weights).
+    *
+    * Scale shape: one keyed rank window per prompt (group size is the
+    * sampling fan-out), a |ks|-wide explode, then ONE weighted-sum
+    * aggregate — no resampling, no cross-prompt traffic.
+    * Output: promptCol, k, n_samples, expected_max. */
+  def bestOfNCurve(
+      samples: DataFrame,
+      promptCol: String,
+      rewardCol: String,
+      ks: Seq[Int] = Seq(1, 2, 4, 8, 16)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1) && ks == ks.sorted &&
+      ks.distinct == ks,
+      s"ks must be distinct, positive, increasing, got $ks")
+    val w = Window.partitionBy(col(promptCol)).orderBy(col("__r").asc)
+    val ranked = samples
+      .select(col(promptCol), col(rewardCol).cast("double").as("__r"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy(col(promptCol))))
+    ranked
+      .select(col(promptCol), col("__r"), col("__i"), col("__n"),
+        explode(array(ks.map(lit(_)): _*)).as("k"))
+      .filter(col("k") <= col("__n") && col("__i") >= col("k"))
+      // Spark's sequence(1, 0) DESCENDS instead of being empty, so the
+      // k = 1 empty-product case is branched explicitly
+      .withColumn("__w",
+        (col("k").cast("double") / col("__n")) *
+          when(col("k") === 1, lit(1.0)).otherwise(aggregate(
+            sequence(lit(1L), col("k").cast("long") - 1),
+            lit(1.0),
+            (acc, j) => acc * (col("__i") - j).cast("double") /
+              (col("__n") - col("k") + j))))
+      .groupBy(col(promptCol), col("k"))
+      .agg(
+        max(col("__n")).as("n_samples"),
+        round(sum(col("__w") * col("__r")), 6).as("expected_max"))
   }
 
   /** Mergeable best-of-N state: [[bestOfN]] without the rank column —

@@ -1227,6 +1227,20 @@ object Production {
         ctx.dataPath(params.getOrElse("output", "processed.grpo_advantages").toString))
     }
 
+    // unbiased best-of-k reward curve (inference-scaling diagnostic)
+    Jobs.register("alignment", "best-of-n-curve") { (ctx, params) =>
+      val s = ctx.spark
+      val in = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "raw.responses").toString)))
+      val ks = params.getOrElse("ks", "1,2,4,8,16").toString
+        .split(",").map(_.trim.toInt).toSeq
+      save(ctx,
+        graft.align.Preference.bestOfNCurve(in,
+          params.getOrElse("prompt_col", "prompt_id").toString,
+          params.getOrElse("reward_col", "score").toString, ks),
+        ctx.dataPath(params.getOrElse("output", "processed.best_of_n_curve").toString))
+    }
+
     // Codex pass@k over graded samples (verifiable-rewards eval)
     Jobs.register("alignment", "pass-at-k") { (ctx, params) =>
       val s = ctx.spark

@@ -162,6 +162,14 @@ object AlignQueries {
         "prompt_id", "score")
         .orderBy(col("response_id"))
     },
+    // --- unbiased best-of-k reward curve over the 8-sample groups:
+    // k=1 recovers the group mean, k=8 the group max
+    "best_of_n_curve" -> { (s, dir) =>
+      Preference.bestOfNCurve(
+        responses(s, dir).select(col("prompt_id"), col("score")),
+        "prompt_id", "score", ks = Seq(1, 2, 4, 8))
+        .orderBy(col("prompt_id"), col("k"))
+    },
     // --- Codex pass@k over graded samples: 20 prompts × 20 samples,
     // per-prompt correctness rate cycling 0/0.1/0.2/0.3 (the 0-rate
     // prompts pin the c=0 branch), k ∈ {1, 5, 10}
@@ -495,6 +503,26 @@ object AlignQueries {
          |    ELSE 0.0 END AS advantage
          |FROM resp r JOIN st USING (prompt_id)
          |ORDER BY r.response_id""".stripMargin,
+    // best-of-k curve: the order-statistic weights in the same
+    // overflow-free product form, empty product coalesced at k=1
+    "best_of_n_curve" ->
+      s"""WITH $responsesSql,
+         |rk AS (SELECT prompt_id, score,
+         |         CAST(row_number() OVER (PARTITION BY prompt_id
+         |           ORDER BY score) AS BIGINT) AS i,
+         |         CAST(count(*) OVER (PARTITION BY prompt_id) AS BIGINT) AS n
+         |       FROM resp),
+         |x AS (SELECT prompt_id, score, i, n, CAST(k AS INT) AS k
+         |      FROM rk CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS k) t
+         |      WHERE k <= n AND i >= k),
+         |wgt AS (SELECT prompt_id, k, n, score,
+         |         (CAST(k AS DOUBLE) / n) * coalesce(
+         |           list_product(list_transform(range(1, k),
+         |             j -> CAST(i - j AS DOUBLE) / (n - k + j))), 1.0) AS w
+         |        FROM x)
+         |SELECT prompt_id, k, max(n) AS n_samples,
+         |  round(sum(w * score), 6) AS expected_max
+         |FROM wgt GROUP BY 1, 2 ORDER BY prompt_id, k""".stripMargin,
     // pass@k: the stable product form 1 - Π (n-c-i)/(n-i), left-to-right
     // over the same index list in both engines (identical IEEE fold)
     "pass_at_k" ->

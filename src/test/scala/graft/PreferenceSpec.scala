@@ -136,6 +136,23 @@ class PreferenceSpec extends SparkSpec {
     assert(folded === Set((1L, 12L), (1L, 11L), (2L, 21L), (2L, 20L)))
   }
 
+  test("bestOfNCurve: exact order-statistic expectations; k=1 mean, k=n max") {
+    // rewards [1,3,5,9]: E[max1]=4.5, E[max2]=mean over C(4,2) subsets
+    // = (3+5+5+9+9+9)/6 = 6.666667, E[max4]=9
+    val samples = Seq((1L, 1.0), (1L, 3.0), (1L, 5.0), (1L, 9.0),
+      (2L, 7.0), (2L, 7.0)) // ties: weights commute, k=2 -> 7 exactly
+      .toDF("prompt_id", "reward")
+    val r = Preference.bestOfNCurve(samples, "prompt_id", "reward", Seq(1, 2, 4))
+      .select("prompt_id", "k", "expected_max")
+      .as[(Long, Int, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    assert(r((1L, 1)) === 4.5)
+    assert(r((1L, 2)) === 6.666667)
+    assert(r((1L, 4)) === 9.0)
+    assert(r((2L, 1)) === 7.0 && r((2L, 2)) === 7.0)
+    assert(!r.contains((2L, 4))) // k above the prompt's sample count
+  }
+
   test("passAtK: the unbiased estimator, boundary branches, k > n omitted") {
     // prompt 1: n=5, c=2 -> pass@2 = 1 - (3/5)(2/4) = 0.7, pass@1 = 2/5
     // prompt 2: n=3, c=0 -> 0 at every k
