@@ -400,6 +400,51 @@ object Preference {
       .withColumn("margin_bucket", coalesce(col("margin_bucket"), lit("all")))
   }
 
+  /** Head-to-head win-rate table from a pairwise-outcome log — the
+    * arena matrix beside [[bradleyTerry]]: one row per UNORDERED pair
+    * (item_a < item_b lexicographically by string form), with item_a's
+    * wins, the game count, the win rate, and the Wilson score interval
+    * at z = 1.96 (the standard leaderboard error bar — unlike the
+    * normal approximation it stays inside [0, 1] and behaves at small
+    * counts). Rates and bounds rounded to 6 decimals.
+    *
+    * Scale shape: the log collapses to per-ordered-pair counts in ONE
+    * shuffle; the unordered fold and Wilson arithmetic are projections
+    * of the items²-bounded count table.
+    * Output: item_a, item_b, wins_a, n_games, win_rate_a, wilson_low,
+    * wilson_high. */
+  def headToHead(
+      outcomes: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      z: Double = 1.96): DataFrame = {
+    require(z > 0, s"z must be > 0, got $z")
+    val directed = outcomes
+      .select(col(winnerCol).cast("string").as("__w"),
+        col(loserCol).cast("string").as("__l"))
+      .groupBy(col("__w"), col("__l"))
+      .agg(count(lit(1)).as("__c"))
+    val folded = directed
+      .select(
+        least(col("__w"), col("__l")).as("item_a"),
+        greatest(col("__w"), col("__l")).as("item_b"),
+        when(col("__w") <= col("__l"), col("__c")).otherwise(0L).as("__wa"),
+        col("__c").as("__n"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(sum(col("__wa")).as("wins_a"), sum(col("__n")).as("n_games"))
+    val p = col("wins_a").cast("double") / col("n_games")
+    val n = col("n_games").cast("double")
+    val z2 = lit(z * z)
+    val center = p + z2 / (lit(2.0) * n)
+    val spread = lit(z) * sqrt((p * (lit(1.0) - p) + z2 / (lit(4.0) * n)) / n)
+    val denom = lit(1.0) + z2 / n
+    folded.select(
+      col("item_a"), col("item_b"), col("wins_a"), col("n_games"),
+      round(p, 6).as("win_rate_a"),
+      round((center - spread) / denom, 6).as("wilson_low"),
+      round((center + spread) / denom, 6).as("wilson_high"))
+  }
+
   /** Bradley–Terry strengths from a pairwise-outcome log (one row per
     * comparison: winner, loser) via `iterations` MM updates
     * (Hunter 2004): p_i ← W_i / Σ_j n_ij / (p_i + p_j), renormalized to

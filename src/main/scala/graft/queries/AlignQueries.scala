@@ -257,6 +257,12 @@ object AlignQueries {
       Preference.bradleyTerry(outcomes(s, dir), "winner", "loser", iterations = 10)
         .orderBy(col("item"))
     },
+    // --- arena head-to-head matrix over the same planted comparisons:
+    // unordered pairs, win rate + Wilson bounds
+    "head_to_head" -> { (s, dir) =>
+      Preference.headToHead(outcomes(s, dir), "winner", "loser")
+        .orderBy(col("item_a"), col("item_b"))
+    },
     // --- DPO ChatML rendering of the max-min pairs: chosen/rejected
     // texts share the SFT template; mask offsets replayed from the same
     // length arithmetic
@@ -650,6 +656,28 @@ object AlignQueries {
          |FROM b GROUP BY ROLLUP(len_gap_bucket)
          |ORDER BY len_gap_bucket""".stripMargin,
     "bradley_terry" -> bradleyTerryOracleSql,
+    // head-to-head: per-ordered-pair counts folded to unordered pairs,
+    // Wilson interval arithmetic replayed (z*z as the same 1.96 product)
+    "head_to_head" ->
+      s"""WITH $outcomesSql,
+         |d AS (SELECT CAST(winner AS VARCHAR) AS w, CAST(loser AS VARCHAR) AS l,
+         |        CAST(count(*) AS BIGINT) AS c
+         |      FROM o GROUP BY 1, 2),
+         |f AS (SELECT least(w, l) AS item_a, greatest(w, l) AS item_b,
+         |        CAST(sum(CASE WHEN w <= l THEN c ELSE 0 END) AS BIGINT) AS wins_a,
+         |        CAST(sum(c) AS BIGINT) AS n_games
+         |      FROM d GROUP BY 1, 2),
+         |g AS (SELECT *, CAST(wins_a AS DOUBLE) / n_games AS p,
+         |        CAST(n_games AS DOUBLE) AS nn FROM f)
+         |SELECT item_a, item_b, wins_a, n_games,
+         |  round(p, 6) AS win_rate_a,
+         |  round((p + 1.96 * 1.96 / (2 * nn)
+         |    - 1.96 * sqrt((p * (1 - p) + 1.96 * 1.96 / (4 * nn)) / nn))
+         |    / (1 + 1.96 * 1.96 / nn), 6) AS wilson_low,
+         |  round((p + 1.96 * 1.96 / (2 * nn)
+         |    + 1.96 * sqrt((p * (1 - p) + 1.96 * 1.96 / (4 * nn)) / nn))
+         |    / (1 + 1.96 * 1.96 / nn), 6) AS wilson_high
+         |FROM g ORDER BY item_a, item_b""".stripMargin,
     "dpo_render" ->
       s"""WITH $responsesSql,
          |c AS (SELECT prompt_id, response AS chosen, score,

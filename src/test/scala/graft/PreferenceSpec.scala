@@ -136,6 +136,23 @@ class PreferenceSpec extends SparkSpec {
     assert(folded === Set((1L, 12L), (1L, 11L), (2L, 21L), (2L, 20L)))
   }
 
+  test("headToHead: unordered fold, win rate, Wilson bounds") {
+    val o = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")) ++ Seq(("C", "B")))
+      .toDF("winner", "loser")
+    val r = Preference.headToHead(o, "winner", "loser")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    val ab = r(("A", "B"))
+    assert(ab.getAs[Long]("wins_a") === 3L && ab.getAs[Long]("n_games") === 4L)
+    assert(ab.getAs[Double]("win_rate_a") === 0.75)
+    assert(ab.getAs[Double]("wilson_low") === 0.300636)
+    assert(ab.getAs[Double]("wilson_high") === 0.954414)
+    // B vs C: B lost its only game -> wins_a 0, bounds clamp inside [0,1]
+    val bc = r(("B", "C"))
+    assert(bc.getAs[Long]("wins_a") === 0L && bc.getAs[Long]("n_games") === 1L)
+    assert(bc.getAs[Double]("wilson_low") === 0.0)
+    assert(bc.getAs[Double]("wilson_high") < 1.0)
+  }
+
   test("bestOfNCurve: exact order-statistic expectations; k=1 mean, k=n max") {
     // rewards [1,3,5,9]: E[max1]=4.5, E[max2]=mean over C(4,2) subsets
     // = (3+5+5+9+9+9)/6 = 6.666667, E[max4]=9
