@@ -76,7 +76,19 @@ class PlanFingerprintSpec extends SparkSpec {
     "preference_pairs" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "shuffle" -> 3),
     "semantic_decontam" -> Map("broadcast" -> 1, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 2),
     "cross_doc_neighbors_exact" -> Map("broadcast" -> 2, "broadcast_hash_join" -> 2, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "local_sort" -> 4, "shuffle" -> 5, "sort_merge_join" -> 1, "window" -> 1, "window_group_limit" -> 2),
-    "majority_vote" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "shuffle" -> 4))
+    "majority_vote" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "shuffle" -> 4),
+    // r14 eval additions: GRPO = one group-stats aggregate broadcast
+    // back; pass@k = one count aggregate + explode (NO window); the
+    // best-of-k curve's two windows are KEYED rank/count per prompt — a
+    // third window or a global sort appearing mid-pipeline means the
+    // order-statistic rank fell off the keyed path; head-to-head is the
+    // one count shuffle + unordered-fold regroup; krippendorff's
+    // single-row crossJoins broadcast by construction
+    "grpo_advantages" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "shuffle" -> 2),
+    "pass_at_k" -> Map("global_sort" -> 1, "shuffle" -> 2),
+    "best_of_n_curve" -> Map("global_sort" -> 1, "local_sort" -> 1, "shuffle" -> 2, "window" -> 2),
+    "head_to_head" -> Map("global_sort" -> 1, "shuffle" -> 3),
+    "krippendorff_alpha" -> Map("broadcast" -> 3, "broadcast_hash_join" -> 2, "broadcast_nested_loop" -> 1, "shuffle" -> 6))
 
   private def withAqeOff[T](f: => T): T = {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
