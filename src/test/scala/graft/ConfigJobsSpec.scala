@@ -1219,6 +1219,108 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(grpo(11L) < 0 && grpo(10L) > 0)
   }
 
+  test("alignment eval catalog jobs: kto, majority-vote, pass-at-k, curve, conversation-stats") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-aeval-jobs").toString
+    Seq(
+      (1L, 10L, "a", 3.0, Some(true), "x"), (1L, 11L, "b", 9.0, Some(true), "x"),
+      (1L, 12L, "c", 5.0, Some(false), "y"),
+      (2L, 20L, "d", 7.0, None, "z"), (2L, 21L, "e", 1.0, Some(false), "z"))
+      .toDF("prompt_id", "response_id", "response", "score", "feedback", "answer")
+      .write.mode("overwrite").parquet(s"$work/responses")
+    Seq((1L, 0, "user", "hi"), (1L, 1, "assistant", "hello"))
+      .toDF("conv_id", "turn_no", "role", "content")
+      .write.mode("overwrite").parquet(s"$work/turns")
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Map("jobs" -> List(
+        Map("name" -> "alignment", "fail_fast" -> true, "stages" -> List(
+          Map("name" -> "eval", "tasks" -> List(
+            Map("name" -> "kto-rows",
+              "params" -> Map("input" -> "raw.responses", "label_col" -> "feedback")),
+            Map("name" -> "majority-vote",
+              "params" -> Map("input" -> "raw.responses")),
+            Map("name" -> "pass-at-k",
+              "params" -> Map("input" -> "raw.responses",
+                "correct_col" -> "feedback", "ks" -> "1,2")),
+            Map("name" -> "best-of-n-curve",
+              "params" -> Map("ks" -> "1,2")),
+            Map("name" -> "conversation-stats"))))))),
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "responses" -> s"$work/responses",
+          "conversations" -> s"$work/turns"),
+        "processed" -> Map(
+          "kto_rows" -> s"$work/kto",
+          "majority_vote" -> s"$work/mv",
+          "pass_at_k" -> s"$work/pak",
+          "best_of_n_curve" -> s"$work/curve",
+          "conversation_stats" -> s"$work/cstats")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(Context(cfg, spark), "alignment").isEmpty)
+    // kto: 4 labeled rows (the None drops), desirable weight 4/(2*2) = 1
+    val kto = spark.read.parquet(s"$work/kto")
+      .select("response_id", "weight").as[(Long, Double)].collect().toMap
+    assert(kto.size === 4 && !kto.contains(20L) && kto(10L) === 1.0)
+    // majority vote: prompt 1's mode is "x"
+    val mv = spark.read.parquet(s"$work/mv")
+      .select("prompt_id", "answer").as[(Long, String)].collect().toMap
+    assert(mv(1L) === "x" && mv(2L) === "z")
+    // pass@k at k=1 for prompt 1: c=2 of n=3 -> 2/3
+    val pak = spark.read.parquet(s"$work/pak")
+      .select("prompt_id", "k", "pass_at_k").as[(Long, Int, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(pak((1L, 1)) === 0.666667)
+    // curve at k=1 = mean; k=2 between mean and max
+    val curve = spark.read.parquet(s"$work/curve")
+      .select("prompt_id", "k", "expected_max").as[(Long, Int, Double)]
+      .collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(curve((2L, 1)) === 4.0 && curve((2L, 2)) === 7.0)
+    // conversation stats: the clean 2-turn dialog
+    val cs = spark.read.parquet(s"$work/cstats").head()
+    assert(cs.getAs[Long]("n_turns") === 2 && cs.getAs[Boolean]("ends_with_assistant"))
+  }
+
+  test("curation retrieval-neighbors + decontaminate-semantic catalog jobs") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-rn-jobs").toString
+    Seq(
+      (0L, 0L, Array(1.0f, 0.0f)), (1L, 0L, Array(0.99f, 0.01f)),
+      (2L, 1L, Array(0.9f, 0.1f)), (3L, 1L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "doc_id", "embedding")
+      .write.mode("overwrite").parquet(s"$work/emb")
+    Seq((100L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$work/bench")
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Map("jobs" -> List(
+        Map("name" -> "corpus-curation", "fail_fast" -> true, "stages" -> List(
+          Map("name" -> "retrieval", "tasks" -> List(
+            Map("name" -> "retrieval-neighbors",
+              "params" -> Map("k" -> "1", "nlist" -> "2", "nprobe" -> "2")),
+            Map("name" -> "decontaminate-semantic",
+              "params" -> Map("threshold" -> "0.999")))))))),
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "embeddings" -> s"$work/emb",
+          "bench_embeddings" -> s"$work/bench"),
+        "processed" -> Map("retrieval_neighbors" -> s"$work/rn"),
+        "clean" -> Map("embeddings_decontaminated" -> s"$work/clean")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(Context(cfg, spark), "corpus-curation").isEmpty)
+    // neighbors: every query's top-1 is cross-document (0 and 1 share doc 0)
+    val rn = spark.read.parquet(s"$work/rn")
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    assert(rn(0L) === 2L && rn(1L) === 2L)
+    // decontamination: vec 3 is the bench twin and dies, the rest survive
+    val kept = spark.read.parquet(s"$work/clean")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(0L, 1L, 2L))
+  }
+
   test("alignment rater-agreement catalog job: all three metric switches") {
     val spark = SparkSpec.session
     import spark.implicits._
