@@ -488,4 +488,49 @@ object Metrics {
             (col("__tp").cast("double") / col("__tn")), 6).as("lift"))
       .orderBy(col("bucket"))
   }
+
+  /** Benchmark-evaluation results table (the eval-harness shape: one
+    * row per task with sample count, correct count, accuracy, and the
+    * binomial standard error √(p(1−p)/n), plus two rollup rows —
+    * `__micro__`: the pooled accuracy over all samples with its own
+    * binomial stderr; `__macro__`: the unweighted mean of task
+    * accuracies, stderr by error propagation √(Σ se_t²)/T, the
+    * aggregation eval harnesses report for task groups). Accuracies and
+    * stderrs rounded to 6 decimals; rollups compute from the ROUNDED
+    * per-task terms so the whole table replays cross-engine.
+    *
+    * Scale shape: ONE count aggregate per task, rollups are
+    * projections of the |tasks|-row frame — sample volume is touched
+    * exactly once. Output: task, n, n_correct, accuracy, stderr. */
+  def evalSummary(
+      results: DataFrame,
+      taskCol: String,
+      correctCol: String): DataFrame = {
+    val tasks = results
+      .groupBy(col(taskCol).cast("string").as("task"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col(correctCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("task"), col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n"), 6).as("accuracy"))
+      .withColumn("stderr",
+        round(sqrt(col("accuracy") * (lit(1.0) - col("accuracy")) / col("n")), 6))
+    val micro = tasks.agg(
+      coalesce(sum(col("n")), lit(0L)).as("n"),
+      coalesce(sum(col("n_correct")), lit(0L)).as("n_correct"))
+      .select(lit("__micro__").as("task"), col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n"), 6).as("accuracy"))
+      .withColumn("stderr",
+        round(sqrt(col("accuracy") * (lit(1.0) - col("accuracy")) / col("n")), 6))
+    val macroRow = tasks.agg(
+      coalesce(sum(col("n")), lit(0L)).as("n"),
+      coalesce(sum(col("n_correct")), lit(0L)).as("n_correct"),
+      round(avg(col("accuracy")), 6).as("accuracy"),
+      round(sqrt(sum(col("stderr") * col("stderr"))) /
+        count(lit(1)), 6).as("stderr"))
+      .select(lit("__macro__").as("task"), col("n"), col("n_correct"),
+        col("accuracy"), col("stderr"))
+    tasks.unionByName(micro).unionByName(macroRow)
+  }
 }

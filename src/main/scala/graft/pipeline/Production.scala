@@ -1227,6 +1227,19 @@ object Production {
         ctx.dataPath(params.getOrElse("output", "processed.grpo_advantages").toString))
     }
 
+    // benchmark eval results table (per-task accuracy + stderr,
+    // micro/macro rollups)
+    Jobs.register("alignment", "eval-summary") { (ctx, params) =>
+      val s = ctx.spark
+      val in = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "raw.eval_results").toString)))
+      save(ctx,
+        graft.eval.Metrics.evalSummary(in,
+          params.getOrElse("task_col", "task").toString,
+          params.getOrElse("correct_col", "correct").toString),
+        ctx.dataPath(params.getOrElse("output", "processed.eval_summary").toString))
+    }
+
     // unbiased best-of-k reward curve (inference-scaling diagnostic)
     Jobs.register("alignment", "best-of-n-curve") { (ctx, params) =>
       val s = ctx.spark

@@ -162,6 +162,17 @@ object AlignQueries {
         "prompt_id", "score")
         .orderBy(col("response_id"))
     },
+    // --- eval-harness results table: 6 tasks × 50 samples with planted
+    // per-task rates, micro/macro rollups from the rounded terms
+    "eval_summary" -> { (s, dir) =>
+      val results = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(
+          concat(lit("t"), pmod(col("doc_id"), lit(6L)).cast("string")).as("task"),
+          (pmod(Exprs.md5Bits52(concat(lit("ev:"), col("doc_id").cast("string"))),
+            lit(10L)) < pmod(col("doc_id"), lit(6L)) + 3).as("correct"))
+      graft.eval.Metrics.evalSummary(results, "task", "correct")
+        .orderBy(col("task"))
+    },
     // --- unbiased best-of-k reward curve over the 8-sample groups:
     // k=1 recovers the group mean, k=8 the group max
     "best_of_n_curve" -> { (s, dir) =>
@@ -509,6 +520,34 @@ object AlignQueries {
          |    ELSE 0.0 END AS advantage
          |FROM resp r JOIN st USING (prompt_id)
          |ORDER BY r.response_id""".stripMargin,
+    // eval summary: per-task binomial stats + the micro/macro rollups
+    // recomputed from the rounded per-task terms
+    "eval_summary" ->
+      """WITH s AS (
+        |  SELECT 't' || CAST(doc_id % 6 AS VARCHAR) AS task,
+        |    (CAST('0x' || substring(md5('ev:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |      AS BIGINT) % 10) < (doc_id % 6) + 3 AS correct
+        |  FROM documents WHERE doc_id < 300),
+        |t AS (SELECT task, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |      FROM s GROUP BY 1),
+        |t2 AS (SELECT task, n, n_correct,
+        |         round(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy FROM t),
+        |t3 AS (SELECT *, round(sqrt(accuracy * (1 - accuracy) / n), 6) AS stderr
+        |       FROM t2),
+        |mi AS (SELECT '__micro__' AS task, CAST(sum(n) AS BIGINT) AS n,
+        |         CAST(sum(n_correct) AS BIGINT) AS n_correct FROM t3),
+        |mi2 AS (SELECT task, n, n_correct,
+        |          round(CAST(n_correct AS DOUBLE) / n, 6) AS accuracy FROM mi),
+        |mi3 AS (SELECT *, round(sqrt(accuracy * (1 - accuracy) / n), 6) AS stderr
+        |        FROM mi2),
+        |ma AS (SELECT '__macro__' AS task, CAST(sum(n) AS BIGINT) AS n,
+        |         CAST(sum(n_correct) AS BIGINT) AS n_correct,
+        |         round(avg(accuracy), 6) AS accuracy,
+        |         round(sqrt(sum(stderr * stderr)) / count(*), 6) AS stderr
+        |       FROM t3)
+        |SELECT * FROM t3 UNION ALL SELECT * FROM mi3 UNION ALL SELECT * FROM ma
+        |ORDER BY task""".stripMargin,
     // best-of-k curve: the order-statistic weights in the same
     // overflow-free product form, empty product coalesced at k=1
     "best_of_n_curve" ->

@@ -136,6 +136,25 @@ class PreferenceSpec extends SparkSpec {
     assert(folded === Set((1L, 12L), (1L, 11L), (2L, 21L), (2L, 20L)))
   }
 
+  test("evalSummary: per-task binomial stats with micro/macro rollups") {
+    val results = (
+      Seq(true, true, false, false).map(("arc", _)) ++      // 0.5 of 4
+        Seq(true, true, true, false).map(("gsm", _)))       // 0.75 of 4
+      .toDF("task", "correct")
+    val r = graft.eval.Metrics.evalSummary(results, "task", "correct")
+      .collect().map(x => x.getAs[String]("task") -> x).toMap
+    assert(r("arc").getAs[Double]("accuracy") === 0.5)
+    assert(r("arc").getAs[Double]("stderr") === 0.25) // sqrt(.25/4)
+    assert(r("gsm").getAs[Double]("accuracy") === 0.75)
+    assert(r("gsm").getAs[Double]("stderr") === 0.216506)
+    val micro = r("__micro__")
+    assert(micro.getAs[Long]("n") === 8L && micro.getAs[Double]("accuracy") === 0.625)
+    val macroR = r("__macro__")
+    assert(macroR.getAs[Double]("accuracy") === 0.625)
+    // sqrt(0.25^2 + 0.216506^2) / 2
+    assert(macroR.getAs[Double]("stderr") === 0.165359)
+  }
+
   test("headToHead: unordered fold, win rate, Wilson bounds") {
     val o = (Seq.fill(3)(("A", "B")) ++ Seq(("B", "A")) ++ Seq(("C", "B")))
       .toDF("winner", "loser")
