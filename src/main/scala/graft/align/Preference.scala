@@ -337,16 +337,37 @@ object Preference {
       samples: DataFrame,
       promptCol: String,
       correctCol: String,
-      ks: Seq[Int] = Seq(1, 10, 100)): DataFrame = {
+      ks: Seq[Int] = Seq(1, 10, 100)): DataFrame =
+    passAtKFromCounts(
+      samples.groupBy(col(promptCol)).agg(
+        count(lit(1)).as("n_samples"),
+        sum(when(col(correctCol).cast("boolean"), 1L).otherwise(0L))
+          .as("n_correct")),
+      promptCol, ks)
+
+  /** [[passAtK]] over a maintained count STATE instead of raw samples —
+    * the streaming twin: pair with
+    * [[graft.streaming.Streaming.maintainGradedSamples]], whose state
+    * directory holds (key, n, sum_v = correct count) per prompt in the
+    * library's standard mergeable n/sum shape. Grading a stream keeps
+    * pass@k current per micro-batch without ever rescanning samples. */
+  def passAtKFromState(
+      state: DataFrame,
+      keyCol: String,
+      ks: Seq[Int] = Seq(1, 10, 100)): DataFrame =
+    passAtKFromCounts(
+      state.select(col(keyCol), col("n").as("n_samples"),
+        col("sum_v").cast("long").as("n_correct")),
+      keyCol, ks)
+
+  private def passAtKFromCounts(
+      counts: DataFrame,
+      promptCol: String,
+      ks: Seq[Int]): DataFrame = {
     require(ks.nonEmpty && ks.forall(_ >= 1) && ks == ks.sorted &&
       ks.distinct == ks,
       s"ks must be distinct, positive, increasing, got $ks")
-    samples
-      .groupBy(col(promptCol))
-      .agg(
-        count(lit(1)).as("n_samples"),
-        sum(when(col(correctCol).cast("boolean"), 1L).otherwise(0L))
-          .as("n_correct"))
+    counts
       .select(col(promptCol), col("n_samples"), col("n_correct"),
         explode(array(ks.map(lit(_)): _*)).as("k"))
       .filter(col("k") <= col("n_samples"))

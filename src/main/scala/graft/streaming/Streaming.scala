@@ -302,6 +302,35 @@ object Streaming {
       }
       .start()
 
+  /** Continuously maintain per-prompt graded-sample counts from a
+    * stream — the verifiable-rewards collector: state holds (prompt, n,
+    * sum_v = correct count) in the library's standard mergeable n/sum
+    * shape, so [[graft.align.Preference.passAtKFromState]] reads a
+    * current pass@k any time without rescanning samples. Null grades
+    * count as incorrect (coalesced before the fold — the batch
+    * estimator's convention). Same fold/swap/replay contract as
+    * [[maintainWordCounts]]. */
+  def maintainGradedSamples(
+      samples: DataFrame,
+      promptCol: String,
+      correctCol: String,
+      statePath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    samples.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.dp.IncrementalAgg.foldStateDir(
+          batch.sparkSession,
+          statePath,
+          graft.dp.IncrementalAgg.aggState(
+            batch.withColumn("__g",
+              coalesce(col(correctCol).cast("boolean").cast("int"), lit(0))),
+            promptCol, "__g"),
+          promptCol,
+          batchId)
+      }
+      .start()
+
   /** Continuously maintain per-prompt best-of-N state from a response
     * stream — the rejection-sampling collector: as scored responses
     * arrive, the state directory always holds each prompt's current

@@ -270,6 +270,35 @@ class StreamingSpec extends SparkSpec {
     assert(rows(vocabS) === rows(vocabC))
   }
 
+  test("maintainGradedSamples: pass@k from streamed state equals the batch estimator") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_pak_stream").toString
+    val statePath = s"$dir/state"
+    val input = MemoryStream[(Long, Boolean)]
+    val query = Streaming.maintainGradedSamples(
+      input.toDF().toDF("prompt_id", "correct"),
+      "prompt_id", "correct", statePath, s"$dir/ckpt")
+    input.addData((1L, true), (1L, false), (2L, false))
+    query.processAllAvailable()
+    input.addData((1L, true), (1L, false), (1L, false), (2L, false))
+    query.processAllAvailable()
+    query.stop()
+    val fromState = graft.align.Preference.passAtKFromState(
+      spark.read.parquet(statePath), "prompt_id", Seq(1, 2))
+      .select("prompt_id", "k", "pass_at_k")
+      .as[(Long, Int, Double)].collect().toSet
+    val all = Seq((1L, true), (1L, false), (2L, false),
+      (1L, true), (1L, false), (1L, false), (2L, false))
+      .toDF("prompt_id", "correct")
+    val fromBatch = graft.align.Preference.passAtK(all, "prompt_id", "correct", Seq(1, 2))
+      .select("prompt_id", "k", "pass_at_k")
+      .as[(Long, Int, Double)].collect().toSet
+    assert(fromState === fromBatch)
+    // prompt 1: n=5, c=2 -> pass@1 = 0.4, pass@2 = 0.7
+    assert(fromState.contains((1L, 2, 0.7)))
+    assert(fromState.contains((2L, 1, 0.0)))
+  }
+
   test("maintainBestOfN: state holds each prompt's current top-n; fold == recompute") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_bon_stream").toString
