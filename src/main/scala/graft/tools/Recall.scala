@@ -308,6 +308,23 @@ object Recall {
       exactRouge.size, (exactRouge & rougeHr).size, 0.95,
       "same truth, rouge-tuned banding (32 bands x 1 row)")
 
+    // --- RETRO retrieval neighbors: the pruned IVF self-join operating
+    // point vs its exact twin (nprobe = nlist — the configuration the
+    // cross_doc_neighbors_exact oracle verifies end to end)
+    val rnCorpus = emb.select(col("vec_id"), col("embedding"),
+      pmod(col("vec_id"), lit(25L)).as("doc"))
+    val rnExact = pairSet(
+      Similarity.retrievalNeighbors(rnCorpus, "vec_id", "embedding", "doc",
+        k = 10, nlist = 16, nprobe = 16),
+      "query_id", "vec_id")
+    val rnPruned = pairSet(
+      Similarity.retrievalNeighbors(rnCorpus, "vec_id", "embedding", "doc",
+        k = 10, nlist = 16, nprobe = 6),
+      "query_id", "vec_id")
+    entries += Entry("retrieval_neighbors", recallOf(rnExact, rnPruned),
+      rnExact.size, (rnExact & rnPruned).size, 0.5,
+      "all-corpus cross-doc top-10 at nprobe 6/16 vs the exact self-join — near-uniform vectors are IVF's hardest case")
+
     entries.result()
   }
 }
