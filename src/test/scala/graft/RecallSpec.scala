@@ -33,7 +33,7 @@ class RecallSpec extends SparkSpec {
       "dedup_minhash", "dedup_minhash_incremental", "dedup_cluster_survivors",
       "dedup_simhash", "embedding_near_dup", "semdedup", "ann_ivfpq_search",
       "ann_ivfpq_refined", "ann_ivfpq_default", "rouge_neardup",
-      "rouge_neardup_hr")
+      "rouge_neardup_hr", "retrieval_neighbors")
     assert(entries.map(_.name).toSet === expected)
     val failures = entries.filter(e => e.recall < e.minBound)
     assert(failures.isEmpty,
