@@ -320,6 +320,54 @@ object Preference {
       Seq(scoreCol -> false, idCol -> true), n)
       .drop("rank")
 
+  /** Kendall's τ-b rank correlation per prompt between two scorings of
+    * the same samples (the ranking-agreement eval beside
+    * [[rewardModelReport]]'s pairwise accuracy — e.g. reward-model
+    * scores vs human ratings): over all sample pairs within a prompt,
+    * τ_b = (C − D) / √((n₀ − t_x)(n₀ − t_y)) with concordant C,
+    * discordant D, n₀ = n(n−1)/2, and t_x/t_y the pairs tied in each
+    * scoring (the tie-corrected form; τ_b null when either scoring is
+    * constant). Rounded to 6 decimals.
+    *
+    * Scale shape: ONE self-join keyed by the prompt — the pair fan-out
+    * is n(n−1)/2 per prompt with n the generation-time sampling
+    * constant, never cross-prompt — and one count aggregate.
+    * Output: promptCol, n_samples, concordant, discordant, tau_b. */
+  def kendallTau(
+      samples: DataFrame,
+      promptCol: String,
+      idCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val base = samples.select(
+      col(promptCol), col(idCol).as("__id"),
+      col(xCol).cast("double").as("__x"), col(yCol).cast("double").as("__y"))
+    val pairs = base
+      .join(base.select(col(promptCol), col("__id").as("__id2"),
+        col("__x").as("__x2"), col("__y").as("__y2")), Seq(promptCol))
+      .filter(col("__id") < col("__id2"))
+    val dx = col("__x") - col("__x2")
+    val dy = col("__y") - col("__y2")
+    val counts = pairs.groupBy(col(promptCol)).agg(
+      count(lit(1)).as("__n0"),
+      sum(when(dx * dy > 0, 1L).otherwise(0L)).as("concordant"),
+      sum(when(dx * dy < 0, 1L).otherwise(0L)).as("discordant"),
+      sum(when(dx === 0, 1L).otherwise(0L)).as("__tx"),
+      sum(when(dy === 0, 1L).otherwise(0L)).as("__ty"))
+    val nFromPairs = // n0 = n(n-1)/2 -> n = (1 + sqrt(1 + 8 n0)) / 2
+      round((lit(1.0) + sqrt(lit(1.0) + lit(8.0) * col("__n0"))) / 2.0, 0)
+        .cast("long")
+    counts.select(
+      col(promptCol),
+      nFromPairs.as("n_samples"),
+      col("concordant"), col("discordant"),
+      when((col("__n0") > col("__tx")) && (col("__n0") > col("__ty")),
+        round((col("concordant") - col("discordant")).cast("double") /
+          sqrt((col("__n0") - col("__tx")).cast("double") *
+            (col("__n0") - col("__ty"))), 6))
+        .as("tau_b"))
+  }
+
   /** Unbiased pass@k over graded samples (Chen et al. 2021, the Codex
     * estimator — the headline metric for verifiable-rewards data:
     * "would at least one of k random samples pass?"): per prompt with

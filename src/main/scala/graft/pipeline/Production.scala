@@ -1227,6 +1227,20 @@ object Production {
         ctx.dataPath(params.getOrElse("output", "processed.grpo_advantages").toString))
     }
 
+    // Kendall tau-b ranking agreement between two scorings per prompt
+    Jobs.register("alignment", "kendall-tau") { (ctx, params) =>
+      val s = ctx.spark
+      val in = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "raw.responses").toString)))
+      save(ctx,
+        graft.align.Preference.kendallTau(in,
+          params.getOrElse("prompt_col", "prompt_id").toString,
+          params.getOrElse("id_col", "response_id").toString,
+          params.getOrElse("x_col", "score").toString,
+          params.getOrElse("y_col", "rm_score").toString),
+        ctx.dataPath(params.getOrElse("output", "processed.kendall_tau").toString))
+    }
+
     // benchmark eval results table (per-task accuracy + stderr,
     // micro/macro rollups)
     Jobs.register("alignment", "eval-summary") { (ctx, params) =>

@@ -162,6 +162,17 @@ object AlignQueries {
         "prompt_id", "score")
         .orderBy(col("response_id"))
     },
+    // --- Kendall τ-b between the human score draw and an independent RM
+    // draw per prompt group: near-zero correlation by construction, the
+    // pair-classification arithmetic is the contract
+    "kendall_tau" -> { (s, dir) =>
+      val r = responses(s, dir).select(
+        col("prompt_id"), col("response_id"), col("score"),
+        ((Exprs.md5Bits52(concat(lit("rm:"), col("response_id").cast("string")))
+          % 400) / lit(20.0)).as("rm_score"))
+      Preference.kendallTau(r, "prompt_id", "response_id", "score", "rm_score")
+        .orderBy(col("prompt_id"))
+    },
     // --- eval-harness results table: 6 tasks × 50 samples with planted
     // per-task rates, micro/macro rollups from the rounded terms
     "eval_summary" -> { (s, dir) =>
@@ -520,6 +531,30 @@ object AlignQueries {
          |    ELSE 0.0 END AS advantage
          |FROM resp r JOIN st USING (prompt_id)
          |ORDER BY r.response_id""".stripMargin,
+    // Kendall τ-b: the keyed self-join pair classification + the
+    // tie-corrected denominator replayed
+    "kendall_tau" ->
+      s"""WITH $responsesSql,
+         |r AS (SELECT prompt_id, response_id, score,
+         |        (CAST('0x' || substring(md5('rm:' || CAST(response_id AS VARCHAR)),
+         |          1, 13) AS BIGINT) % 400) / 20.0 AS rm
+         |      FROM resp),
+         |p AS (SELECT a.prompt_id, a.score - b.score AS dx, a.rm - b.rm AS dy
+         |      FROM r a JOIN r b
+         |        ON a.prompt_id = b.prompt_id AND a.response_id < b.response_id),
+         |c AS (SELECT prompt_id, CAST(count(*) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         |    CAST(sum(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+         |    CAST(sum(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+         |    CAST(sum(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+         |  FROM p GROUP BY 1)
+         |SELECT prompt_id,
+         |  CAST(round((1.0 + sqrt(1.0 + 8.0 * n0)) / 2.0, 0) AS BIGINT) AS n_samples,
+         |  concordant, discordant,
+         |  CASE WHEN n0 > tx AND n0 > ty THEN
+         |    round(CAST(concordant - discordant AS DOUBLE)
+         |      / sqrt(CAST(n0 - tx AS DOUBLE) * (n0 - ty)), 6) END AS tau_b
+         |FROM c ORDER BY prompt_id""".stripMargin,
     // eval summary: per-task binomial stats + the micro/macro rollups
     // recomputed from the rounded per-task terms
     "eval_summary" ->

@@ -136,6 +136,27 @@ class PreferenceSpec extends SparkSpec {
     assert(folded === Set((1L, 12L), (1L, 11L), (2L, 21L), (2L, 20L)))
   }
 
+  test("kendallTau: hand pair classification, tie correction, constant-scoring null") {
+    val samples = Seq(
+      // prompt 1: x=[1,2,3], y=[1,3,2] -> C=2, D=1, tau = 1/3
+      (1L, 10L, 1.0, 1.0), (1L, 11L, 2.0, 3.0), (1L, 12L, 3.0, 2.0),
+      // prompt 2: x=[1,1,2], y=[1,2,3] -> C=2, D=0, tx=1 ->
+      // tau_b = 2 / sqrt(2*3) = 0.816497
+      (2L, 20L, 1.0, 1.0), (2L, 21L, 1.0, 2.0), (2L, 22L, 2.0, 3.0),
+      // prompt 3: constant x -> tau_b undefined
+      (3L, 30L, 5.0, 1.0), (3L, 31L, 5.0, 2.0))
+      .toDF("prompt_id", "response_id", "human", "rm")
+    val r = Preference.kendallTau(samples, "prompt_id", "response_id", "human", "rm")
+      .collect().map(x => x.getAs[Long]("prompt_id") -> x).toMap
+    val p1 = r(1L)
+    assert(p1.getAs[Long]("n_samples") === 3L)
+    assert(p1.getAs[Long]("concordant") === 2L && p1.getAs[Long]("discordant") === 1L)
+    assert(p1.getAs[Double]("tau_b") === 0.333333)
+    assert(r(2L).getAs[Double]("tau_b") === 0.816497)
+    val p3 = r(3L)
+    assert(p3.isNullAt(p3.fieldIndex("tau_b")))
+  }
+
   test("evalSummary: per-task binomial stats with micro/macro rollups") {
     val results = (
       Seq(true, true, false, false).map(("arc", _)) ++      // 0.5 of 4
