@@ -600,6 +600,12 @@ object Preference {
     * units, leading content whitespace normalized identically.
     * Output: pairIdCol, chosen_text, chosen_mask_start, chosen_mask_end,
     * rejected_text, rejected_mask_start, rejected_mask_end.
+    *
+    * `pairIdCol` MUST identify exactly one pair: a pairs table keyed by
+    * prompt_id under a multi-pair policy ('best-vs-rest', 'all') would
+    * otherwise collapse pairs whose chosen/rejected texts come from
+    * DIFFERENT rows. Enforced in-plan — a duplicate pair id raises at
+    * execution time rather than silently merging.
     * Scale: a 2-row explode per pair, the template's one keyed
     * running-sum window, one regroup keyed by the pair id. */
   def dpoRender(
@@ -608,13 +614,20 @@ object Preference {
       promptCol: String,
       chosenCol: String,
       rejectedCol: String): DataFrame = {
-    val branches = pairs.select(
-      col(pairIdCol), col(promptCol),
-      explode(array(
-        struct(lit("chosen").as("branch"), col(chosenCol).as("resp")),
-        struct(lit("rejected").as("branch"), col(rejectedCol).as("resp")))).as("__b"))
+    // __row keeps duplicate pair-id rows DISTINCT through the template's
+    // conv-keyed grouping, so the final per-pid count can detect them —
+    // without it, two pairs sharing a pid would merge into one conv and
+    // the guard below would never see a count > 1
+    val branches = pairs
+      .withColumn("__row", monotonically_increasing_id())
+      .select(
+        col(pairIdCol), col(promptCol), col("__row"),
+        explode(array(
+          struct(lit("chosen").as("branch"), col(chosenCol).as("resp")),
+          struct(lit("rejected").as("branch"), col(rejectedCol).as("resp")))).as("__b"))
     val turns = branches.select(
-      struct(col(pairIdCol).as("pid"), col("__b.branch").as("branch")).as("__conv"),
+      struct(col(pairIdCol).as("pid"), col("__b.branch").as("branch"),
+        col("__row").as("row")).as("__conv"),
       explode(array(
         struct(lit(0).as("t"), lit("user").as("role"), col(promptCol).as("content")),
         struct(lit(1).as("t"), lit("assistant").as("role"),
@@ -628,10 +641,16 @@ object Preference {
         struct(col("text").as("t"), element_at(col("mask_spans"), 1).as("sp"))))
     rendered
       .groupBy(col("__conv").getField("pid").as(pairIdCol))
-      .agg(side("chosen").as("__c"), side("rejected").as("__r"))
+      .agg(side("chosen").as("__c"), side("rejected").as("__r"),
+        count(when(col("__conv").getField("branch") === "chosen", lit(1)))
+          .as("__n_pairs"))
       .select(
         col(pairIdCol),
-        col("__c.t").as("chosen_text"),
+        when(col("__n_pairs") > 1, raise_error(concat(
+          lit(s"dpoRender: $pairIdCol value "), col(pairIdCol).cast("string"),
+          lit(" identifies "), col("__n_pairs").cast("string"),
+          lit(" pairs — pairIdCol must be unique per pair"))))
+          .otherwise(col("__c.t")).as("chosen_text"),
         col("__c.sp.mask_start").as("chosen_mask_start"),
         col("__c.sp.mask_end").as("chosen_mask_end"),
         col("__r.t").as("rejected_text"),

@@ -262,7 +262,11 @@ object TfRecord {
     * shard, one tf.Example record per row with one feature per content
     * column (bytes for string/binary, int64 for integral, float for
     * float/double — narrowed to float32, the proto's width). Null cells
-    * skip their feature. */
+    * skip their feature.
+    *
+    * Overwrite semantics: any `shard-*.tfrecord` already under `dir` is
+    * deleted first, so a re-export with fewer rows/partitions can't leave
+    * stale shards for `readShards` to mix into the result. */
   def writeShards(
       df: DataFrame,
       dir: String,
@@ -270,6 +274,13 @@ object TfRecord {
       rowsPerShard: Int = 1000): Unit = {
     require(contentCols.nonEmpty, "writeShards needs at least one content column")
     require(rowsPerShard > 0, s"rowsPerShard must be > 0, got $rowsPerShard")
+    locally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+      if (fs.exists(p))
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(p, "shard-*.tfrecord")))
+          .toSeq.flatten.foreach(st => fs.delete(st.getPath, false))
+    }
     val kinds: Seq[Int] = contentCols.map { c =>
       df.schema(c).dataType match {
         case StringType                                      => 0
@@ -408,8 +419,11 @@ object TfRecord {
           (t, v) match {
             case ("string", b: Array[Byte]) => new String(b, StandardCharsets.UTF_8)
             case ("binary", b: Array[Byte]) => b
-            case ("long", l: Seq[_])        => l.head.asInstanceOf[Long]
-            case ("float", f: Seq[_])       => f.head.asInstanceOf[Float]
+            // an empty Int64List/FloatList on the wire is valid proto —
+            // decode as null, matching the absent-feature convention
+            // (and the empty-bytes_list behavior)
+            case ("long", l: Seq[_])  => l.headOption.map(_.asInstanceOf[Long]).map(Long.box).orNull
+            case ("float", f: Seq[_]) => f.headOption.map(_.asInstanceOf[Float]).map(Float.box).orNull
             case (want, got) => sys.error(
               s"feature '$n': wire kind ${got.getClass.getSimpleName} does not decode as $want")
           }

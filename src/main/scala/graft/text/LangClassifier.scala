@@ -32,12 +32,14 @@ import org.apache.spark.sql.functions._
   */
 object LangClassifier {
 
+  // null text coalesces to '' (scored as the empty document) — a null
+  // array element would otherwise NPE inside HashingTF executor-side.
   private val GramSql =
     """SELECT *, flatten(array(
       |  transform(sequence(1, greatest(length(__lc_t) - 1, 1)), i -> substring(__lc_t, i, 2)),
       |  transform(sequence(1, greatest(length(__lc_t) - 2, 1)), i -> substring(__lc_t, i, 3))
       |)) AS __lc_grams
-      |FROM (SELECT *, concat(' ', lower(%s), ' ') AS __lc_t FROM __THIS__)""".stripMargin
+      |FROM (SELECT *, concat(' ', lower(coalesce(%s, '')), ' ') AS __lc_t FROM __THIS__)""".stripMargin
 
   /** Train on a labeled frame: `langCol` holds the language code of each
     * `textCol` document. Any label set works; [[seedCorpus]] provides a

@@ -61,9 +61,13 @@ object Urls {
   private def expr_substr(c: Column, pos: Column): Column =
     c.substr(pos, length(c) - pos + 1)
 
-  /** Host of a URL (lowercased, port stripped); "" when not parseable. */
+  /** Host of a URL (lowercased, port stripped); "" when not parseable.
+    * Bracketed IPv6 hosts (`[2001:db8::1]`, possibly followed by a port)
+    * are matched whole — the generic `[^/:?#]+` arm would stop at the
+    * first ':' inside the address. */
   def hostOf(url: Column): Column =
-    lower(regexp_extract(trim(url), "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/:?#]+)", 1))
+    lower(regexp_extract(
+      trim(url), "^[a-zA-Z][a-zA-Z0-9+.-]*://(\\[[^\\]]*\\]|[^/:?#]+)", 1))
 
   /** Multi-label public suffixes the naive last-two-labels rule would
     * split wrongly — the high-traffic subset (an offline stand-in for

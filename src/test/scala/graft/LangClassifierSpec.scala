@@ -58,6 +58,18 @@ class LangClassifierSpec extends SparkSpec {
     assert(a === b, "persisted model must score identically")
   }
 
+  test("null text scores as the empty document instead of NPE-ing in HashingTF") {
+    val tiny = Seq(
+      ("the cat and the dog and the house", "en"),
+      ("le chat et le chien et la maison", "fr")).toDF("text", "lang")
+    val model = LangClassifier.train(tiny, "text", "lang",
+      numFeatures = 1 << 12, maxIter = 5)
+    val scored = LangClassifier.score(
+      Seq(Option("the cat"), None).toDF("text"), model)
+    assert(scored.count() === 2) // the null row survives with a prediction
+    assert(scored.filter($"lang_pred".isNull).count() === 0)
+  }
+
   test("predictions agree with the Unicode script profile cross-check") {
     val model = LangClassifier.train(trainFrame, "text", "lang",
       numFeatures = 1 << 16, maxIter = 30)

@@ -298,6 +298,21 @@ class PreferenceSpec extends SparkSpec {
     assert(rt.substring(rs.toInt, re.toInt) === "bad<|im_end|>")
   }
 
+  test("dpoRender raises loudly on a duplicate pair id instead of merging pairs") {
+    // a pairs table keyed by prompt_id under 'best-vs-rest' has multiple
+    // pairs per key — the silent-collapse failure ADVICE r14 named
+    val pairs = Seq(
+      (7L, "hi", "best", "bad1"),
+      (7L, "hi", "best", "bad2"))
+      .toDF("pair_id", "prompt", "chosen", "rejected")
+    val e = intercept[Exception] {
+      Preference.dpoRender(pairs, "pair_id", "prompt", "chosen", "rejected").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("pairIdCol must be unique")), msgs(e).mkString("; "))
+  }
+
   test("semantic decontamination: flags cosine twins of the benchmark, keeps the rest") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),   // exact bench twin -> flagged

@@ -59,6 +59,40 @@ class TfRecordSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("re-export to the same dir replaces stale shards (overwrite semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfr-ow").toString
+    val big = (0 until 25).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
+    TfRecord.writeShards(big.repartition(2), s"$dir/out",
+      Seq("doc_id", "text"), rowsPerShard = 5)
+    // fewer rows AND fewer partitions: the old layout has strictly more
+    // shard files — a non-clearing writer would leave them behind
+    val small = (0 until 3).map(i => (i.toLong, s"s$i")).toDF("doc_id", "text")
+    TfRecord.writeShards(small.repartition(1), s"$dir/out",
+      Seq("doc_id", "text"), rowsPerShard = 5)
+    val back = TfRecord.readExamples(spark, Seq(s"$dir/out"),
+      Seq("doc_id" -> "long", "text" -> "string"))
+    assert(back.count() === 3)
+    assert(back.select($"text").as[String].collect().toSet === Set("s0", "s1", "s2"))
+  }
+
+  test("empty numeric lists on the wire decode as null, like absent features") {
+    // a third-party writer may emit Int64List/FloatList with zero values —
+    // valid proto; the parser returns an empty Seq and readExamples nulls it
+    val ex = TfRecord.exampleBytes(Seq(
+      "doc_id" -> TfRecord.featureBytes(Right(Right(Seq.empty[Long]))),
+      "score" -> TfRecord.featureBytes(Right(Left(Seq.empty[Float]))),
+      "text" -> TfRecord.featureBytes(Left("ok".getBytes(StandardCharsets.UTF_8)))))
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfr-empty").toString
+    val f = java.nio.file.Paths.get(dir, "shard-00000-0000.tfrecord")
+    java.nio.file.Files.write(f, TfRecord.record(ex))
+    val row = TfRecord.readExamples(spark, Seq(dir),
+      Seq("doc_id" -> "long", "score" -> "float", "text" -> "string"))
+      .collect().head
+    assert(row.isNullAt(row.fieldIndex("doc_id")))
+    assert(row.isNullAt(row.fieldIndex("score")))
+    assert(row.getAs[String]("text") === "ok")
+  }
+
   test("loud failures: unsupported column type, corrupt CRC, truncation") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tfr-err").toString
     val typeErr = intercept[IllegalArgumentException] {

@@ -57,6 +57,10 @@ class UrlsSpec extends SparkSpec {
     // IP-hosted crawl page)
     assert(dom("http://192.168.0.1/x") === "192.168.0.1")
     assert(dom("http://10.0.0.7:8080/x") === "10.0.0.7")
+    // bracketed IPv6: the whole literal (port stripped) is the key —
+    // hostOf must not stop at the first ':' inside the address
+    assert(dom("http://[2001:db8::1]/x") === "[2001:db8::1]")
+    assert(dom("https://[2001:DB8::1]:8443/x") === "[2001:db8::1]")
   }
 
   test("dedupByUrl keeps the latest fetch per canonical url") {
