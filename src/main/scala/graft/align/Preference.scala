@@ -528,8 +528,13 @@ object Preference {
     * and per-item win totals in ONE shuffle each; every iteration then
     * joins the items²-bounded pair table against the broadcast strength
     * frame (leaderboards have tens-to-thousands of items) and
-    * local-checkpoints the tiny result to keep lineage flat — the
-    * PageRank treatment at a fraction of the state.
+    * checkpoints the tiny result to keep lineage flat — the PageRank
+    * treatment at a fraction of the state. When the SparkContext has a
+    * reliable checkpoint directory (graft sessions always do),
+    * iterations checkpoint THERE — cluster-durable, and no
+    * truncated-local-lineage warnings at cleanup; `localCheckpoint` is
+    * only the no-dir fallback (same contract as
+    * [[graft.dedup.Dedup.nearDupClusters]]).
     * Output: item, strength, n_wins, n_games. */
   def bradleyTerry(
       outcomes: DataFrame,
@@ -546,8 +551,20 @@ object Preference {
     // by ~25 iterations the optimizer sits in million-digit BigInteger
     // multiplies inside stats estimation. Rebuilding the frame over the
     // checkpointed RDD drops the carried stats back to the flat default.
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
     def ckpt(df: DataFrame): DataFrame = {
-      val out = df.localCheckpoint()
+      val out =
+        if (reliable) {
+          // persist so the checkpoint write reads the cache instead of
+          // re-running the iteration's joins; files are reclaimed by
+          // spark.cleaner.referenceTracking.cleanCheckpoints once the
+          // frame is unreachable (graft.Sessions sets it)
+          val cached = df.persist(
+            org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val cp = cached.checkpoint()
+          cached.unpersist()
+          cp
+        } else df.localCheckpoint()
       spark.createDataFrame(out.rdd, out.schema)
     }
     val directed = ckpt(outcomes

@@ -206,7 +206,12 @@ object AlignQueries {
     },
     // --- SFT conversation QA: the chat fixture with planted shape
     // breaks — every 7th conversation loses its final assistant turn,
-    // every 5th(+3) gets a double-user alternation break
+    // every 5th(+3) gets a double-user alternation break. Convs 1, 5,
+    // 9, 13, 17 additionally get TWO consecutive trailing TOOL turns
+    // (the agentic-trace shape): without the tool exemption those convs
+    // would flip ends_with_assistant AND strict_alternation to false —
+    // both flags are canaries that tool turns stay out of the shape
+    // checks while counting toward n_tool/total_chars
     "conversation_stats" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val turn = floor(col("doc_id") / 20).cast("int")
@@ -223,6 +228,14 @@ object AlignQueries {
           col("doc_id").as("conv_id"), lit(-1).as("turn_no"),
           lit("system").as("role"),
           lit("You are a concise assistant.").as("content")))
+        .unionByName(docs
+          .filter(col("doc_id") < 40 && pmod(col("doc_id"), lit(4L)) === 1)
+          .select(
+            pmod(col("doc_id"), lit(20L)).as("conv_id"),
+            (lit(10) + floor(col("doc_id") / 20)).cast("int").as("turn_no"),
+            lit("tool").as("role"),
+            concat(lit("{\"result\": "), col("doc_id").cast("string"),
+              lit("}")).as("content")))
       graft.text.Packing
         .conversationStats(turns, "conv_id", "turn_no", "role", "content")
         .orderBy(col("conv_id"))
@@ -638,25 +651,31 @@ object AlignQueries {
         |  UNION ALL
         |  SELECT doc_id AS conv_id, -1 AS turn_no, 'system' AS role,
         |    'You are a concise assistant.' AS content
-        |  FROM documents WHERE doc_id < 20),
+        |  FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT doc_id % 20 AS conv_id, CAST(10 + doc_id // 20 AS INT) AS turn_no,
+        |    'tool' AS role,
+        |    '{"result": ' || CAST(doc_id AS VARCHAR) || '}' AS content
+        |  FROM documents WHERE doc_id < 40 AND doc_id % 4 = 1),
         |base AS (SELECT conv_id, turn_no AS t, role AS r,
         |           CAST(length(content) AS BIGINT) AS len FROM t0),
         |agg AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
         |    CAST(sum(CASE WHEN r = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
         |    CAST(sum(CASE WHEN r = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
         |    CAST(sum(CASE WHEN r = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
+        |    CAST(sum(CASE WHEN r = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
         |    CAST(sum(len) AS BIGINT) AS total_chars,
         |    CAST(sum(CASE WHEN r = 'assistant' THEN len ELSE 0 END) AS BIGINT) AS achars
         |  FROM base GROUP BY 1),
         |ns AS (SELECT conv_id, t, r,
         |         lag(r) OVER (PARTITION BY conv_id ORDER BY t) AS prev
-        |       FROM base WHERE r <> 'system'),
+        |       FROM base WHERE r <> 'system' AND r <> 'tool'),
         |shape AS (SELECT conv_id,
         |    arg_min(r, t) = 'user' AS starts_with_user,
         |    arg_max(r, t) = 'assistant' AS ends_with_assistant,
         |    sum(CASE WHEN r = prev THEN 1 ELSE 0 END) = 0 AS strict_alternation
         |  FROM ns GROUP BY 1)
-        |SELECT a.conv_id, n_turns, n_user, n_assistant, n_system,
+        |SELECT a.conv_id, n_turns, n_user, n_assistant, n_system, n_tool,
         |  starts_with_user, ends_with_assistant, strict_alternation, total_chars,
         |  CASE WHEN total_chars > 0 THEN round(achars / total_chars, 6) END
         |    AS assistant_char_frac

@@ -21,6 +21,8 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   import graft.expressions.ArrayDot
   import org.apache.spark.sql.graft.Bridge
 
@@ -332,22 +334,66 @@ object Similarity {
     math.max(1, math.min(bySqrt.toLong, math.min(n, 4096L)).toInt)
   }
 
-  /** Auto probe count: floor of nlist/3, raised so the EXPECTED candidate
-    * pool is ~30·k rows (N·nprobe/nlist ≥ 30k) — on a small corpus a fixed
-    * probe fraction yields too few candidates for a top-k answer.
+  /** Corpus-size boundary between the two auto-nprobe regimes. Below it
+    * the fractional `cells/3` floor applies (tuned on the pessimal
+    * near-uniform testdata — see [[ivfAutoNprobe]]); at or above it the
+    * candidate-pool target is primary. 100k is where the pool target
+    * starts to undercut the fraction on testdata-shaped parameters. */
+  private[graft] val IvfSmallCorpus: Long = 100000L
+
+  /** Candidate-pool target per requested neighbor in the SCALE regime:
+    * auto-nprobe aims for an expected `IvfScalePoolPerK · k` verified
+    * candidates per query. Calibrated on the planted clustered harness
+    * ([[graft.tools.Recall]] `ann_ivf_scale_policy`: 120k vectors, 256
+    * strongly-overlapping clusters) — measured 0.986 at the auto point
+    * with the [[IvfScaleMinProbes]] floor active, bound 0.85. */
+  private[graft] val IvfScalePoolPerK: Double = 240.0
+
+  /** Absolute probe floor in the scale regime: even when one cell already
+    * exceeds the pool target, probe at least this many cells — a query
+    * near a cell boundary needs its neighborhood's cells, not just the
+    * single nearest (the standard IVF boundary-loss hedge). */
+  private[graft] val IvfScaleMinProbes: Int = 8
+
+  /** Auto probe count — two regimes, split at [[IvfSmallCorpus]]:
     *
-    * The rule targets recall ≥ 0.85 against exact top-k on the PESSIMAL
-    * (near-uniform) distribution, measured on the testdata embeddings
-    * (r8 sweep): at N=500/22 cells, 59% probed = 0.86 and the rule picks
-    * 64%; at N=2000/45 cells, 33% probed = 0.86 and the rule picks 33%.
-    * The needed fraction falls as N grows (finer cells concentrate true
-    * neighbors), so nlist/3 is the uniform-data worst case; clustered
-    * real-world embeddings reach the same recall at far lower nprobe —
-    * pass `nprobe` explicitly to spend less when the data allows it. */
+    * SMALL (N < 100k): max(cells/3, pool target of 30·k candidates).
+    * Tuned for recall ≥ 0.85 on the PESSIMAL near-uniform distribution,
+    * measured on the testdata embeddings (r8 sweep): at N=500/22 cells,
+    * 59% probed = 0.86 and the rule picks 64%; at N=2000/45 cells, 33%
+    * probed = 0.86 and the rule picks 33%. At these sizes even brute
+    * force is cheap, so the rule buys recall insurance with compute.
+    *
+    * SCALE (N ≥ 100k): the pool target is PRIMARY —
+    * `nprobe = max(8, ceil(cells · 240·k / N))`, i.e. an expected ~240·k
+    * verified candidates per query, floored at [[IvfScaleMinProbes]]
+    * cells. The r14 review showed the fractional floor is the wrong
+    * branch to keep at scale: cells/3 with the 4096-cell nlist cap means
+    * every auto query scans ≥ N/3 candidates — brute force with extra
+    * steps — and corpus-as-queries ops go Θ(N²/3). Real embedding
+    * corpora cluster (the property IVF exists to exploit); the scale
+    * default is calibrated on the clustered planted harness
+    * (`ann_ivf_scale_policy`, recall bound 0.85) rather than the
+    * pessimal uniform synthetic. For adversarially uniform data at
+    * scale, pass `nprobe` explicitly — recall on such data needs a
+    * constant FRACTION of the corpus verified no matter the index.
+    *
+    * The chosen operating point is logged (one line per auto
+    * resolution) so callers can see what a query will scan. */
   private[graft] def ivfAutoNprobe(cells: Int, corpusCount: Long, k: Int): Int = {
     val n = math.max(1L, corpusCount)
-    val byK = math.ceil(cells * 30.0 * k / n).toInt
-    math.min(cells, math.max(1, math.max(cells / 3, byK)))
+    val p =
+      if (n < IvfSmallCorpus) {
+        val byK = math.ceil(cells * 30.0 * k / n).toInt
+        math.min(cells, math.max(1, math.max(cells / 3, byK)))
+      } else {
+        val byK = math.ceil(cells * IvfScalePoolPerK * k / n).toInt
+        math.min(cells, math.max(math.min(IvfScaleMinProbes, cells), byK))
+      }
+    log.info(
+      s"ivf auto-nprobe: nlist=$cells N=$n k=$k -> nprobe=$p " +
+        f"(probing ${p.toDouble / cells}%.3f of cells, expected candidate pool ~${p.toDouble * n / cells}%.0f rows)")
+    p
   }
 
   def ivfCosineTopK(
@@ -435,6 +481,85 @@ object Similarity {
     model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i, c.toArray.toSeq) }
       .toDF("__cell", "__cent")
+  }
+
+  /** Hierarchy engages only when it pays: enough cells that the flat
+    * per-query centroid scan dominates, and probes a small enough
+    * fraction that two-level pruning can't defeat the probe budget. */
+  private[graft] val IvfHierarchyMinCells: Int = 128
+
+  /** Super-cells probed per query cover at least this many × nprobe
+    * candidate centroids (the boundary-loss hedge one level up). */
+  private[graft] val IvfHierarchyOverProbe: Double = 4.0
+
+  /** Never rank fewer than this many super-cells per query. */
+  private[graft] val IvfSuperProbeFloor: Int = 6
+
+  /** Per-query candidate centroids for probe ranking — the input to the
+    * top-nprobe window. Flat: every query row × every centroid, the
+    * N·nlist term that is fine when the query frame is broadcast-sized
+    * but grows with the corpus for corpus-as-queries operators
+    * ([[retrievalNeighbors]]): at the 4096-cell nlist cap that term is
+    * 4096·N rows through a window. Hierarchical (when `hierarchical`
+    * and cells ≥ [[IvfHierarchyMinCells]] and probes ≤ cells/8): a
+    * SECOND coarse quantizer of ~√cells super-centroids is fitted over
+    * the centroid frame itself (≤ nlist rows — one tiny seeded k-means,
+    * deterministic), each query ranks the √cells super-centroids, keeps
+    * enough super-cells to cover ~[[IvfHierarchyOverProbe]]·nprobe
+    * centroids, and ranks only the centroids inside them — the
+    * per-query scan drops to ~(1 + sProbes)·√nlist rows and stops
+    * growing with the nlist cap. Recall cost of the pruning is measured
+    * on the clustered planted harness
+    * ([[graft.tools.Recall]] `retrieval_neighbors_hierarchical`:
+    * 0.952 vs 0.986 single-level at the same nprobe, bound 0.85 — the
+    * [[IvfSuperProbeFloor]] of 6 is what holds it; at floor 4 it
+    * measured 0.866).
+    * `distTo` ranks by distance to the given centroid column using
+    * query columns present in `qSide` (monotone-equivalent to
+    * unit-query euclidean); `qSide` must carry a `query_id` column. */
+  private[similarity] def centroidCandidates(
+      qSide: DataFrame,
+      centDf: DataFrame,
+      cells: Int,
+      probes: Int,
+      seed: Long,
+      hierarchical: Boolean,
+      distTo: Column => Column): DataFrame = {
+    val engage = hierarchical && cells >= IvfHierarchyMinCells &&
+      probes.toDouble * 8 <= cells
+    if (!engage) qSide.crossJoin(broadcast(centDf))
+    else {
+      import org.apache.spark.ml.functions.array_to_vector
+      val spark = centDf.sparkSession
+      import spark.implicits._
+      val superK = math.max(2, math.round(math.sqrt(cells.toDouble)).toInt)
+      val centVec = centDf.select(col("__cell"), col("__cent"),
+        array_to_vector(col("__cent")).as("__mlvec"))
+      val sModel = new org.apache.spark.ml.clustering.KMeans()
+        .setK(superK).setSeed(seed).setMaxIter(8).setInitMode("random")
+        .setFeaturesCol("__mlvec").setPredictionCol("__super")
+        .fit(centVec)
+      val centWithSuper = sModel.transform(centVec)
+        .select(col("__super"), col("__cell"), col("__cent"))
+      val superDf = sModel.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray.toSeq) }
+        .toDF("__super", "__scent")
+      val avgOcc = math.max(1.0, cells.toDouble / superK)
+      val sProbes = math.min(superK, math.max(IvfSuperProbeFloor,
+        math.ceil(IvfHierarchyOverProbe * probes / avgOcc).toInt))
+      log.info(s"ivf hierarchical probe ranking: nlist=$cells -> " +
+        s"$superK super-cells, $sProbes probed per query " +
+        s"(~${(1 + sProbes) * superK} centroid ranks/query vs $cells flat)")
+      val sw = Window.partitionBy(col("query_id"))
+        .orderBy(col("__sdist").asc, col("__super").asc)
+      qSide.crossJoin(broadcast(superDf))
+        .withColumn("__sdist", distTo(col("__scent")))
+        .withColumn("__srk", row_number().over(sw))
+        .filter(col("__srk") <= sProbes)
+        .drop("__sdist", "__srk", "__scent")
+        .join(broadcast(centWithSuper), Seq("__super"))
+        .drop("__super")
+    }
   }
 
   /** nprobe nearest centroids per query: a (queries × nlist) distance rank
@@ -801,19 +926,23 @@ object Similarity {
     val assigned = model.transform(corpusVec).drop("__mlvec")
     val centDf = ivfCentroidFrame(corpus.sparkSession, model)
     // per-chunk probe list: rank −2·(q·c)/‖q‖ + c·c (≡ unit-q distance,
-    // without materializing unit vectors) over the broadcast centroids;
-    // the window is keyed by the chunk id, never global
+    // without materializing unit vectors); the query side is
+    // corpus-sized, so centroid candidates go through the HIERARCHICAL
+    // selection ([[centroidCandidates]]) — at large nlist each chunk
+    // ranks ~(1+sProbes)·√nlist centroids instead of all nlist. The
+    // window is keyed by the chunk id, never global.
+    val distTo: Column => Column = c =>
+      dot(c, c) - lit(2.0) * dot(col("__qv2"), c) / col("__qn")
     val probeW = Window.partitionBy(col("query_id"))
       .orderBy(col("__dist").asc, col("__cell").asc)
-    val qProbes = assigned
+    val qBase = assigned
       .join(corpus.select(col(idCol), col(docCol).as("__qd")), Seq(idCol))
       .select(col(idCol).as("query_id"), col("__qd"),
         col("__cv").as("__qv2"), col("__cn").as("__qn"))
       .filter(col("__qn") > 0)
-      .crossJoin(broadcast(centDf))
-      .withColumn("__dist",
-        dot(col("__cent"), col("__cent")) -
-          lit(2.0) * dot(col("__qv2"), col("__cent")) / col("__qn"))
+    val qProbes = centroidCandidates(qBase, centDf, cells, probes, seed,
+        hierarchical = true, distTo)
+      .withColumn("__dist", distTo(col("__cent")))
       .withColumn("__rk", row_number().over(probeW))
       .filter(col("__rk") <= probes)
       .select(col("query_id"), col("__qd"), col("__cell"),

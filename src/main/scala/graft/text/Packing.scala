@@ -172,6 +172,72 @@ object Packing {
     packed.join(spans, Seq("shard", "seq_id"))
   }
 
+  /** Zip each document's tokens with its per-token mask bits into one
+    * struct array, raising loudly on a length mismatch — the shared
+    * front of the *WithMasks materializers. Zipping BEFORE the packing
+    * explode is what makes mask carriage exact by construction: every
+    * token travels with its own bit, so masks survive document wraps
+    * across sequence boundaries and oversize-doc truncation without any
+    * re-alignment step. */
+  private def zipTokensWithMask(
+      df: DataFrame, idCol: String, tokensCol: String,
+      maskCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      when(size(col(tokensCol)) === size(col(maskCol)),
+        zip_with(col(tokensCol), col(maskCol),
+          (t, m) => struct(t.as("t"), m.as("m"))))
+        .otherwise(raise_error(concat(
+          lit(s"materialize with masks: '$maskCol' length "),
+          size(col(maskCol)).cast("string"),
+          lit(s" != '$tokensCol' length "),
+          size(col(tokensCol)).cast("string"),
+          lit(s" for $idCol "), col(idCol).cast("string"))))
+        .as("__pair"))
+
+  /** [[materializePacked]] carrying a per-token LOSS MASK through the
+    * packing — the artifact an SFT trainer actually loads: one row per
+    * (shard, seq_id) with ALIGNED `tokensCol` and `maskCol` arrays
+    * (slot i of the mask governs slot i of the tokens). Compose with
+    * [[chatTokenLossMask]]: its token_ids/loss_mask columns are exactly
+    * this function's inputs, closing the render → mask → pack chain.
+    * Masks survive documents wrapping across sequences (each token is
+    * zipped with its own bit before the window explode); a
+    * tokens/mask length mismatch raises at execution time.
+    * Same bounded-group scale shape as [[materializePacked]]. */
+  def materializePackedWithMasks(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      maskCol: String,
+      ctxTokens: Int,
+      nShards: Int): DataFrame =
+    materializePacked(zipTokensWithMask(df, idCol, tokensCol, maskCol),
+        idCol, "__pair", ctxTokens, nShards)
+      .select(col("shard"), col("seq_id"),
+        expr("transform(__pair, p -> p.t)").as(tokensCol),
+        expr("transform(__pair, p -> p.m)").as(maskCol),
+        col("seq_len"))
+
+  /** [[materializeNoSplit]] carrying a per-token LOSS MASK: one row per
+    * (shard, bin_id) with aligned `tokensCol`/`maskCol` arrays plus the
+    * layout's `doc_spans`. A truncated (oversize) document keeps the
+    * ctx-prefix of BOTH arrays — the kept tokens keep exactly their own
+    * mask bits. Length mismatches raise at execution time. */
+  def materializeNoSplitWithMasks(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      maskCol: String,
+      ctxTokens: Int,
+      nShards: Int): DataFrame =
+    materializeNoSplit(zipTokensWithMask(df, idCol, tokensCol, maskCol),
+        idCol, "__pair", ctxTokens, nShards)
+      .select(col("shard"), col("bin_id"),
+        expr("transform(__pair, p -> p.t)").as(tokensCol),
+        expr("transform(__pair, p -> p.m)").as(maskCol),
+        col("seq_len"), col("doc_spans"))
+
   /** Total sequence count per shard for a packing plan — the shape the
     * trainer's data loader needs to pre-allocate shard readers. */
   def shardSummary(plan: DataFrame): DataFrame =
@@ -551,12 +617,18 @@ object Packing {
     * split (code points; `assistant_char_frac` null on zero content).
     * System turns count toward `n_system`/`total_chars` but are ignored
     * by the start/end/alternation checks (the conventional system-turn
-    * exemption). Turn numbers must be unique per conversation.
+    * exemption). TOOL turns (the public ChatML tool-use convention —
+    * tool results interleaved between assistant calls) get the same
+    * exemption: agentic SFT traces run user → assistant → tool →
+    * assistant → …, which a strict user↔assistant alternation check
+    * would flag wholesale; tool turns count toward `n_tool`/
+    * `total_chars` and stay out of the shape checks. Turn numbers must
+    * be unique per conversation.
     *
-    * Scale shape: one keyed lag window over the non-system turns (turn
-    * order within a conversation — never global) + two per-conversation
-    * aggregates joined on the conversation key.
-    * Output: convCol, n_turns, n_user, n_assistant, n_system,
+    * Scale shape: one keyed lag window over the non-system/non-tool
+    * turns (turn order within a conversation — never global) + two
+    * per-conversation aggregates joined on the conversation key.
+    * Output: convCol, n_turns, n_user, n_assistant, n_system, n_tool,
     * starts_with_user, ends_with_assistant, strict_alternation,
     * total_chars, assistant_char_frac. */
   def conversationStats(
@@ -574,11 +646,12 @@ object Packing {
       sum(when(col("__r") === "user", 1L).otherwise(0L)).as("n_user"),
       sum(when(col("__r") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
       sum(when(col("__r") === "system", 1L).otherwise(0L)).as("n_system"),
+      sum(when(col("__r") === "tool", 1L).otherwise(0L)).as("n_tool"),
       coalesce(sum(col("__len")), lit(0L)).as("total_chars"),
       coalesce(sum(when(col("__r") === "assistant", col("__len"))
         .otherwise(0L)), lit(0L)).as("__achars"))
     val w = Window.partitionBy(col(convCol)).orderBy(col("__t"))
-    val shape = base.filter(col("__r") =!= "system")
+    val shape = base.filter(col("__r") =!= "system" && col("__r") =!= "tool")
       .withColumn("__prev", lag(col("__r"), 1).over(w))
       .groupBy(col(convCol))
       .agg(
@@ -590,7 +663,8 @@ object Packing {
           .as("strict_alternation"))
     agg.join(shape, Seq(convCol), "left")
       .select(col(convCol), col("n_turns"), col("n_user"), col("n_assistant"),
-        col("n_system"), col("starts_with_user"), col("ends_with_assistant"),
+        col("n_system"), col("n_tool"),
+        col("starts_with_user"), col("ends_with_assistant"),
         col("strict_alternation"), col("total_chars"),
         when(col("total_chars") > 0,
           round(col("__achars") / col("total_chars"), 6))
@@ -604,7 +678,11 @@ object Packing {
     * ASSISTANT turn contributes one `[mask_start, mask_end)` char span
     * over the rendered text covering its content plus the end marker —
     * the completion region a trainer unmasks (prompts, role headers and
-    * the trailing newline stay loss-masked).
+    * the trailing newline stay loss-masked). Every OTHER role — user,
+    * system, and `tool` (agentic tool results, the public ChatML
+    * tool-use convention) — renders with the same generic turn shape
+    * and stays fully loss-masked: tool output is context the model
+    * conditions on, not tokens it is trained to produce.
     *
     * Content normalization: LEADING whitespace of every turn's content
     * is stripped before rendering (the HF chat-template `| trim`

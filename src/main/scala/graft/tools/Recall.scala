@@ -325,6 +325,77 @@ object Recall {
       rnExact.size, (rnExact & rnPruned).size, 0.5,
       "all-corpus cross-doc top-10 at nprobe 6/16 vs the exact self-join — near-uniform vectors are IVF's hardest case")
 
+    // --- SCALE-regime auto-nprobe calibration (r15): the testdata
+    // embeddings (N <= 2000) only ever exercise the small-corpus branch,
+    // so the scale branch (pool-targeted byK + absolute floor) gets its
+    // own planted corpus ABOVE the 100k boundary: 120k vectors in 256
+    // strongly-overlapping clusters — the distribution shape real
+    // embedding corpora have and IVF exists to exploit. Auto resolves to
+    // nlist=346, nprobe=8 (the floor; 2.3% of cells, ~2.8k candidates
+    // per query vs 40k under the old N/3 rule). Measured r15: 0.986.
+    val big = clusteredCorpus(spark, n = 120000L, dims = 32, clusters = 256,
+      noise = 1.0)
+    val bigQ = big.filter(col("vec_id") < 50)
+    val bigBrute = pairSet(
+      Similarity.cosineTopK(big, bigQ, "vec_id", "vec", "vec_id", 10),
+      "query_id", "vec_id")
+    val bigIvf = pairSet(
+      Similarity.ivfCosineTopK(big, bigQ, "vec_id", "vec", "vec_id", 10),
+      "query_id", "vec_id")
+    entries += Entry("ann_ivf_scale_policy", recallOf(bigBrute, bigIvf),
+      bigBrute.size, (bigBrute & bigIvf).size, 0.85,
+      "auto nlist=346/nprobe=8 at N=120k (SCALE branch: pool-targeted byK, floor 8) on the overlapping 256-cluster planted corpus vs exact top-10")
+
+    // --- hierarchical probe ranking (r15): retrievalNeighbors routes
+    // centroid selection through the two-level quantizer once nlist >=
+    // 128 and probes <= nlist/8 — measure what the super-cell pruning
+    // costs against the exact cross-doc truth for 50 sampled chunks.
+    val rh = clusteredCorpus(spark, n = 24000L, dims = 32, clusters = 256,
+      noise = 1.0)
+      .select(col("vec_id"), col("vec"), col("vec_id").as("doc"))
+    val rhQ = rh.filter(col("vec_id") < 50)
+    val rhExact = pairSet(
+      Similarity.cosineTopK(rh, rhQ, "vec_id", "vec", "vec_id", 10),
+      "query_id", "vec_id")
+    val rhApprox = pairSet(
+      Similarity.retrievalNeighbors(rh, "vec_id", "vec", "doc",
+        k = 10, nlist = 256, nprobe = 8)
+        .filter(col("query_id") < 50),
+      "query_id", "vec_id")
+    entries += Entry("retrieval_neighbors_hierarchical",
+      recallOf(rhExact, rhApprox), rhExact.size, (rhExact & rhApprox).size,
+      0.85,
+      "cross-doc top-10 with two-level centroid selection (nlist=256, nprobe=8, 6 of 16 super-cells ranked) vs exact, 50 sampled chunks on the clustered planted corpus")
+
     entries.result()
+  }
+
+  /** Deterministic clustered synthetic corpus: `clusters` centers with
+    * components frac(sin(·)·43758.5453)-hashed into [-1, 1), each row
+    * assigned by xxhash64(id) mod clusters and jittered per-component by
+    * `noise`·U(-1,1) from the same hash family. Pure Spark expressions —
+    * no JVM RNG, identical across runs and partitionings. At `noise` 1.0
+    * against unit-cube centers the clusters overlap strongly (jitter
+    * norm ≈ 3.3 ≈ the inter-center distance at dims=32) — neighbors
+    * routinely cross cell boundaries, which is what makes the IVF
+    * calibration entries a real stress test rather than a planted gift
+    * (at noise 0.35 every recall measured exactly 1.0). */
+  private[graft] def clusteredCorpus(
+      spark: SparkSession, n: Long, dims: Int, clusters: Int,
+      noise: Double): DataFrame = {
+    def frac(a: Column): Column = {
+      val h = sin(a) * lit(43758.5453123)
+      h - floor(h)
+    }
+    def u11(a: Column): Column = frac(a) * lit(2.0) - lit(1.0)
+    spark.range(n)
+      .select(col("id").as("vec_id"),
+        pmod(xxhash64(col("id")), lit(clusters.toLong)).as("__c"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(dims - 1)), j =>
+          u11(col("__c").cast("double") * lit(12.9898) +
+            j.cast("double") * lit(78.233)) +
+            lit(noise) * u11(col("vec_id").cast("double") * lit(0.1031) +
+              j.cast("double") * lit(7.77) + lit(0.5))).as("vec"))
   }
 }

@@ -377,15 +377,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivfAutoNlist(100L) == 16)        // floor
     assert(ivfAutoNlist(1_000_000_000L) == 4096) // cap
     assert(ivfAutoNlist(4L) == 4)           // never more cells than rows
-    // probe floor: nlist/3 once the corpus is big enough (r8 rule —
-    // targets recall >= 0.85 even on near-uniform data)...
-    assert(ivfAutoNprobe(4096, 1_000_000_000L, 10) == 1365)
-    // ...but raised on small corpora so expected candidates ~ 30·k:
+    // SMALL regime (N < 100k): max(cells/3, 30·k pool) — the r8 rule,
+    // tuned for recall >= 0.85 even on near-uniform data:
     // 22 cells on 500 rows at k=10 -> ceil(22*300/500) = 14, not 22/3=7
     assert(ivfAutoNprobe(22, 500L, 10) == 14)
     assert(ivfAutoNprobe(45, 2000L, 10) == 15)
+    // fraction branch just below the boundary: max(316/3, 1) = 105
+    assert(ivfAutoNprobe(316, 99999L, 10) == 105)
     // never more probes than cells
     assert(ivfAutoNprobe(16, 10L, 10) == 16)
+    // SCALE regime (N >= 100k): the 240·k candidate-pool target is
+    // PRIMARY with the absolute 8-cell floor — the r14 fix: the old
+    // cells/3 floor made every auto query scan >= N/3 candidates
+    assert(ivfAutoNprobe(316, 100000L, 10) == 8)    // pool byK = 8 = floor
+    assert(ivfAutoNprobe(1000, 1_000_000L, 10) == 8) // byK = 3, floor 8
+    assert(ivfAutoNprobe(4096, 1_000_000_000L, 10) == 8) // byK = 1, floor 8
+    // byK drives when cells are plentiful relative to N
+    assert(ivfAutoNprobe(4096, 200_000L, 10) == 50)  // ceil(4096*2400/2e5)
+    // the expected candidate pool at the floor is occupancy-bound:
+    // 8·N/nlist — 0.2% of the corpus at the 4096 cap, not 33%
+    assert(8.0 * 1e9 / 4096 < 1e9 / 3 / 100)
   }
 
   test("int8 quantization round-trips within the per-element error bound") {

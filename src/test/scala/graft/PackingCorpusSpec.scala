@@ -115,6 +115,73 @@ class PackingCorpusSpec extends SparkSpec {
     }
   }
 
+  test("materializePackedWithMasks: masks ride their tokens across sequence boundaries") {
+    import org.apache.spark.sql.functions._
+    // ctx=4, one shard. doc0 = [a1..a6] with the completion tail masked
+    // (last 4 tokens) — the doc WRAPS sequences, so its mask must split
+    // across seq 0 and seq 1 exactly where its tokens do. doc1 = [b1 b2]
+    // masked [true, false].
+    val docs = Seq(
+      (0L, Seq("a1", "a2", "a3", "a4", "a5", "a6"),
+        Seq(false, false, true, true, true, true)),
+      (1L, Seq("b1", "b2"), Seq(true, false)))
+      .toDF("doc_id", "tokens", "mask")
+    val out = graft.text.Packing
+      .materializePackedWithMasks(docs, "doc_id", "tokens", "mask",
+        ctxTokens = 4, nShards = 1)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(1),
+        r.getAs[scala.collection.Seq[String]]("tokens"),
+        r.getAs[scala.collection.Seq[Boolean]]("mask"),
+        r.getInt(r.fieldIndex("seq_len"))))
+    assert(out.toSeq === Seq(
+      (0L, Seq("a1", "a2", "a3", "a4"), Seq(false, false, true, true), 4),
+      (1L, Seq("a5", "a6", "b1", "b2"), Seq(true, true, true, false), 4)))
+    // the invariant the whole operator exists for: masked tokens across
+    // all sequences concatenate to exactly the planted completions
+    val maskedStream = out.flatMap { case (_, toks, mask, _) =>
+      toks.zip(mask).collect { case (t, true) => t }
+    }
+    assert(maskedStream.toSeq === Seq("a3", "a4", "a5", "a6", "b1"))
+    // a tokens/mask length mismatch raises loudly at execution
+    val bad = Seq((0L, Seq("a", "b"), Seq(true))).toDF("doc_id", "tokens", "mask")
+    val e = intercept[Exception] {
+      graft.text.Packing.materializePackedWithMasks(
+        bad, "doc_id", "tokens", "mask", 4, 1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("length")), msgs(e).mkString("; "))
+  }
+
+  test("materializeNoSplitWithMasks: truncated doc keeps the prefix of BOTH arrays") {
+    import org.apache.spark.sql.functions._
+    // ctx=4: doc0 has 6 tokens (oversize -> own bin, truncated to the
+    // ctx prefix of tokens AND mask); doc1+doc2 share the next bin
+    val docs = Seq(
+      (0L, Seq("a1", "a2", "a3", "a4", "a5", "a6"),
+        Seq(false, true, false, true, true, true)),
+      (1L, Seq("b1", "b2"), Seq(true, false)),
+      (2L, Seq("c1"), Seq(true)))
+      .toDF("doc_id", "tokens", "mask")
+    val out = graft.text.Packing
+      .materializeNoSplitWithMasks(docs, "doc_id", "tokens", "mask",
+        ctxTokens = 4, nShards = 1)
+      .orderBy("bin_id").collect()
+    val bins = out.map(r => (r.getLong(1),
+      r.getAs[scala.collection.Seq[String]]("tokens"),
+      r.getAs[scala.collection.Seq[Boolean]]("mask")))
+    assert(bins.toSeq === Seq(
+      (0L, Seq("a1", "a2", "a3", "a4"), Seq(false, true, false, true)),
+      (1L, Seq("b1", "b2", "c1"), Seq(true, false, true))))
+    // doc_spans still tile each bin (the layout metadata is unchanged)
+    out.foreach { r =>
+      val ss = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("doc_spans"))
+        .map(x => (x.getInt(0), x.getInt(1)))
+      assert(ss.map(_._2).sum === r.getInt(r.fieldIndex("seq_len")))
+    }
+  }
+
   test("epochShuffle: deterministic per-shard permutation, epoch-varying, append-stable") {
     import org.apache.spark.sql.functions._
     val docs = (0L until 40L).map(i => (i, (0 until 7).map(j => s"t${i}_$j")))
@@ -786,5 +853,69 @@ class PackingCorpusSpec extends SparkSpec {
     val c3 = out(3L)
     assert(!c3.getAs[Boolean]("starts_with_user"))
     assert(c3.getAs[Boolean]("ends_with_assistant"))
+  }
+
+  test("conversationStats: tool turns counted but exempt from the shape checks") {
+    // Agentic traces: the exemption removes tool turns from the
+    // alternation check without laundering real breaks. Conv 1
+    // (u,a,t,t,a) reads u,a,a tool-free — a REAL break, still flagged;
+    // conv 2 (u,a,t,u,a) reads u,a,u,a — clean.
+    val turns = Seq(
+      // conv 1: tool turns BETWEEN two assistant turns -> with tools
+      // exempt, the remaining sequence u,a,a has a REAL break
+      (1L, 0, "user", "q"),
+      (1L, 1, "assistant", "call"),
+      (1L, 2, "tool", "{\"r\":1}"),
+      (1L, 3, "tool", "{\"r\":2}"),
+      (1L, 4, "assistant", "answer"),
+      // conv 2: tool turn between assistant and USER -> tool-free
+      // sequence u,a,u,a stays strictly alternating
+      (2L, 0, "user", "q"),
+      (2L, 1, "assistant", "call"),
+      (2L, 2, "tool", "{\"r\":3}"),
+      (2L, 3, "user", "more"),
+      (2L, 4, "assistant", "done"))
+      .toDF("conv_id", "turn_no", "role", "content")
+    val out = Packing.conversationStats(turns, "conv_id", "turn_no", "role", "content")
+      .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
+    val c1 = out(1L)
+    assert(c1.getAs[Long]("n_tool") === 2 && c1.getAs[Long]("n_turns") === 5)
+    assert(c1.getAs[Boolean]("starts_with_user"))
+    assert(c1.getAs[Boolean]("ends_with_assistant")) // tool not the last non-exempt
+    // assistant->assistant with only tool turns between IS still flagged:
+    // the exemption removes tool turns from the check, it does not
+    // launder a missing user turn
+    assert(!c1.getAs[Boolean]("strict_alternation"))
+    assert(c1.getAs[Long]("total_chars") ===
+      1 + 4 + 7 + 7 + 6) // tool chars count toward the mass
+    val c2 = out(2L)
+    assert(c2.getAs[Long]("n_tool") === 1)
+    assert(c2.getAs[Boolean]("strict_alternation")) // u,a,u,a after exemption
+    assert(c2.getAs[Boolean]("ends_with_assistant"))
+  }
+
+  test("renderChatTemplate: tool turns render generically and stay unmasked") {
+    val turns = Seq(
+      (1L, 0, "user", "q"),
+      (1L, 1, "assistant", "call"),
+      (1L, 2, "tool", "{\"r\":1}"),
+      (1L, 3, "assistant", "answer"))
+      .toDF("conv_id", "turn_no", "role", "content")
+    val r = Packing.renderChatTemplate(turns, "conv_id", "turn_no", "role", "content")
+      .head()
+    val text = r.getAs[String]("text")
+    assert(text ===
+      "<|im_start|>user\nq<|im_end|>\n" +
+      "<|im_start|>assistant\ncall<|im_end|>\n" +
+      "<|im_start|>tool\n{\"r\":1}<|im_end|>\n" +
+      "<|im_start|>assistant\nanswer<|im_end|>\n")
+    val spans = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("mask_spans"))
+      .map(x => (x.getLong(0), x.getLong(1)))
+    // exactly the two assistant completions; the tool turn contributes
+    // no span, and the second span sits AFTER the tool segment
+    assert(spans.length === 2)
+    spans.zip(Seq("call<|im_end|>", "answer<|im_end|>")).foreach {
+      case ((s, e), want) => assert(text.substring(s.toInt, e.toInt) === want)
+    }
   }
 }

@@ -18,6 +18,8 @@ import graft.tools.Recall
   *   - cluster survivors                      >= 0.95
   *   - embedding near-dup (planted clones)     = 1.0
   *   - ROUGE-L near-dup (banding-adversarial) >= 0.9 (default), >= 0.95 (32x1)
+  *   - IVF scale-branch auto policy (120k clustered planted) >= 0.85
+  *   - retrievalNeighbors hierarchical centroid selection    >= 0.85
   *
   * The same harness run as `runMain graft.tools.Recall` writes the round
   * artifact (RECALL_r*.json); the bounds here and there are one list.
@@ -33,7 +35,8 @@ class RecallSpec extends SparkSpec {
       "dedup_minhash", "dedup_minhash_incremental", "dedup_cluster_survivors",
       "dedup_simhash", "embedding_near_dup", "semdedup", "ann_ivfpq_search",
       "ann_ivfpq_refined", "ann_ivfpq_default", "rouge_neardup",
-      "rouge_neardup_hr", "retrieval_neighbors")
+      "rouge_neardup_hr", "retrieval_neighbors",
+      "ann_ivf_scale_policy", "retrieval_neighbors_hierarchical")
     assert(entries.map(_.name).toSet === expected)
     val failures = entries.filter(e => e.recall < e.minBound)
     assert(failures.isEmpty,
