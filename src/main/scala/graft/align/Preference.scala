@@ -1,6 +1,6 @@
 package graft.align
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -607,6 +607,73 @@ object Preference {
         round(col("__p"), 6).as("strength"),
         col("__wins").as("n_wins"),
         coalesce(col("__games"), lit(0L)).as("n_games"))
+  }
+
+  /** The alignment release data card — one tall table rolling up what a
+    * preference-data release ships with (the [[graft.text.TextAnalysis
+    * corpusDataCard]] precedent for the alignment lane): pair volume
+    * and margin distribution over the preference pairs, the
+    * [[lengthBiasReport]] verbosity diagnostic, inter-rater agreement
+    * ([[Agreement.fleissKappa]] + [[Agreement.krippendorffAlpha]] over
+    * the variable-n rating log), and the per-task eval summary with
+    * micro/macro rollups ([[graft.eval.Metrics.evalSummary]]).
+    *
+    * Output: `(section, key, n, value)` — section ∈ pairs |
+    * length_bias | agreement | eval; `n` is the row count backing the
+    * stat, `value` the stat itself (counts repeat as doubles so every
+    * row is self-contained). Margin percentiles use exact interpolated
+    * percentiles (the library's cross-engine quantile unit).
+    *
+    * Scale shape: pure composition of shipped operators — one
+    * aggregation pass over the pairs, the length-bias rollup, two
+    * agreement statistics (keyed groupBys + single-row broadcast
+    * crossJoins), one eval groupBy. Nothing here sees more than one
+    * shuffle over any input. */
+  def alignmentDataCard(
+      pairs: DataFrame,
+      promptCol: String,
+      chosenCol: String,
+      rejectedCol: String,
+      marginCol: String,
+      ratings: DataFrame,
+      itemCol: String,
+      labelCol: String,
+      evalResults: DataFrame,
+      taskCol: String,
+      correctCol: String): DataFrame = {
+    def row(section: String, key: Column, n: Column, value: Column) =
+      struct(lit(section).as("section"), key.cast("string").as("key"),
+        n.cast("long").as("n"), value.cast("double").as("value"))
+    val pairStats = pairs
+      .agg(
+        count(lit(1)).as("__n"),
+        countDistinct(col(promptCol)).as("__np"),
+        round(avg(col(marginCol)), 6).as("__mean"),
+        round(expr(s"percentile($marginCol, 0.5)"), 6).as("__p50"),
+        round(expr(s"percentile($marginCol, 0.9)"), 6).as("__p90"))
+      .select(explode(array(
+        row("pairs", lit("n_pairs"), col("__n"), col("__n")),
+        row("pairs", lit("n_prompts"), col("__np"), col("__np")),
+        row("pairs", lit("margin_mean"), col("__n"), col("__mean")),
+        row("pairs", lit("margin_p50"), col("__n"), col("__p50")),
+        row("pairs", lit("margin_p90"), col("__n"), col("__p90")))).as("r"))
+      .select(col("r.*"))
+    val lengthBias = lengthBiasReport(pairs, chosenCol, rejectedCol)
+      .select(row("length_bias", col("len_gap_bucket"), col("n_pairs"),
+        col("longer_chosen_rate")).as("r"))
+      .select(col("r.*"))
+    val agreement = Agreement.fleissKappa(ratings, itemCol, labelCol)
+      .select(row("agreement", lit("fleiss_kappa"), col("n_items"),
+        col("kappa")).as("r"))
+      .select(col("r.*"))
+      .unionByName(Agreement.krippendorffAlpha(ratings, itemCol, labelCol)
+        .select(row("agreement", lit("krippendorff_alpha"), col("n_items"),
+          col("alpha")).as("r"))
+        .select(col("r.*")))
+    val eval = graft.eval.Metrics.evalSummary(evalResults, taskCol, correctCol)
+      .select(row("eval", col("task"), col("n"), col("accuracy")).as("r"))
+      .select(col("r.*"))
+    pairStats.unionByName(lengthBias).unionByName(agreement).unionByName(eval)
   }
 
   /** Render preference pairs to DPO training rows: both branches pass

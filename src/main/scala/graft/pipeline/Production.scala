@@ -1241,6 +1241,35 @@ object Production {
         ctx.dataPath(params.getOrElse("output", "processed.kendall_tau").toString))
     }
 
+    // the alignment release data card: pair volume + margin
+    // distribution, length-bias rollup, inter-rater agreement, and the
+    // per-task eval summary in ONE tall (section, key, n, value) table —
+    // pure composition of the shipped operators above (the corpus
+    // data-card precedent for the alignment lane)
+    Jobs.register("alignment", "align-data-card") { (ctx, params) =>
+      val s = ctx.spark
+      val pairs = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("pairs", "processed.preference_pairs").toString)))
+      val ratings = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("ratings", "raw.ratings").toString)))
+      val evalResults = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("eval_results", "raw.eval_results").toString)))
+      save(ctx,
+        graft.align.Preference.alignmentDataCard(
+          pairs,
+          params.getOrElse("prompt_col", "prompt_id").toString,
+          params.getOrElse("chosen_col", "chosen").toString,
+          params.getOrElse("rejected_col", "rejected").toString,
+          params.getOrElse("margin_col", "margin").toString,
+          ratings,
+          params.getOrElse("item_col", "item_id").toString,
+          params.getOrElse("label_col", "label").toString,
+          evalResults,
+          params.getOrElse("task_col", "task").toString,
+          params.getOrElse("correct_col", "correct").toString),
+        ctx.dataPath(params.getOrElse("output", "processed.align_data_card").toString))
+    }
+
     // benchmark eval results table (per-task accuracy + stderr,
     // micro/macro rollups)
     Jobs.register("alignment", "eval-summary") { (ctx, params) =>

@@ -184,6 +184,25 @@ object AlignQueries {
       graft.eval.Metrics.evalSummary(results, "task", "correct")
         .orderBy(col("task"))
     },
+    // --- the alignment release data card: pair volume + margin
+    // percentiles over the all-policy pairs, the length-bias rollup,
+    // both variable-n agreement statistics, and the per-task eval
+    // summary — ONE tall (section, key, n, value) table, every section
+    // replayed by the same DuckDB arithmetic as its standalone oracle
+    "align_data_card" -> { (s, dir) =>
+      val pairs = Preference.preferencePairs(responses(s, dir),
+        "prompt_id", "response_id", "response", "score", policy = "all")
+      val results = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(
+          concat(lit("t"), pmod(col("doc_id"), lit(6L)).cast("string")).as("task"),
+          (pmod(Exprs.md5Bits52(concat(lit("ev:"), col("doc_id").cast("string"))),
+            lit(10L)) < pmod(col("doc_id"), lit(6L)) + 3).as("correct"))
+      Preference.alignmentDataCard(
+        pairs, "prompt_id", "chosen", "rejected", "margin",
+        fleissRatings(s, dir), "item_id", "label",
+        results, "task", "correct")
+        .orderBy(col("section"), col("key"))
+    },
     // --- unbiased best-of-k reward curve over the 8-sample groups:
     // k=1 recovers the group mean, k=8 the group max
     "best_of_n_curve" -> { (s, dir) =>
@@ -596,6 +615,103 @@ object AlignQueries {
         |       FROM t3)
         |SELECT * FROM t3 UNION ALL SELECT * FROM mi3 UNION ALL SELECT * FROM ma
         |ORDER BY task""".stripMargin,
+    // alignment data card: each section replays its standalone oracle's
+    // arithmetic — all-policy pairs + quantile_cont percentiles, the
+    // length-bias rollup, the fleiss/krippendorff sums over the shared
+    // rating log, the eval rollups — flattened to (section, key, n, value)
+    "align_data_card" ->
+      s"""WITH $responsesSql,
+         |pairs AS (
+         |  SELECT a.prompt_id, a.response AS chosen, b.response AS rejected,
+         |    a.score - b.score AS margin
+         |  FROM resp a JOIN resp b ON a.prompt_id = b.prompt_id
+         |  WHERE a.score - b.score > 0),
+         |ps AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(count(DISTINCT prompt_id) AS BIGINT) AS np,
+         |         round(avg(margin), 6) AS mm,
+         |         round(quantile_cont(margin, 0.5), 6) AS p50,
+         |         round(quantile_cont(margin, 0.9), 6) AS p90
+         |       FROM pairs),
+         |prows AS (
+         |  SELECT 'pairs' AS section, 'n_pairs' AS k2, n, CAST(n AS DOUBLE) AS value FROM ps
+         |  UNION ALL SELECT 'pairs', 'n_prompts', np, CAST(np AS DOUBLE) FROM ps
+         |  UNION ALL SELECT 'pairs', 'margin_mean', n, mm FROM ps
+         |  UNION ALL SELECT 'pairs', 'margin_p50', n, p50 FROM ps
+         |  UNION ALL SELECT 'pairs', 'margin_p90', n, p90 FROM ps),
+         |lb0 AS (SELECT CASE WHEN abs(length(chosen) - length(rejected)) = 0 THEN '0'
+         |          WHEN abs(length(chosen) - length(rejected)) <= 10 THEN '1-10'
+         |          WHEN abs(length(chosen) - length(rejected)) <= 50 THEN '11-50'
+         |          WHEN abs(length(chosen) - length(rejected)) <= 200 THEN '51-200'
+         |          ELSE '>200' END AS bkt,
+         |          CAST(length(chosen) AS BIGINT) AS lc,
+         |          CAST(length(rejected) AS BIGINT) AS lr
+         |        FROM pairs),
+         |lbrows AS (SELECT 'length_bias' AS section,
+         |    coalesce(bkt, 'all') AS k2, CAST(count(*) AS BIGINT) AS n,
+         |    round(avg(CASE WHEN lc > lr THEN 1.0 WHEN lc < lr THEN 0.0
+         |      ELSE 0.5 END), 6) AS value
+         |  FROM lb0 GROUP BY ROLLUP(bkt)),
+         |rr AS (
+         |  SELECT d.doc_id AS item,
+         |    CAST('0x' || substring(md5('f:' || CAST(d.doc_id AS VARCHAR) || ':'
+         |      || CAST(t.r AS VARCHAR)), 1, 13) AS BIGINT) AS h
+         |  FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) t
+         |  WHERE d.doc_id < 150 AND NOT (d.doc_id % 10 = 0 AND t.r >= 2)),
+         |lab AS (SELECT item, CASE WHEN h % 10 < 7 THEN item % 3 ELSE h % 3 END AS l
+         |        FROM rr),
+         |cnt AS (SELECT item, l, CAST(count(*) AS BIGINT) AS nij FROM lab GROUP BY 1, 2),
+         |it AS (SELECT item, CAST(sum(nij) AS BIGINT) AS ni,
+         |         CAST(sum(nij * (nij - 1)) AS BIGINT) AS agr
+         |       FROM cnt GROUP BY 1 HAVING sum(nij) >= 2),
+         |fb AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |         CAST(sum(ni) AS BIGINT) AS n_ratings,
+         |         round(avg(CAST(agr AS DOUBLE) / (ni * (ni - 1))), 6) AS p_bar
+         |       FROM it),
+         |fp AS (SELECT sum(tj * tj) AS sq FROM
+         |  (SELECT l, CAST(sum(nij) AS BIGINT) AS tj
+         |   FROM cnt JOIN it USING (item) GROUP BY 1)),
+         |frow AS (SELECT 'agreement' AS section, 'fleiss_kappa' AS k2, n_items AS n,
+         |    CASE WHEN round(sq / (n_ratings * n_ratings), 6) < 1.0 AND n_items > 0
+         |      THEN round((p_bar - round(sq / (n_ratings * n_ratings), 6))
+         |             / (1.0 - round(sq / (n_ratings * n_ratings), 6)), 6) END AS value
+         |  FROM fb, fp),
+         |kb AS (SELECT CAST(count(*) AS BIGINT) AS n_items,
+         |         CAST(sum(ni) AS BIGINT) AS n_ratings,
+         |         sum(CAST(agr AS DOUBLE) / (ni - 1)) AS occ
+         |       FROM it),
+         |km AS (SELECT sum(nc * (nc - 1)) AS mm FROM
+         |  (SELECT l, CAST(sum(nij) AS BIGINT) AS nc
+         |   FROM cnt JOIN it USING (item) GROUP BY 1)),
+         |krow AS (SELECT 'agreement' AS section, 'krippendorff_alpha' AS k2,
+         |    n_items AS n,
+         |    CASE WHEN round(1.0 - mm / (n_ratings * (n_ratings - 1)), 6) > 0
+         |         AND n_items > 0
+         |      THEN round(1.0 - round(1.0 - occ / n_ratings, 6)
+         |             / round(1.0 - mm / (n_ratings * (n_ratings - 1)), 6), 6)
+         |      END AS value
+         |  FROM kb, km),
+         |ev AS (
+         |  SELECT 't' || CAST(doc_id % 6 AS VARCHAR) AS task,
+         |    (CAST('0x' || substring(md5('ev:' || CAST(doc_id AS VARCHAR)), 1, 13)
+         |      AS BIGINT) % 10) < (doc_id % 6) + 3 AS correct
+         |  FROM documents WHERE doc_id < 300),
+         |et AS (SELECT task, CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(CASE WHEN correct THEN 1 ELSE 0 END) AS BIGINT) AS nc
+         |       FROM ev GROUP BY 1),
+         |et2 AS (SELECT task, n, nc, round(CAST(nc AS DOUBLE) / n, 6) AS acc FROM et),
+         |erows AS (
+         |  SELECT 'eval' AS section, task AS k2, n, acc AS value FROM et2
+         |  UNION ALL
+         |  SELECT 'eval', '__micro__', CAST(sum(n) AS BIGINT),
+         |    round(CAST(sum(nc) AS DOUBLE) / sum(n), 6) FROM et2
+         |  UNION ALL
+         |  SELECT 'eval', '__macro__', CAST(sum(n) AS BIGINT),
+         |    round(avg(acc), 6) FROM et2)
+         |SELECT section, k2 AS key, n, value FROM (
+         |  SELECT * FROM prows UNION ALL SELECT * FROM lbrows
+         |  UNION ALL SELECT * FROM frow UNION ALL SELECT * FROM krow
+         |  UNION ALL SELECT * FROM erows)
+         |ORDER BY section, key""".stripMargin,
     // best-of-k curve: the order-statistic weights in the same
     // overflow-free product form, empty product coalesced at k=1
     "best_of_n_curve" ->

@@ -511,9 +511,10 @@ object Similarity {
     * growing with the nlist cap. Recall cost of the pruning is measured
     * on the clustered planted harness
     * ([[graft.tools.Recall]] `retrieval_neighbors_hierarchical`:
-    * 0.952 vs 0.986 single-level at the same nprobe, bound 0.85 — the
-    * [[IvfSuperProbeFloor]] of 6 is what holds it; at floor 4 it
-    * measured 0.866).
+    * 0.94–0.95 across runs — the init partitioning perturbs the
+    * super-fit slightly — vs 0.986 single-level at the same nprobe,
+    * bound 0.85; the [[IvfSuperProbeFloor]] of 6 is what holds it, at
+    * floor 4 it measured 0.866).
     * `distTo` ranks by distance to the given centroid column using
     * query columns present in `qSide` (monotone-equivalent to
     * unit-query euclidean); `qSide` must carry a `query_id` column. */

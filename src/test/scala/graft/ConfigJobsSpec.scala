@@ -1351,6 +1351,63 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(graft.pipeline.Jobs.run(
       Context(cfgFor("nonsense", "x"), spark), "alignment").nonEmpty)
   }
+
+  test("alignment align-data-card catalog job: hand-computed release card") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-card-jobs").toString
+    // pairs: margins [4, 2, 1]; length gaps 7 (longer chosen), 0 (tie),
+    // 15 (shorter chosen)
+    Seq(
+      (1L, "longerchosen", "short", 4.0),
+      (1L, "aa", "bb", 2.0),
+      (2L, "x", "yyyyyyyyyyyyyyyy", 1.0))
+      .toDF("prompt_id", "chosen", "rejected", "margin")
+      .write.mode("overwrite").parquet(s"$work/pairs")
+    // ratings: item 1 unanimous (3 raters), item 2 split (2), item 3
+    // single-rated (excluded from both agreement stats)
+    Seq((1L, "l0"), (1L, "l0"), (1L, "l0"), (2L, "l0"), (2L, "l1"), (3L, "l1"))
+      .toDF("item_id", "label")
+      .write.mode("overwrite").parquet(s"$work/ratings")
+    Seq(("tA", true), ("tA", false), ("tB", true))
+      .toDF("task", "correct")
+      .write.mode("overwrite").parquet(s"$work/evalr")
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Map("jobs" -> List(
+        Map("name" -> "alignment", "fail_fast" -> true, "stages" -> List(
+          Map("name" -> "card", "tasks" -> List(
+            Map("name" -> "align-data-card"))))))),
+      "data_catalog" -> Map(
+        "raw" -> Map("ratings" -> s"$work/ratings", "eval_results" -> s"$work/evalr"),
+        "processed" -> Map(
+          "preference_pairs" -> s"$work/pairs",
+          "align_data_card" -> s"$work/card")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(Context(cfg, spark), "alignment").isEmpty)
+    val card = spark.read.parquet(s"$work/card")
+      .select("section", "key", "n", "value")
+      .as[(String, String, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(card(("pairs", "n_pairs")) === ((3L, Some(3.0))))
+    assert(card(("pairs", "n_prompts")) === ((2L, Some(2.0))))
+    assert(card(("pairs", "margin_mean"))._2 === Some(2.333333))
+    assert(card(("pairs", "margin_p50"))._2 === Some(2.0))
+    // exact interpolated p90 of [1,2,4]: 2 + 0.8*(4-2) = 3.6
+    assert(card(("pairs", "margin_p90"))._2 === Some(3.6))
+    assert(card(("length_bias", "1-10")) === ((1L, Some(1.0))))
+    assert(card(("length_bias", "0")) === ((1L, Some(0.5))))
+    assert(card(("length_bias", "11-50")) === ((1L, Some(0.0))))
+    assert(card(("length_bias", "all")) === ((3L, Some(0.5))))
+    // fleiss over retained items {1, 2}: P̄ = (1 + 0)/2, p_e = (16+1)/25
+    assert(card(("agreement", "fleiss_kappa")) === ((2L, Some(-0.5625))))
+    // krippendorff: d_o = 1 - 3/5 = 0.4 = d_e -> alpha 0
+    assert(card(("agreement", "krippendorff_alpha")) === ((2L, Some(0.0))))
+    assert(card(("eval", "tA")) === ((2L, Some(0.5))))
+    assert(card(("eval", "tB")) === ((1L, Some(1.0))))
+    assert(card(("eval", "__micro__")) === ((3L, Some(0.666667))))
+    assert(card(("eval", "__macro__")) === ((3L, Some(0.75))))
+  }
 }
 
 

@@ -88,7 +88,19 @@ class PlanFingerprintSpec extends SparkSpec {
     "pass_at_k" -> Map("global_sort" -> 1, "shuffle" -> 2),
     "best_of_n_curve" -> Map("global_sort" -> 1, "local_sort" -> 1, "shuffle" -> 2, "window" -> 2),
     "head_to_head" -> Map("global_sort" -> 1, "shuffle" -> 3),
-    "krippendorff_alpha" -> Map("broadcast" -> 3, "broadcast_hash_join" -> 2, "broadcast_nested_loop" -> 1, "shuffle" -> 6))
+    "krippendorff_alpha" -> Map("broadcast" -> 3, "broadcast_hash_join" -> 2, "broadcast_nested_loop" -> 1, "shuffle" -> 6),
+    // r15 additions: bradley_terry's pin is the CHECKPOINT guard — the
+    // final plan must be the tiny post-checkpoint assembly (one
+    // sort_merge join of the strength frame against per-item games +
+    // the root sort); a regressed ckpt helper would leak the whole
+    // 10-iteration lineage into this plan and explode every count.
+    // kendall_tau is the keyed self-join (broadcast at this sf); the
+    // lang audit is the STAGED score path (broadcast model map pass +
+    // script-profile join) — training is a side effect behind the
+    // _STAGED marker, not part of the returned plan
+    "bradley_terry" -> Map("global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 3, "sort_merge_join" -> 1),
+    "kendall_tau" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "shuffle" -> 2),
+    "lang_classifier_audit" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 2, "global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 4, "sort_merge_join" -> 1))
 
   private def withAqeOff[T](f: => T): T = {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
