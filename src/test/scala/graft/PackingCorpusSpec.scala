@@ -350,6 +350,55 @@ class PackingCorpusSpec extends SparkSpec {
     assert(maskedChars === out.getAs[Long]("masked_chars"))
   }
 
+  test("render -> mask -> pack: the full SFT chain keeps masked tokens == completions") {
+    // THE trainer-artifact composition: ChatML render, exact token loss
+    // masks, then mask-carrying packed materialization at a ctx small
+    // enough that conversations wrap sequence boundaries. The invariant
+    // that survives the whole chain: decoding the masked slots of every
+    // packed sequence, in order, yields exactly the assistant
+    // completions of every conversation, in conversation order.
+    val turns = Seq(
+      (1L, 0, "user", "hi there"),
+      (1L, 1, "assistant", "hello friend"),
+      (1L, 2, "user", "bye"),
+      (1L, 3, "assistant", "ok"),
+      (2L, 0, "user", "ping"),
+      (2L, 1, "assistant", "pong pong"))
+      .toDF("conv_id", "turn_no", "role", "content")
+    val rendered = Packing
+      .renderChatTemplate(turns, "conv_id", "turn_no", "role", "content")
+    val (m, v) = graft.text.Bpe.trainArtifacts(
+      rendered.select(col("text")), "text", numMerges = 80,
+      minPairCount = 1, preTokenize = graft.text.Bpe.Gpt2)
+    val masked = Packing.chatTokenLossMask(rendered, m, v)
+      .select(col("conv_id"), col("token_ids"), col("loss_mask"))
+    // per-conv masked surfaces, the ground truth (id -> token surface)
+    // vocab surfaces carry the BPE end-of-word marker; strip it to decode
+    val vocab = v.collect().map(r =>
+      r.getAs[Number]("token_id").intValue ->
+        r.getAs[String]("token").replace("</w>", "")).toMap
+    val wantPerConv = masked.orderBy("conv_id").collect().flatMap { r =>
+      r.getAs[scala.collection.Seq[Int]]("token_ids")
+        .zip(r.getAs[scala.collection.Seq[Boolean]]("loss_mask"))
+        .collect { case (id, true) => vocab(id) }
+    }.mkString
+    assert(wantPerConv ===
+      "hello friend<|im_end|>" + "ok<|im_end|>" + "pong pong<|im_end|>")
+    // pack with masks at ctx 8 (both conversations wrap), ONE shard so
+    // the stream order is the conv_id order
+    val packed = Packing.materializePackedWithMasks(
+      masked, "conv_id", "token_ids", "loss_mask", ctxTokens = 8, nShards = 1)
+      .orderBy("seq_id").collect()
+    assert(packed.length > 2, "fixture must wrap sequence boundaries")
+    val fromPacked = packed.flatMap { r =>
+      r.getAs[scala.collection.Seq[Int]]("token_ids")
+        .zip(r.getAs[scala.collection.Seq[Boolean]]("loss_mask"))
+        .collect { case (id, true) => vocab(id) }
+    }.mkString
+    assert(fromPacked === wantPerConv,
+      "masked tokens must survive packing byte-for-byte")
+  }
+
   test("removeDuplicatedSpans: shared span vanishes everywhere, unique prose survives") {
     // k=3: the 4-token phrase "one two three four" is shared by docs 1 and
     // 2 (two overlapping 3-grams -> 4 covered positions in each); doc 3 is
