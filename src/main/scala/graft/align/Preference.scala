@@ -741,4 +741,94 @@ object Preference {
         col("__r.sp.mask_start").as("rejected_mask_start"),
         col("__r.sp.mask_end").as("rejected_mask_end"))
   }
+
+  /** [[dpoRender]] for MULTI-TURN contexts — agentic preference data:
+    * the shared prompt is a whole conversation prefix (user, assistant,
+    * system, and `tool` turns, any shape [[graft.text.Packing
+    * renderChatTemplate]] accepts), and chosen/rejected are alternative
+    * FINAL assistant turns appended after it. Both branches render the
+    * full prefix + their branch turn through the same ChatML template,
+    * and the returned mask offsets cover ONLY the branch completion
+    * (the last assistant span) — prefix assistant turns are context the
+    * DPO loss conditions on, not the completion being compared, so
+    * their spans are deliberately excluded.
+    *
+    * `pairs` must hold exactly one row per `convCol` value (the
+    * [[dpoRender]] uniqueness contract, enforced the same way);
+    * conversations in `prefix` with no pair row are dropped, and a pair
+    * whose conversation has no prefix turns renders as the bare branch
+    * turn. Branch turns order AFTER every prefix turn via a per-conv
+    * max-turn join (keyed aggregate, no window).
+    *
+    * Output: convCol, chosen_text, chosen_mask_start, chosen_mask_end,
+    * rejected_text, rejected_mask_start, rejected_mask_end.
+    * Scale: prefix turns duplicate once per branch (2×), the template's
+    * one keyed running-sum window, one regroup keyed by the conv. */
+  def dpoRenderConversation(
+      prefix: DataFrame,
+      convCol: String,
+      turnCol: String,
+      roleCol: String,
+      contentCol: String,
+      pairs: DataFrame,
+      chosenCol: String,
+      rejectedCol: String): DataFrame = {
+    val pairRows = pairs
+      .withColumn("__row", monotonically_increasing_id())
+      .select(col(convCol), col("__row"),
+        col(chosenCol).as("__chosen"), col(rejectedCol).as("__rejected"))
+    // branch turns slot after the whole prefix; empty prefixes start at 0
+    val maxTurn = prefix.groupBy(col(convCol))
+      .agg(max(col(turnCol)).cast("long").as("__maxt"))
+    val withNext = pairRows
+      .join(maxTurn, Seq(convCol), "left")
+      .withColumn("__next", coalesce(col("__maxt") + 1L, lit(0L)))
+    val branchTurns = withNext.select(
+      col(convCol), col("__row"),
+      explode(array(
+        struct(lit("chosen").as("branch"), col("__chosen").as("resp")),
+        struct(lit("rejected").as("branch"), col("__rejected").as("resp")))).as("__b"),
+      col("__next"))
+      .select(col(convCol), col("__row"), col("__b.branch").as("__branch"),
+        col("__next").as("__t"), lit("assistant").as("__role"),
+        col("__b.resp").as("__content"))
+    // the prefix rides into BOTH branches of its pair
+    val prefixTurns = prefix.select(
+        col(convCol), col(turnCol).cast("long").as("__t"),
+        col(roleCol).as("__role"), col(contentCol).as("__content"))
+      .join(pairRows.select(col(convCol), col("__row")), Seq(convCol))
+      .crossJoin(broadcast(
+        prefix.sparkSession.range(1).select(
+          explode(array(lit("chosen"), lit("rejected"))).as("__branch"))))
+    val turns = prefixTurns
+      .unionByName(branchTurns)
+      .select(
+        struct(col(convCol).as("pid"), col("__branch").as("branch"),
+          col("__row").as("row")).as("__conv"),
+        col("__t"), col("__role"), col("__content"))
+    val rendered = graft.text.Packing
+      .renderChatTemplate(turns, "__conv", "__t", "__role", "__content")
+    def side(name: String) =
+      max(when(col("__conv").getField("branch") === name,
+        struct(col("text").as("t"),
+          element_at(col("mask_spans"), -1).as("sp"))))
+    rendered
+      .groupBy(col("__conv").getField("pid").as(convCol))
+      .agg(side("chosen").as("__c"), side("rejected").as("__r"),
+        count(when(col("__conv").getField("branch") === "chosen", lit(1)))
+          .as("__n_pairs"))
+      .select(
+        col(convCol),
+        when(col("__n_pairs") > 1, raise_error(concat(
+          lit(s"dpoRenderConversation: $convCol value "),
+          col(convCol).cast("string"),
+          lit(" identifies "), col("__n_pairs").cast("string"),
+          lit(" pairs — one pair row per conversation"))))
+          .otherwise(col("__c.t")).as("chosen_text"),
+        col("__c.sp.mask_start").as("chosen_mask_start"),
+        col("__c.sp.mask_end").as("chosen_mask_end"),
+        col("__r.t").as("rejected_text"),
+        col("__r.sp.mask_start").as("rejected_mask_start"),
+        col("__r.sp.mask_end").as("rejected_mask_end"))
+  }
 }

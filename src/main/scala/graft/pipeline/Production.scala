@@ -1157,6 +1157,28 @@ object Production {
         ctx.dataPath(params.getOrElse("output", "processed.dpo_rows").toString))
     }
 
+    // multi-turn DPO rendering: pairs whose shared context is a whole
+    // conversation prefix (agentic traces incl. tool turns); the mask
+    // covers only the branch completion
+    Jobs.register("alignment", "dpo-render-conversation") { (ctx, params) =>
+      val s = ctx.spark
+      val prefix = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("conversations", "raw.conversations").toString)))
+      val pairs = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("pairs", "processed.preference_pairs").toString)))
+      save(ctx,
+        graft.align.Preference.dpoRenderConversation(
+          prefix,
+          params.getOrElse("conv_col", "conv_id").toString,
+          params.getOrElse("turn_col", "turn_no").toString,
+          params.getOrElse("role_col", "role").toString,
+          params.getOrElse("content_col", "content").toString,
+          pairs,
+          params.getOrElse("chosen_col", "chosen").toString,
+          params.getOrElse("rejected_col", "rejected").toString),
+        ctx.dataPath(params.getOrElse("output", "processed.dpo_conv_rows").toString))
+    }
+
     // KTO unpaired-feedback prep: thumbs-labeled completions to
     // class-balanced training rows (no pairing needed)
     Jobs.register("alignment", "kto-rows") { (ctx, params) =>

@@ -329,6 +329,30 @@ object AlignQueries {
       Preference.dpoRender(pairs, "prompt_id", "prompt", "chosen", "rejected")
         .orderBy(col("prompt_id"))
     },
+    // --- multi-turn DPO rendering: 10 conversations with a 4-turn
+    // prefix (user / assistant / tool / user), branch responses from
+    // disjoint document ranges; the oracle replays the full template
+    // offset arithmetic and pins that the mask is the LAST assistant
+    // span (the branch), never the prefix assistant turn
+    "dpo_render_conversation" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val prefix = docs.filter(col("doc_id") < 40).select(
+        pmod(col("doc_id"), lit(10L)).as("conv_id"),
+        floor(col("doc_id") / 10).cast("int").as("turn_no"),
+        when(floor(col("doc_id") / 10) === 1, "assistant")
+          .when(floor(col("doc_id") / 10) === 2, "tool")
+          .otherwise("user").as("role"),
+        col("text").as("content"))
+      val pairsDf = docs.filter(col("doc_id") >= 100 && col("doc_id") < 110)
+        .select((col("doc_id") - 100).as("conv_id"), col("text").as("chosen"))
+        .join(docs.filter(col("doc_id") >= 110 && col("doc_id") < 120)
+          .select((col("doc_id") - 110).as("conv_id"), col("text").as("rejected")),
+          Seq("conv_id"))
+      Preference.dpoRenderConversation(
+        prefix, "conv_id", "turn_no", "role", "content",
+        pairsDf, "chosen", "rejected")
+        .orderBy(col("conv_id"))
+    },
     // --- semantic decontamination report: every corpus vector's best
     // benchmark match at cosine >= 0.999 (bench = every 17th vector, so
     // the planted self-matches at cosine 1 MUST flag)
@@ -796,6 +820,49 @@ object AlignQueries {
         |  CASE WHEN total_chars > 0 THEN round(achars / total_chars, 6) END
         |    AS assistant_char_frac
         |FROM agg a LEFT JOIN shape USING (conv_id) ORDER BY a.conv_id""".stripMargin,
+    // multi-turn DPO render: the chat_sft_render offset arithmetic over
+    // prefix + branch turns; the branch is the LAST segment, so its mask
+    // is (total − branch_len + 12 + 9 + 1, total − 1)
+    "dpo_render_conversation" ->
+      """WITH pre AS (
+        |  SELECT doc_id % 10 AS conv_id, CAST(doc_id // 10 AS INT) AS turn_no,
+        |    CASE WHEN doc_id // 10 = 1 THEN 'assistant'
+        |         WHEN doc_id // 10 = 2 THEN 'tool' ELSE 'user' END AS role,
+        |    regexp_replace(text, '^[ \t\n\x0b\f\r]+', '') AS content
+        |  FROM documents WHERE doc_id < 40),
+        |br AS (
+        |  SELECT doc_id - 100 AS conv_id, 4 AS turn_no, 'assistant' AS role,
+        |    'chosen' AS branch,
+        |    regexp_replace(text, '^[ \t\n\x0b\f\r]+', '') AS content
+        |  FROM documents WHERE doc_id >= 100 AND doc_id < 110
+        |  UNION ALL
+        |  SELECT doc_id - 110, 4, 'assistant', 'rejected',
+        |    regexp_replace(text, '^[ \t\n\x0b\f\r]+', '')
+        |  FROM documents WHERE doc_id >= 110 AND doc_id < 120),
+        |allt AS (
+        |  SELECT conv_id, branch, turn_no, role, content FROM br
+        |  UNION ALL
+        |  SELECT p.conv_id, b.branch, p.turn_no, p.role, p.content
+        |  FROM pre p CROSS JOIN (SELECT unnest(['chosen', 'rejected']) AS branch) b),
+        |seg AS (SELECT *,
+        |    CAST(12 + length(role) + 1 + length(content) + 10 + 1 AS BIGINT) AS len,
+        |    '<|im_start|>' || role || chr(10) || content || '<|im_end|>' || chr(10) AS s
+        |  FROM allt),
+        |conv AS (SELECT conv_id, branch,
+        |    string_agg(s, '' ORDER BY turn_no) AS text,
+        |    CAST(sum(len) AS BIGINT) AS total,
+        |    CAST(max(CASE WHEN turn_no = 4 THEN len END) AS BIGINT) AS blen
+        |  FROM seg GROUP BY 1, 2)
+        |SELECT ch.conv_id,
+        |  ch.text AS chosen_text,
+        |  ch.total - ch.blen + 22 AS chosen_mask_start,
+        |  ch.total - 1 AS chosen_mask_end,
+        |  rj.text AS rejected_text,
+        |  rj.total - rj.blen + 22 AS rejected_mask_start,
+        |  rj.total - 1 AS rejected_mask_end
+        |FROM conv ch JOIN conv rj
+        |  ON ch.conv_id = rj.conv_id AND ch.branch = 'chosen' AND rj.branch = 'rejected'
+        |ORDER BY ch.conv_id""".stripMargin,
     // RETRO neighbors at nprobe = nlist: brute cosine over different-doc
     // pairs, rank by (cosine DESC, id)
     "cross_doc_neighbors_exact" ->

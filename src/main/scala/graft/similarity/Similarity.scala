@@ -367,10 +367,15 @@ object Similarity {
     * SCALE (N ≥ 100k): the pool target is PRIMARY —
     * `nprobe = max(8, ceil(cells · 240·k / N))`, i.e. an expected ~240·k
     * verified candidates per query, floored at [[IvfScaleMinProbes]]
-    * cells. The r14 review showed the fractional floor is the wrong
-    * branch to keep at scale: cells/3 with the 4096-cell nlist cap means
-    * every auto query scans ≥ N/3 candidates — brute force with extra
-    * steps — and corpus-as-queries ops go Θ(N²/3). Real embedding
+    * cells. At the auto nlist (≈√N, capped 4096) one cell already holds
+    * ≥ √N ≥ 316 rows, so the 8-cell floor is the operative term — the
+    * byK top-up engages when a caller provisions cells finer than
+    * ~N/300 (e.g. an explicit nlist=4096 on a 200k corpus → 50 probes,
+    * keeping the candidate pool from starving). The r14 review showed
+    * the old FRACTIONAL floor is the wrong branch to keep at scale:
+    * cells/3 with the 4096-cell nlist cap means every auto query scans
+    * ≥ N/3 candidates — brute force with extra steps — and
+    * corpus-as-queries ops go Θ(N²/3). Real embedding
     * corpora cluster (the property IVF exists to exploit); the scale
     * default is calibrated on the clustered planted harness
     * (`ann_ivf_scale_policy`, recall bound 0.85) rather than the

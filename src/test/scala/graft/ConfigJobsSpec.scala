@@ -1352,6 +1352,40 @@ class ConfigJobsSpec extends AnyFunSuite {
       Context(cfgFor("nonsense", "x"), spark), "alignment").nonEmpty)
   }
 
+  test("alignment dpo-render-conversation catalog job: prefix + branch, branch-only mask") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-dpoconv-jobs").toString
+    Seq((1L, 0, "user", "q"), (1L, 1, "assistant", "call"), (1L, 2, "tool", "{}"))
+      .toDF("conv_id", "turn_no", "role", "content")
+      .write.mode("overwrite").parquet(s"$work/convs")
+    Seq((1L, "good", "bad")).toDF("conv_id", "chosen", "rejected")
+      .write.mode("overwrite").parquet(s"$work/pairs")
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Map("jobs" -> List(
+        Map("name" -> "alignment", "fail_fast" -> true, "stages" -> List(
+          Map("name" -> "render", "tasks" -> List(
+            Map("name" -> "dpo-render-conversation"))))))),
+      "data_catalog" -> Map(
+        "raw" -> Map("conversations" -> s"$work/convs"),
+        "processed" -> Map(
+          "preference_pairs" -> s"$work/pairs",
+          "dpo_conv_rows" -> s"$work/out")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(Context(cfg, spark), "alignment").isEmpty)
+    val r = spark.read.parquet(s"$work/out").head()
+    val ct = r.getAs[String]("chosen_text")
+    assert(ct ===
+      "<|im_start|>user\nq<|im_end|>\n" +
+      "<|im_start|>assistant\ncall<|im_end|>\n" +
+      "<|im_start|>tool\n{}<|im_end|>\n" +
+      "<|im_start|>assistant\ngood<|im_end|>\n")
+    assert(ct.substring(
+      r.getAs[Long]("chosen_mask_start").toInt,
+      r.getAs[Long]("chosen_mask_end").toInt) === "good<|im_end|>")
+  }
+
   test("alignment align-data-card catalog job: hand-computed release card") {
     val spark = SparkSpec.session
     import spark.implicits._

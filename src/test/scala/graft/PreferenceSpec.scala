@@ -298,6 +298,55 @@ class PreferenceSpec extends SparkSpec {
     assert(rt.substring(rs.toInt, re.toInt) === "bad<|im_end|>")
   }
 
+  test("dpoRenderConversation: multi-turn prefix incl. tool turns, mask on the branch only") {
+    val prefix = Seq(
+      (1L, 0, "user", "fetch the report"),
+      (1L, 1, "assistant", "calling tool"),
+      (1L, 2, "tool", "{\"rows\": 3}"),
+      (1L, 3, "user", "summarize"),
+      // conv 2 has NO prefix turns -> pair renders as the bare branch
+      (3L, 0, "user", "unpaired — dropped"))
+      .toDF("conv_id", "turn_no", "role", "content")
+    val pairs = Seq(
+      (1L, "three rows found", "no idea"),
+      (2L, "standalone good", "standalone bad"))
+      .toDF("conv_id", "chosen", "rejected")
+    val out = Preference.dpoRenderConversation(
+      prefix, "conv_id", "turn_no", "role", "content", pairs, "chosen", "rejected")
+      .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
+    assert(out.keySet === Set(1L, 2L)) // conv 3 has no pair row
+    val c1 = out(1L)
+    val ct = c1.getAs[String]("chosen_text")
+    assert(ct ===
+      "<|im_start|>user\nfetch the report<|im_end|>\n" +
+      "<|im_start|>assistant\ncalling tool<|im_end|>\n" +
+      "<|im_start|>tool\n{\"rows\": 3}<|im_end|>\n" +
+      "<|im_start|>user\nsummarize<|im_end|>\n" +
+      "<|im_start|>assistant\nthree rows found<|im_end|>\n")
+    // the mask covers ONLY the branch completion — the prefix assistant
+    // turn ("calling tool") is conditioned-on context, not the completion
+    val (cs, ce) = (c1.getAs[Long]("chosen_mask_start"), c1.getAs[Long]("chosen_mask_end"))
+    assert(ct.substring(cs.toInt, ce.toInt) === "three rows found<|im_end|>")
+    val rt = c1.getAs[String]("rejected_text")
+    val (rs, re) = (c1.getAs[Long]("rejected_mask_start"), c1.getAs[Long]("rejected_mask_end"))
+    assert(rt.substring(rs.toInt, re.toInt) === "no idea<|im_end|>")
+    assert(rt.startsWith("<|im_start|>user\nfetch the report")) // shared prefix
+    // empty prefix: the pair renders as a single assistant turn
+    val c2 = out(2L)
+    assert(c2.getAs[String]("chosen_text") ===
+      "<|im_start|>assistant\nstandalone good<|im_end|>\n")
+    // duplicate pair rows for one conversation raise loudly
+    val dup = pairs.unionByName(Seq((1L, "x", "y")).toDF("conv_id", "chosen", "rejected"))
+    val e = intercept[Exception] {
+      Preference.dpoRenderConversation(
+        prefix, "conv_id", "turn_no", "role", "content", dup, "chosen", "rejected")
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("one pair row per conversation")), msgs(e).mkString("; "))
+  }
+
   test("dpoRender raises loudly on a duplicate pair id instead of merging pairs") {
     // a pairs table keyed by prompt_id under 'best-vs-rest' has multiple
     // pairs per key — the silent-collapse failure ADVICE r14 named
