@@ -649,8 +649,8 @@ object Preference {
         count(lit(1)).as("__n"),
         countDistinct(col(promptCol)).as("__np"),
         round(avg(col(marginCol)), 6).as("__mean"),
-        round(expr(s"percentile($marginCol, 0.5)"), 6).as("__p50"),
-        round(expr(s"percentile($marginCol, 0.9)"), 6).as("__p90"))
+        round(percentile(col(marginCol), lit(0.5)), 6).as("__p50"),
+        round(percentile(col(marginCol), lit(0.9)), 6).as("__p90"))
       .select(explode(array(
         row("pairs", lit("n_pairs"), col("__n"), col("__n")),
         row("pairs", lit("n_prompts"), col("__np"), col("__np")),
@@ -728,13 +728,17 @@ object Preference {
       .agg(side("chosen").as("__c"), side("rejected").as("__r"),
         count(when(col("__conv").getField("branch") === "chosen", lit(1)))
           .as("__n_pairs"))
+      // the guard rides a FILTER, not a projected column: column pruning
+      // would silently drop a guard attached to an output a consumer
+      // doesn't read (e.g. selecting only the rejected side)
+      .filter(when(col("__n_pairs") > 1, raise_error(concat(
+        lit(s"dpoRender: $pairIdCol value "), col(pairIdCol).cast("string"),
+        lit(" identifies "), col("__n_pairs").cast("string"),
+        lit(" pairs — pairIdCol must be unique per pair"))).cast("boolean"))
+        .otherwise(lit(true)))
       .select(
         col(pairIdCol),
-        when(col("__n_pairs") > 1, raise_error(concat(
-          lit(s"dpoRender: $pairIdCol value "), col(pairIdCol).cast("string"),
-          lit(" identifies "), col("__n_pairs").cast("string"),
-          lit(" pairs — pairIdCol must be unique per pair"))))
-          .otherwise(col("__c.t")).as("chosen_text"),
+        col("__c.t").as("chosen_text"),
         col("__c.sp.mask_start").as("chosen_mask_start"),
         col("__c.sp.mask_end").as("chosen_mask_end"),
         col("__r.t").as("rejected_text"),
@@ -817,14 +821,16 @@ object Preference {
       .agg(side("chosen").as("__c"), side("rejected").as("__r"),
         count(when(col("__conv").getField("branch") === "chosen", lit(1)))
           .as("__n_pairs"))
+      // filter-borne guard — survives column pruning (see dpoRender)
+      .filter(when(col("__n_pairs") > 1, raise_error(concat(
+        lit(s"dpoRenderConversation: $convCol value "),
+        col(convCol).cast("string"),
+        lit(" identifies "), col("__n_pairs").cast("string"),
+        lit(" pairs — one pair row per conversation"))).cast("boolean"))
+        .otherwise(lit(true)))
       .select(
         col(convCol),
-        when(col("__n_pairs") > 1, raise_error(concat(
-          lit(s"dpoRenderConversation: $convCol value "),
-          col(convCol).cast("string"),
-          lit(" identifies "), col("__n_pairs").cast("string"),
-          lit(" pairs — one pair row per conversation"))))
-          .otherwise(col("__c.t")).as("chosen_text"),
+        col("__c.t").as("chosen_text"),
         col("__c.sp.mask_start").as("chosen_mask_start"),
         col("__c.sp.mask_end").as("chosen_mask_end"),
         col("__r.t").as("rejected_text"),

@@ -264,9 +264,14 @@ object TfRecord {
     * float/double — narrowed to float32, the proto's width). Null cells
     * skip their feature.
     *
-    * Overwrite semantics: any `shard-*.tfrecord` already under `dir` is
-    * deleted first, so a re-export with fewer rows/partitions can't leave
-    * stale shards for `readShards` to mix into the result. */
+    * Overwrite semantics, WRITE-THEN-PUBLISH: shards are written to a
+    * hidden staging subdir first; only after the whole job succeeds are
+    * the old `shard-*.tfrecord` files deleted and the new ones moved
+    * into place. A re-export with fewer rows/partitions can't leave
+    * stale shards for `readShards` to mix in, a mid-job failure leaves
+    * the previous export intact, and a pipeline whose INPUT reads from
+    * the same directory still sees the old files while the job runs
+    * (`readShards` skips the staging subdir — it lists files only). */
   def writeShards(
       df: DataFrame,
       dir: String,
@@ -274,13 +279,6 @@ object TfRecord {
       rowsPerShard: Int = 1000): Unit = {
     require(contentCols.nonEmpty, "writeShards needs at least one content column")
     require(rowsPerShard > 0, s"rowsPerShard must be > 0, got $rowsPerShard")
-    locally {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-      if (fs.exists(p))
-        Option(fs.globStatus(new org.apache.hadoop.fs.Path(p, "shard-*.tfrecord")))
-          .toSeq.flatten.foreach(st => fs.delete(st.getPath, false))
-    }
     val kinds: Seq[Int] = contentCols.map { c =>
       df.schema(c).dataType match {
         case StringType                                      => 0
@@ -306,7 +304,8 @@ object TfRecord {
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
       b.result()
     }
-    val dirStr = dir
+    val stagingName = s".staging-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dirStr = s"$dir/$stagingName"
     val perShard = rowsPerShard
     val written = projected.queryExecution.toRdd.mapPartitionsWithIndex { (pid, it) =>
       val c = new org.apache.hadoop.conf.Configuration(false)
@@ -346,6 +345,16 @@ object TfRecord {
       Iterator.single(n)
     }.sum()
     require(written >= 0) // forces the job
+    // publish: the job succeeded — swap the old shards for the staged ones
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val staging = new org.apache.hadoop.fs.Path(dir, stagingName)
+    val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "shard-*.tfrecord")))
+      .toSeq.flatten.foreach(st => fs.delete(st.getPath, false))
+    Option(fs.listStatus(staging)).toSeq.flatten.filter(_.isFile)
+      .foreach(st => fs.rename(st.getPath,
+        new org.apache.hadoop.fs.Path(root, st.getPath.getName)))
+    fs.delete(staging, true)
   }
 
   // ------------------------------------------------------------- the read

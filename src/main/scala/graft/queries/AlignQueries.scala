@@ -230,7 +230,9 @@ object AlignQueries {
     // (the agentic-trace shape): without the tool exemption those convs
     // would flip ends_with_assistant AND strict_alternation to false —
     // both flags are canaries that tool turns stay out of the shape
-    // checks while counting toward n_tool/total_chars
+    // checks while counting toward n_tool/total_chars. Their trailing
+    // position also pins dangling_tool = true (the truncation canary
+    // the exemption must not launder); every other conv reads false
     "conversation_stats" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val turn = floor(col("doc_id") / 20).cast("int")
@@ -804,6 +806,7 @@ object AlignQueries {
         |    CAST(sum(CASE WHEN r = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
         |    CAST(sum(CASE WHEN r = 'system' THEN 1 ELSE 0 END) AS BIGINT) AS n_system,
         |    CAST(sum(CASE WHEN r = 'tool' THEN 1 ELSE 0 END) AS BIGINT) AS n_tool,
+        |    arg_max(r, t) FILTER (WHERE r <> 'system') = 'tool' AS dangling_tool,
         |    CAST(sum(len) AS BIGINT) AS total_chars,
         |    CAST(sum(CASE WHEN r = 'assistant' THEN len ELSE 0 END) AS BIGINT) AS achars
         |  FROM base GROUP BY 1),
@@ -816,7 +819,8 @@ object AlignQueries {
         |    sum(CASE WHEN r = prev THEN 1 ELSE 0 END) = 0 AS strict_alternation
         |  FROM ns GROUP BY 1)
         |SELECT a.conv_id, n_turns, n_user, n_assistant, n_system, n_tool,
-        |  starts_with_user, ends_with_assistant, strict_alternation, total_chars,
+        |  starts_with_user, ends_with_assistant, strict_alternation,
+        |  dangling_tool, total_chars,
         |  CASE WHEN total_chars > 0 THEN round(achars / total_chars, 6) END
         |    AS assistant_char_frac
         |FROM agg a LEFT JOIN shape USING (conv_id) ORDER BY a.conv_id""".stripMargin,

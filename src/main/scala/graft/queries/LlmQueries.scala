@@ -787,12 +787,21 @@ object LlmQueries {
           concat(col("a.text"), lit(" "), col("b.text")).as("text"))
       val modelDir = "/tmp/graft_io/global/lang_clf_v1"
       if (!new java.io.File(s"$modelDir/_STAGED").exists()) {
-        // small frame, few partitions: every LR iteration is one job
+        // small frame, few partitions: every LR iteration is one job.
+        // Concurrency-safe publish: train into a UNIQUE dir, then
+        // atomically rename into place — a second JVM racing past the
+        // marker check can't overwrite a model another process is
+        // loading (rename fails if the destination appeared; the loser
+        // discards its copy and uses the winner's)
         val train = seeds.select(col("lang"), col("text"))
           .unionByName(recombine(1).drop("phrase_no")).repartition(4)
         val model = graft.text.LangClassifier.train(train, "text", "lang",
           numFeatures = 1 << 16, maxIter = 30)
-        graft.text.LangClassifier.saveModel(model, s"$modelDir/model")
+        val tmp = s"$modelDir/.model-${java.util.UUID.randomUUID().toString.take(8)}"
+        graft.text.LangClassifier.saveModel(model, tmp)
+        val moved = new java.io.File(tmp).renameTo(new java.io.File(s"$modelDir/model"))
+        if (!moved) // lost the race: a complete model is already there
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
         new java.io.File(s"$modelDir/_STAGED").createNewFile()
       }
       val model = graft.text.LangClassifier.loadModel(s"$modelDir/model")

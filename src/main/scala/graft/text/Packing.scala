@@ -184,9 +184,17 @@ object Packing {
       maskCol: String): DataFrame =
     df.select(
       col(idCol),
-      when(size(col(tokensCol)) === size(col(maskCol)),
-        zip_with(col(tokensCol), col(maskCol),
-          (t, m) => struct(t.as("t"), m.as("m"))))
+      // a NULL array must raise too, not just a length mismatch: under
+      // non-ANSI size(null) = -1 on BOTH sides passes the equality,
+      // emits a null pair array, and silently shifts every later
+      // document's offsets in the shard by -1
+      when(col(tokensCol).isNull || col(maskCol).isNull,
+        raise_error(concat(
+          lit(s"materialize with masks: null '$tokensCol'/'$maskCol' "),
+          lit(s"for $idCol "), col(idCol).cast("string"))))
+        .when(size(col(tokensCol)) === size(col(maskCol)),
+          zip_with(col(tokensCol), col(maskCol),
+            (t, m) => struct(t.as("t"), m.as("m"))))
         .otherwise(raise_error(concat(
           lit(s"materialize with masks: '$maskCol' length "),
           size(col(maskCol)).cast("string"),
@@ -622,15 +630,19 @@ object Packing {
     * exemption: agentic SFT traces run user → assistant → tool →
     * assistant → …, which a strict user↔assistant alternation check
     * would flag wholesale; tool turns count toward `n_tool`/
-    * `total_chars` and stay out of the shape checks. Turn numbers must
-    * be unique per conversation.
+    * `total_chars` and stay out of the shape checks. The exemption must
+    * not LAUNDER truncation, though: a trace cut off after a tool
+    * result (assistant tool-call with no final answer) would otherwise
+    * pass every flag — `dangling_tool` reports whether the
+    * conversation's actual last non-system turn is a tool turn, so QA
+    * can drop those. Turn numbers must be unique per conversation.
     *
     * Scale shape: one keyed lag window over the non-system/non-tool
     * turns (turn order within a conversation — never global) + two
     * per-conversation aggregates joined on the conversation key.
     * Output: convCol, n_turns, n_user, n_assistant, n_system, n_tool,
     * starts_with_user, ends_with_assistant, strict_alternation,
-    * total_chars, assistant_char_frac. */
+    * dangling_tool, total_chars, assistant_char_frac. */
   def conversationStats(
       turns: DataFrame,
       convCol: String,
@@ -647,6 +659,10 @@ object Packing {
       sum(when(col("__r") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
       sum(when(col("__r") === "system", 1L).otherwise(0L)).as("n_system"),
       sum(when(col("__r") === "tool", 1L).otherwise(0L)).as("n_tool"),
+      // the truncation canary: the LAST non-system turn (tool included)
+      (max(when(col("__r") =!= "system",
+        struct(col("__t").as("t"), col("__r").as("r")))).getField("r")
+        === "tool").as("dangling_tool"),
       coalesce(sum(col("__len")), lit(0L)).as("total_chars"),
       coalesce(sum(when(col("__r") === "assistant", col("__len"))
         .otherwise(0L)), lit(0L)).as("__achars"))
@@ -665,7 +681,7 @@ object Packing {
       .select(col(convCol), col("n_turns"), col("n_user"), col("n_assistant"),
         col("n_system"), col("n_tool"),
         col("starts_with_user"), col("ends_with_assistant"),
-        col("strict_alternation"), col("total_chars"),
+        col("strict_alternation"), col("dangling_tool"), col("total_chars"),
         when(col("total_chars") > 0,
           round(col("__achars") / col("total_chars"), 6))
           .as("assistant_char_frac"))

@@ -145,13 +145,26 @@ class PackingCorpusSpec extends SparkSpec {
     assert(maskedStream.toSeq === Seq("a3", "a4", "a5", "a6", "b1"))
     // a tokens/mask length mismatch raises loudly at execution
     val bad = Seq((0L, Seq("a", "b"), Seq(true))).toDF("doc_id", "tokens", "mask")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     val e = intercept[Exception] {
       graft.text.Packing.materializePackedWithMasks(
         bad, "doc_id", "tokens", "mask", 4, 1).collect()
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("length")), msgs(e).mkString("; "))
+    // a NULL array raises too — under non-ANSI size(null) = -1 on both
+    // sides would pass the length equality and silently shift every
+    // later doc's offsets in the shard
+    val withNull = Seq(
+      (0L, Some(Seq("a")), Some(Seq(true))),
+      (1L, None: Option[Seq[String]], None: Option[Seq[Boolean]]),
+      (2L, Some(Seq("b")), Some(Seq(false))))
+      .toDF("doc_id", "tokens", "mask")
+    val e2 = intercept[Exception] {
+      graft.text.Packing.materializePackedWithMasks(
+        withNull, "doc_id", "tokens", "mask", 4, 1).collect()
+    }
+    assert(msgs(e2).exists(_.contains("null")), msgs(e2).mkString("; "))
   }
 
   test("materializeNoSplitWithMasks: truncated doc keeps the prefix of BOTH arrays") {
@@ -923,7 +936,12 @@ class PackingCorpusSpec extends SparkSpec {
       (2L, 1, "assistant", "call"),
       (2L, 2, "tool", "{\"r\":3}"),
       (2L, 3, "user", "more"),
-      (2L, 4, "assistant", "done"))
+      (2L, 4, "assistant", "done"),
+      // conv 3: truncated agentic trace — cut off after the tool result,
+      // no final assistant answer
+      (3L, 0, "user", "q"),
+      (3L, 1, "assistant", "call"),
+      (3L, 2, "tool", "{\"r\":4}"))
       .toDF("conv_id", "turn_no", "role", "content")
     val out = Packing.conversationStats(turns, "conv_id", "turn_no", "role", "content")
       .collect().map(r => r.getAs[Long]("conv_id") -> r).toMap
@@ -935,12 +953,20 @@ class PackingCorpusSpec extends SparkSpec {
     // the exemption removes tool turns from the check, it does not
     // launder a missing user turn
     assert(!c1.getAs[Boolean]("strict_alternation"))
+    assert(!c1.getAs[Boolean]("dangling_tool")) // real last turn is assistant
     assert(c1.getAs[Long]("total_chars") ===
       1 + 4 + 7 + 7 + 6) // tool chars count toward the mass
     val c2 = out(2L)
     assert(c2.getAs[Long]("n_tool") === 1)
     assert(c2.getAs[Boolean]("strict_alternation")) // u,a,u,a after exemption
     assert(c2.getAs[Boolean]("ends_with_assistant"))
+    assert(!c2.getAs[Boolean]("dangling_tool"))
+    // the truncation canary: the exemption makes ends_with_assistant
+    // TRUE for conv 3 (u,a tool-free), so dangling_tool is what
+    // catches the unanswered tool result
+    val c3 = out(3L)
+    assert(c3.getAs[Boolean]("ends_with_assistant"))
+    assert(c3.getAs[Boolean]("dangling_tool"))
   }
 
   test("renderChatTemplate: tool turns render generically and stay unmasked") {

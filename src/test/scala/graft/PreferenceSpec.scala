@@ -340,7 +340,7 @@ class PreferenceSpec extends SparkSpec {
     val e = intercept[Exception] {
       Preference.dpoRenderConversation(
         prefix, "conv_id", "turn_no", "role", "content", dup, "chosen", "rejected")
-        .collect()
+        .select("rejected_text").collect() // pruning must not drop the guard
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
@@ -354,12 +354,20 @@ class PreferenceSpec extends SparkSpec {
       (7L, "hi", "best", "bad1"),
       (7L, "hi", "best", "bad2"))
       .toDF("pair_id", "prompt", "chosen", "rejected")
+    // select ONLY the rejected side: the guard must survive column
+    // pruning (it rides a filter, not the chosen_text projection)
     val e = intercept[Exception] {
-      Preference.dpoRender(pairs, "pair_id", "prompt", "chosen", "rejected").collect()
+      Preference.dpoRender(pairs, "pair_id", "prompt", "chosen", "rejected")
+        .select("rejected_text").collect()
     }
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("pairIdCol must be unique")), msgs(e).mkString("; "))
+    // even a bare count must raise
+    val e2 = intercept[Exception] {
+      Preference.dpoRender(pairs, "pair_id", "prompt", "chosen", "rejected").count()
+    }
+    assert(msgs(e2).exists(_.contains("pairIdCol must be unique")), msgs(e2).mkString("; "))
   }
 
   test("semantic decontamination: flags cosine twins of the benchmark, keeps the rest") {

@@ -73,6 +73,20 @@ class TfRecordSpec extends SparkSpec {
       Seq("doc_id" -> "long", "text" -> "string"))
     assert(back.count() === 3)
     assert(back.select($"text").as[String].collect().toSet === Set("s0", "s1", "s2"))
+    // SELF-REFERENTIAL re-export: input reads the very directory being
+    // overwritten — write-then-publish means the job still sees the old
+    // shards while running (a delete-first writer would destroy its own
+    // input and export zero rows)
+    val selfRef = TfRecord.readExamples(spark, Seq(s"$dir/out"),
+      Seq("doc_id" -> "long", "text" -> "string"))
+      .filter($"doc_id" < 2)
+      .select($"doc_id", $"text")
+    TfRecord.writeShards(selfRef, s"$dir/out", Seq("doc_id", "text"))
+    val after = TfRecord.readExamples(spark, Seq(s"$dir/out"),
+      Seq("doc_id" -> "long", "text" -> "string"))
+    assert(after.select($"text").as[String].collect().toSet === Set("s0", "s1"))
+    // no staging leftovers
+    assert(!new java.io.File(s"$dir/out").listFiles().exists(_.getName.startsWith(".staging")))
   }
 
   test("empty numeric lists on the wire decode as null, like absent features") {
