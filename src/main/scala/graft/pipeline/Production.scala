@@ -922,6 +922,42 @@ object Production {
         ctx.dataPath("processed.packed_bins"))
     }
 
+    // mask-carrying trainer artifacts: packed sequences / no-split bins
+    // whose rows carry ALIGNED (tokens, loss_mask) arrays — the input is
+    // the chat-mask zone (chatTokenLossMask output: token_ids +
+    // loss_mask per document), the output is what an SFT loader reads
+    Jobs.register("tokenizer", "materialize-masked") { (ctx, params) =>
+      val s = ctx.spark
+      val idCol = params.getOrElse("id_col", "conv_id").toString
+      val ctxTokens = params.getOrElse("ctx_tokens", "2048").toString.toInt
+      val nShards = params.getOrElse("n_shards", "64").toString.toInt
+      val masked = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "processed.chat_masked").toString)))
+      save(ctx,
+        graft.text.Packing.materializePackedWithMasks(masked, idCol,
+          params.getOrElse("tokens_col", "token_ids").toString,
+          params.getOrElse("mask_col", "loss_mask").toString,
+          ctxTokens, nShards),
+        ctx.dataPath(params.getOrElse("output",
+          "processed.packed_masked_sequences").toString))
+    }
+
+    Jobs.register("tokenizer", "materialize-no-split-masked") { (ctx, params) =>
+      val s = ctx.spark
+      val idCol = params.getOrElse("id_col", "conv_id").toString
+      val ctxTokens = params.getOrElse("ctx_tokens", "2048").toString.toInt
+      val nShards = params.getOrElse("n_shards", "64").toString.toInt
+      val masked = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "processed.chat_masked").toString)))
+      save(ctx,
+        graft.text.Packing.materializeNoSplitWithMasks(masked, idCol,
+          params.getOrElse("tokens_col", "token_ids").toString,
+          params.getOrElse("mask_col", "loss_mask").toString,
+          ctxTokens, nShards),
+        ctx.dataPath(params.getOrElse("output",
+          "processed.packed_masked_bins").toString))
+    }
+
     // the interleaved VLM lifecycle as catalog stages: plan asset slots
     // over the tokenized zone (raw.assets carries one row per media asset
     // with its in-text position and patch-token budget), then materialize
@@ -1413,7 +1449,9 @@ object Production {
           params.getOrElse("doc_col", "doc_id").toString,
           params.getOrElse("k", "10").toString.toInt,
           params.getOrElse("nlist", "0").toString.toInt,
-          params.getOrElse("nprobe", "0").toString.toInt),
+          params.getOrElse("nprobe", "0").toString.toInt,
+          hierarchical =
+            params.getOrElse("hierarchical", "true").toString.toBoolean),
         ctx.dataPath(params.getOrElse("output", "processed.retrieval_neighbors").toString))
     }
 

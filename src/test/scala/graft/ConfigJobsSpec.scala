@@ -1386,6 +1386,46 @@ class ConfigJobsSpec extends AnyFunSuite {
       r.getAs[Long]("chosen_mask_end").toInt) === "good<|im_end|>")
   }
 
+  test("tokenizer materialize-masked catalog jobs: masks ride through both layouts") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft-maskmat-jobs").toString
+    // doc 0 wraps the ctx-4 sequence boundary; its mask must split with it
+    Seq(
+      (0L, Seq(1, 2, 3, 4, 5, 6), Seq(false, false, true, true, true, true)),
+      (1L, Seq(7, 8), Seq(true, false)))
+      .toDF("conv_id", "token_ids", "loss_mask")
+      .write.mode("overwrite").parquet(s"$work/masked")
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Map("jobs" -> List(
+        Map("name" -> "tokenizer", "fail_fast" -> true, "stages" -> List(
+          Map("name" -> "mat", "tasks" -> List(
+            Map("name" -> "materialize-masked",
+              "params" -> Map("ctx_tokens" -> "4", "n_shards" -> "1")),
+            Map("name" -> "materialize-no-split-masked",
+              "params" -> Map("ctx_tokens" -> "4", "n_shards" -> "1")))))))),
+      "data_catalog" -> Map(
+        "processed" -> Map(
+          "chat_masked" -> s"$work/masked",
+          "packed_masked_sequences" -> s"$work/seqs",
+          "packed_masked_bins" -> s"$work/bins")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(Context(cfg, spark), "tokenizer").isEmpty)
+    val seqs = spark.read.parquet(s"$work/seqs").orderBy("seq_id").collect()
+      .map(r => (r.getAs[scala.collection.Seq[Int]]("token_ids"),
+        r.getAs[scala.collection.Seq[Boolean]]("loss_mask")))
+    assert(seqs.toSeq === Seq(
+      (Seq(1, 2, 3, 4), Seq(false, false, true, true)),
+      (Seq(5, 6, 7, 8), Seq(true, true, true, false))))
+    val bins = spark.read.parquet(s"$work/bins").orderBy("bin_id").collect()
+      .map(r => (r.getAs[scala.collection.Seq[Int]]("token_ids"),
+        r.getAs[scala.collection.Seq[Boolean]]("loss_mask")))
+    assert(bins.toSeq === Seq(
+      (Seq(1, 2, 3, 4), Seq(false, false, true, true)), // truncated prefix
+      (Seq(7, 8), Seq(true, false))))
+  }
+
   test("alignment align-data-card catalog job: hand-computed release card") {
     val spark = SparkSpec.session
     import spark.implicits._
