@@ -516,7 +516,7 @@ object Similarity {
     * growing with the nlist cap. Recall cost of the pruning is measured
     * on the clustered planted harness
     * ([[graft.tools.Recall]] `retrieval_neighbors_hierarchical`:
-    * 0.94–0.95 across runs — the init partitioning perturbs the
+    * 0.93–0.95 across runs — the init partitioning perturbs the
     * super-fit slightly — vs 0.986 single-level at the same nprobe,
     * bound 0.85; the [[IvfSuperProbeFloor]] of 6 is what holds it, at
     * floor 4 it measured 0.866).
@@ -908,7 +908,7 @@ object Similarity {
     * window; with `hierarchical` (the default) it routes through the
     * two-level quantizer once nlist ≥ 128 and probes ≤ nlist/8, cutting
     * the per-chunk centroid scan from nlist to ~(1+s)·√nlist at a
-    * measured recall cost of ~0.94–0.95 vs 0.986 single-level on the
+    * measured recall cost of ~0.93–0.95 vs 0.986 single-level on the
     * planted clustered harness — pass `hierarchical = false` to keep
     * the exact flat probe ranking a tuned (nlist, nprobe) was
     * calibrated against. At `nprobe = nlist` the result is exact and

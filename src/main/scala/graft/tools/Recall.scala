@@ -346,6 +346,24 @@ object Recall {
       bigBrute.size, (bigBrute & bigIvf).size, 0.85,
       "auto nlist=346/nprobe=8 at N=120k (SCALE branch: pool-targeted byK, floor 8) on the overlapping 256-cluster planted corpus vs exact top-10")
 
+    // the same policy on a SECOND distribution shape — Zipf-mass
+    // clusters (a few huge + a long tail, the web-corpus shape) — so
+    // the calibration isn't a fact about one synthetic: heavily
+    // unbalanced cells are the case where a fixed probe count could
+    // starve queries landing in mega-clusters
+    val bigZ = clusteredCorpus(spark, n = 120000L, dims = 32, clusters = 256,
+      noise = 1.0, zipfMass = true)
+    val bigZQ = bigZ.filter(col("vec_id") < 50)
+    val bigZBrute = pairSet(
+      Similarity.cosineTopK(bigZ, bigZQ, "vec_id", "vec", "vec_id", 10),
+      "query_id", "vec_id")
+    val bigZIvf = pairSet(
+      Similarity.ivfCosineTopK(bigZ, bigZQ, "vec_id", "vec", "vec_id", 10),
+      "query_id", "vec_id")
+    entries += Entry("ann_ivf_scale_policy_zipf", recallOf(bigZBrute, bigZIvf),
+      bigZBrute.size, (bigZBrute & bigZIvf).size, 0.85,
+      "the same auto SCALE point on Zipf-mass clusters (few huge + long tail) vs exact top-10")
+
     // --- hierarchical probe ranking (r15): retrievalNeighbors routes
     // centroid selection through the two-level quantizer once nlist >=
     // 128 and probes <= nlist/8 — measure what the super-cell pruning
@@ -382,15 +400,24 @@ object Recall {
     * (at noise 0.35 every recall measured exactly 1.0). */
   private[graft] def clusteredCorpus(
       spark: SparkSession, n: Long, dims: Int, clusters: Int,
-      noise: Double): DataFrame = {
+      noise: Double, zipfMass: Boolean = false): DataFrame = {
     def frac(a: Column): Column = {
       val h = sin(a) * lit(43758.5453123)
       h - floor(h)
     }
     def u11(a: Column): Column = frac(a) * lit(2.0) - lit(1.0)
+    // equal-mass: uniform hash over cluster ids. Zipf-mass: exponential
+    // transform of the same uniform draw — a few huge clusters plus a
+    // long tail, the web-corpus shape
+    val u = (pmod(xxhash64(col("id")), lit(1000000L)).cast("double") +
+      lit(0.5)) / lit(1000000.0)
+    val cluster =
+      if (zipfMass)
+        least(lit((clusters - 1).toLong),
+          floor(-log(u) * lit(clusters / 6.0)).cast("long"))
+      else pmod(xxhash64(col("id")), lit(clusters.toLong))
     spark.range(n)
-      .select(col("id").as("vec_id"),
-        pmod(xxhash64(col("id")), lit(clusters.toLong)).as("__c"))
+      .select(col("id").as("vec_id"), cluster.as("__c"))
       .select(col("vec_id"),
         transform(sequence(lit(0), lit(dims - 1)), j =>
           u11(col("__c").cast("double") * lit(12.9898) +

@@ -36,7 +36,8 @@ class RecallSpec extends SparkSpec {
       "dedup_simhash", "embedding_near_dup", "semdedup", "ann_ivfpq_search",
       "ann_ivfpq_refined", "ann_ivfpq_default", "rouge_neardup",
       "rouge_neardup_hr", "retrieval_neighbors",
-      "ann_ivf_scale_policy", "retrieval_neighbors_hierarchical")
+      "ann_ivf_scale_policy", "ann_ivf_scale_policy_zipf",
+      "retrieval_neighbors_hierarchical")
     assert(entries.map(_.name).toSet === expected)
     val failures = entries.filter(e => e.recall < e.minBound)
     assert(failures.isEmpty,
