@@ -100,7 +100,17 @@ class PlanFingerprintSpec extends SparkSpec {
     // _STAGED marker, not part of the returned plan
     "bradley_terry" -> Map("global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 3, "sort_merge_join" -> 1),
     "kendall_tau" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "shuffle" -> 2),
-    "lang_classifier_audit" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 2, "global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 4, "sort_merge_join" -> 1))
+    "lang_classifier_audit" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 2, "global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 4, "sort_merge_join" -> 1),
+    // r15 headliners: the multi-turn DPO render keeps the template's ONE
+    // keyed window + broadcast prefix/pair joins; the data card is pure
+    // aggregate composition (the 18 shuffles are its section aggregates —
+    // a window or extra sort appearing means a section fell off the
+    // groupBy path); mask-carrying packing must stay the materializePacked
+    // shape (one keyed window + one bounded-group shuffle, no extra pass
+    // for the mask — it rides the same explode)
+    "dpo_render_conversation" -> Map("broadcast" -> 5, "broadcast_hash_join" -> 4, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "local_sort" -> 3, "shuffle" -> 4, "window" -> 1),
+    "align_data_card" -> Map("broadcast" -> 6, "broadcast_hash_join" -> 5, "broadcast_nested_loop" -> 2, "global_sort" -> 1, "shuffle" -> 18),
+    "packed_loss_masks" -> Map("global_sort" -> 1, "local_sort" -> 1, "shuffle" -> 2, "window" -> 1))
 
   private def withAqeOff[T](f: => T): T = {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
