@@ -1,8 +1,8 @@
 package graft.tools
 
 /** Scratch verification driver — edit freely to exercise whatever
-  * changed (see .claude/skills/verify): call operators on
-  * /root/testdata/sf0.001, show() results, explain() plans. */
+  * changed: call operators on /root/testdata/sf0.001, show() results,
+  * explain() plans. Not part of the library surface. */
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
