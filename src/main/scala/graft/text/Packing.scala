@@ -212,6 +212,9 @@ object Packing {
     * Masks survive documents wrapping across sequences (each token is
     * zipped with its own bit before the window explode); a
     * tokens/mask length mismatch raises at execution time.
+    * `n_loss_tokens` counts the sequence's unmasked-loss slots — the
+    * per-sequence loss-normalization denominator a trainer needs (and
+    * the fast way to drop all-context sequences: n_loss_tokens = 0).
     * Same bounded-group scale shape as [[materializePacked]]. */
   def materializePackedWithMasks(
       df: DataFrame,
@@ -225,13 +228,15 @@ object Packing {
       .select(col("shard"), col("seq_id"),
         expr("transform(__pair, p -> p.t)").as(tokensCol),
         expr("transform(__pair, p -> p.m)").as(maskCol),
-        col("seq_len"))
+        col("seq_len"),
+        expr("size(filter(__pair, p -> p.m))").as("n_loss_tokens"))
 
   /** [[materializeNoSplit]] carrying a per-token LOSS MASK: one row per
     * (shard, bin_id) with aligned `tokensCol`/`maskCol` arrays plus the
     * layout's `doc_spans`. A truncated (oversize) document keeps the
     * ctx-prefix of BOTH arrays — the kept tokens keep exactly their own
-    * mask bits. Length mismatches raise at execution time. */
+    * mask bits. Length mismatches raise at execution time;
+    * `n_loss_tokens` is the per-bin loss-normalization count. */
   def materializeNoSplitWithMasks(
       df: DataFrame,
       idCol: String,
@@ -244,7 +249,9 @@ object Packing {
       .select(col("shard"), col("bin_id"),
         expr("transform(__pair, p -> p.t)").as(tokensCol),
         expr("transform(__pair, p -> p.m)").as(maskCol),
-        col("seq_len"), col("doc_spans"))
+        col("seq_len"),
+        expr("size(filter(__pair, p -> p.m))").as("n_loss_tokens"),
+        col("doc_spans"))
 
   /** Total sequence count per shard for a packing plan — the shape the
     * trainer's data loader needs to pre-allocate shard readers. */
@@ -777,15 +784,19 @@ object Packing {
       .withColumn("n_loss_tokens",
         size(filter(col("loss_mask"), m => m)).cast("long"))
 
-  def epochShuffle(packed: DataFrame, epoch: Int): DataFrame = {
+  def epochShuffle(packed: DataFrame, epoch: Int,
+      seqCol: String = "seq_id"): DataFrame = {
     require(epoch >= 0, s"epoch must be >= 0, got $epoch")
     val draw = md5(concat_ws(":",
       lit(epoch.toString),
       col("shard").cast("string"),
-      col("seq_id").cast("string")))
-    // tie-break by seq_id: md5 collisions are ~impossible, but a
-    // deterministic total order must not depend on their absence
-    val w = Window.partitionBy(col("shard")).orderBy(draw, col("seq_id"))
+      col(seqCol).cast("string")))
+    // tie-break by the sequence id: md5 collisions are ~impossible, but
+    // a deterministic total order must not depend on their absence.
+    // `seqCol` defaults to the concat-and-chunk layout's seq_id; pass
+    // "bin_id" to shuffle materializeNoSplit's whole-document bins with
+    // the same reproducible, append-stable draw.
+    val w = Window.partitionBy(col("shard")).orderBy(draw, col(seqCol))
     packed
       .withColumn("epoch", lit(epoch))
       .withColumn("epoch_pos", row_number().over(w).cast("long") - 1L)

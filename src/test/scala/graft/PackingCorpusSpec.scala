@@ -137,6 +137,12 @@ class PackingCorpusSpec extends SparkSpec {
     assert(out.toSeq === Seq(
       (0L, Seq("a1", "a2", "a3", "a4"), Seq(false, false, true, true), 4),
       (1L, Seq("a5", "a6", "b1", "b2"), Seq(true, true, true, false), 4)))
+    // the per-sequence loss-normalization count
+    val nLoss = graft.text.Packing
+      .materializePackedWithMasks(docs, "doc_id", "tokens", "mask",
+        ctxTokens = 4, nShards = 1)
+      .orderBy("seq_id").select("n_loss_tokens").collect().map(_.getInt(0))
+    assert(nLoss.toSeq === Seq(2, 3))
     // the invariant the whole operator exists for: masked tokens across
     // all sequences concatenate to exactly the planted completions
     val maskedStream = out.flatMap { case (_, toks, mask, _) =>
@@ -193,6 +199,15 @@ class PackingCorpusSpec extends SparkSpec {
         .map(x => (x.getInt(0), x.getInt(1)))
       assert(ss.map(_._2).sum === r.getInt(r.fieldIndex("seq_len")))
     }
+    assert(out.map(_.getAs[Int]("n_loss_tokens")).toSeq === Seq(2, 2))
+    // bins epoch-shuffle with the same reproducible draw, keyed by bin_id
+    val shuffled = graft.text.Packing.epochShuffle(
+      graft.text.Packing.materializeNoSplitWithMasks(
+        docs, "doc_id", "tokens", "mask", ctxTokens = 4, nShards = 1),
+      epoch = 2, seqCol = "bin_id")
+    val pos = shuffled.select("bin_id", "epoch_pos")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pos.values.toSeq.sorted === Seq(0L, 1L)) // a dense permutation
   }
 
   test("epochShuffle: deterministic per-shard permutation, epoch-varying, append-stable") {
