@@ -567,46 +567,81 @@ object Preference {
         } else df.localCheckpoint()
       spark.createDataFrame(out.rdd, out.schema)
     }
-    val directed = ckpt(outcomes
+    // Checkpoint CADENCE (r15 finding: a reliable checkpoint per
+    // iteration — 13 disk write+read-backs per call — tripled the
+    // query's cost). Between reliable checkpoints, `stage` is enough:
+    // persist the iterate and rebuild it as a LogicalRDD so the
+    // optimizer sees a flat leaf with default stats (killing both the
+    // plan-size blowup and the BigInteger stats explosion), while the
+    // cache makes the frame's RDD a memory read for the next
+    // iteration's three references. Lineage growth between reliable
+    // checkpoints is bounded by the 3-iteration window; every cache is
+    // freed once the final reliable checkpoint has materialized the
+    // result, so nothing leaks past the call.
+    val staged = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def stage(df: DataFrame): DataFrame = {
+      val cached = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      staged += cached
+      spark.createDataFrame(cached.rdd, cached.schema)
+    }
+    val directed = stage(outcomes
       .groupBy(col(winnerCol).as("__w"), col(loserCol).as("__l"))
       .agg(count(lit(1)).as("__c")))
-    val pairGames = ckpt(directed
+    val pairGames = stage(directed
       .select(col("__w").as("__i"), col("__l").as("__j"), col("__c"))
       .unionByName(directed.select(col("__l").as("__i"), col("__w").as("__j"), col("__c")))
       .groupBy(col("__i"), col("__j"))
       .agg(sum(col("__c")).as("__n")))
     val wins = directed.groupBy(col("__w").as("__i")).agg(sum(col("__c")).as("__wins"))
-    val games = pairGames.groupBy(col("__i")).agg(sum(col("__n")).as("__games"))
-    var p = ckpt(pairGames.select(col("__i")).distinct()
+    val games = stage(pairGames.groupBy(col("__i")).agg(sum(col("__n")).as("__games")))
+    var p = stage(pairGames.select(col("__i")).distinct()
       .join(wins, Seq("__i"), "left")
       .na.fill(0L, Seq("__wins"))
       .select(col("__i"), lit(1.0).as("__p"), col("__wins")))
-    for (_ <- 1 to iterations) {
+    // the renormalization total rides an UNPARTITIONED window over the
+    // items-bounded raw frame (one single-partition exchange inside the
+    // same query) instead of a separate agg + broadcast crossJoin — at
+    // leaderboard scale every extra broadcast is a whole Spark job, and
+    // the job count per iteration is what the query's cost actually is
+    val whole = Window.partitionBy()
+    for (it <- 1 to iterations) {
+      // ONE broadcast exchange per iteration: both sides of the pair
+      // join build from the identical broadcast plan (alias only), so
+      // physical exchange reuse collapses them into a single job
+      val pb = broadcast(p.select(col("__i").as("__pk"), col("__p").as("__pv")))
       val den = pairGames
-        .join(broadcast(p.select(col("__i"), col("__p"))), Seq("__i"))
-        .join(broadcast(p.select(col("__i").as("__j"), col("__p").as("__pj"))), Seq("__j"))
+        .join(pb.as("pa"), col("__i") === col("pa.__pk"))
+        .join(pb.as("pb"), col("__j") === col("pb.__pk"))
         .groupBy(col("__i"))
-        .agg(sum(when(col("__p") + col("__pj") > 0,
-          col("__n") / (col("__p") + col("__pj"))).otherwise(0.0)).as("__den"))
+        .agg(sum(when(col("pa.__pv") + col("pb.__pv") > 0,
+          col("__n") / (col("pa.__pv") + col("pb.__pv"))).otherwise(0.0)).as("__den"))
       val raw = p.drop("__p")
         .join(den, Seq("__i"), "left")
         .select(col("__i"), col("__wins"),
           when(col("__den") > 0, col("__wins").cast("double") / col("__den"))
             .otherwise(0.0).as("__praw"))
-      val tot = raw.agg(
-        sum(col("__praw")).as("__sum"), count(lit(1)).cast("double").as("__cnt"))
-      p = ckpt(raw.crossJoin(broadcast(tot))
+      val next = raw
+        .withColumn("__sum", sum(col("__praw")).over(whole))
+        .withColumn("__cnt", count(lit(1)).over(whole).cast("double"))
         .select(col("__i"),
           when(col("__sum") > 0, col("__praw") * col("__cnt") / col("__sum"))
             .otherwise(0.0).as("__p"),
-          col("__wins")))
+          col("__wins"))
+      // durable lineage truncation every 3rd iteration only; the staged
+      // cache keeps the in-between iterations cheap
+      p = if (it % 3 == 0) ckpt(next) else stage(next)
     }
-    p.join(games, Seq("__i"), "left")
+    val out = ckpt(p.join(games, Seq("__i"), "left")
       .select(
         col("__i").as("item"),
         round(col("__p"), 6).as("strength"),
         col("__wins").as("n_wins"),
-        coalesce(col("__games"), lit(0L)).as("n_games"))
+        coalesce(col("__games"), lit(0L)).as("n_games")))
+    // the final reliable checkpoint above materialized the whole chain;
+    // every staged cache is now dead weight — free them (non-blocking)
+    staged.foreach(_.unpersist(false))
+    out
   }
 
   /** The alignment release data card — one tall table rolling up what a
@@ -766,8 +801,10 @@ object Preference {
     *
     * Output: convCol, chosen_text, chosen_mask_start, chosen_mask_end,
     * rejected_text, rejected_mask_start, rejected_mask_end.
-    * Scale: prefix turns duplicate once per branch (2×), the template's
-    * one keyed running-sum window, one regroup keyed by the conv. */
+    * Scale: prefix turns duplicate once per branch (2×), one tiny
+    * window over the pairs frame (one row per conversation by contract)
+    * for the deterministic row key, the template's one keyed
+    * running-sum window, one regroup keyed by the conv. */
   def dpoRenderConversation(
       prefix: DataFrame,
       convCol: String,
@@ -777,8 +814,26 @@ object Preference {
       pairs: DataFrame,
       chosenCol: String,
       rejectedCol: String): DataFrame = {
+    // DETERMINISTIC row key: pairRows is referenced from two separate
+    // plan branches (branchTurns via withNext, prefixTurns via its join),
+    // and monotonically_increasing_id assigns ids PER EVALUATION — with
+    // nondeterministic intra-partition input order (a shuffle/join
+    // output) the two subtrees could tag the same pair row differently,
+    // splitting its prefix and branch turns into different __conv keys.
+    // xxhash64 over the pair's content is identical in both subtrees by
+    // construction; the row_number over identical-content groups keeps
+    // EXACT duplicate pair rows distinct (they must still trip the
+    // one-pair-per-conversation guard), and is order-insensitive because
+    // every row in such a group is indistinguishable.
+    val dupW = Window
+      .partitionBy(col(convCol), col(chosenCol), col(rejectedCol))
+      .orderBy(lit(1))
     val pairRows = pairs
-      .withColumn("__row", monotonically_increasing_id())
+      .withColumn("__row",
+        concat(
+          xxhash64(col(convCol), col(chosenCol), col(rejectedCol))
+            .cast("string"),
+          lit("#"), row_number().over(dupW).cast("string")))
       .select(col(convCol), col("__row"),
         col(chosenCol).as("__chosen"), col(rejectedCol).as("__rejected"))
     // branch turns slot after the whole prefix; empty prefixes start at 0

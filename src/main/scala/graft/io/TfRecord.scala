@@ -351,9 +351,17 @@ object TfRecord {
     val fs = root.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     Option(fs.globStatus(new org.apache.hadoop.fs.Path(root, "shard-*.tfrecord")))
       .toSeq.flatten.foreach(st => fs.delete(st.getPath, false))
+    // Hadoop FileSystem.rename reports most failures by returning FALSE,
+    // not throwing — and the old shards are already gone, so a silently
+    // failed rename would drop the shard from the export with no error.
+    // Fail loudly instead: the staging dir is left in place for forensics.
     Option(fs.listStatus(staging)).toSeq.flatten.filter(_.isFile)
-      .foreach(st => fs.rename(st.getPath,
-        new org.apache.hadoop.fs.Path(root, st.getPath.getName)))
+      .foreach { st =>
+        val dst = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+        require(fs.rename(st.getPath, dst),
+          s"writeShards: publish rename failed for ${st.getPath} -> $dst " +
+            "(staged shards left under the .staging dir; the export is incomplete)")
+      }
     fs.delete(staging, true)
   }
 

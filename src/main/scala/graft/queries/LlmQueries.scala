@@ -802,6 +802,14 @@ object LlmQueries {
         val moved = new java.io.File(tmp).renameTo(new java.io.File(s"$modelDir/model"))
         if (!moved) // lost the race: a complete model is already there
           org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+        // gate the marker on the model ACTUALLY being present: a rename
+        // that failed for any reason other than losing the publish race
+        // (no model dir appeared) must not stamp _STAGED, or every later
+        // run skips training and crash-loops in loadModel until the dir
+        // is deleted by hand
+        require(new java.io.File(s"$modelDir/model").exists(),
+          s"lang_classifier_audit: model publish failed — $modelDir/model " +
+            "absent after rename; not staging")
         new java.io.File(s"$modelDir/_STAGED").createNewFile()
       }
       val model = graft.text.LangClassifier.loadModel(s"$modelDir/model")

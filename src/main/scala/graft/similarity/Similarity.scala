@@ -355,7 +355,11 @@ object Similarity {
     * single nearest (the standard IVF boundary-loss hedge). */
   private[graft] val IvfScaleMinProbes: Int = 8
 
-  /** Auto probe count — two regimes, split at [[IvfSmallCorpus]]:
+  /** Auto probe count — two regimes, split at [[IvfSmallCorpus]], with a
+    * linear blend over `[IvfSmallCorpus/2, IvfSmallCorpus)` so the
+    * policy is continuous in N (no one-row probe-budget cliff at the
+    * boundary — auto-tuned results can't flap for corpora that straddle
+    * 100k across runs):
     *
     * SMALL (N < 100k): max(cells/3, pool target of 30·k candidates).
     * Tuned for recall ≥ 0.85 on the PESSIMAL near-uniform distribution,
@@ -387,14 +391,29 @@ object Similarity {
     * resolution) so callers can see what a query will scan. */
   private[graft] def ivfAutoNprobe(cells: Int, corpusCount: Long, k: Int): Int = {
     val n = math.max(1L, corpusCount)
+    def pSmall: Int = {
+      val byK = math.ceil(cells * 30.0 * k / n).toInt
+      math.min(cells, math.max(1, math.max(cells / 3, byK)))
+    }
+    def pScale: Int = {
+      val byK = math.ceil(cells * IvfScalePoolPerK * k / n).toInt
+      math.min(cells, math.max(math.min(IvfScaleMinProbes, cells), byK))
+    }
+    // The two regimes are blended over [IvfSmallCorpus/2, IvfSmallCorpus)
+    // so the policy is CONTINUOUS in corpus size: without the ramp, one
+    // extra row at the boundary stepped nprobe 105 -> 8 at nlist=316
+    // (a 13x probe-budget cliff), making auto-tuned results flap for
+    // corpora that straddle 100k across runs. Below the ramp the small
+    // rule holds exactly; at the boundary the blend lands on the scale
+    // rule exactly.
+    val rampStart = IvfSmallCorpus / 2
     val p =
-      if (n < IvfSmallCorpus) {
-        val byK = math.ceil(cells * 30.0 * k / n).toInt
-        math.min(cells, math.max(1, math.max(cells / 3, byK)))
-      } else {
-        val byK = math.ceil(cells * IvfScalePoolPerK * k / n).toInt
-        math.min(cells, math.max(math.min(IvfScaleMinProbes, cells), byK))
-      }
+      if (n < rampStart) pSmall
+      else if (n < IvfSmallCorpus) {
+        val w = (n - rampStart).toDouble / (IvfSmallCorpus - rampStart).toDouble
+        val blended = math.round(pSmall * (1.0 - w) + pScale * w).toInt
+        math.min(cells, math.max(1, blended))
+      } else pScale
     log.info(
       s"ivf auto-nprobe: nlist=$cells N=$n k=$k -> nprobe=$p " +
         f"(probing ${p.toDouble / cells}%.3f of cells, expected candidate pool ~${p.toDouble * n / cells}%.0f rows)")

@@ -382,10 +382,20 @@ class DedupSimilaritySpec extends SparkSpec {
     // 22 cells on 500 rows at k=10 -> ceil(22*300/500) = 14, not 22/3=7
     assert(ivfAutoNprobe(22, 500L, 10) == 14)
     assert(ivfAutoNprobe(45, 2000L, 10) == 15)
-    // fraction branch just below the boundary: max(316/3, 1) = 105
-    assert(ivfAutoNprobe(316, 99999L, 10) == 105)
     // never more probes than cells
     assert(ivfAutoNprobe(16, 10L, 10) == 16)
+    // BLEND ramp (50k <= N < 100k): the policy is CONTINUOUS in corpus
+    // size — the r15 cliff (105 probes at 99,999 rows vs 8 at 100,000,
+    // a 13x step from one row) is gone. Just below the boundary the
+    // blend lands on the scale rule; at the ramp start it equals the
+    // small rule; mid-ramp it interpolates.
+    assert(ivfAutoNprobe(316, 99999L, 10) == 8)   // ~= the N=100k answer
+    assert(ivfAutoNprobe(316, 50000L, 10) == 105) // == small rule at ramp start
+    assert(ivfAutoNprobe(316, 49999L, 10) == 105) // small regime below ramp
+    assert(ivfAutoNprobe(316, 75000L, 10) == 58)  // round(105/2 + 11/2)
+    // one-row steps near every seam move the answer by at most ~0.2%
+    // of the small-rule level (the interpolation slope), never 13x
+    assert(math.abs(ivfAutoNprobe(316, 74999L, 10) - ivfAutoNprobe(316, 75001L, 10)) <= 1)
     // SCALE regime (N >= 100k): the 240·k candidate-pool target is
     // PRIMARY with the absolute 8-cell floor — the r14 fix: the old
     // cells/3 floor made every auto query scan >= N/3 candidates

@@ -98,7 +98,11 @@ class PlanFingerprintSpec extends SparkSpec {
     // lang audit is the STAGED score path (broadcast model map pass +
     // script-profile join) — training is a side effect behind the
     // _STAGED marker, not part of the returned plan
-    "bradley_terry" -> Map("global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 3, "sort_merge_join" -> 1),
+    // r16 re-pin: the games join moved INSIDE the final reliable
+    // checkpoint, so the returned plan is just the checkpoint scan +
+    // root sort — anything beyond these two nodes means the checkpoint
+    // guard regressed and iteration lineage is leaking into the plan
+    "bradley_terry" -> Map("global_sort" -> 1, "shuffle" -> 1),
     "kendall_tau" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "shuffle" -> 2),
     "lang_classifier_audit" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 2, "global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 4, "sort_merge_join" -> 1),
     // r15 headliners: the multi-turn DPO render keeps the template's ONE
@@ -108,7 +112,12 @@ class PlanFingerprintSpec extends SparkSpec {
     // groupBy path); mask-carrying packing must stay the materializePacked
     // shape (one keyed window + one bounded-group shuffle, no extra pass
     // for the mask — it rides the same explode)
-    "dpo_render_conversation" -> Map("broadcast" -> 5, "broadcast_hash_join" -> 4, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "local_sort" -> 3, "shuffle" -> 4, "window" -> 1),
+    // r16 re-pin: the deterministic pair row key added a row_number
+    // window over the pairs frame (tiny by the one-pair-per-conv
+    // contract); it appears twice because pairRows feeds both the
+    // branch-turn and prefix-turn subtrees, + the template's one keyed
+    // running-sum window = 3
+    "dpo_render_conversation" -> Map("broadcast" -> 4, "broadcast_hash_join" -> 3, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "local_sort" -> 5, "shuffle" -> 5, "window" -> 3),
     "align_data_card" -> Map("broadcast" -> 6, "broadcast_hash_join" -> 5, "broadcast_nested_loop" -> 2, "global_sort" -> 1, "shuffle" -> 18),
     "packed_loss_masks" -> Map("global_sort" -> 1, "local_sort" -> 1, "shuffle" -> 2, "window" -> 1))
 
