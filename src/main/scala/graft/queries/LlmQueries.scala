@@ -1413,6 +1413,81 @@ object LlmQueries {
             .as("masked_md5"))
         .orderBy(col("shard"), col("seq_id"))
     },
+    // --- combined masks + spans materialization: same fixture as
+    // packed_loss_masks, but the single-pass artifact also carries
+    // doc_spans — the oracle re-derives the masked digest AND a
+    // start:len:doc span digest per sequence from the same token stream,
+    // so mask/span misalignment (or spans drifting off the zipped pass)
+    // breaks one of the two digests
+    "packed_masks_spans" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          filter(split(trim(col("text")), "\\s+"), w => length(w) > 0).as("tokens"))
+        .withColumn("mask",
+          when(size(col("tokens")) > 0,
+            transform(sequence(lit(1), size(col("tokens"))),
+              i => i * 2 > size(col("tokens"))))
+            .otherwise(expr("CAST(array() AS ARRAY<BOOLEAN>)")))
+      graft.text.Packing
+        .materializePackedWithMasksAndSpans(docs, "doc_id", "tokens", "mask",
+          ctxTokens = 64, nShards = 4)
+        .select(col("shard"), col("seq_id"), col("seq_len"),
+          col("n_loss_tokens").as("n_masked"),
+          md5(concat_ws(" ",
+            expr("transform(filter(arrays_zip(tokens, mask), p -> p.mask), p -> p.tokens)")))
+            .as("masked_md5"),
+          size(col("doc_spans")).as("n_docs"),
+          md5(concat_ws(" ", expr(
+            "transform(doc_spans, s -> concat(CAST(s.start AS STRING), ':', " +
+              "CAST(s.len AS STRING), ':', CAST(s.doc AS STRING)))")))
+            .as("spans_md5"))
+        .orderBy(col("shard"), col("seq_id"))
+    },
+    // --- mask-carrying INTERLEAVED (multimodal) materialization: word
+    // lengths stand in for token ids (both engines derive them), bits
+    // are the completion-tail rule, assets ride the interleaved_pack
+    // fixture at ctx 64 so oversize docs truncate and tail assets DROP —
+    // the oracle re-derives every bin's slot:id digest over masked slots
+    // plus the media/pad slot counts, so a mask bit leaking onto a patch
+    // slot, a pad hole, or a shifted text slot changes the answer
+    "interleaved_loss_masks" -> { (s, dir) =>
+      val base = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          filter(split(trim(col("text")), "\\s+"), w => length(w) > 0).as("words"))
+      val d = base.select(col("doc_id"),
+        transform(col("words"), w => length(w).cast("int")).as("token_ids"),
+        when(size(col("words")) > 0,
+          transform(sequence(lit(1), size(col("words"))),
+            i => i * 2 > size(col("words"))))
+          .otherwise(expr("CAST(array() AS ARRAY<BOOLEAN>)")).as("mask"))
+      val assets = base.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), (col("doc_id") * 10 + 1).as("asset_id"),
+          lit(5L).as("position"), lit(7L).as("patch_tokens"))
+        .unionByName(base.filter(col("doc_id") % 7 === 0)
+          .select(col("doc_id"), (col("doc_id") * 10 + 2).as("asset_id"),
+            lit(0L).as("position"), lit(3L).as("patch_tokens")))
+        // the dropped-asset family: position 60 on every 3rd doc — for
+        // any doc long enough to truncate at ctx 64 the span [60, 69)
+        // does not fit, the asset DROPS, and slots 60..63 become the
+        // pad hole the mask must cover (the case this query pins)
+        .unionByName(base.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), (col("doc_id") * 10 + 3).as("asset_id"),
+            lit(60L).as("position"), lit(9L).as("patch_tokens")))
+      graft.text.Packing
+        .materializeInterleavedWithMasks(d, assets, "doc_id", "token_ids",
+          "mask", "asset_id", "position", "patch_tokens",
+          ctxTokens = 64, nShards = 4, imageTokenId = -1, padTokenId = -2)
+        .select(col("shard"), col("bin_id"), col("seq_len"),
+          col("n_loss_tokens").cast("long").as("n_loss"),
+          expr("size(filter(token_ids, t -> t = -1))").cast("long").as("n_media"),
+          expr("size(filter(token_ids, t -> t = -2))").cast("long").as("n_pad"),
+          md5(concat_ws(" ", expr(
+            "transform(arrays_zip(token_ids, loss_mask), (p, i) -> " +
+              "CASE WHEN p.loss_mask THEN concat(CAST(i AS STRING), ':', " +
+              "CAST(p.token_ids AS STRING)) END)")))
+            .as("masked_md5"))
+        .orderBy(col("shard"), col("bin_id"))
+    },
     // --- per-epoch loader order over the materialized sequences: the
     // md5(epoch:shard:seq_id) draw is a pure function both engines
     // compute bit-for-bit, so the oracle re-derives the whole permutation
@@ -2803,6 +2878,132 @@ object LlmQueries {
         |  md5(coalesce(string_agg(tok, ' ' ORDER BY gpos) FILTER (WHERE mask), ''))
         |    AS masked_md5
         |FROM pos GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin,
+    // masks + spans in one artifact: the packed_loss_masks re-derivation
+    // plus per-(seq, doc) min-slot/count spans and their ordered digest
+    "packed_masks_spans" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |           FROM documents WHERE doc_id < 50),
+        |tok0 AS (SELECT doc_id, doc_id % 4 AS shard, toks[i] AS tok, i
+        |         FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i
+        |               FROM d)
+        |         WHERE length(toks[i]) > 0),
+        |tok AS (SELECT doc_id, shard, tok, i,
+        |          row_number() OVER (PARTITION BY doc_id ORDER BY i) AS fpos,
+        |          count(*) OVER (PARTITION BY doc_id) AS n
+        |        FROM tok0),
+        |counts AS (SELECT doc_id, shard, count(*) AS n FROM tok GROUP BY 1, 2),
+        |starts AS (SELECT doc_id, shard,
+        |             coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+        |           FROM counts),
+        |pos AS (SELECT t.doc_id, t.shard, s.prev + t.fpos - 1 AS gpos, t.tok,
+        |          t.fpos * 2 > t.n AS mask
+        |        FROM tok t JOIN starts s ON t.doc_id = s.doc_id),
+        |st AS (SELECT doc_id, shard, gpos // 64 AS seq_id, gpos % 64 AS slot,
+        |         gpos, tok, mask FROM pos),
+        |spans AS (SELECT shard, seq_id, doc_id, min(slot) AS start,
+        |            count(*) AS len
+        |          FROM st GROUP BY 1, 2, 3),
+        |spanagg AS (SELECT shard, seq_id, CAST(count(*) AS INT) AS n_docs,
+        |              md5(string_agg(start || ':' || len || ':' || doc_id, ' '
+        |                ORDER BY start)) AS spans_md5
+        |            FROM spans GROUP BY 1, 2)
+        |SELECT CAST(t.shard AS BIGINT) AS shard, CAST(t.seq_id AS BIGINT) AS seq_id,
+        |  CAST(count(*) AS INT) AS seq_len,
+        |  CAST(count(*) FILTER (WHERE t.mask) AS INT) AS n_masked,
+        |  md5(coalesce(string_agg(t.tok, ' ' ORDER BY t.gpos) FILTER (WHERE t.mask), ''))
+        |    AS masked_md5,
+        |  any_value(g.n_docs) AS n_docs, any_value(g.spans_md5) AS spans_md5
+        |FROM st t JOIN spanagg g ON t.shard = g.shard AND t.seq_id = g.seq_id
+        |GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin,
+    // interleaved masks: the interleaved_pack fold at ctx 64 + per-token
+    // slot arithmetic (offset + fpos-1 + earlier-patch shift, cut at the
+    // ctx window), word-length ids, completion-tail bits; media/pad slot
+    // counts re-derive from the plan (placed patches / len - text - media)
+    "interleaved_loss_masks" ->
+      (binPackFoldSql(
+        """
+          |  SELECT doc_id, doc_id % 4 AS shard,
+          |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(text), '\s+')) END
+          |      + CASE WHEN doc_id % 5 = 0 THEN 7 ELSE 0 END
+          |      + CASE WHEN doc_id % 7 = 0 THEN 3 ELSE 0 END
+          |      + CASE WHEN doc_id % 3 = 0 THEN 9 ELSE 0 END AS BIGINT) AS n
+          |  FROM documents WHERE doc_id < 200""".stripMargin, 64) +
+        """,nt AS (
+          |  SELECT doc_id,
+          |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |         ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)
+          |      AS ntext
+          |  FROM documents WHERE doc_id < 200),
+          |a AS (
+          |  SELECT doc_id, doc_id * 10 + 1 AS asset_id,
+          |    CAST(5 AS BIGINT) AS position, CAST(7 AS BIGINT) AS patch
+          |  FROM documents WHERE doc_id < 200 AND doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id, doc_id * 10 + 2, CAST(0 AS BIGINT), CAST(3 AS BIGINT)
+          |  FROM documents WHERE doc_id < 200 AND doc_id % 7 = 0
+          |  UNION ALL
+          |  SELECT doc_id, doc_id * 10 + 3, CAST(60 AS BIGINT), CAST(9 AS BIGINT)
+          |  FROM documents WHERE doc_id < 200 AND doc_id % 3 = 0),
+          |pl AS (
+          |  SELECT a.doc_id, a.asset_id, a.patch,
+          |    least(greatest(a.position, 0), nt.ntext) AS pos,
+          |    coalesce(sum(a.patch) OVER (
+          |      PARTITION BY a.doc_id
+          |      ORDER BY least(greatest(a.position, 0), nt.ntext), a.asset_id)
+          |      - a.patch, 0) AS preceding_patches
+          |  FROM a JOIN nt USING (doc_id)),
+          |placed AS (
+          |  SELECT pl.doc_id, pl.patch, f.shard, f.out_bin AS bin_id,
+          |    (pl.pos + pl.preceding_patches + pl.patch > least(f.n, 64)) AS dropped
+          |  FROM pl JOIN f ON pl.doc_id = f.doc_id
+          |  WHERE f.out_bin IS NOT NULL),
+          |tok0 AS (SELECT doc_id, toks[i] AS tok, i
+          |         FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          |               FROM documents WHERE doc_id < 200),
+          |              unnest(generate_series(1, len(toks))) AS u(i)
+          |         WHERE length(toks[i]) > 0),
+          |tok AS (SELECT doc_id, tok, i,
+          |          row_number() OVER (PARTITION BY doc_id ORDER BY i) AS fpos,
+          |          count(*) OVER (PARTITION BY doc_id) AS n
+          |        FROM tok0),
+          |tkept AS (
+          |  SELECT t.doc_id, f.shard, f.out_bin AS bin_id,
+          |    f.out_off + (t.fpos - 1) +
+          |      coalesce((SELECT sum(pl.patch) FROM pl
+          |                WHERE pl.doc_id = t.doc_id AND pl.pos <= t.fpos - 1), 0)
+          |      AS slot,
+          |    length(t.tok) AS tid,
+          |    t.fpos * 2 > t.n AS mask
+          |  FROM tok t JOIN f ON t.doc_id = f.doc_id
+          |  WHERE f.out_bin IS NOT NULL
+          |    AND f.out_off + (t.fpos - 1) +
+          |      coalesce((SELECT sum(pl.patch) FROM pl
+          |                WHERE pl.doc_id = t.doc_id AND pl.pos <= t.fpos - 1), 0)
+          |      < 64),
+          |seqlen AS (SELECT shard, out_bin AS bin_id,
+          |             max(out_off + least(n, 64)) AS seq_len
+          |           FROM f WHERE out_bin IS NOT NULL GROUP BY 1, 2),
+          |media AS (SELECT shard, bin_id,
+          |            sum(CASE WHEN NOT dropped THEN patch ELSE 0 END) AS n_media
+          |          FROM placed GROUP BY 1, 2),
+          |textn AS (SELECT shard, bin_id, count(*) AS n_text,
+          |            count(*) FILTER (WHERE mask) AS n_loss,
+          |            string_agg(slot || ':' || tid, ' ' ORDER BY slot)
+          |              FILTER (WHERE mask) AS mstr
+          |          FROM tkept GROUP BY 1, 2)
+          |SELECT CAST(s.shard AS BIGINT) AS shard, CAST(s.bin_id AS BIGINT) AS bin_id,
+          |  CAST(s.seq_len AS INT) AS seq_len,
+          |  CAST(coalesce(t.n_loss, 0) AS BIGINT) AS n_loss,
+          |  CAST(coalesce(m.n_media, 0) AS BIGINT) AS n_media,
+          |  CAST(s.seq_len - coalesce(t.n_text, 0) - coalesce(m.n_media, 0) AS BIGINT)
+          |    AS n_pad,
+          |  md5(coalesce(t.mstr, '')) AS masked_md5
+          |FROM seqlen s
+          |  LEFT JOIN textn t ON s.shard = t.shard AND s.bin_id = t.bin_id
+          |  LEFT JOIN media m ON s.shard = m.shard AND s.bin_id = m.bin_id
+          |ORDER BY shard, bin_id""".stripMargin),
     // epoch shuffle: DuckDB re-derives the sequence set (packed_sequences
     // arithmetic) and then the SAME md5(epoch:shard:seq_id) priorities and
     // per-shard ranks — the full permutation must match bit-for-bit

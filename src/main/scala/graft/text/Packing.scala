@@ -253,6 +253,32 @@ object Packing {
         expr("size(filter(__pair, p -> p.m))").as("n_loss_tokens"),
         col("doc_spans"))
 
+  /** [[materializePackedWithMasks]] AND [[materializePackedWithSpans]]
+    * in one artifact — the concat-layout row a trainer doing BOTH
+    * cross-document attention masking and loss masking needs: aligned
+    * `tokensCol`/`maskCol` arrays, `n_loss_tokens`, and the sequence's
+    * `doc_spans`, derived from the SAME zipped pass (one offsets window,
+    * one token explode feeding both the pack and the span rollup) —
+    * composing the two single-purpose materializers would re-derive the
+    * offsets twice and could drift under refactoring; here slot
+    * alignment between the mask and the spans is by construction. Same
+    * bounded-group scale shape as [[materializePacked]]. */
+  def materializePackedWithMasksAndSpans(
+      df: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      maskCol: String,
+      ctxTokens: Int,
+      nShards: Int): DataFrame =
+    materializePackedWithSpans(zipTokensWithMask(df, idCol, tokensCol, maskCol),
+        idCol, "__pair", ctxTokens, nShards)
+      .select(col("shard"), col("seq_id"),
+        expr("transform(__pair, p -> p.t)").as(tokensCol),
+        expr("transform(__pair, p -> p.m)").as(maskCol),
+        col("seq_len"),
+        expr("size(filter(__pair, p -> p.m))").as("n_loss_tokens"),
+        col("doc_spans"))
+
   /** Total sequence count per shard for a packing plan — the shape the
     * trainer's data loader needs to pre-allocate shard readers. */
   def shardSummary(plan: DataFrame): DataFrame =
@@ -534,7 +560,74 @@ object Packing {
       ctxTokens: Int,
       nShards: Int,
       imageTokenId: Int,
-      padTokenId: Int = 0): DataFrame = {
+      padTokenId: Int = 0): DataFrame =
+    interleavedCore(docs, assets, idCol, tokensCol, assetIdCol, positionCol,
+        patchTokensCol, ctxTokens, nShards,
+        tokVal = _.cast("int"),
+        mediaVal = lit(imageTokenId).cast("int"),
+        padSql = s"CAST($padTokenId AS INT)")
+      .select(col("shard"), col("bin_id"), col("__vals").as("token_ids"),
+        col("seq_len"), col("doc_spans"), col("media_spans"))
+
+  /** [[materializeInterleaved]] carrying a per-token LOSS MASK through
+    * the interleaved layout — the ONE artifact a multimodal SFT trainer
+    * loads: aligned `token_ids`/`loss_mask` arrays plus `doc_spans` and
+    * `media_spans` per bin. Each text token is zipped with its own mask
+    * bit BEFORE the slot assembly (the [[materializePackedWithMasks]]
+    * construction), so masks survive the media-placeholder shifts,
+    * oversize-doc truncation, and the pad holes a dropped asset leaves
+    * inside a truncated doc's window. Patch slots and pad slots are
+    * masked out by construction (a trainer never takes loss on patch
+    * embeddings or padding); `n_loss_tokens` is the per-bin loss
+    * normalization count. Same scale shape as [[materializeInterleaved]]
+    * — the mask rides the existing explode, no extra pass. */
+  def materializeInterleavedWithMasks(
+      docs: DataFrame,
+      assets: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      maskCol: String,
+      assetIdCol: String,
+      positionCol: String,
+      patchTokensCol: String,
+      ctxTokens: Int,
+      nShards: Int,
+      imageTokenId: Int,
+      padTokenId: Int = 0): DataFrame =
+    interleavedCore(zipTokensWithMask(docs, idCol, tokensCol, maskCol),
+        assets, idCol, "__pair", assetIdCol, positionCol,
+        patchTokensCol, ctxTokens, nShards,
+        tokVal = t => struct(
+          t.getField("t").cast("int").as("t"),
+          t.getField("m").cast("boolean").as("m")),
+        mediaVal = struct(
+          lit(imageTokenId).cast("int").as("t"), lit(false).as("m")),
+        padSql = s"named_struct('t', CAST($padTokenId AS INT), 'm', false)")
+      .select(col("shard"), col("bin_id"),
+        expr("transform(__vals, v -> v.t)").as("token_ids"),
+        expr("transform(__vals, v -> v.m)").as("loss_mask"),
+        col("seq_len"),
+        expr("size(filter(__vals, v -> v.m))").as("n_loss_tokens"),
+        col("doc_spans"), col("media_spans"))
+
+  /** Shared assembly of the interleaved layout over an arbitrary slot
+    * VALUE type: `tokVal` lifts a text token to the slot value,
+    * `mediaVal` fills placed patch slots, `padSql` (a SQL expression
+    * string of the same type) fills the holes. Emits `__vals` plus the
+    * layout metadata; the public wrappers name and split the arrays. */
+  private def interleavedCore(
+      docs: DataFrame,
+      assets: DataFrame,
+      idCol: String,
+      tokensCol: String,
+      assetIdCol: String,
+      positionCol: String,
+      patchTokensCol: String,
+      ctxTokens: Int,
+      nShards: Int,
+      tokVal: Column => Column,
+      mediaVal: Column,
+      padSql: String): DataFrame = {
     val withN = docs.select(col(idCol), col(tokensCol).as("__toks"),
       size(col(tokensCol)).cast("long").as("n_tokens"))
     val assetPlan = interleavedPlan(withN.select(col(idCol), col("n_tokens")),
@@ -571,13 +664,13 @@ object Packing {
         expr("aggregate(filter(__alist, a -> a.pos <= __p), 0L, (a, x) -> a + x.patch)"))
       .select(col("shard"), col("bin_id"),
         (col("offset_in_bin") + col("__p") + col("__shift")).as("__slot"),
-        col("__tok").cast("int").as("__id"))
+        tokVal(col("__tok")).as("__id"))
       .filter(col("__slot") < ctxTokens)
     // media slots: every placed (non-dropped) asset fills its span
     val mediaSlots = assetPlan.filter(!col("dropped"))
       .select(col("shard"), col("bin_id"),
         explode(expr("sequence(start, start + patch_tokens - 1)")).as("__slot"),
-        lit(imageTokenId).as("__id"))
+        mediaVal.as("__id"))
     // doc + media span metadata per bin
     val docSpans = plan.groupBy(col("shard"), col("bin_id"))
       .agg(sort_array(collect_list(struct(
@@ -611,11 +704,11 @@ object Packing {
       .join(binLen, Seq("shard", "bin_id"))
       .select(col("shard"), col("bin_id"),
         expr(s"transform(sequence(0L, __len - 1), " +
-          s"i -> coalesce(element_at(__m, i), $padTokenId))").as("token_ids"),
+          s"i -> coalesce(element_at(__m, i), $padSql))").as("__vals"),
         col("__len").cast("int").as("seq_len"))
       .join(docSpans, Seq("shard", "bin_id"))
       .join(mediaSpans, Seq("shard", "bin_id"))
-      .select(col("shard"), col("bin_id"), col("token_ids"), col("seq_len"),
+      .select(col("shard"), col("bin_id"), col("__vals"), col("seq_len"),
         col("doc_spans"), col("media_spans"))
   }
 

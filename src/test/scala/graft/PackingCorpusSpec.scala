@@ -861,6 +861,81 @@ class PackingCorpusSpec extends SparkSpec {
     assert(out(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("media_spans").isEmpty)
   }
 
+  test("materializeInterleavedWithMasks: text bits survive shifts/truncation; patch+pad slots masked") {
+    val IMG = -1
+    val PAD = -2
+    val d = Seq(
+      // doc 1: 10 text tokens, bits = token is even; two assets shift the tail
+      (1L, (101 to 110).toArray, (101 to 110).map(_ % 2 == 0).toArray),
+      // doc 2: all-true bits, asset appended at clamped pos
+      (2L, (201 to 205).toArray, Array.fill(5)(true)),
+      // doc 3: 30 tokens all-true, eff 35 >= ctx 20 -> truncated to its
+      // first 20 tokens (the asset at pos 28 is dropped) — the kept
+      // prefix keeps exactly its own 20 bits
+      (3L, (301 to 330).toArray, Array.fill(30)(true)),
+      // doc 4: the dropped-asset HOLE case — 15 text tokens (all true) +
+      // a 10-patch asset at pos 15: eff 25 > ctx -> own bin, asset
+      // dropped, slots 15..19 pad-fill and MUST be masked out
+      (4L, (401 to 415).toArray, Array.fill(15)(true))
+    ).toDF("doc_id", "token_ids", "bits")
+    val a = Seq(
+      (1L, 11L, 2L, 4L), (1L, 12L, 2L, 3L),
+      (2L, 21L, 99L, 10L), (3L, 31L, 28L, 5L), (4L, 41L, 15L, 10L)
+    ).toDF("doc_id", "asset_id", "position", "patch_tokens")
+    val out = Packing.materializeInterleavedWithMasks(d, a, "doc_id",
+        "token_ids", "bits", "asset_id", "position", "patch_tokens",
+        ctxTokens = 20, nShards = 1, imageTokenId = IMG, padTokenId = PAD)
+      .orderBy("bin_id").collect()
+    assert(out.length === 4)
+    def toks(i: Int) = out(i).getAs[scala.collection.Seq[Int]]("token_ids").toSeq
+    def mask(i: Int) = out(i).getAs[scala.collection.Seq[Boolean]]("loss_mask").toSeq
+    // bin 0 = doc 1: text[0,1], 7 IMG slots, text[2..9]; bits ride along
+    assert(toks(0) === Seq(101, 102) ++ Seq.fill(7)(IMG) ++ (103 to 110))
+    assert(mask(0) === Seq(false, true) ++ Seq.fill(7)(false) ++
+      (103 to 110).map(_ % 2 == 0))
+    assert(out(0).getAs[Int]("n_loss_tokens") === 5)
+    // bin 1 = doc 2: 5 true text bits then 10 masked patch slots
+    assert(mask(1) === Seq.fill(5)(true) ++ Seq.fill(10)(false))
+    // bin 2 = doc 3 truncated: kept prefix keeps its own bits
+    assert(toks(2) === (301 to 320))
+    assert(mask(2) === Seq.fill(20)(true))
+    // bin 3 = doc 4: 15 true bits, then the dropped asset's 5-slot hole
+    // pad-fills and is masked out
+    assert(toks(3) === (401 to 415) ++ Seq.fill(5)(PAD))
+    assert(mask(3) === Seq.fill(15)(true) ++ Seq.fill(5)(false))
+    assert(out(3).getAs[Int]("n_loss_tokens") === 15)
+    // loss never lands on a non-text slot, in any bin
+    (0 to 3).foreach { i =>
+      toks(i).zip(mask(i)).foreach { case (t, m) =>
+        if (t == IMG || t == PAD) assert(!m, s"bin $i: loss on slot token $t") } }
+  }
+
+  test("materializePackedWithMasksAndSpans: one pass yields aligned masks AND doc spans") {
+    val d = Seq(
+      (1L, Array("a", "b", "c", "d"), Array(true, false, true, false)),
+      (2L, Array("e", "f", "g"), Array(false, true, true))
+    ).toDF("doc_id", "toks", "bits")
+    val out = Packing.materializePackedWithMasksAndSpans(
+        d, "doc_id", "toks", "bits", ctxTokens = 5, nShards = 1)
+      .orderBy("seq_id").collect()
+    assert(out.length === 2)
+    def s(i: Int) = out(i).getAs[scala.collection.Seq[String]]("toks").toSeq
+    def m(i: Int) = out(i).getAs[scala.collection.Seq[Boolean]]("bits").toSeq
+    def spans(i: Int) = out(i)
+      .getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("doc_spans").toSeq
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // seq 0: doc1 fully + doc2's first token (doc2 wraps the boundary)
+    assert(s(0) === Seq("a", "b", "c", "d", "e"))
+    assert(m(0) === Seq(true, false, true, false, false))
+    assert(out(0).getAs[Int]("n_loss_tokens") === 2)
+    assert(spans(0) === Seq((0, 4, 1L), (4, 1, 2L)))
+    // seq 1: doc2's wrapped tail keeps its own bits
+    assert(s(1) === Seq("f", "g"))
+    assert(m(1) === Seq(true, true))
+    assert(out(1).getAs[Int]("n_loss_tokens") === 2)
+    assert(spans(1) === Seq((0, 2, 2L)))
+  }
+
   test("renderChatTemplate: hand-computed offsets, spans and mask arithmetic") {
     val turns = Seq(
       (1L, 0, "user", "hi"),
