@@ -756,6 +756,30 @@ object Production {
       save(ctx, out.drop(textCol), ctx.dataPath("processed.tokenized"))
     }
 
+    // the tokenizer release data card: vocab composition, corpus
+    // coverage/OOV + byte-fallback usage, per-language fertility and
+    // compression in ONE tall (section, key, n, value) table — pure
+    // composition of the shipped tokenizer operators over the persisted
+    // BPE artifacts (the corpus/alignment data-card precedent for the
+    // tokenizer lane). Re-encodes from the raw zone because the card
+    // needs the original text for its word/byte denominators (the
+    // tokenized zone deliberately drops it).
+    Jobs.register("tokenizer", "data-card") { (ctx, params) =>
+      val s = ctx.spark
+      val textCol = params.getOrElse("text_col", "text").toString
+      val langCol = params.getOrElse("lang_col", "lang").toString
+      val pre = params.getOrElse("pre_tokenize", graft.text.Bpe.Whitespace).toString
+      val docs = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "raw.documents").toString)))
+      val merges = Tables.readData(s, Seq(ctx.dataPath("models.bpe_merges")))
+      val vocab = Tables.readData(s, Seq(ctx.dataPath("models.bpe_vocab")))
+      save(ctx,
+        graft.text.TextAnalysis.tokenizerDataCard(
+          graft.text.Bpe.encode(docs, textCol, merges, preTokenize = pre),
+          textCol, langCol, vocab, preTokenize = pre),
+        ctx.dataPath(params.getOrElse("output", "processed.tokenizer_data_card").toString))
+    }
+
     // render a dialogue zone into ChatML training texts with assistant
     // loss-mask spans — the SFT prep stage ahead of encode/pack; the
     // output keeps mask_spans so a masking-aware packer can carry them

@@ -654,6 +654,37 @@ object LlmQueries {
       TextAnalysis.tokenizerFertility(enc, "text", Some("lang"))
         .orderBy(col("lang"))
     },
+    // --- tokenizer release data card: the full tall rollup over a
+    // REPLAYABLE whitespace tokenizer — tokens = words, vocab = the
+    // distinct words of the EVEN-doc training half, so the coverage
+    // section's OOV rate is a real nonzero number both engines derive
+    // (odd docs carry words the vocab never saw); fertility/compression
+    // re-derive from word/byte totals. The trained-BPE composition of
+    // the same operator is exercised in the catalog e2e
+    // (ConfigJobsSpec), where no SQL oracle can replay merge training
+    "tokenizer_data_card" -> { (s, dir) =>
+      import s.implicits._
+      // the documents table is a CLOSED 31-word vocabulary (that is why
+      // BPE saturates in tokenizer_fertility) — alone it would make the
+      // coverage section uniformly zero. Two planted docs give every
+      // section teeth: the odd one carries words (and a byte-fallback-
+      // shaped token) the even-half vocab never saw -> nonzero OOV and
+      // fallback-usage rates; the even one adds a byte-shaped VOCAB
+      // entry -> nonzero byte_fallback_tokens
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
+        .unionByName(Seq(
+          (900031L, "zzqux zzcorge zzqux <0xE2>", "xx"),
+          (900032L, "zzgrault <0x2A> zzgrault", "xx"))
+          .toDF("doc_id", "text", "lang"))
+      val enc = docs
+        .select(col("doc_id"), col("text"), col("lang"),
+          filter(split(trim(col("text")), "\\s+"), w => length(w) > 0).as("tokens"))
+        .withColumn("n_tokens", size(col("tokens")).cast("long"))
+      val vocab = enc.filter(col("doc_id") % 2 === 0)
+        .select(explode(col("tokens")).as("token")).distinct()
+      TextAnalysis.tokenizerDataCard(enc, "text", "lang", vocab)
+        .orderBy(col("section"), col("key"))
+    },
     // --- WordPiece (BERT-family) audit: greedy longest-match encoding
     // over a likelihood-score-trained vocab. The planted snowman doc is
     // the [UNK] proof (its char is outside the training alphabet); real
@@ -3367,6 +3398,61 @@ object LlmQueries {
         |  CAST(1.0 AS DOUBLE) AS fertility,
         |  round(CAST(sum(by) AS DOUBLE) / sum(nw), 6) AS bytes_per_token
         |FROM a GROUP BY lang ORDER BY lang""".stripMargin,
+    // tokenizer data card: every section re-derives from first
+    // principles over the whitespace-tokenizer fixture — vocab = the
+    // even-doc distinct words, coverage joins the full token stream
+    // against it (real OOV from the odd half), fertility/compression
+    // from the word/byte totals
+    "tokenizer_data_card" ->
+      """WITH docs2 AS (SELECT doc_id, lang, text FROM documents
+        |  UNION ALL SELECT * FROM (VALUES
+        |    (CAST(900031 AS BIGINT), 'xx', 'zzqux zzcorge zzqux <0xE2>'),
+        |    (CAST(900032 AS BIGINT), 'xx', 'zzgrault <0x2A> zzgrault'))
+        |    AS v(doc_id, lang, text)),
+        |d AS (SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
+        |  FROM docs2),
+        |tok AS (SELECT doc_id, lang, unnest(ws) AS tok FROM d),
+        |voc AS (SELECT DISTINCT tok FROM tok WHERE doc_id % 2 = 0),
+        |vocsec AS (
+        |  SELECT 'vocab' AS section, 'vocab_size' AS key,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    round(CAST(count(*) AS DOUBLE), 6) AS value FROM voc
+        |  UNION ALL
+        |  SELECT 'vocab', 'byte_fallback_tokens',
+        |    CAST(coalesce(sum(CASE WHEN regexp_matches(tok, '^<0x[0-9A-F]{2}>$')
+        |      THEN 1 ELSE 0 END), 0) AS BIGINT),
+        |    round(CAST(coalesce(sum(CASE WHEN regexp_matches(tok, '^<0x[0-9A-F]{2}>$')
+        |      THEN 1 ELSE 0 END), 0) AS DOUBLE), 6) FROM voc),
+        |cov AS (SELECT count(*) AS total,
+        |    sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS oov,
+        |    count(DISTINCT t.tok) AS types,
+        |    count(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END) AS oovtypes,
+        |    sum(CASE WHEN regexp_matches(t.tok, '^<0x[0-9A-F]{2}>$')
+        |      THEN 1 ELSE 0 END) AS bf
+        |  FROM tok t LEFT JOIN voc v ON t.tok = v.tok),
+        |covsec AS (
+        |  SELECT 'coverage' AS section, 'byte_fallback_rate' AS key,
+        |    CAST(total AS BIGINT) AS n,
+        |    round(CAST(bf AS DOUBLE) / total, 6) AS value FROM cov
+        |  UNION ALL SELECT 'coverage', 'oov_token_rate', CAST(total AS BIGINT),
+        |    round(CAST(oov AS DOUBLE) / total, 6) FROM cov
+        |  UNION ALL SELECT 'coverage', 'oov_token_types', CAST(types AS BIGINT),
+        |    round(CAST(oovtypes AS DOUBLE), 6) FROM cov),
+        |f AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(coalesce(sum(len(ws)), 0) AS BIGINT) AS nw,
+        |    CAST(coalesce(sum(list_sum(list_transform(ws,
+        |      x -> octet_length(encode(x))))), 0) AS BIGINT) AS by
+        |  FROM d GROUP BY lang),
+        |fertsec AS (SELECT 'fertility' AS section, lang AS key,
+        |    CAST(n_docs AS BIGINT) AS n,
+        |    round(CAST(nw AS DOUBLE) / nw, 6) AS value FROM f),
+        |compsec AS (SELECT 'compression' AS section, lang AS key,
+        |    CAST(nw AS BIGINT) AS n,
+        |    round(CAST(by AS DOUBLE) / nw, 6) AS value FROM f)
+        |SELECT * FROM (SELECT * FROM vocsec UNION ALL SELECT * FROM covsec
+        |  UNION ALL SELECT * FROM fertsec UNION ALL SELECT * FROM compsec)
+        |ORDER BY section, key""".stripMargin,
     // wordpiece audit: n_words replayed exactly; has_unk is data-determined
     // (ONLY the planted snowman doc carries a char outside the training
     // alphabet — every real doc's chars enter via the capped word counts);

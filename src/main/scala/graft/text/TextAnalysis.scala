@@ -1020,6 +1020,74 @@ object TextAnalysis {
         .as("bytes_per_token"))
   }
 
+  /** Tokenizer release data card — one tall `(section, key, n, value)`
+    * table rolling up what a tokenizer release ships (the
+    * [[corpusDataCard]] precedent for the tokenizer lane): VOCAB
+    * composition (size, byte-fallback entries), CORPUS COVERAGE (OOV
+    * token-occurrence rate against the vocab, distinct OOV types,
+    * byte-fallback usage rate), and the per-language FERTILITY and
+    * COMPRESSION rows of [[tokenizerFertility]]. `n` is the row/token
+    * count backing each stat so every row is self-contained.
+    *
+    * `encoded` carries the tokenizer-agnostic contract (`tokensCol`
+    * ARRAY<STRING> + `n_tokens`) plus the original text; `vocab` is the
+    * released token table ([[Bpe.vocabWithIds]] / WordPiece / Unigram
+    * shape — only `vocabTokenCol` is read). Byte-fallback entries are
+    * recognized by the library's `<0xNN>` surface ([[Bpe.byteToken]]).
+    *
+    * Scale shape: pure composition — one count over the bounded vocab,
+    * one explode + broadcast-vocab join + wide aggregate over the
+    * corpus for coverage, and the [[tokenizerFertility]] single-pass
+    * group aggregate; sections union into a tiny tall frame. */
+  def tokenizerDataCard(
+      encoded: DataFrame,
+      textCol: String,
+      langCol: String,
+      vocab: DataFrame,
+      vocabTokenCol: String = "token",
+      tokensCol: String = "tokens",
+      preTokenize: String = Bpe.Whitespace): DataFrame = {
+    val bytePat = "^<0x[0-9A-F]{2}>$"
+    def row(section: String, key: Column, n: Column, value: Column) =
+      struct(lit(section).as("section"), key.cast("string").as("key"),
+        n.cast("long").as("n"), round(value.cast("double"), 6).as("value"))
+    val vocabSec = vocab
+      .agg(
+        count(lit(1)).as("__v"),
+        sum(when(col(vocabTokenCol).rlike(bytePat), 1L).otherwise(0L)).as("__b"))
+      .select(explode(array(
+        row("vocab", lit("vocab_size"), col("__v"), col("__v")),
+        row("vocab", lit("byte_fallback_tokens"), col("__b"), col("__b")))).as("r"))
+      .select(col("r.*"))
+    val inVocab = vocab.select(col(vocabTokenCol).as("__tok")).distinct()
+      .withColumn("__in", lit(1))
+    val coverageSec = encoded
+      .select(explode(col(tokensCol)).as("__tok"))
+      .join(broadcast(inVocab), Seq("__tok"), "left")
+      .agg(
+        count(lit(1)).as("__total"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("__oov"),
+        countDistinct(col("__tok")).as("__types"),
+        countDistinct(when(col("__in").isNull, col("__tok"))).as("__oovTypes"),
+        sum(when(col("__tok").rlike(bytePat), 1L).otherwise(0L)).as("__bf"))
+      .select(explode(array(
+        row("coverage", lit("oov_token_rate"), col("__total"),
+          col("__oov").cast("double") / col("__total")),
+        row("coverage", lit("oov_token_types"), col("__types"), col("__oovTypes")),
+        row("coverage", lit("byte_fallback_rate"), col("__total"),
+          col("__bf").cast("double") / col("__total")))).as("r"))
+      .select(col("r.*"))
+    val fert = tokenizerFertility(encoded, textCol, Some(langCol), preTokenize)
+    val fertSec = fert
+      .select(row("fertility", col(langCol), col("n_docs"), col("fertility")).as("r"))
+      .select(col("r.*"))
+    val compSec = fert
+      .select(row("compression", col(langCol), col("total_tokens"),
+        col("bytes_per_token")).as("r"))
+      .select(col("r.*"))
+    vocabSec.unionByName(coverageSec).unionByName(fertSec).unionByName(compSec)
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): score every
     * candidate document against a CLEAN reference corpus with the
     * stupid-backoff order-n LM ([[ngramLogProb]] — order 5 by default,

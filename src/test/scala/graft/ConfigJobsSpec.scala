@@ -271,6 +271,7 @@ class ConfigJobsSpec extends AnyFunSuite {
         |            params: {ctx_tokens: 256, n_shards: 4, image_token_id: -1}
         |          - name: epoch-shuffle
         |            params: {epoch: 2, source: processed.interleaved_bins}
+        |          - name: data-card
         |  - name: metric-profile
         |    stages:
         |      - name: profile
@@ -301,6 +302,7 @@ class ConfigJobsSpec extends AnyFunSuite {
           "interleaved_plan" -> s"$work/interleaved_plan",
           "interleaved_bins" -> s"$work/interleaved_bins",
           "epoch_order" -> s"$work/epoch_order",
+          "tokenizer_data_card" -> s"$work/tokenizer_card",
           "quantile_profile" -> s"$work/qprofile")))
     graft.pipeline.Production.registerAll()
     val ctx = Context(cfg, spark)
@@ -381,6 +383,22 @@ class ConfigJobsSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.max("epoch_pos").as("mx"),
         org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
     assert(maxPos.filter(col("mx") =!= col("n") - 1).count() === 0)
+    // the tokenizer data card ran over the REAL BPE artifacts: all four
+    // sections present, vocab_size matches the persisted vocab exactly,
+    // nothing is OOV (the encoder trained on this very corpus), and 60
+    // merges are far from saturation so every language's fertility > 1
+    val card = spark.read.parquet(s"$work/tokenizer_card")
+    assert(card.select("section").distinct().collect().map(_.getString(0)).toSet
+      === Set("vocab", "coverage", "fertility", "compression"))
+    assert(card.filter(col("section") === "vocab" && col("key") === "vocab_size")
+      .head().getAs[Double]("value") === vocab.count().toDouble)
+    assert(card.filter(col("key") === "oov_token_rate")
+      .head().getAs[Double]("value") === 0.0)
+    val fertRows = card.filter(col("section") === "fertility").collect()
+    assert(fertRows.length === spark.read.parquet(s"$work/docs")
+      .select("lang").distinct().count())
+    fertRows.foreach(r => assert(r.getAs[Double]("value") > 1.0,
+      s"fertility not > 1 for ${r.getAs[String]("key")}"))
     assert(graft.pipeline.Jobs.run(ctx, "metric-profile").isEmpty)
     val prof = spark.read.parquet(s"$work/qprofile")
     assert(prof.columns.toSeq.contains("q_50") && prof.columns.toSeq.contains("q_90"))
