@@ -302,7 +302,8 @@ object Similarity {
     * LSH needs no fitting.
     *
     * `nlist = 0` (the default) auto-scales the cell count to ~√N
-    * (one corpus count(), clamped to [16, 4096]); `nprobe = 0` probes
+    * (one corpus count(), clamped to [16, 65536] — see [[ivfAutoNlist]]
+    * for what binds the cap now); `nprobe = 0` probes
     * max(nlist/3, enough cells for an expected ~30·k-row candidate
     * pool) — targeting recall ≥ 0.85 even on near-uniform data, see
     * [[ivfAutoNprobe]]. A FIXED nlist is the scale trap this default
@@ -311,11 +312,11 @@ object Similarity {
     * probes give 0.74 recall at 500 rows but 0.48 at 2000, while at the
     * SAME 38% probed fraction 64 cells give 0.84: on clustered data,
     * finer cells concentrate true neighbors better than wider probing
-    * (the r8 auto rule holds recall at ~0.86+ across both scales). The
-    * 4096 cap
-    * keeps the k-means fit tractable (fit cost is fitSample × nlist
-    * distances per iteration); beyond ~10^8 rows, raise nprobe (or
-    * shard the index) rather than nlist. */
+    * (the r8 auto rule holds recall at ~0.86+ across both scales).
+    * Above [[IvfFlatFitMaxCells]] cells the fit and the full-corpus
+    * assignment both go two-level ([[ivfFit]]), so √N cells stay
+    * affordable to the 65536 cap (~4.3 B vectors); past THAT, shard the
+    * index rather than grow nlist. */
   /** Auto signature width for sign-bit LSH: log2(N / targetBucket) with
     * targetBucket = max(64, 4k), clamped to [4, 24] — constant expected
     * bucket population as the corpus grows (see [[lshCosineTopK]]). */
@@ -326,12 +327,21 @@ object Similarity {
     math.min(24, math.max(4, raw))
   }
 
-  /** Auto cell count: ~√N, clamped to [16, min(N, 4096)] — see the
-    * [[ivfCosineTopK]] scaladoc for the measured rationale. */
+  /** Auto cell count: ~√N, clamped to [16, min(N, 65536)]. The cap was
+    * 4096 through r15 because flat k-means fit cost grows as
+    * fitSample·cells; the two-level fit ([[ivfFit]], engaging above
+    * [[IvfFlatFitMaxCells]]) and the shuffle-free two-level assignment
+    * removed that term, and r15's hierarchical probe ranking
+    * ([[centroidCandidates]]) already removed the query-side O(cells)
+    * scan — so √N cells now hold to ~4.3 BILLION vectors before the cap
+    * binds. The remaining O(cells) term behind the new cap is the
+    * centroid frame itself: it is broadcast on the probe path (65536
+    * cells × 64 dims ≈ 33 MB — fine; 10× that is not), so corpora past
+    * ~4 B vectors shard the index rather than grow cells further. */
   private[graft] def ivfAutoNlist(corpusCount: Long): Int = {
     val n = math.max(1L, corpusCount)
     val bySqrt = math.max(16, math.round(math.sqrt(n.toDouble)).toInt)
-    math.max(1, math.min(bySqrt.toLong, math.min(n, 4096L)).toInt)
+    math.max(1, math.min(bySqrt.toLong, math.min(n, 65536L)).toInt)
   }
 
   /** Corpus-size boundary between the two auto-nprobe regimes. Below it
@@ -371,11 +381,12 @@ object Similarity {
     * SCALE (N ≥ 100k): the pool target is PRIMARY —
     * `nprobe = max(8, ceil(cells · 240·k / N))`, i.e. an expected ~240·k
     * verified candidates per query, floored at [[IvfScaleMinProbes]]
-    * cells. At the auto nlist (≈√N, capped 4096) one cell already holds
+    * cells. At the auto nlist (≈√N, capped 65536) one cell already holds
     * ≥ √N ≥ 316 rows, so the 8-cell floor is the operative term — the
     * byK top-up engages when a caller provisions cells finer than
     * ~N/300 (e.g. an explicit nlist=4096 on a 200k corpus → 50 probes,
-    * keeping the candidate pool from starving). The r14 review showed
+    * keeping the candidate pool from starving; measured r16 on the
+    * planted clustered harness, `ann_ivf_scale_byk`). The r14 review showed
     * the old FRACTIONAL floor is the wrong branch to keep at scale:
     * cells/3 with the 4096-cell nlist cap means every auto query scans
     * ≥ N/3 candidates — brute force with extra steps — and
@@ -457,7 +468,7 @@ object Similarity {
     * transform() lambda over a norm column — Catalyst may inline the
     * norm into the lambda body, where it would re-reduce the vector per
     * ELEMENT: O(d^2) per row at embedding dims. */
-  private[similarity] def ivfNormalizedCorpus(
+  private[graft] def ivfNormalizedCorpus(
       corpus: DataFrame, idCol: String, vecCol: String,
       extraCols: Seq[String] = Nil): DataFrame = {
     import org.apache.spark.ml.functions.array_to_vector
@@ -473,6 +484,73 @@ object Similarity {
       .drop("__rawvec")
   }
 
+  /** Largest cell count fitted with ONE flat spark.ml k-means. Beyond
+    * it [[ivfFit]] goes two-level: flat Lloyd's is fitSample·cells
+    * distances per iteration — at the old 4096-cell ceiling that was
+    * already ~3·10⁹ per iteration, and it is the reason the auto nlist
+    * used to cap at 4096 (leaving per-query candidate pools growing
+    * linearly in N beyond ~17 M vectors). The threshold sits below that
+    * old cap so the two-level path has test/recall coverage at cell
+    * counts the sandbox can actually exercise. */
+  private[graft] val IvfFlatFitMaxCells: Int = 2048
+
+  /** A fitted IVF coarse quantizer: assigns rows (adds int `__cell` to a
+    * frame carrying the [[ivfNormalizedCorpus]] columns) and exposes the
+    * centroid table. Two implementations — the flat spark.ml model, and
+    * the two-level fit that keeps large cell counts affordable. */
+  private[graft] sealed trait IvfQuantizer {
+    def transform(df: DataFrame): DataFrame
+    def centroidFrame(spark: org.apache.spark.sql.SparkSession): DataFrame
+  }
+
+  private[graft] final case class FlatQuantizer(
+      model: org.apache.spark.ml.clustering.KMeansModel) extends IvfQuantizer {
+    override def transform(df: DataFrame): DataFrame = model.transform(df)
+    override def centroidFrame(
+        spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      model.clusterCenters.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toArray.toSeq) }
+        .toDF("__cell", "__cent")
+    }
+  }
+
+  /** Two-level quantizer: a spark.ml super-model of ~√cells centers plus
+    * per-super sub-centroids (global `__cell` ids). Assignment is
+    * SHUFFLE-FREE: one super transform (map), one broadcast join from
+    * `__super` to that super's sub-centroid candidates, one codegen'd
+    * [[graft.expressions.NearestCell]] argmin per row — 2·√cells·dim
+    * multiplies per row instead of cells·dim, the map-only shape a
+    * full-corpus assignment needs at any N. */
+  private[graft] final case class TwoLevelQuantizer(
+      superModel: org.apache.spark.ml.clustering.KMeansModel,
+      subs: Seq[(Int, Int, Array[Double])]) extends IvfQuantizer {
+    override def transform(df: DataFrame): DataFrame = {
+      val spark = df.sparkSession
+      import spark.implicits._
+      import org.apache.spark.sql.graft.Bridge
+      val cands = subs.groupBy(_._1).toSeq
+        .map { case (s, items) =>
+          (s, items.sortBy(_._2).map { case (_, cell, cent) =>
+            (cell, cent.toSeq, cent.map(x => x * x).sum) })
+        }
+        .toDF("__superQ", "__cands")
+      superModel.transform(df)
+        .join(broadcast(cands), col("__superQ") === col("__superTmp"))
+        .withColumn("__cell", Bridge.column(graft.expressions.NearestCell(
+          Bridge.expression(col("__cv").cast("array<double>")),
+          Bridge.expression(col("__cn")),
+          Bridge.expression(col("__cands")))))
+        .drop("__superTmp", "__superQ", "__cands")
+    }
+    override def centroidFrame(
+        spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      subs.map { case (_, cell, cent) => (cell, cent.toSeq) }
+        .sortBy(_._1).toDF("__cell", "__cent")
+    }
+  }
+
   /** Seeded coarse-quantizer fit over a bounded sample of the normalized
     * corpus. Hash-ordered top-n = a uniform deterministic pseudo-random
     * sample (distributed TakeOrdered); a bare limit() would take a
@@ -481,31 +559,146 @@ object Similarity {
     * to be roughly balanced; 8 iterations halves the fit cost vs the
     * default 20 with no measurable recall change, and random init (not
     * k-means||) skips several extra passes over the fit sample — the exact
-    * re-rank fixes any assignment noise. */
-  private[similarity] def ivfFit(
+    * re-rank fixes any assignment noise.
+    *
+    * Above [[IvfFlatFitMaxCells]] the fit is TWO-LEVEL (the classic
+    * inverted-multi-index / IVF-HNSW coarse-fit move): fit √cells
+    * super-centers with spark.ml over the sample, assign the sample to
+    * them, then run a deterministic local Lloyd's per super-cell (one
+    * `mapGroups` — groups are sample-bounded) with the remaining cell
+    * budget apportioned by super-cell mass (largest-remainder, so big
+    * clusters get proportionally more cells — better balance than an
+    * even split). Fit cost drops from fitSample·cells to
+    * ~2·fitSample·√cells distances per iteration, which is what lets
+    * [[ivfAutoNlist]] keep ~√N cells far beyond the old 4096 cap. A
+    * super-cell that caught no sample points contributes its own center
+    * as a single cell, so assignment always has candidates. The actual
+    * cell count can come out slightly under `cells` (a sample group
+    * cannot yield more distinct centroids than it has points);
+    * downstream reads cells off the centroid frame, never the request. */
+  /** Two-level fit sample floor, points per cell: a 100k sample on a
+    * 6k-cell request is ~16 points per centroid — noise, not a fit
+    * (measured on the 40M cap-lift probe). The two-level fit's cost is
+    * ~2·sample·√cells, so scaling the sample WITH the cell count stays
+    * affordable exactly where the flat fit could not. */
+  private[graft] val IvfSubFitPointsPerCell: Int = 24
+
+  private[graft] def ivfFit(
       corpusVec: DataFrame, idCol: String, cells: Int, seed: Long,
-      fitSample: Int): org.apache.spark.ml.clustering.KMeansModel = {
-    val fitFrame = corpusVec
+      fitSample: Int): IvfQuantizer = {
+    def sampled(n: Int) = corpusVec
       .select(col("__mlvec"), xxhash64(col(idCol)).as("__h"))
-      .orderBy(col("__h")).limit(fitSample).drop("__h")
-    new org.apache.spark.ml.clustering.KMeans()
-      .setK(cells).setSeed(seed).setMaxIter(8).setInitMode("random")
-      .setFeaturesCol("__mlvec").setPredictionCol("__cell")
-      .fit(fitFrame)
+      .orderBy(col("__h")).limit(n)
+    if (cells <= IvfFlatFitMaxCells)
+      FlatQuantizer(new org.apache.spark.ml.clustering.KMeans()
+        .setK(cells).setSeed(seed).setMaxIter(8).setInitMode("random")
+        .setFeaturesCol("__mlvec").setPredictionCol("__cell")
+        .fit(sampled(fitSample).drop("__h")))
+    else {
+      val fitFrame = sampled(
+        math.max(fitSample, IvfSubFitPointsPerCell * cells))
+      val spark = corpusVec.sparkSession
+      import spark.implicits._
+      import org.apache.spark.ml.functions.vector_to_array
+      val superK = math.max(2, math.round(math.sqrt(cells.toDouble)).toInt)
+      val superModel = new org.apache.spark.ml.clustering.KMeans()
+        .setK(superK).setSeed(seed).setMaxIter(8).setInitMode("random")
+        .setFeaturesCol("__mlvec").setPredictionCol("__superTmp")
+        .fit(fitFrame.drop("__h"))
+      val sample = superModel.transform(fitFrame)
+        .select(col("__superTmp"), col("__h"),
+          vector_to_array(col("__mlvec")).as("__v"))
+        .as[(Int, Long, Seq[Double])]
+      // apportion the cell budget by sample mass, largest remainder
+      val sizes = sample.groupByKey(_._1).count().collect().toMap
+      val total = math.max(1L, sizes.values.sum)
+      val raw = sizes.toSeq.sortBy(_._1).map { case (s, n) =>
+        (s, cells.toDouble * n / total)
+      }
+      val base = raw.map { case (s, x) => (s, math.max(1, x.toInt)) }.toMap
+      val rem = cells - base.values.sum
+      val order = raw.sortBy { case (s, x) => -(x - x.toInt) }.map(_._1)
+      val ks = (0 until math.max(0, rem)).foldLeft(base) { (m, i) =>
+        val s = order(i % order.length); m.updated(s, m(s) + 1)
+      }
+      val ksB = spark.sparkContext.broadcast(ks)
+      val fitted = sample.groupByKey(_._1)
+        .mapGroups { (s, it) =>
+          // hash-sorted points make the init (and so the whole local
+          // Lloyd's run) independent of arrival order
+          val pts = it.toArray.sortBy(_._2).map(_._3.toArray)
+          (s, localLloyd(pts, ksB.value.getOrElse(s, 1), iters = 8))
+        }
+        .collect()
+        .toMap
+      // empty super groups still need a candidate: their own center
+      val subs = (0 until superK).flatMap { s =>
+        fitted.getOrElse(s,
+          Array(superModel.clusterCenters(s).toArray))
+          .map(c => (s, c))
+      }.zipWithIndex.map { case ((s, c), cell) => (s, cell, c) }
+      TwoLevelQuantizer(superModel, subs)
+    }
+  }
+
+  /** Deterministic local Lloyd's over one super-cell's sample points:
+    * init = k evenly spaced points of the (hash-)sorted input, standard
+    * assign/recompute iterations, empty clusters keep their previous
+    * center. Returns ≤ k distinct centroids (k clamps to the point
+    * count). Pure JVM math on a bounded group — runs inside mapGroups. */
+  private[graft] def localLloyd(
+      points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val n = points.length
+    if (n == 0) return Array.empty
+    val kk = math.min(math.max(1, k), n)
+    val dim = points(0).length
+    var cents = Array.tabulate(kk)(i => points(((i.toLong * n) / kk).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](dim))
+      val cnt = new Array[Int](kk)
+      var p = 0
+      while (p < n) {
+        val pt = points(p)
+        var bi = 0
+        var bd = Double.PositiveInfinity
+        var c = 0
+        while (c < kk) {
+          val ct = cents(c)
+          var d = 0.0
+          var j = 0
+          while (j < dim) { val t = pt(j) - ct(j); d += t * t; j += 1 }
+          if (d < bd) { bd = d; bi = c }
+          c += 1
+        }
+        val s = sums(bi)
+        var j = 0
+        while (j < dim) { s(j) += pt(j); j += 1 }
+        cnt(bi) += 1
+        p += 1
+      }
+      cents = Array.tabulate(kk) { c =>
+        if (cnt(c) == 0) cents(c)
+        else {
+          val s = sums(c)
+          val out = new Array[Double](dim)
+          var j = 0
+          while (j < dim) { out(j) = s(j) / cnt(c); j += 1 }
+          out
+        }
+      }
+      it += 1
+    }
+    cents
   }
 
   /** The fitted centroids as a tiny frame (__cell, __cent). No broadcast
     * hint here: the frame is also WRITTEN (buildIvf persists it), and a
     * hint whose plan never reaches a join is silently dropped with a
     * HintErrorLogger warning — joins hint their build side themselves. */
-  private[similarity] def ivfCentroidFrame(
+  private[graft] def ivfCentroidFrame(
       spark: org.apache.spark.sql.SparkSession,
-      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
-    import spark.implicits._
-    model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray.toSeq) }
-      .toDF("__cell", "__cent")
-  }
+      model: IvfQuantizer): DataFrame = model.centroidFrame(spark)
 
   /** Hierarchy engages only when it pays: enough cells that the flat
     * per-query centroid scan dominates, and probes a small enough
@@ -591,7 +784,7 @@ object Similarity {
     * against the tiny broadcast centroid frame — fully distributed, works
     * for any query-id type (no driver math, no long cast). Returns the
     * broadcast (query_id, __cell, __qv2, __qn) probe frame. */
-  private[similarity] def ivfQueryProbes(
+  private[graft] def ivfQueryProbes(
       queries: DataFrame, queryIdCol: String, vecCol: String,
       centDf: DataFrame, probes: Int): DataFrame = {
     // query-side normalization: the lambda's O(d^2)-per-row worst case is
@@ -627,7 +820,7 @@ object Similarity {
     * one-shot [[ivfCosineTopK]] and the prebuilt-index search
     * ([[AnnIndex.searchIvf]]). `assigned` = (id, __cv, __cn, __cell);
     * `qProbes` must be broadcast-sized. */
-  private[similarity] def ivfScore(
+  private[graft] def ivfScore(
       assigned: DataFrame, qProbes: DataFrame, idCol: String, k: Int): DataFrame = {
     val cands = assigned
       .join(broadcast(qProbes), Seq("__cell"))

@@ -364,6 +364,28 @@ object Recall {
       bigZBrute.size, (bigZBrute & bigZIvf).size, 0.85,
       "the same auto SCALE point on Zipf-mass clusters (few huge + long tail) vs exact top-10")
 
+    // --- byK top-up branch of the SCALE policy (r16): both r15 scale
+    // points land on the 8-probe FLOOR, leaving the pool-target arm
+    // (cells · 240·k / N when a caller provisions cells finer than
+    // ~N/300) live but unmeasured. Explicit nlist=4096 on a 200k corpus
+    // resolves auto-nprobe to ceil(4096·2400/200000) = 50 probes — the
+    // byK arm — and, since 4096 > IvfFlatFitMaxCells, this point also
+    // exercises the r16 TWO-LEVEL fit + shuffle-free assignment end to
+    // end against exact truth.
+    val byk = clusteredCorpus(spark, n = 200000L, dims = 32, clusters = 256,
+      noise = 1.0)
+    val bykQ = byk.filter(col("vec_id") < 50)
+    val bykBrute = pairSet(
+      Similarity.cosineTopK(byk, bykQ, "vec_id", "vec", "vec_id", 10),
+      "query_id", "vec_id")
+    val bykIvf = pairSet(
+      Similarity.ivfCosineTopK(byk, bykQ, "vec_id", "vec", "vec_id", 10,
+        nlist = 4096),
+      "query_id", "vec_id")
+    entries += Entry("ann_ivf_scale_byk", recallOf(bykBrute, bykIvf),
+      bykBrute.size, (bykBrute & bykIvf).size, 0.85,
+      "byK pool-target arm: explicit nlist=4096 at N=200k resolves to 50 probes (not the 8 floor) over the two-level fit, vs exact top-10 on the clustered planted corpus")
+
     // --- hierarchical probe ranking (r15): retrievalNeighbors routes
     // centroid selection through the two-level quantizer once nlist >=
     // 128 and probes <= nlist/8 — measure what the super-cell pruning

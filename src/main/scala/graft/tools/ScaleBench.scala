@@ -282,9 +282,86 @@ object ScaleBench {
       graft.align.Preference.bradleyTerry(o, "winner", "loser", iterations = 10)
     })
 
+  /** `cap-lift`: the r16 IVF nlist-cap measurement. A 40M-vector
+    * clustered corpus (past the old cap's ~16.8M break-even) is staged
+    * once; at N=20M and N=40M the one-shot IVF search runs both at the
+    * OLD 4096-cell cap and at the lifted auto nlist (√N via the
+    * two-level fit), with phase timings, the MEASURED per-query
+    * candidate volume (probed-cell occupancy, not the policy's
+    * expectation), and recall against 50 brute-forced queries. The
+    * claim under test: candidate volume grows ~linearly in N at the old
+    * cap (occupancy N/4096) but ~√N uncapped, at recall parity, and
+    * the two-level fit keeps the larger nlist affordable. */
+  private def capLift(spark: SparkSession): Unit = {
+    import graft.similarity.Similarity
+    val dir = "/tmp/graft_scale_caplift_40m"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      System.err.println("[scalebench] staging the 40M clustered corpus (one-off)")
+      Recall.clusteredCorpus(spark, n = 40000000L, dims = 16,
+          clusters = 4096, noise = 1.0)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val full = spark.read.parquet(dir)
+    val queries = full.filter(col("vec_id") < 50)
+    for ((sfName, nRows) <- Seq("n20m" -> 20000000L, "n40m" -> 40000000L)) {
+      val corpus = full.filter(col("vec_id") < nRows)
+      val tb0 = System.nanoTime()
+      val truth = Similarity.cosineTopK(corpus, queries, "vec_id", "vec", "vec_id", 10)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bruteSec = (System.nanoTime() - tb0) / 1e9
+      println(f"""{"query":"cap_lift_brute","sf":"$sfName","sec":$bruteSec%.3f,"rows":${truth.size}}""")
+      // third config: uncapped cells at the OLD CAP's candidate budget
+      // (nprobe raised so probes·N/cells ~= the capped volume) — the
+      // "finer cells at equal work" comparison
+      val eqProbes = Map("n20m" -> 9, "n40m" -> 13)(sfName)
+      for ((label, nlistArg, nprobeArg) <- Seq(
+          ("old_cap_4096", 4096, 0), ("uncapped_auto", 0, 0),
+          ("uncapped_eqwork", 0, eqProbes))) {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        val cells = if (nlistArg > 0) nlistArg else Similarity.ivfAutoNlist(nRows)
+        val probes =
+          if (nprobeArg > 0) nprobeArg
+          else Similarity.ivfAutoNprobe(cells, nRows, 10)
+        val norm = Similarity.ivfNormalizedCorpus(corpus, "vec_id", "vec")
+        val tf0 = System.nanoTime()
+        val model = Similarity.ivfFit(norm, "vec_id", cells, seed = 0L,
+          fitSample = 100000)
+        val centDf = Similarity.ivfCentroidFrame(spark, model)
+        val actualCells = centDf.count()
+        val fitSec = (System.nanoTime() - tf0) / 1e9
+        val assigned = model.transform(norm).drop("__mlvec")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val ta0 = System.nanoTime()
+        assigned.count()
+        val assignSec = (System.nanoTime() - ta0) / 1e9
+        val ts0 = System.nanoTime()
+        val qProbes = Similarity.ivfQueryProbes(queries, "vec_id", "vec",
+          centDf, probes)
+        val got = Similarity.ivfScore(assigned, qProbes, "vec_id", 10)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val searchSec = (System.nanoTime() - ts0) / 1e9
+        // MEASURED candidate volume: occupancy of the probed cells
+        val occ = assigned.groupBy(col("__cell")).count()
+        val cand = qProbes.join(occ, Seq("__cell"))
+          .agg(sum(col("count"))).head().getLong(0) / 50.0
+        val recall = (truth & got).size.toDouble / math.max(1, truth.size)
+        println(f"""{"query":"cap_lift_$label","sf":"$sfName","nlist":$actualCells,"nprobe":$probes,"fit_sec":$fitSec%.3f,"assign_sec":$assignSec%.3f,"search_sec":$searchSec%.3f,"candidates_per_query":$cand%.0f,"recall":$recall%.4f}""")
+        assigned.unpersist(true)
+      }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("cap-lift")) {
+      capLift(spark)
+      spark.stop()
+      return
+    }
     val sf1Dir = sys.env.getOrElse("SPARK_GRAFT_SF1_DIR", "/tmp/graft_sf1")
     System.err.println(s"[scalebench] deriving sf1 into $sf1Dir (idempotent)")
     scaleUp(spark, "/root/testdata/sf0.1", sf1Dir, 10)

@@ -369,13 +369,66 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(again == ivf)
   }
 
+  test("two-level ivf fit: exact at nprobe=nlist, deterministic, full coverage") {
+    import spark.implicits._
+    // 6000 rows with 2500 requested cells forces the TWO-LEVEL fit
+    // (> IvfFlatFitMaxCells = 2048): at nprobe = nlist the search is
+    // exact no matter how the quantizer carved the space, so equality
+    // with brute force proves the two-level assignment is a real
+    // partition (every row in exactly one probed cell, none dropped)
+    val corpus = graft.tools.Recall.clusteredCorpus(
+      spark, n = 6000L, dims = 8, clusters = 64, noise = 1.0)
+    val queries = corpus.filter(col("vec_id") < 15)
+    val norm = Similarity.ivfNormalizedCorpus(corpus, "vec_id", "vec")
+    val model = Similarity.ivfFit(norm, "vec_id", cells = 2500, seed = 7L,
+      fitSample = 100000)
+    assert(model.isInstanceOf[Similarity.TwoLevelQuantizer])
+    val cents = Similarity.ivfCentroidFrame(spark, model)
+    val nCells = cents.count()
+    assert(nCells >= 2000 && nCells <= 2600, s"cell count off: $nCells")
+    val assigned = model.transform(norm)
+    assert(assigned.filter(col("__cell").isNull).count() === 0)
+    assert(assigned.count() === 6000)
+    // assignment is a pure function of the fit: same cells on re-run
+    val a1 = assigned.select(col("vec_id"), col("__cell"))
+      .as[(Long, Int)].collect().toMap
+    val a2 = model.transform(norm).select(col("vec_id"), col("__cell"))
+      .as[(Long, Int)].collect().toMap
+    assert(a1 === a2)
+    // cells assigned are exactly the fitted ids
+    val ids = cents.select("__cell").as[Int].collect().toSet
+    assert(a1.values.toSet.subsetOf(ids))
+    val exact = Similarity.cosineTopK(corpus, queries, "vec_id", "vec", "vec_id", 10)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val viaIvf = Similarity.ivfCosineTopK(corpus, queries, "vec_id", "vec",
+        "vec_id", 10, nlist = 2500, nprobe = 2500)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(viaIvf === exact)
+  }
+
+  test("localLloyd: two planted blobs yield their means; k clamps to n") {
+    val blobA = Array.tabulate(10)(i => Array(0.0 + i * 0.01, 0.0))
+    val blobB = Array.tabulate(10)(i => Array(10.0 + i * 0.01, 5.0))
+    val cents = Similarity.localLloyd(blobA ++ blobB, k = 2, iters = 8)
+    assert(cents.length === 2)
+    val sorted = cents.sortBy(_(0))
+    assert(math.abs(sorted(0)(0) - 0.045) < 1e-9 && sorted(0)(1) === 0.0)
+    assert(math.abs(sorted(1)(0) - 10.045) < 1e-9 && sorted(1)(1) === 5.0)
+    // k > n clamps; empty input yields no centroids
+    assert(Similarity.localLloyd(blobA.take(3), k = 10, iters = 3).length === 3)
+    assert(Similarity.localLloyd(Array.empty, k = 4, iters = 3).isEmpty)
+  }
+
   test("ivf auto params: sqrt-N cells, candidate-pool probe floor, caps") {
     import Similarity.{ivfAutoNlist, ivfAutoNprobe}
-    // sqrt scaling with the 16 floor and 4096 cap
+    // sqrt scaling with the 16 floor and the (r16-lifted) 65536 cap:
+    // √N holds to ~4.3e9 vectors now that the two-level fit pays for
+    // large cell counts
     assert(ivfAutoNlist(500L) == 22)        // sqrt(500) ~ 22
     assert(ivfAutoNlist(2000L) == 45)       // sqrt(2000) ~ 45
     assert(ivfAutoNlist(100L) == 16)        // floor
-    assert(ivfAutoNlist(1_000_000_000L) == 4096) // cap
+    assert(ivfAutoNlist(1_000_000_000L) == 31623) // sqrt holds past the old 4096 cap
+    assert(ivfAutoNlist(10_000_000_000L) == 65536) // the new cap
     assert(ivfAutoNlist(4L) == 4)           // never more cells than rows
     // SMALL regime (N < 100k): max(cells/3, 30·k pool) — the r8 rule,
     // tuned for recall >= 0.85 even on near-uniform data:

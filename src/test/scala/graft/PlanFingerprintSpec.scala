@@ -140,6 +140,40 @@ class PlanFingerprintSpec extends SparkSpec {
     }
   }
 
+  test("hierarchical retrieval probe ranking keeps its two-level broadcast shape") {
+    // retrievalNeighbors with the hierarchy ENGAGED (nlist=256 >= 128,
+    // nprobe=8 <= nlist/8): the two-level probe ranking adds a super-fit
+    // + keyed windows whose broadcast hints (superDf, centWithSuper) are
+    // load-bearing — silently losing one reintroduces the N·nlist
+    // centroid scan (or shuffles the corpus against the centroid frame)
+    // WITHOUT failing any oracle, because results are unchanged. No
+    // registered query runs this configuration (the exact oracle twin
+    // pins nprobe=nlist, where the hierarchy deliberately disengages),
+    // so the plan is built directly on the planted clustered corpus.
+    withAqeOff {
+      val corpus = graft.tools.Recall
+        .clusteredCorpus(spark, n = 2000L, dims = 8, clusters = 64, noise = 1.0)
+        .select(col("vec_id"), col("vec"), (col("vec_id") % 25L).as("doc"))
+      val df = graft.similarity.Similarity.retrievalNeighbors(
+        corpus, "vec_id", "vec", "doc", k = 5, nlist = 256, nprobe = 8)
+      val got = PlanAudit.fingerprint(df)
+      // broadcast 3 = superDf (the per-query super ranking nested loop),
+      // centWithSuper (the super -> member-centroid hash join), and the
+      // probe frame into the scoring join; sort_merge_join 1 = the
+      // corpus-sized probe-cell join (corpus-as-queries — this one MUST
+      // stay a shuffle join, a broadcast here means the corpus side got
+      // broadcast); window 2 = super rank + probe rank, both KEYED by
+      // query; window_group_limit 2 = the bounded-heap final top-k
+      val want = Map(
+        "broadcast" -> 3, "broadcast_hash_join" -> 3,
+        "broadcast_nested_loop" -> 1, "sort_merge_join" -> 1,
+        "shuffle" -> 3, "local_sort" -> 4,
+        "window" -> 2, "window_group_limit" -> 2)
+      assert(got === want,
+        s"hierarchical retrieval plan shape changed — pinned $want, actual $got")
+    }
+  }
+
   test("the fingerprint actually moves when a broadcast hint is dropped") {
     import spark.implicits._
     withAqeOff {

@@ -19,6 +19,8 @@ import graft.tools.Recall
   *   - embedding near-dup (planted clones)     = 1.0
   *   - ROUGE-L near-dup (banding-adversarial) >= 0.9 (default), >= 0.95 (32x1)
   *   - IVF scale-branch auto policy (120k clustered planted) >= 0.85
+  *   - IVF scale byK arm (nlist=4096 at 200k -> 50 probes,
+  *     two-level fit)                                        >= 0.85
   *   - retrievalNeighbors hierarchical centroid selection    >= 0.85
   *
   * The same harness run as `runMain graft.tools.Recall` writes the round
@@ -37,7 +39,7 @@ class RecallSpec extends SparkSpec {
       "ann_ivfpq_refined", "ann_ivfpq_default", "rouge_neardup",
       "rouge_neardup_hr", "retrieval_neighbors",
       "ann_ivf_scale_policy", "ann_ivf_scale_policy_zipf",
-      "retrieval_neighbors_hierarchical")
+      "ann_ivf_scale_byk", "retrieval_neighbors_hierarchical")
     assert(entries.map(_.name).toSet === expected)
     val failures = entries.filter(e => e.recall < e.minBound)
     assert(failures.isEmpty,
