@@ -1428,11 +1428,14 @@ object LlmQueries {
         .select(col("doc_id"),
           filter(split(trim(col("text")), "\\s+"), w => length(w) > 0).as("tokens"))
         // sequence(1, 0) DESCENDS in Spark — guard the empty-doc case
+        // size bound OUTSIDE the lambda — see interleaved_loss_masks for
+        // the measured inline trap
+        .withColumn("__n", size(col("tokens")))
         .withColumn("mask",
-          when(size(col("tokens")) > 0,
-            transform(sequence(lit(1), size(col("tokens"))),
-              i => i * 2 > size(col("tokens"))))
+          when(col("__n") > 0,
+            transform(sequence(lit(1), col("__n")), i => i * 2 > col("__n")))
             .otherwise(expr("CAST(array() AS ARRAY<BOOLEAN>)")))
+        .drop("__n")
       graft.text.Packing
         .materializePackedWithMasks(docs, "doc_id", "tokens", "mask",
           ctxTokens = 64, nShards = 4)
@@ -1454,11 +1457,14 @@ object LlmQueries {
       val docs = t(s, dir, "documents").filter(col("doc_id") < 50)
         .select(col("doc_id"),
           filter(split(trim(col("text")), "\\s+"), w => length(w) > 0).as("tokens"))
+        // size bound OUTSIDE the lambda — see interleaved_loss_masks for
+        // the measured inline trap
+        .withColumn("__n", size(col("tokens")))
         .withColumn("mask",
-          when(size(col("tokens")) > 0,
-            transform(sequence(lit(1), size(col("tokens"))),
-              i => i * 2 > size(col("tokens"))))
+          when(col("__n") > 0,
+            transform(sequence(lit(1), col("__n")), i => i * 2 > col("__n")))
             .otherwise(expr("CAST(array() AS ARRAY<BOOLEAN>)")))
+        .drop("__n")
       graft.text.Packing
         .materializePackedWithMasksAndSpans(docs, "doc_id", "tokens", "mask",
           ctxTokens = 64, nShards = 4)
@@ -1485,12 +1491,26 @@ object LlmQueries {
       val base = t(s, dir, "documents").filter(col("doc_id") < 200)
         .select(col("doc_id"),
           filter(split(trim(col("text")), "\\s+"), w => length(w) > 0).as("words"))
-      val d = base.select(col("doc_id"),
-        transform(col("words"), w => length(w).cast("int")).as("token_ids"),
-        when(size(col("words")) > 0,
-          transform(sequence(lit(1), size(col("words"))),
-            i => i * 2 > size(col("words"))))
-          .otherwise(expr("CAST(array() AS ARRAY<BOOLEAN>)")).as("mask"))
+      // bind size(words) OUTSIDE the mask lambda: referencing
+      // size(words) inside transform() lets Catalyst inline the whole
+      // filter(split(trim(text))) chain per ELEMENT once the zip in the
+      // materializer combines both arrays — O(w²) string work per doc,
+      // measured 3.4s -> 0.2s on this fixture for the explode alone
+      // the derived doc/asset frames are MATERIALIZED (localCheckpoint)
+      // before entering the operator: its layout machinery fans its
+      // inputs out ~6 ways (fold, asset plan, text slots, span rollups),
+      // and an unmaterialized synthetic derivation re-inlines the
+      // split/transform chains into every branch (38 scans measured) —
+      // production inputs are the persisted tokenized zone (see the
+      // catalog materialize-interleaved stage), so the fixture mirrors
+      // that; the oracle is unaffected
+      val d = base.withColumn("__n", size(col("words")))
+        .select(col("doc_id"),
+          transform(col("words"), w => length(w).cast("int")).as("token_ids"),
+          when(col("__n") > 0,
+            transform(sequence(lit(1), col("__n")), i => i * 2 > col("__n")))
+            .otherwise(expr("CAST(array() AS ARRAY<BOOLEAN>)")).as("mask"))
+        .localCheckpoint()
       val assets = base.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), (col("doc_id") * 10 + 1).as("asset_id"),
           lit(5L).as("position"), lit(7L).as("patch_tokens"))
@@ -1504,6 +1524,7 @@ object LlmQueries {
         .unionByName(base.filter(col("doc_id") % 3 === 0)
           .select(col("doc_id"), (col("doc_id") * 10 + 3).as("asset_id"),
             lit(60L).as("position"), lit(9L).as("patch_tokens")))
+        .localCheckpoint()
       graft.text.Packing
         .materializeInterleavedWithMasks(d, assets, "doc_id", "token_ids",
           "mask", "asset_id", "position", "patch_tokens",

@@ -1,5 +1,7 @@
 package graft.tools
 
+import org.apache.spark.sql.functions._
+
 /** Scratch verification driver — edit freely to exercise whatever
   * changed: call operators on /root/testdata/sf0.001, show() results,
   * explain() plans. Not part of the library surface. */
@@ -7,9 +9,14 @@ object Drive {
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    graft.SparkEntry.entry(spark).show(5, truncate = false)
-    println(s"sf dir: $dir")
+    val dir = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"PROBE $name: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    }
+    spark.read.parquet(s"$dir/documents.parquet").count()
+    for (q <- Seq("interleaved_loss_masks", "packed_loss_masks", "packed_masks_spans"); i <- 1 to 2)
+      time(s"${q}_$i")(graft.queries.LlmQueries.queries(q)(spark, dir).count())
     spark.stop()
   }
 }
