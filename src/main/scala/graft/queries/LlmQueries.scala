@@ -1496,21 +1496,23 @@ object LlmQueries {
       // filter(split(trim(text))) chain per ELEMENT once the zip in the
       // materializer combines both arrays — O(w²) string work per doc,
       // measured 3.4s -> 0.2s on this fixture for the explode alone
-      // the derived doc/asset frames are MATERIALIZED (localCheckpoint)
-      // before entering the operator: its layout machinery fans its
-      // inputs out ~6 ways (fold, asset plan, text slots, span rollups),
-      // and an unmaterialized synthetic derivation re-inlines the
+      // the derived doc/asset frames are CACHED before entering the
+      // operator: its layout machinery fans its inputs out ~6 ways
+      // (fold, asset plan, text slots, span rollups), and an
+      // unmaterialized synthetic derivation re-inlines the
       // split/transform chains into every branch (38 scans measured) —
       // production inputs are the persisted tokenized zone (see the
       // catalog materialize-interleaved stage), so the fixture mirrors
-      // that; the oracle is unaffected
+      // that; the oracle is unaffected. persist (not localCheckpoint):
+      // the bench harness unpersists leftovers between queries, and a
+      // truncated-lineage RDD would warn on every cleanup
       val d = base.withColumn("__n", size(col("words")))
         .select(col("doc_id"),
           transform(col("words"), w => length(w).cast("int")).as("token_ids"),
           when(col("__n") > 0,
             transform(sequence(lit(1), col("__n")), i => i * 2 > col("__n")))
             .otherwise(expr("CAST(array() AS ARRAY<BOOLEAN>)")).as("mask"))
-        .localCheckpoint()
+        .persist()
       val assets = base.filter(col("doc_id") % 5 === 0)
         .select(col("doc_id"), (col("doc_id") * 10 + 1).as("asset_id"),
           lit(5L).as("position"), lit(7L).as("patch_tokens"))
@@ -1524,7 +1526,7 @@ object LlmQueries {
         .unionByName(base.filter(col("doc_id") % 3 === 0)
           .select(col("doc_id"), (col("doc_id") * 10 + 3).as("asset_id"),
             lit(60L).as("position"), lit(9L).as("patch_tokens")))
-        .localCheckpoint()
+        .persist()
       graft.text.Packing
         .materializeInterleavedWithMasks(d, assets, "doc_id", "token_ids",
           "mask", "asset_id", "position", "patch_tokens",
