@@ -449,7 +449,7 @@ object Metrics {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val s = col(scoreCol).cast("double")
     val probes = (1 until buckets).map(_.toDouble / buckets)
-    val edges = df.agg(graft.Exprs.pctArray(s, probes, exact).as("__e")).head.getSeq[Double](0)
+    val edges = df.agg(graft.Exprs.pctArray(s, probes, exact).as("__e")).head().getSeq[Double](0)
     // bucket 0 = top scores: count of edges STRICTLY ABOVE the score.
     // Same null/NaN discipline as calibrationTable: a null score's filter
     // predicate drops every edge (bottom bucket), a NaN's keeps every

@@ -360,7 +360,7 @@ object Tables {
     val spark = snaps.sparkSession
     val tlSorted = snaps.select(col(tsCol)).distinct().orderBy(col(tsCol))
     val timeline = spark.createDataFrame(
-      tlSorted.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      tlSorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
       StructType(tlSorted.schema.fields :+ StructField("__idx", LongType, nullable = false)))
     require(!timeline.head(1).isEmpty, "scd2FromSnapshots needs at least one snapshot")
     // next instant per timeline slot, in tsCol's native type

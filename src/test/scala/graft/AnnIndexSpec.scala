@@ -47,6 +47,34 @@ class AnnIndexSpec extends SparkSpec {
     assert(fromIndex === oneShot)
   }
 
+  test("IVF: prebuilt index over the TWO-LEVEL fit (nlist > 2048) — identity, persistence, exactness") {
+    // 3000 planted clustered rows with 2500 requested cells force the
+    // r16 two-level fit + NearestCell assignment through the PERSISTED
+    // index path: build partitions by the two-level cells, search must
+    // (a) equal the one-shot operator at identical parameters and
+    // (b) be EXACT at nprobe = nlist regardless of how the quantizer
+    // carved the space (the coverage proof for the index layout)
+    val dir = tempDir("graft_ivf_idx_2lvl")
+    val corpus = graft.tools.Recall.clusteredCorpus(
+      spark, n = 3000L, dims = 8, clusters = 64, noise = 1.0)
+    val queries = corpus.filter(col("vec_id") < 5)
+    AnnIndex.buildIvf(corpus, "vec_id", "vec", dir, nlist = 2500, seed = 7L)
+    val cents = spark.read.parquet(s"$dir/centroids.parquet")
+    assert(cents.count() >= 2000 && cents.count() <= 2600)
+    val fromIndex = rows(
+      AnnIndex.searchIvf(spark, dir, queries, "vec_id", "vec", k = 8, nprobe = 2500)
+        .orderBy(col("query_id"), col("rank")))
+    val oneShot = rows(
+      Similarity.ivfCosineTopK(corpus, queries, "vec_id", "vec", "vec_id",
+        k = 8, nlist = 2500, nprobe = 2500, seed = 7L)
+        .orderBy(col("query_id"), col("rank")))
+    assert(fromIndex.nonEmpty && fromIndex === oneShot)
+    val exact = rows(
+      Similarity.cosineTopK(corpus, queries, "vec_id", "vec", "vec_id", 8)
+        .orderBy(col("query_id"), col("rank")))
+    assert(fromIndex === exact)
+  }
+
   test("IVF: ensure builds once; the second search runs against the persisted structure") {
     val dir = tempDir("graft_ivf_ensure")
     AnnIndex.ensureIvf(emb, "vec_id", "embedding", dir, nlist = 16, seed = 7L)
