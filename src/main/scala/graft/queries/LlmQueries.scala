@@ -667,14 +667,17 @@ object LlmQueries {
       // the documents table is a CLOSED 31-word vocabulary (that is why
       // BPE saturates in tokenizer_fertility) — alone it would make the
       // coverage section uniformly zero. Two planted docs give every
-      // section teeth: the odd one carries words (and a byte-fallback-
-      // shaped token) the even-half vocab never saw -> nonzero OOV and
-      // fallback-usage rates; the even one adds a byte-shaped VOCAB
-      // entry -> nonzero byte_fallback_tokens
+      // section teeth: the odd one carries words (and byte-fallback-
+      // shaped tokens, one bare + one WORD-FINAL <0xNN></w> — the two
+      // surfaces a real BPE stream carries) the even-half vocab never
+      // saw -> nonzero OOV and fallback-usage rates; the even one adds
+      // both byte-shaped VOCAB surfaces -> byte_fallback_tokens counts
+      // the word-final form too (the r16 ADVICE miss: a bare-only
+      // pattern undercounts a BPE vocab's byte entries 2x)
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"), col("lang"))
         .unionByName(Seq(
-          (900031L, "zzqux zzcorge zzqux <0xE2>", "xx"),
-          (900032L, "zzgrault <0x2A> zzgrault", "xx"))
+          (900031L, "zzqux zzcorge zzqux <0xE2> <0x47></w>", "xx"),
+          (900032L, "zzgrault <0x2A> <0x2B></w> zzgrault", "xx"))
           .toDF("doc_id", "text", "lang"))
       val enc = docs
         .select(col("doc_id"), col("text"), col("lang"),
@@ -3429,8 +3432,8 @@ object LlmQueries {
     "tokenizer_data_card" ->
       """WITH docs2 AS (SELECT doc_id, lang, text FROM documents
         |  UNION ALL SELECT * FROM (VALUES
-        |    (CAST(900031 AS BIGINT), 'xx', 'zzqux zzcorge zzqux <0xE2>'),
-        |    (CAST(900032 AS BIGINT), 'xx', 'zzgrault <0x2A> zzgrault'))
+        |    (CAST(900031 AS BIGINT), 'xx', 'zzqux zzcorge zzqux <0xE2> <0x47></w>'),
+        |    (CAST(900032 AS BIGINT), 'xx', 'zzgrault <0x2A> <0x2B></w> zzgrault'))
         |    AS v(doc_id, lang, text)),
         |d AS (SELECT doc_id, lang,
         |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS ws
@@ -3443,15 +3446,15 @@ object LlmQueries {
         |    round(CAST(count(*) AS DOUBLE), 6) AS value FROM voc
         |  UNION ALL
         |  SELECT 'vocab', 'byte_fallback_tokens',
-        |    CAST(coalesce(sum(CASE WHEN regexp_matches(tok, '^<0x[0-9A-F]{2}>$')
+        |    CAST(coalesce(sum(CASE WHEN regexp_matches(tok, '^<0x[0-9A-F]{2}>(</w>)?$')
         |      THEN 1 ELSE 0 END), 0) AS BIGINT),
-        |    round(CAST(coalesce(sum(CASE WHEN regexp_matches(tok, '^<0x[0-9A-F]{2}>$')
+        |    round(CAST(coalesce(sum(CASE WHEN regexp_matches(tok, '^<0x[0-9A-F]{2}>(</w>)?$')
         |      THEN 1 ELSE 0 END), 0) AS DOUBLE), 6) FROM voc),
         |cov AS (SELECT count(*) AS total,
         |    sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS oov,
         |    count(DISTINCT t.tok) AS types,
         |    count(DISTINCT CASE WHEN v.tok IS NULL THEN t.tok END) AS oovtypes,
-        |    sum(CASE WHEN regexp_matches(t.tok, '^<0x[0-9A-F]{2}>$')
+        |    sum(CASE WHEN regexp_matches(t.tok, '^<0x[0-9A-F]{2}>(</w>)?$')
         |      THEN 1 ELSE 0 END) AS bf
         |  FROM tok t LEFT JOIN voc v ON t.tok = v.tok),
         |covsec AS (

@@ -132,8 +132,8 @@ object AnnIndex {
       quantize: Boolean = false,
       attrCols: Seq[String] = Nil): Unit = {
     require(nlist >= 0, s"nlist must be >= 0 (0 = auto), got $nlist")
-    val nRows = corpus.count()
-    val cells = if (nlist > 0) nlist else Similarity.ivfAutoNlist(nRows)
+    val (nRows, dims) = Similarity.corpusCountAndDims(corpus, vecCol)
+    val cells = if (nlist > 0) nlist else Similarity.ivfAutoNlist(nRows, dims)
     val corpusVec = Similarity.ivfNormalizedCorpus(corpus, idCol, vecCol, attrCols)
     val model = Similarity.ivfFit(corpusVec, idCol, cells, seed, fitSample)
     Similarity.ivfCentroidFrame(corpus.sparkSession, model)
@@ -237,8 +237,8 @@ object AnnIndex {
       refine: Boolean = true): Unit = {
     require(nlist >= 0, s"nlist must be >= 0 (0 = auto), got $nlist")
     require(m > 0 && codes > 1, s"need m > 0 subspaces and codes > 1, got m=$m codes=$codes")
-    val nRows = corpus.count()
-    val cells = if (nlist > 0) nlist else Similarity.ivfAutoNlist(nRows)
+    val (nRows, dims) = Similarity.corpusCountAndDims(corpus, vecCol)
+    val cells = if (nlist > 0) nlist else Similarity.ivfAutoNlist(nRows, dims)
     val corpusVec = Similarity.ivfNormalizedCorpus(corpus, idCol, vecCol, attrCols)
     val model = Similarity.ivfFit(corpusVec, idCol, cells, seed, fitSample)
     Similarity.ivfCentroidFrame(corpus.sparkSession, model)

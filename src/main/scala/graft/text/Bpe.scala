@@ -279,6 +279,17 @@ object Bpe {
     * cannot drift. */
   private[text] val ByteTokenRe = "^<0x([0-9A-F]{2})>$".r
 
+  /** `rlike` form of the byte-token contract for COUNTING byte-fallback
+    * surfaces in a vocab or an encoded stream: unlike [[ByteTokenRe]]
+    * (which matches the bare form its callers strip [[EndOfWord]] before
+    * feeding), this one also accepts the word-final `<0xNN></w>` entries
+    * that [[vocabWithIds]] ships (both forms per byte) and
+    * `byteFallbackIds` emits on a word's last byte — a bare-only count
+    * would miss half the vocab's byte entries and every word-final
+    * fallback use. RE2-compatible (no lookaround), so DuckDB oracles can
+    * replay it verbatim. */
+  private[graft] val ByteTokenCountPat = "^<0x[0-9A-F]{2}>(</w>)?$"
+
   /** UTF-8 bytes of `body` as byte-token ids; the last byte carries the
     * sentinel when `sentinel` is set (so word boundaries survive the
     * fallback and decode stays exact). Missing byte tokens (a vocabulary

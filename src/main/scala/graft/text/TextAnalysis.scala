@@ -1033,7 +1033,9 @@ object TextAnalysis {
     * ARRAY<STRING> + `n_tokens`) plus the original text; `vocab` is the
     * released token table ([[Bpe.vocabWithIds]] / WordPiece / Unigram
     * shape — only `vocabTokenCol` is read). Byte-fallback entries are
-    * recognized by the library's `<0xNN>` surface ([[Bpe.byteToken]]).
+    * recognized by the library's `<0xNN>` surface ([[Bpe.byteToken]]),
+    * with or without the word-final `</w>` marker
+    * ([[Bpe.ByteTokenCountPat]]) — BPE vocabs ship both forms per byte.
     *
     * Scale shape: pure composition — one count over the bounded vocab,
     * one explode + broadcast-vocab join + wide aggregate over the
@@ -1047,7 +1049,10 @@ object TextAnalysis {
       vocabTokenCol: String = "token",
       tokensCol: String = "tokens",
       preTokenize: String = Bpe.Whitespace): DataFrame = {
-    val bytePat = "^<0x[0-9A-F]{2}>$"
+    // counts BOTH byte-token surfaces — bare <0xNN> and word-final
+    // <0xNN></w> (the vocab ships both per byte; word-final fallback
+    // bytes in an encoded stream carry the marker) — see Bpe.ByteTokenCountPat
+    val bytePat = Bpe.ByteTokenCountPat
     def row(section: String, key: Column, n: Column, value: Column) =
       struct(lit(section).as("section"), key.cast("string").as("key"),
         n.cast("long").as("n"), round(value.cast("double"), 6).as("value"))

@@ -223,4 +223,24 @@ class BpeSpec extends SparkSpec {
     // doc 1 hand count: [Hello][,][ world][!][ it]['s][ 42][.]
     assert(audit.map(_._1).toSeq.contains(8L))
   }
+
+  test("byte-token count pattern covers BOTH vocab surfaces (r16 advice)") {
+    val re = Bpe.ByteTokenCountPat.r
+    (0 until 256).foreach { b =>
+      // the two surfaces vocabWithIds ships per byte value — a bare-only
+      // pattern undercounts byte_fallback_tokens exactly 2x
+      assert(re.findFirstIn(Bpe.byteToken(b)).isDefined, Bpe.byteToken(b))
+      assert(re.findFirstIn(Bpe.byteToken(b) + Bpe.EndOfWord).isDefined)
+    }
+    // lookalikes a corpus could plant must NOT count
+    for (t <- Seq("<0x2G>", "<0x2a>", "x<0x2A>", "<0x2A>x", "<0x2A></w>x",
+        "<0x2A2>", "</w>", "<0x2A></w></w>"))
+      assert(re.findFirstIn(t).isEmpty, t)
+    // vocabWithIds really does ship exactly 512 byte entries, all matched
+    val docs = Seq((1L, "aa ab")).toDF("doc_id", "text")
+    val (merges, vocabIds) = Bpe.trainArtifacts(docs, "text", numMerges = 2)
+    val byteEntries = vocabIds.filter(col("token").rlike(Bpe.ByteTokenCountPat)).count()
+    assert(byteEntries === 512L)
+    assert(merges.count() >= 0L) // merges unused beyond artifact shape
+  }
 }

