@@ -171,6 +171,35 @@ object PlanAudit {
     counts.toMap
   }
 
+  /** Leaf SCAN-node count of the initial physical plan — the
+    * fingerprint's companion for FANOUT regressions: an operator that
+    * fans a derived input out N ways re-inlines the derivation into N
+    * scans (fc67664 measured 38 on interleaved_loss_masks, a silent
+    * 3.4s — every oracle still passed). Pin it alongside fingerprint()
+    * for queries that sit on that knife-edge. Same AQE-off contract as
+    * [[fingerprint]]. */
+  def scanCount(df: DataFrame): Int = {
+    import org.apache.spark.sql.execution._
+    var n = 0
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case _: adaptive.AdaptiveSparkPlanExec =>
+          throw new IllegalStateException(
+            "PlanAudit.scanCount needs spark.sql.adaptive.enabled=false " +
+              "(same contract as fingerprint)")
+        case _: FileSourceScanExec                    => n += 1
+        case _: datasources.v2.BatchScanExec          => n += 1
+        case _: LocalTableScanExec                    => n += 1
+        case _: RDDScanExec                           => n += 1
+        case _: columnar.InMemoryTableScanExec        => n += 1
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    n
+  }
+
   /** Session-wide enforcement: installs [[AuditRule]] as an extra
     * optimizer rule on a LIVE session (idempotent). The rule is inert
     * until `spark.graft.audit` is set to `enforce`; per-rule waivers via

@@ -1491,45 +1491,51 @@ object LlmQueries {
     // plus the media/pad slot counts, so a mask bit leaking onto a patch
     // slot, a pad hole, or a shifted text slot changes the answer
     "interleaved_loss_masks" -> { (s, dir) =>
-      val base = t(s, dir, "documents").filter(col("doc_id") < 200)
-        .select(col("doc_id"),
-          filter(split(trim(col("text")), "\\s+"), w => length(w) > 0).as("words"))
-      // bind size(words) OUTSIDE the mask lambda: referencing
-      // size(words) inside transform() lets Catalyst inline the whole
-      // filter(split(trim(text))) chain per ELEMENT once the zip in the
-      // materializer combines both arrays — O(w²) string work per doc,
-      // measured 3.4s -> 0.2s on this fixture for the explode alone
-      // the derived doc/asset frames are CACHED before entering the
-      // operator: its layout machinery fans its inputs out ~6 ways
-      // (fold, asset plan, text slots, span rollups), and an
-      // unmaterialized synthetic derivation re-inlines the
-      // split/transform chains into every branch (38 scans measured) —
-      // production inputs are the persisted tokenized zone (see the
-      // catalog materialize-interleaved stage), so the fixture mirrors
-      // that; the oracle is unaffected. persist (not localCheckpoint):
-      // the bench harness unpersists leftovers between queries, and a
-      // truncated-lineage RDD would warn on every cleanup
-      val d = base.withColumn("__n", size(col("words")))
-        .select(col("doc_id"),
-          transform(col("words"), w => length(w).cast("int")).as("token_ids"),
-          when(col("__n") > 0,
-            transform(sequence(lit(1), col("__n")), i => i * 2 > col("__n")))
-            .otherwise(expr("CAST(array() AS ARRAY<BOOLEAN>)")).as("mask"))
-        .persist()
-      val assets = base.filter(col("doc_id") % 5 === 0)
-        .select(col("doc_id"), (col("doc_id") * 10 + 1).as("asset_id"),
-          lit(5L).as("position"), lit(7L).as("patch_tokens"))
-        .unionByName(base.filter(col("doc_id") % 7 === 0)
-          .select(col("doc_id"), (col("doc_id") * 10 + 2).as("asset_id"),
-            lit(0L).as("position"), lit(3L).as("patch_tokens")))
-        // the dropped-asset family: position 60 on every 3rd doc — for
-        // any doc long enough to truncate at ctx 64 the span [60, 69)
-        // does not fit, the asset DROPS, and slots 60..63 become the
-        // pad hole the mask must cover (the case this query pins)
-        .unionByName(base.filter(col("doc_id") % 3 === 0)
-          .select(col("doc_id"), (col("doc_id") * 10 + 3).as("asset_id"),
-            lit(60L).as("position"), lit(9L).as("patch_tokens")))
-        .persist()
+      // the synthetic chat/asset derivation is STAGED once per sf dir
+      // behind a versioned _STAGED marker (the lang_classifier_audit
+      // precedent — r16 verdict: fixture construction was ~all of this
+      // query's 2.15s for zero operator signal): production inputs are
+      // the persisted tokenized zone (see the catalog
+      // materialize-interleaved stage), so the bench measures the
+      // materializer over parquet scans exactly as production pays it.
+      // Clean parquet read-back also sidesteps both fc67664 inline
+      // traps (size-in-lambda per-element re-derivation; the ~6-way
+      // input fanout re-inlining the split/transform chains into 38
+      // scans) without persist() bookkeeping. Oracle unaffected — it
+      // re-derives the same frames from `documents` in SQL.
+      val tmp = s"/tmp/graft_io/${dir.replaceAll("[^A-Za-z0-9]", "_")}/ilm_fixture_v1"
+      if (!new java.io.File(s"$tmp/_STAGED").exists()) {
+        val base = t(s, dir, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"),
+            filter(split(trim(col("text")), "\\s+"), w => length(w) > 0).as("words"))
+        // bind size(words) OUTSIDE the mask lambda (fc67664): inside
+        // transform() Catalyst would inline the filter(split(trim()))
+        // chain per ELEMENT once the materializer zips both arrays
+        base.withColumn("__n", size(col("words")))
+          .select(col("doc_id"),
+            transform(col("words"), w => length(w).cast("int")).as("token_ids"),
+            when(col("__n") > 0,
+              transform(sequence(lit(1), col("__n")), i => i * 2 > col("__n")))
+              .otherwise(expr("CAST(array() AS ARRAY<BOOLEAN>)")).as("mask"))
+          .write.mode("overwrite").parquet(s"$tmp/docs")
+        val withAssets = base.filter(col("doc_id") % 5 === 0)
+          .select(col("doc_id"), (col("doc_id") * 10 + 1).as("asset_id"),
+            lit(5L).as("position"), lit(7L).as("patch_tokens"))
+          .unionByName(base.filter(col("doc_id") % 7 === 0)
+            .select(col("doc_id"), (col("doc_id") * 10 + 2).as("asset_id"),
+              lit(0L).as("position"), lit(3L).as("patch_tokens")))
+          // the dropped-asset family: position 60 on every 3rd doc — for
+          // any doc long enough to truncate at ctx 64 the span [60, 69)
+          // does not fit, the asset DROPS, and slots 60..63 become the
+          // pad hole the mask must cover (the case this query pins)
+          .unionByName(base.filter(col("doc_id") % 3 === 0)
+            .select(col("doc_id"), (col("doc_id") * 10 + 3).as("asset_id"),
+              lit(60L).as("position"), lit(9L).as("patch_tokens")))
+        withAssets.write.mode("overwrite").parquet(s"$tmp/assets")
+        new java.io.File(s"$tmp/_STAGED").createNewFile()
+      }
+      val d = s.read.parquet(s"$tmp/docs")
+      val assets = s.read.parquet(s"$tmp/assets")
       graft.text.Packing
         .materializeInterleavedWithMasks(d, assets, "doc_id", "token_ids",
           "mask", "asset_id", "position", "patch_tokens",

@@ -119,7 +119,32 @@ class PlanFingerprintSpec extends SparkSpec {
     // running-sum window = 3
     "dpo_render_conversation" -> Map("broadcast" -> 4, "broadcast_hash_join" -> 3, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "local_sort" -> 5, "shuffle" -> 5, "window" -> 3),
     "align_data_card" -> Map("broadcast" -> 6, "broadcast_hash_join" -> 5, "broadcast_nested_loop" -> 2, "global_sort" -> 1, "shuffle" -> 18),
-    "packed_loss_masks" -> Map("global_sort" -> 1, "local_sort" -> 1, "shuffle" -> 2, "window" -> 1))
+    "packed_loss_masks" -> Map("global_sort" -> 1, "local_sort" -> 1, "shuffle" -> 2, "window" -> 1),
+    // r16 headliners (pinned r17): the interleaved VLM materializer keeps
+    // the slot-value-generic shape — keyed sort_merge slot joins (both
+    // sides corpus-sized at scale: a broadcast_hash_join replacing one
+    // means a corpus-sized side got broadcast), ONE keyed window, no
+    // global sort beyond the root ORDER BY. The combined masks+spans
+    // artifact rides materializePacked's shape (one keyed window + the
+    // span rollup window, one bounded-group shuffle — an extra pass for
+    // the masks/spans means the zip fell off the single explode). The
+    // tokenizer data card is pure aggregate composition: its 8 shuffles
+    // are the section aggregates; a window appearing means a section
+    // fell off the groupBy path
+    "interleaved_loss_masks" -> Map("broadcast" -> 6, "broadcast_hash_join" -> 6, "global_sort" -> 1, "local_sort" -> 15, "shuffle" -> 11, "sort_merge_join" -> 6, "window" -> 1),
+    "packed_masks_spans" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 2, "window" -> 2),
+    "tokenizer_data_card" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "shuffle" -> 8))
+
+  /** Scan-count pins for the fanout knife-edge queries: an operator that
+    * fans a derived input out N ways re-inlines the derivation into N
+    * scans without failing any oracle (fc67664: 38 scans, a silent
+    * 3.4s on interleaved_loss_masks). The staged parquet fixture holds
+    * the materializer at 9 scans of two tiny inputs; the data card's 10
+    * are its section aggregates over the fixture union. */
+  private val pinnedScans: Map[String, Int] = Map(
+    "interleaved_loss_masks" -> 9,
+    "packed_masks_spans" -> 1,
+    "tokenizer_data_card" -> 10)
 
   private def withAqeOff[T](f: => T): T = {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -136,6 +161,19 @@ class PlanFingerprintSpec extends SparkSpec {
       }
       assert(diffs.isEmpty,
         "plan shape changed — if deliberate, re-pin and explain in the commit:\n" +
+          diffs.mkString("\n"))
+    }
+  }
+
+  test("fanout knife-edge queries keep their pinned scan counts") {
+    withAqeOff {
+      val diffs = pinnedScans.toSeq.sortBy(_._1).flatMap { case (name, want) =>
+        val got = PlanAudit.scanCount(SparkEntry.queries(name)(spark, dir))
+        if (got == want) None else Some(s"$name: pinned $want scans, actual $got")
+      }
+      assert(diffs.isEmpty,
+        "scan count changed — a fanout re-inlined a derivation (or a " +
+          "deliberate restage; re-pin and explain in the commit):\n" +
           diffs.mkString("\n"))
     }
   }
