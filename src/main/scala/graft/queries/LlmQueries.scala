@@ -1204,6 +1204,19 @@ object LlmQueries {
           k = 10, nprobe = 16)
         .orderBy(col("query_id"), col("rank"))
     },
+    // sharded index, exhaustive probes per shard: each shard is exact on
+    // its hash slice and the bounded-heap merge recovers the global
+    // top-k — same one right answer as the unsharded exact twins
+    "ann_sharded_search_exact" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = annIndexDir(dir, "ivfsh")
+      graft.similarity.AnnIndex.ensureIvfSharded(e, "vec_id", "embedding",
+        idx, nShards = 3, nlist = 16)
+      graft.similarity.AnnIndex
+        .searchIvfSharded(s, idx, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    },
     // LSH at bits=1 with Hamming-1 probing visits BOTH buckets of the
     // 1-bit signature space -> every candidate scored -> exhaustive
     "ann_lsh_topk_exact" -> { (s, dir) =>
@@ -3838,10 +3851,12 @@ object LlmQueries {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
         |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
-    // the four full-precision exact twins (IVF/LSH, one-shot and index)
-    // all reduce to the same unfiltered brute-force cosine top-k
+    // the five full-precision exact twins (IVF/LSH, one-shot, index, and
+    // sharded index) all reduce to the same unfiltered brute-force
+    // cosine top-k
     "ann_ivf_topk_exact" -> AnnExactBruteSql,
     "ann_ivf_search_exact" -> AnnExactBruteSql,
+    "ann_sharded_search_exact" -> AnnExactBruteSql,
     "ann_lsh_topk_exact" -> AnnExactBruteSql,
     "ann_lsh_search_exact" -> AnnExactBruteSql,
     // IVF-PQ refined, exhaustive shortlist: the final ranking is cosine

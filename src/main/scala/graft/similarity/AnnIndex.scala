@@ -20,6 +20,9 @@ import org.apache.spark.sql.functions._
   *   <dir>/corpus.parquet/    IVF: (id, __cv, __cn, attrs…) PARTITIONED BY __cell
   *   <dir>/signatures.parquet LSH: (id, __cv, __cv_n, sig, attrs…)
   *                            PARTITIONED BY table, sig-sorted within files
+  *   <dir>/shard=<i>/…        sharded IVF: one complete IVF index per
+  *                            xxhash64(id)-slice + a top-level meta
+  *                            (kind ivf_sharded) written last
   * }}}
   *
   * Why this layout scales:
@@ -605,6 +608,139 @@ object AnnIndex {
       attrCols: Seq[String] = Nil): Unit =
     if (!exists(corpus.sparkSession, dir))
       buildIvf(corpus, idCol, vecCol, dir, nlist, seed, attrCols = attrCols)
+
+  // ---------------------------------------------------------- sharded IVF
+
+  /** Hash-sharded IVF index: `nShards` independent [[buildIvf]] indexes
+    * under `dir/shard=<i>`, each over the `pmod(xxhash64(id), nShards)`
+    * slice of the corpus, plus a top-level meta (kind `ivf_sharded`,
+    * written LAST — the crashed-build contract composes). First-class
+    * sharding removes the two ceilings a single index carries at
+    * extreme N (r16 verdict):
+    *
+    *  - CELLS: each shard auto-fits ~√(N/S) cells over its slice, so the
+    *    per-probe-pass broadcast centroid frame stays inside
+    *    [[Similarity.CentroidBudgetDoubles]] while TOTAL cells grow to
+    *    S·65536 — the documented path past the 65536-cell cap.
+    *  - FIT WALL-TIME: the S fits run over disjoint slices on separate
+    *    threads (`buildParallelism` at a time — Spark schedules the
+    *    concurrent jobs fairly across executor cores), so the dominant
+    *    build cost drops ~linearly in S until the cluster saturates.
+    *
+    * Search-identity contract: each per-query global top-k element lives
+    * in exactly one shard and necessarily ranks in THAT shard's top-k of
+    * the candidates it verified — so the bounded-heap merge of per-shard
+    * top-ks equals a single search over the union of the shards'
+    * candidate pools. At `nprobe = per-shard nlist` (exhaustive probing)
+    * every shard is exact and the merged result IS the exact top-k
+    * (AnnIndexSpec pins sharded ≡ brute force there); at auto params the
+    * recall story is the per-shard auto policy's, measured in
+    * tools/Recall. */
+  def buildIvfSharded(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nShards: Int,
+      nlist: Int = 0,
+      seed: Long = 0L,
+      fitSample: Int = 100000,
+      quantize: Boolean = false,
+      attrCols: Seq[String] = Nil,
+      buildParallelism: Int = 4): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(buildParallelism >= 1,
+      s"buildParallelism must be >= 1, got $buildParallelism")
+    val spark = corpus.sparkSession
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(nShards, buildParallelism))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val builds = (0 until nShards).map { sh =>
+        Future {
+          // distinct seed per shard: identically-seeded fits on near-iid
+          // slices would land on near-identical centroids — harmless for
+          // correctness but wasteful of the diversity S fits can buy
+          buildIvf(
+            corpus.filter(shardOf(col(idCol), nShards) === sh),
+            idCol, vecCol, s"$dir/shard=$sh", nlist, seed + sh, fitSample,
+            quantize, attrCols)
+        }
+      }
+      builds.foreach(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
+    val total = (0 until nShards)
+      .map(sh => readMeta(spark, s"$dir/shard=$sh", "ivf").nRows).sum
+    writeMeta(spark, dir,
+      Meta("ivf_sharded", idCol, total, nlist, tables = nShards, bits = 0,
+        seed, quantize))
+  }
+
+  /** The shard a row's id routes to — one place owns the rule so builds,
+    * appends, and any external partitioner agree. */
+  private def shardOf(id: org.apache.spark.sql.Column, nShards: Int) =
+    pmod(xxhash64(id), lit(nShards.toLong)).cast("int")
+
+  /** Search a sharded IVF index: fan the (broadcast-sized) query frame
+    * across every shard's [[searchIvf]] — each prunes to its own probed
+    * cell partitions, so total bytes touched stay ~nprobe/nlist of each
+    * shard — and merge the per-shard top-ks per query on the bounded
+    * heap ([[graft.dp.TopK]]: |Q|·S·k rows, one aggregate, no window).
+    * `nprobe`/`corpusFilter` pass through to every shard. */
+  def searchIvfSharded(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 0,
+      corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val m = readMeta(spark, dir, "ivf_sharded")
+    val perShard = (0 until m.tables).map { sh =>
+      searchIvf(spark, s"$dir/shard=$sh", queries, queryIdCol, vecCol, k,
+        nprobe, corpusFilter).drop("rank")
+    }
+    val unioned = perShard.reduce(_.unionByName(_))
+    graft.dp.TopK
+      .topKPerKeyDirectional(unioned, Seq("query_id"),
+        Seq("cosine" -> false, m.idCol -> true), k)
+      .select(col("query_id"), col(m.idCol), col("cosine"), col("rank"))
+  }
+
+  /** Append a batch to a sharded IVF index: each row routes to the SAME
+    * `pmod(xxhash64(id), nShards)` shard the build used and rides that
+    * shard's [[appendIvf]] (assigned against the shard's persisted
+    * centroids, appended to its cell partitions). The top-level row
+    * count is refreshed last. */
+  def appendIvfSharded(
+      batch: DataFrame,
+      vecCol: String,
+      dir: String): Unit = {
+    val spark = batch.sparkSession
+    val m = readMeta(spark, dir, "ivf_sharded")
+    (0 until m.tables).foreach { sh =>
+      val slice = batch.filter(shardOf(col(m.idCol), m.tables) === sh)
+      if (!slice.isEmpty) appendIvf(slice, vecCol, s"$dir/shard=$sh")
+    }
+    writeMeta(spark, dir, m.copy(nRows = m.nRows + batch.count()))
+  }
+
+  /** Sharded twin of [[ensureIvf]]. */
+  def ensureIvfSharded(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nShards: Int,
+      nlist: Int = 0,
+      seed: Long = 0L,
+      attrCols: Seq[String] = Nil): Unit =
+    if (!exists(corpus.sparkSession, dir))
+      buildIvfSharded(corpus, idCol, vecCol, dir, nShards, nlist, seed,
+        attrCols = attrCols)
 
   /** LSH twin of [[ensureIvf]]. */
   def ensureLsh(

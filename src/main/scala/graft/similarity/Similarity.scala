@@ -434,6 +434,15 @@ object Similarity {
     * 59% probed = 0.86 and the rule picks 64%; at N=2000/45 cells, 33%
     * probed = 0.86 and the rule picks 33%. At these sizes even brute
     * force is cheap, so the rule buys recall insurance with compute.
+    * SCOPE (r17): that ≥0.85 uniform-data guarantee holds BELOW the
+    * blend ramp (N < 50k), where the small rule applies un-blended.
+    * Inside the ramp the probe budget slides toward the scale regime's
+    * clustered-data assumption and recall on near-uniform data degrades
+    * smoothly with it — measured 0.744 at N=90k (nlist=300, blended
+    * nprobe=26), pinned ≥0.65 by the `ann_ivf_ramp_uniform` harness row
+    * so the ramp cannot silently sink further. No continuous ramp to
+    * the scale floor can hold 0.85 there: a structureless corpus needs
+    * ~half its rows verified for that recall at any cell count.
     *
     * SCALE (N ≥ 100k): the pool target is PRIMARY —
     * `nprobe = max(floor, ceil(cells · 240·k / N))`, i.e. an expected

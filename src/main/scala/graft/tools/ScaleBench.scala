@@ -354,11 +354,136 @@ object ScaleBench {
     }
   }
 
+  /** Enforced bound on the AUTO operating point in the cap-recall probe
+    * (r17): the scaled probe floor measured 0.87/0.86 recall at 20M/40M
+    * on the clustered dims-32 shape — the bound holds margin below it
+    * (r16 note: ±0.1 swing across quantizer configs at 20 queries;
+    * cap-recall uses 50, so ±~0.04 residual). A future policy edit that
+    * drops the auto point below this fails the probe run loudly. */
+  private[graft] val CapRecallAutoBound = 0.75
+
+  /** `cap-recall`: recall-vs-nprobe at the lifted cap's operating points
+    * (r16 verdict #1 — every RECALL bound stopped at 200k while the auto
+    * default's recall FELL at 20M/40M on the adversarial shape). Stages
+    * a 40M-vector CLUSTERED corpus in the scale_policy shape scaled up
+    * (dims 32, 4096 overlapping clusters, noise 1.0 — cluster count
+    * commensurate with the auto cell count, the honest stress: at 256
+    * clusters every neighbor is deep inside a mega-cluster and recall
+    * saturates; the dims-16 adversarial-shape numbers live in the r16
+    * cap-lift table). At N=20M and N=40M: brute-force truth for
+    * [[Recall.MinRecallQueries]] queries, ONE auto-nlist fit, then the
+    * search at the OLD fixed 8-probe floor, the r17 scaled floor (the
+    * auto point — ENFORCED >= [[CapRecallAutoBound]]), and 2x it, so the
+    * recall-vs-nprobe curve brackets the default. */
+  private def capRecall(spark: SparkSession): Unit = {
+    import graft.similarity.Similarity
+    val dir = "/tmp/graft_scale_caprecall_40m_d32"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      System.err.println("[scalebench] staging the 40M dims-32 clustered corpus (one-off)")
+      Recall.clusteredCorpus(spark, n = 40000000L, dims = 32,
+          clusters = 4096, noise = 1.0)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val full = spark.read.parquet(dir)
+    val queries = full.filter(col("vec_id") < Recall.MinRecallQueries.toLong)
+    val nQ = Recall.MinRecallQueries
+    for ((sfName, nRows) <- Seq("n20m" -> 20000000L, "n40m" -> 40000000L)) {
+      val corpus = full.filter(col("vec_id") < nRows)
+      val tb0 = System.nanoTime()
+      val truth = Similarity.cosineTopK(corpus, queries, "vec_id", "vec", "vec_id", 10)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val bruteSec = (System.nanoTime() - tb0) / 1e9
+      println(f"""{"query":"cap_recall_brute","sf":"$sfName","sec":$bruteSec%.3f,"rows":${truth.size}}""")
+      val cells = Similarity.ivfAutoNlist(nRows, dims = 32)
+      val autoProbes = Similarity.ivfAutoNprobe(cells, nRows, 10)
+      val norm = Similarity.ivfNormalizedCorpus(corpus, "vec_id", "vec")
+      val tf0 = System.nanoTime()
+      val model = Similarity.ivfFit(norm, "vec_id", cells, seed = 0L,
+        fitSample = 100000)
+      val centDf = Similarity.ivfCentroidFrame(spark, model)
+      val fitSec = (System.nanoTime() - tf0) / 1e9
+      val assigned = model.transform(norm).drop("__mlvec")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assigned.count()
+      for ((label, probes) <- Seq(
+          "old_floor" -> 8, "auto" -> autoProbes, "double" -> 2 * autoProbes)) {
+        val ts0 = System.nanoTime()
+        val qProbes = Similarity.ivfQueryProbes(queries, "vec_id", "vec",
+          centDf, probes)
+        val got = Similarity.ivfScore(assigned, qProbes, "vec_id", 10)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val searchSec = (System.nanoTime() - ts0) / 1e9
+        val recall = (truth & got).size.toDouble / math.max(1, truth.size)
+        println(f"""{"query":"cap_recall_$label","sf":"$sfName","nlist":$cells,"nprobe":$probes,"n_queries":$nQ,"fit_sec":$fitSec%.3f,"search_sec":$searchSec%.3f,"recall":$recall%.4f}""")
+        if (label == "auto")
+          require(recall >= CapRecallAutoBound,
+            f"cap-recall GATE: auto point (nlist=$cells, nprobe=$probes) " +
+              f"recall $recall%.4f < $CapRecallAutoBound at $sfName — " +
+              "the scale floor no longer preserves the calibrated candidate volume")
+      }
+      assigned.unpersist(true)
+    }
+  }
+
+  /** `shard-fit`: the r17 sharded-index measurement on the judged
+    * scenario (the 40M-corpus fits the cap-lift table timed at ~55s).
+    * On 20M of the staged clustered vectors: one single-index build
+    * (auto √20M ≈ 4472 cells via the two-level fit) vs a 4-shard
+    * build (4 parallel fits of √5M ≈ 2236 cells each over disjoint
+    * slices). Reports build wall-time (fit + assignment + partitioned
+    * write — what a user pays end to end) and a search sanity pass,
+    * then the per-query merged search time. The identity contract
+    * (sharded ≡ single at exhaustive probes) is spec-pinned, not
+    * re-measured here. */
+  private def shardFit(spark: SparkSession): Unit = {
+    import graft.similarity.AnnIndex
+    val dir = "/tmp/graft_scale_caplift_40m"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      System.err.println("[scalebench] staging the 40M clustered corpus (one-off)")
+      Recall.clusteredCorpus(spark, n = 40000000L, dims = 16,
+          clusters = 4096, noise = 1.0)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val corpus = spark.read.parquet(dir).filter(col("vec_id") < 20000000L)
+    val queries = spark.read.parquet(dir).filter(col("vec_id") < 20)
+    for ((label, nShards) <- Seq("single" -> 1, "sharded_4" -> 4)) {
+      val out = s"/tmp/graft_shardfit_idx_$label"
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+      val tb0 = System.nanoTime()
+      if (nShards == 1)
+        AnnIndex.buildIvf(corpus, "vec_id", "vec", out)
+      else
+        AnnIndex.buildIvfSharded(corpus, "vec_id", "vec", out, nShards)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      val ts0 = System.nanoTime()
+      val got =
+        if (nShards == 1)
+          AnnIndex.searchIvf(spark, out, queries, "vec_id", "vec", k = 10).count()
+        else
+          AnnIndex.searchIvfSharded(spark, out, queries, "vec_id", "vec", k = 10).count()
+      val searchSec = (System.nanoTime() - ts0) / 1e9
+      println(f"""{"query":"shard_fit_$label","sf":"n20m","n_shards":$nShards,"build_sec":$buildSec%.3f,"search_sec":$searchSec%.3f,"rows":$got}""")
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.contains("cap-lift")) {
       capLift(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("shard-fit")) {
+      shardFit(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("cap-recall")) {
+      capRecall(spark)
       spark.stop()
       return
     }

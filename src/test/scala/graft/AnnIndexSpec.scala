@@ -503,6 +503,72 @@ class AnnIndexSpec extends SparkSpec {
       === emb.count() + 3)
   }
 
+  test("sharded IVF: exhaustive-probe sharded search IS the exact top-k; merge equals single-index search") {
+    // 3 shards, per-shard nlist 16, nprobe = nlist: every shard is exact
+    // within its slice, and each global top-k element lives in exactly
+    // one shard's top-k — so the bounded-heap merge must equal brute
+    // force row for row (the search-identity contract of the sharded
+    // layout, r16 verdict #2)
+    val dir = tempDir("graft_ivf_sharded")
+    val corpus = graft.tools.Recall.clusteredCorpus(
+      spark, n = 2000L, dims = 8, clusters = 64, noise = 1.0)
+    val queries = corpus.filter(col("vec_id") < 5)
+    AnnIndex.buildIvfSharded(corpus, "vec_id", "vec", dir, nShards = 3,
+      nlist = 16, seed = 7L)
+    val sharded = rows(
+      AnnIndex.searchIvfSharded(spark, dir, queries, "vec_id", "vec",
+        k = 8, nprobe = 16).orderBy(col("query_id"), col("rank")))
+    val exact = rows(
+      Similarity.cosineTopK(corpus, queries, "vec_id", "vec", "vec_id", 8)
+        .orderBy(col("query_id"), col("rank")))
+    assert(sharded.nonEmpty && sharded === exact)
+    // and equals the single-index search over the same corpus at
+    // exhaustive probes (the relocation-not-answer-change contract)
+    val single = tempDir("graft_ivf_sharded_single")
+    AnnIndex.buildIvf(corpus, "vec_id", "vec", single, nlist = 16, seed = 7L)
+    val one = rows(
+      AnnIndex.searchIvf(spark, single, queries, "vec_id", "vec",
+        k = 8, nprobe = 16).orderBy(col("query_id"), col("rank")))
+    assert(sharded === one)
+    // every shard's stored corpus holds exactly its hash slice — the
+    // routing rule builds and appends must agree on
+    (0 until 3).foreach { sh =>
+      val stored = spark.read.parquet(s"$dir/shard=$sh/corpus.parquet")
+      assert(stored.filter(
+        pmod(xxhash64(col("vec_id")), lit(3L)).cast("int") =!= sh).count() === 0)
+      assert(stored.count() > 0)
+    }
+    // shard counts conserve the corpus
+    val metaTotal = spark.read.parquet(s"$dir/meta.parquet")
+      .head().getAs[Long]("n_rows")
+    assert(metaTotal === corpus.count())
+  }
+
+  test("sharded IVF: appends route to the owning shard and are searchable") {
+    val dir = tempDir("graft_ivf_sharded_app")
+    val base = emb.filter(col("vec_id") >= 100)
+    AnnIndex.buildIvfSharded(base, "vec_id", "embedding", dir, nShards = 2,
+      nlist = 8, seed = 7L)
+    // clone batch: near-duplicates of existing vectors under fresh ids
+    val batch = emb.filter(col("vec_id") < 3)
+      .select((col("vec_id") + 900000L).as("vec_id"), col("embedding"))
+    AnnIndex.appendIvfSharded(batch, "embedding", dir)
+    (0 until 2).foreach { sh =>
+      val stored = spark.read.parquet(s"$dir/shard=$sh/corpus.parquet")
+        .filter(col("vec_id") >= 900000L)
+      assert(stored.filter(
+        pmod(xxhash64(col("vec_id")), lit(2L)).cast("int") =!= sh).count() === 0)
+    }
+    val got = AnnIndex.searchIvfSharded(spark, dir,
+      emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 1, nprobe = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each query's clone sits at rank 1 (cosine 1.0 with itself's copy)
+    (0L until 3L).foreach(q => assert(got(q) === q + 900000L, s"query $q"))
+    val metaTotal = spark.read.parquet(s"$dir/meta.parquet")
+      .head().getAs[Long]("n_rows")
+    assert(metaTotal === base.count() + 3)
+  }
+
   test("kind mismatch and missing index fail loudly") {
     val dir = tempDir("graft_idx_kind")
     AnnIndex.buildLsh(emb, "vec_id", "embedding", dir, tables = 2, bits = 4)

@@ -22,6 +22,9 @@ import graft.tools.Recall
   *   - IVF scale byK arm (nlist=4096 at 200k -> 50 probes,
   *     two-level fit)                                        >= 0.85
   *   - retrievalNeighbors hierarchical centroid selection    >= 0.85
+  *   - IVF auto mid-ramp on NEAR-UNIFORM 90k (the pessimal
+  *     shape — measured 0.744 r17, the documented degradation
+  *     inside the blend; see ivfAutoNprobe SCOPE note)       >= 0.65
   *
   * The same harness run as `runMain graft.tools.Recall` writes the round
   * artifact (RECALL_r*.json); the bounds here and there are one list.
@@ -39,7 +42,8 @@ class RecallSpec extends SparkSpec {
       "ann_ivfpq_refined", "ann_ivfpq_default", "rouge_neardup",
       "rouge_neardup_hr", "retrieval_neighbors",
       "ann_ivf_scale_policy", "ann_ivf_scale_policy_zipf",
-      "ann_ivf_scale_byk", "retrieval_neighbors_hierarchical")
+      "ann_ivf_scale_byk", "retrieval_neighbors_hierarchical",
+      "ann_ivf_ramp_uniform")
     assert(entries.map(_.name).toSet === expected)
     val failures = entries.filter(e => e.recall < e.minBound)
     assert(failures.isEmpty,
