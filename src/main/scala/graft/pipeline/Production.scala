@@ -265,6 +265,21 @@ object Production {
         ctx.dataPath("raw.documents"))
     }
 
+    // bridge the crawl zones (url-keyed) into the curation zones
+    // (doc_id-keyed): a deterministic id from the canonical url —
+    // stable across re-runs and partitionings (no zipWithIndex /
+    // monotonically_increasing_id, which renumber on re-read), collision
+    // odds ~n²/2^64. The missing link the r17 full-chain e2e surfaced:
+    // every curation stage downstream of extract-html keys on doc_id.
+    Jobs.register("corpus-curation", "assign-ids") { (ctx, params) =>
+      val s = ctx.spark
+      val in = params.getOrElse("input", "raw.documents").toString
+      val keyCol = params.getOrElse("key_col", "url_normalized").toString
+      val docs = Tables.readData(s, Seq(ctx.dataPath(in)))
+      save(ctx, docs.withColumn("doc_id", xxhash64(col(keyCol))),
+        ctx.dataPath(params.getOrElse("output", "raw.documents_ids").toString))
+    }
+
     Jobs.register("corpus-curation", "normalize") { (ctx, params) =>
       val s = ctx.spark
       val form = params.getOrElse("form", "NFKC").toString
@@ -345,11 +360,16 @@ object Production {
     Jobs.register("corpus-curation", "lang-classify") { (ctx, params) =>
       val s = ctx.spark
       val in = params.getOrElse("input", "raw.documents").toString
+      // output_col (r17): downstream zone contracts (gopher groups,
+      // sample-mix strata, the data cards) key on `lang` — a chain that
+      // DERIVES language rather than ingesting it renames here
+      val outCol = params.getOrElse("output_col", "lang_pred").toString
       val model = graft.text.LangClassifier.loadModel(
         ctx.dataPath("models.lang_classifier"))
       save(ctx,
         graft.text.LangClassifier.score(
-          Tables.readData(s, Seq(ctx.dataPath(in))), model),
+            Tables.readData(s, Seq(ctx.dataPath(in))), model)
+          .withColumnRenamed("lang_pred", outCol),
         ctx.dataPath("processed.documents_lang"))
     }
 
@@ -480,8 +500,11 @@ object Production {
       val corpus = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
       // normalize the eval side with the SAME redaction as the corpus —
       // otherwise grams around an email/URL/phone in a shared passage
-      // mismatch and a genuinely contaminated doc undercounts its overlap
-      val evalSet = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
+      // mismatch and a genuinely contaminated doc undercounts its overlap.
+      // eval_input (r17) points at a dedicated held-out zone; the
+      // raw.documents first-N default predates it
+      val evalSet = Tables.readData(s, Seq(ctx.dataPath(
+          params.getOrElse("eval_input", "raw.documents").toString)))
         .orderBy(col("doc_id")).limit(evalLimit)
         .withColumn("text", graft.text.TextAnalysis.redactPii(col("text")))
       save(ctx,
@@ -507,7 +530,11 @@ object Production {
     Jobs.register("corpus-curation", "sample-mix") { (ctx, params) =>
       val s = ctx.spark
       val budget = params.getOrElse("budget", "1000").toString.toLong
-      val docs = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
+      // input is configurable (r17): a chain that decontaminates or
+      // perplexity-bands after redaction mixes THAT zone, not the
+      // redacted one
+      val docs = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("input", "clean.documents_redacted").toString)))
       params.getOrElse("strategy", "uniform").toString match {
         case "uniform" =>
           val langs = docs.select(col("lang")).distinct().limit(101)
@@ -550,7 +577,9 @@ object Production {
       val maxCov = params.getOrElse("max_eval_coverage", "0.5").toString.toDouble
       val evalLimit = params.getOrElse("eval_limit", "5").toString.toInt
       val corpus = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
-      val evalSet = Tables.readData(s, Seq(ctx.dataPath("raw.documents")))
+      // eval_input (r17): same convention as contamination-report
+      val evalSet = Tables.readData(s, Seq(ctx.dataPath(
+          params.getOrElse("eval_input", "raw.documents").toString)))
         .orderBy(col("doc_id")).limit(evalLimit)
         .withColumn("text", graft.text.TextAnalysis.redactPii(col("text")))
       save(ctx,

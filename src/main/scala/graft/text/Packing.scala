@@ -28,7 +28,9 @@ object Packing {
 
   /** Packing plan: (shard, doc, token extent, sequence extent) per doc.
     *
-    * Deterministic: shard = id % nShards, order within shard = id. Output
+    * Deterministic: shard = pmod(id, nShards) — non-negative even for
+    * hash-assigned ids (plain % returned shard -1 for negative doc_ids,
+    * caught by the r17 release e2e) — order within shard = id. Output
     * columns — `shard`, idCol, `n_tokens` (whitespace tokens, the same
     * tokenizer as [[TextAnalysis.tokens]]), `start_offset` (tokens before
     * this doc in its shard stream), `first_seq`/`last_seq` (global
@@ -60,7 +62,7 @@ object Packing {
     require(ctxTokens > 0 && nShards > 0, "ctxTokens and nShards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     df.select(
-        (col(idCol) % nShards).cast("long").as("shard"),
+        pmod(col(idCol), lit(nShards)).cast("long").as("shard"),
         col(idCol),
         col(nTokensCol).cast("long").as("n_tokens"))
       .withColumn("end_offset", sum(col("n_tokens")).over(w))
@@ -108,7 +110,7 @@ object Packing {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     val withOffsets = df
       .select(
-        (col(idCol) % nShards).cast("long").as("shard"),
+        pmod(col(idCol), lit(nShards)).cast("long").as("shard"),
         col(idCol),
         col(tokensCol).as("__toks"),
         size(col(tokensCol)).cast("long").as("__n"))
@@ -152,7 +154,7 @@ object Packing {
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
     val positions = df
       .select(
-        (col(idCol) % nShards).cast("long").as("shard"),
+        pmod(col(idCol), lit(nShards)).cast("long").as("shard"),
         col(idCol),
         col(tokensCol).as("__toks"),
         size(col(tokensCol)).cast("long").as("__n"))
@@ -336,7 +338,7 @@ object Packing {
     import spark.implicits._
     val ctx = ctxTokens.toLong
     val prepared = df.select(
-      (col(idCol) % nShards).cast("long").as("shard"),
+      pmod(col(idCol), lit(nShards)).cast("long").as("shard"),
       col(idCol).cast("long").as("id"),
       col(nTokensCol).cast("long").as("n_tokens"))
     prepared

@@ -355,33 +355,37 @@ object ScaleBench {
   }
 
   /** Enforced bound on the AUTO operating point in the cap-recall probe
-    * (r17): the scaled probe floor measured 0.87/0.86 recall at 20M/40M
-    * on the clustered dims-32 shape — the bound holds margin below it
-    * (r16 note: ±0.1 swing across quantizer configs at 20 queries;
-    * cap-recall uses 50, so ±~0.04 residual). A future policy edit that
-    * drops the auto point below this fails the probe run loudly. */
-  private[graft] val CapRecallAutoBound = 0.75
+    * (r17): measured 0.998/0.996 at 20M/40M on the scaled-up
+    * scale_policy shape — the bound holds generous margin (r16 note:
+    * ±0.1 swing across quantizer configs at 20 queries; cap-recall uses
+    * 50). A future policy edit that drops the auto point below this
+    * fails the probe run loudly. */
+  private[graft] val CapRecallAutoBound = 0.85
 
   /** `cap-recall`: recall-vs-nprobe at the lifted cap's operating points
     * (r16 verdict #1 — every RECALL bound stopped at 200k while the auto
     * default's recall FELL at 20M/40M on the adversarial shape). Stages
-    * a 40M-vector CLUSTERED corpus in the scale_policy shape scaled up
-    * (dims 32, 4096 overlapping clusters, noise 1.0 — cluster count
-    * commensurate with the auto cell count, the honest stress: at 256
-    * clusters every neighbor is deep inside a mega-cluster and recall
-    * saturates; the dims-16 adversarial-shape numbers live in the r16
-    * cap-lift table). At N=20M and N=40M: brute-force truth for
-    * [[Recall.MinRecallQueries]] queries, ONE auto-nlist fit, then the
-    * search at the OLD fixed 8-probe floor, the r17 scaled floor (the
-    * auto point — ENFORCED >= [[CapRecallAutoBound]]), and 2x it, so the
-    * recall-vs-nprobe curve brackets the default. */
+    * a 40M-vector CLUSTERED corpus: the `ann_ivf_scale_policy` harness
+    * shape scaled up LITERALLY (dims 32, 256 overlapping clusters,
+    * noise 1.0) — the realistic web-corpus regime, where semantic
+    * cluster count does NOT grow with corpus size, only density does.
+    * (A first r17 run used 4096 clusters ≈ the cell count — that is the
+    * adversarial every-neighbor-crosses-cells configuration over again,
+    * measured 0.37-0.38 at the floor points; the dims-16 twin of it
+    * lives in the r16 cap-lift table. Raise nprobe explicitly on such
+    * shapes, as Similarity.ivfAutoNprobe documents.) At N=20M and
+    * N=40M: brute-force truth for [[Recall.MinRecallQueries]] queries,
+    * ONE auto-nlist fit, then the search at the OLD fixed 8-probe
+    * floor, the r17 scaled floor (the auto point — ENFORCED >=
+    * [[CapRecallAutoBound]]), and 2x it, so the recall-vs-nprobe curve
+    * brackets the default. */
   private def capRecall(spark: SparkSession): Unit = {
     import graft.similarity.Similarity
-    val dir = "/tmp/graft_scale_caprecall_40m_d32"
+    val dir = "/tmp/graft_scale_caprecall_40m_d32c256"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       System.err.println("[scalebench] staging the 40M dims-32 clustered corpus (one-off)")
       Recall.clusteredCorpus(spark, n = 40000000L, dims = 32,
-          clusters = 4096, noise = 1.0)
+          clusters = 256, noise = 1.0)
         .write.mode("overwrite").parquet(dir)
     }
     val full = spark.read.parquet(dir)

@@ -1506,6 +1506,198 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(card(("eval", "__micro__")) === ((3L, Some(0.666667))))
     assert(card(("eval", "__macro__")) === ((3L, Some(0.75))))
   }
+
+  test("pretraining-release e2e: raw WARC bytes to training shards + data cards through the catalog") {
+    // The full chain as ONE catalog run (r16 verdict #5): crawl-ingest →
+    // url-dedup → extract-html → assign-ids → lang-classify →
+    // gopher-filter → c4-filter → dedup-corpus → quality-filter →
+    // redact-pii → decontaminate → perplexity-bucket → sample-mix →
+    // corpus data card, then (second config, the training deployment:
+    // its "raw" zone IS the curated corpus) tokenizer train → encode →
+    // tokenizer data card → pack → materialize → export-tfrecord. Every
+    // stage already has its own test; THIS one proves the zone contracts
+    // compose, with a final-artifact oracle predicted from the fixture.
+    //
+    // Fixture arithmetic: texts draw from a CLOSED 13-word vocabulary
+    // (12 lexicon words + the terminal "batch."), so 400 BPE merges
+    // saturate and every word is ONE token — the shard token totals are
+    // hand-computable. Planted attrition, one doc per gate:
+    //   13 WARC records = 11 html pages + 1 stale refetch (url-dedup)
+    //                   + 1 pdf (mime gate at ingest)
+    //   doc 10 is 5 words      -> gopher-filter (min_words 12)
+    //   doc 9 = doc 1's text   -> dedup-corpus (exact hash)
+    //   doc 11 embeds the held-out eval doc verbatim -> decontaminate
+    //   => 8 surviving docs × 13 tokens = 104 training tokens.
+    // The "Page <i>" html chrome line has no terminal punctuation, so
+    // c4-filter strips it — token totals count lexicon words only.
+    val spark = SparkSpec.session
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft-release-e2e").toString
+    val lex = Seq("the", "data", "and", "that", "have", "with",
+      "table", "rows", "value", "spans", "align", "batch")
+    def rot(i: Int): String =
+      (lex.drop(i % 12) ++ lex.take(i % 12)).mkString(" ") + " batch."
+    // reversed order shares no 8-gram with any forward rotation, so only
+    // the doc that EMBEDS it trips the decontamination gate
+    val evalText = lex.reverse.mkString(" ") + " batch."
+    val texts: Seq[(Int, String)] =
+      (1 to 8).map(i => i -> rot(i)) ++ Seq(
+        9 -> rot(1),                                  // exact dup of doc 1
+        10 -> "the data batch.",                      // too short for gopher
+        11 -> (evalText + " data table align rows.")) // contaminated
+    val crawl = (texts.map { case (i, t) =>
+      (s"http://c.test/$i",
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + i)),
+        s"<urn:c:$i>", "text/html",
+        s"<html><body><h1>Page $i</h1><p>$t</p><script>x()</script></body></html>"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } :+ ("http://c.test/1?utm_source=x",
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1600000000L)),
+      "<urn:c:1b>", "text/html",
+      "<html><body>STALE</body></html>".getBytes("UTF-8")) :+
+      ("http://c.test/pdf",
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1600000001L)),
+        "<urn:c:pdf>", "application/pdf", "%PDF".getBytes("UTF-8")))
+      .toDF("uri", "ts", "rid", "mime", "payload")
+    graft.io.Warc.writeWarc(crawl, s"$work/crawl", "uri", "ts", "rid", "mime", "payload")
+    Seq((0L, evalText, "xx")).toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$work/evalset")
+    def task(name: String, params: (String, Any)*) =
+      Map("name" -> name, "params" -> params.toMap)
+    val curationCfg = Map(
+      "core" -> Map("seed" -> 7, "audit_plans" -> true),
+      "job_catalog" -> Map("jobs" -> List(Map(
+        "name" -> "corpus-curation", "fail_fast" -> true,
+        "stages" -> List(Map("name" -> "release", "tasks" -> List(
+          task("crawl-ingest", "input_paths" -> s"$work/crawl"),
+          task("url-dedup"),
+          task("extract-html", "input" -> "raw.html_pages_deduped"),
+          task("assign-ids"),
+          task("lang-train", "num_features" -> (1 << 14).toString),
+          task("lang-classify", "input" -> "raw.documents_ids",
+            "output_col" -> "lang"),
+          task("gopher-filter", "input" -> "processed.documents_lang",
+            "min_words" -> "12"),
+          task("c4-filter", "input" -> "clean.documents_gopher",
+            "min_line_words" -> "3", "min_sentences" -> "1"),
+          task("dedup-corpus", "input" -> "clean.documents_c4"),
+          task("quality-filter", "min_quality" -> "0.0"),
+          task("redact-pii"),
+          task("decontaminate", "eval_input" -> "raw.eval_corpus",
+            "gram_k" -> "8", "max_eval_coverage" -> "0.5"),
+          task("perplexity-bucket", "input" -> "clean.documents_decontaminated",
+            "reference" -> "raw.documents_ids", "group_col" -> "lang",
+            "exact" -> "true"),
+          task("sample-mix", "input" -> "clean.documents_ppl",
+            "budget" -> "1000"),
+          task("data-card", "input" -> "clean.documents_mixed"))))))),
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "html_pages" -> s"$work/pages",
+          "html_pages_deduped" -> s"$work/pages_dedup",
+          "documents" -> s"$work/extracted",
+          "documents_ids" -> s"$work/docs_ids",
+          "eval_corpus" -> s"$work/evalset"),
+        "models" -> Map("lang_classifier" -> s"$work/lang_model"),
+        "processed" -> Map(
+          "documents_lang" -> s"$work/docs_lang",
+          "mix_plan" -> s"$work/mix_plan",
+          "data_card" -> s"$work/data_card"),
+        "clean" -> Map(
+          "documents_gopher" -> s"$work/gopher",
+          "documents_c4" -> s"$work/c4",
+          "documents" -> s"$work/dedup",
+          "documents_filtered" -> s"$work/filtered",
+          "documents_redacted" -> s"$work/redacted",
+          "documents_decontaminated" -> s"$work/decontam",
+          "documents_ppl" -> s"$work/ppl",
+          "documents_mixed" -> s"$work/mixed")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(Context(curationCfg, spark), "corpus-curation").isEmpty)
+    // gate-by-gate attrition, each number forced by exactly one planted doc
+    assert(spark.read.parquet(s"$work/pages").count() === 12)       // pdf gone
+    assert(spark.read.parquet(s"$work/pages_dedup").count() === 11) // refetch folded
+    assert(spark.read.parquet(s"$work/docs_ids").count() === 11)
+    assert(spark.read.parquet(s"$work/gopher").count() === 10)      // short doc gone
+    val c4 = spark.read.parquet(s"$work/c4")
+    assert(c4.count() === 10)
+    assert(c4.filter(col("text").contains("Page")).count() === 0,
+      "c4 must strip the unpunctuated chrome line")
+    assert(spark.read.parquet(s"$work/dedup").count() === 9)        // exact dup folded
+    assert(spark.read.parquet(s"$work/filtered").count() === 9)
+    assert(spark.read.parquet(s"$work/decontam").count() === 8)     // eval leak gone
+    val ppl = spark.read.parquet(s"$work/ppl")
+    assert(ppl.count() === 8 && ppl.columns.contains("ppl_bucket"))
+    val mixed = spark.read.parquet(s"$work/mixed")
+    assert(mixed.count() === 8, "budget >= corpus: the mix keeps everything")
+    // the corpus card totals the mixed zone exactly
+    val cCard = spark.read.parquet(s"$work/data_card")
+    assert(cCard.agg(sum("n_docs")).head().getLong(0) === 8L)
+    // ---- phase 2: the training deployment — its raw zone IS the mix
+    val trainCfg = Map(
+      "core" -> Map("seed" -> 7, "audit_plans" -> true),
+      "job_catalog" -> Map("jobs" -> List(Map(
+        "name" -> "tokenizer", "fail_fast" -> true,
+        "stages" -> List(Map("name" -> "train-pack-ship", "tasks" -> List(
+          task("train", "num_merges" -> "400"),
+          task("encode", "ids" -> "true"),
+          task("data-card"),
+          task("pack", "ctx_tokens" -> "32", "n_shards" -> "2"),
+          task("materialize", "ctx_tokens" -> "32", "n_shards" -> "2"),
+          task("export-tfrecord", "input" -> "processed.packed_sequences",
+            "content_cols" -> List("seq_id", "seq_len"),
+            "rows_per_shard" -> "4", "output" -> "processed.tfrecord"))))))),
+      "data_catalog" -> Map(
+        "raw" -> Map("documents" -> s"$work/mixed"),
+        "models" -> Map(
+          "bpe_merges" -> s"$work/bpe_merges",
+          "bpe_vocab" -> s"$work/bpe_vocab"),
+        "processed" -> Map(
+          "tokenized" -> s"$work/tokenized",
+          "packing_plan" -> s"$work/plan",
+          "packing_shards" -> s"$work/shards",
+          "packed_sequences" -> s"$work/seqs",
+          "tokenizer_data_card" -> s"$work/tok_card",
+          "tfrecord" -> s"$work/tfrecord")))
+    assert(graft.pipeline.Jobs.run(Context(trainCfg, spark), "tokenizer").isEmpty)
+    // the final-artifact oracle: 8 docs × 13 closed-vocab words, BPE
+    // saturated -> exactly 104 tokens, conserved through plan, shards,
+    // and the materialized sequences
+    val tokenized = spark.read.parquet(s"$work/tokenized")
+    assert(tokenized.count() === 8)
+    assert(tokenized.filter(col("n_tokens") =!= 13L).count() === 0,
+      "closed-vocab saturation: every doc is exactly its 13 words")
+    val total = tokenized.agg(sum("n_tokens")).head().getLong(0)
+    assert(total === 104L)
+    assert(spark.read.parquet(s"$work/plan")
+      .agg(sum("n_tokens")).head().getLong(0) === 104L)
+    val shards = spark.read.parquet(s"$work/shards")
+    assert(shards.count() === 2)
+    assert(shards.agg(sum("n_tokens")).head().getLong(0) === 104L)
+    val seqs = spark.read.parquet(s"$work/seqs")
+    assert(seqs.agg(sum("seq_len")).head().getLong(0) === 104L)
+    assert(seqs.filter(col("seq_len") > 32).count() === 0)
+    // tokenizer release card over the REAL artifacts: zero OOV (trained
+    // on this corpus), both byte-token surfaces counted (r17 fix),
+    // fertility exactly 1.0 everywhere (saturation)
+    val tCard = spark.read.parquet(s"$work/tok_card")
+    assert(tCard.filter(col("key") === "oov_token_rate")
+      .head().getAs[Double]("value") === 0.0)
+    assert(tCard.filter(col("key") === "byte_fallback_tokens")
+      .head().getAs[Double]("value") === 512.0)
+    tCard.filter(col("section") === "fertility").collect()
+      .foreach(r => assert(r.getAs[Double]("value") === 1.0,
+        s"fertility != 1 for ${r.getAs[String]("key")}"))
+    assert(tCard.filter(col("key") === "vocab_size")
+      .head().getAs[Double]("value")
+      === spark.read.parquet(s"$work/bpe_vocab").count().toDouble)
+    // the shipped TFRecord shards replay the materialized zone exactly
+    val shipped = graft.io.TfRecord.readExamples(spark, Seq(s"$work/tfrecord"),
+      Seq("seq_id" -> "long", "seq_len" -> "long"))
+    assert(shipped.count() === seqs.count())
+    assert(shipped.agg(sum("seq_len")).head().getLong(0) === 104L)
+  }
 }
 
 
