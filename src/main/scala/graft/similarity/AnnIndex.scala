@@ -622,10 +622,14 @@ object AnnIndex {
     *    per-probe-pass broadcast centroid frame stays inside
     *    [[Similarity.CentroidBudgetDoubles]] while TOTAL cells grow to
     *    S·65536 — the documented path past the 65536-cell cap.
-    *  - FIT WALL-TIME: the S fits run over disjoint slices on separate
-    *    threads (`buildParallelism` at a time — Spark schedules the
-    *    concurrent jobs fairly across executor cores), so the dominant
-    *    build cost drops ~linearly in S until the cluster saturates.
+    *  - FIT WALL-TIME at cluster scale: the S builds are independent
+    *    jobs over disjoint 1/S slices (`buildParallelism` threads submit
+    *    them concurrently; Spark schedules fairly across executors), so
+    *    with executors to spare they run side by side. On a FIXED
+    *    single machine the build is measured ~1.4× the single index
+    *    (SCALEBENCH r17) — total work is conserved and every phase
+    *    already saturates the cores; shard for the ceiling and for
+    *    cluster scale-out, not for local wall-time.
     *
     * The build is TWO-PASS: one corpus scan hash-partitions the rows
     * into `.staging_slices/__shard=<i>` directories, then each shard's

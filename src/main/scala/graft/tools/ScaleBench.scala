@@ -355,11 +355,11 @@ object ScaleBench {
   }
 
   /** Enforced bound on the AUTO operating point in the cap-recall probe
-    * (r17): measured 0.998/0.996 at 20M/40M on the scaled-up
-    * scale_policy shape — the bound holds generous margin (r16 note:
-    * ±0.1 swing across quantizer configs at 20 queries; cap-recall uses
-    * 50). A future policy edit that drops the auto point below this
-    * fails the probe run loudly. */
+    * (r17): the scaled floor measured 0.892/0.908 at 20M/40M on the
+    * scaled-up scale_policy shape, where the OLD fixed floor measured
+    * 0.870/0.812 — the 40M miss the r16 verdict predicted. 0.85 is the
+    * calibrated policy target; a future policy edit that drops the auto
+    * point below it at these scales fails the probe run loudly. */
   private[graft] val CapRecallAutoBound = 0.85
 
   /** `cap-recall`: recall-vs-nprobe at the lifted cap's operating points
