@@ -9,13 +9,15 @@ object Drive {
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    for (q <- Seq("interleaved_loss_masks", "packed_masks_spans", "tokenizer_data_card")) {
-      val df = graft.queries.LlmQueries.queries(q)(spark, dir)
-      println(s"FP $q: " + graft.plans.PlanAudit.fingerprint(df).toSeq.sorted.mkString(", ") +
-        s" scans=${graft.plans.PlanAudit.scanCount(df)}")
+    val dir = "/root/testdata/sf0.1"
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"PROBE $name: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
     }
+    spark.read.parquet(s"$dir/documents.parquet").count()
+    for (i <- 1 to 3)
+      time(s"ilm_$i")(
+        graft.queries.LlmQueries.queries("interleaved_loss_masks")(spark, dir).count())
     spark.stop()
   }
 }
