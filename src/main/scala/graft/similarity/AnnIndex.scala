@@ -713,7 +713,11 @@ object AnnIndex {
     * cell partitions, so total bytes touched stay ~nprobe/nlist of each
     * shard — and merge the per-shard top-ks per query on the bounded
     * heap ([[graft.dp.TopK]]: |Q|·S·k rows, one aggregate, no window).
-    * `nprobe`/`corpusFilter` pass through to every shard. */
+    * `nprobe`/`corpusFilter` pass through to every shard. The per-shard
+    * probe RESOLUTION (each shard's centroid ranking collects its
+    * probed-cell set to push the partition-pruning literal) runs on S
+    * concurrent threads — serially it was S driver round-trips of
+    * latency; the scoring itself is one unioned Spark job either way. */
   def searchIvfSharded(
       spark: SparkSession,
       dir: String,
@@ -724,10 +728,17 @@ object AnnIndex {
       nprobe: Int = 0,
       corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val m = readMeta(spark, dir, "ivf_sharded")
-    val perShard = (0 until m.tables).map { sh =>
-      searchIvf(spark, s"$dir/shard=$sh", queries, queryIdCol, vecCol, k,
-        nprobe, corpusFilter).drop("rank")
-    }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(math.min(m.tables, 8))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val perShard =
+      try (0 until m.tables).map { sh =>
+        Future(searchIvf(spark, s"$dir/shard=$sh", queries, queryIdCol,
+          vecCol, k, nprobe, corpusFilter).drop("rank"))
+      }.map(Await.result(_, Duration.Inf))
+      finally pool.shutdown()
     val unioned = perShard.reduce(_.unionByName(_))
     graft.dp.TopK
       .topKPerKeyDirectional(unioned, Seq("query_id"),
