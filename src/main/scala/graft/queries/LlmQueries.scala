@@ -1252,6 +1252,20 @@ object LlmQueries {
           k = 10, nprobe = 8, refine = 50)
         .orderBy(col("query_id"), col("rank"))
     },
+    // --- sharded PQ, int8-exact twin: exhaustive probes per shard +
+    // shortlist-covering refine -> each shard is int8-exact on its hash
+    // slice (the per-vector quantization is fit-independent), and the
+    // bounded-heap merge is the single index's refined ranking
+    "ann_ivfpq_sharded_exact" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val idx = annIndexDir(dir, "ivfpqsh")
+      graft.similarity.AnnIndex.ensureIvfPqSharded(e, "vec_id", "embedding",
+        idx, nShards = 3, nlist = 8, m = 8, codes = 256, refine = true)
+      graft.similarity.AnnIndex
+        .searchIvfPqSharded(s, idx, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, nprobe = 8, refine = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
     // --- attribute-filtered vector search: neighbors WITHIN a label slice.
     // The index stores `label` alongside each vector (attrCols) and the
     // search pushes the predicate into the pruned corpus scan. At
@@ -2166,6 +2180,31 @@ object LlmQueries {
       |s AS (SELECT query_id, e.vec_id,
       |        round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
       |      FROM e, q WHERE e.vec_id <> query_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
+      |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** int8-refined exhaustive ANN: the final ranking is cosine against
+    * the int8-DEQUANTIZED corpus vectors — the oracle replays the
+    * quantization arithmetic (per-vector scale = max|x|/127 stored as
+    * float32, codes = round(x/scale) as int8, dequantized norm in the
+    * denominator) element for element. Shared by the single-index and
+    * sharded refined exact twins. */
+  private val AnnIvfpqRefinedExactSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 500),
+      |sc AS (SELECT vec_id, v,
+      |         greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-30) / 127.0 AS scale_d
+      |       FROM e),
+      |dq AS (SELECT vec_id,
+      |         list_transform(v, x -> round(x / scale_d) * CAST(CAST(scale_d AS REAL) AS DOUBLE)) AS dv
+      |       FROM sc),
+      |q AS (SELECT vec_id AS query_id, v AS qv,
+      |        sqrt(list_dot_product(v, v)) AS qn
+      |      FROM e WHERE vec_id < 5),
+      |s AS (SELECT query_id, dq.vec_id,
+      |        round(list_dot_product(dv, qv) / (sqrt(list_dot_product(dv, dv)) * qn), 6) AS cosine
+      |      FROM dq, q WHERE dq.vec_id <> query_id),
       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
@@ -3864,24 +3903,12 @@ object LlmQueries {
     // the quantization arithmetic (per-vector scale = max|x|/127 stored
     // as float32, codes = round(x/scale) as int8, dequantized norm in
     // the denominator) element for element
-    "ann_ivfpq_refined_exact" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings WHERE vec_id < 500),
-        |sc AS (SELECT vec_id, v,
-        |         greatest(list_aggregate(list_transform(v, x -> abs(x)), 'max'), 1e-30) / 127.0 AS scale_d
-        |       FROM e),
-        |dq AS (SELECT vec_id,
-        |         list_transform(v, x -> round(x / scale_d) * CAST(CAST(scale_d AS REAL) AS DOUBLE)) AS dv
-        |       FROM sc),
-        |q AS (SELECT vec_id AS query_id, v AS qv,
-        |        sqrt(list_dot_product(v, v)) AS qn
-        |      FROM e WHERE vec_id < 5),
-        |s AS (SELECT query_id, dq.vec_id,
-        |        round(list_dot_product(dv, qv) / (sqrt(list_dot_product(dv, dv)) * qn), 6) AS cosine
-        |      FROM dq, q WHERE dq.vec_id <> query_id),
-        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
-        |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin,
+    "ann_ivfpq_refined_exact" -> AnnIvfpqRefinedExactSql,
+    // the sharded PQ twin reduces to the SAME int8-exact answer: the
+    // per-vector quantization is fit-independent, so exhaustive probes
+    // + a shortlist-covering refine factor per shard merge to exactly
+    // the single index's refined ranking
+    "ann_ivfpq_sharded_exact" -> AnnIvfpqRefinedExactSql,
     "bigram_logprob" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
         |           FROM documents),

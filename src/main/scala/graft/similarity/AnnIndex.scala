@@ -664,10 +664,38 @@ object AnnIndex {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     require(buildParallelism >= 1,
       s"buildParallelism must be >= 1, got $buildParallelism")
+    shardedBuild(corpus, idCol, dir, nShards, buildParallelism) {
+      (slice, out, sh) =>
+        // distinct seed per shard: identically-seeded fits on near-iid
+        // slices would land on near-identical centroids — harmless for
+        // correctness but wasteful of the diversity S fits can buy
+        buildIvf(slice, idCol, vecCol, out, nlist, seed + sh, fitSample,
+          quantize, attrCols)
+    }
+    val spark = corpus.sparkSession
+    val total = (0 until nShards)
+      .map(sh => readMeta(spark, s"$dir/shard=$sh", "ivf").nRows).sum
+    writeMeta(spark, dir,
+      Meta("ivf_sharded", idCol, total, nlist, tables = nShards, bits = 0,
+        seed, quantize))
+  }
+
+  /** The shared sharded-build core: stage the corpus ONCE into
+    * hash-partitioned slice directories (pass 1), run `buildOne` per
+    * slice on `buildParallelism` concurrent threads against the
+    * partition-pruned reads (pass 2), delete the staging slices. The
+    * __shard filter is a PARTITION filter — each build scans only its
+    * slice bytes, keeping total corpus reads ~2× at any S. */
+  private def shardedBuild(
+      corpus: DataFrame, idCol: String, dir: String, nShards: Int,
+      buildParallelism: Int)(
+      buildOne: (DataFrame, String, Int) => Unit): Unit = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    require(buildParallelism >= 1,
+      s"buildParallelism must be >= 1, got $buildParallelism")
     val spark = corpus.sparkSession
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    // pass 1: ONE corpus scan routes every row to its slice directory
     val staged = s"$dir/.staging_slices"
     corpus.withColumn("__shard", shardOf(col(idCol), nShards))
       .write.mode(SaveMode.Overwrite).partitionBy("__shard").parquet(staged)
@@ -676,32 +704,29 @@ object AnnIndex {
       .newFixedThreadPool(math.min(nShards, buildParallelism))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val builds = (0 until nShards).map { sh =>
-        Future {
-          // the __shard filter is a PARTITION filter on the staged
-          // layout — each build scans only its slice bytes. Distinct
-          // seed per shard: identically-seeded fits on near-iid slices
-          // would land on near-identical centroids — harmless for
-          // correctness but wasteful of the diversity S fits can buy
-          buildIvf(
-            slices.filter(col("__shard") === sh).drop("__shard"),
-            idCol, vecCol, s"$dir/shard=$sh", nlist, seed + sh, fitSample,
-            quantize, attrCols)
-        }
-      }
-      builds.foreach(Await.result(_, Duration.Inf))
+      (0 until nShards).map { sh =>
+        Future(buildOne(
+          slices.filter(col("__shard") === sh).drop("__shard"),
+          s"$dir/shard=$sh", sh))
+      }.foreach(Await.result(_, Duration.Inf))
     } finally {
       pool.shutdown()
       val p = new org.apache.hadoop.fs.Path(staged)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.delete(p, true)
     }
-    val total = (0 until nShards)
-      .map(sh => readMeta(spark, s"$dir/shard=$sh", "ivf").nRows).sum
-    writeMeta(spark, dir,
-      Meta("ivf_sharded", idCol, total, nlist, tables = nShards, bits = 0,
-        seed, quantize))
   }
+
+  /** Bounded-heap merge of per-shard top-k frames: |Q|·S·k rows through
+    * ONE aggregate, the same (cosine desc, id asc) order every ranked
+    * search uses — no window, no global sort. */
+  private def mergeShardTopK(
+      perShard: Seq[DataFrame], idCol: String, k: Int): DataFrame =
+    graft.dp.TopK
+      .topKPerKeyDirectional(
+        perShard.map(_.drop("rank")).reduce(_.unionByName(_)),
+        Seq("query_id"), Seq("cosine" -> false, idCol -> true), k)
+      .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
 
   /** The shard a row's id routes to — one place owns the rule so builds,
     * appends, and any external partitioner agree. */
@@ -728,22 +753,26 @@ object AnnIndex {
       nprobe: Int = 0,
       corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val m = readMeta(spark, dir, "ivf_sharded")
+    mergeShardTopK(
+      fanOut(m.tables)(sh =>
+        searchIvf(spark, s"$dir/shard=$sh", queries, queryIdCol, vecCol, k,
+          nprobe, corpusFilter)),
+      m.idCol, k)
+  }
+
+  /** Run one search-plan construction per shard on concurrent threads
+    * (each shard's probe resolution collects its probed-cell set — a
+    * driver round-trip serially; the scoring itself is one unioned
+    * Spark job either way). */
+  private def fanOut(nShards: Int)(one: Int => DataFrame): Seq[DataFrame] = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors
-      .newFixedThreadPool(math.min(m.tables, 8))
+      .newFixedThreadPool(math.min(nShards, 8))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-    val perShard =
-      try (0 until m.tables).map { sh =>
-        Future(searchIvf(spark, s"$dir/shard=$sh", queries, queryIdCol,
-          vecCol, k, nprobe, corpusFilter).drop("rank"))
-      }.map(Await.result(_, Duration.Inf))
-      finally pool.shutdown()
-    val unioned = perShard.reduce(_.unionByName(_))
-    graft.dp.TopK
-      .topKPerKeyDirectional(unioned, Seq("query_id"),
-        Seq("cosine" -> false, m.idCol -> true), k)
-      .select(col("query_id"), col(m.idCol), col("cosine"), col("rank"))
+    try (0 until nShards).map(sh => Future(one(sh)))
+      .map(Await.result(_, Duration.Inf))
+    finally pool.shutdown()
   }
 
   /** Append a batch to a sharded IVF index: each row routes to the SAME
@@ -763,6 +792,97 @@ object AnnIndex {
     }
     writeMeta(spark, dir, m.copy(nRows = m.nRows + batch.count()))
   }
+
+  /** Hash-sharded IVF-PQ index — the minimal-bytes serving layout under
+    * the same sharding contract as [[buildIvfSharded]]: staged slices,
+    * S parallel [[buildIvfPq]] builds (per-shard codebooks AND coarse
+    * cells — each shard is a complete, independently-refittable index),
+    * top-level meta (kind `ivfpq_sharded`, `tables` = shard count;
+    * per-shard m/codes live in the shard metas) written last. The
+    * int8 refine payload is PER-VECTOR (scale = max|x|/127 — codebook-
+    * and fit-independent), so at exhaustive probes with a
+    * shortlist-covering refine factor the sharded refined search equals
+    * the single index's int8-exact answer bit for bit, which is what
+    * keeps the sharded PQ layout fully oracle-able. */
+  def buildIvfPqSharded(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nShards: Int,
+      nlist: Int = 0,
+      m: Int = 8,
+      codes: Int = 256,
+      seed: Long = 0L,
+      fitSample: Int = 100000,
+      attrCols: Seq[String] = Nil,
+      refine: Boolean = true,
+      buildParallelism: Int = 4): Unit = {
+    shardedBuild(corpus, idCol, dir, nShards, buildParallelism) {
+      (slice, out, sh) =>
+        buildIvfPq(slice, idCol, vecCol, out, nlist, m, codes, seed + sh,
+          fitSample, attrCols, refine)
+    }
+    val spark = corpus.sparkSession
+    val total = (0 until nShards)
+      .map(sh => readMeta(spark, s"$dir/shard=$sh", "ivfpq").nRows).sum
+    writeMeta(spark, dir,
+      Meta("ivfpq_sharded", idCol, total, nlist, tables = nShards, bits = 0,
+        seed, refine))
+  }
+
+  /** Sharded twin of [[searchIvfPq]]: fan out, per-shard ADC (+int8
+    * refine), bounded-heap merge. `refine` passes through per shard. */
+  def searchIvfPqSharded(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 0,
+      corpusFilter: Option[org.apache.spark.sql.Column] = None,
+      refine: Int = -1): DataFrame = {
+    val m = readMeta(spark, dir, "ivfpq_sharded")
+    mergeShardTopK(
+      fanOut(m.tables)(sh =>
+        searchIvfPq(spark, s"$dir/shard=$sh", queries, queryIdCol, vecCol,
+          k, nprobe, corpusFilter, refine)),
+      m.idCol, k)
+  }
+
+  /** Sharded twin of [[appendIvfPq]]: rows route by the build's
+    * [[shardOf]] rule and encode against THEIR shard's persisted
+    * centroids + codebooks. */
+  def appendIvfPqSharded(
+      batch: DataFrame,
+      vecCol: String,
+      dir: String): Unit = {
+    val spark = batch.sparkSession
+    val m = readMeta(spark, dir, "ivfpq_sharded")
+    (0 until m.tables).foreach { sh =>
+      val slice = batch.filter(shardOf(col(m.idCol), m.tables) === sh)
+      if (!slice.isEmpty) appendIvfPq(slice, vecCol, s"$dir/shard=$sh")
+    }
+    writeMeta(spark, dir, m.copy(nRows = m.nRows + batch.count()))
+  }
+
+  /** Sharded twin of [[ensureIvfPq]]. */
+  def ensureIvfPqSharded(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dir: String,
+      nShards: Int,
+      nlist: Int = 0,
+      m: Int = 8,
+      codes: Int = 256,
+      seed: Long = 0L,
+      attrCols: Seq[String] = Nil,
+      refine: Boolean = true): Unit =
+    if (!exists(corpus.sparkSession, dir))
+      buildIvfPqSharded(corpus, idCol, vecCol, dir, nShards, nlist, m,
+        codes, seed, attrCols = attrCols, refine = refine)
 
   /** Sharded twin of [[ensureIvf]]. */
   def ensureIvfSharded(

@@ -569,6 +569,49 @@ class AnnIndexSpec extends SparkSpec {
     assert(metaTotal === base.count() + 3)
   }
 
+  test("sharded IVF-PQ: exhaustive refined sharded search equals the single refined index; appends route and encode per shard") {
+    // int8 refine payloads are PER-VECTOR (scale = max|x|/127, fit-
+    // independent), so exhaustive probes + a shortlist-covering refine
+    // factor make every shard int8-exact on its slice — the merge must
+    // equal the single refined index bit for bit even though per-shard
+    // codebooks and coarse cells differ from the single fit's
+    val corpus = emb.filter(col("vec_id") < 300)
+    val queries = corpus.filter(col("vec_id") < 3)
+    val shDir = tempDir("graft_ivfpq_sharded")
+    AnnIndex.buildIvfPqSharded(corpus, "vec_id", "embedding", shDir,
+      nShards = 2, nlist = 4, m = 4, codes = 16, seed = 7L)
+    val sharded = rows(
+      AnnIndex.searchIvfPqSharded(spark, shDir, queries, "vec_id",
+        "embedding", k = 8, nprobe = 4, refine = 50)
+        .orderBy(col("query_id"), col("rank")))
+    val oneDir = tempDir("graft_ivfpq_sharded_single")
+    AnnIndex.buildIvfPq(corpus, "vec_id", "embedding", oneDir,
+      nlist = 4, m = 4, codes = 16, seed = 7L)
+    val single = rows(
+      AnnIndex.searchIvfPq(spark, oneDir, queries, "vec_id", "embedding",
+        k = 8, nprobe = 4, refine = 50)
+        .orderBy(col("query_id"), col("rank")))
+    assert(sharded.nonEmpty && sharded === single)
+    // appended clones route to their hash shard, encode against THAT
+    // shard's persisted codebooks, and surface through the merged search
+    val batch = corpus.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+    AnnIndex.appendIvfPqSharded(batch, "embedding", shDir)
+    (0 until 2).foreach { sh =>
+      val stored = spark.read.parquet(s"$shDir/shard=$sh/corpus.parquet")
+        .filter(col("vec_id") >= 800000L)
+      assert(stored.filter(
+        pmod(xxhash64(col("vec_id")), lit(2L)).cast("int") =!= sh).count() === 0)
+    }
+    val got = AnnIndex.searchIvfPqSharded(spark, shDir,
+      corpus.filter(col("vec_id") < 2), "vec_id", "embedding",
+      k = 1, nprobe = 4, refine = 50)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 2L).foreach(q => assert(got(q) === q + 800000L, s"query $q"))
+    assert(spark.read.parquet(s"$shDir/meta.parquet")
+      .head().getAs[Long]("n_rows") === corpus.count() + 2)
+  }
+
   test("kind mismatch and missing index fail loudly") {
     val dir = tempDir("graft_idx_kind")
     AnnIndex.buildLsh(emb, "vec_id", "embedding", dir, tables = 2, bits = 4)
