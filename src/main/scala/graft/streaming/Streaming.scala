@@ -427,9 +427,13 @@ object Streaming {
       .start()
 
   /** Continuously maintain a prebuilt ANN index from an embedding stream:
-    * each micro-batch appends via [[graft.similarity.AnnIndex.appendIvf]]
-    * / `appendLsh` — batch-sized work (assignment against the PERSISTED
-    * centroids / signing under the persisted planes), never a re-fit.
+    * each micro-batch appends via the kind's append path — plain /
+    * sharded IVF and IVF-PQ route through
+    * [[graft.similarity.AnnIndex.appendIvf]] /
+    * `appendIvfPq` / `appendIvfSharded` / `appendIvfPqSharded`
+    * (assignment + PQ encoding against the PERSISTED centroids and
+    * codebooks, sharded rows hash-routed to their owning shard), LSH
+    * through `appendLsh` — batch-sized work, never a re-fit.
     * The streaming twin of the batch append path, sharing the exact same
     * code, so a pipeline can switch between nightly batches and a stream
     * without an index rewrite.
@@ -461,8 +465,11 @@ object Streaming {
       batch: DataFrame, vecCol: String, indexDir: String, batchId: Long): Boolean =
     markerGated(batch.sparkSession, indexDir, batchId) {
       graft.similarity.AnnIndex.kindOf(batch.sparkSession, indexDir) match {
-        case "ivf" => graft.similarity.AnnIndex.appendIvf(batch, vecCol, indexDir)
-        case _     => graft.similarity.AnnIndex.appendLsh(batch, vecCol, indexDir)
+        case "ivf"           => graft.similarity.AnnIndex.appendIvf(batch, vecCol, indexDir)
+        case "ivfpq"         => graft.similarity.AnnIndex.appendIvfPq(batch, vecCol, indexDir)
+        case "ivf_sharded"   => graft.similarity.AnnIndex.appendIvfSharded(batch, vecCol, indexDir)
+        case "ivfpq_sharded" => graft.similarity.AnnIndex.appendIvfPqSharded(batch, vecCol, indexDir)
+        case _               => graft.similarity.AnnIndex.appendLsh(batch, vecCol, indexDir)
       }
     }
 

@@ -432,6 +432,29 @@ class StreamingSpec extends SparkSpec {
       260 * 4, "a replayed batch must not duplicate index rows") // 4 tables
   }
 
+  test("streaming append dispatch reaches the sharded index kinds") {
+    import graft.similarity.AnnIndex
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-annsh").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = s"$work/idx_sh"
+    AnnIndex.buildIvfSharded(emb.filter(col("vec_id") < 250), "vec_id",
+      "embedding", idx, nShards = 2, nlist = 8)
+    // the micro-batch unit (appendBatchOnce) must route through
+    // appendIvfSharded — rows land in their hash shard and are served
+    // through the merged search
+    val batch = emb.filter(col("vec_id") < 2)
+      .select((col("vec_id") + 700000L).as("vec_id"), col("embedding"))
+    assert(Streaming.appendBatchOnce(batch, "embedding", idx, batchId = 0L))
+    val got = AnnIndex.searchIvfSharded(spark,
+      idx, emb.filter(col("vec_id") < 2), "vec_id", "embedding",
+      k = 1, nprobe = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 2L).foreach(q => assert(got(q) === q + 700000L))
+    // replay no-op through the same marker gate
+    assert(!Streaming.appendBatchOnce(batch, "embedding", idx, batchId = 0L))
+  }
+
   test("streaming near-dup corpus: mutated copies dropped via the MinHash index, survivors indexed") {
     implicit val sqlCtx = spark.sqlContext
     val work = java.nio.file.Files.createTempDirectory("graft-stream-neardup").toString
