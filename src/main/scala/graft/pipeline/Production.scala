@@ -644,17 +644,43 @@ object Production {
           emb, "vec_id", "embedding", dir,
           tables = params.getOrElse("tables", "8").toString.toInt,
           bits = params.getOrElse("bits", "0").toString.toInt)
+        // r17: the PQ and sharded layouts are first-class catalog kinds
+        case "ivfpq" => graft.similarity.AnnIndex.buildIvfPq(
+          emb, "vec_id", "embedding", dir,
+          nlist = params.getOrElse("nlist", "0").toString.toInt,
+          m = params.getOrElse("m", "8").toString.toInt,
+          codes = params.getOrElse("codes", "256").toString.toInt,
+          seed = ctx.seed,
+          refine = params.getOrElse("refine", "true").toString.toBoolean)
+        case "ivf_sharded" => graft.similarity.AnnIndex.buildIvfSharded(
+          emb, "vec_id", "embedding", dir,
+          nShards = params.getOrElse("n_shards", "4").toString.toInt,
+          nlist = params.getOrElse("nlist", "0").toString.toInt,
+          seed = ctx.seed,
+          quantize = params.getOrElse("quantize", "false").toString.toBoolean)
+        case "ivfpq_sharded" => graft.similarity.AnnIndex.buildIvfPqSharded(
+          emb, "vec_id", "embedding", dir,
+          nShards = params.getOrElse("n_shards", "4").toString.toInt,
+          nlist = params.getOrElse("nlist", "0").toString.toInt,
+          m = params.getOrElse("m", "8").toString.toInt,
+          codes = params.getOrElse("codes", "256").toString.toInt,
+          seed = ctx.seed,
+          refine = params.getOrElse("refine", "true").toString.toBoolean)
         case other => throw new IllegalArgumentException(
-          s"build-index: kind must be 'ivf' or 'lsh', got '$other'")
+          "build-index: kind must be one of ivf | lsh | ivfpq | " +
+            s"ivf_sharded | ivfpq_sharded, got '$other'")
       }
     }
 
     Jobs.register("ann-serving", "search") { (ctx, params) =>
       val s = ctx.spark
-      val kind = params.getOrElse("kind", "ivf").toString
       val k = params.getOrElse("k", "10").toString.toInt
       val queries = Tables.readData(s, Seq(ctx.dataPath("raw.query_embeddings")))
       val dir = ctx.dataPath("models.ann_index")
+      // kind defaults to what the persisted index SAYS it is — a search
+      // stage shouldn't have to repeat the build stage's choice (r17)
+      val kind = params.get("kind").map(_.toString)
+        .getOrElse(graft.similarity.AnnIndex.kindOf(s, dir))
       val neighbors = kind match {
         case "ivf" => graft.similarity.AnnIndex.searchIvf(
           s, dir, queries, "vec_id", "embedding", k,
@@ -662,8 +688,20 @@ object Production {
         case "lsh" => graft.similarity.AnnIndex.searchLsh(
           s, dir, queries, "vec_id", "embedding", k,
           probes = params.getOrElse("probes", "0").toString.toInt)
+        case "ivfpq" => graft.similarity.AnnIndex.searchIvfPq(
+          s, dir, queries, "vec_id", "embedding", k,
+          nprobe = params.getOrElse("nprobe", "0").toString.toInt,
+          refine = params.getOrElse("refine", "-1").toString.toInt)
+        case "ivf_sharded" => graft.similarity.AnnIndex.searchIvfSharded(
+          s, dir, queries, "vec_id", "embedding", k,
+          nprobe = params.getOrElse("nprobe", "0").toString.toInt)
+        case "ivfpq_sharded" => graft.similarity.AnnIndex.searchIvfPqSharded(
+          s, dir, queries, "vec_id", "embedding", k,
+          nprobe = params.getOrElse("nprobe", "0").toString.toInt,
+          refine = params.getOrElse("refine", "-1").toString.toInt)
         case other => throw new IllegalArgumentException(
-          s"search: kind must be 'ivf' or 'lsh', got '$other'")
+          "search: kind must be one of ivf | lsh | ivfpq | ivf_sharded | " +
+            s"ivfpq_sharded, got '$other'")
       }
       save(ctx, neighbors, ctx.dataPath("processed.neighbors"))
     }

@@ -221,6 +221,40 @@ class ConfigJobsSpec extends AnyFunSuite {
     val ctx2 = Context(cfg.updated("job_catalog", Context.loadYaml(searchOnly.toString)), spark)
     assert(graft.pipeline.Jobs.run(ctx2, "ann-serving").isEmpty)
     assert(spark.read.parquet(s"$work/neighbors").count() === 15)
+    // r17 kinds: a SHARDED build into a fresh zone, searched WITHOUT a
+    // kind param — the search stage reads the kind off the persisted
+    // meta instead of repeating the build stage's choice
+    val shYml = java.nio.file.Files.createTempFile("graft-ann-jobs3", ".yml")
+    java.nio.file.Files.writeString(shYml,
+      """jobs:
+        |  - name: ann-serving
+        |    fail_fast: true
+        |    stages:
+        |      - name: serve
+        |        tasks:
+        |          - name: build-index
+        |            params: {kind: ivf_sharded, n_shards: 2, nlist: 8}
+        |          - name: search
+        |            params: {k: 5, nprobe: 8}
+        |""".stripMargin)
+    val shCfg = Map(
+      "core" -> Map("seed" -> 7, "audit_plans" -> true),
+      "job_catalog" -> Context.loadYaml(shYml.toString),
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "embeddings" -> s"$work/embeddings",
+          "query_embeddings" -> s"$work/queries"),
+        "models" -> Map("ann_index" -> s"$work/ann_index_sh"),
+        "processed" -> Map("neighbors" -> s"$work/neighbors_sh")))
+    assert(graft.pipeline.Jobs.run(Context(shCfg, spark), "ann-serving").isEmpty)
+    val shN = spark.read.parquet(s"$work/neighbors_sh")
+    assert(shN.count() === 15)
+    // exhaustive probes per shard (nlist 8, nprobe 8): the merged result
+    // is exact — identical to the quantize-free brute-force top-5
+    val exact = graft.similarity.Similarity.cosineTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
+      "vec_id", "embedding", "vec_id", 5)
+    assert(shN.exceptAll(exact).count() === 0 && exact.exceptAll(shN).count() === 0)
   }
 
   test("tokenizer + metric-profile catalog jobs: train/encode and replay-safe quantile fold") {
