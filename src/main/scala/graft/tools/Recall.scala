@@ -431,6 +431,30 @@ object Recall {
       bykBrute.size, (bykBrute & bykIvf).size, 0.85,
       "byK pool-target arm: explicit nlist=4096 at N=200k resolves to 50 probes (not the 8 floor) over the two-level fit, vs exact top-10 on the clustered planted corpus")
 
+    // --- SHARDED index at auto params (r17): sharding drops per-shard N
+    // into DIFFERENT auto regimes — a 150k corpus in 3 shards auto-tunes
+    // each 50k slice at the blend-ramp START (per-shard nlist=224,
+    // nprobe=75: the small rule un-blended), not the 150k scale rule.
+    // That is the policy working as designed (each shard really is a
+    // 50k corpus), but nothing else pins that the merged sharded search
+    // clears the clustered-shape bound, or that the per-shard budgets
+    // don't somehow cancel. Reuses the byk corpus truth (first 150k).
+    val shCorpus = byk.filter(col("vec_id") < 150000L)
+    val shQ = shCorpus.filter(col("vec_id") < MinRecallQueries)
+    val shBrute = pairSet(
+      Similarity.cosineTopK(shCorpus, shQ, "vec_id", "vec", "vec_id", 10),
+      "query_id", "vec_id")
+    val shDir = Files.createTempDirectory("graft_recall_annsh").toString
+    graft.similarity.AnnIndex.buildIvfSharded(
+      shCorpus, "vec_id", "vec", s"$shDir/ivf", nShards = 3)
+    val shGot = pairSet(
+      graft.similarity.AnnIndex.searchIvfSharded(
+        spark, s"$shDir/ivf", shQ, "vec_id", "vec", k = 10),
+      "query_id", "vec_id")
+    entries += Entry("ann_ivf_sharded_auto", recallOf(shBrute, shGot),
+      shBrute.size, (shBrute & shGot).size, 0.85,
+      "3-shard IVF at auto params (each 50k slice tunes at the ramp start: nlist=224, nprobe=75) merged vs exact top-10 on the clustered planted corpus")
+
     // --- hierarchical probe ranking (r15): retrievalNeighbors routes
     // centroid selection through the two-level quantizer once nlist >=
     // 128 and probes <= nlist/8 — measure what the super-cell pruning

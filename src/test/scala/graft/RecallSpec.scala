@@ -43,7 +43,7 @@ class RecallSpec extends SparkSpec {
       "rouge_neardup_hr", "retrieval_neighbors",
       "ann_ivf_scale_policy", "ann_ivf_scale_policy_zipf",
       "ann_ivf_scale_byk", "retrieval_neighbors_hierarchical",
-      "ann_ivf_ramp_uniform")
+      "ann_ivf_ramp_uniform", "ann_ivf_sharded_auto")
     assert(entries.map(_.name).toSet === expected)
     val failures = entries.filter(e => e.recall < e.minBound)
     assert(failures.isEmpty,
