@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions._
   *   <dir>/corpus.parquet/    IVF: (id, __cv, __cn, attrs…) PARTITIONED BY __cell
   *   <dir>/signatures.parquet LSH: (id, __cv, __cv_n, sig, attrs…)
   *                            PARTITIONED BY table, sig-sorted within files
-  *   <dir>/shard=<i>/…        sharded IVF: one complete IVF index per
-  *                            xxhash64(id)-slice + a top-level meta
-  *                            (kind ivf_sharded) written last
+  *   <dir>/shard=<i>/…        sharded IVF / IVF-PQ: one complete index
+  *                            per xxhash64(id)-slice + a top-level meta
+  *                            (kind ivf_sharded / ivfpq_sharded, tables
+  *                            = shard count) written last
   * }}}
   *
   * Why this layout scales:
