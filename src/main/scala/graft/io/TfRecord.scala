@@ -279,22 +279,45 @@ object TfRecord {
       rowsPerShard: Int = 1000): Unit = {
     require(contentCols.nonEmpty, "writeShards needs at least one content column")
     require(rowsPerShard > 0, s"rowsPerShard must be > 0, got $rowsPerShard")
+    val integral: Set[DataType] = Set(ByteType, ShortType, IntegerType, LongType)
+    val fractional: Set[DataType] = Set(FloatType, DoubleType)
     val kinds: Seq[Int] = contentCols.map { c =>
       df.schema(c).dataType match {
         case StringType                                      => 0
         case BinaryType                                      => 1
-        case ByteType | ShortType | IntegerType | LongType   => 2
-        case FloatType | DoubleType                          => 3
+        case dt if integral(dt)                              => 2
+        case dt if fractional(dt)                            => 3
+        // whole-array features (r17): a packed-sequence export carries
+        // token_ids as ONE Int64List per record — the multi-value list
+        // the tf.Example wire format was built for (the reader already
+        // round-tripped them; only the writer refused). Null ELEMENTS
+        // have no tf.Example slot — guarded at runtime below (the
+        // schema's containsNull flag is useless here: collect_list /
+        // transform mark it true even over provably null-free data)
+        case ArrayType(et, _) if integral(et)                => 4
+        case ArrayType(et, _) if fractional(et)              => 5
         case dt => throw new IllegalArgumentException(
           s"writeShards: content column '$c' is ${dt.simpleString} — " +
-            "tf.Example features are bytes/int64/float; cast it first")
+            "tf.Example features are bytes/int64/float (scalar or array); cast it first")
       }
     }
     // cast integrals to long and floats to float in the projection, so
-    // the executor-side accessors read exactly the declared type
+    // the executor-side accessors read exactly the declared type. A NULL
+    // array is a legal absent feature; a null ELEMENT inside one is not
+    // representable on the wire and fails loudly here (not a silent
+    // drop/zero) — the guard rides the projected column itself, which a
+    // content column by definition is never pruned out of
+    def noNullElems(c: String, to: String) =
+      when(col(c).isNull, col(c).cast(to))
+        .when(!exists(col(c), e => e.isNull), col(c).cast(to))
+        .otherwise(raise_error(lit(
+          s"writeShards: null element in array column '$c' — " +
+            "tf.Example lists have no null slot; fill or filter first")).cast(to))
     val projected = df.select(contentCols.zip(kinds).map {
       case (c, 2) => col(c).cast("long").as(c)
       case (c, 3) => col(c).cast("float").as(c)
+      case (c, 4) => noNullElems(c, "array<long>").as(c)
+      case (c, 5) => noNullElems(c, "array<float>").as(c)
       case (c, _) => col(c)
     }: _*)
     val names = contentCols
@@ -333,6 +356,10 @@ object TfRecord {
               case 1 => featureBytes(Left(row.getBinary(i)))
               case 2 => featureBytes(Right(Right(Seq(row.getLong(i)))))
               case 3 => featureBytes(Right(Left(Seq(row.getFloat(i)))))
+              case 4 => featureBytes(Right(Right(
+                row.getArray(i).toLongArray().toSeq)))
+              case 5 => featureBytes(Right(Left(
+                row.getArray(i).toFloatArray().toSeq)))
             }
             feats += names(i) -> fb
           }
@@ -416,7 +443,9 @@ object TfRecord {
 
   /** Read shards and PARSE each record's tf.Example into typed columns:
     * `schema` maps feature name → "string" | "binary" | "long" |
-    * "float" (first value of the list; absent features are null).
+    * "float" (first value of the list; absent features are null) |
+    * "longs" | "floats" (the WHOLE list as an array column — the
+    * packed-sequence token_ids shape, r17).
     * Output: (shard_file, rec_no, <feature columns...>). */
   def readExamples(
       spark: SparkSession,
@@ -424,7 +453,7 @@ object TfRecord {
       schema: Seq[(String, String)]): DataFrame = {
     require(schema.nonEmpty, "readExamples needs at least one feature")
     schema.foreach { case (n, t) =>
-      require(Set("string", "binary", "long", "float").contains(t),
+      require(Set("string", "binary", "long", "float", "longs", "floats").contains(t),
         s"readExamples: feature '$n' has unsupported type '$t'")
     }
     val raw = readShards(spark, paths)
@@ -441,6 +470,8 @@ object TfRecord {
             // (and the empty-bytes_list behavior)
             case ("long", l: Seq[_])  => l.headOption.map(_.asInstanceOf[Long]).map(Long.box).orNull
             case ("float", f: Seq[_]) => f.headOption.map(_.asInstanceOf[Float]).map(Float.box).orNull
+            case ("longs", l: Seq[_])  => l.map(_.asInstanceOf[Long])
+            case ("floats", f: Seq[_]) => f.map(_.asInstanceOf[Float])
             case (want, got) => sys.error(
               s"feature '$n': wire kind ${got.getClass.getSimpleName} does not decode as $want")
           }
@@ -457,6 +488,8 @@ object TfRecord {
             case "binary" => BinaryType
             case "long"   => LongType
             case "float"  => FloatType
+            case "longs"  => ArrayType(LongType, containsNull = false)
+            case "floats" => ArrayType(FloatType, containsNull = false)
           })
         })
     spark.createDataFrame(rows, outSchema)

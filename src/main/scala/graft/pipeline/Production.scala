@@ -946,7 +946,8 @@ object Production {
     // DELIVERY, TFRecord flavor: any zone exported as tf.Example record
     // shards (the TensorFlow loader container). `content_cols` lists the
     // columns to carry as features (string/binary -> bytes, integral ->
-    // int64, float -> float32)
+    // int64, float -> float32; integral/float ARRAYS -> whole
+    // Int64List/FloatList — the packed token_ids shape, r17)
     Jobs.register("tokenizer", "export-tfrecord") { (ctx, params) =>
       val s = ctx.spark
       val in = params.getOrElse("input", "raw.documents").toString

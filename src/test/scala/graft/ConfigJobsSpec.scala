@@ -1680,7 +1680,7 @@ class ConfigJobsSpec extends AnyFunSuite {
           task("pack", "ctx_tokens" -> "32", "n_shards" -> "2"),
           task("materialize", "ctx_tokens" -> "32", "n_shards" -> "2"),
           task("export-tfrecord", "input" -> "processed.packed_sequences",
-            "content_cols" -> List("seq_id", "seq_len"),
+            "content_cols" -> List("seq_id", "seq_len", "token_ids"),
             "rows_per_shard" -> "4", "output" -> "processed.tfrecord"))))))),
       "data_catalog" -> Map(
         "raw" -> Map("documents" -> s"$work/mixed"),
@@ -1726,11 +1726,17 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(tCard.filter(col("key") === "vocab_size")
       .head().getAs[Double]("value")
       === spark.read.parquet(s"$work/bpe_vocab").count().toDouble)
-    // the shipped TFRecord shards replay the materialized zone exactly
+    // the shipped TFRecord shards replay the materialized zone exactly —
+    // including the token_ids themselves as whole Int64Lists (the r17
+    // array-feature support: a trainer reads actual sequences, not just
+    // their lengths)
     val shipped = graft.io.TfRecord.readExamples(spark, Seq(s"$work/tfrecord"),
-      Seq("seq_id" -> "long", "seq_len" -> "long"))
+      Seq("seq_id" -> "long", "seq_len" -> "long", "token_ids" -> "longs"))
     assert(shipped.count() === seqs.count())
     assert(shipped.agg(sum("seq_len")).head().getLong(0) === 104L)
+    assert(shipped.agg(sum(size(col("token_ids")))).head().getLong(0) === 104L)
+    assert(shipped.filter(size(col("token_ids")) =!= col("seq_len")).count() === 0,
+      "every shipped record's list length equals its declared seq_len")
   }
 }
 

@@ -59,6 +59,43 @@ class TfRecordSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("array features export as whole Int64/Float lists and round-trip (r17)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-tfr-arr").toString
+    // the packed-sequence shape: token_ids per record, plus a float list
+    // and an empty array (valid: empty list on the wire decodes as null,
+    // the documented convention) and a NULL array (absent feature)
+    val rows = Seq(
+      (1L, Seq(5, 7, 11), Seq(0.5, 1.5)),
+      (2L, Seq(13), Seq.empty[Double]),
+      (3L, Seq.empty[Int], Seq(2.5))).toDF("seq_id", "token_ids", "weights")
+      .unionByName(Seq(4L).toDF("seq_id")
+        .withColumn("token_ids", lit(null).cast("array<int>"))
+        .withColumn("weights", lit(null).cast("array<double>")))
+    TfRecord.writeShards(rows, s"$dir/out",
+      Seq("seq_id", "token_ids", "weights"), rowsPerShard = 10)
+    val back = TfRecord.readExamples(spark, Seq(s"$dir/out"),
+      Seq("seq_id" -> "long", "token_ids" -> "longs", "weights" -> "floats"))
+      .collect().map(r => r.getAs[Long]("seq_id") ->
+        ((Option(r.getAs[scala.collection.Seq[Long]]("token_ids")),
+          Option(r.getAs[scala.collection.Seq[Float]]("weights"))))).toMap
+    assert(back(1L) === ((Some(Seq(5L, 7L, 11L)), Some(Seq(0.5f, 1.5f)))))
+    assert(back(2L)._1 === Some(Seq(13L)))
+    assert(back(2L)._2.forall(_.isEmpty), "empty list decodes empty-or-null")
+    assert(back(3L)._1.forall(_.isEmpty))
+    assert(back(3L)._2 === Some(Seq(2.5f)))
+    assert(back(4L) === ((None, None)), "null array = absent feature")
+    // a null ELEMENT has no tf.Example slot — the export fails loudly,
+    // never silently drops or zero-fills the hole
+    val bad = Seq((9L, Seq(Some(1), None, Some(3))))
+      .toDF("seq_id", "token_ids")
+    val e = intercept[Exception] {
+      TfRecord.writeShards(bad, s"$dir/bad", Seq("seq_id", "token_ids"))
+    }
+    assert(Option(e.getMessage).getOrElse(e.getCause.getMessage)
+      .contains("null element"))
+  }
+
   test("re-export to the same dir replaces stale shards (overwrite semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("graft-tfr-ow").toString
     val big = (0 until 25).map(i => (i.toLong, s"t$i")).toDF("doc_id", "text")
