@@ -71,10 +71,15 @@ class DedupSimilaritySpec extends SparkSpec {
   }
 
   test("minhash near-dup leaves no cached state behind (persist leak fix)") {
-    val before = spark.sparkContext.getPersistentRDDs.size
+    // compare SETS, not sizes: earlier suites' persisted RDDs can be
+    // reclaimed asynchronously by the ContextCleaner mid-test (a size
+    // DECREASE flunked this under r17's suite ordering) — the leak
+    // contract is only that this call adds nothing of its own
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     Dedup.minhashNearDupPairs(docs, "doc_id", "text", threshold = 0.4).count()
-    assert(spark.sparkContext.getPersistentRDDs.size == before,
-      "minhashNearDupPairs must not leak persisted RDDs into the shared session")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"minhashNearDupPairs must not leak persisted RDDs into the shared session (leaked ids: $leaked)")
   }
 
   test("simhash near-dup has full recall at maxHamming 8 (chunk count derived)") {
