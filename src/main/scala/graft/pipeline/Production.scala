@@ -706,6 +706,19 @@ object Production {
       save(ctx, neighbors, ctx.dataPath("processed.neighbors"))
     }
 
+    // MAINTENANCE: rewrite an append-littered index into ~target_file_mb
+    // files (every `maintain-index` stream batch / `append` run lands one
+    // small file per touched partition — the small-file decay mode of a
+    // partitioned serving layout). Kind-dispatched inside compact() off
+    // the persisted meta; search results are identical before/after
+    // (AnnIndexSpec), so the stage can run on any cadence without a
+    // serving gap — the publish is checked-rename atomic per table.
+    Jobs.register("ann-serving", "compact") { (ctx, params) =>
+      graft.similarity.AnnIndex.compact(ctx.spark,
+        ctx.dataPath("models.ann_index"),
+        targetFileMB = params.getOrElse("target_file_mb", "128").toString.toInt)
+    }
+
     // Tokenizer lifecycle as catalog jobs — the train-once/persist/
     // encode-many split (model-gen's shape applied to the corpus
     // tokenizer): `train` runs the one corpus-sized word-count pass and

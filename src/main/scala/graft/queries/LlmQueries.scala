@@ -1217,6 +1217,28 @@ object LlmQueries {
           "embedding", k = 10, nprobe = 16)
         .orderBy(col("query_id"), col("rank"))
     },
+    // --- compacted index, exhaustive probes: build over half the
+    // corpus, APPEND the other half (the small-file shape), COMPACT,
+    // then search — compaction moves bytes, never answers, so the
+    // result over the rewritten layout must still equal brute force
+    // row for row (the OPTIMIZE-style maintenance op's identity
+    // contract, pinned here under a full DuckDB oracle)
+    "ann_compacted_search_exact" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = annIndexDir(dir, "ivfcmp")
+      if (!graft.similarity.AnnIndex.exists(s, idx)) {
+        graft.similarity.AnnIndex.buildIvf(
+          e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
+          nlist = 16)
+        graft.similarity.AnnIndex.appendIvf(
+          e.filter(col("vec_id") % 2 === 1), "embedding", idx)
+        graft.similarity.AnnIndex.compact(s, idx)
+      }
+      graft.similarity.AnnIndex
+        .searchIvf(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    },
     // LSH at bits=1 with Hamming-1 probing visits BOTH buckets of the
     // 1-bit signature space -> every candidate scored -> exhaustive
     "ann_lsh_topk_exact" -> { (s, dir) =>
@@ -3896,6 +3918,9 @@ object LlmQueries {
     "ann_ivf_topk_exact" -> AnnExactBruteSql,
     "ann_ivf_search_exact" -> AnnExactBruteSql,
     "ann_sharded_search_exact" -> AnnExactBruteSql,
+    // compaction's identity contract: the rewritten (build + append +
+    // compact) layout must still answer with the brute-force top-k
+    "ann_compacted_search_exact" -> AnnExactBruteSql,
     "ann_lsh_topk_exact" -> AnnExactBruteSql,
     "ann_lsh_search_exact" -> AnnExactBruteSql,
     // IVF-PQ refined, exhaustive shortlist: the final ranking is cosine

@@ -910,4 +910,107 @@ object AnnIndex {
       attrCols: Seq[String] = Nil): Unit =
     if (!exists(corpus.sparkSession, dir))
       buildLsh(corpus, idCol, vecCol, dir, tables, bits, attrCols = attrCols)
+
+  // --------------------------------------------------------- compaction
+
+  /** Compact a persisted index's data files — the OPTIMIZE-style
+    * maintenance op for append-heavy indexes. Every [[appendIvf]] /
+    * [[appendIvfPq]] / [[appendLsh]] call (and each streaming
+    * micro-batch riding them, [[graft.streaming.Streaming]]) lands at
+    * least one new parquet file per touched partition; after thousands
+    * of micro-batches a probed cell holds thousands of KB-sized files
+    * and the partition-pruned scan pays a per-file open + footer-parse
+    * cost that dwarfs its data bytes — the classic small-file problem,
+    * THE operational decay mode of a partitioned serving layout under
+    * continuous ingest. Compaction rewrites the data table into
+    * ~`targetFileMB` files and republishes in place. Search results are
+    * IDENTICAL before and after (AnnIndexSpec pins it row for row):
+    * compaction moves bytes, never answers.
+    *
+    * Layout contracts preserved per kind:
+    *  - ivf / ivfpq: `corpus.parquet` stays partitioned by `__cell`,
+    *    rows laid out by range over (`__cell`, id) — each output file
+    *    covers a contiguous run, so cells stay whole-file prunable and
+    *    an oversized cell splits at id boundaries instead of
+    *    hot-spotting one writer task.
+    *  - lsh: `signatures.parquet` stays partitioned by `table` and
+    *    sig-sorted within files (range over (`table`, `sig`) + an
+    *    in-partition sort), so row-group min/max pruning on the probed
+    *    signature set stays sharp — an appended layout's many small
+    *    sorted files become few large sorted files.
+    *  - ivf_sharded / ivfpq_sharded: recurse per shard (each shard is a
+    *    complete index with its own meta).
+    *
+    * Crash contract: the publish is (live → `.precompact_<table>`,
+    * staged → live, delete backup), each rename CHECKED — Hadoop
+    * `FileSystem.rename` reports most failures by returning false (the
+    * TfRecord publish precedent, `io/TfRecord.scala`). A staged rewrite
+    * whose row count disagrees with the live table aborts BEFORE any
+    * rename. A crash between the two renames leaves the backup intact
+    * and the live path absent — searches fail loudly (never silently
+    * serve half an index) and the next `compact` call restores the
+    * backup first. Data is never deleted until the swap has fully
+    * succeeded. */
+  def compact(spark: SparkSession, dir: String, targetFileMB: Int = 128): Unit = {
+    require(targetFileMB > 0, s"targetFileMB must be > 0, got $targetFileMB")
+    require(exists(spark, dir), s"no ANN index at $dir — nothing to compact")
+    val meta = spark.read.parquet(s"$dir/$MetaFile").head()
+    meta.getAs[String]("kind") match {
+      case "ivf" | "ivfpq" =>
+        compactTable(spark, dir, "corpus.parquet", "__cell",
+          Seq("__cell", meta.getAs[String]("id_col")), targetFileMB)
+      case "lsh" =>
+        compactTable(spark, dir, "signatures.parquet", "table",
+          Seq("table", "sig"), targetFileMB)
+      case "ivf_sharded" | "ivfpq_sharded" =>
+        (0 until meta.getAs[Int]("tables"))
+          .foreach(sh => compact(spark, s"$dir/shard=$sh", targetFileMB))
+      case other => throw new IllegalArgumentException(
+        s"compact: unknown index kind '$other' at $dir")
+    }
+  }
+
+  /** The shared compaction core: recover any crashed prior publish,
+    * rewrite `table` into ~`targetFileMB` range-laid-out files under a
+    * staging path, verify the row count, and swap with checked renames.
+    * `orderCols` leads with `partCol`, so every output file covers a
+    * contiguous (partition, order) run. */
+  private def compactTable(
+      spark: SparkSession, dir: String, table: String, partCol: String,
+      orderCols: Seq[String], targetFileMB: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$dir/$table")
+    val backup = new Path(s"$dir/.precompact_$table")
+    val staged = new Path(s"$dir/.compacting_$table")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover a crashed publish: the backup is the authoritative copy
+    // whenever the live table is missing (crash between the two renames)
+    if (!fs.exists(live)) {
+      require(fs.exists(backup),
+        s"compact: no $table at $dir and no .precompact backup to recover")
+      require(fs.rename(backup, live),
+        s"compact: recovery rename $backup -> $live failed")
+    }
+    if (fs.exists(staged)) fs.delete(staged, true) // stale crash leftovers
+    val bytes = fs.getContentSummary(live).getLength
+    val nFiles = math.max(1L,
+      math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toLong).toInt
+    val df = spark.read.parquet(live.toString)
+    val before = df.count()
+    df.repartitionByRange(nFiles, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(staged.toString)
+    val after = spark.read.parquet(staged.toString).count()
+    require(after == before,
+      s"compact: staged rewrite of $dir/$table has $after rows, expected " +
+        s"$before — aborting with the live table untouched")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    require(fs.rename(live, backup),
+      s"compact: publish rename $live -> $backup failed")
+    require(fs.rename(staged, live),
+      s"compact: publish rename $staged -> $live failed " +
+        s"(live table preserved at $backup — rerun compact to recover)")
+    fs.delete(backup, true)
+  }
 }

@@ -1,23 +1,25 @@
 package graft.tools
 
-import org.apache.spark.sql.functions._
-
-/** Scratch verification driver — edit freely to exercise whatever
-  * changed: call operators on /root/testdata/sf0.001, show() results,
-  * explain() plans. Not part of the library surface. */
+/** Scratch driver for ad-hoc plan/timing probes during development —
+  * rewritten per investigation; not part of any shipped surface. Current
+  * probe: fingerprints + timings for the r17 ANN queries (sharded exact
+  * twins + the compaction identity query) to pin in PlanFingerprintSpec. */
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
-    def time(name: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime(); val n = f
-      println(f"PROBE $name: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    for (name <- Seq("ann_sharded_search_exact", "ann_ivfpq_sharded_exact",
+        "ann_compacted_search_exact")) {
+      val t0 = System.nanoTime()
+      val df = graft.queries.LlmQueries.queries(name)(spark, dir)
+      val fp = graft.plans.PlanAudit.fingerprint(df)
+      val scans = graft.plans.PlanAudit.scanCount(df)
+      val n = df.count()
+      println(s"PROBE $name rows=$n scans=$scans " +
+        f"t=${(System.nanoTime() - t0) / 1e9}%.2fs fp=$fp")
     }
-    spark.read.parquet(s"$dir/documents.parquet").count()
-    for (i <- 1 to 3)
-      time(s"ilm_$i")(
-        graft.queries.LlmQueries.queries("interleaved_loss_masks")(spark, dir).count())
     spark.stop()
   }
 }

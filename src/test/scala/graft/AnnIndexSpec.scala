@@ -650,4 +650,118 @@ class AnnIndexSpec extends SparkSpec {
     assert(AnnIndex.searchLsh(spark, lshDir, qInt, "vec_id", "embedding", k = 3)
       .count() > 0)
   }
+
+  // ----------------------------------------------------------- compaction
+
+  /** Data files (part-*) under `dir`, recursively — the small-file count
+    * compaction exists to shrink. */
+  private def dataFiles(dir: String): Int = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var n = 0
+    while (it.hasNext)
+      if (it.next().getPath.getName.startsWith("part-")) n += 1
+    n
+  }
+
+  test("compact: append-heavy IVF index — identical results, fewer files, pruning intact") {
+    val dir = tempDir("graft_ivf_compact")
+    // a build + 3 appends: the streaming-maintenance shape that litters
+    // every cell directory with one small file per touched batch
+    AnnIndex.buildIvf(emb.filter(col("vec_id") % 4 === 0), "vec_id",
+      "embedding", dir, nlist = 8, seed = 7L)
+    (1 to 3).foreach(r =>
+      AnnIndex.appendIvf(emb.filter(col("vec_id") % 4 === r), "embedding", dir))
+    val queries = emb.filter(col("vec_id") < 5)
+    def search() = rows(
+      AnnIndex.searchIvf(spark, dir, queries, "vec_id", "embedding",
+        k = 8, nprobe = 8).orderBy(col("query_id"), col("rank")))
+    val want = search()
+    val filesBefore = dataFiles(s"$dir/corpus.parquet")
+    AnnIndex.compact(spark, dir)
+    // the answer is bit-identical; only the file layout moved
+    assert(want.nonEmpty && search() === want)
+    val filesAfter = dataFiles(s"$dir/corpus.parquet")
+    assert(filesAfter < filesBefore,
+      s"compaction should shrink the file count ($filesBefore -> $filesAfter)")
+    // meta (and so n_rows bookkeeping) is untouched
+    assert(spark.read.parquet(s"$dir/meta.parquet").head()
+      .getAs[Long]("n_rows") === emb.count())
+    // the layout contract survives: the compacted scan still partition-
+    // prunes to the probed cells
+    val plan = AnnIndex.searchIvf(spark, dir, queries, "vec_id", "embedding",
+      k = 8, nprobe = 3)
+    val scans = plan.queryExecution.sparkPlan.collect {
+      case f: FileSourceScanExec
+        if f.metadata.get("Location").exists(_.contains("corpus.parquet")) => f
+    }
+    assert(scans.nonEmpty && scans.forall(_.partitionFilters.nonEmpty),
+      "compacted corpus scan must still carry partition filters on __cell")
+  }
+
+  test("compact: a crash between the publish renames is recovered by the next compact") {
+    val dir = tempDir("graft_ivf_compact_crash")
+    AnnIndex.buildIvf(emb.filter(col("vec_id") < 300), "vec_id", "embedding",
+      dir, nlist = 8, seed = 7L)
+    AnnIndex.appendIvf(emb.filter(col("vec_id") >= 300), "embedding", dir)
+    val queries = emb.filter(col("vec_id") < 5)
+    def search() = rows(
+      AnnIndex.searchIvf(spark, dir, queries, "vec_id", "embedding",
+        k = 8, nprobe = 8).orderBy(col("query_id"), col("rank")))
+    val want = search()
+    // simulate the crash window: live renamed to the backup, new table
+    // never published
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$dir/corpus.parquet")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(live, new Path(s"$dir/.precompact_corpus.parquet")))
+    // the half-state fails loudly — never a silently empty search
+    intercept[Exception](search())
+    // the next compact restores the backup first, then compacts normally
+    AnnIndex.compact(spark, dir)
+    assert(search() === want)
+  }
+
+  test("compact: LSH keeps its sorted-signature layout; sharded kinds recurse per shard") {
+    val dirL = tempDir("graft_lsh_compact")
+    AnnIndex.buildLsh(emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+      dirL, tables = 4, bits = 6)
+    AnnIndex.appendLsh(emb.filter(col("vec_id") >= 250), "embedding", dirL)
+    val queries = emb.filter(col("vec_id") < 5)
+    def searchL() = rows(
+      AnnIndex.searchLsh(spark, dirL, queries, "vec_id", "embedding", k = 5)
+        .orderBy(col("query_id"), col("rank")))
+    val wantL = searchL()
+    val filesBefore = dataFiles(s"$dirL/signatures.parquet")
+    AnnIndex.compact(spark, dirL)
+    assert(wantL.nonEmpty && searchL() === wantL)
+    assert(dataFiles(s"$dirL/signatures.parquet") < filesBefore)
+    // in-file sig order (the row-group min/max pruning contract): every
+    // file's rows are non-decreasing in sig within its table partition
+    import org.apache.spark.sql.expressions.Window
+    val disorder = spark.read.parquet(s"$dirL/signatures.parquet")
+      .withColumn("__f", input_file_name())
+      .withColumn("__prev", lag(col("sig"), 1)
+        .over(Window.partitionBy(col("__f"), col("table"))
+          .orderBy(monotonically_increasing_id())))
+      .filter(col("__prev") > col("sig"))
+    assert(disorder.count() === 0, "compacted LSH files must stay sig-sorted")
+    // sharded: compact recurses into every shard; the merged answer is
+    // unchanged
+    val dirS = tempDir("graft_sh_compact")
+    AnnIndex.buildIvfSharded(emb, "vec_id", "embedding", dirS, nShards = 2,
+      nlist = 8, seed = 7L)
+    AnnIndex.appendIvfSharded(
+      emb.filter(col("vec_id") < 3)
+        .select((col("vec_id") + 900000L).as("vec_id"), col("embedding")),
+      "embedding", dirS)
+    def searchS() = rows(
+      AnnIndex.searchIvfSharded(spark, dirS, queries, "vec_id", "embedding",
+        k = 5, nprobe = 8).orderBy(col("query_id"), col("rank")))
+    val wantS = searchS()
+    AnnIndex.compact(spark, dirS)
+    assert(wantS.nonEmpty && searchS() === wantS)
+  }
 }

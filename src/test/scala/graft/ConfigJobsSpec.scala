@@ -206,8 +206,11 @@ class ConfigJobsSpec extends AnyFunSuite {
     val neighbors = spark.read.parquet(s"$work/neighbors")
     assert(neighbors.count() === 15) // 3 queries x k=5
     assert(neighbors.columns.toSeq === Seq("query_id", "vec_id", "cosine", "rank"))
-    // steady state: search runs again WITHOUT the build task — the
-    // persisted index alone serves it (the load-and-score half)
+    // steady state: COMPACT the persisted index (r17 maintenance stage —
+    // kind-dispatched off the meta, no params beyond the target size),
+    // then search again WITHOUT the build task — the rewritten index
+    // alone serves it, and the answer is row-identical to pre-compaction
+    val preCompact = neighbors.collect().map(_.toString).sorted.toSeq
     val searchOnly = java.nio.file.Files.createTempFile("graft-ann-jobs2", ".yml")
     java.nio.file.Files.writeString(searchOnly,
       """jobs:
@@ -215,12 +218,16 @@ class ConfigJobsSpec extends AnyFunSuite {
         |    stages:
         |      - name: serve
         |        tasks:
+        |          - name: compact
         |          - name: search
         |            params: {kind: ivf, k: 5, nprobe: 8}
         |""".stripMargin)
     val ctx2 = Context(cfg.updated("job_catalog", Context.loadYaml(searchOnly.toString)), spark)
     assert(graft.pipeline.Jobs.run(ctx2, "ann-serving").isEmpty)
-    assert(spark.read.parquet(s"$work/neighbors").count() === 15)
+    val postCompact = spark.read.parquet(s"$work/neighbors")
+      .collect().map(_.toString).sorted.toSeq
+    assert(postCompact === preCompact,
+      "the compact stage must not change what search returns")
     // r17 kinds: a SHARDED build into a fresh zone, searched WITHOUT a
     // kind param — the search stage reads the kind off the persisted
     // meta instead of repeating the build stage's choice

@@ -133,7 +133,23 @@ class PlanFingerprintSpec extends SparkSpec {
     // fell off the groupBy path
     "interleaved_loss_masks" -> Map("broadcast" -> 6, "broadcast_hash_join" -> 6, "global_sort" -> 1, "local_sort" -> 15, "shuffle" -> 11, "sort_merge_join" -> 6, "window" -> 1),
     "packed_masks_spans" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 2, "window" -> 2),
-    "tokenizer_data_card" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "shuffle" -> 8))
+    "tokenizer_data_card" -> Map("broadcast" -> 1, "broadcast_hash_join" -> 1, "global_sort" -> 1, "shuffle" -> 8),
+    // r17 headliners: each sharded search is nShards=3 independent
+    // per-shard plans (per-shard probe ranking window + bounded-heap
+    // top-k + broadcast probe frame into the pruned corpus scan)
+    // unioned into ONE bounded-heap merge — so the per-shard counts
+    // appear ×3 plus the merge's heap (window_group_limit pair) and the
+    // root sort. A sort_merge_join appearing means a shard's corpus
+    // side got shuffled instead of broadcast-probed; a 4th window set
+    // means the merge fell off the heap path onto a rank window. The
+    // PQ twin adds the per-shard ADC LUT broadcast + int8 refine join
+    // (3 more broadcasts + hash joins per shard). The compacted-index
+    // query is the single-index searchIvf shape over the REWRITTEN
+    // layout — identical to the uncompacted plan: compaction must move
+    // bytes, never the plan
+    "ann_sharded_search_exact" -> Map("broadcast" -> 6, "broadcast_hash_join" -> 3, "broadcast_nested_loop" -> 3, "global_sort" -> 1, "local_sort" -> 12, "shuffle" -> 7, "window" -> 6, "window_group_limit" -> 12),
+    "ann_ivfpq_sharded_exact" -> Map("broadcast" -> 13, "broadcast_hash_join" -> 9, "broadcast_nested_loop" -> 6, "global_sort" -> 1, "local_sort" -> 15, "shuffle" -> 10, "window" -> 9, "window_group_limit" -> 15),
+    "ann_compacted_search_exact" -> Map("broadcast" -> 2, "broadcast_hash_join" -> 1, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "local_sort" -> 4, "shuffle" -> 3, "window" -> 2, "window_group_limit" -> 4))
 
   /** Scan-count pins for the fanout knife-edge queries: an operator that
     * fans a derived input out N ways re-inlines the derivation into N
@@ -144,7 +160,13 @@ class PlanFingerprintSpec extends SparkSpec {
   private val pinnedScans: Map[String, Int] = Map(
     "interleaved_loss_masks" -> 9,
     "packed_masks_spans" -> 1,
-    "tokenizer_data_card" -> 10)
+    "tokenizer_data_card" -> 10,
+    // per-shard searches scan (centroids + pruned corpus) per shard +
+    // the query frame; the PQ twin adds the codebook scan per shard.
+    // A jump means a shard's search re-inlined a derived frame
+    "ann_sharded_search_exact" -> 9,
+    "ann_ivfpq_sharded_exact" -> 16,
+    "ann_compacted_search_exact" -> 3)
 
   private def withAqeOff[T](f: => T): T = {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
