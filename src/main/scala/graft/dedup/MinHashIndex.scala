@@ -195,4 +195,21 @@ object MinHashIndex {
       .write.mode(SaveMode.Append).parquet(s"$dir/buckets.parquet")
     writeMeta(spark, dir, m.copy(nRows = m.nRows + batch.count()))
   }
+
+  /** Compact the index's appended layers — every [[append]] (and each
+    * streaming corpus-maintainer micro-batch riding it) lands new small
+    * files in BOTH tables, and at steady state the per-batch candidate
+    * join pays per-file open costs instead of data bytes. Rewrites
+    * buckets (band, bucket)-ordered — restoring the row-group locality
+    * the build laid down, which appends interleave — and shingles
+    * id-ordered, via the shared staged-rewrite/checked-rename core
+    * ([[graft.io.Compaction]]; crash recovery included). Probe results
+    * are identical before/after (MinHashIndexSpec). */
+  def compact(spark: SparkSession, dir: String, targetFileMB: Int = 128): Unit = {
+    val m = readMeta(spark, dir)
+    graft.io.Compaction.compactParquet(spark, s"$dir/buckets.parquet",
+      Seq("band", "bucket"), None, targetFileMB)
+    graft.io.Compaction.compactParquet(spark, s"$dir/shingles.parquet",
+      Seq(m.idCol), None, targetFileMB)
+  }
 }

@@ -1,0 +1,90 @@
+package graft.io
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Small-file compaction for append-maintained parquet tables — the
+  * shared core behind [[graft.similarity.AnnIndex.compact]] and
+  * [[graft.dedup.MinHashIndex.compact]].
+  *
+  * Every `SaveMode.Append` (and each streaming micro-batch riding one)
+  * lands at least one new parquet file — per touched hive partition for
+  * a partitioned layout, per write task otherwise. After thousands of
+  * batches a table's scans pay a per-file open + footer-parse cost that
+  * dwarfs its data bytes: the classic small-file problem, the
+  * operational decay mode of any persisted index under continuous
+  * ingest. Compaction rewrites the table into ~`targetFileMB` files and
+  * republishes in place; it moves bytes, never rows (the row count is
+  * verified before publish, and every caller's spec pins that reads are
+  * bit-identical before/after).
+  *
+  * Layout: `files = ceil(table bytes / targetFileMB)`, laid out with
+  * `repartitionByRange` over `orderCols` plus an in-partition sort, so
+  * each output file covers ONE contiguous key run — hive partitions
+  * stay whole-file prunable, an oversized partition splits at the
+  * secondary key instead of hot-spotting one writer task, and sorted
+  * layouts (e.g. LSH signature tables) keep sharp row-group min/max
+  * pruning.
+  *
+  * Crash contract: the publish is (live → `.precompact_<name>`, staged
+  * → live, delete backup), each rename CHECKED — Hadoop
+  * `FileSystem.rename` reports most failures by returning false (the
+  * TfRecord publish precedent, `io/TfRecord.scala`). A staged rewrite
+  * whose row count disagrees with the live table aborts BEFORE any
+  * rename. A crash between the two renames leaves the backup intact and
+  * the live path absent — readers fail loudly (never silently serve
+  * half a table) and the next compaction call restores the backup
+  * first. Data is never deleted until the swap has fully succeeded. */
+object Compaction {
+
+  /** Compact the parquet table at `tableDir` (= `<parent>/<name>`;
+    * staging and backup live beside it as `<parent>/.compacting_<name>`
+    * and `<parent>/.precompact_<name>`). `orderCols` leads with
+    * `partitionCol` when the table is hive-partitioned. */
+  def compactParquet(
+      spark: SparkSession,
+      tableDir: String,
+      orderCols: Seq[String],
+      partitionCol: Option[String] = None,
+      targetFileMB: Int = 128): Unit = {
+    require(targetFileMB > 0, s"targetFileMB must be > 0, got $targetFileMB")
+    require(orderCols.nonEmpty, "compactParquet needs at least one order column")
+    import org.apache.hadoop.fs.Path
+    val live = new Path(tableDir)
+    val name = live.getName
+    val backup = new Path(live.getParent, s".precompact_$name")
+    val staged = new Path(live.getParent, s".compacting_$name")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover a crashed publish: the backup is the authoritative copy
+    // whenever the live table is missing (crash between the two renames)
+    if (!fs.exists(live)) {
+      require(fs.exists(backup),
+        s"compact: no table at $tableDir and no .precompact backup to recover")
+      require(fs.rename(backup, live),
+        s"compact: recovery rename $backup -> $live failed")
+    }
+    if (fs.exists(staged)) fs.delete(staged, true) // stale crash leftovers
+    val bytes = fs.getContentSummary(live).getLength
+    val nFiles = math.max(1L,
+      math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toLong).toInt
+    val df = spark.read.parquet(tableDir)
+    val before = df.count()
+    val writer = df
+      .repartitionByRange(nFiles, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+    partitionCol.fold(writer)(writer.partitionBy(_))
+      .parquet(staged.toString)
+    val after = spark.read.parquet(staged.toString).count()
+    require(after == before,
+      s"compact: staged rewrite of $tableDir has $after rows, expected " +
+        s"$before — aborting with the live table untouched")
+    if (fs.exists(backup)) fs.delete(backup, true)
+    require(fs.rename(live, backup),
+      s"compact: publish rename $live -> $backup failed")
+    require(fs.rename(staged, live),
+      s"compact: publish rename $staged -> $live failed " +
+        s"(live table preserved at $backup — rerun compact to recover)")
+    fs.delete(backup, true)
+  }
+}

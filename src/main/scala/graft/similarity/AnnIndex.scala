@@ -941,76 +941,29 @@ object AnnIndex {
     *  - ivf_sharded / ivfpq_sharded: recurse per shard (each shard is a
     *    complete index with its own meta).
     *
-    * Crash contract: the publish is (live → `.precompact_<table>`,
-    * staged → live, delete backup), each rename CHECKED — Hadoop
-    * `FileSystem.rename` reports most failures by returning false (the
-    * TfRecord publish precedent, `io/TfRecord.scala`). A staged rewrite
-    * whose row count disagrees with the live table aborts BEFORE any
-    * rename. A crash between the two renames leaves the backup intact
-    * and the live path absent — searches fail loudly (never silently
-    * serve half an index) and the next `compact` call restores the
-    * backup first. Data is never deleted until the swap has fully
-    * succeeded. */
+    * Crash contract, staging, and the checked-rename publish live in
+    * the shared core ([[graft.io.Compaction.compactParquet]] — also
+    * behind [[graft.dedup.MinHashIndex.compact]]): a crash between the
+    * publish renames leaves the backup intact and the live path absent,
+    * searches fail loudly (never silently serve half an index), and the
+    * next `compact` call restores the backup first. Data is never
+    * deleted until the swap has fully succeeded. */
   def compact(spark: SparkSession, dir: String, targetFileMB: Int = 128): Unit = {
-    require(targetFileMB > 0, s"targetFileMB must be > 0, got $targetFileMB")
     require(exists(spark, dir), s"no ANN index at $dir — nothing to compact")
     val meta = spark.read.parquet(s"$dir/$MetaFile").head()
     meta.getAs[String]("kind") match {
       case "ivf" | "ivfpq" =>
-        compactTable(spark, dir, "corpus.parquet", "__cell",
-          Seq("__cell", meta.getAs[String]("id_col")), targetFileMB)
+        graft.io.Compaction.compactParquet(spark, s"$dir/corpus.parquet",
+          Seq("__cell", meta.getAs[String]("id_col")), Some("__cell"),
+          targetFileMB)
       case "lsh" =>
-        compactTable(spark, dir, "signatures.parquet", "table",
-          Seq("table", "sig"), targetFileMB)
+        graft.io.Compaction.compactParquet(spark, s"$dir/signatures.parquet",
+          Seq("table", "sig"), Some("table"), targetFileMB)
       case "ivf_sharded" | "ivfpq_sharded" =>
         (0 until meta.getAs[Int]("tables"))
           .foreach(sh => compact(spark, s"$dir/shard=$sh", targetFileMB))
       case other => throw new IllegalArgumentException(
         s"compact: unknown index kind '$other' at $dir")
     }
-  }
-
-  /** The shared compaction core: recover any crashed prior publish,
-    * rewrite `table` into ~`targetFileMB` range-laid-out files under a
-    * staging path, verify the row count, and swap with checked renames.
-    * `orderCols` leads with `partCol`, so every output file covers a
-    * contiguous (partition, order) run. */
-  private def compactTable(
-      spark: SparkSession, dir: String, table: String, partCol: String,
-      orderCols: Seq[String], targetFileMB: Int): Unit = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(s"$dir/$table")
-    val backup = new Path(s"$dir/.precompact_$table")
-    val staged = new Path(s"$dir/.compacting_$table")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // recover a crashed publish: the backup is the authoritative copy
-    // whenever the live table is missing (crash between the two renames)
-    if (!fs.exists(live)) {
-      require(fs.exists(backup),
-        s"compact: no $table at $dir and no .precompact backup to recover")
-      require(fs.rename(backup, live),
-        s"compact: recovery rename $backup -> $live failed")
-    }
-    if (fs.exists(staged)) fs.delete(staged, true) // stale crash leftovers
-    val bytes = fs.getContentSummary(live).getLength
-    val nFiles = math.max(1L,
-      math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toLong).toInt
-    val df = spark.read.parquet(live.toString)
-    val before = df.count()
-    df.repartitionByRange(nFiles, orderCols.map(col): _*)
-      .sortWithinPartitions(orderCols.map(col): _*)
-      .write.mode(SaveMode.Overwrite).partitionBy(partCol)
-      .parquet(staged.toString)
-    val after = spark.read.parquet(staged.toString).count()
-    require(after == before,
-      s"compact: staged rewrite of $dir/$table has $after rows, expected " +
-        s"$before — aborting with the live table untouched")
-    if (fs.exists(backup)) fs.delete(backup, true)
-    require(fs.rename(live, backup),
-      s"compact: publish rename $live -> $backup failed")
-    require(fs.rename(staged, live),
-      s"compact: publish rename $staged -> $live failed " +
-        s"(live table preserved at $backup — rerun compact to recover)")
-    fs.delete(backup, true)
   }
 }

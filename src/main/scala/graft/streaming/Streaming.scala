@@ -450,11 +450,23 @@ object Streaming {
       embeddings: DataFrame,
       vecCol: String,
       indexDir: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     embeddings.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendBatchOnce(batch, vecCol, indexDir, batchId): Unit
+        val applied = appendBatchOnce(batch, vecCol, indexDir, batchId)
+        // in-line maintenance cadence: the stream is what creates the
+        // small-file decay (one file per touched partition per batch), so
+        // it carries the remedy — every `compactEvery` APPLIED batches the
+        // index is rewritten via [[graft.similarity.AnnIndex.compact]]
+        // (search-identical by contract, so serving never gaps). Replays
+        // skip it with the append (applied = false); a crash between the
+        // marker and the compact just defers to the next cadence point —
+        // compaction is a layout optimization, never required for
+        // correctness.
+        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.similarity.AnnIndex.compact(batch.sparkSession, indexDir)
       }
       .start()
 
@@ -604,12 +616,13 @@ object Streaming {
       indexDir: String,
       acceptedDir: String,
       checkpoint: String,
-      threshold: Double = 0.7): org.apache.spark.sql.streaming.StreamingQuery =
+      threshold: Double = 0.7,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        markerGated(s, acceptedDir, batchId) {
+        val applied = markerGated(s, acceptedDir, batchId) {
           val begun = new org.apache.hadoop.fs.Path(s"$acceptedDir/_begun_batches/$batchId")
           val fs = begun.getFileSystem(s.sparkContext.hadoopConfiguration)
           val replayOfPartial = fs.exists(begun)
@@ -634,7 +647,13 @@ object Streaming {
             // dropped by dedupBatch, so none of these rows double-index
             graft.dedup.MinHashIndex.append(s, indexDir, survivors, textCol)
           }
-        }: Unit
+        }
+        // same in-line maintenance cadence as maintainAnnIndex: every
+        // `compactEvery` applied batches, merge the per-batch small files
+        // the appends littered both index layers with (probe-identical by
+        // contract, MinHashIndexSpec)
+        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          graft.dedup.MinHashIndex.compact(s, indexDir)
       }
       .start()
 

@@ -473,9 +473,69 @@ object ScaleBench {
     }
   }
 
+  /** The small-file decay [[graft.similarity.AnnIndex.compact]] exists to
+    * fix, measured: one IVF index over 1M clustered vectors, 60
+    * streaming-shaped appends of 2k rows each (every append lands ~one
+    * parquet file per touched cell directory — tens of thousands of
+    * KB-files at steady state), then search latency + data-file count
+    * before vs after compaction. Cold search includes the file listing;
+    * the warm repeat isolates per-task scheduling + footer overhead. */
+  private def compactionDecay(spark: SparkSession): Unit = {
+    import graft.similarity.AnnIndex
+    val dir = "/tmp/graft_compaction_corpus"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      System.err.println("[scalebench] staging the 1.12M clustered corpus (one-off)")
+      Recall.clusteredCorpus(spark, n = 1120000L, dims = 16,
+          clusters = 1024, noise = 1.0)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val all = spark.read.parquet(dir)
+    val queries = all.filter(col("vec_id") < 20)
+    val out = "/tmp/graft_compaction_idx"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    AnnIndex.buildIvf(all.filter(col("vec_id") < 1000000L), "vec_id", "vec", out)
+    System.err.println("[scalebench] running 60 streaming-shaped appends")
+    for (i <- 0 until 60) {
+      val lo = 1000000L + i * 2000L
+      AnnIndex.appendIvf(
+        all.filter(col("vec_id") >= lo && col("vec_id") < lo + 2000L), "vec", out)
+    }
+    def files(): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$out/corpus.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext)
+        if (it.next().getPath.getName.startsWith("part-")) n += 1
+      n
+    }
+    def searchSec(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = AnnIndex.searchIvf(spark, out, queries, "vec_id", "vec", k = 10).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    for (phase <- Seq("appended", "compacted")) {
+      if (phase == "compacted") {
+        val t0 = System.nanoTime()
+        AnnIndex.compact(spark, out)
+        println(f"""{"query":"compact_run","sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+      }
+      val f = files()
+      val (cold, rows) = searchSec()
+      val (warm, _) = searchSec()
+      println(f"""{"query":"compaction_decay_$phase","files":$f,"search_cold_sec":$cold%.3f,"search_warm_sec":$warm%.3f,"rows":$rows}""")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("compaction-decay")) {
+      compactionDecay(spark)
+      spark.stop()
+      return
+    }
     if (args.contains("cap-lift")) {
       capLift(spark)
       spark.stop()

@@ -57,6 +57,41 @@ class MinHashIndexSpec extends SparkSpec {
       s"appended-doc near-dups must drop, fresh docs survive: $survivors")
   }
 
+  test("compact merges appended small files without changing any probe result") {
+    val dir = Files.createTempDirectory("graft_mh_compact").toString
+    MinHashIndex.build(docs.filter(col("doc_id") < 100), "doc_id", "text", dir)
+    // several appends: the streaming corpus-maintainer shape that
+    // litters both persisted layers with per-batch small files
+    (0 until 3).foreach { i =>
+      MinHashIndex.append(spark,
+        dir, docs.filter(col("doc_id") >= 100 + i * 20 && col("doc_id") < 120 + i * 20),
+        "text")
+    }
+    val probe = docs.filter(col("doc_id") < 105)
+      .select((col("doc_id") + 700000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "graftmutated").as("text"))
+      .unionByName(docs.filter(col("doc_id") >= 300 && col("doc_id") < 310))
+    def survivors() = ids(
+      MinHashIndex.dedupBatch(spark, dir, probe, "text", threshold = 0.6))
+    def files(table: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$table")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext)
+        if (it.next().getPath.getName.startsWith("part-")) n += 1
+      n
+    }
+    val want = survivors()
+    val (b0, s0) = (files("buckets.parquet"), files("shingles.parquet"))
+    MinHashIndex.compact(spark, dir)
+    assert(survivors() === want,
+      "compaction must move bytes, never probe answers")
+    assert(files("buckets.parquet") < b0 && files("shingles.parquet") < s0,
+      s"both layers should shrink: buckets $b0 -> ${files("buckets.parquet")}, " +
+        s"shingles $s0 -> ${files("shingles.parquet")}")
+  }
+
   test("pre-signature indexes probe correctly (unscreened fallback)") {
     val dir = Files.createTempDirectory("graft_mh_legacy").toString
     val corpus = docs.filter(col("doc_id") < 100)

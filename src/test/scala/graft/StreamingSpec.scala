@@ -402,7 +402,11 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Seq[Float])]
     val stream = input.toDF.toDF("vec_id", "embedding")
-    val q = Streaming.maintainAnnIndex(stream, "embedding", idx, s"$work/ckpt")
+    // compactEvery = 2: after the second applied batch the maintainer
+    // rewrites the append-littered signature table in-line (r17 — the
+    // stream creates the small-file decay, so it carries the remedy)
+    val q = Streaming.maintainAnnIndex(stream, "embedding", idx, s"$work/ckpt",
+      compactEvery = 2)
     val newRows = emb.filter(col("vec_id") >= 250 && col("vec_id") < 260)
       .select(col("vec_id"), col("embedding"))
       .as[(Long, Seq[Float])].collect().sortBy(_._1)
@@ -411,6 +415,19 @@ class StreamingSpec extends SparkSpec {
     input.addData(newRows.drop(5).toSeq)
     q.processAllAvailable()
     q.stop()
+
+    // the cadence fired: build + 2 appended batches leave >4 data files;
+    // the compacted layout is exactly one range partition's worth — one
+    // file per non-empty `table` hive dir (tables = 4)
+    locally {
+      val p = new org.apache.hadoop.fs.Path(s"$idx/signatures.parquet")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext)
+        if (it.next().getPath.getName.startsWith("part-")) n += 1
+      assert(n === 4, s"expected the compacted 1-file-per-table layout, got $n files")
+    }
 
     // every streamed row is in the index and searchable: an exact clone
     // of a streamed vector (fresh id) must return it at rank 1, cosine 1
