@@ -34,7 +34,16 @@ import org.apache.spark.sql.functions.col
   * rename. A crash between the two renames leaves the backup intact and
   * the live path absent — readers fail loudly (never silently serve
   * half a table) and the next compaction call restores the backup
-  * first. Data is never deleted until the swap has fully succeeded. */
+  * first. Data is never deleted until the swap has fully succeeded.
+  *
+  * Concurrency contract: SINGLE MAINTAINER. Run compaction from the
+  * same lane that appends (the streaming `compactEvery` cadence is
+  * naturally serialized with its own appends); a reader that races the
+  * two publish renames fails loudly on the briefly-absent path rather
+  * than seeing wrong data, and an append that races the rewrite is
+  * caught by a listing re-check that ABORTS the publish (the appended
+  * rows always survive; the compaction is what retries). This is not a
+  * lock — two simultaneous compactions of one table are not defended. */
 object Compaction {
 
   /** Compact the parquet table at `tableDir` (= `<parent>/<name>`;
@@ -64,6 +73,17 @@ object Compaction {
         s"compact: recovery rename $backup -> $live failed")
     }
     if (fs.exists(staged)) fs.delete(staged, true) // stale crash leftovers
+    def listing(): Set[(String, Long)] = {
+      val it = fs.listFiles(live, true)
+      val out = Set.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-"))
+          out += f.getPath.toString -> f.getLen
+      }
+      out.result()
+    }
+    val liveBefore = listing()
     val bytes = fs.getContentSummary(live).getLength
     val nFiles = math.max(1L,
       math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toLong).toInt
@@ -79,6 +99,20 @@ object Compaction {
     require(after == before,
       s"compact: staged rewrite of $tableDir has $after rows, expected " +
         s"$before — aborting with the live table untouched")
+    // concurrent-writer guard: compaction is a single-maintainer op (run
+    // it from the same lane as appends — the streaming cadence is
+    // naturally serialized), but a misconfigured pipeline CAN append
+    // while a compact is in flight. The staged rewrite snapshotted the
+    // file listing at read time; if the live listing moved since, a
+    // publish would silently destroy the concurrently-appended rows when
+    // the backup is deleted. Abort LOUDLY instead, staging discarded,
+    // live table untouched — rerun compact when the writer is quiesced.
+    if (listing() != liveBefore) {
+      fs.delete(staged, true)
+      throw new IllegalStateException(
+        s"compact: $tableDir changed while the rewrite ran (concurrent " +
+          "append?) — aborted without publishing; quiesce writers and rerun")
+    }
     if (fs.exists(backup)) fs.delete(backup, true)
     require(fs.rename(live, backup),
       s"compact: publish rename $live -> $backup failed")

@@ -36,6 +36,25 @@ object Production {
     Tables.saveData(df, path)
   }
 
+  /** The decontamination stages' eval set. The legacy convention (no
+    * `eval_input`) carves the first `eval_limit` docs (default 5) out of
+    * raw.documents — a fixture-sized stand-in. When `eval_input` names a
+    * DEDICATED held-out zone (r17), the WHOLE zone is the eval set
+    * unless `eval_limit` is given explicitly: silently truncating a
+    * real 10k-doc eval corpus to its 5 lowest doc_ids would let the
+    * other 9,995 docs leak into training while the gate reports
+    * success. */
+  private def evalZone(ctx: Context, params: Map[String, Any]) = {
+    val zone = Tables.readData(ctx.spark, Seq(ctx.dataPath(
+      params.getOrElse("eval_input", "raw.documents").toString)))
+    (params.get("eval_limit").map(_.toString.toInt),
+        params.contains("eval_input")) match {
+      case (Some(n), _)  => zone.orderBy(col("doc_id")).limit(n)
+      case (None, true)  => zone
+      case (None, false) => zone.orderBy(col("doc_id")).limit(5)
+    }
+  }
+
   def registerAll(): Unit = {
     Jobs.register("data-cleaning", "clean-tables") { (ctx, _) =>
       val s = ctx.spark
@@ -362,14 +381,20 @@ object Production {
       val in = params.getOrElse("input", "raw.documents").toString
       // output_col (r17): downstream zone contracts (gopher groups,
       // sample-mix strata, the data cards) key on `lang` — a chain that
-      // DERIVES language rather than ingesting it renames here
+      // DERIVES language rather than ingesting it renames here.
+      // withColumn, not withColumnRenamed: the rename form would leave
+      // TWO `lang` columns when the input already carries one (the
+      // standard documents schema does) and every downstream
+      // col("lang") would die on AMBIGUOUS_REFERENCE — withColumn
+      // REPLACES an existing column of the same name
       val outCol = params.getOrElse("output_col", "lang_pred").toString
       val model = graft.text.LangClassifier.loadModel(
         ctx.dataPath("models.lang_classifier"))
+      val scored = graft.text.LangClassifier.score(
+        Tables.readData(s, Seq(ctx.dataPath(in))), model)
       save(ctx,
-        graft.text.LangClassifier.score(
-            Tables.readData(s, Seq(ctx.dataPath(in))), model)
-          .withColumnRenamed("lang_pred", outCol),
+        if (outCol == "lang_pred") scored
+        else scored.withColumn(outCol, col("lang_pred")).drop("lang_pred"),
         ctx.dataPath("processed.documents_lang"))
     }
 
@@ -496,16 +521,13 @@ object Production {
       val s = ctx.spark
       val k = params.getOrElse("gram_k", "8").toString.toInt
       val minOverlap = params.getOrElse("min_overlap", "2").toString.toInt
-      val evalLimit = params.getOrElse("eval_limit", "5").toString.toInt
       val corpus = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
       // normalize the eval side with the SAME redaction as the corpus —
       // otherwise grams around an email/URL/phone in a shared passage
       // mismatch and a genuinely contaminated doc undercounts its overlap.
       // eval_input (r17) points at a dedicated held-out zone; the
       // raw.documents first-N default predates it
-      val evalSet = Tables.readData(s, Seq(ctx.dataPath(
-          params.getOrElse("eval_input", "raw.documents").toString)))
-        .orderBy(col("doc_id")).limit(evalLimit)
+      val evalSet = evalZone(ctx, params)
         .withColumn("text", graft.text.TextAnalysis.redactPii(col("text")))
       save(ctx,
         graft.dedup.Dedup.contaminationReport(
@@ -575,12 +597,9 @@ object Production {
       val s = ctx.spark
       val k = params.getOrElse("gram_k", "8").toString.toInt
       val maxCov = params.getOrElse("max_eval_coverage", "0.5").toString.toDouble
-      val evalLimit = params.getOrElse("eval_limit", "5").toString.toInt
       val corpus = Tables.readData(s, Seq(ctx.dataPath("clean.documents_redacted")))
       // eval_input (r17): same convention as contamination-report
-      val evalSet = Tables.readData(s, Seq(ctx.dataPath(
-          params.getOrElse("eval_input", "raw.documents").toString)))
-        .orderBy(col("doc_id")).limit(evalLimit)
+      val evalSet = evalZone(ctx, params)
         .withColumn("text", graft.text.TextAnalysis.redactPii(col("text")))
       save(ctx,
         graft.dedup.Dedup.decontaminate(corpus, evalSet, "doc_id", "text", k, maxCov),
@@ -711,8 +730,10 @@ object Production {
     // small file per touched partition — the small-file decay mode of a
     // partitioned serving layout). Kind-dispatched inside compact() off
     // the persisted meta; search results are identical before/after
-    // (AnnIndexSpec), so the stage can run on any cadence without a
-    // serving gap — the publish is checked-rename atomic per table.
+    // (AnnIndexSpec). Schedule it in the SAME lane as the appends
+    // (single-maintainer contract, io/Compaction.scala): a concurrent
+    // append aborts the publish loudly, and a search racing the publish
+    // renames fails loudly on the briefly-absent path — never wrong data.
     Jobs.register("ann-serving", "compact") { (ctx, params) =>
       graft.similarity.AnnIndex.compact(ctx.spark,
         ctx.dataPath("models.ann_index"),

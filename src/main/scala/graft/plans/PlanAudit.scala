@@ -194,6 +194,11 @@ object PlanAudit {
         case _: columnar.InMemoryTableScanExec        => n += 1
         case _ =>
       }
+      // subqueries too (scalar/IN subquery plans hang off expressions,
+      // not children): a fanout that re-inlines a derivation into a
+      // subquery adds real scans that a children-only walk never sees —
+      // exactly the silent-rescan pathology this count exists to pin
+      p.subqueries.foreach(walk)
       p.children.foreach(walk)
     }
     walk(df.queryExecution.executedPlan)

@@ -1226,13 +1226,20 @@ object LlmQueries {
     "ann_compacted_search_exact" -> { (s, dir) =>
       val e = t(s, dir, "embeddings")
       val idx = annIndexDir(dir, "ivfcmp")
-      if (!graft.similarity.AnnIndex.exists(s, idx)) {
+      // gated on a _STAGED marker written AFTER the compact, not on
+      // AnnIndex.exists: exists() turns true the moment step 1's meta
+      // lands, so a crash mid-trio would cache a half-corpus index that
+      // permanently fails this oracle — the marker makes a partial
+      // staging rebuild from scratch instead
+      if (!new java.io.File(s"$idx/_STAGED").exists()) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
         graft.similarity.AnnIndex.buildIvf(
           e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx,
           nlist = 16)
         graft.similarity.AnnIndex.appendIvf(
           e.filter(col("vec_id") % 2 === 1), "embedding", idx)
         graft.similarity.AnnIndex.compact(s, idx)
+        new java.io.File(s"$idx/_STAGED").createNewFile()
       }
       graft.similarity.AnnIndex
         .searchIvf(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding",

@@ -136,8 +136,10 @@ object AnnIndex {
       quantize: Boolean = false,
       attrCols: Seq[String] = Nil): Unit = {
     require(nlist >= 0, s"nlist must be >= 0 (0 = auto), got $nlist")
-    val (nRows, dims) = Similarity.corpusCountAndDims(corpus, vecCol)
-    val cells = if (nlist > 0) nlist else Similarity.ivfAutoNlist(nRows, dims)
+    val nRows = corpus.count()
+    val cells =
+      if (nlist > 0) nlist
+      else Similarity.ivfAutoNlist(nRows, Similarity.vecWidth(corpus, vecCol))
     val corpusVec = Similarity.ivfNormalizedCorpus(corpus, idCol, vecCol, attrCols)
     val model = Similarity.ivfFit(corpusVec, idCol, cells, seed, fitSample)
     Similarity.ivfCentroidFrame(corpus.sparkSession, model)
@@ -241,8 +243,10 @@ object AnnIndex {
       refine: Boolean = true): Unit = {
     require(nlist >= 0, s"nlist must be >= 0 (0 = auto), got $nlist")
     require(m > 0 && codes > 1, s"need m > 0 subspaces and codes > 1, got m=$m codes=$codes")
-    val (nRows, dims) = Similarity.corpusCountAndDims(corpus, vecCol)
-    val cells = if (nlist > 0) nlist else Similarity.ivfAutoNlist(nRows, dims)
+    val nRows = corpus.count()
+    val cells =
+      if (nlist > 0) nlist
+      else Similarity.ivfAutoNlist(nRows, Similarity.vecWidth(corpus, vecCol))
     val corpusVec = Similarity.ivfNormalizedCorpus(corpus, idCol, vecCol, attrCols)
     val model = Similarity.ivfFit(corpusVec, idCol, cells, seed, fitSample)
     Similarity.ivfCentroidFrame(corpus.sparkSession, model)
@@ -730,9 +734,14 @@ object AnnIndex {
       .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
 
   /** The shard a row's id routes to — one place owns the rule so builds,
-    * appends, and any external partitioner agree. */
+    * appends, and any external partitioner agree. Null ids route to
+    * shard 0 (xxhash64(null) is null, which would otherwise match NO
+    * shard filter: the build's staging write would park such rows in a
+    * default-partition directory no slice reads and appends would drop
+    * them while still counting them — silently diverging from the
+    * unsharded index, which stores null-id rows). */
   private def shardOf(id: org.apache.spark.sql.Column, nShards: Int) =
-    pmod(xxhash64(id), lit(nShards.toLong)).cast("int")
+    pmod(coalesce(xxhash64(id), lit(0L)), lit(nShards.toLong)).cast("int")
 
   /** Search a sharded IVF index: fan the (broadcast-sized) query frame
     * across every shard's [[searchIvf]] — each prunes to its own probed
@@ -784,14 +793,32 @@ object AnnIndex {
   def appendIvfSharded(
       batch: DataFrame,
       vecCol: String,
-      dir: String): Unit = {
+      dir: String): Unit =
+    shardedAppend(batch, dir, "ivf_sharded")(appendIvf(_, vecCol, _))
+
+  /** The shared sharded-append core: materialize the batch ONCE with its
+    * shard routing (a naive per-shard filter + isEmpty + final count re-
+    * ran the batch's lineage 2S+1 times — inside a streaming foreachBatch
+    * that recomputes the micro-batch from source every action), learn the
+    * per-shard counts in one aggregate, then run each non-empty shard's
+    * append against the cached frame. */
+  private def shardedAppend(
+      batch: DataFrame, dir: String, expectKind: String)(
+      appendOne: (DataFrame, String) => Unit): Unit = {
     val spark = batch.sparkSession
-    val m = readMeta(spark, dir, "ivf_sharded")
-    (0 until m.tables).foreach { sh =>
-      val slice = batch.filter(shardOf(col(m.idCol), m.tables) === sh)
-      if (!slice.isEmpty) appendIvf(slice, vecCol, s"$dir/shard=$sh")
-    }
-    writeMeta(spark, dir, m.copy(nRows = m.nRows + batch.count()))
+    val m = readMeta(spark, dir, expectKind)
+    val routed = batch.withColumn("__shard", shardOf(col(m.idCol), m.tables))
+      .persist()
+    try {
+      val counts = routed.groupBy(col("__shard")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      counts.keys.toSeq.sorted.foreach { sh =>
+        appendOne(
+          routed.filter(col("__shard") === sh).drop("__shard"),
+          s"$dir/shard=$sh")
+      }
+      writeMeta(spark, dir, m.copy(nRows = m.nRows + counts.values.sum))
+    } finally routed.unpersist()
   }
 
   /** Hash-sharded IVF-PQ index — the minimal-bytes serving layout under
@@ -858,15 +885,8 @@ object AnnIndex {
   def appendIvfPqSharded(
       batch: DataFrame,
       vecCol: String,
-      dir: String): Unit = {
-    val spark = batch.sparkSession
-    val m = readMeta(spark, dir, "ivfpq_sharded")
-    (0 until m.tables).foreach { sh =>
-      val slice = batch.filter(shardOf(col(m.idCol), m.tables) === sh)
-      if (!slice.isEmpty) appendIvfPq(slice, vecCol, s"$dir/shard=$sh")
-    }
-    writeMeta(spark, dir, m.copy(nRows = m.nRows + batch.count()))
-  }
+      dir: String): Unit =
+    shardedAppend(batch, dir, "ivfpq_sharded")(appendIvfPq(_, vecCol, _))
 
   /** Sharded twin of [[ensureIvfPq]]. */
   def ensureIvfPqSharded(

@@ -340,9 +340,9 @@ object Similarity {
     * [[CentroidBudgetDoubles]] (65536 cells × 64 dims ≈ 33 MB — fine;
     * a dims-blind 65536 at production embedding widths of 768-1536
     * would ship 0.4-0.8 GB). Callers that know the vector width pass
-    * it ([[corpusCountAndDims]] resolves both policy inputs in the one
-    * action the old bare count() already paid); `dims = 0` keeps the
-    * flat 65536 cap. Corpora whose √N exceeds the cap shard the index
+    * it ([[vecWidth]] resolves it from ONE stored row on the auto path
+    * only — never a corpus-wide aggregate); `dims = 0` keeps the flat
+    * 65536 cap. Corpora whose √N exceeds the cap shard the index
     * rather than grow cells further ([[AnnIndex]]). */
   private[graft] def ivfAutoNlist(corpusCount: Long, dims: Int = 0): Int = {
     val n = math.max(1L, corpusCount)
@@ -367,16 +367,18 @@ object Similarity {
     * 0.4-0.8 GB broadcast per probe pass. */
   private[graft] val CentroidBudgetDoubles: Long = 8L * 1024 * 1024
 
-  /** One action resolving BOTH auto-policy inputs — corpus row count and
-    * vector width (max over the column: constant-width corpora by
-    * contract, max tolerates stray nulls) — so the dims-aware
-    * [[ivfAutoNlist]] cap costs no pass beyond the count() the auto
-    * path always paid. */
-  private[graft] def corpusCountAndDims(
-      corpus: DataFrame, vecCol: String): (Long, Int) = {
-    val r = corpus.agg(count(lit(1)).as("n"), max(size(col(vecCol))).as("d")).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0 else math.max(0, r.getInt(1)))
-  }
+  /** Vector width for the dims-aware [[ivfAutoNlist]] cap: ONE stored
+    * row's array size (constant-width corpora by contract; stray null
+    * vectors skipped), so the auto path pays a take(1) on top of the
+    * count() it always paid. A corpus-wide `max(size(vec))` aggregate
+    * here would silently turn the formerly column-pruned count pass
+    * into a full read of every vector's bytes — at 100 TB of
+    * embeddings, the difference between a footer pass and a table
+    * scan. 0 when no non-null vector exists (keeps the flat cap). */
+  private[graft] def vecWidth(corpus: DataFrame, vecCol: String): Int =
+    corpus.select(size(col(vecCol)).as("__d"))
+      .filter(col("__d").isNotNull && col("__d") >= 0)
+      .take(1).headOption.map(_.getInt(0)).getOrElse(0)
 
   /** Corpus-size boundary between the two auto-nprobe regimes. Below it
     * the fractional `cells/3` floor applies (tuned on the pessimal
@@ -515,11 +517,13 @@ object Similarity {
       seed: Long = 0L,
       fitSample: Int = 100000): DataFrame = {
     require(nlist >= 0 && nprobe >= 0, s"nlist/nprobe must be >= 0 (0 = auto), got nlist=$nlist nprobe=$nprobe")
-    // ONE action serves both autos (count + vector width, for the
+    // one count() serves both autos (+ a take(1) width probe for the
     // dims-aware cap); skipped entirely when both are explicit
-    lazy val cd = corpusCountAndDims(corpus, vecCol)
-    val cells = if (nlist > 0) nlist else ivfAutoNlist(cd._1, cd._2)
-    val probes = if (nprobe > 0) nprobe else ivfAutoNprobe(cells, cd._1, k)
+    lazy val corpusCount = math.max(1L, corpus.count())
+    val cells =
+      if (nlist > 0) nlist
+      else ivfAutoNlist(corpusCount, vecWidth(corpus, vecCol))
+    val probes = if (nprobe > 0) nprobe else ivfAutoNprobe(cells, corpusCount, k)
     require(probes >= 1 && probes <= cells, s"need 1 <= nprobe <= nlist, got nprobe=$probes nlist=$cells")
     requireSameIdType(corpus, idCol, queries, queryIdCol)
     val corpusVec = ivfNormalizedCorpus(corpus, idCol, vecCol)
@@ -1247,9 +1251,11 @@ object Similarity {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nlist >= 0 && nprobe >= 0,
       s"nlist/nprobe must be >= 0 (0 = auto), got nlist=$nlist nprobe=$nprobe")
-    lazy val cd = corpusCountAndDims(corpus, vecCol)
-    val cells = if (nlist > 0) nlist else ivfAutoNlist(cd._1, cd._2)
-    val probes = if (nprobe > 0) nprobe else ivfAutoNprobe(cells, cd._1, k)
+    lazy val corpusCount = math.max(1L, corpus.count())
+    val cells =
+      if (nlist > 0) nlist
+      else ivfAutoNlist(corpusCount, vecWidth(corpus, vecCol))
+    val probes = if (nprobe > 0) nprobe else ivfAutoNprobe(cells, corpusCount, k)
     require(probes >= 1 && probes <= cells,
       s"need 1 <= nprobe <= nlist, got nprobe=$probes nlist=$cells")
     val corpusVec = ivfNormalizedCorpus(
