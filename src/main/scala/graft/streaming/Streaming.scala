@@ -650,12 +650,25 @@ object Streaming {
         }
         // same in-line maintenance cadence as maintainAnnIndex: every
         // `compactEvery` applied batches, merge the per-batch small files
-        // the appends littered both index layers with (probe-identical by
-        // contract, MinHashIndexSpec)
-        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        // the appends littered both index layers AND the accepted corpus
+        // table with (probe-identical by contract, MinHashIndexSpec)
+        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           graft.dedup.MinHashIndex.compact(s, indexDir)
+          compactDocsTable(s, s"$acceptedDir/docs.parquet",
+            graft.dedup.MinHashIndex.idColumn(s, indexDir))
+        }
       }
       .start()
+
+  /** Compact a streaming sink's accepted-rows table iff it exists yet
+    * (the first batches may all have been dropped as duplicates). */
+  private def compactDocsTable(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      idCol: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      graft.io.Compaction.compactParquet(spark, path, Seq(idCol))
+  }
 
   /** Continuously ingest EMBEDDINGS with semantic dedup against
     * everything already accepted — [[maintainNearDupCorpus]]'s vector
@@ -684,12 +697,13 @@ object Streaming {
       acceptedDir: String,
       checkpoint: String,
       threshold: Double = 0.97,
-      nprobe: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      nprobe: Int = 0,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val s = batch.sparkSession
-        markerGated(s, acceptedDir, batchId) {
+        val applied = markerGated(s, acceptedDir, batchId) {
           if (!batch.isEmpty) { // an empty micro-batch just marks applied
             val begun = new org.apache.hadoop.fs.Path(s"$acceptedDir/_begun_batches/$batchId")
             val fs = begun.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -730,7 +744,14 @@ object Streaming {
               graft.similarity.AnnIndex.appendIvf(survivors, vecCol, indexDir)
             }
           }
-        }: Unit
+        }
+        // same compactEvery cadence as the other maintainers: the IVF
+        // index and the accepted-vectors table both append per batch
+        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          graft.similarity.AnnIndex.compact(s, indexDir)
+          compactDocsTable(s, s"$acceptedDir/docs.parquet",
+            graft.similarity.AnnIndex.idColumn(s, indexDir))
+        }
       }
       .start()
 

@@ -481,9 +481,12 @@ class StreamingSpec extends SparkSpec {
     graft.dedup.MinHashIndex.build(
       Seq((1L, seedText)).toDF("doc_id", "text"), "doc_id", "text", idx)
     val input = MemoryStream[(Long, String)]
+    // compactEvery = 2: after the second applied batch both index layers
+    // AND the accepted docs table are compacted in-line — the assertions
+    // below run entirely over the rewritten layout
     val q = Streaming.maintainNearDupCorpus(
       input.toDF.toDF("doc_id", "text"), "text", idx, accepted, s"$work/ckpt",
-      threshold = 0.5)
+      threshold = 0.5, compactEvery = 2)
     // batch 0: a mutated copy of the seed (near-dup, must drop) + a fresh doc
     input.addData(Seq(
       (10L, seedText.replaceFirst("quick", "rapid")),
@@ -516,9 +519,12 @@ class StreamingSpec extends SparkSpec {
       (0 until 4).map(i => (i.toLong, oneHot(i))).toDF("vec_id", "embedding"),
       "vec_id", "embedding", idx, nlist = 2)
     val input = MemoryStream[(Long, Seq[Float])]
+    // compactEvery = 2: the IVF index and the accepted-vectors table are
+    // rewritten after batch 1; every assertion below reads the compacted
+    // layout
     val q = Streaming.maintainSemanticCorpus(
       input.toDF.toDF("vec_id", "embedding"), "embedding", idx, accepted,
-      s"$work/ckpt", threshold = 0.999)
+      s"$work/ckpt", threshold = 0.999, compactEvery = 2)
     // batch 0: a clone of seed vec 2 (drop), an in-batch clone pair
     // (11 stands, 12 drops), and a novel vector (10 stands)
     input.addData(Seq(
