@@ -55,7 +55,20 @@ object Compaction {
       tableDir: String,
       orderCols: Seq[String],
       partitionCol: Option[String] = None,
-      targetFileMB: Int = 128): Unit = {
+      targetFileMB: Int = 128): Unit =
+    compactParquetImpl(spark, tableDir, orderCols, partitionCol, targetFileMB)
+
+  /** [[compactParquet]] with a test seam: `afterStagedWrite` runs once
+    * the staged rewrite is on disk, BEFORE the concurrent-writer listing
+    * re-check — the only deterministic way to exercise that abort path
+    * (CompactionSpec races an append into the window). */
+  private[graft] def compactParquetImpl(
+      spark: SparkSession,
+      tableDir: String,
+      orderCols: Seq[String],
+      partitionCol: Option[String] = None,
+      targetFileMB: Int = 128,
+      afterStagedWrite: () => Unit = () => ()): Unit = {
     require(targetFileMB > 0, s"targetFileMB must be > 0, got $targetFileMB")
     require(orderCols.nonEmpty, "compactParquet needs at least one order column")
     import org.apache.hadoop.fs.Path
@@ -99,6 +112,7 @@ object Compaction {
     require(after == before,
       s"compact: staged rewrite of $tableDir has $after rows, expected " +
         s"$before — aborting with the live table untouched")
+    afterStagedWrite()
     // concurrent-writer guard: compaction is a single-maintainer op (run
     // it from the same lane as appends — the streaming cadence is
     // naturally serialized), but a misconfigured pipeline CAN append
