@@ -539,11 +539,17 @@ object Streaming {
       records: DataFrame,
       pagesDir: String,
       checkpoint: String,
-      mimePrefix: String = "text/html"): org.apache.spark.sql.streaming.StreamingQuery =
+      mimePrefix: String = "text/html",
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     records.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        crawlPagesBatchOnce(batch, pagesDir, batchId, mimePrefix): Unit
+        val applied = crawlPagesBatchOnce(batch, pagesDir, batchId, mimePrefix)
+        // compactEvery cadence (same contract as the corpus maintainers):
+        // url-ordered, so the later url-dedup batch compaction scans
+        // refetches of a url from adjacent row groups
+        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactDocsTable(batch.sparkSession, s"$pagesDir/pages.parquet", "url")
       }
       .start()
 
@@ -580,11 +586,20 @@ object Streaming {
       textCol: String,
       acceptedDir: String,
       checkpoint: String,
-      minQuality: Option[Double] = None): org.apache.spark.sql.streaming.StreamingQuery =
+      minQuality: Option[Double] = None,
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dedupBatchOnce(batch, idCol, textCol, acceptedDir, batchId, minQuality): Unit
+        val applied =
+          dedupBatchOnce(batch, idCol, textCol, acceptedDir, batchId, minQuality)
+        // same compactEvery cadence as the other maintainers; the hash
+        // state decays fastest (every batch RE-READS it for the
+        // anti-join), the docs table alongside it
+        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          compactCorpusState(batch.sparkSession, acceptedDir)
+          compactDocsTable(batch.sparkSession, s"$acceptedDir/docs.parquet", idCol)
+        }
       }
       .start()
 
@@ -796,28 +811,20 @@ object Streaming {
   /** Compact the ingester's hash-state table. Per-batch appends accrete
     * one small file per micro-batch — the classic small-files decay: after
     * 10k batches the anti-join pays 10k file opens to read what fits in a
-    * handful. Run this during a maintenance pause (no active
-    * [[maintainDedupedCorpus]] writer on the same dir — appends landing
-    * mid-swap would be lost); it rewrites the hashes at
-    * [[graft.io.Tables.compactTo]] sizing and swaps atomically via rename.
-    * The docs table compacts the same way with `compactTo` directly when
-    * needed; the hash table is the one every batch RE-READS, so it decays
-    * fastest. A crash mid-swap leaves `hashes.parquet.old` on disk —
-    * restore it by renaming back before resuming the stream. */
+    * handful. The hash table is the one every batch RE-READS, so it
+    * decays fastest. Delegates to the shared staged-rewrite core
+    * ([[graft.io.Compaction]] — r17: count-verified publish, crashed-swap
+    * recovery on the next call, concurrent-append abort; this replaced a
+    * weaker hand-rolled swap whose crash repair was manual), ordered by
+    * hash so the anti-join's probe ranges cluster. Run it from the
+    * ingest lane — the [[maintainDedupedCorpus]] `compactEvery` cadence
+    * is the natural place. */
   def compactCorpusState(
       spark: org.apache.spark.sql.SparkSession, acceptedDir: String): Unit = {
-    val hashesPath = s"$acceptedDir/hashes.parquet"
-    val tmp = new org.apache.hadoop.fs.Path(s"$hashesPath.compact")
-    val live = new org.apache.hadoop.fs.Path(hashesPath)
+    val live = new org.apache.hadoop.fs.Path(s"$acceptedDir/hashes.parquet")
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(live)) {
-      graft.io.Tables.compactTo(spark.read.parquet(hashesPath), tmp.toString)
-      val old = new org.apache.hadoop.fs.Path(s"$hashesPath.old")
-      if (fs.exists(old)) fs.delete(old, true): Unit
-      if (!fs.rename(live, old) || !fs.rename(tmp, live))
-        sys.error(s"compactCorpusState: atomic swap failed for $hashesPath")
-      fs.delete(old, true): Unit
-    }
+    if (fs.exists(live))
+      graft.io.Compaction.compactParquet(spark, live.toString, Seq("__h"))
   }
 
   /** Parquet sink with checkpointing; returns the started query. */
