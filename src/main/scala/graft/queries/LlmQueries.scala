@@ -1246,6 +1246,28 @@ object LlmQueries {
           k = 10, nprobe = 16)
         .orderBy(col("query_id"), col("rank"))
     },
+    // --- resharded index, exhaustive probes: build 3 shards, RESHARD to
+    // 2 from the stored payloads (no corpus re-read — the 100 TB growth
+    // path when data outgrows its shard count), then search — the
+    // full-precision payload rows move verbatim, so the exhaustive
+    // answer must still equal brute force row for row
+    "ann_resharded_search_exact" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = annIndexDir(dir, "ivfrsh")
+      // _STAGED gate, same rationale as ann_compacted_search_exact: a
+      // crash mid build+reshard must rebuild, not serve a half staging
+      if (!new java.io.File(s"$idx/_STAGED").exists()) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+        graft.similarity.AnnIndex.buildIvfSharded(
+          e, "vec_id", "embedding", idx, nShards = 3, nlist = 16)
+        graft.similarity.AnnIndex.reshardIvf(s, idx, newShards = 2, nlist = 16)
+        new java.io.File(s"$idx/_STAGED").createNewFile()
+      }
+      graft.similarity.AnnIndex
+        .searchIvfSharded(s, idx, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    },
     // LSH at bits=1 with Hamming-1 probing visits BOTH buckets of the
     // 1-bit signature space -> every candidate scored -> exhaustive
     "ann_lsh_topk_exact" -> { (s, dir) =>
@@ -3928,6 +3950,9 @@ object LlmQueries {
     // compaction's identity contract: the rewritten (build + append +
     // compact) layout must still answer with the brute-force top-k
     "ann_compacted_search_exact" -> AnnExactBruteSql,
+    // reshard's identity contract: payload rows moved to a new shard
+    // count verbatim — the exhaustive answer is still brute force
+    "ann_resharded_search_exact" -> AnnExactBruteSql,
     "ann_lsh_topk_exact" -> AnnExactBruteSql,
     "ann_lsh_search_exact" -> AnnExactBruteSql,
     // IVF-PQ refined, exhaustive shortlist: the final ranking is cosine

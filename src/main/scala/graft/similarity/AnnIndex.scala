@@ -905,6 +905,77 @@ object AnnIndex {
       buildIvfPqSharded(corpus, idCol, vecCol, dir, nShards, nlist, m,
         codes, seed, attrCols = attrCols, refine = refine)
 
+  /** Change a sharded IVF index's shard count WITHOUT re-reading the
+    * original corpus. The stored per-shard payloads carry the raw
+    * vectors (`__cv` — [[Similarity.ivfNormalizedCorpus]] stores the
+    * original, not the unit vector) and every attribute column, so
+    * resharding is a rebuild from the index's own bytes: at 100 TB that
+    * reads the index instead of re-scanning the full corpus, and it is
+    * the documented growth path when a corpus outgrows its shard count
+    * (per-shard cells cap at 65536 — more data wants more shards).
+    *
+    * Exactness: payload rows MOVE (new hash routing, re-fitted per-shard
+    * cells) but are byte-identical for full-precision indexes, so
+    * exhaustive-probe search equals brute force — and therefore equals
+    * the pre-reshard exhaustive answer — row for row
+    * (`ann_resharded_search_exact` full oracle). A QUANTIZED index
+    * rebuilds from its int8-dequantized payload and re-quantizes (one
+    * extra int8 round trip, drift bounded by quantization granularity);
+    * the exhaustive contract then holds against the new payload.
+    * IVF-PQ sharded indexes REFUSE: their codes are per-shard-codebook,
+    * so moving rows across shards requires re-encoding from the refine
+    * payload — an approximation-of-an-approximation; rebuild those from
+    * the original corpus instead.
+    *
+    * Publish: the new index builds beside the old one
+    * (`<dir>.resharding`), then swaps with checked renames (the
+    * [[graft.io.Compaction]] contract — old index held at
+    * `<dir>.preshard` until the swap completes; a crash between the
+    * renames is recovered by the next [[reshardIvf]] call; searches in
+    * the window fail loudly). Single-maintainer: don't append while a
+    * reshard is in flight. */
+  def reshardIvf(
+      spark: SparkSession,
+      dir: String,
+      newShards: Int,
+      nlist: Int = 0,
+      seed: Long = 0L,
+      buildParallelism: Int = 4): Unit = {
+    require(newShards >= 1, s"newShards must be >= 1, got $newShards")
+    import org.apache.hadoop.fs.Path
+    val live = new Path(dir)
+    val preshard = new Path(s"$dir.preshard")
+    val staging = new Path(s"$dir.resharding")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // recover a crashed swap: the old index is the authoritative copy
+    if (!fs.exists(live)) {
+      require(fs.exists(preshard),
+        s"reshardIvf: no index at $dir and no .preshard backup to recover")
+      require(fs.rename(preshard, live),
+        s"reshardIvf: recovery rename $preshard -> $live failed")
+    }
+    if (fs.exists(staging)) fs.delete(staging, true)
+    val m = readMeta(spark, dir, "ivf_sharded")
+    val stored = (0 until m.tables)
+      .map(sh => spark.read.parquet(s"$dir/shard=$sh/corpus.parquet"))
+      .reduce(_.unionByName(_))
+    val quantized = stored.columns.contains("__q")
+    val attrs = (stored.columns.toSet
+      -- Set(m.idCol, "__cv", "__q", "__cn", "__cell")).toSeq.sorted
+    val corpus = scoringForm(stored, quantized)
+      .select((m.idCol +: "__cv" +: attrs).map(col): _*)
+    buildIvfSharded(corpus, m.idCol, "__cv", staging.toString, newShards,
+      nlist, seed, quantize = quantized, attrCols = attrs,
+      buildParallelism = buildParallelism)
+    if (fs.exists(preshard)) fs.delete(preshard, true)
+    require(fs.rename(live, preshard),
+      s"reshardIvf: publish rename $live -> $preshard failed")
+    require(fs.rename(staging, live),
+      s"reshardIvf: publish rename $staging -> $live failed " +
+        s"(old index preserved at $preshard — rerun reshardIvf to recover)")
+    fs.delete(preshard, true)
+  }
+
   /** Sharded twin of [[ensureIvf]]. */
   def ensureIvfSharded(
       corpus: DataFrame,

@@ -10,9 +10,7 @@ object Drive {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.001"
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    for (name <- Seq("interleaved_loss_masks", "packed_masks_spans",
-        "tokenizer_data_card", "ann_sharded_search_exact",
-        "ann_ivfpq_sharded_exact", "ann_compacted_search_exact")) {
+    for (name <- Seq("ann_resharded_search_exact")) {
       val df = graft.queries.LlmQueries.queries(name)(spark, dir)
       println(s"PROBE $name scans=${graft.plans.PlanAudit.scanCount(df)} " +
         s"fp=${graft.plans.PlanAudit.fingerprint(df)}")

@@ -651,6 +651,53 @@ class AnnIndexSpec extends SparkSpec {
       .count() > 0)
   }
 
+  test("reshardIvf: shard-count change from stored payloads — exhaustive answer identical, attrs survive") {
+    val dir = s"${tempDir("graft_ivf_reshard")}/idx"
+    AnnIndex.buildIvfSharded(emb, "vec_id", "embedding", dir, nShards = 3,
+      nlist = 16, seed = 7L, attrCols = Seq("label"))
+    val queries = emb.filter(col("vec_id") < 5)
+    def search() = rows(
+      AnnIndex.searchIvfSharded(spark, dir, queries, "vec_id", "embedding",
+        k = 8, nprobe = 16).orderBy(col("query_id"), col("rank")))
+    val want = search()
+    AnnIndex.reshardIvf(spark, dir, newShards = 2, nlist = 16)
+    // payload rows moved, cells re-fitted — the exhaustive answer is
+    // byte-identical (full-precision payloads are copied verbatim)
+    assert(want.nonEmpty && search() === want)
+    val m = spark.read.parquet(s"$dir/meta.parquet").head()
+    assert(m.getAs[Int]("tables") === 2)
+    assert(m.getAs[Long]("n_rows") === emb.count())
+    // every row obeys the NEW hash routing
+    (0 until 2).foreach { sh =>
+      val stored = spark.read.parquet(s"$dir/shard=$sh/corpus.parquet")
+      assert(stored.count() > 0)
+      assert(stored.filter(
+        pmod(xxhash64(col("vec_id")), lit(2L)).cast("int") =!= sh).count() === 0)
+    }
+    // attribute columns rode the reshard: filtered search still works
+    val filtered = AnnIndex.searchIvfSharded(spark, dir, queries, "vec_id",
+      "embedding", k = 8, nprobe = 16,
+      corpusFilter = Some(col("label") === 1))
+    assert(filtered.count() > 0)
+    // and appends route against the NEW shard count
+    AnnIndex.appendIvfSharded(
+      emb.filter(col("vec_id") < 2)
+        .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"),
+          col("label")),
+      "embedding", dir)
+    val got = AnnIndex.searchIvfSharded(spark, dir,
+      emb.filter(col("vec_id") < 2), "vec_id", "embedding", k = 1, nprobe = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 2L).foreach(q => assert(got(q) === q + 800000L))
+    // the PQ kind refuses (codes are per-shard-codebook)
+    val pq = s"${tempDir("graft_pq_reshard")}/idx"
+    AnnIndex.buildIvfPqSharded(emb.filter(col("vec_id") < 200), "vec_id",
+      "embedding", pq, nShards = 2, nlist = 4)
+    val e = intercept[IllegalArgumentException](
+      AnnIndex.reshardIvf(spark, pq, 3))
+    assert(e.getMessage.contains("kind"))
+  }
+
   // ----------------------------------------------------------- compaction
 
   /** Data files (part-*) under `dir`, recursively — the small-file count

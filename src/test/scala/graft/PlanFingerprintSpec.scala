@@ -149,7 +149,10 @@ class PlanFingerprintSpec extends SparkSpec {
     // bytes, never the plan
     "ann_sharded_search_exact" -> Map("broadcast" -> 6, "broadcast_hash_join" -> 3, "broadcast_nested_loop" -> 3, "global_sort" -> 1, "local_sort" -> 12, "shuffle" -> 7, "window" -> 6, "window_group_limit" -> 12),
     "ann_ivfpq_sharded_exact" -> Map("broadcast" -> 13, "broadcast_hash_join" -> 9, "broadcast_nested_loop" -> 6, "global_sort" -> 1, "local_sort" -> 15, "shuffle" -> 10, "window" -> 9, "window_group_limit" -> 15),
-    "ann_compacted_search_exact" -> Map("broadcast" -> 2, "broadcast_hash_join" -> 1, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "local_sort" -> 4, "shuffle" -> 3, "window" -> 2, "window_group_limit" -> 4))
+    "ann_compacted_search_exact" -> Map("broadcast" -> 2, "broadcast_hash_join" -> 1, "broadcast_nested_loop" -> 1, "global_sort" -> 1, "local_sort" -> 4, "shuffle" -> 3, "window" -> 2, "window_group_limit" -> 4),
+    // the resharded query is the 2-shard fan-out shape (per-shard counts
+    // ×2 + the heap merge + root sort) over the post-reshard layout
+    "ann_resharded_search_exact" -> Map("broadcast" -> 4, "broadcast_hash_join" -> 2, "broadcast_nested_loop" -> 2, "global_sort" -> 1, "local_sort" -> 8, "shuffle" -> 5, "window" -> 4, "window_group_limit" -> 8))
 
   /** Scan-count pins for the fanout knife-edge queries: an operator that
     * fans a derived input out N ways re-inlines the derivation into N
@@ -166,7 +169,8 @@ class PlanFingerprintSpec extends SparkSpec {
     // A jump means a shard's search re-inlined a derived frame
     "ann_sharded_search_exact" -> 9,
     "ann_ivfpq_sharded_exact" -> 16,
-    "ann_compacted_search_exact" -> 3)
+    "ann_compacted_search_exact" -> 3,
+    "ann_resharded_search_exact" -> 6)
 
   private def withAqeOff[T](f: => T): T = {
     val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
