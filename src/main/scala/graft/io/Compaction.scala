@@ -134,5 +134,12 @@ object Compaction {
       s"compact: publish rename $staged -> $live failed " +
         s"(live table preserved at $backup — rerun compact to recover)")
     fs.delete(backup, true)
+    // drop the session's cached file listing for the rewritten path: a
+    // long-lived session that already read this table (a serving search,
+    // the appender's schema probe) holds the OLD part-file listing in the
+    // shared FileStatusCache and its next read dies with FILE_NOT_EXIST —
+    // exactly the steady-state session the in-line compaction cadence
+    // runs in
+    spark.catalog.refreshByPath(tableDir)
   }
 }

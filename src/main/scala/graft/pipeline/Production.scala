@@ -740,6 +740,18 @@ object Production {
         targetFileMB = params.getOrElse("target_file_mb", "128").toString.toInt)
     }
 
+    // MAINTENANCE: change a sharded index's shard count from its own
+    // stored payloads (no corpus re-read) — the growth move when data
+    // outgrows the shard count. Same single-maintainer contract as
+    // compact; ivf_sharded only (PQ refuses inside reshardIvf).
+    Jobs.register("ann-serving", "reshard") { (ctx, params) =>
+      graft.similarity.AnnIndex.reshardIvf(ctx.spark,
+        ctx.dataPath("models.ann_index"),
+        newShards = params("n_shards").toString.toInt,
+        nlist = params.getOrElse("nlist", "0").toString.toInt,
+        seed = ctx.seed)
+    }
+
     // Tokenizer lifecycle as catalog jobs — the train-once/persist/
     // encode-many split (model-gen's shape applied to the corpus
     // tokenizer): `train` runs the one corpus-sized word-count pass and

@@ -974,6 +974,9 @@ object AnnIndex {
       s"reshardIvf: publish rename $staging -> $live failed " +
         s"(old index preserved at $preshard — rerun reshardIvf to recover)")
     fs.delete(preshard, true)
+    // same stale-listing hazard as Compaction: a session that searched
+    // the old layout holds its file listing in the shared cache
+    spark.catalog.refreshByPath(dir)
   }
 
   /** Sharded twin of [[ensureIvf]]. */

@@ -262,6 +262,36 @@ class ConfigJobsSpec extends AnyFunSuite {
       emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 3),
       "vec_id", "embedding", "vec_id", 5)
     assert(shN.exceptAll(exact).count() === 0 && exact.exceptAll(shN).count() === 0)
+    // r17 maintenance stage: reshard 2 -> 3 from the stored payloads,
+    // then search again — exhaustive answer identical, kind still read
+    // off the meta
+    val preReshard = shN.collect().map(_.toString).sorted.toSeq
+    val rsYml = java.nio.file.Files.createTempFile("graft-ann-jobs4", ".yml")
+    java.nio.file.Files.writeString(rsYml,
+      """jobs:
+        |  - name: ann-serving
+        |    fail_fast: true
+        |    stages:
+        |      - name: serve
+        |        tasks:
+        |          - name: reshard
+        |            params: {n_shards: 3, nlist: 8}
+        |          - name: search
+        |            params: {k: 5, nprobe: 8}
+        |""".stripMargin)
+    assert(graft.pipeline.Jobs.run(
+      Context(shCfg.updated("job_catalog", Context.loadYaml(rsYml.toString)), spark),
+      "ann-serving").isEmpty)
+    // the second search overwrote neighbors_sh — drop the session's
+    // cached file listing before re-reading. (The INDEX needs no refresh
+    // here: reshardIvf refreshes its own path after the swap — the
+    // stale-listing fix this failure originally surfaced.)
+    spark.catalog.refreshByPath(s"$work/neighbors_sh")
+    assert(spark.read.parquet(s"$work/ann_index_sh/meta.parquet")
+      .head().getAs[Int]("tables") === 3)
+    assert(spark.read.parquet(s"$work/neighbors_sh")
+      .collect().map(_.toString).sorted.toSeq === preReshard,
+      "resharding must not change the exhaustive search answer")
   }
 
   test("tokenizer + metric-profile catalog jobs: train/encode and replay-safe quantile fold") {
