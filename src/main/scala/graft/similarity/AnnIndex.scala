@@ -93,6 +93,19 @@ object AnnIndex {
       .withColumn("__cn", Similarity.l2Norm(Similarity.dequantizeInt8(col("__q"))))
       .drop("__cv")
 
+  /** Cluster a cell-partitioned write so each cell lands in ONE file
+    * (hash-repartition on `__cell`: every cell's rows reach exactly one
+    * task, write parallelism stays at the shuffle-partition count).
+    * Without this, `partitionBy` makes every task emit a file into
+    * every cell directory it holds rows for — tasks × cells small
+    * files from the very first build, paying the decay
+    * [[graft.io.Compaction]] exists to REPAIR at birth instead of
+    * avoiding it. Costs one shuffle of the stored payload — cheap
+    * relative to the fit, and the probe-pruned search then opens
+    * `nprobe` files instead of `nprobe × tasks`. */
+  private def clusterByCell(stored: DataFrame): DataFrame =
+    stored.repartition(col("__cell"))
+
   /** Inverse of [[storedForm]] at read time. */
   private def scoringForm(stored: DataFrame, quantized: Boolean): DataFrame =
     if (!quantized) stored
@@ -144,8 +157,12 @@ object AnnIndex {
     val model = Similarity.ivfFit(corpusVec, idCol, cells, seed, fitSample)
     Similarity.ivfCentroidFrame(corpus.sparkSession, model)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.parquet")
-    // one partition directory per cell: search prunes to the probed cells
-    storedForm(model.transform(corpusVec).drop("__mlvec"), quantize)
+    // one partition directory per cell: search prunes to the probed
+    // cells. clusterByCell: without it every write task emits a file
+    // into every cell it holds rows for — tasks × cells small files
+    // from DAY ONE (measured: a fresh 1M-row 16-dim QUANTIZED index
+    // outweighed its float64 SOURCE on parquet per-file overhead alone)
+    clusterByCell(storedForm(model.transform(corpusVec).drop("__mlvec"), quantize))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__cell")
       .parquet(s"$dir/corpus.parquet")
@@ -260,10 +277,10 @@ object AnnIndex {
       if (refine) col(idCol) +: col("__cell") +: col("__q") +: col("__cn") +:
         attrCols.map(col)
       else col(idCol) +: col("__cell") +: attrCols.map(col)
-    assigned
-      .transform(d => if (refine) storedForm(d, quantize = true) else d)
-      .select(keepCols: _*)
-      .join(coded, Seq(idCol))
+    clusterByCell(assigned
+        .transform(d => if (refine) storedForm(d, quantize = true) else d)
+        .select(keepCols: _*)
+        .join(coded, Seq(idCol)))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__cell")
       .parquet(s"$dir/corpus.parquet")
@@ -407,10 +424,10 @@ object AnnIndex {
       if (hasRefine) col(m.idCol) +: col("__cell") +: col("__q") +: col("__cn") +:
         attrs.map(col)
       else col(m.idCol) +: col("__cell") +: attrs.map(col)
-    assigned
-      .transform(d => if (hasRefine) storedForm(d, quantize = true) else d)
-      .select(keepCols: _*)
-      .join(coded, Seq(m.idCol))
+    clusterByCell(assigned
+        .transform(d => if (hasRefine) storedForm(d, quantize = true) else d)
+        .select(keepCols: _*)
+        .join(coded, Seq(m.idCol)))
       .write.mode(SaveMode.Append)
       .partitionBy("__cell")
       .parquet(s"$dir/corpus.parquet")
@@ -566,6 +583,7 @@ object AnnIndex {
       .filter(col("__rk") === 1)
       .select((Seq(m.idCol, "__cv", "__cn") ++ attrs :+ "__cell").map(col): _*)
       .transform(storedForm(_, m.quantized))
+      .transform(clusterByCell)
       .write.mode(SaveMode.Append)
       .partitionBy("__cell")
       .parquet(s"$dir/corpus.parquet")

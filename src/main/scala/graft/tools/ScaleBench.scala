@@ -528,9 +528,58 @@ object ScaleBench {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
   }
 
+  /** `reshardIvf` vs the rebuild it replaces, measured on the 1.12M
+    * quantized corpus: resharding reads the index's OWN stored payloads
+    * (int8 codes — ~8× fewer bytes than the float64 source at 16 dims),
+    * never the source table. Wall-clock is fit-dominated either way on
+    * one box; the bytes row is the 100 TB signal (and the reason the op
+    * exists: the source may be cold, remote, or already deleted). */
+  private def reshardProbe(spark: SparkSession): Unit = {
+    import graft.similarity.AnnIndex
+    val dir = "/tmp/graft_compaction_corpus"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      System.err.println("[scalebench] staging the 1.12M clustered corpus (one-off)")
+      Recall.clusteredCorpus(spark, n = 1120000L, dims = 16,
+          clusters = 1024, noise = 1.0)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val corpus = spark.read.parquet(dir).filter(col("vec_id") < 1000000L)
+    def du(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
+    val idx = "/tmp/graft_reshard_idx"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    AnnIndex.buildIvfSharded(corpus, "vec_id", "vec", idx, nShards = 2,
+      quantize = true)
+    val queries = corpus.filter(col("vec_id") < 20)
+    def search() = AnnIndex
+      .searchIvfSharded(spark, idx, queries, "vec_id", "vec", k = 10).count()
+    val pre = search()
+    val t0 = System.nanoTime()
+    AnnIndex.reshardIvf(spark, idx, newShards = 4)
+    val reshardSec = (System.nanoTime() - t0) / 1e9
+    val post = search()
+    println(f"""{"query":"reshard_2_to_4","sec":$reshardSec%.3f,"index_bytes_read":${du(idx)},"source_bytes_avoided":${du(dir)},"rows_pre":$pre,"rows_post":$post}""")
+    val fresh = "/tmp/graft_reshard_fresh"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fresh))
+    val t1 = System.nanoTime()
+    AnnIndex.buildIvfSharded(corpus, "vec_id", "vec", fresh, nShards = 4,
+      quantize = true)
+    println(f"""{"query":"fresh_build_4","sec":${(System.nanoTime() - t1) / 1e9}%.3f}""")
+    Seq(idx, fresh).foreach(p =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("reshard-probe")) {
+      reshardProbe(spark)
+      spark.stop()
+      return
+    }
     if (args.contains("compaction-decay")) {
       compactionDecay(spark)
       spark.stop()
