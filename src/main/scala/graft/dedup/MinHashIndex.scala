@@ -179,6 +179,12 @@ object MinHashIndex {
       batch: DataFrame,
       textCol: String): Unit = {
     val m = readMeta(spark, dir)
+    // the shingle append is blind (the bucket append reads its table's
+    // schema first and fails loudly on an absent path): refuse while a
+    // crashed compaction publish is pending — recreating the live path
+    // with one batch's rows would orphan the backup holding the corpus
+    graft.io.Compaction.requireNoPendingPublish(spark, s"$dir/shingles.parquet")
+    graft.io.Compaction.requireNoPendingPublish(spark, s"$dir/buckets.parquet")
     val bsh = shingled(batch, m.idCol, textCol, m.shingleK)
     bsh.write.mode(SaveMode.Append).parquet(s"$dir/shingles.parquet")
     // match the EXISTING bucket table's schema: appending __sig rows into

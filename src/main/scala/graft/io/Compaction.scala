@@ -46,17 +46,55 @@ import org.apache.spark.sql.functions.col
   * lock — two simultaneous compactions of one table are not defended. */
 object Compaction {
 
+  /** Marker file the staged rewrite plants inside the table tree before
+    * the publish renames. Its presence in a LIVE table proves the table
+    * went through a completed publish — which is what distinguishes a
+    * stale backup (crash after the second rename, safe to delete) from
+    * the table-destroying case: a crash BETWEEN the renames followed by a
+    * blind `SaveMode.Append` that recreated the live path with one
+    * batch's rows. Underscore-prefixed, so every parquet reader ignores
+    * it. */
+  private[io] val PublishedMarker = "_graft_published"
+
+  /** Refuse a blind `SaveMode.Append` while a crashed compaction publish
+    * is pending: live path absent + `.precompact_` backup present means
+    * the BACKUP is the authoritative table, and recreating the live path
+    * with one batch's rows would (without [[PublishedMarker]]) read as a
+    * table that compacted fine — call this before any append that does
+    * not read the table first (the streaming doc/page maintainers). */
+  def requireNoPendingPublish(spark: SparkSession, tableDir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(tableDir)
+    val backup = new Path(live.getParent, s".precompact_${live.getName}")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live) && fs.exists(backup))
+      throw new IllegalStateException(
+        s"append to $tableDir refused: a crashed compaction publish left " +
+          s"the authoritative table at $backup — run the owning compact() " +
+          "to recover it before appending")
+  }
+
   /** Compact the parquet table at `tableDir` (= `<parent>/<name>`;
     * staging and backup live beside it as `<parent>/.compacting_<name>`
     * and `<parent>/.precompact_<name>`). `orderCols` leads with
-    * `partitionCol` when the table is hive-partitioned. */
+    * `partitionCol` when the table is hive-partitioned.
+    *
+    * `transform` (default identity) rewrites THROUGH a row-dropping
+    * transformation — the tombstone-fold hook: the staged write holds
+    * `transform(table)` and the row-count verify pins the staged count to
+    * the transformed frame's count, so folds are guarded exactly like
+    * plain compactions. Returns the published row count (callers that
+    * track a row-count meta re-derive it from here). */
   def compactParquet(
       spark: SparkSession,
       tableDir: String,
       orderCols: Seq[String],
       partitionCol: Option[String] = None,
-      targetFileMB: Int = 128): Unit =
-    compactParquetImpl(spark, tableDir, orderCols, partitionCol, targetFileMB)
+      targetFileMB: Int = 128,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity): Long =
+    compactParquetImpl(spark, tableDir, orderCols, partitionCol, targetFileMB,
+      transform = transform)
 
   /** [[compactParquet]] with a test seam: `afterStagedWrite` runs once
     * the staged rewrite is on disk, BEFORE the concurrent-writer listing
@@ -68,7 +106,9 @@ object Compaction {
       orderCols: Seq[String],
       partitionCol: Option[String] = None,
       targetFileMB: Int = 128,
-      afterStagedWrite: () => Unit = () => ()): Unit = {
+      afterStagedWrite: () => Unit = () => (),
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+        identity): Long = {
     require(targetFileMB > 0, s"targetFileMB must be > 0, got $targetFileMB")
     require(orderCols.nonEmpty, "compactParquet needs at least one order column")
     import org.apache.hadoop.fs.Path
@@ -86,6 +126,12 @@ object Compaction {
         s"compact: recovery rename $backup -> $live failed")
     }
     if (fs.exists(staged)) fs.delete(staged, true) // stale crash leftovers
+    // rows appended by ANOTHER session before this compact started can be
+    // in the fresh FS listing below but absent from this session's stale
+    // FileStatusCache snapshot — the rewrite would then silently drop them
+    // (counts agree on the stale snapshot, the listing re-check sees no
+    // further change). Refresh so the read and listing() see one snapshot.
+    spark.catalog.refreshByPath(tableDir)
     def listing(): Set[(String, Long)] = {
       val it = fs.listFiles(live, true)
       val out = Set.newBuilder[(String, Long)]
@@ -111,7 +157,7 @@ object Compaction {
       spark.sparkContext.defaultParallelism.toLong, bytes / (8L << 20)).toInt
     val nFiles = math.max(parallelFloor, math.max(1L,
       math.ceil(bytes.toDouble / (targetFileMB.toLong << 20)).toLong)).toInt
-    val df = spark.read.parquet(tableDir)
+    val df = transform(spark.read.parquet(tableDir))
     val before = df.count()
     val writer = df
       .repartitionByRange(nFiles, orderCols.map(col): _*)
@@ -123,6 +169,10 @@ object Compaction {
     require(after == before,
       s"compact: staged rewrite of $tableDir has $after rows, expected " +
         s"$before — aborting with the live table untouched")
+    // plant the publish marker in the staged tree NOW: it rides the
+    // rename into the live position, proving (to the next compaction)
+    // that this table went through a completed publish
+    fs.create(new Path(staged, PublishedMarker), true).close()
     afterStagedWrite()
     // concurrent-writer guard: compaction is a single-maintainer op (run
     // it from the same lane as appends — the streaming cadence is
@@ -138,7 +188,24 @@ object Compaction {
         s"compact: $tableDir changed while the rewrite ran (concurrent " +
           "append?) — aborted without publishing; quiesce writers and rerun")
     }
-    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(backup)) {
+      // a backup can legitimately coexist with a live table only when a
+      // PRIOR publish crashed after its second rename — and that live
+      // table carries the publish marker. A live tree WITHOUT the marker
+      // beside a backup means a crash BETWEEN the renames followed by a
+      // blind append that recreated the live path with one batch's rows:
+      // the backup is the whole table. Refuse to delete it — deleting
+      // here and renaming the recreation over it would silently destroy
+      // the table (r17 ADVICE).
+      require(fs.exists(new Path(live, PublishedMarker)),
+        s"compact: $tableDir coexists with backup $backup but carries no " +
+          "publish marker — the live path looks like a blind-append " +
+          "recreation after a crashed publish and the backup is the " +
+          "authoritative table. Recover manually: move the live path " +
+          "aside, rename the backup into place, re-append the moved rows, " +
+          "then rerun compact.")
+      fs.delete(backup, true)
+    }
     require(fs.rename(live, backup),
       s"compact: publish rename $live -> $backup failed")
     require(fs.rename(staged, live),
@@ -152,5 +219,6 @@ object Compaction {
     // exactly the steady-state session the in-line compaction cadence
     // runs in
     spark.catalog.refreshByPath(tableDir)
+    after
   }
 }

@@ -752,12 +752,14 @@ object AnnIndex {
       .select(col("query_id"), col(idCol), col("cosine"), col("rank"))
 
   /** The shard a row's id routes to — one place owns the rule so builds,
-    * appends, and any external partitioner agree. Null ids route to
-    * shard 0 (xxhash64(null) is null, which would otherwise match NO
-    * shard filter: the build's staging write would park such rows in a
-    * default-partition directory no slice reads and appends would drop
-    * them while still counting them — silently diverging from the
-    * unsharded index, which stores null-id rows). */
+    * appends, and any external partitioner agree. Null ids route
+    * CONSISTENTLY via the seed hash: Spark's xxhash64 is non-nullable (a
+    * null input hashes to the seed, 42), so a null id lands on
+    * `pmod(42, nShards)` in builds and appends alike — never in a
+    * default-partition directory no slice reads. The coalesce is a
+    * belt-and-suspenders guard for any future hash whose null output IS
+    * null; with the builtin it never fires (r17 ADVICE: the comment
+    * previously claimed shard-0 routing, which was wrong). */
   private def shardOf(id: org.apache.spark.sql.Column, nShards: Int) =
     pmod(coalesce(xxhash64(id), lit(0L)), lit(nShards.toLong)).cast("int")
 
@@ -985,6 +987,22 @@ object AnnIndex {
     buildIvfSharded(corpus, m.idCol, "__cv", staging.toString, newShards,
       nlist, seed, quantize = quantized, attrCols = attrs,
       buildParallelism = buildParallelism)
+    // carry NON-INDEX state across the swap: streaming maintainers keep
+    // their replay markers (`_applied_batches/`, `_begun_batches/`)
+    // inside the index directory — dropping them with the old layout
+    // would make a micro-batch replayed after the reshard re-append its
+    // rows (marker written, offsets uncommitted at a crash) and
+    // duplicate them in the index (r17 ADVICE). Everything that is not
+    // a shard, the top-level meta, or our own staging dirs is copied.
+    val indexEntries = Set(MetaFile, ".staging_slices")
+    fs.listStatus(live).foreach { st =>
+      val n = st.getPath.getName
+      if (!n.startsWith("shard=") && !indexEntries.contains(n))
+        require(org.apache.hadoop.fs.FileUtil.copy(
+          fs, st.getPath, fs, new Path(staging, n), false, true,
+          spark.sparkContext.hadoopConfiguration),
+          s"reshardIvf: carrying $n into the resharded index failed")
+    }
     if (fs.exists(preshard)) fs.delete(preshard, true)
     require(fs.rename(live, preshard),
       s"reshardIvf: publish rename $live -> $preshard failed")

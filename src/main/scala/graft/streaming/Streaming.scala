@@ -558,6 +558,10 @@ object Streaming {
       batch: DataFrame, pagesDir: String, batchId: Long,
       mimePrefix: String = "text/html"): Boolean =
     markerGated(batch.sparkSession, pagesDir, batchId) {
+      // blind append: refuse while a crashed pages-table compaction
+      // publish is pending (the backup is the authoritative table)
+      graft.io.Compaction.requireNoPendingPublish(
+        batch.sparkSession, s"$pagesDir/pages.parquet")
       batch
         .filter(col("warc_type") === "response" && col("http_status") === 200)
         .filter(col("mime").startsWith(mimePrefix))
@@ -649,6 +653,9 @@ object Streaming {
             .localCheckpoint(true)
           if (!survivors.isEmpty) {
             val docsPath = s"$acceptedDir/docs.parquet"
+            // blind append: refuse while a crashed docs-table compaction
+            // publish is pending (the backup is the authoritative table)
+            graft.io.Compaction.requireNoPendingPublish(s, docsPath)
             val toAppend =
               if (replayOfPartial &&
                   fs.exists(new org.apache.hadoop.fs.Path(docsPath))) {
@@ -748,6 +755,9 @@ object Streaming {
               .localCheckpoint(true)
             if (!survivors.isEmpty) {
               val docsPath = s"$acceptedDir/docs.parquet"
+              // blind append: refuse while a crashed docs-table
+              // compaction publish is pending
+              graft.io.Compaction.requireNoPendingPublish(s, docsPath)
               val toAppend =
                 if (replayOfPartial &&
                     fs.exists(new org.apache.hadoop.fs.Path(docsPath)))
@@ -802,6 +812,10 @@ object Streaming {
       // exactDedup downstream); the reverse order would make the replay
       // see the batch as already-known and silently LOSE its documents.
       val out = fresh.persist()
+      // blind appends: refuse while a crashed compaction publish of
+      // either table is pending (the backup is the authoritative copy)
+      graft.io.Compaction.requireNoPendingPublish(spark, docsPath)
+      graft.io.Compaction.requireNoPendingPublish(spark, hashesPath)
       try {
         out.drop("__h").write.mode(SaveMode.Append).parquet(docsPath)
         out.select(col("__h")).write.mode(SaveMode.Append).parquet(hashesPath)

@@ -660,7 +660,16 @@ class AnnIndexSpec extends SparkSpec {
       AnnIndex.searchIvfSharded(spark, dir, queries, "vec_id", "embedding",
         k = 8, nprobe = 16).orderBy(col("query_id"), col("rank")))
     val want = search()
+    // streaming replay markers live INSIDE the index dir — the reshard
+    // swap must carry them (r17 ADVICE: dropping them re-applies a
+    // replayed micro-batch and duplicates its rows)
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/_applied_batches/7")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
     AnnIndex.reshardIvf(spark, dir, newShards = 2, nlist = 16)
+    assert(fs.exists(marker),
+      "non-index state (_applied_batches) must survive the reshard swap")
     // payload rows moved, cells re-fitted — the exhaustive answer is
     // byte-identical (full-precision payloads are copied verbatim)
     assert(want.nonEmpty && search() === want)

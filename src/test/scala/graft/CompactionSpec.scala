@@ -59,4 +59,63 @@ class CompactionSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 101)
     assert(files(dir).size === 1)
   }
+
+  test("a blind-append recreation after a crashed publish never costs the backup") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val parent = Files.createTempDirectory("graft_compact_crash").toString
+    val dir = s"$parent/t.parquet"
+    (0L until 100L).map(i => (i, i * 2)).toDF("id", "x")
+      .write.mode("append").parquet(dir)
+    // simulate a crash BETWEEN the two publish renames: live is gone and
+    // the backup holds the whole table
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.rename(new Path(dir), new Path(s"$parent/.precompact_t.parquet")))
+    // the appender-side guard refuses to recreate the live path
+    val g = intercept[IllegalStateException] {
+      Compaction.requireNoPendingPublish(spark, dir)
+    }
+    assert(g.getMessage.contains("crashed compaction publish"))
+    // a MISBEHAVED appender recreates it anyway with one batch's rows —
+    // the next compact must refuse to treat that as the table and must
+    // NOT delete the backup (r17 ADVICE: this silently destroyed tables)
+    Seq((9999L, 0L)).toDF("id", "x").write.mode("append").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compactParquet(spark, dir, Seq("id"))
+    }
+    assert(e.getMessage.contains("publish marker"))
+    assert(spark.read.parquet(s"$parent/.precompact_t.parquet").count() === 100,
+      "the backup (the authoritative table) must survive untouched")
+  }
+
+  test("a stale backup after a COMPLETED publish is cleaned, not fatal") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val parent = Files.createTempDirectory("graft_compact_stale").toString
+    val dir = s"$parent/t.parquet"
+    (0L until 50L).map(i => (i, i)).toDF("id", "x").write.parquet(dir)
+    Compaction.compactParquet(spark, dir, Seq("id")) // plants the marker
+    // simulate a crash AFTER the second rename but before the backup
+    // delete: live (marker-carrying) and a stale backup coexist
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new Path(s"$parent/.precompact_t.parquet")
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, new Path(dir), fs, backup,
+      false, true, spark.sparkContext.hadoopConfiguration))
+    Compaction.requireNoPendingPublish(spark, dir) // live present: appends fine
+    Compaction.compactParquet(spark, dir, Seq("id"))
+    assert(!fs.exists(backup), "the stale backup is cleaned by the publish")
+    assert(spark.read.parquet(dir).count() === 50)
+  }
+
+  test("transform rewrites rows out and reports the published count") {
+    import spark.implicits._
+    val dir = s"${Files.createTempDirectory("graft_compact_tf")}/t.parquet"
+    (0L until 100L).map(i => (i, i)).toDF("id", "x")
+      .repartition(4).write.mode("append").parquet(dir)
+    val after = Compaction.compactParquet(spark, dir, Seq("id"),
+      transform = _.filter(col("id") % 2 === 0))
+    assert(after === 50L)
+    assert(spark.read.parquet(dir).select("id").as[Long].collect().toSet ===
+      (0L until 100L by 2).toSet)
+  }
 }
