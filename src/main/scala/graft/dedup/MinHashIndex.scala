@@ -69,6 +69,41 @@ object MinHashIndex {
   private def shingled(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(col(idCol), Dedup.shingles(col(textCol), k).as("__sh"))
 
+  private val TombstoneFile = "tombstones.parquet"
+
+  private def hasTombstones(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/$TombstoneFile")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Anti-join the tombstone set against `df` on `joinCol` (the corpus
+    * side may ride under a renamed id, e.g. `corpus_id` in [[pairs]]). */
+  private def minusTombstones(
+      spark: SparkSession, dir: String, m: Meta, joinCol: String,
+      df: DataFrame): DataFrame =
+    if (!hasTombstones(spark, dir)) df
+    else df.join(
+      spark.read.parquet(s"$dir/$TombstoneFile").select(col(m.idCol).as(joinCol)),
+      Seq(joinCol), "left_anti")
+
+  /** Delete indexed documents by id — the retraction path
+    * (decontamination hits, takedowns) that previously required a full
+    * [[build]] rebuild. Tombstone semantics identical to
+    * [[graft.similarity.AnnIndex.deleteIds]]: id-frame-sized write now,
+    * probes anti-join the set (candidate-sized cost, the bucket join
+    * already pruned), [[compact]] folds it into both layers physically.
+    * A tombstoned id stays deleted until a compact folds the set — fold
+    * before re-appending the same id. */
+  def deleteIds(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
+    val m = readMeta(spark, dir)
+    require(ids.columns.contains(m.idCol),
+      s"deleteIds: the ids frame must carry the index id column " +
+        s"'${m.idCol}' (got ${ids.columns.mkString(", ")})")
+    graft.io.Compaction.requireNoPendingPublish(spark, s"$dir/$TombstoneFile")
+    ids.select(col(m.idCol)).distinct()
+      .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/$TombstoneFile")
+  }
+
   /** Shingle + band the corpus once and persist both layers. */
   def build(
       corpus: DataFrame,
@@ -118,9 +153,12 @@ object MinHashIndex {
     val bb = Dedup.bandedBuckets(bsh, m.idCol, m.bands, m.rowsPerBand, m.maxBucket,
         keepSig = screen > 0)
       .withColumnRenamed("__sig", "sig_b")
-    val cb = bucketsRaw
+    // tombstoned corpus docs drop from the candidate pool here — the
+    // bucket join then never surfaces them, and the shingle-verify join
+    // (inner on corpus_id) is filtered transitively
+    val cb = minusTombstones(spark, dir, m, "corpus_id", bucketsRaw
       .withColumnRenamed(m.idCol, "corpus_id")
-      .withColumnRenamed("__sig", "sig_c")
+      .withColumnRenamed("__sig", "sig_c"))
     val joined = bb.join(cb, Seq("band", "bucket"))
     val screened =
       if (screen > 0)
@@ -213,9 +251,22 @@ object MinHashIndex {
     * are identical before/after (MinHashIndexSpec). */
   def compact(spark: SparkSession, dir: String, targetFileMB: Int = 128): Unit = {
     val m = readMeta(spark, dir)
+    // pending tombstones fold into both rewrites (same contract as
+    // AnnIndex.compact: staged survivor set is count-verified, the
+    // tombstone table drops after the publish, n_rows refreshes; a crash
+    // between the two is idempotent — folded ids anti-join as no-ops)
+    val tombed = hasTombstones(spark, dir)
+    def fold(joinCol: String): DataFrame => DataFrame =
+      if (!tombed) identity
+      else minusTombstones(spark, dir, m, joinCol, _)
     graft.io.Compaction.compactParquet(spark, s"$dir/buckets.parquet",
-      Seq("band", "bucket"), None, targetFileMB)
-    graft.io.Compaction.compactParquet(spark, s"$dir/shingles.parquet",
-      Seq(m.idCol), None, targetFileMB)
+      Seq("band", "bucket"), None, targetFileMB, fold(m.idCol))
+    val after = graft.io.Compaction.compactParquet(spark, s"$dir/shingles.parquet",
+      Seq(m.idCol), None, targetFileMB, fold(m.idCol))
+    if (tombed) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$TombstoneFile")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      writeMeta(spark, dir, m.copy(nRows = after))
+    }
   }
 }

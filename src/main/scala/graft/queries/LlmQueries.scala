@@ -1268,6 +1268,33 @@ object LlmQueries {
           "embedding", k = 10, nprobe = 16)
         .orderBy(col("query_id"), col("rank"))
     },
+    // --- tombstone-deleted index, exhaustive probes: build over the
+    // full corpus, DELETE a deterministic slice (the curation
+    // retraction path — decontamination hits, takedowns), then search
+    // with the tombstones PENDING (not yet folded by compact): the
+    // post-prune anti-join must serve exactly brute force over the
+    // surviving corpus, row for row. The folded (post-compact) identity
+    // is spec-pinned in AnnIndexSpec; this oracle pins the serving path
+    // a retraction takes effect through IMMEDIATELY.
+    "ann_deleted_search_exact" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val idx = annIndexDir(dir, "ivfdel")
+      // _STAGED gate, same rationale as ann_compacted_search_exact: a
+      // crash mid build+delete must rebuild, not serve a half staging
+      if (!new java.io.File(s"$idx/_STAGED").exists()) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+        graft.similarity.AnnIndex.buildIvf(e, "vec_id", "embedding", idx,
+          nlist = 16)
+        graft.similarity.AnnIndex.deleteIds(s, idx,
+          e.filter(col("vec_id") % 7 === 3 && col("vec_id") >= 5)
+            .select(col("vec_id")))
+        new java.io.File(s"$idx/_STAGED").createNewFile()
+      }
+      graft.similarity.AnnIndex
+        .searchIvf(s, idx, e.filter(col("vec_id") < 5), "vec_id", "embedding",
+          k = 10, nprobe = 16)
+        .orderBy(col("query_id"), col("rank"))
+    },
     // LSH at bits=1 with Hamming-1 probing visits BOTH buckets of the
     // 1-bit signature space -> every candidate scored -> exhaustive
     "ann_lsh_topk_exact" -> { (s, dir) =>
@@ -2231,6 +2258,20 @@ object LlmQueries {
       |s AS (SELECT query_id, e.vec_id,
       |        round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
       |      FROM e, q WHERE e.vec_id <> query_id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
+      |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+      |ORDER BY query_id, rank""".stripMargin
+
+  /** Exhaustive ANN over the SURVIVING corpus: [[AnnExactBruteSql]] with
+    * the tombstoned slice (`vec_id % 7 = 3`, queries exempt) removed
+    * from the corpus side — queries still rank against everything else. */
+  private val AnnDeletedBruteSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |alive AS (SELECT * FROM e WHERE NOT (vec_id % 7 = 3 AND vec_id >= 5)),
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+      |s AS (SELECT query_id, alive.vec_id,
+      |        round(list_dot_product(v, qv) / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+      |      FROM alive, q WHERE alive.vec_id <> query_id),
       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank FROM s)
       |SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 10
       |ORDER BY query_id, rank""".stripMargin
@@ -3946,6 +3987,7 @@ object LlmQueries {
     // cosine top-k
     "ann_ivf_topk_exact" -> AnnExactBruteSql,
     "ann_ivf_search_exact" -> AnnExactBruteSql,
+    "ann_deleted_search_exact" -> AnnDeletedBruteSql,
     "ann_sharded_search_exact" -> AnnExactBruteSql,
     // compaction's identity contract: the rewritten (build + append +
     // compact) layout must still answer with the brute-force top-k

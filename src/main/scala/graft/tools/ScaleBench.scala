@@ -572,9 +572,102 @@ object ScaleBench {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
   }
 
+  /** `append-probe`: the r18 append-assignment fix measured at
+    * nlist = 4096 (the scale the local bench's tiny fixture indexes
+    * cannot surface — r17 verdict #1). One IVF index over 1M clustered
+    * vectors at an explicit 4096 cells, then a 10k-row batch assigned
+    * against the PERSISTED centroids two ways: the r17 crossJoin +
+    * row_number-window shape (reconstructed inline — 10k·4096 = 41M
+    * intermediate rows through a shuffle, ~400 B each) and the shipped
+    * map-only [[graft.similarity.AnnIndex.assignToPersistedCells]]
+    * (|batch| rows end to end, centroids on one broadcast row). Wall
+    * time + total shuffle read/write bytes from a task-metrics
+    * listener; both shapes must agree on every assignment. Production
+    * appends are 100× this batch at up to 16× this nlist — the shuffle
+    * column scales multiplicatively, the map-only column linearly in
+    * |batch| alone. */
+  private def appendProbe(spark: SparkSession): Unit = {
+    import graft.similarity.{AnnIndex, Similarity}
+    val dir = "/tmp/graft_compaction_corpus"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      System.err.println("[scalebench] staging the 1.12M clustered corpus (one-off)")
+      Recall.clusteredCorpus(spark, n = 1120000L, dims = 16,
+          clusters = 1024, noise = 1.0)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val all = spark.read.parquet(dir)
+    val idx = "/tmp/graft_append_probe_idx"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    AnnIndex.buildIvf(all.filter(col("vec_id") < 1000000L), "vec_id", "vec",
+      idx, nlist = 4096)
+    val batch = all.filter(col("vec_id") >= 1000000L && col("vec_id") < 1010000L)
+    val centDf = spark.read.parquet(s"$idx/centroids.parquet")
+    val corpusVec = Similarity.ivfNormalizedCorpus(batch, "vec_id", "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpusVec.count()
+
+    // the r17 shape, verbatim: broadcast centroids, crossJoin, rank-1
+    // window over the |batch|·nlist product
+    def oldShape: DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.ml.functions.vector_to_array
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("__dist").asc, col("__cell").asc)
+      corpusVec
+        .withColumn("__u", vector_to_array(col("__mlvec")))
+        .drop("__mlvec")
+        .crossJoin(org.apache.spark.sql.functions.broadcast(centDf))
+        .withColumn("__dist",
+          Similarity.dot(col("__cent"), col("__cent"))
+            - lit(2.0) * Similarity.dot(col("__u"), col("__cent")))
+        .withColumn("__rk",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("__rk") === 1)
+        .select(col("vec_id"), col("__cell"))
+    }
+    def newShape: DataFrame =
+      AnnIndex.assignToPersistedCells(corpusVec, centDf)
+        .select(col("vec_id"), col("__cell"))
+
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = te.taskMetrics
+        if (m != null) {
+          read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          ()
+        }
+      }
+    }
+    var oldCells: Map[Long, Int] = Map.empty
+    for ((label, df) <- Seq("old_window" -> oldShape, "new_maponly" -> newShape)) {
+      read.set(0L); write.set(0L)
+      spark.sparkContext.addSparkListener(listener)
+      val t0 = System.nanoTime()
+      val got = df.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(2000) // drain the async listener bus before reading
+      spark.sparkContext.removeSparkListener(listener)
+      if (label == "old_window") oldCells = got
+      else require(got == oldCells,
+        "append-probe: the map-only assignment diverged from the window shape")
+      println(f"""{"query":"append_assign_$label","nlist":4096,"batch":${got.size},"sec":$sec%.3f,"shuffle_read":${read.get},"shuffle_write":${write.get}}""")
+    }
+    corpusVec.unpersist(true)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("append-probe")) {
+      appendProbe(spark)
+      spark.stop()
+      return
+    }
     if (args.contains("reshard-probe")) {
       reshardProbe(spark)
       spark.stop()

@@ -32,6 +32,154 @@ class AnnIndexSpec extends SparkSpec {
   private def tempDir(prefix: String): String =
     Files.createTempDirectory(prefix).toString
 
+  test("deleteIds: tombstoned rows vanish from IVF search; compact folds them physically") {
+    import spark.implicits._
+    val dir = tempDir("graft_ivf_del")
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", dir, nlist = 16, seed = 7L)
+    val queries = emb.filter(col("vec_id") < 5)
+    def topIds() = AnnIndex
+      .searchIvf(spark, dir, queries, "vec_id", "embedding", k = 8, nprobe = 16)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    // delete every current top hit — the strongest retraction test: the
+    // exhaustive search must re-rank entirely from the survivors
+    val doomed = topIds()
+    assert(doomed.nonEmpty)
+    AnnIndex.deleteIds(spark, dir, doomed.toSeq.toDF("vec_id"))
+    val afterDelete = topIds()
+    assert((afterDelete & doomed).isEmpty,
+      s"tombstoned ids still served: ${afterDelete & doomed}")
+    // exhaustive-probe search over the tombstoned index == brute force
+    // over the surviving corpus (the full contract the oracle also pins)
+    val survivors = emb.filter(!col("vec_id").isin(doomed.toSeq: _*))
+    val brute = rows(Similarity
+      .cosineTopK(survivors, queries, "vec_id", "embedding", "vec_id", 8)
+      .orderBy(col("query_id"), col("rank")))
+    def searchRows() = rows(AnnIndex
+      .searchIvf(spark, dir, queries, "vec_id", "embedding", k = 8, nprobe = 16)
+      .orderBy(col("query_id"), col("rank")))
+    assert(searchRows() === brute)
+    // fold: tombstone table gone, corpus physically shrunk, n_rows
+    // refreshed, answers unchanged
+    val total = emb.count()
+    AnnIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones.parquet").exists())
+    assert(spark.read.parquet(s"$dir/corpus.parquet").count() ===
+      total - doomed.size)
+    assert(spark.read.parquet(s"$dir/meta.parquet").head()
+      .getAs[Long]("n_rows") === total - doomed.size)
+    assert(searchRows() === brute)
+    // re-appending a folded id serves it again
+    val back = doomed.head
+    AnnIndex.appendIvf(emb.filter(col("vec_id") === back), "embedding", dir)
+    assert(topIds().contains(back) ||
+      !rows(AnnIndex.searchIvf(spark, dir,
+        emb.filter(col("vec_id") === back), "vec_id", "embedding", k = 1,
+        nprobe = 16)).isEmpty)
+  }
+
+  test("deleteIds: sharded routing, LSH and IVF-PQ paths all honor tombstones") {
+    import spark.implicits._
+    val queries = emb.filter(col("vec_id") < 3)
+    // sharded IVF: ids route to their owning shard's tombstones
+    val sh = tempDir("graft_sh_del")
+    AnnIndex.buildIvfSharded(emb, "vec_id", "embedding", sh, nShards = 3, nlist = 16)
+    val doomed = AnnIndex
+      .searchIvfSharded(spark, sh, queries, "vec_id", "embedding", k = 3, nprobe = 16)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    AnnIndex.deleteIds(spark, sh, doomed.toSeq.toDF("vec_id"))
+    val got = AnnIndex
+      .searchIvfSharded(spark, sh, queries, "vec_id", "embedding", k = 3, nprobe = 16)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert((got & doomed).isEmpty)
+    // compact folds per shard and re-sums the top-level count
+    AnnIndex.compact(spark, sh)
+    assert(spark.read.parquet(s"$sh/meta.parquet").head()
+      .getAs[Long]("n_rows") === emb.count() - doomed.size)
+    // a reshard after deletion must NOT resurrect tombstoned rows
+    val sh2 = tempDir("graft_sh_del2")
+    AnnIndex.buildIvfSharded(emb, "vec_id", "embedding", sh2, nShards = 3, nlist = 16)
+    AnnIndex.deleteIds(spark, sh2, doomed.toSeq.toDF("vec_id"))
+    AnnIndex.reshardIvf(spark, sh2, newShards = 2, nlist = 16)
+    val resharded = AnnIndex
+      .searchIvfSharded(spark, sh2, queries, "vec_id", "embedding", k = 3, nprobe = 16)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert((resharded & doomed).isEmpty,
+      s"reshard resurrected tombstoned rows: ${resharded & doomed}")
+    // LSH: tombstones honored at the signature scan; fold keeps per-table
+    // replica accounting (n_rows = signature rows / tables)
+    val lsh = tempDir("graft_lsh_del")
+    AnnIndex.buildLsh(emb, "vec_id", "embedding", lsh, tables = 2, bits = 4)
+    AnnIndex.deleteIds(spark, lsh, Seq(10L, 11L).toDF("vec_id"))
+    val lshGot = AnnIndex
+      .searchLsh(spark, lsh, emb.filter(col("vec_id") === 10), "vec_id",
+        "embedding", k = 5, probes = 1)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(!lshGot.contains(10L) && !lshGot.contains(11L))
+    AnnIndex.compact(spark, lsh)
+    assert(spark.read.parquet(s"$lsh/meta.parquet").head()
+      .getAs[Long]("n_rows") === emb.count() - 2)
+    // IVF-PQ: tombstones honored on both the raw-ADC and refined paths
+    val pq = tempDir("graft_pq_del")
+    val small = emb.filter(col("vec_id") < 300)
+    AnnIndex.buildIvfPq(small, "vec_id", "embedding", pq, nlist = 8,
+      m = 8, codes = 256, refine = true)
+    AnnIndex.deleteIds(spark, pq, Seq(20L, 21L).toDF("vec_id"))
+    for (refine <- Seq(0, 30)) {
+      val pqGot = AnnIndex
+        .searchIvfPq(spark, pq, small.filter(col("vec_id") < 3), "vec_id",
+          "embedding", k = 297, nprobe = 8, refine = refine)
+        .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+      assert(!pqGot.contains(20L) && !pqGot.contains(21L),
+        s"refine=$refine served a tombstoned id")
+    }
+  }
+
+  test("append assignment is map-only (no window/exchange over batch×centroids) and exact") {
+    val dir = tempDir("graft_ivf_assign")
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", dir, nlist = 16, seed = 7L)
+    val centDf = spark.read.parquet(s"$dir/centroids.parquet")
+    val corpusVec = Similarity.ivfNormalizedCorpus(
+      emb.filter(col("vec_id") >= 5), "vec_id", "embedding")
+    val assigned = AnnIndex.assignToPersistedCells(corpusVec, centDf)
+      .select(col("vec_id"), col("__cell"))
+    // r17's shape pushed O(|batch|·nlist) rows through a window exchange;
+    // this plan must have NO window and NO shuffle on the batch side (the
+    // only exchange is the nlist-row candidates fold on the broadcast
+    // side) — the property that keeps a 1M-row append at nlist=65536 from
+    // shuffling 65 billion intermediate rows
+    val plan = assigned.queryExecution.executedPlan
+    assert(plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, s"append assignment must not use a window:\n$plan")
+    val batchSideExchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          // the candidates fold shuffles nlist rows to one partition —
+          // anything NOT a single-partition exchange is batch-side
+          if e.outputPartitioning.numPartitions > 1 => e
+    }
+    assert(batchSideExchanges.isEmpty,
+      s"append assignment must be map-only on the batch side:\n$plan")
+    // exactness: every row's cell is the true argmin over ALL persisted
+    // centroids (ties toward the smaller cell id)
+    val cents = centDf.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).sortBy(_._1)
+    val vecs = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val got = assigned.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.nonEmpty && got.size === vecs.size)
+    got.foreach { case (id, cell) =>
+      val v = vecs(id)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      val want = cents.minBy { case (c, cent) =>
+        val c2 = cent.map(x => x * x).sum
+        val dot = v.zip(cent).map { case (a, b) => a * b }.sum
+        (c2 - 2.0 * dot / n, c)
+      }._1
+      assert(cell === want, s"row $id assigned to $cell, exact argmin is $want")
+    }
+  }
+
   test("IVF: search on a prebuilt index equals the one-shot operator") {
     val dir = tempDir("graft_ivf_idx")
     val queries = emb.filter(col("vec_id") < 5)

@@ -114,6 +114,40 @@ class MinHashIndexSpec extends SparkSpec {
       s"legacy index must still dedup (unscreened): $survivors")
   }
 
+  test("deleteIds retracts a doc: its near-dups pass, compact folds both layers") {
+    val dir = Files.createTempDirectory("graft_mh_del").toString
+    val corpus = docs.filter(col("doc_id") < 100)
+    MinHashIndex.build(corpus, "doc_id", "text", dir)
+    // a near-dup of indexed doc 7 is suppressed by the index
+    val batch = corpus.filter(col("doc_id") === 7)
+      .select((col("doc_id") + 200000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "graftmutated").as("text"))
+    assert(ids(MinHashIndex.dedupBatch(spark, dir, batch, "text", 0.6)).isEmpty,
+      "precondition: the near-dup of an indexed doc must drop")
+    // retract doc 7 (a decontamination hit / takedown): the same batch
+    // now SURVIVES — the retracted doc no longer suppresses anything
+    import spark.implicits._
+    MinHashIndex.deleteIds(spark, dir, Seq(7L).toDF("doc_id"))
+    assert(ids(MinHashIndex.dedupBatch(spark, dir, batch, "text", 0.6)) ===
+      Seq(200007L))
+    // fold: tombstones leave disk, both layers shrink, n_rows refreshes,
+    // and probe results are unchanged (the fold is the same answer the
+    // anti-join served)
+    MinHashIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/tombstones.parquet").exists())
+    assert(spark.read.parquet(s"$dir/shingles.parquet")
+      .filter(col("doc_id") === 7).count() === 0)
+    assert(spark.read.parquet(s"$dir/buckets.parquet")
+      .filter(col("doc_id") === 7).count() === 0)
+    assert(spark.read.parquet(s"$dir/meta.parquet").head()
+      .getAs[Long]("n_rows") === 99L)
+    assert(ids(MinHashIndex.dedupBatch(spark, dir, batch, "text", 0.6)) ===
+      Seq(200007L))
+    // re-adding the retracted doc AFTER the fold re-arms suppression
+    MinHashIndex.append(spark, dir, corpus.filter(col("doc_id") === 7), "text")
+    assert(ids(MinHashIndex.dedupBatch(spark, dir, batch, "text", 0.6)).isEmpty)
+  }
+
   test("missing index fails loudly") {
     val e = intercept[IllegalArgumentException] {
       MinHashIndex.dedupBatch(
