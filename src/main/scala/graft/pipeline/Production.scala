@@ -606,6 +606,99 @@ object Production {
         ctx.dataPath("clean.documents_decontaminated"))
     }
 
+    // INCREMENTAL near-dup dedup against a PERSISTED MinHash index — the
+    // release-over-release lifecycle (r17 verdict #6): release 1 dedups
+    // within itself and BUILDS `models.neardup_index` from its accepted
+    // docs; every later release dedups its batch against the index
+    // (within-batch + vs everything previously released — the earlier
+    // releases' corpus TEXT is never re-read; the index layers serve it),
+    // appends its accepted docs, and optionally compacts on the way out
+    // (`compact = true` — the in-line maintenance cadence, batch-lane
+    // serialized per the single-maintainer contract). Steady-state cost:
+    // O(|release| + matched buckets), release after release. Releases are
+    // batch-sized by the same contract as the streaming maintainers.
+    Jobs.register("corpus-curation", "dedup-corpus-index") { (ctx, params) =>
+      val s = ctx.spark
+      import graft.dedup.{Dedup, MinHashIndex}
+      val threshold = params.getOrElse("threshold", "0.7").toString.toDouble
+      val shingleK = params.getOrElse("shingle_k", "3").toString.toInt
+      val input = params.getOrElse("input", "clean.documents_c4").toString
+      val docs = Tables.readData(s, Seq(ctx.dataPath(input)))
+      val dir = ctx.dataPath("models.neardup_index")
+      val out = ctx.dataPath(params.getOrElse("output", "clean.documents").toString)
+      val survivors =
+        if (MinHashIndex.exists(s, dir))
+          MinHashIndex.dedupBatch(s, dir, docs, "text", threshold)
+        else Dedup.nearDupDedup(docs, "doc_id", "text", threshold, shingleK)
+      save(ctx, survivors, out)
+      // index the ACCEPTED rows from the just-published output (already
+      // materialized — no second lineage run of the dedup join)
+      val accepted = Tables.readData(s, Seq(out))
+      if (MinHashIndex.exists(s, dir)) MinHashIndex.append(s, dir, accepted, "text")
+      else MinHashIndex.build(accepted, "doc_id", "text", dir, shingleK = shingleK)
+      if (params.getOrElse("compact", "false").toString.toBoolean)
+        MinHashIndex.compact(s, dir)
+    }
+
+    // INCREMENTAL semantic dedup against a PERSISTED (optionally sharded)
+    // ANN index — SemDeDup release over release, the vector twin of
+    // dedup-corpus-index: release 1 dedups within itself and builds
+    // `models.semantic_index` from its accepted embeddings (sharded when
+    // `n_shards` > 0 — the 100 TB layout); later releases probe it
+    // (partition-pruned cells — accepted embeddings are never rescanned),
+    // drop rows with an accepted neighbor at `threshold`+ cosine, append
+    // survivors (assigned against the persisted per-shard centroids —
+    // batch-sized, map-only), and optionally compact.
+    Jobs.register("corpus-curation", "semantic-dedup-index") { (ctx, params) =>
+      val s = ctx.spark
+      import graft.similarity.{AnnIndex, Similarity}
+      val threshold = params.getOrElse("threshold", "0.97").toString.toDouble
+      val nprobe = params.getOrElse("nprobe", "0").toString.toInt
+      val idCol = params.getOrElse("id_col", "vec_id").toString
+      val vecCol = params.getOrElse("vec_col", "embedding").toString
+      val input = params.getOrElse("input", "raw.embeddings").toString
+      val vecs = Tables.readData(s, Seq(ctx.dataPath(input)))
+      val dir = ctx.dataPath("models.semantic_index")
+      val out = ctx.dataPath(params.getOrElse("output", "clean.embeddings").toString)
+      // in-batch semantic dedup: lowest id of each twin chain survives
+      val inBatchLosers = Similarity
+        .embeddingNearDupPairs(vecs, idCol, vecCol, threshold)
+        .select(col("id_b").as(idCol)).distinct()
+      val inBatch = vecs.join(inBatchLosers, Seq(idCol), "left_anti")
+      val survivors =
+        if (!AnnIndex.exists(s, dir)) inBatch
+        else {
+          val hits = (AnnIndex.kindOf(s, dir) match {
+            case "ivf" => AnnIndex.searchIvf(
+              s, dir, inBatch, idCol, vecCol, k = 1, nprobe)
+            case "ivf_sharded" => AnnIndex.searchIvfSharded(
+              s, dir, inBatch, idCol, vecCol, k = 1, nprobe)
+            case other => throw new IllegalArgumentException(
+              "semantic-dedup-index serves ivf | ivf_sharded indexes, " +
+                s"got '$other'")
+          }).filter(col("cosine") >= threshold)
+            .select(col("query_id").as(idCol)).distinct()
+          inBatch.join(hits, Seq(idCol), "left_anti")
+        }
+      save(ctx, survivors, out)
+      val accepted = Tables.readData(s, Seq(out))
+      if (AnnIndex.exists(s, dir)) AnnIndex.kindOf(s, dir) match {
+        case "ivf"         => AnnIndex.appendIvf(accepted, vecCol, dir)
+        case "ivf_sharded" => AnnIndex.appendIvfSharded(accepted, vecCol, dir)
+        case other => throw new IllegalArgumentException(
+          s"semantic-dedup-index serves ivf | ivf_sharded indexes, got '$other'")
+      }
+      else {
+        val nShards = params.getOrElse("n_shards", "0").toString.toInt
+        if (nShards > 0)
+          AnnIndex.buildIvfSharded(accepted, idCol, vecCol, dir, nShards,
+            seed = ctx.seed)
+        else AnnIndex.buildIvf(accepted, idCol, vecCol, dir, seed = ctx.seed)
+      }
+      if (params.getOrElse("compact", "false").toString.toBoolean)
+        AnnIndex.compact(s, dir)
+    }
+
     // split the curated corpus with near-dup clusters held together: pairs
     // from the minhash report feed connected components, and every cluster
     // draws one split — eval can't be contaminated by a near-twin of a

@@ -1344,6 +1344,29 @@ object LlmQueries {
           "embedding", k = 10, nprobe = 8, refine = 50)
         .orderBy(col("query_id"), col("rank"))
     },
+    // --- resharded PQ, int8-exact twin (r18): build 3 shards with the
+    // refine payload, RESHARD to 2 from the stored int8 vectors (no
+    // corpus re-read). The per-vector quantizer is idempotent (max
+    // element maps to ±127 exactly), so the resharded refine payload is
+    // BIT-identical and the exhaustive+covering-refine answer must still
+    // equal the int8-exact oracle row for row — codebook re-fits only
+    // move the ADC shortlist stage, which the covering refine repairs.
+    "ann_ivfpq_resharded_exact" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 500)
+      val idx = annIndexDir(dir, "ivfpqrsh")
+      // _STAGED gate, same rationale as ann_resharded_search_exact
+      if (!new java.io.File(s"$idx/_STAGED").exists()) {
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+        graft.similarity.AnnIndex.buildIvfPqSharded(e, "vec_id", "embedding",
+          idx, nShards = 3, nlist = 8, m = 8, codes = 256, refine = true)
+        graft.similarity.AnnIndex.reshardIvfPq(s, idx, newShards = 2, nlist = 8)
+        new java.io.File(s"$idx/_STAGED").createNewFile()
+      }
+      graft.similarity.AnnIndex
+        .searchIvfPqSharded(s, idx, e.filter(col("vec_id") < 5), "vec_id",
+          "embedding", k = 10, nprobe = 8, refine = 50)
+        .orderBy(col("query_id"), col("rank"))
+    },
     // --- attribute-filtered vector search: neighbors WITHIN a label slice.
     // The index stores `label` alongside each vector (attrCols) and the
     // search pushes the predicate into the pruned corpus scan. At
@@ -4008,6 +4031,7 @@ object LlmQueries {
     // + a shortlist-covering refine factor per shard merge to exactly
     // the single index's refined ranking
     "ann_ivfpq_sharded_exact" -> AnnIvfpqRefinedExactSql,
+    "ann_ivfpq_resharded_exact" -> AnnIvfpqRefinedExactSql,
     "bigram_logprob" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS w
         |           FROM documents),

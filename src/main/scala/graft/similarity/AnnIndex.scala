@@ -1052,7 +1052,67 @@ object AnnIndex {
       newShards: Int,
       nlist: Int = 0,
       seed: Long = 0L,
-      buildParallelism: Int = 4): Unit = {
+      buildParallelism: Int = 4): Unit =
+    reshardSwap(spark, dir, "ivf_sharded", newShards) { (m, stored, out) =>
+      val quantized = stored.columns.contains("__q")
+      val attrs = (stored.columns.toSet
+        -- Set(m.idCol, "__cv", "__q", "__cn", "__cell")).toSeq.sorted
+      val corpus = scoringForm(stored, quantized)
+        .select((m.idCol +: "__cv" +: attrs).map(col): _*)
+      buildIvfSharded(corpus, m.idCol, "__cv", out, newShards,
+        nlist, seed, quantize = quantized, attrCols = attrs,
+        buildParallelism = buildParallelism)
+    }
+
+  /** Shard-count change for a sharded IVF-PQ index WITHOUT the original
+    * corpus — available when the index stores the int8 refine payload
+    * (`refine = true`, the DEFAULT): the corpus is reconstructed by
+    * dequantizing `__q`, and because the per-vector symmetric quantizer
+    * is IDEMPOTENT (the max-magnitude element maps to ±127 exactly, so
+    * re-quantizing a dequantized payload reproduces codes and scale bit
+    * for bit — spec-pinned), the new index's refine payload is
+    * BIT-IDENTICAL to the old: zero added drift, and exhaustive-probe
+    * refined search equals the pre-reshard answer row for row
+    * (`ann_ivfpq_resharded_exact` full oracle). Per-shard codebooks and
+    * coarse cells ARE re-fit — they are per-shard state by design; only
+    * the ADC shortlist stage sees them, and a shortlist-covering refine
+    * repairs it exactly as at build time. Codes-only indexes
+    * (`refine = false`) REFUSE: codes decode only through their shard's
+    * codebooks, and rebuilding from that reconstruction would stack
+    * approximation on approximation — rebuild those from the original
+    * corpus. Pending tombstones fold; publish/crash/single-maintainer
+    * contracts are [[reshardIvf]]'s. */
+  def reshardIvfPq(
+      spark: SparkSession,
+      dir: String,
+      newShards: Int,
+      nlist: Int = 0,
+      seed: Long = 0L,
+      buildParallelism: Int = 4): Unit =
+    reshardSwap(spark, dir, "ivfpq_sharded", newShards) { (m, stored, out) =>
+      require(stored.columns.contains("__q"),
+        s"reshardIvfPq: the index at $dir is codes-only (refine = false) — " +
+          "its vectors exist only as per-shard-codebook codes, and " +
+          "re-encoding from that reconstruction would stack approximation " +
+          "on approximation; rebuild from the original corpus instead")
+      val shardMeta = readMeta(spark, s"$dir/shard=0", "ivfpq")
+      val attrs = (stored.columns.toSet
+        -- Set(m.idCol, "__q", "__cn", "__cell", "__codes", "__rn")).toSeq.sorted
+      val corpus = stored
+        .withColumn("__cv", Similarity.dequantizeInt8(col("__q")))
+        .select((m.idCol +: "__cv" +: attrs).map(col): _*)
+      buildIvfPqSharded(corpus, m.idCol, "__cv", out, newShards, nlist,
+        m = shardMeta.tables, codes = shardMeta.bits, seed = seed,
+        attrCols = attrs, refine = true,
+        buildParallelism = buildParallelism)
+    }
+
+  /** The shared reshard core: crashed-swap recovery, tombstone-folded
+    * union of the stored per-shard payloads, `build` into a staging
+    * sibling, non-index state carry, checked-rename publish. */
+  private def reshardSwap(
+      spark: SparkSession, dir: String, expectKind: String, newShards: Int)(
+      build: (Meta, DataFrame, String) => Unit): Unit = {
     require(newShards >= 1, s"newShards must be >= 1, got $newShards")
     import org.apache.hadoop.fs.Path
     val live = new Path(dir)
@@ -1062,12 +1122,12 @@ object AnnIndex {
     // recover a crashed swap: the old index is the authoritative copy
     if (!fs.exists(live)) {
       require(fs.exists(preshard),
-        s"reshardIvf: no index at $dir and no .preshard backup to recover")
+        s"reshard: no index at $dir and no .preshard backup to recover")
       require(fs.rename(preshard, live),
-        s"reshardIvf: recovery rename $preshard -> $live failed")
+        s"reshard: recovery rename $preshard -> $live failed")
     }
     if (fs.exists(staging)) fs.delete(staging, true)
-    val m = readMeta(spark, dir, "ivf_sharded")
+    val m = readMeta(spark, dir, expectKind)
     // pending tombstones fold here too: resharding rebuilds from the
     // stored payloads, and carrying a deleted row into a shard whose
     // tombstone table was left behind would RESURRECT it
@@ -1075,14 +1135,7 @@ object AnnIndex {
       .map(sh => minusTombstones(spark, s"$dir/shard=$sh", m.idCol,
         spark.read.parquet(s"$dir/shard=$sh/corpus.parquet")))
       .reduce(_.unionByName(_))
-    val quantized = stored.columns.contains("__q")
-    val attrs = (stored.columns.toSet
-      -- Set(m.idCol, "__cv", "__q", "__cn", "__cell")).toSeq.sorted
-    val corpus = scoringForm(stored, quantized)
-      .select((m.idCol +: "__cv" +: attrs).map(col): _*)
-    buildIvfSharded(corpus, m.idCol, "__cv", staging.toString, newShards,
-      nlist, seed, quantize = quantized, attrCols = attrs,
-      buildParallelism = buildParallelism)
+    build(m, stored, staging.toString)
     // carry NON-INDEX state across the swap: streaming maintainers keep
     // their replay markers (`_applied_batches/`, `_begun_batches/`)
     // inside the index directory — dropping them with the old layout
@@ -1097,14 +1150,14 @@ object AnnIndex {
         require(org.apache.hadoop.fs.FileUtil.copy(
           fs, st.getPath, fs, new Path(staging, n), false, true,
           spark.sparkContext.hadoopConfiguration),
-          s"reshardIvf: carrying $n into the resharded index failed")
+          s"reshard: carrying $n into the resharded index failed")
     }
     if (fs.exists(preshard)) fs.delete(preshard, true)
     require(fs.rename(live, preshard),
-      s"reshardIvf: publish rename $live -> $preshard failed")
+      s"reshard: publish rename $live -> $preshard failed")
     require(fs.rename(staging, live),
-      s"reshardIvf: publish rename $staging -> $live failed " +
-        s"(old index preserved at $preshard — rerun reshardIvf to recover)")
+      s"reshard: publish rename $staging -> $live failed " +
+        s"(old index preserved at $preshard — rerun the reshard to recover)")
     fs.delete(preshard, true)
     // same stale-listing hazard as Compaction: a session that searched
     // the old layout holds its file listing in the shared cache

@@ -455,6 +455,53 @@ object Recall {
       shBrute.size, (shBrute & shGot).size, 0.85,
       "3-shard IVF at auto params (each 50k slice tunes at the ramp start: nlist=224, nprobe=75) merged vs exact top-10 on the clustered planted corpus")
 
+    // --- SHARDED IVF-PQ at the DEPLOYED config (r17 verdict #2): the
+    // setup a user actually serves — sharded PQ, refine ON, auto probes,
+    // every knob on its default — had exhaustive-probe EXACTNESS pinned
+    // (ann_ivfpq_sharded_exact) but no planted-truth recall bound: the
+    // one approximate operating point in the suite without one. Same
+    // 150k clustered corpus and exact truth as the sharded IVF row.
+    graft.similarity.AnnIndex.buildIvfPqSharded(
+      shCorpus, "vec_id", "vec", s"$shDir/pq", nShards = 3)
+    val shPqGot = pairSet(
+      graft.similarity.AnnIndex.searchIvfPqSharded(
+        spark, s"$shDir/pq", shQ, "vec_id", "vec", k = 10),
+      "query_id", "vec_id")
+    entries += Entry("ann_ivfpq_sharded_auto", recallOf(shBrute, shPqGot),
+      shBrute.size, (shBrute & shPqGot).size, 0.85,
+      "3-shard IVF-PQ at ALL defaults (per-shard m=8 codebooks, int8 refine re-rank of the auto 10k shortlist, auto probes) merged vs exact top-10 on the clustered planted corpus")
+
+    // --- PRODUCTION-WIDTH vectors (r17 verdict #3): every row above
+    // runs at dims 16-32; production embeddings are 768-1536, where (a)
+    // cluster-overlap geometry differs (distance concentration) and (b)
+    // the dims-aware auto-nlist cap branch (CentroidBudgetDoubles/dims)
+    // is computed. At dims=768 the cap is 10922 cells — it BINDS only
+    // past N≈119M (out of local reach: a 20M×768 corpus is 123 GB; the
+    // capped-point PROBE-VOLUME policy is measured at 20M/40M dims-32
+    // in SCALEBENCH cap-recall) — so this row pins what IS reachable:
+    // the auto policy's recall transfers to production width, and the
+    // centroid broadcast stays inside budget. N=60k, auto nlist=245.
+    val hd = clusteredCorpus(spark, n = 60000L, dims = 768, clusters = 256,
+      noise = 1.0)
+    val hdQ = hd.filter(col("vec_id") < MinRecallQueries)
+    val hdBrute = pairSet(
+      Similarity.cosineTopK(hd, hdQ, "vec_id", "vec", "vec_id", 10),
+      "query_id", "vec_id")
+    val hdDir = Files.createTempDirectory("graft_recall_annhd").toString
+    graft.similarity.AnnIndex.buildIvf(hd, "vec_id", "vec", s"$hdDir/ivf",
+      fitSample = 20000)
+    val hdCells = spark.read.parquet(s"$hdDir/ivf/centroids.parquet").count()
+    require(hdCells * 768 <= Similarity.CentroidBudgetDoubles,
+      s"high-dim auto build broke the centroid broadcast budget: " +
+        s"$hdCells cells × 768 dims > ${Similarity.CentroidBudgetDoubles}")
+    val hdGot = pairSet(
+      graft.similarity.AnnIndex.searchIvf(
+        spark, s"$hdDir/ivf", hdQ, "vec_id", "vec", k = 10),
+      "query_id", "vec_id")
+    entries += Entry("ann_ivf_highdim_auto", recallOf(hdBrute, hdGot),
+      hdBrute.size, (hdBrute & hdGot).size, 0.85,
+      s"dims=768 (production embedding width) at auto params (nlist=$hdCells through the dims-aware cap branch, broadcast ${hdCells * 768 * 8 / 1024} KB <= budget) vs exact top-10 on the clustered planted corpus, N=60k")
+
     // --- hierarchical probe ranking (r15): retrievalNeighbors routes
     // centroid selection through the two-level quantizer once nlist >=
     // 128 and probes <= nlist/8 — measure what the super-cell pruning

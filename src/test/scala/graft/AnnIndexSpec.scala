@@ -846,13 +846,58 @@ class AnnIndexSpec extends SparkSpec {
       emb.filter(col("vec_id") < 2), "vec_id", "embedding", k = 1, nprobe = 16)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     (0L until 2L).foreach(q => assert(got(q) === q + 800000L))
-    // the PQ kind refuses (codes are per-shard-codebook)
+    // the PQ kind refuses the IVF entrypoint (codes are per-shard-codebook)
     val pq = s"${tempDir("graft_pq_reshard")}/idx"
     AnnIndex.buildIvfPqSharded(emb.filter(col("vec_id") < 200), "vec_id",
       "embedding", pq, nShards = 2, nlist = 4)
     val e = intercept[IllegalArgumentException](
       AnnIndex.reshardIvf(spark, pq, 3))
     assert(e.getMessage.contains("kind"))
+  }
+
+  test("reshardIvfPq: re-encode from the int8 refine payload — exhaustive refined answer identical") {
+    // the contract rests on quantizer idempotence: re-quantizing a
+    // dequantized payload reproduces codes and scale bit for bit (the
+    // max-magnitude element maps to ±127 exactly) — pin it directly
+    val once = emb.select(col("vec_id"),
+      Similarity.quantizeInt8(col("embedding").cast("array<double>")).as("q"))
+    val twice = once.select(col("vec_id"),
+      Similarity.quantizeInt8(Similarity.dequantizeInt8(col("q"))).as("q2"),
+      col("q"))
+    assert(twice.filter(col("q") =!= col("q2")).count() === 0,
+      "int8 quantization must be idempotent for the PQ reshard contract")
+    val dir = s"${tempDir("graft_pq_reshard2")}/idx"
+    val corpus = emb.filter(col("vec_id") < 300)
+    AnnIndex.buildIvfPqSharded(corpus, "vec_id", "embedding", dir,
+      nShards = 3, nlist = 4, m = 8, codes = 256, refine = true)
+    val queries = corpus.filter(col("vec_id") < 5)
+    def search() = rows(
+      AnnIndex.searchIvfPqSharded(spark, dir, queries, "vec_id", "embedding",
+        k = 8, nprobe = 4, refine = 40).orderBy(col("query_id"), col("rank")))
+    val want = search()
+    AnnIndex.reshardIvfPq(spark, dir, newShards = 2, nlist = 4)
+    assert(want.nonEmpty && search() === want,
+      "exhaustive+covering-refine answers must survive the PQ reshard bit for bit")
+    val m = spark.read.parquet(s"$dir/meta.parquet").head()
+    assert(m.getAs[String]("kind") === "ivfpq_sharded")
+    assert(m.getAs[Int]("tables") === 2)
+    assert(m.getAs[Long]("n_rows") === corpus.count())
+    // appends still route and encode per NEW shard
+    AnnIndex.appendIvfPqSharded(
+      corpus.filter(col("vec_id") === 0)
+        .select((col("vec_id") + 900000L).as("vec_id"), col("embedding")),
+      "embedding", dir)
+    val hit = AnnIndex.searchIvfPqSharded(spark, dir,
+      corpus.filter(col("vec_id") === 0), "vec_id", "embedding", k = 1,
+      nprobe = 4, refine = 40).collect()
+    assert(hit.length === 1 && hit.head.getLong(1) === 900000L)
+    // a codes-only index refuses (vectors exist only as codebook codes)
+    val lean = s"${tempDir("graft_pq_reshard_lean")}/idx"
+    AnnIndex.buildIvfPqSharded(emb.filter(col("vec_id") < 200), "vec_id",
+      "embedding", lean, nShards = 2, nlist = 4, refine = false)
+    val err = intercept[IllegalArgumentException](
+      AnnIndex.reshardIvfPq(spark, lean, 3))
+    assert(err.getMessage.contains("codes-only"))
   }
 
   // ----------------------------------------------------------- compaction

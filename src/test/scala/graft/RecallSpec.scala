@@ -25,6 +25,10 @@ import graft.tools.Recall
   *   - IVF auto mid-ramp on NEAR-UNIFORM 90k (the pessimal
   *     shape — measured 0.744 r17, the documented degradation
   *     inside the blend; see ivfAutoNprobe SCOPE note)       >= 0.65
+  *   - sharded IVF-PQ at the DEPLOYED defaults (refine on,
+  *     auto probes — r18)                                    >= 0.85
+  *   - dims=768 production-width auto point (r18; centroid
+  *     broadcast budget require()d in the harness)           >= 0.85
   *
   * The same harness run as `runMain graft.tools.Recall` writes the round
   * artifact (RECALL_r*.json); the bounds here and there are one list.
@@ -43,7 +47,8 @@ class RecallSpec extends SparkSpec {
       "rouge_neardup_hr", "retrieval_neighbors",
       "ann_ivf_scale_policy", "ann_ivf_scale_policy_zipf",
       "ann_ivf_scale_byk", "retrieval_neighbors_hierarchical",
-      "ann_ivf_ramp_uniform", "ann_ivf_sharded_auto")
+      "ann_ivf_ramp_uniform", "ann_ivf_sharded_auto",
+      "ann_ivfpq_sharded_auto", "ann_ivf_highdim_auto")
     assert(entries.map(_.name).toSet === expected)
     val failures = entries.filter(e => e.recall < e.minBound)
     assert(failures.isEmpty,
