@@ -699,6 +699,34 @@ object Production {
         AnnIndex.compact(s, dir)
     }
 
+    // RETRACTION: delete ids from the persisted curation indexes — the
+    // enforcement half of a decontamination hit / takedown against rows
+    // that already shipped in an earlier release. Tombstone semantics
+    // (AnnIndex.deleteIds / MinHashIndex.deleteIds): takes effect at the
+    // next probe immediately, folds physically at the next compact
+    // (`compact = true` folds in the same run). `index` picks the layer:
+    // neardup (models.neardup_index), semantic (models.semantic_index),
+    // or both.
+    Jobs.register("corpus-curation", "index-retract") { (ctx, params) =>
+      val s = ctx.spark
+      val ids = Tables.readData(s,
+        Seq(ctx.dataPath(params.getOrElse("input", "raw.retracted_ids").toString)))
+      val which = params.getOrElse("index", "both").toString
+      val compact = params.getOrElse("compact", "false").toString.toBoolean
+      require(Set("neardup", "semantic", "both")(which),
+        s"index-retract: index must be neardup | semantic | both, got '$which'")
+      if (which != "semantic") {
+        val dir = ctx.dataPath("models.neardup_index")
+        graft.dedup.MinHashIndex.deleteIds(s, dir, ids)
+        if (compact) graft.dedup.MinHashIndex.compact(s, dir)
+      }
+      if (which != "neardup") {
+        val dir = ctx.dataPath("models.semantic_index")
+        graft.similarity.AnnIndex.deleteIds(s, dir, ids)
+        if (compact) graft.similarity.AnnIndex.compact(s, dir)
+      }
+    }
+
     // split the curated corpus with near-dup clusters held together: pairs
     // from the minhash report feed connected components, and every cluster
     // draws one split — eval can't be contaminated by a near-twin of a

@@ -470,6 +470,45 @@ object Streaming {
       }
       .start()
 
+  /** Continuous RETRACTION feed against a persisted index — the takedown
+    * half of the serving lifecycle ([[maintainAnnIndex]] appends; this
+    * deletes): each micro-batch of ids rides
+    * [[graft.similarity.AnnIndex.deleteIds]] /
+    * [[graft.dedup.MinHashIndex.deleteIds]] (id-frame-sized tombstone
+    * writes; searches exclude the ids from the NEXT probe on), with the
+    * same `compactEvery` cadence FOLDING accumulated tombstones into the
+    * data files. `kind` = "ann" | "minhash". Replays are marker-gated
+    * (stateDir = the index dir — shared with the append maintainer's
+    * markers only if both run against one index from ONE lane, per the
+    * single-maintainer contract); a replayed delete would be a harmless
+    * no-op anyway (tombstoning is idempotent), the gate just skips the
+    * work. */
+  def maintainRetractions(
+      ids: DataFrame,
+      indexDir: String,
+      checkpoint: String,
+      kind: String = "ann",
+      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+    require(kind == "ann" || kind == "minhash",
+      s"maintainRetractions: kind must be ann | minhash, got '$kind'")
+    ids.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val applied = markerGated(s, s"$indexDir/_retract", batchId) {
+          if (!batch.isEmpty) {
+            if (kind == "ann") graft.similarity.AnnIndex.deleteIds(s, indexDir, batch)
+            else graft.dedup.MinHashIndex.deleteIds(s, indexDir, batch)
+          }
+        }
+        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          if (kind == "ann") graft.similarity.AnnIndex.compact(s, indexDir)
+          else graft.dedup.MinHashIndex.compact(s, indexDir)
+        }
+      }
+      .start()
+  }
+
   /** The marker-gated append one micro-batch performs: append iff this
     * batchId has no marker, write the marker after the append commits.
     * Returns true iff the batch was applied (false = replay no-op). */

@@ -1894,6 +1894,47 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(new java.io.File(
       s"$work/neardup_index/shingles.parquet/_graft_published").exists(),
       "compact=true must run the maintenance rewrite")
+    // RETRACTION through the catalog: a decontamination hit against an
+    // already-shipped doc/vector is retracted from both indexes; a
+    // release-3-shaped near-dup of the retracted doc now SURVIVES, and
+    // the retracted vector stops suppressing its clone
+    val keepDoc = r2Docs.min
+    val keepVec = r2Vecs.min
+    Seq((keepDoc, keepVec)).toDF("doc_id", "vec_id")
+      .write.parquet(s"$work/retract_ids")
+    val retractCfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Map("jobs" -> List(Map(
+        "name" -> "corpus-curation", "fail_fast" -> true,
+        "stages" -> List(Map("name" -> "retract", "tasks" -> List(
+          task("index-retract", "index" -> "both", "compact" -> "true"))))))),
+      "data_catalog" -> Map(
+        "raw" -> Map("retracted_ids" -> s"$work/retract_ids"),
+        "models" -> Map(
+          "neardup_index" -> s"$work/neardup_index",
+          "semantic_index" -> s"$work/semantic_index")))
+    assert(graft.pipeline.Jobs.run(Context(retractCfg, spark),
+      "corpus-curation").isEmpty)
+    // fold happened (compact = true): the retracted doc left the layers
+    assert(spark.read.parquet(s"$work/neardup_index/shingles.parquet")
+      .filter(col("doc_id") === keepDoc).count() === 0)
+    // a near-dup of the retracted doc is no longer suppressed
+    val probe = docs.filter(col("doc_id") === keepDoc)
+      .select((col("doc_id") + 800000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "graftmutated").as("text"))
+    val probeSurvivors = graft.dedup.MinHashIndex
+      .dedupBatch(spark, s"$work/neardup_index", probe, "text", 0.6)
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    assert(probeSurvivors === Set(keepDoc + 800000),
+      "the retracted doc must stop suppressing its near-dups")
+    // and the retracted vector no longer surfaces from the ANN index
+    val vecProbe = emb.filter(col("vec_id") === keepVec)
+      .select((col("vec_id") + 800000).as("vec_id"), col("embedding"))
+    val nn = graft.similarity.AnnIndex.searchIvfSharded(spark,
+      s"$work/semantic_index", vecProbe, "vec_id", "embedding", k = 1)
+      .collect()
+    assert(nn.isEmpty || nn.head.getLong(1) != keepVec,
+      "the retracted vector must not be served as a neighbor")
   }
 }
 

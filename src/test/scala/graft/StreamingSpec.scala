@@ -449,6 +449,41 @@ class StreamingSpec extends SparkSpec {
       260 * 4, "a replayed batch must not duplicate index rows") // 4 tables
   }
 
+  test("streaming retraction feed: ids tombstone out of search, cadence folds, replays no-op") {
+    import graft.similarity.AnnIndex
+    import org.apache.spark.sql.functions.col
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-retract").toString
+    val idx = s"$work/idx"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", idx, nlist = 16)
+    val queries = emb.filter(col("vec_id") < 3)
+    def served(): Set[Long] = AnnIndex
+      .searchIvf(spark, idx, queries, "vec_id", "embedding", k = 5, nprobe = 16)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    val doomed = served().toSeq.sorted
+    assert(doomed.nonEmpty)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Long]
+    val q = Streaming.maintainRetractions(
+      input.toDF.toDF("vec_id"), idx, s"$work/ckpt", kind = "ann",
+      compactEvery = 2)
+    input.addData(doomed.take(2))
+    q.processAllAvailable()
+    input.addData(doomed.drop(2))
+    q.processAllAvailable() // 2nd applied batch -> cadence folds tombstones
+    q.stop()
+    assert((served() & doomed.toSet).isEmpty,
+      "retracted ids must stop being served")
+    // the cadence FOLDED: tombstones left disk, rows left the corpus
+    assert(!new java.io.File(s"$idx/tombstones.parquet").exists())
+    assert(spark.read.parquet(s"$idx/corpus.parquet").count() ===
+      emb.count() - doomed.size)
+    // a replayed batch is a marker-gated no-op (and harmless anyway)
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/_retract/_applied_batches/0")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(marker))
+  }
+
   test("streaming append dispatch reaches the sharded index kinds") {
     import graft.similarity.AnnIndex
     import org.apache.spark.sql.functions._
