@@ -416,12 +416,19 @@ object AnnIndex {
     // tombstoned rows drop after pruning, before any ADC work
     val filtered = minusTombstones(spark, dir, m.idCol,
       corpusFilter.fold(pruned)(pruned.filter))
-    val adcCosine =
-      // Σ lut = q·x̂; divide by the stored ‖x̂‖ → cos(q, x̂)
-      expr(
-        s"aggregate(zip_with(__codes, sequence(0, ${m.tables - 1}), " +
-          s"(c, j) -> element_at(__lut, j * ${m.bits} + c + 1)), " +
-          "0D, (acc, x) -> acc + x)") / col("__rn")
+    val adcCosine = {
+      // Σ lut = q·x̂; divide by the stored ‖x̂‖ → cos(q, x̂). The codegen'd
+      // AdcDot kernel replaced the r17 aggregate∘zip_with formulation,
+      // which allocated a sequence array and folded interpreted lambdas
+      // PER CANDIDATE ROW on the hottest loop a PQ search has (measured
+      // 2.6× min-of-3 on a materialized 1M-candidate scoring scan at
+      // m=8 — the scan-bound floor; the kernel term alone shrinks more)
+      import org.apache.spark.sql.graft.Bridge
+      Bridge.column(graft.expressions.AdcDot(
+        Bridge.expression(col("__codes")),
+        Bridge.expression(col("__lut")),
+        Bridge.expression(lit(m.bits)))) / col("__rn")
+    }
     val scored = filtered
       // query probes are broadcast-small at the join site (same contract
       // as ivfScore — ivfQueryProbes leaves hinting to its consumers)

@@ -4,56 +4,57 @@ import org.apache.spark.sql.functions._
 
 /** Scratch driver for ad-hoc plan/timing probes during development —
   * rewritten per investigation; not part of any shipped surface. Current
-  * probe: drive the r18 compaction-crash guards and the reshard
-  * state-carry end-to-end on real testdata.
+  * probe: A/B the codegen'd AdcDot kernel against the r17
+  * aggregate∘zip_with ADC formulation over a 1M-candidate scoring scan.
   */
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.001"
-    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    import org.apache.spark.sql.graft.Bridge
 
-    // 1. compact end-to-end: build, append, compact — marker planted,
-    //    results identical
-    val scratch = java.nio.file.Files.createTempDirectory("drive_r18").toString
-    val idx = s"$scratch/ivf"
-    graft.similarity.AnnIndex.buildIvf(
-      emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", idx, nlist = 16)
-    graft.similarity.AnnIndex.appendIvf(
-      emb.filter(col("vec_id") % 2 === 1), "embedding", idx)
-    val q = emb.filter(col("vec_id") < 3)
-    def res() = graft.similarity.AnnIndex
-      .searchIvf(spark, idx, q, "vec_id", "embedding", k = 5, nprobe = 16)
-      .orderBy(col("query_id"), col("rank")).collect().toSeq
-    val before = res()
-    graft.similarity.AnnIndex.compact(spark, idx)
-    val markerOk = new java.io.File(s"$idx/corpus.parquet/_graft_published").exists()
-    println(s"PROBE compact identical=${res() == before} marker=$markerOk")
+    val corpus = "/tmp/graft_compaction_corpus"
+    if (!new java.io.File(s"$corpus/_SUCCESS").exists()) {
+      Recall.clusteredCorpus(spark, n = 1120000L, dims = 16,
+          clusters = 1024, noise = 1.0)
+        .write.mode("overwrite").parquet(corpus)
+    }
+    val all = spark.read.parquet(corpus).filter(col("vec_id") < 1000000L)
+    // a synthetic codes table shaped like the PQ scoring scan (m=8
+    // subspaces, 256 codes each), MATERIALIZED so the probe times the
+    // scoring scan, not the synthetic-data expressions; the lut rides a
+    // broadcast 1-row join exactly like the real per-query lut
+    val m = 8; val codes = 256
+    val codesPath = "/tmp/graft_adc_probe_codes"
+    if (!new java.io.File(s"$codesPath/_SUCCESS").exists())
+      all.select(col("vec_id"),
+        expr(s"transform(sequence(0, ${m - 1}), j -> CAST(pmod(xxhash64(vec_id, j), $codes) AS INT))").as("__codes"),
+        lit(1.0).as("__rn"))
+        .write.mode("overwrite").parquet(codesPath)
+    val lutDf = spark.range(1).select(
+      expr(s"transform(sequence(0, ${m * codes - 1}), s -> CAST(s AS DOUBLE) / 1000.0)").as("__lut"))
+    val withLut = spark.read.parquet(codesPath).crossJoin(broadcast(lutDf))
 
-    // 2. crashed-publish guard: simulate live-absent + backup-present
-    val fs = new org.apache.hadoop.fs.Path(idx)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.rename(
-      new org.apache.hadoop.fs.Path(s"$idx/corpus.parquet"),
-      new org.apache.hadoop.fs.Path(s"$idx/.precompact_corpus.parquet")))
-    val guarded =
-      try { graft.io.Compaction.requireNoPendingPublish(spark, s"$idx/corpus.parquet"); false }
-      catch { case _: IllegalStateException => true }
-    require(fs.rename(
-      new org.apache.hadoop.fs.Path(s"$idx/.precompact_corpus.parquet"),
-      new org.apache.hadoop.fs.Path(s"$idx/corpus.parquet")))
-    println(s"PROBE pending-publish guard fired=$guarded")
+    val oldAdc = expr(
+      s"aggregate(zip_with(__codes, sequence(0, ${m - 1}), " +
+        s"(c, j) -> element_at(__lut, j * $codes + c + 1)), " +
+        "0D, (acc, x) -> acc + x)") / col("__rn")
+    val newAdc = Bridge.column(graft.expressions.AdcDot(
+      Bridge.expression(col("__codes")),
+      Bridge.expression(col("__lut")),
+      Bridge.expression(lit(codes)))) / col("__rn")
 
-    // 3. reshard carries _applied_batches
-    val sh = s"$scratch/ivfsh"
-    graft.similarity.AnnIndex.buildIvfSharded(emb, "vec_id", "embedding", sh,
-      nShards = 3, nlist = 16)
-    val m = new org.apache.hadoop.fs.Path(s"$sh/_applied_batches/42")
-    fs.mkdirs(m.getParent); fs.create(m, true).close()
-    graft.similarity.AnnIndex.reshardIvf(spark, sh, newShards = 2, nlist = 16)
-    println(s"PROBE reshard carried markers=${fs.exists(m)}")
+    // equality first: both formulas agree on every row
+    val diff = withLut.select(oldAdc.as("a"), newAdc.as("b"))
+      .filter(abs(col("a") - col("b")) > 1e-12).count()
+    println(s"PROBE adc_equal mismatches=$diff")
 
+    for ((label, c) <- Seq("old_hof" -> oldAdc, "new_codegen" -> newAdc);
+         it <- 1 to 3) {
+      val t0 = System.nanoTime()
+      val n = withLut.select(sum(c)).head().getDouble(0)
+      println(f"""PROBE adc_$label iter=$it sec=${(System.nanoTime() - t0) / 1e9}%.3f sum=$n%.1f""")
+    }
     spark.stop()
   }
 }
