@@ -51,9 +51,14 @@ object Similarity {
       scale.cast("float").as("scale"))
   }
 
-  /** Inverse of [[quantizeInt8]] (lossy): codes * scale as double array. */
+  /** Inverse of [[quantizeInt8]] (lossy): codes * scale as double array.
+    * A codegen'd kernel ([[graft.expressions.DequantizeInt8]]) since r18:
+    * the `transform` formulation ran an interpreted lambda per element
+    * per row on the scoring path of every QUANTIZED index search (every
+    * pruned candidate dequantizes before the exact re-rank — ~10⁹
+    * interpreted calls for a 1M-candidate scan at production dims). */
   def dequantizeInt8(q: Column): Column =
-    transform(q("codes"), c => c.cast("double") * q("scale").cast("double"))
+    Bridge.column(graft.expressions.DequantizeInt8(Bridge.expression(q)))
 
   /** Final ranking shared by all top-k searches: k best by
     * (cosine DESC, id ASC) per query. The window formulation is
