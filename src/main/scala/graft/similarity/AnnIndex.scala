@@ -196,6 +196,73 @@ object AnnIndex {
     }
   }
 
+  /** Operational one-row health report for a persisted index — what an
+    * operator checks before deciding to compact, fold, or reshard:
+    * row counts (stored vs pending tombstones), layout decay (data file
+    * count + bytes — the small-file signal `compact` repairs), and the
+    * structure scale (cells/tables, shards). Sharded indexes aggregate
+    * across shards. Pure file-listing + meta reads — never scans data
+    * rows, so it is safe to call from a monitoring cadence. */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    require(exists(spark, dir), s"no ANN index at $dir")
+    val kind = kindOf(spark, dir)
+    val m = readMeta(spark, dir, kind)
+    def fileStats(sub: String): (Long, Long) = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) (0L, 0L)
+      else {
+        val it = fs.listFiles(p, true)
+        var n = 0L; var b = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.startsWith("part-")) { n += 1; b += f.getLen }
+        }
+        (n, b)
+      }
+    }
+    def tombstoneCount(d: String): Long =
+      if (!hasTombstones(spark, d)) 0L
+      else spark.read.parquet(s"$d/$TombstoneFile").distinct().count()
+    kind match {
+      case "ivf" | "ivfpq" | "lsh" =>
+        val dataTable = if (kind == "lsh") "signatures.parquet" else "corpus.parquet"
+        val (files, bytes) = fileStats(dataTable)
+        val cells = if (kind == "lsh") m.tables else m.nlist
+        Seq((kind, m.idCol, m.nRows, tombstoneCount(dir), cells, 1,
+            files, bytes, m.quantized))
+          .toDF("kind", "id_col", "n_rows", "pending_tombstones",
+            "cells_or_tables", "n_shards", "data_files", "data_bytes",
+            "quantized")
+      case "ivf_sharded" | "ivfpq_sharded" =>
+        val inner = if (kind == "ivf_sharded") "ivf" else "ivfpq"
+        val per = (0 until m.tables).map { sh =>
+          val sd = s"$dir/shard=$sh"
+          val sm = readMeta(spark, sd, inner)
+          val (f, b) = {
+            val p = new org.apache.hadoop.fs.Path(s"$sd/corpus.parquet")
+            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val it = fs.listFiles(p, true)
+            var n = 0L; var bb = 0L
+            while (it.hasNext) {
+              val x = it.next()
+              if (x.getPath.getName.startsWith("part-")) { n += 1; bb += x.getLen }
+            }
+            (n, bb)
+          }
+          (sm.nRows, tombstoneCount(sd), sm.nlist.toLong, f, b, sm.quantized)
+        }
+        Seq((kind, m.idCol, m.nRows, per.map(_._2).sum, per.map(_._3).sum.toInt,
+            m.tables, per.map(_._4).sum, per.map(_._5).sum, per.head._6))
+          .toDF("kind", "id_col", "n_rows", "pending_tombstones",
+            "cells_or_tables", "n_shards", "data_files", "data_bytes",
+            "quantized")
+      case other => throw new IllegalArgumentException(
+        s"stats: unknown index kind '$other' at $dir")
+    }
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** Fit the coarse quantizer once and persist centroids + the

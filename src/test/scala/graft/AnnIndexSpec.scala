@@ -134,6 +134,43 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("stats reports rows, pending tombstones, layout decay; tombstone anti-join broadcasts") {
+    import spark.implicits._
+    val dir = tempDir("graft_ivf_stats")
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", dir, nlist = 16)
+    val s0 = AnnIndex.stats(spark, dir).head()
+    assert(s0.getAs[String]("kind") === "ivf")
+    assert(s0.getAs[Long]("n_rows") === emb.count())
+    assert(s0.getAs[Long]("pending_tombstones") === 0L)
+    assert(s0.getAs[Long]("data_files") > 0L && s0.getAs[Long]("data_bytes") > 0L)
+    AnnIndex.deleteIds(spark, dir, Seq(1L, 2L, 3L).toDF("vec_id"))
+    val s1 = AnnIndex.stats(spark, dir).head()
+    assert(s1.getAs[Long]("pending_tombstones") === 3L)
+    // the tombstone anti-join must be a BROADCAST hash join (takedown
+    // sets are small; a sort-merge anti would shuffle every pruned
+    // candidate's payload) — pin the strategy
+    // string-match: the executed plan is an AdaptiveSparkPlan wrapper,
+    // which collect() does not traverse into
+    val plan = AnnIndex.searchIvf(spark, dir, emb.filter(col("vec_id") < 2),
+      "vec_id", "embedding", k = 3, nprobe = 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"tombstone filter must broadcast the tombstone side:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"tombstone filter must not sort-merge the candidates:\n$plan")
+    AnnIndex.compact(spark, dir)
+    val s2 = AnnIndex.stats(spark, dir).head()
+    assert(s2.getAs[Long]("pending_tombstones") === 0L)
+    assert(s2.getAs[Long]("n_rows") === emb.count() - 3)
+    // sharded aggregation
+    val sh = tempDir("graft_sh_stats")
+    AnnIndex.buildIvfSharded(emb, "vec_id", "embedding", sh, nShards = 3, nlist = 8)
+    val s3 = AnnIndex.stats(spark, sh).head()
+    assert(s3.getAs[String]("kind") === "ivf_sharded")
+    assert(s3.getAs[Int]("n_shards") === 3)
+    assert(s3.getAs[Long]("n_rows") === emb.count())
+  }
+
   test("append assignment is map-only (no window/exchange over batch×centroids) and exact") {
     val dir = tempDir("graft_ivf_assign")
     AnnIndex.buildIvf(emb, "vec_id", "embedding", dir, nlist = 16, seed = 7L)
