@@ -409,17 +409,16 @@ object AnnIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.parquet")
     val (books, codesEff) = Similarity.pqFit(corpusVec, idCol, m, codes, seed, fitSample)
     books.write.mode(SaveMode.Overwrite).parquet(s"$dir/codebooks.parquet")
-    val dim = corpusVec.select(size(col("__cv"))).head().getInt(0)
     val assigned = model.transform(corpusVec).drop("__mlvec")
-    val coded = Similarity.pqEncode(assigned, idCol, books, m, dim / m)
+    // codes + reconstruction norm in the same map-only pass as the cell
+    // assignment — no explode/join/aggregate round trip (r18)
     val keepCols =
       if (refine) col(idCol) +: col("__cell") +: col("__q") +: col("__cn") +:
         attrCols.map(col)
       else col(idCol) +: col("__cell") +: attrCols.map(col)
-    clusterByCell(assigned
+    clusterByCell(Similarity.pqEncodeColumns(assigned, books)
         .transform(d => if (refine) storedForm(d, quantize = true) else d)
-        .select(keepCols: _*)
-        .join(coded, Seq(idCol)))
+        .select(keepCols ++ Seq(col("__codes"), col("__rn")): _*))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__cell")
       .parquet(s"$dir/corpus.parquet")
@@ -596,16 +595,17 @@ object AnnIndex {
     val corpusVec = Similarity.ivfNormalizedCorpus(batch, m.idCol, vecCol, attrs)
     val assigned = assignToPersistedCells(corpusVec, centDf)
       .select((Seq(m.idCol, "__cv", "__cn") ++ attrs :+ "__cell").map(col): _*)
-    val sub = books.select(size(col("cent"))).head().getInt(0)
-    val coded = Similarity.pqEncode(assigned, m.idCol, books, m.tables, sub)
+    // assignment AND encoding are both map-only now — the whole PQ
+    // append is shuffle-free on the batch side except the final
+    // clusterByCell layout repartition (r18; r17 shipped an explode +
+    // join + two corpus×m aggregations here)
     val keepCols =
       if (hasRefine) col(m.idCol) +: col("__cell") +: col("__q") +: col("__cn") +:
         attrs.map(col)
       else col(m.idCol) +: col("__cell") +: attrs.map(col)
-    clusterByCell(assigned
+    clusterByCell(Similarity.pqEncodeColumns(assigned, books)
         .transform(d => if (hasRefine) storedForm(d, quantize = true) else d)
-        .select(keepCols: _*)
-        .join(coded, Seq(m.idCol)))
+        .select(keepCols ++ Seq(col("__codes"), col("__rn")): _*))
       .write.mode(SaveMode.Append)
       .partitionBy("__cell")
       .parquet(s"$dir/corpus.parquet")

@@ -991,7 +991,7 @@ object Similarity {
     * per subspace; the sample is hash-ordered like [[ivfFit]]'s so the
     * codebooks are a deterministic function of the data. Returns the
     * tiny broadcast frame (subspace, code, cent ARRAY<DOUBLE>). */
-  private[similarity] def pqFit(
+  private[graft] def pqFit(
       corpusVec: DataFrame,
       idCol: String,
       m: Int,
@@ -1034,8 +1034,14 @@ object Similarity {
     * explode to (row × subspace), a broadcast join against the m·codes
     * codebook rows, an argmin per (id, subspace) — the build-time pass,
     * never repeated at search. Input must carry the UNIT vector
-    * components (`__cv`, `__cn`). */
-  private[similarity] def pqEncode(
+    * components (`__cv`, `__cn`).
+    *
+    * r18: superseded on the build/append paths by [[pqEncodeColumns]]
+    * (map-only — this route shuffles corpus×m rows through TWO hash
+    * aggregations plus a corpus-sized join back by id). Kept as the
+    * differential oracle: DedupSimilaritySpec pins the map-only kernel
+    * code-for-code against this formulation on real embeddings. */
+  private[graft] def pqEncode(
       assigned: DataFrame,
       idCol: String,
       books: DataFrame,
@@ -1059,6 +1065,37 @@ object Similarity {
         expr("transform(sort_array(collect_list(struct(subspace, code))), p -> p.code)")
           .as("__codes"),
         sqrt(sum(col("__c2"))).as("__rn"))
+  }
+
+  /** Map-only twin of [[pqEncode]]: appends `__codes`/`__rn` to `df` in
+    * ONE codegen'd pass ([[graft.expressions.PqEncodeCodes]]) against the
+    * codebooks folded into a single broadcast row (subspace-ascending
+    * lists, code-ascending within — the argmin tie-break). Same
+    * arithmetic element for element (unit-vector slice dot, c2 − 2·dot,
+    * min-struct tie toward the smaller code); `__rn` sums the chosen c2
+    * in fixed subspace order where the aggregate route summed in
+    * whatever order the hash agg visited (a last-ulp difference at most,
+    * under the 6-decimal rounding every reported score carries). With
+    * the map-only cell assignment this makes the whole IVF-PQ
+    * build/append encode pipeline shuffle-free on the corpus side. */
+  private[graft] def pqEncodeColumns(df: DataFrame, books: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    val cands = books
+      .select(col("subspace"),
+        struct(col("code"), col("cent").cast("array<double>").as("cent"),
+          dot(col("cent"), col("cent")).as("__c2")).as("__c"))
+      .groupBy(col("subspace"))
+      .agg(array_sort(collect_list(col("__c"))).as("__cs"))
+      .agg(expr("transform(sort_array(collect_list(struct(subspace, __cs))), p -> p.__cs)")
+        .as("__books"))
+    df.crossJoin(broadcast(cands))
+      .withColumn("__enc", Bridge.column(graft.expressions.PqEncodeCodes(
+        Bridge.expression(col("__cv").cast("array<double>")),
+        Bridge.expression(col("__cn")),
+        Bridge.expression(col("__books")))))
+      .withColumn("__codes", col("__enc.codes"))
+      .withColumn("__rn", col("__enc.rn"))
+      .drop("__enc", "__books")
   }
 
   /** Per-query ADC lookup table: `lut[j·codes + c] = q_j·cent(j,c)`, so

@@ -4,15 +4,14 @@ import org.apache.spark.sql.functions._
 
 /** Scratch driver for ad-hoc plan/timing probes during development —
   * rewritten per investigation; not part of any shipped surface. Current
-  * probe: A/B the codegen'd DequantizeInt8 kernel against the r17
-  * interpreted transform over a 1M-row quantized index payload.
+  * probe: A/B the map-only PqEncodeCodes kernel against the r17
+  * explode+join+aggregate PQ encode over a 1M-row corpus.
   */
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
-    import org.apache.spark.sql.graft.Bridge
-    import graft.similarity.{AnnIndex, Similarity}
+    import graft.similarity.Similarity
 
     val corpus = "/tmp/graft_compaction_corpus"
     if (!new java.io.File(s"$corpus/_SUCCESS").exists()) {
@@ -20,30 +19,25 @@ object Drive {
           clusters = 1024, noise = 1.0)
         .write.mode("overwrite").parquet(corpus)
     }
-    val idx = "/tmp/graft_dq_probe_idx"
-    if (!new java.io.File(s"$idx/meta.parquet/_SUCCESS").exists())
-      AnnIndex.buildIvf(
-        spark.read.parquet(corpus).filter(col("vec_id") < 1000000L),
-        "vec_id", "vec", idx, nlist = 64, quantize = true)
-    val stored = spark.read.parquet(s"$idx/corpus.parquet")
+    val vecs = spark.read.parquet(corpus).filter(col("vec_id") < 1000000L)
+    val corpusVec = Similarity.ivfNormalizedCorpus(vecs, "vec_id", "vec")
+    val (books, _) = Similarity.pqFit(corpusVec, "vec_id", m = 8, codes = 256,
+      seed = 3L, fitSample = 20000)
+    books.persist(); books.count()
+    val base = corpusVec.drop("__mlvec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    base.count()
 
-    def oldDq(q: org.apache.spark.sql.Column) =
-      transform(q("codes"), c => c.cast("double") * q("scale").cast("double"))
-    val newDq = Similarity.dequantizeInt8(col("__q"))
-
-    // equality: the kernel reproduces the transform bit for bit
-    val mism = stored.select(
-        Similarity.dot(oldDq(col("__q")), oldDq(col("__q"))).as("a"),
-        Similarity.dot(newDq, newDq).as("b"))
-      .filter(col("a") =!= col("b")).count()
-    println(s"PROBE dq_equal mismatches=$mism")
-
-    for ((label, cv) <- Seq("old_hof" -> oldDq(col("__q")), "new_codegen" -> newDq);
-         it <- 1 to 3) {
+    for (it <- 1 to 2) {
       val t0 = System.nanoTime()
-      val s = stored.select(sum(Similarity.dot(cv, cv))).head().getDouble(0)
-      println(f"""PROBE dq_$label iter=$it sec=${(System.nanoTime() - t0) / 1e9}%.3f sum=$s%.1f""")
+      val n1 = Similarity.pqEncode(base, "vec_id", books, m = 8, sub = 2).count()
+      println(f"PROBE pq_encode_old iter=$it sec=${(System.nanoTime() - t0) / 1e9}%.3f rows=$n1")
+      val t1 = System.nanoTime()
+      val n2 = Similarity.pqEncodeColumns(base, books)
+        .select(col("vec_id"), col("__codes"), col("__rn")).count()
+      println(f"PROBE pq_encode_new iter=$it sec=${(System.nanoTime() - t1) / 1e9}%.3f rows=$n2")
     }
+    base.unpersist(true)
     spark.stop()
   }
 }

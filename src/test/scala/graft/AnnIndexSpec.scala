@@ -171,6 +171,37 @@ class AnnIndexSpec extends SparkSpec {
     assert(s3.getAs[Long]("n_rows") === emb.count())
   }
 
+  test("PQ encode is map-only and code-identical to the aggregate formulation") {
+    // books fitted on real embeddings, then both encode routes compared
+    // row for row: codes must match exactly (the aggregate route is the
+    // differential oracle), rn to last-ulp tolerance (it sums the chosen
+    // c2 terms in a different order)
+    val corpusVec = Similarity.ivfNormalizedCorpus(emb, "vec_id", "embedding")
+    val (books, _) = Similarity.pqFit(corpusVec, "vec_id", m = 8, codes = 64,
+      seed = 3L, fitSample = 1000)
+    val viaAgg = Similarity
+      .pqEncode(corpusVec.drop("__mlvec"), "vec_id", books, m = 8,
+        sub = emb.head().getAs[Seq[Float]]("embedding").size / 8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1).toList, r.getDouble(2))).toMap
+    val mapOnly = Similarity.pqEncodeColumns(corpusVec.drop("__mlvec"), books)
+    // plan pin: no exchange with >1 partition on the corpus side (the
+    // only exchange folds the m·codes codebook rows into one row)
+    val plan = mapOnly.queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions > 1 => e
+    }.isEmpty, s"PQ encode must be map-only on the corpus side:\n$plan")
+    val got = mapOnly.select(col("vec_id"), col("__codes"), col("__rn"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[Int](1).toList, r.getDouble(2))).toMap
+    assert(got.keySet === viaAgg.keySet && got.nonEmpty)
+    got.foreach { case (id, (codes, rn)) =>
+      assert(codes === viaAgg(id)._1, s"row $id codes diverge")
+      assert(math.abs(rn - viaAgg(id)._2) <= 1e-9, s"row $id rn diverges")
+    }
+  }
+
   test("append assignment is map-only (no window/exchange over batch×centroids) and exact") {
     val dir = tempDir("graft_ivf_assign")
     AnnIndex.buildIvf(emb, "vec_id", "embedding", dir, nlist = 16, seed = 7L)
