@@ -864,13 +864,32 @@ object Production {
     // MAINTENANCE: change a sharded index's shard count from its own
     // stored payloads (no corpus re-read) — the growth move when data
     // outgrows the shard count. Same single-maintainer contract as
-    // compact; ivf_sharded only (PQ refuses inside reshardIvf).
+    // compact; kind-dispatched off the persisted meta (r18: the PQ
+    // sharded kind reshards from its int8 refine payload; codes-only
+    // PQ indexes refuse inside reshardIvfPq).
     Jobs.register("ann-serving", "reshard") { (ctx, params) =>
-      graft.similarity.AnnIndex.reshardIvf(ctx.spark,
-        ctx.dataPath("models.ann_index"),
-        newShards = params("n_shards").toString.toInt,
-        nlist = params.getOrElse("nlist", "0").toString.toInt,
-        seed = ctx.seed)
+      val dir = ctx.dataPath("models.ann_index")
+      val reshard = graft.similarity.AnnIndex.kindOf(ctx.spark, dir) match {
+        case "ivfpq_sharded" => graft.similarity.AnnIndex.reshardIvfPq _
+        case _               => graft.similarity.AnnIndex.reshardIvf _
+      }
+      reshard(ctx.spark, dir,
+        params("n_shards").toString.toInt,
+        params.getOrElse("nlist", "0").toString.toInt,
+        ctx.seed, 4)
+    }
+
+    // MAINTENANCE: tombstone rows out of the served index (takedowns /
+    // decontamination hits against already-indexed rows) — effective at
+    // the next search; `compact = true` folds them physically in the
+    // same run. The ids frame must carry the index's id column.
+    Jobs.register("ann-serving", "delete") { (ctx, params) =>
+      val dir = ctx.dataPath("models.ann_index")
+      val ids = Tables.readData(ctx.spark,
+        Seq(ctx.dataPath(params.getOrElse("input", "raw.retracted_ids").toString)))
+      graft.similarity.AnnIndex.deleteIds(ctx.spark, dir, ids)
+      if (params.getOrElse("compact", "false").toString.toBoolean)
+        graft.similarity.AnnIndex.compact(ctx.spark, dir)
     }
 
     // Tokenizer lifecycle as catalog jobs — the train-once/persist/

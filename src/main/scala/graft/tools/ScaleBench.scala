@@ -660,9 +660,59 @@ object ScaleBench {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
   }
 
+  /** `tombstone-probe`: what pending tombstones cost a search before the
+    * fold (r18). One IVF index over 1M clustered vectors at auto params,
+    * searched (50 queries, k=10) with 0 / 10k / 100k pending tombstones
+    * — the anti-join is applied post-prune, so the claim under test is
+    * that its cost tracks the CANDIDATE volume, not the corpus or the
+    * tombstone count. Then the fold (compact), timed, and the post-fold
+    * search — back to the zero-tombstone cost. */
+  private def tombstoneProbe(spark: SparkSession): Unit = {
+    import graft.similarity.AnnIndex
+    val dir = "/tmp/graft_compaction_corpus"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      System.err.println("[scalebench] staging the 1.12M clustered corpus (one-off)")
+      Recall.clusteredCorpus(spark, n = 1120000L, dims = 16,
+          clusters = 1024, noise = 1.0)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val all = spark.read.parquet(dir)
+    val queries = all.filter(col("vec_id") < 50)
+    val idx = "/tmp/graft_tombstone_probe_idx"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    AnnIndex.buildIvf(all.filter(col("vec_id") < 1000000L), "vec_id", "vec", idx)
+    def searchSec(): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = AnnIndex.searchIvf(spark, idx, queries, "vec_id", "vec", k = 10).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    searchSec() // warm listings
+    for ((label, tombs) <- Seq("t0" -> 0L, "t10k" -> 10000L, "t100k" -> 100000L)) {
+      if (tombs > 0L) {
+        val lo = if (tombs == 10000L) 500000L else 510000L
+        AnnIndex.deleteIds(spark, idx,
+          all.filter(col("vec_id") >= lo && col("vec_id") < lo + tombs)
+            .select(col("vec_id")))
+      }
+      val times = (1 to 3).map(_ => searchSec()._1)
+      println(f"""{"query":"tombstone_search_$label","pending":$tombs,"min_sec":${times.min}%.3f}""")
+    }
+    val t0 = System.nanoTime()
+    AnnIndex.compact(spark, idx)
+    println(f"""{"query":"tombstone_fold","sec":${(System.nanoTime() - t0) / 1e9}%.3f,"rows_after":${spark.read.parquet(s"$idx/corpus.parquet").count()}}""")
+    val post = (1 to 3).map(_ => searchSec()._1).min
+    println(f"""{"query":"tombstone_search_postfold","min_sec":$post%.3f}""")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.contains("tombstone-probe")) {
+      tombstoneProbe(spark)
+      spark.stop()
+      return
+    }
     if (args.contains("append-probe")) {
       appendProbe(spark)
       spark.stop()

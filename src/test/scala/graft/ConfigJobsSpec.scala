@@ -292,6 +292,41 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$work/neighbors_sh")
       .collect().map(_.toString).sorted.toSeq === preReshard,
       "resharding must not change the exhaustive search answer")
+    // r18 maintenance stage: delete (tombstone) + fold, then search —
+    // the retracted ids vanish from the served neighbors
+    val doomed = spark.read.parquet(s"$work/neighbors_sh")
+      .select(org.apache.spark.sql.functions.col("vec_id")).limit(2)
+    doomed.write.mode("overwrite").parquet(s"$work/retract")
+    val doomedIds = doomed.collect().map(_.getLong(0)).toSet
+    val delYml = java.nio.file.Files.createTempFile("graft-ann-jobs5", ".yml")
+    java.nio.file.Files.writeString(delYml,
+      """jobs:
+        |  - name: ann-serving
+        |    fail_fast: true
+        |    stages:
+        |      - name: serve
+        |        tasks:
+        |          - name: delete
+        |            params: {compact: "true"}
+        |          - name: search
+        |            params: {k: 5, nprobe: 8}
+        |""".stripMargin)
+    val delCfg = shCfg
+      .updated("job_catalog", Context.loadYaml(delYml.toString))
+      .updated("data_catalog", Map(
+        "raw" -> Map(
+          "embeddings" -> s"$work/embeddings",
+          "query_embeddings" -> s"$work/queries",
+          "retracted_ids" -> s"$work/retract"),
+        "models" -> Map("ann_index" -> s"$work/ann_index_sh"),
+        "processed" -> Map("neighbors" -> s"$work/neighbors_sh")))
+    assert(graft.pipeline.Jobs.run(Context(delCfg, spark), "ann-serving").isEmpty)
+    spark.catalog.refreshByPath(s"$work/neighbors_sh")
+    val served = spark.read.parquet(s"$work/neighbors_sh")
+      .select(org.apache.spark.sql.functions.col("vec_id").cast("long"))
+      .collect().map(_.getLong(0)).toSet
+    assert((served & doomedIds).isEmpty,
+      s"retracted ids still served after the catalog delete: ${served & doomedIds}")
   }
 
   test("tokenizer + metric-profile catalog jobs: train/encode and replay-safe quantile fold") {
