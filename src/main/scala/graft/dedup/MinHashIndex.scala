@@ -240,6 +240,41 @@ object MinHashIndex {
     writeMeta(spark, dir, m.copy(nRows = m.nRows + batch.count()))
   }
 
+  /** Operational one-row health report — the
+    * [[graft.similarity.AnnIndex.stats]] twin for the dedup index:
+    * indexed rows vs pending tombstones, banding params, and layout
+    * decay (file count + bytes per layer — the small-file signal
+    * [[compact]] repairs). File listings + meta only, never a data
+    * scan except the tombstone-count distinct (id-frame-sized). */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = readMeta(spark, dir)
+    def fileStats(sub: String): (Long, Long) = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) (0L, 0L)
+      else {
+        val it = fs.listFiles(p, true)
+        var n = 0L; var b = 0L
+        while (it.hasNext) {
+          val f = it.next()
+          if (f.getPath.getName.startsWith("part-")) { n += 1; b += f.getLen }
+        }
+        (n, b)
+      }
+    }
+    val (bf, bb) = fileStats("buckets.parquet")
+    val (sf, sb) = fileStats("shingles.parquet")
+    val tombs =
+      if (!hasTombstones(spark, dir)) 0L
+      else spark.read.parquet(s"$dir/$TombstoneFile").distinct().count()
+    Seq((m.idCol, m.nRows, tombs, m.bands, m.rowsPerBand, m.shingleK,
+        bf, bb, sf, sb))
+      .toDF("id_col", "n_rows", "pending_tombstones", "bands",
+        "rows_per_band", "shingle_k", "bucket_files", "bucket_bytes",
+        "shingle_files", "shingle_bytes")
+  }
+
   /** Compact the index's appended layers — every [[append]] (and each
     * streaming corpus-maintainer micro-batch riding it) lands new small
     * files in BOTH tables, and at steady state the per-batch candidate

@@ -998,11 +998,22 @@ object AnnIndex {
     try {
       val counts = routed.groupBy(col("__shard")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      counts.keys.toSeq.sorted.foreach { sh =>
-        appendOne(
+      // the per-shard appends are independent jobs over disjoint
+      // directories (reads from the cached routed frame, writes into
+      // shard=<i>) — submit them on concurrent threads like the sharded
+      // build/search fan-outs; serially each shard paid its own driver
+      // round-trips of planning + commit latency (r18)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val shards = counts.keys.toSeq.sorted
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(math.min(math.max(shards.size, 1), 8))
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try shards.map(sh => Future(appendOne(
           routed.filter(col("__shard") === sh).drop("__shard"),
-          s"$dir/shard=$sh")
-      }
+          s"$dir/shard=$sh")))
+        .foreach(Await.result(_, Duration.Inf))
+      finally pool.shutdown()
       writeMeta(spark, dir, m.copy(nRows = m.nRows + counts.values.sum))
     } finally routed.unpersist()
   }

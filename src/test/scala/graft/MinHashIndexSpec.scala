@@ -148,6 +148,23 @@ class MinHashIndexSpec extends SparkSpec {
     assert(ids(MinHashIndex.dedupBatch(spark, dir, batch, "text", 0.6)).isEmpty)
   }
 
+  test("stats reports rows, tombstones, and layer decay") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_mh_stats").toString
+    MinHashIndex.build(docs.filter(col("doc_id") < 60), "doc_id", "text", dir)
+    val s0 = MinHashIndex.stats(spark, dir).head()
+    assert(s0.getAs[Long]("n_rows") === 60L)
+    assert(s0.getAs[Long]("pending_tombstones") === 0L)
+    assert(s0.getAs[Long]("bucket_files") > 0 && s0.getAs[Long]("shingle_bytes") > 0)
+    MinHashIndex.deleteIds(spark, dir, Seq(5L, 6L).toDF("doc_id"))
+    assert(MinHashIndex.stats(spark, dir).head()
+      .getAs[Long]("pending_tombstones") === 2L)
+    MinHashIndex.compact(spark, dir)
+    val s1 = MinHashIndex.stats(spark, dir).head()
+    assert(s1.getAs[Long]("pending_tombstones") === 0L)
+    assert(s1.getAs[Long]("n_rows") === 58L)
+  }
+
   test("missing index fails loudly") {
     val e = intercept[IllegalArgumentException] {
       MinHashIndex.dedupBatch(
