@@ -231,10 +231,10 @@ object AnnIndex {
         val (files, bytes) = fileStats(dataTable)
         val cells = if (kind == "lsh") m.tables else m.nlist
         Seq((kind, m.idCol, m.nRows, tombstoneCount(dir), cells, 1,
-            files, bytes, m.quantized))
+            files, bytes, m.quantized, m.nRows, m.nRows))
           .toDF("kind", "id_col", "n_rows", "pending_tombstones",
             "cells_or_tables", "n_shards", "data_files", "data_bytes",
-            "quantized")
+            "quantized", "shard_rows_min", "shard_rows_max")
       case "ivf_sharded" | "ivfpq_sharded" =>
         val inner = if (kind == "ivf_sharded") "ivf" else "ivfpq"
         val per = (0 until m.tables).map { sh =>
@@ -253,11 +253,15 @@ object AnnIndex {
           }
           (sm.nRows, tombstoneCount(sd), sm.nlist.toLong, f, b, sm.quantized)
         }
+        // shard skew is THE rebalance signal: hash routing keeps rows
+        // near-even, so a wide min/max spread means the id distribution
+        // changed (or a shard missed appends) — reshard territory
         Seq((kind, m.idCol, m.nRows, per.map(_._2).sum, per.map(_._3).sum.toInt,
-            m.tables, per.map(_._4).sum, per.map(_._5).sum, per.head._6))
+            m.tables, per.map(_._4).sum, per.map(_._5).sum, per.head._6,
+            per.map(_._1).min, per.map(_._1).max))
           .toDF("kind", "id_col", "n_rows", "pending_tombstones",
             "cells_or_tables", "n_shards", "data_files", "data_bytes",
-            "quantized")
+            "quantized", "shard_rows_min", "shard_rows_max")
       case other => throw new IllegalArgumentException(
         s"stats: unknown index kind '$other' at $dir")
     }

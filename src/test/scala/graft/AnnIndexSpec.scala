@@ -169,6 +169,11 @@ class AnnIndexSpec extends SparkSpec {
     assert(s3.getAs[String]("kind") === "ivf_sharded")
     assert(s3.getAs[Int]("n_shards") === 3)
     assert(s3.getAs[Long]("n_rows") === emb.count())
+    // hash routing keeps shards near-even: skew bounds are the
+    // rebalance signal
+    assert(s3.getAs[Long]("shard_rows_min") > 0)
+    assert(s3.getAs[Long]("shard_rows_max") < emb.count())
+    assert(s3.getAs[Long]("shard_rows_min") <= s3.getAs[Long]("shard_rows_max"))
   }
 
   test("PQ encode is map-only and code-identical to the aggregate formulation") {
