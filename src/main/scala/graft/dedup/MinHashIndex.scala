@@ -92,8 +92,10 @@ object MinHashIndex {
     * [[graft.similarity.AnnIndex.deleteIds]]: id-frame-sized write now,
     * probes anti-join the set (candidate-sized cost, the bucket join
     * already pruned), [[compact]] folds it into both layers physically.
-    * A tombstoned id stays deleted until a compact folds the set — fold
-    * before re-appending the same id. */
+    * A tombstoned id stays deleted until a compact folds the set — an
+    * [[append]] that re-uses a pending-tombstone id refuses loudly
+    * (fold first, then re-append); the new row is never silently
+    * masked. */
   def deleteIds(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
     val m = readMeta(spark, dir)
     require(ids.columns.contains(m.idCol),
@@ -102,6 +104,18 @@ object MinHashIndex {
     graft.io.Compaction.requireNoPendingPublish(spark, s"$dir/$TombstoneFile")
     ids.select(col(m.idCol)).distinct()
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/$TombstoneFile")
+  }
+
+  /** Ids already present in the persisted index (pending-tombstone rows
+    * included — they still occupy index rows until a fold). Column-pruned
+    * read of the BUCKET table's id column (the layer [[append]] writes
+    * last, so an id listed here has both its layers committed); shingle
+    * bytes are never deserialized. The re-run guard of the incremental
+    * release jobs: anti-join a batch against this before appending and a
+    * replayed release appends nothing instead of duplicate index rows. */
+  def indexedIds(spark: SparkSession, dir: String): DataFrame = {
+    val m = readMeta(spark, dir)
+    spark.read.parquet(s"$dir/buckets.parquet").select(col(m.idCol)).distinct()
   }
 
   /** Shingle + band the corpus once and persist both layers. */
@@ -133,7 +147,13 @@ object MinHashIndex {
   /** Cross near-dup pairs of a batch against the INDEXED corpus:
     * (batch id, corpus_id, jaccard) for every verified pair at or above
     * `threshold`. The batch is shingled and banded here; the corpus comes
-    * entirely from the persisted layers. */
+    * entirely from the persisted layers.
+    *
+    * Self-pairs are excluded (batch id ≠ corpus_id, mirroring
+    * [[graft.similarity.AnnIndex.searchIvf]]'s query-id exclusion): a
+    * re-submitted batch whose docs were already appended matches only
+    * OTHER corpus docs, never its own index entries at jaccard 1.0 — so a
+    * replayed release dedups idempotently instead of self-annihilating. */
   def pairs(
       spark: SparkSession,
       dir: String,
@@ -160,6 +180,7 @@ object MinHashIndex {
       .withColumnRenamed(m.idCol, "corpus_id")
       .withColumnRenamed("__sig", "sig_c"))
     val joined = bb.join(cb, Seq("band", "bucket"))
+      .filter(col(m.idCol) =!= col("corpus_id"))
     val screened =
       if (screen > 0)
         // null sig_c = a legacy row inside a mixed-schema index (written
@@ -223,6 +244,22 @@ object MinHashIndex {
     // with one batch's rows would orphan the backup holding the corpus
     graft.io.Compaction.requireNoPendingPublish(spark, s"$dir/shingles.parquet")
     graft.io.Compaction.requireNoPendingPublish(spark, s"$dir/buckets.parquet")
+    // a batch id pending deletion would land as a row the tombstone
+    // anti-join keeps masking — silent data loss until the next fold.
+    // Refuse loudly instead (the only uniformly safe cheap option:
+    // un-tombstoning would resurrect the RETRACTED old row alongside
+    // the new one). Id-frame-sized semi-join; repair = compact() first.
+    if (hasTombstones(spark, dir)) {
+      val colliding = batch.select(col(m.idCol)).distinct()
+        .join(spark.read.parquet(s"$dir/$TombstoneFile").select(col(m.idCol)),
+          Seq(m.idCol), "left_semi")
+        .limit(4).collect().map(_.get(0))
+      require(colliding.isEmpty,
+        s"append: batch id(s) ${colliding.mkString(", ")}${if (colliding.length == 4) ", …" else ""} " +
+          s"are pending tombstones in $dir — the appended rows would be " +
+          "invisible at probe until the next fold. Run compact() to fold " +
+          "the deletions first, or re-submit under new ids.")
+    }
     val bsh = shingled(batch, m.idCol, textCol, m.shingleK)
     bsh.write.mode(SaveMode.Append).parquet(s"$dir/shingles.parquet")
     // match the EXISTING bucket table's schema: appending __sig rows into

@@ -19,8 +19,11 @@ import org.apache.spark.sql.types._
   * interpreted HigherOrderFunction lambdas; this expression is m array
   * reads + adds in one generated loop inside whole-stage codegen, on the
   * path every pruned candidate of every PQ search pays. A code whose
-  * slot falls outside the table (a corrupt index) yields null — loud at
-  * the ranking, never a silent shift. Null arrays yield null; null code
+  * slot falls outside the table (a corrupt index) yields null — the null
+  * cosine then sorts out of the top-k window and the row is silently
+  * excluded from results, exactly matching the prior non-ANSI
+  * `element_at` route's semantics (corruption surfaces as a missing
+  * candidate, never a shifted score). Null arrays yield null; null code
   * elements yield null (codes are never null by construction).
   */
 case class AdcDot(codes: Expression, lut: Expression, codesPerSub: Expression)

@@ -634,7 +634,16 @@ object Production {
       // index the ACCEPTED rows from the just-published output (already
       // materialized — no second lineage run of the dedup join)
       val accepted = Tables.readData(s, Seq(out))
-      if (MinHashIndex.exists(s, dir)) MinHashIndex.append(s, dir, accepted, "text")
+      if (MinHashIndex.exists(s, dir)) {
+        // re-run guard: pairs() excludes self-ids, so a replayed release
+        // republishes the SAME survivors (never an empty overwrite); the
+        // anti-join here then appends only genuinely new ids — a retry
+        // after a downstream failure is a no-op, not duplicate index rows
+        val idc = MinHashIndex.idColumn(s, dir)
+        MinHashIndex.append(s, dir,
+          accepted.join(MinHashIndex.indexedIds(s, dir), Seq(idc), "left_anti"),
+          "text")
+      }
       else MinHashIndex.build(accepted, "doc_id", "text", dir, shingleK = shingleK)
       if (params.getOrElse("compact", "false").toString.toBoolean)
         MinHashIndex.compact(s, dir)
@@ -682,11 +691,18 @@ object Production {
         }
       save(ctx, survivors, out)
       val accepted = Tables.readData(s, Seq(out))
-      if (AnnIndex.exists(s, dir)) AnnIndex.kindOf(s, dir) match {
-        case "ivf"         => AnnIndex.appendIvf(accepted, vecCol, dir)
-        case "ivf_sharded" => AnnIndex.appendIvfSharded(accepted, vecCol, dir)
-        case other => throw new IllegalArgumentException(
-          s"semantic-dedup-index serves ivf | ivf_sharded indexes, got '$other'")
+      if (AnnIndex.exists(s, dir)) {
+        // re-run guard: searchIvf* excludes self-ids, so a replayed
+        // release republishes the SAME survivors; appending only ids the
+        // index doesn't already carry makes the retry a no-op instead of
+        // duplicate vec_ids accumulating in the served ANN index
+        val fresh = accepted.join(AnnIndex.indexedIds(s, dir), Seq(idCol), "left_anti")
+        AnnIndex.kindOf(s, dir) match {
+          case "ivf"         => AnnIndex.appendIvf(fresh, vecCol, dir)
+          case "ivf_sharded" => AnnIndex.appendIvfSharded(fresh, vecCol, dir)
+          case other => throw new IllegalArgumentException(
+            s"semantic-dedup-index serves ivf | ivf_sharded indexes, got '$other'")
+        }
       }
       else {
         val nShards = params.getOrElse("n_shards", "0").toString.toInt

@@ -149,6 +149,52 @@ object AnnIndex {
       spark.read.parquet(s"$dir/$TombstoneFile").select(col(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Refuse an append whose batch re-uses an id pending deletion: the new
+    * row would land physically but every search's tombstone anti-join
+    * would keep masking it — silent data loss until the next fold. Loud
+    * refusal is the only uniformly SAFE cheap option (un-tombstoning the
+    * colliding ids would resurrect the retracted OLD row alongside the
+    * new one — exactly wrong for a takedown). Id-frame-sized semi-join
+    * against the takedown-sized tombstone table; repair = [[compact]]
+    * (folds the deletions physically), then re-append. */
+  private def requireNoTombstoneCollisions(
+      spark: SparkSession, dir: String, idCol: String,
+      batch: DataFrame): Unit =
+    if (hasTombstones(spark, dir)) {
+      val colliding = batch.select(col(idCol)).distinct()
+        .join(spark.read.parquet(s"$dir/$TombstoneFile").select(col(idCol)),
+          Seq(idCol), "left_semi")
+        .limit(4).collect().map(_.get(0))
+      require(colliding.isEmpty,
+        s"append: batch id(s) ${colliding.mkString(", ")}${if (colliding.length == 4) ", …" else ""} " +
+          s"are pending tombstones in $dir — the appended rows would be " +
+          "invisible at search until the next fold. Run compact() to fold " +
+          "the deletions first, or re-submit under new ids.")
+    }
+
+  /** Ids already stored in the persisted index (pending-tombstone rows
+    * included — they occupy index rows until a fold). Column-pruned read
+    * of the data table's id column; vector/code bytes are never
+    * deserialized. Sharded indexes union their shards. The re-run guard
+    * of the incremental release jobs: anti-join a batch against this
+    * before appending and a replayed release appends nothing instead of
+    * accumulating duplicate ids in the served index. */
+  def indexedIds(spark: SparkSession, dir: String): DataFrame = {
+    val kind = kindOf(spark, dir)
+    val m = readMeta(spark, dir, kind)
+    kind match {
+      case "ivf" | "ivfpq" =>
+        spark.read.parquet(s"$dir/corpus.parquet").select(col(m.idCol)).distinct()
+      case "lsh" =>
+        spark.read.parquet(s"$dir/signatures.parquet").select(col(m.idCol)).distinct()
+      case "ivf_sharded" | "ivfpq_sharded" =>
+        (0 until m.tables).map(sh => indexedIds(spark, s"$dir/shard=$sh"))
+          .reduce(_ unionByName _)
+      case other => throw new IllegalArgumentException(
+        s"indexedIds: unknown index kind '$other' at $dir")
+    }
+  }
+
   /** Delete rows from a persisted index by id — the curation retraction
     * path (decontamination hits, takedowns, re-filtered documents) that
     * previously required a full rebuild from source. Deletion is a
@@ -166,8 +212,10 @@ object AnnIndex {
     *    auto-nprobe stays calibrated on the stored layout it scans; the
     *    fold refreshes it to the surviving count.
     *  - A tombstoned id stays deleted until a [[compact]] folds the
-    *    tombstones: appending the SAME id again before folding leaves
-    *    the new row masked too (fold first, then re-append).
+    *    tombstones: an append that re-uses a pending-tombstone id
+    *    REFUSES loudly (fold first, then re-append) — the new row is
+    *    never silently masked, and the retracted old row is never
+    *    resurrected.
     *  - Same single-maintainer rule as appends/compaction. */
   def deleteIds(spark: SparkSession, dir: String, ids: DataFrame): Unit = {
     require(exists(spark, dir), s"no ANN index at $dir — nothing to delete from")
@@ -255,8 +303,11 @@ object AnnIndex {
         }
         // shard skew is THE rebalance signal: hash routing keeps rows
         // near-even, so a wide min/max spread means the id distribution
-        // changed (or a shard missed appends) — reshard territory
-        Seq((kind, m.idCol, m.nRows, per.map(_._2).sum, per.map(_._3).sum.toInt,
+        // changed (or a shard missed appends) — reshard territory.
+        // n_rows is the SHARD-META sum, not the parent meta: searches run
+        // off per-shard metas, so this is the served truth even if a
+        // failed parallel append left the parent counter stale
+        Seq((kind, m.idCol, per.map(_._1).sum, per.map(_._2).sum, per.map(_._3).sum.toInt,
             m.tables, per.map(_._4).sum, per.map(_._5).sum, per.head._6,
             per.map(_._1).min, per.map(_._1).max))
           .toDF("kind", "id_col", "n_rows", "pending_tombstones",
@@ -590,6 +641,7 @@ object AnnIndex {
       dir: String): Unit = {
     val spark = batch.sparkSession
     val m = readMeta(spark, dir, "ivfpq")
+    requireNoTombstoneCollisions(spark, dir, m.idCol, batch)
     val centDf = spark.read.parquet(s"$dir/centroids.parquet")
     val books = spark.read.parquet(s"$dir/codebooks.parquet")
     val storedCols = spark.read.parquet(s"$dir/corpus.parquet").columns.toSet
@@ -744,6 +796,7 @@ object AnnIndex {
       dir: String): Unit = {
     val spark = batch.sparkSession
     val m = readMeta(spark, dir, "ivf")
+    requireNoTombstoneCollisions(spark, dir, m.idCol, batch)
     val centDf = spark.read.parquet(s"$dir/centroids.parquet")
     // attribute columns ride along exactly as the index stores them —
     // recovered from the stored schema, so appends need no attr config
@@ -770,6 +823,7 @@ object AnnIndex {
       dir: String): Unit = {
     val spark = batch.sparkSession
     val m = readMeta(spark, dir, "lsh")
+    requireNoTombstoneCollisions(spark, dir, m.idCol, batch)
     // attribute columns ride along exactly as the index stores them —
     // recovered from the stored schema, so appends need no attr config
     val attrs = (spark.read.parquet(s"$dir/signatures.parquet").columns.toSet
@@ -1013,12 +1067,46 @@ object AnnIndex {
       val pool = java.util.concurrent.Executors
         .newFixedThreadPool(math.min(math.max(shards.size, 1), 8))
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      try shards.map(sh => Future(appendOne(
-          routed.filter(col("__shard") === sh).drop("__shard"),
-          s"$dir/shard=$sh")))
-        .foreach(Await.result(_, Duration.Inf))
-      finally pool.shutdown()
-      writeMeta(spark, dir, m.copy(nRows = m.nRows + counts.values.sum))
+      val failures =
+        try {
+          // await EVERY future before propagating any failure: an early
+          // throw would hit the outer finally and unpersist `routed`
+          // while sibling appends still read it — recomputing the batch
+          // lineage (inside streaming foreachBatch, from a source that
+          // has moved on). The pool must be fully quiesced before the
+          // cache is released.
+          val fs = shards.map(sh => Future(appendOne(
+            routed.filter(col("__shard") === sh).drop("__shard"),
+            s"$dir/shard=$sh")))
+          fs.flatMap(f =>
+            scala.util.Try(Await.result(f, Duration.Inf)).failed.toOption)
+        } finally {
+          pool.shutdown()
+          pool.awaitTermination(Long.MaxValue, java.util.concurrent.TimeUnit.SECONDS)
+        }
+      // the parent row count is DERIVED from the per-shard metas (a
+      // listing-sized read, never a data scan), not a running sum: shards
+      // that committed before a sibling failed are counted, so the
+      // top-level accounting self-heals instead of silently undercounting
+      // rows the per-shard metas already carry. Written even on failure —
+      // that IS the reconciliation.
+      val innerKind = if (expectKind == "ivf_sharded") "ivf" else "ivfpq"
+      val reconciled = scala.util.Try {
+        val total = (0 until m.tables)
+          .map(sh => readMeta(spark, s"$dir/shard=$sh", innerKind).nRows).sum
+        writeMeta(spark, dir, m.copy(nRows = total))
+      }
+      failures match {
+        case first +: rest =>
+          // the append failure is the story; an unreadable shard meta
+          // during reconciliation (plausibly the same broken shard) rides
+          // along suppressed. The next successful append or stats() call
+          // re-derives the count from the same shard-meta truth.
+          rest.foreach(first.addSuppressed)
+          reconciled.failed.foreach(first.addSuppressed)
+          throw first
+        case _ => reconciled.get
+      }
     } finally routed.unpersist()
   }
 

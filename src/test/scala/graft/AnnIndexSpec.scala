@@ -1086,4 +1086,120 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.compact(spark, dirS)
     assert(wantS.nonEmpty && searchS() === wantS)
   }
+
+  test("append refuses a pending-tombstone id; after the fold it serves again") {
+    import spark.implicits._
+    val dir = tempDir("graft_ivf_reapp")
+    val small = emb.filter(col("vec_id") < 300)
+    AnnIndex.buildIvf(small, "vec_id", "embedding", dir, nlist = 8, seed = 7L)
+    AnnIndex.deleteIds(spark, dir, Seq(5L).toDF("vec_id"))
+    val batch = emb.filter(col("vec_id").isin(5L, 301L))
+      .select(col("vec_id"), col("embedding"))
+    // the silent-masking trap: previously this append succeeded and the
+    // new row stayed invisible until the next fold. Now it refuses loudly
+    // (and names the colliding id) BEFORE any bytes land.
+    val before = spark.read.parquet(s"$dir/corpus.parquet").count()
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.appendIvf(batch, "embedding", dir)
+    }
+    assert(e.getMessage.contains("pending tombstones") && e.getMessage.contains("5"))
+    assert(spark.read.parquet(s"$dir/corpus.parquet").count() === before,
+      "a refused append must not have written rows")
+    // repair path named in the error: fold, then the same append lands
+    // and the id serves again immediately
+    AnnIndex.compact(spark, dir)
+    AnnIndex.appendIvf(small.filter(col("vec_id") === 5L), "embedding", dir)
+    // probe with a CLONE id (search excludes query_id == corpus id)
+    val got = AnnIndex
+      .searchIvf(spark, dir,
+        small.filter(col("vec_id") === 5L)
+          .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+        "vec_id", "embedding", k = 1, nprobe = 8)
+      .select(col("vec_id").cast("long")).head().getLong(0)
+    assert(got === 5L, "the re-appended id must be served after the fold")
+    // the PQ and LSH appends share the guard
+    val pq = tempDir("graft_pq_reapp")
+    AnnIndex.buildIvfPq(small, "vec_id", "embedding", pq, nlist = 8, m = 8)
+    AnnIndex.deleteIds(spark, pq, Seq(7L).toDF("vec_id"))
+    assert(intercept[IllegalArgumentException] {
+      AnnIndex.appendIvfPq(small.filter(col("vec_id") === 7L), "embedding", pq)
+    }.getMessage.contains("pending tombstones"))
+    val lsh = tempDir("graft_lsh_reapp")
+    AnnIndex.buildLsh(small, "vec_id", "embedding", lsh, tables = 2, bits = 4)
+    AnnIndex.deleteIds(spark, lsh, Seq(9L).toDF("vec_id"))
+    assert(intercept[IllegalArgumentException] {
+      AnnIndex.appendLsh(small.filter(col("vec_id") === 9L), "embedding", lsh)
+    }.getMessage.contains("pending tombstones"))
+    // sharded appends route the check to the owning shard: an id
+    // tombstoned there refuses, ids elsewhere are untouched by it
+    val sh = tempDir("graft_sh_reapp")
+    AnnIndex.buildIvfSharded(small, "vec_id", "embedding", sh, nShards = 2,
+      nlist = 8, seed = 7L)
+    AnnIndex.deleteIds(spark, sh, Seq(11L).toDF("vec_id"))
+    assert(intercept[Exception] {
+      AnnIndex.appendIvfSharded(
+        small.filter(col("vec_id") === 11L), "embedding", sh)
+    }.getMessage.contains("pending tombstones"))
+  }
+
+  test("indexedIds lists stored ids column-pruned, across kinds and shards") {
+    val small = emb.filter(col("vec_id") < 200)
+    val want = small.select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = tempDir("graft_ids_ivf")
+    AnnIndex.buildIvf(small, "vec_id", "embedding", ivf, nlist = 8)
+    assert(AnnIndex.indexedIds(spark, ivf)
+      .collect().map(_.getLong(0)).toSet === want)
+    val sh = tempDir("graft_ids_sh")
+    AnnIndex.buildIvfSharded(small, "vec_id", "embedding", sh, nShards = 2, nlist = 4)
+    assert(AnnIndex.indexedIds(spark, sh)
+      .collect().map(_.getLong(0)).toSet === want)
+    // tombstoned rows still occupy index rows until a fold — they stay listed
+    import spark.implicits._
+    AnnIndex.deleteIds(spark, ivf, Seq(3L).toDF("vec_id"))
+    assert(AnnIndex.indexedIds(spark, ivf)
+      .collect().map(_.getLong(0)).toSet === want)
+  }
+
+  test("failed shard append: siblings commit, accounting converges to shard-meta truth") {
+    import org.apache.hadoop.fs.Path
+    val dir = tempDir("graft_sh_fail")
+    val small = emb.filter(col("vec_id") < 300)
+    AnnIndex.buildIvfSharded(small, "vec_id", "embedding", dir, nShards = 2,
+      nlist = 8, seed = 7L)
+    val built = small.count()
+    // sabotage shard 0: its centroids table becomes unreadable, so ITS
+    // append fails at planning while shard 1's proceeds on the sibling
+    // thread — the non-atomic interleaving the accounting must survive
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new Path(s"$dir/shard=0/centroids.parquet"),
+      new Path(s"$dir/shard=0/centroids.bak"))
+    val batch = emb.filter(col("vec_id") >= 300 && col("vec_id") < 340)
+      .select(col("vec_id"), col("embedding"))
+    intercept[Exception] { AnnIndex.appendIvfSharded(batch, "embedding", dir) }
+    fs.rename(new Path(s"$dir/shard=0/centroids.bak"),
+      new Path(s"$dir/shard=0/centroids.parquet"))
+    // per-shard metas are the truth searches run off; the parent meta and
+    // stats() must agree with their sum — counting shard 1's committed
+    // rows, not the pre-append total and not the full batch
+    val shardTruth = (0 until 2).map { s =>
+      spark.read.parquet(s"$dir/shard=$s/meta.parquet").head().getAs[Long]("n_rows")
+    }.sum
+    assert(shardTruth > built && shardTruth < built + batch.count(),
+      s"expected a partial commit, got $shardTruth (built $built)")
+    assert(spark.read.parquet(s"$dir/meta.parquet").head()
+      .getAs[Long]("n_rows") === shardTruth,
+      "parent meta must reconcile to the shard-meta sum on a failed append")
+    assert(AnnIndex.stats(spark, dir).head().getAs[Long]("n_rows") === shardTruth)
+    // shard 1's committed rows are genuinely served
+    val committed = AnnIndex.indexedIds(spark, dir)
+      .filter(col("vec_id") >= 300).collect().map(_.getLong(0)).toSet
+    assert(committed.nonEmpty && committed.subsetOf(
+      (300L until 340L).toSet))
+    val q = emb.filter(col("vec_id") === committed.head)
+      .select((col("vec_id") + 500000L).as("vec_id"), col("embedding"))
+    val top = AnnIndex
+      .searchIvfSharded(spark, dir, q, "vec_id", "embedding", k = 1, nprobe = 8)
+      .select(col("vec_id").cast("long")).head().getLong(0)
+    assert(top === committed.head)
+  }
 }

@@ -1971,6 +1971,75 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(nn.isEmpty || nn.head.getLong(1) != keepVec,
       "the retracted vector must not be served as a neighbor")
   }
+
+  test("replayed release is a no-op: same accepted set republished, no duplicate index rows") {
+    // the destructive-retry trap (r18 advice): re-running a release whose
+    // accepted docs were already appended used to match every doc against
+    // its OWN index entry at jaccard 1.0 and overwrite clean.documents
+    // with an empty table; the semantic twin re-appended duplicate
+    // vec_ids. Now: identical outputs, byte-identical index row counts.
+    val spark = SparkSpec.session
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft-replay-release").toString
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .filter(col("doc_id") < 100).write.parquet(s"$work/docs_r1")
+    spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < 300).write.parquet(s"$work/emb_r1")
+    def task(name: String, params: (String, Any)*) =
+      Map("name" -> name, "params" -> params.toMap)
+    val cfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Map("jobs" -> List(Map(
+        "name" -> "corpus-curation", "fail_fast" -> true,
+        "stages" -> List(Map("name" -> "release", "tasks" -> List(
+          task("dedup-corpus-index", "input" -> "raw.documents",
+            "threshold" -> "0.6", "compact" -> "false"),
+          task("semantic-dedup-index", "input" -> "raw.embeddings",
+            "threshold" -> "0.97", "n_shards" -> "2",
+            "compact" -> "false"))))))),
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "documents" -> s"$work/docs_r1",
+          "embeddings" -> s"$work/emb_r1"),
+        "models" -> Map(
+          "neardup_index" -> s"$work/neardup_index",
+          "semantic_index" -> s"$work/semantic_index"),
+        "clean" -> Map(
+          "documents" -> s"$work/accepted_docs",
+          "embeddings" -> s"$work/accepted_emb")))
+    graft.pipeline.Production.registerAll()
+    def acceptedDocs() = spark.read.parquet(s"$work/accepted_docs")
+      .select(col("doc_id").cast("long")).collect().map(_.getLong(0)).toSet
+    def acceptedVecs() = spark.read.parquet(s"$work/accepted_emb")
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+    def indexCounts() = (
+      spark.read.parquet(s"$work/neardup_index/buckets.parquet").count(),
+      spark.read.parquet(s"$work/neardup_index/shingles.parquet").count(),
+      graft.similarity.AnnIndex.stats(spark, s"$work/semantic_index")
+        .head().getAs[Long]("n_rows"))
+    assert(graft.pipeline.Jobs.run(Context(cfg, spark), "corpus-curation").isEmpty)
+    val (docs1, vecs1, counts1) = (acceptedDocs(), acceptedVecs(), indexCounts())
+    assert(docs1.nonEmpty && vecs1.nonEmpty)
+    // THE REPLAY — a routine retry after a downstream failure
+    assert(graft.pipeline.Jobs.run(Context(cfg, spark), "corpus-curation").isEmpty)
+    assert(acceptedDocs() === docs1,
+      "a replayed release must republish the identical accepted doc set")
+    assert(acceptedVecs() === vecs1,
+      "a replayed release must republish the identical accepted vector set")
+    assert(indexCounts() === counts1,
+      "a replayed release must append nothing to either index")
+    // no duplicate ids in the served ANN index's stored rows either
+    val stored = (0 until 2)
+      .map(sh => spark.read
+        .parquet(s"$work/semantic_index/shard=$sh/corpus.parquet")
+        .select("vec_id"))
+      .reduce(_ unionByName _)
+    assert(stored.count() === stored.distinct().count(),
+      "replays must not accumulate duplicate vec_ids in the stored layout")
+  }
 }
 
 

@@ -165,6 +165,48 @@ class MinHashIndexSpec extends SparkSpec {
     assert(s1.getAs[Long]("n_rows") === 58L)
   }
 
+  test("replayed release is idempotent: self-pairs excluded, indexedIds guards the append") {
+    val dir = Files.createTempDirectory("graft_mh_replay").toString
+    val release = docs.filter(col("doc_id") < 120)
+    // release 1 dedups within itself and its accepted docs build the index
+    val accepted = Dedup.nearDupDedup(release, "doc_id", "text", 0.6, 3)
+    MinHashIndex.build(accepted, "doc_id", "text", dir)
+    // the destructive-retry trap: replaying the SAME release against an
+    // index that already carries its accepted docs used to match every
+    // doc to its own entry at jaccard 1.0 and annihilate the output.
+    // Self-exclusion makes the replay republish the identical survivors.
+    val replay = ids(MinHashIndex.dedupBatch(spark, dir, release, "text", 0.6))
+    assert(replay === ids(accepted),
+      "a replayed release must republish the same accepted set, not an empty one")
+    // …and pairs() itself reports no self-matches for an indexed batch
+    val p = MinHashIndex.pairs(spark, dir, accepted, "text", 0.6)
+    assert(p.filter(col("doc_id") === col("corpus_id")).count() === 0)
+    // the append guard: everything in the replayed accepted set is
+    // already indexed, so the fresh slice is empty — no duplicate rows
+    val fresh = accepted.join(MinHashIndex.indexedIds(spark, dir),
+      Seq("doc_id"), "left_anti")
+    assert(fresh.count() === 0)
+    val bucketRows = spark.read.parquet(s"$dir/buckets.parquet").count()
+    MinHashIndex.append(spark, dir, fresh, "text")
+    assert(spark.read.parquet(s"$dir/buckets.parquet").count() === bucketRows,
+      "appending the guarded (empty) slice must add no index rows")
+  }
+
+  test("append refuses a pending-tombstone id until the fold") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_mh_reapp").toString
+    MinHashIndex.build(docs.filter(col("doc_id") < 50), "doc_id", "text", dir)
+    MinHashIndex.deleteIds(spark, dir, Seq(7L).toDF("doc_id"))
+    val e = intercept[IllegalArgumentException] {
+      MinHashIndex.append(spark, dir, docs.filter(col("doc_id") === 7), "text")
+    }
+    assert(e.getMessage.contains("pending tombstones") && e.getMessage.contains("7"))
+    MinHashIndex.compact(spark, dir)
+    MinHashIndex.append(spark, dir, docs.filter(col("doc_id") === 7), "text")
+    assert(spark.read.parquet(s"$dir/buckets.parquet")
+      .filter(col("doc_id") === 7).count() > 0)
+  }
+
   test("missing index fails loudly") {
     val e = intercept[IllegalArgumentException] {
       MinHashIndex.dedupBatch(

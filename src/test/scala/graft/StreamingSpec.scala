@@ -749,5 +749,76 @@ class StreamingSpec extends SparkSpec {
     assert(Streaming.crawlPagesBatchOnce(batchLike, pagesDir, batchId = 50L))
     assert(spark.read.parquet(s"$pagesDir/pages.parquet").count() === 12)
   }
+
+  test("interleaved append + retraction lanes: a re-appended tombstoned id fails loudly, folds, then replays cleanly") {
+    import graft.similarity.AnnIndex
+    import org.apache.spark.sql.functions.col
+    def causes(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-interleave").toString
+    val idx = s"$work/idx"
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    AnnIndex.buildIvf(emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+      idx, nlist = 8)
+    implicit val sqlCtx = spark.sqlContext
+
+    // retraction lane: tombstone id 5 (a takedown against a served row)
+    val retractIn = MemoryStream[Long]
+    val rq = Streaming.maintainRetractions(
+      retractIn.toDF.toDF("vec_id"), idx, s"$work/ckpt_retract", kind = "ann")
+    retractIn.addData(5L)
+    rq.processAllAvailable()
+    rq.stop()
+
+    // append lane (same index, same single-maintainer lane — the lanes
+    // take turns, they never run concurrently): a micro-batch re-using
+    // the tombstoned id must surface LOUDLY, not append a row that every
+    // search silently masks until the next fold
+    val appendIn = MemoryStream[(Long, Seq[Float])]
+    val batch = emb.filter(col("vec_id").isin(5L, 260L))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toSeq
+    val aq = Streaming.maintainAnnIndex(
+      appendIn.toDF.toDF("vec_id", "embedding"), "embedding", idx,
+      s"$work/ckpt_append")
+    appendIn.addData(batch)
+    val err = intercept[Exception] { aq.processAllAvailable() }
+    assert(causes(err).contains("pending tombstones"),
+      s"expected the loud tombstone-collision refusal, got: ${causes(err)}")
+    aq.stop()
+    // nothing landed, no marker was written for the failed batch
+    assert(spark.read.parquet(s"$idx/corpus.parquet").count() === 250)
+
+    // repair = the documented path: fold the tombstones, then RESTART the
+    // append lane on the SAME checkpoint — the failed micro-batch replays
+    // from the checkpoint and lands this time
+    AnnIndex.compact(spark, idx)
+    val aq2 = Streaming.maintainAnnIndex(
+      appendIn.toDF.toDF("vec_id", "embedding"), "embedding", idx,
+      s"$work/ckpt_append")
+    aq2.processAllAvailable()
+    aq2.stop()
+    // both rows of the replayed batch serve immediately: the re-appended
+    // id 5 (fresh vector) and the genuinely new 260
+    val queries = emb.filter(col("vec_id").isin(5L, 260L))
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val got = AnnIndex
+      .searchIvf(spark, idx, queries, "vec_id", "embedding", k = 1, nprobe = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(100005L) === 5L && got(100260L) === 260L,
+      s"replayed batch must serve after the fold, got $got")
+    // and the tombstone idempotence half: replaying the retraction lane's
+    // applied batch is a marker-gated no-op (id 5's NEW row stays served)
+    val rq2 = Streaming.maintainRetractions(
+      retractIn.toDF.toDF("vec_id"), idx, s"$work/ckpt_retract", kind = "ann")
+    rq2.processAllAvailable()
+    rq2.stop()
+    assert(AnnIndex
+      .searchIvf(spark, idx, queries.filter(col("vec_id") === 100005L),
+        "vec_id", "embedding", k = 1, nprobe = 8)
+      .head().getLong(1) === 5L,
+      "a replayed (already-applied) retraction batch must not re-tombstone the re-appended id")
+  }
 }
 
