@@ -533,4 +533,99 @@ object Metrics {
         col("accuracy"), col("stderr"))
     tasks.unionByName(micro).unionByName(macroRow)
   }
+
+  /** Retrieval ranking metrics PER QUERY over arbitrary user-labeled
+    * frames — the evaluation half of the ANN/hybrid serving surface
+    * ([[graft.similarity.AnnIndex]] search output, `rrfFuse`, `mmrRerank`
+    * all produce exactly the (query, candidate, rank) shape this grades):
+    *
+    *   - `dcg` / `idcg` / `ndcg` at k with GRADED relevance
+    *     (gain 2^rel − 1, log2(position+1) discount — Järvelin &
+    *     Kekäläinen 2002); `ndcg` is null for queries with no relevant
+    *     labels (0/0 is undefined, not perfect and not zero)
+    *   - `reciprocal_rank` (rank of the first rel>0 hit; 0 if none —
+    *     average it for MRR)
+    *   - `precision_at_k` = relevant retrieved in top-k / k, and
+    *     `recall_at_k` = relevant retrieved in top-k / total relevant
+    *     (null when the query has no relevant labels)
+    *
+    * `results` carries ranked candidates (`rankCol` 1-based; rows with
+    * rank > k are ignored, so passing a deeper list is fine); `relevance`
+    * carries (query, candidate, grade ≥ 0) labels — binary labels are the
+    * rel ∈ {0,1} special case. Queries appearing in only one frame still
+    * get a row (zero-retrieved or zero-relevant semantics above).
+    *
+    * Scale shape: one keyed equi-join on (query, candidate) + per-query
+    * aggregates; the ideal-DCG window is PARTITIONED by query (frame =
+    * that query's labels), never a global sort. Ties in the ideal
+    * ordering break by candidate id, so the metric is deterministic and
+    * engine-portable. */
+  def rankingMetrics(
+      results: DataFrame,
+      relevance: DataFrame,
+      queryCol: String,
+      candCol: String,
+      rankCol: String,
+      relCol: String = "rel",
+      k: Int = 10): DataFrame = {
+    require(k > 0, s"rankingMetrics: k must be positive, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val topk = results.filter(col(rankCol) <= k)
+      .select(col(queryCol), col(candCol),
+        col(rankCol).cast("double").as("__rank"))
+    val rels = relevance.select(col(queryCol), col(candCol),
+      col(relCol).cast("double").as("__rel"))
+    // unlabeled retrieved candidates count as rel 0 (the standard pooled-
+    // judgment convention), so the join stays a LEFT join, not inner
+    val perQ = topk.join(rels, Seq(queryCol, candCol), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0.0)))
+      .groupBy(col(queryCol))
+      .agg(
+        sum((pow(lit(2.0), col("__rel")) - 1) / log2(col("__rank") + 1))
+          .as("__dcg"),
+        sum(when(col("__rel") > 0, 1L).otherwise(0L)).as("__hits"),
+        min(when(col("__rel") > 0, col("__rank"))).as("__first"),
+        count(lit(1)).as("n_retrieved"))
+    val ideal = rels.filter(col("__rel") > 0)
+      .withColumn("__i", row_number().over(
+        Window.partitionBy(col(queryCol))
+          .orderBy(col("__rel").desc, col(candCol))))
+      .groupBy(col(queryCol))
+      .agg(
+        sum(when(col("__i") <= k,
+          (pow(lit(2.0), col("__rel")) - 1) / log2(col("__i") + 1)))
+          .as("__idcg"),
+        count(lit(1)).as("n_relevant"))
+    perQ.join(ideal, Seq(queryCol), "full_outer")
+      .select(
+        col(queryCol),
+        round(coalesce(col("__dcg"), lit(0.0)), 6).as("dcg"),
+        round(coalesce(col("__idcg"), lit(0.0)), 6).as("idcg"),
+        round(when(col("__idcg") > 0,
+          coalesce(col("__dcg"), lit(0.0)) / col("__idcg")), 6).as("ndcg"),
+        round(coalesce(col("__hits"), lit(0L)) / lit(k.toDouble), 6)
+          .as("precision_at_k"),
+        round(when(col("n_relevant") > 0,
+          coalesce(col("__hits"), lit(0L)) / col("n_relevant")), 6)
+          .as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6)
+          .as("reciprocal_rank"),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"))
+  }
+
+  /** One-row fleet summary of [[rankingMetrics]] output — what a user
+    * tuning nprobe / refine / RRF weights reads: MRR (zero-relevant
+    * queries count as rr 0), mean nDCG@k over queries WITH relevant
+    * labels (null ndcg rows are excluded — avg semantics in both
+    * engines), mean precision/recall@k, and the query counts that say
+    * how much of the label set the numbers rest on. */
+  def rankingMetricsSummary(perQuery: DataFrame): DataFrame =
+    perQuery.agg(
+      count(lit(1)).as("n_queries"),
+      sum(when(col("n_relevant") > 0, 1L).otherwise(0L)).as("n_labeled"),
+      round(avg(col("reciprocal_rank")), 6).as("mrr"),
+      round(avg(col("ndcg")), 6).as("mean_ndcg"),
+      round(avg(col("precision_at_k")), 6).as("mean_precision_at_k"),
+      round(avg(col("recall_at_k")), 6).as("mean_recall_at_k"))
 }

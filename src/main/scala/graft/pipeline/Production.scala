@@ -55,6 +55,45 @@ object Production {
     }
   }
 
+  /** The ann-serving search dispatch shared by the `search` and
+    * `retrieval-eval` tasks: kind defaults to what the persisted index
+    * SAYS it is — a downstream stage shouldn't have to repeat the build
+    * stage's choice (r17) — and the evaluator grades the exact same
+    * search (nprobe / probes / refine params included) that `search`
+    * serves. */
+  private def serveSearch(
+      ctx: Context,
+      params: Map[String, Any],
+      queries: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val s = ctx.spark
+    val k = params.getOrElse("k", "10").toString.toInt
+    val dir = ctx.dataPath("models.ann_index")
+    val kind = params.get("kind").map(_.toString)
+      .getOrElse(graft.similarity.AnnIndex.kindOf(s, dir))
+    kind match {
+      case "ivf" => graft.similarity.AnnIndex.searchIvf(
+        s, dir, queries, "vec_id", "embedding", k,
+        nprobe = params.getOrElse("nprobe", "0").toString.toInt)
+      case "lsh" => graft.similarity.AnnIndex.searchLsh(
+        s, dir, queries, "vec_id", "embedding", k,
+        probes = params.getOrElse("probes", "0").toString.toInt)
+      case "ivfpq" => graft.similarity.AnnIndex.searchIvfPq(
+        s, dir, queries, "vec_id", "embedding", k,
+        nprobe = params.getOrElse("nprobe", "0").toString.toInt,
+        refine = params.getOrElse("refine", "-1").toString.toInt)
+      case "ivf_sharded" => graft.similarity.AnnIndex.searchIvfSharded(
+        s, dir, queries, "vec_id", "embedding", k,
+        nprobe = params.getOrElse("nprobe", "0").toString.toInt)
+      case "ivfpq_sharded" => graft.similarity.AnnIndex.searchIvfPqSharded(
+        s, dir, queries, "vec_id", "embedding", k,
+        nprobe = params.getOrElse("nprobe", "0").toString.toInt,
+        refine = params.getOrElse("refine", "-1").toString.toInt)
+      case other => throw new IllegalArgumentException(
+        "search: kind must be one of ivf | lsh | ivfpq | ivf_sharded | " +
+          s"ivfpq_sharded, got '$other'")
+    }
+  }
+
   def registerAll(): Unit = {
     Jobs.register("data-cleaning", "clean-tables") { (ctx, _) =>
       val s = ctx.spark
@@ -829,37 +868,34 @@ object Production {
     }
 
     Jobs.register("ann-serving", "search") { (ctx, params) =>
+      val queries = Tables.readData(ctx.spark,
+        Seq(ctx.dataPath("raw.query_embeddings")))
+      save(ctx, serveSearch(ctx, params, queries),
+        ctx.dataPath("processed.neighbors"))
+    }
+
+    // EVALUATION: grade the SERVED index against user-labeled relevance —
+    // the loop-closer on the serving lifecycle (build / search / append /
+    // delete / compact / reshard / EVALUATE): queries ride the exact same
+    // kind-dispatched search as the `search` task (so the numbers grade
+    // what production actually serves, nprobe/refine and all), labels
+    // come from `raw.relevance` (query_id, vec_id, rel — graded or
+    // binary), and the outputs are the per-query nDCG@k / RR / P@k / R@k
+    // frame plus the one-row MRR/mean-nDCG summary a tuning sweep reads.
+    Jobs.register("ann-serving", "retrieval-eval") { (ctx, params) =>
       val s = ctx.spark
       val k = params.getOrElse("k", "10").toString.toInt
       val queries = Tables.readData(s, Seq(ctx.dataPath("raw.query_embeddings")))
-      val dir = ctx.dataPath("models.ann_index")
-      // kind defaults to what the persisted index SAYS it is — a search
-      // stage shouldn't have to repeat the build stage's choice (r17)
-      val kind = params.get("kind").map(_.toString)
-        .getOrElse(graft.similarity.AnnIndex.kindOf(s, dir))
-      val neighbors = kind match {
-        case "ivf" => graft.similarity.AnnIndex.searchIvf(
-          s, dir, queries, "vec_id", "embedding", k,
-          nprobe = params.getOrElse("nprobe", "0").toString.toInt)
-        case "lsh" => graft.similarity.AnnIndex.searchLsh(
-          s, dir, queries, "vec_id", "embedding", k,
-          probes = params.getOrElse("probes", "0").toString.toInt)
-        case "ivfpq" => graft.similarity.AnnIndex.searchIvfPq(
-          s, dir, queries, "vec_id", "embedding", k,
-          nprobe = params.getOrElse("nprobe", "0").toString.toInt,
-          refine = params.getOrElse("refine", "-1").toString.toInt)
-        case "ivf_sharded" => graft.similarity.AnnIndex.searchIvfSharded(
-          s, dir, queries, "vec_id", "embedding", k,
-          nprobe = params.getOrElse("nprobe", "0").toString.toInt)
-        case "ivfpq_sharded" => graft.similarity.AnnIndex.searchIvfPqSharded(
-          s, dir, queries, "vec_id", "embedding", k,
-          nprobe = params.getOrElse("nprobe", "0").toString.toInt,
-          refine = params.getOrElse("refine", "-1").toString.toInt)
-        case other => throw new IllegalArgumentException(
-          "search: kind must be one of ivf | lsh | ivfpq | ivf_sharded | " +
-            s"ivfpq_sharded, got '$other'")
-      }
-      save(ctx, neighbors, ctx.dataPath("processed.neighbors"))
+      val relevance = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("relevance", "raw.relevance").toString)))
+      val perQuery = graft.eval.Metrics.rankingMetrics(
+        serveSearch(ctx, params, queries), relevance,
+        "query_id", "vec_id", "rank",
+        params.getOrElse("rel_col", "rel").toString, k)
+      save(ctx, perQuery, ctx.dataPath("processed.retrieval_eval"))
+      save(ctx, graft.eval.Metrics.rankingMetricsSummary(
+          Tables.readData(s, Seq(ctx.dataPath("processed.retrieval_eval")))),
+        ctx.dataPath("processed.retrieval_eval_summary"))
     }
 
     // MAINTENANCE: rewrite an append-littered index into ~target_file_mb

@@ -111,7 +111,49 @@ object EvalQueries {
       import spark.implicits._
       Seq(BigDecimal(auroc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
         .toDF("auroc")
+    },
+    // --- retrieval ranking metrics (nDCG@k / MRR / P@k / R@k): the
+    // evaluation half of the ANN serving surface. Ranked lists and graded
+    // labels are md5-drawn (portable to DuckDB), covering every branch:
+    // query 0 retrieved but unlabeled (null ndcg/recall), query 1 labeled
+    // but never retrieved (zero precision/rr), ranks beyond k ignored
+    "ranking_metrics" -> { (s, dir) =>
+      val (results, relevance) = rankingFixture(s, dir)
+      Metrics.rankingMetrics(results, relevance,
+          "query_id", "cand_id", "rank", "rel", k = 10)
+        .orderBy(col("query_id"))
+    },
+    "ranking_metrics_summary" -> { (s, dir) =>
+      val (results, relevance) = rankingFixture(s, dir)
+      Metrics.rankingMetricsSummary(
+        Metrics.rankingMetrics(results, relevance,
+          "query_id", "cand_id", "rank", "rel", k = 10))
     })
+
+  /** Deterministic ranked-results + graded-relevance frames for the
+    * ranking-metric oracles: 29 queries × top-15 md5-ordered candidate
+    * lists, labels rel ∈ {0..3} md5-drawn over 60 of 100 candidates.
+    * Query 0 has no labels; query 1 has no retrieved list. */
+  private def rankingFixture(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(s, dir, "embeddings")
+    val pairs = e.filter(col("vec_id") < 30)
+      .select(col("vec_id").as("query_id"))
+      .crossJoin(e.filter(col("vec_id") >= 30 && col("vec_id") < 130)
+        .select(col("vec_id").as("cand_id")))
+    val results = pairs
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(
+          md5(concat_ws(":", col("query_id"), col("cand_id"))),
+          col("cand_id"))))
+      .filter(col("rank") <= 15 && col("query_id") =!= 1)
+    val relevance = pairs
+      .filter(col("cand_id") < 90 && col("query_id") =!= 0)
+      .withColumn("rel", graft.Exprs.md5Bits52(concat_ws(":",
+        lit("rel"), col("query_id"), col("cand_id"))) % 4)
+    (results, relevance)
+  }
 
   private def thresholdSql(thr: Double): String =
     s"""SELECT $thr AS threshold,
@@ -125,7 +167,76 @@ object EvalQueries {
        |  round(2.0 * sum(CASE WHEN score > $thr AND label = 1.0 THEN 1 ELSE 0 END) / CAST(NULLIF(2 * sum(CASE WHEN score > $thr AND label = 1.0 THEN 1 ELSE 0 END) + sum(CASE WHEN score > $thr AND label = 0.0 THEN 1 ELSE 0 END) + sum(CASE WHEN score <= $thr AND label = 1.0 THEN 1 ELSE 0 END), 0) AS DOUBLE), 6) AS f1
        |FROM (${scoredSql})""".stripMargin
 
+  /** The full per-query DCG/IDCG arithmetic replayed in DuckDB over the
+    * same md5-drawn fixture ([[rankingFixture]]): 52-bit md5 draws via the
+    * repo-standard `CAST('0x' || substring(md5(..), 1, 13) AS BIGINT)`. */
+  private val rankingPerQuerySql: String =
+    """WITH pairs AS (
+      |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+      |  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 30) q
+      |  CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id >= 30 AND vec_id < 130) c),
+      |results AS (
+      |  SELECT query_id, cand_id, rank FROM (
+      |    SELECT query_id, cand_id,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY
+      |        md5(CAST(query_id AS VARCHAR) || ':' || CAST(cand_id AS VARCHAR)),
+      |        cand_id) AS rank
+      |    FROM pairs)
+      |  WHERE rank <= 15 AND query_id <> 1),
+      |relevance AS (
+      |  SELECT query_id, cand_id,
+      |    CAST('0x' || substring(md5('rel:' || CAST(query_id AS VARCHAR) ||
+      |      ':' || CAST(cand_id AS VARCHAR)), 1, 13) AS BIGINT) % 4 AS rel
+      |  FROM pairs WHERE cand_id < 90 AND query_id <> 0),
+      |topk AS (
+      |  SELECT r.query_id, CAST(r.rank AS DOUBLE) AS rank,
+      |    COALESCE(CAST(v.rel AS DOUBLE), 0.0) AS rel
+      |  FROM results r LEFT JOIN relevance v
+      |    ON r.query_id = v.query_id AND r.cand_id = v.cand_id
+      |  WHERE r.rank <= 10),
+      |perq AS (
+      |  SELECT query_id,
+      |    sum((pow(2.0, rel) - 1) / log2(rank + 1)) AS dcg0,
+      |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+      |    min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+      |    CAST(count(*) AS BIGINT) AS n_retrieved
+      |  FROM topk GROUP BY query_id),
+      |ideal AS (
+      |  SELECT query_id,
+      |    sum(CASE WHEN i <= 10 THEN (pow(2.0, rel) - 1) / log2(i + 1) END) AS idcg0,
+      |    CAST(count(*) AS BIGINT) AS n_relevant
+      |  FROM (
+      |    SELECT query_id, CAST(rel AS DOUBLE) AS rel,
+      |      row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS i
+      |    FROM relevance WHERE rel > 0)
+      |  GROUP BY query_id)
+      |SELECT
+      |  COALESCE(p.query_id, i.query_id) AS query_id,
+      |  round(COALESCE(p.dcg0, 0), 6) AS dcg,
+      |  round(COALESCE(i.idcg0, 0), 6) AS idcg,
+      |  round(CASE WHEN i.idcg0 > 0 THEN COALESCE(p.dcg0, 0) / i.idcg0 END, 6) AS ndcg,
+      |  round(COALESCE(p.hits, 0) / 10.0, 6) AS precision_at_k,
+      |  round(CASE WHEN i.n_relevant > 0
+      |    THEN COALESCE(p.hits, 0) / CAST(i.n_relevant AS DOUBLE) END, 6) AS recall_at_k,
+      |  round(COALESCE(1.0 / p.first_rel, 0), 6) AS reciprocal_rank,
+      |  CAST(COALESCE(i.n_relevant, 0) AS BIGINT) AS n_relevant,
+      |  CAST(COALESCE(p.n_retrieved, 0) AS BIGINT) AS n_retrieved
+      |FROM perq p FULL OUTER JOIN ideal i ON p.query_id = i.query_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "ranking_metrics" ->
+      s"""$rankingPerQuerySql
+        |ORDER BY query_id""".stripMargin,
+    "ranking_metrics_summary" ->
+      s"""WITH perquery AS ($rankingPerQuerySql)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_queries,
+        |  CAST(sum(CASE WHEN n_relevant > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_labeled,
+        |  round(avg(reciprocal_rank), 6) AS mrr,
+        |  round(avg(ndcg), 6) AS mean_ndcg,
+        |  round(avg(precision_at_k), 6) AS mean_precision_at_k,
+        |  round(avg(recall_at_k), 6) AS mean_recall_at_k
+        |FROM perquery""".stripMargin,
     "lift_table" ->
       s"""WITH sc AS ($scoredSql),
         |e AS (SELECT quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ed

@@ -329,6 +329,62 @@ class ConfigJobsSpec extends AnyFunSuite {
       s"retracted ids still served after the catalog delete: ${served & doomedIds}")
   }
 
+  test("ann-serving retrieval-eval: the served index is graded against user relevance labels") {
+    val spark = SparkSpec.session
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft-ann-eval").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    emb.write.mode("overwrite").parquet(s"$work/embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    queries.write.mode("overwrite").parquet(s"$work/queries")
+    // labels: the exact brute-force top-3 per query, graded 3/2/1 — at
+    // exhaustive probes the served search must grade PERFECT against them
+    graft.similarity.Similarity
+      .cosineTopK(emb, queries, "vec_id", "embedding", "vec_id", 3)
+      .select(col("query_id"), col("vec_id"), (lit(4) - col("rank")).as("rel"))
+      .write.mode("overwrite").parquet(s"$work/relevance")
+    val yml = java.nio.file.Files.createTempFile("graft-ann-eval", ".yml")
+    java.nio.file.Files.writeString(yml,
+      """jobs:
+        |  - name: ann-serving
+        |    fail_fast: true
+        |    stages:
+        |      - name: serve
+        |        tasks:
+        |          - name: build-index
+        |            params: {kind: ivf, nlist: 8}
+        |          - name: retrieval-eval
+        |            params: {k: 10, nprobe: 8}
+        |""".stripMargin)
+    val cfg = Map(
+      "core" -> Map("seed" -> 7, "audit_plans" -> true),
+      "job_catalog" -> Context.loadYaml(yml.toString),
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "embeddings" -> s"$work/embeddings",
+          "query_embeddings" -> s"$work/queries",
+          "relevance" -> s"$work/relevance"),
+        "models" -> Map("ann_index" -> s"$work/ann_index"),
+        "processed" -> Map(
+          "retrieval_eval" -> s"$work/eval",
+          "retrieval_eval_summary" -> s"$work/eval_summary")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(Context(cfg, spark), "ann-serving").isEmpty)
+    val perQ = spark.read.parquet(s"$work/eval")
+    assert(perQ.count() === 5)
+    perQ.collect().foreach { r =>
+      assert(r.getAs[Double]("ndcg") === 1.0 &&
+        r.getAs[Double]("reciprocal_rank") === 1.0 &&
+        r.getAs[Long]("n_relevant") === 3L, s"exhaustive serve must grade perfect: $r")
+    }
+    val s = spark.read.parquet(s"$work/eval_summary").head()
+    assert(s.getAs[Long]("n_queries") === 5L &&
+      s.getAs[Double]("mrr") === 1.0 && s.getAs[Double]("mean_ndcg") === 1.0)
+    assert(s.getAs[Double]("mean_recall_at_k") === 1.0)
+  }
+
   test("tokenizer + metric-profile catalog jobs: train/encode and replay-safe quantile fold") {
     val spark = SparkSpec.session
     import org.apache.spark.sql.functions.col

@@ -740,6 +740,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(fused.map(_._1).toSet === Set(10L, 11L, 12L, 13L, 14L))
   }
 
+  test("ranking metrics grade a real searchIvf + rrfFuse pipeline end to end") {
+    import graft.similarity.AnnIndex
+    import graft.eval.Metrics
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_rank_ivf").toString
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", dir, nlist = 8, seed = 7L)
+    // clone queries (shifted ids so self-exclusion never bites)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    // labels = graded truth from the EXACT brute-force top-3 (rel 3/2/1)
+    val relevance = Similarity
+      .cosineTopK(emb, queries, "vec_id", "embedding", "vec_id", 3)
+      .select(col("query_id"), col("vec_id"), (lit(4) - col("rank")).as("rel"))
+    // the served pipeline under evaluation: exhaustive-probe IVF search
+    // fused with the brute ranking via RRF — both exact, so the fused
+    // order equals the ideal order and every metric hits its ceiling
+    val ivfHits = AnnIndex.searchIvf(spark, dir, queries, "vec_id",
+      "embedding", k = 10, nprobe = 8)
+    val brute = Similarity
+      .cosineTopK(emb, queries, "vec_id", "embedding", "vec_id", 10)
+    val fused = Similarity.rrfFuse(Seq(ivfHits, brute), "vec_id", k0 = 60, k = 10)
+    val perQ = Metrics.rankingMetrics(fused, relevance,
+      "query_id", "vec_id", "rank", "rel", k = 10)
+    val rows = perQ.collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ndcg") === 1.0, s"exact retrieval must score ndcg 1: $r")
+      assert(r.getAs[Double]("recall_at_k") === 1.0)
+      assert(r.getAs[Double]("reciprocal_rank") === 1.0)
+      assert(r.getAs[Double]("precision_at_k") === 0.3) // 3 relevant of k=10
+      assert(r.getAs[Long]("n_relevant") === 3L)
+    }
+    val s = Metrics.rankingMetricsSummary(perQ).head()
+    assert(s.getAs[Long]("n_queries") === 8L && s.getAs[Long]("n_labeled") === 8L)
+    assert(s.getAs[Double]("mrr") === 1.0 && s.getAs[Double]("mean_ndcg") === 1.0)
+    // a degraded ranker (the same list REVERSED) is strictly worse on
+    // ndcg and rr — the metric actually separates good from bad serving
+    val reversed = fused.withColumn("rank", lit(11) - col("rank"))
+    val worse = Metrics.rankingMetrics(reversed, relevance,
+      "query_id", "vec_id", "rank", "rel", k = 10).collect()
+    worse.foreach { r =>
+      assert(r.getAs[Double]("ndcg") < 1.0 && r.getAs[Double]("reciprocal_rank") < 1.0)
+      assert(r.getAs[Double]("recall_at_k") === 1.0) // same set, worse order
+    }
+  }
+
   test("lexical Jaccard top-k: exact overlap arithmetic, self excluded") {
     val docs = Seq(
       (1L, "alpha beta gamma"),
