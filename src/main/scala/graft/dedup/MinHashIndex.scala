@@ -312,6 +312,46 @@ object MinHashIndex {
         "shingle_files", "shingle_bytes")
   }
 
+  /** Stats-driven maintenance — [[graft.similarity.AnnIndex.maintain]]'s
+    * twin for the dedup index, same report schema (kind `minhash`, the
+    * shard columns neutral — this layout is unsharded): fold when pending
+    * tombstones exceed `tombstoneRatio` of rows or when the two layers'
+    * file count exceeds `fileDecay` × what one [[compact]] would leave
+    * (≥ 2 — one file per layer — or bytes/targetFileMB). At most one fold
+    * per call; under thresholds a pure no-op read. */
+  def maintain(
+      spark: SparkSession,
+      dir: String,
+      tombstoneRatio: Double = 0.1,
+      fileDecay: Double = 4.0,
+      targetFileMB: Int = 128): DataFrame = {
+    import spark.implicits._
+    val st = stats(spark, dir).head()
+    val nRows = st.getAs[Long]("n_rows")
+    val pending = st.getAs[Long]("pending_tombstones")
+    val files = st.getAs[Long]("bucket_files") + st.getAs[Long]("shingle_files")
+    val bytes = st.getAs[Long]("bucket_bytes") + st.getAs[Long]("shingle_bytes")
+    val pendingRatio = if (nRows > 0) pending.toDouble / nRows else 0.0
+    val ideal = math.max(2L,
+      math.ceil(bytes / (targetFileMB * 1024.0 * 1024.0)).toLong)
+    val decay = files.toDouble / ideal
+    val compactReasons = Seq(
+      if (pendingRatio > tombstoneRatio)
+        Some(f"tombstones: $pending/$nRows = $pendingRatio%.4f > $tombstoneRatio%.4f")
+      else None,
+      if (decay > fileDecay)
+        Some(f"file decay: $files files vs ideal $ideal = $decay%.2f× > $fileDecay%.2f×")
+      else None).flatten
+    if (compactReasons.nonEmpty) compact(spark, dir, targetFileMB)
+    Seq(("minhash", nRows, pending, pendingRatio, files, ideal, decay, 1.0,
+        compactReasons.nonEmpty, false,
+        if (compactReasons.isEmpty) "healthy: under all thresholds"
+        else compactReasons.mkString("; ")))
+      .toDF("kind", "n_rows", "pending_tombstones", "pending_ratio",
+        "data_files", "ideal_files", "file_decay", "shard_skew",
+        "compacted", "reshard_recommended", "reason")
+  }
+
   /** Compact the index's appended layers — every [[append]] (and each
     * streaming corpus-maintainer micro-batch riding it) lands new small
     * files in BOTH tables, and at steady state the per-batch candidate

@@ -782,6 +782,42 @@ object Production {
       }
     }
 
+    // MAINTENANCE, stats-driven, for the CURATION indexes — the same
+    // measured-signal policy as ann-serving/maintain applied to the
+    // release chain's persisted layers: `index` picks neardup
+    // (models.neardup_index), semantic (models.semantic_index), or both;
+    // each crossed threshold folds that index (at most one fold each),
+    // skew on a sharded semantic index surfaces as a loud reshard
+    // recommendation, and the unioned decision report lands in
+    // processed.maintenance_report for the audit trail.
+    Jobs.register("corpus-curation", "index-maintain") { (ctx, params) =>
+      val s = ctx.spark
+      val which = params.getOrElse("index", "both").toString
+      require(Set("neardup", "semantic", "both")(which),
+        s"index-maintain: index must be neardup | semantic | both, got '$which'")
+      val tr = params.getOrElse("tombstone_ratio", "0.1").toString.toDouble
+      val fd = params.getOrElse("file_decay", "4.0").toString.toDouble
+      val mb = params.getOrElse("target_file_mb", "128").toString.toInt
+      val reports = Seq(
+        if (which != "semantic")
+          Some(graft.dedup.MinHashIndex.maintain(
+            s, ctx.dataPath("models.neardup_index"), tr, fd, mb))
+        else None,
+        if (which != "neardup")
+          Some(graft.similarity.AnnIndex.maintain(
+            s, ctx.dataPath("models.semantic_index"), tr, fd,
+            params.getOrElse("skew_ratio", "2.0").toString.toDouble, mb))
+        else None).flatten
+      val report = reports.reduce(_ unionByName _)
+      report.collect().foreach { row =>
+        if (row.getAs[Boolean]("reshard_recommended") ||
+            row.getAs[Boolean]("compacted"))
+          println(s"[graft] corpus-curation/index-maintain " +
+            s"${row.getAs[String]("kind")}: ${row.getAs[String]("reason")}")
+      }
+      save(ctx, report, ctx.dataPath("processed.maintenance_report"))
+    }
+
     // split the curated corpus with near-dup clusters held together: pairs
     // from the minhash report feed connected components, and every cluster
     // draws one split — eval can't be contaminated by a near-twin of a
@@ -942,6 +978,29 @@ object Production {
       graft.similarity.AnnIndex.deleteIds(ctx.spark, dir, ids)
       if (params.getOrElse("compact", "false").toString.toBoolean)
         graft.similarity.AnnIndex.compact(ctx.spark, dir)
+    }
+
+    // MAINTENANCE, stats-driven: read the index health report and act on
+    // MEASURED signals instead of a fixed cadence — fold when pending
+    // tombstones or file decay cross the configured thresholds (at most
+    // one fold per run), and surface shard skew beyond `skew_ratio` as a
+    // LOUD reshard recommendation (logged + in the saved report — never
+    // an automatic reshard; that topology change stays an operator's
+    // deliberate `reshard` task). Under thresholds the run is a no-op
+    // read, so it is safe on any monitoring schedule in the maintenance
+    // lane (single-maintainer contract when it does fold).
+    Jobs.register("ann-serving", "maintain") { (ctx, params) =>
+      val report = graft.similarity.AnnIndex.maintain(
+        ctx.spark, ctx.dataPath("models.ann_index"),
+        tombstoneRatio = params.getOrElse("tombstone_ratio", "0.1").toString.toDouble,
+        fileDecay = params.getOrElse("file_decay", "4.0").toString.toDouble,
+        skewRatio = params.getOrElse("skew_ratio", "2.0").toString.toDouble,
+        targetFileMB = params.getOrElse("target_file_mb", "128").toString.toInt)
+      val row = report.head()
+      if (row.getAs[Boolean]("reshard_recommended") ||
+          row.getAs[Boolean]("compacted"))
+        println(s"[graft] ann-serving/maintain: ${row.getAs[String]("reason")}")
+      save(ctx, report, ctx.dataPath("processed.maintenance_report"))
     }
 
     // Tokenizer lifecycle as catalog jobs — the train-once/persist/

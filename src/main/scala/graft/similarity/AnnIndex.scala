@@ -318,6 +318,73 @@ object AnnIndex {
     }
   }
 
+  /** Stats-DRIVEN maintenance — the consumer of [[stats]] that closes the
+    * loop the observability opened: instead of compacting on a fixed
+    * count cadence, read the measured signals and act.
+    *
+    *   - `pending_tombstones / n_rows > tombstoneRatio` → fold (every
+    *     search pays the anti-join until tombstones leave disk)
+    *   - `data_files > fileDecay × ideal` → fold, where ideal is what one
+    *     [[compact]] would leave: max(cells/tables, bytes/targetFileMB)
+    *     (append-littered layouts pay per-file opens, not bytes)
+    *   - `shard_rows_max / shard_rows_min > skewRatio` → a LOUD reshard
+    *     RECOMMENDATION in the returned report — never an automatic
+    *     [[reshardIvf]]/[[reshardIvfPq]]: a topology change re-keys the
+    *     layout an operator may be serving, so it stays a deliberate,
+    *     visible event (same contract as centroid re-fits).
+    *
+    * At most ONE fold runs per call regardless of how many signals
+    * crossed. Returns the one-row decision report (signals, thresholds
+    * implied by `reason`, actions taken/recommended) so a scheduled
+    * maintenance lane has an auditable record of why it did or did not
+    * act. Under thresholds the call is a pure no-op read. */
+  def maintain(
+      spark: SparkSession,
+      dir: String,
+      tombstoneRatio: Double = 0.1,
+      fileDecay: Double = 4.0,
+      skewRatio: Double = 2.0,
+      targetFileMB: Int = 128): DataFrame = {
+    import spark.implicits._
+    val st = stats(spark, dir).head()
+    val kind = st.getAs[String]("kind")
+    val nRows = st.getAs[Long]("n_rows")
+    val pending = st.getAs[Long]("pending_tombstones")
+    val files = st.getAs[Long]("data_files")
+    val bytes = st.getAs[Long]("data_bytes")
+    val cells = st.getAs[Int]("cells_or_tables")
+    val nShards = st.getAs[Int]("n_shards")
+    val pendingRatio = if (nRows > 0) pending.toDouble / nRows else 0.0
+    val ideal = math.max(math.max(cells.toLong, 1L),
+      math.ceil(bytes / (targetFileMB * 1024.0 * 1024.0)).toLong)
+    val decay = files.toDouble / ideal
+    val skew =
+      if (nShards > 1)
+        st.getAs[Long]("shard_rows_max").toDouble /
+          math.max(st.getAs[Long]("shard_rows_min"), 1L)
+      else 1.0
+    val compactReasons = Seq(
+      if (pendingRatio > tombstoneRatio)
+        Some(f"tombstones: $pending/$nRows = $pendingRatio%.4f > $tombstoneRatio%.4f")
+      else None,
+      if (decay > fileDecay)
+        Some(f"file decay: $files files vs ideal $ideal = $decay%.2f× > $fileDecay%.2f×")
+      else None).flatten
+    if (compactReasons.nonEmpty) compact(spark, dir, targetFileMB)
+    val reshardRecommended = nShards > 1 && skew > skewRatio
+    val reason = (compactReasons ++
+      (if (reshardRecommended)
+        Seq(f"RESHARD RECOMMENDED: shard skew $skew%.2f× > $skewRatio%.2f× " +
+          "(hash routing drifted or a shard missed appends)")
+      else Nil)).mkString("; ")
+    Seq((kind, nRows, pending, pendingRatio, files, ideal, decay, skew,
+        compactReasons.nonEmpty, reshardRecommended,
+        if (reason.isEmpty) "healthy: under all thresholds" else reason))
+      .toDF("kind", "n_rows", "pending_tombstones", "pending_ratio",
+        "data_files", "ideal_files", "file_decay", "shard_skew",
+        "compacted", "reshard_recommended", "reason")
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** Fit the coarse quantizer once and persist centroids + the

@@ -329,6 +329,115 @@ class ConfigJobsSpec extends AnyFunSuite {
       s"retracted ids still served after the catalog delete: ${served & doomedIds}")
   }
 
+  test("stats-driven maintenance: crossed thresholds fold once, skew recommends a reshard, healthy is a no-op") {
+    val spark = SparkSpec.session
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft-ann-maint").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    emb.write.mode("overwrite").parquet(s"$work/embeddings")
+    // 15% of rows retracted: crosses the 10% tombstone-ratio policy
+    emb.filter(col("vec_id") < 75).select(col("vec_id"))
+      .write.mode("overwrite").parquet(s"$work/retract")
+    def yml(body: String) = {
+      val f = java.nio.file.Files.createTempFile("graft-maint", ".yml")
+      java.nio.file.Files.writeString(f,
+        s"""jobs:
+           |  - name: ann-serving
+           |    fail_fast: true
+           |    stages:
+           |      - name: maint
+           |        tasks:
+           |$body""".stripMargin)
+      Context.loadYaml(f.toString)
+    }
+    def cfg(jobYml: Any, index: String) = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> jobYml,
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "embeddings" -> s"$work/embeddings",
+          "retracted_ids" -> s"$work/retract"),
+        "models" -> Map("ann_index" -> s"$work/$index"),
+        "processed" -> Map("maintenance_report" -> s"$work/report")))
+    graft.pipeline.Production.registerAll()
+    // build + delete (no fold) + maintain: the tombstone signal crosses →
+    // exactly one fold (file-decay disabled via a huge threshold so the
+    // trigger under test is unambiguous)
+    assert(graft.pipeline.Jobs.run(Context(cfg(yml(
+      """          - name: build-index
+        |            params: {kind: ivf, nlist: 8}
+        |          - name: delete
+        |          - name: maintain
+        |            params: {tombstone_ratio: "0.1", file_decay: "1e9"}""".stripMargin),
+      "idx"), spark), "ann-serving").isEmpty)
+    val r1 = spark.read.parquet(s"$work/report").head()
+    assert(r1.getAs[Boolean]("compacted") &&
+      r1.getAs[String]("reason").contains("tombstones"), r1.toString)
+    assert(r1.getAs[Double]("pending_ratio") === 0.15)
+    assert(!new java.io.File(s"$work/idx/tombstones.parquet").exists(),
+      "the crossed threshold must fold the tombstones physically")
+    // run the same maintain again: now healthy → pure no-op read
+    assert(graft.pipeline.Jobs.run(Context(cfg(yml(
+      """          - name: maintain
+        |            params: {tombstone_ratio: "0.1", file_decay: "1e9"}""".stripMargin),
+      "idx"), spark), "ann-serving").isEmpty)
+    spark.catalog.refreshByPath(s"$work/report")
+    val r2 = spark.read.parquet(s"$work/report").head()
+    assert(!r2.getAs[Boolean]("compacted") && !r2.getAs[Boolean]("reshard_recommended"))
+    assert(r2.getAs[String]("reason").startsWith("healthy"))
+    assert(spark.read.parquet(s"$work/idx/meta.parquet").head()
+      .getAs[Long]("n_rows") === 425L) // 500 - 75 folded
+    // a 2-shard index built from ids hash-biased to shard 0: skew crosses
+    // → a LOUD recommendation row, but NO automatic reshard
+    emb.filter(pmod(xxhash64(col("vec_id")), lit(2L)) === 0)
+      .unionByName(
+        emb.filter(pmod(xxhash64(col("vec_id")), lit(2L)) === 1).limit(20))
+      .write.mode("overwrite").parquet(s"$work/biased")
+    val skCfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> yml(
+        """          - name: build-index
+          |            params: {kind: ivf_sharded, n_shards: 2, nlist: 8}
+          |          - name: maintain
+          |            params: {file_decay: "1e9", skew_ratio: "2.0"}""".stripMargin),
+      "data_catalog" -> Map(
+        "raw" -> Map("embeddings" -> s"$work/biased"),
+        "models" -> Map("ann_index" -> s"$work/idx_sk"),
+        "processed" -> Map("maintenance_report" -> s"$work/report_sk")))
+    assert(graft.pipeline.Jobs.run(Context(skCfg, spark), "ann-serving").isEmpty)
+    val r3 = spark.read.parquet(s"$work/report_sk").head()
+    assert(r3.getAs[Boolean]("reshard_recommended") &&
+      r3.getAs[String]("reason").contains("RESHARD RECOMMENDED"), r3.toString)
+    assert(r3.getAs[Double]("shard_skew") > 2.0)
+    assert(spark.read.parquet(s"$work/idx_sk/meta.parquet").head()
+      .getAs[Int]("tables") === 2,
+      "skew must RECOMMEND a reshard, never run one")
+    // the curation twin: a minhash index past the tombstone threshold
+    // folds through corpus-curation/index-maintain with the same report
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 100)
+    graft.dedup.MinHashIndex.build(docs, "doc_id", "text", s"$work/neardup")
+    import spark.implicits._
+    graft.dedup.MinHashIndex.deleteIds(spark, s"$work/neardup",
+      (0L until 20L).toDF("doc_id"))
+    val mhCfg = Map(
+      "core" -> Map("seed" -> 7),
+      "job_catalog" -> Map("jobs" -> List(Map(
+        "name" -> "corpus-curation", "fail_fast" -> true,
+        "stages" -> List(Map("name" -> "maint", "tasks" -> List(Map(
+          "name" -> "index-maintain",
+          "params" -> Map("index" -> "neardup", "tombstone_ratio" -> "0.1",
+            "file_decay" -> "1e9")))))))),
+      "data_catalog" -> Map(
+        "models" -> Map("neardup_index" -> s"$work/neardup"),
+        "processed" -> Map("maintenance_report" -> s"$work/report_mh")))
+    assert(graft.pipeline.Jobs.run(Context(mhCfg, spark), "corpus-curation").isEmpty)
+    val r4 = spark.read.parquet(s"$work/report_mh").head()
+    assert(r4.getAs[String]("kind") === "minhash" && r4.getAs[Boolean]("compacted"))
+    assert(!new java.io.File(s"$work/neardup/tombstones.parquet").exists())
+  }
+
   test("ann-serving retrieval-eval: the served index is graded against user relevance labels") {
     val spark = SparkSpec.session
     import org.apache.spark.sql.functions._
