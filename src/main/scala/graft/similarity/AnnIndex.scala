@@ -581,11 +581,27 @@ object AnnIndex {
     require(nprobe >= 0, s"nprobe must be >= 0 (0 = auto), got $nprobe")
     require(refine >= -1, s"refine must be >= -1 (-1 = auto, 0 = off), got $refine")
     val m = readMeta(spark, dir, "ivfpq")
-    val refineEff = if (refine >= 0) refine else if (m.quantized) 10 else 0
     val probes =
       if (nprobe > 0) nprobe else Similarity.ivfAutoNprobe(m.nlist, m.nRows, k)
     require(probes >= 1 && probes <= m.nlist,
       s"need 1 <= nprobe <= nlist, got nprobe=$probes nlist=${m.nlist}")
+    // AUTO refine scales with the ADC candidate volume: PQ rank noise
+    // displaces true neighbors deeper in the ADC ordering as the scored
+    // pool grows, so a CONSTANT shortlist silently starves at scale —
+    // the r19 pq-sharded-decade probe measured recall 0.796 at the old
+    // fixed factor 10 (36k candidates/shard/query) vs 0.912 at 40 with
+    // the same probes; shortlist ≈ candidates/64 tracks that operating
+    // point across scales (int8 re-rank cost stays ~1.6% of the ADC
+    // rows), clamped to [10, 100] so small corpora keep the calibrated
+    // floor and the re-rank stays bounded.
+    val refineEff =
+      if (refine >= 0) refine
+      else if (!m.quantized) 0
+      else {
+        val candEst = probes.toDouble * m.nRows / math.max(m.nlist, 1)
+        math.min(100L, math.max(10L,
+          math.ceil(candEst / (64.0 * k)).toLong)).toInt
+      }
     val centDf = spark.read.parquet(s"$dir/centroids.parquet")
     val books = spark.read.parquet(s"$dir/codebooks.parquet")
     val dim = books.select(size(col("cent"))).head().getInt(0) * m.tables
@@ -1077,9 +1093,41 @@ object AnnIndex {
     mergeShardTopK(
       fanOut(m.tables)(sh =>
         searchIvf(spark, s"$dir/shard=$sh", queries, queryIdCol, vecCol, k,
-          nprobe, corpusFilter)),
+          shardNprobe(spark, s"$dir/shard=$sh", "ivf", k, nprobe),
+          corpusFilter)),
       m.idCol, k)
   }
+
+  /** Per-shard probe resolution for the SHARDED searches: explicit
+    * `nprobe` passes through untouched; auto (0) resolves to
+    * [[Similarity.ShardedProbeCompensation]] × the single-index auto
+    * policy, capped at the shard's cell count.
+    *
+    * Why shards need more probes than a same-shape single index: the
+    * r19 pq-sharded-decade sweep (20M rows, 4 shards, 2236 cells/shard,
+    * clustered shape, exact truth) measured the single-index scale floor
+    * (8 probes) covering only **0.78** of true neighbors through the
+    * sharded layout — vs 0.892 for the single 20M index under the same
+    * policy — while the int8 ceiling sat at 0.99: the loss is coarse
+    * COVERAGE, not quantization. Each shard's cells hold the same
+    * natural clusters at 1/S the occupancy, so the query's neighborhood
+    * sits deeper in each shard's noisier centroid ranking, and the merge
+    * needs EVERY shard to cover its slice. Doubling the per-shard floor
+    * measured 0.912 at refine 40 (3× → 0.95, plateau 0.962); 2× is the
+    * deployed point — with the volume-scaled auto refine the end-to-end
+    * deployed config measures 0.926 at 20M / 0.896 at 40M, above the
+    * 0.85 calibration bound at 2× the ADC bytes, and the probe gate
+    * (SCALEBENCH `pq-sharded-decade`) re-verifies it per round. */
+  private def shardNprobe(
+      spark: SparkSession, shardDir: String, innerKind: String,
+      k: Int, nprobe: Int): Int =
+    if (nprobe > 0) nprobe
+    else {
+      val sm = readMeta(spark, shardDir, innerKind)
+      math.min(sm.nlist,
+        Similarity.ShardedProbeCompensation *
+          Similarity.ivfAutoNprobe(sm.nlist, sm.nRows, k))
+    }
 
   /** Run one search-plan construction per shard on concurrent threads
     * (each shard's probe resolution collects its probed-cell set — a
@@ -1231,7 +1279,8 @@ object AnnIndex {
     mergeShardTopK(
       fanOut(m.tables)(sh =>
         searchIvfPq(spark, s"$dir/shard=$sh", queries, queryIdCol, vecCol,
-          k, nprobe, corpusFilter, refine)),
+          k, shardNprobe(spark, s"$dir/shard=$sh", "ivfpq", k, nprobe),
+          corpusFilter, refine)),
       m.idCol, k)
   }
 

@@ -14,9 +14,13 @@ object BenchProbe {
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val tail = Seq(
-      "dedup_cluster_survivors", "bigram_logprob", "auc_roc", "join_chain",
-      "bradley_terry")
+    // query names come from args (the round's drift tail changes); the
+    // default list is the r17 five
+    val tail =
+      if (args.nonEmpty) args.toSeq
+      else Seq(
+        "dedup_cluster_survivors", "bigram_logprob", "auc_roc", "join_chain",
+        "bradley_terry")
     val all = graft.SparkEntry.queries ++ graft.SparkEntry.benchQueries
     // warm the JVM + parquet footers once
     spark.read.parquet(s"$dir/documents.parquet").count()

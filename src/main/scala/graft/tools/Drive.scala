@@ -4,69 +4,40 @@ import org.apache.spark.sql.functions._
 
 /** Scratch driver for ad-hoc plan/timing probes during development —
   * rewritten per investigation; not part of any shipped surface. Current
-  * probe: drive the r19 idempotence/safety work end to end on testdata —
-  * a replayed dedup release, the tombstone-collision refusal, and the
-  * shard-meta-derived accounting.
+  * probe: per-shard nprobe sweep on the staged 20M 4-shard IVF-PQ index.
+  * Diagnosis so far: recall plateau 0.778 at any refine factor, coarse
+  * coverage 0.78, int8 ceiling 0.99 — the per-shard auto-nprobe (8)
+  * under-covers the sharded layout. Find the operating point.
   */
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
-    import graft.dedup.{Dedup, MinHashIndex}
-    import graft.similarity.AnnIndex
+    import graft.similarity.{AnnIndex, Similarity}
 
-    val sf = "/root/testdata/sf0.001"
-    val work = java.nio.file.Files.createTempDirectory("graft_drive_r19").toString
-    val docs = spark.read.parquet(s"$sf/documents.parquet")
-      .select(col("doc_id"), col("text")).filter(col("doc_id") < 150)
-    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 400)
-
-    // 1. replayed near-dup release: pairs() self-exclusion keeps the
-    //    accepted set stable instead of annihilating it
-    val accepted = Dedup.nearDupDedup(docs, "doc_id", "text", 0.6, 3)
-    val mh = s"$work/neardup_index"
-    MinHashIndex.build(accepted, "doc_id", "text", mh)
-    val replay = MinHashIndex.dedupBatch(spark, mh, docs, "text", 0.6)
-    println(s"PROBE replay_docs accepted=${accepted.count()} replayed=${replay.count()}")
-
-    // the fresh-slice plan: the indexedIds anti-join should broadcast and
-    // read ONLY the id column of the bucket table (column pruning)
-    val fresh = accepted.join(MinHashIndex.indexedIds(spark, mh),
-      Seq("doc_id"), "left_anti")
-    fresh.explain()
-    println(s"PROBE replay_fresh_rows=${fresh.count()} (want 0)")
-
-    // 2. tombstone-collision refusal + repair path
-    val ivf = s"$work/ivf"
-    AnnIndex.buildIvf(emb, "vec_id", "embedding", ivf, nlist = 8)
-    import spark.implicits._
-    AnnIndex.deleteIds(spark, ivf, Seq(5L).toDF("vec_id"))
-    val refused =
-      try { AnnIndex.appendIvf(emb.filter(col("vec_id") === 5L), "embedding", ivf); "NOT-REFUSED" }
-      catch { case e: IllegalArgumentException => s"refused: ${e.getMessage.take(100)}" }
-    println(s"PROBE reappend $refused")
-    AnnIndex.compact(spark, ivf)
-    AnnIndex.appendIvf(emb.filter(col("vec_id") === 5L), "embedding", ivf)
-    val back = AnnIndex.searchIvf(spark, ivf,
-        emb.filter(col("vec_id") === 5L)
-          .select((col("vec_id") + 9000L).as("vec_id"), col("embedding")),
-        "vec_id", "embedding", k = 1, nprobe = 8)
-      .head().getLong(1)
-    println(s"PROBE reappend_after_fold served=$back (want 5)")
-
-    // 3. sharded accounting: stats n_rows == shard-meta sum after appends
-    val sh = s"$work/sh"
-    AnnIndex.buildIvfSharded(emb, "vec_id", "embedding", sh, nShards = 2, nlist = 8)
-    AnnIndex.appendIvfSharded(
-      spark.read.parquet(s"$sf/embeddings.parquet")
-        .filter(col("vec_id") >= 400 && col("vec_id") < 430)
-        .select(col("vec_id"), col("embedding")),
-      "embedding", sh)
-    val st = AnnIndex.stats(spark, sh).head()
-    val shardSum = (0 until 2).map(i => spark.read
-      .parquet(s"$sh/shard=$i/meta.parquet").head().getAs[Long]("n_rows")).sum
-    println(s"PROBE sharded_stats n_rows=${st.getAs[Long]("n_rows")} shard_sum=$shardSum (want equal, 430)")
+    val dir = "/tmp/graft_scale_caprecall_40m_d32c256"
+    val idxDir = "/tmp/graft_scale_pqsh_n20m_d32c256"
+    val full = spark.read.parquet(dir)
+    val queries = full.filter(col("vec_id") < 50L).persist()
+    queries.count()
+    val corpus = full.filter(col("vec_id") < 20000000L)
+    val truth = Similarity
+      .cosineTopK(corpus, queries, "vec_id", "vec", "vec_id", 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    println(s"PROBE truth ready ${truth.size}")
+    for (nprobe <- Seq(8, 12, 16, 24, 32, 48, 64)) {
+      val t0 = System.nanoTime()
+      val got = AnnIndex
+        .searchIvfPqSharded(spark, idxDir, queries, "vec_id", "vec",
+          k = 10, nprobe = nprobe, refine = 40)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      val recall = (truth & got).size.toDouble / truth.size
+      println(f"""PROBE nprobe_sweep nprobe=$nprobe sec=$sec%.2f recall=$recall%.4f""")
+    }
+    queries.unpersist()
     spark.stop()
   }
 }

@@ -705,11 +705,212 @@ object ScaleBench {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
   }
 
+  /** The recall floor for the DEPLOYED sharded-PQ serving config at the
+    * clustered decade — same bar as the plain-IVF auto point
+    * ([[CapRecallAutoBound]]): the int8 refine re-rank recovers what ADC
+    * ranking loses, so the deployed config must clear the same floor the
+    * policy was calibrated to. */
+  private[graft] val PqShardedAutoBound = 0.85
+
+  /** `pq-sharded-decade`: the config a 100 TB user actually serves —
+    * 4-shard IVF-PQ (m=8, 256 codes), int8 refine ON at the auto factor,
+    * AUTO probes — probed at the clustered decade the r15 IVF policy got
+    * (N=20M and N=40M of the staged dims-32 256-cluster corpus). Per
+    * point: recall@10 vs brute truth (the auto point must clear
+    * [[PqShardedAutoBound]] — the GATE), per-query candidate volume
+    * computed from the persisted layout (probed-cell occupancy under the
+    * per-shard auto-nprobe policy — the bytes driver a search pays), and
+    * the search latency; the decade slope of both closes the probe.
+    * Corpus and indexes are staged one-off behind _SUCCESS markers. */
+  private def pqShardedDecade(spark: SparkSession): Unit = {
+    import graft.similarity.{AnnIndex, Similarity}
+    val dir = "/tmp/graft_scale_caprecall_40m_d32c256"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      System.err.println("[scalebench] staging the 40M dims-32 clustered corpus (one-off)")
+      Recall.clusteredCorpus(spark, n = 40000000L, dims = 32,
+          clusters = 256, noise = 1.0)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val full = spark.read.parquet(dir)
+    val queries = full.filter(col("vec_id") < Recall.MinRecallQueries.toLong)
+      .persist()
+    queries.count()
+    val nQ = Recall.MinRecallQueries
+    var prev = Option.empty[(Double, Double)] // (searchSec, candPerQ)
+    for ((sfName, nRows) <- Seq("n20m" -> 20000000L, "n40m" -> 40000000L)) {
+      val corpus = full.filter(col("vec_id") < nRows)
+      val truth = Similarity
+        .cosineTopK(corpus, queries, "vec_id", "vec", "vec_id", 10)
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val idxDir = s"/tmp/graft_scale_pqsh_${sfName}_d32c256"
+      val tb0 = System.nanoTime()
+      AnnIndex.ensureIvfPqSharded(corpus, "vec_id", "vec", idxDir,
+        nShards = 4, m = 8, codes = 256, seed = 0L, refine = true)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      // candidate volume from the PERSISTED layout: per shard, replay the
+      // auto-nprobe policy against the stored centroids and sum the
+      // probed cells' occupancy — the rows every query's ADC loop scores
+      var candRows = 0L
+      var nlistSum = 0L
+      for (sh <- 0 until 4) {
+        val sd = s"$idxDir/shard=$sh"
+        val meta = spark.read.parquet(s"$sd/meta.parquet").head()
+        val (shNlist, shRows) = (meta.getAs[Int]("nlist"), meta.getAs[Long]("n_rows"))
+        nlistSum += shNlist
+        // the same compensated per-shard policy the sharded searches
+        // deploy (AnnIndex.shardNprobe) — the volume reported must be
+        // the volume served
+        val probes = math.min(shNlist,
+          Similarity.ShardedProbeCompensation *
+            Similarity.ivfAutoNprobe(shNlist, shRows, 10))
+        val probed = Similarity.ivfQueryProbes(queries, "vec_id", "vec",
+            spark.read.parquet(s"$sd/centroids.parquet"), probes)
+          .select(col("query_id"), col("__cell"))
+        candRows += probed
+          .join(spark.read.parquet(s"$sd/corpus.parquet")
+            .groupBy(col("__cell")).agg(count(lit(1)).as("occ")), Seq("__cell"))
+          .agg(sum(col("occ"))).head().getLong(0)
+      }
+      val candPerQ = candRows.toDouble / nQ
+      // the deployed search: auto probes, auto refine (int8 re-rank on)
+      def searchOnce(): (Double, Set[(Long, Long)]) = {
+        val t0 = System.nanoTime()
+        val got = AnnIndex
+          .searchIvfPqSharded(spark, idxDir, queries, "vec_id", "vec", k = 10)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        ((System.nanoTime() - t0) / 1e9, got)
+      }
+      searchOnce() // warm file listings, as served steady-state would be
+      val runs = (1 to 3).map(_ => searchOnce())
+      val searchSec = runs.map(_._1).min
+      val got = runs.head._2
+      val recall = (truth & got).size.toDouble / math.max(1, truth.size)
+      println(f"""{"query":"pq_sharded_auto","sf":"$sfName","n_shards":4,"nlist_total":$nlistSum,"n_queries":$nQ,"build_sec":$buildSec%.3f,"search_sec":$searchSec%.3f,"cand_rows_per_query":$candPerQ%.1f,"recall":$recall%.4f}""")
+      require(recall >= PqShardedAutoBound,
+        f"pq-sharded-decade GATE: deployed config (4-shard PQ, refine auto, " +
+          f"probes auto) recall $recall%.4f < $PqShardedAutoBound at $sfName")
+      prev.foreach { case (s20, c20) =>
+        println(f"""{"query":"pq_sharded_decade_slope","search_sec_ratio":${searchSec / s20}%.2f,"cand_ratio":${candPerQ / c20}%.2f}""")
+      }
+      prev = Some((searchSec, candPerQ))
+    }
+    queries.unpersist()
+  }
+
+  /** `interleave-probe`: the documented single-maintainer composition —
+    * [[graft.streaming.Streaming.maintainAnnIndex]] appends and
+    * [[graft.streaming.Streaming.maintainRetractions]] deletes against
+    * the SAME 1M-row persisted index from one lane — driven across a
+    * kill/restart: the append stream is stopped mid-feed and restarted on
+    * its checkpoint, so the uncommitted micro-batch REPLAYS and the
+    * marker gate must keep the replay single-application; retraction
+    * batches replay behind their own markers (and are idempotent anyway);
+    * the retraction lane's compactEvery cadence folds tombstones while
+    * appends continue after it. The probe asserts the final served state
+    * row-for-row: base + every appended id − every retracted id, no
+    * duplicates, searchable immediately. */
+  private def interleaveProbe(spark: SparkSession): Unit = {
+    import graft.similarity.AnnIndex
+    import graft.streaming.Streaming
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val dir = "/tmp/graft_compaction_corpus"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      System.err.println("[scalebench] staging the 1.12M clustered corpus (one-off)")
+      Recall.clusteredCorpus(spark, n = 1120000L, dims = 16,
+          clusters = 1024, noise = 1.0)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val all = spark.read.parquet(dir)
+    val work = java.nio.file.Files.createTempDirectory("graft_interleave").toString
+    val idx = s"$work/idx"
+    val t0 = System.nanoTime()
+    AnnIndex.buildIvf(all.filter(col("vec_id") < 1000000L), "vec_id", "vec", idx)
+    println(f"""{"query":"interleave_build","sec":${(System.nanoTime() - t0) / 1e9}%.3f,"rows":1000000}""")
+    implicit val sqlCtx = spark.sqlContext
+    def batchRows(lo: Long, hi: Long): Seq[(Long, Seq[Double])] = all
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id"), col("vec")).as[(Long, Seq[Double])]
+      .collect().toSeq
+    // lane 1: appends (batches of 10k new ids)
+    val appendIn = MemoryStream[(Long, Seq[Double])]
+    def startAppends() = Streaming.maintainAnnIndex(
+      appendIn.toDF.toDF("vec_id", "vec"), "vec", idx, s"$work/ckpt_app")
+    // lane 2 (same single-maintainer lane — the lanes take turns):
+    // retractions with an aggressive fold cadence
+    val retractIn = MemoryStream[Long]
+    def startRetracts() = Streaming.maintainRetractions(
+      retractIn.toDF.toDF("vec_id"), idx, s"$work/ckpt_ret", kind = "ann",
+      compactEvery = 2)
+    val ta0 = System.nanoTime()
+    var aq = startAppends()
+    appendIn.addData(batchRows(1000000L, 1010000L))
+    aq.processAllAvailable()
+    // KILL mid-feed: enqueue a batch, stop WITHOUT processing — the
+    // checkpoint has the offsets, the index has no marker for it yet
+    appendIn.addData(batchRows(1010000L, 1020000L))
+    aq.stop()
+    // RESTART on the same checkpoint: the stopped batch replays ONCE
+    aq = startAppends()
+    aq.processAllAvailable()
+    // replay of an ALREADY-APPLIED batch id is marker-gated to a no-op
+    require(!Streaming.appendBatchOnce(
+      all.filter(col("vec_id") >= 1000000L && col("vec_id") < 1010000L)
+        .select(col("vec_id"), col("vec")), "vec", idx, batchId = 0L),
+      "interleave GATE: replayed applied batch must be a marker-gated no-op")
+    // retraction lane takes the lane: two batches (takedown of 1k base
+    // ids + 1k appended ids); the second applied batch folds (cadence 2)
+    val rq = startRetracts()
+    retractIn.addData((0L until 1000L): _*)
+    rq.processAllAvailable()
+    retractIn.addData((1000000L until 1001000L): _*)
+    rq.processAllAvailable()
+    rq.stop()
+    require(!new java.io.File(s"$idx/tombstones.parquet").exists(),
+      "interleave GATE: the compactEvery cadence must have folded the tombstones")
+    // appends continue after the fold on the original checkpoint
+    appendIn.addData(batchRows(1020000L, 1030000L))
+    aq.processAllAvailable()
+    aq.stop()
+    println(f"""{"query":"interleave_drive","sec":${(System.nanoTime() - ta0) / 1e9}%.3f,"appended":30000,"retracted":2000,"restarts":1}""")
+    // final served truth: base + appends − retractions, no duplicates
+    val stored = spark.read.parquet(s"$idx/corpus.parquet").select(col("vec_id"))
+    val n = stored.count()
+    val nDistinct = stored.distinct().count()
+    require(n == nDistinct && n == 1000000L + 30000L - 2000L,
+      s"interleave GATE: served rows $n (distinct $nDistinct), want 1028000 exact")
+    // the retracted ids are gone, the post-restart appends serve
+    val probeQ = all.filter(col("vec_id").isin(500L, 1000500L, 1025000L))
+      .select((col("vec_id") + 5000000L).as("vec_id"), col("vec"))
+    val served = AnnIndex.searchIvf(spark, idx, probeQ, "vec_id", "vec", k = 1)
+      .select(col("query_id"), col("vec_id").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(served(1025000L + 5000000L) == 1025000L,
+      s"interleave GATE: post-restart append must serve, got $served")
+    require(served.get(500L + 5000000L) != Some(500L) &&
+      served.get(1000500L + 5000000L) != Some(1000500L),
+      s"interleave GATE: retracted ids must not serve, got $served")
+    println("""{"query":"interleave_replay_idempotence","ok":true}""")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(work))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = graft.Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.contains("tombstone-probe")) {
       tombstoneProbe(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("pq-sharded-decade")) {
+      pqShardedDecade(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("interleave-probe")) {
+      interleaveProbe(spark)
       spark.stop()
       return
     }
