@@ -106,16 +106,22 @@ object MinHashIndex {
       .coalesce(1).write.mode(SaveMode.Append).parquet(s"$dir/$TombstoneFile")
   }
 
-  /** Ids already present in the persisted index (pending-tombstone rows
-    * included — they still occupy index rows until a fold). Column-pruned
-    * read of the BUCKET table's id column (the layer [[append]] writes
-    * last, so an id listed here has both its layers committed); shingle
-    * bytes are never deserialized. The re-run guard of the incremental
-    * release jobs: anti-join a batch against this before appending and a
-    * replayed release appends nothing instead of duplicate index rows. */
+  /** Ids the persisted index currently SERVES: stored rows minus pending
+    * tombstones. Column-pruned read of the BUCKET table's id column (the
+    * layer [[append]] writes last, so an id listed here has both its
+    * layers committed); shingle bytes are never deserialized. The re-run
+    * guard of the incremental release jobs: anti-join a batch against
+    * this before appending and a replayed release appends nothing instead
+    * of duplicate index rows. Pending-TOMBSTONE ids are deliberately NOT
+    * listed even though their rows still occupy the layers: a re-accepted
+    * id that was retracted must reach [[append]] and surface as the loud
+    * collision refusal (fold first), never be silently skipped by the
+    * guard — skipped meant published-but-unindexed, permanently, once the
+    * fold erased the rows. */
   def indexedIds(spark: SparkSession, dir: String): DataFrame = {
     val m = readMeta(spark, dir)
-    spark.read.parquet(s"$dir/buckets.parquet").select(col(m.idCol)).distinct()
+    minusTombstones(spark, dir, m, m.idCol,
+      spark.read.parquet(s"$dir/buckets.parquet").select(col(m.idCol)).distinct())
   }
 
   /** Shingle + band the corpus once and persist both layers. */

@@ -172,21 +172,29 @@ object AnnIndex {
           "the deletions first, or re-submit under new ids.")
     }
 
-  /** Ids already stored in the persisted index (pending-tombstone rows
-    * included — they occupy index rows until a fold). Column-pruned read
-    * of the data table's id column; vector/code bytes are never
-    * deserialized. Sharded indexes union their shards. The re-run guard
-    * of the incremental release jobs: anti-join a batch against this
-    * before appending and a replayed release appends nothing instead of
-    * accumulating duplicate ids in the served index. */
+  /** Ids the persisted index currently SERVES: stored rows minus pending
+    * tombstones. Column-pruned read of the data table's id column;
+    * vector/code bytes are never deserialized. Sharded indexes union
+    * their shards (each applying its own tombstones). The re-run guard of
+    * the incremental release jobs: anti-join a batch against this before
+    * appending and a replayed release appends nothing instead of
+    * accumulating duplicate ids in the served index. Pending-TOMBSTONE
+    * ids are deliberately NOT listed even though their rows still occupy
+    * the layout: a re-accepted id that was retracted must reach the
+    * append and surface as the loud collision refusal (fold first), never
+    * be silently skipped by the guard — skipped meant
+    * published-but-unindexed, permanently, once the fold erased the
+    * rows. */
   def indexedIds(spark: SparkSession, dir: String): DataFrame = {
     val kind = kindOf(spark, dir)
     val m = readMeta(spark, dir, kind)
     kind match {
       case "ivf" | "ivfpq" =>
-        spark.read.parquet(s"$dir/corpus.parquet").select(col(m.idCol)).distinct()
+        minusTombstones(spark, dir, m.idCol,
+          spark.read.parquet(s"$dir/corpus.parquet").select(col(m.idCol)).distinct())
       case "lsh" =>
-        spark.read.parquet(s"$dir/signatures.parquet").select(col(m.idCol)).distinct()
+        minusTombstones(spark, dir, m.idCol,
+          spark.read.parquet(s"$dir/signatures.parquet").select(col(m.idCol)).distinct())
       case "ivf_sharded" | "ivfpq_sharded" =>
         (0 until m.tables).map(sh => indexedIds(spark, s"$dir/shard=$sh"))
           .reduce(_ unionByName _)
@@ -1118,7 +1126,7 @@ object AnnIndex {
     * deployed config measures 0.926 at 20M / 0.896 at 40M, above the
     * 0.85 calibration bound at 2× the ADC bytes, and the probe gate
     * (SCALEBENCH `pq-sharded-decade`) re-verifies it per round. */
-  private def shardNprobe(
+  private[graft] def shardNprobe(
       spark: SparkSession, shardDir: String, innerKind: String,
       k: Int, nprobe: Int): Int =
     if (nprobe > 0) nprobe
@@ -1171,6 +1179,16 @@ object AnnIndex {
     try {
       val counts = routed.groupBy(col("__shard")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // tombstone-collision refusal runs for the WHOLE batch BEFORE any
+      // shard commits: the per-shard guard inside the appends would fire
+      // only after sibling shards already landed their rows, and the
+      // error's repair advice (fold, then re-append) would then duplicate
+      // the committed siblings. Serial and cheap — a file-existence check
+      // per shard, the semi-join only where tombstones pend.
+      counts.keys.toSeq.sorted.foreach { sh =>
+        requireNoTombstoneCollisions(spark, s"$dir/shard=$sh", m.idCol,
+          routed.filter(col("__shard") === sh))
+      }
       // the per-shard appends are independent jobs over disjoint
       // directories (reads from the cached routed frame, writes into
       // shard=<i>) — submit them on concurrent threads like the sharded

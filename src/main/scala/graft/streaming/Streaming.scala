@@ -704,9 +704,20 @@ object Streaming {
               } else survivors
             toAppend.write.mode(org.apache.spark.sql.SaveMode.Append)
               .parquet(docsPath)
-            // ALL survivors index: any doc already indexed would have been
-            // dropped by dedupBatch, so none of these rows double-index
-            graft.dedup.MinHashIndex.append(s, indexDir, survivors, textCol)
+            // replay guard for the INDEX append (r19): pairs() excludes
+            // self-matches now, so a survivor the crashed attempt already
+            // committed to the index is no longer dropped by dedupBatch —
+            // reconcile by id against the index layers before appending,
+            // mirroring the docs.parquet guard above (and the semantic
+            // maintainer's corpus anti-join)
+            val toIndex =
+              if (replayOfPartial)
+                survivors.join(
+                  graft.dedup.MinHashIndex.indexedIds(s, indexDir),
+                  Seq(graft.dedup.MinHashIndex.idColumn(s, indexDir)),
+                  "left_anti")
+              else survivors
+            graft.dedup.MinHashIndex.append(s, indexDir, toIndex, textCol)
           }
         }
         // same in-line maintenance cadence as maintainAnnIndex: every

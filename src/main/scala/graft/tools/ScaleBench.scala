@@ -756,14 +756,11 @@ object ScaleBench {
       for (sh <- 0 until 4) {
         val sd = s"$idxDir/shard=$sh"
         val meta = spark.read.parquet(s"$sd/meta.parquet").head()
-        val (shNlist, shRows) = (meta.getAs[Int]("nlist"), meta.getAs[Long]("n_rows"))
+        val shNlist = meta.getAs[Int]("nlist")
         nlistSum += shNlist
-        // the same compensated per-shard policy the sharded searches
-        // deploy (AnnIndex.shardNprobe) — the volume reported must be
-        // the volume served
-        val probes = math.min(shNlist,
-          Similarity.ShardedProbeCompensation *
-            Similarity.ivfAutoNprobe(shNlist, shRows, 10))
+        // the DEPLOYED per-shard policy itself — not a re-implementation,
+        // so the volume reported cannot drift from the volume served
+        val probes = AnnIndex.shardNprobe(spark, sd, "ivfpq", 10, nprobe = 0)
         val probed = Similarity.ivfQueryProbes(queries, "vec_id", "vec",
             spark.read.parquet(s"$sd/centroids.parquet"), probes)
           .select(col("query_id"), col("__cell"))

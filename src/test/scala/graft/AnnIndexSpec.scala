@@ -1130,16 +1130,26 @@ class AnnIndexSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       AnnIndex.appendLsh(small.filter(col("vec_id") === 9L), "embedding", lsh)
     }.getMessage.contains("pending tombstones"))
-    // sharded appends route the check to the owning shard: an id
-    // tombstoned there refuses, ids elsewhere are untouched by it
+    // sharded appends check EVERY shard's tombstones BEFORE any shard
+    // commits: a mixed batch (one colliding id + clean ids routing to the
+    // sibling shard) refuses atomically — partial commits would make the
+    // error's own repair advice (fold, re-append) duplicate rows
     val sh = tempDir("graft_sh_reapp")
     AnnIndex.buildIvfSharded(small, "vec_id", "embedding", sh, nShards = 2,
       nlist = 8, seed = 7L)
     AnnIndex.deleteIds(spark, sh, Seq(11L).toDF("vec_id"))
+    def storedRows() = (0 until 2).map(s0 =>
+      spark.read.parquet(s"$sh/shard=$s0/corpus.parquet").count()).sum
+    val beforeSh = storedRows()
     assert(intercept[Exception] {
       AnnIndex.appendIvfSharded(
-        small.filter(col("vec_id") === 11L), "embedding", sh)
+        emb.filter(col("vec_id") === 11L ||
+            (col("vec_id") >= 300 && col("vec_id") < 310))
+          .select(col("vec_id"), col("embedding")),
+        "embedding", sh)
     }.getMessage.contains("pending tombstones"))
+    assert(storedRows() === beforeSh,
+      "a refused sharded append must commit NOTHING, on any shard")
   }
 
   test("indexedIds lists stored ids column-pruned, across kinds and shards") {
@@ -1153,11 +1163,13 @@ class AnnIndexSpec extends SparkSpec {
     AnnIndex.buildIvfSharded(small, "vec_id", "embedding", sh, nShards = 2, nlist = 4)
     assert(AnnIndex.indexedIds(spark, sh)
       .collect().map(_.getLong(0)).toSet === want)
-    // tombstoned rows still occupy index rows until a fold — they stay listed
+    // pending-tombstone ids are NOT listed: a re-accepted retracted id
+    // must reach the append and refuse loudly, never be silently skipped
+    // by the release jobs' indexedIds guard (published-but-unindexed)
     import spark.implicits._
     AnnIndex.deleteIds(spark, ivf, Seq(3L).toDF("vec_id"))
     assert(AnnIndex.indexedIds(spark, ivf)
-      .collect().map(_.getLong(0)).toSet === want)
+      .collect().map(_.getLong(0)).toSet === (want - 3L))
   }
 
   test("failed shard append: siblings commit, accounting converges to shard-meta truth") {

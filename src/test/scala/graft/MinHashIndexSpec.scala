@@ -197,6 +197,13 @@ class MinHashIndexSpec extends SparkSpec {
     val dir = Files.createTempDirectory("graft_mh_reapp").toString
     MinHashIndex.build(docs.filter(col("doc_id") < 50), "doc_id", "text", dir)
     MinHashIndex.deleteIds(spark, dir, Seq(7L).toDF("doc_id"))
+    // the release jobs' indexedIds guard must NOT silently skip the
+    // pending id (its rows still occupy the layers, but it is not
+    // SERVED): the re-accepted doc reaches append, where the refusal
+    // below fires — loud, never published-but-unindexed
+    assert(MinHashIndex.indexedIds(spark, dir)
+      .filter(col("doc_id") === 7).count() === 0,
+      "indexedIds must exclude pending-tombstone ids")
     val e = intercept[IllegalArgumentException] {
       MinHashIndex.append(spark, dir, docs.filter(col("doc_id") === 7), "text")
     }

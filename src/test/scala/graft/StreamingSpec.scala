@@ -650,6 +650,50 @@ class StreamingSpec extends SparkSpec {
     assert(again.isEmpty, "replayed survivor must still reach the index")
   }
 
+  test("streaming near-dup corpus: replay after a crash BETWEEN index append and marker does not double-index") {
+    // the OTHER crash window (r19): the prior attempt committed the
+    // survivor to docs.parquet AND the index, then died before the
+    // applied marker. pairs() excludes self-matches now, so dedupBatch no
+    // longer drops the already-indexed survivor on replay — the
+    // maintainer's indexedIds anti-join must keep the index single-copy.
+    implicit val sqlCtx = spark.sqlContext
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-neardup-replay2").toString
+    val (idx, accepted) = (s"$work/idx", s"$work/accepted")
+    graft.dedup.MinHashIndex.build(
+      Seq((1L, "the quick brown fox jumps over the lazy dog again and again"))
+        .toDF("doc_id", "text"), "doc_id", "text", idx)
+    val freshText = "completely different words about volcanology and magma chambers"
+    val prior = Seq((30L, freshText)).toDF("doc_id", "text")
+    prior.write.mode("append").parquet(s"$accepted/docs.parquet")
+    graft.dedup.MinHashIndex.append(spark, idx, prior, "text")
+    val fs = new org.apache.hadoop.fs.Path(accepted)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$accepted/_begun_batches"))
+    fs.create(new org.apache.hadoop.fs.Path(s"$accepted/_begun_batches/0"), true).close()
+    val input = MemoryStream[(Long, String)]
+    val q = Streaming.maintainNearDupCorpus(
+      input.toDF.toDF("doc_id", "text"), "text", idx, accepted, s"$work/ckpt",
+      threshold = 0.5)
+    input.addData(Seq((30L, freshText)))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(s"$accepted/docs.parquet")
+      .select("doc_id").as[Long].collect().toSeq == Seq(30L))
+    // exactly ONE copy in each index layer — no duplicate shingle rows,
+    // no duplicate bucket addresses
+    assert(spark.read.parquet(s"$idx/shingles.parquet")
+      .filter($"doc_id" === 30L).count() === 1L,
+      "replay must not double-index the shingle layer")
+    val buckets = spark.read.parquet(s"$idx/buckets.parquet")
+      .filter($"doc_id" === 30L).select("band", "bucket")
+    assert(buckets.count() === buckets.distinct().count(),
+      "replay must not duplicate bucket rows")
+    // suppression still armed
+    assert(graft.dedup.MinHashIndex.dedupBatch(spark, idx,
+      Seq((41L, freshText + " indeed")).toDF("doc_id", "text"), "text", 0.5)
+      .isEmpty)
+  }
+
   test("streaming deduped corpus: cross-batch and in-batch duplicates dropped, replays no-ops") {
     implicit val sqlCtx = spark.sqlContext
     val work = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
