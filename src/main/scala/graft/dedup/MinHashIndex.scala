@@ -159,7 +159,14 @@ object MinHashIndex {
     * [[graft.similarity.AnnIndex.searchIvf]]'s query-id exclusion): a
     * re-submitted batch whose docs were already appended matches only
     * OTHER corpus docs, never its own index entries at jaccard 1.0 — so a
-    * replayed release dedups idempotently instead of self-annihilating. */
+    * replayed release dedups idempotently instead of self-annihilating.
+    * PRECONDITION of that exclusion: ids are unique ACROSS batch and
+    * corpus — a batch doc that legitimately reuses the id of a DIFFERENT
+    * corpus doc (id collision across sources) is excluded from matching
+    * against that doc too. The shipped release jobs satisfy this by
+    * construction (xxhash64-assigned ids + the [[indexedIds]] re-run
+    * guard); callers feeding externally-minted ids must ensure the same
+    * before relying on pairs() for cross-source dedup. */
   def pairs(
       spark: SparkSession,
       dir: String,
@@ -209,6 +216,13 @@ object MinHashIndex {
           size(array_union(col("sh_b"), col("sh_c"))))
       .filter(col("jaccard") >= threshold)
       .select(col(m.idCol), col("corpus_id"), round(col("jaccard"), 6).as("jaccard"))
+      // duplicate corpus shingle rows (the append crash window between
+      // the shingle and bucket writes, re-appended by a replay — see
+      // [[compact]], which heals them physically) fan the verify join
+      // into duplicate pair rows; the duplicates are byte-identical
+      // (deterministic shingling), so an output-sized dedup restores
+      // exact pair semantics until the next maintenance fold
+      .dropDuplicates(m.idCol, "corpus_id")
   }
 
   /** Batch survivors against the indexed corpus: rows with no near-dup
@@ -379,8 +393,16 @@ object MinHashIndex {
       else minusTombstones(spark, dir, m, joinCol, _)
     graft.io.Compaction.compactParquet(spark, s"$dir/buckets.parquet",
       Seq("band", "bucket"), None, targetFileMB, fold(m.idCol))
+    // the shingle rewrite also folds duplicate rows per id: a crash
+    // between append's shingle write (first) and bucket write (second)
+    // leaves committed shingle rows for ids [[indexedIds]] (bucket-keyed)
+    // does not list, so the replay guard legitimately re-appends them —
+    // duplicate shingle rows that [[pairs]] screens at probe time and
+    // THIS fold heals physically. Shingling is deterministic, so the
+    // duplicates are byte-identical; keeping any one is exact.
     val after = graft.io.Compaction.compactParquet(spark, s"$dir/shingles.parquet",
-      Seq(m.idCol), None, targetFileMB, fold(m.idCol))
+      Seq(m.idCol), None, targetFileMB,
+      fold(m.idCol).andThen(_.dropDuplicates(m.idCol)))
     if (tombed) {
       val p = new org.apache.hadoop.fs.Path(s"$dir/$TombstoneFile")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)

@@ -548,12 +548,23 @@ object Metrics {
     *   - `precision_at_k` = relevant retrieved in top-k / k, and
     *     `recall_at_k` = relevant retrieved in top-k / total relevant
     *     (null when the query has no relevant labels)
+    *   - `average_precision` = Σ over relevant hits in the top-k of
+    *     (precision at that hit's rank) / TOTAL relevant (the standard
+    *     pooled convention — unretrieved relevant docs drag AP down);
+    *     null for zero-relevant queries, like ndcg/recall. Graded labels
+    *     binarize as rel > 0 for AP (AP is a binary-relevance metric).
     *
     * `results` carries ranked candidates (`rankCol` 1-based; rows with
     * rank > k are ignored, so passing a deeper list is fine); `relevance`
     * carries (query, candidate, grade ≥ 0) labels — binary labels are the
-    * rel ∈ {0,1} special case. Queries appearing in only one frame still
-    * get a row (zero-retrieved or zero-relevant semantics above).
+    * rel ∈ {0,1} special case. Duplicate relevance rows for one
+    * (query, candidate) are folded to their MAX grade here (a duplicated
+    * label must not fan the join and double-count dcg/n_relevant);
+    * `results` rows are assumed unique per (query, candidate) — a
+    * retrieval list that returns the same candidate twice is a caller
+    * bug this function cannot repair. Queries appearing in only one
+    * frame still get a row (zero-retrieved or zero-relevant semantics
+    * above).
     *
     * Scale shape: one keyed equi-join on (query, candidate) + per-query
     * aggregates; the ideal-DCG window is PARTITIONED by query (frame =
@@ -573,18 +584,32 @@ object Metrics {
     val topk = results.filter(col(rankCol) <= k)
       .select(col(queryCol), col(candCol),
         col(rankCol).cast("double").as("__rank"))
+    // fold duplicate labels to max grade BEFORE the join: a duplicated
+    // (query, candidate) relevance row would otherwise fan the left join
+    // and silently double-count dcg/hits and inflate n_relevant
     val rels = relevance.select(col(queryCol), col(candCol),
-      col(relCol).cast("double").as("__rel"))
+        col(relCol).cast("double").as("__rel"))
+      .groupBy(col(queryCol), col(candCol))
+      .agg(max(col("__rel")).as("__rel"))
     // unlabeled retrieved candidates count as rel 0 (the standard pooled-
     // judgment convention), so the join stays a LEFT join, not inner
+    val cumW = Window.partitionBy(col(queryCol))
+      .orderBy(col("__rank"), col(candCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val perQ = topk.join(rels, Seq(queryCol, candCol), "left")
       .withColumn("__rel", coalesce(col("__rel"), lit(0.0)))
+      // relevant hits at rank <= r — the precision@r numerator AP sums;
+      // the window is PARTITIONED by query (frame = that query's top-k)
+      .withColumn("__cumhits",
+        sum(when(col("__rel") > 0, 1.0).otherwise(0.0)).over(cumW))
       .groupBy(col(queryCol))
       .agg(
         sum((pow(lit(2.0), col("__rel")) - 1) / log2(col("__rank") + 1))
           .as("__dcg"),
         sum(when(col("__rel") > 0, 1L).otherwise(0L)).as("__hits"),
         min(when(col("__rel") > 0, col("__rank"))).as("__first"),
+        sum(when(col("__rel") > 0, col("__cumhits") / col("__rank")))
+          .as("__apn"),
         count(lit(1)).as("n_retrieved"))
     val ideal = rels.filter(col("__rel") > 0)
       .withColumn("__i", row_number().over(
@@ -608,6 +633,9 @@ object Metrics {
         round(when(col("n_relevant") > 0,
           coalesce(col("__hits"), lit(0L)) / col("n_relevant")), 6)
           .as("recall_at_k"),
+        round(when(col("n_relevant") > 0,
+          coalesce(col("__apn"), lit(0.0)) / col("n_relevant")), 6)
+          .as("average_precision"),
         round(coalesce(lit(1.0) / col("__first"), lit(0.0)), 6)
           .as("reciprocal_rank"),
         coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
@@ -615,17 +643,29 @@ object Metrics {
   }
 
   /** One-row fleet summary of [[rankingMetrics]] output — what a user
-    * tuning nprobe / refine / RRF weights reads: MRR (zero-relevant
-    * queries count as rr 0), mean nDCG@k over queries WITH relevant
-    * labels (null ndcg rows are excluded — avg semantics in both
-    * engines), mean precision/recall@k, and the query counts that say
-    * how much of the label set the numbers rest on. */
+    * tuning nprobe / refine / RRF weights reads, plus the query counts
+    * that say how much of the label set the numbers rest on.
+    *
+    * Zero-relevant (unlabeled) queries are NOT treated uniformly across
+    * columns — each follows its metric's standard convention, so read
+    * them against `n_labeled` vs `n_queries`:
+    *   - `mrr` averages over ALL queries, counting zero-relevant ones as
+    *     rr 0 (their rr IS 0: no relevant doc to reciprocate).
+    *   - `mean_ndcg`, `mean_recall_at_k`, `mean_ap` average over LABELED
+    *     queries only (the per-query value is null when 0/0 is
+    *     undefined; avg skips nulls in both engines).
+    *   - `mean_precision_at_k` averages over ALL queries — a
+    *     zero-relevant query's precision is a well-defined 0, so an
+    *     unlabeled-heavy frame drags this column while leaving
+    *     `mean_ndcg`/`mean_ap` untouched. Compare the two regimes via
+    *     `n_labeled / n_queries` before reading precision against ndcg. */
   def rankingMetricsSummary(perQuery: DataFrame): DataFrame =
     perQuery.agg(
       count(lit(1)).as("n_queries"),
       sum(when(col("n_relevant") > 0, 1L).otherwise(0L)).as("n_labeled"),
       round(avg(col("reciprocal_rank")), 6).as("mrr"),
       round(avg(col("ndcg")), 6).as("mean_ndcg"),
+      round(avg(col("average_precision")), 6).as("mean_ap"),
       round(avg(col("precision_at_k")), 6).as("mean_precision_at_k"),
       round(avg(col("recall_at_k")), 6).as("mean_recall_at_k"))
 }

@@ -36,6 +36,22 @@ object Production {
     Tables.saveData(df, path)
   }
 
+  /** Append a decision/audit row-frame with a `run_ts` stamp instead of
+    * overwriting: the maintenance tasks promise an audit TRAIL, so every
+    * run's decision must stay readable after the next one (latest row =
+    * max run_ts). Rows-per-run is O(shards), never data-sized, so the
+    * table grows by bytes per maintenance tick. */
+  private def appendReport(
+      ctx: Context,
+      df: org.apache.spark.sql.DataFrame,
+      path: String): Unit = {
+    if (Context.dig(ctx.config, "core.audit_plans").exists(_.toString.toBoolean))
+      graft.plans.PlanAudit.assertScaleSafe(df)
+    df.withColumn("run_ts", org.apache.spark.sql.functions.current_timestamp())
+      .coalesce(1)
+      .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(path)
+  }
+
   /** The decontamination stages' eval set. The legacy convention (no
     * `eval_input`) carves the first `eval_limit` docs (default 5) out of
     * raw.documents — a fixture-sized stand-in. When `eval_input` names a
@@ -788,8 +804,9 @@ object Production {
     // (models.neardup_index), semantic (models.semantic_index), or both;
     // each crossed threshold folds that index (at most one fold each),
     // skew on a sharded semantic index surfaces as a loud reshard
-    // recommendation, and the unioned decision report lands in
-    // processed.maintenance_report for the audit trail.
+    // recommendation, and the unioned decision report APPENDS to
+    // processed.maintenance_report (run_ts-stamped) so the audit trail
+    // keeps every run's decision, not just the latest.
     Jobs.register("corpus-curation", "index-maintain") { (ctx, params) =>
       val s = ctx.spark
       val which = params.getOrElse("index", "both").toString
@@ -815,7 +832,7 @@ object Production {
           println(s"[graft] corpus-curation/index-maintain " +
             s"${row.getAs[String]("kind")}: ${row.getAs[String]("reason")}")
       }
-      save(ctx, report, ctx.dataPath("processed.maintenance_report"))
+      appendReport(ctx, report, ctx.dataPath("processed.maintenance_report"))
     }
 
     // split the curated corpus with near-dup clusters held together: pairs
@@ -1000,7 +1017,7 @@ object Production {
       if (row.getAs[Boolean]("reshard_recommended") ||
           row.getAs[Boolean]("compacted"))
         println(s"[graft] ann-serving/maintain: ${row.getAs[String]("reason")}")
-      save(ctx, report, ctx.dataPath("processed.maintenance_report"))
+      appendReport(ctx, report, ctx.dataPath("processed.maintenance_report"))
     }
 
     // Tokenizer lifecycle as catalog jobs — the train-once/persist/

@@ -189,18 +189,25 @@ object EvalQueries {
       |      ':' || CAST(cand_id AS VARCHAR)), 1, 13) AS BIGINT) % 4 AS rel
       |  FROM pairs WHERE cand_id < 90 AND query_id <> 0),
       |topk AS (
-      |  SELECT r.query_id, CAST(r.rank AS DOUBLE) AS rank,
+      |  SELECT r.query_id, r.cand_id, CAST(r.rank AS DOUBLE) AS rank,
       |    COALESCE(CAST(v.rel AS DOUBLE), 0.0) AS rel
       |  FROM results r LEFT JOIN relevance v
       |    ON r.query_id = v.query_id AND r.cand_id = v.cand_id
       |  WHERE r.rank <= 10),
+      |topc AS (
+      |  SELECT query_id, rank, rel,
+      |    sum(CASE WHEN rel > 0 THEN 1.0 ELSE 0.0 END) OVER (
+      |      PARTITION BY query_id ORDER BY rank, cand_id
+      |      ROWS UNBOUNDED PRECEDING) AS cumhits
+      |  FROM topk),
       |perq AS (
       |  SELECT query_id,
       |    sum((pow(2.0, rel) - 1) / log2(rank + 1)) AS dcg0,
       |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
       |    min(CASE WHEN rel > 0 THEN rank END) AS first_rel,
+      |    sum(CASE WHEN rel > 0 THEN cumhits / rank END) AS apn,
       |    CAST(count(*) AS BIGINT) AS n_retrieved
-      |  FROM topk GROUP BY query_id),
+      |  FROM topc GROUP BY query_id),
       |ideal AS (
       |  SELECT query_id,
       |    sum(CASE WHEN i <= 10 THEN (pow(2.0, rel) - 1) / log2(i + 1) END) AS idcg0,
@@ -218,6 +225,8 @@ object EvalQueries {
       |  round(COALESCE(p.hits, 0) / 10.0, 6) AS precision_at_k,
       |  round(CASE WHEN i.n_relevant > 0
       |    THEN COALESCE(p.hits, 0) / CAST(i.n_relevant AS DOUBLE) END, 6) AS recall_at_k,
+      |  round(CASE WHEN i.n_relevant > 0
+      |    THEN COALESCE(p.apn, 0) / CAST(i.n_relevant AS DOUBLE) END, 6) AS average_precision,
       |  round(COALESCE(1.0 / p.first_rel, 0), 6) AS reciprocal_rank,
       |  CAST(COALESCE(i.n_relevant, 0) AS BIGINT) AS n_relevant,
       |  CAST(COALESCE(p.n_retrieved, 0) AS BIGINT) AS n_retrieved
@@ -234,6 +243,7 @@ object EvalQueries {
         |  CAST(sum(CASE WHEN n_relevant > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_labeled,
         |  round(avg(reciprocal_rank), 6) AS mrr,
         |  round(avg(ndcg), 6) AS mean_ndcg,
+        |  round(avg(average_precision), 6) AS mean_ap,
         |  round(avg(precision_at_k), 6) AS mean_precision_at_k,
         |  round(avg(recall_at_k), 6) AS mean_recall_at_k
         |FROM perquery""".stripMargin,

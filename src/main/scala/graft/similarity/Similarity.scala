@@ -477,16 +477,6 @@ object Similarity {
     *
     * The chosen operating point is logged (one line per auto
     * resolution) so callers can see what a query will scan. */
-  /** Per-shard probe multiplier for SHARDED index searches resolving
-    * nprobe automatically — calibrated on the r19 SCALEBENCH
-    * pq-sharded-decade sweep (see
-    * [[graft.similarity.AnnIndex]].shardNprobe for the measured curve
-    * and the coverage analysis): the single-index floor covered 0.78 of
-    * exact true neighbors through a 4-shard layout at 20M rows; 2×
-    * measured 0.912. The disclosed price of independent per-shard
-    * geometries is 2× the ADC candidate bytes. */
-  private[graft] val ShardedProbeCompensation = 2
-
   private[graft] def ivfAutoNprobe(cells: Int, corpusCount: Long, k: Int): Int = {
     val n = math.max(1L, corpusCount)
     def pSmall: Int = {
@@ -519,6 +509,16 @@ object Similarity {
         f"(probing ${p.toDouble / cells}%.3f of cells, expected candidate pool ~${p.toDouble * n / cells}%.0f rows)")
     p
   }
+
+  /** Per-shard probe multiplier for SHARDED index searches resolving
+    * nprobe automatically — calibrated on the r19 SCALEBENCH
+    * pq-sharded-decade sweep (see
+    * [[graft.similarity.AnnIndex]].shardNprobe for the measured curve
+    * and the coverage analysis): the single-index floor covered 0.78 of
+    * exact true neighbors through a 4-shard layout at 20M rows; 2×
+    * measured 0.912. The disclosed price of independent per-shard
+    * geometries is 2× the ADC candidate bytes. */
+  private[graft] val ShardedProbeCompensation = 2
 
   def ivfCosineTopK(
       corpus: DataFrame,

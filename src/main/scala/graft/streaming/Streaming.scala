@@ -664,10 +664,13 @@ object Streaming {
     * the index doesn't know about (dedup keys on the index, so unlike the
     * exact-dedup maintainer it can't self-heal). A `begun` marker written
     * before the first attempt detects such a replay, and the replay then
-    * reconciles against docs.parquet ids: already-appended docs are not
-    * re-appended, while their index entries (which dedupBatch proves
-    * absent — an indexed doc would have deduped against itself) still go
-    * in. Steady-state batches never pay the docs.parquet id scan. */
+    * reconciles BOTH sides by id: against docs.parquet ids so
+    * already-appended docs are not re-appended, and against
+    * [[graft.dedup.MinHashIndex.indexedIds]] so index entries the crashed
+    * attempt already committed are not appended twice (since r19
+    * `pairs()` excludes self-matches, so dedupBatch no longer drops an
+    * already-indexed survivor on its own). Steady-state batches never pay
+    * either id scan. */
   def maintainNearDupCorpus(
       docs: DataFrame,
       textCol: String,

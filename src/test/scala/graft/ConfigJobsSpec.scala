@@ -383,7 +383,11 @@ class ConfigJobsSpec extends AnyFunSuite {
         |            params: {tombstone_ratio: "0.1", file_decay: "1e9"}""".stripMargin),
       "idx"), spark), "ann-serving").isEmpty)
     spark.catalog.refreshByPath(s"$work/report")
-    val r2 = spark.read.parquet(s"$work/report").head()
+    // the report is an audit TRAIL: the second run appends (run_ts-stamped)
+    // instead of overwriting, so the fold decision above stays readable
+    val trail = spark.read.parquet(s"$work/report")
+    assert(trail.count() === 2L, "maintain must append to the audit trail")
+    val r2 = trail.orderBy(col("run_ts").desc).head()
     assert(!r2.getAs[Boolean]("compacted") && !r2.getAs[Boolean]("reshard_recommended"))
     assert(r2.getAs[String]("reason").startsWith("healthy"))
     assert(spark.read.parquet(s"$work/idx/meta.parquet").head()

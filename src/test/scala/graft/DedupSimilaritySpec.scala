@@ -771,11 +771,14 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(r.getAs[Double]("recall_at_k") === 1.0)
       assert(r.getAs[Double]("reciprocal_rank") === 1.0)
       assert(r.getAs[Double]("precision_at_k") === 0.3) // 3 relevant of k=10
+      // all 3 relevant at ranks 1..3: AP = (1/1 + 2/2 + 3/3) / 3 = 1
+      assert(r.getAs[Double]("average_precision") === 1.0)
       assert(r.getAs[Long]("n_relevant") === 3L)
     }
     val s = Metrics.rankingMetricsSummary(perQ).head()
     assert(s.getAs[Long]("n_queries") === 8L && s.getAs[Long]("n_labeled") === 8L)
     assert(s.getAs[Double]("mrr") === 1.0 && s.getAs[Double]("mean_ndcg") === 1.0)
+    assert(s.getAs[Double]("mean_ap") === 1.0)
     // a degraded ranker (the same list REVERSED) is strictly worse on
     // ndcg and rr — the metric actually separates good from bad serving
     val reversed = fused.withColumn("rank", lit(11) - col("rank"))
@@ -783,8 +786,55 @@ class DedupSimilaritySpec extends SparkSpec {
       "query_id", "vec_id", "rank", "rel", k = 10).collect()
     worse.foreach { r =>
       assert(r.getAs[Double]("ndcg") < 1.0 && r.getAs[Double]("reciprocal_rank") < 1.0)
+      assert(r.getAs[Double]("average_precision") < 1.0) // relevant pushed deep
       assert(r.getAs[Double]("recall_at_k") === 1.0) // same set, worse order
     }
+  }
+
+  test("ranking metrics: hand-computed AP and the duplicate-label fold") {
+    import graft.eval.Metrics
+    // query 1: relevant b (rank 2) and d (rank 4) retrieved, e unretrieved
+    //   AP = (1/2 + 2/4) / 3 relevant = 0.333333; rr = 1/2
+    // query 2: retrieved but zero-relevant -> null ndcg/recall/ap, p@k 0
+    val results = Seq(
+      (1L, "a", 1), (1L, "b", 2), (1L, "c", 3), (1L, "d", 4),
+      (2L, "a", 1), (2L, "b", 2)).toDF("query_id", "cand_id", "rank")
+    // b is labeled TWICE (0 then 1): the fold must keep max(rel) = 1 and
+    // count b once in n_relevant, not fan the join into double dcg
+    val relevance = Seq(
+      (1L, "b", 0.0), (1L, "b", 1.0), (1L, "d", 2.0), (1L, "e", 1.0))
+      .toDF("query_id", "cand_id", "rel")
+    val rows = Metrics.rankingMetrics(results, relevance,
+        "query_id", "cand_id", "rank", "rel", k = 10)
+      .orderBy(col("query_id")).collect()
+    val q1 = rows(0)
+    assert(q1.getAs[Long]("n_relevant") === 3L, "dup label must fold, not inflate")
+    assert(q1.getAs[Long]("n_retrieved") === 4L, "dup label must not fan the join")
+    assert(q1.getAs[Double]("average_precision") === 0.333333)
+    assert(q1.getAs[Double]("reciprocal_rank") === 0.5)
+    assert(q1.getAs[Double]("recall_at_k") === 0.666667)
+    assert(q1.getAs[Double]("precision_at_k") === 0.2)
+    // dcg = 1/log2(3) for b(rel 1 @2) + 3/log2(5) for d(rel 2 @4)
+    val expDcg = BigDecimal(1.0 / (math.log(3) / math.log(2)) +
+      3.0 / (math.log(5) / math.log(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(q1.getAs[Double]("dcg") === expDcg)
+    val q2 = rows(1)
+    assert(q2.isNullAt(q2.fieldIndex("ndcg")) &&
+      q2.isNullAt(q2.fieldIndex("recall_at_k")) &&
+      q2.isNullAt(q2.fieldIndex("average_precision")),
+      "zero-relevant 0/0 metrics are undefined, not zero")
+    assert(q2.getAs[Double]("precision_at_k") === 0.0 &&
+      q2.getAs[Double]("reciprocal_rank") === 0.0)
+    // the summary conventions: mean_ap/ndcg/recall skip the unlabeled
+    // query, mrr and precision include it as 0
+    val s = Metrics.rankingMetricsSummary(
+      Metrics.rankingMetrics(results, relevance,
+        "query_id", "cand_id", "rank", "rel", k = 10)).head()
+    assert(s.getAs[Long]("n_queries") === 2L && s.getAs[Long]("n_labeled") === 1L)
+    assert(s.getAs[Double]("mean_ap") === 0.333333)
+    assert(s.getAs[Double]("mrr") === 0.25)       // (0.5 + 0) / 2
+    assert(s.getAs[Double]("mean_precision_at_k") === 0.1) // (0.2 + 0) / 2
   }
 
   test("lexical Jaccard top-k: exact overlap arithmetic, self excluded") {

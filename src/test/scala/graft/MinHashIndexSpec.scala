@@ -192,6 +192,47 @@ class MinHashIndexSpec extends SparkSpec {
       "appending the guarded (empty) slice must add no index rows")
   }
 
+  test("duplicate shingle rows (append crash window) never duplicate pairs; compact heals them") {
+    // the window: append commits the shingle write, crashes before the
+    // bucket write; indexedIds keys on buckets, so the replay guard
+    // legitimately re-appends the batch — its shingle rows land TWICE
+    val dir = Files.createTempDirectory("graft_mh_dupsh").toString
+    MinHashIndex.build(docs.filter(col("doc_id") < 100), "doc_id", "text", dir)
+    val before = MinHashIndex.pairs(spark, dir,
+      docs.filter(col("doc_id") < 100).select(
+        (col("doc_id") + 300000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "graftmutated").as("text")),
+      "text", 0.6).orderBy("doc_id", "corpus_id").collect()
+    assert(before.nonEmpty)
+    // simulate the crash replay: re-append the shingle rows of 40 docs
+    // exactly as a replayed append would (byte-identical, buckets intact)
+    val sh = spark.read.parquet(s"$dir/shingles.parquet")
+    sh.filter(col("doc_id") < 40).write
+      .mode(org.apache.spark.sql.SaveMode.Append).parquet(s"$dir/shingles.parquet")
+    spark.catalog.refreshByPath(s"$dir/shingles.parquet")
+    // probes stay exact: the output-sized dedup screens the fan-out
+    val during = MinHashIndex.pairs(spark, dir,
+      docs.filter(col("doc_id") < 100).select(
+        (col("doc_id") + 300000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "graftmutated").as("text")),
+      "text", 0.6).orderBy("doc_id", "corpus_id").collect()
+    assert(during.toSeq === before.toSeq,
+      "duplicate shingle rows must not duplicate or alter pair rows")
+    // the next maintenance fold heals the layer physically
+    val distinctIds = sh.select("doc_id").distinct().count()
+    MinHashIndex.compact(spark, dir)
+    spark.catalog.refreshByPath(s"$dir/shingles.parquet")
+    val healed = spark.read.parquet(s"$dir/shingles.parquet")
+    assert(healed.count() === distinctIds,
+      "compact must fold duplicate shingle rows back to one per id")
+    val after = MinHashIndex.pairs(spark, dir,
+      docs.filter(col("doc_id") < 100).select(
+        (col("doc_id") + 300000).as("doc_id"),
+        regexp_replace(col("text"), "^\\S+", "graftmutated").as("text")),
+      "text", 0.6).orderBy("doc_id", "corpus_id").collect()
+    assert(after.toSeq === before.toSeq)
+  }
+
   test("append refuses a pending-tombstone id until the fold") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft_mh_reapp").toString
