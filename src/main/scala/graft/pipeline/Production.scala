@@ -951,6 +951,79 @@ object Production {
         ctx.dataPath("processed.retrieval_eval_summary"))
     }
 
+    // TUNING: grid over the served index's pruning axes and emit ONE
+    // table a user picks an operating point from — per point the
+    // rankingMetricsSummary columns (nDCG/MAP/MRR/P@k/R@k against
+    // raw.relevance), the candidate volume that point scans (replayed
+    // from the PERSISTED layout via AnnIndex.candidateVolume — the same
+    // probe-resolution code serving runs, so cost cannot drift from
+    // truth), and the measured search wall seconds. Axes by kind:
+    // `nprobe` (ivf/ivf_sharded), `nprobe` × `refine` (pq kinds),
+    // `probes` (lsh) — comma-separated lists, 0 / -1 = the auto policy,
+    // default grid = auto plus one exhaustive-ish and one tight point so
+    // the table brackets the policy. Each point runs the exact
+    // kind-dispatched `search` serving runs; k and the label source
+    // match retrieval-eval.
+    Jobs.register("ann-serving", "retrieval-tune") { (ctx, params) =>
+      val s = ctx.spark
+      import s.implicits._
+      val k = params.getOrElse("k", "10").toString.toInt
+      val dir = ctx.dataPath("models.ann_index")
+      val kind = params.get("kind").map(_.toString)
+        .getOrElse(graft.similarity.AnnIndex.kindOf(s, dir))
+      val queries = Tables.readData(s,
+        Seq(ctx.dataPath("raw.query_embeddings")))
+      val relevance = Tables.readData(s, Seq(ctx.dataPath(
+        params.getOrElse("relevance", "raw.relevance").toString)))
+      val relCol = params.getOrElse("rel_col", "rel").toString
+      def axis(name: String, default: Seq[Int]): Seq[Int] =
+        params.get(name).map(_.toString.split(",").map(_.trim.toInt).toSeq)
+          .getOrElse(default)
+      val points: Seq[(String, Map[String, Any])] = kind match {
+        case "lsh" =>
+          axis("probes", Seq(0, 1, 2))
+            .map(p => (s"probes=$p", Map("probes" -> p)))
+        case "ivf" | "ivf_sharded" =>
+          axis("nprobe", Seq(0, 1, 4))
+            .map(np => (s"nprobe=$np", Map("nprobe" -> np)))
+        case _ =>
+          for {
+            np <- axis("nprobe", Seq(0, 1, 4))
+            rf <- axis("refine", Seq(-1))
+          } yield (s"nprobe=$np,refine=$rf",
+            Map("nprobe" -> np, "refine" -> rf))
+      }
+      val rows = points.map { case (label, pt) =>
+        val merged = params ++ pt
+        // materialize the search alone first so search_sec is serving
+        // latency, not metric-join time (localCheckpoint = eager)
+        val t0 = System.nanoTime()
+        val hits = serveSearch(ctx, merged, queries).localCheckpoint(true)
+        val searchSec = (System.nanoTime() - t0) / 1e9
+        val sm = graft.eval.Metrics.rankingMetricsSummary(
+          graft.eval.Metrics.rankingMetrics(hits, relevance,
+            "query_id", "vec_id", "rank", relCol, k)).head()
+        def d(c: String): Option[Double] =
+          Option(sm.get(sm.fieldIndex(c))).map(_.asInstanceOf[Double])
+        val cand = graft.similarity.AnnIndex.candidateVolume(
+          s, dir, queries, "vec_id", "embedding", k,
+          nprobe = pt.getOrElse("nprobe", 0).asInstanceOf[Int],
+          probes = pt.getOrElse("probes", 0).asInstanceOf[Int])
+        (label, kind, k,
+          sm.getAs[Long]("n_queries"), sm.getAs[Long]("n_labeled"),
+          d("mrr"), d("mean_ndcg"), d("mean_ap"),
+          d("mean_precision_at_k"), d("mean_recall_at_k"),
+          math.round(cand * 10) / 10.0,
+          math.round(searchSec * 1000) / 1000.0)
+      }
+      save(ctx, rows.toDF("operating_point", "kind", "k",
+          "n_queries", "n_labeled", "mrr", "mean_ndcg", "mean_ap",
+          "mean_precision_at_k", "mean_recall_at_k",
+          "cand_rows_per_query", "search_sec")
+          .orderBy(col("operating_point")),
+        ctx.dataPath("processed.retrieval_tune"))
+    }
+
     // MAINTENANCE: rewrite an append-littered index into ~target_file_mb
     // files (every `maintain-index` stream batch / `append` run lands one
     // small file per touched partition — the small-file decay mode of a

@@ -128,6 +128,19 @@ object EvalQueries {
       Metrics.rankingMetricsSummary(
         Metrics.rankingMetrics(results, relevance,
           "query_id", "cand_id", "rank", "rel", k = 10))
+    },
+    // the tune-sweep table shape (ann-serving/retrieval-tune): one
+    // summary row per operating point, stacked and labeled — here two
+    // truncation depths of the same fixture stand in for two pruning
+    // levels, so the whole sweep-assembly arithmetic replays in DuckDB
+    "retrieval_tune_sweep" -> { (s, dir) =>
+      val (results, relevance) = rankingFixture(s, dir)
+      Seq(5, 10).map { kk =>
+        Metrics.rankingMetricsSummary(
+          Metrics.rankingMetrics(results, relevance,
+            "query_id", "cand_id", "rank", "rel", k = kk))
+          .select(lit(s"k=$kk").as("operating_point"), col("*"))
+      }.reduce(_ unionByName _).orderBy(col("operating_point"))
     })
 
   /** Deterministic ranked-results + graded-relevance frames for the
@@ -168,10 +181,11 @@ object EvalQueries {
        |FROM (${scoredSql})""".stripMargin
 
   /** The full per-query DCG/IDCG arithmetic replayed in DuckDB over the
-    * same md5-drawn fixture ([[rankingFixture]]): 52-bit md5 draws via the
-    * repo-standard `CAST('0x' || substring(md5(..), 1, 13) AS BIGINT)`. */
-  private val rankingPerQuerySql: String =
-    """WITH pairs AS (
+    * same md5-drawn fixture ([[rankingFixture]]), parameterized by k so
+    * the tune-sweep oracle can stack two truncation depths — two
+    * "operating points" — through the identical arithmetic. */
+  private def rankingPerQuerySql(k: Int): String =
+    s"""WITH pairs AS (
       |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id
       |  FROM (SELECT vec_id FROM embeddings WHERE vec_id < 30) q
       |  CROSS JOIN (SELECT vec_id FROM embeddings WHERE vec_id >= 30 AND vec_id < 130) c),
@@ -193,7 +207,7 @@ object EvalQueries {
       |    COALESCE(CAST(v.rel AS DOUBLE), 0.0) AS rel
       |  FROM results r LEFT JOIN relevance v
       |    ON r.query_id = v.query_id AND r.cand_id = v.cand_id
-      |  WHERE r.rank <= 10),
+      |  WHERE r.rank <= $k),
       |topc AS (
       |  SELECT query_id, rank, rel,
       |    sum(CASE WHEN rel > 0 THEN 1.0 ELSE 0.0 END) OVER (
@@ -210,7 +224,7 @@ object EvalQueries {
       |  FROM topc GROUP BY query_id),
       |ideal AS (
       |  SELECT query_id,
-      |    sum(CASE WHEN i <= 10 THEN (pow(2.0, rel) - 1) / log2(i + 1) END) AS idcg0,
+      |    sum(CASE WHEN i <= $k THEN (pow(2.0, rel) - 1) / log2(i + 1) END) AS idcg0,
       |    CAST(count(*) AS BIGINT) AS n_relevant
       |  FROM (
       |    SELECT query_id, CAST(rel AS DOUBLE) AS rel,
@@ -222,7 +236,7 @@ object EvalQueries {
       |  round(COALESCE(p.dcg0, 0), 6) AS dcg,
       |  round(COALESCE(i.idcg0, 0), 6) AS idcg,
       |  round(CASE WHEN i.idcg0 > 0 THEN COALESCE(p.dcg0, 0) / i.idcg0 END, 6) AS ndcg,
-      |  round(COALESCE(p.hits, 0) / 10.0, 6) AS precision_at_k,
+      |  round(COALESCE(p.hits, 0) / $k.0, 6) AS precision_at_k,
       |  round(CASE WHEN i.n_relevant > 0
       |    THEN COALESCE(p.hits, 0) / CAST(i.n_relevant AS DOUBLE) END, 6) AS recall_at_k,
       |  round(CASE WHEN i.n_relevant > 0
@@ -232,21 +246,29 @@ object EvalQueries {
       |  CAST(COALESCE(p.n_retrieved, 0) AS BIGINT) AS n_retrieved
       |FROM perq p FULL OUTER JOIN ideal i ON p.query_id = i.query_id""".stripMargin
 
+  private def rankingSummarySql(k: Int, extraCols: String = ""): String =
+    s"""WITH perquery AS (${rankingPerQuerySql(k)})
+      |SELECT$extraCols
+      |  CAST(count(*) AS BIGINT) AS n_queries,
+      |  CAST(sum(CASE WHEN n_relevant > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_labeled,
+      |  round(avg(reciprocal_rank), 6) AS mrr,
+      |  round(avg(ndcg), 6) AS mean_ndcg,
+      |  round(avg(average_precision), 6) AS mean_ap,
+      |  round(avg(precision_at_k), 6) AS mean_precision_at_k,
+      |  round(avg(recall_at_k), 6) AS mean_recall_at_k
+      |FROM perquery""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "ranking_metrics" ->
-      s"""$rankingPerQuerySql
+      s"""${rankingPerQuerySql(10)}
         |ORDER BY query_id""".stripMargin,
-    "ranking_metrics_summary" ->
-      s"""WITH perquery AS ($rankingPerQuerySql)
-        |SELECT
-        |  CAST(count(*) AS BIGINT) AS n_queries,
-        |  CAST(sum(CASE WHEN n_relevant > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_labeled,
-        |  round(avg(reciprocal_rank), 6) AS mrr,
-        |  round(avg(ndcg), 6) AS mean_ndcg,
-        |  round(avg(average_precision), 6) AS mean_ap,
-        |  round(avg(precision_at_k), 6) AS mean_precision_at_k,
-        |  round(avg(recall_at_k), 6) AS mean_recall_at_k
-        |FROM perquery""".stripMargin,
+    "ranking_metrics_summary" -> rankingSummarySql(10),
+    "retrieval_tune_sweep" ->
+      s"""SELECT * FROM (
+        |(${rankingSummarySql(5, " 'k=5' AS operating_point,")})
+        |UNION ALL
+        |(${rankingSummarySql(10, " 'k=10' AS operating_point,")}))
+        |ORDER BY operating_point""".stripMargin,
     "lift_table" ->
       s"""WITH sc AS ($scoredSql),
         |e AS (SELECT quantile_cont(score, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS ed

@@ -393,6 +393,69 @@ object AnnIndex {
         "compacted", "reshard_recommended", "reason")
   }
 
+  /** Average candidate rows per query an operating point SCANS, replayed
+    * from the persisted layout through the same probe-resolution code the
+    * searches run ([[shardNprobe]] / [[Similarity.ivfAutoNprobe]] /
+    * [[Similarity.lshQuerySide]] — never a re-implementation, so the
+    * reported volume cannot drift from what serving actually reads).
+    * This is the "what does this nprobe/probes point cost" column of a
+    * tuning sweep: probed-cell (or probed-signature-bucket) occupancy
+    * summed per query, averaged over queries. Work shape: centroid/
+    * signature-key aggregates + the broadcast-sized query probe ranking —
+    * the vector payload is never scored. Counts include pending-tombstone
+    * rows: the pruned scan still READS them until a [[compact]] folds the
+    * set (the anti-join drops them before scoring, not before IO). */
+  def candidateVolume(
+      spark: SparkSession,
+      dir: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      vecCol: String,
+      k: Int,
+      nprobe: Int = 0,
+      probes: Int = 0): Double = {
+    val nQ = math.max(1L, queries.count())
+    def ivfCand(d: String, resolved: Int): Long = {
+      val centDf = spark.read.parquet(s"$d/centroids.parquet")
+      val occ = spark.read.parquet(s"$d/corpus.parquet")
+        .groupBy(col("__cell")).agg(count(lit(1)).as("__occ"))
+      val got = Similarity
+        .ivfQueryProbes(queries, queryIdCol, vecCol, centDf, resolved)
+        .select(col("query_id"), col("__cell"))
+        .join(occ, Seq("__cell"))
+        .agg(sum(col("__occ"))).head()
+      if (got.isNullAt(0)) 0L else got.getLong(0)
+    }
+    kindOf(spark, dir) match {
+      case kind @ ("ivf" | "ivfpq") =>
+        val m = readMeta(spark, dir, kind)
+        val resolved =
+          if (nprobe > 0) nprobe
+          else Similarity.ivfAutoNprobe(m.nlist, m.nRows, k)
+        ivfCand(dir, resolved).toDouble / nQ
+      case kind @ ("ivf_sharded" | "ivfpq_sharded") =>
+        val m = readMeta(spark, dir, kind)
+        val inner = if (kind == "ivf_sharded") "ivf" else "ivfpq"
+        (0 until m.tables).map { sh =>
+          val sd = s"$dir/shard=$sh"
+          ivfCand(sd, shardNprobe(spark, sd, inner, k, nprobe))
+        }.sum.toDouble / nQ
+      case "lsh" =>
+        val m = readMeta(spark, dir, "lsh")
+        val qSig = Similarity.lshQuerySide(
+          queries, queryIdCol, vecCol, m.tables, m.bits, probes)
+        val occ = spark.read.parquet(s"$dir/signatures.parquet")
+          .groupBy(col("table"), col("sig")).agg(count(lit(1)).as("__occ"))
+        val got = qSig.select(col("query_id"), col("table"), col("sig"))
+          .distinct()
+          .join(occ, Seq("table", "sig"))
+          .agg(sum(col("__occ"))).head()
+        (if (got.isNullAt(0)) 0L else got.getLong(0)).toDouble / nQ
+      case other => throw new IllegalArgumentException(
+        s"candidateVolume: unknown index kind '$other' at $dir")
+    }
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** Fit the coarse quantizer once and persist centroids + the

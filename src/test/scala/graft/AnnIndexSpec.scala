@@ -833,6 +833,37 @@ class AnnIndexSpec extends SparkSpec {
       .head().getAs[Long]("n_rows") === corpus.count() + 2)
   }
 
+  test("candidateVolume replays probe policies: exhaustive = N, pruning shrinks it, shards sum") {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val n = e.count().toDouble
+    val queries = e.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    // single IVF: probing every cell scans exactly the corpus; one cell
+    // scans a strict subset
+    val ivf = tempDir("graft_cv_ivf")
+    AnnIndex.buildIvf(e, "vec_id", "embedding", ivf, nlist = 8, seed = 7L)
+    val full = AnnIndex.candidateVolume(
+      spark, ivf, queries, "vec_id", "embedding", k = 10, nprobe = 8)
+    val tight = AnnIndex.candidateVolume(
+      spark, ivf, queries, "vec_id", "embedding", k = 10, nprobe = 1)
+    assert(full === n, s"exhaustive probes must scan the whole corpus: $full vs $n")
+    assert(tight > 0 && tight < full)
+    // sharded IVF at exhaustive probes: per-shard volumes sum to N too
+    val sh = tempDir("graft_cv_sh")
+    AnnIndex.buildIvfSharded(e, "vec_id", "embedding", sh, nShards = 3, nlist = 4)
+    assert(AnnIndex.candidateVolume(
+      spark, sh, queries, "vec_id", "embedding", k = 10, nprobe = 4) === n)
+    // LSH: multiprobe flips only ADD probed buckets -> volume is monotone
+    val lsh = tempDir("graft_cv_lsh")
+    AnnIndex.buildLsh(e, "vec_id", "embedding", lsh, tables = 4, bits = 6)
+    val p0 = AnnIndex.candidateVolume(
+      spark, lsh, queries, "vec_id", "embedding", k = 10, probes = 0)
+    val p2 = AnnIndex.candidateVolume(
+      spark, lsh, queries, "vec_id", "embedding", k = 10, probes = 2)
+    assert(p0 >= 0 && p2 >= p0, s"multiprobe must not shrink the pool: $p0 -> $p2")
+    assert(p2 <= 4 * n, "volume is bounded by tables x corpus")
+  }
+
   test("kind mismatch and missing index fail loudly") {
     val dir = tempDir("graft_idx_kind")
     AnnIndex.buildLsh(emb, "vec_id", "embedding", dir, tables = 2, bits = 4)

@@ -498,6 +498,73 @@ class ConfigJobsSpec extends AnyFunSuite {
     assert(s.getAs[Double]("mean_recall_at_k") === 1.0)
   }
 
+  test("ann-serving retrieval-tune: the sweep table ranks operating points by measured quality and cost") {
+    val spark = SparkSpec.session
+    import org.apache.spark.sql.functions._
+    val work = java.nio.file.Files.createTempDirectory("graft-ann-tune").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    emb.write.mode("overwrite").parquet(s"$work/embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    queries.write.mode("overwrite").parquet(s"$work/queries")
+    graft.similarity.Similarity
+      .cosineTopK(emb, queries, "vec_id", "embedding", "vec_id", 3)
+      .select(col("query_id"), col("vec_id"), (lit(4) - col("rank")).as("rel"))
+      .write.mode("overwrite").parquet(s"$work/relevance")
+    val yml = java.nio.file.Files.createTempFile("graft-ann-tune", ".yml")
+    java.nio.file.Files.writeString(yml,
+      """jobs:
+        |  - name: ann-serving
+        |    fail_fast: true
+        |    stages:
+        |      - name: serve
+        |        tasks:
+        |          - name: build-index
+        |            params: {kind: ivf, nlist: 8}
+        |          - name: retrieval-tune
+        |            params: {k: 10, nprobe: "8,1"}
+        |""".stripMargin)
+    val cfg = Map(
+      "core" -> Map("seed" -> 7, "audit_plans" -> true),
+      "job_catalog" -> Context.loadYaml(yml.toString),
+      "data_catalog" -> Map(
+        "raw" -> Map(
+          "embeddings" -> s"$work/embeddings",
+          "query_embeddings" -> s"$work/queries",
+          "relevance" -> s"$work/relevance"),
+        "models" -> Map("ann_index" -> s"$work/ann_index"),
+        "processed" -> Map("retrieval_tune" -> s"$work/tune")))
+    graft.pipeline.Production.registerAll()
+    assert(graft.pipeline.Jobs.run(Context(cfg, spark), "ann-serving").isEmpty)
+    val tune = spark.read.parquet(s"$work/tune").collect()
+      .map(r => r.getAs[String]("operating_point") -> r).toMap
+    assert(tune.keySet === Set("nprobe=8", "nprobe=1"), tune.keySet.toString)
+    val full = tune("nprobe=8")
+    val tight = tune("nprobe=1")
+    // exhaustive probes grade PERFECT against the exact-top-3 labels,
+    // and a pruned point can never beat them — the table must order
+    // operating points sanely on every quality column
+    assert(full.getAs[Double]("mean_ndcg") === 1.0 &&
+      full.getAs[Double]("mean_recall_at_k") === 1.0 &&
+      full.getAs[Double]("mean_ap") === 1.0 &&
+      full.getAs[Double]("mrr") === 1.0)
+    assert(tight.getAs[Double]("mean_ndcg") <= full.getAs[Double]("mean_ndcg"))
+    assert(tight.getAs[Double]("mean_recall_at_k") <=
+      full.getAs[Double]("mean_recall_at_k"))
+    // ...and the COST columns must reflect the pruning: one probed cell
+    // scans strictly fewer candidate rows than all eight
+    assert(tight.getAs[Double]("cand_rows_per_query") <
+      full.getAs[Double]("cand_rows_per_query"),
+      s"tight=${tight.getAs[Double]("cand_rows_per_query")} " +
+        s"full=${full.getAs[Double]("cand_rows_per_query")}")
+    assert(full.getAs[Double]("cand_rows_per_query") <= emb.count().toDouble)
+    assert(full.getAs[Double]("search_sec") > 0 &&
+      tight.getAs[Double]("search_sec") > 0)
+    assert(full.getAs[Long]("n_queries") === 5L &&
+      full.getAs[Long]("n_labeled") === 5L)
+  }
+
   test("tokenizer + metric-profile catalog jobs: train/encode and replay-safe quantile fold") {
     val spark = SparkSpec.session
     import org.apache.spark.sql.functions.col
