@@ -446,27 +446,131 @@ object Streaming {
     * its marker — duplicates that one batch's rows; follow with a
     * rebuild (or id-dedupe downstream) after an unclean stop, and
     * monitor `_applied_batches/` lag for stalls. */
+  /** Threshold policy for the streaming lanes' in-line maintenance:
+    * instead of folding on a blind batch count (`compactEvery`), a lane
+    * given a policy evaluates MEASURED signals every `checkEvery` applied
+    * batches — the same signals the batch `maintain` catalog tasks act on
+    * (pending-tombstone ratio and small-file decay, read from listings +
+    * meta, never a data scan) — and folds only when one crosses. A lane
+    * with small frequent batches stops over-compacting on a count that
+    * fires constantly; one with large batches stops decaying until a
+    * human notices. Every evaluation appends its decision row (batch id,
+    * target, action, reason) to `<stateDir>/maintenance_log.parquet`, so
+    * the lane's maintenance history is auditable like the catalog
+    * tasks' report. Replay semantics are untouched: evaluations run only
+    * after APPLIED batches, and a fold is a layout rewrite that is
+    * probe-identical by contract. Passing a policy supersedes
+    * `compactEvery` (the blind cadence is ignored). */
+  final case class MaintainPolicy(
+      checkEvery: Int = 8,
+      tombstoneRatio: Double = 0.1,
+      fileDecay: Double = 4.0,
+      targetFileMB: Int = 128) {
+    require(checkEvery > 0, s"checkEvery must be > 0, got $checkEvery")
+  }
+
+  /** One maintenance tick shared by every lane: policy present → evaluate
+    * thresholds on its cadence; absent → the legacy blind count. */
+  private def maintenanceTick(
+      applied: Boolean, batchId: Long, compactEvery: Int,
+      policy: Option[MaintainPolicy])(
+      evaluate: MaintainPolicy => Unit)(legacy: => Unit): Unit =
+    policy match {
+      case Some(p) =>
+        if (applied && (batchId + 1) % p.checkEvery == 0) evaluate(p)
+      case None =>
+        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          legacy
+    }
+
+  /** File-decay evaluation + threshold fold for a plain parquet table
+    * (docs / hashes / pages — the lane state with no index meta): decay =
+    * part-files / ideal, ideal = what one compaction would leave
+    * (bytes / targetFileMB, at least 1). Listing-sized; folds at most
+    * once; returns (folded, reason). */
+  private def maintainTableByDecay(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      orderCols: Seq[String], p: MaintainPolicy): (Boolean, String) = {
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) (false, "healthy: table not created yet")
+    else {
+      val it = fs.listFiles(live, true)
+      var files = 0L; var bytes = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-")) { files += 1; bytes += f.getLen }
+      }
+      val ideal = math.max(1L,
+        math.ceil(bytes / (p.targetFileMB * 1024.0 * 1024.0)).toLong)
+      val decay = files.toDouble / ideal
+      if (decay > p.fileDecay) {
+        graft.io.Compaction.compactParquet(
+          spark, path, orderCols, None, p.targetFileMB)
+        (true, f"file decay: $files files vs ideal $ideal = $decay%.2f× > ${p.fileDecay}%.2f×")
+      } else (false, f"healthy: $files files vs ideal $ideal = $decay%.2f× <= ${p.fileDecay}%.2f×")
+    }
+  }
+
+  /** Append one decision row to the lane's maintenance log. */
+  private def logMaintenance(
+      spark: org.apache.spark.sql.SparkSession, stateDir: String,
+      batchId: Long, target: String, compacted: Boolean, reason: String): Unit = {
+    import spark.implicits._
+    Seq((batchId, target, compacted, reason))
+      .toDF("batch_id", "target", "compacted", "reason")
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(s"$stateDir/maintenance_log.parquet")
+  }
+
+  /** Index-backed evaluation: delegate to the index's own stats-driven
+    * [[graft.similarity.AnnIndex.maintain]] /
+    * [[graft.dedup.MinHashIndex.maintain]] (fold at most once, decision
+    * row returned) and record its verdict in the lane log. */
+  private def maintainIndexByStats(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      kind: String, batchId: Long, p: MaintainPolicy,
+      logDir: String): Unit = {
+    val rep =
+      if (kind == "minhash")
+        graft.dedup.MinHashIndex.maintain(
+          spark, indexDir, p.tombstoneRatio, p.fileDecay, p.targetFileMB)
+      else
+        graft.similarity.AnnIndex.maintain(
+          spark, indexDir, p.tombstoneRatio, p.fileDecay,
+          targetFileMB = p.targetFileMB)
+    val row = rep.head()
+    logMaintenance(spark, logDir, batchId, s"${kind}_index",
+      row.getAs[Boolean]("compacted"), row.getAs[String]("reason"))
+  }
+
   def maintainAnnIndex(
       embeddings: DataFrame,
       vecCol: String,
       indexDir: String,
       checkpoint: String,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0,
+      maintainPolicy: Option[MaintainPolicy] = None): org.apache.spark.sql.streaming.StreamingQuery =
     embeddings.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val applied = appendBatchOnce(batch, vecCol, indexDir, batchId)
         // in-line maintenance cadence: the stream is what creates the
         // small-file decay (one file per touched partition per batch), so
-        // it carries the remedy — every `compactEvery` APPLIED batches the
-        // index is rewritten via [[graft.similarity.AnnIndex.compact]]
-        // (search-identical by contract, so serving never gaps). Replays
-        // skip it with the append (applied = false); a crash between the
-        // marker and the compact just defers to the next cadence point —
-        // compaction is a layout optimization, never required for
-        // correctness.
-        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        // it carries the remedy — threshold-driven when a policy is set
+        // (fold only when measured decay/tombstone signals cross), else
+        // every `compactEvery` APPLIED batches, via
+        // [[graft.similarity.AnnIndex.compact]] (search-identical by
+        // contract, so serving never gaps). Replays skip it with the
+        // append (applied = false); a crash between the marker and the
+        // compact just defers to the next cadence point — compaction is a
+        // layout optimization, never required for correctness.
+        maintenanceTick(applied, batchId, compactEvery, maintainPolicy) { p =>
+          maintainIndexByStats(batch.sparkSession, indexDir, "ann",
+            batchId, p, indexDir)
+        } {
           graft.similarity.AnnIndex.compact(batch.sparkSession, indexDir)
+        }
       }
       .start()
 
@@ -488,7 +592,8 @@ object Streaming {
       indexDir: String,
       checkpoint: String,
       kind: String = "ann",
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 0,
+      maintainPolicy: Option[MaintainPolicy] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     require(kind == "ann" || kind == "minhash",
       s"maintainRetractions: kind must be ann | minhash, got '$kind'")
     ids.writeStream
@@ -501,7 +606,11 @@ object Streaming {
             else graft.dedup.MinHashIndex.deleteIds(s, indexDir, batch)
           }
         }
-        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+        // the retraction lane's dominant signal is the pending-tombstone
+        // ratio — exactly what the policy's threshold evaluation reads
+        maintenanceTick(applied, batchId, compactEvery, maintainPolicy) { p =>
+          maintainIndexByStats(s, indexDir, kind, batchId, p, indexDir)
+        } {
           if (kind == "ann") graft.similarity.AnnIndex.compact(s, indexDir)
           else graft.dedup.MinHashIndex.compact(s, indexDir)
         }
@@ -579,16 +688,23 @@ object Streaming {
       pagesDir: String,
       checkpoint: String,
       mimePrefix: String = "text/html",
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0,
+      maintainPolicy: Option[MaintainPolicy] = None): org.apache.spark.sql.streaming.StreamingQuery =
     records.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
         val applied = crawlPagesBatchOnce(batch, pagesDir, batchId, mimePrefix)
-        // compactEvery cadence (same contract as the corpus maintainers):
+        // maintenance cadence (same contract as the corpus maintainers):
         // url-ordered, so the later url-dedup batch compaction scans
         // refetches of a url from adjacent row groups
-        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0)
-          compactDocsTable(batch.sparkSession, s"$pagesDir/pages.parquet", "url")
+        maintenanceTick(applied, batchId, compactEvery, maintainPolicy) { p =>
+          val (folded, reason) = maintainTableByDecay(
+            s, s"$pagesDir/pages.parquet", Seq("url"), p)
+          logMaintenance(s, pagesDir, batchId, "pages", folded, reason)
+        } {
+          compactDocsTable(s, s"$pagesDir/pages.parquet", "url")
+        }
       }
       .start()
 
@@ -630,18 +746,29 @@ object Streaming {
       acceptedDir: String,
       checkpoint: String,
       minQuality: Option[Double] = None,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0,
+      maintainPolicy: Option[MaintainPolicy] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
         val applied =
           dedupBatchOnce(batch, idCol, textCol, acceptedDir, batchId, minQuality)
-        // same compactEvery cadence as the other maintainers; the hash
+        // same maintenance cadence as the other maintainers; the hash
         // state decays fastest (every batch RE-READS it for the
-        // anti-join), the docs table alongside it
-        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          compactCorpusState(batch.sparkSession, acceptedDir)
-          compactDocsTable(batch.sparkSession, s"$acceptedDir/docs.parquet", idCol)
+        // anti-join), the docs table alongside it — under a policy each
+        // table folds on ITS OWN measured decay, so the hot hash table
+        // can fold while the docs table stays untouched
+        maintenanceTick(applied, batchId, compactEvery, maintainPolicy) { p =>
+          val (fh, rh) = maintainTableByDecay(
+            s, s"$acceptedDir/hashes.parquet", Seq("__h"), p)
+          logMaintenance(s, acceptedDir, batchId, "hashes", fh, rh)
+          val (fd, rd) = maintainTableByDecay(
+            s, s"$acceptedDir/docs.parquet", Seq(idCol), p)
+          logMaintenance(s, acceptedDir, batchId, "docs", fd, rd)
+        } {
+          compactCorpusState(s, acceptedDir)
+          compactDocsTable(s, s"$acceptedDir/docs.parquet", idCol)
         }
       }
       .start()
@@ -678,7 +805,8 @@ object Streaming {
       acceptedDir: String,
       checkpoint: String,
       threshold: Double = 0.7,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0,
+      maintainPolicy: Option[MaintainPolicy] = None): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -723,11 +851,18 @@ object Streaming {
             graft.dedup.MinHashIndex.append(s, indexDir, toIndex, textCol)
           }
         }
-        // same in-line maintenance cadence as maintainAnnIndex: every
-        // `compactEvery` applied batches, merge the per-batch small files
-        // the appends littered both index layers AND the accepted corpus
-        // table with (probe-identical by contract, MinHashIndexSpec)
-        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+        // same in-line maintenance cadence as maintainAnnIndex: merge the
+        // per-batch small files the appends littered both index layers
+        // AND the accepted corpus table with (probe-identical by
+        // contract, MinHashIndexSpec) — threshold-evaluated under a
+        // policy, blind-counted otherwise
+        maintenanceTick(applied, batchId, compactEvery, maintainPolicy) { p =>
+          maintainIndexByStats(s, indexDir, "minhash", batchId, p, acceptedDir)
+          val (fd, rd) = maintainTableByDecay(
+            s, s"$acceptedDir/docs.parquet",
+            Seq(graft.dedup.MinHashIndex.idColumn(s, indexDir)), p)
+          logMaintenance(s, acceptedDir, batchId, "docs", fd, rd)
+        } {
           graft.dedup.MinHashIndex.compact(s, indexDir)
           compactDocsTable(s, s"$acceptedDir/docs.parquet",
             graft.dedup.MinHashIndex.idColumn(s, indexDir))
@@ -773,7 +908,8 @@ object Streaming {
       checkpoint: String,
       threshold: Double = 0.97,
       nprobe: Int = 0,
-      compactEvery: Int = 0): org.apache.spark.sql.streaming.StreamingQuery =
+      compactEvery: Int = 0,
+      maintainPolicy: Option[MaintainPolicy] = None): org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -823,9 +959,15 @@ object Streaming {
             }
           }
         }
-        // same compactEvery cadence as the other maintainers: the IVF
+        // same maintenance cadence as the other maintainers: the IVF
         // index and the accepted-vectors table both append per batch
-        if (applied && compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+        maintenanceTick(applied, batchId, compactEvery, maintainPolicy) { p =>
+          maintainIndexByStats(s, indexDir, "ann", batchId, p, acceptedDir)
+          val (fd, rd) = maintainTableByDecay(
+            s, s"$acceptedDir/docs.parquet",
+            Seq(graft.similarity.AnnIndex.idColumn(s, indexDir)), p)
+          logMaintenance(s, acceptedDir, batchId, "docs", fd, rd)
+        } {
           graft.similarity.AnnIndex.compact(s, indexDir)
           compactDocsTable(s, s"$acceptedDir/docs.parquet",
             graft.similarity.AnnIndex.idColumn(s, indexDir))

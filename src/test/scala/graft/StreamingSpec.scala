@@ -484,6 +484,88 @@ class StreamingSpec extends SparkSpec {
     assert(fs.exists(marker))
   }
 
+  test("threshold-driven streaming maintenance: crossed decay folds with the reason logged, healthy lanes never fold, tombstone ratio drives the retraction lane") {
+    import graft.similarity.AnnIndex
+    import org.apache.spark.sql.functions.col
+    val work = java.nio.file.Files.createTempDirectory("graft-stream-policy").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    def fileCount(path: String): Int = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext)
+        if (it.next().getPath.getName.startsWith("part-")) n += 1
+      n
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val newRows = emb.filter(col("vec_id") >= 250 && col("vec_id") < 260)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    def runLane(idx: String, ckpt: String, decay: Double): Unit = {
+      AnnIndex.buildLsh(emb.filter(col("vec_id") < 250), "vec_id", "embedding",
+        idx, tables = 4, bits = 5)
+      val input = MemoryStream[(Long, Seq[Float])]
+      val q = Streaming.maintainAnnIndex(
+        input.toDF.toDF("vec_id", "embedding"), "embedding", idx, ckpt,
+        maintainPolicy = Some(Streaming.MaintainPolicy(
+          checkEvery = 2, fileDecay = decay)))
+      input.addData(newRows.take(5).toSeq)
+      q.processAllAvailable()
+      input.addData(newRows.drop(5).toSeq)
+      q.processAllAvailable()
+      q.stop()
+    }
+    // lane A: decay threshold LOW — the one evaluation (checkEvery = 2
+    // over 2 applied batches) measures the append-littered layout over
+    // threshold and folds EXACTLY ONCE, recording why
+    val idxA = s"$work/idxA"
+    runLane(idxA, s"$work/ckptA", decay = 1.5)
+    val logA = spark.read.parquet(s"$idxA/maintenance_log.parquet").collect()
+    assert(logA.length === 1, s"one evaluation -> one decision row: ${logA.toSeq}")
+    assert(logA.head.getAs[Boolean]("compacted") &&
+      logA.head.getAs[String]("reason").contains("file decay") &&
+      logA.head.getAs[Long]("batch_id") === 1L, logA.head.toString)
+    assert(fileCount(s"$idxA/signatures.parquet") === 4,
+      "the crossed threshold must leave the compacted 1-file-per-table layout")
+    // the folded index still serves every streamed row
+    val queries = emb.filter(col("vec_id") >= 250 && col("vec_id") < 253)
+      .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+    val top = AnnIndex.searchLsh(spark, idxA, queries, "vec_id", "embedding", k = 3)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted
+    assert(top.length === 3)
+    top.foreach { case (qid, id, cos) => assert(id == qid - 100000 && cos == 1.0) }
+    // lane B: identical stream, huge threshold — the evaluation runs,
+    // records HEALTHY, and never folds (the litter stays, by decision)
+    val idxB = s"$work/idxB"
+    runLane(idxB, s"$work/ckptB", decay = 1e9)
+    val logB = spark.read.parquet(s"$idxB/maintenance_log.parquet").collect()
+    assert(logB.length === 1 && !logB.head.getAs[Boolean]("compacted") &&
+      logB.head.getAs[String]("reason").startsWith("healthy"), logB.head.toString)
+    assert(fileCount(s"$idxB/signatures.parquet") > 4,
+      "a healthy lane must not pay the rewrite")
+    // lane C: the retraction lane folds on the TOMBSTONE-RATIO signal —
+    // the decay axis is disabled (1e9), so the recorded reason is
+    // unambiguous
+    val idxC = s"$work/idxC"
+    AnnIndex.buildIvf(emb, "vec_id", "embedding", idxC, nlist = 16)
+    val inC = MemoryStream[Long]
+    val qC = Streaming.maintainRetractions(
+      inC.toDF.toDF("vec_id"), idxC, s"$work/ckptC", kind = "ann",
+      maintainPolicy = Some(Streaming.MaintainPolicy(
+        checkEvery = 1, tombstoneRatio = 0.001, fileDecay = 1e9)))
+    inC.addData(Seq(1L, 2L, 3L))
+    qC.processAllAvailable()
+    qC.stop()
+    val logC = spark.read.parquet(s"$idxC/maintenance_log.parquet").collect()
+    assert(logC.length === 1 && logC.head.getAs[Boolean]("compacted") &&
+      logC.head.getAs[String]("reason").contains("tombstones"), logC.head.toString)
+    assert(!new java.io.File(s"$idxC/tombstones.parquet").exists(),
+      "the crossed ratio must fold the tombstones physically")
+    assert(spark.read.parquet(s"$idxC/corpus.parquet").count() === emb.count() - 3)
+  }
+
   test("streaming append dispatch reaches the sharded index kinds") {
     import graft.similarity.AnnIndex
     import org.apache.spark.sql.functions._
