@@ -471,6 +471,22 @@ object Recall {
       shBrute.size, (shBrute & shPqGot).size, 0.85,
       "3-shard IVF-PQ at ALL defaults (per-shard m=8 codebooks, int8 refine re-rank of the auto 10k shortlist, auto probes) merged vs exact top-10 on the clustered planted corpus")
 
+    // --- SHARDED IVF-PQ at the LARGEST shard count the r20 S-sweep
+    // calibrates (SCALEBENCH `shard-sweep`): the decade probe gates the
+    // 20M point per round, but only at the shapes it runs — this bounds
+    // S=16 at CI scale so a per-shard probe-compensation regression at
+    // high shard counts breaks the BUILD, not just the round artifact.
+    // Same 150k clustered corpus and exact truth as the rows above.
+    graft.similarity.AnnIndex.buildIvfPqSharded(
+      shCorpus, "vec_id", "vec", s"$shDir/pq16", nShards = 16)
+    val shPq16 = pairSet(
+      graft.similarity.AnnIndex.searchIvfPqSharded(
+        spark, s"$shDir/pq16", shQ, "vec_id", "vec", k = 10),
+      "query_id", "vec_id")
+    entries += Entry("ann_ivfpq_sharded_auto_s16", recallOf(shBrute, shPq16),
+      shBrute.size, (shBrute & shPq16).size, 0.85,
+      "16-shard IVF-PQ at ALL defaults (per-shard auto everything, compensated per-shard probes) merged vs exact top-10 on the clustered planted corpus")
+
     // --- PRODUCTION-WIDTH vectors (r17 verdict #3): every row above
     // runs at dims 16-32; production embeddings are 768-1536, where (a)
     // cluster-overlap geometry differs (distance concentration) and (b)

@@ -572,6 +572,75 @@ object ScaleBench {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(p)))
   }
 
+  /** `reshard-rehearsal`: the price of saying YES to [[graft.similarity
+    * .AnnIndex.maintain]]'s reshard recommendation — r19 closed the loop
+    * up to the recommendation (skew → LOUD advice, never automatic);
+    * this rehearses the operator's next move so the advice comes with a
+    * bill. A 1M-row 2-shard index built from an id set hash-biased to
+    * shard 0 (the drifted-routing failure mode): (1) `maintain` must
+    * RECOMMEND and not act (topology unchanged); (2) following the
+    * recommendation (reshardIvf 2→4 at the same explicit nlist) is
+    * timed, and the exhaustive-probe result set must be IDENTICAL
+    * before/after (the bit-identity the reshard oracles pin, re-checked
+    * at rehearsal scale); (3) the GATE: post-reshard skew must sit under
+    * the threshold that fired. */
+  private def reshardRehearsal(spark: SparkSession): Unit = {
+    import graft.similarity.AnnIndex
+    val dir = "/tmp/graft_compaction_corpus"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      System.err.println("[scalebench] staging the 1.12M clustered corpus (one-off)")
+      Recall.clusteredCorpus(spark, n = 1120000L, dims = 16,
+          clusters = 1024, noise = 1.0)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val base = spark.read.parquet(dir).filter(col("vec_id") < 1000000L)
+    // hash-biased ids: everything shard 0 would own, plus a thin slice of
+    // shard 1's — the exact skew signature maintain's stats read detects
+    val skewed = base
+      .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
+      .unionByName(
+        base.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 1).limit(25000))
+    val idx = "/tmp/graft_reshard_rehearsal"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+    val nlist = 128 // explicit + equal across shards so exhaustive probes
+                    // (nprobe = nlist) are expressible on both topologies
+    AnnIndex.buildIvfSharded(skewed, "vec_id", "vec", idx, nShards = 2,
+      nlist = nlist, quantize = true)
+    // 1. the recommendation fires and DOES NOT act
+    val rep = AnnIndex.maintain(spark, idx, skewRatio = 2.0,
+      fileDecay = 1e9, tombstoneRatio = 1e9).head()
+    val skewBefore = rep.getAs[Double]("shard_skew")
+    require(rep.getAs[Boolean]("reshard_recommended"),
+      s"reshard-rehearsal: the biased build must trip the skew signal: $rep")
+    require(spark.read.parquet(s"$idx/meta.parquet").head()
+      .getAs[Int]("tables") == 2,
+      "maintain must only RECOMMEND a reshard, never run one")
+    val queries = skewed.filter(col("vec_id") < 100).limit(50)
+    def resultSet(): Set[(Long, Long, Double)] = AnnIndex
+      .searchIvfSharded(spark, idx, queries, "vec_id", "vec", k = 10,
+        nprobe = nlist)
+      .select("query_id", "vec_id", "cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pre = resultSet()
+    // 2. the rehearsal: follow the recommendation, on the clock
+    val t0 = System.nanoTime()
+    AnnIndex.reshardIvf(spark, idx, newShards = 4, nlist = nlist)
+    val reshardSec = (System.nanoTime() - t0) / 1e9
+    val post = resultSet()
+    require(pre == post,
+      s"reshard-rehearsal: exhaustive-probe results must be identical " +
+        s"across the topology change (pre ${pre.size}, post ${post.size}, " +
+        s"diff ${(pre diff post).take(3)} / ${(post diff pre).take(3)})")
+    // 3. the gate: acting actually fixed what the signal measured
+    val st = AnnIndex.stats(spark, idx).head()
+    val skewAfter = st.getAs[Long]("shard_rows_max").toDouble /
+      math.max(st.getAs[Long]("shard_rows_min"), 1L)
+    println(f"""{"query":"reshard_rehearsal","n_rows":${st.getAs[Long]("n_rows")},"skew_before":$skewBefore%.2f,"skew_after":$skewAfter%.2f,"reshard_sec":$reshardSec%.3f,"results_identical":true}""")
+    require(skewAfter < 2.0,
+      f"reshard-rehearsal GATE: post-reshard skew $skewAfter%.2f must sit under the 2.0 threshold that fired")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
+  }
+
   /** `append-probe`: the r18 append-assignment fix measured at
     * nlist = 4096 (the scale the local bench's tiny fixture indexes
     * cannot surface — r17 verdict #1). One IVF index over 1M clustered
@@ -711,6 +780,105 @@ object ScaleBench {
     * ranking loses, so the deployed config must clear the same floor the
     * policy was calibrated to. */
   private[graft] val PqShardedAutoBound = 0.85
+
+  /** `shard-sweep`: the SHARD-COUNT axis of the sharded auto-probe
+    * calibration — the residual risk the r19 decade probe left open: the
+    * 2× per-shard floor (ShardedProbeCompensation) was measured at S=4
+    * only, while the documented coverage mechanism (each shard holds the
+    * same natural clusters at 1/S the occupancy, so the neighborhood
+    * sits deeper in each shard's noisier centroid ranking) predicts the
+    * deficit GROWS with S. For S = 4 / 8 / 16 at N=20M (same clustered
+    * shape and exact truth as pq-sharded-decade), this measures per S:
+    * the coarse COVERAGE curve at 1×/2×/3× the single-index floor
+    * (replayed from the persisted layout — the signal that fired at 0.78
+    * in r19), the DEPLOYED auto config's end-to-end recall@10 (gate
+    * ≥ [[PqShardedAutoBound]] at EVERY S, enforced after the full table
+    * prints), the replayed candidate volume, and search latency.
+    * Indexes are staged behind meta markers; S=4 reuses the decade
+    * probe's index byte-for-byte (same build params), keeping the ≤4
+    * point identical to the gated r19 artifact. */
+  private def shardSweep(spark: SparkSession): Unit = {
+    import graft.similarity.{AnnIndex, Similarity}
+    import spark.implicits._
+    val dir = "/tmp/graft_scale_caprecall_40m_d32c256"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
+      System.err.println("[scalebench] staging the 40M dims-32 clustered corpus (one-off)")
+      Recall.clusteredCorpus(spark, n = 40000000L, dims = 32,
+          clusters = 256, noise = 1.0)
+        .write.mode("overwrite").parquet(dir)
+    }
+    val full = spark.read.parquet(dir)
+    val nRows = 20000000L
+    val corpus = full.filter(col("vec_id") < nRows)
+    val queries = full.filter(col("vec_id") < Recall.MinRecallQueries.toLong)
+      .persist()
+    queries.count()
+    val nQ = Recall.MinRecallQueries
+    val truth = Similarity
+      .cosineTopK(corpus, queries, "vec_id", "vec", "vec_id", 10)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    System.err.println(s"[scalebench] shard-sweep truth ready (${truth.size} pairs)")
+    val truthDf = truth.toSeq.toDF("query_id", "vec_id").persist()
+    truthDf.count()
+    val failures = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (s <- Seq(4, 8, 16)) {
+      val idxDir =
+        if (s == 4) "/tmp/graft_scale_pqsh_n20m_d32c256"
+        else s"/tmp/graft_scale_pqsh_n20m_d32c256_s$s"
+      val tb0 = System.nanoTime()
+      AnnIndex.ensureIvfPqSharded(corpus, "vec_id", "vec", idxDir,
+        nShards = s, m = 8, codes = 256, seed = 0L, refine = true)
+      val buildSec = (System.nanoTime() - tb0) / 1e9
+      // coverage of the probed cells at 1x/2x/3x the single-index floor:
+      // a true neighbor lives in exactly ONE shard, so summing per-shard
+      // covered pairs over shards is exact — and the replay never runs
+      // the ADC tail, so the curve isolates the coarse-probe policy
+      val covByMult = Seq(1, 2, 3).map { mult =>
+        var covered = 0L
+        for (sh <- 0 until s) {
+          val sd = s"$idxDir/shard=$sh"
+          val sm = spark.read.parquet(s"$sd/meta.parquet").head()
+          val base = Similarity.ivfAutoNprobe(
+            sm.getAs[Int]("nlist"), sm.getAs[Long]("n_rows"), 10)
+          val probes = math.min(sm.getAs[Int]("nlist"), mult * base)
+          val probed = Similarity.ivfQueryProbes(queries, "vec_id", "vec",
+              spark.read.parquet(s"$sd/centroids.parquet"), probes)
+            .select(col("query_id"), col("__cell"))
+          covered += truthDf
+            .join(spark.read.parquet(s"$sd/corpus.parquet")
+              .select(col("vec_id"), col("__cell")), Seq("vec_id"))
+            .join(probed, Seq("query_id", "__cell"), "left_semi")
+            .count()
+        }
+        mult -> covered.toDouble / truth.size
+      }
+      val deployedProbes =
+        AnnIndex.shardNprobe(spark, s"$idxDir/shard=0", "ivfpq", 10, 0)
+      val candPerQ = AnnIndex.candidateVolume(
+        spark, idxDir, queries, "vec_id", "vec", 10)
+      def searchOnce(): (Double, Set[(Long, Long)]) = {
+        val t0 = System.nanoTime()
+        val got = AnnIndex
+          .searchIvfPqSharded(spark, idxDir, queries, "vec_id", "vec", k = 10)
+          .select("query_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        ((System.nanoTime() - t0) / 1e9, got)
+      }
+      searchOnce() // warm listings
+      val runs = (1 to 3).map(_ => searchOnce())
+      val searchSec = runs.map(_._1).min
+      val recall = (truth & runs.head._2).size.toDouble / math.max(1, truth.size)
+      val covJson = covByMult
+        .map { case (m, c) => f""""x$m":$c%.4f""" }.mkString(",")
+      println(f"""{"query":"shard_sweep","n_shards":$s,"n_rows":$nRows,"n_queries":$nQ,"build_sec":$buildSec%.1f,"deployed_probes_per_shard":$deployedProbes,"coverage":{$covJson},"cand_rows_per_query":$candPerQ%.1f,"search_sec":$searchSec%.3f,"recall":$recall%.4f,"bound":$PqShardedAutoBound}""")
+      if (recall < PqShardedAutoBound)
+        failures += f"S=$s recall $recall%.4f < $PqShardedAutoBound"
+    }
+    truthDf.unpersist(); queries.unpersist()
+    require(failures.isEmpty,
+      s"shard-sweep GATE: ${failures.mkString("; ")}")
+  }
 
   /** `pq-sharded-decade`: the config a 100 TB user actually serves —
     * 4-shard IVF-PQ (m=8, 256 codes), int8 refine ON at the auto factor,
@@ -906,6 +1074,11 @@ object ScaleBench {
       spark.stop()
       return
     }
+    if (args.contains("shard-sweep")) {
+      shardSweep(spark)
+      spark.stop()
+      return
+    }
     if (args.contains("interleave-probe")) {
       interleaveProbe(spark)
       spark.stop()
@@ -918,6 +1091,11 @@ object ScaleBench {
     }
     if (args.contains("reshard-probe")) {
       reshardProbe(spark)
+      spark.stop()
+      return
+    }
+    if (args.contains("reshard-rehearsal")) {
+      reshardRehearsal(spark)
       spark.stop()
       return
     }

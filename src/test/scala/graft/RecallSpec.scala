@@ -48,7 +48,8 @@ class RecallSpec extends SparkSpec {
       "ann_ivf_scale_policy", "ann_ivf_scale_policy_zipf",
       "ann_ivf_scale_byk", "retrieval_neighbors_hierarchical",
       "ann_ivf_ramp_uniform", "ann_ivf_sharded_auto",
-      "ann_ivfpq_sharded_auto", "ann_ivf_highdim_auto")
+      "ann_ivfpq_sharded_auto", "ann_ivfpq_sharded_auto_s16",
+      "ann_ivf_highdim_auto")
     assert(entries.map(_.name).toSet === expected)
     val failures = entries.filter(e => e.recall < e.minBound)
     assert(failures.isEmpty,
