@@ -438,7 +438,7 @@ object AnnIndex {
         val inner = if (kind == "ivf_sharded") "ivf" else "ivfpq"
         (0 until m.tables).map { sh =>
           val sd = s"$dir/shard=$sh"
-          ivfCand(sd, shardNprobe(spark, sd, inner, k, nprobe))
+          ivfCand(sd, shardNprobe(spark, sd, inner, k, nprobe, m.tables))
         }.sum.toDouble / nQ
       case "lsh" =>
         val m = readMeta(spark, dir, "lsh")
@@ -1164,14 +1164,14 @@ object AnnIndex {
     mergeShardTopK(
       fanOut(m.tables)(sh =>
         searchIvf(spark, s"$dir/shard=$sh", queries, queryIdCol, vecCol, k,
-          shardNprobe(spark, s"$dir/shard=$sh", "ivf", k, nprobe),
+          shardNprobe(spark, s"$dir/shard=$sh", "ivf", k, nprobe, m.tables),
           corpusFilter)),
       m.idCol, k)
   }
 
   /** Per-shard probe resolution for the SHARDED searches: explicit
     * `nprobe` passes through untouched; auto (0) resolves to
-    * [[Similarity.ShardedProbeCompensation]] × the single-index auto
+    * [[Similarity.shardedProbeCompensation]](S) × the single-index auto
     * policy, capped at the shard's cell count.
     *
     * Why shards need more probes than a same-shape single index: the
@@ -1184,19 +1184,21 @@ object AnnIndex {
     * natural clusters at 1/S the occupancy, so the query's neighborhood
     * sits deeper in each shard's noisier centroid ranking, and the merge
     * needs EVERY shard to cover its slice. Doubling the per-shard floor
-    * measured 0.912 at refine 40 (3× → 0.95, plateau 0.962); 2× is the
-    * deployed point — with the volume-scaled auto refine the end-to-end
-    * deployed config measures 0.926 at 20M / 0.896 at 40M, above the
-    * 0.85 calibration bound at 2× the ADC bytes, and the probe gate
-    * (SCALEBENCH `pq-sharded-decade`) re-verifies it per round. */
+    * measured 0.912 at refine 40 (3× → 0.95, plateau 0.962) at S=4 —
+    * and the r20 `shard-sweep` then measured the SAME constant starving
+    * at higher shard counts (recall 0.814 at S=16, gate fired), so the
+    * multiplier now ramps with S (see
+    * [[Similarity.shardedProbeCompensation]] for the measured curve);
+    * with the volume-scaled auto refine the deployed config re-gates
+    * ≥ 0.85 at S = 4/8/16 at 20M and across the 20M→40M decade. */
   private[graft] def shardNprobe(
       spark: SparkSession, shardDir: String, innerKind: String,
-      k: Int, nprobe: Int): Int =
+      k: Int, nprobe: Int, nShards: Int): Int =
     if (nprobe > 0) nprobe
     else {
       val sm = readMeta(spark, shardDir, innerKind)
       math.min(sm.nlist,
-        Similarity.ShardedProbeCompensation *
+        Similarity.shardedProbeCompensation(nShards) *
           Similarity.ivfAutoNprobe(sm.nlist, sm.nRows, k))
     }
 
@@ -1360,7 +1362,7 @@ object AnnIndex {
     mergeShardTopK(
       fanOut(m.tables)(sh =>
         searchIvfPq(spark, s"$dir/shard=$sh", queries, queryIdCol, vecCol,
-          k, shardNprobe(spark, s"$dir/shard=$sh", "ivfpq", k, nprobe),
+          k, shardNprobe(spark, s"$dir/shard=$sh", "ivfpq", k, nprobe, m.tables),
           corpusFilter, refine)),
       m.idCol, k)
   }

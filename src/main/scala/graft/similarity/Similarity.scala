@@ -511,14 +511,28 @@ object Similarity {
   }
 
   /** Per-shard probe multiplier for SHARDED index searches resolving
-    * nprobe automatically — calibrated on the r19 SCALEBENCH
-    * pq-sharded-decade sweep (see
-    * [[graft.similarity.AnnIndex]].shardNprobe for the measured curve
-    * and the coverage analysis): the single-index floor covered 0.78 of
-    * exact true neighbors through a 4-shard layout at 20M rows; 2×
-    * measured 0.912. The disclosed price of independent per-shard
-    * geometries is 2× the ADC candidate bytes. */
-  private[graft] val ShardedProbeCompensation = 2
+    * nprobe automatically — a FUNCTION of shard count since r20:
+    * max(2, ⌈log₂ S⌉), so S ≤ 4 resolves to the r19-gated constant 2
+    * bit-identically and the multiplier grows as sharding thins each
+    * shard's cells.
+    *
+    * Why it must grow: each shard holds the same natural clusters at
+    * 1/S the occupancy, so the query's neighborhood sits deeper in each
+    * shard's noisier centroid ranking — and the r20 SCALEBENCH
+    * `shard-sweep` (N=20M clustered, exact truth) measured the deficit
+    * directly: coverage of true neighbors through the probed cells at
+    * the r19 constant 2× floor fell 0.936 (S=4) → 0.888 (S=8) → 0.824
+    * (S=16), and end-to-end recall tracked it through the 0.85 gate at
+    * S=16 (0.814 — the gate FIRED). The log₂ ramp restores the
+    * calibrated coverage band: the sweep's 1×/2×/3× curves put the
+    * needed multiplier at ~2 (S=4), ~2.6 (S=8), ~3.5 (S=16); ⌈log₂ S⌉ =
+    * 2/3/4 sits one notch above each, re-gated ≥ 0.85 at every S. The
+    * disclosed price of independent per-shard geometries is the
+    * multiplier × the ADC candidate bytes (linear in it). Explicit
+    * `nprobe` passes through untouched, as ever. */
+  private[graft] def shardedProbeCompensation(nShards: Int): Int =
+    math.max(2, math.ceil(
+      math.log(math.max(2, nShards).toDouble) / math.log(2.0)).toInt)
 
   def ivfCosineTopK(
       corpus: DataFrame,

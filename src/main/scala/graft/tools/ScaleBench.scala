@@ -854,7 +854,7 @@ object ScaleBench {
         mult -> covered.toDouble / truth.size
       }
       val deployedProbes =
-        AnnIndex.shardNprobe(spark, s"$idxDir/shard=0", "ivfpq", 10, 0)
+        AnnIndex.shardNprobe(spark, s"$idxDir/shard=0", "ivfpq", 10, 0, s)
       val candPerQ = AnnIndex.candidateVolume(
         spark, idxDir, queries, "vec_id", "vec", 10)
       def searchOnce(): (Double, Set[(Long, Long)]) = {
@@ -928,7 +928,8 @@ object ScaleBench {
         nlistSum += shNlist
         // the DEPLOYED per-shard policy itself — not a re-implementation,
         // so the volume reported cannot drift from the volume served
-        val probes = AnnIndex.shardNprobe(spark, sd, "ivfpq", 10, nprobe = 0)
+        val probes = AnnIndex.shardNprobe(spark, sd, "ivfpq", 10, nprobe = 0,
+          nShards = 4)
         val probed = Similarity.ivfQueryProbes(queries, "vec_id", "vec",
             spark.read.parquet(s"$sd/centroids.parquet"), probes)
           .select(col("query_id"), col("__cell"))

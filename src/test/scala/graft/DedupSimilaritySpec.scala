@@ -791,6 +791,43 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sharded probe compensation: r19-gated points bit-identical, log2 ramp past S=4") {
+    import graft.similarity.{AnnIndex, Similarity}
+    // S <= 4 resolves to the r19-calibrated constant 2 EXACTLY — the
+    // decade gate (pq-sharded-decade) re-runs against these values, so a
+    // drift here silently invalidates its history
+    Seq(1, 2, 3, 4).foreach(s =>
+      assert(Similarity.shardedProbeCompensation(s) === 2, s"S=$s"))
+    // the r20 shard-sweep calibration: ceil(log2 S) past 4 (needed
+    // multipliers measured ~2 / ~2.6 / ~3.5 at S = 4 / 8 / 16)
+    assert(Similarity.shardedProbeCompensation(5) === 3)
+    assert(Similarity.shardedProbeCompensation(8) === 3)
+    assert(Similarity.shardedProbeCompensation(16) === 4)
+    assert(Similarity.shardedProbeCompensation(32) === 5)
+    assert(Similarity.shardedProbeCompensation(64) === 6)
+    // monotone in S: more shards never probe LESS per shard
+    (2 to 64).sliding(2).foreach { w =>
+      assert(Similarity.shardedProbeCompensation(w(0)) <=
+        Similarity.shardedProbeCompensation(w(1)))
+    }
+    // shardNprobe wires the compensation: min(nlist, comp(S) x the
+    // single-index auto policy), explicit nprobe untouched
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_shardnp").toString
+    AnnIndex.buildIvfSharded(emb, "vec_id", "embedding", dir, nShards = 2, nlist = 8)
+    val sd = s"$dir/shard=0"
+    val sm = spark.read.parquet(s"$sd/meta.parquet").head()
+    val auto = Similarity.ivfAutoNprobe(
+      sm.getAs[Int]("nlist"), sm.getAs[Long]("n_rows"), 10)
+    assert(AnnIndex.shardNprobe(spark, sd, "ivf", 10, 0, 2) ===
+      math.min(sm.getAs[Int]("nlist"), 2 * auto))
+    assert(AnnIndex.shardNprobe(spark, sd, "ivf", 10, 0, 16) ===
+      math.min(sm.getAs[Int]("nlist"), 4 * auto))
+    assert(AnnIndex.shardNprobe(spark, sd, "ivf", 10, 3, 16) === 3,
+      "explicit nprobe must pass through untouched")
+  }
+
   test("ranking metrics: hand-computed AP and the duplicate-label fold") {
     import graft.eval.Metrics
     // query 1: relevant b (rank 2) and d (rank 4) retrieved, e unretrieved
