@@ -383,7 +383,12 @@ object AnnIndex {
     val reason = (compactReasons ++
       (if (reshardRecommended)
         Seq(f"RESHARD RECOMMENDED: shard skew $skew%.2f× > $skewRatio%.2f× " +
-          "(hash routing drifted or a shard missed appends)")
+          "(hash routing drifted or a shard missed appends); pick a shard " +
+          "count COPRIME to the current one — skew on hash routing means " +
+          "the stored id set is correlated with the hash, and resharding " +
+          "to a count sharing a factor preserves that correlation " +
+          "(measured: 2->4 left a 20x skew in place, 2->3 rebalanced it " +
+          "to ~1x — SCALEBENCH reshard-rehearsal)")
       else Nil)).mkString("; ")
     Seq((kind, nRows, pending, pendingRatio, files, ideal, decay, skew,
         compactReasons.nonEmpty, reshardRecommended,

@@ -621,23 +621,44 @@ object ScaleBench {
         nprobe = nlist)
       .select("query_id", "vec_id", "cosine").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def skewNow(): Double = {
+      val st = AnnIndex.stats(spark, idx).head()
+      st.getAs[Long]("shard_rows_max").toDouble /
+        math.max(st.getAs[Long]("shard_rows_min"), 1L)
+    }
     val pre = resultSet()
-    // 2. the rehearsal: follow the recommendation, on the clock
-    val t0 = System.nanoTime()
-    AnnIndex.reshardIvf(spark, idx, newShards = 4, nlist = nlist)
-    val reshardSec = (System.nanoTime() - t0) / 1e9
-    val post = resultSet()
-    require(pre == post,
-      s"reshard-rehearsal: exhaustive-probe results must be identical " +
-        s"across the topology change (pre ${pre.size}, post ${post.size}, " +
-        s"diff ${(pre diff post).take(3)} / ${(post diff pre).take(3)})")
-    // 3. the gate: acting actually fixed what the signal measured
+    def reshardTo(n: Int): Double = {
+      val t0 = System.nanoTime()
+      AnnIndex.reshardIvf(spark, idx, newShards = n, nlist = nlist)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val post = resultSet()
+      require(pre == post,
+        s"reshard-rehearsal: exhaustive-probe results must be identical " +
+          s"across the 2->$n topology change (pre ${pre.size}, post " +
+          s"${post.size}, diff ${(pre diff post).take(3)} / ${(post diff pre).take(3)})")
+      sec
+    }
+    // 2a. the TRAP the rehearsal documents (its first run found it): a
+    // new shard count sharing a factor with the old one preserves
+    // hash-correlated population skew — pmod(hash,2)==0 rows land
+    // exactly in shards {0,2} of 4, so 2->4 rebalances NOTHING
+    val secSame = reshardTo(4)
+    val skewSame = skewNow()
+    require(skewSame > 2.0,
+      f"reshard-rehearsal: same-factor 2->4 is expected to PRESERVE the " +
+        f"hash-correlated skew (got $skewSame%.2f) — if this rebalanced, " +
+        "the documented trap no longer holds and the maintain() advice " +
+        "text must change")
+    // 2b. the recommendation done right: a COPRIME count re-mixes the
+    // id set uniformly regardless of the old routing's correlation
+    val secCoprime = reshardTo(3)
+    val skewAfter = skewNow()
     val st = AnnIndex.stats(spark, idx).head()
-    val skewAfter = st.getAs[Long]("shard_rows_max").toDouble /
-      math.max(st.getAs[Long]("shard_rows_min"), 1L)
-    println(f"""{"query":"reshard_rehearsal","n_rows":${st.getAs[Long]("n_rows")},"skew_before":$skewBefore%.2f,"skew_after":$skewAfter%.2f,"reshard_sec":$reshardSec%.3f,"results_identical":true}""")
+    println(f"""{"query":"reshard_rehearsal","n_rows":${st.getAs[Long]("n_rows")},"skew_before":$skewBefore%.2f,"skew_same_factor_4":$skewSame%.2f,"sec_same_factor":$secSame%.3f,"skew_coprime_3":$skewAfter%.2f,"sec_coprime":$secCoprime%.3f,"results_identical":true}""")
+    // 3. the gate: acting on the (coprime) recommendation actually fixed
+    // what the signal measured
     require(skewAfter < 2.0,
-      f"reshard-rehearsal GATE: post-reshard skew $skewAfter%.2f must sit under the 2.0 threshold that fired")
+      f"reshard-rehearsal GATE: post-reshard (coprime) skew $skewAfter%.2f must sit under the 2.0 threshold that fired")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
   }
 
