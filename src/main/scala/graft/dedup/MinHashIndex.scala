@@ -306,20 +306,8 @@ object MinHashIndex {
   def stats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val m = readMeta(spark, dir)
-    def fileStats(sub: String): (Long, Long) = {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) (0L, 0L)
-      else {
-        val it = fs.listFiles(p, true)
-        var n = 0L; var b = 0L
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.startsWith("part-")) { n += 1; b += f.getLen }
-        }
-        (n, b)
-      }
-    }
+    def fileStats(sub: String): (Long, Long) =
+      graft.io.Compaction.partFileStats(spark, s"$dir/$sub")
     val (bf, bb) = fileStats("buckets.parquet")
     val (sf, sb) = fileStats("shingles.parquet")
     val tombs =

@@ -85,6 +85,27 @@ object Compaction {
     * the transformed frame's count, so folds are guarded exactly like
     * plain compactions. Returns the published row count (callers that
     * track a row-count meta re-derive it from here). */
+  /** Recursive part-file census of a table directory: (files, bytes).
+    * The shared listing primitive behind every decay/maintenance signal
+    * ([[graft.similarity.AnnIndex.stats]], [[graft.dedup.MinHashIndex
+    * .stats]], the streaming lanes' table-decay checks) — one place to
+    * fix listing semantics (hidden files, pending-publish leftovers,
+    * object-store quirks) for all of them. Missing path = (0, 0). */
+  def partFileStats(spark: SparkSession, tableDir: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(tableDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) (0L, 0L)
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L; var b = 0L
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.startsWith("part-")) { n += 1; b += f.getLen }
+      }
+      (n, b)
+    }
+  }
+
   def compactParquet(
       spark: SparkSession,
       tableDir: String,

@@ -264,20 +264,8 @@ object AnnIndex {
     require(exists(spark, dir), s"no ANN index at $dir")
     val kind = kindOf(spark, dir)
     val m = readMeta(spark, dir, kind)
-    def fileStats(sub: String): (Long, Long) = {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/$sub")
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p)) (0L, 0L)
-      else {
-        val it = fs.listFiles(p, true)
-        var n = 0L; var b = 0L
-        while (it.hasNext) {
-          val f = it.next()
-          if (f.getPath.getName.startsWith("part-")) { n += 1; b += f.getLen }
-        }
-        (n, b)
-      }
-    }
+    def fileStats(sub: String): (Long, Long) =
+      graft.io.Compaction.partFileStats(spark, s"$dir/$sub")
     def tombstoneCount(d: String): Long =
       if (!hasTombstones(spark, d)) 0L
       else spark.read.parquet(s"$d/$TombstoneFile").distinct().count()
@@ -296,17 +284,8 @@ object AnnIndex {
         val per = (0 until m.tables).map { sh =>
           val sd = s"$dir/shard=$sh"
           val sm = readMeta(spark, sd, inner)
-          val (f, b) = {
-            val p = new org.apache.hadoop.fs.Path(s"$sd/corpus.parquet")
-            val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-            val it = fs.listFiles(p, true)
-            var n = 0L; var bb = 0L
-            while (it.hasNext) {
-              val x = it.next()
-              if (x.getPath.getName.startsWith("part-")) { n += 1; bb += x.getLen }
-            }
-            (n, bb)
-          }
+          val (f, b) =
+            graft.io.Compaction.partFileStats(spark, s"$sd/corpus.parquet")
           (sm.nRows, tombstoneCount(sd), sm.nlist.toLong, f, b, sm.quantized)
         }
         // shard skew is THE rebalance signal: hash routing keeps rows

@@ -491,16 +491,9 @@ object Streaming {
   private def maintainTableByDecay(
       spark: org.apache.spark.sql.SparkSession, path: String,
       orderCols: Seq[String], p: MaintainPolicy): (Boolean, String) = {
-    val live = new org.apache.hadoop.fs.Path(path)
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live)) (false, "healthy: table not created yet")
+    val (files, bytes) = graft.io.Compaction.partFileStats(spark, path)
+    if (files == 0L && bytes == 0L) (false, "healthy: table not created yet")
     else {
-      val it = fs.listFiles(live, true)
-      var files = 0L; var bytes = 0L
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.startsWith("part-")) { files += 1; bytes += f.getLen }
-      }
       val ideal = math.max(1L,
         math.ceil(bytes / (p.targetFileMB * 1024.0 * 1024.0)).toLong)
       val decay = files.toDouble / ideal
@@ -512,15 +505,26 @@ object Streaming {
     }
   }
 
-  /** Append one decision row to the lane's maintenance log. */
+  /** Append one decision row to the lane's maintenance log — and keep
+    * the log itself from decaying: each evaluation lands one tiny file,
+    * so past [[MaintenanceLogFoldAt]] part-files the log is folded
+    * (batch_id-ordered) before it becomes the small-file problem the
+    * feature exists to fix. For the index-backed lanes the log lives
+    * inside the index directory deliberately: [[graft.similarity
+    * .AnnIndex]].reshardSwap carries every non-index entry across a
+    * topology change, so the audit history survives a reshard. */
+  private[graft] val MaintenanceLogFoldAt = 64L
   private def logMaintenance(
       spark: org.apache.spark.sql.SparkSession, stateDir: String,
       batchId: Long, target: String, compacted: Boolean, reason: String): Unit = {
     import spark.implicits._
+    val path = s"$stateDir/maintenance_log.parquet"
     Seq((batchId, target, compacted, reason))
       .toDF("batch_id", "target", "compacted", "reason")
       .coalesce(1)
-      .write.mode(SaveMode.Append).parquet(s"$stateDir/maintenance_log.parquet")
+      .write.mode(SaveMode.Append).parquet(path)
+    if (graft.io.Compaction.partFileStats(spark, path)._1 > MaintenanceLogFoldAt)
+      graft.io.Compaction.compactParquet(spark, path, Seq("batch_id"))
   }
 
   /** Index-backed evaluation: delegate to the index's own stats-driven

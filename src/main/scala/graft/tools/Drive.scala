@@ -30,13 +30,17 @@ object Drive {
       "query_id", "vec_id", "rank", "rel", k = 10)
     perQ.orderBy("query_id").show(10, truncate = false)
     Metrics.rankingMetricsSummary(perQ).show(truncate = false)
-    // plan check: the AP cumulative window must be query-partitioned
+    // plan check: the AP cumulative window must be query-partitioned. An
+    // UNpartitioned window renders its spec with the order expression
+    // first ("windowspecdefinition(__rank ASC ...") — so require every
+    // window spec in this plan to open with the partition column
     val plan = perQ.queryExecution.executedPlan.toString
-    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
-    println(s"PROBE window_lines=${windows.size}")
-    windows.foreach(l => println("PROBE " + l.trim.take(160)))
-    require(!windows.exists(l =>
-      l.contains("windowspecdefinition()") || l.contains("Window []")),
+    val specs = plan.linesIterator
+      .filter(_.contains("windowspecdefinition(")).toSeq
+    println(s"PROBE window_spec_lines=${specs.size}")
+    specs.foreach(l => println("PROBE " + l.trim.take(160)))
+    require(specs.nonEmpty, "expected window specs in the plan")
+    require(specs.forall(_.contains("windowspecdefinition(query_id")),
       "global (unpartitioned) window in rankingMetrics plan")
   }
 }

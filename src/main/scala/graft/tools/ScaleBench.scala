@@ -595,11 +595,15 @@ object ScaleBench {
     }
     val base = spark.read.parquet(dir).filter(col("vec_id") < 1000000L)
     // hash-biased ids: everything shard 0 would own, plus a thin slice of
-    // shard 1's — the exact skew signature maintain's stats read detects
+    // shard 1's — the exact skew signature maintain's stats read detects.
+    // The slice is a DETERMINISTIC second-hash filter, never limit():
+    // an unordered limit can pick a different row set per evaluation,
+    // and the bit-identity gate below re-evaluates this frame
     val skewed = base
       .filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0)
       .unionByName(
-        base.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 1).limit(25000))
+        base.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 1 &&
+          pmod(xxhash64(col("vec_id") + 1000000007L), lit(20)) === 0))
     val idx = "/tmp/graft_reshard_rehearsal"
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idx))
     val nlist = 128 // explicit + equal across shards so exhaustive probes
@@ -615,7 +619,7 @@ object ScaleBench {
     require(spark.read.parquet(s"$idx/meta.parquet").head()
       .getAs[Int]("tables") == 2,
       "maintain must only RECOMMEND a reshard, never run one")
-    val queries = skewed.filter(col("vec_id") < 100).limit(50)
+    val queries = skewed.filter(col("vec_id") < 200) // deterministic ~100
     def resultSet(): Set[(Long, Long, Double)] = AnnIndex
       .searchIvfSharded(spark, idx, queries, "vec_id", "vec", k = 10,
         nprobe = nlist)

@@ -361,6 +361,15 @@ class ConfigJobsSpec extends AnyFunSuite {
         "models" -> Map("ann_index" -> s"$work/$index"),
         "processed" -> Map("maintenance_report" -> s"$work/report")))
     graft.pipeline.Production.registerAll()
+    // a LEGACY report (pre-r20 overwrite era: the same maintain schema,
+    // no run_ts column) already at the path: the first append must
+    // migrate it once instead of leaving a mixed-schema table
+    import spark.implicits._
+    Seq(("ivf", 1L, 0L, 0.0, 1L, 1L, 1.0, 1.0, false, false, "healthy: legacy"))
+      .toDF("kind", "n_rows", "pending_tombstones", "pending_ratio",
+        "data_files", "ideal_files", "file_decay", "shard_skew",
+        "compacted", "reshard_recommended", "reason")
+      .write.mode("overwrite").parquet(s"$work/report")
     // build + delete (no fold) + maintain: the tombstone signal crosses →
     // exactly one fold (file-decay disabled via a huge threshold so the
     // trigger under test is unambiguous)
@@ -371,7 +380,13 @@ class ConfigJobsSpec extends AnyFunSuite {
         |          - name: maintain
         |            params: {tombstone_ratio: "0.1", file_decay: "1e9"}""".stripMargin),
       "idx"), spark), "ann-serving").isEmpty)
-    val r1 = spark.read.parquet(s"$work/report").head()
+    // the legacy row was migrated (run_ts null — it predates the trail)
+    // and the fresh decision appended beside it, latest = max run_ts
+    val r1All = spark.read.parquet(s"$work/report")
+    assert(r1All.count() === 2L)
+    assert(r1All.filter(col("run_ts").isNull).head()
+      .getAs[String]("reason") === "healthy: legacy")
+    val r1 = r1All.orderBy(col("run_ts").desc).head()
     assert(r1.getAs[Boolean]("compacted") &&
       r1.getAs[String]("reason").contains("tombstones"), r1.toString)
     assert(r1.getAs[Double]("pending_ratio") === 0.15)
@@ -386,7 +401,7 @@ class ConfigJobsSpec extends AnyFunSuite {
     // the report is an audit TRAIL: the second run appends (run_ts-stamped)
     // instead of overwriting, so the fold decision above stays readable
     val trail = spark.read.parquet(s"$work/report")
-    assert(trail.count() === 2L, "maintain must append to the audit trail")
+    assert(trail.count() === 3L, "maintain must append to the audit trail")
     val r2 = trail.orderBy(col("run_ts").desc).head()
     assert(!r2.getAs[Boolean]("compacted") && !r2.getAs[Boolean]("reshard_recommended"))
     assert(r2.getAs[String]("reason").startsWith("healthy"))
