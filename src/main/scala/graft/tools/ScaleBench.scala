@@ -812,8 +812,11 @@ object ScaleBench {
     * only, while the documented coverage mechanism (each shard holds the
     * same natural clusters at 1/S the occupancy, so the neighborhood
     * sits deeper in each shard's noisier centroid ranking) predicts the
-    * deficit GROWS with S. For S = 4 / 8 / 16 at N=20M (same clustered
-    * shape and exact truth as pq-sharded-decade), this measures per S:
+    * deficit GROWS with S. For S = 4 / 8 / 16 / 32 at N=20M (same
+    * clustered shape and exact truth as pq-sharded-decade — 32 covers
+    * the top of the 16-64-shard range a 100 TB deployment plausibly
+    * runs, where the log2 compensation ramp is EXTRAPOLATING beyond the
+    * three points that calibrated it), this measures per S:
     * the coarse COVERAGE curve at 1×/2×/3× the single-index floor
     * (replayed from the persisted layout — the signal that fired at 0.78
     * in r19), the DEPLOYED auto config's end-to-end recall@10 (gate
@@ -847,7 +850,7 @@ object ScaleBench {
     val truthDf = truth.toSeq.toDF("query_id", "vec_id").persist()
     truthDf.count()
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (s <- Seq(4, 8, 16)) {
+    for (s <- Seq(4, 8, 16, 32)) {
       val idxDir =
         if (s == 4) "/tmp/graft_scale_pqsh_n20m_d32c256"
         else s"/tmp/graft_scale_pqsh_n20m_d32c256_s$s"
