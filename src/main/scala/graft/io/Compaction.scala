@@ -74,17 +74,6 @@ object Compaction {
           "to recover it before appending")
   }
 
-  /** Compact the parquet table at `tableDir` (= `<parent>/<name>`;
-    * staging and backup live beside it as `<parent>/.compacting_<name>`
-    * and `<parent>/.precompact_<name>`). `orderCols` leads with
-    * `partitionCol` when the table is hive-partitioned.
-    *
-    * `transform` (default identity) rewrites THROUGH a row-dropping
-    * transformation — the tombstone-fold hook: the staged write holds
-    * `transform(table)` and the row-count verify pins the staged count to
-    * the transformed frame's count, so folds are guarded exactly like
-    * plain compactions. Returns the published row count (callers that
-    * track a row-count meta re-derive it from here). */
   /** Recursive part-file census of a table directory: (files, bytes).
     * The shared listing primitive behind every decay/maintenance signal
     * ([[graft.similarity.AnnIndex.stats]], [[graft.dedup.MinHashIndex
@@ -106,6 +95,17 @@ object Compaction {
     }
   }
 
+  /** Compact the parquet table at `tableDir` (= `<parent>/<name>`;
+    * staging and backup live beside it as `<parent>/.compacting_<name>`
+    * and `<parent>/.precompact_<name>`). `orderCols` leads with
+    * `partitionCol` when the table is hive-partitioned.
+    *
+    * `transform` (default identity) rewrites THROUGH a row-dropping
+    * transformation — the tombstone-fold hook: the staged write holds
+    * `transform(table)` and the row-count verify pins the staged count to
+    * the transformed frame's count, so folds are guarded exactly like
+    * plain compactions. Returns the published row count (callers that
+    * track a row-count meta re-derive it from here). */
   def compactParquet(
       spark: SparkSession,
       tableDir: String,

@@ -49,7 +49,16 @@ object Production {
     * legacy table is report-sized (one run's rows), so it is rewritten
     * once with `run_ts = null` — null sorts BEFORE every stamped run
     * under the `orderBy(run_ts)` latest-row convention, which is exactly
-    * the truth: those rows predate the trail. */
+    * the truth: those rows predate the trail. The rewrite rides
+    * [[graft.io.Compaction.compactParquet]]'s transform hook, so the
+    * migration gets the staged-write + checked-rename publish and the
+    * crashed-publish recovery the shared core already tests — a crash
+    * mid-migration can never lose the audit history a plain Overwrite
+    * would delete before rewriting. The whole check is memoized per
+    * path for the process lifetime: the condition can be true at most
+    * once, so steady-state ticks skip the listing + footer read. */
+  private val reportsMigrated =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private def appendReport(
       ctx: Context,
       df: org.apache.spark.sql.DataFrame,
@@ -58,21 +67,25 @@ object Production {
     if (Context.dig(ctx.config, "core.audit_plans").exists(_.toString.toBoolean))
       graft.plans.PlanAudit.assertScaleSafe(df)
     val spark = ctx.spark
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val legacy = spark.read.parquet(path)
-      if (!legacy.columns.contains("run_ts")) {
-        val migrated = legacy
-          .withColumn("run_ts", lit(null).cast("timestamp"))
-          .collect() // report-sized; must leave the source before overwrite
-        spark.createDataFrame(
-            spark.sparkContext.parallelize(migrated.toSeq, 1),
-            legacy.schema.add("run_ts", "timestamp"))
-          .coalesce(1)
-          .write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
-        spark.catalog.refreshByPath(path)
+    if (!reportsMigrated.contains(path)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val backup = new org.apache.hadoop.fs.Path(
+        p.getParent, s".precompact_${p.getName}")
+      if (!fs.exists(p) && fs.exists(backup)) {
+        // a crashed migration publish: the backup is authoritative —
+        // recover through the shared compact core before reading
+        val order = spark.read.parquet(backup.toString).columns.head
+        graft.io.Compaction.compactParquet(spark, path, Seq(order))
       }
+      if (fs.exists(p)) {
+        val legacy = spark.read.parquet(path)
+        if (!legacy.columns.contains("run_ts"))
+          graft.io.Compaction.compactParquet(spark, path,
+            Seq(legacy.columns.head),
+            transform = _.withColumn("run_ts", lit(null).cast("timestamp")))
+      }
+      reportsMigrated.add(path)
     }
     df.withColumn("run_ts", current_timestamp())
       .coalesce(1)
@@ -1011,7 +1024,11 @@ object Production {
       // the same policy code serving runs. A fixed small default would
       // sit entirely BELOW auto on any production-sized index (auto is
       // 8-32+ there), leaving the table with no point that says whether
-      // more probes buy recall. An explicit axis overrides this.
+      // more probes buy recall. An explicit axis overrides this. Bracket
+      // points that RESOLVE to auto itself (2×auto hits the nlist cap on
+      // a heavily-compensated sharded index; auto/2 floors to auto=1) are
+      // dropped rather than measured twice under two labels — the 0
+      // sentinel already covers that operating point.
       lazy val nprobeBracket: Seq[Int] = {
         val (auto, cap) = kind match {
           case "ivf_sharded" | "ivfpq_sharded" =>
@@ -1028,7 +1045,8 @@ object Production {
             (math.min(nl, graft.similarity.Similarity.ivfAutoNprobe(
               nl, mm.getAs[Long]("n_rows"), k)), nl)
         }
-        Seq(math.max(1, auto / 2), 0, math.min(cap, 2 * auto)).distinct
+        Seq(math.max(1, auto / 2), 0, math.min(cap, 2 * auto))
+          .distinct.filterNot(p => p != 0 && p == auto)
       }
       val points: Seq[(String, Map[String, Any])] = kind match {
         case "lsh" =>

@@ -284,6 +284,16 @@ object AnnIndex {
         val per = (0 until m.tables).map { sh =>
           val sd = s"$dir/shard=$sh"
           val sm = readMeta(spark, sd, inner)
+          // a shard whose corpus dir is GONE (partial delete, failed
+          // publish) must fail loudly here — partFileStats maps a
+          // missing path to (0, 0), which would understate file decay
+          // and let maintain() report "healthy" over a corrupted index
+          val cp = new org.apache.hadoop.fs.Path(s"$sd/corpus.parquet")
+          require(cp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(cp),
+            s"stats: shard $sh of $dir has a meta but no corpus table at " +
+              s"$cp — the index is damaged; restore the shard before " +
+              "trusting any health signal")
           val (f, b) =
             graft.io.Compaction.partFileStats(spark, s"$sd/corpus.parquet")
           (sm.nRows, tombstoneCount(sd), sm.nlist.toLong, f, b, sm.quantized)

@@ -505,6 +505,8 @@ object Streaming {
     }
   }
 
+  private[graft] val MaintenanceLogFoldAt = 64L
+
   /** Append one decision row to the lane's maintenance log — and keep
     * the log itself from decaying: each evaluation lands one tiny file,
     * so past [[MaintenanceLogFoldAt]] part-files the log is folded
@@ -513,12 +515,25 @@ object Streaming {
     * inside the index directory deliberately: [[graft.similarity
     * .AnnIndex]].reshardSwap carries every non-index entry across a
     * topology change, so the audit history survives a reshard. */
-  private[graft] val MaintenanceLogFoldAt = 64L
   private def logMaintenance(
       spark: org.apache.spark.sql.SparkSession, stateDir: String,
       batchId: Long, target: String, compacted: Boolean, reason: String): Unit = {
     import spark.implicits._
     val path = s"$stateDir/maintenance_log.parquet"
+    // the fold below makes this table subject to the compact publish's
+    // crash window: a death between its two renames leaves the full
+    // history in the .precompact backup and no live table. The lane owns
+    // this log (single-maintainer contract) and the fold is automatic,
+    // so recovery is too — re-enter the compact core, which restores the
+    // backup before rewriting, instead of blind-appending a fresh table
+    // over the hole (which would silently orphan the history and wedge
+    // the NEXT fold on its published-marker check)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val backup = new org.apache.hadoop.fs.Path(
+      live.getParent, s".precompact_${live.getName}")
+    if (!fs.exists(live) && fs.exists(backup))
+      graft.io.Compaction.compactParquet(spark, path, Seq("batch_id"))
     Seq((batchId, target, compacted, reason))
       .toDF("batch_id", "target", "compacted", "reason")
       .coalesce(1)

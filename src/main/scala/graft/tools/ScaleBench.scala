@@ -825,7 +825,7 @@ object ScaleBench {
     * Indexes are staged behind meta markers; S=4 reuses the decade
     * probe's index byte-for-byte (same build params), keeping the ≤4
     * point identical to the gated r19 artifact. */
-  private def shardSweep(spark: SparkSession): Unit = {
+  private def shardSweep(spark: SparkSession, counts: Seq[Int]): Unit = {
     import graft.similarity.{AnnIndex, Similarity}
     import spark.implicits._
     val dir = "/tmp/graft_scale_caprecall_40m_d32c256"
@@ -850,7 +850,7 @@ object ScaleBench {
     val truthDf = truth.toSeq.toDF("query_id", "vec_id").persist()
     truthDf.count()
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (s <- Seq(4, 8, 16, 32)) {
+    for (s <- counts) {
       val idxDir =
         if (s == 4) "/tmp/graft_scale_pqsh_n20m_d32c256"
         else s"/tmp/graft_scale_pqsh_n20m_d32c256_s$s"
@@ -1104,7 +1104,12 @@ object ScaleBench {
       return
     }
     if (args.contains("shard-sweep")) {
-      shardSweep(spark)
+      // an optional trailing integer list overrides the swept shard
+      // counts ("shard-sweep 64" gates just the S=64 point); the
+      // default covers the per-round calibration + extrapolation set
+      val counts = args.dropWhile(_ != "shard-sweep").drop(1)
+        .takeWhile(_.forall(_.isDigit)).map(_.toInt).toSeq
+      shardSweep(spark, if (counts.nonEmpty) counts else Seq(4, 8, 16, 32))
       spark.stop()
       return
     }
