@@ -616,8 +616,13 @@ object Preference {
         .groupBy(col("__i"))
         .agg(sum(when(col("pa.__pv") + col("pb.__pv") > 0,
           col("__n") / (col("pa.__pv") + col("pb.__pv"))).otherwise(0.0)).as("__den"))
+      // den is items-bounded (one row per item) — broadcast it so the
+      // left join plans map-side against p's flat LogicalRDD instead of
+      // exchanging BOTH sides by __i (r20: two fewer AQE stage jobs per
+      // iteration; AQE would convert the join at runtime anyway, but
+      // only after planning and materializing the exchanges)
       val raw = p.drop("__p")
-        .join(den, Seq("__i"), "left")
+        .join(broadcast(den), Seq("__i"), "left")
         .select(col("__i"), col("__wins"),
           when(col("__den") > 0, col("__wins").cast("double") / col("__den"))
             .otherwise(0.0).as("__praw"))
@@ -632,7 +637,7 @@ object Preference {
       // cache keeps the in-between iterations cheap
       p = if (it % 3 == 0) ckpt(next) else stage(next)
     }
-    val out = ckpt(p.join(games, Seq("__i"), "left")
+    val out = ckpt(p.join(broadcast(games), Seq("__i"), "left")
       .select(
         col("__i").as("item"),
         round(col("__p"), 6).as("strength"),

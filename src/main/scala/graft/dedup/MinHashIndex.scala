@@ -49,10 +49,13 @@ object MinHashIndex {
 
   private def readMeta(spark: SparkSession, dir: String): Meta = {
     require(exists(spark, dir), s"no MinHash index at $dir — build one first")
-    val r = spark.read.parquet(s"$dir/$MetaFile").head()
-    Meta(
-      r.getAs[String]("id_col"), r.getAs[Int]("shingle_k"), r.getAs[Int]("bands"),
-      r.getAs[Int]("rows_per_band"), r.getAs[Int]("max_bucket"), r.getAs[Long]("n_rows"))
+    // driver-side 1-row read — no Spark job per meta resolution (r20;
+    // see graft.io.DriverParquet)
+    graft.io.DriverParquet.readSingleRow(spark, s"$dir/$MetaFile")(g =>
+      Meta(
+        g.getString("id_col", 0), g.getInteger("shingle_k", 0),
+        g.getInteger("bands", 0), g.getInteger("rows_per_band", 0),
+        g.getInteger("max_bucket", 0), g.getLong("n_rows", 0)))
   }
 
   /** The id column the index was built with — for callers aligning

@@ -137,6 +137,11 @@ object Profile {
         avg(col(c)).as(s"${c}__mean"),
         stddev(col(c)).as(s"${c}__sd"))
     }
+    // NOT spread (r20, measured): the percentile sketch pays a large
+    // per-partition constant (final compress) and a single-task merge of
+    // every partial — 32-way spreading grew total sketch work 4→9 s of
+    // task time and added a 1.4 s merge at sf0.1. Scan-parallel partials
+    // are the right shape for mergeable sketches.
     val bounds = df.agg(bAggs.head, bAggs.tail: _*).collect()(0)
     def d(n: String) = graft.Exprs.requireD(bounds, n, s"outlierCounts")
     // one pass for counts

@@ -1510,8 +1510,12 @@ object LlmQueries {
         case 1 => Multimodal.testToneWav(id, amplitude = 0.2)
         case _ => Multimodal.testToneWav(id, sampleRate = 22050)
       })
-      val clips = t(s, dir, "documents").filter(col("doc_id") < 40)
-        .select(col("doc_id"), explode(array(lit(0), lit(1), lit(2))).as("v"))
+      // spread BEFORE the synth UDF column exists (same rationale as
+      // image_phash_neardup above) — profiled 1.86 s in ONE task at sf0.1
+      val clips = graft.dp.Partitioning
+        .spread(t(s, dir, "documents").filter(col("doc_id") < 40)
+          .select(col("doc_id"), explode(array(lit(0), lit(1), lit(2))).as("v")),
+          even = true) // 120 rows, heavy per-row kernel: even split IS the tail
         .select((col("doc_id") + col("v") * 100000L).as("clip_id"),
           mk(col("doc_id"), col("v")).as("payload"))
       Multimodal.audioNearDupPairs(clips, "clip_id", "payload", maxHamming = 5)

@@ -68,7 +68,11 @@ object Dsir {
     val spark = docCounts.sparkSession
     val byBucket = docCounts.groupBy(col("bucket"))
       .agg(sum(col("cnt")).as("__c"))
-    val total = docCounts.agg(coalesce(sum(col("cnt")), lit(0L)).as("__n"))
+    // grand total from the buckets-sized rollup, not a second pass over
+    // the featurized corpus: Σ_b (Σ cnt)_b ≡ Σ cnt exactly (long
+    // arithmetic), and the byBucket subtree is shared with the join
+    // above, so the featurize exchange is computed once and reused
+    val total = byBucket.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))
     spark.range(buckets).select(col("id").as("bucket"))
       .join(byBucket, Seq("bucket"), "left")
       .crossJoin(broadcast(total))

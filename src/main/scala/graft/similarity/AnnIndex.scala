@@ -68,16 +68,28 @@ object AnnIndex {
   }
 
   private def readMeta(spark: SparkSession, dir: String, expectKind: String): Meta = {
-    require(exists(spark, dir),
-      s"no ANN index at $dir — build one with build${expectKind.capitalize} first")
-    val r = spark.read.parquet(s"$dir/$MetaFile").head()
-    val m = Meta(
-      r.getAs[String]("kind"), r.getAs[String]("id_col"), r.getAs[Long]("n_rows"),
-      r.getAs[Int]("nlist"), r.getAs[Int]("tables"), r.getAs[Int]("bits"),
-      r.getAs[Long]("seed"), r.getAs[Boolean]("quantized"))
+    val m = readMetaAny(spark, dir, expectKind)
     require(m.kind == expectKind,
       s"index at $dir is kind '${m.kind}', expected '$expectKind'")
     m
+  }
+
+  /** Read the 1-row meta file ON THE DRIVER (plain parquet-hadoop read)
+    * instead of through a `spark.read.parquet(...).head()` job. The meta
+    * is a single tiny file, but the Spark formulation paid file listing +
+    * query planning + a scheduled 1-task job PER CALL — and the sharded
+    * searches call this 2-3× per shard (parent meta, shard meta, probe
+    * resolution), so a 3-shard search spent more driver time reading
+    * 8-field metas than planning the actual scoring job (r20 job
+    * profile). Same bytes, same fields, no job. */
+  private def readMetaAny(spark: SparkSession, dir: String, expectKind: String): Meta = {
+    require(exists(spark, dir),
+      s"no ANN index at $dir — build one with build${expectKind.capitalize} first")
+    graft.io.DriverParquet.readSingleRow(spark, s"$dir/$MetaFile")(g =>
+      Meta(
+        g.getString("kind", 0), g.getString("id_col", 0), g.getLong("n_rows", 0),
+        g.getInteger("nlist", 0), g.getInteger("tables", 0), g.getInteger("bits", 0),
+        g.getLong("seed", 0), g.getBoolean("quantized", 0)))
   }
 
   /** Corpus rows in their stored form: full-precision keeps the raw
@@ -116,7 +128,7 @@ object AnnIndex {
   /** The kind ("ivf" | "lsh") of the complete index at `dir`. */
   def kindOf(spark: SparkSession, dir: String): String = {
     require(exists(spark, dir), s"no ANN index at $dir")
-    spark.read.parquet(s"$dir/$MetaFile").head().getAs[String]("kind")
+    readMetaAny(spark, dir, "ann").kind
   }
 
   /** True iff a complete index exists at `dir` (meta is written LAST by
@@ -524,17 +536,27 @@ object AnnIndex {
     require(probes >= 1 && probes <= m.nlist,
       s"need 1 <= nprobe <= nlist, got nprobe=$probes nlist=${m.nlist}")
     val centDf = spark.read.parquet(s"$dir/centroids.parquet")
-    val qProbes = Similarity.ivfQueryProbes(queries, queryIdCol, vecCol, centDf, probes)
-    // the probed-cell set is |Q|·nprobe values (queries are broadcast-sized
-    // by contract) — pushed as a literal so hive partition pruning drops
-    // unprobed directories before any IO
-    val probedCells = qProbes.select(col("__cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // exhaustive operating point (nprobe = nlist — the exact-oracle
+    // searches): every cell is probed by construction, so the probe
+    // ranking window AND the probed-cell collect job are skipped — the
+    // pruning literal would name every partition anyway
+    val exhaustive = probes == m.nlist
+    val qProbes = Similarity.ivfQueryProbes(
+      queries, queryIdCol, vecCol, centDf, probes, allCells = exhaustive)
     val corpusStored = spark.read.parquet(s"$dir/corpus.parquet")
     Similarity.requireComparableIdTypes(
       corpusStored.schema(m.idCol).dataType, s"index corpus id '${m.idCol}' at $dir",
       queries.schema(queryIdCol).dataType, s"query id '$queryIdCol'")
-    val pruned = corpusStored.filter(col("__cell").isin(probedCells: _*))
+    // the probed-cell set is |Q|·nprobe values (queries are broadcast-sized
+    // by contract) — pushed as a literal so hive partition pruning drops
+    // unprobed directories before any IO
+    val pruned =
+      if (exhaustive) corpusStored
+      else {
+        val probedCells = qProbes.select(col("__cell")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        corpusStored.filter(col("__cell").isin(probedCells: _*))
+      }
     // tombstoned rows drop AFTER the pruning (candidate-sized anti-join)
     // and BEFORE the dequantize/score tail — deleted ids never score
     val alive = minusTombstones(spark, dir, m.idCol,
@@ -670,18 +692,27 @@ object AnnIndex {
     val centDf = spark.read.parquet(s"$dir/centroids.parquet")
     val books = spark.read.parquet(s"$dir/codebooks.parquet")
     val dim = books.select(size(col("cent"))).head().getInt(0) * m.tables
-    val qProbes = Similarity.ivfQueryProbes(queries, queryIdCol, vecCol, centDf, probes)
+    // exhaustive operating point: skip the probe ranking window and the
+    // probed-cell collect job — the literal would name every cell (same
+    // fast path as searchIvf)
+    val exhaustive = probes == m.nlist
+    val qProbes = Similarity.ivfQueryProbes(
+        queries, queryIdCol, vecCol, centDf, probes, allCells = exhaustive)
       .select(col("query_id"), col("__cell"))
     val lut = broadcast(
       Similarity.pqLut(queries, queryIdCol, vecCol, books, dim / m.tables,
         m.tables, m.bits))
-    val probedCells = qProbes.select(col("__cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq
     val corpusStored = spark.read.parquet(s"$dir/corpus.parquet")
     Similarity.requireComparableIdTypes(
       corpusStored.schema(m.idCol).dataType, s"index corpus id '${m.idCol}' at $dir",
       queries.schema(queryIdCol).dataType, s"query id '$queryIdCol'")
-    val pruned = corpusStored.filter(col("__cell").isin(probedCells: _*))
+    val pruned =
+      if (exhaustive) corpusStored
+      else {
+        val probedCells = qProbes.select(col("__cell")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        corpusStored.filter(col("__cell").isin(probedCells: _*))
+      }
     // tombstoned rows drop after pruning, before any ADC work
     val filtered = minusTombstones(spark, dir, m.idCol,
       corpusFilter.fold(pruned)(pruned.filter))

@@ -559,7 +559,10 @@ object Similarity {
     val model = ivfFit(corpusVec, idCol, cells, seed, fitSample)
     val assigned = model.transform(corpusVec).drop("__mlvec")
     val centDf = ivfCentroidFrame(corpus.sparkSession, model)
-    val qProbes = ivfQueryProbes(queries, queryIdCol, vecCol, centDf, probes)
+    // probes == cells (the exact-twin operating point): skip the probe
+    // ranking window — every cell survives it by construction (r20)
+    val qProbes = ivfQueryProbes(queries, queryIdCol, vecCol, centDf, probes,
+      allCells = probes == cells)
     ivfScore(assigned, qProbes, idCol, k)
   }
 
@@ -926,7 +929,7 @@ object Similarity {
     * broadcast (query_id, __cell, __qv2, __qn) probe frame. */
   private[graft] def ivfQueryProbes(
       queries: DataFrame, queryIdCol: String, vecCol: String,
-      centDf: DataFrame, probes: Int): DataFrame = {
+      centDf: DataFrame, probes: Int, allCells: Boolean = false): DataFrame = {
     // query-side normalization: the lambda's O(d^2)-per-row worst case is
     // irrelevant here — the query frame is small by contract (it is
     // broadcast below)
@@ -948,7 +951,15 @@ object Similarity {
     // collect-only plans over it (the probed-cell literal set), where a
     // hint is dropped with a warning — the candidate joins hint it at
     // the join site (ivfScore / searchIvfPq) instead
-    qSide.crossJoin(broadcast(centDf))
+    // allCells (exhaustive mode, probes == nlist): every centroid is kept
+    // by construction, so the distance ranking and its per-query window
+    // exchange are dead weight — emit the full (query × cell) frame
+    // directly. Same rows, same columns as the ranked path at
+    // probes == |centDf| (the exact-oracle searches' operating point).
+    if (allCells)
+      qSide.crossJoin(broadcast(centDf))
+        .select(col("query_id"), col("__cell"), col("__qv2"), col("__qn"))
+    else qSide.crossJoin(broadcast(centDf))
       .withColumn("__dist",
         dot(col("__cent"), col("__cent")) - lit(2.0) * dot(col("__qu"), col("__cent")))
       .withColumn("__rk", row_number().over(probeW))
@@ -1344,15 +1355,34 @@ object Similarity {
       .select(col(idCol).as("query_id"), col("__qd"),
         col("__cv").as("__qv2"), col("__cn").as("__qn"))
       .filter(col("__qn") > 0)
-    val qProbes = centroidCandidates(qBase, centDf, cells, probes, seed,
-        hierarchical, distTo)
-      .withColumn("__dist", distTo(col("__cent")))
-      .withColumn("__rk", row_number().over(probeW))
-      .filter(col("__rk") <= probes)
-      .select(col("query_id"), col("__qd"), col("__cell"),
-        col("__qv2"), col("__qn"))
-    val scored = assigned
+    val qProbes =
+      if (probes == cells)
+        // exhaustive operating point (the exact-oracle twin): every cell
+        // survives the rank filter by construction, so the per-chunk
+        // distance ranking and its keyed window exchange are skipped
+        centroidCandidates(qBase, centDf, cells, probes, seed,
+            hierarchical, distTo)
+          .select(col("query_id"), col("__qd"), col("__cell"),
+            col("__qv2"), col("__qn"))
+      else centroidCandidates(qBase, centDf, cells, probes, seed,
+          hierarchical, distTo)
+        .withColumn("__dist", distTo(col("__cent")))
+        .withColumn("__rk", row_number().over(probeW))
+        .filter(col("__rk") <= probes)
+        .select(col("query_id"), col("__qd"), col("__cell"),
+          col("__qv2"), col("__qn"))
+    // pin the cell-join's partition count: the exchange's map output is
+    // kilobytes of keys+vectors, so AQE coalesces it to ONE partition —
+    // but the join EXPLODES (every query probes into every matching
+    // cell) and the dot-product kernel then runs serially on the fused
+    // partition (profiled: a 1.78 s single-task stage at sf0.1 doing the
+    // whole |Q|·|C| scoring). A user-specified repartition by the join
+    // key is exempt from AQE coalescing; parallelism = distinct cells.
+    val corpusSide = assigned
       .join(corpus.select(col(idCol), col(docCol).as("__cd")), Seq(idCol))
+      .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
+        col("__cell"))
+    val scored = corpusSide
       .join(qProbes, Seq("__cell")) // shuffle join — the query side is corpus-sized
       .filter(col(idCol) =!= col("query_id") && !(col("__cd") <=> col("__qd")))
       .select(col("query_id"), col(idCol),

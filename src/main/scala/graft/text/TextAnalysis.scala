@@ -852,8 +852,12 @@ object TextAnalysis {
     * xxhash64 collision would merge two gram counts, at ~|vocab|²/2⁶⁴
     * odds). Same shape as unigramLogProb. */
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashed = df.select(col(idCol),
-      transform(tokens(col(textCol)), t => xxhash64(t)).as("__hs"))
+    // spread before tokenize+hash — same single-split-scan rationale as
+    // ngramLogProb's harr
+    val hashed = graft.dp.Partitioning
+      .spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        transform(tokens(col(textCol)), t => xxhash64(t)).as("__hs"))
     val bi = hashed
       .select(col(idCol), explode(expr(
         "transform(__hs, (x, i) -> struct(" +
@@ -927,8 +931,15 @@ object TextAnalysis {
       alpha: Double = 0.4): DataFrame = {
     require(order >= 2 && order <= 8, s"order must be in [2, 8], got $order")
     require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
-    def harr(df: DataFrame): DataFrame = df.select(col(idCol).as("__id"),
-      transform(tokens(col(textCol)), t => xxhash64(t)).as("__hs"))
+    // spread the RAW text frames before tokenizing: a single-file corpus
+    // scan otherwise runs the whole tokenize + 2n-1-hashes-per-token
+    // gram kernel in one task (profiled: the 0.7-1.1 s single-task jobs
+    // of ngram_logprob / perplexity_buckets at sf0.1); no-op on
+    // realistically-partitioned inputs
+    def harr(df: DataFrame): DataFrame = graft.dp.Partitioning
+      .spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("__id"),
+        transform(tokens(col(textCol)), t => xxhash64(t)).as("__hs"))
     // per position i: g_j = key of the j-gram ENDING at i (j = 1..order),
     // d_j = key of the (j-1)-gram ending at i-1 — the backoff
     // denominator's context key (j = 2..order)

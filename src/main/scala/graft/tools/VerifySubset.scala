@@ -15,6 +15,9 @@ object VerifySubset {
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
       .config("spark.sql.session.timeZone", "UTC")
+      // match graft.Verify / Sessions.local: Spark 4 ANSI mode would throw
+      // on x/0 and corr(constant) where the oracle expects null
+      .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
