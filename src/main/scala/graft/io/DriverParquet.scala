@@ -16,26 +16,29 @@ import org.apache.spark.sql.SparkSession
   */
 object DriverParquet {
 
-  /** The first row of the single part file under `dir`, as a
-    * parquet-example Group. `f` extracts the typed fields; the reader is
-    * closed either way. */
+  /** The first row found under `dir` (part files scanned in listing
+    * order — a writer may emit empty parts, so keep scanning until a row
+    * appears), as a parquet-example Group. `f` extracts the typed
+    * fields; readers are closed either way. */
   def readSingleRow[T](spark: SparkSession, dir: String)(
       f: org.apache.parquet.example.data.Group => T): T = {
     val d = new org.apache.hadoop.fs.Path(dir)
     val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val part = fs.listStatus(d).map(_.getPath)
-      .find(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_") &&
+    val parts = fs.listStatus(d).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet") && !p.getName.startsWith("_") &&
         !p.getName.startsWith("."))
-      .getOrElse(throw new IllegalStateException(
-        s"$dir has no parquet part file"))
-    val reader = org.apache.parquet.hadoop.ParquetReader
-      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), part)
-      .withConf(spark.sparkContext.hadoopConfiguration)
-      .build()
-    try {
-      val g = reader.read()
-      require(g != null, s"$dir is empty — expected one meta row")
-      f(g)
-    } finally reader.close()
+      .sortBy(_.getName)
+    require(parts.nonEmpty, s"$dir has no parquet part file")
+    for (part <- parts) {
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(), part)
+        .withConf(spark.sparkContext.hadoopConfiguration)
+        .build()
+      try {
+        val g = reader.read()
+        if (g != null) return f(g)
+      } finally reader.close()
+    }
+    throw new IllegalStateException(s"$dir is empty — expected at least one row")
   }
 }

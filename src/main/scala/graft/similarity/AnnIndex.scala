@@ -691,7 +691,11 @@ object AnnIndex {
       }
     val centDf = spark.read.parquet(s"$dir/centroids.parquet")
     val books = spark.read.parquet(s"$dir/codebooks.parquet")
-    val dim = books.select(size(col("cent"))).head().getInt(0) * m.tables
+    // subspace width from one stored codebook row, read on the driver —
+    // the head() formulation paid a scheduled Spark job for one int (r20)
+    val subDim = graft.io.DriverParquet
+      .readSingleRow(spark, s"$dir/codebooks.parquet")(g =>
+        g.getGroup("cent", 0).getFieldRepetitionCount(0))
     // exhaustive operating point: skip the probe ranking window and the
     // probed-cell collect job — the literal would name every cell (same
     // fast path as searchIvf)
@@ -700,7 +704,7 @@ object AnnIndex {
         queries, queryIdCol, vecCol, centDf, probes, allCells = exhaustive)
       .select(col("query_id"), col("__cell"))
     val lut = broadcast(
-      Similarity.pqLut(queries, queryIdCol, vecCol, books, dim / m.tables,
+      Similarity.pqLut(queries, queryIdCol, vecCol, books, subDim,
         m.tables, m.bits))
     val corpusStored = spark.read.parquet(s"$dir/corpus.parquet")
     Similarity.requireComparableIdTypes(

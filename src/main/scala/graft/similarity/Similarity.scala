@@ -624,6 +624,26 @@ object Similarity {
     }
   }
 
+  /** Flat quantizer fitted by ONE driver-local Lloyd's run over the
+    * (bounded, hash-ordered) sample — the small-fit fast path of
+    * [[ivfFit]] (r20). Assignment reuses the same broadcast-candidates +
+    * codegen'd [[graft.expressions.NearestCell]] argmin the APPEND path
+    * runs against persisted centroids, so one-shot assignment and
+    * append-time assignment share one kernel and one tie-break
+    * (smallest cell id). */
+  private[graft] final case class LocalQuantizer(
+      centers: Array[Array[Double]]) extends IvfQuantizer {
+    override def transform(df: DataFrame): DataFrame =
+      AnnIndex.assignToPersistedCells(df, centroidFrame(df.sparkSession))
+    override def centroidFrame(
+        spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      centers.zipWithIndex.toSeq
+        .map { case (c, i) => (i, c.toSeq) }
+        .toDF("__cell", "__cent")
+    }
+  }
+
   /** Two-level quantizer: a spark.ml super-model of ~√cells centers plus
     * per-super sub-centroids (global `__cell` ids). Assignment is
     * SHUFFLE-FREE: one super transform (map), one broadcast join from
@@ -735,18 +755,57 @@ object Similarity {
     }
   }
 
+  /** Work bound for the driver-local flat fit: sample × cells × dims ×
+    * iters distance multiplies — ~2·10⁸ is a few hundred ms of
+    * single-core Lloyd's, the break-even against the ~16-job
+    * spark.ml fit (2 scheduled jobs per iteration) it replaces. */
+  private[graft] val LocalFitMaxOps: Long = 200000000L
+
+  /** Hard row cap on the local-fit sample collect, independent of the
+    * ops bound — bounds driver memory at ~20k × dims doubles. */
+  private[graft] val LocalFitMaxPoints: Int = 20000
+
   private[graft] def ivfFit(
       corpusVec: DataFrame, idCol: String, cells: Int, seed: Long,
       fitSample: Int): IvfQuantizer = {
     def sampled(n: Int) = corpusVec
       .select(col("__mlvec"), xxhash64(col(idCol)).as("__h"))
       .orderBy(col("__h")).limit(n)
-    if (cells <= IvfFlatFitMaxCells)
-      FlatQuantizer(new org.apache.spark.ml.clustering.KMeans()
-        .setK(cells).setSeed(seed).setMaxIter(8).setInitMode("random")
-        .setFeaturesCol("__mlvec").setPredictionCol("__cell")
-        .fit(sampled(fitSample).drop("__h")))
-    else {
+    if (cells <= IvfFlatFitMaxCells) {
+      // Small-fit fast path (r20): the spark.ml fit launches ~2 scheduled
+      // jobs per Lloyd's iteration — ~16 driver round-trips that DOMINATE
+      // a one-shot operator's wall time when the sample is tiny (job
+      // profile: the k-means job storm under cross_doc_neighbors_exact /
+      // ann_ivf_topk). When the WHOLE sample is provably small (ops and
+      // row bounds below), collect it once (hash-ordered — same
+      // deterministic sample the distributed fit uses) and run the same
+      // deterministic localLloyd the two-level sub-fits already run in
+      // executors. The probe collects at most maxLocalPts+1 rows; a
+      // corpus larger than the bound falls through to spark.ml with the
+      // identical sample definition. Every oracle-gated query is
+      // clustering-invariant by construction (DuckDB replays them with no
+      // k-means); approximate operating points are re-gated by the
+      // recall harness.
+      val dims = vecWidth(corpusVec, "__cv")
+      val maxLocalPts =
+        if (dims <= 0) 0
+        else math.min(LocalFitMaxPoints.toLong,
+          LocalFitMaxOps / (math.max(1, cells).toLong * dims * 8)).toInt
+      val probe =
+        if (maxLocalPts >= math.max(cells, 2))
+          sampled(math.min(fitSample, maxLocalPts + 1)).collect()
+        else Array.empty[org.apache.spark.sql.Row]
+      if (probe.nonEmpty && probe.length <= maxLocalPts &&
+          probe.length >= cells && fitSample > 0) {
+        val pts = probe
+          .map(_.getAs[org.apache.spark.ml.linalg.Vector]("__mlvec").toArray)
+        LocalQuantizer(localLloyd(pts, cells, iters = 8))
+      } else
+        FlatQuantizer(new org.apache.spark.ml.clustering.KMeans()
+          .setK(cells).setSeed(seed).setMaxIter(8).setInitMode("random")
+          .setFeaturesCol("__mlvec").setPredictionCol("__cell")
+          .fit(sampled(fitSample).drop("__h")))
+    } else {
       val fitFrame = sampled(
         math.max(fitSample, IvfSubFitPointsPerCell * cells))
       val spark = corpusVec.sparkSession

@@ -26,8 +26,10 @@ object JobProfile {
 
     final case class J(id: Int, desc: String, start: Long, var end: Long,
         var tasks: Int, var taskTime: Long)
+    final case class St(id: Int, var name: String, var tasks: Int, var taskTime: Long)
     val jobs = new scala.collection.concurrent.TrieMap[Int, J]
     val stageJob = new scala.collection.concurrent.TrieMap[Int, Int]
+    val stages = new scala.collection.concurrent.TrieMap[Int, St]
     var collecting = false
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
@@ -39,10 +41,18 @@ object JobProfile {
         }
       override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
         jobs.get(e.jobId).foreach(_.end = e.time)
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        if (collecting && stageJob.contains(e.stageInfo.stageId))
+          stages.getOrElseUpdate(e.stageInfo.stageId,
+            St(e.stageInfo.stageId, "", 0, 0L)).name = e.stageInfo.name.take(120)
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         for (jid <- stageJob.get(e.stageId); j <- jobs.get(jid)) {
           j.tasks += 1
           if (e.taskMetrics != null) j.taskTime += e.taskMetrics.executorRunTime
+          val st = stages.getOrElseUpdate(e.stageId, St(e.stageId, "", 0, 0L))
+          st.tasks += 1
+          if (e.taskMetrics != null) st.taskTime += e.taskMetrics.executorRunTime
         }
     })
 
@@ -53,7 +63,7 @@ object JobProfile {
       val t0 = System.nanoTime(); fn(spark, dir).count()
       val first = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      jobs.clear(); stageJob.clear(); collecting = true
+      jobs.clear(); stageJob.clear(); stages.clear(); collecting = true
       val t1 = System.nanoTime(); fn(spark, dir).count()
       val second = (System.nanoTime() - t1) / 1e9
       collecting = false
@@ -69,6 +79,8 @@ object JobProfile {
       val wall = js.map(j => j.end - j.start).sum / 1000.0
       val gaps = second - wall / 1.0
       println(f"  sum(job wall)=$wall%.3fs driver-gaps=$gaps%.3fs")
+      for (st <- stages.values.toSeq.sortBy(-_.taskTime).take(6))
+        println(f"  stage ${st.id}%4d tasks=${st.tasks}%4d taskTime=${st.taskTime / 1000.0}%7.3fs  ${st.name}")
     }
     spark.stop()
   }
