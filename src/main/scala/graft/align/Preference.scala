@@ -540,7 +540,29 @@ object Preference {
       outcomes: DataFrame,
       winnerCol: String,
       loserCol: String,
-      iterations: Int = 10): DataFrame = {
+      iterations: Int = 10): DataFrame =
+    bradleyTerryImpl(outcomes, winnerCol, loserCol, iterations,
+      LocalBtMaxDirectedPairs)
+
+  /** Directed-pair bound for the driver-local MM fast path (r21, the
+    * [[graft.similarity.Similarity]] LocalQuantizer precedent): when the
+    * per-(winner, loser) aggregate — items²-bounded, NOT the comparison
+    * log — provably fits under this many rows, the MM iterations run as
+    * plain driver arithmetic instead of `iterations` rounds of
+    * broadcast + join + global-window Spark jobs on a frame of a few
+    * hundred bytes. The gate is a data-size bound probed with a bounded
+    * collect (limit n+1), independent of core count; larger leaderboards
+    * fall through to the distributed loop unchanged. 32768 directed
+    * pairs ≈ a dense 180-item arena — far above any leaderboard the
+    * operator's contract describes, ~1 MB collected worst-case. */
+  private[graft] val LocalBtMaxDirectedPairs: Int = 32768
+
+  private[graft] def bradleyTerryImpl(
+      outcomes: DataFrame,
+      winnerCol: String,
+      loserCol: String,
+      iterations: Int,
+      localMaxPairs: Int): DataFrame = {
     require(iterations >= 1 && iterations <= 100,
       s"iterations must be in [1, 100], got $iterations")
     val spark = outcomes.sparkSession
@@ -588,6 +610,20 @@ object Preference {
     val directed = stage(outcomes
       .groupBy(col(winnerCol).as("__w"), col(loserCol).as("__l"))
       .agg(count(lit(1)).as("__c")))
+    // Bounded probe (limit n+1 — never collects more than the gate):
+    // when the ENTIRE directed-pair aggregate fits under the local
+    // bound, every remaining frame in this function is items-bounded
+    // driver-sized data and the iterations run as local arithmetic —
+    // zero Spark jobs beyond the one groupBy above. The staged cache
+    // makes the probe's scan reusable if the gate fails.
+    val probe =
+      if (localMaxPairs > 0) directed.limit(localMaxPairs + 1).collect()
+      else Array.empty[org.apache.spark.sql.Row]
+    if (localMaxPairs > 0 && probe.length <= localMaxPairs) {
+      val out = localBradleyTerry(spark, directed.schema, probe, iterations)
+      staged.foreach(_.unpersist(false))
+      return out
+    }
     val pairGames = stage(directed
       .select(col("__w").as("__i"), col("__l").as("__j"), col("__c"))
       .unionByName(directed.select(col("__l").as("__i"), col("__w").as("__j"), col("__c")))
@@ -605,6 +641,15 @@ object Preference {
     // leaderboard scale every extra broadcast is a whole Spark job, and
     // the job count per iteration is what the query's cost actually is
     val whole = Window.partitionBy()
+    // Broadcast contract for the loop below: every broadcast side (p,
+    // den, games) is ONE ROW PER ITEM — items-bounded by construction,
+    // the operator's declared domain being leaderboards/arenas of
+    // tens-to-thousands of items (scaladoc above). Even the distributed
+    // fallback's item set is bounded by the directed-pair table the
+    // gate just probed: items ≤ 2·pairs rows of (id, double, long) —
+    // megabytes at the scale where this path engages, never
+    // driver-threatening. A corpus-keyed frame must NOT be routed
+    // through this operator.
     for (it <- 1 to iterations) {
       // ONE broadcast exchange per iteration: both sides of the pair
       // join build from the identical broadcast plan (alias only), so
@@ -647,6 +692,74 @@ object Preference {
     // every staged cache is now dead weight — free them (non-blocking)
     staged.foreach(_.unpersist(false))
     out
+  }
+
+  /** The MM iterations of [[bradleyTerry]] as plain driver arithmetic
+    * over the collected directed-pair aggregate — the identical
+    * per-iteration formulas (Hunter 2004 MM update, mean-1
+    * renormalization, the same zero guards), so the result lands on the
+    * same 6-decimal values the distributed loop and the oracle's
+    * unrolled replay produce: the MM map is a contraction, so
+    * summation-order ulp noise stays ~1e-14 (the [[bradleyTerry]]
+    * scaladoc contract) and the output rounding absorbs it. Rounding is
+    * the exact arithmetic Spark's `round(col, 6)` runs on doubles
+    * (BigDecimal of the shortest decimal representation, HALF_UP). */
+  private def localBradleyTerry(
+      spark: org.apache.spark.sql.SparkSession,
+      directedSchema: org.apache.spark.sql.types.StructType,
+      directedRows: Array[org.apache.spark.sql.Row],
+      iterations: Int): DataFrame = {
+    import scala.collection.mutable
+    // symmetric per-pair game counts; LinkedHashMaps pin a deterministic
+    // (collect-order) summation order
+    val pair = mutable.LinkedHashMap.empty[Any, mutable.LinkedHashMap[Any, Long]]
+    def add(i: Any, j: Any, c: Long): Unit = {
+      val m = pair.getOrElseUpdate(i, mutable.LinkedHashMap.empty[Any, Long])
+      m.update(j, m.getOrElse(j, 0L) + c)
+    }
+    val winTotals = mutable.HashMap.empty[Any, Long]
+    directedRows.foreach { r =>
+      val w = r.get(0); val l = r.get(1); val c = r.getLong(2)
+      add(w, l, c); add(l, w, c)
+      winTotals.update(w, winTotals.getOrElse(w, 0L) + c)
+    }
+    val items = pair.keys.toArray
+    val idx = items.zipWithIndex.toMap
+    val games = items.map(i => pair(i).valuesIterator.sum)
+    val wins = items.map(i => winTotals.getOrElse(i, 0L))
+    var p = Array.fill(items.length)(1.0)
+    for (_ <- 1 to iterations) {
+      val praw = new Array[Double](items.length)
+      var k = 0
+      while (k < items.length) {
+        var den = 0.0
+        pair(items(k)).foreach { case (j, n) =>
+          val s = p(k) + p(idx(j))
+          if (s > 0) den += n.toDouble / s
+        }
+        praw(k) = if (den > 0) wins(k).toDouble / den else 0.0
+        k += 1
+      }
+      val s = praw.sum
+      val c = items.length.toDouble
+      p = praw.map(x => if (s > 0) x * c / s else 0.0)
+    }
+    def r6(x: Double): Double =
+      scala.math.BigDecimal(x)
+        .setScale(6, scala.math.BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows: Seq[org.apache.spark.sql.Row] = items.indices.map { k =>
+      org.apache.spark.sql.Row(items(k), r6(p(k)), wins(k), games(k))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      directedSchema("__w").copy(name = "item"),
+      org.apache.spark.sql.types.StructField("strength",
+        org.apache.spark.sql.types.DoubleType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_wins",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_games",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava, schema)
   }
 
   /** The alignment release data card — one tall table rolling up what a

@@ -2,9 +2,10 @@ package graft.tools
 import graft.Sessions
 
 /** Capture `.explain("formatted")` for named queries into
-  * plans/r20/<query>_<suffix>.txt (r20 optimization-round deliverable:
+  * <plans dir>/<query>_<suffix>.txt (optimization-round deliverable:
   * the judge checks plan claims against these files without running
-  * Spark). Usage:
+  * Spark). The output dir comes from SPARK_GRAFT_PLANS_DIR (default
+  * plans/r21). Usage:
   *
   *   SPARK_GRAFT_SF_DIR=... sbt "runMain graft.tools.PlanCapture before q1 q2 ..."
   *
@@ -22,7 +23,8 @@ object PlanCapture {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val all = graft.SparkEntry.queries ++ graft.SparkEntry.benchQueries
-    val outDir = java.nio.file.Paths.get("plans/r20")
+    val outDir = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "plans/r21"))
     java.nio.file.Files.createDirectories(outDir)
     for (name <- names) {
       val df = all(name)(spark, dir)
@@ -30,7 +32,7 @@ object PlanCapture {
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(
         outDir.resolve(s"${name}_$suffix.txt"), txt.getBytes("UTF-8"))
-      println(s"captured $name -> plans/r20/${name}_$suffix.txt")
+      println(s"captured $name -> $outDir/${name}_$suffix.txt")
     }
     spark.stop()
   }

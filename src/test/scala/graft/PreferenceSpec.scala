@@ -103,6 +103,36 @@ class PreferenceSpec extends SparkSpec {
     assert(math.abs(s.values.sum / 3 - 1.0) < 1e-6)
   }
 
+  test("bradleyTerry: driver-local fast path ≡ distributed loop (r21)") {
+    // a non-trivial arena: 5 items, asymmetric records, one never-winner
+    val log = Seq(
+      ("A", "B"), ("A", "B"), ("A", "C"), ("B", "C"), ("B", "C"),
+      ("C", "D"), ("A", "D"), ("B", "D"), ("C", "A"), ("D", "B"),
+      ("A", "E"), ("B", "E"), ("C", "E"), ("A", "E"), ("A", "C"))
+      .toDF("winner", "loser")
+    def rows(localBound: Int) =
+      Preference.bradleyTerryImpl(log, "winner", "loser", 10, localBound)
+        .orderBy("item")
+        .select("item", "strength", "n_wins", "n_games")
+        .as[(String, Double, Long, Long)].collect().toSeq
+    val local = rows(Preference.LocalBtMaxDirectedPairs)
+    val dist = rows(0) // gate off: the unchanged distributed loop
+    assert(local.map(_._1) === dist.map(_._1))
+    assert(local.map(_._3) === dist.map(_._3)) // n_wins exact
+    assert(local.map(_._4) === dist.map(_._4)) // n_games exact
+    // strengths agree to the 6-decimal output contract (both sides
+    // round(_, 6); the MM contraction bounds order noise far below it)
+    local.zip(dist).foreach { case (l, d) =>
+      assert(l._2 === d._2, s"strength mismatch at ${l._1}: ${l._2} vs ${d._2}")
+    }
+    // schema parity: same names and types in the same order
+    val lf = Preference.bradleyTerryImpl(log, "winner", "loser", 1,
+      Preference.LocalBtMaxDirectedPairs)
+    val df = Preference.bradleyTerryImpl(log, "winner", "loser", 1, 0)
+    assert(lf.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+  }
+
   test("groupAdvantages: within-group standardization, degenerate groups at 0") {
     val samples = Seq(
       (1L, 100L, 1.0), (1L, 101L, 2.0), (1L, 102L, 3.0), // mean 2, std 1
