@@ -60,19 +60,34 @@ object OutlierTreatment {
       iqrK: Double = 1.5,
       nSigma: Double = 3.0,
       exact: Boolean = false): Model = {
+    // Iqr: ONE sketch per column queried at both probes (r21, guide §2.3)
+    // — percentile[_approx](c, array(0.25, 0.75)) builds a single
+    // aggregation buffer where two scalar calls built two identical
+    // ones; same inserts, same summary, bit-identical answers at each
+    // probe in both exact and sketch mode, at half the buffer work.
     val aggs: Seq[Column] = method match {
       case Iqr =>
-        cols.flatMap(c =>
-          Seq(
-            graft.Exprs.pct(col(c).cast("double"), 0.25, exact).as(s"${c}__lo"),
-            graft.Exprs.pct(col(c).cast("double"), 0.75, exact).as(s"${c}__hi")))
+        cols.map(c =>
+          graft.Exprs.pctArray(col(c).cast("double"), Seq(0.25, 0.75), exact)
+            .as(s"${c}__q"))
       case Sdv =>
         cols.flatMap(c => Seq(avg(col(c)).as(s"${c}__lo"), stddev(col(c)).as(s"${c}__hi")))
     }
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    def pctPair(c: String): (Double, Double) = {
+      val arr = row.getSeq[Any](row.fieldIndex(s"${c}__q"))
+      require(arr != null && arr.length == 2 && arr.forall(_ != null),
+        s"OutlierTreatment.fit($c): percentile aggregate is null " +
+          "(empty, all-null, or constant input column)")
+      (arr(0).asInstanceOf[Double], arr(1).asInstanceOf[Double])
+    }
     val bounds = cols.map { c =>
-      val a = graft.Exprs.requireD(row, s"${c}__lo", s"OutlierTreatment.fit($c)")
-      val b = graft.Exprs.requireD(row, s"${c}__hi", s"OutlierTreatment.fit($c)")
+      val (a, b) = method match {
+        case Iqr => pctPair(c)
+        case Sdv => (
+          graft.Exprs.requireD(row, s"${c}__lo", s"OutlierTreatment.fit($c)"),
+          graft.Exprs.requireD(row, s"${c}__hi", s"OutlierTreatment.fit($c)"))
+      }
       method match {
         case Iqr =>
           val iqr = b - a

@@ -129,11 +129,15 @@ object Profile {
     * default to the approx sketch; `exact = true` is the oracle-check
     * opt-in like every percentile-learning operator. */
   def outlierCounts(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
-    // one pass for bounds
+    // one pass for bounds; ONE sketch per column queried at both
+    // quartiles (r21, guide §2.3) — the array-probe form builds a single
+    // aggregation buffer where two scalar percentile calls built two
+    // identical ones: same inserts, bit-identical answers, half the
+    // buffer work
     val bAggs = cols.flatMap { c =>
       Seq(
-        graft.Exprs.pct(col(c).cast("double"), 0.25, exact).as(s"${c}__q1"),
-        graft.Exprs.pct(col(c).cast("double"), 0.75, exact).as(s"${c}__q3"),
+        graft.Exprs.pctArray(col(c).cast("double"), Seq(0.25, 0.75), exact)
+          .as(s"${c}__q"),
         avg(col(c)).as(s"${c}__mean"),
         stddev(col(c)).as(s"${c}__sd"))
     }
@@ -144,11 +148,18 @@ object Profile {
     // are the right shape for mergeable sketches.
     val bounds = df.agg(bAggs.head, bAggs.tail: _*).collect()(0)
     def d(n: String) = graft.Exprs.requireD(bounds, n, s"outlierCounts")
+    def q(c: String, i: Int): Double = {
+      val arr = bounds.getSeq[Any](bounds.fieldIndex(s"${c}__q"))
+      require(arr != null && arr.length == 2 && arr.forall(_ != null),
+        s"outlierCounts($c): percentile aggregate is null " +
+          "(empty, all-null, or constant input column)")
+      arr(i).asInstanceOf[Double]
+    }
     // one pass for counts
     val cAggs = cols.flatMap { c =>
-      val iqr = d(s"${c}__q3") - d(s"${c}__q1")
-      val lo = d(s"${c}__q1") - 1.5 * iqr
-      val hi = d(s"${c}__q3") + 1.5 * iqr
+      val iqr = q(c, 1) - q(c, 0)
+      val lo = q(c, 0) - 1.5 * iqr
+      val hi = q(c, 1) + 1.5 * iqr
       val sLo = d(s"${c}__mean") - 3 * d(s"${c}__sd")
       val sHi = d(s"${c}__mean") + 3 * d(s"${c}__sd")
       Seq(
@@ -170,15 +181,18 @@ object Profile {
   /** count/mean/stddev/min/max (+ exact quartiles) per numeric column
     * (reference: eda.py:400-485 via toPandas+numpy → distributed here). */
   def describeData(df: DataFrame, cols: Seq[String], exact: Boolean = false): DataFrame = {
+    // ONE sketch per column queried at all three quartiles (r21, guide
+    // §2.3): the array-probe form shares a single aggregation buffer
+    // where three scalar percentile calls built three identical ones —
+    // same inserts, bit-identical answers, a third of the buffer work
     val aggs = cols.flatMap { c =>
       Seq(
         count(col(c)).cast("double").as(s"${c}__count"),
         avg(col(c)).as(s"${c}__mean"),
         stddev(col(c)).as(s"${c}__stddev"),
         min(col(c)).cast("double").as(s"${c}__min"),
-        graft.Exprs.pct(col(c).cast("double"), 0.25, exact).as(s"${c}__p25"),
-        graft.Exprs.pct(col(c).cast("double"), 0.5, exact).as(s"${c}__p50"),
-        graft.Exprs.pct(col(c).cast("double"), 0.75, exact).as(s"${c}__p75"),
+        graft.Exprs.pctArray(col(c).cast("double"), Seq(0.25, 0.5, 0.75), exact)
+          .as(s"${c}__q"),
         max(col(c)).cast("double").as(s"${c}__max"))
     }
     val row = df.agg(aggs.head, aggs.tail: _*)
@@ -189,9 +203,9 @@ object Profile {
         round(col(s"${c}__mean"), 6).as("mean"),
         round(col(s"${c}__stddev"), 6).as("stddev"),
         col(s"${c}__min").as("min"),
-        round(col(s"${c}__p25"), 6).as("p25"),
-        round(col(s"${c}__p50"), 6).as("p50"),
-        round(col(s"${c}__p75"), 6).as("p75"),
+        round(element_at(col(s"${c}__q"), 1), 6).as("p25"),
+        round(element_at(col(s"${c}__q"), 2), 6).as("p50"),
+        round(element_at(col(s"${c}__q"), 3), 6).as("p75"),
         col(s"${c}__max").as("max"))
     }
     row

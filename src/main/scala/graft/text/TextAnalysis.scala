@@ -551,8 +551,11 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(toks).as("n_tokens"),
         sum(chars).as("n_chars"),
-        graft.Exprs.pct(chars.cast("double"), 0.5, exactPercentiles).as("p50_chars"),
-        graft.Exprs.pct(chars.cast("double"), 0.95, exactPercentiles).as("p95_chars"),
+        // one sketch per group queried at both probes (r21, guide §2.3)
+        // — same inserts as two scalar calls, bit-identical answers,
+        // half the aggregation-buffer work
+        graft.Exprs.pctArray(chars.cast("double"), Seq(0.5, 0.95), exactPercentiles)
+          .as("__p_chars"),
         round(avg(qualityScore(col(textCol))), 6).as("mean_quality"),
         countDistinct(md5(col(textCol))).as("__distinct_texts"),
         sum(when(toks === 0L, 1L).otherwise(0L)).as("n_empty"))
@@ -567,8 +570,8 @@ object TextAnalysis {
         col("n_tokens"),
         round(col("n_tokens") / col("__t_tokens"), 6).as("token_share"),
         col("n_chars"),
-        col("p50_chars"),
-        col("p95_chars"),
+        element_at(col("__p_chars"), 1).as("p50_chars"),
+        element_at(col("__p_chars"), 2).as("p95_chars"),
         col("mean_quality"),
         (col("n_docs") - col("__distinct_texts")).as("n_exact_dups"),
         col("n_empty"))
