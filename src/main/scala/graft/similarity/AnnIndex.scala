@@ -691,11 +691,6 @@ object AnnIndex {
       }
     val centDf = spark.read.parquet(s"$dir/centroids.parquet")
     val books = spark.read.parquet(s"$dir/codebooks.parquet")
-    // subspace width from one stored codebook row, read on the driver —
-    // the head() formulation paid a scheduled Spark job for one int (r20)
-    val subDim = graft.io.DriverParquet
-      .readSingleRow(spark, s"$dir/codebooks.parquet")(g =>
-        g.getGroup("cent", 0).getFieldRepetitionCount(0))
     // exhaustive operating point: skip the probe ranking window and the
     // probed-cell collect job — the literal would name every cell (same
     // fast path as searchIvf)
@@ -703,9 +698,10 @@ object AnnIndex {
     val qProbes = Similarity.ivfQueryProbes(
         queries, queryIdCol, vecCol, centDf, probes, allCells = exhaustive)
       .select(col("query_id"), col("__cell"))
+    // the PqLutArray kernel reads each subspace's width off its own
+    // centroids, so the r20 driver-side codebook width probe is gone too
     val lut = broadcast(
-      Similarity.pqLut(queries, queryIdCol, vecCol, books, subDim,
-        m.tables, m.bits))
+      Similarity.pqLut(queries, queryIdCol, vecCol, books, m.bits))
     val corpusStored = spark.read.parquet(s"$dir/corpus.parquet")
     Similarity.requireComparableIdTypes(
       corpusStored.schema(m.idCol).dataType, s"index corpus id '${m.idCol}' at $dir",

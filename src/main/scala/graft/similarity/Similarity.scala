@@ -1172,9 +1172,13 @@ object Similarity {
     * under the 6-decimal rounding every reported score carries). With
     * the map-only cell assignment this makes the whole IVF-PQ
     * build/append encode pipeline shuffle-free on the corpus side. */
-  private[graft] def pqEncodeColumns(df: DataFrame, books: DataFrame): DataFrame = {
-    import org.apache.spark.sql.graft.Bridge
-    val cands = books
+  /** The codebooks folded into ONE row (`__books`): array
+    * (subspace-ascending) of array<struct<code, cent, __c2>>
+    * (code-ascending, `__c2` = ‖cent‖²) — the broadcast shape both
+    * [[graft.expressions.PqEncodeCodes]] (build/append encode) and
+    * [[graft.expressions.PqLutArray]] (search LUT) consume. */
+  private[similarity] def foldedBooks(books: DataFrame): DataFrame =
+    books
       .select(col("subspace"),
         struct(col("code"), col("cent").cast("array<double>").as("cent"),
           dot(col("cent"), col("cent")).as("__c2")).as("__c"))
@@ -1182,7 +1186,10 @@ object Similarity {
       .agg(array_sort(collect_list(col("__c"))).as("__cs"))
       .agg(expr("transform(sort_array(collect_list(struct(subspace, __cs))), p -> p.__cs)")
         .as("__books"))
-    df.crossJoin(broadcast(cands))
+
+  private[graft] def pqEncodeColumns(df: DataFrame, books: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graft.Bridge
+    df.crossJoin(broadcast(foldedBooks(books)))
       .withColumn("__enc", Bridge.column(graft.expressions.PqEncodeCodes(
         Bridge.expression(col("__cv").cast("array<double>")),
         Bridge.expression(col("__cn")),
@@ -1201,40 +1208,36 @@ object Similarity {
     * (raw dot-ADC under-ranks short reconstructions; distance-ADC
     * over-penalizes long ones). Queries are broadcast-sized by
     * contract. */
-  private[similarity] def pqLut(
+  private[graft] def pqLut(
       queries: DataFrame,
       queryIdCol: String,
       vecCol: String,
       books: DataFrame,
-      sub: Int,
-      m: Int,
       codes: Int): DataFrame = {
-    def unit(v: Column): Column =
-      when(l2Norm(v) > 0, transform(v.cast("array<double>"), x => x / l2Norm(v)))
-        .otherwise(v.cast("array<double>"))
+    // ONE map-only projection against the folded codebook row (r21):
+    // the previous formulation exploded queries × m·codes book rows
+    // through a BroadcastNestedLoopJoin, collected a slot map with an
+    // ObjectHashAggregate (exchange + single-task final) and densified
+    // with an O((m·codes)²) interpreted element_at probe per query —
+    // profiled as a 1.3 s single-task stage per search. The codegen'd
+    // kernel scatters by explicit slot with the same hole semantics
+    // (missing codes stay -inf so a bug surfaces as a terrible score,
+    // not a silent shift) and the same ascending-element dot order —
+    // bit-identical LUT values.
+    import org.apache.spark.sql.graft.Bridge
     queries
       .select(
         col(queryIdCol).as("query_id"),
-        unit(col(vecCol)).as("__qu"),
+        col(vecCol).cast("array<double>").as("__qv"),
         l2Norm(col(vecCol)).as("__qn"))
       .filter(col("__qn") > 0)
-      .crossJoin(broadcast(books))
+      .crossJoin(broadcast(foldedBooks(books)))
       .select(col("query_id"),
-        (col("subspace") * codes + col("code")).as("__slot"),
-        dot(slice(col("__qu"), col("subspace") * sub + 1, lit(sub)), col("cent"))
-          .as("__v"))
-      .groupBy(col("query_id"))
-      // index by explicit slot, NOT by dense position: k-means may return
-      // fewer than `codes` centers for a subspace (empty clusters), and a
-      // hole would shift every later entry. Missing slots are never
-      // referenced (encode only assigns existing codes) but fill as -inf
-      // so a bug surfaces as a terrible score, not a silent shift
-      .agg(map_from_entries(collect_list(struct(col("__slot"), col("__v"))))
-        .as("__lutmap"))
-      .select(col("query_id"), expr(
-        s"transform(sequence(0, ${m * codes - 1}), " +
-          "i -> coalesce(element_at(__lutmap, i), cast('-Infinity' as double)))")
-        .as("__lut"))
+        Bridge.column(graft.expressions.PqLutArray(
+          Bridge.expression(col("__qv")),
+          Bridge.expression(col("__qn")),
+          Bridge.expression(col("__books")),
+          Bridge.expression(lit(codes)))).as("__lut"))
   }
 
   /** SemDeDup pair report — SEMANTIC near-duplicates (paraphrases,

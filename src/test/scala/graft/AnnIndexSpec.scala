@@ -207,6 +207,61 @@ class AnnIndexSpec extends SparkSpec {
     }
   }
 
+  test("PQ LUT kernel is map-only and value-identical to the exploded formulation (r21)") {
+    // books fitted on real embeddings with codes > returned centers in
+    // some subspace unlikely — so ALSO plant an explicit hole by
+    // dropping one codebook row: its slot must come back -inf in both
+    // routes. The exploded map_from_entries route is the differential
+    // oracle for the PqLutArray kernel.
+    val corpusVec = Similarity.ivfNormalizedCorpus(emb, "vec_id", "embedding")
+    val (books, codesEff) = Similarity.pqFit(corpusVec, "vec_id", m = 8,
+      codes = 64, seed = 3L, fitSample = 1000)
+    val holed = books.filter(!(col("subspace") === 2 && col("code") === 5))
+    val queries = emb.filter(col("vec_id") < 3)
+    val sub = emb.head().getAs[Seq[Float]]("embedding").size / 8
+    // the pre-r21 formulation, replayed inline as the oracle
+    def unit(v: org.apache.spark.sql.Column) =
+      when(Similarity.l2Norm(v) > 0,
+        transform(v.cast("array<double>"), x => x / Similarity.l2Norm(v)))
+        .otherwise(v.cast("array<double>"))
+    val viaMap = queries
+      .select(col("vec_id").as("query_id"), unit(col("embedding")).as("__qu"),
+        Similarity.l2Norm(col("embedding")).as("__qn"))
+      .filter(col("__qn") > 0)
+      .crossJoin(broadcast(holed))
+      .select(col("query_id"),
+        (col("subspace") * codesEff + col("code")).as("__slot"),
+        Similarity.dot(
+          slice(col("__qu"), col("subspace") * sub + 1, lit(sub)), col("cent"))
+          .as("__v"))
+      .groupBy(col("query_id"))
+      .agg(map_from_entries(collect_list(struct(col("__slot"), col("__v"))))
+        .as("__lutmap"))
+      .select(col("query_id"), expr(
+        s"transform(sequence(0, ${8 * codesEff - 1}), " +
+          "i -> coalesce(element_at(__lutmap, i), cast('-Infinity' as double)))")
+        .as("__lut"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    val kernel = Similarity.pqLut(queries, "vec_id", "embedding", holed, codesEff)
+    // plan pin: map-only on the query side — the only exchange folds the
+    // codebook rows into the one broadcast row
+    val plan = kernel.queryExecution.executedPlan
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions > 1 => e
+    }.isEmpty, s"pqLut must be map-only on the query side:\n$plan")
+    val got = kernel.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+    assert(got.keySet === viaMap.keySet && got.nonEmpty)
+    got.foreach { case (id, lut) =>
+      assert(lut.length === viaMap(id).length, s"query $id lut length")
+      // bit-identical: same multiplies in the same order, holes -inf
+      assert(lut === viaMap(id), s"query $id lut values diverge")
+    }
+    assert(got.values.head(2 * codesEff + 5).isNegInfinity,
+      "planted codebook hole must surface as -inf")
+  }
+
   test("append assignment is map-only (no window/exchange over batch×centroids) and exact") {
     val dir = tempDir("graft_ivf_assign")
     AnnIndex.buildIvf(emb, "vec_id", "embedding", dir, nlist = 16, seed = 7L)
