@@ -44,4 +44,30 @@ class GraphsSpec extends SparkSpec {
     val b = ranksOf(Graphs.pageRank(triangle, "s", "d", iterations = 3))
     assert(a == b)
   }
+
+  test("pageRank: driver-local fast path ≡ distributed loop (r21)") {
+    // a denser asymmetric graph: hub, chain, dangling sink, self-loop
+    val g = Seq(
+      ("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"), ("C", "A"),
+      ("D", "E"), ("E", "A"), ("B", "E"), ("C", "C"), ("F", "A"))
+      .toDF("s", "d")
+    def rows(bound: Int): Seq[(String, Double)] =
+      Graphs.pageRankImpl(g, "s", "d", iterations = 7, damping = 0.85, bound)
+        .orderBy("id").as[(String, Double)].collect().toSeq
+    val local = rows(Graphs.LocalPrMaxEdges)
+    val dist = rows(0) // gate off: the unchanged distributed loop
+    assert(local.map(_._1) === dist.map(_._1))
+    local.zip(dist).foreach { case (l, d) =>
+      // both paths run the identical contraction; the operator contract
+      // is agreement under the 6-decimal rounding every caller applies
+      assert(math.abs(l._2 - d._2) < 1e-9, s"rank at ${l._1}: ${l._2} vs ${d._2}")
+    }
+    // schema parity: same names and types in the same order
+    val lf = Graphs.pageRankImpl(g, "s", "d", 1, 0.85, Graphs.LocalPrMaxEdges)
+    val df = Graphs.pageRankImpl(g, "s", "d", 1, 0.85, 0)
+    assert(lf.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    // mass conservation on the local path
+    assert(math.abs(local.map(_._2).sum - 1.0) < 1e-9)
+  }
 }
