@@ -802,14 +802,17 @@ object Preference {
         count(lit(1)).as("__n"),
         countDistinct(col(promptCol)).as("__np"),
         round(avg(col(marginCol)), 6).as("__mean"),
-        round(percentile(col(marginCol), lit(0.5)), 6).as("__p50"),
-        round(percentile(col(marginCol), lit(0.9)), 6).as("__p90"))
+        // one percentile buffer queried at both probes (r21, guide §2.3)
+        // — same inserts as two scalar calls, identical exact answers
+        percentile(col(marginCol), array(lit(0.5), lit(0.9))).as("__p"))
       .select(explode(array(
         row("pairs", lit("n_pairs"), col("__n"), col("__n")),
         row("pairs", lit("n_prompts"), col("__np"), col("__np")),
         row("pairs", lit("margin_mean"), col("__n"), col("__mean")),
-        row("pairs", lit("margin_p50"), col("__n"), col("__p50")),
-        row("pairs", lit("margin_p90"), col("__n"), col("__p90")))).as("r"))
+        row("pairs", lit("margin_p50"), col("__n"),
+          round(element_at(col("__p"), 1), 6)),
+        row("pairs", lit("margin_p90"), col("__n"),
+          round(element_at(col("__p"), 2), 6)))).as("r"))
       .select(col("r.*"))
     val lengthBias = lengthBiasReport(pairs, chosenCol, rejectedCol)
       .select(row("length_bias", col("len_gap_bucket"), col("n_pairs"),
