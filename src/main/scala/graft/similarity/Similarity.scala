@@ -1444,8 +1444,17 @@ object Similarity {
       .join(corpus.select(col(idCol), col(docCol).as("__cd")), Seq(idCol))
       .repartition(corpus.sparkSession.sparkContext.defaultParallelism,
         col("__cell"))
+    // MERGE hint (r21): the query side is CORPUS-SIZED (every chunk
+    // queries), so a broadcast of it is wrong at any real scale — but at
+    // small SF AQE saw a few-kilobyte runtime size, converted this join
+    // to broadcast, and read the OTHER side through a coalesced
+    // AQEShuffleRead, fusing the exploding |Q|·|C| scoring into 2
+    // partitions (profiled: 2.9 s of task time in 2 tasks) — exactly the
+    // coalescing trap the repartition pin above exists to prevent. The
+    // hint pins the scale-correct sort-merge strategy, which also keeps
+    // the pinned cell partitioning live for the scoring stage.
     val scored = corpusSide
-      .join(qProbes, Seq("__cell")) // shuffle join — the query side is corpus-sized
+      .join(qProbes.hint("merge"), Seq("__cell"))
       .filter(col(idCol) =!= col("query_id") && !(col("__cd") <=> col("__qd")))
       .select(col("query_id"), col(idCol),
         round(dot(col("__cv"), col("__qv2")) / (col("__cn") * col("__qn")), 6)

@@ -170,7 +170,15 @@ class PlanFingerprintSpec extends SparkSpec {
     // final merge heap. A window count CLIMBING back toward the old pin
     // means an exhaustive search fell off the fast path.
     "ann_sharded_search_exact" -> Map("broadcast_hash_join" -> 3, "global_sort" -> 1, "local_sort" -> 6, "shuffle" -> 4, "window" -> 3, "window_group_limit" -> 6),
-    "ann_ivfpq_sharded_exact" -> Map("broadcast" -> 7, "broadcast_hash_join" -> 9, "broadcast_nested_loop" -> 3, "global_sort" -> 1, "local_sort" -> 9, "shuffle" -> 7, "window" -> 6, "window_group_limit" -> 9),
+    // r21 re-pin (shuffle 7 → 10): the per-shard ADC LUT is now ONE
+    // map-only PqLutArray projection against the codebooks folded into a
+    // single broadcast row; the fold's tiny keyed groupBy adds one
+    // m·codes-row exchange per shard (3 shards) where the old route's
+    // queries×books explode + ObjectHashAggregate + interpreted slot-map
+    // densify used to run (a profiled 1.3 s single-task stage per
+    // search). shuffle DROPPING back to 7 with a broadcast_nested_loop
+    // climbing means the exploded LUT came back.
+    "ann_ivfpq_sharded_exact" -> Map("broadcast" -> 7, "broadcast_hash_join" -> 9, "broadcast_nested_loop" -> 3, "global_sort" -> 1, "local_sort" -> 9, "shuffle" -> 10, "window" -> 6, "window_group_limit" -> 9),
     "ann_compacted_search_exact" -> Map("broadcast_hash_join" -> 1, "global_sort" -> 1, "local_sort" -> 2, "shuffle" -> 2, "window" -> 1, "window_group_limit" -> 2),
     // the resharded query is the 2-shard fan-out shape (per-shard counts
     // ×2 + the heap merge + root sort) over the post-reshard layout
