@@ -937,16 +937,29 @@ object AnnIndex {
     val m = readMeta(spark, dir, "lsh")
     val qSig =
       Similarity.lshQuerySide(queries, queryIdCol, vecCol, m.tables, m.bits, probes)
-    // probed signatures across all tables — a bounded literal set (|Q| ·
-    // tables · (1+probes)); a superset filter per table, exact join after.
-    // Pushed to parquet, it row-group-skips the sig-sorted files.
-    val probedSigs = qSig.select(col("sig")).distinct()
-      .collect().map(_.getLong(0)).toSeq
     val sigStored = spark.read.parquet(s"$dir/signatures.parquet")
     Similarity.requireComparableIdTypes(
       sigStored.schema(m.idCol).dataType, s"index corpus id '${m.idCol}' at $dir",
       queries.schema(queryIdCol).dataType, s"query id '$queryIdCol'")
-    val pruned = sigStored.filter(col("sig").isin(probedSigs: _*))
+    // exhaustive operating point (r21, the searchIvf allCells mirror):
+    // when ANY query's Hamming-1 probe set covers the whole 2^bits
+    // signature space — base sig + min(probes, bits) flips ≥ 2^bits,
+    // i.e. the bits ≤ 1 exact-twin configurations — the pruning literal
+    // would name every bucket, so the probed-signature collect job is
+    // skipped outright. At every other operating point the bounded
+    // literal (|Q|·tables·(1+probes) values) stays DELIBERATELY: pushed
+    // to parquet it row-group-skips the sig-sorted files (PushedFilters
+    // sig IN (...)), which a broadcast semi-join cannot do — the scan
+    // pruning is worth one driver-side bounded collect at any scale.
+    val exhaustive =
+      (1L << m.bits) <= 1L + math.min(math.max(probes, 0), m.bits)
+    val pruned =
+      if (exhaustive) sigStored
+      else {
+        val probedSigs = qSig.select(col("sig")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        sigStored.filter(col("sig").isin(probedSigs: _*))
+      }
     // tombstoned rows drop after the signature pruning, before scoring
     val alive = minusTombstones(spark, dir, m.idCol,
       corpusFilter.fold(pruned)(pruned.filter))
