@@ -1,7 +1,7 @@
 package graft.io
 
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, col, dense_rank, lag, lead, lit, max, shiftleft, struct, when}
+import org.apache.spark.sql.functions.{broadcast, col, dense_rank, lag, lead, lit, max, raise_error, shiftleft, struct, when}
 
 /** Format-dispatched readers/writers.
   *
@@ -396,7 +396,12 @@ object Tables {
     * semi/anti join against the batch's keys plus windows over the
     * affected keys only, never a full-history rebuild. Batch versions
     * at or before an affected key's open `valid_from` are rejected
-    * (out-of-order arrivals need the from-scratch rebuild). */
+    * (out-of-order arrivals need the from-scratch rebuild); the guard
+    * is enforced IN-PLAN (raise_error at execution — the dpoRender /
+    * ksStatistic convention), so the rejection rides the rebuild's own
+    * scan instead of costing an eager validation job (r21: the eager
+    * `require(lateBatch.isEmpty)` was a full extra pass over dim +
+    * batch on every call). */
   def applyScd2(
       dim: DataFrame,
       changes: DataFrame,
@@ -407,20 +412,31 @@ object Tables {
     val batchKeys = changes.select(keyCols.map(col): _*).distinct()
     val affectedOpen = dim.filter(col("is_current"))
       .join(batchKeys, keyCols, "left_semi")
-    val lateBatch = changes.join(
+    // in-plan out-of-order guard: each batch row sees its affected key's
+    // open valid_from (null for brand-new keys) and raises at execution
+    // if it sorts at or before it — same rejection as the old eager
+    // isEmpty job, now fused into the tail rebuild's own pass
+    val tsType = changes.schema(tsCol).dataType
+    val guarded = changes
+      .join(
         affectedOpen.select((keyCols.map(col) :+ col("valid_from").as("__vf")): _*),
-        keyCols)
-      .filter(col(tsCol) <= col("__vf"))
-    require(lateBatch.isEmpty,
-      "applyScd2 got batch versions at or before an affected key's open " +
-        "valid_from — out-of-order history needs a buildScd2 rebuild")
+        keyCols, "left")
+      .withColumn(tsCol,
+        when(col("__vf").isNotNull && col(tsCol) <= col("__vf"),
+          raise_error(lit(
+            "applyScd2 got batch versions at or before an affected key's " +
+              "open valid_from — out-of-order history needs a buildScd2 " +
+              "rebuild")).cast(tsType))
+          .otherwise(col(tsCol)))
+      .drop("__vf")
     // re-derive the affected keys' tail: their open row (as a version at
     // its valid_from) + the batch's versions for those keys
     val rebuiltTail = buildScd2(
       affectedOpen
         .select((keyCols.map(col) ++ attrCols.map(col) :+
           col("valid_from").as(tsCol)): _*)
-        .unionByName(changes),
+        .unionByName(guarded.select((keyCols.map(col) ++ attrCols.map(col) :+
+          col(tsCol)): _*)),
       keyCols, tsCol)
     dim
       .filter(!col("is_current"))

@@ -1507,11 +1507,14 @@ class OperatorsSpec extends SparkSpec {
       df.orderBy($"k", $"valid_from").collect().map(_.toString).toSeq
     assert(rows(applied) === rows(rebuilt))
     // a batch version at/before an affected key's open valid_from is an
-    // out-of-order arrival — loud failure, not silent corruption
+    // out-of-order arrival — loud failure, not silent corruption. r21:
+    // the guard is in-plan (raise_error riding the rebuild's own scan
+    // instead of an eager validation job), so it surfaces at the action
     val late = Seq((1L, 5L, "q")).toDF("k", "ts", "v")
-    val e = intercept[IllegalArgumentException](
-      graft.io.Tables.applyScd2(rebuilt, late, Seq("k"), "ts"))
-    assert(e.getMessage.contains("out-of-order"))
+    val e = intercept[Exception](
+      graft.io.Tables.applyScd2(rebuilt, late, Seq("k"), "ts").collect())
+    assert(e.getMessage.contains("out-of-order"),
+      s"expected the out-of-order rejection, got: ${e.getMessage}")
   }
 
   test("scd2FromSnapshots closes vanished keys; snapshotAt reads a point in time") {
