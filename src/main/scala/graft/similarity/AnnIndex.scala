@@ -490,8 +490,15 @@ object AnnIndex {
       else Similarity.ivfAutoNlist(nRows, Similarity.vecWidth(corpus, vecCol))
     val corpusVec = Similarity.ivfNormalizedCorpus(corpus, idCol, vecCol, attrCols)
     val model = Similarity.ivfFit(corpusVec, idCol, cells, seed, fitSample)
-    Similarity.ivfCentroidFrame(corpus.sparkSession, model)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.parquet")
+    // compacted write (r21, guide §6): the centroid frame is a local
+    // relation whose bare write fans out over defaultParallelism slices —
+    // 32 near-empty part files that EVERY search then scans as 32 tasks
+    // of pure per-task overhead. The frame is nlist·dims-bounded (the
+    // CentroidBudgetDoubles broadcast budget), so the size-derived
+    // compaction lands on a handful of files at any legal nlist.
+    graft.io.Tables.compactTo(
+      Similarity.ivfCentroidFrame(corpus.sparkSession, model),
+      s"$dir/centroids.parquet")
     // one partition directory per cell: search prunes to the probed
     // cells. clusterByCell: without it every write task emits a file
     // into every cell it holds rows for — tasks × cells small files
@@ -614,10 +621,14 @@ object AnnIndex {
       else Similarity.ivfAutoNlist(nRows, Similarity.vecWidth(corpus, vecCol))
     val corpusVec = Similarity.ivfNormalizedCorpus(corpus, idCol, vecCol, attrCols)
     val model = Similarity.ivfFit(corpusVec, idCol, cells, seed, fitSample)
-    Similarity.ivfCentroidFrame(corpus.sparkSession, model)
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.parquet")
+    // compacted writes (r21, guide §6) — same rationale as buildIvf: both
+    // frames are broadcast-budget-bounded local relations whose bare
+    // writes left ~32 near-empty part files for every search to scan
+    graft.io.Tables.compactTo(
+      Similarity.ivfCentroidFrame(corpus.sparkSession, model),
+      s"$dir/centroids.parquet")
     val (books, codesEff) = Similarity.pqFit(corpusVec, idCol, m, codes, seed, fitSample)
-    books.write.mode(SaveMode.Overwrite).parquet(s"$dir/codebooks.parquet")
+    graft.io.Tables.compactTo(books, s"$dir/codebooks.parquet")
     val assigned = model.transform(corpusVec).drop("__mlvec")
     // codes + reconstruction norm in the same map-only pass as the cell
     // assignment — no explode/join/aggregate round trip (r18)
