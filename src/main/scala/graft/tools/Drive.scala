@@ -1,33 +1,32 @@
 package graft.tools
 import graft.Sessions
+import org.apache.spark.sql.functions._
 
 /** Scratch verification driver — edit freely (see .claude/skills/verify). */
 object Drive {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val all = graft.SparkEntry.queries ++ graft.SparkEntry.benchQueries
-    val name = "ann_ivfpq_refined"
-    all(name)(spark, dir).count() // warm + ensure index
-    val df = all(name)(spark, dir)
-    df.queryExecution.toRdd.count() // execute THIS plan so node metrics populate
-    def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
-      val interesting = p.metrics.filter { case (k, m) =>
-        (k.contains("time") || k.contains("duration") || k == "numOutputRows") && m.value > 0 }
-      val ms = interesting.map { case (k, m) => s"$k=${m.value}" }.mkString(" ")
-      println(("  " * depth) + p.nodeName + "  " + ms)
-      p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          walk(a.executedPlan, depth + 1)
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          walk(q.plan, depth + 1)
-        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
-          println(("  " * (depth+1)) + "[reused]")
-        case _ => p.children.foreach(walk(_, depth + 1))
-      }
+    import spark.implicits._
+    // Hypothesis test: the pqLut densification transform(sequence(0, N-1),
+    // i -> element_at(map, i)) is O(N^2) per row with linear map probes.
+    val n = 2048
+    val rows = (0 until 5).map(q => (q.toLong, (0 until n).map(i => (i, i * 0.5))))
+      .toDF("query_id", "entries")
+      .select(col("query_id"), map_from_entries(col("entries")).as("__lutmap"))
+      .persist()
+    rows.count()
+    def time(tag: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$tag: ${(System.nanoTime() - t0) / 1e9}%.3fs")
     }
-    walk(df.queryExecution.executedPlan, 0)
+    for (_ <- 1 to 3)
+      time("element_at densify") {
+        rows.select(col("query_id"), expr(
+          s"transform(sequence(0, ${n - 1}), " +
+            "i -> coalesce(element_at(__lutmap, i), cast('-Infinity' as double)))")
+          .as("__lut")).write.format("noop").mode("overwrite").save()
+      }
     spark.stop()
   }
 }

@@ -43,9 +43,14 @@ object JobProfile {
         jobs.get(e.jobId).foreach(_.end = e.time)
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        if (collecting && stageJob.contains(e.stageInfo.stageId))
+        if (collecting && stageJob.contains(e.stageInfo.stageId)) {
+          // the RDD scopes name the physical operators this stage runs
+          // (WholeStageCodegen ids map back to the numbered plan)
+          val scopes = e.stageInfo.rddInfos
+            .flatMap(_.scope.map(_.name)).distinct.mkString(" | ")
           stages.getOrElseUpdate(e.stageInfo.stageId,
-            St(e.stageInfo.stageId, "", 0, 0L)).name = e.stageInfo.name.take(120)
+            St(e.stageInfo.stageId, "", 0, 0L)).name = scopes.take(160)
+        }
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         for (jid <- stageJob.get(e.stageId); j <- jobs.get(jid)) {
           j.tasks += 1
@@ -79,8 +84,8 @@ object JobProfile {
       val wall = js.map(j => j.end - j.start).sum / 1000.0
       val gaps = second - wall / 1.0
       println(f"  sum(job wall)=$wall%.3fs driver-gaps=$gaps%.3fs")
-      for (st <- stages.values.toSeq.sortBy(-_.taskTime).take(6))
-        println(f"  stage ${st.id}%4d tasks=${st.tasks}%4d taskTime=${st.taskTime / 1000.0}%7.3fs  ${st.name}")
+      for (st <- stages.values.toSeq.sortBy(-_.taskTime).take(8))
+        println(f"  stage ${st.id}%4d job=${stageJob.getOrElse(st.id, -1)}%3d tasks=${st.tasks}%4d taskTime=${st.taskTime / 1000.0}%7.3fs  ${st.name}")
     }
     spark.stop()
   }
